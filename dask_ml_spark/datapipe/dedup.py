@@ -1,0 +1,261 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference operators (SURVEY §7.2 item 10): exact dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard similarity — all as
+pure DataFrame plans (no Python UDFs anywhere in this module), so at
+100 TB they are shuffle-on-key aggregations Catalyst/AQE can plan,
+skew-split and partially aggregate.
+
+Hash parity note: every hash is derived from md5() so the duckdb
+oracle can reproduce values bit-for-bit; the permutations are affine
+maps modulo the Mersenne prime 2^31-1 computed in int64 (no overflow:
+a,b < p, h < p → a*h+b < 2^62).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9_]{2,}"
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+
+def tokens_expr(text_col):
+    return F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), 0)
+
+
+def shingles_expr(text_col, n: int = 3):
+    """Word n-gram shingles as an array<string> (distinct)."""
+    toks = tokens_expr(text_col)
+    if n == 1:
+        return F.array_distinct(toks)
+    # positions 0..len-n; concat_ws of the n-gram window
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return F.array_distinct(grams)
+
+
+def base_hash_expr(col):
+    """60-bit integer hash from md5 — reproducible in duckdb via
+    ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_coeffs(n_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE_P, size=n_hashes).tolist()
+    b = rng.randint(0, MERSENNE_P, size=n_hashes).tolist()
+    return a, b
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalize: bool = True) -> DataFrame:
+    """Exact duplicate removal: keep the smallest id per content hash.
+
+    One shuffle on the 128-bit content hash (uniform keys — no skew),
+    map-side partial min. Output: (id, content_hash, dup_count).
+    """
+    norm = F.concat_ws(" ", tokens_expr(F.col(text_col))) if normalize else F.col(text_col)
+    return (
+        df.select(F.col(id_col), F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select(id_col, "content_hash", "dup_count")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       n_hashes: int = 16, shingle_n: int = 3, seed: int = 42) -> DataFrame:
+    """MinHash signature per document: explode shingles → n affine
+    hashes → min per document. One explode + one groupBy(id) with
+    map-side combine; signature columns m0..m{n-1}."""
+    a, b = minhash_coeffs(n_hashes, seed)
+    h = F.pmod(base_hash_expr(F.col("shingle")), F.lit(MERSENNE_P))
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("shingle")
+    ).withColumn("h", h)
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]), F.lit(MERSENNE_P))).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      n_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+                      seed: int = 42) -> DataFrame:
+    """Candidate near-duplicate pairs: documents agreeing on ALL rows
+    of at least one LSH band. rows_per_band = n_hashes // bands.
+
+    Scale shape: signatures (1 row/doc) → explode to `bands` rows →
+    shuffle on (band, band_signature) → within-bucket pairs. Bucket
+    sizes are data-dependent; AQE skew-split handles hot buckets.
+    Output: (id_a, id_b, n_shared_bands).
+    """
+    r = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, seed)
+    band_rows = []
+    for bi in range(bands):
+        cols = [F.col(f"m{bi * r + j}") for j in range(r)]
+        band_rows.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(bi).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("band_key"),
+            )
+        )
+    banded = band_rows[0]
+    for brow in band_rows[1:]:
+        banded = banded.unionAll(brow)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col(f"l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            n_bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per token-hash bit b, sum ±1 over tokens;
+    fingerprint bit = sign. Pure explode + groupBy aggregation.
+    Output: (id, simhash bigint)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("token")
+    ).withColumn("h", base_hash_expr(F.col("token")))
+    # bit b of h: pmod(floor(h / 2^b), 2) — duckdb-reproducible arithmetic
+    bit_sums = [
+        F.sum(
+            F.when(F.pmod(F.floor(F.col("h") / F.lit(float(2**bb))).cast("long"), F.lit(2)) == 1, 1).otherwise(-1)
+        ).alias(f"b{bb}")
+        for bb in range(n_bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for bb in range(n_bits):
+        fp = fp + F.when(F.col(f"b{bb}") > 0, F.lit(int(2**bb)).cast("long")).otherwise(F.lit(0).cast("long"))
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       n_bits: int = 32, max_hamming: int = 3, n_blocks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash with Hamming distance ≤ max_hamming,
+    using the pigeonhole block trick: split the fingerprint into
+    n_blocks ≥ max_hamming+1 blocks; any pair within distance must
+    agree exactly on ≥1 block → join per block, verify distance.
+    Avoids the N² cross join entirely."""
+    fps = simhash(df, text_col, id_col, n_bits)
+    bits_per = n_bits // n_blocks
+    blocks = None
+    for blk in range(n_blocks):
+        # block value = (simhash >> (blk*bits_per)) % 2^bits_per
+        val = F.pmod(
+            F.floor(F.col("simhash") / F.lit(float(2 ** (blk * bits_per)))).cast("long"),
+            F.lit(int(2**bits_per)),
+        )
+        part = fps.select(F.col(id_col), F.col("simhash"), F.lit(blk).alias("blk"), val.alias("blk_val"))
+        blocks = part if blocks is None else blocks.unionAll(part)
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.blk_val") == F.col("r.blk_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    # hamming via bitwise xor + popcount (bit_count in Spark 3.3+/duckdb)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3, min_jaccard: float = 0.0,
+                        min_shared: int = 1) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs that share
+    ≥ min_shared shingles. Inverted-index self-join: explode distinct
+    shingles → join on shingle → count shared → |A∪B| from per-doc set
+    sizes. The join key (shingle) is the scale hazard — very common
+    shingles create hot keys; drop top-frequency shingles upstream or
+    rely on AQE skew handling. Output: (id_a, id_b, jaccard)."""
+    sh = df.select(F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    l, r = sh.alias("l"), sh.alias("r")
+    shared = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    out = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")))
+        .select("id_a", "id_b", "jaccard")
+    )
+    if min_jaccard > 0:
+        out = out.where(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+                             threshold: float = 0.95, n_lsh_planes: int = 8,
+                             seed: int = 42, exact: bool = False) -> DataFrame:
+    """Embedding-cosine near-duplicates. exact=True: all-pairs within
+    one bucket of a random-hyperplane LSH code (scale path); pairs are
+    verified with the true cosine either way."""
+    from dask_ml_spark.functions.vector import cosine_similarity
+
+    base = df.select(id_col, vec_col)
+    if not exact:
+        # random hyperplane signs → one LSH bucket per vector; near-dups
+        # (cos≈1) almost surely collide on every plane
+        rng = np.random.RandomState(seed)
+        dim = len(base.select(vec_col).first()[0])
+        planes = rng.randn(n_lsh_planes, dim)
+        code = F.lit(0).cast("long")
+        for pi, plane in enumerate(planes):
+            dotp = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(v)) for v in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            code = code + F.when(dotp >= 0, F.lit(int(2**pi)).cast("long")).otherwise(F.lit(0).cast("long"))
+        base = base.withColumn("__bucket", code)
+        join_cond = F.col("l.__bucket") == F.col("r.__bucket")
+    else:
+        join_cond = F.lit(True)
+    l, r = base.alias("l"), base.alias("r")
+    pairs = l.join(r, join_cond & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+    cos = cosine_similarity(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+    return (
+        pairs.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,120 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Brute-force cosine top-k is the correctness baseline (and is itself a
+sound distributed plan: broadcast the query set, narrow map computing
+similarities, per-query top-k via window). The scale path is IVF:
+k-means coarse centroids, vectors bucketed by nearest centroid, query
+probes only the closest n_probe buckets — a partition-pruned join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dask_ml_spark.functions.vector import cosine_similarity, dot, norm2
+
+
+def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     query_id_col: str = "query_id", metric: str = "cosine") -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    queries: DataFrame[(query_id, embedding)] — dimension-table sized,
+    broadcast; the big side streams. Output: (query_id, vec_id, score,
+    rank), rank 1..k by descending similarity.
+    """
+    q = F.broadcast(queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ))
+    joined = df.select(id_col, vec_col).crossJoin(q)
+    if metric == "cosine":
+        score = cosine_similarity(F.col(vec_col), F.col("__qvec"))
+    elif metric == "dot":
+        score = dot(F.col(vec_col), F.col("__qvec"))
+    else:
+        raise ValueError(f"Unknown metric {metric!r}")
+    scored = joined.select(
+        query_id_col, id_col, score.alias("score")
+    ).where(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+class IVFIndex:
+    """Inverted-file ANN index: coarse k-means quantizer + bucketed
+    storage. Scale shape: build = one k-means fit + one narrow map
+    adding `bucket`; the bucketed table can be written
+    partitioned-by-bucket so a probe prunes partitions at scan time.
+    """
+
+    def __init__(self, n_lists: int = 16, n_probe: int = 2, seed: int = 42,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        self.n_lists = n_lists
+        self.n_probe = n_probe
+        self.seed = seed
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def fit(self, df: DataFrame, sample_rows: int = 100_000) -> "IVFIndex":
+        """Train the coarse quantizer on a sample (driver numpy k-means —
+        centroids are tiny; the data-scale work stays in Spark)."""
+        sample = np.asarray(
+            [r[0] for r in df.select(self.vec_col).limit(sample_rows).collect()],
+            dtype="float64",
+        )
+        rng = np.random.RandomState(self.seed)
+        k = min(self.n_lists, len(sample))
+        centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+        for _ in range(20):
+            d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            new = np.stack([
+                sample[assign == j].mean(axis=0) if (assign == j).any() else centroids[j]
+                for j in range(k)
+            ])
+            if np.allclose(new, centroids):
+                break
+            centroids = new
+        self.centroids_ = centroids
+        return self
+
+    def _nearest_expr(self, vec_col, n: int):
+        """array of the n nearest centroid ids (JVM-side expressions)."""
+        dists = []
+        for ci, c in enumerate(self.centroids_):
+            lit = F.array(*[F.lit(float(v)) for v in c])
+            d = F.aggregate(
+                F.zip_with(vec_col, lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, x: a + x,
+            )
+            dists.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
+        arr = F.array_sort(F.array(*dists))
+        return F.transform(F.slice(arr, 1, n), lambda s: s["c"])
+
+    def assign(self, df: DataFrame, bucket_col: str = "bucket") -> DataFrame:
+        return df.withColumn(
+            bucket_col, F.element_at(self._nearest_expr(F.col(self.vec_col), 1), 1)
+        )
+
+    def search(self, df: DataFrame, queries: DataFrame, k: int = 10,
+               query_id_col: str = "query_id") -> DataFrame:
+        """Probe the n_probe nearest lists per query: join restricted to
+        matching buckets (shuffle/broadcast on bucket id), then exact
+        cosine within the probed subset."""
+        indexed = self.assign(df)
+        q = queries.select(
+            F.col(query_id_col), F.col(self.vec_col).alias("__qvec"),
+            F.explode(self._nearest_expr(F.col(self.vec_col), self.n_probe)).alias("bucket"),
+        )
+        joined = indexed.join(F.broadcast(q), "bucket")
+        score = cosine_similarity(F.col(self.vec_col), F.col("__qvec"))
+        scored = joined.select(
+            query_id_col, self.id_col, score.alias("score")
+        ).where(F.col(query_id_col) != F.col(self.id_col))
+        w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(self.id_col))
+        return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,148 @@
+"""Synthetic data generators — the reference's only "sources"
+(dask_ml/datasets.py: make_counts 26-75, make_blobs 78-206,
+make_regression 208-341, make_classification 343-382,
+make_classification_df 391-462).
+
+Spark design: spark.range(n) drives the row production (distributed,
+no driver materialization); randomness is generated per-partition
+inside mapInPandas with seeds derived from (root seed, partition id)
+— the reference's per-chunk-seed scheme (datasets.py:170-180) mapped
+onto partitions. Deterministic for a fixed seed AND partition count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _feature_schema(n_features: int, extra: list) -> T.StructType:
+    fields = [T.StructField(f"f{j}", T.DoubleType()) for j in range(n_features)]
+    return T.StructType(fields + extra)
+
+
+def _partitioned_generator(spark, n_samples, n_partitions, seed, make_block, schema):
+    base = spark.range(0, n_samples, numPartitions=n_partitions).select(
+        F.spark_partition_id().alias("__pid"), F.col("id")
+    )
+
+    def _gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            rng = np.random.RandomState((seed * 100003 + pid) % (2**31))
+            yield make_block(len(pdf), rng)
+
+    return base.mapInPandas(_gen, schema=schema)
+
+
+def make_classification(n_samples: int = 100, n_features: int = 20, n_informative: int = 2,
+                        scale: float = 1.0, random_state: int = 0,
+                        n_partitions: int = 8, spark: SparkSession | None = None) -> DataFrame:
+    """Binary classification: informative features shift by class."""
+    spark = spark or SparkSession.getActiveSession()
+    beta = np.random.RandomState(random_state).uniform(-1, 1, n_informative)
+
+    def block(n, rng):
+        import pandas as pd
+
+        X = rng.normal(0, 1, (n, n_features)) * scale
+        logits = X[:, :n_informative] @ beta
+        p = 1.0 / (1.0 + np.exp(-logits))
+        y = (rng.uniform(size=n) < p).astype("int64")
+        out = pd.DataFrame(X, columns=[f"f{j}" for j in range(n_features)])
+        out["label"] = y
+        return out
+
+    schema = _feature_schema(n_features, [T.StructField("label", T.LongType())])
+    return _partitioned_generator(spark, n_samples, n_partitions, random_state, block, schema)
+
+
+def make_regression(n_samples: int = 100, n_features: int = 20, n_informative: int = 10,
+                    noise: float = 0.1, random_state: int = 0,
+                    n_partitions: int = 8, spark: SparkSession | None = None) -> DataFrame:
+    spark = spark or SparkSession.getActiveSession()
+    coef = np.zeros(n_features)
+    coef[:n_informative] = np.random.RandomState(random_state).uniform(1, 100, n_informative)
+
+    def block(n, rng):
+        import pandas as pd
+
+        X = rng.normal(0, 1, (n, n_features))
+        y = X @ coef + rng.normal(0, noise, n)
+        out = pd.DataFrame(X, columns=[f"f{j}" for j in range(n_features)])
+        out["label"] = y
+        return out
+
+    schema = _feature_schema(n_features, [T.StructField("label", T.DoubleType())])
+    return _partitioned_generator(spark, n_samples, n_partitions, random_state, block, schema)
+
+
+def make_counts(n_samples: int = 100, n_features: int = 5, n_informative: int = 2,
+                scale: float = 1.0, random_state: int = 0,
+                n_partitions: int = 8, spark: SparkSession | None = None) -> DataFrame:
+    """Poisson-target data (reference datasets.py:26-75)."""
+    spark = spark or SparkSession.getActiveSession()
+    beta = np.random.RandomState(random_state).normal(0, 0.5, n_informative)
+
+    def block(n, rng):
+        import pandas as pd
+
+        X = rng.normal(0, 1, (n, n_features)) * scale
+        rate = np.exp(np.clip(X[:, :n_informative] @ beta, -10, 10))
+        y = rng.poisson(rate)
+        out = pd.DataFrame(X, columns=[f"f{j}" for j in range(n_features)])
+        out["label"] = y.astype("int64")
+        return out
+
+    schema = _feature_schema(n_features, [T.StructField("label", T.LongType())])
+    return _partitioned_generator(spark, n_samples, n_partitions, random_state, block, schema)
+
+
+def make_blobs(n_samples: int = 100, n_features: int = 2, centers: int | np.ndarray = 3,
+               cluster_std: float = 1.0, random_state: int = 0,
+               n_partitions: int = 8, spark: SparkSession | None = None) -> DataFrame:
+    """Gaussian blobs (reference datasets.py:78-206 — prototype centers
+    fixed driver-side, per-partition sampling)."""
+    spark = spark or SparkSession.getActiveSession()
+    rng0 = np.random.RandomState(random_state)
+    if isinstance(centers, int):
+        centers_arr = rng0.uniform(-10, 10, size=(centers, n_features))
+    else:
+        centers_arr = np.asarray(centers, dtype="float64")
+    k = len(centers_arr)
+
+    def block(n, rng):
+        import pandas as pd
+
+        which = rng.randint(0, k, size=n)
+        X = centers_arr[which] + rng.normal(0, cluster_std, (n, n_features))
+        out = pd.DataFrame(X, columns=[f"x{j}" for j in range(n_features)])
+        out["cluster"] = which.astype("int32")
+        return out
+
+    schema = T.StructType(
+        [T.StructField(f"x{j}", T.DoubleType()) for j in range(n_features)]
+        + [T.StructField("cluster", T.IntegerType())]
+    )
+    return _partitioned_generator(spark, n_samples, n_partitions, random_state, block, schema)
+
+
+def make_classification_df(n_samples: int = 100, n_features: int = 20,
+                           random_state: int = 0, n_partitions: int = 8,
+                           dates=("2000-01-01", "2000-07-01"),
+                           spark: SparkSession | None = None) -> DataFrame:
+    """Classification frame + uniform random timestamp column
+    (reference datasets.py:391-462, random_date 384-389)."""
+    df = make_classification(n_samples, n_features, random_state=random_state,
+                             n_partitions=n_partitions, spark=spark)
+    lo, hi = [F.lit(d).cast("timestamp") for d in dates]
+    span = hi.cast("double") - lo.cast("double")
+    return df.withColumn(
+        "date", (lo.cast("double") + F.rand(random_state) * span).cast("timestamp")
+    )

@@ -1,0 +1,162 @@
+"""Metrics as single-pass Spark SQL aggregations.
+
+Reference: dask_ml/metrics/ (classification.py, regression.py,
+scorer.py). Every metric here compiles to one hash-aggregate over the
+prediction DataFrame — JVM-side, whole-stage-codegen, map-side partial
+aggregation; no Python in the hot path. Weighted variants use
+sum(w*x)/sum(w).
+
+Note log_loss improves on the reference: dask-ml averages per-block
+sklearn log_loss scores (approximate when block sizes differ,
+metrics/classification.py:97-160); the SQL form -avg(log p_true) is
+exact in one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EPS = 1e-15
+
+
+def _w(col: Column, weight: Column | None) -> tuple[Column, Column]:
+    """Return (numerator, denominator) aggregates for a weighted mean."""
+    if weight is None:
+        return F.avg(col), None
+    return F.sum(weight * col), F.sum(weight)
+
+
+def _weighted_mean(col: Column, weight: Column | None) -> Column:
+    if weight is None:
+        return F.avg(col)
+    return F.sum(weight * col) / F.sum(weight)
+
+
+# --- expression forms (compose into agg(...)) ---------------------------
+
+def accuracy_expr(y_true: Column, y_pred: Column, weight: Column | None = None) -> Column:
+    return _weighted_mean((y_true == y_pred).cast("double"), weight)
+
+
+def mse_expr(y_true: Column, y_pred: Column, weight: Column | None = None) -> Column:
+    return _weighted_mean(F.pow(y_pred - y_true, 2), weight)
+
+
+def rmse_expr(y_true: Column, y_pred: Column, weight: Column | None = None) -> Column:
+    return F.sqrt(mse_expr(y_true, y_pred, weight))
+
+
+def mae_expr(y_true: Column, y_pred: Column, weight: Column | None = None) -> Column:
+    return _weighted_mean(F.abs(y_pred - y_true), weight)
+
+
+def mape_expr(y_true: Column, y_pred: Column, weight: Column | None = None) -> Column:
+    # reference: metrics/regression.py:87-148 — denominator clamped at eps
+    return _weighted_mean(
+        F.abs(y_pred - y_true) / F.greatest(F.abs(y_true), F.lit(EPS)), weight
+    )
+
+
+def msle_expr(y_true: Column, y_pred: Column, weight: Column | None = None) -> Column:
+    return _weighted_mean(F.pow(F.log1p(y_pred) - F.log1p(y_true), 2), weight)
+
+
+def log_loss_expr(y_true: Column, p_pred: Column, weight: Column | None = None) -> Column:
+    """Binary log loss from P(class=1). Clipped to [eps, 1-eps]."""
+    p = F.least(F.greatest(p_pred, F.lit(EPS)), F.lit(1.0 - EPS))
+    ll = -(y_true * F.log(p) + (1 - y_true) * F.log(1 - p))
+    return _weighted_mean(ll, weight)
+
+
+# --- scalar convenience forms ------------------------------------------
+
+def _scalar(df: DataFrame, expr: Column) -> float:
+    return df.agg(expr.alias("m")).collect()[0]["m"]
+
+
+def accuracy_score(df: DataFrame, label_col: str = "label", prediction_col: str = "prediction", weight_col: str | None = None) -> float:
+    w = F.col(weight_col) if weight_col else None
+    return _scalar(df, accuracy_expr(F.col(label_col), F.col(prediction_col), w))
+
+
+def mean_squared_error(df: DataFrame, label_col: str = "label", prediction_col: str = "prediction", weight_col: str | None = None, squared: bool = True) -> float:
+    w = F.col(weight_col) if weight_col else None
+    e = mse_expr(F.col(label_col), F.col(prediction_col), w)
+    if not squared:
+        e = F.sqrt(e)
+    return _scalar(df, e)
+
+
+def mean_absolute_error(df: DataFrame, label_col: str = "label", prediction_col: str = "prediction", weight_col: str | None = None) -> float:
+    w = F.col(weight_col) if weight_col else None
+    return _scalar(df, mae_expr(F.col(label_col), F.col(prediction_col), w))
+
+
+def mean_absolute_percentage_error(df: DataFrame, label_col: str = "label", prediction_col: str = "prediction", weight_col: str | None = None) -> float:
+    w = F.col(weight_col) if weight_col else None
+    return _scalar(df, mape_expr(F.col(label_col), F.col(prediction_col), w))
+
+
+def mean_squared_log_error(df: DataFrame, label_col: str = "label", prediction_col: str = "prediction", weight_col: str | None = None) -> float:
+    w = F.col(weight_col) if weight_col else None
+    return _scalar(df, msle_expr(F.col(label_col), F.col(prediction_col), w))
+
+
+def r2_score(df: DataFrame, label_col: str = "label", prediction_col: str = "prediction") -> float:
+    """1 - SS_res/SS_tot in ONE aggregation pass.
+
+    SS_tot = sum((y - mean)^2) = sum(y^2) - n*mean^2, so the whole metric
+    is a single hash-aggregate — no second pass over the data (the
+    reference also single-passes via da.mean fusion,
+    metrics/regression.py:151-175).
+    """
+    y, p = F.col(label_col), F.col(prediction_col)
+    row = df.agg(
+        F.sum(F.pow(y - p, 2)).alias("ss_res"),
+        F.sum(F.pow(y, 2)).alias("ss_y2"),
+        F.sum(y).alias("s"),
+        F.count(y).alias("n"),
+    ).collect()[0]
+    ss_tot = row["ss_y2"] - row["s"] ** 2 / row["n"]
+    if ss_tot == 0:
+        return 0.0
+    return 1.0 - row["ss_res"] / ss_tot
+
+
+def log_loss(df: DataFrame, label_col: str = "label", prob_col: str = "probability", weight_col: str | None = None) -> float:
+    w = F.col(weight_col) if weight_col else None
+    return _scalar(df, log_loss_expr(F.col(label_col), F.col(prob_col), w))
+
+
+# --- scorer registry (reference: metrics/scorer.py:9-76) ----------------
+
+def _neg(fn):
+    def inner(*a, **k):
+        return -fn(*a, **k)
+
+    return inner
+
+
+SCORERS = {
+    "accuracy": accuracy_score,
+    "r2": r2_score,
+    "neg_mean_squared_error": _neg(mean_squared_error),
+    "neg_mean_absolute_error": _neg(mean_absolute_error),
+    "neg_log_loss": _neg(log_loss),
+}
+
+
+def get_scorer(scoring):
+    if callable(scoring):
+        return scoring
+    try:
+        return SCORERS[scoring]
+    except KeyError:
+        raise ValueError(f"{scoring} is not a valid scoring value; valid: {sorted(SCORERS)}")
+
+
+def check_scoring(estimator, scoring=None):
+    if scoring is None:
+        scoring = "accuracy" if getattr(estimator, "_estimator_type", "") == "classifier" else "r2"
+    return get_scorer(scoring)

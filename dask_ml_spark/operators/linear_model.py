@@ -1,0 +1,158 @@
+"""Generalized linear models.
+
+Reference: dask_ml/linear_model/glm.py:98-385 — delegates solvers to
+dask_glm (admm/lbfgs/proximal_grad/newton/gradient_descent). Spark
+already ships these solver families JVM-side (L-BFGS / OWL-QN / IRLS)
+inside pyspark.ml — distributed gradient aggregation via treeAggregate,
+which is exactly the dask solvers' communication pattern. So fitting
+delegates to MLlib; the fitted coefficients come back to the driver as
+small numpy state, and predict/predict_proba are pure column
+expressions (X·β folded into the plan as literals — no UDF, no MLlib
+model object needed at serve time).
+
+Regularization mapping (reference glm.py:40-42,146): C ↔ regParam =
+1/C (per-sample scaling matches MLlib's objective), penalty l1/l2 ↔
+elasticNetParam 1.0/0.0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_ml_spark.base import BaseEstimator, ClassifierMixin, RegressorMixin
+
+
+def _assemble(df: DataFrame, cols, out="__features"):
+    from pyspark.ml.feature import VectorAssembler
+
+    va = VectorAssembler(inputCols=list(cols), outputCol=out)
+    return va.transform(df)
+
+
+def _linear_expr(cols, coef, intercept):
+    e = F.lit(float(intercept))
+    for c, w in zip(cols, coef):
+        if w != 0.0:  # L1-sparse models skip zero terms entirely
+            e = e + F.col(c).cast("double") * F.lit(float(w))
+    return e
+
+
+class LinearRegression(BaseEstimator, RegressorMixin):
+    """OLS / ridge / lasso (reference glm.py:225-268)."""
+
+    def __init__(self, penalty: str = "l2", C: float = 1.0, fit_intercept: bool = True,
+                 max_iter: int = 100, tol: float = 1e-6, solver: str = "auto"):
+        self.penalty = penalty
+        self.C = C
+        self.fit_intercept = fit_intercept
+        self.max_iter = max_iter
+        self.tol = tol
+        self.solver = solver
+
+    def fit(self, df: DataFrame, columns=None, label_col: str = "label") -> "LinearRegression":
+        from pyspark.ml.regression import LinearRegression as MLlibLR
+
+        cols = self._validate_data(df, columns)
+        assembled = _assemble(df.select(*cols, F.col(label_col).cast("double").alias(label_col)), cols)
+        reg = 0.0 if self.C in (None, float("inf")) else 1.0 / self.C
+        if self.penalty is None or self.penalty == "none":
+            reg, elastic = 0.0, 0.0
+        else:
+            elastic = 1.0 if self.penalty == "l1" else 0.0
+        m = MLlibLR(
+            featuresCol="__features", labelCol=label_col,
+            regParam=reg, elasticNetParam=elastic,
+            fitIntercept=self.fit_intercept, maxIter=self.max_iter, tol=self.tol,
+        ).fit(assembled)
+        self.coef_ = np.asarray(m.coefficients.toArray())
+        self.intercept_ = float(m.intercept)
+        self.feature_columns_ = cols
+        self.label_col_ = label_col
+        return self
+
+    def predict(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
+        return df.withColumn(output_col, _linear_expr(self.feature_columns_, self.coef_, self.intercept_))
+
+
+class LogisticRegression(BaseEstimator, ClassifierMixin):
+    """Binary logistic regression (reference glm.py:270-330)."""
+
+    def __init__(self, penalty: str = "l2", C: float = 1.0, fit_intercept: bool = True,
+                 max_iter: int = 100, tol: float = 1e-6, threshold: float = 0.5):
+        self.penalty = penalty
+        self.C = C
+        self.fit_intercept = fit_intercept
+        self.max_iter = max_iter
+        self.tol = tol
+        self.threshold = threshold
+
+    def fit(self, df: DataFrame, columns=None, label_col: str = "label") -> "LogisticRegression":
+        from pyspark.ml.classification import LogisticRegression as MLlibLogReg
+
+        cols = self._validate_data(df, columns)
+        assembled = _assemble(df.select(*cols, F.col(label_col).cast("double").alias(label_col)), cols)
+        reg = 0.0 if self.C in (None, float("inf")) else 1.0 / self.C
+        if self.penalty is None or self.penalty == "none":
+            reg, elastic = 0.0, 0.0
+        else:
+            elastic = 1.0 if self.penalty == "l1" else 0.0
+        m = MLlibLogReg(
+            featuresCol="__features", labelCol=label_col,
+            regParam=reg, elasticNetParam=elastic,
+            fitIntercept=self.fit_intercept, maxIter=self.max_iter, tol=self.tol,
+        ).fit(assembled)
+        self.coef_ = np.asarray(m.coefficients.toArray())
+        self.intercept_ = float(m.intercept)
+        self.classes_ = np.array([0.0, 1.0])
+        self.feature_columns_ = cols
+        self.label_col_ = label_col
+        return self
+
+    def decision_function(self, df: DataFrame, output_col: str = "decision") -> DataFrame:
+        return df.withColumn(output_col, _linear_expr(self.feature_columns_, self.coef_, self.intercept_))
+
+    def predict_proba(self, df: DataFrame, output_col: str = "probability") -> DataFrame:
+        margin = _linear_expr(self.feature_columns_, self.coef_, self.intercept_)
+        return df.withColumn(output_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)))
+
+    def predict(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
+        margin = _linear_expr(self.feature_columns_, self.coef_, self.intercept_)
+        sigma = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        return df.withColumn(output_col, (sigma > self.threshold).cast("double"))
+
+
+class PoissonRegression(BaseEstimator, RegressorMixin):
+    """Poisson GLM with log link (reference glm.py:332-385) via MLlib
+    GeneralizedLinearRegression (IRLS, distributed)."""
+
+    def __init__(self, C: float = 1.0, fit_intercept: bool = True,
+                 max_iter: int = 25, tol: float = 1e-6):
+        self.C = C
+        self.fit_intercept = fit_intercept
+        self.max_iter = max_iter
+        self.tol = tol
+
+    def fit(self, df: DataFrame, columns=None, label_col: str = "label") -> "PoissonRegression":
+        from pyspark.ml.regression import GeneralizedLinearRegression
+
+        cols = self._validate_data(df, columns)
+        assembled = _assemble(df.select(*cols, F.col(label_col).cast("double").alias(label_col)), cols)
+        reg = 0.0 if self.C in (None, float("inf")) else 1.0 / self.C
+        m = GeneralizedLinearRegression(
+            featuresCol="__features", labelCol=label_col,
+            family="poisson", link="log",
+            regParam=reg, fitIntercept=self.fit_intercept,
+            maxIter=self.max_iter, tol=self.tol,
+        ).fit(assembled)
+        self.coef_ = np.asarray(m.coefficients.toArray())
+        self.intercept_ = float(m.intercept)
+        self.feature_columns_ = cols
+        self.label_col_ = label_col
+        return self
+
+    def predict(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
+        return df.withColumn(
+            output_col, F.exp(_linear_expr(self.feature_columns_, self.coef_, self.intercept_))
+        )

@@ -1,0 +1,139 @@
+"""Pairwise distances and kernels against a small in-memory Y.
+
+Reference: dask_ml/metrics/pairwise.py — Y is REQUIRED to be a small
+numpy matrix (pairwise.py:57-58); each partition computes its block
+against broadcast Y. Same here: Y rides inside an Arrow-batched
+pandas UDF closure (Spark broadcasts the serialized function), X
+streams through in Arrow batches — a narrow map, no shuffle.
+
+numpy-only kernel math (no scipy/sklearn in the image).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# --- driver-side kernel math (numpy) ------------------------------------
+
+def euclidean_distances_matrix(X: np.ndarray, Y: np.ndarray, squared: bool = False) -> np.ndarray:
+    """-2 X·Yᵀ + ‖X‖² + ‖Y‖² expansion (reference pairwise.py:70-105)."""
+    XX = (X * X).sum(axis=1)[:, None]
+    YY = (Y * Y).sum(axis=1)[None, :]
+    D = XX + YY - 2.0 * (X @ Y.T)
+    np.maximum(D, 0.0, out=D)
+    return D if squared else np.sqrt(D)
+
+
+def linear_kernel_matrix(X, Y):
+    return X @ Y.T
+
+
+def polynomial_kernel_matrix(X, Y, degree=3, gamma=None, coef0=1.0):
+    gamma = gamma if gamma is not None else 1.0 / X.shape[1]
+    return (gamma * (X @ Y.T) + coef0) ** degree
+
+
+def sigmoid_kernel_matrix(X, Y, gamma=None, coef0=1.0):
+    gamma = gamma if gamma is not None else 1.0 / X.shape[1]
+    return np.tanh(gamma * (X @ Y.T) + coef0)
+
+
+def rbf_kernel_matrix(X, Y, gamma=None):
+    gamma = gamma if gamma is not None else 1.0 / X.shape[1]
+    return np.exp(-gamma * euclidean_distances_matrix(X, Y, squared=True))
+
+
+KERNELS = {
+    "linear": linear_kernel_matrix,
+    "polynomial": polynomial_kernel_matrix,
+    "poly": polynomial_kernel_matrix,
+    "sigmoid": sigmoid_kernel_matrix,
+    "rbf": rbf_kernel_matrix,
+}
+
+
+# --- distributed forms ---------------------------------------------------
+
+def pairwise_distances(df: DataFrame, columns, Y: np.ndarray,
+                       metric: str = "euclidean", output_col: str = "distances") -> DataFrame:
+    """Distance from each row to every row of broadcast Y →
+    array<double> column of length len(Y) (reference pairwise.py:50-67)."""
+    Y = np.asarray(Y, dtype="float64")
+    cols = list(columns)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _dist(*series: pd.Series) -> pd.Series:
+        X = np.column_stack([s.to_numpy(dtype="float64") for s in series])
+        if metric == "euclidean":
+            D = euclidean_distances_matrix(X, Y)
+        elif metric == "sqeuclidean":
+            D = euclidean_distances_matrix(X, Y, squared=True)
+        elif metric == "cosine":
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1)[:, None], 1e-15)
+            Yn = Y / np.maximum(np.linalg.norm(Y, axis=1)[:, None], 1e-15)
+            D = 1.0 - Xn @ Yn.T
+        elif metric == "manhattan":
+            D = np.abs(X[:, None, :] - Y[None, :, :]).sum(axis=2)
+        else:
+            raise ValueError(f"Unknown metric {metric!r}")
+        return pd.Series(list(D))
+
+    return df.withColumn(output_col, _dist(*[F.col(c).cast("double") for c in cols]))
+
+
+def pairwise_distances_argmin_min(df: DataFrame, columns, Y: np.ndarray,
+                                  argmin_col: str = "argmin", min_col: str = "min_dist") -> DataFrame:
+    """Per-row nearest index into Y + the distance (reference
+    pairwise.py:19-47) — the k-means assignment primitive."""
+    out = pairwise_distances(df, columns, Y, metric="euclidean", output_col="__d")
+    return (
+        out.withColumn(min_col, F.array_min("__d"))
+        .withColumn(argmin_col, (F.array_position("__d", F.col(min_col)) - 1).cast("int"))
+        .drop("__d")
+    )
+
+
+def pairwise_kernels(df: DataFrame, columns, Y: np.ndarray, metric: str = "linear",
+                     output_col: str = "kernel", **kwds) -> DataFrame:
+    """Kernel block K(x_row, Y) as array<double> (reference
+    pairwise.py:136-226)."""
+    Y = np.asarray(Y, dtype="float64")
+    cols = list(columns)
+    if callable(metric):
+        kfn = metric
+    else:
+        kfn = KERNELS[metric]
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _kern(*series: pd.Series) -> pd.Series:
+        X = np.column_stack([s.to_numpy(dtype="float64") for s in series])
+        K = kfn(X, Y, **kwds)
+        return pd.Series(list(K))
+
+    return df.withColumn(output_col, _kern(*[F.col(c).cast("double") for c in cols]))
+
+
+def euclidean_distances(df: DataFrame, columns, Y: np.ndarray, output_col: str = "distances") -> DataFrame:
+    return pairwise_distances(df, columns, Y, metric="euclidean", output_col=output_col)
+
+
+def rbf_kernel(df: DataFrame, columns, Y, gamma=None, output_col: str = "kernel") -> DataFrame:
+    return pairwise_kernels(df, columns, Y, metric="rbf", output_col=output_col, gamma=gamma)
+
+
+def linear_kernel(df: DataFrame, columns, Y, output_col: str = "kernel") -> DataFrame:
+    return pairwise_kernels(df, columns, Y, metric="linear", output_col=output_col)
+
+
+def polynomial_kernel(df: DataFrame, columns, Y, degree=3, gamma=None, coef0=1.0, output_col: str = "kernel") -> DataFrame:
+    return pairwise_kernels(df, columns, Y, metric="polynomial", output_col=output_col,
+                            degree=degree, gamma=gamma, coef0=coef0)
+
+
+def sigmoid_kernel(df: DataFrame, columns, Y, gamma=None, coef0=1.0, output_col: str = "kernel") -> DataFrame:
+    return pairwise_kernels(df, columns, Y, metric="sigmoid", output_col=output_col, gamma=gamma, coef0=coef0)

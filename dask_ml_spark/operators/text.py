@@ -1,0 +1,202 @@
+"""Text feature extraction.
+
+Reference: dask_ml/feature_extraction/text.py (HashingVectorizer
+21-117, CountVectorizer 119-230, FeatureHasher).
+
+Design: tokenization is regexp_extract_all (JVM regex, matches the
+sklearn default token_pattern \\w\\w+ on lowercased text). Vocabulary
+discovery is explode → groupBy(token) — a classic shuffle-light
+aggregation with map-side combine; document-frequency filters
+(min_df/max_df) apply in the same aggregate. Transform is
+explode → join-on-broadcast-vocabulary → groupBy(doc) collecting a
+sparse vector; for small vocabularies the mapping is folded into the
+plan. HashingVectorizer is stateless: xxhash64(token) % n_features,
+entirely JVM-side, no fit pass at all — the 100 TB default.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_ml_spark.base import BaseEstimator, TransformerMixin
+
+TOKEN_PATTERN = r"(?U)\w\w+"  # sklearn default \b\w\w+\b via extract-all
+
+
+def tokenize(col, lowercase: bool = True, pattern: str = TOKEN_PATTERN):
+    c = F.lower(col) if lowercase else col
+    return F.regexp_extract_all(c, F.lit(pattern), 0)
+
+
+class CountVectorizer(BaseEstimator, TransformerMixin):
+    """Two-pass count vectorizer (reference text.py:170-230):
+    pass 1 discovers the vocabulary (distinct tokens, optional df
+    bounds), pass 2 maps documents to sparse count vectors."""
+
+    def __init__(self, input_col: str = "text", output_col: str = "features",
+                 lowercase: bool = True, token_pattern: str = TOKEN_PATTERN,
+                 min_df: int = 1, max_df: float = 1.0, max_features: int | None = None):
+        self.input_col = input_col
+        self.output_col = output_col
+        self.lowercase = lowercase
+        self.token_pattern = token_pattern
+        self.min_df = min_df
+        self.max_df = max_df
+        self.max_features = max_features
+
+    def fit(self, df: DataFrame, columns=None) -> "CountVectorizer":
+        toks = tokenize(F.col(self.input_col), self.lowercase, self.token_pattern)
+        n_docs = df.count()
+        # document frequency per token: explode distinct tokens per doc
+        docfreq = (
+            df.select(F.explode(F.array_distinct(toks)).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("df"))
+        )
+        max_df_count = self.max_df * n_docs if isinstance(self.max_df, float) else self.max_df
+        filtered = docfreq.where((F.col("df") >= self.min_df) & (F.col("df") <= max_df_count))
+        if self.max_features:
+            filtered = filtered.orderBy(F.desc("df"), "token").limit(self.max_features)
+        vocab = sorted(r["token"] for r in filtered.select("token").collect())
+        self.vocabulary_ = {t: i for i, t in enumerate(vocab)}
+        self.feature_names_out_ = np.asarray(vocab)
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.linalg import SparseVector, VectorUDT
+        from pyspark.sql.functions import udf
+
+        vocab = self.vocabulary_
+        n = len(vocab)
+        bc = df.sparkSession.sparkContext.broadcast(vocab)
+
+        @udf(returnType=VectorUDT())
+        def _vec(tokens):
+            v = bc.value
+            counts = {}
+            for t in tokens or []:
+                j = v.get(t)
+                if j is not None:
+                    counts[j] = counts.get(j, 0) + 1
+            idx = sorted(counts)
+            return SparseVector(n, idx, [float(counts[i]) for i in idx])
+
+        toks = tokenize(F.col(self.input_col), self.lowercase, self.token_pattern)
+        return df.withColumn(self.output_col, _vec(toks))
+
+    def transform_long(self, df: DataFrame, id_col: str) -> DataFrame:
+        """Long/triplet form (doc_id, token_id, count) — the relational
+        encoding of the sparse matrix; joins against the vocabulary as a
+        broadcast table, fully JVM-side. Preferred at scale."""
+        spark = df.sparkSession
+        vocab_df = F.broadcast(
+            spark.createDataFrame(
+                [(t, i) for t, i in self.vocabulary_.items()], ["token", "token_id"]
+            )
+        )
+        toks = tokenize(F.col(self.input_col), self.lowercase, self.token_pattern)
+        return (
+            df.select(F.col(id_col), F.explode(toks).alias("token"))
+            .join(vocab_df, "token")
+            .groupBy(id_col, "token_id")
+            .agg(F.count("*").cast("long").alias("count"))
+        )
+
+
+class HashingVectorizer(BaseEstimator, TransformerMixin):
+    """Stateless hashing vectorizer (reference text.py:21-68): no fit,
+    no vocabulary, unbounded scale. token → xxhash64 % n_features."""
+
+    def __init__(self, input_col: str = "text", output_col: str = "features",
+                 n_features: int = 2 ** 20, lowercase: bool = True,
+                 token_pattern: str = TOKEN_PATTERN, alternate_sign: bool = True):
+        self.input_col = input_col
+        self.output_col = output_col
+        self.n_features = n_features
+        self.lowercase = lowercase
+        self.token_pattern = token_pattern
+        self.alternate_sign = alternate_sign
+
+    def fit(self, df: DataFrame, columns=None) -> "HashingVectorizer":
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.linalg import SparseVector, VectorUDT
+        from pyspark.sql.functions import udf
+
+        n = self.n_features
+        alt = self.alternate_sign
+
+        @udf(returnType=VectorUDT())
+        def _vec(pairs):
+            acc = {}
+            for p in pairs or []:
+                j = p["bucket"]
+                s = p["sign"] if alt else 1.0
+                acc[j] = acc.get(j, 0.0) + s
+            idx = sorted(k for k, v in acc.items() if v != 0)
+            return SparseVector(n, idx, [acc[i] for i in idx])
+
+        toks = tokenize(F.col(self.input_col), self.lowercase, self.token_pattern)
+        # hashing happens JVM-side; the UDF only assembles the vector
+        pairs = F.transform(
+            toks,
+            lambda t: F.struct(
+                F.pmod(F.xxhash64(t), F.lit(n)).cast("int").alias("bucket"),
+                F.when(F.pmod(F.xxhash64(t, F.lit(1)), F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("sign"),
+            ),
+        )
+        return df.withColumn(self.output_col, _vec(pairs))
+
+    def transform_long(self, df: DataFrame, id_col: str) -> DataFrame:
+        """Triplet form (id, bucket, value) — no Python at all."""
+        toks = tokenize(F.col(self.input_col), self.lowercase, self.token_pattern)
+        sign = (
+            F.when(F.pmod(F.xxhash64(F.col("token"), F.lit(1)), F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+            if self.alternate_sign
+            else F.lit(1.0)
+        )
+        return (
+            df.select(F.col(id_col), F.explode(toks).alias("token"))
+            .withColumn("bucket", F.pmod(F.xxhash64(F.col("token")), F.lit(self.n_features)).cast("int"))
+            .groupBy(id_col, "bucket")
+            .agg(F.sum(sign).alias("value"))
+            .where(F.col("value") != 0)
+        )
+
+
+class TfidfTransformer(BaseEstimator, TransformerMixin):
+    """TF-IDF over the triplet encoding: idf = ln((1+n)/(1+df)) + 1
+    (smooth_idf), fit = one groupBy(token) aggregate."""
+
+    def __init__(self, smooth_idf: bool = True, norm: str | None = "l2"):
+        self.smooth_idf = smooth_idf
+        self.norm = norm
+
+    def fit(self, triplets: DataFrame, n_docs: int | None = None,
+            id_col: str = "doc_id", token_col: str = "token_id") -> "TfidfTransformer":
+        if n_docs is None:
+            n_docs = triplets.select(id_col).distinct().count()
+        self.n_docs_ = n_docs
+        s = 1 if self.smooth_idf else 0
+        self.idf_ = (
+            triplets.groupBy(token_col)
+            .agg(F.count("*").alias("df"))
+            .withColumn("idf", F.log((F.lit(float(n_docs + s))) / (F.col("df") + s)) + 1.0)
+            .select(token_col, "idf")
+        )
+        return self
+
+    def transform(self, triplets: DataFrame, id_col: str = "doc_id",
+                  token_col: str = "token_id", count_col: str = "count") -> DataFrame:
+        out = (
+            triplets.join(F.broadcast(self.idf_), token_col)
+            .withColumn("tfidf", F.col(count_col) * F.col("idf"))
+            .drop("idf")
+        )
+        if self.norm == "l2":
+            norms = out.groupBy(id_col).agg(F.sqrt(F.sum(F.col("tfidf") ** 2)).alias("__norm"))
+            out = out.join(norms, id_col).withColumn("tfidf", F.col("tfidf") / F.col("__norm")).drop("__norm")
+        return out

@@ -1,0 +1,182 @@
+"""Meta-estimators: ParallelPostFit / Incremental / BlockTransformer.
+
+Reference: dask_ml/wrappers.py (ParallelPostFit 23-417, Incremental
+419-603), dask_ml/_block_transformer.py:13-108, dask_ml/_partial.py.
+
+These carry the sklearn-protocol interop surface: any driver-side
+Python estimator with fit/partial_fit/predict/transform works. The
+model ships to executors once (closure/broadcast); data streams
+through Arrow batches. Output schemas are declared via meta-inference
+— run the model on a zero-row/1-row numpy dummy driver-side
+(reference wrappers.py:642-695) — so the UDF return type is known
+without touching data.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dask_ml_spark.base import BaseEstimator
+from dask_ml_spark.utils import numpy_dtype_to_spark
+
+
+def _infer_type(model, method: str, n_features: int) -> T.DataType:
+    dummy = np.zeros((1, n_features), dtype="float64")
+    out = np.asarray(getattr(model, method)(dummy))
+    base = numpy_dtype_to_spark(out.dtype)
+    if out.ndim > 1 and out.shape[1] > 1:
+        return T.ArrayType(base)
+    return base
+
+
+class ParallelPostFit(BaseEstimator):
+    """Fit on a (small) driver-side dataset / already-fitted model;
+    predict/transform/score in parallel over a Spark DataFrame."""
+
+    def __init__(self, estimator=None, scoring=None):
+        self.estimator = estimator
+        self.scoring = scoring
+
+    # fitting happens driver-side on collected data — the reference's
+    # semantics exactly (wrappers.py:193-213: "fit is not parallel")
+    def fit(self, df_or_pdf, columns=None, label_col: str = "label", sample_rows: int | None = None):
+        if isinstance(df_or_pdf, DataFrame):
+            cols = self._validate_data(df_or_pdf, columns)
+            sel = df_or_pdf.select(*cols, label_col)
+            if sample_rows:
+                sel = sel.limit(sample_rows)
+            pdf = sel.toPandas()
+            X = pdf[cols].to_numpy(dtype="float64")
+            y = pdf[label_col].to_numpy()
+            self.estimator.fit(X, y)
+            self.feature_columns_ = cols
+        else:
+            self.estimator.fit(*df_or_pdf)
+        return self
+
+    def _apply(self, df: DataFrame, method: str, output_col: str, columns=None) -> DataFrame:
+        cols = columns or getattr(self, "feature_columns_", None) or self._validate_data(df, columns)
+        self.feature_columns_ = cols
+        model = self.estimator
+        rtype = _infer_type(model, method, len(cols))
+
+        @F.pandas_udf(rtype)
+        def _call(*series: pd.Series) -> pd.Series:
+            X = np.column_stack([s.to_numpy(dtype="float64") for s in series])
+            out = np.asarray(getattr(model, method)(X))
+            if out.ndim > 1 and out.shape[1] > 1:
+                return pd.Series(list(out))
+            return pd.Series(out.ravel())
+
+        return df.withColumn(output_col, _call(*[F.col(c).cast("double") for c in cols]))
+
+    def predict(self, df: DataFrame, output_col: str = "prediction", columns=None) -> DataFrame:
+        return self._apply(df, "predict", output_col, columns)
+
+    def predict_proba(self, df: DataFrame, output_col: str = "probability", columns=None) -> DataFrame:
+        return self._apply(df, "predict_proba", output_col, columns)
+
+    def predict_log_proba(self, df: DataFrame, output_col: str = "log_probability", columns=None) -> DataFrame:
+        out = self.predict_proba(df, output_col, columns)
+        return out.withColumn(output_col, F.transform(F.col(output_col), lambda v: F.log(v)))
+
+    def transform(self, df: DataFrame, output_col: str = "transformed", columns=None) -> DataFrame:
+        return self._apply(df, "transform", output_col, columns)
+
+    def score(self, df: DataFrame, label_col: str = "label", columns=None):
+        from dask_ml_spark.functions.metrics import check_scoring
+
+        scorer = check_scoring(self.estimator, self.scoring)
+        pred = self.predict(df, columns=columns)
+        return scorer(pred, label_col=label_col, prediction_col="prediction")
+
+
+class Incremental(ParallelPostFit):
+    """Sequential partial_fit across partitions (reference
+    wrappers.py:419-603, _partial.py:24-157).
+
+    Spark has no ordered stateful scan; the honest design — matching
+    the reference's explicitly sequential semantics — pulls Arrow
+    batches to the driver with toLocalIterator (one partition in
+    flight at a time, data never concentrated) and feeds a driver-held
+    model. Partition order is shuffled per epoch like the reference
+    (random_state shuffles blocks, _partial.py:100-103).
+    """
+
+    def __init__(self, estimator=None, scoring=None, shuffle_blocks: bool = True,
+                 random_state: int | None = None):
+        super().__init__(estimator, scoring)
+        self.shuffle_blocks = shuffle_blocks
+        self.random_state = random_state
+
+    def fit(self, df: DataFrame, columns=None, label_col: str = "label", classes=None, epochs: int = 1):
+        cols = self._validate_data(df, columns)
+        self.feature_columns_ = cols
+        sel = df.select(*cols, label_col)
+        rng = np.random.RandomState(self.random_state)
+        fit_kwargs = {}
+        if classes is not None:
+            fit_kwargs["classes"] = np.asarray(classes)
+        for _ in range(epochs):
+            it_df = sel
+            if self.shuffle_blocks:
+                # re-key partitions randomly; rows within a partition keep order
+                it_df = sel.repartition(sel.rdd.getNumPartitions(), F.rand(int(rng.randint(2**31))))
+            for pdf in _local_batches(it_df):
+                if len(pdf) == 0:
+                    continue
+                X = pdf[cols].to_numpy(dtype="float64")
+                y = pdf[label_col].to_numpy()
+                self.estimator.partial_fit(X, y, **fit_kwargs)
+                fit_kwargs.pop("classes", None)
+        return self
+
+    partial_fit = fit
+
+
+def _local_batches(df: DataFrame, batch_rows: int = 8192):
+    """Stream a DataFrame to the driver in pandas chunks without
+    materializing the whole dataset: toLocalIterator pulls one
+    partition at a time (prefetching the next), rows are re-batched
+    for vectorized partial_fit."""
+    cols = df.columns
+    buf: list = []
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        buf.append(row)
+        if len(buf) >= batch_rows:
+            yield pd.DataFrame(buf, columns=cols)
+            buf = []
+    if buf:
+        yield pd.DataFrame(buf, columns=cols)
+
+
+class BlockTransformer(BaseEstimator):
+    """Apply an arbitrary stateless function per partition (reference
+    _block_transformer.py:13-108). func: pandas.DataFrame →
+    pandas.DataFrame with the same schema (or declare one)."""
+
+    def __init__(self, func: Callable[[pd.DataFrame], pd.DataFrame], schema=None, **kwargs):
+        self.func = func
+        self.schema = schema
+        self.kwargs = kwargs
+
+    def fit(self, df: DataFrame, columns=None) -> "BlockTransformer":
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        func, kwargs = self.func, self.kwargs
+        schema = self.schema or df.schema
+
+        def _block(it):
+            for pdf in it:
+                yield func(pdf, **kwargs)
+
+        return df.mapInPandas(_block, schema=schema)
+
+    fit_transform = transform

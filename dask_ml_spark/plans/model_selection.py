@@ -1,0 +1,261 @@
+"""Model selection: splitters + grid/random search.
+
+Reference: dask_ml/model_selection/_split.py (train_test_split,
+ShuffleSplit, KFold), _search.py (GridSearchCV/RandomizedSearchCV —
+the reference's hand-built "query planner"), methods.py
+(CVCache/create_cv_results).
+
+Spark design: splits are ROW-LEVEL via rand(seed)/hash — strictly
+better than the reference's blockwise splits (no shuffle, no
+partition-boundary artifacts; reference _split.py:92-200 is blockwise
+only because dask slicing is expensive). Folds are lazy column
+predicates over ONE cached DataFrame — materializing k folds would
+k× the storage; a `fold` column + filter reuses the same cache (the
+CVCache idea, methods.py:83-152, without copies). Search execution is
+a driver thread pool launching concurrent Spark jobs (FAIR-scheduler
+friendly), with fit-memoization by param-token so duplicate
+candidates are fitted once (reference `seen` dicts,
+_search.py:350-376).
+"""
+
+from __future__ import annotations
+
+import itertools
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_ml_spark.base import BaseEstimator
+
+
+def train_test_split(df: DataFrame, test_size: float = 0.25, train_size: float | None = None,
+                     random_state: int | None = None, shuffle: bool = True):
+    """Fractional random split (reference _split.py:361-520 — fractional
+    sizes only, same constraint here). Returns (train, test)."""
+    if not shuffle:
+        raise NotImplementedError("shuffle=False is not supported (matches reference _split.py:416-420)")
+    if train_size is None:
+        train_size = 1.0 - test_size
+    seed = random_state if random_state is not None else np.random.randint(2**31)
+    r = F.rand(seed)
+    # tag once so train/test are consistent and disjoint under lazy eval
+    tagged = df.withColumn("__r", r)
+    train = tagged.where(F.col("__r") < train_size).drop("__r")
+    test = tagged.where(F.col("__r") >= 1.0 - test_size).drop("__r")
+    return train, test
+
+
+class ShuffleSplit(BaseEstimator):
+    """n_splits independent random splits (reference _split.py:92-200).
+    Yields (train_df, test_df) pairs lazily; each split is a pair of
+    complementary filters on one rand() column — no data movement."""
+
+    def __init__(self, n_splits: int = 10, test_size: float = 0.1, train_size=None,
+                 random_state: int | None = None):
+        self.n_splits = n_splits
+        self.test_size = test_size
+        self.train_size = train_size
+        self.random_state = random_state
+
+    def split(self, df: DataFrame):
+        rng = np.random.RandomState(self.random_state)
+        for _ in range(self.n_splits):
+            seed = int(rng.randint(2**31))
+            yield train_test_split(df, test_size=self.test_size,
+                                   train_size=self.train_size, random_state=seed)
+
+
+class KFold(BaseEstimator):
+    """k non-overlapping folds (reference _split.py:211-316).
+
+    fold id = pmod(hash(rand-tag), k) when shuffled, else a
+    row-number-free contiguous approximation via monotonic ids. The
+    fold column is computed once; each (train, test) pair is a filter.
+    """
+
+    def __init__(self, n_splits: int = 5, shuffle: bool = False, random_state: int | None = None):
+        self.n_splits = n_splits
+        self.shuffle = shuffle
+        self.random_state = random_state
+
+    def fold_column(self, df: DataFrame, col_name: str = "__fold") -> DataFrame:
+        k = self.n_splits
+        if self.shuffle:
+            seed = self.random_state if self.random_state is not None else 0
+            e = F.floor(F.rand(seed) * k).cast("int")
+        else:
+            # contiguous-ish folds without a global sort: ntile would need
+            # a single-partition window; use partition-local position
+            # scaled by partition share — here approximated by monotonic id
+            e = F.pmod(F.monotonically_increasing_id(), F.lit(k)).cast("int")
+        return df.withColumn(col_name, e)
+
+    def split(self, df: DataFrame):
+        with_fold = self.fold_column(df)
+        for i in range(self.n_splits):
+            yield (
+                with_fold.where(F.col("__fold") != i).drop("__fold"),
+                with_fold.where(F.col("__fold") == i).drop("__fold"),
+            )
+
+
+def check_cv(cv=None):
+    if cv is None:
+        return KFold(n_splits=5)
+    if isinstance(cv, int):
+        return KFold(n_splits=cv)
+    return cv
+
+
+def compute_n_splits(cv) -> int:
+    return getattr(cv, "n_splits", 1)
+
+
+class ParameterGrid:
+    def __init__(self, param_grid: dict | list):
+        self.param_grid = [param_grid] if isinstance(param_grid, dict) else list(param_grid)
+
+    def __iter__(self):
+        for grid in self.param_grid:
+            keys = sorted(grid)
+            for combo in itertools.product(*[grid[k] for k in keys]):
+                yield dict(zip(keys, combo))
+
+    def __len__(self):
+        return sum(
+            int(np.prod([len(v) for v in grid.values()])) if grid else 1
+            for grid in self.param_grid
+        )
+
+
+class ParameterSampler:
+    def __init__(self, param_distributions: dict, n_iter: int, random_state=None):
+        self.param_distributions = param_distributions
+        self.n_iter = n_iter
+        self.random_state = random_state
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.random_state)
+        keys = sorted(self.param_distributions)
+        for _ in range(self.n_iter):
+            out = {}
+            for k in keys:
+                v = self.param_distributions[k]
+                if hasattr(v, "rvs"):
+                    out[k] = v.rvs(random_state=rng)
+                else:
+                    out[k] = v[rng.randint(len(v))]
+            yield out
+
+
+def _param_token(params: dict) -> str:
+    return repr(sorted(params.items()))
+
+
+class GridSearchCV(BaseEstimator):
+    """Exhaustive CV search, executed as concurrent Spark jobs from a
+    driver thread pool (the reference builds an explicit task graph,
+    _search.py:195-260; Spark's scheduler plays the role of the dask
+    scheduler — concurrent fits share the cached fold data)."""
+
+    def __init__(self, estimator, param_grid, scoring=None, cv=None, refit: bool = True,
+                 n_jobs: int = 4):
+        self.estimator = estimator
+        self.param_grid = param_grid
+        self.scoring = scoring
+        self.cv = cv
+        self.refit = refit
+        self.n_jobs = n_jobs
+
+    def _candidates(self):
+        return list(ParameterGrid(self.param_grid))
+
+    def fit(self, df: DataFrame, columns=None, label_col: str = "label") -> "GridSearchCV":
+        from dask_ml_spark.functions.metrics import check_scoring
+
+        cv = check_cv(self.cv)
+        candidates = self._candidates()
+        scorer = check_scoring(self.estimator, self.scoring)
+        with_fold = cv.fold_column(df) if isinstance(cv, KFold) else None
+        if with_fold is not None:
+            with_fold = with_fold.persist()  # CVCache analog
+            folds = [
+                (with_fold.where(F.col("__fold") != i).drop("__fold"),
+                 with_fold.where(F.col("__fold") == i).drop("__fold"))
+                for i in range(cv.n_splits)
+            ]
+        else:
+            folds = list(cv.split(df))
+
+        seen: dict[str, int] = {}  # dedup identical candidates (reference `seen`)
+        tasks = []
+        for ci, params in enumerate(candidates):
+            tok = _param_token(params)
+            if tok in seen:
+                continue
+            seen[tok] = ci
+            for fi, (train, test) in enumerate(folds):
+                tasks.append((ci, fi, params, train, test))
+
+        def _run(task):
+            ci, fi, params, train, test = task
+            model = self.estimator.clone().set_params(**params)
+            model.fit(train, columns=columns, label_col=label_col)
+            pred = model.predict(test)
+            score = scorer(pred, label_col=label_col, prediction_col="prediction")
+            return ci, fi, score
+
+        results: dict[tuple, float] = {}
+        with ThreadPoolExecutor(max_workers=self.n_jobs) as pool:
+            for ci, fi, score in pool.map(_run, tasks):
+                results[(ci, fi)] = score
+
+        n_folds = len(folds)
+        mean_scores, std_scores = [], []
+        for ci, params in enumerate(candidates):
+            src = seen[_param_token(params)]
+            ss = [results[(src, fi)] for fi in range(n_folds)]
+            mean_scores.append(float(np.mean(ss)))
+            std_scores.append(float(np.std(ss)))
+        ranks = (-np.asarray(mean_scores)).argsort().argsort() + 1
+        self.cv_results_ = {
+            "params": candidates,
+            "mean_test_score": np.asarray(mean_scores),
+            "std_test_score": np.asarray(std_scores),
+            "rank_test_score": ranks.astype(int),
+        }
+        for k in sorted({k for p in candidates for k in p}):
+            self.cv_results_[f"param_{k}"] = np.asarray([p.get(k) for p in candidates], dtype=object)
+        self.best_index_ = int(np.argmax(mean_scores))
+        self.best_params_ = candidates[self.best_index_]
+        self.best_score_ = mean_scores[self.best_index_]
+        if self.refit:
+            self.best_estimator_ = self.estimator.clone().set_params(**self.best_params_)
+            self.best_estimator_.fit(df, columns=columns, label_col=label_col)
+        if with_fold is not None:
+            with_fold.unpersist()
+        return self
+
+    def predict(self, df: DataFrame, **kw) -> DataFrame:
+        return self.best_estimator_.predict(df, **kw)
+
+    def score(self, df: DataFrame, label_col: str = "label"):
+        from dask_ml_spark.functions.metrics import check_scoring
+
+        scorer = check_scoring(self.estimator, self.scoring)
+        pred = self.best_estimator_.predict(df)
+        return scorer(pred, label_col=label_col, prediction_col="prediction")
+
+
+class RandomizedSearchCV(GridSearchCV):
+    def __init__(self, estimator, param_distributions, n_iter: int = 10, scoring=None,
+                 cv=None, refit: bool = True, n_jobs: int = 4, random_state=None):
+        super().__init__(estimator, param_distributions, scoring, cv, refit, n_jobs)
+        self.param_distributions = param_distributions
+        self.n_iter = n_iter
+        self.random_state = random_state
+
+    def _candidates(self):
+        return list(ParameterSampler(self.param_distributions, self.n_iter, self.random_state))

@@ -1,0 +1,77 @@
+"""Streaming incremental learning (beyond-reference).
+
+The reference has NO event-time streaming surface (SURVEY §1.2); its
+closest concept is batch-sequential `partial_fit` (Incremental,
+wrappers.py:419-603). This module extends that idea to Structured
+Streaming: a foreachBatch sink feeds each micro-batch to a
+driver-held partial_fit model — the streaming analog of the
+Incremental wrapper — plus windowed feature aggregation with
+watermarks for the events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class StreamingIncremental:
+    """Train a partial_fit estimator from a streaming DataFrame.
+
+    Each micro-batch is collected (bounded by trigger size) and fed to
+    the driver-held model — matching the reference's sequential
+    semantics; the model never leaves the driver.
+    """
+
+    def __init__(self, estimator, feature_columns, label_col: str = "label"):
+        self.estimator = estimator
+        self.feature_columns = list(feature_columns)
+        self.label_col = label_col
+        self.n_batches_ = 0
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        pdf = batch_df.select(*self.feature_columns, self.label_col).toPandas()
+        if len(pdf) == 0:
+            return
+        X = pdf[self.feature_columns].to_numpy(dtype="float64")
+        y = pdf[self.label_col].to_numpy()
+        self.estimator.partial_fit(X, y)
+        self.n_batches_ += 1
+
+    def fit_stream(self, stream_df: DataFrame, trigger_once: bool = True, **trigger_kwargs):
+        writer = stream_df.writeStream.foreachBatch(self._process_batch).outputMode("append")
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_kwargs:
+            writer = writer.trigger(**trigger_kwargs)
+        query = writer.start()
+        if trigger_once:
+            query.awaitTermination()
+        return query
+
+
+def windowed_event_features(events: DataFrame, window: str = "1 hour",
+                            watermark: str = "2 hours",
+                            ts_col: str = "ts", user_col: str = "user_id",
+                            value_col: str = "value") -> DataFrame:
+    """Watermarked sliding-window per-user aggregates — the standard
+    feature-extraction shape over an event stream; works identically
+    on a static events DataFrame (batch window agg) and a readStream.
+    """
+    df = events
+    if events.isStreaming:
+        df = events.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(user_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.avg(value_col).alias("avg_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            user_col, "n_events", "sum_value", "avg_value", "max_value",
+        )
+    )

@@ -1,0 +1,97 @@
+"""Schema/column utilities shared across operators.
+
+The reference spends ~500 LoC defending against unknown chunk sizes and
+meta inference (dask_ml/utils.py:123-279); on Spark the schema is
+authoritative, so the equivalents here are thin.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NUMERIC_SPARK_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def is_numeric_field(field: T.StructField) -> bool:
+    return isinstance(field.dataType, NUMERIC_SPARK_TYPES)
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if is_numeric_field(f)]
+
+
+def resolve_feature_columns(df: DataFrame, columns=None) -> list[str]:
+    """Resolve a feature-column spec to concrete column names.
+
+    ``None`` → all numeric columns (mirrors the reference treating a whole
+    dask array as features); a string → single column; else a sequence.
+    """
+    if columns is None:
+        cols = numeric_columns(df)
+        if not cols:
+            raise ValueError("DataFrame has no numeric columns to use as features")
+        return cols
+    if isinstance(columns, str):
+        columns = [columns]
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"Columns not in DataFrame: {missing}")
+    return list(columns)
+
+
+def vector_struct(cols: Sequence[str]):
+    """An array<double> expression packing feature columns (JVM-side)."""
+    return F.array(*[F.col(c).cast("double") for c in cols])
+
+
+def check_matching_columns(df_a: DataFrame, df_b: DataFrame, cols: Iterable[str]) -> None:
+    """Analog of check_matching_blocks (reference dask_ml/utils.py:248-279):
+    with a single DataFrame holding X and y, alignment is structural; this
+    only checks that two frames share the named columns."""
+    for c in cols:
+        if c not in df_a.columns or c not in df_b.columns:
+            raise ValueError(f"Column {c!r} missing from one of the frames")
+
+
+def infer_output_fields(model, n_features: int, method: str = "predict") -> np.dtype:
+    """Meta inference: run ``model.<method>`` on a 1-row dummy to learn the
+    output dtype/shape (reference dask_ml/wrappers.py:642-695). Used to
+    declare pandas-UDF return schemas."""
+    dummy = np.zeros((1, n_features), dtype="float64")
+    out = getattr(model, method)(dummy)
+    out = np.asarray(out)
+    return out.dtype, out.shape[1:] if out.ndim > 1 else ()
+
+
+def numpy_dtype_to_spark(dt: np.dtype) -> T.DataType:
+    dt = np.dtype(dt)
+    if dt.kind == "f":
+        return T.DoubleType() if dt.itemsize == 8 else T.FloatType()
+    if dt.kind in "iu":
+        return T.LongType() if dt.itemsize >= 8 else T.IntegerType()
+    if dt.kind == "b":
+        return T.BooleanType()
+    return T.StringType()
+
+
+def add_row_index(df: DataFrame, name: str = "__row_id__") -> DataFrame:
+    """Stable unique row id without a global sort.
+
+    monotonically_increasing_id is partition-local-monotonic which is all
+    the engine needs (join keys, fold assignment); a global contiguous
+    index would force a full pass + shuffle and does not scale.
+    """
+    return df.withColumn(name, F.monotonically_increasing_id())

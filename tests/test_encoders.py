@@ -1,0 +1,89 @@
+"""Encoders vs pandas oracle (reference tests/preprocessing F6)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dask_ml_spark.operators.encoders import (
+    Categorizer,
+    DummyEncoder,
+    LabelEncoder,
+    OneHotEncoder,
+    OrdinalEncoder,
+)
+
+
+@pytest.fixture(scope="module")
+def cat_df(spark):
+    pdf = pd.DataFrame({
+        "A": ["a", "b", "c", "a"],
+        "B": ["x", "y", "x", "z"],
+        "D": [1, 2, 3, 4],
+    })
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_categorizer(cat_df):
+    df, pdf = cat_df
+    c = Categorizer().fit(df)
+    assert c.columns_ == ["A", "B"]
+    assert c.categories_["A"].tolist() == ["a", "b", "c"]
+    assert c.categories_["B"].tolist() == ["x", "y", "z"]
+
+
+def test_label_encoder(cat_df):
+    df, pdf = cat_df
+    le = LabelEncoder().fit(df, "A")
+    assert le.classes_.tolist() == ["a", "b", "c"]
+    out = le.transform(df, "code").select("A", "code").toPandas().sort_values("A")
+    assert dict(zip(out.A, out.code)) == {"a": 0, "b": 1, "c": 2}
+    inv = le.inverse_transform(le.transform(df, "code"), "code", "back").toPandas()
+    assert (inv["back"] == inv["A"]).all()
+
+
+def test_label_encoder_unseen_raises(cat_df, spark):
+    df, _ = cat_df
+    le = LabelEncoder().fit(df, "A")
+    bad = spark.createDataFrame(pd.DataFrame({"A": ["zzz"]}))
+    with pytest.raises(Exception, match="unseen"):
+        le.transform(bad).collect()
+
+
+def test_ordinal_encoder(cat_df):
+    df, pdf = cat_df
+    oe = OrdinalEncoder().fit(df, ["A", "B"])
+    out = oe.transform(df).toPandas()
+    assert out["A"].tolist() == [0, 1, 2, 0]
+    assert out["B"].tolist() == [0, 1, 0, 2]
+    rt = oe.inverse_transform(oe.transform(df)).toPandas()
+    assert rt["A"].tolist() == pdf["A"].tolist()
+
+
+def test_dummy_encoder(cat_df):
+    df, pdf = cat_df
+    de = DummyEncoder().fit(df, ["A"])
+    out = de.transform(df).toPandas()
+    want = pd.get_dummies(pdf, columns=["A"])
+    for c in ["A_a", "A_b", "A_c"]:
+        assert out[c].tolist() == want[c].astype(int).tolist()
+    rt = de.inverse_transform(de.transform(df)).toPandas()
+    assert rt["A"].tolist() == pdf["A"].tolist()
+
+
+def test_dummy_encoder_drop_first(cat_df):
+    df, _ = cat_df
+    de = DummyEncoder(drop_first=True).fit(df, ["A"])
+    out = de.transform(df).toPandas()
+    assert "A_a" not in out.columns and "A_b" in out.columns
+    rt = de.inverse_transform(de.transform(df)).toPandas()
+    assert rt["A"].tolist() == ["a", "b", "c", "a"]
+
+
+def test_one_hot_encoder(cat_df):
+    df, pdf = cat_df
+    oh = OneHotEncoder().fit(df, ["A", "B"])
+    assert oh.n_features_out_ == 6
+    out = oh.transform(df).select("onehot").toPandas()
+    m = np.stack([v.toArray() for v in out["onehot"]])
+    want = pd.get_dummies(pdf[["A", "B"]]).to_numpy(dtype=float)
+    np.testing.assert_allclose(m, want)

@@ -1,0 +1,98 @@
+"""Scalers/imputer vs numpy oracle (reference pattern:
+assert_estimator_equal vs sklearn, tests/preprocessing/test_data.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dask_ml_spark.operators.preprocessing import (
+    MinMaxScaler,
+    QuantileTransformer,
+    RobustScaler,
+    SimpleImputer,
+    StandardScaler,
+)
+
+COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@pytest.fixture(scope="module")
+def li_pdf(lineitem):
+    return lineitem.select(*COLS).toPandas()
+
+
+def test_standard_scaler(lineitem, li_pdf):
+    sc = StandardScaler().fit(lineitem, COLS)
+    np.testing.assert_allclose(sc.mean_, li_pdf[COLS].mean().to_numpy())
+    np.testing.assert_allclose(sc.scale_, li_pdf[COLS].std(ddof=0).to_numpy(), rtol=1e-9)
+    out = sc.transform(lineitem).select(*COLS).toPandas()
+    want = (li_pdf[COLS] - li_pdf[COLS].mean()) / li_pdf[COLS].std(ddof=0)
+    np.testing.assert_allclose(out.mean().to_numpy(), [0, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(sorted(out["l_quantity"]), sorted(want["l_quantity"]), rtol=1e-9)
+
+
+def test_standard_scaler_inverse(lineitem, li_pdf):
+    sc = StandardScaler().fit(lineitem, COLS)
+    rt = sc.inverse_transform(sc.transform(lineitem)).select(*COLS).toPandas()
+    np.testing.assert_allclose(
+        sorted(rt["l_extendedprice"]), sorted(li_pdf["l_extendedprice"]), rtol=1e-9
+    )
+
+
+def test_minmax_scaler(lineitem, li_pdf):
+    sc = MinMaxScaler().fit(lineitem, COLS)
+    np.testing.assert_allclose(sc.data_min_, li_pdf[COLS].min().to_numpy())
+    np.testing.assert_allclose(sc.data_max_, li_pdf[COLS].max().to_numpy())
+    out = sc.transform(lineitem).select(*COLS).toPandas()
+    assert out.min().min() >= -1e-12 and out.max().max() <= 1 + 1e-12
+
+
+def test_robust_scaler(lineitem, li_pdf):
+    sc = RobustScaler().fit(lineitem, ["l_quantity"])
+    med = np.percentile(li_pdf["l_quantity"], 50, method="linear")
+    q1 = np.percentile(li_pdf["l_quantity"], 25, method="linear")
+    q3 = np.percentile(li_pdf["l_quantity"], 75, method="linear")
+    np.testing.assert_allclose(sc.center_, [med])
+    np.testing.assert_allclose(sc.scale_, [q3 - q1])
+
+
+def test_quantile_transformer(lineitem, li_pdf):
+    qt = QuantileTransformer(n_quantiles=100, approximate=False).fit(lineitem, ["l_extendedprice"])
+    out = qt.transform(lineitem).select("l_extendedprice").toPandas()["l_extendedprice"]
+    # output is in [0,1] and roughly uniform
+    assert out.min() >= 0 and out.max() <= 1
+    assert abs(out.mean() - 0.5) < 0.02
+
+
+def test_quantile_transformer_normal(lineitem):
+    qt = QuantileTransformer(n_quantiles=100, output_distribution="normal",
+                             approximate=False).fit(lineitem, ["l_extendedprice"])
+    out = qt.transform(lineitem).select("l_extendedprice").toPandas()["l_extendedprice"]
+    assert abs(out.mean()) < 0.1 and abs(out.std() - 1.0) < 0.2
+
+
+def test_simple_imputer_mean(spark):
+    pdf = pd.DataFrame({"a": [1.0, None, 3.0, None], "b": [1.0, 2.0, None, 4.0]})
+    df = spark.createDataFrame(pdf)
+    imp = SimpleImputer(strategy="mean").fit(df, ["a", "b"])
+    np.testing.assert_allclose(imp.statistics_["a"], 2.0)
+    np.testing.assert_allclose(imp.statistics_["b"], 7.0 / 3.0)
+    out = imp.transform(df).toPandas()
+    assert not out.isna().any().any()
+
+
+def test_simple_imputer_median_mode(spark):
+    pdf = pd.DataFrame({"a": [1.0, 1.0, 3.0, None, 10.0]})
+    df = spark.createDataFrame(pdf)
+    imp = SimpleImputer(strategy="median").fit(df, ["a"])
+    np.testing.assert_allclose(imp.statistics_["a"], 2.0)
+    imp2 = SimpleImputer(strategy="most_frequent").fit(df, ["a"])
+    assert imp2.statistics_["a"] == 1.0
+
+
+def test_simple_imputer_constant(spark):
+    pdf = pd.DataFrame({"a": [1.0, None]})
+    df = spark.createDataFrame(pdf)
+    imp = SimpleImputer(strategy="constant", fill_value=-1.0).fit(df, ["a"])
+    out = imp.transform(df).toPandas()
+    assert out["a"].tolist() == [1.0, -1.0]
