@@ -64,7 +64,7 @@ class KMeans(BaseEstimator, TransformerMixin):
             seed=self.random_state if self.random_state is not None else 0,
         )
         model = km.fit(assembled)
-        self.cluster_centers_ = np.asarray([c.toArray() for c in model.clusterCenters()])
+        self.cluster_centers_ = np.asarray([np.asarray(c) for c in model.clusterCenters()])
         self.inertia_ = float(model.summary.trainingCost)
         self.n_iter_ = int(model.summary.numIter)
         self.feature_columns_ = cols

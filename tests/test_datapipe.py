@@ -1,0 +1,213 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing — vs pandas/numpy oracles on the documents and
+embeddings tables."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dask_ml_spark.datapipe import dedup as D
+from dask_ml_spark.datapipe import text_stats as TS
+from dask_ml_spark.datapipe.multimodal import (
+    attach_binary_from_text,
+    audio_features,
+    decode_image_features,
+    frame_sample,
+)
+from dask_ml_spark.datapipe.similarity import IVFIndex, brute_force_topk
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(documents):
+    return documents.toPandas()
+
+
+def _py_tokens(text):
+    import re
+
+    return re.findall(r"[a-z0-9_]{2,}", text.lower())
+
+
+def _py_shingles(text, n=3):
+    toks = _py_tokens(text)
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup(documents, docs_pdf):
+    out = D.exact_dedup(documents).toPandas()
+    # every doc hashed; group count = distinct normalized texts
+    norm = docs_pdf["text"].apply(lambda t: " ".join(_py_tokens(t)))
+    assert len(out) == norm.nunique()
+    assert out["dup_count"].sum() == len(docs_pdf)
+
+
+def test_minhash_signature_hash_parity(documents, docs_pdf):
+    """Spark md5-based shingle hash must be reproducible in python."""
+    sig = D.minhash_signatures(documents, n_hashes=4).toPandas().sort_values("doc_id")
+    import hashlib
+
+    a, b = D.minhash_coeffs(4, seed=42)
+    want_rows = []
+    for _, row in docs_pdf.sort_values("doc_id").iterrows():
+        sh = _py_shingles(row["text"])
+        if not sh:
+            continue
+        hs = np.array([
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % D.MERSENNE_P for s in sh
+        ], dtype=np.int64)
+        want_rows.append([row["doc_id"]] + [int(((hs * a[i] + b[i]) % D.MERSENNE_P).min()) for i in range(4)])
+    want = pd.DataFrame(want_rows, columns=["doc_id", "m0", "m1", "m2", "m3"])
+    got = sig[sig.doc_id.isin(want.doc_id)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_names=False
+    )
+
+
+def test_minhash_lsh_finds_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the deep green forest tonight"
+    docs = [
+        (1, base),
+        (2, base + " extra"),            # near-dup of 1
+        (3, "completely different text about spark dataframes and distributed query engines at scale"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = D.minhash_lsh_pairs(df, n_hashes=16, bands=8).toPandas()
+    assert ((pairs.id_a == 1) & (pairs.id_b == 2)).any()
+    assert not ((pairs.id_b == 3) | (pairs.id_a == 3)).any()
+
+
+def test_simhash_near_pairs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the deep green forest"
+    docs = [(1, base), (2, base + " now"), (3, "unrelated corpus of words entirely distinct vocabulary")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fps = D.simhash(df).toPandas()
+    assert fps["simhash"].between(0, 2**32 - 1).all()
+    pairs = D.simhash_near_pairs(df, max_hamming=6).toPandas()
+    assert ((pairs.id_a == 1) & (pairs.id_b == 2)).any()
+
+
+def test_ngram_jaccard(spark):
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "one two three four five six"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = D.ngram_jaccard_pairs(df, shingle_n=3).toPandas()
+    s1, s2 = _py_shingles(docs[0][1]), _py_shingles(docs[1][1])
+    want = len(s1 & s2) / len(s1 | s2)
+    got = out[(out.id_a == 1) & (out.id_b == 2)]["jaccard"].iloc[0]
+    np.testing.assert_allclose(got, want)
+    assert not ((out.id_a == 3) | (out.id_b == 3)).any()
+
+
+def test_embedding_near_dup(embeddings):
+    pairs = D.embedding_near_dup_pairs(
+        embeddings, threshold=0.99, exact=False
+    ).toPandas()
+    # verify against exact numpy for found pairs
+    pdf = embeddings.toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in pdf.itertuples()}
+    for row in pairs.itertuples():
+        a, b = vecs[row.id_a], vecs[row.id_b]
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        np.testing.assert_allclose(row.cosine, cos, rtol=1e-6)
+        assert cos >= 0.99
+
+
+def test_brute_force_topk(embeddings):
+    queries = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(embeddings, queries, k=5).toPandas()
+    assert set(out.groupby("query_id").size()) == {5}
+    # oracle: numpy exact top-5 for query 0
+    pdf = embeddings.toPandas()
+    V = np.stack([np.array(v, dtype="float64") for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    q = V[ids == 0][0]
+    sims = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+    order = [i for i in np.argsort(-sims) if ids[i] != 0][:5]
+    want = set(ids[order])
+    got = set(out[out.query_id == 0]["vec_id"])
+    assert got == want
+
+
+def test_ivf_index_recall(embeddings):
+    queries = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(embeddings, queries, k=5).toPandas()
+    ivf = IVFIndex(n_lists=8, n_probe=3).fit(embeddings)
+    approx = ivf.search(embeddings, queries, k=5).toPandas()
+    # recall@5 over 5 queries should be decent with 3/8 probes
+    hits = 0
+    for qid in range(5):
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        hits += len(e & a)
+    assert hits / 25 >= 0.4
+
+
+def test_language_scores(documents, docs_pdf):
+    out = TS.language_scores(documents).toPandas()
+    assert set(out.columns) == {"doc_id", "score_en", "score_de", "score_fr", "score_es", "lang_pred"}
+    assert out["lang_pred"].isin(["en", "de", "fr", "es"]).all()
+    # if the documents table has an en-dominant corpus, most en docs match
+    merged = out.merge(docs_pdf[["doc_id", "lang"]], on="doc_id")
+    en = merged[merged.lang == "en"]
+    if len(en) > 20:
+        assert (en.lang_pred == "en").mean() > 0.5
+
+
+def test_quality_scores(documents, docs_pdf):
+    out = TS.quality_scores(documents).toPandas().sort_values("doc_id")
+    want_chars = docs_pdf.sort_values("doc_id")["text"].str.len().to_numpy()
+    np.testing.assert_array_equal(out["n_chars"].to_numpy(), want_chars)
+    want_tokens = docs_pdf.sort_values("doc_id")["text"].apply(lambda t: len(_py_tokens(t))).to_numpy()
+    np.testing.assert_array_equal(out["n_tokens"].to_numpy(), want_tokens)
+    assert out["punct_ratio"].between(0, 1).all()
+
+
+def test_document_fingerprint(documents):
+    out = TS.document_fingerprint(documents).toPandas()
+    assert out["fingerprint"].str.len().eq(32).all()
+
+
+def test_quality_filter(documents):
+    kept = TS.quality_filter(documents, min_tokens=5).count()
+    assert 0 < kept <= documents.count()
+
+
+def test_multimodal_image_stub(documents):
+    withblob = attach_binary_from_text(documents)
+    feats = decode_image_features(withblob, resize=(4, 4)).toPandas()
+    assert len(feats) == documents.count()
+    assert feats["features"].apply(len).eq(16).all()
+    # deterministic: same bytes → same features
+    f2 = decode_image_features(withblob, resize=(4, 4)).toPandas()
+    a = feats.sort_values("doc_id")["features"].iloc[0]
+    b = f2.sort_values("doc_id")["features"].iloc[0]
+    np.testing.assert_allclose(a, b)
+
+
+def test_multimodal_frame_sample(documents):
+    withblob = attach_binary_from_text(documents)
+    frames = frame_sample(withblob, n_frames=3).toPandas()
+    assert len(frames) == 3 * documents.count()
+    assert set(frames["frame_idx"]) == {0, 1, 2}
+
+
+def test_multimodal_audio_stub(documents):
+    withblob = attach_binary_from_text(documents)
+    mel = audio_features(withblob, n_mels=8).toPandas()
+    assert mel["mel"].apply(len).eq(8).all()
+
+
+def test_multimodal_real_decode_raises(documents):
+    withblob = attach_binary_from_text(documents)
+    with pytest.raises(NotImplementedError):
+        decode_image_features(withblob, stub=False)

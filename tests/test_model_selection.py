@@ -1,0 +1,93 @@
+"""Splitters + search (reference tests/model_selection pattern)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dask_ml_spark.operators.linear_model import LogisticRegression
+from dask_ml_spark.plans.model_selection import (
+    GridSearchCV,
+    KFold,
+    ParameterGrid,
+    ParameterSampler,
+    RandomizedSearchCV,
+    ShuffleSplit,
+    train_test_split,
+)
+
+FEATS20 = [f"f{j}" for j in range(20)]
+
+
+def test_train_test_split(xy_classification):
+    train, test = train_test_split(xy_classification, test_size=0.3, random_state=0)
+    n, ntr, nte = xy_classification.count(), train.count(), test.count()
+    assert ntr + nte == n  # disjoint + exhaustive for default sizes
+    assert abs(nte / n - 0.3) < 0.15
+    # deterministic under the same seed
+    tr2, te2 = train_test_split(xy_classification, test_size=0.3, random_state=0)
+    assert te2.count() == nte
+
+
+def test_shuffle_split(xy_classification):
+    splits = list(ShuffleSplit(n_splits=3, test_size=0.2, random_state=0).split(xy_classification))
+    assert len(splits) == 3
+    n = xy_classification.count()
+    for tr, te in splits:
+        assert tr.count() + te.count() == n
+
+
+def test_kfold(xy_classification):
+    kf = KFold(n_splits=4, shuffle=True, random_state=0)
+    n = xy_classification.count()
+    seen = 0
+    for tr, te in kf.split(xy_classification):
+        ntr, nte = tr.count(), te.count()
+        assert ntr + nte == n
+        seen += nte
+    assert seen == n  # folds partition the data
+
+
+def test_parameter_grid():
+    g = ParameterGrid({"a": [1, 2], "b": ["x", "y", "z"]})
+    assert len(g) == 6
+    assert {tuple(sorted(p.items())) for p in g} == {
+        (("a", a), ("b", b)) for a in (1, 2) for b in "xyz"
+    }
+
+
+def test_parameter_sampler():
+    s = list(ParameterSampler({"a": [1, 2, 3]}, n_iter=5, random_state=0))
+    assert len(s) == 5
+    assert all(p["a"] in (1, 2, 3) for p in s)
+
+
+def test_grid_search(xy_classification):
+    gs = GridSearchCV(
+        LogisticRegression(),
+        {"C": [0.01, 1.0], "fit_intercept": [True, False]},
+        cv=KFold(n_splits=3, shuffle=True, random_state=0),
+        n_jobs=2,
+    )
+    gs.fit(xy_classification, FEATS20)
+    assert len(gs.cv_results_["params"]) == 4
+    assert gs.cv_results_["mean_test_score"].shape == (4,)
+    assert gs.best_score_ == gs.cv_results_["mean_test_score"].max()
+    assert gs.best_params_ in gs.cv_results_["params"]
+    # refit model predicts
+    acc = gs.score(xy_classification)
+    assert 0.4 < acc <= 1.0
+    assert sorted(gs.cv_results_["rank_test_score"])[0] == 1
+
+
+def test_randomized_search(xy_classification):
+    rs = RandomizedSearchCV(
+        LogisticRegression(),
+        {"C": [0.01, 0.1, 1.0, 10.0]},
+        n_iter=3,
+        cv=KFold(n_splits=2, shuffle=True, random_state=1),
+        random_state=0,
+        n_jobs=2,
+    )
+    rs.fit(xy_classification, FEATS20)
+    assert len(rs.cv_results_["params"]) == 3
+    assert hasattr(rs, "best_estimator_")

@@ -1,0 +1,90 @@
+"""Text vectorizers (reference tests/feature_extraction/test_text.py,
+F7 corpus)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dask_ml_spark.operators.text import (
+    CountVectorizer,
+    HashingVectorizer,
+    TfidfTransformer,
+)
+
+CORPUS = [
+    (0, "This is the first document."),
+    (1, "This document is the second document."),
+    (2, "And this is the third one."),
+    (3, "Is this the first document?"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"]).repartition(2).cache()
+
+
+def test_count_vectorizer_vocab(corpus_df):
+    cv = CountVectorizer().fit(corpus_df)
+    # sklearn's vocabulary for the same corpus
+    want = ["and", "document", "first", "is", "one", "second", "the", "third", "this"]
+    assert cv.feature_names_out_.tolist() == want
+
+
+def test_count_vectorizer_transform(corpus_df):
+    cv = CountVectorizer().fit(corpus_df)
+    out = cv.transform(corpus_df).select("doc_id", "features").toPandas().sort_values("doc_id")
+    M = np.stack([v.toArray() for v in out["features"]])
+    want = np.array([
+        [0, 1, 1, 1, 0, 0, 1, 0, 1],
+        [0, 2, 0, 1, 0, 1, 1, 0, 1],
+        [1, 0, 0, 1, 1, 0, 1, 1, 1],
+        [0, 1, 1, 1, 0, 0, 1, 0, 1],
+    ], dtype=float)
+    np.testing.assert_allclose(M, want)
+
+
+def test_count_vectorizer_min_df(corpus_df):
+    cv = CountVectorizer(min_df=2).fit(corpus_df)
+    assert "and" not in cv.vocabulary_
+    assert "document" in cv.vocabulary_
+
+
+def test_count_vectorizer_long_form(corpus_df):
+    cv = CountVectorizer().fit(corpus_df)
+    long = cv.transform_long(corpus_df, "doc_id").toPandas()
+    doc1 = long[long.doc_id == 1]
+    tid = cv.vocabulary_["document"]
+    assert doc1[doc1.token_id == tid]["count"].iloc[0] == 2
+
+
+def test_hashing_vectorizer(corpus_df):
+    hv = HashingVectorizer(n_features=64, alternate_sign=False)
+    out = hv.transform(corpus_df).select("doc_id", "features").toPandas().sort_values("doc_id")
+    M = np.stack([v.toArray() for v in out["features"]])
+    # row 0 has 5 tokens, all weight 1 → sum 5
+    assert M[0].sum() == 5
+    # deterministic
+    out2 = hv.transform(corpus_df).select("doc_id", "features").toPandas().sort_values("doc_id")
+    M2 = np.stack([v.toArray() for v in out2["features"]])
+    np.testing.assert_allclose(M, M2)
+
+
+def test_hashing_vectorizer_long(corpus_df):
+    hv = HashingVectorizer(n_features=64, alternate_sign=False)
+    long = hv.transform_long(corpus_df, "doc_id").toPandas()
+    assert (long.groupby("doc_id")["value"].sum() == [5, 6, 6, 5]).all()
+
+
+def test_tfidf(corpus_df):
+    cv = CountVectorizer().fit(corpus_df)
+    long = cv.transform_long(corpus_df, "doc_id")
+    tf = TfidfTransformer().fit(long, n_docs=4)
+    out = tf.transform(long).toPandas()
+    # l2 norm per doc == 1
+    norms = out.groupby("doc_id")["tfidf"].apply(lambda s: np.sqrt((s**2).sum()))
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-9)
+    # idf of 'this'/'is'/'the' (df=4) is ln(5/5)+1 = 1 (smooth)
+    idf = tf.idf_.toPandas().set_index("token_id")["idf"]
+    assert abs(idf[cv.vocabulary_["this"]] - 1.0) < 1e-9
