@@ -26,7 +26,10 @@ _DEFAULTS = {
     # vocabularies, centers are broadcast variables, not joins, but
     # dictionary joins in encoders benefit).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    # Nanosecond timestamps in the driver-generated parquet.
+    # Nanosecond timestamps in the driver-generated parquet: Spark has
+    # no TIMESTAMP(NANOS) type — read them as long (see
+    # sources.io.load_table, which converts back to timestamp).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.timestampType": "TIMESTAMP_LTZ",
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
     "spark.sql.session.timeZone": "UTC",

@@ -133,10 +133,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     toks = df.select(
         F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("token")
     ).withColumn("h", base_hash_expr(F.col("token")))
-    # bit b of h: pmod(floor(h / 2^b), 2) — duckdb-reproducible arithmetic
+    # bit b of h via integer shiftright (float division would lose
+    # precision past 53 bits); duckdb reproduces with (h // 2^b) % 2
     bit_sums = [
         F.sum(
-            F.when(F.pmod(F.floor(F.col("h") / F.lit(float(2**bb))).cast("long"), F.lit(2)) == 1, 1).otherwise(-1)
+            F.when(F.shiftright(F.col("h"), bb).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{bb}")
         for bb in range(n_bits)
     ]

@@ -1,0 +1,956 @@
+"""The engine's query catalog: every entry pairs a Spark DataFrame
+plan (exercising the package operators) with an ANSI-SQL oracle that
+DuckDB can run on the same parquet tables.
+
+This is the correctness surface for SURVEY.md §2 plus the
+beyond-reference datapipe operators. Column names AND types are
+aligned between the Spark plan and the oracle (the driver hash
+compares after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_ml_spark.datapipe import dedup as DD
+from dask_ml_spark.datapipe import text_stats as TS
+
+LINEITEM_FEATS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+TOKEN_RE_SQL = "[a-z0-9_]{2,}"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from dask_ml_spark.sources.io import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# relational / flagship
+# =====================================================================
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary — one hash aggregate over
+    lineitem; the canonical 'is the engine reading and aggregating at
+    scale' query."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       avg(l_quantity) AS avg_qty,
+       avg(l_extendedprice) AS avg_price,
+       avg(l_discount) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_nations(spark, sf_dir):
+    """Join pipeline: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region —
+    dimension tables broadcast (nation/region tiny, customer small);
+    the only shuffle is the final groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_TOP_REVENUE_NATIONS = """
+SELECT r_name, n_name,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# =====================================================================
+# preprocessing operators (SURVEY §2.3)
+# =====================================================================
+
+def q_standard_scaler_fit(spark, sf_dir):
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+
+    li = _t(spark, sf_dir, "lineitem")
+    sc = StandardScaler().fit(li, LINEITEM_FEATS)
+    row = {}
+    for i, c in enumerate(LINEITEM_FEATS):
+        row[f"mean_{c}"] = float(sc.mean_[i])
+        row[f"var_{c}"] = float(sc.var_[i])
+    return spark.createDataFrame([row]).select(*sorted(row))
+
+
+SQL_STANDARD_SCALER_FIT = "SELECT " + ", ".join(
+    f"avg({c}) AS mean_{c}, var_pop({c}) AS var_{c}" for c in LINEITEM_FEATS
+) + " FROM lineitem"
+
+
+def q_standard_scaler_transform(spark, sf_dir):
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+
+    li = _t(spark, sf_dir, "lineitem")
+    sc = StandardScaler().fit(li, ["l_quantity", "l_extendedprice"])
+    return sc.transform(li).select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").alias("scaled_quantity"),
+        F.col("l_extendedprice").alias("scaled_price"),
+    )
+
+
+SQL_STANDARD_SCALER_TRANSFORM = """
+SELECT l_orderkey, l_linenumber,
+       (l_quantity - avg(l_quantity) OVER ()) / stddev_pop(l_quantity) OVER () AS scaled_quantity,
+       (l_extendedprice - avg(l_extendedprice) OVER ()) / stddev_pop(l_extendedprice) OVER () AS scaled_price
+FROM lineitem
+"""
+
+
+def q_minmax_scaler_fit(spark, sf_dir):
+    from dask_ml_spark.operators.preprocessing import MinMaxScaler
+
+    li = _t(spark, sf_dir, "lineitem")
+    sc = MinMaxScaler().fit(li, LINEITEM_FEATS)
+    row = {}
+    for i, c in enumerate(LINEITEM_FEATS):
+        row[f"min_{c}"] = float(sc.data_min_[i])
+        row[f"max_{c}"] = float(sc.data_max_[i])
+    return spark.createDataFrame([row]).select(*sorted(row))
+
+
+SQL_MINMAX_SCALER_FIT = "SELECT " + ", ".join(
+    f"min({c})::DOUBLE AS min_{c}, max({c})::DOUBLE AS max_{c}" for c in LINEITEM_FEATS
+) + " FROM lineitem"
+
+
+def q_robust_scaler_fit(spark, sf_dir):
+    from dask_ml_spark.operators.preprocessing import RobustScaler
+
+    li = _t(spark, sf_dir, "lineitem")
+    sc = RobustScaler().fit(li, ["l_quantity", "l_extendedprice"])
+    return spark.createDataFrame([{
+        "center_l_quantity": float(sc.center_[0]),
+        "iqr_l_quantity": float(sc.scale_[0]),
+        "center_l_extendedprice": float(sc.center_[1]),
+        "iqr_l_extendedprice": float(sc.scale_[1]),
+    }]).select("center_l_quantity", "iqr_l_quantity", "center_l_extendedprice", "iqr_l_extendedprice")
+
+
+SQL_ROBUST_SCALER_FIT = """
+SELECT quantile_cont(l_quantity, 0.5) AS center_l_quantity,
+       quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25) AS iqr_l_quantity,
+       quantile_cont(l_extendedprice, 0.5) AS center_l_extendedprice,
+       quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25) AS iqr_l_extendedprice
+FROM lineitem
+"""
+
+
+def q_simple_imputer_fit(spark, sf_dir):
+    from dask_ml_spark.operators.preprocessing import SimpleImputer
+
+    li = _t(spark, sf_dir, "lineitem")
+    mean_imp = SimpleImputer(strategy="mean").fit(li, ["l_quantity", "l_discount"])
+    med_imp = SimpleImputer(strategy="median").fit(li, ["l_quantity"])
+    return spark.createDataFrame([{
+        "mean_l_quantity": float(mean_imp.statistics_["l_quantity"]),
+        "mean_l_discount": float(mean_imp.statistics_["l_discount"]),
+        "median_l_quantity": float(med_imp.statistics_["l_quantity"]),
+    }]).select("mean_l_quantity", "mean_l_discount", "median_l_quantity")
+
+
+SQL_SIMPLE_IMPUTER_FIT = """
+SELECT avg(l_quantity) AS mean_l_quantity,
+       avg(l_discount) AS mean_l_discount,
+       quantile_cont(l_quantity, 0.5) AS median_l_quantity
+FROM lineitem
+"""
+
+
+# =====================================================================
+# encoders (SURVEY §2.3)
+# =====================================================================
+
+def q_label_encoder_fit(spark, sf_dir):
+    from dask_ml_spark.operators.encoders import LabelEncoder
+
+    o = _t(spark, sf_dir, "orders")
+    le = LabelEncoder().fit(o, "o_orderpriority")
+    return spark.createDataFrame(
+        [(v, i) for i, v in enumerate(le.classes_.tolist())], ["label", "code"]
+    ).select(F.col("label"), F.col("code").cast("int").alias("code"))
+
+
+SQL_LABEL_ENCODER_FIT = """
+SELECT o_orderpriority AS label,
+       CAST(row_number() OVER (ORDER BY o_orderpriority) - 1 AS INTEGER) AS code
+FROM (SELECT DISTINCT o_orderpriority FROM orders)
+"""
+
+
+def q_label_encoder_transform(spark, sf_dir):
+    from dask_ml_spark.operators.encoders import LabelEncoder
+
+    o = _t(spark, sf_dir, "orders")
+    le = LabelEncoder().fit(o, "o_orderpriority")
+    return le.transform(o, "priority_code").select("o_orderkey", "o_orderpriority", "priority_code")
+
+
+SQL_LABEL_ENCODER_TRANSFORM = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS INTEGER) AS priority_code
+FROM orders
+"""
+
+
+def q_ordinal_encoder(spark, sf_dir):
+    from dask_ml_spark.operators.encoders import OrdinalEncoder
+
+    o = _t(spark, sf_dir, "orders")
+    oe = OrdinalEncoder().fit(o, ["o_orderstatus", "o_orderpriority"])
+    return oe.transform(o).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status_code"),
+        F.col("o_orderpriority").alias("priority_code"),
+    )
+
+
+SQL_ORDINAL_ENCODER = """
+SELECT o_orderkey,
+       CAST(dense_rank() OVER (ORDER BY o_orderstatus) - 1 AS INTEGER) AS status_code,
+       CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS INTEGER) AS priority_code
+FROM orders
+"""
+
+
+def q_dummy_encoder(spark, sf_dir):
+    from dask_ml_spark.operators.encoders import DummyEncoder
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    de = DummyEncoder().fit(o, ["o_orderstatus"])
+    out = de.transform(o)
+    return out.select(
+        "o_orderkey",
+        *[F.col(c).cast("int").alias(c) for c in de.transformed_columns_],
+    )
+
+
+def sql_dummy_encoder(categories) -> str:
+    cases = ", ".join(
+        f"CASE WHEN o_orderstatus = '{v}' THEN 1 ELSE 0 END AS o_orderstatus_{v}"
+        for v in categories
+    )
+    return f"SELECT o_orderkey, {cases} FROM orders"
+
+
+# =====================================================================
+# grouped statistics / models (SURVEY §2.3/2.4)
+# =====================================================================
+
+def q_gaussian_nb_fit(spark, sf_dir):
+    from dask_ml_spark.operators.naive_bayes import GaussianNB
+
+    li = _t(spark, sf_dir, "lineitem")
+    nb = GaussianNB(var_smoothing=0.0).fit(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], label_col="l_returnflag"
+    )
+    rows = []
+    for ci, cls in enumerate(nb.classes_.tolist()):
+        rows.append({
+            "l_returnflag": cls,
+            "n": int(nb.class_count_[ci]),
+            "mean_quantity": float(nb.theta_[ci][0]),
+            "mean_price": float(nb.theta_[ci][1]),
+            "mean_discount": float(nb.theta_[ci][2]),
+            "var_quantity": float(nb.var_[ci][0]),
+            "var_price": float(nb.var_[ci][1]),
+            "var_discount": float(nb.var_[ci][2]),
+        })
+    return spark.createDataFrame(rows).select(
+        "l_returnflag", F.col("n").cast("long").alias("n"),
+        "mean_quantity", "mean_price", "mean_discount",
+        "var_quantity", "var_price", "var_discount",
+    )
+
+
+SQL_GAUSSIAN_NB_FIT = """
+SELECT l_returnflag,
+       count(*) AS n,
+       avg(l_quantity) AS mean_quantity,
+       avg(l_extendedprice) AS mean_price,
+       avg(l_discount) AS mean_discount,
+       var_pop(l_quantity) AS var_quantity,
+       var_pop(l_extendedprice) AS var_price,
+       var_pop(l_discount) AS var_discount
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_simple_ols_fit(spark, sf_dir):
+    """Closed-form simple linear regression (quantity ~ extendedprice)
+    via regr_* aggregates — the GLM family's SQL-checkable member."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.regr_slope(F.col("l_quantity"), F.col("l_extendedprice")).alias("slope"),
+        F.regr_intercept(F.col("l_quantity"), F.col("l_extendedprice")).alias("intercept"),
+        F.regr_r2(F.col("l_quantity"), F.col("l_extendedprice")).alias("r2"),
+    )
+
+
+SQL_SIMPLE_OLS_FIT = """
+SELECT regr_slope(l_quantity, l_extendedprice) AS slope,
+       regr_intercept(l_quantity, l_extendedprice) AS intercept,
+       regr_r2(l_quantity, l_extendedprice) AS r2
+FROM lineitem
+"""
+
+
+def q_pca_covariance(spark, sf_dir):
+    """The distributed half of PCA.fit — the covariance matrix (the
+    driver-side eigh consumes exactly these numbers)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = LINEITEM_FEATS
+    aggs = []
+    for i, ci in enumerate(cols):
+        for j in range(i, len(cols)):
+            aggs.append(F.covar_samp(F.col(ci), F.col(cols[j])).alias(f"cov_{i}_{j}"))
+    return li.agg(*aggs)
+
+
+def _sql_pca_covariance() -> str:
+    cols = LINEITEM_FEATS
+    parts = []
+    for i, ci in enumerate(cols):
+        for j in range(i, len(cols)):
+            parts.append(f"covar_samp({ci}, {cols[j]}) AS cov_{i}_{j}")
+    return "SELECT " + ", ".join(parts) + " FROM lineitem"
+
+
+SQL_PCA_COVARIANCE = _sql_pca_covariance()
+
+
+# =====================================================================
+# metrics (SURVEY §2.5)
+# =====================================================================
+
+def q_classification_metrics(spark, sf_dir):
+    """accuracy / log_loss on a deterministic rule-based 'prediction'
+    (label = returnflag=='R', score = discount-based)."""
+    from dask_ml_spark.functions.metrics import accuracy_expr, log_loss_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    y = (F.col("l_returnflag") == "R").cast("double")
+    p = F.least(F.greatest(F.col("l_discount") * 8, F.lit(0.01)), F.lit(0.99))
+    pred = (p > 0.4).cast("double")
+    return li.agg(
+        accuracy_expr(y, pred).alias("accuracy"),
+        log_loss_expr(y, p).alias("log_loss"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_CLASSIFICATION_METRICS = """
+SELECT avg(CASE WHEN (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) =
+                     (CASE WHEN least(greatest(l_discount * 8, 0.01), 0.99) > 0.4 THEN 1.0 ELSE 0.0 END)
+           THEN 1.0 ELSE 0.0 END) AS accuracy,
+       avg(-( (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) * ln(least(greatest(l_discount * 8, 0.01), 0.99))
+            + (1 - (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END)) * ln(1 - least(greatest(l_discount * 8, 0.01), 0.99)))) AS log_loss,
+       count(*) AS n
+FROM lineitem
+"""
+
+
+def q_regression_metrics(spark, sf_dir):
+    from dask_ml_spark.functions.metrics import mae_expr, mse_expr, msle_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice")
+    pred = F.col("l_quantity") * 2000.0
+    return li.agg(
+        mse_expr(y, pred).alias("mse"),
+        mae_expr(y, pred).alias("mae"),
+        msle_expr(y, pred).alias("msle"),
+        (F.lit(1.0) - F.sum(F.pow(y - pred, 2)) / (F.sum(F.pow(y, 2)) - F.pow(F.sum(y), 2) / F.count("*"))).alias("r2"),
+    )
+
+
+SQL_REGRESSION_METRICS = """
+SELECT avg(pow(l_quantity * 2000.0 - l_extendedprice, 2)) AS mse,
+       avg(abs(l_quantity * 2000.0 - l_extendedprice)) AS mae,
+       avg(pow(ln(1 + l_quantity * 2000.0) - ln(1 + l_extendedprice), 2)) AS msle,
+       1.0 - sum(pow(l_extendedprice - l_quantity * 2000.0, 2))
+           / (sum(pow(l_extendedprice, 2)) - pow(sum(l_extendedprice), 2) / count(*)) AS r2
+FROM lineitem
+"""
+
+
+# =====================================================================
+# text vectorization (SURVEY §2.3 text family)
+# =====================================================================
+
+def q_token_document_frequency(spark, sf_dir):
+    """CountVectorizer's fit pass: document frequency per token with
+    min_df=5 (the vocabulary-discovery aggregation)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(DD.tokens_expr(F.col("text")))
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 5)
+    )
+
+
+SQL_TOKEN_DOCUMENT_FREQUENCY = f"""
+SELECT token, count(*) AS df FROM (
+    SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))) AS token
+    FROM documents
+) GROUP BY token HAVING count(*) >= 5
+"""
+
+
+def q_tfidf(spark, sf_dir):
+    """TF-IDF (smooth idf, no norm) over the long/triplet encoding,
+    keyed by (doc_id, token)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = DD.tokens_expr(F.col("text"))
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = dfreq.select(
+        "token", (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0).alias("idf")
+    )
+    return (
+        tf.join(F.broadcast(idf), "token")
+        .select("doc_id", "token", (F.col("tf") * F.col("idf")).alias("tfidf"))
+    )
+
+
+SQL_TFIDF = f"""
+WITH tf AS (
+    SELECT doc_id, token, count(*) AS tf FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS token
+        FROM documents
+    ) GROUP BY doc_id, token
+), n AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (
+    SELECT token, ln((SELECT n_docs FROM n) + 1.0) - ln(count(*) + 1.0) + 1.0 AS idf
+    FROM tf GROUP BY token
+)
+SELECT tf.doc_id, tf.token, tf.tf * idf.idf AS tfidf
+FROM tf JOIN idf ON tf.token = idf.token
+"""
+
+
+# =====================================================================
+# dedup datapipe
+# =====================================================================
+
+def q_exact_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs).select("doc_id", "content_hash", F.col("dup_count").cast("long").alias("dup_count"))
+
+
+SQL_EXACT_DEDUP = f"""
+SELECT min(doc_id) AS doc_id, content_hash, count(*) AS dup_count FROM (
+    SELECT doc_id, md5(array_to_string(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), ' ')) AS content_hash
+    FROM documents
+) GROUP BY content_hash
+"""
+
+
+def _sql_shingles(n: int = 3) -> str:
+    """DuckDB expression producing the distinct word-n-gram list."""
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(toks) - {n - 2}, 1)), i -> {gram}))"
+    )
+
+
+def q_minhash_signatures(spark, sf_dir, n_hashes: int = 8):
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_signatures(docs, n_hashes=n_hashes)
+
+
+def sql_minhash_signatures(n_hashes: int = 8) -> str:
+    a, b = DD.minhash_coeffs(n_hashes, seed=42)
+    p = DD.MERSENNE_P
+    mins = ", ".join(
+        f"min((h * {a[i]} + {b[i]}) % {p}) AS m{i}" for i in range(n_hashes)
+    )
+    return f"""
+WITH toks_t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks FROM documents
+), sh AS (
+    SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle FROM toks_t
+), hashed AS (
+    SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {p} AS h FROM sh
+)
+SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, n_hashes=8, bands=4).select(
+        "id_a", "id_b", F.col("n_shared_bands").cast("long").alias("n_shared_bands")
+    )
+
+
+def sql_minhash_lsh_pairs(n_hashes: int = 8, bands: int = 4) -> str:
+    sig_sql = sql_minhash_signatures(n_hashes)
+    r = n_hashes // bands
+    band_selects = []
+    for bi in range(bands):
+        cols = " || '_' || ".join(f"CAST(m{bi * r + j} AS VARCHAR)" for j in range(r))
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band, {cols} AS band_key FROM sig"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+WITH sig AS ({sig_sql}), banded AS ({banded})
+SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_shared_bands
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+GROUP BY l.doc_id, r.doc_id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash(docs, n_bits=16)
+
+
+def sql_simhash(n_bits: int = 16) -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h // {2**bb}) % 2 = 1 THEN 1 ELSE -1 END) AS b{bb}"
+        for bb in range(n_bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b{bb} > 0 THEN {2**bb} ELSE 0 END)" for bb in range(n_bits))
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS token FROM documents
+), hashed AS (
+    SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok
+), bits AS (
+    SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, shingle_n=3, min_shared=3)
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH toks_t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks FROM documents
+), sh AS (
+    SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle FROM toks_t
+), sizes AS (
+    SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id
+), shared AS (
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS shared
+    FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+    GROUP BY l.doc_id, r.doc_id
+    HAVING count(*) >= 3
+)
+SELECT id_a, id_b,
+       shared / (sa.set_size + sb.set_size - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+"""
+
+
+# =====================================================================
+# embeddings / similarity search
+# =====================================================================
+
+def q_ann_bruteforce_topk(spark, sf_dir):
+    from dask_ml_spark.datapipe.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=10)
+    return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+SQL_ANN_BRUTEFORCE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           list_cosine_similarity(e.embedding, q.qvec) AS score
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != q.query_id
+), ranked AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "embeddings")
+    out = DD.embedding_near_dup_pairs(docs, threshold=0.9, exact=True)
+    return out.select("id_a", "id_b", "cosine")
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       list_cosine_similarity(l.embedding, r.embedding) AS cosine
+FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.9
+"""
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding — the grouped vector aggregation used
+    by both IVF training and class-centroid models. Arrays are averaged
+    element-wise JVM-side (posexplode + groupBy)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("mean_v"), F.count("*").cast("long").alias("n"))
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT label, pos - 1 AS pos, avg(v) AS mean_v, count(*) AS n
+FROM (
+    SELECT label, unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+)
+GROUP BY label, pos - 1
+"""
+
+
+# =====================================================================
+# text analysis datapipe
+# =====================================================================
+
+def q_language_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = TS.language_scores(docs)
+    return out.select("doc_id", "score_en", "score_de", "score_fr", "score_es", "lang_pred")
+
+
+def _sql_lang_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TS.STOPWORDS[lang])
+    return (
+        f"len(list_intersect(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')), [{words}]))"
+        f" / greatest(len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))), 1)"
+    )
+
+
+def sql_language_id() -> str:
+    langs = sorted(TS.STOPWORDS)
+    scores = ", ".join(f"{_sql_lang_score(l)} AS score_{l}" for l in langs)
+    # argmax with ties → lexicographically-first language
+    conds = []
+    for lang in langs:
+        cmp = " AND ".join(
+            f"score_{lang} {'>' if other < lang else '>='} score_{other}"
+            for other in langs if other != lang
+        )
+        conds.append(f"WHEN {cmp} THEN '{lang}'")
+    case = "CASE " + " ".join(conds) + f" ELSE '{langs[0]}' END"
+    return f"""
+WITH scored AS (SELECT doc_id, {scores} FROM documents)
+SELECT doc_id, score_en, score_de, score_fr, score_es, {case} AS lang_pred FROM scored
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = TS.quality_scores(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "distinct_ratio", "punct_ratio", "digit_ratio", "upper_ratio", "stopword_ratio",
+    )
+
+
+def sql_quality_scores() -> str:
+    en = ", ".join(f"'{w}'" for w in TS.STOPWORDS["en"])
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')"
+    return f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({toks}) AS n_tokens,
+       len(list_distinct({toks})) AS n_distinct_tokens,
+       len(list_distinct({toks})) / greatest(len({toks}), 1)::DOUBLE AS distinct_ratio,
+       length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1)::DOUBLE AS digit_ratio,
+       length(regexp_replace(text, '[^A-Z]', '', 'g')) / greatest(length(text), 1)::DOUBLE AS upper_ratio,
+       len(list_intersect(list_distinct({toks}), [{en}])) / greatest(len({toks}), 1)::DOUBLE AS stopword_ratio
+FROM documents
+"""
+
+
+def q_document_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return TS.document_fingerprint(docs).select(
+        "doc_id", "fingerprint", F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens")
+    )
+
+
+SQL_DOCUMENT_FINGERPRINT = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))), ' ')) AS fingerprint,
+       len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))) AS n_distinct_tokens
+FROM documents
+"""
+
+
+# =====================================================================
+# events / streaming-shaped
+# =====================================================================
+
+def q_windowed_event_features(spark, sf_dir):
+    """Tumbling-hour per-user aggregates — the batch rendering of the
+    streaming windowed-features operator."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+SQL_WINDOWED_EVENT_FEATURES = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       user_id,
+       count(*) AS n_events,
+       sum(value) AS sum_value,
+       avg(value) AS avg_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_event_type_rollup(spark, sf_dir):
+    """Top-k-style grouped counts on the event stream table."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("avg_value"),
+        F.percentile(F.col("value"), F.lit(0.95)).alias("p95_value"),
+    )
+
+
+SQL_EVENT_TYPE_ROLLUP = """
+SELECT event_type, count(*) AS n, avg(value) AS avg_value,
+       quantile_cont(value, 0.95) AS p95_value
+FROM events
+GROUP BY event_type
+"""
+
+
+# =====================================================================
+# catalog assembly
+# =====================================================================
+
+def build_catalog():
+    """Returns (queries dict, oracle dict). Queries without an oracle
+    entry get the driver's rows-only check (iterative/seeded ops)."""
+    queries = {
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_nations": q_top_revenue_nations,
+        "standard_scaler_fit": q_standard_scaler_fit,
+        "standard_scaler_transform": q_standard_scaler_transform,
+        "minmax_scaler_fit": q_minmax_scaler_fit,
+        "robust_scaler_fit": q_robust_scaler_fit,
+        "simple_imputer_fit": q_simple_imputer_fit,
+        "label_encoder_fit": q_label_encoder_fit,
+        "label_encoder_transform": q_label_encoder_transform,
+        "ordinal_encoder": q_ordinal_encoder,
+        "dummy_encoder": q_dummy_encoder,
+        "gaussian_nb_fit": q_gaussian_nb_fit,
+        "simple_ols_fit": q_simple_ols_fit,
+        "pca_covariance": q_pca_covariance,
+        "classification_metrics": q_classification_metrics,
+        "regression_metrics": q_regression_metrics,
+        "token_document_frequency": q_token_document_frequency,
+        "tfidf": q_tfidf,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_centroids": q_embedding_centroids,
+        "language_id": q_language_id,
+        "quality_scores": q_quality_scores,
+        "document_fingerprint": q_document_fingerprint,
+        "windowed_event_features": q_windowed_event_features,
+        "event_type_rollup": q_event_type_rollup,
+        # rows-only (iterative / seeded — no SQL equivalent)
+        "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
+        "logistic_regression_eval": q_logistic_regression_eval,
+        "pca_transform_variance": q_pca_transform_variance,
+        "ivf_ann_topk": q_ivf_ann_topk,
+    }
+    oracles = {
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "top_revenue_nations": SQL_TOP_REVENUE_NATIONS,
+        "standard_scaler_fit": SQL_STANDARD_SCALER_FIT,
+        "standard_scaler_transform": SQL_STANDARD_SCALER_TRANSFORM,
+        "minmax_scaler_fit": SQL_MINMAX_SCALER_FIT,
+        "robust_scaler_fit": SQL_ROBUST_SCALER_FIT,
+        "simple_imputer_fit": SQL_SIMPLE_IMPUTER_FIT,
+        "label_encoder_fit": SQL_LABEL_ENCODER_FIT,
+        "label_encoder_transform": SQL_LABEL_ENCODER_TRANSFORM,
+        "ordinal_encoder": SQL_ORDINAL_ENCODER,
+        "dummy_encoder": sql_dummy_encoder(["F", "O", "P"]),
+        "gaussian_nb_fit": SQL_GAUSSIAN_NB_FIT,
+        "simple_ols_fit": SQL_SIMPLE_OLS_FIT,
+        "pca_covariance": SQL_PCA_COVARIANCE,
+        "classification_metrics": SQL_CLASSIFICATION_METRICS,
+        "regression_metrics": SQL_REGRESSION_METRICS,
+        "token_document_frequency": SQL_TOKEN_DOCUMENT_FREQUENCY,
+        "tfidf": SQL_TFIDF,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "minhash_signatures": sql_minhash_signatures(8),
+        "minhash_lsh_pairs": sql_minhash_lsh_pairs(8, 4),
+        "simhash": sql_simhash(16),
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE_TOPK,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+        "language_id": sql_language_id(),
+        "quality_scores": sql_quality_scores(),
+        "document_fingerprint": SQL_DOCUMENT_FINGERPRINT,
+        "windowed_event_features": SQL_WINDOWED_EVENT_FEATURES,
+        "event_type_rollup": SQL_EVENT_TYPE_ROLLUP,
+    }
+    return queries, oracles
+
+
+# --- rows-only queries (iterative algorithms; driver does weaker check) --
+
+def q_kmeans_cluster_sizes(spark, sf_dir):
+    from dask_ml_spark.operators.cluster import KMeans
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    scaled = StandardScaler().fit(li, cols).transform(li)
+    km = KMeans(n_clusters=4, random_state=42).fit(scaled, cols)
+    return (
+        km.predict(scaled)
+        .groupBy("prediction")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("prediction").alias("cluster"), "n")
+    )
+
+
+def q_logistic_regression_eval(spark, sf_dir):
+    """SURVEY §7.2 step-3 pipeline: scale → split → logistic fit →
+    predict → metrics, on lineitem with label returnflag=='R'."""
+    from dask_ml_spark.functions.metrics import accuracy_expr, log_loss_expr
+    from dask_ml_spark.operators.linear_model import LogisticRegression
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+    from dask_ml_spark.plans.model_selection import train_test_split
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    labeled = li.withColumn("label", (F.col("l_returnflag") == "R").cast("double"))
+    scaled = StandardScaler().fit(labeled, cols).transform(labeled)
+    train, test = train_test_split(scaled, test_size=0.25, random_state=42)
+    model = LogisticRegression(C=10.0).fit(train, cols)
+    pred = model.predict_proba(model.predict(test))
+    return pred.agg(
+        accuracy_expr(F.col("label"), F.col("prediction")).alias("accuracy"),
+        log_loss_expr(F.col("label"), F.col("probability")).alias("log_loss"),
+        F.count("*").alias("n_test"),
+    )
+
+
+def q_pca_transform_variance(spark, sf_dir):
+    """PCA fit + transform; variance of each projected component should
+    equal the eigenvalues — checks the full loop distributed."""
+    from dask_ml_spark.operators.decomposition import PCA
+
+    li = _t(spark, sf_dir, "lineitem")
+    pca = PCA(n_components=2).fit(li, LINEITEM_FEATS)
+    proj = pca.transform(li)
+    return proj.agg(
+        F.var_samp("pc0").alias("var_pc0"),
+        F.var_samp("pc1").alias("var_pc1"),
+    )
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    from dask_ml_spark.datapipe.similarity import IVFIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = IVFIndex(n_lists=16, n_probe=4).fit(emb)
+    return ivf.search(emb, queries, k=10).select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    )

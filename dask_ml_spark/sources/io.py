@@ -19,7 +19,23 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return normalize_nanos_timestamps(df)
+
+
+def normalize_nanos_timestamps(df: DataFrame) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns arrive as long nanoseconds
+    (spark.sql.legacy.parquet.nanosAsLong) — convert any *_ts/ts long
+    column that plausibly holds epoch-nanos back to a timestamp
+    (microsecond precision, all Spark offers)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out = df
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.LongType) and (f.name == "ts" or f.name.endswith("_ts")):
+            out = out.withColumn(f.name, F.timestamp_micros((F.col(f.name) / 1000).cast("long")))
+    return out
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> dict[str, DataFrame]:
