@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (count() would let
+Catalyst prune the very columns the query computes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_nations",
+    "standard_scaler_transform",
+    "gaussian_nb_fit",
+    "pca_covariance",
+    "classification_metrics",
+    "regression_metrics",
+    "kmeans_cluster_sizes",
+    "logistic_regression_eval",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash",
+    "token_document_frequency",
+    "tfidf",
+    "quality_scores",
+    "language_id",
+    "document_fingerprint",
+    "ann_bruteforce_topk",
+    "embedding_near_dup",
+    "windowed_event_features",
+    "event_type_rollup",
+]
+
+
+def main() -> None:
+    from dask_ml_spark import get_spark
+    from dask_ml_spark.plans.queries import build_catalog
+
+    spark = get_spark(app_name="dask_ml_spark-bench",
+                      extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, _ = build_catalog()
+
+    # warm the JVM + parquet footers outside the timed region
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

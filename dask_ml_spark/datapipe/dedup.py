@@ -18,6 +18,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dask_ml_spark.utils import ensure_min_partitions
+
 TOKEN_RE = "[a-z0-9_]{2,}"
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
 
@@ -61,7 +63,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """
     norm = F.concat_ws(" ", tokens_expr(F.col(text_col))) if normalize else F.col(text_col)
     return (
-        df.select(F.col(id_col), F.md5(norm).alias("content_hash"))
+        ensure_min_partitions(df).select(F.col(id_col), F.md5(norm).alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
         .select(id_col, "content_hash", "dup_count")
@@ -75,7 +77,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     map-side combine; signature columns m0..m{n-1}."""
     a, b = minhash_coeffs(n_hashes, seed)
     h = F.pmod(base_hash_expr(F.col("shingle")), F.lit(MERSENNE_P))
-    exploded = df.select(
+    exploded = ensure_min_partitions(df).select(
         F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("shingle")
     ).withColumn("h", h)
     aggs = [
@@ -98,19 +100,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     """
     r = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, seed)
-    band_rows = []
-    for bi in range(bands):
-        cols = [F.col(f"m{bi * r + j}") for j in range(r)]
-        band_rows.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(bi).alias("band"),
-                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("band_key"),
-            )
-        )
-    banded = band_rows[0]
-    for brow in band_rows[1:]:
-        banded = banded.unionAll(brow)
+    # all bands in ONE pass over the signatures (a unionAll of per-band
+    # selects would recompute the signature aggregation per band); the
+    # self-join's two sides share an identical subplan that AQE/exchange
+    # reuse evaluates once.
+    band_arr = F.array(*[
+        F.concat_ws("_", *[F.col(f"m{bi * r + j}").cast("string") for j in range(r)])
+        for bi in range(bands)
+    ])
+    banded = sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "band_key")
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -130,7 +130,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """SimHash fingerprint: per token-hash bit b, sum ±1 over tokens;
     fingerprint bit = sign. Pure explode + groupBy aggregation.
     Output: (id, simhash bigint)."""
-    toks = df.select(
+    toks = ensure_min_partitions(df).select(
         F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("token")
     ).withColumn("h", base_hash_expr(F.col("token")))
     # bit b of h via integer shiftright (float division would lose
@@ -157,15 +157,14 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     Avoids the N² cross join entirely."""
     fps = simhash(df, text_col, id_col, n_bits)
     bits_per = n_bits // n_blocks
-    blocks = None
-    for blk in range(n_blocks):
-        # block value = (simhash >> (blk*bits_per)) % 2^bits_per
-        val = F.pmod(
-            F.floor(F.col("simhash") / F.lit(float(2 ** (blk * bits_per)))).cast("long"),
-            F.lit(int(2**bits_per)),
-        )
-        part = fps.select(F.col(id_col), F.col("simhash"), F.lit(blk).alias("blk"), val.alias("blk_val"))
-        blocks = part if blocks is None else blocks.unionAll(part)
+    # one pass: array of block values + posexplode (see minhash note)
+    block_arr = F.array(*[
+        F.pmod(F.shiftright(F.col("simhash"), blk * bits_per), F.lit(int(2**bits_per)))
+        for blk in range(n_blocks)
+    ])
+    blocks = fps.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(block_arr).alias("blk", "blk_val")
+    )
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (
         l.join(
@@ -196,7 +195,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     sizes. The join key (shingle) is the scale hazard — very common
     shingles create hot keys; drop top-frequency shingles upstream or
     rely on AQE skew handling. Output: (id_a, id_b, jaccard)."""
-    sh = df.select(F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("shingle"))
+    sh = ensure_min_partitions(df).select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("shingle")
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     l, r = sh.alias("l"), sh.alias("r")
     shared = (
@@ -218,21 +219,34 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     return out
 
 
+def lsh_plane_matrix(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random-hyperplane matrix (shared with the SQL
+    oracle generator so both engines compute identical buckets)."""
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
                              threshold: float = 0.95, n_lsh_planes: int = 8,
-                             seed: int = 42, exact: bool = False) -> DataFrame:
-    """Embedding-cosine near-duplicates. exact=True: all-pairs within
-    one bucket of a random-hyperplane LSH code (scale path); pairs are
-    verified with the true cosine either way."""
-    from dask_ml_spark.functions.vector import cosine_similarity
+                             seed: int = 42, exact: bool = False,
+                             dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicates.
 
-    base = df.select(id_col, vec_col)
+    Scale path (default): random-hyperplane LSH code per vector (plane
+    matrix folded into the plan as literals), candidate pairs only
+    within a bucket — the N² cross join never materializes; pairs are
+    then verified with the true cosine. exact=True is the all-pairs
+    baseline for small inputs / recall measurement.
+
+    Norms are computed ONCE per row before the join (3× cheaper than
+    evaluating full cosine per pair).
+    """
+    from dask_ml_spark.functions.vector import dot, norm2
+
+    base = df.select(id_col, vec_col).withColumn("__norm", norm2(F.col(vec_col)))
     if not exact:
-        # random hyperplane signs → one LSH bucket per vector; near-dups
-        # (cos≈1) almost surely collide on every plane
-        rng = np.random.RandomState(seed)
-        dim = len(base.select(vec_col).first()[0])
-        planes = rng.randn(n_lsh_planes, dim)
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        planes = lsh_plane_matrix(n_lsh_planes, dim, seed)
         code = F.lit(0).cast("long")
         for pi, plane in enumerate(planes):
             dotp = F.aggregate(
@@ -246,12 +260,16 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: 
             )
             code = code + F.when(dotp >= 0, F.lit(int(2**pi)).cast("long")).otherwise(F.lit(0).cast("long"))
         base = base.withColumn("__bucket", code)
-        join_cond = F.col("l.__bucket") == F.col("r.__bucket")
+        l, r = base.alias("l"), base.alias("r")
+        pairs = l.join(
+            r,
+            (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
     else:
-        join_cond = F.lit(True)
-    l, r = base.alias("l"), base.alias("r")
-    pairs = l.join(r, join_cond & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-    cos = cosine_similarity(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+        l, r = base.alias("l"), base.alias("r")
+        pairs = l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    cos = dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) / (F.col("l.__norm") * F.col("r.__norm"))
     return (
         pairs.select(
             F.col(f"l.{id_col}").alias("id_a"),

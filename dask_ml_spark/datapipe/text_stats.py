@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dask_ml_spark.datapipe.dedup import tokens_expr
+from dask_ml_spark.utils import ensure_min_partitions
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio
 # language heuristic. Deliberately short + ASCII so the same literals
@@ -40,7 +41,7 @@ def language_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     cols = {f"score_{lang}": (
         F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))) / ntok
     ) for lang, words in STOPWORDS.items()}
-    out = df.select(F.col(id_col), *[v.alias(k) for k, v in cols.items()])
+    out = ensure_min_partitions(df).select(F.col(id_col), *[v.alias(k) for k, v in cols.items()])
     # argmax language (ties → lexicographically first language code)
     langs = sorted(STOPWORDS)
     best = None
@@ -65,6 +66,7 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     n_distinct = F.size(F.array_distinct(toks))
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     n_stop = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+    df = ensure_min_partitions(df)
     n_punct = F.length(F.regexp_replace(text, "[^.,;:!?'\"()-]", ""))
     n_digit = F.length(F.regexp_replace(text, "[^0-9]", ""))
     n_upper = F.length(F.regexp_replace(text, "[^A-Z]", ""))
@@ -91,7 +93,7 @@ def document_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "d
     bag-of-words analog of a rolling-hash fingerprint, expressible as a
     pure projection (sort + concat + md5) with no shuffle."""
     toks = F.array_sort(F.array_distinct(tokens_expr(F.col(text_col))))
-    return df.select(
+    return ensure_min_partitions(df).select(
         F.col(id_col),
         F.md5(F.concat_ws(" ", toks)).alias("fingerprint"),
         F.size(toks).alias("n_distinct_tokens"),

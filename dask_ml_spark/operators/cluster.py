@@ -55,7 +55,13 @@ class KMeans(BaseEstimator, TransformerMixin):
         from pyspark.ml.clustering import KMeans as MLlibKMeans
         from pyspark.ml.feature import VectorAssembler
 
-        assembled = VectorAssembler(inputCols=cols, outputCol="__features").transform(df.select(*cols))
+        # persist the assembled vectors: the k-means|| init + every Lloyd
+        # iteration re-scans the input (MLlib warns on uncached input)
+        from dask_ml_spark.utils import ensure_min_partitions
+
+        assembled = VectorAssembler(inputCols=cols, outputCol="__features").transform(
+            ensure_min_partitions(df.select(*cols))
+        ).persist()
         init_mode = "k-means||" if self.init in ("k-means||", "k-means++") else "random"
         km = MLlibKMeans(
             k=self.n_clusters, featuresCol="__features",
@@ -64,6 +70,7 @@ class KMeans(BaseEstimator, TransformerMixin):
             seed=self.random_state if self.random_state is not None else 0,
         )
         model = km.fit(assembled)
+        assembled.unpersist()
         self.cluster_centers_ = np.asarray([np.asarray(c) for c in model.clusterCenters()])
         self.inertia_ = float(model.summary.trainingCost)
         self.n_iter_ = int(model.summary.numIter)

@@ -27,8 +27,10 @@ from dask_ml_spark.base import BaseEstimator, ClassifierMixin, RegressorMixin
 def _assemble(df: DataFrame, cols, out="__features"):
     from pyspark.ml.feature import VectorAssembler
 
+    from dask_ml_spark.utils import ensure_min_partitions
+
     va = VectorAssembler(inputCols=list(cols), outputCol=out)
-    return va.transform(df)
+    return va.transform(ensure_min_partitions(df))
 
 
 def _linear_expr(cols, coef, intercept):

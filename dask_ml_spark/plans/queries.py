@@ -639,16 +639,34 @@ SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
 """
 
 
+EMB_DIM = 64
+NEAR_DUP_PLANES = 4
+
+
 def q_embedding_near_dup(spark, sf_dir):
-    docs = _t(spark, sf_dir, "embeddings")
-    out = DD.embedding_near_dup_pairs(docs, threshold=0.9, exact=True)
+    """LSH-bucketed near-dup pairs (the scale path — no N² join); the
+    oracle reproduces the same buckets from the same plane literals."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = DD.embedding_near_dup_pairs(
+        emb, threshold=0.9, exact=False, n_lsh_planes=NEAR_DUP_PLANES, seed=42, dim=EMB_DIM
+    )
     return out.select("id_a", "id_b", "cosine")
 
 
-SQL_EMBEDDING_NEAR_DUP = """
+def sql_embedding_near_dup() -> str:
+    planes = DD.lsh_plane_matrix(NEAR_DUP_PLANES, EMB_DIM, seed=42)
+    terms = []
+    for pi, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{v!r}" for v in plane.tolist()) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(embedding, {lit}) >= 0 THEN {2**pi} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+WITH coded AS (
+    SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+)
 SELECT l.vec_id AS id_a, r.vec_id AS id_b,
        list_cosine_similarity(l.embedding, r.embedding) AS cosine
-FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+FROM coded l JOIN coded r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
 WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.9
 """
 
@@ -878,7 +896,7 @@ def build_catalog():
         "simhash": sql_simhash(16),
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE_TOPK,
-        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "embedding_near_dup": sql_embedding_near_dup(),
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "language_id": sql_language_id(),
         "quality_scores": sql_quality_scores(),
@@ -898,7 +916,7 @@ def q_kmeans_cluster_sizes(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     scaled = StandardScaler().fit(li, cols).transform(li)
-    km = KMeans(n_clusters=4, random_state=42).fit(scaled, cols)
+    km = KMeans(n_clusters=4, random_state=42, max_iter=10, tol=1e-3, init_max_iter=2).fit(scaled, cols)
     return (
         km.predict(scaled)
         .groupBy("prediction")
@@ -920,7 +938,7 @@ def q_logistic_regression_eval(spark, sf_dir):
     labeled = li.withColumn("label", (F.col("l_returnflag") == "R").cast("double"))
     scaled = StandardScaler().fit(labeled, cols).transform(labeled)
     train, test = train_test_split(scaled, test_size=0.25, random_state=42)
-    model = LogisticRegression(C=10.0).fit(train, cols)
+    model = LogisticRegression(C=10.0, max_iter=30, tol=1e-5).fit(train, cols)
     pred = model.predict_proba(model.predict(test))
     return pred.agg(
         accuracy_expr(F.col("label"), F.col("prediction")).alias("accuracy"),

@@ -87,6 +87,22 @@ def numpy_dtype_to_spark(dt: np.dtype) -> T.DataType:
     return T.StringType()
 
 
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition iff the input is under-partitioned for CPU-heavy work.
+
+    Small parquet inputs scan as 1-3 partitions (128 MB splits), which
+    serializes expression-heavy operators (hashing, shingling, UDF
+    inference) onto a few cores. At 100 TB inputs already carry
+    thousands of partitions and this is a no-op — the check is
+    driver-side and costs nothing but a plan conversion.
+    """
+    if min_parts is None:
+        min_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
+
+
 def add_row_index(df: DataFrame, name: str = "__row_id__") -> DataFrame:
     """Stable unique row id without a global sort.
 
