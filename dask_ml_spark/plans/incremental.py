@@ -1,0 +1,380 @@
+"""Adaptive hyperparameter search on partial_fit models.
+
+Reference: dask_ml/model_selection/_incremental.py (generic async
+engine + IncrementalSearchCV + InverseDecaySearchCV),
+_successive_halving.py, _hyperband.py.
+
+Spark design (SURVEY §3.3): models are small driver-side Python
+objects implementing partial_fit; the DATA is the distributed thing.
+Training batches are materialized once as cached Arrow partition
+batches (driver-pulled, partition at a time — never the whole set);
+each round trains the surviving models on the next batch and scores
+them against a cached test sample. The `additional_calls` policy
+protocol is preserved verbatim — SuccessiveHalving / Hyperband /
+InverseDecay are policies over the same engine, like the reference
+(_incremental.py:380-445). Speculative priority−1 tasks are dropped
+(latency-only optimization, no Spark analog — SURVEY §3.3).
+
+For models whose partial_fit releases the GIL (numpy-heavy), rounds
+train models concurrently via a thread pool.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_ml_spark.base import BaseEstimator
+from dask_ml_spark.plans.model_selection import ParameterSampler, train_test_split
+
+
+def _collect_batches(df: DataFrame, feature_cols, label_col, max_rows_per_batch=50_000):
+    """Materialize the training partitions to driver-side numpy batches
+    (the reference scatters blocks to workers and moves MODELS to data;
+    with driver-held models the batches come to the driver once and are
+    reused every round — bounded by partitions × batch cap)."""
+    batches = []
+    sel = df.select(*feature_cols, label_col)
+    cols = sel.columns
+    buf: list = []
+    for row in sel.toLocalIterator(prefetchPartitions=True):
+        buf.append(row)
+        if len(buf) >= max_rows_per_batch:
+            pdf = pd.DataFrame(buf, columns=cols)
+            batches.append((pdf[list(feature_cols)].to_numpy(dtype="float64"),
+                            pdf[label_col].to_numpy()))
+            buf = []
+    if buf:
+        pdf = pd.DataFrame(buf, columns=cols)
+        batches.append((pdf[list(feature_cols)].to_numpy(dtype="float64"),
+                        pdf[label_col].to_numpy()))
+    return batches
+
+
+class BaseIncrementalSearchCV(BaseEstimator):
+    """Generic adaptive engine (reference _incremental.py:138-377).
+
+    Subclasses override `_additional_calls(info) -> {model_id: n_calls}`
+    — empty dict stops; the single best-scoring model must be the last
+    survivor.
+    """
+
+    def __init__(self, estimator, parameters, n_initial_parameters: int = 10,
+                 test_size: float = 0.15, patience: int | bool = False, tol: float = 1e-3,
+                 max_iter: int = 100, random_state: int | None = None, scoring=None,
+                 n_jobs: int = 8):
+        self.estimator = estimator
+        self.parameters = parameters
+        self.n_initial_parameters = n_initial_parameters
+        self.test_size = test_size
+        self.patience = patience
+        self.tol = tol
+        self.max_iter = max_iter
+        self.random_state = random_state
+        self.scoring = scoring
+        self.n_jobs = n_jobs
+
+    # -- policy ----------------------------------------------------------
+    def _additional_calls(self, info: dict) -> dict:
+        """Default IncrementalSearchCV policy: keep training everything
+        until max_iter / patience, then keep the best (reference
+        _incremental.py:1102-1167)."""
+        out = {}
+        for ident, records in info.items():
+            if records[-1]["partial_fit_calls"] < self.max_iter:
+                out[ident] = 1
+        if not out:
+            best = max(info, key=lambda k: info[k][-1]["score"])
+            return {best: 0}
+        return out
+
+    def _plateaued(self, records) -> bool:
+        """True when the score gained ≤ tol over the last `patience`
+        rounds (reference _incremental.py:1102-1167)."""
+        if not self.patience or len(records) <= self.patience:
+            return False
+        return records[-1]["score"] <= records[-1 - self.patience]["score"] + self.tol
+
+    def _create_models(self):
+        rng = np.random.RandomState(self.random_state)
+        params = list(ParameterSampler(self.parameters, self.n_initial_parameters,
+                                       random_state=rng))
+        models = {}
+        for i, p in enumerate(params):
+            est = self.estimator.clone() if hasattr(self.estimator, "clone") else _clone(self.estimator)
+            if hasattr(est, "set_params"):
+                est.set_params(**p)
+            else:
+                for k, v in p.items():
+                    setattr(est, k, v)
+            models[i] = (est, p)
+        return models
+
+    def fit(self, df: DataFrame, columns=None, label_col: str = "label", classes=None):
+        cols = self._validate_data(df, columns)
+        train, test = train_test_split(df, test_size=self.test_size,
+                                       random_state=self.random_state)
+        batches = _collect_batches(train, cols, label_col)
+        test_pdf = test.select(*cols, label_col).toPandas()
+        X_test = test_pdf[cols].to_numpy(dtype="float64")
+        y_test = test_pdf[label_col].to_numpy()
+        rng = np.random.RandomState(self.random_state)
+
+        models = self._create_models()
+        info = {i: [] for i in models}
+        calls = {i: 0 for i in models}
+        fit_kwargs = {"classes": np.asarray(classes)} if classes is not None else {}
+
+        def train_one(ident, n_calls):
+            est, p = models[ident]
+            for _ in range(n_calls):
+                bi = rng.randint(len(batches))
+                Xb, yb = batches[bi]
+                est.partial_fit(Xb, yb, **fit_kwargs)
+                calls[ident] += 1
+            score = self._score(est, X_test, y_test)
+            return ident, score
+
+        # round 0: one call each
+        instructions = {i: 1 for i in models}
+        self.history_ = []
+        stopped: set = set()
+        while True:
+            live = {i: n for i, n in instructions.items() if n > 0}
+            if not live:
+                break
+            with ThreadPoolExecutor(max_workers=self.n_jobs) as pool:
+                results = list(pool.map(lambda kv: train_one(*kv), live.items()))
+            for ident, score in results:
+                rec = {"model_id": ident, "params": models[ident][1],
+                       "partial_fit_calls": calls[ident], "score": score}
+                info[ident].append(rec)
+                self.history_.append(rec)
+            # models the policy dropped stay out; plateaued models stop
+            # training but remain candidates for best
+            info = {i: r for i, r in info.items() if i in instructions}
+            stopped |= {i for i, r in info.items() if self._plateaued(r)}
+            active = {i: r for i, r in info.items() if i not in stopped}
+            if not active:
+                break
+            instructions = self._additional_calls(active)
+            if not instructions or all(v == 0 for v in instructions.values()):
+                break
+
+        best_id = max(info, key=lambda k: info[k][-1]["score"])
+        self.best_index_ = best_id
+        self.best_estimator_, self.best_params_ = models[best_id]
+        self.best_score_ = info[best_id][-1]["score"]
+        self.n_models_ = len(models)
+        self.model_history_ = info
+        self.cv_results_ = self._make_results(models, calls)
+        self.feature_columns_ = cols
+        self.multimetric_ = False
+        return self
+
+    def _score(self, est, X, y):
+        if self.scoring is not None and callable(self.scoring):
+            return float(self.scoring(est, X, y))
+        return float(est.score(X, y))
+
+    def _make_results(self, models, calls):
+        rows = {
+            "model_id": [], "params": [], "partial_fit_calls": [], "test_score": [],
+        }
+        last = {r["model_id"]: r for r in self.history_}
+        for i, (est, p) in models.items():
+            rec = last.get(i)
+            rows["model_id"].append(i)
+            rows["params"].append(p)
+            rows["partial_fit_calls"].append(calls[i])
+            rows["test_score"].append(rec["score"] if rec else np.nan)
+        order = np.argsort(-np.asarray(rows["test_score"]))
+        rows["rank_test_score"] = np.empty(len(order), dtype=int)
+        rows["rank_test_score"][order] = np.arange(1, len(order) + 1)
+        return rows
+
+    # -- post-fit API ----------------------------------------------------
+    def predict(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
+        from dask_ml_spark.operators.wrappers import ParallelPostFit
+
+        ppf = ParallelPostFit(self.best_estimator_)
+        ppf.feature_columns_ = self.feature_columns_
+        return ppf.predict(df, output_col)
+
+    def score(self, df: DataFrame, label_col: str = "label") -> float:
+        from dask_ml_spark.functions.metrics import accuracy_score
+
+        return accuracy_score(self.predict(df), label_col=label_col)
+
+
+def _clone(est):
+    import copy
+
+    return copy.deepcopy(est)
+
+
+class IncrementalSearchCV(BaseIncrementalSearchCV):
+    """Train all candidates incrementally; stop on plateau; keep best
+    (reference _incremental.py:745-1167)."""
+
+
+class InverseDecaySearchCV(BaseIncrementalSearchCV):
+    """Keep ~ n_initial/(k+1) models at round k (reference
+    _incremental.py:1170-1431)."""
+
+    def __init__(self, estimator, parameters, n_initial_parameters: int = 10, **kw):
+        super().__init__(estimator, parameters, n_initial_parameters, **kw)
+        self._round = 0
+
+    def _additional_calls(self, info: dict) -> dict:
+        self._round += 1
+        target = max(1, int(self.n_initial_parameters / (self._round + 1)))
+        ranked = sorted(info, key=lambda k: info[k][-1]["score"], reverse=True)
+        keep = ranked[:target]
+        max_calls = max(r[-1]["partial_fit_calls"] for r in info.values())
+        if len(keep) == 1 and info[keep[0]][-1]["partial_fit_calls"] >= self.max_iter:
+            return {keep[0]: 0}
+        return {k: 1 for k in keep if info[k][-1]["partial_fit_calls"] < self.max_iter} or {keep[0]: 0}
+
+
+def _sha_steps(n: int, r: int, eta: float = 3, limit: int | None = None):
+    """SuccessiveHalving schedule generator (ported semantics of
+    reference _successive_halving.py:230-256): at step k keep
+    n·eta^-k models and train each to r·eta^k total calls."""
+    steps = []
+    k = 0
+    while True:
+        n_k = max(1, int(np.floor(n * eta ** -k)))
+        r_k = int(r * eta ** k) if limit is None else min(int(r * eta ** k), limit)
+        steps.append((n_k, r_k))
+        if n_k == 1 or (limit is not None and r_k >= limit):
+            break
+        k += 1
+    return steps
+
+
+class SuccessiveHalvingSearchCV(BaseIncrementalSearchCV):
+    """SHA: repeatedly train the top 1/eta fraction eta× longer
+    (reference _successive_halving.py:11-306)."""
+
+    def __init__(self, estimator, parameters, n_initial_parameters: int = 10,
+                 n_initial_iter: int = 3, aggressiveness: float = 3, **kw):
+        super().__init__(estimator, parameters, n_initial_parameters, **kw)
+        self.n_initial_iter = n_initial_iter
+        self.aggressiveness = aggressiveness
+        self._steps = None
+        self._step_idx = 0
+
+    def _additional_calls(self, info: dict) -> dict:
+        if self._steps is None:
+            self._steps = _sha_steps(self.n_initial_parameters, self.n_initial_iter,
+                                     self.aggressiveness, limit=self.max_iter)
+            self._step_idx = 0
+        self._step_idx += 1
+        if self._step_idx >= len(self._steps):
+            best = max(info, key=lambda k: info[k][-1]["score"])
+            return {best: 0}
+        n_k, r_k = self._steps[self._step_idx]
+        ranked = sorted(info, key=lambda k: info[k][-1]["score"], reverse=True)
+        keep = ranked[:n_k]
+        out = {}
+        for ident in keep:
+            done = info[ident][-1]["partial_fit_calls"]
+            out[ident] = max(0, r_k - done)
+        if all(v == 0 for v in out.values()):
+            best = max(keep, key=lambda k: info[k][-1]["score"])
+            return {best: 0}
+        return out
+
+
+class HyperbandSearchCV(BaseEstimator):
+    """Hyperband: several SuccessiveHalving brackets with different
+    aggressiveness/budget trade-offs run over the SAME cached batches,
+    results combined (reference _hyperband.py:58-664). Brackets run
+    sequentially here (each is internally parallel); the metadata
+    accounting (`metadata_`) matches the reference's
+    (_hyperband.py:504-524)."""
+
+    def __init__(self, estimator, parameters, max_iter: int = 81, aggressiveness: float = 3,
+                 test_size: float = 0.15, random_state: int | None = None, scoring=None,
+                 patience: int | bool = False, tol: float = 1e-3):
+        self.estimator = estimator
+        self.parameters = parameters
+        self.max_iter = max_iter
+        self.aggressiveness = aggressiveness
+        self.test_size = test_size
+        self.random_state = random_state
+        self.scoring = scoring
+        self.patience = patience
+        self.tol = tol
+
+    def _brackets(self):
+        """Bracket schedule (reference _hyperband.py:20-55): s_max+1
+        brackets; bracket s starts n = ceil(B/R * eta^s/(s+1)) models
+        at r = R * eta^-s initial calls."""
+        eta = self.aggressiveness
+        R = self.max_iter
+        s_max = int(np.floor(np.log(R) / np.log(eta)))
+        B = (s_max + 1) * R
+        out = []
+        for s in range(s_max, -1, -1):
+            n = int(np.ceil(B / R * eta ** s / (s + 1)))
+            r = max(1, int(R * eta ** -s))
+            out.append((s, n, r))
+        return out
+
+    def fit(self, df: DataFrame, columns=None, label_col: str = "label", classes=None):
+        self.metadata = {"brackets": [], "n_models": 0, "partial_fit_calls": 0}
+        results = []
+        self._bracket_searches = []
+        for s, n, r in self._brackets():
+            sha = SuccessiveHalvingSearchCV(
+                self.estimator, self.parameters,
+                n_initial_parameters=n, n_initial_iter=r,
+                aggressiveness=self.aggressiveness, max_iter=self.max_iter,
+                test_size=self.test_size,
+                random_state=None if self.random_state is None else self.random_state + s,
+                scoring=self.scoring, patience=self.patience, tol=self.tol,
+            )
+            sha.fit(df, columns=columns, label_col=label_col, classes=classes)
+            calls = sum(sha.cv_results_["partial_fit_calls"])
+            self.metadata["brackets"].append(
+                {"bracket": s, "n_models": sha.n_models_, "partial_fit_calls": calls}
+            )
+            self.metadata["n_models"] += sha.n_models_
+            self.metadata["partial_fit_calls"] += calls
+            results.append(sha)
+            self._bracket_searches.append((s, sha))
+        best = max(results, key=lambda s: s.best_score_)
+        self.best_estimator_ = best.best_estimator_
+        self.best_params_ = best.best_params_
+        self.best_score_ = best.best_score_
+        self.feature_columns_ = best.feature_columns_
+        self.metadata_ = self.metadata
+        # combined cv_results_
+        self.cv_results_ = {
+            "params": sum((s.cv_results_["params"] for s in results), []),
+            "test_score": np.concatenate([s.cv_results_["test_score"] for s in results]),
+            "partial_fit_calls": np.concatenate([s.cv_results_["partial_fit_calls"] for s in results]),
+            "bracket": np.concatenate([
+                np.full(len(s.cv_results_["params"]), br, dtype=int)
+                for (br, s) in self._bracket_searches
+            ]),
+        }
+        return self
+
+    def predict(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
+        from dask_ml_spark.operators.wrappers import ParallelPostFit
+
+        ppf = ParallelPostFit(self.best_estimator_)
+        ppf.feature_columns_ = self.feature_columns_
+        return ppf.predict(df, output_col)
+
+    def score(self, df: DataFrame, label_col: str = "label") -> float:
+        from dask_ml_spark.functions.metrics import accuracy_score
+
+        return accuracy_score(self.predict(df), label_col=label_col)

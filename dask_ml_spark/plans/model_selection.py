@@ -137,7 +137,8 @@ class ParameterSampler:
         self.random_state = random_state
 
     def __iter__(self):
-        rng = np.random.RandomState(self.random_state)
+        rng = (self.random_state if isinstance(self.random_state, np.random.RandomState)
+               else np.random.RandomState(self.random_state))
         keys = sorted(self.param_distributions)
         for _ in range(self.n_iter):
             out = {}

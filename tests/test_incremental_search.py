@@ -1,0 +1,84 @@
+"""Adaptive search engines (reference tests/model_selection/
+test_incremental.py, test_hyperband.py, test_successive_halving.py)."""
+
+import numpy as np
+import pytest
+
+from dask_ml_spark.operators.local_estimators import SGDClassifier
+from dask_ml_spark.plans.incremental import (
+    HyperbandSearchCV,
+    IncrementalSearchCV,
+    InverseDecaySearchCV,
+    SuccessiveHalvingSearchCV,
+    _sha_steps,
+)
+
+PARAMS = {"lr": [0.01, 0.05, 0.1, 0.5], "alpha": [1e-5, 1e-4, 1e-3]}
+FEATS = [f"f{j}" for j in range(20)]
+
+
+@pytest.fixture(scope="module")
+def big_classification(spark):
+    from dask_ml_spark.datasets import make_classification
+
+    return make_classification(2000, 20, n_informative=4, random_state=1,
+                               n_partitions=8, spark=spark).cache()
+
+
+def test_incremental_search(big_classification):
+    s = IncrementalSearchCV(SGDClassifier(), PARAMS, n_initial_parameters=5,
+                            max_iter=10, random_state=0)
+    s.fit(big_classification, FEATS, classes=[0, 1])
+    assert s.n_models_ == 5
+    assert 0.3 <= s.best_score_ <= 1.0
+    assert s.best_params_["lr"] in PARAMS["lr"]
+    assert len(s.history_) >= 5
+    acc = s.score(big_classification)
+    assert acc > 0.5
+    # every model trained to max_iter (no early drop without patience)
+    assert all(c == 10 for c in s.cv_results_["partial_fit_calls"])
+
+
+def test_incremental_search_patience(big_classification):
+    s = IncrementalSearchCV(SGDClassifier(), PARAMS, n_initial_parameters=5,
+                            max_iter=50, patience=2, tol=0.1, random_state=0)
+    s.fit(big_classification, FEATS, classes=[0, 1])
+    # plateau stopping should prevent most models reaching 50 calls
+    assert max(s.cv_results_["partial_fit_calls"]) < 50
+
+
+def test_sha_steps():
+    steps = _sha_steps(9, 1, 3)
+    assert steps[0] == (9, 1)
+    assert steps[1] == (3, 3)
+    assert steps[2] == (1, 9)
+
+
+def test_successive_halving(big_classification):
+    s = SuccessiveHalvingSearchCV(SGDClassifier(), PARAMS, n_initial_parameters=9,
+                                  n_initial_iter=1, random_state=0, max_iter=30)
+    s.fit(big_classification, FEATS, classes=[0, 1])
+    calls = np.asarray(s.cv_results_["partial_fit_calls"])
+    # budget concentrates: one model trained ≥ 9 calls, most stopped at 1
+    assert calls.max() >= 9
+    assert (calls <= 1).sum() >= 5
+    assert s.best_score_ > 0.4
+
+
+def test_inverse_decay(big_classification):
+    s = InverseDecaySearchCV(SGDClassifier(), PARAMS, n_initial_parameters=6,
+                             max_iter=8, random_state=0)
+    s.fit(big_classification, FEATS, classes=[0, 1])
+    calls = np.asarray(s.cv_results_["partial_fit_calls"])
+    assert calls.max() <= 8
+    assert (calls == calls.max()).sum() <= 2  # only survivors keep training
+
+
+def test_hyperband(big_classification):
+    h = HyperbandSearchCV(SGDClassifier(), PARAMS, max_iter=9, random_state=0)
+    h.fit(big_classification, FEATS, classes=[0, 1])
+    assert len(h.metadata["brackets"]) == 3  # s_max = log3(9) = 2 → 3 brackets
+    assert h.metadata["n_models"] == sum(b["n_models"] for b in h.metadata["brackets"])
+    assert h.best_score_ > 0.4
+    assert h.score(big_classification) > 0.5
+    assert len(h.cv_results_["params"]) == h.metadata["n_models"]
