@@ -160,12 +160,13 @@ class SpectralClustering(BaseEstimator):
             dtype="float64",
         )
         l = len(sample)
-        # A: l×l exact kernel on driver (small), pinv^(1/2) per Nyström
+        # A: l×l exact kernel on driver (small); Nyström embedding map =
+        # top-k eigenvectors scaled by S^{-1/2} (phi(x) ≈ K(x,sample)·U_k·S_k^{-1/2})
         A = rbf_kernel_matrix(sample, sample, self.gamma)
-        U, S, Vt = np.linalg.svd(A, hermitian=True)
-        S_inv_sqrt = np.where(S > 1e-12, 1.0 / np.sqrt(S), 0.0)
-        M = (U * S_inv_sqrt) @ Vt  # A^{-1/2}, l×l
-        proj = M[:, : self.n_clusters]  # embed into k dims
+        U, S, _ = np.linalg.svd(A, hermitian=True)  # S descending
+        k = self.n_clusters
+        S_inv_sqrt = np.where(S[:k] > 1e-12, 1.0 / np.sqrt(S[:k]), 0.0)
+        proj = U[:, :k] * S_inv_sqrt  # l×k embedding map
         # embedding of every row: phi(x) = K(x, sample) @ proj — one
         # narrow map with the l×k matrix broadcast
         emb = self._embed(df, cols, sample, proj)

@@ -258,6 +258,62 @@ class QuantileTransformer(BaseEstimator, TransformerMixin):
         return df
 
 
+class PolynomialFeatures(BaseEstimator, TransformerMixin):
+    """Degree-d polynomial feature expansion (reference
+    data.py:1048-1158). Pure column products — a wide projection fused
+    by codegen; no UDF, no shuffle. Column naming follows sklearn:
+    'a', 'a b', 'a^2', …"""
+
+    def __init__(self, degree: int = 2, interaction_only: bool = False,
+                 include_bias: bool = True):
+        self.degree = degree
+        self.interaction_only = interaction_only
+        self.include_bias = include_bias
+
+    def _combos(self, cols):
+        import itertools
+
+        out = []
+        if self.include_bias:
+            out.append(())
+        for d in range(1, self.degree + 1):
+            comb = (itertools.combinations if self.interaction_only
+                    else itertools.combinations_with_replacement)
+            out.extend(comb(cols, d))
+        return out
+
+    @staticmethod
+    def _name(combo) -> str:
+        if not combo:
+            return "1"
+        parts = []
+        for c in dict.fromkeys(combo):
+            k = combo.count(c)
+            parts.append(c if k == 1 else f"{c}^{k}")
+        return " ".join(parts)
+
+    def fit(self, df: DataFrame, columns=None) -> "PolynomialFeatures":
+        cols = self._validate_data(df, columns)
+        self.combos_ = self._combos(cols)
+        self.feature_names_out_ = [self._name(c) for c in self.combos_]
+        self.n_output_features_ = len(self.combos_)
+        self.columns_ = cols
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        new_cols = {}
+        for combo, name in zip(self.combos_, self.feature_names_out_):
+            if not combo:
+                new_cols[name] = F.lit(1.0)
+                continue
+            e = F.col(combo[0]).cast("double")
+            for c in combo[1:]:
+                e = e * F.col(c).cast("double")
+            if name not in self.columns_:
+                new_cols[name] = e
+        return df.withColumns(new_cols)
+
+
 class SimpleImputer(BaseEstimator, TransformerMixin):
     """Fill nulls/NaNs with mean / median / most_frequent / constant
     (reference dask_ml/impute.py:11-90). Fit is one aggregate pass;
