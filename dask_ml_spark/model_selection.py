@@ -1,0 +1,19 @@
+"""dask_ml.model_selection-compatible namespace."""
+
+from dask_ml_spark.plans.incremental import (  # noqa: F401
+    HyperbandSearchCV,
+    IncrementalSearchCV,
+    InverseDecaySearchCV,
+    SuccessiveHalvingSearchCV,
+)
+from dask_ml_spark.plans.model_selection import (  # noqa: F401
+    GridSearchCV,
+    KFold,
+    ParameterGrid,
+    ParameterSampler,
+    RandomizedSearchCV,
+    ShuffleSplit,
+    check_cv,
+    compute_n_splits,
+    train_test_split,
+)

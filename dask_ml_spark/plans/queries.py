@@ -281,6 +281,72 @@ def sql_dummy_encoder(categories) -> str:
     return f"SELECT o_orderkey, {cases} FROM orders"
 
 
+def q_polynomial_features(spark, sf_dir):
+    from dask_ml_spark.operators.preprocessing import PolynomialFeatures
+
+    li = _t(spark, sf_dir, "lineitem")
+    pf = PolynomialFeatures(degree=2, include_bias=False).fit(li, ["l_quantity", "l_discount"])
+    out = pf.transform(li)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity^2").alias("q2"),
+        F.col("l_quantity l_discount").alias("qd"),
+        F.col("l_discount^2").alias("d2"),
+    )
+
+
+SQL_POLYNOMIAL_FEATURES = """
+SELECT l_orderkey, l_linenumber,
+       l_quantity * l_quantity AS q2,
+       l_quantity * l_discount AS qd,
+       l_discount * l_discount AS d2
+FROM lineitem
+"""
+
+
+PAIRWISE_CENTERS = [[10.0, 30000.0], [40.0, 70000.0]]
+
+
+def q_pairwise_distance_to_centers(spark, sf_dir):
+    """Arrow-batched pandas-UDF pairwise distances vs a broadcast Y —
+    checked against pure-SQL sqrt expressions (validates the UDF
+    path's numerics, not just JVM expressions)."""
+    from dask_ml_spark.operators.pairwise import pairwise_distances
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = pairwise_distances(li, ["l_quantity", "l_extendedprice"], PAIRWISE_CENTERS)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.element_at("distances", 1).alias("dist_0"),
+        F.element_at("distances", 2).alias("dist_1"),
+    )
+
+
+SQL_PAIRWISE_DISTANCE_TO_CENTERS = f"""
+SELECT l_orderkey, l_linenumber,
+       sqrt(pow(l_quantity - {PAIRWISE_CENTERS[0][0]}, 2) + pow(l_extendedprice - {PAIRWISE_CENTERS[0][1]}, 2)) AS dist_0,
+       sqrt(pow(l_quantity - {PAIRWISE_CENTERS[1][0]}, 2) + pow(l_extendedprice - {PAIRWISE_CENTERS[1][1]}, 2)) AS dist_1
+FROM lineitem
+"""
+
+
+def q_minmax_scaler_transform(spark, sf_dir):
+    from dask_ml_spark.operators.preprocessing import MinMaxScaler
+
+    li = _t(spark, sf_dir, "lineitem")
+    sc = MinMaxScaler().fit(li, ["l_quantity"])
+    return sc.transform(li).select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").alias("scaled_quantity")
+    )
+
+
+SQL_MINMAX_SCALER_TRANSFORM = """
+SELECT l_orderkey, l_linenumber,
+       (l_quantity - min(l_quantity) OVER ()) / (max(l_quantity) OVER () - min(l_quantity) OVER ()) AS scaled_quantity
+FROM lineitem
+"""
+
+
 # =====================================================================
 # grouped statistics / models (SURVEY §2.3/2.4)
 # =====================================================================
@@ -841,6 +907,9 @@ def build_catalog():
         "minmax_scaler_fit": q_minmax_scaler_fit,
         "robust_scaler_fit": q_robust_scaler_fit,
         "simple_imputer_fit": q_simple_imputer_fit,
+        "polynomial_features": q_polynomial_features,
+        "pairwise_distance_to_centers": q_pairwise_distance_to_centers,
+        "minmax_scaler_transform": q_minmax_scaler_transform,
         "label_encoder_fit": q_label_encoder_fit,
         "label_encoder_transform": q_label_encoder_transform,
         "ordinal_encoder": q_ordinal_encoder,
@@ -870,6 +939,8 @@ def build_catalog():
         "logistic_regression_eval": q_logistic_regression_eval,
         "pca_transform_variance": q_pca_transform_variance,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "hashing_vectorizer_long": q_hashing_vectorizer_long,
+        "incremental_search_best": q_incremental_search_best,
     }
     oracles = {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -879,6 +950,9 @@ def build_catalog():
         "minmax_scaler_fit": SQL_MINMAX_SCALER_FIT,
         "robust_scaler_fit": SQL_ROBUST_SCALER_FIT,
         "simple_imputer_fit": SQL_SIMPLE_IMPUTER_FIT,
+        "polynomial_features": SQL_POLYNOMIAL_FEATURES,
+        "pairwise_distance_to_centers": SQL_PAIRWISE_DISTANCE_TO_CENTERS,
+        "minmax_scaler_transform": SQL_MINMAX_SCALER_TRANSFORM,
         "label_encoder_fit": SQL_LABEL_ENCODER_FIT,
         "label_encoder_transform": SQL_LABEL_ENCODER_TRANSFORM,
         "ordinal_encoder": SQL_ORDINAL_ENCODER,
@@ -959,6 +1033,42 @@ def q_pca_transform_variance(spark, sf_dir):
         F.var_samp("pc0").alias("var_pc0"),
         F.var_samp("pc1").alias("var_pc1"),
     )
+
+
+def q_hashing_vectorizer_long(spark, sf_dir):
+    """Stateless hashing vectorizer, triplet form (xxhash64 is
+    Spark-specific — rows-only check; determinism is covered by
+    tests/test_text.py)."""
+    from dask_ml_spark.operators.text import HashingVectorizer
+
+    docs = _t(spark, sf_dir, "documents")
+    hv = HashingVectorizer(n_features=1024, alternate_sign=False)
+    return hv.transform_long(docs, "doc_id")
+
+
+def q_incremental_search_best(spark, sf_dir):
+    """Adaptive search smoke at query scale: SuccessiveHalving over the
+    SGD stand-in on a lineitem-derived classification task."""
+    from dask_ml_spark.operators.local_estimators import SGDClassifier
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+    from dask_ml_spark.plans.incremental import SuccessiveHalvingSearchCV
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "label", (F.col("l_returnflag") == "R").cast("double")
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    scaled = StandardScaler().fit(li, cols).transform(li)
+    sha = SuccessiveHalvingSearchCV(
+        SGDClassifier(), {"lr": [0.01, 0.1, 0.5], "alpha": [1e-5, 1e-3]},
+        n_initial_parameters=6, n_initial_iter=2, max_iter=12, random_state=0,
+    )
+    sha.fit(scaled, cols, classes=[0, 1])
+    return spark.createDataFrame([{
+        "best_lr": float(sha.best_params_["lr"]),
+        "best_alpha": float(sha.best_params_["alpha"]),
+        "best_score": float(sha.best_score_),
+        "n_models": int(sha.n_models_),
+    }])
 
 
 def q_ivf_ann_topk(spark, sf_dir):

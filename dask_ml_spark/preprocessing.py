@@ -1,0 +1,19 @@
+"""dask_ml.preprocessing-compatible namespace
+(reference dask_ml/preprocessing/__init__.py)."""
+
+from dask_ml_spark.operators.encoders import (  # noqa: F401
+    Categorizer,
+    DummyEncoder,
+    LabelEncoder,
+    OneHotEncoder,
+    OrdinalEncoder,
+)
+from dask_ml_spark.operators.preprocessing import (  # noqa: F401
+    MinMaxScaler,
+    PolynomialFeatures,
+    QuantileTransformer,
+    RobustScaler,
+    SimpleImputer,
+    StandardScaler,
+)
+from dask_ml_spark.operators.wrappers import BlockTransformer  # noqa: F401

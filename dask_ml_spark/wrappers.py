@@ -1,0 +1,7 @@
+"""dask_ml.wrappers-compatible namespace."""
+
+from dask_ml_spark.operators.wrappers import (  # noqa: F401
+    BlockTransformer,
+    Incremental,
+    ParallelPostFit,
+)
