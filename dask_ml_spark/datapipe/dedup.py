@@ -108,9 +108,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.concat_ws("_", *[F.col(f"m{bi * r + j}").cast("string") for j in range(r)])
         for bi in range(bands)
     ])
+    # persist: the self-join plans one side as a broadcast, so exchange
+    # reuse cannot share the signature aggregation between sides — the
+    # cache makes it compute once (ContextCleaner reclaims it when the
+    # result DataFrame is dropped). One row per (doc, band): small.
     banded = sig.select(
         F.col(id_col), F.posexplode(band_arr).alias("band", "band_key")
-    )
+    ).persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -164,7 +168,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     ])
     blocks = fps.select(
         F.col(id_col), F.col("simhash"), F.posexplode(block_arr).alias("blk", "blk_val")
-    )
+    ).persist()  # see minhash_lsh_pairs persist note
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (
         l.join(
@@ -195,9 +199,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     sizes. The join key (shingle) is the scale hazard — very common
     shingles create hot keys; drop top-frequency shingles upstream or
     rely on AQE skew handling. Output: (id_a, id_b, jaccard)."""
+    # persist: referenced three times (sizes + both join sides)
     sh = ensure_min_partitions(df).select(
         F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("shingle")
-    )
+    ).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     l, r = sh.alias("l"), sh.alias("r")
     shared = (
