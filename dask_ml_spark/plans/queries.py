@@ -466,7 +466,7 @@ FROM lineitem
 
 
 def q_regression_metrics(spark, sf_dir):
-    from dask_ml_spark.functions.metrics import mae_expr, mse_expr, msle_expr
+    from dask_ml_spark.functions.metrics import mae_expr, mape_expr, mse_expr, msle_expr
 
     li = _t(spark, sf_dir, "lineitem")
     y = F.col("l_extendedprice")
@@ -474,6 +474,7 @@ def q_regression_metrics(spark, sf_dir):
     return li.agg(
         mse_expr(y, pred).alias("mse"),
         mae_expr(y, pred).alias("mae"),
+        mape_expr(y, pred).alias("mape"),
         msle_expr(y, pred).alias("msle"),
         (F.lit(1.0) - F.sum(F.pow(y - pred, 2)) / (F.sum(F.pow(y, 2)) - F.pow(F.sum(y), 2) / F.count("*"))).alias("r2"),
     )
@@ -482,6 +483,7 @@ def q_regression_metrics(spark, sf_dir):
 SQL_REGRESSION_METRICS = """
 SELECT avg(pow(l_quantity * 2000.0 - l_extendedprice, 2)) AS mse,
        avg(abs(l_quantity * 2000.0 - l_extendedprice)) AS mae,
+       avg(abs(l_quantity * 2000.0 - l_extendedprice) / greatest(abs(l_extendedprice), 1e-15)) AS mape,
        avg(pow(ln(1 + l_quantity * 2000.0) - ln(1 + l_extendedprice), 2)) AS msle,
        1.0 - sum(pow(l_extendedprice - l_quantity * 2000.0, 2))
            / (sum(pow(l_extendedprice, 2)) - pow(sum(l_extendedprice), 2) / count(*)) AS r2
@@ -893,6 +895,169 @@ GROUP BY event_type
 
 
 # =====================================================================
+# quantile transformer / one-hot / count-vectorizer / kernels /
+# sessionization (widening pass)
+# =====================================================================
+
+def q_quantile_transformer_fit(spark, sf_dir):
+    """The distributed fit pass of QuantileTransformer (reference
+    data.py:303-418): an 11-point exact-percentile grid per column,
+    computed in ONE aggregate pass over both measures."""
+    from dask_ml_spark.operators.preprocessing import QuantileTransformer
+
+    li = _t(spark, sf_dir, "lineitem")
+    qt = QuantileTransformer(n_quantiles=11, approximate=False).fit(
+        li, ["l_quantity", "l_extendedprice"]
+    )
+    rows = [
+        {"idx": i,
+         "q_quantity": float(qt.quantiles_[i, 0]),
+         "q_price": float(qt.quantiles_[i, 1])}
+        for i in range(qt.quantiles_.shape[0])
+    ]
+    return spark.createDataFrame(rows)
+
+
+SQL_QUANTILE_TRANSFORMER_FIT = """
+WITH g AS (
+    SELECT quantile_cont(l_quantity,      [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS qq,
+           quantile_cont(l_extendedprice, [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS qp
+    FROM lineitem
+)
+SELECT CAST(i - 1 AS BIGINT) AS idx, qq[i] AS q_quantity, qp[i] AS q_price
+FROM g, generate_series(1, 11) AS t(i)
+"""
+
+
+def q_one_hot_encoder(spark, sf_dir):
+    """OneHotEncoder dense path (reference _encoders.py:17-307) on two
+    low-cardinality columns, expanded to one 0/1 column per category —
+    pure JVM column expressions, no shuffle."""
+    from dask_ml_spark.operators.encoders import OneHotEncoder
+
+    li = _t(spark, sf_dir, "lineitem")
+    enc = OneHotEncoder(sparse_output=False).fit(li, ["l_returnflag", "l_linestatus"])
+    out = enc.transform(li, output_col="oh")
+    names = []
+    for c in enc.columns_:
+        names += [f"oh_{c[2:]}_{v}" for v in enc.categories_[c].tolist()]
+    sel = [F.col("l_orderkey"), F.col("l_linenumber")]
+    sel += [F.element_at("oh", i + 1).alias(n) for i, n in enumerate(names)]
+    return out.select(*sel)
+
+
+SQL_ONE_HOT_ENCODER = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS oh_returnflag_A,
+       CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS oh_returnflag_N,
+       CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS oh_returnflag_R,
+       CASE WHEN l_linestatus = 'F' THEN 1.0 ELSE 0.0 END AS oh_linestatus_F,
+       CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END AS oh_linestatus_O
+FROM lineitem
+"""
+
+
+def q_count_vectorizer_long(spark, sf_dir):
+    """CountVectorizer two-pass flow (reference text.py:170-230):
+    vocabulary discovery with min_df/max_features, then the long/triplet
+    transform (doc_id, token_id, count) via broadcast-vocabulary join."""
+    from dask_ml_spark.operators.text import CountVectorizer
+
+    docs = _t(spark, sf_dir, "documents")
+    cv = CountVectorizer(input_col="text", token_pattern="[a-z0-9_]{2,}",
+                         min_df=5, max_features=500).fit(docs)
+    return cv.transform_long(docs, "doc_id")
+
+
+SQL_COUNT_VECTORIZER_LONG = f"""
+WITH docfreq AS (
+    SELECT token, count(*) AS df FROM (
+        SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))) AS token
+        FROM documents
+    ) GROUP BY token HAVING count(*) >= 5
+), vocab AS (
+    SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+    FROM (SELECT token FROM docfreq ORDER BY df DESC, token LIMIT 500)
+), tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS token
+    FROM documents
+)
+SELECT tok.doc_id, vocab.token_id, count(*) AS "count"
+FROM tok JOIN vocab USING (token)
+GROUP BY 1, 2
+"""
+
+
+def q_rbf_kernel_to_centers(spark, sf_dir):
+    """Gram-matrix block against a small broadcast Y (reference
+    pairwise.py:136-226 rbf_kernel) — the Arrow-batched kernel path."""
+    import numpy as np
+
+    from dask_ml_spark.operators.pairwise import rbf_kernel
+
+    li = _t(spark, sf_dir, "lineitem")
+    Y = np.array([[10.0, 0.02], [40.0, 0.06]])
+    out = rbf_kernel(li, ["l_quantity", "l_discount"], Y, gamma=0.01, output_col="k")
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.element_at("k", 1).alias("k0"),
+        F.element_at("k", 2).alias("k1"),
+    )
+
+
+SQL_RBF_KERNEL_TO_CENTERS = """
+SELECT l_orderkey, l_linenumber,
+       exp(-0.01 * (pow(l_quantity - 10.0, 2) + pow(l_discount - 0.02, 2))) AS k0,
+       exp(-0.01 * (pow(l_quantity - 40.0, 2) + pow(l_discount - 0.06, 2))) AS k1
+FROM lineitem
+"""
+
+
+def q_event_sessionization(spark, sf_dir):
+    """Sessionize the event stream: a session break is a >30 min gap per
+    user (lag window, ts truncated to seconds), session id = running sum
+    of breaks. Batch rendering of the streaming sessionization op."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    sess = (
+        ev.withColumn("new_sess", F.coalesce(gap > 1800, F.lit(True)).cast("long"))
+        .withColumn(
+            "session_no",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+SQL_EVENT_SESSIONIZATION = """
+WITH g AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, ts, value,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+    FROM g
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       sum(value) AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+
+# =====================================================================
 # catalog assembly
 # =====================================================================
 
@@ -934,6 +1099,11 @@ def build_catalog():
         "document_fingerprint": q_document_fingerprint,
         "windowed_event_features": q_windowed_event_features,
         "event_type_rollup": q_event_type_rollup,
+        "quantile_transformer_fit": q_quantile_transformer_fit,
+        "one_hot_encoder": q_one_hot_encoder,
+        "count_vectorizer_long": q_count_vectorizer_long,
+        "rbf_kernel_to_centers": q_rbf_kernel_to_centers,
+        "event_sessionization": q_event_sessionization,
         # rows-only (iterative / seeded — no SQL equivalent)
         "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
         "logistic_regression_eval": q_logistic_regression_eval,
@@ -941,6 +1111,10 @@ def build_catalog():
         "ivf_ann_topk": q_ivf_ann_topk,
         "hashing_vectorizer_long": q_hashing_vectorizer_long,
         "incremental_search_best": q_incremental_search_best,
+        "truncated_svd_variance": q_truncated_svd_variance,
+        "grid_search_best": q_grid_search_best,
+        "blockwise_voting_eval": q_blockwise_voting_eval,
+        "train_test_split_sizes": q_train_test_split_sizes,
     }
     oracles = {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -977,6 +1151,11 @@ def build_catalog():
         "document_fingerprint": SQL_DOCUMENT_FINGERPRINT,
         "windowed_event_features": SQL_WINDOWED_EVENT_FEATURES,
         "event_type_rollup": SQL_EVENT_TYPE_ROLLUP,
+        "quantile_transformer_fit": SQL_QUANTILE_TRANSFORMER_FIT,
+        "one_hot_encoder": SQL_ONE_HOT_ENCODER,
+        "count_vectorizer_long": SQL_COUNT_VECTORIZER_LONG,
+        "rbf_kernel_to_centers": SQL_RBF_KERNEL_TO_CENTERS,
+        "event_sessionization": SQL_EVENT_SESSIONIZATION,
     }
     return queries, oracles
 
@@ -1082,3 +1261,82 @@ def q_ivf_ann_topk(spark, sf_dir):
     return ivf.search(emb, queries, k=10).select(
         "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
     )
+
+
+def q_truncated_svd_variance(spark, sf_dir):
+    """TruncatedSVD (reference truncated_svd.py:9-246): single-pass
+    Gramian + driver eigh. Eigenvalue magnitudes are deterministic but
+    LAPACK-backed — rows-only check; sklearn parity in tests."""
+    from dask_ml_spark.operators.decomposition import TruncatedSVD
+
+    li = _t(spark, sf_dir, "lineitem")
+    svd = TruncatedSVD(n_components=2).fit(li, LINEITEM_FEATS)
+    return spark.createDataFrame([{
+        "sv0": float(svd.singular_values_[0]),
+        "sv1": float(svd.singular_values_[1]),
+        "explained_var0": float(svd.explained_variance_[0]),
+        "explained_var1": float(svd.explained_variance_[1]),
+    }])
+
+
+def q_grid_search_best(spark, sf_dir):
+    """GridSearchCV (reference _search.py:131-1728): cached KFold folds,
+    thread-pool fit of the (param, fold) grid. Seeded folds — rows-only."""
+    from dask_ml_spark.operators.linear_model import LogisticRegression
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+    from dask_ml_spark.plans.model_selection import GridSearchCV, KFold
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "label", (F.col("l_returnflag") == "R").cast("double")
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    scaled = StandardScaler().fit(li, cols).transform(li)
+    gs = GridSearchCV(
+        LogisticRegression(max_iter=10, tol=1e-4),
+        {"C": [0.1, 10.0]},
+        cv=KFold(n_splits=3, shuffle=True, random_state=7),
+    )
+    gs.fit(scaled, cols, label_col="label")
+    return spark.createDataFrame([{
+        "best_C": float(gs.best_params_["C"]),
+        "best_score": float(gs.best_score_),
+        "n_candidates": int(len(gs.cv_results_["mean_test_score"])),
+    }])
+
+
+def q_blockwise_voting_eval(spark, sf_dir):
+    """BlockwiseVotingClassifier (reference _blockwise.py:11-291): one
+    sklearn-protocol clone fit per partition, majority-vote predict.
+    Partitioning-dependent — rows-only."""
+    from dask_ml_spark.functions.metrics import accuracy_expr
+    from dask_ml_spark.operators.ensemble import BlockwiseVotingClassifier
+    from dask_ml_spark.operators.local_estimators import CentroidClassifier
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "label", (F.col("l_returnflag") == "R").cast("double")
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    scaled = StandardScaler().fit(li, cols).transform(li).repartition(8)
+    bv = BlockwiseVotingClassifier(CentroidClassifier()).fit(scaled, cols, label_col="label")
+    pred = bv.predict(scaled)
+    return pred.agg(
+        accuracy_expr(F.col("label"), F.col("prediction")).alias("accuracy"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_train_test_split_sizes(spark, sf_dir):
+    """train_test_split / randomSplit (reference _split.py:361-520).
+    Seeded row-level Bernoulli split — rows-only (fractions are
+    approximate by design, like the reference's blockwise splits)."""
+    from dask_ml_spark.plans.model_selection import train_test_split
+
+    li = _t(spark, sf_dir, "lineitem")
+    train, test = train_test_split(li, test_size=0.25, random_state=42)
+    n_train, n_test = train.count(), test.count()
+    return spark.createDataFrame([{
+        "n_train": int(n_train),
+        "n_test": int(n_test),
+        "test_frac": float(n_test) / float(n_train + n_test),
+    }])
