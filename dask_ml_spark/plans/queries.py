@@ -1057,6 +1057,55 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal decode plumbing (datapipe/multimodal.py): binary blob
+    column → mapInPandas stub decode → pooled features. The oracle
+    checks the deterministic side (byte counts, feature arity); pixel
+    values are the seeded stub, covered by tests."""
+    from dask_ml_spark.datapipe.multimodal import attach_binary_from_text, decode_image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = attach_binary_from_text(docs)
+    feats = decode_image_features(blobs, resize=(8, 8))
+    return feats.select(
+        "doc_id", "n_bytes", F.size("features").cast("long").alias("n_features")
+    )
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, CAST(64 AS BIGINT) AS n_features
+FROM documents
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: blob → 4 evenly-spaced frame
+    slices per row (explode-shaped mapInPandas). Slice lengths are pure
+    arithmetic on the blob length — SQL-checkable."""
+    from dask_ml_spark.datapipe.multimodal import attach_binary_from_text, frame_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = attach_binary_from_text(docs)
+    frames = frame_sample(blobs, n_frames=4)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.octet_length("frame_blob").cast("long").alias("frame_len"),
+    )
+
+
+SQL_FRAME_SAMPLE = """
+WITH b AS (
+    SELECT doc_id, octet_length(encode(text)) AS L,
+           greatest(1, octet_length(encode(text)) // 4) AS step
+    FROM documents
+)
+SELECT doc_id, fi AS frame_idx,
+       greatest(0, least(L, (fi + 1) * step) - fi * step) AS frame_len
+FROM b, generate_series(0, 3) AS t(fi)
+"""
+
+
 # =====================================================================
 # catalog assembly
 # =====================================================================
@@ -1104,6 +1153,8 @@ def build_catalog():
         "count_vectorizer_long": q_count_vectorizer_long,
         "rbf_kernel_to_centers": q_rbf_kernel_to_centers,
         "event_sessionization": q_event_sessionization,
+        "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
         # rows-only (iterative / seeded — no SQL equivalent)
         "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
         "logistic_regression_eval": q_logistic_regression_eval,
@@ -1156,6 +1207,8 @@ def build_catalog():
         "count_vectorizer_long": SQL_COUNT_VECTORIZER_LONG,
         "rbf_kernel_to_centers": SQL_RBF_KERNEL_TO_CENTERS,
         "event_sessionization": SQL_EVENT_SESSIONIZATION,
+        "multimodal_decode": SQL_MULTIMODAL_DECODE,
+        "frame_sample": SQL_FRAME_SAMPLE,
     }
     return queries, oracles
 
