@@ -57,7 +57,9 @@ class LinearRegression(BaseEstimator, RegressorMixin):
         from pyspark.ml.regression import LinearRegression as MLlibLR
 
         cols = self._validate_data(df, columns)
-        assembled = _assemble(df.select(*cols, F.col(label_col).cast("double").alias(label_col)), cols)
+        # persist across solver iterations: LBFGS/IRLS treeAggregate
+        # rescans the input once per iteration
+        assembled = _assemble(df.select(*cols, F.col(label_col).cast("double").alias(label_col)), cols).persist()
         reg = 0.0 if self.C in (None, float("inf")) else 1.0 / self.C
         if self.penalty is None or self.penalty == "none":
             reg, elastic = 0.0, 0.0
@@ -68,6 +70,7 @@ class LinearRegression(BaseEstimator, RegressorMixin):
             regParam=reg, elasticNetParam=elastic,
             fitIntercept=self.fit_intercept, maxIter=self.max_iter, tol=self.tol,
         ).fit(assembled)
+        assembled.unpersist()
         self.coef_ = np.asarray(m.coefficients.toArray())
         self.intercept_ = float(m.intercept)
         self.feature_columns_ = cols
@@ -94,7 +97,9 @@ class LogisticRegression(BaseEstimator, ClassifierMixin):
         from pyspark.ml.classification import LogisticRegression as MLlibLogReg
 
         cols = self._validate_data(df, columns)
-        assembled = _assemble(df.select(*cols, F.col(label_col).cast("double").alias(label_col)), cols)
+        # persist across solver iterations: LBFGS/IRLS treeAggregate
+        # rescans the input once per iteration
+        assembled = _assemble(df.select(*cols, F.col(label_col).cast("double").alias(label_col)), cols).persist()
         reg = 0.0 if self.C in (None, float("inf")) else 1.0 / self.C
         if self.penalty is None or self.penalty == "none":
             reg, elastic = 0.0, 0.0
@@ -105,6 +110,7 @@ class LogisticRegression(BaseEstimator, ClassifierMixin):
             regParam=reg, elasticNetParam=elastic,
             fitIntercept=self.fit_intercept, maxIter=self.max_iter, tol=self.tol,
         ).fit(assembled)
+        assembled.unpersist()
         self.coef_ = np.asarray(m.coefficients.toArray())
         self.intercept_ = float(m.intercept)
         self.classes_ = np.array([0.0, 1.0])
@@ -140,7 +146,9 @@ class PoissonRegression(BaseEstimator, RegressorMixin):
         from pyspark.ml.regression import GeneralizedLinearRegression
 
         cols = self._validate_data(df, columns)
-        assembled = _assemble(df.select(*cols, F.col(label_col).cast("double").alias(label_col)), cols)
+        # persist across solver iterations: LBFGS/IRLS treeAggregate
+        # rescans the input once per iteration
+        assembled = _assemble(df.select(*cols, F.col(label_col).cast("double").alias(label_col)), cols).persist()
         reg = 0.0 if self.C in (None, float("inf")) else 1.0 / self.C
         m = GeneralizedLinearRegression(
             featuresCol="__features", labelCol=label_col,
@@ -148,6 +156,7 @@ class PoissonRegression(BaseEstimator, RegressorMixin):
             regParam=reg, fitIntercept=self.fit_intercept,
             maxIter=self.max_iter, tol=self.tol,
         ).fit(assembled)
+        assembled.unpersist()
         self.coef_ = np.asarray(m.coefficients.toArray())
         self.intercept_ = float(m.intercept)
         self.feature_columns_ = cols
