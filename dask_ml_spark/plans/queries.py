@@ -1166,6 +1166,10 @@ def build_catalog():
         "grid_search_best": q_grid_search_best,
         "blockwise_voting_eval": q_blockwise_voting_eval,
         "train_test_split_sizes": q_train_test_split_sizes,
+        "spectral_clustering_sizes": q_spectral_clustering_sizes,
+        "incremental_sgd_eval": q_incremental_sgd_eval,
+        "poisson_regression_fit": q_poisson_regression_fit,
+        "make_blobs_kmeans": q_make_blobs_kmeans,
     }
     oracles = {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -1393,3 +1397,78 @@ def q_train_test_split_sizes(spark, sf_dir):
         "n_test": int(n_test),
         "test_frac": float(n_test) / float(n_train + n_test),
     }])
+
+
+def q_spectral_clustering_sizes(spark, sf_dir):
+    """Nyström spectral clustering (reference spectral.py:22-375):
+    sampled kernel block + distributed embedding + k-means. Sampled and
+    seeded — rows-only."""
+    from dask_ml_spark.operators.cluster import SpectralClustering
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    scaled = StandardScaler().fit(li, cols).transform(li)
+    sc = SpectralClustering(n_clusters=3, n_components=40, gamma=0.5, random_state=11)
+    return (
+        sc.fit_predict(scaled, cols)
+        .groupBy("prediction")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("prediction").cast("long").alias("cluster"), "n")
+    )
+
+
+def q_incremental_sgd_eval(spark, sf_dir):
+    """Incremental wrapper (reference wrappers.py:419-603): sequential
+    partial_fit over shuffled Arrow partition batches pulled to a
+    driver-held model, then distributed broadcast predict + accuracy."""
+    from dask_ml_spark.functions.metrics import accuracy_expr
+    from dask_ml_spark.operators.local_estimators import SGDClassifier
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+    from dask_ml_spark.operators.wrappers import Incremental
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "label", (F.col("l_returnflag") == "R").cast("double")
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    scaled = StandardScaler().fit(li, cols).transform(li)
+    inc = Incremental(SGDClassifier(lr=0.1), random_state=3)
+    inc.fit(scaled, cols, label_col="label", classes=[0.0, 1.0])
+    pred = inc.predict(scaled)
+    return pred.agg(
+        accuracy_expr(F.col("label"), F.col("prediction")).alias("accuracy"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_poisson_regression_fit(spark, sf_dir):
+    """Poisson GLM with log link via distributed IRLS (reference
+    glm.py:332-385). Iterative solver — rows-only."""
+    from dask_ml_spark.operators.linear_model import PoissonRegression
+
+    li = _t(spark, sf_dir, "lineitem").withColumn("label", F.col("l_quantity"))
+    pr = PoissonRegression(max_iter=15).fit(li, ["l_discount", "l_tax"], label_col="label")
+    return spark.createDataFrame([{
+        "coef_discount": float(pr.coef_[0]),
+        "coef_tax": float(pr.coef_[1]),
+        "intercept": float(pr.intercept_),
+    }])
+
+
+def q_make_blobs_kmeans(spark, sf_dir):
+    """Synthetic data generators (reference datasets.py:78-206) feeding
+    clustering: make_blobs per-partition seeded generation → KMeans.
+    Seeded — rows-only."""
+    from dask_ml_spark.datasets import make_blobs
+    from dask_ml_spark.operators.cluster import KMeans
+
+    df = make_blobs(n_samples=20000, n_features=4, centers=3,
+                    cluster_std=0.8, random_state=5, n_partitions=8, spark=spark)
+    cols = [c for c in df.columns if c.startswith("x")]
+    km = KMeans(n_clusters=3, random_state=5, max_iter=10).fit(df, cols)
+    return (
+        km.predict(df)
+        .groupBy("prediction")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("prediction").cast("long").alias("cluster"), "n")
+    )
