@@ -169,7 +169,11 @@ class SpectralClustering(BaseEstimator):
         proj = U[:, :k] * S_inv_sqrt  # l×k embedding map
         # embedding of every row: phi(x) = K(x, sample) @ proj — one
         # narrow map with the l×k matrix broadcast
-        emb = self._embed(df, cols, sample, proj)
+        # persist: the embedding (a pandas-UDF kernel map) is scanned by
+        # the KMeans fit loop AND by predict — without the cache it is
+        # recomputed per scan (ContextCleaner reclaims it when the
+        # result DataFrame is dropped)
+        emb = self._embed(df, cols, sample, proj).persist()
         km = KMeans(n_clusters=self.n_clusters, random_state=self.random_state,
                     **(self.kmeans_params or {}))
         emb_cols = [f"__emb_{j}" for j in range(proj.shape[1])]
