@@ -57,6 +57,65 @@ KERNELS = {
 }
 
 
+# --- JVM expression fast path for small Y --------------------------------
+#
+# When k·d is small the whole K(x, Y) block is cheaper as plain column
+# expressions — it stays inside whole-stage codegen with no Arrow round
+# trip. Above the budget (wide Y), the Arrow-batched UDF with BLAS-shaped
+# numpy wins. Output (array<double>) is identical either way.
+
+_EXPR_TERM_BUDGET = 512
+
+
+def _dot_expr(cols, y):
+    e = F.lit(0.0)
+    for c, v in zip(cols, y):
+        if v != 0.0:
+            e = e + F.col(c).cast("double") * F.lit(float(v))
+    return e
+
+
+def _sqdist_expr(cols, y):
+    e = F.lit(0.0)
+    for c, v in zip(cols, y):
+        d = F.col(c).cast("double") - F.lit(float(v))
+        e = e + d * d
+    return e
+
+
+def _small_y_exprs(cols, Y, metric, **kwds):
+    """One JVM expression per Y row, or None when the metric/size needs
+    the UDF path. Distance metrics use the direct (x-y)² form (more
+    accurate than the UDF's -2XY+X²+Y² expansion, same semantics)."""
+    if callable(metric) or len(Y) * len(cols) > _EXPR_TERM_BUDGET:
+        return None
+    g = kwds.get("gamma")
+    g = g if g is not None else 1.0 / len(cols)
+    coef0 = float(kwds.get("coef0", 1.0))
+    degree = float(kwds.get("degree", 3))
+    if metric == "linear":
+        return [_dot_expr(cols, y) for y in Y]
+    if metric == "rbf":
+        return [F.exp(F.lit(-g) * _sqdist_expr(cols, y)) for y in Y]
+    if metric in ("polynomial", "poly"):
+        return [F.pow(F.lit(g) * _dot_expr(cols, y) + F.lit(coef0), F.lit(degree)) for y in Y]
+    if metric == "sigmoid":
+        return [F.tanh(F.lit(g) * _dot_expr(cols, y) + F.lit(coef0)) for y in Y]
+    if metric == "euclidean":
+        return [F.sqrt(_sqdist_expr(cols, y)) for y in Y]
+    if metric == "sqeuclidean":
+        return [_sqdist_expr(cols, y) for y in Y]
+    if metric == "manhattan":
+        exprs = []
+        for y in Y:
+            e = F.lit(0.0)
+            for c, v in zip(cols, y):
+                e = e + F.abs(F.col(c).cast("double") - F.lit(float(v)))
+            exprs.append(e)
+        return exprs
+    return None
+
+
 # --- distributed forms ---------------------------------------------------
 
 def pairwise_distances(df: DataFrame, columns, Y: np.ndarray,
@@ -65,6 +124,9 @@ def pairwise_distances(df: DataFrame, columns, Y: np.ndarray,
     array<double> column of length len(Y) (reference pairwise.py:50-67)."""
     Y = np.asarray(Y, dtype="float64")
     cols = list(columns)
+    exprs = _small_y_exprs(cols, Y, metric)
+    if exprs is not None:
+        return df.withColumn(output_col, F.array(*exprs))
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _dist(*series: pd.Series) -> pd.Series:
@@ -104,6 +166,9 @@ def pairwise_kernels(df: DataFrame, columns, Y: np.ndarray, metric: str = "linea
     pairwise.py:136-226)."""
     Y = np.asarray(Y, dtype="float64")
     cols = list(columns)
+    exprs = _small_y_exprs(cols, Y, metric, **kwds)
+    if exprs is not None:
+        return df.withColumn(output_col, F.array(*exprs))
     if callable(metric):
         kfn = metric
     else:
