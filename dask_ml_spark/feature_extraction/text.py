@@ -2,6 +2,7 @@
 
 from dask_ml_spark.operators.text import (  # noqa: F401
     CountVectorizer,
+    FeatureHasher,
     HashingVectorizer,
     TfidfTransformer,
 )

@@ -200,3 +200,83 @@ class TfidfTransformer(BaseEstimator, TransformerMixin):
             norms = out.groupBy(id_col).agg(F.sqrt(F.sum(F.col("tfidf") ** 2)).alias("__norm"))
             out = out.join(norms, id_col).withColumn("tfidf", F.col("tfidf") / F.col("__norm")).drop("__norm")
         return out
+
+
+class FeatureHasher(BaseEstimator, TransformerMixin):
+    """Stateless hashing of feature dicts (reference text.py — the
+    FeatureHasher companion of HashingVectorizer, applied to
+    dict/sequence rows rather than raw text).
+
+    Input is a map<string,double> column (input_type='dict') or an
+    array<string> column (input_type='string', value 1 per occurrence).
+    bucket = xxhash64(key) % n_features, independent sign hash — same
+    conventions as HashingVectorizer; no fit pass, unbounded scale.
+    """
+
+    def __init__(self, n_features: int = 2 ** 20, input_col: str = "features_raw",
+                 output_col: str = "features", input_type: str = "dict",
+                 alternate_sign: bool = True):
+        self.n_features = n_features
+        self.input_col = input_col
+        self.output_col = output_col
+        self.input_type = input_type
+        self.alternate_sign = alternate_sign
+
+    def fit(self, df: DataFrame, columns=None) -> "FeatureHasher":
+        return self
+
+    def _kv(self, df: DataFrame, id_col: str) -> DataFrame:
+        if self.input_type == "dict":
+            return df.select(
+                F.col(id_col), F.explode(F.col(self.input_col)).alias("key", "value")
+            )
+        return df.select(
+            F.col(id_col), F.explode(F.col(self.input_col)).alias("key")
+        ).withColumn("value", F.lit(1.0))
+
+    def transform_long(self, df: DataFrame, id_col: str) -> DataFrame:
+        """Triplet form (id, bucket, value) — no Python at all."""
+        kv = self._kv(df, id_col)
+        sign = (
+            F.when(F.pmod(F.xxhash64(F.col("key"), F.lit(1)), F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+            if self.alternate_sign
+            else F.lit(1.0)
+        )
+        return (
+            kv.withColumn("bucket", F.pmod(F.xxhash64(F.col("key")), F.lit(self.n_features)).cast("int"))
+            .groupBy(id_col, "bucket")
+            .agg(F.sum(F.col("value") * sign).alias("value"))
+            .where(F.col("value") != 0)
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.linalg import SparseVector, VectorUDT
+        from pyspark.sql.functions import udf
+
+        n = self.n_features
+        alt = self.alternate_sign
+
+        @udf(returnType=VectorUDT())
+        def _vec(pairs):
+            acc = {}
+            for p in pairs or []:
+                j = p["bucket"]
+                v = p["value"] * (p["sign"] if alt else 1.0)
+                acc[j] = acc.get(j, 0.0) + v
+            idx = sorted(k for k, v in acc.items() if v != 0)
+            return SparseVector(n, idx, [acc[i] for i in idx])
+
+        entries = (
+            F.map_entries(F.col(self.input_col))
+            if self.input_type == "dict"
+            else F.transform(F.col(self.input_col), lambda t: F.struct(t.alias("key"), F.lit(1.0).alias("value")))
+        )
+        pairs = F.transform(
+            entries,
+            lambda e: F.struct(
+                F.pmod(F.xxhash64(e["key"]), F.lit(n)).cast("int").alias("bucket"),
+                e["value"].cast("double").alias("value"),
+                F.when(F.pmod(F.xxhash64(e["key"], F.lit(1)), F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("sign"),
+            ),
+        )
+        return df.withColumn(self.output_col, _vec(pairs))

@@ -1170,6 +1170,7 @@ def build_catalog():
         "incremental_sgd_eval": q_incremental_sgd_eval,
         "poisson_regression_fit": q_poisson_regression_fit,
         "make_blobs_kmeans": q_make_blobs_kmeans,
+        "feature_hasher_long": q_feature_hasher_long,
     }
     oracles = {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -1472,3 +1473,22 @@ def q_make_blobs_kmeans(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .select(F.col("prediction").cast("long").alias("cluster"), "n")
     )
+
+
+def q_feature_hasher_long(spark, sf_dir):
+    """FeatureHasher over dict-shaped rows (categorical flags + a
+    numeric), triplet output. xxhash64 buckets are Spark-specific —
+    rows-only; determinism covered by tests."""
+    from dask_ml_spark.operators.text import FeatureHasher
+
+    li = _t(spark, sf_dir, "lineitem")
+    feats = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("row_id"),
+        F.create_map(
+            F.concat(F.lit("rf="), F.col("l_returnflag")), F.lit(1.0),
+            F.concat(F.lit("ls="), F.col("l_linestatus")), F.lit(1.0),
+            F.lit("qty"), F.col("l_quantity").cast("double"),
+        ).alias("features_raw"),
+    )
+    fh = FeatureHasher(n_features=4096)
+    return fh.transform_long(feats, "row_id")

@@ -88,3 +88,31 @@ def test_tfidf(corpus_df):
     # idf of 'this'/'is'/'the' (df=4) is ln(5/5)+1 = 1 (smooth)
     idf = tf.idf_.toPandas().set_index("token_id")["idf"]
     assert abs(idf[cv.vocabulary_["this"]] - 1.0) < 1e-9
+
+
+def test_feature_hasher_dict(spark):
+    from dask_ml_spark.operators.text import FeatureHasher
+
+    rows = [(0, {"cat=a": 1.0, "qty": 3.0}), (1, {"cat=b": 1.0, "qty": 5.0})]
+    df = spark.createDataFrame(rows, "row_id long, features_raw map<string,double>").repartition(2)
+    fh = FeatureHasher(n_features=64)
+    long = fh.transform_long(df, "row_id").toPandas()
+    vecs = {r["row_id"]: r["features"] for r in fh.transform(df).select("row_id", "features").collect()}
+    # long and vector forms agree bucket-for-bucket
+    for _, r in long.iterrows():
+        assert vecs[r["row_id"]][int(r["bucket"])] == pytest.approx(r["value"])
+    # deterministic across runs
+    again = fh.transform_long(df, "row_id").toPandas()
+    a = long.sort_values(["row_id", "bucket"]).reset_index(drop=True)
+    b = again.sort_values(["row_id", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_feature_hasher_string_input(spark):
+    from dask_ml_spark.operators.text import FeatureHasher
+
+    df = spark.createDataFrame([(0, ["a", "b", "a"])], "row_id long, features_raw array<string>")
+    fh = FeatureHasher(n_features=64, input_type="string", alternate_sign=False)
+    out = fh.transform_long(df, "row_id").toPandas()
+    # 'a' occurs twice -> one bucket with value 2, 'b' once
+    assert sorted(out["value"].tolist()) == [1.0, 2.0]
