@@ -1155,6 +1155,7 @@ def build_catalog():
         "event_sessionization": q_event_sessionization,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
+        "quality_filter": q_quality_filter,
         # rows-only (iterative / seeded — no SQL equivalent)
         "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
         "logistic_regression_eval": q_logistic_regression_eval,
@@ -1214,6 +1215,7 @@ def build_catalog():
         "event_sessionization": SQL_EVENT_SESSIONIZATION,
         "multimodal_decode": SQL_MULTIMODAL_DECODE,
         "frame_sample": SQL_FRAME_SAMPLE,
+        "quality_filter": SQL_QUALITY_FILTER,
     }
     return queries, oracles
 
@@ -1492,3 +1494,27 @@ def q_feature_hasher_long(spark, sf_dir):
     )
     fh = FeatureHasher(n_features=4096)
     return fh.transform_long(feats, "row_id")
+
+
+def q_quality_filter(spark, sf_dir):
+    """Curation filter (datapipe/text_stats.py::quality_filter) — the
+    predicate-only composable form; survivors keyed by doc_id."""
+    from dask_ml_spark.datapipe.text_stats import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_filter(docs).select("doc_id", "n_chars")
+
+
+SQL_QUALITY_FILTER = f"""
+WITH s AS (
+    SELECT doc_id, n_chars,
+           regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks,
+           greatest(length(text), 1)::DOUBLE AS safe_chars,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+    FROM documents
+)
+SELECT doc_id, n_chars FROM s
+WHERE len(toks) >= 5
+  AND n_digit / safe_chars <= 0.3
+  AND len(list_distinct(toks)) / greatest(len(toks), 1)::DOUBLE >= 0.2
+"""
