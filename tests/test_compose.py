@@ -149,3 +149,33 @@ def test_streaming_incremental_fit(spark, tmp_path):
     si.fit_stream(stream, trigger_once=True)
     assert si.n_batches_ >= 1
     assert len(si.estimator.classes_) == 2
+
+
+def test_streaming_windowed_features_matches_batch(spark, tmp_path):
+    """readStream -> watermarked window agg -> memory sink produces the
+    same aggregates as the batch rendering of the same operator."""
+    import pandas as pd
+
+    from dask_ml_spark.sources.io import load_table
+    from dask_ml_spark.streaming.incremental import windowed_event_features
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "ev_src")
+    ev.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    agg = windowed_event_features(stream, window="1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("wef_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT window_start, user_id, n_events, sum_value FROM wef_stream")
+        .toPandas().sort_values(["window_start", "user_id"]).reset_index(drop=True)
+    )
+    want = (
+        windowed_event_features(ev, window="1 hour")
+        .select("window_start", "user_id", "n_events", "sum_value")
+        .toPandas().sort_values(["window_start", "user_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
