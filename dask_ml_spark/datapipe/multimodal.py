@@ -41,10 +41,18 @@ AUDIO_META_SCHEMA = T.StructType([
 ])
 
 
+def _bytes_to_array(data: bytes, n: int) -> np.ndarray:
+    """Deterministic pseudo-random uint8 array: the md5 digest of the
+    content, tiled to length n. Constant-time per row (a per-row
+    RandomState would dominate the batch at ~0.5ms each)."""
+    digest = hashlib.md5(data or b"").digest()
+    reps = -(-n // len(digest))
+    return np.frombuffer(digest * reps, dtype=np.uint8)[:n]
+
+
 def _fake_pixels(data: bytes, h: int, w: int, c: int) -> np.ndarray:
-    """Deterministic fake decode: seed a PRNG from the content hash."""
-    seed = int.from_bytes(hashlib.md5(data or b"").digest()[:4], "big")
-    return np.random.RandomState(seed).randint(0, 256, size=(h, w, c), dtype=np.uint8)
+    """Deterministic fake decode derived from the content hash."""
+    return _bytes_to_array(data, h * w * c).reshape(h, w, c)
 
 
 def attach_binary_from_text(df: DataFrame, text_col: str = "text",
@@ -135,8 +143,7 @@ def audio_features(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
             feats = []
             for data in pdf[blob_col]:
                 raw = bytes(data) if data is not None else b""
-                seed = int.from_bytes(hashlib.md5(raw).digest()[:4], "big")
-                feats.append(np.random.RandomState(seed).rand(n_mels).astype("float64"))
+                feats.append(_bytes_to_array(raw, n_mels).astype("float64") / 255.0)
             yield pd.DataFrame({id_col: pdf[id_col], "mel": feats})
 
     schema = T.StructType([
