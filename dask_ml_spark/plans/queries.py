@@ -1172,6 +1172,7 @@ def build_catalog():
         "poisson_regression_fit": q_poisson_regression_fit,
         "make_blobs_kmeans": q_make_blobs_kmeans,
         "feature_hasher_long": q_feature_hasher_long,
+        "hyperband_best": q_hyperband_best,
     }
     oracles = {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -1518,3 +1519,30 @@ WHERE len(toks) >= 5
   AND n_digit / safe_chars <= 0.3
   AND len(list_distinct(toks)) / greatest(len(toks), 1)::DOUBLE >= 0.2
 """
+
+
+def q_hyperband_best(spark, sf_dir):
+    """HyperbandSearchCV (reference _hyperband.py:58-664): SHA brackets
+    with different aggressiveness/budget trade-offs over the same
+    cached batches. Seeded adaptive search — rows-only."""
+    from dask_ml_spark.operators.local_estimators import SGDClassifier
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+    from dask_ml_spark.plans.incremental import HyperbandSearchCV
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "label", (F.col("l_returnflag") == "R").cast("double")
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    scaled = StandardScaler().fit(li, cols).transform(li)
+    hb = HyperbandSearchCV(
+        SGDClassifier(), {"lr": [0.01, 0.05, 0.1, 0.5], "alpha": [1e-5, 1e-4, 1e-3]},
+        max_iter=9, aggressiveness=3, random_state=0,
+    )
+    hb.fit(scaled, cols, classes=[0.0, 1.0])
+    return spark.createDataFrame([{
+        "best_lr": float(hb.best_params_["lr"]),
+        "best_alpha": float(hb.best_params_["alpha"]),
+        "best_score": float(hb.best_score_),
+        "n_models": int(hb.metadata_["n_models"]),
+        "partial_fit_calls": int(hb.metadata_["partial_fit_calls"]),
+    }])

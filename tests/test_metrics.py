@@ -80,3 +80,44 @@ def test_scorer_registry(preds):
         M.get_scorer("nope")
     neg = M.get_scorer("neg_mean_squared_error")(df, "ylabel", "ypred")
     assert neg < 0
+
+
+# --- property-based: SQL aggregate == numpy on arbitrary data ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+
+@st.composite
+def _reg_arrays(draw):
+    n = draw(st.integers(min_value=2, max_value=60))
+    finite = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=64)
+    y = draw(arrays(np.float64, n, elements=finite))
+    p = draw(arrays(np.float64, n, elements=finite))
+    return y, p
+
+
+@settings(max_examples=12, deadline=None)
+@given(_reg_arrays())
+def test_property_regression_metrics_match_numpy(spark, yp):
+    y, p = yp
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"label": y, "prediction": p})).repartition(3)
+    got_mse = M.mean_squared_error(df)
+    got_mae = M.mean_absolute_error(df)
+    assert got_mse == pytest.approx(((p - y) ** 2).mean(), rel=1e-9, abs=1e-9)
+    assert got_mae == pytest.approx(np.abs(p - y).mean(), rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=2, max_value=80), st.integers(min_value=0, max_value=2**31 - 1))
+def test_property_accuracy_matches_numpy(spark, n, seed):
+    rng = np.random.RandomState(seed)
+    y = rng.randint(0, 3, n).astype(float)
+    p = rng.randint(0, 3, n).astype(float)
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"label": y, "prediction": p})).repartition(2)
+    assert M.accuracy_score(df) == pytest.approx((y == p).mean())
