@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dask_ml_spark.utils import ensure_min_partitions
+
 IMAGE_META_SCHEMA = T.StructType([
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
@@ -100,7 +102,7 @@ def decode_image_features(df: DataFrame, blob_col: str = "blob", id_col: str = "
         T.StructField("features", T.ArrayType(T.DoubleType())),
         T.StructField("n_bytes", T.LongType()),
     ])
-    return df.select(id_col, blob_col).mapInPandas(_decode, schema=schema)
+    return ensure_min_partitions(df.select(id_col, blob_col)).mapInPandas(_decode, schema=schema)
 
 
 def frame_sample(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id",
@@ -129,7 +131,7 @@ def frame_sample(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id",
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("frame_blob", T.BinaryType()),
     ])
-    return df.select(id_col, blob_col).mapInPandas(_sample, schema=schema)
+    return ensure_min_partitions(df.select(id_col, blob_col)).mapInPandas(_sample, schema=schema)
 
 
 def audio_features(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id",
@@ -150,4 +152,4 @@ def audio_features(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
         T.StructField(id_col, T.LongType()),
         T.StructField("mel", T.ArrayType(T.DoubleType())),
     ])
-    return df.select(id_col, blob_col).mapInPandas(_feat, schema=schema)
+    return ensure_min_partitions(df.select(id_col, blob_col)).mapInPandas(_feat, schema=schema)
