@@ -1156,6 +1156,8 @@ def build_catalog():
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
         "quality_filter": q_quality_filter,
+        "weighted_metrics": q_weighted_metrics,
+        "pipeline_poly_scale": q_pipeline_poly_scale,
         # rows-only (iterative / seeded — no SQL equivalent)
         "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
         "logistic_regression_eval": q_logistic_regression_eval,
@@ -1217,6 +1219,8 @@ def build_catalog():
         "multimodal_decode": SQL_MULTIMODAL_DECODE,
         "frame_sample": SQL_FRAME_SAMPLE,
         "quality_filter": SQL_QUALITY_FILTER,
+        "weighted_metrics": SQL_WEIGHTED_METRICS,
+        "pipeline_poly_scale": SQL_PIPELINE_POLY_SCALE,
     }
     return queries, oracles
 
@@ -1546,3 +1550,69 @@ def q_hyperband_best(spark, sf_dir):
         "n_models": int(hb.metadata_["n_models"]),
         "partial_fit_calls": int(hb.metadata_["partial_fit_calls"]),
     }])
+
+
+def q_weighted_metrics(spark, sf_dir):
+    """Weighted metric aggregates (reference passes sample_weight
+    through sklearn formulas): sum(w*x)/sum(w) shape, one pass."""
+    from dask_ml_spark.functions.metrics import accuracy_expr, mse_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    y = (F.col("l_returnflag") == "R").cast("double")
+    pred = (F.col("l_discount") > 0.05).cast("double")
+    w = F.col("l_tax") + 0.01
+    yr = F.col("l_extendedprice")
+    pr = F.col("l_quantity") * 2000.0
+    return li.agg(
+        accuracy_expr(y, pred, w).alias("weighted_accuracy"),
+        mse_expr(yr, pr, w).alias("weighted_mse"),
+        F.sum(w).alias("sum_w"),
+    )
+
+
+SQL_WEIGHTED_METRICS = """
+SELECT sum((l_tax + 0.01) * CASE WHEN (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) =
+                                      (CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END)
+                                 THEN 1.0 ELSE 0.0 END) / sum(l_tax + 0.01) AS weighted_accuracy,
+       sum((l_tax + 0.01) * pow(l_quantity * 2000.0 - l_extendedprice, 2)) / sum(l_tax + 0.01) AS weighted_mse,
+       sum(l_tax + 0.01) AS sum_w
+FROM lineitem
+"""
+
+
+def q_pipeline_poly_scale(spark, sf_dir):
+    """compose.Pipeline chaining StandardScaler -> PolynomialFeatures
+    (reference compose/_column_transformer.py + Pipeline semantics):
+    fitted state folds into one fused projection — no UDF, no shuffle."""
+    from dask_ml_spark.operators.compose import Pipeline
+    from dask_ml_spark.operators.preprocessing import PolynomialFeatures, StandardScaler
+
+    li = _t(spark, sf_dir, "lineitem")
+    pipe = Pipeline([
+        ("scale", StandardScaler()),
+        ("poly", PolynomialFeatures(degree=2, include_bias=False)),
+    ])
+    pipe.fit(li, ["l_quantity", "l_discount"])
+    out = pipe.transform(li)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").alias("z_quantity"),
+        F.col("l_discount").alias("z_discount"),
+        F.col("l_quantity^2").alias("z_quantity_sq"),
+        F.col("l_quantity l_discount").alias("z_cross"),
+        F.col("l_discount^2").alias("z_discount_sq"),
+    )
+
+
+SQL_PIPELINE_POLY_SCALE = """
+WITH z AS (
+    SELECT l_orderkey, l_linenumber,
+           (l_quantity - avg(l_quantity) OVER ()) / stddev_pop(l_quantity) OVER () AS zq,
+           (l_discount - avg(l_discount) OVER ()) / stddev_pop(l_discount) OVER () AS zd
+    FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       zq AS z_quantity, zd AS z_discount,
+       zq * zq AS z_quantity_sq, zq * zd AS z_cross, zd * zd AS z_discount_sq
+FROM z
+"""
