@@ -50,13 +50,32 @@ class Categorizer(BaseEstimator, TransformerMixin):
         cols = columns or self.columns
         if cols is None:
             cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "string"]
-        # one distinct-scan per column, submitted as a single job via
-        # explode trick would skew; per-column jobs are fine (dictionaries
-        # are dimension-sized)
+        types = {f.name: f.dataType.typeName() for f in df.schema.fields}
         self.categories_ = {}
-        for c in cols:
-            vals = [r[0] for r in df.select(c).where(F.col(c).isNotNull()).distinct().orderBy(c).collect()]
-            self.categories_[c] = np.asarray(vals)
+        if cols and all(types.get(c) == "string" for c in cols):
+            # ONE scan for every dictionary: stack (column, value) pairs
+            # and distinct — instead of one full-table scan per column,
+            # which is the difference between 1 and D passes at scale.
+            # The result is dimension-sized (sum of cardinalities).
+            pairs = (
+                df.select(F.explode(F.array(*[
+                    F.struct(F.lit(c).alias("c"), F.col(c).alias("v")) for c in cols
+                ])).alias("p"))
+                .select("p.c", "p.v")
+                .where(F.col("v").isNotNull())
+                .distinct()
+                .collect()
+            )
+            by_col: dict[str, list] = {c: [] for c in cols}
+            for r in pairs:
+                by_col[r["c"]].append(r["v"])
+            for c in cols:
+                self.categories_[c] = np.asarray(sorted(by_col[c]))
+        else:
+            # mixed/non-string dtypes: per-column distinct keeps values typed
+            for c in cols:
+                vals = [r[0] for r in df.select(c).where(F.col(c).isNotNull()).distinct().orderBy(c).collect()]
+                self.categories_[c] = np.asarray(vals)
         self.columns_ = list(cols)
         return self
 
