@@ -188,7 +188,9 @@ class GridSearchCV(BaseEstimator):
                 for i in range(cv.n_splits)
             ]
         else:
-            folds = list(cv.split(df))
+            # CVCache analog for the ShuffleSplit path too — otherwise
+            # every (candidate, fold) fit rescans the source
+            folds = [(tr.persist(), te.persist()) for tr, te in cv.split(df)]
 
         seen: dict[str, int] = {}  # dedup identical candidates (reference `seen`)
         tasks = []
@@ -237,6 +239,10 @@ class GridSearchCV(BaseEstimator):
             self.best_estimator_.fit(df, columns=columns, label_col=label_col)
         if with_fold is not None:
             with_fold.unpersist()
+        else:
+            for tr, te in folds:
+                tr.unpersist()
+                te.unpersist()
         return self
 
     def predict(self, df: DataFrame, **kw) -> DataFrame:
