@@ -336,10 +336,8 @@ class SimpleImputer(BaseEstimator, TransformerMixin):
             row = df.agg(*[F.avg(_nn(c)).alias(c) for c in cols]).collect()[0]
         elif self.strategy == "median":
             row = df.agg(*[F.percentile(_nn(c), F.lit(0.5)).alias(c) for c in cols]).collect()[0]
-        else:  # most_frequent — groupBy-count per column, ties → smallest value
-            row = df.agg(
-                *[F.mode(F.col(c), False).alias(c) for c in cols]  # deterministic=False param not for ties; see note
-            ).collect()[0]
+        else:  # most_frequent — deterministic mode (ties resolve by value)
+            row = df.agg(*[F.mode(F.col(c), True).alias(c) for c in cols]).collect()[0]
         self.columns_ = cols
         self.statistics_ = {c: row[c] for c in cols}
         return self

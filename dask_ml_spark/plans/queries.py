@@ -1158,6 +1158,7 @@ def build_catalog():
         "quality_filter": q_quality_filter,
         "weighted_metrics": q_weighted_metrics,
         "pipeline_poly_scale": q_pipeline_poly_scale,
+        "simple_imputer_transform": q_simple_imputer_transform,
         # rows-only (iterative / seeded — no SQL equivalent)
         "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
         "logistic_regression_eval": q_logistic_regression_eval,
@@ -1221,6 +1222,7 @@ def build_catalog():
         "quality_filter": SQL_QUALITY_FILTER,
         "weighted_metrics": SQL_WEIGHTED_METRICS,
         "pipeline_poly_scale": SQL_PIPELINE_POLY_SCALE,
+        "simple_imputer_transform": SQL_SIMPLE_IMPUTER_TRANSFORM,
     }
     return queries, oracles
 
@@ -1615,4 +1617,29 @@ SELECT l_orderkey, l_linenumber,
        zq AS z_quantity, zd AS z_discount,
        zq * zq AS z_quantity_sq, zq * zd AS z_cross, zd * zd AS z_discount_sq
 FROM z
+"""
+
+
+def q_simple_imputer_transform(spark, sf_dir):
+    """SimpleImputer transform path (reference impute.py fillna): nulls
+    fabricated from zero discounts, filled with the fitted mean — fit is
+    one aggregate, transform a pure coalesce projection."""
+    from dask_ml_spark.operators.preprocessing import SimpleImputer
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "d2", F.when(F.col("l_discount") == 0, None).otherwise(F.col("l_discount"))
+    )
+    imp = SimpleImputer(strategy="mean").fit(li, ["d2"])
+    return imp.transform(li).select("l_orderkey", "l_linenumber", "d2")
+
+
+SQL_SIMPLE_IMPUTER_TRANSFORM = """
+WITH s AS (
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL ELSE l_discount END AS d2
+    FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       coalesce(d2, (SELECT avg(d2) FROM s)) AS d2
+FROM s
 """
