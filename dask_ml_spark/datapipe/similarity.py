@@ -62,9 +62,13 @@ class IVFIndex:
 
     def fit(self, df: DataFrame, sample_rows: int = 100_000) -> "IVFIndex":
         """Train the coarse quantizer on a sample (driver numpy k-means —
-        centroids are tiny; the data-scale work stays in Spark)."""
+        centroids are tiny; the data-scale work stays in Spark).
+
+        rand-ordered limit = TakeOrdered (per-partition top-n + merge):
+        an unbiased sample without a full shuffle; a bare limit() would
+        draw only from the first partitions."""
         sample = np.asarray(
-            [r[0] for r in df.select(self.vec_col).limit(sample_rows).collect()],
+            [r[0] for r in df.select(self.vec_col).orderBy(F.rand(self.seed)).limit(sample_rows).collect()],
             dtype="float64",
         )
         rng = np.random.RandomState(self.seed)
