@@ -111,3 +111,67 @@ def add_row_index(df: DataFrame, name: str = "__row_id__") -> DataFrame:
     index would force a full pass + shuffle and does not scale.
     """
     return df.withColumn(name, F.monotonically_increasing_id())
+
+
+def handle_zeros_in_scale(scale):
+    """Constant features scale by 1 instead of dividing by zero
+    (reference utils.py:74-83)."""
+    import numbers
+
+    if isinstance(scale, numbers.Number):
+        return 1.0 if scale == 0.0 else scale
+    s = np.asarray(scale, dtype="float64").copy()
+    s[s == 0.0] = 1.0
+    return s
+
+
+def check_random_state(random_state):
+    """Normalize None/int/RandomState to a RandomState (reference
+    utils.py:235-246, minus the dask-specific branch)."""
+    if random_state is None:
+        return np.random.RandomState()
+    if isinstance(random_state, int):
+        return np.random.RandomState(random_state)
+    if isinstance(random_state, np.random.RandomState):
+        return random_state
+    raise TypeError(f"Cannot use {random_state!r} to seed a RandomState")
+
+
+def assert_estimator_equal(left, right, exclude=None, **kwargs):
+    """Compare every learned attribute (trailing-underscore) of two
+    fitted estimators (reference utils.py:91-121) — the reference's
+    main testing utility; numpy-tolerant via **kwargs (atol/rtol)."""
+    exclude = set() if exclude is None else set(exclude)
+    l_attrs = {a for a in dir(left) if a.endswith("_") and not a.startswith("_")}
+    r_attrs = {a for a in dir(right) if a.endswith("_") and not a.startswith("_")}
+    attrs = (l_attrs & r_attrs) - exclude
+    assert attrs, "no learned attributes in common"
+    for attr in attrs:
+        _assert_eq(getattr(left, attr), getattr(right, attr), name=attr, **kwargs)
+
+
+def _assert_eq(l, r, name=None, **kwargs):
+    if isinstance(l, dict):
+        assert isinstance(r, dict) and set(l) == set(r), name
+        for k in l:
+            _assert_eq(l[k], r[k], name=f"{name}[{k}]", **kwargs)
+    elif isinstance(l, np.ndarray) or isinstance(r, np.ndarray):
+        la, ra = np.asarray(l), np.asarray(r)
+        if la.dtype.kind in "fc" or ra.dtype.kind in "fc":
+            np.testing.assert_allclose(la, ra, err_msg=str(name), **kwargs)
+        else:
+            np.testing.assert_array_equal(la, ra, err_msg=str(name))
+    elif isinstance(l, float) or isinstance(r, float):
+        assert l == pytest_approx(r, **kwargs), f"{name}: {l} != {r}"
+    else:
+        assert l == r, f"{name}: {l!r} != {r!r}"
+
+
+def pytest_approx(value, atol=1e-8, rtol=1e-6, **_):
+    import math
+
+    class _Approx:
+        def __eq__(self, other):
+            return math.isclose(other, value, rel_tol=rtol, abs_tol=atol)
+
+    return _Approx()
