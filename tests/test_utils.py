@@ -1,0 +1,49 @@
+"""Public utility surface (reference dask_ml/utils.py exports)."""
+
+import numpy as np
+import pytest
+
+from dask_ml_spark.utils import (
+    assert_estimator_equal,
+    check_random_state,
+    ensure_min_partitions,
+    handle_zeros_in_scale,
+)
+
+
+def test_handle_zeros_in_scale():
+    assert handle_zeros_in_scale(0.0) == 1.0
+    assert handle_zeros_in_scale(2.5) == 2.5
+    out = handle_zeros_in_scale(np.array([0.0, 3.0]))
+    np.testing.assert_array_equal(out, [1.0, 3.0])
+
+
+def test_check_random_state():
+    assert check_random_state(7).randint(100) == np.random.RandomState(7).randint(100)
+    rs = np.random.RandomState(1)
+    assert check_random_state(rs) is rs
+    assert isinstance(check_random_state(None), np.random.RandomState)
+    with pytest.raises(TypeError):
+        check_random_state("nope")
+
+
+def test_assert_estimator_equal():
+    class E:
+        pass
+
+    a, b = E(), E()
+    a.mean_ = np.array([1.0, 2.0])
+    b.mean_ = np.array([1.0, 2.0 + 1e-10])
+    a.classes_ = np.array(["x", "y"])
+    b.classes_ = np.array(["x", "y"])
+    assert_estimator_equal(a, b, atol=1e-8)
+    b.mean_ = np.array([1.0, 3.0])
+    with pytest.raises(AssertionError):
+        assert_estimator_equal(a, b)
+
+
+def test_ensure_min_partitions_noop_when_enough(spark):
+    df = spark.range(1000).repartition(64)
+    assert ensure_min_partitions(df).rdd.getNumPartitions() == 64
+    small = spark.range(10).coalesce(1)
+    assert ensure_min_partitions(small).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
