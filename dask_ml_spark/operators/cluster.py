@@ -87,7 +87,10 @@ class KMeans(BaseEstimator, TransformerMixin):
         n = data.count()
         k = self.n_clusters
         centers = np.asarray(
-            data.sample(fraction=min(1.0, 10.0 * k / max(n, 1)), seed=int(rng.randint(2**31))).limit(k).collect(),
+            # rand-ordered limit: limit() alone would take the sampled
+            # rows of the FIRST partitions (spatial bias on sorted data)
+            data.sample(fraction=min(1.0, 10.0 * k / max(n, 1)), seed=int(rng.randint(2**31)))
+            .orderBy(F.rand(int(rng.randint(2**31)))).limit(k).collect(),
             dtype="float64",
         )
         if len(centers) < k:
@@ -156,7 +159,8 @@ class SpectralClustering(BaseEstimator):
         l = min(self.n_components, n)
         frac = min(1.0, 1.2 * l / max(n, 1))
         sample = np.asarray(
-            df.select(*cols).sample(fraction=frac, seed=self.random_state or 0).limit(l).collect(),
+            df.select(*cols).sample(fraction=frac, seed=self.random_state or 0)
+            .orderBy(F.rand(self.random_state or 0)).limit(l).collect(),
             dtype="float64",
         )
         l = len(sample)
