@@ -40,6 +40,19 @@ HEADLINE = [
     "embedding_near_dup",
     "windowed_event_features",
     "event_type_rollup",
+    "event_sessionization",
+    "quantile_transformer_fit",
+    "one_hot_encoder",
+    "count_vectorizer_long",
+    "rbf_kernel_to_centers",
+    "multimodal_decode",
+    "frame_sample",
+    "weighted_metrics",
+    "pipeline_poly_scale",
+    "column_transformer",
+    "quality_filter",
+    "simple_imputer_transform",
+    "feature_hasher_long",
 ]
 
 

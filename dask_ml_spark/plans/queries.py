@@ -1159,6 +1159,7 @@ def build_catalog():
         "weighted_metrics": q_weighted_metrics,
         "pipeline_poly_scale": q_pipeline_poly_scale,
         "simple_imputer_transform": q_simple_imputer_transform,
+        "column_transformer": q_column_transformer,
         # rows-only (iterative / seeded — no SQL equivalent)
         "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
         "logistic_regression_eval": q_logistic_regression_eval,
@@ -1176,6 +1177,7 @@ def build_catalog():
         "make_blobs_kmeans": q_make_blobs_kmeans,
         "feature_hasher_long": q_feature_hasher_long,
         "hyperband_best": q_hyperband_best,
+        "parallel_post_fit_eval": q_parallel_post_fit_eval,
     }
     oracles = {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -1223,6 +1225,7 @@ def build_catalog():
         "weighted_metrics": SQL_WEIGHTED_METRICS,
         "pipeline_poly_scale": SQL_PIPELINE_POLY_SCALE,
         "simple_imputer_transform": SQL_SIMPLE_IMPUTER_TRANSFORM,
+        "column_transformer": SQL_COLUMN_TRANSFORMER,
     }
     return queries, oracles
 
@@ -1643,3 +1646,56 @@ SELECT l_orderkey, l_linenumber,
        coalesce(d2, (SELECT avg(d2) FROM s)) AS d2
 FROM s
 """
+
+
+def q_column_transformer(spark, sf_dir):
+    """compose.ColumnTransformer (reference _column_transformer.py:12-219):
+    standard-scale two measures, min-max a third — different fitted
+    transformers per column subset, one fused projection."""
+    from dask_ml_spark.operators.compose import ColumnTransformer
+    from dask_ml_spark.operators.preprocessing import MinMaxScaler, StandardScaler
+
+    li = _t(spark, sf_dir, "lineitem")
+    ct = ColumnTransformer([
+        ("std", StandardScaler(), ["l_quantity", "l_extendedprice"]),
+        ("mm", MinMaxScaler(), ["l_discount"]),
+    ])
+    out = ct.fit(li).transform(li)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").alias("z_quantity"),
+        F.col("l_extendedprice").alias("z_price"),
+        F.col("l_discount").alias("mm_discount"),
+    )
+
+
+SQL_COLUMN_TRANSFORMER = """
+SELECT l_orderkey, l_linenumber,
+       (l_quantity - avg(l_quantity) OVER ()) / stddev_pop(l_quantity) OVER () AS z_quantity,
+       (l_extendedprice - avg(l_extendedprice) OVER ()) / stddev_pop(l_extendedprice) OVER () AS z_price,
+       (l_discount - min(l_discount) OVER ()) / (max(l_discount) OVER () - min(l_discount) OVER ()) AS mm_discount
+FROM lineitem
+"""
+
+
+def q_parallel_post_fit_eval(spark, sf_dir):
+    """ParallelPostFit (reference wrappers.py:298-401): driver-side fit
+    on a sample, broadcast-model Arrow predict over the full table,
+    metric aggregate. Sampled fit — rows-only."""
+    from dask_ml_spark.functions.metrics import accuracy_expr
+    from dask_ml_spark.operators.local_estimators import CentroidClassifier
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+    from dask_ml_spark.operators.wrappers import ParallelPostFit
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "label", (F.col("l_returnflag") == "R").cast("double")
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    scaled = StandardScaler().fit(li, cols).transform(li)
+    ppf = ParallelPostFit(CentroidClassifier())
+    ppf.fit(scaled, cols, label_col="label", sample_rows=5000)
+    pred = ppf.predict(scaled)
+    return pred.agg(
+        accuracy_expr(F.col("label"), F.col("prediction")).alias("accuracy"),
+        F.count("*").alias("n"),
+    )
