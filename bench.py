@@ -76,6 +76,10 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        # release per-query persisted intermediates (dedup self-join
+        # tables etc.) so storage-memory pressure from one query can't
+        # skew the next — each query is measured in a clean session state
+        spark.catalog.clearCache()
     total = round(time.time() - t_all, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
