@@ -228,26 +228,24 @@ class OneHotEncoder(BaseEstimator, TransformerMixin):
     def transform(self, df: DataFrame, output_col: str = "onehot") -> DataFrame:
         from pyspark.ml.functions import array_to_vector
 
-        # code per column (JVM map lookup), then a sparse one-hot vector.
+        n = self.n_features_out_
+        if not self.sparse_output or n <= 1024:
+            # dense array<double> built JVM-side: one direct equality
+            # indicator per (column, category) slot — O(total
+            # categories) per row, fully inside codegen
+            slots = []
+            for c in self.columns_:
+                for v in self.categories_[c].tolist():
+                    slots.append(F.when(F.col(c) == F.lit(v), 1.0).otherwise(0.0))
+            arr = F.array(*slots)
+            out = df.withColumn(output_col, array_to_vector(arr) if self.sparse_output else arr)
+            return out
+        # wide path below: code per column (JVM map lookup) feeding a
+        # SparseVector-assembling UDF (VectorUDT is not Arrow-encodable)
         idx_cols = []
         for j, c in enumerate(self.columns_):
             mapping = {v: i + int(self.feature_offsets_[j]) for i, v in enumerate(self.categories_[c].tolist())}
             idx_cols.append(_code_expr(F.col(c), mapping).cast("int"))
-        if self.sparse_output:
-            # build via MLlib VectorUDT using a pandas UDF-free route:
-            # array of active indices -> SparseVector through udf-less
-            # construction isn't available; use array<double> dense when
-            # small, else pandas_udf. Dense array path (JVM):
-            pass
-        n = self.n_features_out_
-        if not self.sparse_output or n <= 1024:
-            # dense array<double> built JVM-side; vectorizable downstream
-            arr = F.transform(
-                F.sequence(F.lit(0), F.lit(n - 1)),
-                lambda i: F.when(F.array_contains(F.array(*idx_cols), i.cast("int")), 1.0).otherwise(0.0),
-            )
-            out = df.withColumn(output_col, array_to_vector(arr) if self.sparse_output else arr)
-            return out
         # wide case: Arrow-batched pandas UDF emitting SparseVectors
         from pyspark.ml.linalg import SparseVector, VectorUDT
         from pyspark.sql.functions import udf
