@@ -1160,6 +1160,9 @@ def build_catalog():
         "pipeline_poly_scale": q_pipeline_poly_scale,
         "simple_imputer_transform": q_simple_imputer_transform,
         "column_transformer": q_column_transformer,
+        "robust_scaler_transform": q_robust_scaler_transform,
+        "label_encoder_roundtrip": q_label_encoder_roundtrip,
+        "part_brand_stats": q_part_brand_stats,
         # rows-only (iterative / seeded — no SQL equivalent)
         "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
         "logistic_regression_eval": q_logistic_regression_eval,
@@ -1226,6 +1229,9 @@ def build_catalog():
         "pipeline_poly_scale": SQL_PIPELINE_POLY_SCALE,
         "simple_imputer_transform": SQL_SIMPLE_IMPUTER_TRANSFORM,
         "column_transformer": SQL_COLUMN_TRANSFORMER,
+        "robust_scaler_transform": SQL_ROBUST_SCALER_TRANSFORM,
+        "label_encoder_roundtrip": SQL_LABEL_ENCODER_ROUNDTRIP,
+        "part_brand_stats": SQL_PART_BRAND_STATS,
     }
     return queries, oracles
 
@@ -1699,3 +1705,71 @@ def q_parallel_post_fit_eval(spark, sf_dir):
         accuracy_expr(F.col("label"), F.col("prediction")).alias("accuracy"),
         F.count("*").alias("n"),
     )
+
+
+def q_robust_scaler_transform(spark, sf_dir):
+    """RobustScaler transform path: (x - median)/IQR with the fitted
+    exact quantiles folded in as literals."""
+    from dask_ml_spark.operators.preprocessing import RobustScaler
+
+    li = _t(spark, sf_dir, "lineitem")
+    sc = RobustScaler().fit(li, ["l_quantity", "l_extendedprice"])
+    return sc.transform(li).select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").alias("r_quantity"),
+        F.col("l_extendedprice").alias("r_price"),
+    )
+
+
+SQL_ROBUST_SCALER_TRANSFORM = """
+WITH q AS (
+    SELECT quantile_cont(l_quantity, 0.25) AS q1_q, quantile_cont(l_quantity, 0.5) AS med_q,
+           quantile_cont(l_quantity, 0.75) AS q3_q,
+           quantile_cont(l_extendedprice, 0.25) AS q1_p, quantile_cont(l_extendedprice, 0.5) AS med_p,
+           quantile_cont(l_extendedprice, 0.75) AS q3_p
+    FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       (l_quantity - med_q) / (q3_q - q1_q) AS r_quantity,
+       (l_extendedprice - med_p) / (q3_p - q1_p) AS r_price
+FROM lineitem, q
+"""
+
+
+def q_label_encoder_roundtrip(spark, sf_dir):
+    """LabelEncoder transform -> inverse_transform round-trip
+    (reference label.py:146-196): codes come back as the original
+    labels; the oracle is an identity projection."""
+    from dask_ml_spark.operators.encoders import LabelEncoder
+
+    o = _t(spark, sf_dir, "orders")
+    le = LabelEncoder().fit(o, "o_orderpriority")
+    coded = le.transform(o, output_col="code")
+    back = le.inverse_transform(coded, "code", output_col="decoded")
+    return back.select("o_orderkey", F.col("decoded").alias("o_orderpriority_rt"))
+
+
+SQL_LABEL_ENCODER_ROUNDTRIP = """
+SELECT o_orderkey, o_orderpriority AS o_orderpriority_rt FROM orders
+"""
+
+
+def q_part_brand_stats(spark, sf_dir):
+    """Grouped stats over the part dimension table (covers the
+    part/supplier side of the schema)."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.avg("p_retailprice").alias("avg_price"),
+        F.stddev_samp("p_retailprice").alias("std_price"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
+SQL_PART_BRAND_STATS = """
+SELECT p_brand, count(*) AS n_parts, avg(p_retailprice) AS avg_price,
+       stddev_samp(p_retailprice) AS std_price,
+       count(DISTINCT p_type) AS n_types
+FROM part
+GROUP BY p_brand
+"""
