@@ -32,6 +32,27 @@ class Pipeline(BaseEstimator):
     def _final(self):
         return self.steps[-1][1]
 
+    def set_params(self, **params) -> "Pipeline":
+        """sklearn step__param routing (reference search graphs rely on
+        it to address pipeline stages, _search.py:619-749)."""
+        named = self.named_steps
+        for k, v in params.items():
+            if "__" in k:
+                step, _, sub = k.partition("__")
+                if step not in named:
+                    raise ValueError(f"Unknown pipeline step {step!r} in param {k!r}")
+                named[step].set_params(**{sub: v})
+            elif k == "steps":
+                self.steps = v
+            else:
+                raise ValueError(
+                    f"Pipeline params must use step__param syntax, got {k!r}"
+                )
+        return self
+
+    def clone(self) -> "Pipeline":
+        return Pipeline([(name, est.clone()) for name, est in self.steps])
+
     def fit(self, df: DataFrame, columns=None, label_col: str = "label"):
         data = df
         for name, est in self.steps[:-1]:

@@ -193,27 +193,86 @@ class GridSearchCV(BaseEstimator):
             folds = [(tr.persist(), te.persist()) for tr, te in cv.split(df)]
 
         seen: dict[str, int] = {}  # dedup identical candidates (reference `seen`)
-        tasks = []
+        unique: list[tuple[int, dict]] = []
         for ci, params in enumerate(candidates):
             tok = _param_token(params)
             if tok in seen:
                 continue
             seen[tok] = ci
-            for fi, (train, test) in enumerate(folds):
-                tasks.append((ci, fi, params, train, test))
+            unique.append((ci, params))
 
-        def _run(task):
-            ci, fi, params, train, test = task
-            model = self.estimator.clone().set_params(**params)
-            model.fit(train, columns=columns, label_col=label_col)
-            pred = model.predict(test)
-            score = scorer(pred, label_col=label_col, prediction_col="prediction")
-            return ci, fi, score
+        from dask_ml_spark.operators.compose import Pipeline as _Pipeline
 
         results: dict[tuple, float] = {}
-        with ThreadPoolExecutor(max_workers=self.n_jobs) as pool:
-            for ci, fi, score in pool.map(_run, tasks):
-                results[(ci, fi)] = score
+        if isinstance(self.estimator, _Pipeline) and len(self.estimator.steps) > 1:
+            # pipeline-prefix sharing (reference _search.py:619-749):
+            # candidates that only differ in final-stage params share ONE
+            # prefix fit + transform per fold; the transformed folds are
+            # cached while the final stages race over them.
+            final_name = self.estimator.steps[-1][0]
+            groups: dict[str, dict] = {}
+            for ci, params in unique:
+                prefix_p, final_p = {}, {}
+                for k, v in params.items():
+                    step, sep, sub = k.partition("__")
+                    if sep and step != final_name:
+                        prefix_p[k] = v
+                    else:
+                        final_p[sub if sep else k] = v
+                g = groups.setdefault(_param_token(prefix_p), {"prefix": prefix_p, "cands": []})
+                g["cands"].append((ci, final_p))
+
+            def _run_group(task):
+                g, fi = task
+                train, test = folds[fi]
+                out = []
+                data_tr, data_te = train, test
+                fitted_prefix = []
+                for name, est in self.estimator.steps[:-1]:
+                    stage = est.clone()
+                    stage.set_params(**{
+                        k.partition("__")[2]: v for k, v in g["prefix"].items()
+                        if k.partition("__")[0] == name
+                    })
+                    stage.fit(data_tr, columns=columns)
+                    data_tr = stage.transform(data_tr)
+                    data_te = stage.transform(data_te)
+                    fitted_prefix.append((name, stage))
+                data_tr, data_te = data_tr.persist(), data_te.persist()
+                try:
+                    for ci, final_p in g["cands"]:
+                        fin = self.estimator.steps[-1][1].clone().set_params(**final_p)
+                        fin.fit(data_tr, columns=columns, label_col=label_col)
+                        pred = fin.predict(data_te)
+                        out.append((ci, fi, scorer(pred, label_col=label_col, prediction_col="prediction")))
+                finally:
+                    data_tr.unpersist()
+                    data_te.unpersist()
+                return out
+
+            tasks = [(g, fi) for g in groups.values() for fi in range(len(folds))]
+            with ThreadPoolExecutor(max_workers=self.n_jobs) as pool:
+                for out in pool.map(_run_group, tasks):
+                    for ci, fi, score in out:
+                        results[(ci, fi)] = score
+        else:
+            tasks = [
+                (ci, fi, params, train, test)
+                for ci, params in unique
+                for fi, (train, test) in enumerate(folds)
+            ]
+
+            def _run(task):
+                ci, fi, params, train, test = task
+                model = self.estimator.clone().set_params(**params)
+                model.fit(train, columns=columns, label_col=label_col)
+                pred = model.predict(test)
+                score = scorer(pred, label_col=label_col, prediction_col="prediction")
+                return ci, fi, score
+
+            with ThreadPoolExecutor(max_workers=self.n_jobs) as pool:
+                for ci, fi, score in pool.map(_run, tasks):
+                    results[(ci, fi)] = score
 
         n_folds = len(folds)
         mean_scores, std_scores = [], []

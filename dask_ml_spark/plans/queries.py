@@ -1181,6 +1181,7 @@ def build_catalog():
         "feature_hasher_long": q_feature_hasher_long,
         "hyperband_best": q_hyperband_best,
         "parallel_post_fit_eval": q_parallel_post_fit_eval,
+        "pipeline_grid_search": q_pipeline_grid_search,
     }
     oracles = {
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -1773,3 +1774,30 @@ SELECT p_brand, count(*) AS n_parts, avg(p_retailprice) AS avg_price,
 FROM part
 GROUP BY p_brand
 """
+
+
+def q_pipeline_grid_search(spark, sf_dir):
+    """GridSearchCV over a Pipeline with step__param candidates —
+    exercises prefix sharing (one scaler fit per fold, cached
+    transformed folds, final stages race over them; reference
+    _search.py:619-749). Seeded folds — rows-only."""
+    from dask_ml_spark.operators.compose import Pipeline
+    from dask_ml_spark.operators.linear_model import LogisticRegression
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+    from dask_ml_spark.plans.model_selection import GridSearchCV, KFold
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "label", (F.col("l_returnflag") == "R").cast("double")
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    gs = GridSearchCV(
+        Pipeline([("scale", StandardScaler()), ("clf", LogisticRegression(max_iter=10, tol=1e-4))]),
+        {"clf__C": [0.1, 10.0]},
+        cv=KFold(n_splits=2, shuffle=True, random_state=9),
+    )
+    gs.fit(li, cols, label_col="label")
+    return spark.createDataFrame([{
+        "best_C": float(gs.best_params_["clf__C"]),
+        "best_score": float(gs.best_score_),
+        "n_candidates": int(len(gs.cv_results_["mean_test_score"])),
+    }])

