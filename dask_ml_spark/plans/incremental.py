@@ -129,10 +129,9 @@ class BaseIncrementalSearchCV(BaseEstimator):
         calls = {i: 0 for i in models}
         fit_kwargs = {"classes": np.asarray(classes)} if classes is not None else {}
 
-        def train_one(ident, n_calls):
+        def train_one(ident, batch_ids):
             est, p = models[ident]
-            for _ in range(n_calls):
-                bi = rng.randint(len(batches))
+            for bi in batch_ids:
                 Xb, yb = batches[bi]
                 est.partial_fit(Xb, yb, **fit_kwargs)
                 calls[ident] += 1
@@ -147,8 +146,15 @@ class BaseIncrementalSearchCV(BaseEstimator):
             live = {i: n for i, n in instructions.items() if n > 0}
             if not live:
                 break
+            # draw each model's batch sequence on the driver thread in a
+            # fixed order — results stay seed-deterministic no matter how
+            # the pool schedules the training threads
+            seqs = {
+                i: [int(rng.randint(len(batches))) for _ in range(n)]
+                for i, n in sorted(live.items())
+            }
             with ThreadPoolExecutor(max_workers=self.n_jobs) as pool:
-                results = list(pool.map(lambda kv: train_one(*kv), live.items()))
+                results = list(pool.map(lambda kv: train_one(*kv), seqs.items()))
             for ident, score in results:
                 rec = {"model_id": ident, "params": models[ident][1],
                        "partial_fit_calls": calls[ident], "score": score}
