@@ -77,3 +77,23 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, n_buckets: int, bucket_cols,
+                   sort_cols=None, mode: str = "overwrite", path: str | None = None) -> None:
+    """Write a hash-bucketed (optionally sorted) table.
+
+    Bucketing pre-shuffles the data ON WRITE: two tables bucketed the
+    same way on their join key join with NO exchange at read time, and
+    aggregations on the bucket key skip their shuffle too — the main
+    physical-layout lever for repeated 100 TB joins. Spark requires the
+    metastore path (saveAsTable) for bucket metadata.
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)

@@ -47,3 +47,23 @@ def test_ensure_min_partitions_noop_when_enough(spark):
     assert ensure_min_partitions(df).rdd.getNumPartitions() == 64
     small = spark.range(10).coalesce(1)
     assert ensure_min_partitions(small).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key join without a shuffle."""
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.sources.io import write_bucketed
+
+    a = spark.range(0, 10000).withColumnRenamed("id", "k").withColumn("x", F.rand(1))
+    b = spark.range(0, 10000).withColumnRenamed("id", "k").withColumn("y", F.rand(2))
+    write_bucketed(a, "bk_a", 8, "k", sort_cols="k", path=str(tmp_path / "a"))
+    write_bucketed(b, "bk_b", 8, "k", sort_cols="k", path=str(tmp_path / "b"))
+    joined = (
+        spark.table("bk_a").hint("merge").join(spark.table("bk_b"), "k")
+    )
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(joined._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 10000
+    spark.sql("DROP TABLE IF EXISTS bk_a")
+    spark.sql("DROP TABLE IF EXISTS bk_b")
