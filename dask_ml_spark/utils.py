@@ -175,3 +175,22 @@ def pytest_approx(value, atol=1e-8, rtol=1e-6, **_):
             return math.isclose(other, value, rel_tol=rtol, abs_tol=atol)
 
     return _Approx()
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: str, n_salt: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Join a key-skewed left side against a smaller right side by
+    splitting each hot key across n_salt sub-keys.
+
+    The left side gets a random salt (hot key rows spread over n_salt
+    reducers); the right side is replicated once per salt value. Use
+    when one side has a few dominant keys and the other is too big to
+    broadcast; AQE skew-join handles the same problem adaptively, this
+    is the explicit form for planned skew.
+    """
+    salt_l = F.floor(F.rand(seed=0) * n_salt).cast("int")
+    salted_l = left.withColumn("__salt", salt_l)
+    salted_r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0).cast("int"), F.lit(n_salt - 1).cast("int")))
+    )
+    return salted_l.join(salted_r, [on, "__salt"], how).drop("__salt")

@@ -67,3 +67,21 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert joined.count() == 10000
     spark.sql("DROP TABLE IF EXISTS bk_a")
     spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.utils import salted_join
+
+    # skewed left: 90% of rows share key 7
+    left = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    got = salted_join(left, right, "k", n_salt=8).groupBy("k").count().toPandas()
+    want = left.join(right, "k").groupBy("k").count().toPandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    assert got.equals(want)
