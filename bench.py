@@ -53,6 +53,7 @@ HEADLINE = [
     "quality_filter",
     "simple_imputer_transform",
     "feature_hasher_long",
+    "curation_pipeline",
 ]
 
 

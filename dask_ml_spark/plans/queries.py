@@ -1163,6 +1163,7 @@ def build_catalog():
         "robust_scaler_transform": q_robust_scaler_transform,
         "label_encoder_roundtrip": q_label_encoder_roundtrip,
         "part_brand_stats": q_part_brand_stats,
+        "curation_pipeline": q_curation_pipeline,
         # rows-only (iterative / seeded — no SQL equivalent)
         "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
         "logistic_regression_eval": q_logistic_regression_eval,
@@ -1233,6 +1234,7 @@ def build_catalog():
         "robust_scaler_transform": SQL_ROBUST_SCALER_TRANSFORM,
         "label_encoder_roundtrip": SQL_LABEL_ENCODER_ROUNDTRIP,
         "part_brand_stats": SQL_PART_BRAND_STATS,
+        "curation_pipeline": sql_curation_pipeline(),
     }
     return queries, oracles
 
@@ -1801,3 +1803,61 @@ def q_pipeline_grid_search(spark, sf_dir):
         "best_score": float(gs.best_score_),
         "n_candidates": int(len(gs.cv_results_["mean_test_score"])),
     }])
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """North-star composite: the full curation flow a training-data
+    pipeline runs — quality filter → exact dedup (keep smallest id per
+    normalized-content hash) → keep English docs. Every stage is the
+    library operator; the whole flow is one Catalyst plan."""
+    from dask_ml_spark.datapipe.dedup import exact_dedup
+    from dask_ml_spark.datapipe.text_stats import language_scores, quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_filter(docs)
+    survivors = exact_dedup(q).select("doc_id")
+    kept = q.join(survivors, "doc_id")
+    en = (
+        language_scores(kept)
+        .where(F.col("lang_pred") == "en")
+        .select("doc_id")
+    )
+    return kept.join(en, "doc_id").select("doc_id", "n_chars", "source")
+
+
+def sql_curation_pipeline() -> str:
+    langs = sorted(TS.STOPWORDS)
+    scores = ", ".join(f"{_sql_lang_score(l)} AS score_{l}" for l in langs)
+    conds = []
+    for lang in langs:
+        cmp = " AND ".join(
+            f"score_{lang} {'>' if other < lang else '>='} score_{other}"
+            for other in langs if other != lang
+        )
+        conds.append(f"WHEN {cmp} THEN '{lang}'")
+    case = "CASE " + " ".join(conds) + f" ELSE '{langs[0]}' END"
+    return f"""
+WITH q AS (
+    SELECT doc_id, n_chars, source, text FROM (
+        SELECT *, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks,
+               greatest(length(text), 1)::DOUBLE AS safe_chars,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+        FROM documents
+    )
+    WHERE len(toks) >= 5
+      AND n_digit / safe_chars <= 0.3
+      AND len(list_distinct(toks)) / greatest(len(toks), 1)::DOUBLE >= 0.2
+), dd AS (
+    SELECT min(doc_id) AS doc_id FROM (
+        SELECT doc_id, md5(array_to_string(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), ' ')) AS h
+        FROM q
+    ) GROUP BY h
+), kept AS (
+    SELECT q.doc_id, q.n_chars, q.source, q.text FROM q JOIN dd USING (doc_id)
+), scored AS (
+    SELECT doc_id, {scores} FROM kept
+), en AS (
+    SELECT doc_id FROM scored WHERE {case} = 'en'
+)
+SELECT kept.doc_id, kept.n_chars, kept.source FROM kept JOIN en USING (doc_id)
+"""
