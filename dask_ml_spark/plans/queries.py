@@ -1814,9 +1814,12 @@ def q_curation_pipeline(spark, sf_dir):
     from dask_ml_spark.datapipe.text_stats import language_scores, quality_filter
 
     docs = _t(spark, sf_dir, "documents")
-    q = quality_filter(docs)
+    # persist the two fan-out points: q feeds dedup AND the keep-join,
+    # kept feeds language scoring AND the final join — without the
+    # caches the regexp-heavy filter re-runs once per reference
+    q = quality_filter(docs).persist()
     survivors = exact_dedup(q).select("doc_id")
-    kept = q.join(survivors, "doc_id")
+    kept = q.join(survivors, "doc_id").persist()
     en = (
         language_scores(kept)
         .where(F.col("lang_pred") == "en")
