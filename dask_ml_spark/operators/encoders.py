@@ -212,14 +212,32 @@ class OneHotEncoder(BaseEstimator, TransformerMixin):
     reference keeps CSR, label.py:235-248). Composes StringIndexer-style
     dictionaries with a sparse vector construction per row."""
 
-    def __init__(self, columns=None, sparse_output: bool = True):
+    def __init__(self, columns=None, sparse_output: bool = True,
+                 categories: dict | str = "auto", drop: str | None = None,
+                 handle_unknown: str = "error"):
+        if handle_unknown not in ("error", "ignore"):
+            raise ValueError("handle_unknown must be 'error' or 'ignore'")
+        if drop not in (None, "first"):
+            raise ValueError("drop must be None or 'first'")
         self.columns = columns
         self.sparse_output = sparse_output
+        self.categories = categories
+        self.drop = drop
+        self.handle_unknown = handle_unknown
 
     def fit(self, df: DataFrame, columns=None) -> "OneHotEncoder":
-        cat = Categorizer().fit(df, columns or self.columns)
-        self.categories_ = cat.categories_
-        self.columns_ = cat.columns_
+        if isinstance(self.categories, dict):
+            # known-categories fast path (reference _encoders.py
+            # categories= param): no fit scan at all
+            self.columns_ = list(self.categories)
+            self.categories_ = {c: np.asarray(v) for c, v in self.categories.items()}
+        else:
+            cat = Categorizer().fit(df, columns or self.columns)
+            self.categories_ = cat.categories_
+            self.columns_ = cat.columns_
+        self.known_categories_ = dict(self.categories_)
+        if self.drop == "first":
+            self.categories_ = {c: v[1:] for c, v in self.categories_.items()}
         sizes = [len(self.categories_[c]) for c in self.columns_]
         self.feature_offsets_ = np.concatenate([[0], np.cumsum(sizes)])
         self.n_features_out_ = int(self.feature_offsets_[-1])
@@ -227,6 +245,24 @@ class OneHotEncoder(BaseEstimator, TransformerMixin):
 
     def transform(self, df: DataFrame, output_col: str = "onehot") -> DataFrame:
         from pyspark.ml.functions import array_to_vector
+
+        if self.handle_unknown == "error":
+            # lazy guard (reference _encoders.py handle_unknown='error'):
+            # raises at execution time, no extra data pass
+            for c in self.columns_:
+                known = F.array_contains(
+                    F.array(*[F.lit(v) for v in self.known_categories_[c].tolist()]), F.col(c)
+                )
+                df = df.withColumn(
+                    c,
+                    F.when(
+                        F.col(c).isNotNull() & ~known,
+                        F.raise_error(F.concat(
+                            F.lit(f"Found unknown category in column {c}: "),
+                            F.col(c).cast("string"),
+                        )),
+                    ).otherwise(F.col(c)),
+                )
 
         n = self.n_features_out_
         if not self.sparse_output or n <= 1024:

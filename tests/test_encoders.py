@@ -87,3 +87,31 @@ def test_one_hot_encoder(cat_df):
     m = np.stack([v.toArray() for v in out["onehot"]])
     want = pd.get_dummies(pdf[["A", "B"]]).to_numpy(dtype=float)
     np.testing.assert_allclose(m, want)
+
+
+def test_one_hot_encoder_options(spark):
+    """categories= fast path, drop='first', handle_unknown semantics
+    (reference _encoders.py:114-122)."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.operators.encoders import OneHotEncoder
+
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], ["x"])
+    # known-categories fast path: no fit scan needed
+    enc = OneHotEncoder(sparse_output=False, categories={"x": ["a", "b", "c"]}).fit(df)
+    out = {r["x"]: r["onehot"] for r in enc.transform(df).collect()}
+    assert out["a"] == [1.0, 0.0, 0.0] and out["c"] == [0.0, 0.0, 1.0]
+    # drop='first': first category becomes the all-zeros baseline
+    enc = OneHotEncoder(sparse_output=False, drop="first").fit(df, ["x"])
+    out = {r["x"]: r["onehot"] for r in enc.transform(df).collect()}
+    assert out["a"] == [0.0, 0.0] and out["b"] == [1.0, 0.0]
+    # handle_unknown='ignore': unseen value encodes to all zeros
+    unseen = spark.createDataFrame([("z",)], ["x"])
+    enc = OneHotEncoder(sparse_output=False, handle_unknown="ignore").fit(df, ["x"])
+    assert enc.transform(unseen).collect()[0]["onehot"] == [0.0, 0.0, 0.0]
+    # handle_unknown='error': raises at execution
+    enc = OneHotEncoder(sparse_output=False).fit(df, ["x"])
+    with pytest.raises(Exception, match="unknown category"):
+        enc.transform(unseen).collect()
