@@ -62,11 +62,18 @@ def _flip(components: np.ndarray) -> np.ndarray:
 
 class PCA(BaseEstimator, TransformerMixin):
     def __init__(self, n_components: int | None = None, whiten: bool = False,
-                 svd_solver: str = "covariance", random_state: int | None = None):
+                 svd_solver: str = "covariance", random_state: int | None = None,
+                 copy: bool = True, tol: float = 0.0, iterated_power: int = 0):
+        # copy/tol/iterated_power accepted for reference signature
+        # compatibility (pca.py:180-189); the covariance-pass solver has
+        # no in-place mutation and computes the exact eigendecomposition
         self.n_components = n_components
         self.whiten = whiten
         self.svd_solver = svd_solver
         self.random_state = random_state
+        self.copy = copy
+        self.tol = tol
+        self.iterated_power = iterated_power
 
     def fit(self, df: DataFrame, columns=None) -> "PCA":
         cols = self._validate_data(df, columns)
