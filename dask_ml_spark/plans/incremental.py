@@ -32,13 +32,22 @@ from dask_ml_spark.base import BaseEstimator
 from dask_ml_spark.plans.model_selection import ParameterSampler, train_test_split
 
 
-def _collect_batches(df: DataFrame, feature_cols, label_col, max_rows_per_batch=50_000):
+def _collect_batches(df: DataFrame, feature_cols, label_col, max_rows_per_batch=50_000,
+                     max_total_rows=1_000_000):
     """Materialize the training partitions to driver-side numpy batches
     (the reference scatters blocks to workers and moves MODELS to data;
     with driver-held models the batches come to the driver once and are
-    reused every round — bounded by partitions × batch cap)."""
+    reused every round).
+
+    max_total_rows bounds driver memory at scale: adaptive search fits
+    small partial_fit models whose sample complexity saturates long
+    before 10^6 rows — beyond the cap an unbiased rand-ordered sample
+    is drawn (TakeOrdered, no full shuffle). Set None to disable.
+    """
     batches = []
     sel = df.select(*feature_cols, label_col)
+    if max_total_rows is not None and sel.count() > max_total_rows:
+        sel = sel.orderBy(F.rand(seed=0)).limit(max_total_rows)
     cols = sel.columns
     buf: list = []
     for row in sel.toLocalIterator(prefetchPartitions=True):
