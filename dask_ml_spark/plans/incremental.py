@@ -128,7 +128,10 @@ class BaseIncrementalSearchCV(BaseEstimator):
         train, test = train_test_split(df, test_size=self.test_size,
                                        random_state=self.random_state)
         batches = _collect_batches(train, cols, label_col)
-        test_pdf = test.select(*cols, label_col).toPandas()
+        test_sel = test.select(*cols, label_col)
+        if test_sel.count() > 500_000:  # bounded scoring set at scale
+            test_sel = test_sel.orderBy(F.rand(seed=1)).limit(500_000)
+        test_pdf = test_sel.toPandas()
         X_test = test_pdf[cols].to_numpy(dtype="float64")
         y_test = test_pdf[label_col].to_numpy()
         rng = np.random.RandomState(self.random_state)
