@@ -66,8 +66,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = build_catalog()
 
-    # warm the JVM + parquet footers outside the timed region
+    # warm the JVM + parquet footers + the Python worker pool outside
+    # the timed region (the first Arrow UDF otherwise pays ~32 worker
+    # startups inside whichever query reaches Python first)
+    from pyspark.sql import functions as F
+
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    @F.pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(100_000).repartition(32).select(_warm("id")).write.mode(
+        "overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     t_all = time.time()
