@@ -38,7 +38,11 @@ def _sqdist_expr(cols, center):
 class KMeans(BaseEstimator, TransformerMixin):
     def __init__(self, n_clusters: int = 8, init: str = "k-means||", max_iter: int = 300,
                  tol: float = 1e-4, random_state: int | None = None, init_max_iter: int = 5,
-                 oversampling_factor: int = 2, algorithm: str = "mllib"):
+                 oversampling_factor: int = 2, algorithm: str = "mllib",
+                 precompute_distances: str = "auto", copy_x: bool = True, n_jobs: int = 1):
+        # precompute_distances/copy_x/n_jobs accepted for reference
+        # signature compatibility (k_means.py:143-155); scheduling and
+        # memory layout belong to Spark here
         self.n_clusters = n_clusters
         self.init = init
         self.max_iter = max_iter
@@ -47,6 +51,9 @@ class KMeans(BaseEstimator, TransformerMixin):
         self.init_max_iter = init_max_iter
         self.oversampling_factor = oversampling_factor
         self.algorithm = algorithm
+        self.precompute_distances = precompute_distances
+        self.copy_x = copy_x
+        self.n_jobs = n_jobs
 
     def fit(self, df: DataFrame, columns=None) -> "KMeans":
         cols = self._validate_data(df, columns)
