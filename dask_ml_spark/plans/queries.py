@@ -104,6 +104,142 @@ GROUP BY r_name, n_name
 """
 
 
+def q_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6-shaped revenue forecast: a pure filter + global
+    aggregate over the fact table.  Every predicate is sargable and
+    reaches the parquet scan (PushedFilters), and only 4 of the 11
+    lineitem columns are read (ReadSchema pruning)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_REVENUE_FORECAST = """
+SELECT sum(l_extendedprice * l_discount) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped shipping priority: filtered fact ⋈ filtered
+    orders ⋈ broadcast customer, grouped per order, deterministic
+    top-10 (revenue DESC, orderkey ASC tie-break so the LIMIT set is
+    stable across engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.where(F.col("l_shipdate") > F.lit("1998-06-01"))
+        .join(o.where(F.col("o_orderdate") < F.lit("1998-06-01")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_order_priority_returns(spark, sf_dir):
+    """TPC-H Q4-shaped priority count with an EXISTS semi-join: orders
+    that had at least one returned line, counted per priority.  The
+    distinct-orderkey side stays a LEFT SEMI join (no row
+    multiplication, no fact-side shuffle of payload columns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_ORDER_PRIORITY_RETURNS = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_customer_returns_topk(spark, sf_dir):
+    """TPC-H Q10-shaped: revenue lost to returns per customer,
+    deterministic top-20.  Customer/nation broadcast; the only wide
+    shuffle is the per-customer aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_returned_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_CUSTOMER_RETURNS_TOPK = """
+SELECT c_custkey, c_name, n_name,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       count(*) AS n_returned_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 # =====================================================================
 # preprocessing operators (SURVEY §2.3)
 # =====================================================================
@@ -1116,6 +1252,10 @@ def build_catalog():
     queries = {
         "pricing_summary": q_pricing_summary,
         "top_revenue_nations": q_top_revenue_nations,
+        "revenue_forecast": q_revenue_forecast,
+        "shipping_priority": q_shipping_priority,
+        "order_priority_returns": q_order_priority_returns,
+        "customer_returns_topk": q_customer_returns_topk,
         "standard_scaler_fit": q_standard_scaler_fit,
         "standard_scaler_transform": q_standard_scaler_transform,
         "minmax_scaler_fit": q_minmax_scaler_fit,
@@ -1187,6 +1327,10 @@ def build_catalog():
     oracles = {
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_revenue_nations": SQL_TOP_REVENUE_NATIONS,
+        "revenue_forecast": SQL_REVENUE_FORECAST,
+        "shipping_priority": SQL_SHIPPING_PRIORITY,
+        "order_priority_returns": SQL_ORDER_PRIORITY_RETURNS,
+        "customer_returns_topk": SQL_CUSTOMER_RETURNS_TOPK,
         "standard_scaler_fit": SQL_STANDARD_SCALER_FIT,
         "standard_scaler_transform": SQL_STANDARD_SCALER_TRANSFORM,
         "minmax_scaler_fit": SQL_MINMAX_SCALER_FIT,
