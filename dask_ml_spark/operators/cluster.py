@@ -198,7 +198,31 @@ class SpectralClustering(BaseEstimator):
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
+        from dask_ml_spark.operators.pairwise import _EXPR_TERM_BUDGET, _small_y_exprs
+
         gamma = self.gamma
+        l, k = sample.shape[0], proj.shape[1]
+        # JVM fast path: for the usual regime (n_components samples ×
+        # few feature columns) the Nyström map is l kernel expressions
+        # + k linear combinations — two narrow projections inside
+        # whole-stage codegen, no Python workers, and every original
+        # column passes through untouched (the Arrow fallback below has
+        # to serialize them through pandas).
+        if l * len(cols) <= _EXPR_TERM_BUDGET and l * k <= 8 * _EXPR_TERM_BUDGET:
+            kexprs = _small_y_exprs(cols, sample, self.affinity, gamma=gamma)
+            if kexprs is not None:
+                kcols = [f"__nk_{i}" for i in range(l)]
+                tmp = df.select("*", *[e.alias(c) for e, c in zip(kexprs, kcols)])
+                combos = []
+                for j in range(k):
+                    e = F.lit(0.0)
+                    for i in range(l):
+                        w = float(proj[i, j])
+                        if w != 0.0:
+                            e = e + F.col(kcols[i]) * F.lit(w)
+                    combos.append(e.alias(f"__emb_{j}"))
+                return tmp.select("*", *combos).drop(*kcols)
+
         schema = ", ".join(f"__emb_{j} double" for j in range(proj.shape[1]))
 
         def _block(it):

@@ -51,3 +51,35 @@ def test_sessionization_shares_one_shuffle(spark, catalog):
 def test_rbf_kernel_small_y_stays_jvm(spark, catalog):
     plan = _plan(catalog["rbf_kernel_to_centers"](spark, SF))
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_revenue_forecast_pushdown(spark, catalog):
+    plan = _plan(catalog["revenue_forecast"](spark, SF))
+    # every predicate is sargable and reaches the scan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.03)" in plan
+    # pruned scan: 4 of 11 lineitem columns
+    assert "l_partkey" not in plan and "l_returnflag" not in plan
+
+
+def test_order_priority_returns_semi_join(spark, catalog):
+    plan = _plan(catalog["order_priority_returns"](spark, SF))
+    assert "LeftSemi" in plan  # EXISTS stays a semi-join, no row blowup
+
+
+def test_spectral_embedding_stays_jvm(spark):
+    """The Nyström embedding compiles to column expressions (no Arrow
+    serde of passthrough columns) when l·d fits the term budget."""
+    import numpy as np
+
+    from dask_ml_spark.operators.cluster import SpectralClustering
+
+    df = spark.range(100).selectExpr("cast(id as double) x0",
+                                     "cast(id % 7 as double) x1")
+    sc = SpectralClustering(n_clusters=2, n_components=20, gamma=0.5,
+                            random_state=0)
+    sample = np.random.RandomState(0).rand(20, 2)
+    proj = np.random.RandomState(1).rand(20, 2)
+    emb = sc._embed(df, ["x0", "x1"], sample, proj)
+    plan = _plan(emb)
+    assert "Python" not in plan and "Arrow" not in plan and "Exchange" not in plan
