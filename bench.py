@@ -21,6 +21,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "pricing_summary",
     "top_revenue_nations",
+    "revenue_forecast",
+    "shipping_priority",
+    "order_priority_returns",
+    "customer_returns_topk",
     "standard_scaler_transform",
     "gaussian_nb_fit",
     "pca_covariance",

@@ -14,7 +14,11 @@ import copy
 
 from pyspark.sql import DataFrame
 
-from dask_ml_spark.utils import resolve_feature_columns
+from dask_ml_spark.utils import (  # noqa: F401  (re-exported for
+    check_array,  # dask_ml.base namespace parity, reference base.py:1-5)
+    check_X_y,
+    resolve_feature_columns,
+)
 
 
 class BaseEstimator:
@@ -97,3 +101,8 @@ class RegressorMixin:
 
         pred = self.predict(df)
         return r2_score(pred, label_col=label_col, prediction_col=prediction_col)
+
+
+# Reference base.py:7-100 ships _validate_data as a mixin; here every
+# estimator inherits it from BaseEstimator, so the mixin is an alias.
+DaskMLBaseMixin = BaseEstimator

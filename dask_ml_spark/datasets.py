@@ -133,6 +133,18 @@ def make_blobs(n_samples: int = 100, n_features: int = 2, centers: int | np.ndar
     return _partitioned_generator(spark, n_samples, n_partitions, random_state, block, schema)
 
 
+def random_date(start, end):
+    """Uniform random datetime in [start, end) (reference
+    datasets.py:384-389 — same numpy-randint-seconds semantics, driver
+    side; the distributed date column in make_classification_df is
+    generated per-partition)."""
+    from datetime import timedelta
+
+    delta = end - start
+    int_delta = (delta.days * 24 * 60 * 60) + delta.seconds
+    return start + timedelta(seconds=int(np.random.randint(int_delta)))
+
+
 def make_classification_df(n_samples: int = 100, n_features: int = 20,
                            random_state: int = 0, n_partitions: int = 8,
                            dates=("2000-01-01", "2000-07-01"),

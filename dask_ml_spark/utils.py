@@ -113,6 +113,83 @@ def add_row_index(df: DataFrame, name: str = "__row_id__") -> DataFrame:
     return df.withColumn(name, F.monotonically_increasing_id())
 
 
+def check_array(df: DataFrame, columns=None, *, accept_spark_dataframe: bool = True,
+                ensure_min_features: int = 1, ensure_all_finite: bool = False) -> DataFrame:
+    """Validate a feature DataFrame (reference utils.py:123-214).
+
+    The reference fabricates a numpy sample and runs sklearn's
+    ``check_array`` on it; on Spark the schema is authoritative, so
+    this validates the schema directly: the input must be a DataFrame
+    with at least ``ensure_min_features`` numeric feature columns.
+    ``ensure_all_finite=True`` adds the reference's NaN/inf scan
+    (k_means.py:195-201), which forces one pass over the data.
+    """
+    if not isinstance(df, DataFrame):
+        raise TypeError(f"Expected a pyspark DataFrame, got {type(df).__name__}")
+    if not accept_spark_dataframe:
+        raise TypeError("Spark DataFrame input was explicitly disallowed")
+    cols = resolve_feature_columns(df, columns)
+    if len(cols) < ensure_min_features:
+        raise ValueError(
+            f"Found {len(cols)} feature(s) but ensure_min_features={ensure_min_features}")
+    non_numeric = [c for c in cols
+                   if not is_numeric_field(df.schema[c])]
+    if non_numeric:
+        raise ValueError(f"Non-numeric feature columns: {non_numeric}")
+    if ensure_all_finite:
+        bad = df.where(
+            " OR ".join(f"(isnan({c}) OR {c} IS NULL OR abs({c}) = double('inf'))"
+                        for c in cols)
+        ).limit(1).count()
+        if bad:
+            raise ValueError("Input contains NaN, infinity, or null values")
+    return df
+
+
+def check_X_y(df: DataFrame, y: str, columns=None, **check_array_kwargs) -> DataFrame:
+    """Validate features + a label column in one frame (reference
+    utils.py:282-343).  The reference checks X/y length consistency;
+    a single DataFrame holding both makes that free — what remains is
+    schema validation of both sides."""
+    check_array(df, columns, **check_array_kwargs)
+    if y not in df.columns:
+        raise ValueError(f"Label column {y!r} not in DataFrame")
+    if not is_numeric_field(df.schema[y]) and not isinstance(
+            df.schema[y].dataType, T.StringType):
+        raise ValueError(f"Label column {y!r} must be numeric or string")
+    return df
+
+
+def check_chunks(n_samples: int, n_features: int, chunks=None) -> tuple:
+    """Partitioning analog of the reference's chunk normalizer
+    (utils.py:444-483): returns ``(rows_per_partition, n_features)``.
+    ``chunks=None`` picks one partition per default-parallelism core
+    with at least 100 rows per partition, mirroring the reference's
+    defaults; an int is interpreted as a partition count."""
+    min_rows = 100
+    if chunks is None:
+        from dask_ml_spark._session import get_spark
+
+        n_parts = get_spark().sparkContext.defaultParallelism
+        rows = max(min_rows, (n_samples + n_parts - 1) // max(n_parts, 1))
+        return (rows, n_features)
+    if isinstance(chunks, int):
+        rows = max(min_rows, (n_samples + chunks - 1) // max(chunks, 1))
+        return (rows, n_features)
+    chunks = tuple(chunks)
+    if len(chunks) != 2:
+        raise AssertionError("Chunks should be a 2-tuple.")
+    return chunks
+
+
+def copy_learned_attributes(from_estimator, to_estimator) -> None:
+    """Copy every fitted attribute (trailing-underscore convention)
+    from one estimator to another (reference _utils.py:8-12)."""
+    for k, v in vars(from_estimator).items():
+        if k.endswith("_") and not k.startswith("_"):
+            setattr(to_estimator, k, v)
+
+
 def handle_zeros_in_scale(scale):
     """Constant features scale by 1 instead of dividing by zero
     (reference utils.py:74-83)."""

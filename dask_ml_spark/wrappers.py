@@ -5,3 +5,4 @@ from dask_ml_spark.operators.wrappers import (  # noqa: F401
     Incremental,
     ParallelPostFit,
 )
+from dask_ml_spark.utils import copy_learned_attributes  # noqa: F401

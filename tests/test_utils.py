@@ -85,3 +85,82 @@ def test_salted_join_matches_plain_join(spark):
     got = got.sort_values("k").reset_index(drop=True)
     want = want.sort_values("k").reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_check_array_validates_schema(spark):
+    import pytest
+
+    from dask_ml_spark.utils import check_array
+
+    df = spark.range(10).selectExpr("cast(id as double) x", "cast(id as string) s")
+    assert check_array(df, ["x"]) is df
+    assert check_array(df) is df  # auto-resolves numeric columns
+    with pytest.raises(ValueError, match="Non-numeric|numeric"):
+        check_array(df, ["s"])
+    with pytest.raises(TypeError):
+        check_array([[1, 2]], None)
+
+
+def test_check_array_finite_scan(spark):
+    import pytest
+
+    from dask_ml_spark.utils import check_array
+
+    df = spark.sql("SELECT * FROM VALUES (1.0), (double('nan')) t(x)")
+    with pytest.raises(ValueError, match="NaN"):
+        check_array(df, ["x"], ensure_all_finite=True)
+    ok = spark.sql("SELECT * FROM VALUES (1.0), (2.0) t(x)")
+    check_array(ok, ["x"], ensure_all_finite=True)
+
+
+def test_check_X_y(spark):
+    import pytest
+
+    from dask_ml_spark.utils import check_X_y
+
+    df = spark.range(10).selectExpr("cast(id as double) x", "cast(id % 2 as double) label")
+    assert check_X_y(df, "label", ["x"]) is df
+    with pytest.raises(ValueError, match="Label column"):
+        check_X_y(df, "nope", ["x"])
+
+
+def test_check_chunks():
+    import pytest
+
+    from dask_ml_spark.utils import check_chunks
+
+    assert check_chunks(1000, 5, chunks=4) == (250, 5)
+    assert check_chunks(100, 5, chunks=50) == (100, 5)  # 100-row floor
+    assert check_chunks(0, 3, chunks=(10, 3)) == (10, 3)
+    with pytest.raises(AssertionError):
+        check_chunks(10, 2, chunks=(1, 2, 3))
+
+
+def test_copy_learned_attributes():
+    from dask_ml_spark.utils import copy_learned_attributes
+
+    class A:
+        pass
+
+    src, dst = A(), A()
+    src.mean_ = [1.0]
+    src.n_features_in_ = 3
+    src.param = "not copied"
+    src._private_ = "not copied"
+    copy_learned_attributes(src, dst)
+    assert dst.mean_ == [1.0] and dst.n_features_in_ == 3
+    assert not hasattr(dst, "param") and not hasattr(dst, "_private_")
+
+
+def test_random_date():
+    from datetime import datetime
+
+    import numpy as np
+
+    from dask_ml_spark.datasets import random_date
+
+    np.random.seed(0)
+    start, end = datetime(2020, 1, 1), datetime(2021, 1, 1)
+    for _ in range(5):
+        d = random_date(start, end)
+        assert start <= d < end
