@@ -60,6 +60,117 @@ def _flip(components: np.ndarray) -> np.ndarray:
     return components * signs[:, None]
 
 
+def _matrix_pass(df: DataFrame, cols, fn, out_shape):
+    """One distributed pass: ``fn(X_block) -> small ndarray`` partials
+    accumulated per partition (Arrow batches), summed on the driver.
+    The collected set is one flattened array per partition — the same
+    tree-reduction shape as the reference's blockwise partial sums
+    (k_means.py:582-601), expressed with mapInPandas."""
+    import pandas as pd
+
+    size = int(np.prod(out_shape))
+
+    def _part(it):
+        acc = np.zeros(size, dtype="float64")
+        seen = False
+        for pdf in it:
+            X = pdf.to_numpy(dtype="float64")
+            if len(X):
+                acc += fn(X).ravel()
+                seen = True
+        if seen:
+            yield pd.DataFrame({"v": [acc]})
+
+    rows = df.select(*[F.col(c).cast("double") for c in cols]).mapInPandas(
+        _part, schema="v array<double>").collect()
+    total = np.zeros(size, dtype="float64")
+    for r in rows:
+        total += np.asarray(r["v"], dtype="float64")
+    return total.reshape(out_shape)
+
+
+def _tsqr_r(df: DataFrame, cols, W: np.ndarray, mean=None) -> np.ndarray:
+    """R factor of the implicit tall matrix (X - mean)·W via TSQR
+    (Benson 2013, the reference's da.linalg.svd building block,
+    pca.py:272-281): per-partition streaming QR keeps only an l×l R;
+    the driver QRs the stacked R blocks.  At 1000 executors that is
+    1000 l×l matrices — a broadcast-sized reduction."""
+    import pandas as pd
+
+    l = W.shape[1]
+    mu = None if mean is None else np.asarray(mean, dtype="float64")
+
+    def _part(it):
+        R = None
+        for pdf in it:
+            X = pdf.to_numpy(dtype="float64")
+            if not len(X):
+                continue
+            if mu is not None:
+                X = X - mu
+            M = X @ W
+            stacked = M if R is None else np.vstack([R, M])
+            R = np.linalg.qr(stacked, mode="r")
+        if R is not None:
+            yield pd.DataFrame({"v": [R.ravel()]})
+
+    rows = df.select(*[F.col(c).cast("double") for c in cols]).mapInPandas(
+        _part, schema="v array<double>").collect()
+    Rs = [np.asarray(r["v"], dtype="float64").reshape(-1, l) for r in rows]
+    return np.linalg.qr(np.vstack(Rs), mode="r")
+
+
+def randomized_svd(df: DataFrame, columns, n_components: int,
+                   n_oversamples: int = 10, n_iter: int = 2,
+                   random_state: int | None = None, mean=None):
+    """Randomized range-finder SVD (Halko, Martinsson & Tropp 2011 —
+    the algorithm behind the reference's ``da.linalg.svd_compressed``,
+    pca.py:205-250 'randomized' solver).
+
+    The n×d matrix is never materialized: a d×l sketch ``W`` is
+    maintained on the driver so that the working subspace is always
+    the implicit product ``(X-mean)·W``.  Each step is one distributed
+    pass collecting small matrices (l×l TSQR blocks or d×l / l×d
+    Gramian partials); with the default ``n_iter=2`` the total is
+    ``2·n_iter + 2`` passes.  Use when d is too wide for the exact
+    d×d moment pass (_moments) — partials scale O(d·l), not O(d²).
+
+    Returns ``(singular_values (k,), Vt (k,d))`` of (X - mean).
+    """
+    cols = list(columns)
+    d = len(cols)
+    k = n_components
+    l = min(d, k + n_oversamples)
+    rng = np.random.RandomState(random_state)
+    mu = None if mean is None else np.asarray(mean, dtype="float64")
+
+    W = rng.standard_normal((d, l))
+    # orthonormalize A·W, then alternate AᵀA power steps with TSQR
+    # re-orthonormalization (numerical stabilization per Halko Alg 4.4)
+    R = _tsqr_r(df, cols, W, mean=mu)
+    W = W @ np.linalg.pinv(R)
+    def _centered(X):
+        return X if mu is None else X - mu
+
+    for _ in range(n_iter):
+        def _power(X, W=W):
+            Xc = _centered(X)
+            return Xc.T @ (Xc @ W)
+
+        W = _matrix_pass(df, cols, _power, (d, l))
+        R = _tsqr_r(df, cols, W, mean=mu)
+        W = W @ np.linalg.pinv(R)
+
+    # B = Qᵀ·A  (l×d, small); SVD on driver
+    def _project(X, W=W):
+        Xc = _centered(X)
+        return (Xc @ W).T @ Xc
+
+    B = _matrix_pass(df, cols, _project, (l, d))
+    _, S, Vt = np.linalg.svd(B, full_matrices=False)
+    return S[:k], _flip(Vt[:k])
+
+
 class PCA(BaseEstimator, TransformerMixin):
     def __init__(self, n_components: int | None = None, whiten: bool = False,
                  svd_solver: str = "covariance", random_state: int | None = None,
@@ -77,6 +188,11 @@ class PCA(BaseEstimator, TransformerMixin):
 
     def fit(self, df: DataFrame, columns=None) -> "PCA":
         cols = self._validate_data(df, columns)
+        if self.svd_solver == "randomized":
+            return self._fit_randomized(df, cols)
+        # 'auto'/'full'/'tsqr'/'covariance' all take the exact one-pass
+        # moments + driver eigh route — for the d regimes where a d×d
+        # matrix fits on the driver it strictly dominates real TSQR
         n, s, P = _moments(df, cols)
         mean = s / n
         # covariance with ddof=1 (sklearn/dask-ml parity: explained
@@ -96,6 +212,37 @@ class PCA(BaseEstimator, TransformerMixin):
         self.explained_variance_ratio_ = self.explained_variance_ / total_var if total_var > 0 else self.explained_variance_
         self.singular_values_ = np.sqrt(self.explained_variance_ * (n - 1))
         self.noise_variance_ = float(evals[k:].mean()) if k < len(evals) else 0.0
+        self.feature_columns_ = cols
+        return self
+
+    def _fit_randomized(self, df: DataFrame, cols) -> "PCA":
+        """Wide-d scale path (reference pca.py:205-250 'randomized' /
+        da.linalg.svd_compressed): Halko sketch + distributed TSQR;
+        only O(d) and O(d·l) state ever leaves the executors."""
+        d = len(cols)
+        row = df.agg(F.count("*").alias("__n"),
+                     *[F.sum(F.col(c).cast("double")).alias(f"s_{c}") for c in cols],
+                     *[F.sum(F.col(c).cast("double") * F.col(c).cast("double")
+                             ).alias(f"ss_{c}") for c in cols],
+                     ).collect()[0]
+        n = row["__n"]
+        s = np.array([row[f"s_{c}"] for c in cols], dtype="float64")
+        ss = np.array([row[f"ss_{c}"] for c in cols], dtype="float64")
+        mean = s / n
+        k = self.n_components or d
+        n_iter = self.iterated_power if self.iterated_power else 2
+        S, Vt = randomized_svd(df, cols, k, n_iter=n_iter,
+                               random_state=self.random_state, mean=mean)
+        self.n_samples_ = int(n)
+        self.mean_ = mean
+        self.components_ = Vt
+        self.explained_variance_ = S**2 / (n - 1)
+        total_var = float(((ss - n * mean**2) / (n - 1)).sum())
+        self.explained_variance_ratio_ = (
+            self.explained_variance_ / total_var if total_var > 0 else self.explained_variance_)
+        self.singular_values_ = S
+        resid = total_var - float(self.explained_variance_.sum())
+        self.noise_variance_ = max(0.0, resid / (d - k)) if k < d else 0.0
         self.feature_columns_ = cols
         return self
 
@@ -152,26 +299,56 @@ class PCA(BaseEstimator, TransformerMixin):
 
 
 class TruncatedSVD(BaseEstimator, TransformerMixin):
-    """SVD without centering (reference truncated_svd.py:9-246): the
-    Gramian XᵀX is computed in the same single pass; eigh on driver."""
+    """SVD without centering (reference truncated_svd.py:9-246).
 
-    def __init__(self, n_components: int = 2, random_state: int | None = None):
+    ``algorithm='tsqr'`` (default): the Gramian XᵀX is computed in one
+    exact single pass; eigh on driver — strictly cheaper than real
+    TSQR for d up to a few thousand.  ``algorithm='randomized'``: the
+    Halko sketch with distributed TSQR re-orthonormalization
+    (randomized_svd above) — the wide-d scale path, partials O(d·l)."""
+
+    def __init__(self, n_components: int = 2, algorithm: str = "tsqr",
+                 n_iter: int = 5, random_state: int | None = None,
+                 tol: float = 0.0, compute: bool = True):
+        # tol/compute accepted for reference signature compatibility
+        # (truncated_svd.py:10-18); results are always "computed" here
         self.n_components = n_components
+        self.algorithm = algorithm
+        self.n_iter = n_iter
         self.random_state = random_state
+        self.tol = tol
+        self.compute = compute
 
     def fit(self, df: DataFrame, columns=None) -> "TruncatedSVD":
         cols = self._validate_data(df, columns)
-        n, s, P = _moments(df, cols)
-        evals, evecs = np.linalg.eigh(P)
-        order = np.argsort(evals)[::-1]
-        evals = np.clip(evals[order], 0.0, None)
-        comps = _flip(evecs[:, order].T)
         k = self.n_components
+        if self.algorithm == "randomized":
+            # O(d) aggs only (no d×d Gramian): mean + per-column second
+            # moment for the explained-variance bookkeeping
+            row = df.agg(F.count("*").alias("__n"),
+                         *[F.sum(F.col(c).cast("double")).alias(f"s_{c}") for c in cols],
+                         *[F.sum(F.col(c).cast("double") * F.col(c).cast("double")
+                                 ).alias(f"ss_{c}") for c in cols],
+                         ).collect()[0]
+            n = row["__n"]
+            s = np.array([row[f"s_{c}"] for c in cols], dtype="float64")
+            diag_P = np.array([row[f"ss_{c}"] for c in cols], dtype="float64")
+            S, comps = randomized_svd(df, cols, k, n_iter=self.n_iter,
+                                      random_state=self.random_state)
+            evals = np.zeros(len(cols))
+            evals[:k] = S**2
+        else:
+            n, s, P = _moments(df, cols)
+            diag_P = np.diag(P)
+            evals, evecs = np.linalg.eigh(P)
+            order = np.argsort(evals)[::-1]
+            evals = np.clip(evals[order], 0.0, None)
+            comps = _flip(evecs[:, order].T)
         self.components_ = comps[:k]
         self.singular_values_ = np.sqrt(evals[:k])
         # explained variance of the PROJECTED coordinates (sklearn defn)
         mean = s / n
-        cov_diag_total = (np.diag(P) - n * mean**2).sum() / (n - 1)
+        cov_diag_total = (diag_P - n * mean**2).sum() / (n - 1)
         proj_second = evals[:k] / n  # E[t_k^2]
         # var(t_k) needs E[t_k]^2 = (comp·mean)^2
         t_mean = self.components_ @ mean

@@ -134,3 +134,43 @@ def test_incremental_pca(xy_regression):
     # covariance accumulation is exact ⇒ same result as batch PCA
     np.testing.assert_allclose(ipca.components_, full.components_, rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(ipca.explained_variance_, full.explained_variance_, rtol=1e-8)
+
+
+def test_randomized_svd_matches_exact(spark):
+    """Halko sketch + distributed TSQR vs numpy on a wide-ish frame
+    with fast spectral decay (the regime the sketch targets)."""
+    import pandas as pd
+
+    from dask_ml_spark.operators.decomposition import randomized_svd
+
+    rng = np.random.RandomState(0)
+    d, n, true_rank = 20, 2000, 5
+    X = (rng.standard_normal((n, true_rank)) * (10.0 ** -np.arange(true_rank))
+         ) @ rng.standard_normal((true_rank, d))
+    cols = [f"c{j}" for j in range(d)]
+    df = spark.createDataFrame(pd.DataFrame(X, columns=cols)).repartition(8)
+    S, Vt = randomized_svd(df, cols, n_components=3, n_iter=3, random_state=0)
+    _, S_np, Vt_np = np.linalg.svd(X, full_matrices=False)
+    np.testing.assert_allclose(S, S_np[:3], rtol=1e-6)
+    for j in range(3):
+        assert abs(float(Vt[j] @ Vt_np[j])) > 1 - 1e-8  # same direction ± sign
+
+
+def test_truncated_svd_randomized_algorithm(xy_regression):
+    exact = TruncatedSVD(n_components=2).fit(xy_regression, FEATS)
+    rand = TruncatedSVD(n_components=2, algorithm="randomized", n_iter=4,
+                        random_state=0).fit(xy_regression, FEATS)
+    np.testing.assert_allclose(rand.singular_values_, exact.singular_values_, rtol=1e-5)
+    np.testing.assert_allclose(np.abs(rand.components_), np.abs(exact.components_),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_pca_randomized_solver(xy_regression):
+    exact = PCA(n_components=2).fit(xy_regression, FEATS)
+    rand = PCA(n_components=2, svd_solver="randomized", random_state=0).fit(
+        xy_regression, FEATS)
+    np.testing.assert_allclose(rand.singular_values_, exact.singular_values_, rtol=1e-5)
+    np.testing.assert_allclose(np.abs(rand.components_), np.abs(exact.components_),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(rand.explained_variance_, exact.explained_variance_, rtol=1e-5)
+    np.testing.assert_allclose(rand.noise_variance_, exact.noise_variance_, rtol=1e-3, atol=1e-8)
