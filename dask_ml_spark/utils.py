@@ -96,6 +96,10 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     thousands of partitions and this is a no-op — the check is
     driver-side and costs nothing but a plan conversion.
     """
+    if df.isStreaming:
+        # no static partition count to inspect; micro-batch sizing is
+        # the stream's own concern (maxFilesPerTrigger etc.)
+        return df
     if min_parts is None:
         min_parts = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min_parts:

@@ -1,0 +1,83 @@
+"""applyInPandasWithState sessionization: streaming vs batch parity.
+
+The streaming operator emits a session when a >gap silence closes it;
+the final open session per key stays in state. So the parity check is:
+streamed closed sessions == pandas-computed sessions minus each user's
+last one.
+"""
+
+import pandas as pd
+import pytest
+
+
+def _expected_sessions(pdf: pd.DataFrame, gap_seconds: float) -> pd.DataFrame:
+    """All sessions (including each user's final open one)."""
+    out = []
+    for uid, g in pdf.sort_values("ts").groupby("user_id"):
+        start = last = None
+        n, sv = 0, 0.0
+        for t, v in zip(g["ts"], g["value"]):
+            if last is not None and (t - last).total_seconds() > gap_seconds:
+                out.append((uid, start, last, n, sv))
+                start, n, sv = t, 0, 0.0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+            sv += float(v)
+        out.append((uid, start, last, n, sv))
+    return pd.DataFrame(
+        out, columns=["user_id", "session_start", "session_end", "n_events", "sum_value"])
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    from dask_ml_spark.sources.io import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    src.coalesce(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_sessionize_stream_matches_batch(spark, events_stream_dir):
+    from dask_ml_spark.streaming.stateful import sessionize_stream
+
+    schema = spark.read.parquet(events_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    sessions = sessionize_stream(stream, gap="30 minutes")
+    q = (sessions.writeStream.format("memory").queryName("sessions_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM sessions_out").toPandas()
+
+    pdf = spark.read.parquet(events_stream_dir).toPandas()
+    exp = _expected_sessions(pdf, 1800.0)
+    # drop each user's final (still-open) session: not emitted by the stream
+    exp_closed = exp[exp.groupby("user_id").cumcount(ascending=False) > 0]
+
+    key = ["user_id", "session_start", "n_events"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = exp_closed.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(exp_s) and len(got_s) > 0
+    pd.testing.assert_frame_equal(
+        got_s[["user_id", "n_events"]], exp_s[["user_id", "n_events"]])
+    assert (got_s["session_start"].values == exp_s["session_start"].values).all()
+    assert (got_s["session_end"].values == exp_s["session_end"].values).all()
+    assert abs(got_s["sum_value"] - exp_s["sum_value"]).max() < 1e-9
+
+
+def test_streaming_quality_filter_runs_on_stream(spark, tmp_path):
+    from dask_ml_spark.streaming.stateful import streaming_quality_filter
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path / "docs")
+    src.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    filtered = streaming_quality_filter(stream, min_chars=50)
+    q = (filtered.writeStream.format("memory").queryName("docs_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) n FROM docs_out").collect()[0]["n"]
+    want = streaming_quality_filter(src, min_chars=50).count()
+    assert got == want and got > 0
