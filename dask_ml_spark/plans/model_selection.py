@@ -47,6 +47,47 @@ def train_test_split(df: DataFrame, test_size: float = 0.25, train_size: float |
     return train, test
 
 
+def hash_split(df: DataFrame, key_cols, test_size: float = 0.25,
+               n_buckets: int = 10_000, salt: int = 0):
+    """Deterministic content-addressed split (beyond-reference).
+
+    ``rand(seed)``-based splits (train_test_split above, reference
+    _split.py) are reproducible only for a fixed partitioning — a task
+    retry or repartition reassigns rows.  For production 100 TB
+    pipelines the stable practice is hashing the row KEY: a row's side
+    is a pure function of its key, independent of partitioning, executor
+    failures, or engine.  The Knuth multiplicative hash below is plain
+    integer arithmetic, so the same expression runs on any SQL engine
+    (the oracle checks the split content, not just its size).
+
+    Returns (train, test); rows with equal keys land on the same side
+    (group-leakage-safe when key_cols is the entity id).
+    """
+    if not 0.0 < test_size < 1.0:
+        raise ValueError("test_size must be in (0, 1)")
+    bucket = _hash_bucket_expr(key_cols, n_buckets, salt)
+    cut = int(round(n_buckets * (1.0 - test_size)))
+    train = df.where(bucket < cut)
+    test = df.where(bucket >= cut)
+    return train, test
+
+
+def _hash_bucket_expr(key_cols, n_buckets: int, salt: int):
+    """Engine-portable bucket id: Knuth multiplicative hashing of the
+    combined integer key, all in int64 arithmetic (no engine-specific
+    hash function)."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    M = 2654435761  # Knuth's multiplier (2^32 / phi)
+    P = 1 << 31  # reduction modulus: keeps every product < 2^62 so the
+    # arithmetic never overflows int64 on ANY engine (DuckDB errors on
+    # bigint overflow; Spark non-ANSI silently wraps — both avoided)
+    k = F.lit(int(salt) % P).cast("long")
+    for c in key_cols:
+        k = F.pmod((F.pmod(k + F.col(c).cast("long"), F.lit(P))) * F.lit(M), F.lit(P))
+    return F.pmod(k, F.lit(n_buckets))
+
+
 class ShuffleSplit(BaseEstimator):
     """n_splits independent random splits (reference _split.py:92-200).
     Yields (train_df, test_df) pairs lazily; each split is a pair of

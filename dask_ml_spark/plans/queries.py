@@ -240,6 +240,37 @@ LIMIT 20
 """
 
 
+def q_hash_split_train_stats(spark, sf_dir):
+    """Deterministic content-addressed train/test split: the bucket is
+    a pure arithmetic function of the row key (portable across engines
+    and partitionings — unlike rand(seed)), so the oracle verifies the
+    exact split CONTENT, not just its size."""
+    from dask_ml_spark.plans.model_selection import hash_split
+
+    li = _t(spark, sf_dir, "lineitem")
+    train, test = hash_split(li, ["l_orderkey", "l_linenumber"], test_size=0.25)
+    t1 = train.agg(F.count("*").alias("n"), F.sum("l_extendedprice").alias("sum_price"),
+                   F.lit("train").alias("side"))
+    t2 = test.agg(F.count("*").alias("n"), F.sum("l_extendedprice").alias("sum_price"),
+                  F.lit("test").alias("side"))
+    return t1.unionAll(t2)
+
+
+SQL_HASH_SPLIT_TRAIN_STATS = """
+WITH b AS (
+    SELECT l_extendedprice,
+           ((((0 + l_orderkey) % 2147483648) * 2654435761 % 2147483648
+             + l_linenumber) % 2147483648) * 2654435761 % 2147483648 % 10000 AS bucket
+    FROM lineitem
+)
+SELECT count(*) AS n, sum(l_extendedprice) AS sum_price, 'train' AS side
+FROM b WHERE bucket < 7500
+UNION ALL
+SELECT count(*) AS n, sum(l_extendedprice) AS sum_price, 'test' AS side
+FROM b WHERE bucket >= 7500
+"""
+
+
 # =====================================================================
 # preprocessing operators (SURVEY §2.3)
 # =====================================================================
@@ -1256,6 +1287,7 @@ def build_catalog():
         "shipping_priority": q_shipping_priority,
         "order_priority_returns": q_order_priority_returns,
         "customer_returns_topk": q_customer_returns_topk,
+        "hash_split_train_stats": q_hash_split_train_stats,
         "standard_scaler_fit": q_standard_scaler_fit,
         "standard_scaler_transform": q_standard_scaler_transform,
         "minmax_scaler_fit": q_minmax_scaler_fit,
@@ -1331,6 +1363,7 @@ def build_catalog():
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "order_priority_returns": SQL_ORDER_PRIORITY_RETURNS,
         "customer_returns_topk": SQL_CUSTOMER_RETURNS_TOPK,
+        "hash_split_train_stats": SQL_HASH_SPLIT_TRAIN_STATS,
         "standard_scaler_fit": SQL_STANDARD_SCALER_FIT,
         "standard_scaler_transform": SQL_STANDARD_SCALER_TRANSFORM,
         "minmax_scaler_fit": SQL_MINMAX_SCALER_FIT,

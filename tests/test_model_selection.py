@@ -139,3 +139,32 @@ def test_pipeline_set_params_routing():
         pipe.set_params(nope__x=1)
     with pytest.raises(ValueError):
         pipe.set_params(C=1.0)
+
+
+def test_hash_split_deterministic_and_disjoint(spark):
+    from dask_ml_spark.plans.model_selection import hash_split
+
+    df = spark.range(10_000).selectExpr("id", "id % 97 AS grp")
+    train, test = hash_split(df, "id", test_size=0.3)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 10_000
+    assert 0.65 < n_train / 10_000 < 0.75
+    # deterministic: same content after an arbitrary repartition
+    train2, _ = hash_split(df.repartition(7), "id", test_size=0.3)
+    assert train2.count() == n_train
+    ids = {r["id"] for r in train.select("id").collect()}
+    ids2 = {r["id"] for r in train2.select("id").collect()}
+    assert ids == ids2
+    # disjoint
+    test_ids = {r["id"] for r in test.select("id").collect()}
+    assert not (ids & test_ids)
+
+
+def test_hash_split_group_leakage_safe(spark):
+    from dask_ml_spark.plans.model_selection import hash_split
+
+    df = spark.range(5_000).selectExpr("id % 50 AS entity", "id AS payload")
+    train, test = hash_split(df, "entity", test_size=0.4)
+    train_e = {r["entity"] for r in train.select("entity").distinct().collect()}
+    test_e = {r["entity"] for r in test.select("entity").distinct().collect()}
+    assert not (train_e & test_e)  # an entity never straddles the split
