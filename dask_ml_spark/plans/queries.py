@@ -271,6 +271,56 @@ FROM b WHERE bucket >= 7500
 """
 
 
+def q_event_props_json(spark, sf_dir):
+    """Semi-structured extraction: parse the events.props JSON column
+    with a declared schema (from_json stays in the JVM — no UDF) and
+    aggregate the extracted field per event type."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("props_k", F.from_json(F.col("props"), "k BIGINT")["k"])
+    return parsed.groupBy("event_type").agg(
+        F.avg("props_k").alias("avg_k"),
+        F.sum("props_k").alias("sum_k"),
+        F.count("props_k").alias("n_with_k"),
+    )
+
+
+SQL_EVENT_PROPS_JSON = """
+SELECT event_type,
+       avg(CAST(json_extract(props, '$.k') AS BIGINT)) AS avg_k,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_event_value_moving_avg(spark, sf_dir):
+    """Window-frame analytics: 5-row trailing moving average and
+    running max of event value per user, ordered by time.  One hash
+    exchange on user_id feeds both frame specs (shared Window sort)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.avg("value").over(w.rowsBetween(-4, 0)).alias("moving_avg_5"),
+        F.max("value").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_max"),
+        F.row_number().over(w).alias("event_seq"),
+    )
+
+
+SQL_EVENT_VALUE_MOVING_AVG = """
+SELECT event_id, user_id,
+       avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_avg_5,
+       max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_seq
+FROM events
+"""
+
+
 # =====================================================================
 # preprocessing operators (SURVEY §2.3)
 # =====================================================================
@@ -1288,6 +1338,8 @@ def build_catalog():
         "order_priority_returns": q_order_priority_returns,
         "customer_returns_topk": q_customer_returns_topk,
         "hash_split_train_stats": q_hash_split_train_stats,
+        "event_props_json": q_event_props_json,
+        "event_value_moving_avg": q_event_value_moving_avg,
         "standard_scaler_fit": q_standard_scaler_fit,
         "standard_scaler_transform": q_standard_scaler_transform,
         "minmax_scaler_fit": q_minmax_scaler_fit,
@@ -1364,6 +1416,8 @@ def build_catalog():
         "order_priority_returns": SQL_ORDER_PRIORITY_RETURNS,
         "customer_returns_topk": SQL_CUSTOMER_RETURNS_TOPK,
         "hash_split_train_stats": SQL_HASH_SPLIT_TRAIN_STATS,
+        "event_props_json": SQL_EVENT_PROPS_JSON,
+        "event_value_moving_avg": SQL_EVENT_VALUE_MOVING_AVG,
         "standard_scaler_fit": SQL_STANDARD_SCALER_FIT,
         "standard_scaler_transform": SQL_STANDARD_SCALER_TRANSFORM,
         "minmax_scaler_fit": SQL_MINMAX_SCALER_FIT,
