@@ -86,16 +86,50 @@ class CountVectorizer(BaseEstimator, TransformerMixin):
         toks = tokenize(F.col(self.input_col), self.lowercase, self.token_pattern)
         return df.withColumn(self.output_col, _vec(toks))
 
+    def fit_distributed(self, df: DataFrame) -> "CountVectorizer":
+        """Open-vocabulary fit: the dictionary NEVER reaches the driver
+        (reference parity collects it, text.py:268-282 — fine for
+        bounded vocabularies; this is the path for billions of distinct
+        tokens).  The fitted state is ``vocabulary_frame_``: a
+        DataFrame (token, token_id, df) with dense ids assigned in
+        sorted-token order by a distributed two-phase zip_with_index.
+        Use with transform_long; the driver only ever sees
+        ``n_features_`` (one count)."""
+        from dask_ml_spark.utils import zip_with_index
+
+        toks = tokenize(F.col(self.input_col), self.lowercase, self.token_pattern)
+        n_docs = df.count()
+        docfreq = (
+            df.select(F.explode(F.array_distinct(toks)).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("df"))
+        )
+        max_df_count = self.max_df * n_docs if isinstance(self.max_df, float) else self.max_df
+        filtered = docfreq.where((F.col("df") >= self.min_df) & (F.col("df") <= max_df_count))
+        if self.max_features:
+            filtered = filtered.orderBy(F.desc("df"), "token").limit(self.max_features)
+        indexed, pinned = zip_with_index(filtered, "token", id_col="token_id")
+        self.vocabulary_frame_ = indexed.persist()
+        self.n_features_ = self.vocabulary_frame_.count()  # also materializes
+        pinned.unpersist()
+        return self
+
     def transform_long(self, df: DataFrame, id_col: str) -> DataFrame:
         """Long/triplet form (doc_id, token_id, count) — the relational
-        encoding of the sparse matrix; joins against the vocabulary as a
-        broadcast table, fully JVM-side. Preferred at scale."""
+        encoding of the sparse matrix; joins against the vocabulary
+        table, fully JVM-side. Preferred at scale.  Uses the
+        distributed ``vocabulary_frame_`` when fit_distributed was
+        used (shuffle join on token — AQE broadcasts it when small),
+        else broadcasts the driver-side dictionary."""
         spark = df.sparkSession
-        vocab_df = F.broadcast(
-            spark.createDataFrame(
-                [(t, i) for t, i in self.vocabulary_.items()], ["token", "token_id"]
+        if getattr(self, "vocabulary_frame_", None) is not None:
+            vocab_df = self.vocabulary_frame_.select("token", "token_id")
+        else:
+            vocab_df = F.broadcast(
+                spark.createDataFrame(
+                    [(t, i) for t, i in self.vocabulary_.items()], ["token", "token_id"]
+                )
             )
-        )
         toks = tokenize(F.col(self.input_col), self.lowercase, self.token_pattern)
         return (
             df.select(F.col(id_col), F.explode(toks).alias("token"))

@@ -117,6 +117,47 @@ def add_row_index(df: DataFrame, name: str = "__row_id__") -> DataFrame:
     return df.withColumn(name, F.monotonically_increasing_id())
 
 
+def zip_with_index(df: DataFrame, order_cols, id_col: str = "index",
+                   num_partitions: int | None = None):
+    """Dense 0-based ids in global ``order_cols`` order, fully
+    distributed (no single-partition window, no driver collect of
+    data).  The classic two-phase scheme: range-partition + sort by the
+    order key, count rows per partition (only #partitions longs reach
+    the driver), then id = partition offset + local row_number.
+
+    Returns (indexed_df, persisted_input) — caller unpersists the
+    second when done; the persist pins the partitioning so the count
+    pass and the id pass see identical splits.
+    """
+    from pyspark.sql import Window
+
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(n_parts, *order_cols)
+              .sortWithinPartitions(*order_cols)
+              .withColumn("__pid", F.spark_partition_id())
+              .persist())
+    sizes = {r["__pid"]: r["n"] for r in
+             ranged.groupBy("__pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_col = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in sorted(offsets)]),
+            F.array(*[F.lit(offsets[p]) for p in sorted(offsets)]),
+        ),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    out = (ranged.withColumn(
+        id_col, (offset_col + F.row_number().over(w) - 1).cast("long"))
+           .drop("__pid"))
+    return out, ranged
+
+
 def check_array(df: DataFrame, columns=None, *, accept_spark_dataframe: bool = True,
                 ensure_min_features: int = 1, ensure_all_finite: bool = False) -> DataFrame:
     """Validate a feature DataFrame (reference utils.py:123-214).

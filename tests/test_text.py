@@ -116,3 +116,32 @@ def test_feature_hasher_string_input(spark):
     out = fh.transform_long(df, "row_id").toPandas()
     # 'a' occurs twice -> one bucket with value 2, 'b' once
     assert sorted(out["value"].tolist()) == [1.0, 2.0]
+
+
+def test_zip_with_index_dense_and_ordered(spark):
+    from dask_ml_spark.utils import zip_with_index
+
+    df = spark.range(1000).selectExpr("cast(id * 7919 % 1000 as string) AS tok").distinct()
+    indexed, pinned = zip_with_index(df, "tok", id_col="idx")
+    pdf = indexed.toPandas().sort_values("tok").reset_index(drop=True)
+    pinned.unpersist()
+    assert sorted(pdf["idx"]) == list(range(len(pdf)))  # dense 0..n-1
+    assert (pdf["idx"].to_numpy() == pdf["idx"].sort_values().to_numpy()).all()  # sorted order
+
+
+def test_count_vectorizer_fit_distributed_matches_fit(documents):
+    cv1 = CountVectorizer(min_df=2, max_df=0.8).fit(documents)
+    cv2 = CountVectorizer(min_df=2, max_df=0.8).fit_distributed(documents)
+    vocab_pdf = cv2.vocabulary_frame_.toPandas().sort_values("token_id")
+    # identical dictionary, identical dense sorted-token ids
+    assert list(vocab_pdf["token"]) == list(cv1.feature_names_out_)
+    assert list(vocab_pdf["token_id"]) == list(range(len(vocab_pdf)))
+    assert cv2.n_features_ == len(cv1.vocabulary_)
+    # identical triplet output through either vocabulary representation
+    t1 = cv1.transform_long(documents, "doc_id").toPandas()
+    t2 = cv2.transform_long(documents, "doc_id").toPandas()
+    key = ["doc_id", "token_id"]
+    t1 = t1.sort_values(key).reset_index(drop=True)
+    t2 = t2.sort_values(key).reset_index(drop=True)
+    assert t1.equals(t2)
+    cv2.vocabulary_frame_.unpersist()
