@@ -25,6 +25,9 @@ HEADLINE = [
     "shipping_priority",
     "order_priority_returns",
     "customer_returns_topk",
+    "hash_split_train_stats",
+    "event_props_json",
+    "event_value_moving_avg",
     "standard_scaler_transform",
     "gaussian_nb_fit",
     "pca_covariance",

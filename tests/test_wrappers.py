@@ -84,3 +84,36 @@ def test_blockwise_voting_regressor(xy_regression):
     pdf_mean = xy_regression.toPandas()["label"].mean()
     # mean of per-partition means ≈ global mean (equal-ish partitions)
     assert abs(pred - pdf_mean) < 10
+
+
+def test_fitted_models_pickle_roundtrip(spark):
+    """Fitted estimators are plain-Python state (numpy on the driver) —
+    picklable for model persistence, exactly like the reference's
+    sklearn-style estimators. Unpickled models must still produce
+    plans (their state folds into column-expression literals)."""
+    import pickle
+
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.operators.cluster import KMeans
+    from dask_ml_spark.operators.decomposition import PCA
+    from dask_ml_spark.operators.linear_model import LogisticRegression
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+    from dask_ml_spark.sources.io import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    lab = li.withColumn("label", (F.col("l_returnflag") == "R").cast("double"))
+
+    sc = pickle.loads(pickle.dumps(StandardScaler().fit(li, cols)))
+    assert sc.transform(li).columns == li.columns
+
+    km = pickle.loads(pickle.dumps(
+        KMeans(n_clusters=3, max_iter=3, random_state=0).fit(li, cols)))
+    assert km.predict(li).select("prediction").distinct().count() <= 3
+
+    pca = pickle.loads(pickle.dumps(PCA(n_components=2).fit(li, cols)))
+    assert {"pc0", "pc1"} <= set(pca.transform(li).columns)
+
+    lr = pickle.loads(pickle.dumps(LogisticRegression(max_iter=5).fit(lab, cols)))
+    assert "prediction" in lr.predict(lab).columns
