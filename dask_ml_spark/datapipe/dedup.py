@@ -28,9 +28,13 @@ def tokens_expr(text_col):
     return F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), 0)
 
 
-def shingles_expr(text_col, n: int = 3):
-    """Word n-gram shingles as an array<string> (distinct)."""
-    toks = tokens_expr(text_col)
+def shingles_from_tokens(toks, n: int = 3):
+    """Word n-gram shingles (distinct) from an ALREADY-MATERIALIZED
+    token-array column.  `toks` must be a plain column reference — if a
+    computed expression (e.g. regexp_extract_all) is passed here it is
+    re-evaluated for every element_at inside the lambda, turning an
+    O(tokens) shingling into O(tokens · n) regex scans of the full
+    document.  Callers project the token array first."""
     if n == 1:
         return F.array_distinct(toks)
     # positions 0..len-n; concat_ws of the n-gram window
@@ -39,6 +43,24 @@ def shingles_expr(text_col, n: int = 3):
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
     )
     return F.array_distinct(grams)
+
+
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int):
+    """(id, shingle) rows with the tokenizer evaluated once per doc
+    through a projection boundary."""
+    return (
+        ensure_min_partitions(df)
+        .select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col),
+                F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle"))
+    )
+
+
+def shingles_expr(text_col, n: int = 3):
+    """Word n-gram shingles as an array<string> (distinct).  Prefer
+    shingles_from_tokens over a projected token column in hot paths —
+    see that docstring for why."""
+    return shingles_from_tokens(tokens_expr(text_col), n)
 
 
 def base_hash_expr(col):
@@ -77,9 +99,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     map-side combine; signature columns m0..m{n-1}."""
     a, b = minhash_coeffs(n_hashes, seed)
     h = F.pmod(base_hash_expr(F.col("shingle")), F.lit(MERSENNE_P))
-    exploded = ensure_min_partitions(df).select(
-        F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("shingle")
-    ).withColumn("h", h)
+    exploded = _exploded_shingles(df, text_col, id_col, shingle_n).withColumn("h", h)
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]), F.lit(MERSENNE_P))).alias(f"m{i}")
         for i in range(n_hashes)
@@ -200,9 +220,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     shingles create hot keys; drop top-frequency shingles upstream or
     rely on AQE skew handling. Output: (id_a, id_b, jaccard)."""
     # persist: referenced three times (sizes + both join sides)
-    sh = ensure_min_partitions(df).select(
-        F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("shingle")
-    ).persist()
+    sh = _exploded_shingles(df, text_col, id_col, shingle_n).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     l, r = sh.alias("l"), sh.alias("r")
     shared = (
