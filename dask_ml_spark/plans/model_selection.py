@@ -317,18 +317,26 @@ class GridSearchCV(BaseEstimator):
 
         n_folds = len(folds)
         mean_scores, std_scores = [], []
+        split_scores = []
         for ci, params in enumerate(candidates):
             src = seen[_param_token(params)]
             ss = [results[(src, fi)] for fi in range(n_folds)]
+            split_scores.append(ss)
             mean_scores.append(float(np.mean(ss)))
             std_scores.append(float(np.std(ss)))
-        ranks = (-np.asarray(mean_scores)).argsort().argsort() + 1
+        means = np.asarray(mean_scores)
+        # min-rank on ties (reference methods.py:354-446 uses rankdata):
+        # rank = 1 + number of strictly better candidates
+        ranks = np.asarray([1 + int((means > s).sum()) for s in means])
         self.cv_results_ = {
             "params": candidates,
-            "mean_test_score": np.asarray(mean_scores),
+            "mean_test_score": means,
             "std_test_score": np.asarray(std_scores),
             "rank_test_score": ranks.astype(int),
         }
+        for fi in range(n_folds):
+            self.cv_results_[f"split{fi}_test_score"] = np.asarray(
+                [ss[fi] for ss in split_scores])
         for k in sorted({k for p in candidates for k in p}):
             self.cv_results_[f"param_{k}"] = np.asarray([p.get(k) for p in candidates], dtype=object)
         self.best_index_ = int(np.argmax(mean_scores))

@@ -168,3 +168,29 @@ def test_hash_split_group_leakage_safe(spark):
     train_e = {r["entity"] for r in train.select("entity").distinct().collect()}
     test_e = {r["entity"] for r in test.select("entity").distinct().collect()}
     assert not (train_e & test_e)  # an entity never straddles the split
+
+
+def test_cv_results_structure_sklearn_parity(spark):
+    """cv_results_ carries split scores and min-ranked ties, matching
+    the reference's create_cv_results table (methods.py:354-446)."""
+    import numpy as np
+
+    from dask_ml_spark.operators.linear_model import LogisticRegression
+    from dask_ml_spark.plans.model_selection import GridSearchCV
+    from pyspark.sql import functions as F
+
+    df = (spark.range(2000)
+          .selectExpr("cast(id % 13 as double) f0", "cast(id % 7 as double) f1")
+          .withColumn("label", (F.col("f0") > 6).cast("double")))
+    gs = GridSearchCV(LogisticRegression(max_iter=5), {"C": [1.0, 1.0, 0.1]}, cv=3)
+    gs.fit(df, columns=["f0", "f1"], label_col="label")
+    r = gs.cv_results_
+    for fi in range(3):
+        assert f"split{fi}_test_score" in r and len(r[f"split{fi}_test_score"]) == 3
+    np.testing.assert_allclose(
+        np.mean([r[f"split{fi}_test_score"] for fi in range(3)], axis=0),
+        r["mean_test_score"])
+    # duplicate candidates (C=1.0 twice) share a fit AND a min rank
+    assert r["mean_test_score"][0] == r["mean_test_score"][1]
+    assert r["rank_test_score"][0] == r["rank_test_score"][1]
+    assert sorted(r["rank_test_score"]) in ([1, 1, 1], [1, 1, 3])
