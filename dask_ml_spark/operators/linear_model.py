@@ -13,6 +13,12 @@ model object needed at serve time).
 Regularization mapping (reference glm.py:40-42,146): C ↔ regParam =
 1/C (per-sample scaling matches MLlib's objective), penalty l1/l2 ↔
 elasticNetParam 1.0/0.0.
+
+Solver surface (reference glm.py:61-64,139-171): ``admm``,
+``gradient_descent``, ``newton``, ``lbfgs``, ``proximal_grad``.
+``auto``/``lbfgs`` delegate to MLlib (JVM treeAggregate); the other four
+run our distributed implementations in ``operators/solvers.py`` — same
+objective, same optimum, different communication pattern.
 """
 
 from __future__ import annotations
@@ -33,6 +39,23 @@ def _assemble(df: DataFrame, cols, out="__features"):
     return va.transform(ensure_min_partitions(df))
 
 
+def _fit_custom(est, df, cols, label_col, family):
+    """Route non-lbfgs solver names to operators/solvers.py (reference
+    glm.py:139-171 delegates the same names to dask_glm)."""
+    from dask_ml_spark.operators.solvers import fit_glm
+
+    coef, intercept = fit_glm(
+        df, cols, label_col, family, est.solver,
+        getattr(est, "penalty", "l2"), est.C, est.fit_intercept,
+        est.max_iter, est.tol, est.solver_kwargs,
+    )
+    est.coef_ = coef
+    est.intercept_ = intercept
+    est.feature_columns_ = cols
+    est.label_col_ = label_col
+    return est
+
+
 def _linear_expr(cols, coef, intercept):
     e = F.lit(float(intercept))
     for c, w in zip(cols, coef):
@@ -45,18 +68,22 @@ class LinearRegression(BaseEstimator, RegressorMixin):
     """OLS / ridge / lasso (reference glm.py:225-268)."""
 
     def __init__(self, penalty: str = "l2", C: float = 1.0, fit_intercept: bool = True,
-                 max_iter: int = 100, tol: float = 1e-6, solver: str = "auto"):
+                 max_iter: int = 100, tol: float = 1e-6, solver: str = "auto",
+                 solver_kwargs: dict | None = None):
         self.penalty = penalty
         self.C = C
         self.fit_intercept = fit_intercept
         self.max_iter = max_iter
         self.tol = tol
         self.solver = solver
+        self.solver_kwargs = solver_kwargs
 
     def fit(self, df: DataFrame, columns=None, label_col: str = "label") -> "LinearRegression":
         from pyspark.ml.regression import LinearRegression as MLlibLR
 
         cols = self._validate_data(df, columns)
+        if self.solver not in ("auto", "lbfgs"):
+            return _fit_custom(self, df, cols, label_col, "gaussian")
         # persist across solver iterations: LBFGS/IRLS treeAggregate
         # rescans the input once per iteration
         assembled = _assemble(df.select(*cols, F.col(label_col).cast("double").alias(label_col)), cols).persist()
@@ -68,6 +95,10 @@ class LinearRegression(BaseEstimator, RegressorMixin):
         m = MLlibLR(
             featuresCol="__features", labelCol=label_col,
             regParam=reg, elasticNetParam=elastic,
+            # the reference (dask_glm) penalizes raw-space coefficients;
+            # MLlib's default standardization=True would change the
+            # regularized optimum and break cross-solver agreement
+            standardization=False,
             fitIntercept=self.fit_intercept, maxIter=self.max_iter, tol=self.tol,
         ).fit(assembled)
         assembled.unpersist()
@@ -85,18 +116,25 @@ class LogisticRegression(BaseEstimator, ClassifierMixin):
     """Binary logistic regression (reference glm.py:270-330)."""
 
     def __init__(self, penalty: str = "l2", C: float = 1.0, fit_intercept: bool = True,
-                 max_iter: int = 100, tol: float = 1e-6, threshold: float = 0.5):
+                 max_iter: int = 100, tol: float = 1e-6, threshold: float = 0.5,
+                 solver: str = "auto", solver_kwargs: dict | None = None):
         self.penalty = penalty
         self.C = C
         self.fit_intercept = fit_intercept
         self.max_iter = max_iter
         self.tol = tol
         self.threshold = threshold
+        self.solver = solver
+        self.solver_kwargs = solver_kwargs
 
     def fit(self, df: DataFrame, columns=None, label_col: str = "label") -> "LogisticRegression":
         from pyspark.ml.classification import LogisticRegression as MLlibLogReg
 
         cols = self._validate_data(df, columns)
+        if self.solver not in ("auto", "lbfgs"):
+            out = _fit_custom(self, df, cols, label_col, "logistic")
+            out.classes_ = np.array([0.0, 1.0])
+            return out
         # persist across solver iterations: LBFGS/IRLS treeAggregate
         # rescans the input once per iteration
         assembled = _assemble(df.select(*cols, F.col(label_col).cast("double").alias(label_col)), cols).persist()
@@ -108,6 +146,10 @@ class LogisticRegression(BaseEstimator, ClassifierMixin):
         m = MLlibLogReg(
             featuresCol="__features", labelCol=label_col,
             regParam=reg, elasticNetParam=elastic,
+            # the reference (dask_glm) penalizes raw-space coefficients;
+            # MLlib's default standardization=True would change the
+            # regularized optimum and break cross-solver agreement
+            standardization=False,
             fitIntercept=self.fit_intercept, maxIter=self.max_iter, tol=self.tol,
         ).fit(assembled)
         assembled.unpersist()
@@ -136,16 +178,22 @@ class PoissonRegression(BaseEstimator, RegressorMixin):
     GeneralizedLinearRegression (IRLS, distributed)."""
 
     def __init__(self, C: float = 1.0, fit_intercept: bool = True,
-                 max_iter: int = 25, tol: float = 1e-6):
+                 max_iter: int = 25, tol: float = 1e-6, solver: str = "auto",
+                 solver_kwargs: dict | None = None):
         self.C = C
         self.fit_intercept = fit_intercept
         self.max_iter = max_iter
         self.tol = tol
+        self.solver = solver
+        self.solver_kwargs = solver_kwargs
+        self.penalty = "l2"
 
     def fit(self, df: DataFrame, columns=None, label_col: str = "label") -> "PoissonRegression":
         from pyspark.ml.regression import GeneralizedLinearRegression
 
         cols = self._validate_data(df, columns)
+        if self.solver not in ("auto", "lbfgs"):
+            return _fit_custom(self, df, cols, label_col, "poisson")
         # persist across solver iterations: LBFGS/IRLS treeAggregate
         # rescans the input once per iteration
         assembled = _assemble(df.select(*cols, F.col(label_col).cast("double").alias(label_col)), cols).persist()

@@ -627,6 +627,153 @@ FROM lineitem
 """
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-shaped: revenue where the supplying and ordering nation
+    coincide, per nation of one region. Fact-side joins shuffle on
+    l_orderkey / o_custkey; supplier, nation, region are broadcast so
+    the equi-nation predicate (c_nationkey = s_nationkey) is applied
+    map-side with zero extra exchanges."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o.where(F.col("o_orderdate") < F.lit("1997-01-01")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.where(F.col("r_name") == "AMERICA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-shaped: share of promo-part revenue per ship month.
+    Single fact⋈broadcast(part) join; the conditional aggregate folds
+    into one scan (no second pass for the numerator)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            (100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+             / F.sum(rev)).alias("promo_pct"),
+            F.sum(rev).alias("revenue"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT date_trunc('month', l_shipdate) AS ship_month,
+       100.0 * sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)) AS promo_pct,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18-shaped: customers with orders above a quantity
+    threshold. The HAVING filter runs on the first (fact-only) rollup so
+    only qualifying orderkeys reach the joins — at 100 TB the semi-join
+    reduction is the difference between joining 1e11 and ~1e6 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .where(F.col("total_qty") > 150))
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.col("o_orderdate"), F.col("o_totalprice"), F.col("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_LARGE_ORDERS = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q_ols_newton_fit(spark, sf_dir):
+    """Distributed Newton solver (operators/solvers.py) on a 2-feature
+    OLS. For the gaussian family Newton solves the normal equations
+    exactly in one step, so DuckDB's Cramer-rule solution of the same
+    system is a tight oracle — this checks the distributed
+    gradient/Hessian aggregation end-to-end, not just SQL parity."""
+    from dask_ml_spark.linear_model import LinearRegression
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        F.col("l_tax").cast("double").alias("x2"),
+        F.col("l_discount").cast("double").alias("label"),
+    )
+    m = LinearRegression(penalty="none", solver="newton", max_iter=3).fit(
+        li, ["x1", "x2"])
+    return spark.createDataFrame(
+        [(float(m.coef_[0]), float(m.coef_[1]), float(m.intercept_))],
+        "coef_x1 double, coef_x2 double, intercept double")
+
+
+SQL_OLS_NEWTON_FIT = """
+WITH d AS (
+  SELECT l_quantity/50.0 AS x1, l_tax AS x2, l_discount AS y FROM lineitem
+), s AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(x1*x1) AS a11, sum(x1*x2) AS a12, sum(x1) AS a13,
+         sum(x2*x2) AS a22, sum(x2) AS a23,
+         sum(x1*y) AS b1, sum(x2*y) AS b2, sum(y) AS b3
+  FROM d
+), m AS (
+  SELECT *,
+    a11*(a22*n - a23*a23) - a12*(a12*n - a23*a13) + a13*(a12*a23 - a22*a13) AS det
+  FROM s
+)
+SELECT
+  (b1*(a22*n - a23*a23) - a12*(b2*n - a23*b3) + a13*(b2*a23 - a22*b3)) / det AS coef_x1,
+  (a11*(b2*n - a23*b3) - b1*(a12*n - a23*a13) + a13*(a12*b3 - b2*a13)) / det AS coef_x2,
+  (a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13) + b1*(a12*a23 - a22*a13)) / det AS intercept
+FROM m
+"""
+
+
 def q_pca_covariance(spark, sf_dir):
     """The distributed half of PCA.fit — the covariance matrix (the
     driver-side eigh consumes exactly these numbers)."""
@@ -1354,6 +1501,10 @@ def build_catalog():
         "dummy_encoder": q_dummy_encoder,
         "gaussian_nb_fit": q_gaussian_nb_fit,
         "simple_ols_fit": q_simple_ols_fit,
+        "ols_newton_fit": q_ols_newton_fit,
+        "local_supplier_volume": q_local_supplier_volume,
+        "promo_revenue": q_promo_revenue,
+        "large_orders": q_large_orders,
         "pca_covariance": q_pca_covariance,
         "classification_metrics": q_classification_metrics,
         "regression_metrics": q_regression_metrics,
@@ -1432,6 +1583,10 @@ def build_catalog():
         "dummy_encoder": sql_dummy_encoder(["F", "O", "P"]),
         "gaussian_nb_fit": SQL_GAUSSIAN_NB_FIT,
         "simple_ols_fit": SQL_SIMPLE_OLS_FIT,
+        "ols_newton_fit": SQL_OLS_NEWTON_FIT,
+        "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+        "promo_revenue": SQL_PROMO_REVENUE,
+        "large_orders": SQL_LARGE_ORDERS,
         "pca_covariance": SQL_PCA_COVARIANCE,
         "classification_metrics": SQL_CLASSIFICATION_METRICS,
         "regression_metrics": SQL_REGRESSION_METRICS,
