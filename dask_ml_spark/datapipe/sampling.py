@@ -1,0 +1,69 @@
+"""Deterministic sampling / selection operators for curation pipelines.
+
+Beyond-reference (the reference has no sampling surface beyond
+train_test_split, model_selection/_split.py:361-520): large-scale
+training-data pipelines re-balance corpora by stratum (language, source,
+quality band) and keep only the best documents per group. Both ops here
+are pure column expressions — no UDF, no shuffle for the sample, one
+window shuffle for the top-k — and both are *content-deterministic*:
+re-running on a repartitioned / recovered cluster selects the SAME rows,
+which is what makes 100 TB pipeline retries idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dask_ml_spark.plans.model_selection import _hash_bucket_expr
+
+
+def stratified_sample(df: DataFrame, strata_col: str, fractions,
+                      key_cols, n_buckets: int = 10_000,
+                      salt: int = 0) -> DataFrame:
+    """Keep a per-stratum fraction of rows, chosen by content hash.
+
+    ``fractions``: scalar fraction for every stratum, or dict
+    {stratum_value: fraction} — strata absent from the dict are dropped
+    (the corpus-rebalancing contract: unlisted languages are excluded).
+    Selection = Knuth-hash(key) bucket < fraction·n_buckets, the same
+    engine-portable arithmetic as hash_split, so the oracle can verify
+    the sample's CONTENT, and ``df.sampleBy``'s partition-order
+    sensitivity is avoided entirely. Rows with equal keys are kept or
+    dropped together (group-leakage-safe).
+    """
+    bucket = _hash_bucket_expr(key_cols, n_buckets, salt)
+    if isinstance(fractions, dict):
+        cut = None
+        for value, frac in fractions.items():
+            lit = F.lit(int(round(frac * n_buckets)))
+            cond = F.col(strata_col) == F.lit(value)
+            cut = F.when(cond, lit) if cut is None else cut.when(cond, lit)
+        cut = cut.otherwise(F.lit(0))
+    else:
+        cut = F.lit(int(round(float(fractions) * n_buckets)))
+    return df.where(bucket < cut)
+
+
+def topk_per_group(df: DataFrame, group_cols, order_cols, k: int,
+                   rank_col: str = "rank") -> DataFrame:
+    """Deterministic top-k rows per group (quality selection: "best k
+    documents per language/source"). ``order_cols``: list of (col,
+    ascending) pairs or plain names (descending by default, the quality
+    convention); callers should end with a unique tie-break column so
+    the selection is engine-stable. One hash-partitioned window — at
+    scale this shuffles each group once, and skew lives only in groups
+    with >> k rows (pre-filtering with an approximate per-group
+    threshold is the escalation path)."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    ordering = []
+    for oc in order_cols:
+        if isinstance(oc, tuple):
+            name, asc = oc
+            ordering.append(F.asc(name) if asc else F.desc(name))
+        else:
+            ordering.append(F.desc(oc))
+    w = Window.partitionBy(*group_cols).orderBy(*ordering)
+    return (df.withColumn(rank_col, F.row_number().over(w))
+            .where(F.col(rank_col) <= k))

@@ -45,6 +45,89 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+class CosineLSHIndex:
+    """Random-hyperplane LSH (SimHash-style) ANN index — the
+    bucketed-join scale path alongside IVF.
+
+    Each of ``n_bands`` bands hashes a vector to a ``bits_per_band``-bit
+    bucket: bit j = sign(v · r_j) for a seeded Gaussian hyperplane r_j
+    (Charikar 2002 — cosine collision probability 1 - θ/π per bit).
+    Build emits (id, band, bucket) in one narrow map (pure JVM column
+    expressions, no UDF); search joins query buckets to the index on
+    (band, bucket) — candidates shrink exponentially with
+    bits_per_band — then re-ranks candidates with exact cosine.
+
+    At 100 TB posture: the index table can be written bucketed by
+    (band, bucket) so probes prune at scan time; the candidate join
+    shuffles only colliding rows, never the full corpus; and unlike IVF
+    there is no training pass over the data at all.
+    """
+
+    def __init__(self, n_bands: int = 8, bits_per_band: int = 10,
+                 seed: int = 42, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        self.n_bands = n_bands
+        self.bits_per_band = bits_per_band
+        self.seed = seed
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def fit(self, df: DataFrame) -> "CosineLSHIndex":
+        """Draw the seeded hyperplanes (dimension sniffed from one row —
+        a LIMIT 1 job, not a scan)."""
+        dim = len(df.select(self.vec_col).first()[0])
+        rng = np.random.RandomState(self.seed)
+        self.hyperplanes_ = rng.standard_normal(
+            (self.n_bands * self.bits_per_band, dim))
+        return self
+
+    def _bucket_exprs(self, vec_col):
+        """One int bucket id per band, as JVM expressions: bucket =
+        Σ_j [v·r_j > 0] << j."""
+        buckets = []
+        for b in range(self.n_bands):
+            acc = F.lit(0).cast("long")
+            for j in range(self.bits_per_band):
+                r = self.hyperplanes_[b * self.bits_per_band + j]
+                proj = F.aggregate(
+                    F.zip_with(vec_col, F.array(*[F.lit(float(v)) for v in r]),
+                               lambda x, y: x.cast("double") * y),
+                    F.lit(0.0), lambda a, x: a + x)
+                acc = acc + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            buckets.append(acc)
+        return buckets
+
+    def index(self, df: DataFrame) -> DataFrame:
+        """(id, vec, band, bucket) — one row per (vector, band)."""
+        pairs = F.array(*[
+            F.struct(F.lit(b).alias("band"), e.alias("bucket"))
+            for b, e in enumerate(self._bucket_exprs(F.col(self.vec_col)))
+        ])
+        return (df.select(self.id_col, self.vec_col,
+                          F.explode(pairs).alias("__bb"))
+                .select(self.id_col, self.vec_col,
+                        F.col("__bb.band").alias("band"),
+                        F.col("__bb.bucket").alias("bucket")))
+
+    def search(self, df: DataFrame, queries: DataFrame, k: int = 10,
+               query_id_col: str = "query_id") -> DataFrame:
+        """Candidates = any-band bucket collision; exact cosine re-rank.
+        Output schema matches brute_force_topk (query_id, id, score,
+        rank) so recall is a direct set comparison."""
+        idx = self.index(df)
+        q = self.index(
+            queries.select(F.col(query_id_col).alias(self.id_col), self.vec_col)
+        ).select(F.col(self.id_col).alias(query_id_col),
+                 F.col(self.vec_col).alias("__qvec"), "band", "bucket")
+        cand = (idx.join(F.broadcast(q), ["band", "bucket"])
+                .where(F.col(query_id_col) != F.col(self.id_col))
+                .dropDuplicates([query_id_col, self.id_col]))
+        score = cosine_similarity(F.col(self.vec_col), F.col("__qvec"))
+        scored = cand.select(query_id_col, self.id_col, score.alias("score"))
+        w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(self.id_col))
+        return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 class IVFIndex:
     """Inverted-file ANN index: coarse k-means quantizer + bucketed
     storage. Scale shape: build = one k-means fit + one narrow map

@@ -1544,6 +1544,9 @@ def build_catalog():
         "logistic_regression_eval": q_logistic_regression_eval,
         "pca_transform_variance": q_pca_transform_variance,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "stratified_sample": q_stratified_sample,
+        "group_quality_topk": q_group_quality_topk,
         "hashing_vectorizer_long": q_hashing_vectorizer_long,
         "incremental_search_best": q_incremental_search_best,
         "truncated_svd_variance": q_truncated_svd_variance,
@@ -1587,6 +1590,8 @@ def build_catalog():
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
         "promo_revenue": SQL_PROMO_REVENUE,
         "large_orders": SQL_LARGE_ORDERS,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "group_quality_topk": sql_group_quality_topk(),
         "pca_covariance": SQL_PCA_COVARIANCE,
         "classification_metrics": SQL_CLASSIFICATION_METRICS,
         "regression_metrics": SQL_REGRESSION_METRICS,
@@ -1713,6 +1718,87 @@ def q_incremental_search_best(spark, sf_dir):
         "best_score": float(sha.best_score_),
         "n_models": int(sha.n_models_),
     }])
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN (datapipe/similarity.py::
+    CosineLSHIndex): bucket-collision candidates + exact cosine re-rank.
+    Hyperplanes are seeded numpy draws — not SQL-replicable, so this is
+    a rows-only entry; recall vs brute force is asserted in tests."""
+    from dask_ml_spark.datapipe.similarity import CosineLSHIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = CosineLSHIndex(n_bands=16, bits_per_band=5).fit(emb)
+    return lsh.search(emb, queries, k=10).select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Content-hash stratified sampling (datapipe/sampling.py): keep
+    30% of English, all German, half of Chinese documents; other
+    languages dropped. The oracle recomputes the SAME Knuth-hash bucket
+    arithmetic in SQL and checks the selected row CONTENT (per-language
+    count + doc_id checksum), not just sizes."""
+    from dask_ml_spark.datapipe.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "lang", {"en": 0.3, "de": 1.0, "zh": 0.5}, key_cols="doc_id")
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH b AS (
+  SELECT *, ((((0 + doc_id) % 2147483648) * 2654435761) % 2147483648) % 10000 AS bucket
+  FROM documents
+)
+SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_checksum
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 10000
+                         WHEN 'zh' THEN 5000 ELSE 0 END
+GROUP BY lang
+"""
+
+
+def q_group_quality_topk(spark, sf_dir):
+    """Top-5 documents per language by distinct-token count
+    (datapipe/sampling.py::topk_per_group over text_stats quality
+    features) — the "keep the best k per stratum" curation primitive.
+    Integer sort key + doc_id tie-break keeps the selection
+    engine-deterministic, so the oracle checks exact membership."""
+    from dask_ml_spark.datapipe.sampling import topk_per_group
+    from dask_ml_spark.datapipe.text_stats import quality_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_scores(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    top = topk_per_group(
+        q.select("lang", "doc_id", "n_distinct_tokens"),
+        "lang", ["n_distinct_tokens", ("doc_id", True)], k=5)
+    return top.select("lang", "doc_id",
+                      F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def sql_group_quality_topk() -> str:
+    return f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))) AS n_distinct_tokens
+  FROM documents
+), ranked AS (
+  SELECT lang, doc_id, n_distinct_tokens,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_distinct_tokens DESC, doc_id ASC) AS rank
+  FROM q
+)
+SELECT lang, doc_id, n_distinct_tokens, rank FROM ranked WHERE rank <= 5
+"""
 
 
 def q_ivf_ann_topk(spark, sf_dir):

@@ -1,0 +1,77 @@
+"""Sampling / selection operators and the LSH ANN index."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_stratified_sample_deterministic(documents):
+    from dask_ml_spark.datapipe.sampling import stratified_sample
+
+    fr = {"en": 0.3, "de": 1.0}
+    a = stratified_sample(documents, "lang", fr, key_cols="doc_id")
+    b = stratified_sample(documents.repartition(7), "lang", fr, key_cols="doc_id")
+    ids_a = {r[0] for r in a.select("doc_id").collect()}
+    ids_b = {r[0] for r in b.select("doc_id").collect()}
+    # content-addressed: identical selection under any partitioning
+    assert ids_a == ids_b and ids_a
+    langs = {r[0] for r in a.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}  # unlisted strata dropped
+    # full-fraction stratum keeps everything
+    n_de = documents.where(F.col("lang") == "de").count()
+    assert a.where(F.col("lang") == "de").count() == n_de
+
+
+def test_stratified_sample_scalar_fraction(documents):
+    from dask_ml_spark.datapipe.sampling import stratified_sample
+
+    n = documents.count()
+    kept = stratified_sample(documents, "lang", 0.5, key_cols="doc_id").count()
+    assert 0.3 * n < kept < 0.7 * n
+
+
+def test_topk_per_group(documents):
+    from dask_ml_spark.datapipe.sampling import topk_per_group
+
+    top = topk_per_group(documents.select("lang", "doc_id", "n_chars"),
+                         "lang", ["n_chars", ("doc_id", True)], k=3)
+    pdf = top.toPandas()
+    assert (pdf.groupby("lang").size() <= 3).all()
+    # the selected rows really are each group's maxima
+    full = documents.select("lang", "doc_id", "n_chars").toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        best = (full[full.lang == lang]
+                .sort_values(["n_chars", "doc_id"], ascending=[False, True])
+                .head(3))
+        assert set(grp.doc_id) == set(best.doc_id)
+
+
+def test_lsh_recall_vs_bruteforce(embeddings):
+    from dask_ml_spark.datapipe.similarity import CosineLSHIndex, brute_force_topk
+
+    queries = embeddings.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(embeddings, queries, k=10).toPandas()
+    # wide-angle neighbors (synthetic near-random vectors) need
+    # high-collision settings: short bands, many of them
+    lsh = CosineLSHIndex(n_bands=24, bits_per_band=4).fit(embeddings)
+    approx = lsh.search(embeddings, queries, k=10).toPandas()
+    recalls = []
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp.vec_id)
+        got = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(truth & got) / len(truth))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_lsh_deterministic(embeddings):
+    from dask_ml_spark.datapipe.similarity import CosineLSHIndex
+
+    queries = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    lsh = CosineLSHIndex(n_bands=4, bits_per_band=8).fit(embeddings)
+    a = lsh.search(embeddings, queries, k=5).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    b = lsh.search(embeddings.repartition(5), queries, k=5).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert (a[["query_id", "vec_id"]].values == b[["query_id", "vec_id"]].values).all()
