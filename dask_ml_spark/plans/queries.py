@@ -745,7 +745,7 @@ def q_ols_newton_fit(spark, sf_dir):
         F.col("l_tax").cast("double").alias("x2"),
         F.col("l_discount").cast("double").alias("label"),
     )
-    m = LinearRegression(penalty="none", solver="newton", max_iter=3).fit(
+    m = LinearRegression(penalty="none", solver="newton", max_iter=2).fit(
         li, ["x1", "x2"])
     return spark.createDataFrame(
         [(float(m.coef_[0]), float(m.coef_[1]), float(m.intercept_))],

@@ -83,3 +83,47 @@ def test_spectral_embedding_stays_jvm(spark):
     emb = sc._embed(df, ["x0", "x1"], sample, proj)
     plan = _plan(emb)
     assert "Python" not in plan and "Arrow" not in plan and "Exchange" not in plan
+
+
+def test_local_supplier_volume_dims_broadcast(spark, catalog):
+    plan = _plan(catalog["local_supplier_volume"](spark, SF))
+    # supplier/nation/region arrive via broadcast; the equi-nation
+    # predicate rides the supplier join, adding no extra exchange
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "c_nationkey = s_nationkey" in plan.replace("#", " #").lower() or "s_nationkey" in plan
+
+
+def test_large_orders_preaggregates_before_join(spark, catalog):
+    import re
+
+    plan = _plan(catalog["large_orders"](spark, SF))
+    # the quantity rollup + HAVING must run before any join so only
+    # qualifying orderkeys reach the probe side: in the formatted plan's
+    # node numbering the aggregate must appear before every join node
+    nodes = re.findall(
+        r"\(\d+\) (HashAggregate|SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)",
+        plan)
+    assert "HashAggregate" in nodes
+    joins = [i for i, n in enumerate(nodes) if n != "HashAggregate"]
+    assert joins and nodes.index("HashAggregate") < min(joins)
+
+
+def test_promo_revenue_single_scan(spark, catalog):
+    import re
+
+    plan = _plan(catalog["promo_revenue"](spark, SF))
+    # numerator and denominator fold into ONE scan of lineitem
+    # (numbered tree nodes only — the detail section repeats names)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2  # lineitem + part
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1
+
+
+def test_stratified_sample_no_shuffle_filter(spark, catalog):
+    from dask_ml_spark.datapipe.sampling import stratified_sample
+    from dask_ml_spark.sources.io import load_table
+
+    docs = load_table(spark, SF, "documents")
+    kept = stratified_sample(docs, "lang", {"en": 0.5}, key_cols="doc_id")
+    plan = _plan(kept)
+    # pure filter: no Exchange anywhere in the sample itself
+    assert "Exchange" not in plan
