@@ -97,3 +97,27 @@ def write_bucketed(df: DataFrame, table: str, n_buckets: int, bucket_cols,
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+
+
+def read_orc(spark: SparkSession, path: str, columns=None) -> DataFrame:
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by=None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = True) -> None:
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line — the interchange format
+    text-curation pipelines hand to tokenizer/training jobs)."""
+    df.write.mode(mode).json(path)

@@ -211,3 +211,38 @@ def test_multimodal_real_decode_raises(documents):
     withblob = attach_binary_from_text(documents)
     with pytest.raises(NotImplementedError):
         decode_image_features(withblob, stub=False)
+
+
+def test_io_format_roundtrips(spark, tmp_path):
+    """parquet/orc/csv/json writers and readers round-trip a frame."""
+    from dask_ml_spark.sources import io as sio
+
+    df = spark.range(100).selectExpr(
+        "id", "cast(id % 7 as double) as v", "concat('s', id % 3) as s")
+    pdf = df.toPandas().sort_values("id").reset_index(drop=True)
+
+    p = str(tmp_path / "t.parquet"); sio.write_parquet(df, p)
+    o = str(tmp_path / "t.orc"); sio.write_orc(df, o)
+    c = str(tmp_path / "t.csv"); sio.write_csv(df, c)
+    j = str(tmp_path / "t.json"); sio.write_json(df, j)
+
+    for path, reader in [(p, sio.read_parquet), (o, sio.read_orc)]:
+        back = reader(spark, path).toPandas().sort_values("id").reset_index(drop=True)
+        assert back.equals(pdf[back.columns])
+    back = sio.read_csv(spark, c).toPandas().sort_values("id").reset_index(drop=True)
+    assert list(back["v"]) == list(pdf["v"])
+    back = sio.read_json(spark, j).select("id", "v", "s").toPandas().sort_values("id").reset_index(drop=True)
+    assert list(back["s"]) == list(pdf["s"])
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    """partitionBy layout: a filtered read scans only one directory."""
+    from dask_ml_spark.sources import io as sio
+
+    df = spark.range(90).selectExpr("id", "concat('p', id % 3) as part")
+    path = str(tmp_path / "parts")
+    sio.write_parquet(df, path, partition_by=["part"])
+    got = spark.read.parquet(path).where("part = 'p1'")
+    assert got.count() == 30
+    plan = got._sc._jvm.PythonSQLUtils.explainString(got._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters: [isnotnull(part" in plan

@@ -1,0 +1,50 @@
+"""Streaming dedup: stream-vs-batch parity and watermark-bounded state."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    from dask_ml_spark.sources.io import load_table
+
+    # duplicate a slice of documents so there is something to drop,
+    # and attach an event-time column for the watermark path
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    dupes = docs.limit(40)
+    both = docs.unionAll(dupes).withColumn(
+        "arrival_ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % 3600))
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    both.coalesce(3).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_dedup_matches_batch(spark, docs_dir):
+    from dask_ml_spark.streaming.dedup import dedup_stream
+
+    batch = spark.read.parquet(docs_dir)
+    schema = batch.schema
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+
+    out = dedup_stream(stream, ts_col="arrival_ts", watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    streamed = spark.sql("select * from dedup_out").toPandas()
+    expected = dedup_stream(batch).toPandas()
+    # same surviving content set (first-arrival winner is order-dependent,
+    # the contract is one row per distinct content hash)
+    assert set(streamed["__content_hash"]) == set(expected["__content_hash"])
+    assert len(streamed) == len(expected)
+    # and duplicates really were dropped
+    assert len(streamed) < batch.count()
+
+
+def test_dedup_stats_counts_copies(spark, docs_dir):
+    from dask_ml_spark.streaming.dedup import dedup_stats_stream
+
+    batch = spark.read.parquet(docs_dir)
+    stats = dedup_stats_stream(batch).toPandas()
+    assert (stats["n_copies"] >= 1).all()
+    assert (stats["n_copies"] == 2).sum() == 40  # the duplicated slice
