@@ -214,10 +214,23 @@ def gradient_descent(df, cols, label_col, family, fit_intercept=True,
 def newton(df, cols, label_col, family, fit_intercept=True,
            max_iter=50, tol=1e-8, **_):
     """Newton-Raphson / IRLS (unregularized). One grad+hess pass per
-    iteration; the (k x k) solve is driver-side numpy."""
+    iteration; the (k x k) solve is driver-side numpy.
+
+    The intercept starts at the link of the label mean (one JVM agg
+    pass) — from beta=0 the exp-link Hessian is tiny next to the
+    gradient and the first Poisson step overshoots by ~ln(mean(y)),
+    after which Newton crawls back ~1 unit per iteration; mean-link
+    init lands the first step near the optimum instead."""
     d = len(cols)
     k = d + 1 if fit_intercept else d
     beta = np.zeros(k)
+    if fit_intercept and family in ("poisson", "logistic"):
+        mean_y = float(df.agg(F.avg(label_col)).first()[0])
+        if family == "poisson":
+            beta[k - 1] = np.log(max(mean_y, 1e-12))
+        else:
+            p = min(max(mean_y, 1e-9), 1.0 - 1e-9)
+            beta[k - 1] = np.log(p / (1.0 - p))
     for _it in range(max_iter):
         _, _, grad, hess = _suffstats(df, cols, label_col, beta, family,
                                       fit_intercept, True, True)

@@ -774,6 +774,61 @@ FROM m
 """
 
 
+def q_logistic_newton_fit(spark, sf_dir):
+    """Distributed Newton-IRLS logistic fit on a SATURATED model (one
+    binary feature): the MLE has the closed form beta0 = logit(P(y|x=0)),
+    beta1 = logit(P(y|x=1)) - beta0, so plain SQL group means are an
+    exact oracle for the iterative distributed solver."""
+    from dask_ml_spark.linear_model import LogisticRegression
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount") > 0.05).cast("double").alias("x"),
+        (F.col("l_returnflag") == "R").cast("double").alias("label"),
+    )
+    m = LogisticRegression(penalty="none", solver="newton",
+                           max_iter=25, tol=1e-14).fit(li, ["x"])
+    return spark.createDataFrame(
+        [(float(m.coef_[0]), float(m.intercept_))], "coef_x double, intercept double")
+
+
+SQL_LOGISTIC_NEWTON_FIT = """
+WITH g AS (
+  SELECT CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS x,
+         avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS p
+  FROM lineitem GROUP BY 1
+)
+SELECT (SELECT ln(p/(1-p)) FROM g WHERE x = 1) - (SELECT ln(p/(1-p)) FROM g WHERE x = 0) AS coef_x,
+       (SELECT ln(p/(1-p)) FROM g WHERE x = 0) AS intercept
+"""
+
+
+def q_poisson_newton_fit(spark, sf_dir):
+    """Distributed Newton-IRLS Poisson fit, saturated single-binary-
+    feature model: MLE closed form beta0 = ln(mean(y|x=0)), beta1 =
+    ln(mean(y|x=1)) - beta0 — SQL group means oracle the solver."""
+    from dask_ml_spark.linear_model import PoissonRegression
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("double").alias("x"),
+        F.col("l_quantity").cast("double").alias("label"),
+    )
+    m = PoissonRegression(solver="newton", max_iter=25, tol=1e-14,
+                          C=float("inf")).fit(li, ["x"])
+    return spark.createDataFrame(
+        [(float(m.coef_[0]), float(m.intercept_))], "coef_x double, intercept double")
+
+
+SQL_POISSON_NEWTON_FIT = """
+WITH g AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS x,
+         avg(l_quantity) AS m
+  FROM lineitem GROUP BY 1
+)
+SELECT (SELECT ln(m) FROM g WHERE x = 1) - (SELECT ln(m) FROM g WHERE x = 0) AS coef_x,
+       (SELECT ln(m) FROM g WHERE x = 0) AS intercept
+"""
+
+
 def q_pca_covariance(spark, sf_dir):
     """The distributed half of PCA.fit — the covariance matrix (the
     driver-side eigh consumes exactly these numbers)."""
@@ -1502,6 +1557,8 @@ def build_catalog():
         "gaussian_nb_fit": q_gaussian_nb_fit,
         "simple_ols_fit": q_simple_ols_fit,
         "ols_newton_fit": q_ols_newton_fit,
+        "logistic_newton_fit": q_logistic_newton_fit,
+        "poisson_newton_fit": q_poisson_newton_fit,
         "local_supplier_volume": q_local_supplier_volume,
         "promo_revenue": q_promo_revenue,
         "large_orders": q_large_orders,
@@ -1587,6 +1644,8 @@ def build_catalog():
         "gaussian_nb_fit": SQL_GAUSSIAN_NB_FIT,
         "simple_ols_fit": SQL_SIMPLE_OLS_FIT,
         "ols_newton_fit": SQL_OLS_NEWTON_FIT,
+        "logistic_newton_fit": SQL_LOGISTIC_NEWTON_FIT,
+        "poisson_newton_fit": SQL_POISSON_NEWTON_FIT,
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
         "promo_revenue": SQL_PROMO_REVENUE,
         "large_orders": SQL_LARGE_ORDERS,
