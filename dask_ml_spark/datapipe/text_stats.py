@@ -114,3 +114,58 @@ def quality_filter(df: DataFrame, text_col: str = "text",
         & (digit_ratio <= max_digit_ratio)
         & (distinct_ratio >= min_distinct_ratio)
     )
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals: duplicate-line fraction and
+    most-frequent-bigram fraction per document — boilerplate and
+    keyword-stuffed pages score high and get filtered.
+
+    Line stats are narrow array expressions; the top-bigram needs a
+    per-(doc, bigram) count, i.e. one explode + hash aggregate + one
+    per-doc reduce — the same shuffle shape as token_document_frequency,
+    so it scales as a pair of partial-aggregated exchanges keyed by
+    doc id.
+    """
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: F.length(ln) > 0)
+    df = ensure_min_partitions(df)
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("n_distinct_lines"),
+        tokens_expr(text).alias("__toks"),
+    )
+    # materialize the token array BEFORE the bigram HOF references it
+    # twice (the shingles lesson: an inlined expression re-evaluates per
+    # lambda element)
+    base = base.select(
+        id_col, "n_lines", "n_distinct_lines", "__toks",
+        F.when(F.size("__toks") >= 2,
+               F.zip_with(F.slice("__toks", 1, F.size("__toks") - 1),
+                          F.slice("__toks", 2, F.size("__toks") - 1),
+                          lambda a, b: F.concat(a, F.lit(" "), b))
+               ).otherwise(F.array()).alias("__bigrams"),
+    )
+    counts = (base.select(id_col, F.explode_outer("__bigrams").alias("bigram"))
+              .groupBy(id_col, "bigram").agg(F.count("*").alias("c"))
+              .groupBy(id_col)
+              .agg(F.max(F.when(F.col("bigram").isNotNull(), F.col("c"))
+                         .otherwise(0)).alias("top_bigram_count"),
+                   F.sum(F.when(F.col("bigram").isNotNull(), F.col("c"))
+                         .otherwise(0)).alias("n_bigrams")))
+    safe_lines = F.greatest(F.col("n_lines"), F.lit(1)).cast("double")
+    safe_bi = F.greatest(F.col("n_bigrams"), F.lit(1)).cast("double")
+    return (base.select(id_col, "n_lines", "n_distinct_lines")
+            .join(counts, id_col)
+            .select(
+                F.col(id_col),
+                F.col("n_lines"),
+                ((F.col("n_lines") - F.col("n_distinct_lines")) / safe_lines)
+                .alias("dup_line_frac"),
+                F.col("n_bigrams"),
+                (F.col("top_bigram_count") / safe_bi).alias("top_bigram_frac"),
+            ))

@@ -829,6 +829,84 @@ SELECT (SELECT ln(m) FROM g WHERE x = 1) - (SELECT ln(m) FROM g WHERE x = 0) AS 
 """
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition quality signals (datapipe/text_stats.py
+    ::repetition_scores): duplicate-line fraction + top-bigram
+    fraction per document."""
+    from dask_ml_spark.datapipe.text_stats import repetition_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_scores(docs)
+    return out.select(
+        "doc_id", F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac", F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "top_bigram_frac")
+
+
+SQL_REPETITION_SCORES = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> length(x) > 0) AS lines,
+         regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+  FROM documents
+), bi AS (
+  SELECT doc_id, lines,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks)-1),
+                                  i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS bigrams
+  FROM base
+), counts AS (
+  SELECT doc_id,
+         coalesce(max(c), 0) AS top_bigram_count,
+         coalesce(sum(c), 0) AS n_bigrams
+  FROM (SELECT doc_id, bigram, count(*) AS c
+        FROM (SELECT doc_id, unnest(bigrams) AS bigram FROM bi)
+        GROUP BY doc_id, bigram)
+  GROUP BY doc_id
+)
+SELECT bi.doc_id,
+       len(lines) AS n_lines,
+       (len(lines) - len(list_distinct(lines))) / greatest(len(lines), 1)::DOUBLE AS dup_line_frac,
+       coalesce(counts.n_bigrams, 0) AS n_bigrams,
+       coalesce(counts.top_bigram_count, 0) / greatest(coalesce(counts.n_bigrams, 0), 1)::DOUBLE AS top_bigram_frac
+FROM bi LEFT JOIN counts ON bi.doc_id = counts.doc_id
+"""
+
+
+def q_incremental_pca_fit(spark, sf_dir):
+    """IncrementalPCA (reference incremental_pca.py:36-427) fed three
+    disjoint batches. Moment accumulation is exact, so the learned mean
+    is SQL's avg() and the eigenvalue SUM is the covariance trace
+    (= Σ var_samp) — an oracle over the batch-sequential path without
+    needing SQL to eigendecompose."""
+    from dask_ml_spark.operators.decomposition import IncrementalPCA
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ipca = IncrementalPCA()
+    for b in range(3):
+        ipca.partial_fit(li.where(F.col("l_linenumber") % 3 == b), cols)
+    row = ([float(v) for v in ipca.mean_]
+           + [float(ipca.explained_variance_.sum()), float(ipca.n_samples_seen_)])
+    return spark.createDataFrame(
+        [tuple(row)],
+        ", ".join(f"mean_{c} double" for c in cols) + ", total_var double, n double")
+
+
+SQL_INCREMENTAL_PCA_FIT = """
+SELECT avg(l_quantity) AS mean_l_quantity,
+       avg(l_extendedprice) AS mean_l_extendedprice,
+       avg(l_discount) AS mean_l_discount,
+       avg(l_tax) AS mean_l_tax,
+       var_samp(l_quantity) + var_samp(l_extendedprice)
+         + var_samp(l_discount) + var_samp(l_tax) AS total_var,
+       count(*)::DOUBLE AS n
+FROM lineitem
+"""
+
+
 def q_pca_covariance(spark, sf_dir):
     """The distributed half of PCA.fit — the covariance matrix (the
     driver-side eigh consumes exactly these numbers)."""
@@ -1563,6 +1641,8 @@ def build_catalog():
         "promo_revenue": q_promo_revenue,
         "large_orders": q_large_orders,
         "pca_covariance": q_pca_covariance,
+        "incremental_pca_fit": q_incremental_pca_fit,
+        "repetition_scores": q_repetition_scores,
         "classification_metrics": q_classification_metrics,
         "regression_metrics": q_regression_metrics,
         "token_document_frequency": q_token_document_frequency,
@@ -1652,6 +1732,8 @@ def build_catalog():
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "group_quality_topk": sql_group_quality_topk(),
         "pca_covariance": SQL_PCA_COVARIANCE,
+        "incremental_pca_fit": SQL_INCREMENTAL_PCA_FIT,
+        "repetition_scores": SQL_REPETITION_SCORES,
         "classification_metrics": SQL_CLASSIFICATION_METRICS,
         "regression_metrics": SQL_REGRESSION_METRICS,
         "token_document_frequency": SQL_TOKEN_DOCUMENT_FREQUENCY,

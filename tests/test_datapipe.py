@@ -246,3 +246,34 @@ def test_write_partitioned_prunes(spark, tmp_path):
     assert got.count() == 30
     plan = got._sc._jvm.PythonSQLUtils.explainString(got._jdf.queryExecution(), "formatted")
     assert "PartitionFilters: [isnotnull(part" in plan
+
+
+def test_repetition_scores_flags_boilerplate(spark):
+    from dask_ml_spark.datapipe.text_stats import repetition_scores
+
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "same line\nsame line\nsame line\nsame line",      # dup lines
+            "buy now buy now buy now buy now buy now",          # stuffed bigram
+            "a genuinely varied sentence with distinct words",  # clean
+        ],
+    })
+    out = repetition_scores(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    assert out.loc[1, "dup_line_frac"] == pytest.approx(0.75)
+    assert out.loc[2, "top_bigram_frac"] > 0.5
+    assert out.loc[3, "dup_line_frac"] == 0.0
+    assert out.loc[3, "top_bigram_frac"] <= 0.2
+
+
+def test_repetition_scores_short_docs(spark):
+    """Docs with <2 tokens or no lines don't divide by zero."""
+    import pandas as pd
+
+    from dask_ml_spark.datapipe.text_stats import repetition_scores
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["word", ""]})
+    out = repetition_scores(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_bigrams"] == 0 and out.loc[1, "top_bigram_frac"] == 0.0
+    assert out.loc[2, "n_lines"] == 0
