@@ -169,3 +169,37 @@ def repetition_scores(df: DataFrame, text_col: str = "text",
                 F.col("n_bigrams"),
                 (F.col("top_bigram_count") / safe_bi).alias("top_bigram_frac"),
             ))
+
+
+def bm25_scores(df: DataFrame, query_terms, text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2,
+                b: float = 0.75) -> DataFrame:
+    """BM25 relevance of every document to a bag of query terms
+    (Robertson/Lucene idf variant) — the lexical-retrieval counterpart
+    to the embedding ANN operators.
+
+    Scale shape: one narrow tokenize pass; the explode is filtered to
+    the |q| query terms BEFORE the (doc, term) aggregate, so the
+    shuffle carries only matching postings; document-frequency and the
+    corpus stats (N, avgdl — a 1-row aggregate) come back via broadcast
+    joins. Nothing is collected driver-side; the whole scorer is one
+    Catalyst plan.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    base = ensure_min_partitions(df).select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks"))
+    base = base.select(id_col, "__toks", F.size("__toks").alias("dl"))
+    stats = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (base.select(id_col, "dl", F.explode("__toks").alias("term"))
+          .where(F.col("term").isin(terms))
+          .groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = (F.col("tf")
+             + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    return (tf.join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("__s", idf * F.col("tf") * (k1 + 1.0) / denom)
+            .groupBy(id_col)
+            .agg(F.sum("__s").alias("bm25"),
+                 F.count("*").alias("n_matched_terms")))

@@ -875,6 +875,51 @@ FROM bi LEFT JOIN counts ON bi.doc_id = counts.doc_id
 """
 
 
+BM25_QUERY_TERMS = ["the", "data", "model", "and"]
+
+
+def q_bm25_scores(spark, sf_dir):
+    """BM25 lexical retrieval (datapipe/text_stats.py::bm25_scores)
+    over the documents table for a fixed query-term bag."""
+    from dask_ml_spark.datapipe.text_stats import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, BM25_QUERY_TERMS).select(
+        "doc_id", "bm25",
+        F.col("n_matched_terms").cast("long").alias("n_matched_terms"))
+
+
+def _sql_bm25_scores() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS)))
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(toks) AS dl, toks FROM d
+), s AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+  WHERE term IN ({terms})
+  GROUP BY 1, 2, 3
+), dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+)
+SELECT doc_id,
+       sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * (1.2 + 1.0)
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS bm25,
+       count(*) AS n_matched_terms
+FROM tf JOIN dfq USING (term) CROSS JOIN s
+GROUP BY doc_id
+"""
+
+
+SQL_BM25_SCORES = _sql_bm25_scores()
+
+
 def q_incremental_pca_fit(spark, sf_dir):
     """IncrementalPCA (reference incremental_pca.py:36-427) fed three
     disjoint batches. Moment accumulation is exact, so the learned mean
@@ -1643,6 +1688,7 @@ def build_catalog():
         "pca_covariance": q_pca_covariance,
         "incremental_pca_fit": q_incremental_pca_fit,
         "repetition_scores": q_repetition_scores,
+        "bm25_scores": q_bm25_scores,
         "classification_metrics": q_classification_metrics,
         "regression_metrics": q_regression_metrics,
         "token_document_frequency": q_token_document_frequency,
@@ -1734,6 +1780,7 @@ def build_catalog():
         "pca_covariance": SQL_PCA_COVARIANCE,
         "incremental_pca_fit": SQL_INCREMENTAL_PCA_FIT,
         "repetition_scores": SQL_REPETITION_SCORES,
+        "bm25_scores": SQL_BM25_SCORES,
         "classification_metrics": SQL_CLASSIFICATION_METRICS,
         "regression_metrics": SQL_REGRESSION_METRICS,
         "token_document_frequency": SQL_TOKEN_DOCUMENT_FREQUENCY,

@@ -277,3 +277,26 @@ def test_repetition_scores_short_docs(spark):
     out = repetition_scores(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
     assert out.loc[1, "n_bigrams"] == 0 and out.loc[1, "top_bigram_frac"] == 0.0
     assert out.loc[2, "n_lines"] == 0
+
+
+def test_bm25_scores_hand_computed(spark):
+    """3-doc corpus checked against a direct numpy BM25 computation."""
+    import math
+
+    import pandas as pd
+
+    from dask_ml_spark.datapipe.text_stats import bm25_scores
+
+    corpus = {1: "red fox jumps", 2: "red red dog", 3: "blue whale"}
+    pdf = pd.DataFrame({"doc_id": list(corpus), "text": list(corpus.values())})
+    out = bm25_scores(spark.createDataFrame(pdf), ["red", "dog"]).toPandas()
+    out = out.set_index("doc_id")
+
+    def bm25(tf, df, dl, n=3, avgdl=8.0 / 3, k1=1.2, b=0.75):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert out.loc[1, "bm25"] == pytest.approx(bm25(1, 2, 3))
+    assert out.loc[2, "bm25"] == pytest.approx(bm25(2, 2, 3) + bm25(1, 1, 3))
+    assert 3 not in out.index  # no matching term, no row
+    assert out.loc[2, "n_matched_terms"] == 2
