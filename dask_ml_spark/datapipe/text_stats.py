@@ -190,9 +190,14 @@ def bm25_scores(df: DataFrame, query_terms, text_col: str = "text",
         F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks"))
     base = base.select(id_col, "__toks", F.size("__toks").alias("dl"))
     stats = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # persist the postings: df-counts AND the scoring join both read tf,
+    # and without the pin Catalyst plans two full corpus scans for the
+    # same subtree. The cached frame is tiny — only (doc, matched-term)
+    # rows, bounded by n_docs * |query|.
     tf = (base.select(id_col, "dl", F.explode("__toks").alias("term"))
           .where(F.col("term").isin(terms))
-          .groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf")))
+          .groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+          .persist())
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = (F.col("tf")
