@@ -68,6 +68,8 @@ HEADLINE = [
     "stratified_sample",
     "group_quality_topk",
     "lsh_ann_topk",
+    "repetition_scores",
+    "bm25_scores",
 ]
 
 
