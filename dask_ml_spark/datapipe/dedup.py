@@ -301,3 +301,59 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: 
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """Connected components over a near-duplicate pair list: every
+    document gets a cluster id = the MIN document id reachable through
+    pair edges. Pairs say "these two are dups"; clusters are what a
+    curation pipeline acts on ("keep one representative per group").
+
+    Min-label propagation: per round, every node takes the minimum of
+    its own label and its neighbors' labels — one join + one aggregate
+    per round, converging in O(component diameter) rounds (LSH dup
+    groups are near-cliques, so 2-4 rounds in practice; the round cap
+    guards adversarial chains — escalate to large-star/small-star
+    [Kiveris 2014] if diameters ever grow). Labels only decrease, so
+    the label SUM is a convergence certificate that costs one scalar
+    aggregate instead of a change-count join.
+
+    Returns (node, cluster): one row per document that appears in any
+    pair. Singletons (no pair) are their own cluster by definition and
+    are not materialized.
+    """
+    sym = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+           .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+           .distinct().persist())
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).persist())
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        neigh = (sym.join(labels, sym.src == labels.node)
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neigh, "node", "left")
+                      .select("node", F.least("label", F.coalesce("nmin", "label"))
+                              .alias("label"))
+                      .persist())
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
+def dedup_keep_representatives(docs: DataFrame, pairs: DataFrame,
+                               id_col: str = "doc_id",
+                               id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """The actionable dedup: drop every clustered document except the
+    min-id representative; untouched documents pass through. One
+    left-anti join against the (small) drop list."""
+    clusters = duplicate_clusters(pairs, id_a, id_b)
+    drop = clusters.where(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias(id_col))
+    return docs.join(drop, id_col, "left_anti")

@@ -920,6 +920,41 @@ GROUP BY doc_id
 SQL_BM25_SCORES = _sql_bm25_scores()
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS (datapipe/dedup.py::duplicate_clusters):
+    connected components by min-label propagation over the minhash-LSH
+    pair list — the actionable form of dedup (one representative per
+    group). Oracle: DuckDB recursive CTE computing min-reachable-id
+    over the same (oracle-checked) pair SQL."""
+    from dask_ml_spark.datapipe import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, n_hashes=8, bands=4)
+    cl = DD.duplicate_clusters(pairs)
+    return (cl.groupBy("cluster")
+            .agg(F.count("*").alias("n_members"),
+                 F.sum("node").alias("member_checksum")))
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({sql_minhash_lsh_pairs(8, 4)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.node
+)
+SELECT cluster, count(*) AS n_members, sum(node) AS member_checksum
+FROM (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+GROUP BY cluster
+"""
+
+
 def q_incremental_pca_fit(spark, sf_dir):
     """IncrementalPCA (reference incremental_pca.py:36-427) fed three
     disjoint batches. Moment accumulation is exact, so the learned mean
@@ -1689,6 +1724,7 @@ def build_catalog():
         "incremental_pca_fit": q_incremental_pca_fit,
         "repetition_scores": q_repetition_scores,
         "bm25_scores": q_bm25_scores,
+        "dedup_clusters": q_dedup_clusters,
         "classification_metrics": q_classification_metrics,
         "regression_metrics": q_regression_metrics,
         "token_document_frequency": q_token_document_frequency,
@@ -1781,6 +1817,7 @@ def build_catalog():
         "incremental_pca_fit": SQL_INCREMENTAL_PCA_FIT,
         "repetition_scores": SQL_REPETITION_SCORES,
         "bm25_scores": SQL_BM25_SCORES,
+        "dedup_clusters": _sql_dedup_clusters(),
         "classification_metrics": SQL_CLASSIFICATION_METRICS,
         "regression_metrics": SQL_REGRESSION_METRICS,
         "token_document_frequency": SQL_TOKEN_DOCUMENT_FREQUENCY,

@@ -300,3 +300,31 @@ def test_bm25_scores_hand_computed(spark):
     assert out.loc[2, "bm25"] == pytest.approx(bm25(2, 2, 3) + bm25(1, 1, 3))
     assert 3 not in out.index  # no matching term, no row
     assert out.loc[2, "n_matched_terms"] == 2
+
+
+def test_duplicate_clusters_chain_and_clique(spark):
+    """A 4-chain (diameter 3, needs >1 propagation round), a triangle,
+    and an isolated pair all collapse to min-id clusters."""
+    import pandas as pd
+
+    from dask_ml_spark.datapipe.dedup import duplicate_clusters
+
+    pairs = pd.DataFrame({
+        "id_a": [1, 2, 3, 10, 10, 11, 20],
+        "id_b": [2, 3, 4, 11, 12, 12, 21],
+    })
+    cl = duplicate_clusters(spark.createDataFrame(pairs)).toPandas()
+    got = dict(zip(cl["node"], cl["cluster"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_keep_representatives(spark):
+    import pandas as pd
+
+    from dask_ml_spark.datapipe.dedup import dedup_keep_representatives
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5], "text": list("abcde")}))
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1, 4], "id_b": [2, 5]}))
+    kept = dedup_keep_representatives(docs, pairs).toPandas()
+    assert sorted(kept["doc_id"]) == [1, 3, 4]  # 2 and 5 dropped
