@@ -955,6 +955,75 @@ GROUP BY cluster
 """
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing (datapipe/packing.py::redact_pii): emails /
+    phone-runs / IPv4 replaced by [TYPE] tokens, per-type counts for
+    audit. Patterns are lookaround-free so the SAME regex runs on
+    Spark (Java) and DuckDB (RE2)."""
+    from dask_ml_spark.datapipe.packing import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.md5("redacted_text").alias("redacted_md5"))
+
+
+def _sql_pii_redaction() -> str:
+    from dask_ml_spark.datapipe.packing import PII_PATTERNS
+
+    em, ph, ip = PII_PATTERNS["email"], PII_PATTERNS["phone"], PII_PATTERNS["ipv4"]
+    return f"""
+WITH s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{em}')) AS n_email,
+         regexp_replace(text, '{em}', '[EMAIL]', 'g') AS t1
+  FROM documents
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '{ph}')) AS n_phone,
+         regexp_replace(t1, '{ph}', '[PHONE]', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_email, n_phone,
+       len(regexp_extract_all(t2, '{ip}')) AS n_ipv4,
+       md5(regexp_replace(t2, '{ip}', '[IPV4]', 'g')) AS redacted_md5
+FROM s2
+"""
+
+
+def q_token_shards(spark, sf_dir):
+    """Token-budget shard packing (datapipe/packing.py::
+    pack_token_shards): distributed prefix sum over the doc-id-ordered
+    token stream, shard = floor(start_offset / 512). Oracle = the same
+    running sum as a SQL window."""
+    from dask_ml_spark.datapipe.packing import pack_token_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_token_shards(docs, budget=512)
+    return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "shard")
+
+
+SQL_TOKEN_SHARDS = f"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{{TOKEN_RE}}')) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM c
+)
+SELECT doc_id, n_tokens, CAST(floor(start_offset / 512) AS BIGINT) AS shard
+FROM o
+""".replace("{TOKEN_RE}", TOKEN_RE_SQL)
+
+
 def q_incremental_pca_fit(spark, sf_dir):
     """IncrementalPCA (reference incremental_pca.py:36-427) fed three
     disjoint batches. Moment accumulation is exact, so the learned mean
@@ -1725,6 +1794,8 @@ def build_catalog():
         "repetition_scores": q_repetition_scores,
         "bm25_scores": q_bm25_scores,
         "dedup_clusters": q_dedup_clusters,
+        "pii_redaction": q_pii_redaction,
+        "token_shards": q_token_shards,
         "classification_metrics": q_classification_metrics,
         "regression_metrics": q_regression_metrics,
         "token_document_frequency": q_token_document_frequency,
@@ -1818,6 +1889,8 @@ def build_catalog():
         "repetition_scores": SQL_REPETITION_SCORES,
         "bm25_scores": SQL_BM25_SCORES,
         "dedup_clusters": _sql_dedup_clusters(),
+        "pii_redaction": _sql_pii_redaction(),
+        "token_shards": SQL_TOKEN_SHARDS,
         "classification_metrics": SQL_CLASSIFICATION_METRICS,
         "regression_metrics": SQL_REGRESSION_METRICS,
         "token_document_frequency": SQL_TOKEN_DOCUMENT_FREQUENCY,

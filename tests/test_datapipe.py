@@ -328,3 +328,41 @@ def test_dedup_keep_representatives(spark):
     pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1, 4], "id_b": [2, 5]}))
     kept = dedup_keep_representatives(docs, pairs).toPandas()
     assert sorted(kept["doc_id"]) == [1, 3, 4]  # 2 and 5 dropped
+
+
+def test_redact_pii_synthetic(spark):
+    import pandas as pd
+
+    from dask_ml_spark.datapipe.packing import redact_pii
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [
+            "mail me at jane.doe+x@example.org or call +1 (555) 123-4567 now",
+            "server at 10.0.0.1 is fine",
+        ],
+    })
+    out = redact_pii(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_email"] == 1 and out.loc[1, "n_phone"] == 1
+    assert "[EMAIL]" in out.loc[1, "redacted_text"]
+    assert "[PHONE]" in out.loc[1, "redacted_text"]
+    assert "jane" not in out.loc[1, "redacted_text"]
+    assert out.loc[2, "n_ipv4"] == 1 and "[IPV4]" in out.loc[2, "redacted_text"]
+
+
+def test_pack_token_shards_invariants(spark, documents):
+    from dask_ml_spark.datapipe.packing import pack_token_shards
+
+    budget = 256
+    out = pack_token_shards(documents, budget=budget).toPandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # shards are contiguous in doc order and non-decreasing
+    assert (out["shard"].diff().dropna() >= 0).all()
+    # every shard's START offsets stay within one budget of each other:
+    # recompute offsets and check the invariant shard == floor(off/budget)
+    off = out["n_tokens"].cumsum() - out["n_tokens"]
+    assert (out["shard"] == (off // budget)).all()
+    # partition-invariant
+    out2 = pack_token_shards(documents.repartition(7), budget=budget).toPandas()
+    out2 = out2.sort_values("doc_id").reset_index(drop=True)
+    assert (out["shard"] == out2["shard"]).all()
