@@ -732,6 +732,77 @@ LIMIT 100
 """
 
 
+def q_nation_volume_shipping(spark, sf_dir):
+    """TPC-H Q7-shaped: bilateral trade volume between two nations by
+    ship year. supplier/customer nation lookups are broadcast; the
+    symmetric nation-pair predicate is applied map-side so only
+    qualifying rows reach the final (tiny) group-by exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+SQL_NATION_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13-shaped: distribution of orders-per-customer including
+    zero-order customers (LEFT join + double aggregate). The first
+    aggregate shrinks the fact side to one row per customer before the
+    distribution rollup — two exchanges total, both post-reduction."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
 def q_ols_newton_fit(spark, sf_dir):
     """Distributed Newton solver (operators/solvers.py) on a 2-feature
     OLS. For the gaussian family Newton solves the normal equations
@@ -1789,6 +1860,8 @@ def build_catalog():
         "local_supplier_volume": q_local_supplier_volume,
         "promo_revenue": q_promo_revenue,
         "large_orders": q_large_orders,
+        "nation_volume_shipping": q_nation_volume_shipping,
+        "customer_order_distribution": q_customer_order_distribution,
         "pca_covariance": q_pca_covariance,
         "incremental_pca_fit": q_incremental_pca_fit,
         "repetition_scores": q_repetition_scores,
@@ -1882,6 +1955,8 @@ def build_catalog():
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
         "promo_revenue": SQL_PROMO_REVENUE,
         "large_orders": SQL_LARGE_ORDERS,
+        "nation_volume_shipping": SQL_NATION_VOLUME_SHIPPING,
+        "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "group_quality_topk": sql_group_quality_topk(),
         "pca_covariance": SQL_PCA_COVARIANCE,
