@@ -803,6 +803,52 @@ GROUP BY c_count
 """
 
 
+def q_sales_cube(spark, sf_dir):
+    """CUBE rollup over (returnflag, linestatus) with grouping_id —
+    all four aggregation levels in ONE pass (Spark expands the
+    grouping sets map-side; a naive 4-query union would scan the fact
+    table four times)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+                 F.count("*").alias("n"),
+                 F.grouping_id().alias("gid")))
+
+
+SQL_SALES_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       count(*) AS n,
+       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_lang_source_pivot(spark, sf_dir):
+    """Pivot: documents per (source, language) as a wide matrix —
+    groupBy().pivot() with an explicit value list compiles to ONE
+    conditional aggregate over one scan, never a per-language job."""
+    docs = _t(spark, sf_dir, "documents")
+    langs = ["en", "de", "es", "fr", "zh"]
+    return (docs.groupBy("source")
+            .pivot("lang", langs)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, langs))
+
+
+SQL_LANG_SOURCE_PIVOT = """
+SELECT source,
+       count(*) FILTER (lang = 'en') AS en,
+       count(*) FILTER (lang = 'de') AS de,
+       count(*) FILTER (lang = 'es') AS es,
+       count(*) FILTER (lang = 'fr') AS fr,
+       count(*) FILTER (lang = 'zh') AS zh
+FROM documents
+GROUP BY source
+"""
+
+
 def q_ols_newton_fit(spark, sf_dir):
     """Distributed Newton solver (operators/solvers.py) on a 2-feature
     OLS. For the gaussian family Newton solves the normal equations
@@ -1862,6 +1908,8 @@ def build_catalog():
         "large_orders": q_large_orders,
         "nation_volume_shipping": q_nation_volume_shipping,
         "customer_order_distribution": q_customer_order_distribution,
+        "sales_cube": q_sales_cube,
+        "lang_source_pivot": q_lang_source_pivot,
         "pca_covariance": q_pca_covariance,
         "incremental_pca_fit": q_incremental_pca_fit,
         "repetition_scores": q_repetition_scores,
@@ -1957,6 +2005,8 @@ def build_catalog():
         "large_orders": SQL_LARGE_ORDERS,
         "nation_volume_shipping": SQL_NATION_VOLUME_SHIPPING,
         "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
+        "sales_cube": SQL_SALES_CUBE,
+        "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "group_quality_topk": sql_group_quality_topk(),
         "pca_covariance": SQL_PCA_COVARIANCE,
