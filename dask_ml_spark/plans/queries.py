@@ -803,6 +803,65 @@ GROUP BY c_count
 """
 
 
+def q_daily_active_users(spark, sf_dir):
+    """Exact distinct users per day — the distinct aggregate compiles
+    to a two-phase partial-distinct (dedup map-side before the
+    exchange). At 100 TB swap count_distinct for
+    approx_count_distinct(rsd) and the plan loses the second shuffle —
+    noted here because the oracle requires the exact form."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+            .agg(F.count_distinct("user_id").alias("dau"),
+                 F.count("*").alias("n_events")))
+
+
+SQL_DAILY_ACTIVE_USERS = """
+SELECT date_trunc('day', ts) AS day,
+       count(DISTINCT user_id) AS dau,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+def q_event_funnel(spark, sf_dir):
+    """First-occurrence funnel signup → view → purchase: one
+    conditional-min aggregate per user (a single groupBy pass, no
+    self-joins — the naive 3-way self-join shape shuffles the events
+    table three times; this shuffles once)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_purchase"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.sum(((F.col("t_view") > F.col("t_signup"))).cast("long")).alias("n_signup_then_view"),
+        F.sum(((F.col("t_view") > F.col("t_signup"))
+               & (F.col("t_purchase") > F.col("t_view"))).cast("long")).alias("n_full_funnel"))
+
+
+SQL_EVENT_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(t_signup) AS n_signup,
+       sum(CASE WHEN t_view > t_signup THEN 1 ELSE 0 END) AS n_signup_then_view,
+       sum(CASE WHEN t_view > t_signup AND t_purchase > t_view THEN 1 ELSE 0 END) AS n_full_funnel
+FROM per_user
+"""
+
+
 def q_sales_cube(spark, sf_dir):
     """CUBE rollup over (returnflag, linestatus) with grouping_id —
     all four aggregation levels in ONE pass (Spark expands the
@@ -1909,6 +1968,8 @@ def build_catalog():
         "nation_volume_shipping": q_nation_volume_shipping,
         "customer_order_distribution": q_customer_order_distribution,
         "sales_cube": q_sales_cube,
+        "daily_active_users": q_daily_active_users,
+        "event_funnel": q_event_funnel,
         "lang_source_pivot": q_lang_source_pivot,
         "pca_covariance": q_pca_covariance,
         "incremental_pca_fit": q_incremental_pca_fit,
@@ -2006,6 +2067,8 @@ def build_catalog():
         "nation_volume_shipping": SQL_NATION_VOLUME_SHIPPING,
         "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
         "sales_cube": SQL_SALES_CUBE,
+        "daily_active_users": SQL_DAILY_ACTIVE_USERS,
+        "event_funnel": SQL_EVENT_FUNNEL,
         "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "group_quality_topk": sql_group_quality_topk(),
