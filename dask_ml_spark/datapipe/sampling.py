@@ -32,7 +32,7 @@ def stratified_sample(df: DataFrame, strata_col: str, fractions,
     sensitivity is avoided entirely. Rows with equal keys are kept or
     dropped together (group-leakage-safe).
     """
-    bucket = _hash_bucket_expr(key_cols, n_buckets, salt)
+    bucket = _hash_bucket_expr(key_cols, n_buckets, salt, df=df)
     if isinstance(fractions, dict):
         cut = None
         for value, frac in fractions.items():

@@ -65,26 +65,45 @@ def hash_split(df: DataFrame, key_cols, test_size: float = 0.25,
     """
     if not 0.0 < test_size < 1.0:
         raise ValueError("test_size must be in (0, 1)")
-    bucket = _hash_bucket_expr(key_cols, n_buckets, salt)
+    bucket = _hash_bucket_expr(key_cols, n_buckets, salt, df=df)
     cut = int(round(n_buckets * (1.0 - test_size)))
     train = df.where(bucket < cut)
     test = df.where(bucket >= cut)
     return train, test
 
 
-def _hash_bucket_expr(key_cols, n_buckets: int, salt: int):
+def _hash_bucket_expr(key_cols, n_buckets: int, salt: int, df=None):
     """Engine-portable bucket id: Knuth multiplicative hashing of the
     combined integer key, all in int64 arithmetic (no engine-specific
-    hash function)."""
+    hash function).
+
+    String keys (content hashes, urls, doc names) are first folded to a
+    portable integer via a 14-hex-digit md5 prefix — Spark
+    ``conv(substring(md5(k),1,14),16,10)`` and SQL
+    ``CAST(('0x' || substr(md5(k),1,14)) AS BIGINT)`` produce the same
+    value, so the oracle/content guarantee survives non-numeric keys.
+    Pass ``df`` so column types can be inspected; without it every key
+    is assumed numeric (the historical behavior).
+    """
+    from pyspark.sql import types as T
+
     if isinstance(key_cols, str):
         key_cols = [key_cols]
+    string_cols = set()
+    if df is not None:
+        string_cols = {f.name for f in df.schema.fields
+                       if isinstance(f.dataType, (T.StringType, T.BinaryType))}
     M = 2654435761  # Knuth's multiplier (2^32 / phi)
     P = 1 << 31  # reduction modulus: keeps every product < 2^62 so the
     # arithmetic never overflows int64 on ANY engine (DuckDB errors on
     # bigint overflow; Spark non-ANSI silently wraps — both avoided)
     k = F.lit(int(salt) % P).cast("long")
     for c in key_cols:
-        k = F.pmod((F.pmod(k + F.col(c).cast("long"), F.lit(P))) * F.lit(M), F.lit(P))
+        if c in string_cols:
+            key = F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 14), 16, 10).cast("long")
+        else:
+            key = F.col(c).cast("long")
+        k = F.pmod((F.pmod(k + key, F.lit(P))) * F.lit(M), F.lit(P))
     return F.pmod(k, F.lit(n_buckets))
 
 

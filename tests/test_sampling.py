@@ -75,3 +75,39 @@ def test_lsh_deterministic(embeddings):
     b = lsh.search(embeddings.repartition(5), queries, k=5).toPandas().sort_values(
         ["query_id", "rank"]).reset_index(drop=True)
     assert (a[["query_id", "vec_id"]].values == b[["query_id", "vec_id"]].values).all()
+
+
+def test_hash_split_string_keys(documents):
+    """String keys fold through a portable md5-prefix integer: split is
+    deterministic, disjoint, complete, and partition-invariant."""
+    from dask_ml_spark.plans.model_selection import hash_split
+
+    tr, te = hash_split(documents, "text", test_size=0.3)
+    a = {r[0] for r in tr.select("doc_id").collect()}
+    b = {r[0] for r in te.select("doc_id").collect()}
+    assert a.isdisjoint(b)
+    assert len(a) + len(b) == documents.count()
+    assert 0.1 < len(b) / (len(a) + len(b)) < 0.5
+    tr2, _ = hash_split(documents.repartition(9), "text", test_size=0.3)
+    assert {r[0] for r in tr2.select("doc_id").collect()} == a
+
+
+def test_string_key_hash_matches_duckdb(spark, documents):
+    """The Spark md5-prefix bucket equals the documented SQL rendering."""
+    import duckdb
+
+    from dask_ml_spark.plans.model_selection import _hash_bucket_expr
+
+    got = (documents.select("doc_id", _hash_bucket_expr("text", 10_000, 0, df=documents)
+                            .alias("bucket"))
+           .orderBy("doc_id").limit(20).toPandas())
+    pdf = documents.select("doc_id", "text").orderBy("doc_id").limit(20).toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = con.sql("""
+        SELECT doc_id,
+               ((0 + CAST(('0x' || substr(md5(text),1,14)) AS BIGINT)) % 2147483648)
+               * 2654435761 % 2147483648 % 10000 AS bucket
+        FROM docs ORDER BY doc_id
+    """).df()
+    assert (got["bucket"].to_numpy() == want["bucket"].to_numpy()).all()
