@@ -127,3 +127,21 @@ def test_stratified_sample_no_shuffle_filter(spark, catalog):
     plan = _plan(kept)
     # pure filter: no Exchange anywhere in the sample itself
     assert "Exchange" not in plan
+
+
+def test_event_funnel_single_shuffle(spark, catalog):
+    plan = _plan(catalog["event_funnel"](spark, SF))
+    # conditional-min funnel: one exchange for the per-user aggregate,
+    # one single-partition exchange for the final 1-row rollup — and
+    # crucially NO joins (the naive funnel is a 3-way self-join)
+    assert "Join" not in plan
+    import re
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_sales_cube_expands_once(spark, catalog):
+    import re
+    plan = _plan(catalog["sales_cube"](spark, SF))
+    # all four grouping levels from ONE scan via Expand, not a union
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan and "Union" not in plan
