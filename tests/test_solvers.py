@@ -98,3 +98,20 @@ def test_bad_solver_raises(xy_regression):
     cols = [c for c in xy_regression.columns if c.startswith("f")]
     with pytest.raises(ValueError, match="solver"):
         LinearRegression(solver="sag").fit(xy_regression, cols)
+
+
+def test_grid_search_over_solver(xy_classification):
+    """The search surface composes with the solver knob: GridSearchCV
+    can tune solver= like any other hyperparameter (reference users
+    grid-search dask_glm solvers the same way)."""
+    from dask_ml_spark.model_selection import GridSearchCV
+
+    cols = [c for c in xy_classification.columns if c.startswith("f")]
+    gs = GridSearchCV(
+        LogisticRegression(penalty="l2", C=1.0, max_iter=25),
+        {"solver": ["lbfgs", "newton"], "C": [1.0, 10.0]},
+        cv=2,
+    ).fit(xy_classification, cols)
+    assert len(gs.cv_results_["params"]) == 4
+    assert gs.best_params_["solver"] in ("lbfgs", "newton")
+    assert 0.5 <= gs.best_score_ <= 1.0
