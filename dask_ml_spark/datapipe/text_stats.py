@@ -208,3 +208,44 @@ def bm25_scores(df: DataFrame, query_terms, text_col: str = "text",
             .groupBy(id_col)
             .agg(F.sum("__s").alias("bm25"),
                  F.count("*").alias("n_matched_terms")))
+
+
+def bm25_topk(df: DataFrame, queries: dict, k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Batch BM25 retrieval: top-k documents per query bag.
+
+    ``queries``: {query_id: [terms...]} — dimension-sized, shipped as a
+    broadcast (query_id, term) table joined into the shared postings
+    frame, so ANY number of queries costs one corpus pass + one
+    per-(query, doc) aggregate + one windowed top-k. Corpus-side stats
+    (tf, df, N, avgdl) are computed once over the UNION of all query
+    terms.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    all_terms = sorted({t.lower() for ts in queries.values() for t in ts})
+    base = ensure_min_partitions(df).select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks"))
+    base = base.select(id_col, "__toks", F.size("__toks").alias("dl"))
+    stats = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (base.select(id_col, "dl", F.explode("__toks").alias("term"))
+          .where(F.col("term").isin(all_terms))
+          .groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+          .persist())
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qdf = spark.createDataFrame(
+        [(qid, t.lower()) for qid, ts in queries.items() for t in set(ts)],
+        "query_id string, term string")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(qdf), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("__s", idf * F.col("tf") * (k1 + 1.0) / denom)
+              .groupBy("query_id", id_col)
+              .agg(F.sum("__s").alias("bm25")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -1200,6 +1200,62 @@ FROM o
 """.replace("{TOKEN_RE}", TOKEN_RE_SQL)
 
 
+BM25_TOPK_QUERIES = {
+    "q_common": ["the", "and", "of"],
+    "q_data": ["data", "model", "training"],
+}
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Batch BM25 retrieval (datapipe/text_stats.py::bm25_topk): top-10
+    documents for each query bag, all query bags sharing one corpus
+    pass."""
+    from dask_ml_spark.datapipe.text_stats import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_topk(docs, BM25_TOPK_QUERIES, k=10)
+    return out.select("query_id", "doc_id", "bm25",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_bm25_topk() -> str:
+    all_terms = sorted({t for ts in BM25_TOPK_QUERIES.values() for t in ts})
+    terms = ", ".join(f"'{t}'" for t in all_terms)
+    qvals = ", ".join(f"('{qid}', '{t}')"
+                      for qid, ts in sorted(BM25_TOPK_QUERIES.items())
+                      for t in sorted(set(ts)))
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(toks) AS dl, toks FROM d
+), s AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+  WHERE term IN ({terms})
+  GROUP BY 1, 2, 3
+), dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), q(query_id, term) AS (VALUES {qvals}),
+scored AS (
+  SELECT query_id, doc_id,
+         sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * (1.2 + 1.0)
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS bm25
+  FROM tf JOIN dfq USING (term) JOIN q USING (term) CROSS JOIN s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, bm25, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def q_incremental_pca_fit(spark, sf_dir):
     """IncrementalPCA (reference incremental_pca.py:36-427) fed three
     disjoint batches. Moment accumulation is exact, so the learned mean
@@ -1975,6 +2031,7 @@ def build_catalog():
         "incremental_pca_fit": q_incremental_pca_fit,
         "repetition_scores": q_repetition_scores,
         "bm25_scores": q_bm25_scores,
+        "bm25_topk": q_bm25_topk,
         "dedup_clusters": q_dedup_clusters,
         "pii_redaction": q_pii_redaction,
         "token_shards": q_token_shards,
@@ -2076,6 +2133,7 @@ def build_catalog():
         "incremental_pca_fit": SQL_INCREMENTAL_PCA_FIT,
         "repetition_scores": SQL_REPETITION_SCORES,
         "bm25_scores": SQL_BM25_SCORES,
+        "bm25_topk": _sql_bm25_topk(),
         "dedup_clusters": _sql_dedup_clusters(),
         "pii_redaction": _sql_pii_redaction(),
         "token_shards": SQL_TOKEN_SHARDS,

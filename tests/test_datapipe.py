@@ -366,3 +366,20 @@ def test_pack_token_shards_invariants(spark, documents):
     out2 = pack_token_shards(documents.repartition(7), budget=budget).toPandas()
     out2 = out2.sort_values("doc_id").reset_index(drop=True)
     assert (out["shard"] == out2["shard"]).all()
+
+
+def test_bm25_topk_ranks_per_query(spark):
+    import pandas as pd
+
+    from dask_ml_spark.datapipe.text_stats import bm25_topk
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["red red red fox", "red dog", "blue whale blue"],
+    })
+    out = bm25_topk(spark.createDataFrame(pdf),
+                    {"qa": ["red"], "qb": ["blue", "dog"]}, k=2).toPandas()
+    qa = out[out.query_id == "qa"].sort_values("rank")
+    assert list(qa["doc_id"]) == [1, 2]  # higher tf on shorter-ish doc wins
+    qb = out[out.query_id == "qb"].sort_values("rank")
+    assert set(qb["doc_id"]) == {2, 3} and len(qb) == 2
