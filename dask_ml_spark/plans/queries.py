@@ -862,6 +862,33 @@ FROM per_user
 """
 
 
+def q_salted_join_revenue(spark, sf_dir):
+    """The explicit skew lever, correctness-proven: utils.salted_join
+    (hot keys split over 16 sub-keys, right side replicated per salt)
+    must produce byte-identical aggregates to the plain join — the
+    oracle is the UNSALTED SQL join, so this query asserts the skew
+    machinery changes the plan, never the answer."""
+    from dask_ml_spark.utils import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_extendedprice"), F.col("l_discount"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, o, on="o_orderkey", n_salt=16)
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+SQL_SALTED_JOIN_REVENUE = """
+SELECT o_orderpriority,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q_sales_cube(spark, sf_dir):
     """CUBE rollup over (returnflag, linestatus) with grouping_id —
     all four aggregation levels in ONE pass (Spark expands the
@@ -2025,6 +2052,7 @@ def build_catalog():
         "customer_order_distribution": q_customer_order_distribution,
         "sales_cube": q_sales_cube,
         "daily_active_users": q_daily_active_users,
+        "salted_join_revenue": q_salted_join_revenue,
         "event_funnel": q_event_funnel,
         "lang_source_pivot": q_lang_source_pivot,
         "pca_covariance": q_pca_covariance,
@@ -2125,6 +2153,7 @@ def build_catalog():
         "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
         "sales_cube": SQL_SALES_CUBE,
         "daily_active_users": SQL_DAILY_ACTIVE_USERS,
+        "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
         "event_funnel": SQL_EVENT_FUNNEL,
         "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
