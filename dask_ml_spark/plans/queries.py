@@ -862,6 +862,53 @@ FROM per_user
 """
 
 
+def q_part_size_histogram(spark, sf_dir):
+    """Histogram via width_bucket — the aggregation-side building block
+    for numeric profiling; one scan, one small group-by."""
+    p = _t(spark, sf_dir, "part")
+    return (p.groupBy(F.width_bucket(F.col("p_size"), F.lit(1.0), F.lit(51.0), 10)
+                      .alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.min("p_size").alias("min_size"),
+                 F.max("p_size").alias("max_size")))
+
+
+SQL_PART_SIZE_HISTOGRAM = """
+-- width_bucket(p_size, 1.0, 51.0, 10) spelled out (DuckDB lacks it):
+-- bucket width (51-1)/10 = 5, values below/above the range clamp to 0/11
+SELECT CASE WHEN p_size < 1.0 THEN 0
+            WHEN p_size >= 51.0 THEN 11
+            ELSE CAST(floor((p_size - 1.0) / 5.0) AS BIGINT) + 1 END AS bucket,
+       count(*) AS n, min(p_size) AS min_size, max(p_size) AS max_size
+FROM part GROUP BY 1
+"""
+
+
+def q_supplier_balance_quartiles(spark, sf_dir):
+    """ntile quartiles over account balance (suppkey tie-break keeps
+    the assignment engine-deterministic), then per-quartile stats."""
+    from pyspark.sql import Window
+
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    return (s.withColumn("quartile", F.ntile(4).over(w))
+            .groupBy("quartile")
+            .agg(F.count("*").alias("n"),
+                 F.min("s_acctbal").alias("lo"),
+                 F.max("s_acctbal").alias("hi"),
+                 F.avg("s_acctbal").alias("mean_bal")))
+
+
+SQL_SUPPLIER_BALANCE_QUARTILES = """
+SELECT quartile, count(*) AS n, min(s_acctbal) AS lo, max(s_acctbal) AS hi,
+       avg(s_acctbal) AS mean_bal
+FROM (SELECT s_acctbal,
+             ntile(4) OVER (ORDER BY s_acctbal ASC, s_suppkey ASC) AS quartile
+      FROM supplier)
+GROUP BY quartile
+"""
+
+
 def q_salted_join_revenue(spark, sf_dir):
     """The explicit skew lever, correctness-proven: utils.salted_join
     (hot keys split over 16 sub-keys, right side replicated per salt)
@@ -2053,6 +2100,8 @@ def build_catalog():
         "sales_cube": q_sales_cube,
         "daily_active_users": q_daily_active_users,
         "salted_join_revenue": q_salted_join_revenue,
+        "part_size_histogram": q_part_size_histogram,
+        "supplier_balance_quartiles": q_supplier_balance_quartiles,
         "event_funnel": q_event_funnel,
         "lang_source_pivot": q_lang_source_pivot,
         "pca_covariance": q_pca_covariance,
@@ -2154,6 +2203,8 @@ def build_catalog():
         "sales_cube": SQL_SALES_CUBE,
         "daily_active_users": SQL_DAILY_ACTIVE_USERS,
         "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
+        "part_size_histogram": SQL_PART_SIZE_HISTOGRAM,
+        "supplier_balance_quartiles": SQL_SUPPLIER_BALANCE_QUARTILES,
         "event_funnel": SQL_EVENT_FUNNEL,
         "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
