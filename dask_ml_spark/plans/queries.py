@@ -862,6 +862,24 @@ FROM per_user
 """
 
 
+def q_lineitem_correlations(spark, sf_dir):
+    """Pairwise Pearson correlations of the lineitem measures — all
+    pairs in ONE aggregate pass (corr is an algebraic aggregate:
+    partial (n, Σx, Σy, Σxy, Σx², Σy²) per pair combine map-side)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = LINEITEM_FEATS
+    aggs = [F.corr(ci, cols[j]).alias(f"corr_{i}_{j}")
+            for i, ci in enumerate(cols) for j in range(i + 1, len(cols))]
+    return li.agg(*aggs)
+
+
+def _sql_lineitem_correlations() -> str:
+    cols = LINEITEM_FEATS
+    parts = [f"corr({ci}, {cols[j]}) AS corr_{i}_{j}"
+             for i, ci in enumerate(cols) for j in range(i + 1, len(cols))]
+    return "SELECT " + ", ".join(parts) + " FROM lineitem"
+
+
 def q_part_size_histogram(spark, sf_dir):
     """Histogram via width_bucket — the aggregation-side building block
     for numeric profiling; one scan, one small group-by."""
@@ -2101,6 +2119,7 @@ def build_catalog():
         "daily_active_users": q_daily_active_users,
         "salted_join_revenue": q_salted_join_revenue,
         "part_size_histogram": q_part_size_histogram,
+        "lineitem_correlations": q_lineitem_correlations,
         "supplier_balance_quartiles": q_supplier_balance_quartiles,
         "event_funnel": q_event_funnel,
         "lang_source_pivot": q_lang_source_pivot,
@@ -2204,6 +2223,7 @@ def build_catalog():
         "daily_active_users": SQL_DAILY_ACTIVE_USERS,
         "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
         "part_size_histogram": SQL_PART_SIZE_HISTOGRAM,
+        "lineitem_correlations": _sql_lineitem_correlations(),
         "supplier_balance_quartiles": SQL_SUPPLIER_BALANCE_QUARTILES,
         "event_funnel": SQL_EVENT_FUNNEL,
         "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,
