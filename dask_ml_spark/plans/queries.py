@@ -862,6 +862,38 @@ FROM per_user
 """
 
 
+def q_weekly_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity week, counted
+    in each later week. Two aggregates + one join, all keyed on
+    user_id — the first groupBy shrinks events to one row per user
+    before the join, and the distinct-week projection dedups map-side."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    fw = (ev.groupBy("user_id")
+          .agg(F.min(week).alias("cohort_week")))
+    act = ev.select("user_id", week.alias("week")).distinct()
+    return (act.join(fw, "user_id")
+            .groupBy("cohort_week",
+                     (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+                     .cast("long").alias("week_offset"))
+            .agg(F.count_distinct("user_id").alias("n_users")))
+
+
+SQL_WEEKLY_RETENTION = """
+WITH fw AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM act JOIN fw USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_lineitem_correlations(spark, sf_dir):
     """Pairwise Pearson correlations of the lineitem measures — all
     pairs in ONE aggregate pass (corr is an algebraic aggregate:
@@ -2120,6 +2152,7 @@ def build_catalog():
         "salted_join_revenue": q_salted_join_revenue,
         "part_size_histogram": q_part_size_histogram,
         "lineitem_correlations": q_lineitem_correlations,
+        "weekly_retention": q_weekly_retention,
         "supplier_balance_quartiles": q_supplier_balance_quartiles,
         "event_funnel": q_event_funnel,
         "lang_source_pivot": q_lang_source_pivot,
@@ -2224,6 +2257,7 @@ def build_catalog():
         "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
         "part_size_histogram": SQL_PART_SIZE_HISTOGRAM,
         "lineitem_correlations": _sql_lineitem_correlations(),
+        "weekly_retention": SQL_WEEKLY_RETENTION,
         "supplier_balance_quartiles": SQL_SUPPLIER_BALANCE_QUARTILES,
         "event_funnel": SQL_EVENT_FUNNEL,
         "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,
