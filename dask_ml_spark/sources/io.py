@@ -19,6 +19,14 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # TIMESTAMP(NANOS) parquet columns (events.ts) are unreadable unless
+    # nanosAsLong is set. The conf is runtime-settable, and the session we
+    # receive may be one we didn't build (external harness), so set it here
+    # rather than relying on session-builder defaults.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # older/newer Spark without the conf: reads may still work
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return normalize_nanos_timestamps(df)
 
