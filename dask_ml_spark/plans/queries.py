@@ -1137,21 +1137,30 @@ def q_repetition_scores(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     out = repetition_scores(docs)
+    # Fractions rounded to 6 digits and counts cast to BIGINT on BOTH
+    # engines: the driver's value-hash is bit-exact, and round-1 showed
+    # unrounded floats / DuckDB HUGEINT sums are canonicalization hazards.
     return out.select(
         "doc_id", F.col("n_lines").cast("long").alias("n_lines"),
-        "dup_line_frac", F.col("n_bigrams").cast("long").alias("n_bigrams"),
-        "top_bigram_frac")
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"))
 
 
+# Oracle avoids list_distinct/list_filter (semantics drifted across
+# DuckDB releases) — plain unnest + WHERE + count(DISTINCT) instead.
 SQL_REPETITION_SCORES = f"""
-WITH base AS (
-  SELECT doc_id,
-         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
-                     x -> length(x) > 0) AS lines,
-         regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+WITH lc AS (
+  SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS n_distinct_lines
+  FROM (SELECT doc_id, trim(l) AS line
+        FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents))
+  WHERE length(line) > 0
+  GROUP BY doc_id
+), base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
   FROM documents
 ), bi AS (
-  SELECT doc_id, lines,
+  SELECT doc_id,
          CASE WHEN len(toks) >= 2
               THEN list_transform(generate_series(1, len(toks)-1),
                                   i -> toks[i] || ' ' || toks[i+1])
@@ -1166,12 +1175,16 @@ WITH base AS (
         GROUP BY doc_id, bigram)
   GROUP BY doc_id
 )
-SELECT bi.doc_id,
-       len(lines) AS n_lines,
-       (len(lines) - len(list_distinct(lines))) / greatest(len(lines), 1)::DOUBLE AS dup_line_frac,
-       coalesce(counts.n_bigrams, 0) AS n_bigrams,
-       coalesce(counts.top_bigram_count, 0) / greatest(coalesce(counts.n_bigrams, 0), 1)::DOUBLE AS top_bigram_frac
-FROM bi LEFT JOIN counts ON bi.doc_id = counts.doc_id
+SELECT d.doc_id,
+       CAST(coalesce(lc.n_lines, 0) AS BIGINT) AS n_lines,
+       round(coalesce((lc.n_lines - lc.n_distinct_lines)
+                      / greatest(lc.n_lines, 1)::DOUBLE, 0.0), 6) AS dup_line_frac,
+       CAST(coalesce(counts.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(counts.top_bigram_count, 0)
+             / greatest(coalesce(counts.n_bigrams, 0), 1)::DOUBLE, 6) AS top_bigram_frac
+FROM documents d
+LEFT JOIN lc ON d.doc_id = lc.doc_id
+LEFT JOIN counts ON d.doc_id = counts.doc_id
 """
 
 
@@ -1249,7 +1262,8 @@ reach(node, r) AS (
   UNION
   SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.node
 )
-SELECT cluster, count(*) AS n_members, sum(node) AS member_checksum
+SELECT cluster, count(*) AS n_members,
+       CAST(sum(node) AS BIGINT) AS member_checksum
 FROM (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
 GROUP BY cluster
 """
