@@ -33,6 +33,11 @@ _DEFAULTS = {
     "spark.sql.timestampType": "TIMESTAMP_LTZ",
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
     "spark.sql.session.timeZone": "UTC",
+    # Spark 4 flips ANSI mode on by default; the engine's query surface is
+    # authored for the lenient (Spark 3) semantics, and the runtime
+    # overflow/cast checks cost 2-7x on aggregate-heavy plans (measured on
+    # from_json, sha2 dedup, and groupBy-agg queries at sf0.1). Pin it off.
+    "spark.sql.ansi.enabled": "false",
 }
 
 

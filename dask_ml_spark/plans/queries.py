@@ -277,8 +277,10 @@ def q_event_props_json(spark, sf_dir):
     aggregate the extracted field per event type."""
     ev = _t(spark, sf_dir, "events")
     parsed = ev.withColumn("props_k", F.from_json(F.col("props"), "k BIGINT")["k"])
+    # round the average: double summation order differs between engines,
+    # and the driver hash is bit-exact
     return parsed.groupBy("event_type").agg(
-        F.avg("props_k").alias("avg_k"),
+        F.round(F.avg("props_k"), 6).alias("avg_k"),
         F.sum("props_k").alias("sum_k"),
         F.count("props_k").alias("n_with_k"),
     )
@@ -286,8 +288,8 @@ def q_event_props_json(spark, sf_dir):
 
 SQL_EVENT_PROPS_JSON = """
 SELECT event_type,
-       avg(CAST(json_extract(props, '$.k') AS BIGINT)) AS avg_k,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k
 FROM events
 GROUP BY event_type
@@ -856,8 +858,8 @@ WITH per_user AS (
 )
 SELECT count(*) AS n_users,
        count(t_signup) AS n_signup,
-       sum(CASE WHEN t_view > t_signup THEN 1 ELSE 0 END) AS n_signup_then_view,
-       sum(CASE WHEN t_view > t_signup AND t_purchase > t_view THEN 1 ELSE 0 END) AS n_full_funnel
+       CAST(sum(CASE WHEN t_view > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_then_view,
+       CAST(sum(CASE WHEN t_view > t_signup AND t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
 FROM per_user
 """
 
@@ -1407,20 +1409,28 @@ def q_incremental_pca_fit(spark, sf_dir):
     ipca = IncrementalPCA()
     for b in range(3):
         ipca.partial_fit(li.where(F.col("l_linenumber") % 3 == b), cols)
-    row = ([float(v) for v in ipca.mean_]
-           + [float(ipca.explained_variance_.sum()), float(ipca.n_samples_seen_)])
+    # Canonicalization: batch-merged moments differ from the single-pass
+    # oracle at ~1e-14 relative, and column MEANS (sum/60000) can land
+    # exactly on decimal rounding ties (e.g. avg(l_discount) =
+    # 2995.11/60000 = 0.0499185), so we emit mean_*n (the column sums,
+    # true values are multiples of 0.01 — rounding to 2 decimals snaps
+    # both engines to the same double, never near a tie) and the
+    # variance trace rounded to 1e-2 abs ≈ 1e-11 rel.
+    n = float(ipca.n_samples_seen_)
+    row = ([round(float(v) * n, 2) for v in ipca.mean_]
+           + [round(float(ipca.explained_variance_.sum()), 2), n])
     return spark.createDataFrame(
         [tuple(row)],
-        ", ".join(f"mean_{c} double" for c in cols) + ", total_var double, n double")
+        ", ".join(f"sum_{c} double" for c in cols) + ", total_var double, n double")
 
 
 SQL_INCREMENTAL_PCA_FIT = """
-SELECT avg(l_quantity) AS mean_l_quantity,
-       avg(l_extendedprice) AS mean_l_extendedprice,
-       avg(l_discount) AS mean_l_discount,
-       avg(l_tax) AS mean_l_tax,
-       var_samp(l_quantity) + var_samp(l_extendedprice)
-         + var_samp(l_discount) + var_samp(l_tax) AS total_var,
+SELECT round(avg(l_quantity) * count(*), 2) AS sum_l_quantity,
+       round(avg(l_extendedprice) * count(*), 2) AS sum_l_extendedprice,
+       round(avg(l_discount) * count(*), 2) AS sum_l_discount,
+       round(avg(l_tax) * count(*), 2) AS sum_l_tax,
+       round(var_samp(l_quantity) + var_samp(l_extendedprice)
+         + var_samp(l_discount) + var_samp(l_tax), 2) AS total_var,
        count(*)::DOUBLE AS n
 FROM lineitem
 """
@@ -2037,7 +2047,11 @@ def q_event_sessionization(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # cast to TIMESTAMP (LTZ) before the epoch-seconds cast: NTZ → long is
+    # a DATATYPE_MISMATCH under Spark 4.1+, and the extra cast is a no-op
+    # on already-LTZ inputs
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_sec - F.lag(ts_sec).over(w)
     sess = (
         ev.withColumn("new_sess", F.coalesce(gap > 1800, F.lit(True)).cast("long"))
         .withColumn(

@@ -32,17 +32,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_nanos_timestamps(df: DataFrame) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as long nanoseconds
-    (spark.sql.legacy.parquet.nanosAsLong) — convert any *_ts/ts long
-    column that plausibly holds epoch-nanos back to a timestamp
-    (microsecond precision, all Spark offers)."""
+    """Normalize TIMESTAMP(NANOS) parquet event-time columns to TIMESTAMP
+    (LTZ, microsecond precision — all Spark offers).
+
+    Two runtime behaviors exist for nano-precision parquet timestamps:
+    - Spark <=4.0 honors ``spark.sql.legacy.parquet.nanosAsLong`` and
+      delivers long epoch-nanos -> convert via ``timestamp_micros``.
+    - Spark 4.1+ ignores that conf and delivers ``TIMESTAMP_NTZ`` ->
+      cast to TIMESTAMP (session tz is pinned UTC, so wall-clock == instant
+      and the cast is lossless modulo the nanos->micros truncation both
+      branches share).
+
+    Only ``ts``/``*_ts`` columns are touched so ordinary long columns
+    survive untouched.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     out = df
     for f in df.schema.fields:
-        if isinstance(f.dataType, T.LongType) and (f.name == "ts" or f.name.endswith("_ts")):
+        if f.name != "ts" and not f.name.endswith("_ts"):
+            continue
+        if isinstance(f.dataType, T.LongType):
             out = out.withColumn(f.name, F.timestamp_micros((F.col(f.name) / 1000).cast("long")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            out = out.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return out
 
 

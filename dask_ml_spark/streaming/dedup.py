@@ -35,7 +35,10 @@ def dedup_stream(docs: DataFrame, text_col: str = "text",
     """
     tagged = docs.withColumn("__content_hash", content_hash(text_col))
     if docs.isStreaming and ts_col is not None:
-        return (tagged.withWatermark(ts_col, watermark)
+        from dask_ml_spark.utils import ensure_event_time
+
+        return (ensure_event_time(tagged, ts_col)
+                .withWatermark(ts_col, watermark)
                 .dropDuplicatesWithinWatermark(["__content_hash"]))
     return tagged.dropDuplicates(["__content_hash"])
 

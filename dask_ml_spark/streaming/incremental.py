@@ -58,9 +58,11 @@ def windowed_event_features(events: DataFrame, window: str = "1 hour",
     feature-extraction shape over an event stream; works identically
     on a static events DataFrame (batch window agg) and a readStream.
     """
-    df = events
-    if events.isStreaming:
-        df = events.withWatermark(ts_col, watermark)
+    from dask_ml_spark.utils import ensure_event_time
+
+    df = ensure_event_time(events, ts_col)
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(user_col))
         .agg(

@@ -101,6 +101,9 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from dask_ml_spark.utils import ensure_event_time
+
+    events = ensure_event_time(events, ts_col)
     stream = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         stream.groupBy(key_col)

@@ -299,6 +299,20 @@ def pytest_approx(value, atol=1e-8, rtol=1e-6, **_):
     return _Approx()
 
 
+def ensure_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Cast a TIMESTAMP_NTZ event-time column to TIMESTAMP (LTZ).
+
+    Spark 4.1+ delivers parquet TIMESTAMP(NANOS) as TIMESTAMP_NTZ, which
+    `withWatermark` rejects and which cannot be cast straight to long.
+    Session timezone is pinned UTC, so the NTZ→LTZ cast is lossless.
+    No-op when the column is already a (LTZ) timestamp.
+    """
+    field = df.schema[ts_col]
+    if isinstance(field.dataType, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def salted_join(left: DataFrame, right: DataFrame, on: str, n_salt: int = 16,
                 how: str = "inner") -> DataFrame:
     """Join a key-skewed left side against a smaller right side by
@@ -309,7 +323,17 @@ def salted_join(left: DataFrame, right: DataFrame, on: str, n_salt: int = 16,
     when one side has a few dominant keys and the other is too big to
     broadcast; AQE skew-join handles the same problem adaptively, this
     is the explicit form for planned skew.
+
+    Only ``inner`` and ``left`` joins are supported: the right side is
+    replicated n_salt times, so right/full outer would emit each
+    unmatched right row once per salt replica. Flip the inputs (salting
+    the skewed side as ``left``) for the mirrored cases.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the salt-replicated right side would duplicate unmatched right rows"
+        )
     salt_l = F.floor(F.rand(seed=0) * n_salt).cast("int")
     salted_l = left.withColumn("__salt", salt_l)
     salted_r = right.withColumn(
