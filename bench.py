@@ -48,7 +48,7 @@ HEADLINE = [
     "windowed_event_features",
     "event_type_rollup",
     "event_sessionization",
-    "quantile_transformer_fit",
+    "quantile_transformer_fit_approx",
     "one_hot_encoder",
     "count_vectorizer_long",
     "rbf_kernel_to_centers",

@@ -124,26 +124,64 @@ def r2_score(df: DataFrame, label_col: str = "label", prediction_col: str = "pre
     return 1.0 - row["ss_res"] / ss_tot
 
 
-def log_loss(df: DataFrame, label_col: str = "label", prob_col: str = "probability", weight_col: str | None = None) -> float:
+def log_loss(df: DataFrame, label_col: str = "label", prob_col: str | None = None,
+             prediction_col: str | None = None, weight_col: str | None = None) -> float:
+    """Exact one-pass log loss.
+
+    The probability column (``prob_col``; ``prediction_col`` accepted as an
+    alias so the scorer protocol's keyword works) may be either a double
+    P(class=1) for the binary case or an array of per-class probabilities
+    (``predict_proba`` output) — the multiclass form averages
+    -log p[label].
+    """
+    from pyspark.sql import types as T
+
+    col = prob_col or prediction_col or "probability"
     w = F.col(weight_col) if weight_col else None
-    return _scalar(df, log_loss_expr(F.col(label_col), F.col(prob_col), w))
+    y = F.col(label_col)
+    if isinstance(df.schema[col].dataType, T.ArrayType):
+        p_true = F.element_at(F.col(col), y.cast("int") + 1)
+        p = F.least(F.greatest(p_true, F.lit(EPS)), F.lit(1.0 - EPS))
+        return _scalar(df, _weighted_mean(-F.log(p), w))
+    return _scalar(df, log_loss_expr(y, F.col(col), w))
 
 
 # --- scorer registry (reference: metrics/scorer.py:9-76) ----------------
 
-def _neg(fn):
-    def inner(*a, **k):
-        return -fn(*a, **k)
+class Scorer:
+    """Callable scorer with sklearn ``make_scorer`` semantics: a sign for
+    greater-is-better and a ``needs_proba`` flag telling search/score code
+    to route through ``predict_proba`` instead of ``predict``."""
 
-    return inner
+    def __init__(self, metric, greater_is_better: bool = True, needs_proba: bool = False):
+        self.metric = metric
+        self.sign = 1.0 if greater_is_better else -1.0
+        self.needs_proba = needs_proba
+
+    def __call__(self, df: DataFrame, **kwargs) -> float:
+        return self.sign * self.metric(df, **kwargs)
+
+
+def score_estimator(scorer, estimator, df: DataFrame, label_col: str = "label") -> float:
+    """Apply a scorer to an estimator's predictions over ``df``, routing
+    through ``predict_proba`` when the scorer needs probabilities."""
+    if getattr(scorer, "needs_proba", False):
+        if not hasattr(estimator, "predict_proba"):
+            raise ValueError(
+                f"scorer requires probabilities but {type(estimator).__name__} "
+                "has no predict_proba")
+        pred = estimator.predict_proba(df)
+        return scorer(pred, label_col=label_col, prediction_col="probability")
+    pred = estimator.predict(df)
+    return scorer(pred, label_col=label_col, prediction_col="prediction")
 
 
 SCORERS = {
-    "accuracy": accuracy_score,
-    "r2": r2_score,
-    "neg_mean_squared_error": _neg(mean_squared_error),
-    "neg_mean_absolute_error": _neg(mean_absolute_error),
-    "neg_log_loss": _neg(log_loss),
+    "accuracy": Scorer(accuracy_score),
+    "r2": Scorer(r2_score),
+    "neg_mean_squared_error": Scorer(mean_squared_error, greater_is_better=False),
+    "neg_mean_absolute_error": Scorer(mean_absolute_error, greater_is_better=False),
+    "neg_log_loss": Scorer(log_loss, greater_is_better=False, needs_proba=True),
 }
 
 

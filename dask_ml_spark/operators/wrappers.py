@@ -90,11 +90,12 @@ class ParallelPostFit(BaseEstimator):
         return self._apply(df, "transform", output_col, columns)
 
     def score(self, df: DataFrame, label_col: str = "label", columns=None):
-        from dask_ml_spark.functions.metrics import check_scoring
+        from dask_ml_spark.functions.metrics import check_scoring, score_estimator
 
         scorer = check_scoring(self.estimator, self.scoring)
-        pred = self.predict(df, columns=columns)
-        return scorer(pred, label_col=label_col, prediction_col="prediction")
+        if columns is not None:
+            self.feature_columns_ = self._validate_data(df, columns)
+        return score_estimator(scorer, self, df, label_col)
 
 
 class Incremental(ParallelPostFit):

@@ -234,7 +234,7 @@ class GridSearchCV(BaseEstimator):
         return list(ParameterGrid(self.param_grid))
 
     def fit(self, df: DataFrame, columns=None, label_col: str = "label") -> "GridSearchCV":
-        from dask_ml_spark.functions.metrics import check_scoring
+        from dask_ml_spark.functions.metrics import check_scoring, score_estimator
 
         cv = check_cv(self.cv)
         candidates = self._candidates()
@@ -303,8 +303,7 @@ class GridSearchCV(BaseEstimator):
                     for ci, final_p in g["cands"]:
                         fin = self.estimator.steps[-1][1].clone().set_params(**final_p)
                         fin.fit(data_tr, columns=columns, label_col=label_col)
-                        pred = fin.predict(data_te)
-                        out.append((ci, fi, scorer(pred, label_col=label_col, prediction_col="prediction")))
+                        out.append((ci, fi, score_estimator(scorer, fin, data_te, label_col)))
                 finally:
                     data_tr.unpersist()
                     data_te.unpersist()
@@ -326,9 +325,7 @@ class GridSearchCV(BaseEstimator):
                 ci, fi, params, train, test = task
                 model = self.estimator.clone().set_params(**params)
                 model.fit(train, columns=columns, label_col=label_col)
-                pred = model.predict(test)
-                score = scorer(pred, label_col=label_col, prediction_col="prediction")
-                return ci, fi, score
+                return ci, fi, score_estimator(scorer, model, test, label_col)
 
             with ThreadPoolExecutor(max_workers=self.n_jobs) as pool:
                 for ci, fi, score in pool.map(_run, tasks):
@@ -376,11 +373,10 @@ class GridSearchCV(BaseEstimator):
         return self.best_estimator_.predict(df, **kw)
 
     def score(self, df: DataFrame, label_col: str = "label"):
-        from dask_ml_spark.functions.metrics import check_scoring
+        from dask_ml_spark.functions.metrics import check_scoring, score_estimator
 
         scorer = check_scoring(self.estimator, self.scoring)
-        pred = self.best_estimator_.predict(df)
-        return scorer(pred, label_col=label_col, prediction_col="prediction")
+        return score_estimator(scorer, self.best_estimator_, df, label_col)
 
 
 class RandomizedSearchCV(GridSearchCV):

@@ -1955,6 +1955,31 @@ FROM g, generate_series(1, 11) AS t(i)
 """
 
 
+def q_quantile_transformer_fit_approx(spark, sf_dir):
+    """The scale path of the QuantileTransformer fit: percentile_approx
+    (Greenwald-Khanna sketch — bounded memory per aggregate regardless
+    of row count, mergeable map-side). This is the default
+    (approximate=True) and the bench headline; the exact-percentile
+    variant above exists only as the small-SF oracle query — exact
+    percentile buffers every value in the aggregation buffer and does
+    not survive 100 TB columns. GK results are engine-specific, so this
+    query is rows-only (no DuckDB oracle), matching the reference whose
+    dask percentiles are approximate-by-design (data.py:303-312)."""
+    from dask_ml_spark.operators.preprocessing import QuantileTransformer
+
+    li = _t(spark, sf_dir, "lineitem")
+    qt = QuantileTransformer(n_quantiles=11).fit(
+        li, ["l_quantity", "l_extendedprice"]
+    )
+    rows = [
+        {"idx": i,
+         "q_quantity": float(qt.quantiles_[i, 0]),
+         "q_price": float(qt.quantiles_[i, 1])}
+        for i in range(qt.quantiles_.shape[0])
+    ]
+    return spark.createDataFrame(rows)
+
+
 def q_one_hot_encoder(spark, sf_dir):
     """OneHotEncoder dense path (reference _encoders.py:17-307) on two
     low-cardinality columns, expanded to one 0/1 column per category —
@@ -2225,7 +2250,9 @@ def build_catalog():
         "label_encoder_roundtrip": q_label_encoder_roundtrip,
         "part_brand_stats": q_part_brand_stats,
         "curation_pipeline": q_curation_pipeline,
-        # rows-only (iterative / seeded — no SQL equivalent)
+        # ivf_ann_topk is oracled (fixed quantizer); the rest below are
+        # rows-only (iterative / seeded / sketch-based — no SQL equivalent)
+        "quantile_transformer_fit_approx": q_quantile_transformer_fit_approx,
         "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
         "logistic_regression_eval": q_logistic_regression_eval,
         "pca_transform_variance": q_pca_transform_variance,
@@ -2309,6 +2336,7 @@ def build_catalog():
         "simhash": sql_simhash(16),
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE_TOPK,
+        "ivf_ann_topk": SQL_IVF_ANN_TOPK,
         "embedding_near_dup": sql_embedding_near_dup(),
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "language_id": sql_language_id(),
@@ -2508,16 +2536,55 @@ SELECT lang, doc_id, n_distinct_tokens, rank FROM ranked WHERE rank <= 5
 
 
 def q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN probe with a FIXED coarse quantizer: the centroids are
+    pinned to the embeddings of vec_id 0..15, making bucket assignment
+    and probing deterministic — so the whole index (assign → probe →
+    bucket join → exact cosine re-rank) is DuckDB-checkable. The
+    learned-quantizer path (IVFIndex.fit, sampled k-means) stays the
+    production default and is invariant-tested (recall vs brute force)."""
     from dask_ml_spark.datapipe.similarity import IVFIndex
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ivf = IVFIndex(n_lists=16, n_probe=4).fit(emb)
+    ivf = IVFIndex(n_lists=16, n_probe=4)
+    cent = (emb.where(F.col("vec_id") < 16).orderBy("vec_id")
+            .select("embedding").collect())
+    ivf.centroids_ = [list(r[0]) for r in cent]
     return ivf.search(emb, queries, k=10).select(
         "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
     )
+
+
+SQL_IVF_ANN_TOPK = """
+WITH cent AS (
+    SELECT vec_id AS c, embedding AS cvec FROM embeddings WHERE vec_id < 16
+), assign AS (
+    SELECT e.vec_id, e.embedding,
+           (SELECT c FROM cent
+            ORDER BY list_distance(e.embedding, cent.cvec) ASC, c ASC
+            LIMIT 1) AS bucket
+    FROM embeddings e
+), probes AS (
+    SELECT q.vec_id AS query_id, q.embedding AS qvec, cent.c AS bucket
+    FROM embeddings q CROSS JOIN cent
+    WHERE q.vec_id < 5
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_distance(q.embedding, cent.cvec) ASC, cent.c ASC) <= 4
+), scored AS (
+    SELECT p.query_id, a.vec_id,
+           list_cosine_similarity(a.embedding, p.qvec) AS score
+    FROM assign a JOIN probes p ON a.bucket = p.bucket
+    WHERE a.vec_id != p.query_id
+)
+SELECT query_id, vec_id, rank FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
 
 
 def q_truncated_svd_variance(spark, sf_dir):

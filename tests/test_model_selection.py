@@ -194,3 +194,40 @@ def test_cv_results_structure_sklearn_parity(spark):
     assert r["mean_test_score"][0] == r["mean_test_score"][1]
     assert r["rank_test_score"][0] == r["rank_test_score"][1]
     assert sorted(r["rank_test_score"]) in ([1, 1, 1], [1, 1, 3])
+
+
+def test_grid_search_neg_log_loss(xy_classification):
+    """neg_log_loss routes scoring through predict_proba (reference
+    metrics/scorer.py neg_log_loss entry uses needs_proba semantics)."""
+    gs = GridSearchCV(
+        LogisticRegression(max_iter=20),
+        {"C": [0.1, 1.0]},
+        scoring="neg_log_loss",
+        cv=KFold(n_splits=2, shuffle=True, random_state=0),
+        n_jobs=2,
+    )
+    gs.fit(xy_classification, FEATS20)
+    # log loss is positive, so the scorer is negative; best is the max
+    assert all(s < 0 for s in gs.cv_results_["mean_test_score"])
+    assert gs.best_score_ == gs.cv_results_["mean_test_score"].max()
+    # score() on the refit estimator also routes through predict_proba
+    s = gs.score(xy_classification)
+    assert -10.0 < s < 0.0
+
+
+def test_parallel_post_fit_neg_log_loss_array_proba(xy_classification):
+    """ParallelPostFit + local sklearn-protocol model: predict_proba
+    yields an array<double> column; log_loss consumes p[label]
+    (multiclass form)."""
+    from dask_ml_spark.functions.metrics import log_loss
+    from dask_ml_spark.operators.local_estimators import SGDClassifier
+    from dask_ml_spark.operators.wrappers import ParallelPostFit
+
+    ppf = ParallelPostFit(SGDClassifier(random_state=0), scoring="neg_log_loss")
+    ppf.fit(xy_classification, FEATS20)
+    s = ppf.score(xy_classification)
+    assert -10.0 < s < 0.0
+    # cross-check against the direct metric on the proba frame
+    proba = ppf.predict_proba(xy_classification)
+    direct = log_loss(proba, label_col="label", prob_col="probability")
+    assert abs(-direct - s) < 1e-12
