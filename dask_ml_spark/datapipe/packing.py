@@ -74,7 +74,13 @@ def prefix_sum(df: DataFrame, order_col: str, value_col: str,
         offsets[r["pid"]] = acc
         acc += r["subtotal"]
 
-    out_schema = df.schema.add(out_col, "double")
+    # build a fresh StructType: StructType.add mutates in place, and
+    # df.schema is cached on the DataFrame — add() would corrupt the
+    # caller's view of the input schema
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())])
 
     def local_cumsum(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()

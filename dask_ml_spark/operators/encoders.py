@@ -276,19 +276,33 @@ class OneHotEncoder(BaseEstimator, TransformerMixin):
             arr = F.array(*slots)
             out = df.withColumn(output_col, array_to_vector(arr) if self.sparse_output else arr)
             return out
-        # wide path below: code per column (JVM map lookup) feeding a
-        # SparseVector-assembling UDF (VectorUDT is not Arrow-encodable)
-        idx_cols = []
+        # wide path: per-column JVM code lookup feeding MLlib's
+        # OneHotEncoder + VectorAssembler — sparse vectors built entirely
+        # JVM-side, no Python in the row path. handleInvalid='keep' +
+        # dropLast=True makes the sentinel code (null / ignored-unknown)
+        # an all-zero block, matching the dense path's semantics.
+        from pyspark.ml.feature import OneHotEncoder as MLlibOneHotEncoder
+        from pyspark.ml.feature import VectorAssembler
+
+        sizes = [len(self.categories_[c]) for c in self.columns_]
+        code_names = [f"__ohe_code_{j}" for j in range(len(self.columns_))]
+        vec_names = [f"__ohe_vec_{j}" for j in range(len(self.columns_))]
+        codes = {}
         for j, c in enumerate(self.columns_):
-            mapping = {v: i + int(self.feature_offsets_[j]) for i, v in enumerate(self.categories_[c].tolist())}
-            idx_cols.append(_code_expr(F.col(c), mapping).cast("int"))
-        # wide case: Arrow-batched pandas UDF emitting SparseVectors
-        from pyspark.ml.linalg import SparseVector, VectorUDT
-        from pyspark.sql.functions import udf
-
-        @udf(returnType=VectorUDT())
-        def _sv(*codes):
-            idx = sorted(int(x) for x in codes if x is not None)
-            return SparseVector(n, idx, [1.0] * len(idx))
-
-        return df.withColumn(output_col, _sv(*idx_cols))
+            mapping = {v: i for i, v in enumerate(self.categories_[c].tolist())}
+            codes[code_names[j]] = F.coalesce(
+                _code_expr(F.col(c), mapping).cast("double"),
+                F.lit(float(sizes[j])),
+            )
+        work = df.withColumns(codes)
+        # fit on a synthetic range frame so MLlib learns the category
+        # sizes from the fitted dictionaries — never a data scan
+        fit_df = df.sparkSession.range(max(sizes)).select(
+            *[(F.col("id") % s).cast("double").alias(nm)
+              for s, nm in zip(sizes, code_names)])
+        model = MLlibOneHotEncoder(
+            inputCols=code_names, outputCols=vec_names,
+            handleInvalid="keep", dropLast=True,
+        ).fit(fit_df)
+        assembled = VectorAssembler(inputCols=vec_names, outputCol=output_col)
+        return assembled.transform(model.transform(work)).drop(*code_names, *vec_names)

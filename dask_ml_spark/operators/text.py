@@ -37,7 +37,8 @@ class CountVectorizer(BaseEstimator, TransformerMixin):
 
     def __init__(self, input_col: str = "text", output_col: str = "features",
                  lowercase: bool = True, token_pattern: str = TOKEN_PATTERN,
-                 min_df: int = 1, max_df: float = 1.0, max_features: int | None = None):
+                 min_df: int = 1, max_df: float = 1.0, max_features: int | None = None,
+                 max_vocab_collect: int = 1_000_000):
         self.input_col = input_col
         self.output_col = output_col
         self.lowercase = lowercase
@@ -45,46 +46,73 @@ class CountVectorizer(BaseEstimator, TransformerMixin):
         self.min_df = min_df
         self.max_df = max_df
         self.max_features = max_features
+        self.max_vocab_collect = max_vocab_collect
 
-    def fit(self, df: DataFrame, columns=None) -> "CountVectorizer":
+    def _docfreq_filtered(self, df: DataFrame) -> DataFrame:
+        """(token, df) rows surviving the min_df/max_df bounds —
+        document frequency per token via explode of per-doc distincts."""
         toks = tokenize(F.col(self.input_col), self.lowercase, self.token_pattern)
         n_docs = df.count()
-        # document frequency per token: explode distinct tokens per doc
         docfreq = (
             df.select(F.explode(F.array_distinct(toks)).alias("token"))
             .groupBy("token")
             .agg(F.count("*").alias("df"))
         )
         max_df_count = self.max_df * n_docs if isinstance(self.max_df, float) else self.max_df
-        filtered = docfreq.where((F.col("df") >= self.min_df) & (F.col("df") <= max_df_count))
+        return docfreq.where((F.col("df") >= self.min_df) & (F.col("df") <= max_df_count))
+
+    def _fit_vocabulary_frame(self, filtered: DataFrame) -> "CountVectorizer":
+        """Distributed fitted state: (token, token_id, df) frame with
+        dense sorted-order ids; only n_features_ reaches the driver."""
+        from dask_ml_spark.utils import zip_with_index
+
+        indexed, pinned = zip_with_index(filtered, "token", id_col="token_id")
+        self.vocabulary_frame_ = indexed.persist()
+        self.n_features_ = self.vocabulary_frame_.count()  # also materializes
+        pinned.unpersist()
+        self.vocabulary_ = None
+        return self
+
+    def fit(self, df: DataFrame, columns=None) -> "CountVectorizer":
+        filtered = self._docfreq_filtered(df)
         if self.max_features:
             filtered = filtered.orderBy(F.desc("df"), "token").limit(self.max_features)
+        else:
+            # unbounded vocabulary: keep the dictionary distributed when
+            # it exceeds the driver-collect budget (reference collects
+            # unconditionally, text.py:268-282 — fine for bounded
+            # vocabularies, not for billions of distinct tokens)
+            filtered = filtered.persist()
+            if filtered.count() > self.max_vocab_collect:
+                out = self._fit_vocabulary_frame(filtered)
+                filtered.unpersist()
+                return out
         vocab = sorted(r["token"] for r in filtered.select("token").collect())
+        if self.max_features is None:
+            filtered.unpersist()
         self.vocabulary_ = {t: i for i, t in enumerate(vocab)}
         self.feature_names_out_ = np.asarray(vocab)
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:
-        from pyspark.ml.linalg import SparseVector, VectorUDT
-        from pyspark.sql.functions import udf
+        """Sparse count vectors via MLlib ``CountVectorizerModel.from_vocabulary``
+        — tokenization and vector assembly both JVM-side (no Python in the
+        row path); the vocabulary ships to executors once as model state."""
+        from pyspark.ml.feature import CountVectorizerModel
 
-        vocab = self.vocabulary_
-        n = len(vocab)
-        bc = df.sparkSession.sparkContext.broadcast(vocab)
-
-        @udf(returnType=VectorUDT())
-        def _vec(tokens):
-            v = bc.value
-            counts = {}
-            for t in tokens or []:
-                j = v.get(t)
-                if j is not None:
-                    counts[j] = counts.get(j, 0) + 1
-            idx = sorted(counts)
-            return SparseVector(n, idx, [float(counts[i]) for i in idx])
-
+        if getattr(self, "vocabulary_", None) is None and \
+                getattr(self, "vocabulary_frame_", None) is not None:
+            raise ValueError(
+                "vocabulary was fit distributed (> max_vocab_collect tokens) "
+                "and never reaches the driver; use transform_long() for the "
+                "triplet encoding")
         toks = tokenize(F.col(self.input_col), self.lowercase, self.token_pattern)
-        return df.withColumn(self.output_col, _vec(toks))
+        tmp = "__cv_tokens"
+        model = CountVectorizerModel.from_vocabulary(
+            [str(t) for t in self.feature_names_out_],
+            inputCol=tmp, outputCol=self.output_col,
+        )
+        return model.transform(df.withColumn(tmp, toks)).drop(tmp)
 
     def fit_distributed(self, df: DataFrame) -> "CountVectorizer":
         """Open-vocabulary fit: the dictionary NEVER reaches the driver
@@ -94,25 +122,12 @@ class CountVectorizer(BaseEstimator, TransformerMixin):
         DataFrame (token, token_id, df) with dense ids assigned in
         sorted-token order by a distributed two-phase zip_with_index.
         Use with transform_long; the driver only ever sees
-        ``n_features_`` (one count)."""
-        from dask_ml_spark.utils import zip_with_index
-
-        toks = tokenize(F.col(self.input_col), self.lowercase, self.token_pattern)
-        n_docs = df.count()
-        docfreq = (
-            df.select(F.explode(F.array_distinct(toks)).alias("token"))
-            .groupBy("token")
-            .agg(F.count("*").alias("df"))
-        )
-        max_df_count = self.max_df * n_docs if isinstance(self.max_df, float) else self.max_df
-        filtered = docfreq.where((F.col("df") >= self.min_df) & (F.col("df") <= max_df_count))
+        ``n_features_`` (one count).  ``fit`` routes here automatically
+        when the vocabulary exceeds ``max_vocab_collect``."""
+        filtered = self._docfreq_filtered(df)
         if self.max_features:
             filtered = filtered.orderBy(F.desc("df"), "token").limit(self.max_features)
-        indexed, pinned = zip_with_index(filtered, "token", id_col="token_id")
-        self.vocabulary_frame_ = indexed.persist()
-        self.n_features_ = self.vocabulary_frame_.count()  # also materializes
-        pinned.unpersist()
-        return self
+        return self._fit_vocabulary_frame(filtered)
 
     def transform_long(self, df: DataFrame, id_col: str) -> DataFrame:
         """Long/triplet form (doc_id, token_id, count) — the relational
@@ -157,6 +172,12 @@ class HashingVectorizer(BaseEstimator, TransformerMixin):
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:
+        # MLlib HashingTF is NOT used here: it hashes with murmur3 and has
+        # no signed hashing, which would diverge from the engine-pinned
+        # xxhash64 + sign convention shared with transform_long (the
+        # bench/oracle triplet path). All hashing stays JVM-side below;
+        # the UDF is only the SparseVector constructor (VectorUDT is not
+        # Arrow-encodable, so a pandas UDF cannot return it).
         from pyspark.ml.linalg import SparseVector, VectorUDT
         from pyspark.sql.functions import udf
 
@@ -284,6 +305,9 @@ class FeatureHasher(BaseEstimator, TransformerMixin):
         )
 
     def transform(self, df: DataFrame) -> DataFrame:
+        # same rationale as HashingVectorizer.transform: hashing is all
+        # JVM-side (engine-pinned xxhash64, matching transform_long);
+        # the UDF exists only because VectorUDT is not Arrow-encodable
         from pyspark.ml.linalg import SparseVector, VectorUDT
         from pyspark.sql.functions import udf
 

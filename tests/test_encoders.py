@@ -115,3 +115,30 @@ def test_one_hot_encoder_options(spark):
     enc = OneHotEncoder(sparse_output=False).fit(df, ["x"])
     with pytest.raises(Exception, match="unknown category"):
         enc.transform(unseen).collect()
+
+
+def test_one_hot_encoder_wide_sparse_path(spark):
+    """>1024 output slots takes the MLlib OneHotEncoder+VectorAssembler
+    path: sparse vectors, same layout/semantics as the dense path
+    (known value -> its offset slot, null/ignored-unknown -> zeros)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.operators.encoders import OneHotEncoder
+
+    cats_a = [f"a{i:04d}" for i in range(700)]
+    cats_b = [f"b{i:04d}" for i in range(600)]
+    enc = OneHotEncoder(
+        sparse_output=True, handle_unknown="ignore",
+        categories={"A": cats_a, "B": cats_b},
+    ).fit(None)
+    assert enc.n_features_out_ == 1300
+    df = spark.createDataFrame(
+        [("a0005", "b0000"), ("a0699", "b0599"), ("zzz", None)], ["A", "B"])
+    rows = {(r["A"]): r["onehot"] for r in enc.transform(df).collect()}
+    v = rows["a0005"]
+    assert v.size == 1300 and list(v.indices) == [5, 700] and list(v.values) == [1.0, 1.0]
+    v = rows["a0699"]
+    assert list(v.indices) == [699, 700 + 599]
+    v = rows["zzz"]  # unknown A (ignored) + null B -> all zeros
+    assert len(v.indices) == 0

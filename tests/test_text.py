@@ -145,3 +145,27 @@ def test_count_vectorizer_fit_distributed_matches_fit(documents):
     t2 = t2.sort_values(key).reset_index(drop=True)
     assert t1.equals(t2)
     cv2.vocabulary_frame_.unpersist()
+
+
+def test_count_vectorizer_auto_distributed_above_budget(corpus_df):
+    """fit keeps the vocabulary distributed when it exceeds
+    max_vocab_collect: no driver dictionary, transform_long still
+    works, transform points the user at the triplet path."""
+    cv = CountVectorizer(max_vocab_collect=3).fit(corpus_df)
+    assert cv.vocabulary_ is None
+    assert cv.n_features_ == 9  # same 9-token vocabulary as the driver path
+    vocab_pdf = cv.vocabulary_frame_.toPandas().sort_values("token_id")
+    want = ["and", "document", "first", "is", "one", "second", "the", "third", "this"]
+    assert list(vocab_pdf["token"]) == want
+    long = cv.transform_long(corpus_df, "doc_id").toPandas()
+    tid = int(vocab_pdf[vocab_pdf.token == "document"]["token_id"].iloc[0])
+    assert long[(long.doc_id == 1) & (long.token_id == tid)]["count"].iloc[0] == 2
+    with pytest.raises(ValueError, match="transform_long"):
+        cv.transform(corpus_df)
+    cv.vocabulary_frame_.unpersist()
+
+
+def test_count_vectorizer_small_vocab_stays_on_driver(corpus_df):
+    cv = CountVectorizer().fit(corpus_df)  # default budget: 1M tokens
+    assert cv.vocabulary_ is not None and len(cv.vocabulary_) == 9
+    assert getattr(cv, "vocabulary_frame_", None) is None

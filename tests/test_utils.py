@@ -164,3 +164,32 @@ def test_random_date():
     for _ in range(5):
         d = random_date(start, end)
         assert start <= d < end
+
+
+def test_salted_join_rejects_right_outer(spark):
+    """right/full outer would replicate unmatched right rows once per
+    salt — the join must refuse rather than silently duplicate."""
+    import pytest
+
+    from dask_ml_spark.utils import salted_join
+
+    left = spark.range(10).withColumnRenamed("id", "k")
+    right = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, "k", n_salt=4, how=how)
+    # left join still supported: unmatched left rows survive exactly once
+    out = salted_join(left, right, "k", n_salt=4, how="left")
+    assert out.count() == 10
+
+
+def test_prefix_sum_does_not_mutate_input_schema(spark):
+    from dask_ml_spark.datapipe.packing import prefix_sum
+
+    df = spark.range(100).selectExpr("id AS k", "cast(1 as double) AS v")
+    before = [f.name for f in df.schema.fields]
+    out = prefix_sum(df, "k", "v", out_col="run")
+    after = [f.name for f in df.schema.fields]
+    assert before == after == ["k", "v"]  # input schema untouched
+    pdf = out.orderBy("k").toPandas()
+    assert pdf["run"].tolist() == [float(i) for i in range(100)]  # exclusive cumsum
