@@ -45,12 +45,29 @@ class ParallelPostFit(BaseEstimator):
 
     # fitting happens driver-side on collected data — the reference's
     # semantics exactly (wrappers.py:193-213: "fit is not parallel")
-    def fit(self, df_or_pdf, columns=None, label_col: str = "label", sample_rows: int | None = None):
+    def fit(self, df_or_pdf, columns=None, label_col: str = "label", sample_rows: int | None = None,
+            collect_warn_rows: int = 10_000_000):
         if isinstance(df_or_pdf, DataFrame):
             cols = self._validate_data(df_or_pdf, columns)
             sel = df_or_pdf.select(*cols, label_col)
             if sample_rows:
                 sel = sel.limit(sample_rows)
+            else:
+                # fit is driver-side by contract (reference wrappers.py:
+                # 193-213, "fit is not parallel") — but an unbounded
+                # toPandas on a 100 TB table is a driver OOM, not a fit.
+                # Count first (cheap: count-star over parquet) and warn
+                # loudly; sample_rows= is the explicit cap.
+                n = sel.count()
+                if n > collect_warn_rows:
+                    import warnings
+
+                    warnings.warn(
+                        f"ParallelPostFit.fit is collecting {n:,} rows to the "
+                        f"driver (> {collect_warn_rows:,}); pass sample_rows= "
+                        "to cap the driver-side training set, or use "
+                        "Incremental for out-of-core sequential fitting",
+                        ResourceWarning, stacklevel=2)
             pdf = sel.toPandas()
             X = pdf[cols].to_numpy(dtype="float64")
             y = pdf[label_col].to_numpy()

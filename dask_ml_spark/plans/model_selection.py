@@ -211,8 +211,50 @@ class ParameterSampler:
             yield out
 
 
+def normalize_token(x) -> object:
+    """Deterministic, content-based token for cache keys (the role of
+    dask.base.normalize_token in the reference, _normalize.py:21-42):
+    recursive over containers, content-hashing numpy arrays, and
+    normalizing estimators by type + params + fitted state."""
+    import hashlib
+
+    if isinstance(x, dict):
+        return tuple(sorted((k, normalize_token(v)) for k, v in x.items()))
+    if isinstance(x, (list, tuple)):
+        return tuple(normalize_token(v) for v in x)
+    if isinstance(x, np.ndarray):
+        return ("ndarray", x.shape, x.dtype.str,
+                hashlib.md5(np.ascontiguousarray(x).tobytes()).hexdigest())
+    if isinstance(x, np.random.RandomState):
+        return normalize_token(x.get_state())
+    if hasattr(x, "get_params") and not isinstance(x, type):
+        return normalize_estimator(x)
+    return repr(x)
+
+
+def normalize_estimator(est) -> tuple:
+    """Content hash of an estimator: type name + full (recursive) params
+    + fitted trailing-underscore attributes, so candidates that differ
+    only in nested-estimator state outside the grid still get distinct
+    cache keys (reference model_selection/_normalize.py:21-42, incl. the
+    fitted-attribute handling of dask-ml issue #658)."""
+    base = [type(est).__name__, normalize_token(est.get_params())]
+    exclude = {"cv_results_", "model_history_", "history_", "refit_time_"}
+    for attr in dir(est):
+        if not attr.endswith("_") or attr.startswith("_") or attr in exclude:
+            continue
+        try:
+            val = getattr(est, attr)
+        except Exception:
+            continue
+        if callable(val) and not hasattr(val, "get_params"):
+            continue
+        base.append((attr, normalize_token(val)))
+    return tuple(base)
+
+
 def _param_token(params: dict) -> str:
-    return repr(sorted(params.items()))
+    return repr(normalize_token(params))
 
 
 class GridSearchCV(BaseEstimator):

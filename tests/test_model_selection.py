@@ -231,3 +231,30 @@ def test_parallel_post_fit_neg_log_loss_array_proba(xy_classification):
     proba = ppf.predict_proba(xy_classification)
     direct = log_loss(proba, label_col="label", prob_col="probability")
     assert abs(-direct - s) < 1e-12
+
+
+def test_normalize_estimator_token():
+    """Candidate dedup keys cover type + full params + fitted state
+    (reference _normalize.py:21-42), not just the grid param dict."""
+    from dask_ml_spark.plans.model_selection import (
+        _param_token,
+        normalize_estimator,
+    )
+
+    a = LogisticRegression(C=1.0)
+    b = LogisticRegression(C=0.1)
+    c = LogisticRegression(C=1.0)
+    assert normalize_estimator(a) != normalize_estimator(b)
+    assert normalize_estimator(a) == normalize_estimator(c)
+    # nested estimators inside a param dict are distinguished by content
+    assert _param_token({"est": a}) != _param_token({"est": b})
+    assert _param_token({"est": a}) == _param_token({"est": c})
+    # fitted state changes the token (dask-ml issue #658 semantics)
+    c.coef_ = np.array([1.0, 2.0])
+    c.intercept_ = 0.5
+    assert normalize_estimator(c) != normalize_estimator(a)
+    # numpy arrays token by content, not identity
+    d = LogisticRegression(C=1.0)
+    d.coef_ = np.array([1.0, 2.0])
+    d.intercept_ = 0.5
+    assert normalize_estimator(d) == normalize_estimator(c)
