@@ -66,6 +66,8 @@ HEADLINE = [
     "large_orders",
     "ols_newton_fit",
     "stratified_sample",
+    "contamination_scores",
+    "mixture_sample",
     "group_quality_topk",
     "lsh_ann_topk",
     "repetition_scores",

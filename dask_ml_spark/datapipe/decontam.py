@@ -1,0 +1,74 @@
+"""Benchmark decontamination (beyond-reference).
+
+A training-data pipeline must detect corpus documents that overlap an
+evaluation/benchmark set before training (test-set leakage). The
+standard method is word n-gram overlap: shingle both sides, count how
+many of a document's distinct shingles appear anywhere in the eval
+set, and flag documents whose overlap fraction crosses a threshold.
+
+Scale shape: the eval side is small (benchmark suites are thousands of
+documents), so its distinct-shingle set broadcasts; the corpus side is
+one explode + broadcast-join + per-doc count — a narrow pass over the
+100 TB side with no corpus-vs-corpus self-join anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_ml_spark.datapipe.dedup import shingles_from_tokens, tokens_expr
+
+
+def contamination_scores(docs: DataFrame, eval_docs: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         shingle_n: int = 3) -> DataFrame:
+    """Per-document overlap with the eval set.
+
+    Returns (id_col, n_shingles, n_overlap, contamination) where
+    contamination = |doc shingles ∩ eval shingles| / |doc shingles|
+    (0.0 for docs with no shingles). Distinct shingles on both sides —
+    a repeated n-gram counts once, the standard convention.
+    """
+    doc_sh = (
+        docs.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("shingle"))
+    )
+    eval_sh = (
+        eval_docs.select(tokens_expr(F.col(text_col)).alias("__toks"))
+        .select(F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("shingle"))
+        .distinct()
+    )
+    # doc_sh is scanned twice (sizes + overlap); the eval set broadcasts
+    doc_sh = doc_sh.persist()
+    sizes = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    overlap = (
+        doc_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        sizes.join(overlap, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame,
+                  threshold: float = 0.2, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
+    """Drop corpus documents whose eval-set overlap fraction reaches
+    ``threshold``; anti-join on the flagged id set so the surviving
+    rows keep their full original schema."""
+    flagged = (
+        contamination_scores(docs, eval_docs, text_col, id_col, shingle_n)
+        .where(F.col("contamination") >= threshold)
+        .select(id_col)
+    )
+    return docs.join(flagged, id_col, "left_anti")

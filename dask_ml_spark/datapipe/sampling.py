@@ -45,6 +45,51 @@ def stratified_sample(df: DataFrame, strata_col: str, fractions,
     return df.where(bucket < cut)
 
 
+def mixture_by_token_budget(docs: DataFrame, weights: dict, token_budget: int,
+                            source_col: str = "source", text_col: str = "text",
+                            key_cols="doc_id", n_buckets: int = 10_000,
+                            salt: int = 0, token_count_col: str = "n_tokens") -> DataFrame:
+    """Plan and apply a training-data mixture: targets are TOKEN shares.
+
+    Given relative ``weights`` per source and a total ``token_budget``,
+    derive each source's sampling rate from its ACTUAL token mass (one
+    aggregate pass; only #sources rows reach the driver) and select
+    documents content-deterministically via ``stratified_sample``:
+
+        rate_s = min(1, (w_s / Σw · budget) / tokens_s)
+
+    Over-represented sources are downsampled to their share;
+    under-represented ones cap at keeping everything (upsampling /
+    epoch repetition is a separate scheduling concern). Sources absent
+    from ``weights`` are dropped — the explicit-mixture contract.
+    Returns the sampled docs with a ``token_count_col`` column.
+    """
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+
+    counted = docs.withColumn(token_count_col, F.size(tokens_expr(F.col(text_col))))
+    totals = {
+        r[source_col]: r["tot"]
+        for r in counted.groupBy(source_col)
+        .agg(F.sum(token_count_col).alias("tot")).collect()
+    }
+    import math
+
+    wsum = float(sum(weights.values()))
+    rates = {}
+    for s, tot in totals.items():
+        w = weights.get(s)
+        if w is None:
+            continue
+        target = w / wsum * token_budget
+        # floor-quantize to the bucket grid: never exceeds the budget,
+        # and floor (unlike round-half) has no cross-engine tie hazard,
+        # keeping the selection oracle-reproducible
+        rate = min(1.0, target / max(int(tot), 1))
+        rates[s] = math.floor(rate * n_buckets) / n_buckets
+    return stratified_sample(counted, source_col, rates, key_cols=key_cols,
+                             n_buckets=n_buckets, salt=salt)
+
+
 def topk_per_group(df: DataFrame, group_cols, order_cols, k: int,
                    rank_col: str = "rank") -> DataFrame:
     """Deterministic top-k rows per group (quality selection: "best k

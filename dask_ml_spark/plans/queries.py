@@ -2250,6 +2250,8 @@ def build_catalog():
         "label_encoder_roundtrip": q_label_encoder_roundtrip,
         "part_brand_stats": q_part_brand_stats,
         "curation_pipeline": q_curation_pipeline,
+        "contamination_scores": q_contamination_scores,
+        "mixture_sample": q_mixture_sample,
         # ivf_ann_topk is oracled (fixed quantizer); the rest below are
         # rows-only (iterative / seeded / sketch-based — no SQL equivalent)
         "quantile_transformer_fit_approx": q_quantile_transformer_fit_approx,
@@ -2335,6 +2337,8 @@ def build_catalog():
         "minhash_lsh_pairs": sql_minhash_lsh_pairs(8, 4),
         "simhash": sql_simhash(16),
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "contamination_scores": SQL_CONTAMINATION_SCORES,
+        "mixture_sample": _sql_mixture_sample(),
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE_TOPK,
         "ivf_ann_topk": SQL_IVF_ANN_TOPK,
         "embedding_near_dup": sql_embedding_near_dup(),
@@ -2485,6 +2489,93 @@ def q_stratified_sample(spark, sf_dir):
     return (kept.groupBy("lang")
             .agg(F.count("*").alias("n_kept"),
                  F.sum("doc_id").alias("id_checksum")))
+
+
+def q_contamination_scores(spark, sf_dir):
+    """Benchmark decontamination (datapipe/decontam.py): word-3-gram
+    overlap of each corpus document (doc_id >= 20) against an eval set
+    stand-in (doc_id < 20). The eval shingle set broadcasts; the corpus
+    side is one explode + broadcast-join + per-doc count — no
+    corpus-vs-corpus self-join, the shape that survives 100 TB."""
+    from dask_ml_spark.datapipe.decontam import contamination_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") >= 20)
+    eval_set = docs.where(F.col("doc_id") < 20)
+    return contamination_scores(corpus, eval_set, shingle_n=3)
+
+
+SQL_CONTAMINATION_SCORES = f"""
+WITH toks_t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+    FROM documents
+), sh AS (
+    SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle FROM toks_t
+), eval_sh AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id < 20
+), corpus_sh AS (
+    SELECT doc_id, shingle FROM sh WHERE doc_id >= 20
+), sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM corpus_sh GROUP BY doc_id
+), overlap AS (
+    SELECT c.doc_id, count(*) AS n_overlap
+    FROM corpus_sh c JOIN eval_sh e ON c.shingle = e.shingle
+    GROUP BY c.doc_id
+)
+SELECT s.doc_id, s.n_shingles,
+       CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(o.n_overlap, 0) / s.n_shingles, 6) AS contamination
+FROM sizes s LEFT JOIN overlap o ON s.doc_id = o.doc_id
+"""
+
+
+MIXTURE_WEIGHTS = {f"src{i}": (2.0 if i < 5 else 1.0) for i in range(15)}
+MIXTURE_BUDGET = 5000
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Token-budget mixture planning (datapipe/sampling.py): sources
+    src0-4 weighted 2x, src5-14 1x, src15-19 excluded; per-source
+    sampling rates derived from actual token mass against a 5000-token
+    budget, rows selected by the engine-portable Knuth-hash bucket. The
+    oracle recomputes rates AND the selected row content in SQL."""
+    from dask_ml_spark.datapipe.sampling import mixture_by_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = mixture_by_token_budget(docs, MIXTURE_WEIGHTS, MIXTURE_BUDGET)
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("doc_id").alias("id_checksum"),
+                 F.sum("n_tokens").alias("tok_sum")))
+
+
+def _sql_mixture_sample() -> str:
+    wsum = float(sum(MIXTURE_WEIGHTS.values()))
+    w_case = " ".join(
+        f"WHEN '{s}' THEN {w!r}" for s, w in MIXTURE_WEIGHTS.items())
+    return f"""
+WITH counted AS (
+    SELECT doc_id, source,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS n_tokens,
+           ((((0 + doc_id) % 2147483648) * 2654435761) % 2147483648) % 10000 AS bucket
+    FROM documents
+), tot AS (
+    SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tot FROM counted GROUP BY source
+), cuts AS (
+    SELECT source,
+           CASE WHEN (CASE source {w_case} ELSE NULL END) IS NULL THEN 0
+                ELSE floor(least(1.0,
+                       ((CASE source {w_case} END) / {wsum!r} * {MIXTURE_BUDGET}.0)
+                       / greatest(tot, 1)) * 10000) END AS cut
+    FROM tot
+)
+SELECT c.source, count(*) AS n_kept,
+       CAST(sum(c.doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(c.n_tokens) AS BIGINT) AS tok_sum
+FROM counted c JOIN cuts ON c.source = cuts.source
+WHERE c.bucket < cuts.cut
+GROUP BY c.source
+"""
 
 
 SQL_STRATIFIED_SAMPLE = """

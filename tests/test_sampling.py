@@ -111,3 +111,60 @@ def test_string_key_hash_matches_duckdb(spark, documents):
         FROM docs ORDER BY doc_id
     """).df()
     assert (got["bucket"].to_numpy() == want["bucket"].to_numpy()).all()
+
+
+def test_mixture_by_token_budget(documents):
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+    from dask_ml_spark.datapipe.sampling import mixture_by_token_budget
+
+    weights = {"en": 3.0, "de": 1.0}  # zh/others excluded
+    total_tokens = documents.select(
+        F.sum(F.size(tokens_expr(F.col("text"))))).collect()[0][0]
+    budget = int(total_tokens * 0.3)
+    kept = mixture_by_token_budget(
+        documents, weights, budget, source_col="lang").persist()
+    langs = {r[0] for r in kept.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}  # unlisted sources dropped
+    # sampled token mass never exceeds each source's floor-quantized target
+    per = {r["lang"]: r["tok"] for r in
+           kept.groupBy("lang").agg(F.sum("n_tokens").alias("tok")).collect()}
+    for lang, tok in per.items():
+        target = weights[lang] / sum(weights.values()) * budget
+        src_total = documents.where(F.col("lang") == lang).select(
+            F.sum(F.size(tokens_expr(F.col("text"))))).collect()[0][0]
+        cap = min(float(src_total), target)
+        # hash sampling is approximate row-wise; allow one document of slack
+        assert tok <= cap * 1.5 + 200
+    # deterministic under repartition
+    kept2 = mixture_by_token_budget(
+        documents.repartition(5), weights, budget, source_col="lang")
+    assert ({r[0] for r in kept.select("doc_id").collect()}
+            == {r[0] for r in kept2.select("doc_id").collect()})
+    kept.unpersist()
+
+
+def test_contamination_scores_and_decontaminate(spark):
+    from dask_ml_spark.datapipe.decontam import (
+        contamination_scores,
+        decontaminate,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup
+        (2, "a quick brown fox jumps over a sleeping cat"),   # partial
+        (3, "completely unrelated text about spark engines"), # clean
+    ], ["doc_id", "text"])
+    scores = {r["doc_id"]: r for r in
+              contamination_scores(corpus, eval_docs, shingle_n=3).collect()}
+    assert scores[1]["contamination"] == 1.0
+    assert 0.0 < scores[2]["contamination"] < 1.0
+    assert scores[3]["contamination"] == 0.0
+    assert scores[2]["contamination"] == 0.6  # 3 of 5 shingles shared
+    clean = decontaminate(corpus, eval_docs, threshold=0.7)
+    assert {r["doc_id"] for r in clean.select("doc_id").collect()} == {2, 3}
+    assert clean.columns == corpus.columns  # full schema survives
+    strict = decontaminate(corpus, eval_docs, threshold=0.5)
+    assert {r["doc_id"] for r in strict.select("doc_id").collect()} == {3}
