@@ -2341,6 +2341,7 @@ def build_catalog():
         "mixture_sample": _sql_mixture_sample(),
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE_TOPK,
         "ivf_ann_topk": SQL_IVF_ANN_TOPK,
+        "lsh_ann_topk": SQL_LSH_ANN_TOPK,
         "embedding_near_dup": sql_embedding_near_dup(),
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "language_id": sql_language_id(),
@@ -2461,18 +2462,57 @@ def q_incremental_search_best(spark, sf_dir):
 def q_lsh_ann_topk(spark, sf_dir):
     """Random-hyperplane LSH ANN (datapipe/similarity.py::
     CosineLSHIndex): bucket-collision candidates + exact cosine re-rank.
-    Hyperplanes are seeded numpy draws — not SQL-replicable, so this is
-    a rows-only entry; recall vs brute force is asserted in tests."""
+    The 80 hyperplanes (16 bands x 5 bits) are PINNED to the embeddings
+    of vec_id 100..179 — deterministic projections make the whole index
+    DuckDB-checkable (same fixed-state pattern as ivf_ann_topk); the
+    seeded-gaussian fit() stays the production default, recall-tested
+    vs brute force."""
+    import numpy as np
+
     from dask_ml_spark.datapipe.similarity import CosineLSHIndex
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    lsh = CosineLSHIndex(n_bands=16, bits_per_band=5).fit(emb)
+    lsh = CosineLSHIndex(n_bands=16, bits_per_band=5)
+    planes = (emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 180))
+              .orderBy("vec_id").select("embedding").collect())
+    lsh.hyperplanes_ = np.asarray([list(r[0]) for r in planes], dtype="float64")
     return lsh.search(emb, queries, k=10).select(
         "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
     )
+
+
+SQL_LSH_ANN_TOPK = """
+WITH planes AS (
+    SELECT vec_id - 100 AS p, embedding::DOUBLE[] AS pvec
+    FROM embeddings WHERE vec_id >= 100 AND vec_id < 180
+), bits AS (
+    SELECT e.vec_id, e.embedding, p // 5 AS band,
+           CASE WHEN list_inner_product(e.embedding::DOUBLE[], pl.pvec) > 0
+                THEN 1 << (p % 5) ELSE 0 END AS bit
+    FROM embeddings e CROSS JOIN planes pl
+), buckets AS (
+    SELECT vec_id, any_value(embedding) AS embedding, band,
+           CAST(sum(bit) AS BIGINT) AS bucket
+    FROM bits GROUP BY vec_id, band
+), cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, q.embedding AS qvec,
+           d.vec_id, d.embedding
+    FROM buckets q JOIN buckets d ON q.band = d.band AND q.bucket = d.bucket
+    WHERE q.vec_id < 5 AND d.vec_id != q.vec_id
+), scored AS (
+    SELECT query_id, vec_id,
+           list_cosine_similarity(embedding, qvec) AS score
+    FROM cand
+)
+SELECT query_id, vec_id, rank FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
 
 
 def q_stratified_sample(spark, sf_dir):
