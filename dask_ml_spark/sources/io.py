@@ -19,10 +19,17 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # TIMESTAMP(NANOS) parquet columns (events.ts) are unreadable unless
-    # nanosAsLong is set. The conf is runtime-settable, and the session we
-    # receive may be one we didn't build (external harness), so set it here
-    # rather than relying on session-builder defaults.
+    """Read one testdata table, normalizing nano-precision event-time
+    columns (see normalize_nanos_timestamps).
+
+    Side effect: sets ``spark.sql.legacy.parquet.nanosAsLong=true`` on
+    the session (needed on Spark <=4.0 where TIMESTAMP(NANOS) is
+    otherwise unreadable; ignored by 4.1+). Subsequent TIMESTAMP(NANOS)
+    reads in the same session will type as long on those versions.
+    """
+    # The conf is runtime-settable, and the session we receive may be one
+    # we didn't build (external harness), so set it here rather than
+    # relying on session-builder defaults.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:

@@ -32,8 +32,10 @@ print("VANILLA_OK")
 
 
 def test_load_events_on_vanilla_session():
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
-    env["PYTHONPATH"] = "/root/repo"
+    env["PYTHONPATH"] = repo_root + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
     out = subprocess.run(
         [sys.executable, "-c", VANILLA_SCRIPT, SF_DIR],
         capture_output=True, text=True, timeout=300, env=env,
