@@ -66,6 +66,7 @@ HEADLINE = [
     "large_orders",
     "ols_newton_fit",
     "stratified_sample",
+    "table_profile",
     "contamination_scores",
     "mixture_sample",
     "group_quality_topk",

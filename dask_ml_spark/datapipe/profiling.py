@@ -1,0 +1,70 @@
+"""Table profiling (beyond-reference).
+
+Before a 100 TB corpus feeds training, a pipeline profiles it: per-column
+null fractions, cardinalities, and numeric moments drive schema checks,
+quality gates, and partitioning decisions. The whole profile is ONE wide
+aggregate pass (count/min/max/avg/stddev fuse into a single hash-free
+global aggregate with map-side partials); only the per-column summary —
+#columns rows — reaches the driver.
+
+Cardinality: ``approx_count_distinct`` (HyperLogLog++, mergeable, bounded
+memory) is the default; exact distinct counts expand the aggregate per
+column and shuffle, so they are opt-in for oracle checks and small data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dask_ml_spark.utils import is_numeric_field
+
+PROFILE_SCHEMA = (
+    "column string, n_rows long, n_nulls long, null_frac double, "
+    "n_distinct long, min_num double, max_num double, mean double, "
+    "stddev double, min_str string, max_str string"
+)
+
+
+def profile_table(df: DataFrame, columns=None, approx_distinct: bool = True,
+                  rsd: float = 0.05) -> DataFrame:
+    """Per-column profile: one row per column with
+    (n_rows, n_nulls, null_frac, n_distinct, min/max/mean/stddev for
+    numerics, min/max for strings). Numeric stats are rounded to 6
+    decimals so profiles are engine-comparable."""
+    fields = [f for f in df.schema.fields
+              if columns is None or f.name in set(columns)]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        c, n = F.col(f.name), f.name
+        aggs.append(F.count(c).alias(f"nn_{n}"))
+        if approx_distinct:
+            aggs.append(F.approx_count_distinct(c, rsd).alias(f"nd_{n}"))
+        else:
+            aggs.append(F.count_distinct(c).alias(f"nd_{n}"))
+        if is_numeric_field(f):
+            aggs += [
+                F.round(F.min(c).cast("double"), 6).alias(f"mn_{n}"),
+                F.round(F.max(c).cast("double"), 6).alias(f"mx_{n}"),
+                F.round(F.avg(c), 6).alias(f"av_{n}"),
+                F.round(F.stddev_samp(c), 6).alias(f"sd_{n}"),
+            ]
+        elif isinstance(f.dataType, T.StringType):
+            aggs += [F.min(c).alias(f"ms_{n}"), F.max(c).alias(f"xs_{n}")]
+    row = df.agg(*aggs).collect()[0]
+
+    n_rows = int(row["__n"])
+    out = []
+    for f in fields:
+        n = f.name
+        nn = int(row[f"nn_{n}"])
+        out.append((
+            n, n_rows, n_rows - nn,
+            round((n_rows - nn) / n_rows, 6) if n_rows else 0.0,
+            int(row[f"nd_{n}"]),
+            row.asDict().get(f"mn_{n}"), row.asDict().get(f"mx_{n}"),
+            row.asDict().get(f"av_{n}"), row.asDict().get(f"sd_{n}"),
+            row.asDict().get(f"ms_{n}"), row.asDict().get(f"xs_{n}"),
+        ))
+    return df.sparkSession.createDataFrame(out, PROFILE_SCHEMA)

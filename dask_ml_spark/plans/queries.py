@@ -2252,6 +2252,7 @@ def build_catalog():
         "curation_pipeline": q_curation_pipeline,
         "contamination_scores": q_contamination_scores,
         "mixture_sample": q_mixture_sample,
+        "table_profile": q_table_profile,
         # ivf_ann_topk is oracled (fixed quantizer); the rest below are
         # rows-only (iterative / seeded / sketch-based — no SQL equivalent)
         "quantile_transformer_fit_approx": q_quantile_transformer_fit_approx,
@@ -2339,6 +2340,7 @@ def build_catalog():
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "contamination_scores": SQL_CONTAMINATION_SCORES,
         "mixture_sample": _sql_mixture_sample(),
+        "table_profile": _sql_table_profile(),
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE_TOPK,
         "ivf_ann_topk": SQL_IVF_ANN_TOPK,
         "lsh_ann_topk": SQL_LSH_ANN_TOPK,
@@ -2529,6 +2531,49 @@ def q_stratified_sample(spark, sf_dir):
     return (kept.groupBy("lang")
             .agg(F.count("*").alias("n_kept"),
                  F.sum("doc_id").alias("id_checksum")))
+
+
+PROFILE_NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+PROFILE_STR_COLS = ["l_returnflag", "l_linestatus"]
+
+
+def q_table_profile(spark, sf_dir):
+    """One-pass per-column profiling (datapipe/profiling.py): null
+    fractions, exact cardinalities (exact only for the oracle — the
+    operator defaults to HyperLogLog approx_count_distinct at scale),
+    numeric moments, string min/max. The whole profile is one wide
+    aggregate; #columns rows reach the driver."""
+    from dask_ml_spark.datapipe.profiling import profile_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_table(li, PROFILE_NUM_COLS + PROFILE_STR_COLS,
+                         approx_distinct=False)
+
+
+def _sql_table_profile() -> str:
+    parts = []
+    for c in PROFILE_NUM_COLS:
+        parts.append(f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       round((count(*) - count({c})) / count(*), 6) AS null_frac,
+       count(DISTINCT {c}) AS n_distinct,
+       round(CAST(min({c}) AS DOUBLE), 6) AS min_num,
+       round(CAST(max({c}) AS DOUBLE), 6) AS max_num,
+       round(avg({c}), 6) AS mean, round(stddev_samp({c}), 6) AS stddev,
+       NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+FROM lineitem""")
+    for c in PROFILE_STR_COLS:
+        parts.append(f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       round((count(*) - count({c})) / count(*), 6) AS null_frac,
+       count(DISTINCT {c}) AS n_distinct,
+       NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,
+       NULL::DOUBLE AS mean, NULL::DOUBLE AS stddev,
+       min({c}) AS min_str, max({c}) AS max_str
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
 
 
 def q_contamination_scores(spark, sf_dir):

@@ -383,3 +383,25 @@ def test_bm25_topk_ranks_per_query(spark):
     assert list(qa["doc_id"]) == [1, 2]  # higher tf on shorter-ish doc wins
     qb = out[out.query_id == "qb"].sort_values("rank")
     assert set(qb["doc_id"]) == {2, 3} and len(qb) == 2
+
+
+def test_profile_table(spark):
+    from dask_ml_spark.datapipe.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 4.0, None), (4, 4.0, "b")],
+        ["k", "v", "s"])
+    prof = {r["column"]: r for r in profile_table(df, approx_distinct=False).collect()}
+    assert set(prof) == {"k", "v", "s"}
+    assert prof["k"]["n_rows"] == 4 and prof["k"]["n_nulls"] == 0
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["null_frac"] == 0.25
+    assert prof["v"]["n_distinct"] == 2  # nulls excluded, 4.0 deduped
+    assert prof["v"]["min_num"] == 2.0 and prof["v"]["max_num"] == 4.0
+    assert prof["s"]["min_str"] == "a" and prof["s"]["max_str"] == "b"
+    assert prof["s"]["min_num"] is None  # numeric stats absent for strings
+    # approx path: HLL cardinality within rsd of exact on tiny data
+    approx = {r["column"]: r for r in profile_table(df).collect()}
+    assert approx["k"]["n_distinct"] == 4
+    # column selection restricts the profile
+    only = profile_table(df, ["k"], approx_distinct=False).collect()
+    assert [r["column"] for r in only] == ["k"]
