@@ -66,7 +66,7 @@ HEADLINE = [
     "large_orders",
     "ols_newton_fit",
     "stratified_sample",
-    "table_profile",
+    "table_profile_approx",
     "contamination_scores",
     "mixture_sample",
     "group_quality_topk",

@@ -2255,6 +2255,7 @@ def build_catalog():
         "table_profile": q_table_profile,
         # ivf_ann_topk is oracled (fixed quantizer); the rest below are
         # rows-only (iterative / seeded / sketch-based — no SQL equivalent)
+        "table_profile_approx": q_table_profile_approx,
         "quantile_transformer_fit_approx": q_quantile_transformer_fit_approx,
         "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
         "logistic_regression_eval": q_logistic_regression_eval,
@@ -2548,6 +2549,17 @@ def q_table_profile(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return profile_table(li, PROFILE_NUM_COLS + PROFILE_STR_COLS,
                          approx_distinct=False)
+
+
+def q_table_profile_approx(spark, sf_dir):
+    """The scale path of table profiling: HyperLogLog cardinalities
+    (one fused aggregate, no per-column EXPAND shuffle — the exact
+    variant above exists only as the DuckDB oracle query). HLL counts
+    are engine-specific, so rows-only."""
+    from dask_ml_spark.datapipe.profiling import profile_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_table(li, PROFILE_NUM_COLS + PROFILE_STR_COLS)
 
 
 def _sql_table_profile() -> str:
