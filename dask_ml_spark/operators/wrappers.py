@@ -80,13 +80,17 @@ class ParallelPostFit(BaseEstimator):
     def _apply(self, df: DataFrame, method: str, output_col: str, columns=None) -> DataFrame:
         cols = columns or getattr(self, "feature_columns_", None) or self._validate_data(df, columns)
         self.feature_columns_ = cols
-        model = self.estimator
-        rtype = _infer_type(model, method, len(cols))
+        rtype = _infer_type(self.estimator, method, len(cols))
+        # explicit broadcast, not closure capture: the fitted model then
+        # deserializes ONCE per executor process (Broadcast.value caches)
+        # instead of once per task — the difference between shipping a
+        # 100 MB forest 1x vs 10000x on a large scan
+        bc = df.sparkSession.sparkContext.broadcast(self.estimator)
 
         @F.pandas_udf(rtype)
         def _call(*series: pd.Series) -> pd.Series:
             X = np.column_stack([s.to_numpy(dtype="float64") for s in series])
-            out = np.asarray(getattr(model, method)(X))
+            out = np.asarray(getattr(bc.value, method)(X))
             if out.ndim > 1 and out.shape[1] > 1:
                 return pd.Series(list(out))
             return pd.Series(out.ravel())

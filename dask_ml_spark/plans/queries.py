@@ -1935,10 +1935,13 @@ def q_quantile_transformer_fit(spark, sf_dir):
     qt = QuantileTransformer(n_quantiles=11, approximate=False).fit(
         li, ["l_quantity", "l_extendedprice"]
     )
+    # round 4: linear interpolation between 0.01-grid values at one-decimal
+    # rank fractions yields exact multiples of 1e-3, so the 1e-4 grid is
+    # tie-free while the engines' interpolation arithmetic differs ~1e-11
     rows = [
         {"idx": i,
-         "q_quantity": float(qt.quantiles_[i, 0]),
-         "q_price": float(qt.quantiles_[i, 1])}
+         "q_quantity": round(float(qt.quantiles_[i, 0]), 4),
+         "q_price": round(float(qt.quantiles_[i, 1]), 4)}
         for i in range(qt.quantiles_.shape[0])
     ]
     return spark.createDataFrame(rows)
@@ -1950,7 +1953,8 @@ WITH g AS (
            quantile_cont(l_extendedprice, [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS qp
     FROM lineitem
 )
-SELECT CAST(i - 1 AS BIGINT) AS idx, qq[i] AS q_quantity, qp[i] AS q_price
+SELECT CAST(i - 1 AS BIGINT) AS idx,
+       round(qq[i], 4) AS q_quantity, round(qp[i], 4) AS q_price
 FROM g, generate_series(1, 11) AS t(i)
 """
 
