@@ -586,7 +586,10 @@ def q_gaussian_nb_fit(spark, sf_dir):
             "mean_price": float(nb.theta_[ci][1]),
             "mean_discount": float(nb.theta_[ci][2]),
             "var_quantity": float(nb.var_[ci][0]),
-            "var_price": float(nb.var_[ci][1]),
+            # extendedprice variance is ~4e8: cross-engine drift (~2e-7
+            # abs) sits within 4x of the rounded gate's 1e-6 granularity,
+            # so snap it to 2 decimals on both sides
+            "var_price": round(float(nb.var_[ci][1]), 2),
             "var_discount": float(nb.var_[ci][2]),
         })
     return spark.createDataFrame(rows).select(
@@ -603,7 +606,7 @@ SELECT l_returnflag,
        avg(l_extendedprice) AS mean_price,
        avg(l_discount) AS mean_discount,
        var_pop(l_quantity) AS var_quantity,
-       var_pop(l_extendedprice) AS var_price,
+       round(var_pop(l_extendedprice), 2) AS var_price,
        var_pop(l_discount) AS var_discount
 FROM lineitem
 GROUP BY l_returnflag
