@@ -72,6 +72,7 @@ HEADLINE = [
     "group_quality_topk",
     "lsh_ann_topk",
     "repetition_scores",
+    "unigram_logprob",
     "bm25_scores",
 ]
 

@@ -249,3 +249,36 @@ def bm25_topk(df: DataFrame, queries: dict, k: int = 10,
     w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def unigram_logprob_scores(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", alpha: float = 0.5) -> DataFrame:
+    """Average unigram log-likelihood per token — the light-weight LM
+    fluency filter (the role a KenLM perplexity gate plays in curation
+    pipelines, with the corpus itself as the language model).
+
+    p(t) = (count(t) + alpha) / (N + alpha * V)   (additive smoothing)
+    score = mean over the document's tokens of ln p(t)
+
+    Shape: one corpus token-count aggregate (the "LM"), two scalar
+    broadcast stats (N tokens, V vocabulary), then per-doc explode +
+    join on token + per-doc mean — the same filtered-postings join as
+    TF-IDF/BM25; AQE broadcasts the count table while it fits, shuffle
+    join beyond. Low scores = improbable token sequences (gibberish,
+    boilerplate in the wrong corpus); use as a quality gate.
+    """
+    # persisted: scanned for LM counts, the N/V scalars, and scoring —
+    # released by the caller's session (clearCache) like the other
+    # self-join datapipe ops
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("token")).persist()
+    lm = toks.groupBy("token").agg(F.count("*").alias("c"))
+    n_total, vocab = lm.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")).collect()[0]
+    denom = float(n_total) + alpha * float(vocab)
+    logp = F.log((F.col("c") + F.lit(alpha)) / F.lit(denom))
+    return (
+        toks.join(lm.withColumn("logp", logp).select("token", "logp"), "token")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_tokens"),
+             F.round(F.avg("logp"), 6).alias("avg_logprob"))
+    )

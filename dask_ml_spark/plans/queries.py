@@ -2260,6 +2260,7 @@ def build_catalog():
         "contamination_scores": q_contamination_scores,
         "mixture_sample": q_mixture_sample,
         "table_profile": q_table_profile,
+        "unigram_logprob": q_unigram_logprob,
         # ivf_ann_topk is oracled (fixed quantizer); the rest below are
         # rows-only (iterative / seeded / sketch-based — no SQL equivalent)
         "table_profile_approx": q_table_profile_approx,
@@ -2349,6 +2350,7 @@ def build_catalog():
         "contamination_scores": SQL_CONTAMINATION_SCORES,
         "mixture_sample": _sql_mixture_sample(),
         "table_profile": _sql_table_profile(),
+        "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE_TOPK,
         "ivf_ann_topk": SQL_IVF_ANN_TOPK,
         "lsh_ann_topk": SQL_LSH_ANN_TOPK,
@@ -2539,6 +2541,31 @@ def q_stratified_sample(spark, sf_dir):
     return (kept.groupBy("lang")
             .agg(F.count("*").alias("n_kept"),
                  F.sum("doc_id").alias("id_checksum")))
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram-LM fluency scoring (datapipe/text_stats.py): the corpus
+    is its own language model; score = mean ln p(token) with additive
+    smoothing — the light-weight stand-in for a KenLM perplexity gate."""
+    docs = _t(spark, sf_dir, "documents")
+    return TS.unigram_logprob_scores(docs)
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS token
+    FROM documents
+), lm AS (
+    SELECT token, count(*) AS c FROM toks GROUP BY token
+), stats AS (
+    SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM lm
+), scored AS (
+    SELECT t.doc_id, ln((lm.c + 0.5) / (stats.n + 0.5 * stats.v)) AS logp
+    FROM toks t JOIN lm ON t.token = lm.token CROSS JOIN stats
+)
+SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
 
 
 PROFILE_NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount"]

@@ -405,3 +405,20 @@ def test_profile_table(spark):
     # column selection restricts the profile
     only = profile_table(df, ["k"], approx_distinct=False).collect()
     assert [r["column"] for r in only] == ["k"]
+
+
+def test_unigram_logprob_scores(spark):
+    from dask_ml_spark.datapipe.text_stats import unigram_logprob_scores
+
+    df = spark.createDataFrame([
+        (1, "common common common words here"),
+        (2, "common words"),
+        (3, "zxqv jkwp qqzz"),  # singletons only -> least probable
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_logprob_scores(df).collect()}
+    assert out[1]["n_tokens"] == 5 and out[3]["n_tokens"] == 3
+    # the all-rare doc scores strictly lowest
+    assert out[3]["avg_logprob"] < out[1]["avg_logprob"]
+    assert out[3]["avg_logprob"] < out[2]["avg_logprob"]
+    # scores are log-probabilities: strictly negative
+    assert all(r["avg_logprob"] < 0 for r in out.values())
