@@ -193,3 +193,21 @@ def test_prefix_sum_does_not_mutate_input_schema(spark):
     assert before == after == ["k", "v"]  # input schema untouched
     pdf = out.orderBy("k").toPandas()
     assert pdf["run"].tolist() == [float(i) for i in range(100)]  # exclusive cumsum
+
+
+def test_hash_bucket_engine_portability(spark):
+    """The Knuth bucket expression must equal its plain-Python
+    rendering on arbitrary int64 keys — this arithmetic is the contract
+    every deterministic-sampling oracle (hash_split, stratified/mixture
+    sampling) relies on, so it must never silently overflow or wrap
+    differently in the JVM."""
+    from dask_ml_spark.plans.model_selection import _hash_bucket_expr
+
+    M, P, NB, SALT = 2654435761, 1 << 31, 10_000, 7
+    keys = [0, 1, -1, 2**31 - 1, -2**31, 2**62, -2**62, 123456789012345]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r["k"]: r["b"] for r in df.select(
+        "k", _hash_bucket_expr("k", NB, SALT, df=df).alias("b")).collect()}
+    for k in keys:
+        expect = (((SALT % P + k) % P) * M % P) % NB
+        assert got[k] == expect, (k, got[k], expect)
