@@ -4,24 +4,28 @@ Reference: dask_ml/model_selection/_incremental.py (generic async
 engine + IncrementalSearchCV + InverseDecaySearchCV),
 _successive_halving.py, _hyperband.py.
 
-Spark design (SURVEY §3.3): models are small driver-side Python
-objects implementing partial_fit; the DATA is the distributed thing.
-Training batches are materialized once as cached Arrow partition
-batches (driver-pulled, partition at a time — never the whole set);
-each round trains the surviving models on the next batch and scores
-them against a cached test sample. The `additional_calls` policy
-protocol is preserved verbatim — SuccessiveHalving / Hyperband /
-InverseDecay are policies over the same engine, like the reference
-(_incremental.py:380-445). Speculative priority−1 tasks are dropped
-(latency-only optimization, no Spark analog — SURVEY §3.3).
-
-For models whose partial_fit releases the GIL (numpy-heavy), rounds
-train models concurrently via a thread pool.
+Spark design (SURVEY §3.3): the reference trains candidate models ON
+WORKERS — models are created as futures via `client.submit(_create_model)`
+and every `_partial_fit`/`_score` runs on a worker
+(reference _incremental.py:171-205, 280-364). This engine mirrors that
+distribution model: training batches are materialized once (driver pulls
+a bounded, unbiased sample partition-at-a-time) and broadcast to the
+executors ONCE per fit — the Spark analog of the reference's
+`client.scatter(data)` block placement. Each adaptive round then runs as
+ONE Spark job: a task per surviving model carries (model_id, pickled
+model, batch sequence) to an executor, runs its `partial_fit` calls and
+scoring there against the broadcast test sample, and ships back only the
+pickled model + score. The driver holds nothing but pickled model blobs
+and the policy loop. The `additional_calls` policy protocol is preserved
+verbatim — SuccessiveHalving / Hyperband / InverseDecay are policies over
+the same engine, like the reference (_incremental.py:380-445).
+Speculative priority−1 tasks are dropped (latency-only optimization, no
+Spark analog — SURVEY §3.3).
 """
 
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
+import pickle
 
 import numpy as np
 import pandas as pd
@@ -62,6 +66,30 @@ def _collect_batches(df: DataFrame, feature_cols, label_col, max_rows_per_batch=
         batches.append((pdf[list(feature_cols)].to_numpy(dtype="float64"),
                         pdf[label_col].to_numpy()))
     return batches
+
+
+def _train_task(item, b_batches, b_test, scoring, fit_kwargs, fit_accum):
+    """Executor-side: train one model through its batch sequence for this
+    round, score it, return the updated pickled model (reference runs the
+    same unit of work as a worker future, _incremental.py:171-205).
+
+    Runs inside a Spark task — `b_batches`/`b_test` are broadcast
+    handles, `fit_accum` counts partial_fit calls for observability
+    (and lets tests assert executor-side execution).
+    """
+    ident, blob, batch_ids = item
+    est = pickle.loads(blob)
+    batches = b_batches.value
+    for bi in batch_ids:
+        Xb, yb = batches[bi]
+        est.partial_fit(Xb, yb, **fit_kwargs)
+        fit_accum.add(1)
+    X_test, y_test = b_test.value
+    if scoring is not None and callable(scoring):
+        score = float(scoring(est, X_test, y_test))
+    else:
+        score = float(est.score(X_test, y_test))
+    return ident, pickle.dumps(est), score, len(batch_ids)
 
 
 class BaseIncrementalSearchCV(BaseEstimator):
@@ -136,62 +164,78 @@ class BaseIncrementalSearchCV(BaseEstimator):
         y_test = test_pdf[label_col].to_numpy()
         rng = np.random.RandomState(self.random_state)
 
+        sc = df.sparkSession.sparkContext
+        # data to executors ONCE per fit (reference: client.scatter)
+        b_batches = sc.broadcast(batches)
+        b_test = sc.broadcast((X_test, y_test))
+        fit_accum = sc.accumulator(0)
+        scoring = self.scoring
+
         models = self._create_models()
+        blobs = {i: pickle.dumps(est) for i, (est, _p) in models.items()}
+        params = {i: p for i, (_est, p) in models.items()}
         info = {i: [] for i in models}
         calls = {i: 0 for i in models}
         fit_kwargs = {"classes": np.asarray(classes)} if classes is not None else {}
-
-        def train_one(ident, batch_ids):
-            est, p = models[ident]
-            for bi in batch_ids:
-                Xb, yb = batches[bi]
-                est.partial_fit(Xb, yb, **fit_kwargs)
-                calls[ident] += 1
-            score = self._score(est, X_test, y_test)
-            return ident, score
 
         # round 0: one call each
         instructions = {i: 1 for i in models}
         self.history_ = []
         stopped: set = set()
-        while True:
-            live = {i: n for i, n in instructions.items() if n > 0}
-            if not live:
-                break
-            # draw each model's batch sequence on the driver thread in a
-            # fixed order — results stay seed-deterministic no matter how
-            # the pool schedules the training threads
-            seqs = {
-                i: [int(rng.randint(len(batches))) for _ in range(n)]
-                for i, n in sorted(live.items())
-            }
-            with ThreadPoolExecutor(max_workers=self.n_jobs) as pool:
-                results = list(pool.map(lambda kv: train_one(*kv), seqs.items()))
-            for ident, score in results:
-                rec = {"model_id": ident, "params": models[ident][1],
-                       "partial_fit_calls": calls[ident], "score": score}
-                info[ident].append(rec)
-                self.history_.append(rec)
-            # models the policy dropped stay out; plateaued models stop
-            # training but remain candidates for best
-            info = {i: r for i, r in info.items() if i in instructions}
-            stopped |= {i for i, r in info.items() if self._plateaued(r)}
-            active = {i: r for i, r in info.items() if i not in stopped}
-            if not active:
-                break
-            instructions = self._additional_calls(active)
-            if not instructions or all(v == 0 for v in instructions.values()):
-                break
+        try:
+            while True:
+                live = {i: n for i, n in instructions.items() if n > 0}
+                if not live:
+                    break
+                # draw each model's batch sequence on the driver in a fixed
+                # order — results stay seed-deterministic no matter how Spark
+                # schedules the per-model tasks
+                seqs = {
+                    i: [int(rng.randint(len(batches))) for _ in range(n)]
+                    for i, n in sorted(live.items())
+                }
+                items = [(i, blobs[i], seq) for i, seq in sorted(seqs.items())]
+                # ONE Spark job per adaptive round: a task per surviving
+                # model (reference trains each model as a worker future,
+                # _incremental.py:280-364)
+                results = (
+                    sc.parallelize(items, numSlices=len(items))
+                    .map(lambda it: _train_task(it, b_batches, b_test, scoring,
+                                                fit_kwargs, fit_accum))
+                    .collect()
+                )
+                for ident, blob, score, n_new in results:
+                    blobs[ident] = blob
+                    calls[ident] += n_new
+                    rec = {"model_id": ident, "params": params[ident],
+                           "partial_fit_calls": calls[ident], "score": score}
+                    info[ident].append(rec)
+                    self.history_.append(rec)
+                # models the policy dropped stay out; plateaued models stop
+                # training but remain candidates for best
+                info = {i: r for i, r in info.items() if i in instructions}
+                stopped |= {i for i, r in info.items() if self._plateaued(r)}
+                active = {i: r for i, r in info.items() if i not in stopped}
+                if not active:
+                    break
+                instructions = self._additional_calls(active)
+                if not instructions or all(v == 0 for v in instructions.values()):
+                    break
+        finally:
+            b_batches.unpersist()
+            b_test.unpersist()
 
         best_id = max(info, key=lambda k: info[k][-1]["score"])
         self.best_index_ = best_id
-        self.best_estimator_, self.best_params_ = models[best_id]
+        self.best_estimator_ = pickle.loads(blobs[best_id])
+        self.best_params_ = params[best_id]
         self.best_score_ = info[best_id][-1]["score"]
         self.n_models_ = len(models)
         self.model_history_ = info
         self.cv_results_ = self._make_results(models, calls)
         self.feature_columns_ = cols
         self.multimetric_ = False
+        self.executor_fit_count_ = fit_accum.value
         return self
 
     def _score(self, est, X, y):

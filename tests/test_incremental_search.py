@@ -39,6 +39,18 @@ def test_incremental_search(big_classification):
     assert all(c == 10 for c in s.cv_results_["partial_fit_calls"])
 
 
+def test_fits_run_on_executors(big_classification):
+    """Training happens inside Spark tasks, not driver threads: the
+    engine's accumulator counts every executor-side partial_fit call
+    (reference trains each model as a worker future,
+    _incremental.py:280-364)."""
+    s = IncrementalSearchCV(SGDClassifier(), PARAMS, n_initial_parameters=3,
+                            max_iter=4, random_state=0)
+    s.fit(big_classification, FEATS, classes=[0, 1])
+    assert s.executor_fit_count_ == 3 * 4
+    assert s.executor_fit_count_ == sum(s.cv_results_["partial_fit_calls"])
+
+
 def test_incremental_search_patience(big_classification):
     s = IncrementalSearchCV(SGDClassifier(), PARAMS, n_initial_parameters=5,
                             max_iter=50, patience=2, tol=0.1, random_state=0)
