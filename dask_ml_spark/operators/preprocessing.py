@@ -317,13 +317,23 @@ class PolynomialFeatures(BaseEstimator, TransformerMixin):
 class SimpleImputer(BaseEstimator, TransformerMixin):
     """Fill nulls/NaNs with mean / median / most_frequent / constant
     (reference dask_ml/impute.py:11-90). Fit is one aggregate pass;
-    transform is coalesce()/fillna — pure column expressions."""
+    transform is coalesce()/fillna — pure column expressions.
 
-    def __init__(self, strategy: str = "mean", fill_value=None):
+    The median defaults to `percentile_approx` — the reference's own
+    median is dask's approximate quantile (impute.py:11-90, SURVEY
+    §2.3), and the exact `F.percentile` is a single global aggregate
+    that buffers every value per column, a memory hazard at 100 TB.
+    Pass `exact=True` to opt into the exact median at small scale.
+    """
+
+    def __init__(self, strategy: str = "mean", fill_value=None, exact: bool = False,
+                 accuracy: int = 10_000):
         if strategy not in ("mean", "median", "most_frequent", "constant"):
             raise ValueError(f"Unknown strategy {strategy!r}")
         self.strategy = strategy
         self.fill_value = fill_value
+        self.exact = exact
+        self.accuracy = accuracy
 
     def fit(self, df: DataFrame, columns=None) -> "SimpleImputer":
         if self.strategy == "constant":
@@ -335,7 +345,13 @@ class SimpleImputer(BaseEstimator, TransformerMixin):
         if self.strategy == "mean":
             row = df.agg(*[F.avg(_nn(c)).alias(c) for c in cols]).collect()[0]
         elif self.strategy == "median":
-            row = df.agg(*[F.percentile(_nn(c), F.lit(0.5)).alias(c) for c in cols]).collect()[0]
+            if self.exact:
+                row = df.agg(*[F.percentile(_nn(c), F.lit(0.5)).alias(c) for c in cols]).collect()[0]
+            else:
+                row = df.agg(*[
+                    F.percentile_approx(_nn(c), F.lit(0.5), F.lit(self.accuracy)).alias(c)
+                    for c in cols
+                ]).collect()[0]
         else:  # most_frequent — deterministic mode (ties resolve by value)
             row = df.agg(*[F.mode(F.col(c), True).alias(c) for c in cols]).collect()[0]
         self.columns_ = cols

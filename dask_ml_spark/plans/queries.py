@@ -408,7 +408,9 @@ def q_simple_imputer_fit(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     mean_imp = SimpleImputer(strategy="mean").fit(li, ["l_quantity", "l_discount"])
-    med_imp = SimpleImputer(strategy="median").fit(li, ["l_quantity"])
+    # exact=True: the DuckDB oracle is quantile_cont; the API default is
+    # percentile_approx (matches reference approximate-quantile semantics)
+    med_imp = SimpleImputer(strategy="median", exact=True).fit(li, ["l_quantity"])
     return spark.createDataFrame([{
         "mean_l_quantity": float(mean_imp.statistics_["l_quantity"]),
         "mean_l_discount": float(mean_imp.statistics_["l_discount"]),

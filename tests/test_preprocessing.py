@@ -84,8 +84,12 @@ def test_simple_imputer_mean(spark):
 def test_simple_imputer_median_mode(spark):
     pdf = pd.DataFrame({"a": [1.0, 1.0, 3.0, None, 10.0]})
     df = spark.createDataFrame(pdf)
-    imp = SimpleImputer(strategy="median").fit(df, ["a"])
+    imp = SimpleImputer(strategy="median", exact=True).fit(df, ["a"])
     np.testing.assert_allclose(imp.statistics_["a"], 2.0)
+    # default is percentile_approx (reference approximate-quantile
+    # semantics); returns an actual element near the median
+    imp_approx = SimpleImputer(strategy="median").fit(df, ["a"])
+    assert imp_approx.statistics_["a"] in (1.0, 3.0)
     imp2 = SimpleImputer(strategy="most_frequent").fit(df, ["a"])
     assert imp2.statistics_["a"] == 1.0
 
