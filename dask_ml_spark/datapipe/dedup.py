@@ -249,49 +249,69 @@ def lsh_plane_matrix(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
 
 
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
-                             threshold: float = 0.95, n_lsh_planes: int = 8,
-                             seed: int = 42, exact: bool = False,
-                             dim: int | None = None) -> DataFrame:
+                             threshold: float = 0.95, n_bands: int = 12,
+                             bits_per_band: int = 12, seed: int = 42,
+                             exact: bool = False, dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicates.
 
-    Scale path (default): random-hyperplane LSH code per vector (plane
-    matrix folded into the plan as literals), candidate pairs only
-    within a bucket — the N² cross join never materializes; pairs are
-    then verified with the true cosine. exact=True is the all-pairs
-    baseline for small inputs / recall measurement.
+    Scale path (default): BANDED random-hyperplane LSH, the same
+    (band, bucket) scheme as `CosineLSHIndex` — each of `n_bands` bands
+    hashes a vector to a `bits_per_band`-bit bucket; candidates collide
+    in ≥1 band and are verified with the true cosine. Bucket-size math
+    (Charikar 2002, per-bit collision 1 − θ/π): a random non-dup pair
+    collides in a band with prob 2^-bits_per_band, so expected spurious
+    candidates ≈ N²/2 · n_bands · 2^-bits_per_band — shrinking
+    EXPONENTIALLY with bits_per_band — while a 0.95-cosine pair
+    (per-bit ≈ 0.90) survives ≥1 of the default 12×12 bands with
+    prob ≈ 0.98. A single coarse code (the pre-r4 design, 2^8 buckets
+    total) instead grows candidates as N²/256 at corpus scale.
 
-    Norms are computed ONCE per row before the join (3× cheaper than
-    evaluating full cosine per pair).
+    All n_bands·bits_per_band projections per row are ONE BLAS matmul
+    in an Arrow-batched pandas UDF (shared with CosineLSHIndex); the
+    exact-cosine re-rank of the (small) candidate set stays JVM-side.
+    exact=True is the all-pairs baseline for small inputs / recall
+    measurement. Norms are computed ONCE per row before the join.
     """
     from dask_ml_spark.functions.vector import dot, norm2
 
     base = df.select(id_col, vec_col).withColumn("__norm", norm2(F.col(vec_col)))
     if not exact:
+        from dask_ml_spark.datapipe.similarity import CosineLSHIndex
+
         if dim is None:
             dim = len(df.select(vec_col).first()[0])
-        planes = lsh_plane_matrix(n_lsh_planes, dim, seed)
-        code = F.lit(0).cast("long")
-        for pi, plane in enumerate(planes):
-            dotp = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(v)) for v in plane]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            code = code + F.when(dotp >= 0, F.lit(int(2**pi)).cast("long")).otherwise(F.lit(0).cast("long"))
-        base = base.withColumn("__bucket", code)
-        l, r = base.alias("l"), base.alias("r")
+        idx = CosineLSHIndex(n_bands=n_bands, bits_per_band=bits_per_band,
+                             seed=seed, vec_col=vec_col, id_col=id_col)
+        # shared matrix with the SQL-oracle generator (lsh_plane_matrix
+        # and CosineLSHIndex.fit draw identically for the same seed)
+        idx.hyperplanes_ = lsh_plane_matrix(n_bands * bits_per_band, dim, seed)
+        buckets = idx._buckets_udf()
+        coded = base.select(
+            id_col, vec_col, "__norm",
+            F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
+        )
+        l, r = coded.alias("l"), coded.alias("r")
         pairs = l.join(
             r,
-            (F.col("l.__bucket") == F.col("r.__bucket"))
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
-    else:
-        l, r = base.alias("l"), base.alias("r")
-        pairs = l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        cand = pairs.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{vec_col}").alias("__va"),
+            F.col(f"r.{vec_col}").alias("__vb"),
+            F.col("l.__norm").alias("__na"),
+            F.col("r.__norm").alias("__nb"),
+        ).dropDuplicates(["id_a", "id_b"])  # multi-band collisions → one pair
+        cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+        return (
+            cand.select("id_a", "id_b", cos.alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+        )
+    l, r = base.alias("l"), base.alias("r")
+    pairs = l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
     cos = dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) / (F.col("l.__norm") * F.col("r.__norm"))
     return (
         pairs.select(

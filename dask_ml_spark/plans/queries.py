@@ -1739,33 +1739,44 @@ SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
 
 
 EMB_DIM = 64
-NEAR_DUP_PLANES = 4
+NEAR_DUP_BANDS = 2
+NEAR_DUP_BITS = 4
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """LSH-bucketed near-dup pairs (the scale path — no N² join); the
-    oracle reproduces the same buckets from the same plane literals."""
+    """Banded-LSH near-dup pairs (the scale path — no N² join,
+    candidates = ≥1 band collision); the oracle reproduces the same
+    per-band buckets from the same plane literals."""
     emb = _t(spark, sf_dir, "embeddings")
     out = DD.embedding_near_dup_pairs(
-        emb, threshold=0.9, exact=False, n_lsh_planes=NEAR_DUP_PLANES, seed=42, dim=EMB_DIM
+        emb, threshold=0.9, exact=False, n_bands=NEAR_DUP_BANDS,
+        bits_per_band=NEAR_DUP_BITS, seed=42, dim=EMB_DIM,
     )
     return out.select("id_a", "id_b", "cosine")
 
 
 def sql_embedding_near_dup() -> str:
-    planes = DD.lsh_plane_matrix(NEAR_DUP_PLANES, EMB_DIM, seed=42)
-    terms = []
-    for pi, plane in enumerate(planes):
-        lit = "[" + ", ".join(f"{v!r}" for v in plane.tolist()) + "]"
-        terms.append(f"(CASE WHEN list_dot_product(embedding, {lit}) >= 0 THEN {2**pi} ELSE 0 END)")
-    bucket = " + ".join(terms)
+    # same matrix as the Spark side: plane b*bits+j is bit j of band b
+    planes = DD.lsh_plane_matrix(NEAR_DUP_BANDS * NEAR_DUP_BITS, EMB_DIM, seed=42)
+    band_cols = []
+    for b in range(NEAR_DUP_BANDS):
+        terms = []
+        for j in range(NEAR_DUP_BITS):
+            plane = planes[b * NEAR_DUP_BITS + j]
+            lit = "[" + ", ".join(f"{v!r}" for v in plane.tolist()) + "]"
+            terms.append(f"(CASE WHEN list_dot_product(embedding, {lit}) > 0 THEN {2**j} ELSE 0 END)")
+        band_cols.append(" + ".join(terms) + f" AS bucket_{b}")
+    buckets = ", ".join(band_cols)
+    collide = " OR ".join(
+        f"l.bucket_{b} = r.bucket_{b}" for b in range(NEAR_DUP_BANDS)
+    )
     return f"""
 WITH coded AS (
-    SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    SELECT vec_id, embedding, {buckets} FROM embeddings
 )
 SELECT l.vec_id AS id_a, r.vec_id AS id_b,
        list_cosine_similarity(l.embedding, r.embedding) AS cosine
-FROM coded l JOIN coded r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+FROM coded l JOIN coded r ON ({collide}) AND l.vec_id < r.vec_id
 WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.9
 """
 

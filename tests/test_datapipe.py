@@ -118,6 +118,34 @@ def test_embedding_near_dup(embeddings):
         assert cos >= 0.99
 
 
+def test_near_dup_banding_recall_and_bucket_population(spark):
+    """Banded LSH finds planted duplicates while keeping per-(band,
+    bucket) populations tiny on random data — the property that kills
+    the N²/buckets candidate blowup at corpus scale."""
+    from dask_ml_spark.datapipe.similarity import CosineLSHIndex
+
+    rng = np.random.RandomState(7)
+    n, dim = 2000, 32
+    X = rng.standard_normal((n, dim))
+    X[1000:1010] = X[:10]  # 10 planted exact-dup pairs
+    pdf = pd.DataFrame({
+        "vec_id": range(n),
+        "embedding": [[float(v) for v in row] for row in X],
+    })
+    df = spark.createDataFrame(pdf)
+    pairs = D.embedding_near_dup_pairs(
+        df, threshold=0.999, n_bands=8, bits_per_band=16, dim=dim
+    ).toPandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    assert {(i, 1000 + i) for i in range(10)} <= found
+    # skewed-population check: even with duplicates planted, no single
+    # (band, bucket) cell concentrates the corpus
+    idx = CosineLSHIndex(n_bands=8, bits_per_band=16, seed=42).fit(df)
+    pops = (idx.index(df).groupBy("band", "bucket").count()
+            .agg(F.max("count")).collect()[0][0])
+    assert pops <= 10
+
+
 def test_brute_force_topk(embeddings):
     queries = embeddings.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
