@@ -57,7 +57,9 @@ class KMeans(BaseEstimator, TransformerMixin):
 
     def fit(self, df: DataFrame, columns=None) -> "KMeans":
         cols = self._validate_data(df, columns)
-        if self.algorithm == "lloyd_dataframe":
+        if self.algorithm == "lloyd_dataframe" or isinstance(self.init, (list, tuple, np.ndarray)):
+            # explicit centers → the DataFrame Lloyd loop (MLlib has no
+            # user-supplied-init mode)
             return self._fit_dataframe(df, cols)
         from pyspark.ml.clustering import KMeans as MLlibKMeans
         from pyspark.ml.feature import VectorAssembler
@@ -93,15 +95,24 @@ class KMeans(BaseEstimator, TransformerMixin):
         data = df.select(*cols).persist()
         n = data.count()
         k = self.n_clusters
-        centers = np.asarray(
-            # rand-ordered limit: limit() alone would take the sampled
-            # rows of the FIRST partitions (spatial bias on sorted data)
-            data.sample(fraction=min(1.0, 10.0 * k / max(n, 1)), seed=int(rng.randint(2**31)))
-            .orderBy(F.rand(int(rng.randint(2**31)))).limit(k).collect(),
-            dtype="float64",
-        )
-        if len(centers) < k:
-            centers = np.asarray(data.limit(k).collect(), dtype="float64")
+        if isinstance(self.init, (list, tuple, np.ndarray)):
+            # explicit init centers (the reference accepts an ndarray
+            # init too, k_means.py:143-155) — also what makes this path
+            # seed-free deterministic and therefore SQL-oracle-able
+            centers = np.asarray(self.init, dtype="float64")
+            if centers.shape != (k, len(cols)):
+                raise ValueError(
+                    f"init centers shape {centers.shape} != ({k}, {len(cols)})")
+        else:
+            centers = np.asarray(
+                # rand-ordered limit: limit() alone would take the sampled
+                # rows of the FIRST partitions (spatial bias on sorted data)
+                data.sample(fraction=min(1.0, 10.0 * k / max(n, 1)), seed=int(rng.randint(2**31)))
+                .orderBy(F.rand(int(rng.randint(2**31)))).limit(k).collect(),
+                dtype="float64",
+            )
+            if len(centers) < k:
+                centers = np.asarray(data.limit(k).collect(), dtype="float64")
         for it in range(self.max_iter):
             dists = F.array(*[_sqdist_expr(cols, c) for c in centers])
             assign = (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("__cluster")

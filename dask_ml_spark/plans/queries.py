@@ -2390,26 +2390,103 @@ def build_catalog():
         "label_encoder_roundtrip": SQL_LABEL_ENCODER_ROUNDTRIP,
         "part_brand_stats": SQL_PART_BRAND_STATS,
         "curation_pipeline": sql_curation_pipeline(),
+        "kmeans_cluster_sizes": sql_kmeans_cluster_sizes(),
+        "truncated_svd_variance": SQL_TRUNCATED_SVD_VARIANCE,
+        "blockwise_voting_eval": sql_blockwise_voting_eval(),
     }
     return queries, oracles
 
 
 # --- rows-only queries (iterative algorithms; driver does weaker check) --
 
+# pinned Lloyd setup shared by the Spark query and its SQL oracle:
+# explicit init centers in scaled space + tol=0 → exactly KMEANS_ITERS
+# deterministic iterations (reference k_means.py accepts ndarray init)
+KMEANS_INIT = [[-1.0, -1.0, 0.0], [1.0, 1.0, 0.0], [-1.0, 1.0, 0.0], [1.0, -1.0, 0.0]]
+KMEANS_ITERS = 2
+KMEANS_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
 def q_kmeans_cluster_sizes(spark, sf_dir):
+    """DataFrame-Lloyd k-means with pinned init centers — the reference's
+    own hand-built Lloyd topology (k_means.py:549-619), seed-free and
+    therefore fully SQL-oracle-able: the oracle replays the same
+    KMEANS_ITERS center updates from the same literals."""
     from dask_ml_spark.operators.cluster import KMeans
     from dask_ml_spark.operators.preprocessing import StandardScaler
 
     li = _t(spark, sf_dir, "lineitem")
-    cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    scaled = StandardScaler().fit(li, cols).transform(li)
-    km = KMeans(n_clusters=4, random_state=42, max_iter=10, tol=1e-3, init_max_iter=2).fit(scaled, cols)
+    scaled = StandardScaler().fit(li, KMEANS_COLS).transform(li)
+    km = KMeans(n_clusters=4, init=KMEANS_INIT, max_iter=KMEANS_ITERS,
+                tol=0.0, algorithm="lloyd_dataframe").fit(scaled, KMEANS_COLS)
     return (
         km.predict(scaled)
         .groupBy("prediction")
         .agg(F.count("*").alias("n"))
-        .select(F.col("prediction").alias("cluster"), "n")
+        .select(F.col("prediction").cast("int").alias("cluster"), "n")
     )
+
+
+def sql_kmeans_cluster_sizes() -> str:
+    """Replay the pinned-Lloyd iterations in SQL: per round, a one-row
+    center pivot cross-joined to the scaled rows, first-min CASE
+    assignment (same tie-break as Spark's array_position of array_min),
+    grouped averages with COALESCE to the previous round's center for
+    empty clusters."""
+    k = len(KMEANS_INIT)
+    dims = ["q", "p", "d"]
+
+    def pivot(src: str, name: str) -> str:
+        cells = ", ".join(
+            f"max(CASE WHEN cluster = {c} THEN c{v} END) AS c{v}{c}"
+            for c in range(k) for v in dims
+        )
+        return f"{name} AS (SELECT {cells} FROM {src})"
+
+    def assign(name: str, piv: str) -> str:
+        dist = ", ".join(
+            "(" + " + ".join(f"(s.{v} - {piv}.c{v}{c}) * (s.{v} - {piv}.c{v}{c})" for v in dims)
+            + f") AS d{c}"
+            for c in range(k)
+        )
+        whens = []
+        for c in range(k - 1):
+            cond = " AND ".join(f"d{c} <= d{o}" for o in range(c + 1, k))
+            whens.append(f"WHEN {cond} THEN {c}")
+        case = "CASE " + " ".join(whens) + f" ELSE {k - 1} END"
+        return (f"{name} AS (SELECT {', '.join(dims)}, {case} AS cluster "
+                f"FROM (SELECT s.*, {dist} FROM scaled s CROSS JOIN {piv}))")
+
+    def update(prev_centers: str, assigned: str, gname: str, cname: str) -> str:
+        avgs = ", ".join(f"avg({v}) AS m{v}" for v in dims)
+        coal = ", ".join(f"coalesce(g.m{v}, p.c{v}) AS c{v}" for v in dims)
+        return (f"{gname} AS (SELECT cluster, {avgs} FROM {assigned} GROUP BY cluster), "
+                f"{cname} AS (SELECT p.cluster, {coal} FROM {prev_centers} p "
+                f"LEFT JOIN {gname} g ON p.cluster = g.cluster)")
+
+    init_rows = ", ".join(
+        "(" + ", ".join([str(c)] + [f"{v!r}" for v in KMEANS_INIT[c]]) + ")"
+        for c in range(k)
+    )
+    parts = [
+        "scaled AS (SELECT "
+        + ", ".join(
+            f"({col} - avg({col}) OVER ()) / stddev_pop({col}) OVER () AS {v}"
+            for col, v in zip(KMEANS_COLS, dims)
+        )
+        + " FROM lineitem)",
+        f"c0(cluster, {', '.join('c' + v for v in dims)}) AS (VALUES {init_rows})",
+    ]
+    prev = "c0"
+    for it in range(KMEANS_ITERS):
+        parts.append(pivot(prev, f"pv{it}"))
+        parts.append(assign(f"a{it}", f"pv{it}"))
+        parts.append(update(prev, f"a{it}", f"g{it}", f"c{it + 1}"))
+        prev = f"c{it + 1}"
+    parts.append(pivot(prev, "pvf"))
+    parts.append(assign("af", "pvf"))
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT cluster, count(*) AS n FROM af GROUP BY cluster")
 
 
 def q_logistic_regression_eval(spark, sf_dir):
@@ -2824,18 +2901,52 @@ SELECT query_id, vec_id, rank FROM (
 
 def q_truncated_svd_variance(spark, sf_dir):
     """TruncatedSVD (reference truncated_svd.py:9-246): single-pass
-    Gramian + driver eigh. Eigenvalue magnitudes are deterministic but
-    LAPACK-backed — rows-only check; sklearn parity in tests."""
+    Gramian + driver eigh. Run on TWO (literal-prescaled) features so
+    the 2×2 Gramian eigensystem has a closed form the SQL oracle can
+    evaluate — λ± = (Sxx+Syy)/2 ± sqrt(((Sxx−Syy)/2)² + Sxy²) — turning
+    the previously rows-only check into a full value match."""
     from dask_ml_spark.operators.decomposition import TruncatedSVD
 
-    li = _t(spark, sf_dir, "lineitem")
-    svd = TruncatedSVD(n_components=2).fit(li, LINEITEM_FEATS)
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") / F.lit(50.0)).alias("x"),
+        (F.col("l_extendedprice") / F.lit(100000.0)).alias("y"),
+    )
+    svd = TruncatedSVD(n_components=2).fit(li, ["x", "y"])
     return spark.createDataFrame([{
         "sv0": float(svd.singular_values_[0]),
         "sv1": float(svd.singular_values_[1]),
         "explained_var0": float(svd.explained_variance_[0]),
         "explained_var1": float(svd.explained_variance_[1]),
-    }])
+    }]).select("sv0", "sv1", "explained_var0", "explained_var1")
+
+
+# closed-form 2×2 eigensystem of the uncentered Gramian; explained
+# variance matches the operator: (λ − n·(comp·mean)²) / (n−1), with the
+# eigenvector (Sxy, λ−Sxx) — sign-free because t_mean enters squared
+SQL_TRUNCATED_SVD_VARIANCE = """
+WITH m AS (
+    SELECT count(*)::DOUBLE AS n,
+           sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy,
+           avg(x) AS mx, avg(y) AS my
+    FROM (SELECT l_quantity / 50.0 AS x, l_extendedprice / 100000.0 AS y FROM lineitem)
+),
+e AS (
+    SELECT *,
+           (sxx + syy) / 2 + sqrt(((sxx - syy) / 2) * ((sxx - syy) / 2) + sxy * sxy) AS l0,
+           (sxx + syy) / 2 - sqrt(((sxx - syy) / 2) * ((sxx - syy) / 2) + sxy * sxy) AS l1
+    FROM m
+),
+v AS (
+    SELECT *,
+           (sxy * mx + (l0 - sxx) * my) / sqrt(sxy * sxy + (l0 - sxx) * (l0 - sxx)) AS t0,
+           (sxy * mx + (l1 - sxx) * my) / sqrt(sxy * sxy + (l1 - sxx) * (l1 - sxx)) AS t1
+    FROM e
+)
+SELECT sqrt(l0) AS sv0, sqrt(greatest(l1, 0.0)) AS sv1,
+       (l0 - n * t0 * t0) / (n - 1) AS explained_var0,
+       (l1 - n * t1 * t1) / (n - 1) AS explained_var1
+FROM v
+"""
 
 
 def q_grid_search_best(spark, sf_dir):
@@ -2866,7 +2977,11 @@ def q_grid_search_best(spark, sf_dir):
 def q_blockwise_voting_eval(spark, sf_dir):
     """BlockwiseVotingClassifier (reference _blockwise.py:11-291): one
     sklearn-protocol clone fit per partition, majority-vote predict.
-    Partitioning-dependent — rows-only."""
+    Run on a deterministic single-partition layout so the vote reduces
+    to one CentroidClassifier — whose nearest-class-centroid decision
+    the SQL oracle evaluates in closed form (per-class feature means +
+    first-min distance). Multi-partition voting stays covered by
+    tests/test_models.py (partitioning-dependent, not oracle-able)."""
     from dask_ml_spark.functions.metrics import accuracy_expr
     from dask_ml_spark.operators.ensemble import BlockwiseVotingClassifier
     from dask_ml_spark.operators.local_estimators import CentroidClassifier
@@ -2876,13 +2991,45 @@ def q_blockwise_voting_eval(spark, sf_dir):
         "label", (F.col("l_returnflag") == "R").cast("double")
     )
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    scaled = StandardScaler().fit(li, cols).transform(li).repartition(8)
+    scaled = StandardScaler().fit(li, cols).transform(li).coalesce(1)
     bv = BlockwiseVotingClassifier(CentroidClassifier()).fit(scaled, cols, label_col="label")
     pred = bv.predict(scaled)
     return pred.agg(
         accuracy_expr(F.col("label"), F.col("prediction")).alias("accuracy"),
         F.count("*").alias("n"),
     )
+
+
+def sql_blockwise_voting_eval() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    feats = [f"f{i}" for i in range(len(cols))]
+    scaled = ", ".join(
+        f"({c} - avg({c}) OVER ()) / stddev_pop({c}) OVER () AS {f}"
+        for c, f in zip(cols, feats)
+    )
+    cent = ", ".join(f"avg({f}) AS c{f}" for f in feats)
+    pv = ", ".join(
+        f"max(CASE WHEN label = {lab} THEN c{f} END) AS {tag}{f}"
+        for lab, tag in ((0.0, "a"), (1.0, "b")) for f in feats
+    )
+    d0 = " + ".join(f"(s.{f} - pv.a{f}) * (s.{f} - pv.a{f})" for f in feats)
+    d1 = " + ".join(f"(s.{f} - pv.b{f}) * (s.{f} - pv.b{f})" for f in feats)
+    return f"""
+WITH scaled AS (
+    SELECT {scaled},
+           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label
+    FROM lineitem
+),
+cent AS (SELECT label, {cent} FROM scaled GROUP BY label),
+pv AS (SELECT {pv} FROM cent),
+pred AS (
+    SELECT label, CASE WHEN ({d0}) <= ({d1}) THEN 0.0 ELSE 1.0 END AS prediction
+    FROM scaled s CROSS JOIN pv
+)
+SELECT avg(CASE WHEN prediction = label THEN 1.0 ELSE 0.0 END) AS accuracy,
+       count(*) AS n
+FROM pred
+"""
 
 
 def q_train_test_split_sizes(spark, sf_dir):
