@@ -74,6 +74,11 @@ HEADLINE = [
     "repetition_scores",
     "unigram_logprob",
     "bm25_scores",
+    # model-selection planner coverage (SURVEY §2.6 — the reference's
+    # biggest subsystem): cached-fold grid search + executor-trained
+    # Hyperband, so a planner regression shows up in the bench
+    "grid_search_best",
+    "hyperband_best",
 ]
 
 
