@@ -222,6 +222,39 @@ def test_multimodal_image_stub(documents):
     np.testing.assert_allclose(a, b)
 
 
+def test_multimodal_real_bmp_ppm_decode(spark):
+    """stub=False is a REAL decode for BMP/PPM: pixels round-trip
+    through encode_bmp → Spark mapInPandas → nearest-resize →
+    channel-mean features, matching a pure-numpy oracle."""
+    from dask_ml_spark.datapipe.multimodal import (
+        _decode_any,
+        _resize_nearest,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(3)
+    imgs = {i: rng.randint(0, 256, size=(16, 12, 3), dtype="uint8") for i in range(4)}
+    rows = [
+        {"doc_id": i, "blob": bytearray(encode_bmp(img))} for i, img in imgs.items()
+    ]
+    # one PPM row to cover the second format
+    ppm_img = imgs[0]
+    ppm = b"P6\n# comment\n12 16\n255\n" + ppm_img.transpose(0, 1, 2).tobytes()
+    rows.append({"doc_id": 99, "blob": bytearray(ppm)})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = decode_image_features(df, resize=(4, 4), stub=False).toPandas()
+    assert len(out) == 5
+    for _, r in out.iterrows():
+        src = imgs[r.doc_id] if r.doc_id in imgs else ppm_img
+        want = _resize_nearest(src, 4, 4).mean(axis=2).ravel()
+        np.testing.assert_allclose(np.asarray(r.features), want)
+    # BMP decode itself is exact
+    np.testing.assert_array_equal(_decode_any(encode_bmp(imgs[1])), imgs[1])
+    # compressed formats stay honestly stubbed
+    with pytest.raises(NotImplementedError):
+        _decode_any(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
 def test_multimodal_frame_sample(documents):
     withblob = attach_binary_from_text(documents)
     frames = frame_sample(withblob, n_frames=3).toPandas()
@@ -236,9 +269,12 @@ def test_multimodal_audio_stub(documents):
 
 
 def test_multimodal_real_decode_raises(documents):
+    """stub=False on blobs that aren't BMP/PPM (here: utf-8 text) still
+    raises — decode now happens in the executor task, so the error
+    surfaces at action time wrapped by PySpark."""
     withblob = attach_binary_from_text(documents)
-    with pytest.raises(NotImplementedError):
-        decode_image_features(withblob, stub=False)
+    with pytest.raises(Exception, match="NotImplementedError|only uncompressed BMP"):
+        decode_image_features(withblob, stub=False).collect()
 
 
 def test_io_format_roundtrips(spark, tmp_path):
