@@ -23,14 +23,35 @@ class StreamingIncremental:
     semantics; the model never leaves the driver.
     """
 
-    def __init__(self, estimator, feature_columns, label_col: str = "label"):
+    def __init__(self, estimator, feature_columns, label_col: str = "label",
+                 max_batch_rows: int = 1_000_000):
         self.estimator = estimator
         self.feature_columns = list(feature_columns)
         self.label_col = label_col
+        self.max_batch_rows = max_batch_rows
         self.n_batches_ = 0
+        self.n_capped_batches_ = 0
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        pdf = batch_df.select(*self.feature_columns, self.label_col).toPandas()
+        sel = batch_df.select(*self.feature_columns, self.label_col)
+        # the collect is bounded by the trigger size, but an unbounded
+        # trigger (availableNow over a huge backlog) would pull the whole
+        # source to the driver — cap and warn, mirroring ParallelPostFit's
+        # ResourceWarning threshold (wrappers.py)
+        if self.max_batch_rows is not None:
+            n = sel.count()
+            if n > self.max_batch_rows:
+                import warnings
+
+                warnings.warn(
+                    f"StreamingIncremental micro-batch {batch_id} has {n:,} rows "
+                    f"(> {self.max_batch_rows:,}); training on a random "
+                    f"{self.max_batch_rows:,}-row subsample — use a smaller "
+                    f"trigger (maxFilesPerTrigger / processingTime) to see "
+                    f"every row", ResourceWarning, stacklevel=2)
+                sel = sel.orderBy(F.rand(seed=batch_id)).limit(self.max_batch_rows)
+                self.n_capped_batches_ += 1
+        pdf = sel.toPandas()
         if len(pdf) == 0:
             return
         X = pdf[self.feature_columns].to_numpy(dtype="float64")

@@ -149,6 +149,31 @@ def test_streaming_incremental_fit(spark, tmp_path):
     si.fit_stream(stream, trigger_once=True)
     assert si.n_batches_ >= 1
     assert len(si.estimator.classes_) == 2
+    assert si.n_capped_batches_ == 0
+
+
+def test_streaming_incremental_batch_cap(spark, tmp_path):
+    """An oversized micro-batch is capped to max_batch_rows with a
+    ResourceWarning instead of pulling everything to the driver."""
+    import warnings
+
+    from dask_ml_spark.datasets import make_classification
+    from dask_ml_spark.operators.local_estimators import CentroidClassifier
+    from dask_ml_spark.streaming.incremental import StreamingIncremental
+
+    path = str(tmp_path / "big_stream_src")
+    df = make_classification(500, 4, random_state=0, n_partitions=2, spark=spark)
+    df.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    feats = [f"f{j}" for j in range(4)]
+    si = StreamingIncremental(CentroidClassifier(), feats, max_batch_rows=100)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        si.fit_stream(stream, trigger_once=True)
+    assert si.n_capped_batches_ >= 1
+    assert any(issubclass(w.category, ResourceWarning) for w in caught)
+    # model trained on at most max_batch_rows per batch
+    assert 0 < sum(si.estimator.counts_.values()) <= 100 * si.n_batches_
 
 
 def test_streaming_windowed_features_matches_batch(spark, tmp_path):
