@@ -151,8 +151,13 @@ class BaseIncrementalSearchCV(BaseEstimator):
             models[i] = (est, p)
         return models
 
-    def fit(self, df: DataFrame, columns=None, label_col: str = "label", classes=None):
-        cols = self._validate_data(df, columns)
+    def _prepare_data(self, df: DataFrame, cols, label_col):
+        """Split, pull the bounded batch sample, broadcast to executors.
+        Returns (batches, batches_broadcast, test_broadcast, owns) —
+        Hyperband prepares once and shares across brackets (reference
+        _hyperband.py splits once and feeds every bracket the same
+        data)."""
+        sc = df.sparkSession.sparkContext
         train, test = train_test_split(df, test_size=self.test_size,
                                        random_state=self.random_state)
         batches = _collect_batches(train, cols, label_col)
@@ -162,12 +167,22 @@ class BaseIncrementalSearchCV(BaseEstimator):
         test_pdf = test_sel.toPandas()
         X_test = test_pdf[cols].to_numpy(dtype="float64")
         y_test = test_pdf[label_col].to_numpy()
+        b_batches = sc.broadcast(batches)
+        b_test = sc.broadcast((X_test, y_test))
+        return batches, b_batches, b_test
+
+    def fit(self, df: DataFrame, columns=None, label_col: str = "label", classes=None,
+            _shared_data=None):
+        cols = self._validate_data(df, columns)
+        if _shared_data is not None:
+            batches, b_batches, b_test = _shared_data
+            owns_broadcast = False
+        else:
+            batches, b_batches, b_test = self._prepare_data(df, cols, label_col)
+            owns_broadcast = True
         rng = np.random.RandomState(self.random_state)
 
         sc = df.sparkSession.sparkContext
-        # data to executors ONCE per fit (reference: client.scatter)
-        b_batches = sc.broadcast(batches)
-        b_test = sc.broadcast((X_test, y_test))
         fit_accum = sc.accumulator(0)
         scoring = self.scoring
 
@@ -222,8 +237,9 @@ class BaseIncrementalSearchCV(BaseEstimator):
                 if not instructions or all(v == 0 for v in instructions.values()):
                     break
         finally:
-            b_batches.unpersist()
-            b_test.unpersist()
+            if owns_broadcast:
+                b_batches.unpersist()
+                b_test.unpersist()
 
         best_id = max(info, key=lambda k: info[k][-1]["score"])
         self.best_index_ = best_id
@@ -393,6 +409,16 @@ class HyperbandSearchCV(BaseEstimator):
         self.metadata = {"brackets": [], "n_models": 0, "partial_fit_calls": 0}
         results = []
         self._bracket_searches = []
+        # split + collect + broadcast ONCE; every bracket trains on the
+        # same data (reference _hyperband.py:393-420 passes the same
+        # X/y to all brackets)
+        prep = SuccessiveHalvingSearchCV(
+            self.estimator, self.parameters, test_size=self.test_size,
+            random_state=self.random_state,
+        )
+        cols = prep._validate_data(df, columns)
+        shared = prep._prepare_data(df, cols, label_col)
+        _batches, b_batches, b_test = shared
         for s, n, r in self._brackets():
             sha = SuccessiveHalvingSearchCV(
                 self.estimator, self.parameters,
@@ -402,7 +428,8 @@ class HyperbandSearchCV(BaseEstimator):
                 random_state=None if self.random_state is None else self.random_state + s,
                 scoring=self.scoring, patience=self.patience, tol=self.tol,
             )
-            sha.fit(df, columns=columns, label_col=label_col, classes=classes)
+            sha.fit(df, columns=columns, label_col=label_col, classes=classes,
+                    _shared_data=shared)
             calls = sum(sha.cv_results_["partial_fit_calls"])
             self.metadata["brackets"].append(
                 {"bracket": s, "n_models": sha.n_models_, "partial_fit_calls": calls}
@@ -411,6 +438,8 @@ class HyperbandSearchCV(BaseEstimator):
             self.metadata["partial_fit_calls"] += calls
             results.append(sha)
             self._bracket_searches.append((s, sha))
+        b_batches.unpersist()
+        b_test.unpersist()
         best = max(results, key=lambda s: s.best_score_)
         self.best_estimator_ = best.best_estimator_
         self.best_params_ = best.best_params_
