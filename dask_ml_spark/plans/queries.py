@@ -2393,6 +2393,8 @@ def build_catalog():
         "kmeans_cluster_sizes": sql_kmeans_cluster_sizes(),
         "truncated_svd_variance": SQL_TRUNCATED_SVD_VARIANCE,
         "blockwise_voting_eval": sql_blockwise_voting_eval(),
+        "pca_transform_variance": SQL_PCA_TRANSFORM_VARIANCE,
+        "parallel_post_fit_eval": sql_parallel_post_fit_eval(),
     }
     return queries, oracles
 
@@ -2513,16 +2515,34 @@ def q_logistic_regression_eval(spark, sf_dir):
 
 def q_pca_transform_variance(spark, sf_dir):
     """PCA fit + transform; variance of each projected component should
-    equal the eigenvalues — checks the full loop distributed."""
+    equal the eigenvalues — checks the full loop distributed. Two
+    literal-prescaled features make the covariance eigensystem
+    closed-form, so the oracle verifies the VALUES (the empirical
+    var_samp of each projection must equal the 2×2 covariance
+    eigenvalue the SQL computes directly)."""
     from dask_ml_spark.operators.decomposition import PCA
 
-    li = _t(spark, sf_dir, "lineitem")
-    pca = PCA(n_components=2).fit(li, LINEITEM_FEATS)
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") / F.lit(50.0)).alias("x"),
+        (F.col("l_extendedprice") / F.lit(100000.0)).alias("y"),
+    )
+    pca = PCA(n_components=2).fit(li, ["x", "y"])
     proj = pca.transform(li)
     return proj.agg(
         F.var_samp("pc0").alias("var_pc0"),
         F.var_samp("pc1").alias("var_pc1"),
     )
+
+
+SQL_PCA_TRANSFORM_VARIANCE = """
+WITH m AS (
+    SELECT var_samp(x) AS cxx, var_samp(y) AS cyy, covar_samp(x, y) AS cxy
+    FROM (SELECT l_quantity / 50.0 AS x, l_extendedprice / 100000.0 AS y FROM lineitem)
+)
+SELECT (cxx + cyy) / 2 + sqrt(((cxx - cyy) / 2) * ((cxx - cyy) / 2) + cxy * cxy) AS var_pc0,
+       (cxx + cyy) / 2 - sqrt(((cxx - cyy) / 2) * ((cxx - cyy) / 2) + cxy * cxy) AS var_pc1
+FROM m
+"""
 
 
 def q_hashing_vectorizer_long(spark, sf_dir):
@@ -3317,24 +3337,67 @@ FROM lineitem
 def q_parallel_post_fit_eval(spark, sf_dir):
     """ParallelPostFit (reference wrappers.py:298-401): driver-side fit
     on a sample, broadcast-model Arrow predict over the full table,
-    metric aggregate. Sampled fit — rows-only."""
+    metric aggregate. The fit sample is selected by the engine-portable
+    content hash (same Knuth-bucket arithmetic as stratified_sample)
+    instead of an order-dependent limit(), so the SQL oracle can
+    reproduce the exact training subset and verify the full
+    fit→broadcast→predict→metric loop by value."""
     from dask_ml_spark.functions.metrics import accuracy_expr
     from dask_ml_spark.operators.local_estimators import CentroidClassifier
     from dask_ml_spark.operators.preprocessing import StandardScaler
     from dask_ml_spark.operators.wrappers import ParallelPostFit
+    from dask_ml_spark.plans.model_selection import _hash_bucket_expr
 
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "label", (F.col("l_returnflag") == "R").cast("double")
     )
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     scaled = StandardScaler().fit(li, cols).transform(li)
+    bucket = _hash_bucket_expr(["l_orderkey", "l_linenumber"], 10_000, 0, df=scaled)
+    sample = scaled.where(bucket < F.lit(1000))  # content-chosen ~10%
     ppf = ParallelPostFit(CentroidClassifier())
-    ppf.fit(scaled, cols, label_col="label", sample_rows=5000)
+    ppf.fit(sample, cols, label_col="label")
     pred = ppf.predict(scaled)
     return pred.agg(
         accuracy_expr(F.col("label"), F.col("prediction")).alias("accuracy"),
         F.count("*").alias("n"),
     )
+
+
+def sql_parallel_post_fit_eval() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    feats = [f"f{i}" for i in range(len(cols))]
+    scaled = ", ".join(
+        f"({c} - avg({c}) OVER ()) / stddev_pop({c}) OVER () AS {f}"
+        for c, f in zip(cols, feats)
+    )
+    # same Knuth chain as _hash_bucket_expr over (l_orderkey, l_linenumber)
+    hash_expr = ("(((((((0 + l_orderkey) % 2147483648) * 2654435761) % 2147483648)"
+                 " + l_linenumber) % 2147483648) * 2654435761) % 2147483648 % 10000")
+    cent = ", ".join(f"avg({f}) AS c{f}" for f in feats)
+    pv = ", ".join(
+        f"max(CASE WHEN label = {lab} THEN c{f} END) AS {tag}{f}"
+        for lab, tag in ((0.0, "a"), (1.0, "b")) for f in feats
+    )
+    d0 = " + ".join(f"(s.{f} - pv.a{f}) * (s.{f} - pv.a{f})" for f in feats)
+    d1 = " + ".join(f"(s.{f} - pv.b{f}) * (s.{f} - pv.b{f})" for f in feats)
+    return f"""
+WITH scaled AS (
+    SELECT l_orderkey, l_linenumber, {scaled},
+           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label
+    FROM lineitem
+),
+samp AS (SELECT * FROM scaled WHERE {hash_expr} < 1000),
+cent AS (SELECT label, {cent} FROM samp GROUP BY label),
+pv AS (SELECT {pv} FROM cent),
+pred AS (
+    SELECT label, CASE WHEN ({d0}) <= ({d1}) THEN 0.0 ELSE 1.0 END AS prediction
+    FROM scaled s CROSS JOIN pv
+)
+SELECT avg(CASE WHEN prediction = label THEN 1.0 ELSE 0.0 END) AS accuracy,
+       count(*) AS n
+FROM pred
+"""
 
 
 def q_robust_scaler_transform(spark, sf_dir):
