@@ -281,9 +281,16 @@ class GridSearchCV(BaseEstimator):
         cv = check_cv(self.cv)
         candidates = self._candidates()
         scorer = check_scoring(self.estimator, self.scoring)
+        from dask_ml_spark.utils import ensure_min_partitions
+
+        # spread the cached folds up-front: fold filters preserve the
+        # partitioning, so every downstream (candidate, fold) fit sees a
+        # well-parallelized cached input and skips its own repartition
+        # shuffle (a per-fit 100%-data shuffle otherwise; no-op when the
+        # source already carries enough partitions)
         with_fold = cv.fold_column(df) if isinstance(cv, KFold) else None
         if with_fold is not None:
-            with_fold = with_fold.persist()  # CVCache analog
+            with_fold = ensure_min_partitions(with_fold).persist()  # CVCache analog
             folds = [
                 (with_fold.where(F.col("__fold") != i).drop("__fold"),
                  with_fold.where(F.col("__fold") == i).drop("__fold"))
@@ -292,7 +299,8 @@ class GridSearchCV(BaseEstimator):
         else:
             # CVCache analog for the ShuffleSplit path too — otherwise
             # every (candidate, fold) fit rescans the source
-            folds = [(tr.persist(), te.persist()) for tr, te in cv.split(df)]
+            folds = [(ensure_min_partitions(tr).persist(),
+                      ensure_min_partitions(te).persist()) for tr, te in cv.split(df)]
 
         seen: dict[str, int] = {}  # dedup identical candidates (reference `seen`)
         unique: list[tuple[int, dict]] = []
