@@ -297,18 +297,21 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: 
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
-        cand = pairs.select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"l.{vec_col}").alias("__va"),
-            F.col(f"r.{vec_col}").alias("__vb"),
-            F.col("l.__norm").alias("__na"),
-            F.col("r.__norm").alias("__nb"),
-        ).dropDuplicates(["id_a", "id_b"])  # multi-band collisions → one pair
-        cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+        # cosine + threshold BEFORE the dedup shuffle: a multi-band
+        # collision re-computes the cosine (rare — most pairs collide in
+        # one band), but the exchange then carries only (id_a, id_b,
+        # cosine) for pairs that actually pass the threshold, instead of
+        # every candidate row with both embedding vectors attached
+        cos = (dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+               / (F.col("l.__norm") * F.col("r.__norm")))
         return (
-            cand.select("id_a", "id_b", cos.alias("cosine"))
+            pairs.select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                cos.alias("cosine"),
+            )
             .where(F.col("cosine") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])  # multi-band collisions → one pair
         )
     l, r = base.alias("l"), base.alias("r")
     pairs = l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
