@@ -123,12 +123,17 @@ class Incremental(ParallelPostFit):
     """Sequential partial_fit across partitions (reference
     wrappers.py:419-603, _partial.py:24-157).
 
-    Spark has no ordered stateful scan; the honest design — matching
-    the reference's explicitly sequential semantics — pulls Arrow
-    batches to the driver with toLocalIterator (one partition in
-    flight at a time, data never concentrated) and feeds a driver-held
-    model. Partition order is shuffled per epoch like the reference
-    (random_state shuffles blocks, _partial.py:100-103).
+    The reference's `_partial_fit` chain runs each block's partial_fit
+    as a worker task, handing the model future from block to block —
+    the MODEL travels, the data stays put. Same topology here: one
+    single-partition Spark job per block (`sc.runJob(rdd, fn,
+    partitions=[pid])`), each task unpickling the current model,
+    training on its partition's rows executor-side, and returning only
+    the pickled model. The driver holds nothing but the model blob
+    between jobs; partition data is never collected. Partition order is
+    shuffled per epoch like the reference (random_state shuffles
+    blocks, _partial.py:100-103); the shuffle's map side runs once and
+    its output is reused by every per-partition job.
     """
 
     def __init__(self, estimator=None, scoring=None, shuffle_blocks: bool = True,
@@ -138,44 +143,56 @@ class Incremental(ParallelPostFit):
         self.random_state = random_state
 
     def fit(self, df: DataFrame, columns=None, label_col: str = "label", classes=None, epochs: int = 1):
+        import pickle
+
         cols = self._validate_data(df, columns)
         self.feature_columns_ = cols
         sel = df.select(*cols, label_col)
+        sc = df.sparkSession.sparkContext
         rng = np.random.RandomState(self.random_state)
         fit_kwargs = {}
         if classes is not None:
             fit_kwargs["classes"] = np.asarray(classes)
+        blob = pickle.dumps(self.estimator)
+        all_cols = [*cols, label_col]
+        self.executor_partition_fits_ = 0
         for _ in range(epochs):
             it_df = sel
             if self.shuffle_blocks:
                 # re-key partitions randomly; rows within a partition keep order
                 it_df = sel.repartition(sel.rdd.getNumPartitions(), F.rand(int(rng.randint(2**31))))
-            for pdf in _local_batches(it_df):
-                if len(pdf) == 0:
-                    continue
-                X = pdf[cols].to_numpy(dtype="float64")
-                y = pdf[label_col].to_numpy()
-                self.estimator.partial_fit(X, y, **fit_kwargs)
-                fit_kwargs.pop("classes", None)
+            rdd = it_df.rdd
+            for pid in range(rdd.getNumPartitions()):
+                task = _partition_partial_fit(blob, list(cols), all_cols, label_col,
+                                              fit_kwargs)
+                out = sc.runJob(rdd, task, partitions=[pid])
+                if out:  # empty partition → no model update
+                    blob = out[0]
+                    self.executor_partition_fits_ += 1
+        self.estimator = pickle.loads(blob)
         return self
 
     partial_fit = fit
 
 
-def _local_batches(df: DataFrame, batch_rows: int = 8192):
-    """Stream a DataFrame to the driver in pandas chunks without
-    materializing the whole dataset: toLocalIterator pulls one
-    partition at a time (prefetching the next), rows are re-batched
-    for vectorized partial_fit."""
-    cols = df.columns
-    buf: list = []
-    for row in df.toLocalIterator(prefetchPartitions=True):
-        buf.append(row)
-        if len(buf) >= batch_rows:
-            yield pd.DataFrame(buf, columns=cols)
-            buf = []
-    if buf:
-        yield pd.DataFrame(buf, columns=cols)
+def _partition_partial_fit(blob, cols, all_cols, label_col, fit_kwargs):
+    """Build the executor-side task for one Incremental block: train the
+    pickled model on this partition's rows, return the new pickle (the
+    reference's `_partial_fit` worker function, _partial.py:24-60)."""
+    import pickle
+
+    def _task(it):
+        rows = list(it)
+        if not rows:
+            return []
+        pdf = pd.DataFrame(rows, columns=all_cols)
+        model = pickle.loads(blob)
+        X = pdf[cols].to_numpy(dtype="float64")
+        y = pdf[label_col].to_numpy()
+        model.partial_fit(X, y, **fit_kwargs)
+        return [pickle.dumps(model)]
+
+    return _task
 
 
 class BlockTransformer(BaseEstimator):

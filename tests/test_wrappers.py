@@ -59,6 +59,9 @@ def test_incremental_partial_fit(xy_classification):
     np.testing.assert_allclose(
         inc.estimator.centroids_, local.centroids_, rtol=1e-9
     )
+    # each block trained as its own executor-side job (reference chains
+    # worker futures); the driver never collected partition data
+    assert inc.executor_partition_fits_ >= 2
 
 
 def test_block_transformer(xy_regression):
