@@ -110,6 +110,9 @@ class ParallelPostFit(BaseEstimator):
     def transform(self, df: DataFrame, output_col: str = "transformed", columns=None) -> DataFrame:
         return self._apply(df, "transform", output_col, columns)
 
+    def decision_function(self, df: DataFrame, output_col: str = "decision", columns=None) -> DataFrame:
+        return self._apply(df, "decision_function", output_col, columns)
+
     def score(self, df: DataFrame, label_col: str = "label", columns=None):
         from dask_ml_spark.functions.metrics import check_scoring, score_estimator
 

@@ -276,12 +276,30 @@ class BaseIncrementalSearchCV(BaseEstimator):
         return rows
 
     # -- post-fit API ----------------------------------------------------
-    def predict(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
+    # the best (partial_fit) model is a local estimator; all post-fit
+    # methods run distributed through a broadcast ParallelPostFit
+    # (reference _incremental.py:745-785 exposes the same surface)
+    def _ppf(self):
         from dask_ml_spark.operators.wrappers import ParallelPostFit
 
         ppf = ParallelPostFit(self.best_estimator_)
         ppf.feature_columns_ = self.feature_columns_
-        return ppf.predict(df, output_col)
+        return ppf
+
+    def predict(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
+        return self._ppf().predict(df, output_col)
+
+    def predict_proba(self, df: DataFrame, output_col: str = "probability") -> DataFrame:
+        return self._ppf().predict_proba(df, output_col)
+
+    def predict_log_proba(self, df: DataFrame, output_col: str = "log_probability") -> DataFrame:
+        return self._ppf().predict_log_proba(df, output_col)
+
+    def decision_function(self, df: DataFrame, output_col: str = "decision") -> DataFrame:
+        return self._ppf().decision_function(df, output_col)
+
+    def transform(self, df: DataFrame, output_col: str = "transformed") -> DataFrame:
+        return self._ppf().transform(df, output_col)
 
     def score(self, df: DataFrame, label_col: str = "label") -> float:
         from dask_ml_spark.functions.metrics import accuracy_score
@@ -458,14 +476,11 @@ class HyperbandSearchCV(BaseEstimator):
         }
         return self
 
-    def predict(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
-        from dask_ml_spark.operators.wrappers import ParallelPostFit
-
-        ppf = ParallelPostFit(self.best_estimator_)
-        ppf.feature_columns_ = self.feature_columns_
-        return ppf.predict(df, output_col)
-
-    def score(self, df: DataFrame, label_col: str = "label") -> float:
-        from dask_ml_spark.functions.metrics import accuracy_score
-
-        return accuracy_score(self.predict(df), label_col=label_col)
+    # same distributed post-fit surface as BaseIncrementalSearchCV
+    _ppf = BaseIncrementalSearchCV._ppf
+    predict = BaseIncrementalSearchCV.predict
+    predict_proba = BaseIncrementalSearchCV.predict_proba
+    predict_log_proba = BaseIncrementalSearchCV.predict_log_proba
+    decision_function = BaseIncrementalSearchCV.decision_function
+    transform = BaseIncrementalSearchCV.transform
+    score = BaseIncrementalSearchCV.score

@@ -422,6 +422,23 @@ class GridSearchCV(BaseEstimator):
     def predict(self, df: DataFrame, **kw) -> DataFrame:
         return self.best_estimator_.predict(df, **kw)
 
+    # post-fit passthroughs to the refit best estimator (reference
+    # _search.py:1137-1171 exposes the same surface)
+    def predict_proba(self, df: DataFrame, **kw) -> DataFrame:
+        return self.best_estimator_.predict_proba(df, **kw)
+
+    def predict_log_proba(self, df: DataFrame, **kw) -> DataFrame:
+        return self.best_estimator_.predict_log_proba(df, **kw)
+
+    def decision_function(self, df: DataFrame, **kw) -> DataFrame:
+        return self.best_estimator_.decision_function(df, **kw)
+
+    def transform(self, df: DataFrame, **kw) -> DataFrame:
+        return self.best_estimator_.transform(df, **kw)
+
+    def inverse_transform(self, df: DataFrame, **kw) -> DataFrame:
+        return self.best_estimator_.inverse_transform(df, **kw)
+
     def score(self, df: DataFrame, label_col: str = "label"):
         from dask_ml_spark.functions.metrics import check_scoring, score_estimator
 

@@ -37,6 +37,11 @@ def test_incremental_search(big_classification):
     assert acc > 0.5
     # every model trained to max_iter (no early drop without patience)
     assert all(c == 10 for c in s.cv_results_["partial_fit_calls"])
+    # distributed post-fit surface (reference _incremental.py:745-785)
+    proba = s.predict_proba(big_classification).select("probability").toPandas()
+    assert proba["probability"].map(len).eq(2).all()
+    dec = s.decision_function(big_classification).select("decision").toPandas()
+    assert np.isfinite(dec["decision"].to_numpy(dtype=float)).all()
 
 
 def test_fits_run_on_executors(big_classification):

@@ -77,6 +77,11 @@ def test_grid_search(xy_classification):
     acc = gs.score(xy_classification)
     assert 0.4 < acc <= 1.0
     assert sorted(gs.cv_results_["rank_test_score"])[0] == 1
+    # post-fit passthrough surface (reference _search.py:1137-1171)
+    proba = gs.predict_proba(xy_classification).select("probability").toPandas()
+    assert proba["probability"].between(0.0, 1.0).all()
+    dec = gs.decision_function(xy_classification).select("decision").toPandas()
+    assert len(dec) == len(proba)
 
 
 def test_randomized_search(xy_classification):
