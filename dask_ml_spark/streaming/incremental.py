@@ -18,9 +18,11 @@ from pyspark.sql import functions as F
 class StreamingIncremental:
     """Train a partial_fit estimator from a streaming DataFrame.
 
-    Each micro-batch is collected (bounded by trigger size) and fed to
-    the driver-held model — matching the reference's sequential
-    semantics; the model never leaves the driver.
+    Each micro-batch trains through the same executor-chained
+    per-partition jobs as the batch `Incremental` wrapper (the model
+    travels between executors; partition data is never collected to the
+    driver) — this is literally Incremental over the stream of
+    micro-batches.
     """
 
     def __init__(self, estimator, feature_columns, label_col: str = "label",
@@ -33,11 +35,13 @@ class StreamingIncremental:
         self.n_capped_batches_ = 0
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from dask_ml_spark.operators.wrappers import Incremental
+
         sel = batch_df.select(*self.feature_columns, self.label_col)
-        # the collect is bounded by the trigger size, but an unbounded
-        # trigger (availableNow over a huge backlog) would pull the whole
-        # source to the driver — cap and warn, mirroring ParallelPostFit's
-        # ResourceWarning threshold (wrappers.py)
+        # training is executor-side, but an unbounded trigger
+        # (availableNow over a huge backlog) still makes one micro-batch
+        # an arbitrarily long sequential chain — cap and warn, mirroring
+        # ParallelPostFit's ResourceWarning threshold (wrappers.py)
         if self.max_batch_rows is not None:
             n = sel.count()
             if n > self.max_batch_rows:
@@ -51,12 +55,11 @@ class StreamingIncremental:
                     f"every row", ResourceWarning, stacklevel=2)
                 sel = sel.orderBy(F.rand(seed=batch_id)).limit(self.max_batch_rows)
                 self.n_capped_batches_ += 1
-        pdf = sel.toPandas()
-        if len(pdf) == 0:
+        if sel.isEmpty():
             return
-        X = pdf[self.feature_columns].to_numpy(dtype="float64")
-        y = pdf[self.label_col].to_numpy()
-        self.estimator.partial_fit(X, y)
+        inc = Incremental(self.estimator, shuffle_blocks=False)
+        inc.fit(sel, self.feature_columns, label_col=self.label_col)
+        self.estimator = inc.estimator  # trained copy (pickle round-trip)
         self.n_batches_ += 1
 
     def fit_stream(self, stream_df: DataFrame, trigger_once: bool = True, **trigger_kwargs):
