@@ -2985,6 +2985,9 @@ def q_grid_search_best(spark, sf_dir):
         LogisticRegression(max_iter=10, tol=1e-4),
         {"C": [0.1, 10.0]},
         cv=KFold(n_splits=3, shuffle=True, random_state=7),
+        # all 2x3 (param, fold) fits race concurrently — the reference's
+        # scheduler runs the whole (param, fold) graph at once
+        n_jobs=6,
     )
     gs.fit(scaled, cols, label_col="label")
     return spark.createDataFrame([{
