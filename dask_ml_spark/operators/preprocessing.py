@@ -257,6 +257,41 @@ class QuantileTransformer(BaseEstimator, TransformerMixin):
             df = df.withColumn(c, _qt(F.col(c).cast("double")))
         return df
 
+    def inverse_transform(self, df: DataFrame) -> DataFrame:
+        """Map transformed values back through the inverse empirical CDF
+        (reference data.py:750-763 → sklearn _transform_col inverse):
+        normal output first goes z → Φ(z), then the interp axes swap."""
+        from pyspark.sql.functions import pandas_udf
+
+        refs = self.references_
+        out_dist = self.output_distribution
+        for i, c in enumerate(self.columns_):
+            quants = self.quantiles_[:, i]
+
+            @pandas_udf("double")
+            def _iqt(s, quants=quants):
+                import pandas as pd
+
+                x = s.to_numpy(dtype="float64")
+                if out_dist == "normal":
+                    x = _ndtr(x)
+                return pd.Series(np.interp(x, refs, quants))
+
+            df = df.withColumn(c, _iqt(F.col(c).cast("double")))
+        return df
+
+
+def _ndtr(z: np.ndarray) -> np.ndarray:
+    """Standard-normal CDF Φ(z), scipy-free: Abramowitz-Stegun 7.1.26
+    erf approximation (|abs err| < 1.5e-7), vectorized."""
+    z = np.asarray(z, dtype="float64")
+    x = np.abs(z) / np.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    erf = 1.0 - poly * np.exp(-x * x)
+    return 0.5 * (1.0 + np.sign(z) * erf)
+
 
 class PolynomialFeatures(BaseEstimator, TransformerMixin):
     """Degree-d polynomial feature expansion (reference

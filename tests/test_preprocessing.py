@@ -71,6 +71,23 @@ def test_quantile_transformer_normal(lineitem):
     assert abs(out.mean()) < 0.1 and abs(out.std() - 1.0) < 0.2
 
 
+@pytest.mark.parametrize("dist", ["uniform", "normal"])
+def test_quantile_transformer_inverse_roundtrip(lineitem, dist):
+    """transform → inverse_transform recovers the original values
+    (within interp/CDF-approximation error) for both distributions."""
+    qt = QuantileTransformer(n_quantiles=200, output_distribution=dist,
+                             approximate=False).fit(lineitem, ["l_extendedprice"])
+    orig = lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+    back = (qt.inverse_transform(qt.transform(orig))
+            .toPandas().sort_values(["l_orderkey", "l_linenumber"]))
+    want = orig.toPandas().sort_values(["l_orderkey", "l_linenumber"])
+    lo, hi = want["l_extendedprice"].quantile([0.01, 0.99])
+    inner = want["l_extendedprice"].between(lo, hi).to_numpy()
+    np.testing.assert_allclose(
+        back["l_extendedprice"].to_numpy()[inner],
+        want["l_extendedprice"].to_numpy()[inner], rtol=5e-3)
+
+
 def test_simple_imputer_mean(spark):
     pdf = pd.DataFrame({"a": [1.0, None, 3.0, None], "b": [1.0, 2.0, None, 4.0]})
     df = spark.createDataFrame(pdf)
