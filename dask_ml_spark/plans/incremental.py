@@ -437,7 +437,9 @@ class HyperbandSearchCV(BaseEstimator):
         cols = prep._validate_data(df, columns)
         shared = prep._prepare_data(df, cols, label_col)
         _batches, b_batches, b_test = shared
-        for s, n, r in self._brackets():
+
+        def _run_bracket(bracket):
+            s, n, r = bracket
             sha = SuccessiveHalvingSearchCV(
                 self.estimator, self.parameters,
                 n_initial_parameters=n, n_initial_iter=r,
@@ -448,6 +450,21 @@ class HyperbandSearchCV(BaseEstimator):
             )
             sha.fit(df, columns=columns, label_col=label_col, classes=classes,
                     _shared_data=shared)
+            return s, sha
+
+        # brackets are independent given the shared data — race them from
+        # driver threads so their per-round Spark jobs interleave (the
+        # reference's async engine interleaves all brackets' work the same
+        # way, _hyperband.py:393-420); results are seed-deterministic per
+        # bracket, so thread timing cannot change any output
+        from concurrent.futures import ThreadPoolExecutor
+
+        brackets = self._brackets()
+        with ThreadPoolExecutor(max_workers=len(brackets)) as pool:
+            fitted = list(pool.map(_run_bracket, brackets))
+        b_batches.unpersist()
+        b_test.unpersist()
+        for s, sha in fitted:  # metadata stays in bracket order
             calls = sum(sha.cv_results_["partial_fit_calls"])
             self.metadata["brackets"].append(
                 {"bracket": s, "n_models": sha.n_models_, "partial_fit_calls": calls}
@@ -456,8 +473,6 @@ class HyperbandSearchCV(BaseEstimator):
             self.metadata["partial_fit_calls"] += calls
             results.append(sha)
             self._bracket_searches.append((s, sha))
-        b_batches.unpersist()
-        b_test.unpersist()
         best = max(results, key=lambda s: s.best_score_)
         self.best_estimator_ = best.best_estimator_
         self.best_params_ = best.best_params_
