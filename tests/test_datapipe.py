@@ -248,8 +248,11 @@ def test_multimodal_real_bmp_ppm_decode(spark):
         src = imgs[r.doc_id] if r.doc_id in imgs else ppm_img
         want = _resize_nearest(src, 4, 4).mean(axis=2).ravel()
         np.testing.assert_allclose(np.asarray(r.features), want)
-    # BMP decode itself is exact
+    # BMP decode itself is exact, including stride-padded odd widths
     np.testing.assert_array_equal(_decode_any(encode_bmp(imgs[1])), imgs[1])
+    for w in (1, 2, 3, 5, 7):
+        odd = rng.randint(0, 256, size=(3, w, 3), dtype="uint8")
+        np.testing.assert_array_equal(_decode_any(encode_bmp(odd)), odd)
     # compressed formats stay honestly stubbed
     with pytest.raises(NotImplementedError):
         _decode_any(b"\xff\xd8\xff\xe0 fake jpeg")
