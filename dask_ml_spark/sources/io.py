@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TESTDATA_TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -150,3 +151,32 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink (one object per line — the interchange format
     text-curation pipelines hand to tokenizer/training jobs)."""
     df.write.mode(mode).json(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None,
+                      max_bytes: int | None = None) -> DataFrame:
+    """Raw media ingestion: one row per file with (path, modificationTime,
+    length, content binary) via Spark's binaryFile source — the natural
+    feed for the multimodal decode operators (datapipe/multimodal.py).
+
+    Metadata predicates (length, path) prune at scan time WITHOUT
+    reading file bodies; `max_bytes` applies such a pushed filter so a
+    decode pass can skip oversized blobs for free. At 100 TB keep
+    `spark.sql.files.maxPartitionBytes` at/below executor batch budget —
+    each row holds a whole file in memory.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= F.lit(int(max_bytes)))
+    return df
+
+
+def read_text_lines(spark: SparkSession, path: str,
+                    whole_file: bool = False) -> DataFrame:
+    """Plain-text ingestion: one row per line (`value` string), or one
+    row per file with `wholetext` — the raw-corpus entry point ahead of
+    quality scoring / language ID / dedup."""
+    return spark.read.option("wholetext", whole_file).text(path)

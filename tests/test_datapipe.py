@@ -489,3 +489,26 @@ def test_unigram_logprob_scores(spark):
     assert out[3]["avg_logprob"] < out[2]["avg_logprob"]
     # scores are log-probabilities: strictly negative
     assert all(r["avg_logprob"] < 0 for r in out.values())
+
+
+def test_binary_file_ingestion_to_decode(spark, tmp_path):
+    """binaryFile source → length-pruned scan → real BMP decode: the
+    end-to-end multimodal ingestion path."""
+    from dask_ml_spark.datapipe.multimodal import encode_bmp
+    from dask_ml_spark.sources.io import read_binary_files
+
+    rng = np.random.RandomState(5)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(4):
+        img = rng.randint(0, 256, size=(8, 8, 3), dtype="uint8")
+        (d / f"img_{i}.bmp").write_bytes(encode_bmp(img))
+    (d / "huge.bmp").write_bytes(b"BM" + b"\0" * 10_000)
+
+    files = read_binary_files(spark, str(d), glob="*.bmp", max_bytes=1000)
+    assert files.count() == 4  # oversized blob pruned by metadata filter
+    withid = files.withColumn(
+        "doc_id", F.xxhash64("path")).select("doc_id", F.col("content").alias("blob"))
+    feats = decode_image_features(withid, resize=(4, 4), stub=False).toPandas()
+    assert len(feats) == 4
+    assert feats["features"].map(len).eq(16).all()
