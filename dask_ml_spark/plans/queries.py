@@ -3092,8 +3092,9 @@ def q_spectral_clustering_sizes(spark, sf_dir):
 
 def q_incremental_sgd_eval(spark, sf_dir):
     """Incremental wrapper (reference wrappers.py:419-603): sequential
-    partial_fit over shuffled Arrow partition batches pulled to a
-    driver-held model, then distributed broadcast predict + accuracy."""
+    partial_fit as chained single-partition executor jobs (the model
+    travels between executors, partition data never leaves them), then
+    distributed broadcast predict + accuracy."""
     from dask_ml_spark.functions.metrics import accuracy_expr
     from dask_ml_spark.operators.local_estimators import SGDClassifier
     from dask_ml_spark.operators.preprocessing import StandardScaler
