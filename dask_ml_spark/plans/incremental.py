@@ -38,10 +38,10 @@ from dask_ml_spark.plans.model_selection import ParameterSampler, train_test_spl
 
 def _collect_batches(df: DataFrame, feature_cols, label_col, max_rows_per_batch=50_000,
                      max_total_rows=1_000_000):
-    """Materialize the training partitions to driver-side numpy batches
-    (the reference scatters blocks to workers and moves MODELS to data;
-    with driver-held models the batches come to the driver once and are
-    reused every round).
+    """Materialize the training partitions to numpy batches for the
+    one-time broadcast (the reference scatters blocks to workers and
+    moves MODELS to data; here the bounded sample passes through the
+    driver once, is broadcast once, and executors reuse it every round).
 
     max_total_rows bounds driver memory at scale: adaptive search fits
     small partial_fit models whose sample complexity saturates long

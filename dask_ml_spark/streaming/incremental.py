@@ -3,10 +3,10 @@
 The reference has NO event-time streaming surface (SURVEY §1.2); its
 closest concept is batch-sequential `partial_fit` (Incremental,
 wrappers.py:419-603). This module extends that idea to Structured
-Streaming: a foreachBatch sink feeds each micro-batch to a
-driver-held partial_fit model — the streaming analog of the
-Incremental wrapper — plus windowed feature aggregation with
-watermarks for the events table.
+Streaming: a foreachBatch sink trains each micro-batch through the
+executor-chained Incremental wrapper (the model travels between
+executors; partition data is never collected) — plus windowed feature
+aggregation with watermarks for the events table.
 """
 
 from __future__ import annotations
