@@ -153,8 +153,8 @@ class BaseIncrementalSearchCV(BaseEstimator):
 
     def _prepare_data(self, df: DataFrame, cols, label_col):
         """Split, pull the bounded batch sample, broadcast to executors.
-        Returns (batches, batches_broadcast, test_broadcast, owns) —
-        Hyperband prepares once and shares across brackets (reference
+        Returns (batches, batches_broadcast, test_broadcast) — Hyperband
+        prepares once and shares across brackets (reference
         _hyperband.py splits once and feeds every bracket the same
         data)."""
         sc = df.sparkSession.sparkContext
