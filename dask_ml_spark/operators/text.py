@@ -156,17 +156,43 @@ class CountVectorizer(BaseEstimator, TransformerMixin):
 
 class HashingVectorizer(BaseEstimator, TransformerMixin):
     """Stateless hashing vectorizer (reference text.py:21-68): no fit,
-    no vocabulary, unbounded scale. token → xxhash64 % n_features."""
+    no vocabulary, unbounded scale. token → xxhash64 % n_features.
+
+    ``hash_fn="portable"`` swaps xxhash64 for a 14-hex-digit md5-prefix
+    hash (sign from the 15th hex digit's parity) — slower, but
+    reproducible in any engine with md5 (DuckDB:
+    ``('0x' || substr(md5(t),1,14))::BIGINT``), which is what makes the
+    `hashing_vectorizer_portable` catalog query fully oracle-checkable.
+    """
 
     def __init__(self, input_col: str = "text", output_col: str = "features",
                  n_features: int = 2 ** 20, lowercase: bool = True,
-                 token_pattern: str = TOKEN_PATTERN, alternate_sign: bool = True):
+                 token_pattern: str = TOKEN_PATTERN, alternate_sign: bool = True,
+                 hash_fn: str = "xxhash64"):
+        if hash_fn not in ("xxhash64", "portable"):
+            raise ValueError(f"Unknown hash_fn {hash_fn!r}")
         self.input_col = input_col
         self.output_col = output_col
         self.n_features = n_features
         self.lowercase = lowercase
         self.token_pattern = token_pattern
         self.alternate_sign = alternate_sign
+        self.hash_fn = hash_fn
+
+    def _bucket_expr(self, tok):
+        if self.hash_fn == "portable":
+            h = F.conv(F.substring(F.md5(tok), 1, 14), 16, 10).cast("long")
+            return F.pmod(h, F.lit(self.n_features)).cast("int")
+        return F.pmod(F.xxhash64(tok), F.lit(self.n_features)).cast("int")
+
+    def _sign_expr(self, tok):
+        if not self.alternate_sign:
+            return F.lit(1.0)
+        if self.hash_fn == "portable":
+            bit = F.pmod(F.conv(F.substring(F.md5(tok), 15, 1), 16, 10).cast("long"), F.lit(2))
+        else:
+            bit = F.pmod(F.xxhash64(tok, F.lit(1)), F.lit(2))
+        return F.when(bit == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
     def fit(self, df: DataFrame, columns=None) -> "HashingVectorizer":
         return self
@@ -199,8 +225,8 @@ class HashingVectorizer(BaseEstimator, TransformerMixin):
         pairs = F.transform(
             toks,
             lambda t: F.struct(
-                F.pmod(F.xxhash64(t), F.lit(n)).cast("int").alias("bucket"),
-                F.when(F.pmod(F.xxhash64(t, F.lit(1)), F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("sign"),
+                self._bucket_expr(t).alias("bucket"),
+                self._sign_expr(t).alias("sign"),
             ),
         )
         return df.withColumn(self.output_col, _vec(pairs))
@@ -208,16 +234,11 @@ class HashingVectorizer(BaseEstimator, TransformerMixin):
     def transform_long(self, df: DataFrame, id_col: str) -> DataFrame:
         """Triplet form (id, bucket, value) — no Python at all."""
         toks = tokenize(F.col(self.input_col), self.lowercase, self.token_pattern)
-        sign = (
-            F.when(F.pmod(F.xxhash64(F.col("token"), F.lit(1)), F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-            if self.alternate_sign
-            else F.lit(1.0)
-        )
         return (
             df.select(F.col(id_col), F.explode(toks).alias("token"))
-            .withColumn("bucket", F.pmod(F.xxhash64(F.col("token")), F.lit(self.n_features)).cast("int"))
+            .withColumn("bucket", self._bucket_expr(F.col("token")))
             .groupBy(id_col, "bucket")
-            .agg(F.sum(sign).alias("value"))
+            .agg(F.sum(self._sign_expr(F.col("token"))).alias("value"))
             .where(F.col("value") != 0)
         )
 

@@ -2286,6 +2286,7 @@ def build_catalog():
         "stratified_sample": q_stratified_sample,
         "group_quality_topk": q_group_quality_topk,
         "hashing_vectorizer_long": q_hashing_vectorizer_long,
+        "hashing_vectorizer_portable": q_hashing_vectorizer_portable,
         "incremental_search_best": q_incremental_search_best,
         "truncated_svd_variance": q_truncated_svd_variance,
         "grid_search_best": q_grid_search_best,
@@ -2395,6 +2396,7 @@ def build_catalog():
         "blockwise_voting_eval": sql_blockwise_voting_eval(),
         "pca_transform_variance": SQL_PCA_TRANSFORM_VARIANCE,
         "parallel_post_fit_eval": sql_parallel_post_fit_eval(),
+        "hashing_vectorizer_portable": SQL_HASHING_VECTORIZER_PORTABLE,
     }
     return queries, oracles
 
@@ -2554,6 +2556,34 @@ def q_hashing_vectorizer_long(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     hv = HashingVectorizer(n_features=1024, alternate_sign=False)
     return hv.transform_long(docs, "doc_id")
+
+
+def q_hashing_vectorizer_portable(spark, sf_dir):
+    """Same triplet pipeline with the engine-portable md5-prefix hash
+    (signed), so the full explode → hash → signed-sum → prune path is
+    value-checked against DuckDB — the oracle the xxhash64 default
+    can't have."""
+    from dask_ml_spark.operators.text import HashingVectorizer
+
+    docs = _t(spark, sf_dir, "documents")
+    hv = HashingVectorizer(n_features=256, alternate_sign=True, hash_fn="portable")
+    return hv.transform_long(docs, "doc_id")
+
+
+SQL_HASHING_VECTORIZER_PORTABLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS token
+    FROM documents
+)
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(token), 1, 14)) AS BIGINT) % 256 AS INTEGER) AS bucket,
+       sum(CASE WHEN CAST(('0x' || substr(md5(token), 15, 1)) AS BIGINT) % 2 = 0
+                THEN 1.0 ELSE -1.0 END) AS value
+FROM tok
+GROUP BY doc_id, bucket
+HAVING sum(CASE WHEN CAST(('0x' || substr(md5(token), 15, 1)) AS BIGINT) % 2 = 0
+                THEN 1.0 ELSE -1.0 END) <> 0
+"""
 
 
 def q_incremental_search_best(spark, sf_dir):
