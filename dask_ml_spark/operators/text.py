@@ -291,12 +291,20 @@ class FeatureHasher(BaseEstimator, TransformerMixin):
 
     def __init__(self, n_features: int = 2 ** 20, input_col: str = "features_raw",
                  output_col: str = "features", input_type: str = "dict",
-                 alternate_sign: bool = True):
+                 alternate_sign: bool = True, hash_fn: str = "xxhash64"):
+        if hash_fn not in ("xxhash64", "portable"):
+            raise ValueError(f"Unknown hash_fn {hash_fn!r}")
         self.n_features = n_features
         self.input_col = input_col
         self.output_col = output_col
         self.input_type = input_type
         self.alternate_sign = alternate_sign
+        self.hash_fn = hash_fn
+
+    # same engine-portable option as HashingVectorizer (md5-prefix hash
+    # reproducible in DuckDB) — what the *_portable oracle query uses
+    _bucket_expr = HashingVectorizer._bucket_expr
+    _sign_expr = HashingVectorizer._sign_expr
 
     def fit(self, df: DataFrame, columns=None) -> "FeatureHasher":
         return self
@@ -313,15 +321,10 @@ class FeatureHasher(BaseEstimator, TransformerMixin):
     def transform_long(self, df: DataFrame, id_col: str) -> DataFrame:
         """Triplet form (id, bucket, value) — no Python at all."""
         kv = self._kv(df, id_col)
-        sign = (
-            F.when(F.pmod(F.xxhash64(F.col("key"), F.lit(1)), F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-            if self.alternate_sign
-            else F.lit(1.0)
-        )
         return (
-            kv.withColumn("bucket", F.pmod(F.xxhash64(F.col("key")), F.lit(self.n_features)).cast("int"))
+            kv.withColumn("bucket", self._bucket_expr(F.col("key")))
             .groupBy(id_col, "bucket")
-            .agg(F.sum(F.col("value") * sign).alias("value"))
+            .agg(F.sum(F.col("value") * self._sign_expr(F.col("key"))).alias("value"))
             .where(F.col("value") != 0)
         )
 
@@ -353,9 +356,9 @@ class FeatureHasher(BaseEstimator, TransformerMixin):
         pairs = F.transform(
             entries,
             lambda e: F.struct(
-                F.pmod(F.xxhash64(e["key"]), F.lit(n)).cast("int").alias("bucket"),
+                self._bucket_expr(e["key"]).alias("bucket"),
                 e["value"].cast("double").alias("value"),
-                F.when(F.pmod(F.xxhash64(e["key"], F.lit(1)), F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("sign"),
+                self._sign_expr(e["key"]).alias("sign"),
             ),
         )
         return df.withColumn(self.output_col, _vec(pairs))

@@ -2297,6 +2297,7 @@ def build_catalog():
         "poisson_regression_fit": q_poisson_regression_fit,
         "make_blobs_kmeans": q_make_blobs_kmeans,
         "feature_hasher_long": q_feature_hasher_long,
+        "feature_hasher_portable": q_feature_hasher_portable,
         "hyperband_best": q_hyperband_best,
         "parallel_post_fit_eval": q_parallel_post_fit_eval,
         "pipeline_grid_search": q_pipeline_grid_search,
@@ -2397,6 +2398,7 @@ def build_catalog():
         "pca_transform_variance": SQL_PCA_TRANSFORM_VARIANCE,
         "parallel_post_fit_eval": sql_parallel_post_fit_eval(),
         "hashing_vectorizer_portable": SQL_HASHING_VECTORIZER_PORTABLE,
+        "feature_hasher_portable": SQL_FEATURE_HASHER_PORTABLE,
     }
     return queries, oracles
 
@@ -3194,6 +3196,46 @@ def q_feature_hasher_long(spark, sf_dir):
     )
     fh = FeatureHasher(n_features=4096)
     return fh.transform_long(feats, "row_id")
+
+
+def q_feature_hasher_portable(spark, sf_dir):
+    """Same dict-shaped hashing with the engine-portable md5-prefix
+    hash — the oracle value-checks explode → hash → signed weighted sum
+    → prune against DuckDB."""
+    from dask_ml_spark.operators.text import FeatureHasher
+
+    li = _t(spark, sf_dir, "lineitem")
+    feats = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("row_id"),
+        F.create_map(
+            F.concat(F.lit("rf="), F.col("l_returnflag")), F.lit(1.0),
+            F.concat(F.lit("ls="), F.col("l_linestatus")), F.lit(1.0),
+            F.lit("qty"), F.col("l_quantity").cast("double"),
+        ).alias("features_raw"),
+    )
+    fh = FeatureHasher(n_features=512, hash_fn="portable")
+    return fh.transform_long(feats, "row_id")
+
+
+SQL_FEATURE_HASHER_PORTABLE = """
+WITH kv AS (
+    SELECT l_orderkey * 10 + l_linenumber AS row_id, key, value
+    FROM lineitem,
+         (VALUES (1), (2), (3)) AS t(slot),
+         LATERAL (SELECT CASE slot WHEN 1 THEN 'rf=' || l_returnflag
+                                   WHEN 2 THEN 'ls=' || l_linestatus
+                                   ELSE 'qty' END AS key,
+                         CASE slot WHEN 3 THEN l_quantity ELSE 1.0 END AS value)
+)
+SELECT row_id,
+       CAST(CAST(('0x' || substr(md5(key), 1, 14)) AS BIGINT) % 512 AS INTEGER) AS bucket,
+       sum(value * CASE WHEN CAST(('0x' || substr(md5(key), 15, 1)) AS BIGINT) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END) AS value
+FROM kv
+GROUP BY row_id, bucket
+HAVING sum(value * CASE WHEN CAST(('0x' || substr(md5(key), 15, 1)) AS BIGINT) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END) <> 0
+"""
 
 
 def q_quality_filter(spark, sf_dir):
