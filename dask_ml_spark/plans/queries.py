@@ -2280,6 +2280,7 @@ def build_catalog():
         "quantile_transformer_fit_approx": q_quantile_transformer_fit_approx,
         "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
         "logistic_regression_eval": q_logistic_regression_eval,
+        "logistic_saturated_fit": q_logistic_saturated_fit,
         "pca_transform_variance": q_pca_transform_variance,
         "ivf_ann_topk": q_ivf_ann_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -2399,6 +2400,7 @@ def build_catalog():
         "parallel_post_fit_eval": sql_parallel_post_fit_eval(),
         "hashing_vectorizer_portable": SQL_HASHING_VECTORIZER_PORTABLE,
         "feature_hasher_portable": SQL_FEATURE_HASHER_PORTABLE,
+        "logistic_saturated_fit": SQL_LOGISTIC_SATURATED_FIT,
     }
     return queries, oracles
 
@@ -2493,6 +2495,38 @@ def sql_kmeans_cluster_sizes() -> str:
     parts.append(assign("af", "pvf"))
     return ("WITH " + ",\n".join(parts)
             + "\nSELECT cluster, count(*) AS n FROM af GROUP BY cluster")
+
+
+def q_logistic_saturated_fit(spark, sf_dir):
+    """Unpenalized logistic regression on ONE binary feature — the
+    saturated model whose MLE has a closed form (group log-odds), so
+    the distributed LBFGS solver is value-checked against the true
+    optimum: intercept = logit(P(y|x=0)), coef = logit(P(y|x=1)) −
+    intercept."""
+    from dask_ml_spark.operators.linear_model import LogisticRegression
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") > 25).cast("double").alias("x"),
+        (F.col("l_returnflag") == "R").cast("double").alias("label"),
+    )
+    m = LogisticRegression(penalty="none", max_iter=200, tol=1e-12).fit(li, ["x"])
+    return spark.createDataFrame([{
+        "coef_x": float(m.coef_[0]),
+        "intercept": float(m.intercept_),
+    }]).select("coef_x", "intercept")
+
+
+SQL_LOGISTIC_SATURATED_FIT = """
+WITH g AS (
+    SELECT CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS x,
+           avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS p
+    FROM lineitem
+    GROUP BY 1
+),
+lo AS (SELECT x, ln(p / (1 - p)) AS logit FROM g)
+SELECT (SELECT logit FROM lo WHERE x = 1) - (SELECT logit FROM lo WHERE x = 0) AS coef_x,
+       (SELECT logit FROM lo WHERE x = 0) AS intercept
+"""
 
 
 def q_logistic_regression_eval(spark, sf_dir):
