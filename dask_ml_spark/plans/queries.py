@@ -2296,6 +2296,7 @@ def build_catalog():
         "spectral_clustering_sizes": q_spectral_clustering_sizes,
         "incremental_sgd_eval": q_incremental_sgd_eval,
         "poisson_regression_fit": q_poisson_regression_fit,
+        "poisson_saturated_fit": q_poisson_saturated_fit,
         "make_blobs_kmeans": q_make_blobs_kmeans,
         "feature_hasher_long": q_feature_hasher_long,
         "feature_hasher_portable": q_feature_hasher_portable,
@@ -2401,6 +2402,7 @@ def build_catalog():
         "hashing_vectorizer_portable": SQL_HASHING_VECTORIZER_PORTABLE,
         "feature_hasher_portable": SQL_FEATURE_HASHER_PORTABLE,
         "logistic_saturated_fit": SQL_LOGISTIC_SATURATED_FIT,
+        "poisson_saturated_fit": SQL_POISSON_SATURATED_FIT,
     }
     return queries, oracles
 
@@ -3192,6 +3194,36 @@ def q_poisson_regression_fit(spark, sf_dir):
         "coef_tax": float(pr.coef_[1]),
         "intercept": float(pr.intercept_),
     }])
+
+
+def q_poisson_saturated_fit(spark, sf_dir):
+    """Unpenalized Poisson/log GLM on ONE binary feature — saturated
+    model, closed-form MLE (group means under the log link), so the
+    MLlib IRLS path is value-checked against the true optimum:
+    intercept = ln(mean(y | x=0)), coef = ln(mean(y | x=1)) − intercept."""
+    from dask_ml_spark.operators.linear_model import PoissonRegression
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount") > 0.05).cast("double").alias("x"),
+        F.col("l_quantity").alias("label"),
+    )
+    pr = PoissonRegression(C=float("inf"), max_iter=100, tol=1e-12).fit(
+        li, ["x"], label_col="label")
+    return spark.createDataFrame([{
+        "coef_x": float(pr.coef_[0]),
+        "intercept": float(pr.intercept_),
+    }]).select("coef_x", "intercept")
+
+
+SQL_POISSON_SATURATED_FIT = """
+WITH g AS (
+    SELECT CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS x,
+           avg(l_quantity) AS m
+    FROM lineitem GROUP BY 1
+)
+SELECT ln((SELECT m FROM g WHERE x = 1)) - ln((SELECT m FROM g WHERE x = 0)) AS coef_x,
+       ln((SELECT m FROM g WHERE x = 0)) AS intercept
+"""
 
 
 def q_make_blobs_kmeans(spark, sf_dir):
