@@ -103,6 +103,38 @@ def mean_squared_log_error(df: DataFrame, label_col: str = "label", prediction_c
     return _scalar(df, msle_expr(F.col(label_col), F.col(prediction_col), w))
 
 
+def roc_auc_score(df: DataFrame, label_col: str = "label",
+                  score_col: str = "score") -> float:
+    """Exact distributed ROC-AUC (beyond-reference — dask-ml ships no
+    AUC; quality-classifier gating needs one).
+
+    Rank-sum (Mann-Whitney U) formulation with tie-averaged ranks:
+    AUC = Σ_s pos(s)·(neg_below(s) + ½·neg_at(s)) / (n_pos·n_neg).
+    Shape at scale: one groupBy(score) aggregate (distinct scores, not
+    rows), a distributed two-phase prefix sum over score order
+    (datapipe.packing.prefix_sum — no global single-partition window),
+    and one final scalar aggregate. No sort of the raw rows, no N² pair
+    comparison.
+    """
+    from dask_ml_spark.datapipe.packing import prefix_sum
+
+    g = (
+        df.groupBy(F.col(score_col).cast("double").alias("__s"))
+        .agg(F.count("*").cast("double").alias("__c"),
+             F.sum((F.col(label_col) == 1).cast("double")).alias("__p"))
+        .withColumn("__neg", F.col("__c") - F.col("__p"))
+    )
+    withcum = prefix_sum(g, "__s", "__neg", "__neg_below")
+    row = withcum.agg(
+        F.sum(F.col("__p") * (F.col("__neg_below") + 0.5 * F.col("__neg"))).alias("u"),
+        F.sum("__p").alias("n1"),
+        F.sum("__neg").alias("n0"),
+    ).collect()[0]
+    if not row["n1"] or not row["n0"]:
+        raise ValueError("roc_auc_score needs both classes present")
+    return float(row["u"] / (row["n1"] * row["n0"]))
+
+
 def r2_score(df: DataFrame, label_col: str = "label", prediction_col: str = "prediction") -> float:
     """1 - SS_res/SS_tot in ONE aggregation pass.
 

@@ -11,6 +11,7 @@ from dask_ml_spark.functions.metrics import (  # noqa: F401
     mean_squared_error,
     mean_squared_log_error,
     r2_score,
+    roc_auc_score,
 )
 from dask_ml_spark.operators.pairwise import (  # noqa: F401
     euclidean_distances,

@@ -2297,6 +2297,7 @@ def build_catalog():
         "incremental_sgd_eval": q_incremental_sgd_eval,
         "poisson_regression_fit": q_poisson_regression_fit,
         "poisson_saturated_fit": q_poisson_saturated_fit,
+        "roc_auc_eval": q_roc_auc_eval,
         "make_blobs_kmeans": q_make_blobs_kmeans,
         "feature_hasher_long": q_feature_hasher_long,
         "feature_hasher_portable": q_feature_hasher_portable,
@@ -2403,6 +2404,7 @@ def build_catalog():
         "feature_hasher_portable": SQL_FEATURE_HASHER_PORTABLE,
         "logistic_saturated_fit": SQL_LOGISTIC_SATURATED_FIT,
         "poisson_saturated_fit": SQL_POISSON_SATURATED_FIT,
+        "roc_auc_eval": SQL_ROC_AUC_EVAL,
     }
     return queries, oracles
 
@@ -3194,6 +3196,40 @@ def q_poisson_regression_fit(spark, sf_dir):
         "coef_tax": float(pr.coef_[1]),
         "intercept": float(pr.intercept_),
     }])
+
+
+def q_roc_auc_eval(spark, sf_dir):
+    """Distributed exact ROC-AUC (rank-sum with tie-averaged ranks) of
+    a continuous score against a binary label; the oracle reproduces
+    the same formulation with a SQL window prefix sum."""
+    from dask_ml_spark.functions.metrics import roc_auc_score
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("double").alias("label"),
+        (F.col("l_extendedprice") / (F.lit(1.0) + F.col("l_discount"))).alias("score"),
+    )
+    auc = roc_auc_score(li, "label", "score")
+    return spark.createDataFrame([{"auc": float(auc)}]).select("auc")
+
+
+SQL_ROC_AUC_EVAL = """
+WITH scored AS (
+    SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label,
+           l_extendedprice / (1.0 + l_discount) AS score
+    FROM lineitem
+),
+g AS (
+    SELECT score, count(*)::DOUBLE AS c, sum(label) AS p
+    FROM scored GROUP BY score
+),
+w AS (
+    SELECT p, c - p AS neg,
+           COALESCE(sum(c - p) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+    FROM g
+)
+SELECT sum(p * (neg_below + 0.5 * neg)) / (sum(p) * sum(neg)) AS auc FROM w
+"""
 
 
 def q_poisson_saturated_fit(spark, sf_dir):

@@ -126,3 +126,22 @@ def test_property_accuracy_matches_numpy(spark, n, seed):
 
     df = spark.createDataFrame(pd.DataFrame({"label": y, "prediction": p})).repartition(2)
     assert M.accuracy_score(df) == pytest.approx((y == p).mean())
+
+
+def test_roc_auc_score(spark):
+    """Exact AUC vs a numpy pair-counting oracle, including tied
+    scores and tie-averaged ranks."""
+    import numpy as np
+
+    from dask_ml_spark.functions.metrics import roc_auc_score
+
+    rng = np.random.RandomState(11)
+    y = (rng.rand(500) < 0.4).astype(float)
+    s = rng.randint(0, 40, size=500) / 10.0 + y * 0.8  # coarse grid → many ties
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(y, s)], ["label", "score"])
+    got = roc_auc_score(df, "label", "score")
+    pos, neg = s[y == 1], s[y == 0]
+    cmp = (pos[:, None] > neg[None, :]).sum() + 0.5 * (pos[:, None] == neg[None, :]).sum()
+    want = cmp / (len(pos) * len(neg))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
