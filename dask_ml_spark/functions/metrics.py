@@ -103,6 +103,43 @@ def mean_squared_log_error(df: DataFrame, label_col: str = "label", prediction_c
     return _scalar(df, msle_expr(F.col(label_col), F.col(prediction_col), w))
 
 
+def precision_recall_f1(df: DataFrame, label_col: str = "label",
+                        prediction_col: str = "prediction",
+                        pos_label: float = 1.0) -> dict:
+    """Binary precision / recall / F1 in ONE aggregation pass
+    (beyond-reference companion of roc_auc_score for classifier
+    gating): tp/fp/fn are conditional counts in the same
+    hash-aggregate; zero-division follows sklearn (0.0)."""
+    y = F.col(label_col) == F.lit(pos_label)
+    p = F.col(prediction_col) == F.lit(pos_label)
+    row = df.agg(
+        F.sum((y & p).cast("double")).alias("tp"),
+        F.sum(((~y) & p).cast("double")).alias("fp"),
+        F.sum((y & (~p)).cast("double")).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = row["tp"] or 0.0, row["fp"] or 0.0, row["fn"] or 0.0
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"precision": precision, "recall": recall, "f1": f1,
+            "tp": tp, "fp": fp, "fn": fn}
+
+
+def precision_score(df: DataFrame, label_col: str = "label",
+                    prediction_col: str = "prediction", pos_label: float = 1.0) -> float:
+    return precision_recall_f1(df, label_col, prediction_col, pos_label)["precision"]
+
+
+def recall_score(df: DataFrame, label_col: str = "label",
+                 prediction_col: str = "prediction", pos_label: float = 1.0) -> float:
+    return precision_recall_f1(df, label_col, prediction_col, pos_label)["recall"]
+
+
+def f1_score(df: DataFrame, label_col: str = "label",
+             prediction_col: str = "prediction", pos_label: float = 1.0) -> float:
+    return precision_recall_f1(df, label_col, prediction_col, pos_label)["f1"]
+
+
 def roc_auc_score(df: DataFrame, label_col: str = "label",
                   score_col: str = "score") -> float:
     """Exact distributed ROC-AUC (beyond-reference — dask-ml ships no

@@ -12,6 +12,10 @@ from dask_ml_spark.functions.metrics import (  # noqa: F401
     mean_squared_log_error,
     r2_score,
     roc_auc_score,
+    precision_recall_f1,
+    precision_score,
+    recall_score,
+    f1_score,
 )
 from dask_ml_spark.operators.pairwise import (  # noqa: F401
     euclidean_distances,

@@ -2298,6 +2298,7 @@ def build_catalog():
         "poisson_regression_fit": q_poisson_regression_fit,
         "poisson_saturated_fit": q_poisson_saturated_fit,
         "roc_auc_eval": q_roc_auc_eval,
+        "precision_recall_f1": q_precision_recall_f1,
         "make_blobs_kmeans": q_make_blobs_kmeans,
         "feature_hasher_long": q_feature_hasher_long,
         "feature_hasher_portable": q_feature_hasher_portable,
@@ -2405,6 +2406,7 @@ def build_catalog():
         "logistic_saturated_fit": SQL_LOGISTIC_SATURATED_FIT,
         "poisson_saturated_fit": SQL_POISSON_SATURATED_FIT,
         "roc_auc_eval": SQL_ROC_AUC_EVAL,
+        "precision_recall_f1": SQL_PRECISION_RECALL_F1,
     }
     return queries, oracles
 
@@ -3196,6 +3198,42 @@ def q_poisson_regression_fit(spark, sf_dir):
         "coef_tax": float(pr.coef_[1]),
         "intercept": float(pr.intercept_),
     }])
+
+
+def q_precision_recall_f1(spark, sf_dir):
+    """One-pass binary precision/recall/F1 over a thresholded score."""
+    from dask_ml_spark.functions.metrics import precision_recall_f1
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("double").alias("label"),
+        (F.col("l_quantity") > 25).cast("double").alias("prediction"),
+    )
+    m = precision_recall_f1(li)
+    return spark.createDataFrame([{
+        "precision": m["precision"], "recall": m["recall"], "f1": m["f1"],
+        "tp": int(m["tp"]), "fp": int(m["fp"]), "fn": int(m["fn"]),
+    }]).select("precision", "recall", "f1", "tp", "fp", "fn")
+
+
+SQL_PRECISION_RECALL_F1 = """
+WITH p AS (
+    SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label,
+           CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS prediction
+    FROM lineitem
+),
+c AS (
+    SELECT sum(CASE WHEN label = 1 AND prediction = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+           sum(CASE WHEN label = 0 AND prediction = 1 THEN 1 ELSE 0 END)::BIGINT AS fp,
+           sum(CASE WHEN label = 1 AND prediction = 0 THEN 1 ELSE 0 END)::BIGINT AS fn
+    FROM p
+)
+SELECT tp / (tp + fp)::DOUBLE AS precision,
+       tp / (tp + fn)::DOUBLE AS recall,
+       2.0 * (tp / (tp + fp)::DOUBLE) * (tp / (tp + fn)::DOUBLE)
+           / ((tp / (tp + fp)::DOUBLE) + (tp / (tp + fn)::DOUBLE)) AS f1,
+       tp, fp, fn
+FROM c
+"""
 
 
 def q_roc_auc_eval(spark, sf_dir):

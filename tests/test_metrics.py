@@ -145,3 +145,25 @@ def test_roc_auc_score(spark):
     cmp = (pos[:, None] > neg[None, :]).sum() + 0.5 * (pos[:, None] == neg[None, :]).sum()
     want = cmp / (len(pos) * len(neg))
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_precision_recall_f1(spark):
+    import numpy as np
+
+    from dask_ml_spark.functions.metrics import f1_score, precision_recall_f1
+
+    y = np.array([1, 1, 1, 0, 0, 0, 0, 1], dtype=float)
+    p = np.array([1, 0, 1, 1, 0, 0, 1, 1], dtype=float)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(y, p)], ["label", "prediction"])
+    m = precision_recall_f1(df)
+    tp, fp, fn = 3, 2, 1
+    assert m["precision"] == tp / (tp + fp)
+    assert m["recall"] == tp / (tp + fn)
+    np.testing.assert_allclose(m["f1"], 2 * m["precision"] * m["recall"]
+                               / (m["precision"] + m["recall"]))
+    assert f1_score(df) == m["f1"]
+    # degenerate: no positive predictions → sklearn-style zeros
+    z = spark.createDataFrame([(1.0, 0.0), (0.0, 0.0)], ["label", "prediction"])
+    mz = precision_recall_f1(z)
+    assert mz["precision"] == 0.0 and mz["f1"] == 0.0
