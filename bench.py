@@ -79,6 +79,8 @@ HEADLINE = [
     # Hyperband, so a planner regression shows up in the bench
     "grid_search_best",
     "hyperband_best",
+    # distributed prefix-sum machinery (rank-sum AUC over score groups)
+    "roc_auc_eval",
 ]
 
 
