@@ -141,18 +141,49 @@ def f1_score(df: DataFrame, label_col: str = "label",
 
 
 def roc_auc_score(df: DataFrame, label_col: str = "label",
-                  score_col: str = "score") -> float:
-    """Exact distributed ROC-AUC (beyond-reference — dask-ml ships no
-    AUC; quality-classifier gating needs one).
+                  score_col: str = "score", bins: int | None = None) -> float:
+    """Distributed ROC-AUC (beyond-reference — dask-ml ships no AUC;
+    quality-classifier gating needs one).
 
     Rank-sum (Mann-Whitney U) formulation with tie-averaged ranks:
     AUC = Σ_s pos(s)·(neg_below(s) + ½·neg_at(s)) / (n_pos·n_neg).
-    Shape at scale: one groupBy(score) aggregate (distinct scores, not
+
+    Exact (default): one groupBy(score) aggregate (distinct scores, not
     rows), a distributed two-phase prefix sum over score order
     (datapipe.packing.prefix_sum — no global single-partition window),
-    and one final scalar aggregate. No sort of the raw rows, no N² pair
-    comparison.
+    and one final scalar aggregate. Continuous scores make the group
+    count ≈ the row count, so the prefix sum range-sorts the score
+    column — still no N² pairs, but a sort-sized shuffle.
+
+    ``bins=K`` is the 100 TB scale path: scores are bucketed into K
+    equal-width bins (one min/max aggregate + one groupBy over ≤K+2
+    groups, only K rows to the driver), treating a bin as one tied
+    score — |error| ≤ the pair mass within a bin, O(1/K) for smooth
+    score distributions.
     """
+    if bins is not None:
+        s = F.col(score_col).cast("double")
+        lohi = df.agg(F.min(s).alias("lo"), F.max(s).alias("hi")).collect()[0]
+        lo, hi = float(lohi["lo"]), float(lohi["hi"])
+        width = (hi - lo) or 1.0
+        bucket = F.least(F.lit(bins - 1),
+                         F.floor((s - F.lit(lo)) / F.lit(width) * F.lit(bins))).cast("int")
+        rows = (df.groupBy(bucket.alias("b"))
+                .agg(F.count("*").cast("double").alias("c"),
+                     F.sum((F.col(label_col) == 1).cast("double")).alias("p"))
+                .collect())
+        rows.sort(key=lambda r: r["b"])
+        u = neg_below = n1 = n0 = 0.0
+        for r in rows:
+            p, neg = r["p"], r["c"] - r["p"]
+            u += p * (neg_below + 0.5 * neg)
+            neg_below += neg
+            n1 += p
+            n0 += neg
+        if not n1 or not n0:
+            raise ValueError("roc_auc_score needs both classes present")
+        return float(u / (n1 * n0))
+
     from dask_ml_spark.datapipe.packing import prefix_sum
 
     g = (

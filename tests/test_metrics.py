@@ -145,6 +145,9 @@ def test_roc_auc_score(spark):
     cmp = (pos[:, None] > neg[None, :]).sum() + 0.5 * (pos[:, None] == neg[None, :]).sum()
     want = cmp / (len(pos) * len(neg))
     np.testing.assert_allclose(got, want, rtol=1e-12)
+    # binned scale path: close to exact, error O(1/bins)
+    approx = roc_auc_score(df, "label", "score", bins=5000)
+    np.testing.assert_allclose(approx, want, atol=5e-3)
 
 
 def test_precision_recall_f1(spark):
