@@ -92,6 +92,58 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def paragraph_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    sep: str = "\n\n", min_chars: int = 1) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup — the corpus-curation
+    step that strips boilerplate repeated ACROSS documents (headers,
+    footers, licence blocks) while keeping each document's unique prose.
+
+    A paragraph survives iff (doc_id, paragraph index) is the GLOBAL
+    first occurrence of its content hash (min doc_id, then min index —
+    deterministic). Surviving paragraphs are reassembled in original
+    order. Shape: one posexplode (narrow), one shuffle on the uniform
+    content hash for the first-occurrence aggregate, a broadcast-able
+    join back on the hash, and one groupBy(doc) reassembly — no
+    self-join, no N².
+
+    Output: (id, text, n_paragraphs, n_kept).
+    """
+    paras = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col), F.posexplode(F.split(F.col(text_col), sep))
+                .alias("__idx", "__para"))
+        .where(F.length(F.trim(F.col("__para"))) >= min_chars)
+        .withColumn("__h", F.md5(F.col("__para")))
+    )
+    first = (
+        paras.groupBy("__h")
+        .agg(F.min(F.struct(F.col(id_col).alias("d"), F.col("__idx").alias("i")))
+             .alias("__first"))
+        .select("__h", F.col("__first.d").alias("__fd"), F.col("__first.i").alias("__fi"))
+    )
+    kept = (
+        paras.join(first, "__h")
+        .withColumn("__keep", (F.col(id_col) == F.col("__fd")) & (F.col("__idx") == F.col("__fi")))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_paragraphs"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("__keep"),
+                               F.struct(F.col("__idx").alias("i"), F.col("__para").alias("p"))))),
+                    lambda s: s["p"],
+                ),
+                sep,
+            ).alias(text_col),
+        )
+        .select(id_col, text_col, "n_paragraphs", "n_kept")
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        n_hashes: int = 16, shingle_n: int = 3, seed: int = 42) -> DataFrame:
     """MinHash signature per document: explode shingles → n affine

@@ -1781,6 +1781,41 @@ WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.9
 """
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Sub-document exact dedup: a paragraph survives iff it is the
+    global first occurrence of its content hash; documents are
+    reassembled from surviving paragraphs in order. The synthetic docs
+    have no newlines, so the query chunks on a common word — the
+    operator is generic over `sep` and the oracle replays the same
+    split."""
+    docs = _t(spark, sf_dir, "documents")
+    out = DD.paragraph_dedup(docs, sep=" the ")
+    return out.select("doc_id", "text", "n_paragraphs", "n_kept")
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH paras AS (
+    SELECT doc_id,
+           generate_subscripts(parts, 1) - 1 AS idx,
+           unnest(parts) AS para
+    FROM (SELECT doc_id, string_split(text, ' the ') AS parts FROM documents)
+),
+flt AS (
+    SELECT *, md5(para) AS h FROM paras WHERE length(trim(para)) >= 1
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) = 1 AS keep
+    FROM flt
+)
+SELECT doc_id,
+       COALESCE(string_agg(para, ' the ' ORDER BY idx) FILTER (WHERE keep), '') AS text,
+       count(*) AS n_paragraphs,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label mean embedding — the grouped vector aggregation used
     by both IVF training and class-centroid models. Arrays are averaged
@@ -2242,6 +2277,7 @@ def build_catalog():
         "token_document_frequency": q_token_document_frequency,
         "tfidf": q_tfidf,
         "exact_dedup": q_exact_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -2407,6 +2443,7 @@ def build_catalog():
         "poisson_saturated_fit": SQL_POISSON_SATURATED_FIT,
         "roc_auc_eval": SQL_ROC_AUC_EVAL,
         "precision_recall_f1": SQL_PRECISION_RECALL_F1,
+        "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     }
     return queries, oracles
 

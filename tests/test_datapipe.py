@@ -512,3 +512,19 @@ def test_binary_file_ingestion_to_decode(spark, tmp_path):
     feats = decode_image_features(withid, resize=(4, 4), stub=False).toPandas()
     assert len(feats) == 4
     assert feats["features"].map(len).eq(16).all()
+
+
+def test_paragraph_dedup(spark):
+    """Boilerplate shared across documents is stripped after its first
+    occurrence; unique prose survives; documents reassemble in order."""
+    boiler = "subscribe to our newsletter"
+    docs = [
+        (1, f"intro one\n\n{boiler}\n\nbody one"),
+        (2, f"{boiler}\n\nbody two"),
+        (3, "body three\n\nbody three"),  # intra-doc repeat: keep first
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in D.paragraph_dedup(df).collect()}
+    assert out[1].text == f"intro one\n\n{boiler}\n\nbody one"
+    assert out[2].text == "body two" and out[2].n_kept == 1
+    assert out[3].text == "body three" and out[3].n_paragraphs == 2
