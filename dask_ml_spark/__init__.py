@@ -4,7 +4,8 @@ Re-expresses the capabilities of dask-ml (reference: /root/reference, BSD)
 on top of the Spark DataFrame API: estimator fitting is Spark SQL
 aggregation, transforms are column expressions or Arrow-batched pandas
 UDFs, iterative algorithms are driver-orchestrated Spark jobs, and
-hyperparameter search is a driver thread pool over cached fold DataFrames.
+hyperparameter search runs concurrent Spark jobs over cached folds
+(grid) or executor-side (model_id, batch) training rounds (adaptive).
 
 Everything here is Spark-first: logical plans are declared with the
 DataFrame/SQL API so Catalyst can push filters, prune columns and pick
