@@ -103,6 +103,18 @@ def mean_squared_log_error(df: DataFrame, label_col: str = "label", prediction_c
     return _scalar(df, msle_expr(F.col(label_col), F.col(prediction_col), w))
 
 
+def confusion_matrix(df: DataFrame, label_col: str = "label",
+                     prediction_col: str = "prediction") -> DataFrame:
+    """Confusion matrix in long form — one groupBy over the (few)
+    distinct (label, prediction) pairs; the caller pivots if a dense
+    matrix is wanted (k² cells, driver-sized)."""
+    return (
+        df.groupBy(F.col(label_col).alias("label"),
+                   F.col(prediction_col).alias("prediction"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def precision_recall_f1(df: DataFrame, label_col: str = "label",
                         prediction_col: str = "prediction",
                         pos_label: float = 1.0) -> dict:

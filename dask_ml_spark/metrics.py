@@ -12,6 +12,7 @@ from dask_ml_spark.functions.metrics import (  # noqa: F401
     mean_squared_log_error,
     r2_score,
     roc_auc_score,
+    confusion_matrix,
     precision_recall_f1,
     precision_score,
     recall_score,

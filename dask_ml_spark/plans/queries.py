@@ -2335,6 +2335,7 @@ def build_catalog():
         "poisson_saturated_fit": q_poisson_saturated_fit,
         "roc_auc_eval": q_roc_auc_eval,
         "precision_recall_f1": q_precision_recall_f1,
+        "confusion_matrix": q_confusion_matrix,
         "make_blobs_kmeans": q_make_blobs_kmeans,
         "feature_hasher_long": q_feature_hasher_long,
         "feature_hasher_portable": q_feature_hasher_portable,
@@ -2444,6 +2445,7 @@ def build_catalog():
         "roc_auc_eval": SQL_ROC_AUC_EVAL,
         "precision_recall_f1": SQL_PRECISION_RECALL_F1,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+        "confusion_matrix": SQL_CONFUSION_MATRIX,
     }
     return queries, oracles
 
@@ -3235,6 +3237,26 @@ def q_poisson_regression_fit(spark, sf_dir):
         "coef_tax": float(pr.coef_[1]),
         "intercept": float(pr.intercept_),
     }])
+
+
+def q_confusion_matrix(spark, sf_dir):
+    """Long-form confusion matrix over a thresholded score."""
+    from dask_ml_spark.functions.metrics import confusion_matrix
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("double").alias("label"),
+        (F.col("l_quantity") > 25).cast("double").alias("prediction"),
+    )
+    return confusion_matrix(li)
+
+
+SQL_CONFUSION_MATRIX = """
+SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label,
+       CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS prediction,
+       count(*) AS n
+FROM lineitem
+GROUP BY 1, 2
+"""
 
 
 def q_precision_recall_f1(spark, sf_dir):
