@@ -115,3 +115,39 @@ def test_stratified_sample_subset_law(spark, pdf, frac):
     cut = int(round(frac * 10_000))
     expect = {k for k in pdf["key"].tolist() if ((k % P) * M % P) % 10_000 < cut}
     assert ids == expect
+
+
+@st.composite
+def paragraph_corpora(draw):
+    """Docs assembled from a small paragraph pool → guaranteed repeats."""
+    pool = [f"para {i} body text" for i in range(draw(st.integers(2, 6)))]
+    n_docs = draw(st.integers(1, 8))
+    docs = []
+    for d in range(n_docs):
+        k = draw(st.integers(1, 5))
+        idxs = [draw(st.integers(0, len(pool) - 1)) for _ in range(k)]
+        docs.append((d, "\n\n".join(pool[i] for i in idxs)))
+    return docs
+
+
+@given(docs=paragraph_corpora())
+@settings(**SETTINGS)
+def test_paragraph_dedup_laws(spark, docs):
+    """(1) each distinct paragraph survives exactly once corpus-wide;
+    (2) the earliest document containing it keeps it; (3) kept counts
+    sum to the number of distinct paragraphs; (4) repartitioning does
+    not change the result."""
+    from dask_ml_spark.datapipe.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    all_paras = [(d, i, p) for d, t in docs for i, p in enumerate(t.split("\n\n"))]
+    distinct = {p for _, _, p in all_paras}
+    assert sum(r.n_kept for r in out.values()) == len(distinct)
+    for p in distinct:
+        first_doc, first_idx = min((d, i) for d, i, q in all_paras if q == p)
+        assert p in out[first_doc].text
+    out2 = {r.doc_id: r for r in paragraph_dedup(
+        spark.createDataFrame(docs, ["doc_id", "text"]).repartition(4)).collect()}
+    for d in out:
+        assert out[d].text == out2[d].text
