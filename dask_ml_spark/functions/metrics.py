@@ -288,12 +288,26 @@ def score_estimator(scorer, estimator, df: DataFrame, label_col: str = "label") 
     return scorer(pred, label_col=label_col, prediction_col="prediction")
 
 
+def _roc_auc_from_proba(df: DataFrame, label_col: str = "label",
+                        prediction_col: str = "probability", **_ignored) -> float:
+    """AUC over a probability column (double P(class=1) or
+    predict_proba array — scorer-protocol adapter for roc_auc_score)."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[prediction_col].dataType, T.ArrayType):
+        df = df.withColumn("__score", F.element_at(F.col(prediction_col), 2))
+    else:
+        df = df.withColumn("__score", F.col(prediction_col))
+    return roc_auc_score(df, label_col, "__score")
+
+
 SCORERS = {
     "accuracy": Scorer(accuracy_score),
     "r2": Scorer(r2_score),
     "neg_mean_squared_error": Scorer(mean_squared_error, greater_is_better=False),
     "neg_mean_absolute_error": Scorer(mean_absolute_error, greater_is_better=False),
     "neg_log_loss": Scorer(log_loss, greater_is_better=False, needs_proba=True),
+    "roc_auc": Scorer(_roc_auc_from_proba, needs_proba=True),
 }
 
 

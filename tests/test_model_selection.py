@@ -263,3 +263,17 @@ def test_normalize_estimator_token():
     d.coef_ = np.array([1.0, 2.0])
     d.intercept_ = 0.5
     assert normalize_estimator(d) == normalize_estimator(c)
+
+
+def test_grid_search_roc_auc_scoring(xy_classification):
+    """scoring='roc_auc' routes through predict_proba and ranks
+    candidates by the distributed exact AUC."""
+    gs = GridSearchCV(
+        LogisticRegression(max_iter=20),
+        {"C": [0.01, 1.0]},
+        scoring="roc_auc",
+        cv=KFold(n_splits=2, shuffle=True, random_state=1),
+        n_jobs=2,
+    )
+    gs.fit(xy_classification, FEATS20)
+    assert 0.5 <= gs.best_score_ <= 1.0
