@@ -185,6 +185,15 @@ class BaseIncrementalSearchCV(BaseEstimator):
         sc = df.sparkSession.sparkContext
         fit_accum = sc.accumulator(0)
         scoring = self.scoring
+        if scoring is not None and not callable(scoring):
+            # executor-side scoring runs on numpy batches — the
+            # DataFrame scorer registry (SCORERS strings) belongs to
+            # GridSearchCV; failing beats silently using est.score
+            raise ValueError(
+                "adaptive search scoring must be a callable "
+                "(estimator, X, y) -> float; got "
+                f"{scoring!r} — string scorer names are only supported "
+                "by GridSearchCV/RandomizedSearchCV")
 
         models = self._create_models()
         blobs = {i: pickle.dumps(est) for i, (est, _p) in models.items()}

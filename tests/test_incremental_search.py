@@ -99,3 +99,13 @@ def test_hyperband(big_classification):
     assert h.best_score_ > 0.4
     assert h.score(big_classification) > 0.5
     assert len(h.cv_results_["params"]) == h.metadata["n_models"]
+
+
+def test_string_scoring_rejected(big_classification):
+    """String scorer names are a GridSearchCV concept; the adaptive
+    engine scores executor-side on numpy and must fail loudly instead
+    of silently falling back to est.score."""
+    s = IncrementalSearchCV(SGDClassifier(), PARAMS, n_initial_parameters=2,
+                            max_iter=2, random_state=0, scoring="roc_auc")
+    with pytest.raises(ValueError, match="callable"):
+        s.fit(big_classification, FEATS, classes=[0, 1])
