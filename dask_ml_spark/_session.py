@@ -22,6 +22,12 @@ _DEFAULTS = {
     # without it.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # FAIR job scheduling: the search planners (GridSearchCV, Hyperband
+    # brackets) launch concurrent jobs from driver threads; FIFO lets
+    # the first job's stages hog the executors while the others queue —
+    # FAIR interleaves them (measured 2x on grid_search_best at sf0.1).
+    # Single-job queries are unaffected.
+    "spark.scheduler.mode": "FAIR",
     # Broadcast joins for dimension-sized relations (fit state,
     # vocabularies, centers are broadcast variables, not joins, but
     # dictionary joins in encoders benefit).
