@@ -1740,7 +1740,7 @@ SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
 
 EMB_DIM = 64
 NEAR_DUP_BANDS = 2
-NEAR_DUP_BITS = 4
+NEAR_DUP_BITS = 5
 
 
 def q_embedding_near_dup(spark, sf_dir):
