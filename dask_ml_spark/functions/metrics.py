@@ -173,6 +173,11 @@ def roc_auc_score(df: DataFrame, label_col: str = "label",
     score — |error| ≤ the pair mass within a bin, O(1/K) for smooth
     score distributions.
     """
+    # null/NaN scores or labels carry no ranking information — drop them
+    # up front (both paths; a null score would otherwise poison the
+    # range partitioning / bucket sort)
+    sc = F.col(score_col).cast("double")
+    df = df.where(sc.isNotNull() & ~F.isnan(sc) & F.col(label_col).isNotNull())
     if bins is not None:
         s = F.col(score_col).cast("double")
         lohi = df.agg(F.min(s).alias("lo"), F.max(s).alias("hi")).collect()[0]

@@ -170,3 +170,15 @@ def test_precision_recall_f1(spark):
     z = spark.createDataFrame([(1.0, 0.0), (0.0, 0.0)], ["label", "prediction"])
     mz = precision_recall_f1(z)
     assert mz["precision"] == 0.0 and mz["f1"] == 0.0
+
+
+def test_roc_auc_null_scores_dropped(spark):
+    import numpy as np
+
+    from dask_ml_spark.functions.metrics import roc_auc_score
+
+    rows = [(1.0, 0.9), (1.0, 0.8), (0.0, 0.2), (0.0, 0.4),
+            (1.0, None), (0.0, float("nan"))]
+    df = spark.createDataFrame(rows, ["label", "score"])
+    np.testing.assert_allclose(roc_auc_score(df), 1.0)
+    np.testing.assert_allclose(roc_auc_score(df, bins=100), 1.0)
