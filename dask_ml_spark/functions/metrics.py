@@ -117,24 +117,83 @@ def confusion_matrix(df: DataFrame, label_col: str = "label",
 
 def precision_recall_f1(df: DataFrame, label_col: str = "label",
                         prediction_col: str = "prediction",
-                        pos_label: float = 1.0) -> dict:
-    """Binary precision / recall / F1 in ONE aggregation pass
+                        pos_label: float = 1.0, average: str = "binary") -> dict:
+    """Precision / recall / F1 in ONE aggregation pass
     (beyond-reference companion of roc_auc_score for classifier
-    gating): tp/fp/fn are conditional counts in the same
-    hash-aggregate; zero-division follows sklearn (0.0)."""
-    y = F.col(label_col) == F.lit(pos_label)
-    p = F.col(prediction_col) == F.lit(pos_label)
-    row = df.agg(
-        F.sum((y & p).cast("double")).alias("tp"),
-        F.sum(((~y) & p).cast("double")).alias("fp"),
-        F.sum((y & (~p)).cast("double")).alias("fn"),
-    ).collect()[0]
-    tp, fp, fn = row["tp"] or 0.0, row["fp"] or 0.0, row["fn"] or 0.0
-    precision = tp / (tp + fp) if tp + fp else 0.0
-    recall = tp / (tp + fn) if tp + fn else 0.0
-    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
-    return {"precision": precision, "recall": recall, "f1": f1,
-            "tp": tp, "fp": fp, "fn": fn}
+    gating); zero-division follows sklearn (0.0).
+
+    average='binary': tp/fp/fn for ``pos_label`` as conditional counts
+    in one hash-aggregate. 'macro'/'micro': one groupBy over the (few)
+    distinct (label, prediction) pairs, per-class stats assembled on
+    the driver from k² cells.
+    """
+    if average == "binary":
+        y = F.col(label_col) == F.lit(pos_label)
+        p = F.col(prediction_col) == F.lit(pos_label)
+        row = df.agg(
+            F.sum((y & p).cast("double")).alias("tp"),
+            F.sum(((~y) & p).cast("double")).alias("fp"),
+            F.sum((y & (~p)).cast("double")).alias("fn"),
+        ).collect()[0]
+        tp, fp, fn = row["tp"] or 0.0, row["fp"] or 0.0, row["fn"] or 0.0
+        precision = tp / (tp + fp) if tp + fp else 0.0
+        recall = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+        return {"precision": precision, "recall": recall, "f1": f1,
+                "tp": tp, "fp": fp, "fn": fn}
+    if average not in ("macro", "micro"):
+        raise ValueError(f"Unknown average {average!r}")
+    cells = confusion_matrix(df, label_col, prediction_col).collect()
+    classes = sorted({r["label"] for r in cells})
+    tp = {c: 0.0 for c in classes}
+    fp = {c: 0.0 for c in classes}
+    fn = {c: 0.0 for c in classes}
+    for r in cells:
+        if r["label"] == r["prediction"]:
+            tp[r["label"]] += r["n"]
+        else:
+            fn[r["label"]] += r["n"]
+            if r["prediction"] in fp:
+                fp[r["prediction"]] += r["n"]
+            else:
+                fp[r["prediction"]] = r["n"]
+    if average == "micro":
+        TP, FP, FN = sum(tp.values()), sum(fp.values()), sum(fn.values())
+        precision = TP / (TP + FP) if TP + FP else 0.0
+        recall = TP / (TP + FN) if TP + FN else 0.0
+        f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+        return {"precision": precision, "recall": recall, "f1": f1,
+                "tp": TP, "fp": FP, "fn": FN}
+    precs, recs, f1s = [], [], []
+    for c in classes:
+        pc = tp[c] / (tp[c] + fp[c]) if tp[c] + fp[c] else 0.0
+        rc = tp[c] / (tp[c] + fn[c]) if tp[c] + fn[c] else 0.0
+        precs.append(pc)
+        recs.append(rc)
+        f1s.append(2 * pc * rc / (pc + rc) if pc + rc else 0.0)
+    k = len(classes)
+    return {"precision": sum(precs) / k, "recall": sum(recs) / k,
+            "f1": sum(f1s) / k,
+            "tp": sum(tp.values()), "fp": sum(fp.values()), "fn": sum(fn.values())}
+
+
+def calibration_curve(df: DataFrame, label_col: str = "label",
+                      prob_col: str = "probability", n_bins: int = 10) -> DataFrame:
+    """Reliability-diagram points: bucket predicted probabilities into
+    ``n_bins`` equal-width bins, per bin the mean predicted probability
+    vs observed positive rate — ONE groupBy over ≤n_bins groups.
+    Output: (bin, mean_predicted, fraction_positive, n)."""
+    p = F.col(prob_col).cast("double")
+    b = F.least(F.lit(n_bins - 1), F.floor(p * F.lit(n_bins))).cast("int")
+    return (
+        df.where(p.isNotNull() & ~F.isnan(p))
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.avg(p).alias("mean_predicted"),
+            F.avg((F.col(label_col) == 1).cast("double")).alias("fraction_positive"),
+            F.count("*").alias("n"),
+        )
+    )
 
 
 def precision_score(df: DataFrame, label_col: str = "label",

@@ -13,6 +13,7 @@ from dask_ml_spark.functions.metrics import (  # noqa: F401
     r2_score,
     roc_auc_score,
     confusion_matrix,
+    calibration_curve,
     precision_recall_f1,
     precision_score,
     recall_score,

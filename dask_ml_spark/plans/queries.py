@@ -2336,6 +2336,7 @@ def build_catalog():
         "roc_auc_eval": q_roc_auc_eval,
         "precision_recall_f1": q_precision_recall_f1,
         "confusion_matrix": q_confusion_matrix,
+        "calibration_curve": q_calibration_curve,
         "make_blobs_kmeans": q_make_blobs_kmeans,
         "feature_hasher_long": q_feature_hasher_long,
         "feature_hasher_portable": q_feature_hasher_portable,
@@ -2446,6 +2447,7 @@ def build_catalog():
         "precision_recall_f1": SQL_PRECISION_RECALL_F1,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "confusion_matrix": SQL_CONFUSION_MATRIX,
+        "calibration_curve": SQL_CALIBRATION_CURVE,
     }
     return queries, oracles
 
@@ -3237,6 +3239,32 @@ def q_poisson_regression_fit(spark, sf_dir):
         "coef_tax": float(pr.coef_[1]),
         "intercept": float(pr.intercept_),
     }])
+
+
+def q_calibration_curve(spark, sf_dir):
+    """Reliability-diagram points for a synthetic probability column."""
+    from dask_ml_spark.functions.metrics import calibration_curve
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("double").alias("label"),
+        (F.col("l_discount") * 10.0).alias("probability"),  # in [0, 1]
+    )
+    return calibration_curve(li, n_bins=10)
+
+
+SQL_CALIBRATION_CURVE = """
+WITH p AS (
+    SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label,
+           l_discount * 10.0 AS prob
+    FROM lineitem
+)
+SELECT CAST(least(9, floor(prob * 10)) AS INTEGER) AS bin,
+       avg(prob) AS mean_predicted,
+       avg(label) AS fraction_positive,
+       count(*) AS n
+FROM p
+GROUP BY 1
+"""
 
 
 def q_confusion_matrix(spark, sf_dir):

@@ -182,3 +182,45 @@ def test_roc_auc_null_scores_dropped(spark):
     df = spark.createDataFrame(rows, ["label", "score"])
     np.testing.assert_allclose(roc_auc_score(df), 1.0)
     np.testing.assert_allclose(roc_auc_score(df, bins=100), 1.0)
+
+
+def test_precision_recall_f1_macro_micro(spark):
+    """Macro/micro multiclass averaging vs hand-computed per-class
+    stats on a 3-class confusion."""
+    import numpy as np
+
+    from dask_ml_spark.functions.metrics import precision_recall_f1
+
+    y = np.array([0, 0, 0, 1, 1, 2, 2, 2, 2], dtype=float)
+    p = np.array([0, 1, 0, 1, 2, 2, 2, 0, 1], dtype=float)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(y, p)], ["label", "prediction"])
+    # per class: tp0=2 fp0=1 fn0=1; tp1=1 fp1=2 fn1=1; tp2=2 fp2=1 fn2=2
+    precs = [2 / 3, 1 / 3, 2 / 3]
+    recs = [2 / 3, 1 / 2, 1 / 2]
+    f1s = [2 * a * b / (a + b) for a, b in zip(precs, recs)]
+    macro = precision_recall_f1(df, average="macro")
+    np.testing.assert_allclose(macro["precision"], np.mean(precs))
+    np.testing.assert_allclose(macro["recall"], np.mean(recs))
+    np.testing.assert_allclose(macro["f1"], np.mean(f1s))
+    micro = precision_recall_f1(df, average="micro")
+    # micro precision == recall == accuracy for single-label multiclass
+    np.testing.assert_allclose(micro["precision"], 5 / 9)
+    np.testing.assert_allclose(micro["recall"], 5 / 9)
+
+
+def test_calibration_curve(spark):
+    import numpy as np
+
+    from dask_ml_spark.functions.metrics import calibration_curve
+
+    rng = np.random.RandomState(2)
+    probs = rng.rand(1000)
+    labels = (rng.rand(1000) < probs).astype(float)  # perfectly calibrated
+    df = spark.createDataFrame(
+        [(float(l), float(p)) for l, p in zip(labels, probs)], ["label", "probability"])
+    out = calibration_curve(df, n_bins=5).toPandas().sort_values("bin")
+    assert len(out) == 5
+    # calibrated generator: observed rate tracks mean prediction per bin
+    np.testing.assert_allclose(out["fraction_positive"], out["mean_predicted"], atol=0.12)
+    assert out["n"].sum() == 1000
