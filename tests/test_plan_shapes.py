@@ -1,0 +1,95 @@
+"""Physical-plan shape regression tests.
+
+PLANS.md documents WHY each plan scales; these tests pin the
+load-bearing properties (predicate pushdown, column pruning, broadcast
+joins, shuffle counts) so an operator change that silently degrades a
+plan — a filter that stops reaching the scan, a broadcast that becomes
+a sort-merge join, a narrow transform that grows a shuffle — fails CI
+instead of surfacing as a 100x slowdown at scale.
+"""
+
+import pytest
+
+from dask_ml_spark.plans.queries import build_catalog
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    qs, _ = build_catalog()
+    return qs
+
+
+def _plan(spark, catalog, name: str) -> str:
+    df = catalog[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, catalog):
+    plan = _plan(spark, catalog, "pricing_summary")
+    # the shipdate filter must reach the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    # column pruning: the scan schema must not include unreferenced
+    # wide columns like l_comment
+    read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "l_comment" not in read_schema
+    # two-phase aggregate: partial + final HashAggregate around one Exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_top_revenue_nations_broadcasts_dimensions(spark, catalog):
+    plan = _plan(spark, catalog, "top_revenue_nations")
+    # all dimension joins broadcast at this SF — no sort-merge join
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_standard_scaler_transform_is_narrow(spark, catalog):
+    plan = _plan(spark, catalog, "standard_scaler_transform")
+    # fitted state folds into a Project over the scan: no shuffle, no UDF
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no ArrowEvalPython / BatchEvalPython
+
+
+def test_exact_dedup_single_shuffle(spark, catalog):
+    plan = _plan(spark, catalog, "exact_dedup")
+    # exactly ONE hash-partitioned shuffle (on the content hash); the
+    # only other allowed exchange is ensure_min_partitions' round-robin
+    # spread of the tiny test input (a no-op at real scale)
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_embedding_near_dup_dedups_narrow_rows(spark, catalog):
+    plan = _plan(spark, catalog, "embedding_near_dup")
+    # the pair-dedup exchange must carry only (id_a, id_b, cosine) —
+    # never the embedding vectors (cosine + threshold applied BEFORE
+    # the shuffle); locate the dedup HashAggregate's output columns
+    seg = plan.split("Exchange", 1)[0]
+    # upstream of the exchange: join + cosine projection; the exchange
+    # input schema appears in the (16) HashAggregate detail section
+    import re
+
+    m = re.search(r"HashAggregate[^\n]*\n[^\n]*Input \[\d+\]: \[([^]]*)\]", plan)
+    assert m, plan[:500]
+    agg_inputs = re.findall(r"Input \[\d+\]: \[([^]]*)\]", plan)
+    dedup_inputs = [s for s in agg_inputs if "id_a" in s]
+    assert dedup_inputs and all("embedding" not in s for s in dedup_inputs)
+
+
+def test_predict_paths_stay_jvm(spark, catalog):
+    """Model predict folds into codegen expressions — no Python in the
+    lineitem-scoring plans."""
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.operators.linear_model import LogisticRegression
+    from dask_ml_spark.sources.io import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").withColumn(
+        "label", (F.col("l_returnflag") == "R").cast("double"))
+    m = LogisticRegression(max_iter=5).fit(li, ["l_quantity", "l_tax"])
+    plan = m.predict(li)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "Python" not in plan
+    assert "Exchange" not in plan
