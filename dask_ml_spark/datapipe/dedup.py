@@ -432,3 +432,102 @@ def dedup_keep_representatives(docs: DataFrame, pairs: DataFrame,
     drop = clusters.where(F.col("node") != F.col("cluster")).select(
         F.col("node").alias(id_col))
     return docs.join(drop, id_col, "left_anti")
+
+
+def semantic_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id", centroids=None,
+                         n_clusters: int = 64, threshold: float = 0.9,
+                         seed: int = 42, order: str = "id") -> DataFrame:
+    """SemDeDup within-cluster duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embedding space, then call a
+    pair a semantic duplicate when both vectors land in the SAME
+    cluster and their cosine is >= threshold. The clustering bounds the
+    candidate set — pairs are only computed within a cluster, so the
+    quadratic term is (N/k)^2 per cluster, controlled by raising
+    n_clusters with corpus size (the paper uses k ~ sqrt(N); at 100 TB
+    the within-cluster join shuffles on the cluster id and AQE's skew
+    handling splits any hot cluster).
+
+    order: "id" ranks cluster members by id (deterministic across
+    engines — the SQL-oracle-able config); "centroid" is the
+    paper-faithful ranking (ascending cosine to the cluster centroid,
+    so outliers rank first and survive the greedy keep). The released
+    SemDeDup implementation drops any item whose upper-triangle max
+    similarity exceeds eps — i.e. a greedy "drop if similar to any
+    earlier-ranked member", which is exactly what
+    `semantic_dedup` implements on top of these pairs.
+
+    centroids: pinned k x d list/ndarray (deterministic, oracle-able);
+    None trains a sampled k-means quantizer (IVFIndex.fit).
+    Output: (id_a, id_b, cluster, cosine) with rank(id_a) < rank(id_b).
+    """
+    from dask_ml_spark.datapipe.similarity import IVFIndex
+    from dask_ml_spark.functions.vector import dot, norm2
+
+    ivf = IVFIndex(n_lists=n_clusters, seed=seed, vec_col=vec_col, id_col=id_col)
+    if centroids is not None:
+        ivf.centroids_ = np.asarray(centroids, dtype="float64")
+        ivf.n_lists = len(ivf.centroids_)
+    else:
+        ivf.fit(df)
+    base = (ivf.assign(df.select(id_col, vec_col), bucket_col="cluster")
+            .withColumn("__norm", norm2(F.col(vec_col))))
+    if order == "centroid":
+        from pyspark.sql import Window
+
+        cent_cos = _centroid_cosine_expr(ivf.centroids_, vec_col, "cluster")
+        w = Window.partitionBy("cluster").orderBy(F.asc("__ccos"), F.asc(id_col))
+        base = (base.withColumn("__ccos", cent_cos / F.col("__norm"))
+                .withColumn("__rank", F.row_number().over(w)))
+    elif order == "id":
+        base = base.withColumn("__rank", F.col(id_col))
+    else:
+        raise ValueError(f"order must be 'id' or 'centroid', got {order!r}")
+    l, r = base.alias("l"), base.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.cluster") == F.col("r.cluster"))
+        & (F.col("l.__rank") < F.col("r.__rank")),
+    )
+    cos = (dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+           / (F.col("l.__norm") * F.col("r.__norm")))
+    return (
+        pairs.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.cluster").alias("cluster"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def _centroid_cosine_expr(centroids, vec_col: str, cluster_col: str):
+    """dot(vec, centroid[cluster]) as a literal-folded CASE chain —
+    JVM-side, no UDF; the caller divides by the row norm (centroid
+    norms fold into the literals)."""
+    from dask_ml_spark.functions.vector import dot
+
+    expr = F.lit(None).cast("double")
+    for ci, c in enumerate(np.asarray(centroids, dtype="float64")):
+        cn = float(np.sqrt((c * c).sum())) or 1.0
+        lit = F.array(*[F.lit(float(v) / cn) for v in c])
+        expr = F.when(F.col(cluster_col) == ci, dot(F.col(vec_col), lit)).otherwise(expr)
+    return expr
+
+
+def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", centroids=None,
+                   n_clusters: int = 64, threshold: float = 0.9,
+                   seed: int = 42, order: str = "id") -> DataFrame:
+    """SemDeDup keep-set: drop every vector that is a semantic
+    duplicate (cosine >= threshold) of an EARLIER-ranked member of its
+    cluster; keep everything else, singletons included. Matches the
+    released SemDeDup's triu-max rule (see semantic_dedup_pairs).
+    One left-anti join against the (small) drop list — at 100 TB the
+    corpus streams through unshuffled; only the pair computation
+    shuffles, and only on the cluster id."""
+    pairs = semantic_dedup_pairs(df, vec_col, id_col, centroids,
+                                 n_clusters, threshold, seed, order)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")

@@ -1781,6 +1781,52 @@ WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.9
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas 2023) per-cluster dup summary with a PINNED
+    quantizer (centroids = embeddings of vec_id 0..7) and id-order
+    greedy ranking — both deterministic, so cluster assignment, the
+    within-cluster pair join, and the drop rule are all replayed
+    exactly by the DuckDB oracle. The learned-quantizer path
+    (centroids=None) stays the production default and is
+    invariant-tested in tests/test_datapipe.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = (emb.where(F.col("vec_id") < 8).orderBy("vec_id")
+            .select("embedding").collect())
+    # the synthetic embeddings have no true near-dups (max within-
+    # cluster cosine ≈ 0.49 at sf0.01), so the production threshold
+    # (0.9) would verify an empty result; 0.44 sits in a 0.012-wide
+    # gap of the cosine distribution — 8 real pairs, no float-boundary
+    # sensitivity between Spark and DuckDB
+    pairs = DD.semantic_dedup_pairs(
+        emb, centroids=[list(r[0]) for r in cent], threshold=0.44, order="id",
+    )
+    return (
+        pairs.groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(F.count("*").alias("n_pairs"),
+             F.countDistinct("id_b").alias("n_dropped"))
+    )
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH cent AS (
+    SELECT vec_id AS c, embedding AS cvec FROM embeddings WHERE vec_id < 8
+), assign AS (
+    SELECT e.vec_id, e.embedding,
+           (SELECT c FROM cent
+            ORDER BY list_distance(e.embedding, cent.cvec) ASC, c ASC
+            LIMIT 1) AS cluster
+    FROM embeddings e
+), pairs AS (
+    SELECT l.cluster, l.vec_id AS id_a, r.vec_id AS id_b
+    FROM assign l JOIN assign r
+      ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+    WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.44
+)
+SELECT cluster, count(*) AS n_pairs, count(DISTINCT id_b) AS n_dropped
+FROM pairs GROUP BY cluster
+"""
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """Sub-document exact dedup: a paragraph survives iff it is the
     global first occurrence of its content hash; documents are
@@ -2284,6 +2330,7 @@ def build_catalog():
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "embedding_centroids": q_embedding_centroids,
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
@@ -2412,6 +2459,7 @@ def build_catalog():
         "ivf_ann_topk": SQL_IVF_ANN_TOPK,
         "lsh_ann_topk": SQL_LSH_ANN_TOPK,
         "embedding_near_dup": sql_embedding_near_dup(),
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "language_id": sql_language_id(),
         "quality_scores": sql_quality_scores(),

