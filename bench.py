@@ -45,6 +45,7 @@ HEADLINE = [
     "document_fingerprint",
     "ann_bruteforce_topk",
     "embedding_near_dup",
+    "semantic_dedup",
     "windowed_event_features",
     "event_type_rollup",
     "event_sessionization",

@@ -378,8 +378,97 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: 
     )
 
 
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond", alg. 2): every node connects its
+    strictly-larger neighbors to the minimum of its closed
+    neighborhood. One groupBy + one join, both keyed on the node."""
+    sym = _symmetrize(edges)
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m"))
+    return (sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round (ibid., alg. 3): orient each edge toward its
+    larger endpoint, then connect each node's smaller neighbors (and
+    itself) to the minimum of them."""
+    oriented = (edges.select(F.greatest("src", "dst").alias("src"),
+                             F.least("src", "dst").alias("dst"))
+                .where(F.col("src") != F.col("dst"))
+                .distinct())
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    relink = (oriented.join(mins, "src")
+              .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+              .where(F.col("src") != F.col("dst")))
+    keep = mins.select("src", F.col("m").alias("dst"))
+    return relink.unionAll(keep).distinct()
+
+
+def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b", max_iter: int = 30) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al. 2014) — same (node, cluster) contract
+    as `duplicate_clusters`, but O(log² n) rounds REGARDLESS of
+    component diameter, versus O(diameter) for min-label propagation.
+    This is the escalation path when dup groups stop being near-cliques
+    (adversarial chains: doc A ~ B ~ C ~ ... each within threshold).
+
+    Convergence certificate: (edge count, XOR of edge hashes) — both
+    order-insensitive and overflow-free, two scalar aggregates per
+    round. At convergence the edge set is a union of stars centered at
+    each component's minimum id, so the final map is the edge list
+    itself plus a (root, root) row per center.
+    """
+    # localCheckpoint (not persist): each round's plan nests two
+    # joins + three exchanges on top of the last, so lineage grows
+    # exponentially across O(log² n) rounds — truncating it per round
+    # is what keeps the optimizer's work O(1) per round. (On a real
+    # cluster use checkpoint() to a reliable store if executor loss
+    # during the loop must be survivable.)
+    edges = (pairs.select(F.col(id_a).cast("long").alias("src"),
+                          F.col(id_b).cast("long").alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct().localCheckpoint())
+    sig = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(_xor_agg(), F.lit(0)).alias("h")).first()
+    for _ in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = new_edges.agg(
+            F.count("*").alias("n"),
+            F.coalesce(_xor_agg(), F.lit(0)).alias("h")).first()
+        edges.unpersist()
+        edges = new_edges
+        if (new_sig["n"], new_sig["h"]) == (sig["n"], sig["h"]):
+            break
+        sig = new_sig
+    roots = edges.select(F.col("dst").alias("node")).distinct()
+    out = (edges.select(F.col("src").alias("node"), F.col("dst").alias("cluster"))
+           .unionAll(roots.select("node", F.col("node").alias("cluster"))))
+    return out
+
+
+def _xor_agg():
+    """Order-insensitive, overflow-free edge-set fingerprint."""
+    try:
+        return F.bit_xor(F.xxhash64("src", "dst"))
+    except AttributeError:  # older pyspark: expr fallback
+        return F.expr("bit_xor(xxhash64(src, dst))")
+
+
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
-                       id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
+                       id_b: str = "id_b", max_iter: int = 50,
+                       method: str = "label") -> DataFrame:
     """Connected components over a near-duplicate pair list: every
     document gets a cluster id = the MIN document id reachable through
     pair edges. Pairs say "these two are dups"; clusters are what a
@@ -397,12 +486,26 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     Returns (node, cluster): one row per document that appears in any
     pair. Singletons (no pair) are their own cluster by definition and
     are not materialized.
+
+    method="star" dispatches to `connected_components_star` (same
+    contract, O(log² n) rounds independent of diameter) — prefer it
+    when components may be long chains rather than near-cliques.
     """
+    if method == "star":
+        return connected_components_star(pairs, id_a, id_b, max_iter)
+    if method != "label":
+        raise ValueError(f"method must be 'label' or 'star', got {method!r}")
     sym = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
            .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
            .distinct().persist())
+    # localCheckpoint, not persist: each round references `labels`
+    # TWICE (neighbor join + left join), so without lineage truncation
+    # the logical plan DOUBLES per round — exponential in rounds, and a
+    # diameter-10 component already OOMs the driver on plan strings.
+    # Truncation keeps optimizer work O(1) per round; caching comes
+    # with it.
     labels = (sym.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")).persist())
+              .withColumn("label", F.col("node")).localCheckpoint())
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         neigh = (sym.join(labels, sym.src == labels.node)
@@ -411,7 +514,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         new_labels = (labels.join(neigh, "node", "left")
                       .select("node", F.least("label", F.coalesce("nmin", "label"))
                               .alias("label"))
-                      .persist())
+                      .localCheckpoint())
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels
@@ -464,13 +567,19 @@ def semantic_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
     from dask_ml_spark.datapipe.similarity import IVFIndex
     from dask_ml_spark.functions.vector import dot, norm2
 
+    from dask_ml_spark.utils import ensure_min_partitions
+
     ivf = IVFIndex(n_lists=n_clusters, seed=seed, vec_col=vec_col, id_col=id_col)
     if centroids is not None:
         ivf.centroids_ = np.asarray(centroids, dtype="float64")
         ivf.n_lists = len(ivf.centroids_)
     else:
         ivf.fit(df)
-    base = (ivf.assign(df.select(id_col, vec_col), bucket_col="cluster")
+    # repartition small inputs: assignment + the pair-join cosines are
+    # per-row/per-pair expression work, and a single-file corpus would
+    # otherwise run them in ONE task
+    base = (ivf.assign(ensure_min_partitions(df.select(id_col, vec_col)),
+                       bucket_col="cluster")
             .withColumn("__norm", norm2(F.col(vec_col))))
     if order == "centroid":
         from pyspark.sql import Window

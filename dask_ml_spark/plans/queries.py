@@ -1790,7 +1790,13 @@ def q_semantic_dedup(spark, sf_dir):
     (centroids=None) stays the production default and is
     invariant-tested in tests/test_datapipe.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    cent = (emb.where(F.col("vec_id") < 8).orderBy("vec_id")
+    # k ~ sqrt(N)/3 (paper rule, floored at 8): the quantizer size must
+    # GROW with the corpus so within-cluster pair volume stays ~N·c —
+    # resolves to exactly the 8 centroids the oracle pins at sf0.01
+    # (N=500) and to 23 at sf0.1, where 8 clusters over 5k vectors
+    # would already quadruple the pair join
+    n_cent = max(8, int(emb.count() ** 0.5 / 3))
+    cent = (emb.where(F.col("vec_id") < n_cent).orderBy("vec_id")
             .select("embedding").collect())
     # the synthetic embeddings have no true near-dups (max within-
     # cluster cosine ≈ 0.49 at sf0.01), so the production threshold

@@ -581,3 +581,31 @@ def test_semantic_dedup_learned_quantizer_and_centroid_order(embeddings):
     # id_a of a pair ranks before id_b, so rank-1 members only appear as id_a
     assert dropped <= set(pairs.id_b)
     assert len(kept) == n - len(dropped)
+
+
+def test_connected_components_star_chain_and_equivalence(spark):
+    """Star contraction resolves a 60-node chain (diameter 59) in
+    O(log²) rounds and agrees exactly with min-label propagation on a
+    random multi-component graph."""
+    import pandas as pd
+
+    chain = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(59), "id_b": range(1, 60)}))
+    out = D.connected_components_star(chain, max_iter=10).toPandas()
+    assert set(out.cluster) == {0}
+    assert set(out.node) == set(range(60))
+
+    rng = np.random.RandomState(11)
+    edges = pd.DataFrame({
+        "id_a": rng.randint(0, 200, 300),
+        "id_b": rng.randint(0, 200, 300),
+    })
+    edges = edges[edges.id_a != edges.id_b]
+    pairs = spark.createDataFrame(edges)
+    star = D.connected_components_star(pairs).toPandas()
+    label = D.duplicate_clusters(pairs, method="label").toPandas()
+    assert (dict(zip(star.node, star.cluster))
+            == dict(zip(label.node, label.cluster)))
+    # dispatch through the shared API
+    via = D.duplicate_clusters(pairs, method="star").toPandas()
+    assert dict(zip(via.node, via.cluster)) == dict(zip(star.node, star.cluster))
