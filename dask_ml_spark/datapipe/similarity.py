@@ -214,3 +214,45 @@ class IVFIndex:
         ).where(F.col(query_id_col) != F.col(self.id_col))
         w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(self.id_col))
         return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        code_col: str = "code", min_col: str = "vmin",
+                        step_col: str = "vstep",
+                        keep_vec: bool = True) -> DataFrame:
+    """Per-vector 8-bit scalar quantization — the storage/shuffle-width
+    lever for embedding pipelines: a float32 corpus column shrinks 4×
+    (tinyint codes + two doubles of per-row state), which at 100 TB is
+    the difference between an ANN index that fits executor storage and
+    one that doesn't. All JVM expressions (array_min/max + transform),
+    a narrow map with no shuffle and no UDF.
+
+        code[i] = round((double(v[i]) - vmin) / vstep) - 128   ∈ [-128, 127]
+        vmin    = min(v),  vstep = (max(v) - vmin) / 255   (floored 1e-12)
+        v[i]    ≈ (code[i] + 128) * vstep + vmin,  |err| ≤ vstep / 2
+
+    Casts to double are explicit and ordered so the math is bit-exact
+    reproducible across engines (the SQL oracle replays it).
+    keep_vec=False drops the float column — the production setting;
+    keep it only when a downstream exact re-rank needs the originals.
+    """
+    v = F.col(vec_col)
+    mn = F.array_min(v).cast("double")
+    mx = F.array_max(v).cast("double")
+    step = F.greatest((mx - mn) / F.lit(255.0), F.lit(1e-12))
+    out = (df.withColumn(min_col, mn)
+           .withColumn(step_col, step)
+           .withColumn(code_col, F.transform(
+               v, lambda x: (F.round((x.cast("double") - F.col(min_col))
+                                     / F.col(step_col)) - 128).cast("tinyint"))))
+    return out if keep_vec else out.drop(vec_col)
+
+
+def dequantize_embeddings(df: DataFrame, code_col: str = "code",
+                          min_col: str = "vmin", step_col: str = "vstep",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Inverse of `quantize_embeddings` (up to ±vstep/2 per element):
+    v[i] = (code[i] + 128) * vstep + vmin. Narrow map, JVM-only."""
+    return df.withColumn(vec_col, F.transform(
+        F.col(code_col),
+        lambda c: (c.cast("double") + 128) * F.col(step_col) + F.col(min_col)))

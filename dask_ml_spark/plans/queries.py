@@ -1833,6 +1833,46 @@ FROM pairs GROUP BY cluster
 """
 
 
+def q_quantized_embeddings(spark, sf_dir):
+    """Int8 scalar quantization (datapipe/similarity.py::
+    quantize_embeddings) — integer code stats per vector. The
+    quantization math uses explicitly-ordered double casts, so DuckDB
+    replays it bit-exactly and the integer codes match exactly."""
+    from dask_ml_spark.datapipe.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.aggregate(F.col("code"), F.lit(0).cast("long"),
+                    lambda a, c: a + c.cast("long") + 128).alias("code_sum"),
+        F.array_min("code").cast("long").alias("code_min"),
+        F.array_max("code").cast("long").alias("code_max"),
+    )
+
+
+SQL_QUANTIZED_EMBEDDINGS = """
+WITH q AS (
+    SELECT vec_id, embedding,
+           CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin,
+           greatest((CAST(list_aggregate(embedding, 'max') AS DOUBLE)
+                     - CAST(list_aggregate(embedding, 'min') AS DOUBLE)) / 255.0,
+                    1e-12) AS vstep
+    FROM embeddings
+), c AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round((CAST(x AS DOUBLE) - vmin) / vstep) AS BIGINT) - 128) AS code
+    FROM q
+)
+SELECT vec_id,
+       CAST(list_sum(list_transform(code, cc -> cc + 128)) AS BIGINT) AS code_sum,
+       CAST(list_aggregate(code, 'min') AS BIGINT) AS code_min,
+       CAST(list_aggregate(code, 'max') AS BIGINT) AS code_max
+FROM c
+"""
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """Sub-document exact dedup: a paragraph survives iff it is the
     global first occurrence of its content hash; documents are
@@ -2337,6 +2377,7 @@ def build_catalog():
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
+        "quantized_embeddings": q_quantized_embeddings,
         "embedding_centroids": q_embedding_centroids,
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
@@ -2466,6 +2507,7 @@ def build_catalog():
         "lsh_ann_topk": SQL_LSH_ANN_TOPK,
         "embedding_near_dup": sql_embedding_near_dup(),
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
+        "quantized_embeddings": SQL_QUANTIZED_EMBEDDINGS,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "language_id": sql_language_id(),
         "quality_scores": sql_quality_scores(),

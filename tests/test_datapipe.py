@@ -609,3 +609,32 @@ def test_connected_components_star_chain_and_equivalence(spark):
     # dispatch through the shared API
     via = D.duplicate_clusters(pairs, method="star").toPandas()
     assert dict(zip(via.node, via.cluster)) == dict(zip(star.node, star.cluster))
+
+
+def test_quantize_embeddings_roundtrip_and_recall(embeddings):
+    """Int8 quantization: codes in range, reconstruction error bounded
+    by vstep/2 per element, and brute-force top-k over DEQUANTIZED
+    vectors recalls >=80% of the exact top-k."""
+    from dask_ml_spark.datapipe.similarity import (
+        dequantize_embeddings, quantize_embeddings)
+
+    q = quantize_embeddings(embeddings, keep_vec=True)
+    deq = dequantize_embeddings(
+        q.select("vec_id", "code", "vmin", "vstep",
+                 F.col("embedding").alias("orig")),
+        vec_col="embedding")
+    pdf = deq.toPandas()
+    for row in pdf.itertuples():
+        orig = np.array(row.orig, dtype="float64")
+        rec = np.array(row.embedding, dtype="float64")
+        assert all(-128 <= c <= 127 for c in row.code)
+        assert np.abs(orig - rec).max() <= row.vstep / 2 + 1e-9
+    # recall of approximate search over reconstructed vectors
+    queries = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(embeddings, queries, k=10).toPandas()
+    approx = brute_force_topk(
+        deq.select("vec_id", "embedding"), queries, k=10).toPandas()
+    e = set(zip(exact.query_id, exact.vec_id))
+    a = set(zip(approx.query_id, approx.vec_id))
+    assert len(e & a) / len(e) >= 0.8
