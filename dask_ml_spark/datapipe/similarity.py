@@ -256,3 +256,45 @@ def dequantize_embeddings(df: DataFrame, code_col: str = "code",
     return df.withColumn(vec_col, F.transform(
         F.col(code_col),
         lambda c: (c.cast("double") + 128) * F.col(step_col) + F.col(min_col)))
+
+
+def ranking_metrics(pred: DataFrame, truth: DataFrame, k: int = 10,
+                    query_id_col: str = "query_id", id_col: str = "vec_id",
+                    rank_col: str = "rank") -> DataFrame:
+    """Retrieval quality of a predicted ranking against a reference
+    ranking (e.g. an ANN index vs exact brute force): per-query
+    recall@k, MRR@k (reciprocal rank of the first relevant hit), and
+    nDCG@k with binary relevance over the reference top-k.
+
+    Both inputs use the (query_id, id, rank) contract that
+    `brute_force_topk` / `CosineLSHIndex.search` / `IVFIndex.search`
+    emit, so any two of them compose directly. One inner join on
+    (query, id) + one aggregate per query — at scale this joins two
+    k-row-per-query tables, proportional to queries·k, never to the
+    corpus.
+
+    Queries present in `truth` but with zero hits in `pred` still get
+    a row (zeros) via the left join against the truth query list.
+    """
+    t = (truth.where(F.col(rank_col) <= k)
+         .select(query_id_col, id_col,
+                 F.col(rank_col).alias("__truth_rank")))
+    p = (pred.where(F.col(rank_col) <= k)
+         .select(query_id_col, id_col, F.col(rank_col).alias("__pred_rank")))
+    hits = p.join(t, [query_id_col, id_col])
+    per_hit = hits.groupBy(query_id_col).agg(
+        F.count("*").alias("n_hits"),
+        F.min("__pred_rank").alias("first_hit_rank"),
+        F.sum(F.lit(1.0) / F.log2(F.col("__pred_rank") + 1)).alias("dcg"),
+    )
+    ideal = t.groupBy(query_id_col).agg(
+        F.count("*").alias("n_truth"),
+        F.sum(F.lit(1.0) / F.log2(F.col("__truth_rank") + 1)).alias("idcg"),
+    )
+    return (ideal.join(per_hit, query_id_col, "left")
+            .select(
+                query_id_col,
+                (F.coalesce("n_hits", F.lit(0)) / F.col("n_truth")).alias("recall_at_k"),
+                F.coalesce(F.lit(1.0) / F.col("first_hit_rank"), F.lit(0.0)).alias("mrr_at_k"),
+                (F.coalesce("dcg", F.lit(0.0)) / F.col("idcg")).alias("ndcg_at_k"),
+            ))

@@ -2378,6 +2378,7 @@ def build_catalog():
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "quantized_embeddings": q_quantized_embeddings,
+        "ann_recall_metrics": q_ann_recall_metrics,
         "embedding_centroids": q_embedding_centroids,
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
@@ -2508,6 +2509,7 @@ def build_catalog():
         "embedding_near_dup": sql_embedding_near_dup(),
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "quantized_embeddings": SQL_QUANTIZED_EMBEDDINGS,
+        "ann_recall_metrics": sql_ann_recall_metrics(),
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "language_id": sql_language_id(),
         "quality_scores": sql_quality_scores(),
@@ -2813,6 +2815,52 @@ def q_lsh_ann_topk(spark, sf_dir):
     return lsh.search(emb, queries, k=10).select(
         "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
     )
+
+
+def q_ann_recall_metrics(spark, sf_dir):
+    """Retrieval-quality metrics (datapipe/similarity.py::
+    ranking_metrics): recall@10 / MRR@10 / nDCG@10 of the pinned-plane
+    LSH index against exact brute force — the standard way to grade an
+    ANN index, here end-to-end oracle-checkable because both rankings
+    are (the same configs as lsh_ann_topk / ann_bruteforce_topk)."""
+    import numpy as np
+
+    from dask_ml_spark.datapipe.similarity import (
+        CosineLSHIndex, brute_force_topk, ranking_metrics)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = CosineLSHIndex(n_bands=16, bits_per_band=5)
+    planes = (emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 180))
+              .orderBy("vec_id").select("embedding").collect())
+    lsh.hyperplanes_ = np.asarray([list(r[0]) for r in planes], dtype="float64")
+    pred = lsh.search(emb, queries, k=10)
+    truth = brute_force_topk(emb, queries, k=10)
+    return ranking_metrics(pred, truth, k=10)
+
+
+def sql_ann_recall_metrics() -> str:
+    return f"""
+WITH pred AS ({SQL_LSH_ANN_TOPK}), truth AS ({SQL_ANN_BRUTEFORCE_TOPK}),
+hits AS (
+    SELECT p.query_id, p.vec_id, p.rank AS pred_rank
+    FROM pred p JOIN truth t ON p.query_id = t.query_id AND p.vec_id = t.vec_id
+), per_hit AS (
+    SELECT query_id, count(*) AS n_hits, min(pred_rank) AS first_hit,
+           sum(1.0 / log2(pred_rank + 1)) AS dcg
+    FROM hits GROUP BY query_id
+), ideal AS (
+    SELECT query_id, count(*) AS n_truth, sum(1.0 / log2(rank + 1)) AS idcg
+    FROM truth GROUP BY query_id
+)
+SELECT i.query_id,
+       COALESCE(h.n_hits, 0) * 1.0 / i.n_truth AS recall_at_k,
+       COALESCE(1.0 / h.first_hit, 0.0) AS mrr_at_k,
+       COALESCE(h.dcg, 0.0) / i.idcg AS ndcg_at_k
+FROM ideal i LEFT JOIN per_hit h USING (query_id)
+"""
 
 
 SQL_LSH_ANN_TOPK = """

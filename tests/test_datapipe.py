@@ -638,3 +638,36 @@ def test_quantize_embeddings_roundtrip_and_recall(embeddings):
     e = set(zip(exact.query_id, exact.vec_id))
     a = set(zip(approx.query_id, approx.vec_id))
     assert len(e & a) / len(e) >= 0.8
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """recall/MRR/nDCG vs hand-computed values, including a query with
+    zero hits (left-join zeros) and a partially-overlapping ranking."""
+    import pandas as pd
+
+    from dask_ml_spark.datapipe.similarity import ranking_metrics
+
+    truth = spark.createDataFrame(pd.DataFrame({
+        "query_id": [1, 1, 1, 2, 2, 2, 3, 3],
+        "vec_id":   [10, 11, 12, 20, 21, 22, 30, 31],
+        "rank":     [1, 2, 3, 1, 2, 3, 1, 2],
+    }))
+    pred = spark.createDataFrame(pd.DataFrame({
+        # q1: perfect; q2: one hit at rank 3; q3: no hits
+        "query_id": [1, 1, 1, 2, 2, 2, 3, 3],
+        "vec_id":   [10, 11, 12, 99, 98, 20, 97, 96],
+        "rank":     [1, 2, 3, 1, 2, 3, 1, 2],
+    }))
+    out = ranking_metrics(pred, truth, k=3).toPandas().set_index("query_id")
+    idcg3 = sum(1 / np.log2(r + 1) for r in (1, 2, 3))
+    idcg2 = sum(1 / np.log2(r + 1) for r in (1, 2))
+    assert out.loc[1, "recall_at_k"] == pytest.approx(1.0)
+    assert out.loc[1, "mrr_at_k"] == pytest.approx(1.0)
+    assert out.loc[1, "ndcg_at_k"] == pytest.approx(1.0)
+    assert out.loc[2, "recall_at_k"] == pytest.approx(1 / 3)
+    assert out.loc[2, "mrr_at_k"] == pytest.approx(1 / 3)
+    assert out.loc[2, "ndcg_at_k"] == pytest.approx((1 / np.log2(4)) / idcg3)
+    assert out.loc[3, "recall_at_k"] == 0.0
+    assert out.loc[3, "mrr_at_k"] == 0.0
+    assert out.loc[3, "ndcg_at_k"] == 0.0
+    assert out.loc[3].name == 3 and idcg2 > 0  # zero-hit query present
