@@ -2379,6 +2379,8 @@ def build_catalog():
         "semantic_dedup": q_semantic_dedup,
         "quantized_embeddings": q_quantized_embeddings,
         "ann_recall_metrics": q_ann_recall_metrics,
+        "idle_customers": q_idle_customers,
+        "sole_supplier_orders": q_sole_supplier_orders,
         "embedding_centroids": q_embedding_centroids,
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
@@ -2510,6 +2512,8 @@ def build_catalog():
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "quantized_embeddings": SQL_QUANTIZED_EMBEDDINGS,
         "ann_recall_metrics": sql_ann_recall_metrics(),
+        "idle_customers": SQL_IDLE_CUSTOMERS,
+        "sole_supplier_orders": SQL_SOLE_SUPPLIER_ORDERS,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "language_id": sql_language_id(),
         "quality_scores": sql_quality_scores(),
@@ -2890,6 +2894,85 @@ SELECT query_id, vec_id, rank FROM (
     SELECT query_id, vec_id,
            row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
     FROM scored
+) WHERE rank <= 10
+"""
+
+
+def q_idle_customers(spark, sf_dir):
+    """TPC-H Q22-shaped: customers with above-average (positive)
+    account balance and NO orders after a cutoff, per market segment.
+    Plan shape: the scalar average is a 1-row broadcast (no driver
+    round-trip), and the "no orders" predicate is a LEFT ANTI join —
+    the fact table never materializes matches, only prunes."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal"))
+    rich = (c.crossJoin(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("__avg_bal")))
+    recent = o.where(F.col("o_orderdate") >= F.lit("2000-01-01")).select("o_custkey")
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (idle.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum("c_acctbal").alias("total_balance")))
+
+
+SQL_IDLE_CUSTOMERS = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       sum(c_acctbal) AS total_balance
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '2000-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+def q_sole_supplier_orders(spark, sf_dir):
+    """TPC-H Q21-shaped: suppliers who were the SOLE supplier on
+    orders of >= 2 line items, ranked by the revenue of those orders.
+    Plan shape: the per-order profile aggregate and the LEFT SEMI join
+    back to lineitem both hash on l_orderkey, so AQE reuses one
+    exchange for both; the final per-supplier rollup is the only other
+    shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("__ns"),
+                      F.count("*").alias("__ni"))
+                 .where((F.col("__ns") == 1) & (F.col("__ni") >= 2))
+                 .select("l_orderkey"))
+    from pyspark.sql import Window
+
+    sole = li.join(per_order, "l_orderkey", "left_semi")
+    out = (sole.groupBy("l_suppkey")
+           .agg(F.countDistinct("l_orderkey").alias("n_orders"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("revenue")))
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+    return (out.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select("l_suppkey", "n_orders", F.col("rank").cast("long").alias("rank")))
+
+
+SQL_SOLE_SUPPLIER_ORDERS = """
+WITH sole_orders AS (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(DISTINCT l_suppkey) = 1 AND count(*) >= 2
+), per_supplier AS (
+    SELECT l_suppkey,
+           count(DISTINCT l_orderkey) AS n_orders,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT l_orderkey FROM sole_orders)
+    GROUP BY l_suppkey
+)
+SELECT l_suppkey, n_orders, rank FROM (
+    SELECT l_suppkey, n_orders,
+           row_number() OVER (ORDER BY revenue DESC, l_suppkey ASC) AS rank
+    FROM per_supplier
 ) WHERE rank <= 10
 """
 
