@@ -46,6 +46,8 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "embedding_near_dup",
     "semantic_dedup",
+    "quantized_embeddings",
+    "ann_recall_metrics",
     "windowed_event_features",
     "event_type_rollup",
     "event_sessionization",
@@ -65,6 +67,8 @@ HEADLINE = [
     "local_supplier_volume",
     "promo_revenue",
     "large_orders",
+    "idle_customers",
+    "sole_supplier_orders",
     "ols_newton_fit",
     "stratified_sample",
     "table_profile_approx",
