@@ -640,3 +640,66 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
                                  n_clusters, threshold, seed, order)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+def dedup_against(new_docs: DataFrame, corpus: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  method: str = "exact", n_hashes: int = 16, bands: int = 4,
+                  shingle_n: int = 3, min_jaccard: float | None = None,
+                  seed: int = 42) -> DataFrame:
+    """Cross-corpus dedup: drop new documents already present in an
+    EXISTING corpus — the incremental-crawl op (dedupe shard N against
+    shards 1..N-1 without re-deduping everything). Returns the
+    surviving rows of `new_docs`.
+
+    method="exact": content-hash LEFT ANTI join. One shuffle on the
+    (uniform) hash; persist the corpus hash table once and every new
+    shard joins against it — with the table written bucketed by hash
+    the corpus side never reshuffles.
+
+    method="minhash": near-duplicate matching — banded MinHash
+    signatures on both sides (same scheme/seed as minhash_lsh_pairs),
+    candidates collide on a full band, optionally confirmed by the
+    signature-estimated Jaccard >= min_jaccard. Only the (1 row/doc)
+    signature tables join, never the documents; candidate volume is
+    the band-collision set.
+    """
+    if method == "exact":
+        nh = new_docs.withColumn("__h", F.sha2(F.col(text_col).cast("string"), 256))
+        ch = corpus.select(F.sha2(F.col(text_col).cast("string"), 256).alias("__h")).distinct()
+        return nh.join(ch, "__h", "left_anti").drop("__h")
+    if method != "minhash":
+        raise ValueError(f"method must be 'exact' or 'minhash', got {method!r}")
+    r = n_hashes // bands
+    sig_new = minhash_signatures(new_docs, text_col, id_col, n_hashes, shingle_n, seed)
+    sig_cor = minhash_signatures(corpus, text_col, id_col, n_hashes, shingle_n, seed)
+
+    def banded(sig):
+        # all bands in ONE pass over the signature aggregate (a
+        # unionAll of per-band selects would recompute it per band —
+        # same rule as minhash_lsh_pairs)
+        band_arr = F.array(*[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.concat_ws("_", *[F.col(f"m{b * r + i}") for i in range(r)]).alias("k"),
+            )
+            for b in range(bands)
+        ])
+        return (sig.select(F.col(id_col), F.explode(band_arr).alias("__bk"),
+                           *[F.col(f"m{i}") for i in range(n_hashes)])
+                .select(F.col(id_col), F.col("__bk.b").alias("__band"),
+                        F.col("__bk.k").alias("__key"),
+                        *[F.col(f"m{i}") for i in range(n_hashes)]))
+
+    bn = banded(sig_new).alias("n")
+    bc = banded(sig_cor).alias("c")
+    cand = bn.join(bc, (F.col("n.__band") == F.col("c.__band"))
+                   & (F.col("n.__key") == F.col("c.__key")))
+    if min_jaccard is not None:
+        est = sum(
+            (F.col(f"n.m{i}") == F.col(f"c.m{i}")).cast("double")
+            for i in range(n_hashes)
+        ) / n_hashes
+        cand = cand.where(est >= min_jaccard)
+    dup_ids = cand.select(F.col(f"n.{id_col}").alias(id_col)).distinct()
+    return new_docs.join(dup_ids, id_col, "left_anti")

@@ -2380,6 +2380,7 @@ def build_catalog():
         "quantized_embeddings": q_quantized_embeddings,
         "ann_recall_metrics": q_ann_recall_metrics,
         "idle_customers": q_idle_customers,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
         "sole_supplier_orders": q_sole_supplier_orders,
         "embedding_centroids": q_embedding_centroids,
         "language_id": q_language_id,
@@ -2513,6 +2514,7 @@ def build_catalog():
         "quantized_embeddings": SQL_QUANTIZED_EMBEDDINGS,
         "ann_recall_metrics": sql_ann_recall_metrics(),
         "idle_customers": SQL_IDLE_CUSTOMERS,
+        "cross_corpus_dedup": SQL_CROSS_CORPUS_DEDUP,
         "sole_supplier_orders": SQL_SOLE_SUPPLIER_ORDERS,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "language_id": sql_language_id(),
@@ -2974,6 +2976,33 @@ SELECT l_suppkey, n_orders, rank FROM (
            row_number() OVER (ORDER BY revenue DESC, l_suppkey ASC) AS rank
     FROM per_supplier
 ) WHERE rank <= 10
+"""
+
+
+def q_cross_corpus_dedup(spark, sf_dir):
+    """Cross-corpus dedup (datapipe/dedup.py::dedup_against): dedupe a
+    new shard against an existing corpus — here the shard re-crawls
+    part of the corpus (doc_id 200..299 appear in both), so the
+    content-hash LEFT ANTI join drops exactly that overlap. Survivor
+    content is checked per language (count + id checksum)."""
+    from dask_ml_spark.datapipe import dedup as DD2
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < 300)
+    new = docs.where(F.col("doc_id") >= 200)
+    kept = DD2.dedup_against(new, corpus, method="exact")
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_new"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
+SQL_CROSS_CORPUS_DEDUP = """
+SELECT lang, count(*) AS n_new, sum(doc_id) AS id_checksum
+FROM documents n
+WHERE n.doc_id >= 200
+  AND NOT EXISTS (SELECT 1 FROM documents c
+                  WHERE c.doc_id < 300 AND c.text = n.text)
+GROUP BY lang
 """
 
 

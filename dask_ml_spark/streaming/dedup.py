@@ -51,3 +51,23 @@ def dedup_stats_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .groupBy("__content_hash")
             .agg(F.count("*").alias("n_copies"),
                  F.min(F.length(F.col(text_col))).alias("n_chars")))
+
+
+def dedup_stream_against(stream_docs: DataFrame, corpus: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """Continuous cross-corpus dedup: drop arriving documents whose
+    content hash exists in a STATIC reference corpus — a stream-static
+    LEFT ANTI join, the streaming rendering of
+    `datapipe.dedup.dedup_against(method="exact")`.
+
+    The static side is planned once per micro-batch (broadcast when
+    small; persist the hash table — it is hash-distinct, duplicate-
+    free, and far smaller than the corpus text). State-free: unlike
+    `dedup_stream`, nothing accumulates in the state store, so no
+    watermark is needed. Compose both for "new vs corpus AND new vs
+    itself" curation.
+    """
+    hashes = corpus.select(content_hash(text_col).alias("__h")).distinct()
+    return (stream_docs.withColumn("__h", content_hash(text_col))
+            .join(hashes, "__h", "left_anti")
+            .drop("__h"))

@@ -671,3 +671,53 @@ def test_ranking_metrics_hand_computed(spark):
     assert out.loc[3, "mrr_at_k"] == 0.0
     assert out.loc[3, "ndcg_at_k"] == 0.0
     assert out.loc[3].name == 3 and idcg2 > 0  # zero-hit query present
+
+
+def test_dedup_against_exact_and_minhash(spark):
+    """Cross-corpus dedup: exact drops only true content matches; the
+    minhash path also catches a near-duplicate (one word changed)."""
+    import pandas as pd
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "sun sets slowly behind distant purple mountains tonight")
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [base, "completely different corpus material about ships"],
+    }))
+    new = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11, 12],
+        "text": [base,                       # exact dup of corpus 1
+                 base.replace("dog", "cat"),  # near-dup of corpus 1
+                 "fresh unseen content with nothing in common at all here"],
+    }))
+    exact = D.dedup_against(new, corpus, method="exact").toPandas()
+    assert set(exact.doc_id) == {11, 12}
+    near = D.dedup_against(new, corpus, method="minhash",
+                           n_hashes=16, bands=8, min_jaccard=0.5).toPandas()
+    assert set(near.doc_id) == {12}
+
+
+def test_dedup_stream_against_static_corpus(spark, tmp_path):
+    """Stream-static anti join drops arriving docs whose hash is in
+    the static corpus; batch rendering agrees with dedup_against."""
+    import pandas as pd
+
+    from dask_ml_spark.streaming.dedup import dedup_stream_against
+
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "text": ["known document body"]}))
+    arriving = pd.DataFrame({
+        "doc_id": [10, 11],
+        "text": ["known document body", "brand new document body"]})
+    src = str(tmp_path / "arrivals")
+    spark.createDataFrame(arriving).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = dedup_stream_against(stream, corpus)
+    q = (out.writeStream.format("memory").queryName("xdedup_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.sql("select * from xdedup_out").toPandas()
+    assert set(got.doc_id) == {11}
+    batch = D.dedup_against(
+        spark.createDataFrame(arriving), corpus, method="exact").toPandas()
+    assert set(batch.doc_id) == set(got.doc_id)
