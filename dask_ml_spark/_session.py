@@ -22,12 +22,17 @@ _DEFAULTS = {
     # without it.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
-    # FAIR job scheduling: the search planners (GridSearchCV, Hyperband
-    # brackets) launch concurrent jobs from driver threads; FIFO lets
-    # the first job's stages hog the executors while the others queue —
-    # FAIR interleaves them (measured 2x on grid_search_best at sf0.1).
-    # Single-job queries are unaffected.
-    "spark.scheduler.mode": "FAIR",
+    # FIFO job scheduling. FAIR was tried for the multi-threaded search
+    # planners (GridSearchCV, Hyperband brackets) but re-measured SLOWER
+    # across the board once their training moved into executor-side
+    # jobs: at sf0.1, FAIR taxes every single-job query ~1.5x (fair-share
+    # bookkeeping per task on 32 local cores: minhash_lsh_pairs 0.61s
+    # FIFO vs 0.98s FAIR) and no longer helps the planners either
+    # (grid_search_best 5.7s FIFO vs 8.1s FAIR — concurrent jobs from
+    # driver threads interleave fine under FIFO because each stage only
+    # briefly holds all slots). Revisit only with an allocation file and
+    # per-thread pools on a real multi-tenant cluster.
+    "spark.scheduler.mode": "FIFO",
     # Broadcast joins for dimension-sized relations (fit state,
     # vocabularies, centers are broadcast variables, not joins, but
     # dictionary joins in encoders benefit).

@@ -527,11 +527,13 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
 
 def dedup_keep_representatives(docs: DataFrame, pairs: DataFrame,
                                id_col: str = "doc_id",
-                               id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+                               id_a: str = "id_a", id_b: str = "id_b",
+                               method: str = "label") -> DataFrame:
     """The actionable dedup: drop every clustered document except the
     min-id representative; untouched documents pass through. One
-    left-anti join against the (small) drop list."""
-    clusters = duplicate_clusters(pairs, id_a, id_b)
+    left-anti join against the (small) drop list. method picks the
+    component engine ("label" / "star" — see duplicate_clusters)."""
+    clusters = duplicate_clusters(pairs, id_a, id_b, method=method)
     drop = clusters.where(F.col("node") != F.col("cluster")).select(
         F.col("node").alias(id_col))
     return docs.join(drop, id_col, "left_anti")

@@ -151,3 +151,38 @@ def test_paragraph_dedup_laws(spark, docs):
         spark.createDataFrame(docs, ["doc_id", "text"]).repartition(4)).collect()}
     for d in out:
         assert out[d].text == out2[d].text
+
+
+@st.composite
+def vec_frames(draw, min_rows=2, max_rows=20, dim=6):
+    n = draw(st.integers(min_rows, max_rows))
+    rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+    scale = draw(st.sampled_from([1e-6, 1.0, 1e6]))
+    vecs = rng.randn(n, dim) * scale
+    if draw(st.booleans()):
+        vecs[0] = vecs[0][0]  # constant vector: zero span edge case
+    return pd.DataFrame({
+        "vec_id": range(n),
+        "embedding": [[float(v) for v in row] for row in vecs],
+    })
+
+
+@given(pdf=vec_frames())
+@settings(**SETTINGS)
+def test_quantize_roundtrip_error_law(spark, pdf):
+    """For ARBITRARY vectors (any magnitude, including constant
+    vectors where the span floors at 1e-12): codes stay in int8 range
+    and |dequantize(quantize(v)) - v| <= vstep/2 elementwise."""
+    from dask_ml_spark.datapipe.similarity import (
+        dequantize_embeddings, quantize_embeddings)
+
+    df = spark.createDataFrame(pdf)
+    out = dequantize_embeddings(
+        quantize_embeddings(df).withColumnRenamed("embedding", "orig"),
+        vec_col="embedding").toPandas()
+    for row in out.itertuples():
+        orig = np.asarray(row.orig, dtype="float64")
+        rec = np.asarray(row.embedding, dtype="float64")
+        assert all(-128 <= c <= 127 for c in row.code)
+        assert np.abs(orig - rec).max() <= row.vstep / 2 + 1e-9 * max(
+            1.0, np.abs(orig).max())
