@@ -69,6 +69,8 @@ HEADLINE = [
     "large_orders",
     "idle_customers",
     "sole_supplier_orders",
+    "asof_purchase_attribution",
+    "interval_session_clicks",
     "ols_newton_fit",
     "stratified_sample",
     "table_profile_approx",

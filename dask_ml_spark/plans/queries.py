@@ -2381,6 +2381,8 @@ def build_catalog():
         "ann_recall_metrics": q_ann_recall_metrics,
         "idle_customers": q_idle_customers,
         "cross_corpus_dedup": q_cross_corpus_dedup,
+        "asof_purchase_attribution": q_asof_purchase_attribution,
+        "interval_session_clicks": q_interval_session_clicks,
         "sole_supplier_orders": q_sole_supplier_orders,
         "embedding_centroids": q_embedding_centroids,
         "language_id": q_language_id,
@@ -2515,6 +2517,8 @@ def build_catalog():
         "ann_recall_metrics": sql_ann_recall_metrics(),
         "idle_customers": SQL_IDLE_CUSTOMERS,
         "cross_corpus_dedup": SQL_CROSS_CORPUS_DEDUP,
+        "asof_purchase_attribution": SQL_ASOF_PURCHASE_ATTRIBUTION,
+        "interval_session_clicks": SQL_INTERVAL_SESSION_CLICKS,
         "sole_supplier_orders": SQL_SOLE_SUPPLIER_ORDERS,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "language_id": sql_language_id(),
@@ -2976,6 +2980,75 @@ SELECT l_suppkey, n_orders, rank FROM (
            row_number() OVER (ORDER BY revenue DESC, l_suppkey ASC) AS rank
     FROM per_supplier
 ) WHERE rank <= 10
+"""
+
+
+def q_asof_purchase_attribution(spark, sf_dir):
+    """As-of join (operators/joins.py::asof_join — union + one window,
+    NO join node, one shuffle on user_id): every purchase attributed
+    to the user's most recent prior view. The oracle is DuckDB's
+    native ASOF LEFT JOIN; gaps are compared in exact integer
+    microseconds."""
+    from dask_ml_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    j = asof_join(purchases, views, on="ts", by="user_id",
+                  right_cols=["value"], suffix="_view")
+    return (j.groupBy("user_id")
+            .agg(F.count("*").alias("n_purchases"),
+                 F.count("ts_view").alias("n_attributed"),
+                 F.sum(F.unix_micros("ts") - F.unix_micros("ts_view"))
+                 .alias("gap_micros"),
+                 F.sum("value_view").alias("attributed_value")))
+
+
+SQL_ASOF_PURCHASE_ATTRIBUTION = """
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT p.user_id,
+       count(*) AS n_purchases,
+       count(v.ts) AS n_attributed,
+       CAST(sum(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS gap_micros,
+       sum(v.value) AS attributed_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+GROUP BY p.user_id
+"""
+
+
+def q_interval_session_clicks(spark, sf_dir):
+    """Bucketed range join (operators/joins.py::interval_join): clicks
+    landing inside any [signup, signup + 1h] window of the same user.
+    The bucketing turns the BETWEEN predicate into an equi hash join;
+    the oracle runs the plain BETWEEN join."""
+    from dask_ml_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = (ev.where(F.col("event_type") == "signup")
+               .select("user_id", F.col("ts").alias("s_ts"),
+                       (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e_ts"),
+                       F.col("event_id").alias("session_id")))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    j = interval_join(clicks, signups, point_col="ts", start_col="s_ts",
+                      end_col="e_ts", by="user_id", bucket_width=3600.0)
+    return (j.groupBy("user_id")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.countDistinct("event_id").alias("n_clicks"),
+                 F.countDistinct("session_id").alias("n_sessions")))
+
+
+SQL_INTERVAL_SESSION_CLICKS = """
+WITH s AS (SELECT user_id, ts AS s_ts, ts + INTERVAL 1 HOUR AS e_ts,
+                  event_id AS session_id
+           FROM events WHERE event_type = 'signup'),
+c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+SELECT c.user_id, count(*) AS n_pairs,
+       count(DISTINCT c.event_id) AS n_clicks,
+       count(DISTINCT s.session_id) AS n_sessions
+FROM c JOIN s ON c.user_id = s.user_id AND c.ts BETWEEN s.s_ts AND s.e_ts
+GROUP BY c.user_id
 """
 
 

@@ -721,3 +721,74 @@ def test_dedup_stream_against_static_corpus(spark, tmp_path):
     batch = D.dedup_against(
         spark.createDataFrame(arriving), corpus, method="exact").toPandas()
     assert set(batch.doc_id) == set(got.doc_id)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join vs pandas.merge_asof (backward, by-key, with and
+    without tolerance) on random event data."""
+    import pandas as pd
+
+    from dask_ml_spark.operators.joins import asof_join
+
+    rng = np.random.RandomState(5)
+    left = pd.DataFrame({
+        "user": rng.randint(0, 5, 80),
+        "t": rng.randint(0, 1000, 80).astype("float64"),
+        "lv": rng.randn(80),
+    }).sort_values("t").reset_index(drop=True)
+    right = pd.DataFrame({
+        "user": rng.randint(0, 5, 60),
+        "t": rng.randint(0, 1000, 60).astype("float64"),
+        "rv": rng.randn(60),
+    }).drop_duplicates(["user", "t"]).sort_values("t").reset_index(drop=True)
+    expect = pd.merge_asof(left, right, on="t", by="user",
+                           direction="backward", suffixes=("", "_right"))
+    got = (asof_join(spark.createDataFrame(left),
+                     spark.createDataFrame(right),
+                     on="t", by="user", suffix="_right")
+           .toPandas().sort_values(["t", "user", "lv"]).reset_index(drop=True))
+    exp = expect.sort_values(["t", "user", "lv"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(got["rv_right"], exp["rv"].rename("rv_right"),
+                                   check_exact=False)
+    # tolerance: matches older than 100 units null out
+    expect_tol = pd.merge_asof(left, right, on="t", by="user",
+                               direction="backward", tolerance=100.0,
+                               suffixes=("", "_right"))
+    got_tol = (asof_join(spark.createDataFrame(left),
+                         spark.createDataFrame(right),
+                         on="t", by="user", tolerance=100.0, suffix="_right")
+               .toPandas().sort_values(["t", "user", "lv"]).reset_index(drop=True))
+    exp_tol = expect_tol.sort_values(["t", "user", "lv"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got_tol["rv_right"], exp_tol["rv"].rename("rv_right"), check_exact=False)
+
+
+def test_interval_join_matches_naive(spark):
+    """Bucketed interval join == naive containment filter, across
+    bucket widths smaller/larger than the interval lengths."""
+    import pandas as pd
+
+    from dask_ml_spark.operators.joins import interval_join
+
+    rng = np.random.RandomState(9)
+    pts = pd.DataFrame({
+        "g": rng.randint(0, 3, 120),
+        "p": rng.uniform(0, 500, 120),
+        "pid": range(120),
+    })
+    start = rng.uniform(0, 480, 40)
+    iv = pd.DataFrame({
+        "g": rng.randint(0, 3, 40),
+        "s": start,
+        "e": start + rng.uniform(1, 60, 40),
+        "iid": range(40),
+    })
+    naive = pts.merge(iv, on="g")
+    naive = naive[(naive.p >= naive.s) & (naive.p <= naive.e)]
+    expect = set(zip(naive.pid, naive.iid))
+    for width in (10.0, 100.0):
+        got = interval_join(
+            spark.createDataFrame(pts), spark.createDataFrame(iv),
+            point_col="p", start_col="s", end_col="e", by="g",
+            bucket_width=width).toPandas()
+        assert set(zip(got.pid, got.iid)) == expect
