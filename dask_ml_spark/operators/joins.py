@@ -30,26 +30,29 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: str | list | None = None, right_cols=None,
               tolerance=None, suffix: str = "_right",
               direction: str = "backward") -> DataFrame:
-    """Point-in-time join: each left row picks the single most recent
-    right row with right.on <= left.on (direction="backward"; ties
-    match), per `by` group — pandas/dask merge_asof semantics.
+    """Point-in-time join per `by` group — pandas/dask merge_asof
+    semantics for all three directions: each left row picks the single
+    right row that is the most recent with right.on <= left.on
+    ("backward"), the earliest with right.on >= left.on ("forward"),
+    or whichever of those two is closer ("nearest"; backward wins
+    exact-distance ties). Ties on the timestamp itself always match.
 
     right_cols: payload columns from `right` (default: all but on/by),
     appended as <col><suffix> plus <on><suffix> (the matched right
-    timestamp; null when nothing precedes). tolerance: max allowed
-    left.on - right.on (seconds for timestamps, same units for
-    numerics); older matches null out.
+    timestamp; null when no match). tolerance: max allowed |left.on -
+    right.on| (seconds for timestamps, same units for numerics);
+    farther matches null out.
 
-    Scale shape: both sides are tagged and unioned (no join node), one
-    window partitioned by `by` ordered by (on, side) carries the last
-    right payload STRUCT forward — last(ignorenulls) over an
-    unbounded-preceding frame is an O(1) running state per partition,
-    and the only exchange is the hash partition on `by`. Right rows
-    sort BEFORE left rows at equal timestamps, which is what makes
-    ties match.
+    Scale shape: both sides are tagged and unioned (no join node); ONE
+    window sort per partition serves both directions — backward via
+    last(ignorenulls) over unbounded-preceding, forward via
+    first(ignorenulls) over unbounded-following on the same sort
+    (right rows sort before left at equal timestamps, and the forward
+    frame starts one row early to re-admit those ties). O(1) running
+    state per row; the only exchange is the hash partition on `by`.
     """
-    if direction != "backward":
-        raise ValueError("only direction='backward' is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     by_cols = [by] if isinstance(by, str) else list(by or [])
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on and c not in by_cols]
@@ -60,19 +63,45 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     l = left.withColumn("__payload", F.lit(None).cast(
         r.schema["__payload"].dataType)).withColumn("__side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (Window.partitionBy(*by_cols) if by_cols else Window.partitionBy()
-         ).orderBy(F.col(on).asc(), F.col("__side").asc()).rowsBetween(
-        Window.unboundedPreceding, 0)
-    carried = u.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    base = (Window.partitionBy(*by_cols) if by_cols else Window.partitionBy()
+            ).orderBy(F.col(on).asc(), F.col("__side").asc())
+    carried = u
+    matches = []
+    if direction in ("backward", "nearest"):
+        wb = base.rowsBetween(Window.unboundedPreceding, 0)
+        carried = carried.withColumn(
+            "__mb", F.last("__payload", ignorenulls=True).over(wb))
+        matches.append("__mb")
+    if direction in ("forward", "nearest"):
+        # separate sort (same hash partitioning — no extra exchange):
+        # side DESC puts left rows before right at equal timestamps, so
+        # an unbounded-following frame from the left row admits exactly
+        # the right rows with t >= on, ties included
+        basef = (Window.partitionBy(*by_cols) if by_cols else Window.partitionBy()
+                 ).orderBy(F.col(on).asc(), F.col("__side").desc())
+        wf = basef.rowsBetween(0, Window.unboundedFollowing)
+        carried = carried.withColumn(
+            "__mf", F.first("__payload", ignorenulls=True).over(wf))
+        matches.append("__mf")
     out = carried.where(F.col("__side") == 1)
     if tolerance is not None:
-        gap = F.col(on).cast("double") - F.col("__match.__t").cast("double")
-        out = out.withColumn(
-            "__match", F.when(gap <= float(tolerance), F.col("__match")))
+        for m in matches:
+            gap = F.abs(F.col(on).cast("double") - F.col(f"{m}.__t").cast("double"))
+            out = out.withColumn(m, F.when(gap <= float(tolerance), F.col(m)))
+    if direction == "nearest":
+        gb = F.abs(F.col(on).cast("double") - F.col("__mb.__t").cast("double"))
+        gf = F.abs(F.col(on).cast("double") - F.col("__mf.__t").cast("double"))
+        pick = (F.when(F.col("__mb").isNull(), F.col("__mf"))
+                .when(F.col("__mf").isNull(), F.col("__mb"))
+                .when(gf < gb, F.col("__mf"))
+                .otherwise(F.col("__mb")))
+        out = out.withColumn("__match", pick)
+    else:
+        out = out.withColumn("__match", F.col(matches[0]))
     for c in right_cols:
         out = out.withColumn(c + suffix, F.col(f"__match.{c}"))
     out = out.withColumn(on + suffix, F.col("__match.__t"))
-    return out.drop("__payload", "__side", "__match")
+    return out.drop("__payload", "__side", "__match", "__mb", "__mf")
 
 
 def interval_join(points: DataFrame, intervals: DataFrame,

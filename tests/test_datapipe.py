@@ -792,3 +792,36 @@ def test_interval_join_matches_naive(spark):
             point_col="p", start_col="s", end_col="e", by="g",
             bucket_width=width).toPandas()
         assert set(zip(got.pid, got.iid)) == expect
+
+
+def test_asof_join_forward_and_nearest(spark):
+    """forward / nearest directions vs pandas.merge_asof, including
+    timestamp ties and empty-side groups."""
+    import pandas as pd
+
+    from dask_ml_spark.operators.joins import asof_join
+
+    rng = np.random.RandomState(17)
+    left = pd.DataFrame({
+        "user": rng.randint(0, 4, 70),
+        "t": rng.randint(0, 300, 70).astype("float64"),
+        "lv": range(70),
+    }).sort_values("t").reset_index(drop=True)
+    right = pd.DataFrame({
+        "user": rng.randint(0, 4, 50),
+        "t": np.concatenate([rng.randint(0, 300, 45),
+                             left.t.values[:5]]).astype("float64"),
+        "rv": rng.randn(50),
+    }).drop_duplicates(["user", "t"]).sort_values("t").reset_index(drop=True)
+    for direction in ("forward", "nearest"):
+        expect = pd.merge_asof(left, right, on="t", by="user",
+                               direction=direction, suffixes=("", "_right"))
+        got = (asof_join(spark.createDataFrame(left),
+                         spark.createDataFrame(right),
+                         on="t", by="user", direction=direction,
+                         suffix="_right")
+               .toPandas().sort_values(["t", "user", "lv"]).reset_index(drop=True))
+        exp = expect.sort_values(["t", "user", "lv"]).reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got["rv_right"], exp["rv"].rename("rv_right"),
+            check_exact=False), direction
