@@ -401,3 +401,63 @@ class SimpleImputer(BaseEstimator, TransformerMixin):
             filled = F.when(col.isNull() | F.isnan(col.cast("double")), F.lit(v)).otherwise(col)
             exprs[c] = filled.cast("double") if isinstance(v, float) else filled
         return df.withColumns(exprs)
+
+
+class KBinsDiscretizer(BaseEstimator, TransformerMixin):
+    """Bin continuous features into ordinal integer bins (sklearn
+    KBinsDiscretizer semantics, ordinal encode) — beyond-reference
+    preprocessing the scaler family composes with.
+
+    strategy="quantile": edges are the n_bins+1 percentiles (exact
+    `percentile` by default, `approximate=True` → percentile_approx —
+    the 100 TB setting, same Greenwald-Khanna trade the reference's
+    own quantiles make). strategy="uniform": equal-width edges from
+    one min/max aggregate. Either way fit is ONE aggregate pass.
+
+    Transform is a pure column expression: bin = number of INTERIOR
+    edges <= x (left-closed bins, outside values clipped into the
+    first/last bin — sklearn's convention), computed by counting a
+    literal edge array. No UDF, no shuffle.
+    """
+
+    def __init__(self, n_bins: int = 5, strategy: str = "quantile",
+                 approximate: bool = False):
+        self.n_bins = n_bins
+        self.strategy = strategy
+        self.approximate = approximate
+
+    def fit(self, df: DataFrame, columns=None) -> "KBinsDiscretizer":
+        cols = self._validate_data(df, columns)
+        k = self.n_bins
+        if self.strategy == "quantile":
+            pct = F.percentile_approx if self.approximate else F.percentile
+            probs = F.array(*[F.lit(i / k) for i in range(k + 1)])
+            row = df.agg(*[pct(_nn(c), probs).alias(c) for c in cols]).collect()[0]
+            edges = {c: [float(v) for v in row[c]] for c in cols}
+        elif self.strategy == "uniform":
+            aggs = []
+            for c in cols:
+                aggs += [F.min(_nn(c)).alias(f"lo_{c}"), F.max(_nn(c)).alias(f"hi_{c}")]
+            row = df.agg(*aggs).collect()[0]
+            edges = {
+                c: [row[f"lo_{c}"] + (row[f"hi_{c}"] - row[f"lo_{c}"]) * i / k
+                    for i in range(k + 1)]
+                for c in cols
+            }
+        else:
+            raise ValueError(f"unknown strategy {self.strategy!r}")
+        self.bin_edges_ = edges
+        self.columns_ = cols
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        exprs = {}
+        for c in self.columns_:
+            interior = self.bin_edges_[c][1:-1]
+            x = F.col(c).cast("double")
+            bin_ = sum(
+                ((x >= F.lit(float(e))).cast("int") for e in interior),
+                F.lit(0),
+            )
+            exprs[c] = bin_.cast("int")
+        return df.withColumns(exprs)

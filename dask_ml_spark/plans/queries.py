@@ -2382,6 +2382,7 @@ def build_catalog():
         "idle_customers": q_idle_customers,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "asof_purchase_attribution": q_asof_purchase_attribution,
+        "kbins_discretizer": q_kbins_discretizer,
         "interval_session_clicks": q_interval_session_clicks,
         "sole_supplier_orders": q_sole_supplier_orders,
         "embedding_centroids": q_embedding_centroids,
@@ -2518,6 +2519,7 @@ def build_catalog():
         "idle_customers": SQL_IDLE_CUSTOMERS,
         "cross_corpus_dedup": SQL_CROSS_CORPUS_DEDUP,
         "asof_purchase_attribution": SQL_ASOF_PURCHASE_ATTRIBUTION,
+        "kbins_discretizer": SQL_KBINS_DISCRETIZER,
         "interval_session_clicks": SQL_INTERVAL_SESSION_CLICKS,
         "sole_supplier_orders": SQL_SOLE_SUPPLIER_ORDERS,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
@@ -2980,6 +2982,42 @@ SELECT l_suppkey, n_orders, rank FROM (
            row_number() OVER (ORDER BY revenue DESC, l_suppkey ASC) AS rank
     FROM per_supplier
 ) WHERE rank <= 10
+"""
+
+
+def q_kbins_discretizer(spark, sf_dir):
+    """KBinsDiscretizer (operators/preprocessing.py): exact-quantile
+    edges on the continuous l_extendedprice (continuous ⇒ no
+    row-on-edge float ambiguity between engines), ordinal transform as
+    a pure column expression; per-bin count + sum checked."""
+    from dask_ml_spark.operators.preprocessing import KBinsDiscretizer
+
+    li = _t(spark, sf_dir, "lineitem")
+    kb = KBinsDiscretizer(n_bins=8, strategy="quantile").fit(
+        li, ["l_extendedprice"])
+    return (kb.transform(li.select("l_extendedprice",
+                                   F.col("l_extendedprice").alias("raw")))
+            .groupBy(F.col("l_extendedprice").cast("long").alias("bin"))
+            .agg(F.count("*").alias("n"), F.sum("raw").alias("total")))
+
+
+SQL_KBINS_DISCRETIZER = """
+WITH e AS (
+    SELECT quantile_cont(l_extendedprice,
+        [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q
+    FROM lineitem
+)
+SELECT
+    (CASE WHEN l_extendedprice >= q[1] THEN 1 ELSE 0 END
+   + CASE WHEN l_extendedprice >= q[2] THEN 1 ELSE 0 END
+   + CASE WHEN l_extendedprice >= q[3] THEN 1 ELSE 0 END
+   + CASE WHEN l_extendedprice >= q[4] THEN 1 ELSE 0 END
+   + CASE WHEN l_extendedprice >= q[5] THEN 1 ELSE 0 END
+   + CASE WHEN l_extendedprice >= q[6] THEN 1 ELSE 0 END
+   + CASE WHEN l_extendedprice >= q[7] THEN 1 ELSE 0 END)::BIGINT AS bin,
+    count(*) AS n, sum(l_extendedprice) AS total
+FROM lineitem CROSS JOIN e
+GROUP BY 1
 """
 
 

@@ -11,6 +11,7 @@ from dask_ml_spark.operators.encoders import (  # noqa: F401
 from dask_ml_spark.operators.preprocessing import (  # noqa: F401
     MinMaxScaler,
     PolynomialFeatures,
+    KBinsDiscretizer,
     QuantileTransformer,
     RobustScaler,
     SimpleImputer,

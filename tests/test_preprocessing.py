@@ -117,3 +117,25 @@ def test_simple_imputer_constant(spark):
     imp = SimpleImputer(strategy="constant", fill_value=-1.0).fit(df, ["a"])
     out = imp.transform(df).toPandas()
     assert out["a"].tolist() == [1.0, -1.0]
+
+
+def test_kbins_discretizer_quantile_and_uniform(spark, lineitem):
+    """Bins match a numpy replay (count of interior edges <= x) for
+    both strategies; output bins are in [0, k-1] and every bin of a
+    quantile fit is populated."""
+    import numpy as np
+
+    from dask_ml_spark.operators.preprocessing import KBinsDiscretizer
+
+    cols = ["l_extendedprice", "l_quantity"]
+    pdf = lineitem.select(*cols).toPandas()
+    for strategy in ("quantile", "uniform"):
+        kb = KBinsDiscretizer(n_bins=4, strategy=strategy).fit(lineitem, cols)
+        out = kb.transform(lineitem.select(*cols)).toPandas()
+        for c in cols:
+            edges = np.asarray(kb.bin_edges_[c])
+            expect = (pdf[c].to_numpy()[:, None] >= edges[1:-1]).sum(axis=1)
+            np.testing.assert_array_equal(out[c].to_numpy(), expect)
+            assert out[c].between(0, 3).all()
+        if strategy == "quantile":
+            assert set(out["l_extendedprice"].unique()) == {0, 1, 2, 3}
