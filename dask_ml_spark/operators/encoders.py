@@ -306,3 +306,56 @@ class OneHotEncoder(BaseEstimator, TransformerMixin):
         ).fit(fit_df)
         assembled = VectorAssembler(inputCols=vec_names, outputCol=output_col)
         return assembled.transform(model.transform(work)).drop(*code_names, *vec_names)
+
+
+class TargetEncoder(BaseEstimator, TransformerMixin):
+    """Mean-target (impact) encoding with additive smoothing —
+    beyond-reference (sklearn 1.3 TargetEncoder semantics, fit on the
+    full data):
+
+        enc(cat) = (n_cat · mean_cat + smooth · global_mean)
+                   / (n_cat + smooth)
+
+    Fit is one groupBy per encoded column plus one global aggregate —
+    per-category state is dictionary-sized (same contract as the other
+    encoders, which all hold collected category dictionaries).
+    Transform folds the mapping in as a literal map lookup with the
+    global mean as the unseen-category default: a narrow projection,
+    no join, no UDF.
+    """
+
+    def __init__(self, columns=None, smoothing: float = 20.0):
+        self.columns = columns
+        self.smoothing = smoothing
+
+    def fit(self, df: DataFrame, columns=None, target_col: str = "label") -> "TargetEncoder":
+        cols = [c for c in (columns or self.columns or [])]
+        if not cols:
+            raise ValueError("TargetEncoder requires explicit columns")
+        t = F.col(target_col).cast("double")
+        self.global_mean_ = float(df.agg(F.avg(t)).first()[0])
+        s = float(self.smoothing)
+        self.encodings_ = {}
+        for c in cols:
+            rows = (df.groupBy(c)
+                    .agg(F.count(t).alias("n"), F.avg(t).alias("m"))
+                    .collect())
+            self.encodings_[c] = {
+                r[c]: (r["n"] * r["m"] + s * self.global_mean_) / (r["n"] + s)
+                for r in rows
+            }
+        self.columns_ = cols
+        self.target_col_ = target_col
+        return self
+
+    def transform(self, df: DataFrame, suffix: str = "_enc") -> DataFrame:
+        exprs = {}
+        for c in self.columns_:
+            mapping = self.encodings_[c]
+            m = F.create_map(*[
+                x for k, v in mapping.items()
+                for x in (F.lit(k), F.lit(float(v)))
+            ])
+            exprs[c + suffix] = F.coalesce(
+                m[F.col(c)], F.lit(self.global_mean_))
+        return df.withColumns(exprs)

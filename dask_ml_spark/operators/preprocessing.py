@@ -461,3 +461,30 @@ class KBinsDiscretizer(BaseEstimator, TransformerMixin):
             )
             exprs[c] = bin_.cast("int")
         return df.withColumns(exprs)
+
+
+class Normalizer(BaseEstimator, TransformerMixin):
+    """Row-wise norm scaling (sklearn Normalizer; beyond-reference):
+    each row's feature vector is divided by its L1/L2/max norm — a
+    stateless narrow projection (fit is a no-op), pure column
+    arithmetic."""
+
+    def __init__(self, norm: str = "l2"):
+        self.norm = norm
+
+    def fit(self, df: DataFrame, columns=None) -> "Normalizer":
+        self.columns_ = self._validate_data(df, columns)
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        xs = [F.col(c).cast("double") for c in self.columns_]
+        if self.norm == "l2":
+            n = F.sqrt(sum((x * x for x in xs), F.lit(0.0)))
+        elif self.norm == "l1":
+            n = sum((F.abs(x) for x in xs), F.lit(0.0))
+        elif self.norm == "max":
+            n = F.greatest(*[F.abs(x) for x in xs]) if len(xs) > 1 else F.abs(xs[0])
+        else:
+            raise ValueError(f"unknown norm {self.norm!r}")
+        safe = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+        return df.withColumns({c: x / safe for c, x in zip(self.columns_, xs)})

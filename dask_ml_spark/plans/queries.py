@@ -2383,6 +2383,8 @@ def build_catalog():
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "asof_purchase_attribution": q_asof_purchase_attribution,
         "kbins_discretizer": q_kbins_discretizer,
+        "target_encoder": q_target_encoder,
+        "row_normalizer": q_row_normalizer,
         "interval_session_clicks": q_interval_session_clicks,
         "sole_supplier_orders": q_sole_supplier_orders,
         "embedding_centroids": q_embedding_centroids,
@@ -2520,6 +2522,8 @@ def build_catalog():
         "cross_corpus_dedup": SQL_CROSS_CORPUS_DEDUP,
         "asof_purchase_attribution": SQL_ASOF_PURCHASE_ATTRIBUTION,
         "kbins_discretizer": SQL_KBINS_DISCRETIZER,
+        "target_encoder": SQL_TARGET_ENCODER,
+        "row_normalizer": SQL_ROW_NORMALIZER,
         "interval_session_clicks": SQL_INTERVAL_SESSION_CLICKS,
         "sole_supplier_orders": SQL_SOLE_SUPPLIER_ORDERS,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
@@ -2982,6 +2986,60 @@ SELECT l_suppkey, n_orders, rank FROM (
            row_number() OVER (ORDER BY revenue DESC, l_suppkey ASC) AS rank
     FROM per_supplier
 ) WHERE rank <= 10
+"""
+
+
+def q_target_encoder(spark, sf_dir):
+    """TargetEncoder (operators/encoders.py): smoothed mean-target
+    encoding of l_returnflag against l_quantity; the oracle replays
+    the exact shrinkage formula per category."""
+    from dask_ml_spark.operators.encoders import TargetEncoder
+
+    li = _t(spark, sf_dir, "lineitem")
+    te = TargetEncoder(smoothing=20.0).fit(
+        li, ["l_returnflag"], target_col="l_quantity")
+    return (te.transform(li)
+            .groupBy("l_returnflag")
+            .agg(F.first("l_returnflag_enc").alias("enc"),
+                 F.count("*").alias("n")))
+
+
+SQL_TARGET_ENCODER = """
+WITH g AS (SELECT avg(l_quantity) AS gm FROM lineitem),
+s AS (SELECT l_returnflag, count(*) AS n, avg(l_quantity) AS m
+      FROM lineitem GROUP BY 1)
+SELECT l_returnflag, (n * m + 20.0 * gm) / (n + 20.0) AS enc, n
+FROM s CROSS JOIN g
+"""
+
+
+def q_row_normalizer(spark, sf_dir):
+    """Normalizer (operators/preprocessing.py): row-wise L2 scaling of
+    three lineitem measures — stateless narrow projection; per-flag
+    sums of the normalized columns are value-checked."""
+    from dask_ml_spark.operators.preprocessing import Normalizer
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_tax"]
+    out = Normalizer(norm="l2").fit(li, cols).transform(li)
+    return (out.groupBy("l_returnflag")
+            .agg(*[F.sum(c).alias(f"sum_{c}") for c in cols]))
+
+
+SQL_ROW_NORMALIZER = """
+WITH n AS (
+    SELECT l_returnflag,
+           sqrt(l_quantity * l_quantity
+                + l_extendedprice * l_extendedprice
+                + l_tax * l_tax) AS nrm,
+           l_quantity, l_extendedprice, l_tax
+    FROM lineitem
+)
+SELECT l_returnflag,
+       sum(l_quantity / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)) AS sum_l_quantity,
+       sum(l_extendedprice / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)) AS sum_l_extendedprice,
+       sum(l_tax / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)) AS sum_l_tax
+FROM n GROUP BY l_returnflag
 """
 
 

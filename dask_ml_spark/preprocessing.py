@@ -3,6 +3,7 @@
 
 from dask_ml_spark.operators.encoders import (  # noqa: F401
     Categorizer,
+    TargetEncoder,
     DummyEncoder,
     LabelEncoder,
     OneHotEncoder,
@@ -10,6 +11,7 @@ from dask_ml_spark.operators.encoders import (  # noqa: F401
 )
 from dask_ml_spark.operators.preprocessing import (  # noqa: F401
     MinMaxScaler,
+    Normalizer,
     PolynomialFeatures,
     KBinsDiscretizer,
     QuantileTransformer,

@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from dask_ml_spark.operators.encoders import (
     Categorizer,
@@ -142,3 +143,29 @@ def test_one_hot_encoder_wide_sparse_path(spark):
     assert list(v.indices) == [699, 700 + 599]
     v = rows["zzz"]  # unknown A (ignored) + null B -> all zeros
     assert len(v.indices) == 0
+
+
+def test_target_encoder_matches_formula(spark, lineitem):
+    """Smoothed mean-target encoding vs a pandas replay of the exact
+    formula, plus the unseen-category fallback to the global mean."""
+    import numpy as np
+    import pandas as pd
+
+    from dask_ml_spark.operators.encoders import TargetEncoder
+
+    df = lineitem.withColumn("y", (F.col("l_quantity")).cast("double"))
+    te = TargetEncoder(smoothing=10.0).fit(df, ["l_returnflag"], target_col="y")
+    pdf = df.select("l_returnflag", "y").toPandas()
+    g = pdf.groupby("l_returnflag")["y"].agg(["count", "mean"])
+    gm = pdf["y"].mean()
+    for cat, row in g.iterrows():
+        expect = (row["count"] * row["mean"] + 10.0 * gm) / (row["count"] + 10.0)
+        np.testing.assert_allclose(te.encodings_["l_returnflag"][cat], expect,
+                                   rtol=1e-9)
+    out = te.transform(df.limit(50)).toPandas()
+    np.testing.assert_allclose(
+        out["l_returnflag_enc"],
+        [te.encodings_["l_returnflag"][c] for c in out["l_returnflag"]])
+    unseen = spark.createDataFrame(pd.DataFrame({"l_returnflag": ["ZZ"]}))
+    got = te.transform(unseen).toPandas()
+    np.testing.assert_allclose(got["l_returnflag_enc"], [gm], rtol=1e-9)

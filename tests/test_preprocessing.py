@@ -139,3 +139,21 @@ def test_kbins_discretizer_quantile_and_uniform(spark, lineitem):
             assert out[c].between(0, 3).all()
         if strategy == "quantile":
             assert set(out["l_extendedprice"].unique()) == {0, 1, 2, 3}
+
+
+def test_normalizer_rowwise(spark, lineitem):
+    import numpy as np
+
+    from dask_ml_spark.operators.preprocessing import Normalizer
+
+    cols = ["l_quantity", "l_extendedprice", "l_tax"]
+    pdf = lineitem.select(*cols).limit(200).toPandas()
+    X = pdf.to_numpy(dtype="float64")
+    for norm, np_norm in (("l2", lambda r: np.sqrt((r * r).sum())),
+                          ("l1", lambda r: np.abs(r).sum()),
+                          ("max", lambda r: np.abs(r).max())):
+        out = (Normalizer(norm=norm).fit(lineitem, cols)
+               .transform(spark.createDataFrame(pdf)).toPandas()
+               .to_numpy(dtype="float64"))
+        expect = np.array([r / (np_norm(r) or 1.0) for r in X])
+        np.testing.assert_allclose(out, expect, rtol=1e-9)
