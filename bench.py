@@ -62,6 +62,9 @@ HEADLINE = [
     "column_transformer",
     "quality_filter",
     "simple_imputer_transform",
+    "kbins_discretizer",
+    "target_encoder",
+    "row_normalizer",
     "feature_hasher_long",
     "curation_pipeline",
     "local_supplier_volume",

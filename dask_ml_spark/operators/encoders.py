@@ -337,9 +337,19 @@ class TargetEncoder(BaseEstimator, TransformerMixin):
         s = float(self.smoothing)
         self.encodings_ = {}
         for c in cols:
-            rows = (df.groupBy(c)
-                    .agg(F.count(t).alias("n"), F.avg(t).alias("m"))
-                    .collect())
+            stats = df.groupBy(c).agg(F.count(t).alias("n"), F.avg(t).alias("m"))
+            # cardinality guard (same policy as CountVectorizer's
+            # vocabulary gate): the collected dictionary must stay
+            # dimension-sized — a high-cardinality key (user ids, urls)
+            # needs hashing or bucketing upstream, not a driver OOM here
+            n_cat = stats.count()
+            if n_cat > 100_000:
+                raise ValueError(
+                    f"TargetEncoder: column {c!r} has {n_cat:,} categories; "
+                    "the per-category dictionary would not be driver-sized. "
+                    "Hash or bucket the column first (e.g. FeatureHasher), "
+                    "or encode with a join against the stats table.")
+            rows = stats.collect()
             self.encodings_[c] = {
                 r[c]: (r["n"] * r["m"] + s * self.global_mean_) / (r["n"] + s)
                 for r in rows

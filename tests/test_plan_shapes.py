@@ -22,6 +22,11 @@ def catalog():
 
 
 def _plan(spark, catalog, name: str) -> str:
+    # the assertions target the COLD parquet-scan plan (pushdown,
+    # pruning); cached fixtures from earlier tests would otherwise make
+    # Spark resolve the identical scan to InMemoryTableScan and hide
+    # PushedFilters entirely
+    spark.catalog.clearCache()
     df = catalog[name](spark, SF_DIR)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -6,6 +6,10 @@ import pytest
 
 
 def _plan(df) -> str:
+    # cold-scan plan: clear fixture caches so the scans under test stay
+    # parquet scans (a materialized cache of the same read would resolve
+    # to InMemoryTableScan and hide PushedFilters)
+    df.sparkSession.catalog.clearCache()
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
