@@ -62,7 +62,7 @@ HEADLINE = [
     "column_transformer",
     "quality_filter",
     "simple_imputer_transform",
-    "kbins_discretizer",
+    "kbins_discretizer_approx",
     "target_encoder",
     "row_normalizer",
     "feature_hasher_long",

@@ -2383,6 +2383,7 @@ def build_catalog():
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "asof_purchase_attribution": q_asof_purchase_attribution,
         "kbins_discretizer": q_kbins_discretizer,
+        "kbins_discretizer_approx": q_kbins_discretizer_approx,
         "target_encoder": q_target_encoder,
         "row_normalizer": q_row_normalizer,
         "interval_session_clicks": q_interval_session_clicks,
@@ -2987,6 +2988,20 @@ SELECT l_suppkey, n_orders, rank FROM (
     FROM per_supplier
 ) WHERE rank <= 10
 """
+
+
+def q_kbins_discretizer_approx(spark, sf_dir):
+    """Scale-path KBinsDiscretizer: percentile_approx edges
+    (Greenwald-Khanna — engine-specific sketch, so rows-only like the
+    other *_approx variants; the exact sibling is the oracle)."""
+    from dask_ml_spark.operators.preprocessing import KBinsDiscretizer
+
+    li = _t(spark, sf_dir, "lineitem")
+    kb = KBinsDiscretizer(n_bins=8, strategy="quantile",
+                          approximate=True).fit(li, ["l_extendedprice"])
+    return (kb.transform(li.select("l_extendedprice"))
+            .groupBy(F.col("l_extendedprice").cast("long").alias("bin"))
+            .agg(F.count("*").alias("n")))
 
 
 def q_target_encoder(spark, sf_dir):
