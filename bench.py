@@ -72,6 +72,9 @@ HEADLINE = [
     "large_orders",
     "idle_customers",
     "sole_supplier_orders",
+    "small_quantity_revenue",
+    "bracketed_discount_revenue",
+    "important_parts",
     "asof_purchase_attribution",
     "interval_session_clicks",
     "ols_newton_fit",

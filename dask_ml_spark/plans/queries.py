@@ -2384,6 +2384,9 @@ def build_catalog():
         "asof_purchase_attribution": q_asof_purchase_attribution,
         "kbins_discretizer": q_kbins_discretizer,
         "kbins_discretizer_approx": q_kbins_discretizer_approx,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "bracketed_discount_revenue": q_bracketed_discount_revenue,
+        "important_parts": q_important_parts,
         "target_encoder": q_target_encoder,
         "row_normalizer": q_row_normalizer,
         "interval_session_clicks": q_interval_session_clicks,
@@ -2524,6 +2527,9 @@ def build_catalog():
         "asof_purchase_attribution": SQL_ASOF_PURCHASE_ATTRIBUTION,
         "kbins_discretizer": SQL_KBINS_DISCRETIZER,
         "target_encoder": SQL_TARGET_ENCODER,
+        "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
+        "bracketed_discount_revenue": SQL_BRACKETED_DISCOUNT_REVENUE,
+        "important_parts": SQL_IMPORTANT_PARTS,
         "row_normalizer": SQL_ROW_NORMALIZER,
         "interval_session_clicks": SQL_INTERVAL_SESSION_CLICKS,
         "sole_supplier_orders": SQL_SOLE_SUPPLIER_ORDERS,
@@ -2987,6 +2993,102 @@ SELECT l_suppkey, n_orders, rank FROM (
            row_number() OVER (ORDER BY revenue DESC, l_suppkey ASC) AS rank
     FROM per_supplier
 ) WHERE rank <= 10
+"""
+
+
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17-shaped: revenue from orders below 20% of the part's
+    average quantity, for one brand. Plan shape: the per-part average
+    is a groupBy(l_partkey) aggregate joined BACK to lineitem on the
+    same key — AQE reuses one l_partkey exchange for both sides — and
+    the brand filter rides a broadcast part dimension."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    thresh = (li.groupBy("l_partkey")
+              .agg((F.lit(0.2) * F.avg("l_quantity")).alias("__qbar")))
+    return (
+        li.join(F.broadcast(p.where(F.col("p_brand") == "Brand#12")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(thresh, "l_partkey")
+        .where(F.col("l_quantity") < F.col("__qbar"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+SELECT sum(l_extendedprice) / 7.0 AS avg_yearly, count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#12'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def q_bracketed_discount_revenue(spark, sf_dir):
+    """TPC-H Q19-shaped: revenue under DISJUNCTIVE brand/size/quantity
+    brackets — the OR-of-ANDs predicate family Catalyst must keep
+    pushable. The part side broadcasts; the lineitem quantity bounds
+    (the union of the brackets) are pushed to the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    b = F.col("p_brand")
+    s = F.col("p_size")
+    q = F.col("l_quantity")
+    pred = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    )
+    return (j.where(pred)
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+SQL_BRACKETED_DISCOUNT_REVENUE = """
+SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11-shaped (adapted — no partsupp table in the synthetic
+    schema): parts whose revenue exceeds a FRACTION of total revenue,
+    rolled up per brand. Plan shape: one groupBy(l_partkey) aggregate,
+    a 1-row global total broadcast against it (scalar HAVING), and a
+    broadcast part-dimension join for the brand rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = li.groupBy("l_partkey").agg(rev.alias("part_rev"))
+    total = per_part.agg(F.sum("part_rev").alias("__total"))
+    important = (per_part.crossJoin(F.broadcast(total))
+                 .where(F.col("part_rev") > 0.00075 * F.col("__total")))
+    return (important
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_parts"),
+                 F.sum("part_rev").alias("brand_rev")))
+
+
+SQL_IMPORTANT_PARTS = """
+WITH pr AS (
+    SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS part_rev
+    FROM lineitem GROUP BY 1
+)
+SELECT p.p_brand, count(*) AS n_parts, sum(pr.part_rev) AS brand_rev
+FROM pr JOIN part p ON p.p_partkey = pr.l_partkey
+WHERE pr.part_rev > 0.00075 * (SELECT sum(part_rev) FROM pr)
+GROUP BY p.p_brand
 """
 
 
