@@ -112,3 +112,27 @@ def topk_per_group(df: DataFrame, group_cols, order_cols, k: int,
     w = Window.partitionBy(*group_cols).orderBy(*ordering)
     return (df.withColumn(rank_col, F.row_number().over(w))
             .where(F.col(rank_col) <= k))
+
+
+def token_quota(docs: DataFrame, quota: int, source_col: str = "source",
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-source token budget, batch rendering: keep each source's
+    documents in id order until the cumulative token count would
+    exceed `quota` (the streaming rendering is
+    streaming/stateful.py::token_quota_stream — one long of state per
+    source). One window per source (shuffle on source_col); the
+    running sum is O(1) state per row. Output adds n_tokens and
+    tokens_before (cumulative count before this doc).
+    """
+    from pyspark.sql import Window
+
+    from dask_ml_spark.datapipe.text_stats import token_count
+
+    w = (Window.partitionBy(source_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tagged = (docs
+              .withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+              .withColumn("__cum", F.sum("n_tokens").over(w)))
+    return (tagged.where(F.col("__cum") <= quota)
+            .withColumn("tokens_before", F.col("__cum") - F.col("n_tokens"))
+            .drop("__cum"))

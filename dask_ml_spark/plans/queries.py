@@ -2385,6 +2385,7 @@ def build_catalog():
         "kbins_discretizer": q_kbins_discretizer,
         "kbins_discretizer_approx": q_kbins_discretizer_approx,
         "small_quantity_revenue": q_small_quantity_revenue,
+        "source_token_quota": q_source_token_quota,
         "bracketed_discount_revenue": q_bracketed_discount_revenue,
         "important_parts": q_important_parts,
         "target_encoder": q_target_encoder,
@@ -2528,6 +2529,7 @@ def build_catalog():
         "kbins_discretizer": SQL_KBINS_DISCRETIZER,
         "target_encoder": SQL_TARGET_ENCODER,
         "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
+        "source_token_quota": SQL_SOURCE_TOKEN_QUOTA,
         "bracketed_discount_revenue": SQL_BRACKETED_DISCOUNT_REVENUE,
         "important_parts": SQL_IMPORTANT_PARTS,
         "row_normalizer": SQL_ROW_NORMALIZER,
@@ -2993,6 +2995,39 @@ SELECT l_suppkey, n_orders, rank FROM (
            row_number() OVER (ORDER BY revenue DESC, l_suppkey ASC) AS rank
     FROM per_supplier
 ) WHERE rank <= 10
+"""
+
+
+def q_source_token_quota(spark, sf_dir):
+    """Per-source token budget (datapipe/sampling.py::token_quota,
+    batch rendering of streaming/stateful.py::token_quota_stream):
+    keep documents in id order until each source's cumulative tokens
+    hit the quota. The oracle replays the same running-sum window."""
+    from dask_ml_spark.datapipe.sampling import token_quota
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = token_quota(docs, quota=5_000)
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("tokens_used"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
+SQL_SOURCE_TOKEN_QUOTA = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS n_tokens
+    FROM documents
+), c AS (
+    SELECT doc_id, source, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_used,
+       sum(doc_id) AS id_checksum
+FROM c WHERE cum <= 5000 GROUP BY source
 """
 
 

@@ -137,3 +137,57 @@ def streaming_quality_filter(docs: DataFrame, min_chars: int = 100,
         (F.length(F.col(text_col)) >= min_chars)
         & (F.length(F.col(text_col)) <= max_chars)
     )
+
+
+QUOTA_OUTPUT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("source", StringType()),
+    StructField("n_tokens", LongType()),
+    StructField("tokens_before", LongType()),
+])
+
+_QUOTA_STATE_SCHEMA = StructType([StructField("used", LongType())])
+
+
+def token_quota_stream(docs: DataFrame, quota: int,
+                       source_col: str = "source", id_col: str = "doc_id",
+                       tokens_col: str = "n_tokens") -> DataFrame:
+    """Streaming per-source token budget: documents stream through
+    until their source's cumulative token count would exceed `quota`;
+    later arrivals for that source are dropped. State per key is ONE
+    long (tokens used) — bounded regardless of stream length. Within a
+    micro-batch, rows are consumed in id order so replays are
+    deterministic; the batch rendering (same id order) is
+    `dask_ml_spark.datapipe.sampling.token_quota`, and tests assert
+    the two agree.
+
+    Expects `tokens_col` precomputed (token_count(text) — keep the
+    heavy tokenization in JVM expressions before the stateful hop).
+    """
+    import pandas as pd
+
+    def _enforce(key, pdf_iter, state):
+        (src,) = key
+        used = state.get[0] if state.exists else 0
+        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values(id_col)
+        kept = []
+        for did, nt in zip(rows[id_col], rows[tokens_col]):
+            nt = int(nt)
+            if used + nt <= quota:
+                kept.append((int(did), src, nt, used))
+                used += nt
+        state.update((used,))
+        if kept:
+            yield pd.DataFrame(
+                kept, columns=["doc_id", "source", "n_tokens", "tokens_before"])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (docs.groupBy(source_col)
+            .applyInPandasWithState(
+                _enforce,
+                outputStructType=QUOTA_OUTPUT_SCHEMA,
+                stateStructType=_QUOTA_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

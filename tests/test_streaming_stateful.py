@@ -81,3 +81,42 @@ def test_streaming_quality_filter_runs_on_stream(spark, tmp_path):
     got = spark.sql("SELECT count(*) n FROM docs_out").collect()[0]["n"]
     want = streaming_quality_filter(src, min_chars=50).count()
     assert got == want and got > 0
+
+
+def test_token_quota_stream_matches_batch(spark, tmp_path):
+    """Streaming per-source token quota agrees with the batch window
+    rendering on the same data, and state caps every source."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.datapipe.sampling import token_quota
+    from dask_ml_spark.streaming.stateful import token_quota_stream
+
+    rng = np.random.RandomState(3)
+    docs = pd.DataFrame({
+        "doc_id": range(60),
+        "source": [["web", "books", "code"][i % 3] for i in range(60)],
+        "text": [" ".join(f"tok{j}" for j in range(rng.randint(5, 40)))
+                 for _ in range(60)],
+    })
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(docs).write.parquet(src)
+    QUOTA = 300
+
+    batch = token_quota(spark.read.parquet(src), QUOTA).toPandas()
+    stream_in = (spark.readStream.schema("doc_id long, source string, text string")
+                 .parquet(src)
+                 .withColumn("n_tokens", F.size(F.regexp_extract_all(
+                     F.lower("text"), F.lit("[a-z0-9_]{2,}"), 0)).cast("long")))
+    out = token_quota_stream(stream_in, QUOTA)
+    q = (out.writeStream.format("memory").queryName("quota_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.sql("select * from quota_out").toPandas()
+    assert set(got.doc_id) == set(batch.doc_id)
+    per_src = got.groupby("source")["n_tokens"].sum()
+    assert (per_src <= QUOTA).all()
+    merged = got.set_index("doc_id")["tokens_before"]
+    expect = batch.set_index("doc_id")["tokens_before"]
+    assert merged.sort_index().equals(expect.sort_index())
