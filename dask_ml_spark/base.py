@@ -51,6 +51,33 @@ class BaseEstimator:
         cls = type(self)
         return cls(**{k: copy.deepcopy(v) for k, v in self.get_params().items()})
 
+    def save(self, path: str) -> str:
+        """Persist the estimator (params + fitted state) with pickle.
+        Every estimator here is a plain Python object whose fitted
+        state is driver-sized (coefficients, centers, dictionaries,
+        edges) — the DataFrames they consume are never part of the
+        state, so the artifact stays small and survives across
+        SparkSessions. Returns the path."""
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "BaseEstimator":
+        """Inverse of `save`. Loading through a subclass checks the
+        type (StandardScaler.load won't silently return a KMeans);
+        loading through BaseEstimator accepts any estimator."""
+        import pickle
+
+        with open(path, "rb") as f:
+            obj = pickle.load(f)
+        if cls is not BaseEstimator and not isinstance(obj, cls):
+            raise TypeError(
+                f"{path!r} holds a {type(obj).__name__}, not a {cls.__name__}")
+        return obj
+
     def __repr__(self) -> str:
         params = ", ".join(f"{k}={v!r}" for k, v in sorted(self.get_params().items()))
         return f"{type(self).__name__}({params})"

@@ -211,3 +211,26 @@ def test_hash_bucket_engine_portability(spark):
     for k in keys:
         expect = (((SALT % P + k) % P) * M % P) % NB
         assert got[k] == expect, (k, got[k], expect)
+
+
+def test_estimator_save_load_roundtrip(spark, lineitem, tmp_path):
+    """save/load preserves fitted state across estimator families and
+    the transform output is identical; subclass load type-checks."""
+    import numpy as np
+    import pytest
+
+    from dask_ml_spark.base import BaseEstimator
+    from dask_ml_spark.operators.cluster import KMeans
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+
+    cols = ["l_quantity", "l_extendedprice"]
+    sc = StandardScaler().fit(lineitem, cols)
+    p = sc.save(str(tmp_path / "scaler.pkl"))
+    sc2 = StandardScaler.load(p)
+    a = sc.transform(lineitem.select(*cols)).toPandas()
+    b = sc2.transform(lineitem.select(*cols)).toPandas()
+    np.testing.assert_allclose(a.to_numpy(), b.to_numpy())
+    # generic load works, wrong-subclass load raises
+    assert isinstance(BaseEstimator.load(p), StandardScaler)
+    with pytest.raises(TypeError):
+        KMeans.load(p)
