@@ -2,11 +2,14 @@
 
 Treats media as opaque `binary` columns plus typed metadata structs.
 The Spark-side machinery — schemas, Arrow batch shapes, mapInPandas
-signatures, partition sizing — is real and tested; the actual codec
-calls are STUBBED (image/audio libraries are not in this container):
-`decode_image(..., stub=False)` raises NotImplementedError, and
-`stub=True` (default) produces a deterministic fake decode derived
-from the bytes, so pipelines are end-to-end testable.
+signatures, partition sizing — is real and tested. Codecs: formats a
+stdlib+numpy container can honestly decode are REAL under
+`stub=False` — uncompressed BMP / binary P6 PPM images and PCM WAV
+audio (stdlib `wave` + rfft band energies); compressed formats
+(JPEG/PNG/mp3/video) still raise NotImplementedError because no codec
+library ships here. `stub=True` (default) produces a deterministic
+fake decode derived from the bytes, so every pipeline stays
+end-to-end testable either way.
 
 Scale notes: media rows are large — the operators below re-batch
 Arrow to bound memory (maxRecordsPerBatch should be lowered to
@@ -229,18 +232,70 @@ def frame_sample(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id",
     return ensure_min_partitions(df.select(id_col, blob_col)).mapInPandas(_sample, schema=schema)
 
 
+def encode_wav(samples, rate: int = 16000) -> bytes:
+    """Mono 16-bit PCM WAV from a float array in [-1, 1] — stdlib-only
+    (`wave`), the audio counterpart of encode_bmp for tests/fixtures."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    ints = np.round(np.clip(np.asarray(samples, dtype="float64"), -1.0, 1.0)
+                    * 32767).astype("<i2")
+    w.writeframes(ints.tobytes())
+    w.close()
+    return buf.getvalue()
+
+
+def _decode_wav(data: bytes):
+    """PCM WAV → (mono float64 samples in [-1, 1], sample rate).
+    stdlib `wave` handles the container; 8/16-bit PCM only (the honest
+    subset decodable without codec libraries)."""
+    import io
+    import wave
+
+    w = wave.open(io.BytesIO(data), "rb")
+    rate, ch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+    raw = w.readframes(w.getnframes())
+    if width == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
+    elif width == 1:
+        arr = (np.frombuffer(raw, dtype="u1").astype("float64") - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    return arr, rate
+
+
 def audio_features(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id",
                    n_mels: int = 16, stub: bool = True) -> DataFrame:
-    """Stub mel-spectrogram-ish features (deterministic from bytes)."""
-    if not stub:
-        raise NotImplementedError("real audio decode not available in this container")
+    """Band-energy audio features over a binary column.
+
+    stub=True: deterministic fake features from the raw bytes (schema/
+    plumbing path). stub=False: REAL decode for PCM WAV via the stdlib
+    `wave` module (no codec dependency — same honest-stub upgrade as
+    BMP/PPM images), then n_mels contiguous log band energies of the
+    magnitude spectrum (numpy rfft) — a mel-spectrogram stand-in that
+    is fully deterministic. Compressed formats (mp3/ogg/flac) still
+    raise: decoding them needs codec libraries this container lacks.
+    """
 
     def _feat(it):
         for pdf in it:
             feats = []
             for data in pdf[blob_col]:
                 raw = bytes(data) if data is not None else b""
-                feats.append(_bytes_to_array(raw, n_mels).astype("float64") / 255.0)
+                if stub:
+                    feats.append(_bytes_to_array(raw, n_mels).astype("float64") / 255.0)
+                else:
+                    samples, _rate = _decode_wav(raw)
+                    spec = np.abs(np.fft.rfft(samples)) ** 2
+                    bands = np.array_split(spec, n_mels)
+                    feats.append(np.log1p([b.sum() for b in bands]).astype("float64"))
             yield pd.DataFrame({id_col: pdf[id_col], "mel": feats})
 
     schema = T.StructType([

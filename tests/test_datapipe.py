@@ -825,3 +825,31 @@ def test_asof_join_forward_and_nearest(spark):
         pd.testing.assert_series_equal(
             got["rv_right"], exp["rv"].rename("rv_right"),
             check_exact=False), direction
+
+
+def test_audio_features_real_wav_decode(spark):
+    """stub=False decodes PCM WAV via the stdlib: a pure 440 Hz tone's
+    energy concentrates in the band containing 440 Hz, and the int16
+    roundtrip preserves the samples to quantization accuracy."""
+    import pandas as pd
+
+    from dask_ml_spark.datapipe.multimodal import (
+        _decode_wav, audio_features, encode_wav)
+
+    rate, dur = 8000, 1.0
+    t = np.arange(int(rate * dur)) / rate
+    tone = 0.8 * np.sin(2 * np.pi * 440.0 * t)
+    blob = encode_wav(tone, rate)
+    back, r2 = _decode_wav(blob)
+    assert r2 == rate
+    np.testing.assert_allclose(back, tone, atol=1.0 / 16384)
+
+    n_mels = 16
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "blob": [bytearray(blob)]}))
+    out = audio_features(df, n_mels=n_mels, stub=False).toPandas()
+    mel = np.asarray(out.mel.iloc[0])
+    assert len(mel) == n_mels
+    # rfft bins cover 0..rate/2; 440 Hz falls in band floor(440/(4000/16))
+    expect_band = int(440.0 / ((rate / 2) / n_mels))
+    assert int(np.argmax(mel)) == expect_band
