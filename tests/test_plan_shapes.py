@@ -98,3 +98,38 @@ def test_predict_paths_stay_jvm(spark, catalog):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert "Python" not in plan
     assert "Exchange" not in plan
+
+
+def test_asof_join_has_no_join_node(spark, catalog):
+    """asof_purchase_attribution compiles to union + window — the
+    point-in-time join contributes ZERO join operators and exactly one
+    hash partition on the by-key (plus the final aggregate's)."""
+    plan = _plan(spark, catalog, "asof_purchase_attribution")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, node
+    assert "Window" in plan
+    assert "Union" in plan
+
+
+def test_interval_join_is_equi_hash_join(spark, catalog):
+    """The BETWEEN containment must plan as an equi join on the time
+    bucket — never a nested-loop/cartesian range join."""
+    plan = _plan(spark, catalog, "interval_session_clicks")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_semantic_dedup_no_cartesian(spark, catalog):
+    """The SemDeDup pair join keys on the cluster id — an equi join,
+    not an all-pairs product."""
+    plan = _plan(spark, catalog, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cross_corpus_dedup_is_anti_join(spark, catalog):
+    plan = _plan(spark, catalog, "cross_corpus_dedup")
+    assert "LeftAnti" in plan
