@@ -283,6 +283,17 @@ class GridSearchCV(BaseEstimator):
         scorer = check_scoring(self.estimator, self.scoring)
         from dask_ml_spark.utils import ensure_min_partitions
 
+        from dask_ml_spark.operators.compose import Pipeline as _PipelinePrune
+
+        if columns is not None and not isinstance(self.estimator, _PipelinePrune):
+            # prune the fold cache to the columns the fits/scorer touch:
+            # caching a wide fact table for a 4-feature search wastes
+            # storage memory AND makes every (candidate, fold) scan pay
+            # for unused columns (pipelines keep the full frame — their
+            # stages may reference any column)
+            keep = list(dict.fromkeys([*columns, label_col]))
+            df = df.select(*keep)
+
         # spread the cached folds up-front: fold filters preserve the
         # partitioning, so every downstream (candidate, fold) fit sees a
         # well-parallelized cached input and skips its own repartition
