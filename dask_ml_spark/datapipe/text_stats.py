@@ -282,3 +282,46 @@ def unigram_logprob_scores(df: DataFrame, text_col: str = "text",
         .agg(F.count("*").cast("long").alias("n_tokens"),
              F.round(F.avg("logp"), 6).alias("avg_logprob"))
     )
+
+
+def bigram_logprob_scores(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", alpha: float = 0.5) -> DataFrame:
+    """Average CONDITIONAL bigram log-likelihood per document — the
+    next step up from `unigram_logprob_scores` as a fluency gate
+    (word order now matters: "the of the of" scores far below
+    "the end of the day" even with identical unigrams).
+
+        p(b | a) = (C(a,b) + alpha) / (C(a) + alpha * V)
+        score    = mean over the document's bigrams of ln p(b | a)
+
+    with C(a,b) corpus bigram counts, C(a) unigram counts, V vocab
+    size (additive smoothing). Shape: one bigram-count aggregate and
+    one unigram-count aggregate (both explode + groupBy with map-side
+    combine), two broadcast scalars, then the document's bigrams join
+    the two count tables — the same filtered-postings pattern as
+    BM25/unigram; no N², no driver data.
+    """
+    t = F.col("__toks")
+    base = (ensure_min_partitions(df)
+            .select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")))
+    idx = F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)
+                 ).otherwise(F.array().cast("array<int>"))
+    grams = (base.select(
+        F.col(id_col),
+        F.explode(F.transform(idx, lambda i: F.struct(
+            F.element_at(t, i).alias("a"),
+            F.element_at(t, i + 1).alias("b")))).alias("__g"))
+        .select(F.col(id_col), F.col("__g.a").alias("a"), F.col("__g.b").alias("b"))
+        .persist())
+    toks = base.select(F.col(id_col), F.explode(t).alias("token"))
+    uni = toks.groupBy("token").agg(F.count("*").alias("ca"))
+    vocab = uni.count()
+    bi = grams.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    logp = F.log((F.col("cab") + F.lit(alpha))
+                 / (F.col("ca") + F.lit(alpha * float(vocab))))
+    return (grams
+            .join(bi, ["a", "b"])
+            .join(uni.withColumnRenamed("token", "a"), "a")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.round(F.avg(logp), 6).alias("avg_logprob")))

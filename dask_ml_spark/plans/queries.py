@@ -2418,6 +2418,7 @@ def build_catalog():
         "mixture_sample": q_mixture_sample,
         "table_profile": q_table_profile,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         # ivf_ann_topk is oracled (fixed quantizer); the rest below are
         # rows-only (iterative / seeded / sketch-based — no SQL equivalent)
         "table_profile_approx": q_table_profile_approx,
@@ -2516,6 +2517,7 @@ def build_catalog():
         "mixture_sample": _sql_mixture_sample(),
         "table_profile": _sql_table_profile(),
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+        "bigram_logprob": SQL_BIGRAM_LOGPROB,
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE_TOPK,
         "ivf_ann_topk": SQL_IVF_ANN_TOPK,
         "lsh_ann_topk": SQL_LSH_ANN_TOPK,
@@ -3364,6 +3366,43 @@ WITH toks AS (
     FROM toks t JOIN lm ON t.token = lm.token CROSS JOIN stats
 )
 SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Conditional bigram-LM fluency scoring (datapipe/text_stats.py::
+    bigram_logprob_scores) — word order matters; docs with <2 tokens
+    have no bigrams and drop out."""
+    docs = _t(spark, sf_dir, "documents")
+    return TS.bigram_logprob_scores(docs)
+
+
+SQL_BIGRAM_LOGPROB = f"""
+WITH arrs AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS arr
+    FROM documents
+), toks AS (
+    SELECT doc_id, generate_subscripts(arr, 1) AS ord, unnest(arr) AS token
+    FROM arrs
+), big AS (
+    SELECT l.doc_id, l.token AS a, r.token AS b
+    FROM toks l JOIN toks r ON l.doc_id = r.doc_id AND r.ord = l.ord + 1
+), uni AS (
+    SELECT token, count(*) AS ca FROM toks GROUP BY token
+), stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS v FROM uni
+), bi AS (
+    SELECT a, b, count(*) AS cab FROM big GROUP BY a, b
+), scored AS (
+    SELECT g.doc_id,
+           ln((bi.cab + 0.5) / (uni.ca + 0.5 * stats.v)) AS logp
+    FROM big g
+    JOIN bi ON g.a = bi.a AND g.b = bi.b
+    JOIN uni ON g.a = uni.token
+    CROSS JOIN stats
+)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_logprob
 FROM scored GROUP BY doc_id
 """
 

@@ -853,3 +853,36 @@ def test_audio_features_real_wav_decode(spark):
     # rfft bins cover 0..rate/2; 440 Hz falls in band floor(440/(4000/16))
     expect_band = int(440.0 / ((rate / 2) / n_mels))
     assert int(np.argmax(mel)) == expect_band
+
+
+def test_bigram_logprob_word_order_sensitivity(spark):
+    """Hand-computed bigram LM on a tiny corpus; scrambled word order
+    scores below natural order while unigram scoring cannot tell them
+    apart."""
+    import math
+
+    import pandas as pd
+
+    corpus = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the end of the day",
+                 "the end of the road",
+                 "end of the line here",
+                 "day the of end the"],   # scrambled doc 0
+    })
+    df = spark.createDataFrame(corpus)
+    out = TS.bigram_logprob_scores(df, alpha=0.5).toPandas().set_index("doc_id")
+    uni = TS.unigram_logprob_scores(df, alpha=0.5).toPandas().set_index("doc_id")
+    # identical unigram bags → identical unigram scores
+    assert uni.loc[0, "avg_logprob"] == uni.loc[3, "avg_logprob"]
+    # but the scrambled doc's bigrams are corpus-rare → lower score
+    assert out.loc[3, "avg_logprob"] < out.loc[0, "avg_logprob"]
+    # hand-check doc 0: corpus counts C(the)=7, C(end)=4, C(of)=4,
+    # V=7 distinct tokens; bigram counts below
+    cab = {("the", "end"): 2, ("end", "of"): 3, ("of", "the"): 3, ("the", "day"): 1}
+    ca = {"the": 7, "end": 4, "of": 4}
+    expect = sum(
+        math.log((cab[g] + 0.5) / (ca[g[0]] + 0.5 * 7))
+        for g in [("the", "end"), ("end", "of"), ("of", "the"), ("the", "day")]
+    ) / 4
+    assert abs(out.loc[0, "avg_logprob"] - round(expect, 6)) < 1e-6
