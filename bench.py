@@ -46,6 +46,8 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "embedding_near_dup",
     "semantic_dedup",
+    "cross_corpus_dedup",
+    "source_token_quota",
     "quantized_embeddings",
     "ann_recall_metrics",
     "windowed_event_features",
@@ -86,6 +88,7 @@ HEADLINE = [
     "lsh_ann_topk",
     "repetition_scores",
     "unigram_logprob",
+    "bigram_logprob",
     "bm25_scores",
     # model-selection planner coverage (SURVEY §2.6 — the reference's
     # biggest subsystem): cached-fold grid search + executor-trained
