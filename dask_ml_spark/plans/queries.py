@@ -2381,6 +2381,7 @@ def build_catalog():
         "ann_recall_metrics": q_ann_recall_metrics,
         "idle_customers": q_idle_customers,
         "cross_corpus_dedup": q_cross_corpus_dedup,
+        "cross_corpus_minhash": q_cross_corpus_minhash,
         "asof_purchase_attribution": q_asof_purchase_attribution,
         "kbins_discretizer": q_kbins_discretizer,
         "kbins_discretizer_approx": q_kbins_discretizer_approx,
@@ -2527,6 +2528,7 @@ def build_catalog():
         "ann_recall_metrics": sql_ann_recall_metrics(),
         "idle_customers": SQL_IDLE_CUSTOMERS,
         "cross_corpus_dedup": SQL_CROSS_CORPUS_DEDUP,
+        "cross_corpus_minhash": sql_cross_corpus_minhash(),
         "asof_purchase_attribution": SQL_ASOF_PURCHASE_ATTRIBUTION,
         "kbins_discretizer": SQL_KBINS_DISCRETIZER,
         "target_encoder": SQL_TARGET_ENCODER,
@@ -3230,6 +3232,54 @@ SELECT
     count(*) AS n, sum(l_extendedprice) AS total
 FROM lineitem CROSS JOIN e
 GROUP BY 1
+"""
+
+
+def q_cross_corpus_minhash(spark, sf_dir):
+    """Near-duplicate cross-corpus dedup (dedup_against
+    method="minhash"): the re-crawled shard's overlap docs collide
+    with themselves in every band (estimated Jaccard 1.0) and drop;
+    the oracle replays the banded signature join with the same
+    integer k/8 >= 0.5 confirmation (no float boundary — 0.5 is
+    exact)."""
+    from dask_ml_spark.datapipe import dedup as DD2
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < 300)
+    new = docs.where(F.col("doc_id") >= 200)
+    kept = DD2.dedup_against(new, corpus, method="minhash",
+                             n_hashes=8, bands=4, min_jaccard=0.5)
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_new"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
+def sql_cross_corpus_minhash() -> str:
+    sig_sql = sql_minhash_signatures(8)
+    r = 8 // 4
+    band_selects = []
+    for bi in range(4):
+        cols = " || '_' || ".join(f"CAST(m{bi * r + j} AS VARCHAR)" for j in range(r))
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band, {cols} AS band_key FROM sig")
+    banded = " UNION ALL ".join(band_selects)
+    est = " + ".join(f"(CASE WHEN sn.m{i} = sc.m{i} THEN 1 ELSE 0 END)"
+                     for i in range(8))
+    return f"""
+WITH sig AS ({sig_sql}), banded AS ({banded}),
+dup AS (
+    SELECT DISTINCT n.doc_id
+    FROM banded n
+    JOIN banded c ON n.band = c.band AND n.band_key = c.band_key
+    JOIN sig sn ON sn.doc_id = n.doc_id
+    JOIN sig sc ON sc.doc_id = c.doc_id
+    WHERE n.doc_id >= 200 AND c.doc_id < 300
+      AND ({est}) >= 4
+)
+SELECT d.lang, count(*) AS n_new, sum(d.doc_id) AS id_checksum
+FROM documents d
+WHERE d.doc_id >= 200 AND d.doc_id NOT IN (SELECT doc_id FROM dup)
+GROUP BY d.lang
 """
 
 
