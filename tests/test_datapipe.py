@@ -886,3 +886,22 @@ def test_bigram_logprob_word_order_sensitivity(spark):
         for g in [("the", "end"), ("end", "of"), ("of", "the"), ("the", "day")]
     ) / 4
     assert abs(out.loc[0, "avg_logprob"] - round(expect, 6)) < 1e-6
+
+
+def test_lsh_index_partitioned_write_prunes(spark, embeddings, tmp_path):
+    """The LSH index written partitioned by band prunes at scan time:
+    a single-band probe's plan reads one partition directory, so a
+    100 TB index only scans the probed band."""
+    from dask_ml_spark.datapipe.similarity import CosineLSHIndex
+
+    idx = CosineLSHIndex(n_bands=4, bits_per_band=6).fit(embeddings)
+    path = str(tmp_path / "lsh_index")
+    (idx.index(embeddings).drop("embedding")
+     .write.partitionBy("band").parquet(path))
+    scan = spark.read.parquet(path).where(F.col("band") == 2)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # partition filter prunes directories: only band=2 files are read
+    assert "PartitionFilters" in plan and "band" in plan.split(
+        "PartitionFilters", 1)[1][:120]
+    bands = {r.band for r in scan.select("band").distinct().collect()}
+    assert bands == {2}
