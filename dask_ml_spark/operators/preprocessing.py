@@ -488,3 +488,32 @@ class Normalizer(BaseEstimator, TransformerMixin):
             raise ValueError(f"unknown norm {self.norm!r}")
         safe = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
         return df.withColumns({c: x / safe for c, x in zip(self.columns_, xs)})
+
+
+class MaxAbsScaler(BaseEstimator, TransformerMixin):
+    """Scale each column by its maximum absolute value (sklearn
+    MaxAbsScaler; beyond-reference) — keeps zeros at zero, so it is
+    the scaler of choice for sparse-ish features. One max(abs(x))
+    aggregate pass; transform is a literal-folded narrow projection."""
+
+    def fit(self, df: DataFrame, columns=None) -> "MaxAbsScaler":
+        cols = self._validate_data(df, columns)
+        row = df.agg(*[F.max(F.abs(_nn(c))).alias(c) for c in cols]).collect()[0]
+        self.max_abs_ = [float(row[c]) if row[c] else 1.0 for c in cols]
+        self.scale_ = [m if m != 0.0 else 1.0 for m in self.max_abs_]
+        self.columns_ = cols
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        exprs = {
+            c: F.col(c).cast("double") / F.lit(s)
+            for c, s in zip(self.columns_, self.scale_)
+        }
+        return df.withColumns(exprs)
+
+    def inverse_transform(self, df: DataFrame) -> DataFrame:
+        exprs = {
+            c: F.col(c).cast("double") * F.lit(s)
+            for c, s in zip(self.columns_, self.scale_)
+        }
+        return df.withColumns(exprs)

@@ -2391,6 +2391,7 @@ def build_catalog():
         "important_parts": q_important_parts,
         "target_encoder": q_target_encoder,
         "row_normalizer": q_row_normalizer,
+        "maxabs_scaler": q_maxabs_scaler,
         "interval_session_clicks": q_interval_session_clicks,
         "sole_supplier_orders": q_sole_supplier_orders,
         "embedding_centroids": q_embedding_centroids,
@@ -2537,6 +2538,7 @@ def build_catalog():
         "bracketed_discount_revenue": SQL_BRACKETED_DISCOUNT_REVENUE,
         "important_parts": SQL_IMPORTANT_PARTS,
         "row_normalizer": SQL_ROW_NORMALIZER,
+        "maxabs_scaler": SQL_MAXABS_SCALER,
         "interval_session_clicks": SQL_INTERVAL_SESSION_CLICKS,
         "sole_supplier_orders": SQL_SOLE_SUPPLIER_ORDERS,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
@@ -3166,6 +3168,33 @@ s AS (SELECT l_returnflag, count(*) AS n, avg(l_quantity) AS m
       FROM lineitem GROUP BY 1)
 SELECT l_returnflag, (n * m + 20.0 * gm) / (n + 20.0) AS enc, n
 FROM s CROSS JOIN g
+"""
+
+
+def q_maxabs_scaler(spark, sf_dir):
+    """MaxAbsScaler fit + transform: per-flag sums of the scaled
+    columns value-check both the fitted maxima and the projection."""
+    from dask_ml_spark.operators.preprocessing import MaxAbsScaler
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    out = MaxAbsScaler().fit(li, cols).transform(li)
+    return (out.groupBy("l_returnflag")
+            .agg(*[F.sum(c).alias(f"sum_{c}") for c in cols]))
+
+
+SQL_MAXABS_SCALER = """
+WITH m AS (
+    SELECT max(abs(l_quantity)) AS mq, max(abs(l_extendedprice)) AS mp,
+           max(abs(l_discount)) AS md
+    FROM lineitem
+)
+SELECT l_returnflag,
+       sum(l_quantity / mq) AS sum_l_quantity,
+       sum(l_extendedprice / mp) AS sum_l_extendedprice,
+       sum(l_discount / md) AS sum_l_discount
+FROM lineitem CROSS JOIN m
+GROUP BY l_returnflag
 """
 
 

@@ -10,6 +10,7 @@ from dask_ml_spark.operators.encoders import (  # noqa: F401
     OrdinalEncoder,
 )
 from dask_ml_spark.operators.preprocessing import (  # noqa: F401
+    MaxAbsScaler,
     MinMaxScaler,
     Normalizer,
     PolynomialFeatures,

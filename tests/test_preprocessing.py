@@ -157,3 +157,20 @@ def test_normalizer_rowwise(spark, lineitem):
                .to_numpy(dtype="float64"))
         expect = np.array([r / (np_norm(r) or 1.0) for r in X])
         np.testing.assert_allclose(out, expect, rtol=1e-9)
+
+
+def test_maxabs_scaler_roundtrip(spark, lineitem):
+    import numpy as np
+
+    from dask_ml_spark.operators.preprocessing import MaxAbsScaler
+
+    cols = ["l_quantity", "l_extendedprice"]
+    sc = MaxAbsScaler().fit(lineitem, cols)
+    pdf = lineitem.select(*cols).limit(100).toPandas()
+    X = pdf.to_numpy(dtype="float64")
+    out = sc.transform(spark.createDataFrame(pdf)).toPandas().to_numpy("float64")
+    np.testing.assert_allclose(out, X / np.asarray(sc.scale_), rtol=1e-12)
+    assert np.abs(out).max() <= 1.0 + 1e-12
+    back = sc.inverse_transform(
+        sc.transform(spark.createDataFrame(pdf))).toPandas().to_numpy("float64")
+    np.testing.assert_allclose(back, X, rtol=1e-12)
