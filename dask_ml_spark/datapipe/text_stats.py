@@ -312,7 +312,12 @@ def bigram_logprob_scores(df: DataFrame, text_col: str = "text",
             F.element_at(t, i).alias("a"),
             F.element_at(t, i + 1).alias("b")))).alias("__g"))
         .select(F.col(id_col), F.col("__g.a").alias("a"), F.col("__g.b").alias("b"))
-        .persist())
+        # localCheckpoint, not persist: grams is consumed twice (the
+        # bigram-count agg and the final join), but a bare persist
+        # leaks a cached dataset into executor storage for the
+        # session's lifetime — checkpoint blocks are reclaimed by the
+        # ContextCleaner once the returned DataFrame is dropped
+        .localCheckpoint())
     toks = base.select(F.col(id_col), F.explode(t).alias("token"))
     uni = toks.groupBy("token").agg(F.count("*").alias("ca"))
     vocab = uni.count()

@@ -350,10 +350,24 @@ class TargetEncoder(BaseEstimator, TransformerMixin):
                     "Hash or bucket the column first (e.g. FeatureHasher), "
                     "or encode with a join against the stats table.")
             rows = stats.collect()
-            self.encodings_[c] = {
-                r[c]: (r["n"] * r["m"] + s * self.global_mean_) / (r["n"] + s)
-                for r in rows
-            }
+            enc = {}
+            null_enc = self.global_mean_
+            for r in rows:
+                # F.count(t) counts non-null targets: a category whose
+                # targets are all null has n=0/m=None and smooths fully
+                # back to the global mean
+                m = self.global_mean_ if r["m"] is None else r["m"]
+                val = (r["n"] * m + s * self.global_mean_) / (r["n"] + s)
+                if r[c] is None:
+                    # nulls are their own category (sklearn TargetEncoder
+                    # treats NaN as a level) but can't be a map key —
+                    # Spark rejects NULL_MAP_KEY — so they ride separately
+                    null_enc = val
+                else:
+                    enc[r[c]] = val
+            self.encodings_[c] = enc
+            self.null_encodings_ = getattr(self, "null_encodings_", {})
+            self.null_encodings_[c] = null_enc
         self.columns_ = cols
         self.target_col_ = target_col
         return self
@@ -362,10 +376,16 @@ class TargetEncoder(BaseEstimator, TransformerMixin):
         exprs = {}
         for c in self.columns_:
             mapping = self.encodings_[c]
-            m = F.create_map(*[
-                x for k, v in mapping.items()
-                for x in (F.lit(k), F.lit(float(v)))
-            ])
-            exprs[c + suffix] = F.coalesce(
-                m[F.col(c)], F.lit(self.global_mean_))
+            null_enc = getattr(self, "null_encodings_", {}).get(
+                c, self.global_mean_)
+            if mapping:
+                m = F.create_map(*[
+                    x for k, v in mapping.items()
+                    for x in (F.lit(k), F.lit(float(v)))
+                ])
+                seen = F.coalesce(m[F.col(c)], F.lit(self.global_mean_))
+            else:
+                seen = F.lit(self.global_mean_)
+            exprs[c + suffix] = F.when(
+                F.col(c).isNull(), F.lit(float(null_enc))).otherwise(seen)
         return df.withColumns(exprs)

@@ -122,7 +122,21 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     overlapping that time slice. This is the standard rewrite that
     turns an O(N·M) nested-loop range join into shuffle volume
     proportional to the true match density.
+
+    how: 'inner' (default) or 'left'. 'left' preserves unmatched
+    points with null interval columns; because exact containment is a
+    POST-filter, a naive outer join would silently drop points whose
+    bucket matched but whose BETWEEN failed, so the left variant runs
+    the inner join then re-admits unmatched points via a LEFT ANTI
+    pass (one extra shuffle on the point columns — identical duplicate
+    point rows match or miss as a group, preserving multiplicity).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"interval_join supports how='inner'|'left', got {how!r}: "
+            "right/full outer would need the interval side preserved "
+            "across the exploded buckets, which the bucket rewrite "
+            "cannot express without double-counting")
     by_cols = [by] if isinstance(by, str) else list(by or [])
     wdt = float(bucket_width)
     p = points.withColumn(
@@ -132,8 +146,19 @@ def interval_join(points: DataFrame, intervals: DataFrame,
         F.explode(F.sequence(
             F.floor(F.col(start_col).cast("double") / wdt).cast("long"),
             F.floor(F.col(end_col).cast("double") / wdt).cast("long"))))
-    joined = p.join(iv, by_cols + ["__bucket"], how)
-    return (joined.where(
-        F.col(point_col).cast("double").between(
-            F.col(start_col).cast("double"), F.col(end_col).cast("double")))
-        .drop("__bucket"))
+    inner = (p.join(iv, by_cols + ["__bucket"], "inner")
+             .where(F.col(point_col).cast("double").between(
+                 F.col(start_col).cast("double"),
+                 F.col(end_col).cast("double")))
+             .drop("__bucket"))
+    if how == "inner":
+        return inner
+    point_cols = list(points.columns)
+    matched = inner.select(*point_cols).distinct()
+    unmatched = points.join(matched, point_cols, "left_anti")
+    iv_cols = [c for c in inner.columns if c not in point_cols]
+    inner_schema = {f.name: f.dataType for f in inner.schema.fields}
+    preserved = unmatched.select(
+        *point_cols,
+        *[F.lit(None).cast(inner_schema[c]).alias(c) for c in iv_cols])
+    return inner.unionByName(preserved)

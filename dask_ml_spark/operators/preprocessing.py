@@ -499,7 +499,10 @@ class MaxAbsScaler(BaseEstimator, TransformerMixin):
     def fit(self, df: DataFrame, columns=None) -> "MaxAbsScaler":
         cols = self._validate_data(df, columns)
         row = df.agg(*[F.max(F.abs(_nn(c))).alias(c) for c in cols]).collect()[0]
-        self.max_abs_ = [float(row[c]) if row[c] else 1.0 for c in cols]
+        # sklearn keeps max_abs_=0 for an all-zero column and only
+        # patches scale_ — truthiness here would misreport 0.0 as 1.0
+        self.max_abs_ = [float(row[c]) if row[c] is not None else 0.0
+                         for c in cols]
         self.scale_ = [m if m != 0.0 else 1.0 for m in self.max_abs_]
         self.columns_ = cols
         return self

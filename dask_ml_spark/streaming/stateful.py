@@ -173,9 +173,15 @@ def token_quota_stream(docs: DataFrame, quota: int,
         kept = []
         for did, nt in zip(rows[id_col], rows[tokens_col]):
             nt = int(nt)
-            if used + nt <= quota:
-                kept.append((int(did), src, nt, used))
-                used += nt
+            # prefix rule, NOT greedy: the cumulative count advances on
+            # every doc, so the first overflow closes the source for
+            # good — exactly the batch rendering's `cum <= quota` window
+            # filter (sampling.py::token_quota). A greedy skip would let
+            # later smaller docs sneak in and the two renderings would
+            # disagree.
+            used += nt
+            if used <= quota:
+                kept.append((int(did), src, nt, used - nt))
         state.update((used,))
         if kept:
             yield pd.DataFrame(

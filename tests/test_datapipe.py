@@ -905,3 +905,43 @@ def test_lsh_index_partitioned_write_prunes(spark, embeddings, tmp_path):
         "PartitionFilters", 1)[1][:120]
     bands = {r.band for r in scan.select("band").distinct().collect()}
     assert bands == {2}
+
+
+def test_interval_join_left_preserves_unmatched(spark):
+    """ADVICE r4: how='left' must keep points with NO containing
+    interval (null interval columns) — including the tricky case of a
+    point whose BUCKET matched but whose BETWEEN failed — and other
+    outer modes must raise rather than silently degrade to inner."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from dask_ml_spark.operators.joins import interval_join
+
+    pts = pd.DataFrame({
+        "g": ["a", "a", "a", "b"],
+        "p": [5.0, 55.0, 999.0, 5.0],
+        "pid": [0, 1, 2, 3],
+    })
+    # interval [0,10] in bucket 0 (width 100): point p=55 shares
+    # bucket 0 but fails containment -> must survive with nulls
+    iv = pd.DataFrame({"g": ["a"], "s": [0.0], "e": [10.0], "iid": [7]})
+    got = interval_join(
+        spark.createDataFrame(pts), spark.createDataFrame(iv),
+        point_col="p", start_col="s", end_col="e", by="g",
+        bucket_width=100.0, how="left").toPandas().sort_values("pid")
+    assert list(got.pid) == [0, 1, 2, 3]
+    matched = got[got.pid == 0]
+    assert list(matched.iid) == [7]
+    unmatched = got[got.pid != 0]
+    assert unmatched.iid.isna().all() and unmatched.s.isna().all()
+
+    inner = interval_join(
+        spark.createDataFrame(pts), spark.createDataFrame(iv),
+        point_col="p", start_col="s", end_col="e", by="g",
+        bucket_width=100.0, how="inner").toPandas()
+    assert list(inner.pid) == [0]
+
+    with _pytest.raises(ValueError, match="inner.*left"):
+        interval_join(spark.createDataFrame(pts), spark.createDataFrame(iv),
+                      point_col="p", start_col="s", end_col="e", by="g",
+                      how="right")

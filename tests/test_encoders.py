@@ -169,3 +169,35 @@ def test_target_encoder_matches_formula(spark, lineitem):
     unseen = spark.createDataFrame(pd.DataFrame({"l_returnflag": ["ZZ"]}))
     got = te.transform(unseen).toPandas()
     np.testing.assert_allclose(got["l_returnflag_enc"], [gm], rtol=1e-9)
+
+
+def test_target_encoder_null_category_and_all_null_targets(spark):
+    """ADVICE r4: null category keys must not reach F.create_map
+    ([NULL_MAP_KEY]), and a category whose targets are all null must
+    not TypeError in fit — it smooths fully to the global mean."""
+    import numpy as np
+    import pandas as pd
+
+    from dask_ml_spark.operators.encoders import TargetEncoder
+
+    pdf = pd.DataFrame({
+        "cat": ["a", "a", None, None, "b", "b"],
+        "y": [1.0, 3.0, 10.0, 20.0, None, None],
+    })
+    df = spark.createDataFrame(pdf)
+    te = TargetEncoder(smoothing=2.0).fit(df, ["cat"], target_col="y")
+    gm = np.nanmean([1.0, 3.0, 10.0, 20.0])  # avg ignores nulls
+    # category 'b': n=0 non-null targets -> pure global mean
+    np.testing.assert_allclose(te.encodings_["cat"]["b"], gm, rtol=1e-12)
+    # null category: its own level, encoded separately
+    null_expect = (2 * 15.0 + 2.0 * gm) / (2 + 2.0)
+    np.testing.assert_allclose(te.null_encodings_["cat"], null_expect, rtol=1e-12)
+    out = te.transform(df).toPandas().sort_values("y", na_position="last")
+    a_expect = (2 * 2.0 + 2.0 * gm) / (2 + 2.0)
+    got = te.transform(df).toPandas()
+    by_cat = {
+        "a": a_expect, "b": gm, None: null_expect,
+    }
+    for _, r in got.iterrows():
+        key = r["cat"] if pd.notna(r["cat"]) else None
+        np.testing.assert_allclose(r["cat_enc"], by_cat[key], rtol=1e-12)

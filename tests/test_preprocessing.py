@@ -174,3 +174,25 @@ def test_maxabs_scaler_roundtrip(spark, lineitem):
     back = sc.inverse_transform(
         sc.transform(spark.createDataFrame(pdf))).toPandas().to_numpy("float64")
     np.testing.assert_allclose(back, X, rtol=1e-12)
+
+
+def test_maxabs_scaler_zero_and_null_columns(spark):
+    """ADVICE r4: a column whose max-abs is exactly 0.0 (or all-null)
+    must report max_abs_=0.0 (sklearn keeps the true value) while
+    scale_ patches to 1.0 so transform is a no-op on it."""
+    import numpy as np
+    import pandas as pd
+
+    from dask_ml_spark.operators.preprocessing import MaxAbsScaler
+
+    pdf = pd.DataFrame({
+        "zero": [0.0, 0.0, -0.0],
+        "nul": pd.array([None, None, None], dtype="Float64"),
+        "x": [2.0, -4.0, 1.0],
+    })
+    sc = MaxAbsScaler().fit(spark.createDataFrame(pdf), ["zero", "nul", "x"])
+    assert sc.max_abs_ == [0.0, 0.0, 4.0]
+    assert sc.scale_ == [1.0, 1.0, 4.0]
+    out = sc.transform(spark.createDataFrame(pdf)).toPandas()
+    np.testing.assert_allclose(out["zero"], [0.0, 0.0, 0.0])
+    np.testing.assert_allclose(out["x"], [0.5, -1.0, 0.25])

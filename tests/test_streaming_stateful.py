@@ -120,3 +120,40 @@ def test_token_quota_stream_matches_batch(spark, tmp_path):
     merged = got.set_index("doc_id")["tokens_before"]
     expect = batch.set_index("doc_id")["tokens_before"]
     assert merged.sort_index().equals(expect.sort_index())
+
+
+def test_token_quota_stream_prefix_rule_not_greedy(spark, tmp_path):
+    """ADVICE r4 adversarial case: quota=10, tokens [6,7,3] in id
+    order. The batch rule (cum <= quota) keeps doc0 ONLY — doc1
+    overflows and closes the source, so doc2 must NOT sneak in even
+    though 6+3 <= 10. The stream must replay that prefix rule."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.datapipe.sampling import token_quota
+    from dask_ml_spark.streaming.stateful import token_quota_stream
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "source": ["web"] * 3,
+        "text": ["a1 b2 c3 d4 e5 f6",                  # 6 tokens
+                 "a1 b2 c3 d4 e5 f6 g7",               # 7 tokens
+                 "a1 b2 c3"],                          # 3 tokens
+    })
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(docs).write.parquet(src)
+    QUOTA = 10
+
+    batch = token_quota(spark.read.parquet(src), QUOTA).toPandas()
+    assert sorted(batch.doc_id) == [0]
+
+    stream_in = (spark.readStream.schema("doc_id long, source string, text string")
+                 .parquet(src)
+                 .withColumn("n_tokens", F.size(F.regexp_extract_all(
+                     F.lower("text"), F.lit("[a-z0-9_]{2,}"), 0)).cast("long")))
+    out = token_quota_stream(stream_in, QUOTA)
+    q = (out.writeStream.format("memory").queryName("quota_prefix_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.sql("select * from quota_prefix_out").toPandas()
+    assert sorted(got.doc_id) == sorted(batch.doc_id) == [0]
