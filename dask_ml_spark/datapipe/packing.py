@@ -30,6 +30,15 @@ PII_PATTERNS = {
 }
 
 
+def _gkey(g):
+    """Normalize a pandas group key for dict lookup across the two
+    prefix-sum phases: None / NaN / pd.NA → None, anything else → its
+    string form (the subtotal rows travel through a string column)."""
+    if g is None or g is pd.NA or (isinstance(g, float) and g != g):
+        return None
+    return str(g)
+
+
 def redact_pii(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Replace PII-shaped spans with [TYPE] tokens; per-type match
@@ -45,34 +54,79 @@ def redact_pii(df: DataFrame, text_col: str = "text",
 
 
 def prefix_sum(df: DataFrame, order_col: str, value_col: str,
-               out_col: str = "running_total") -> DataFrame:
-    """Exclusive prefix sum of ``value_col`` in global ``order_col``
-    order, fully distributed: range-partition + sort by the key, local
-    cumsum per partition, partition subtotals (one long each) to the
-    driver, broadcast offsets back. Same two-phase scheme as
-    utils.zip_with_index."""
+               out_col: str = "running_total",
+               group_col: str | None = None) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` in ``order_col`` order —
+    globally, or per ``group_col`` group — fully distributed:
+    range-partition + sort by (group, order), local cumsum per
+    partition, per-(partition, group) subtotals to the driver,
+    broadcast offsets back. Same two-phase scheme as
+    utils.zip_with_index.
+
+    The grouped variant is the skew-safe replacement for
+    ``Window.partitionBy(group).orderBy(order)``: a hash-partitioned
+    window puts EVERY row of a hot group in one task, so one skewed
+    group serializes the whole pass; range partitioning on
+    (group, order) instead splits a hot group across as many
+    contiguous range slices as its row share demands, and only the
+    per-slice subtotals (#partitions + #groups rows, two longs each)
+    touch the driver.
+    """
     from pyspark import TaskContext
 
     from dask_ml_spark.utils import ensure_min_partitions
 
     parts = ensure_min_partitions(df).rdd.getNumPartitions()
-    arranged = (df.repartitionByRange(parts, F.col(order_col))
-                .sortWithinPartitions(order_col).persist())
-    subtotal_schema = "pid long, subtotal double"
+    range_keys = ([F.col(group_col)] if group_col else []) + [F.col(order_col)]
+    sort_keys = ([group_col] if group_col else []) + [order_col]
+    # localCheckpoint, not persist: arranged is consumed twice (the
+    # subtotal collect and the final cumsum) and must not be
+    # recomputed between them (partition boundaries must be IDENTICAL
+    # for the offsets to line up); checkpoint blocks are reclaimed by
+    # the ContextCleaner when the result is dropped, where a bare
+    # persist would leak storage for the session's lifetime
+    arranged = (df.repartitionByRange(parts, *range_keys)
+                .sortWithinPartitions(*sort_keys).localCheckpoint())
 
-    def subtotals(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
-        tot = 0.0
-        for pdf in it:
-            tot += float(pdf[value_col].sum())
-        yield pd.DataFrame({"pid": [pid], "subtotal": [tot]})
+    if group_col is None:
+        subtotal_schema = "pid long, subtotal double"
 
-    rows = arranged.mapInPandas(subtotals, subtotal_schema).collect()
-    offsets = {}
-    acc = 0.0
-    for r in sorted(rows, key=lambda r: r["pid"]):
-        offsets[r["pid"]] = acc
-        acc += r["subtotal"]
+        def subtotals(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pid = TaskContext.get().partitionId()
+            tot = 0.0
+            for pdf in it:
+                tot += float(pdf[value_col].sum())
+            yield pd.DataFrame({"pid": [pid], "subtotal": [tot]})
+
+        rows = arranged.mapInPandas(subtotals, subtotal_schema).collect()
+        offsets = {}
+        acc = 0.0
+        for r in sorted(rows, key=lambda r: r["pid"]):
+            offsets[r["pid"]] = acc
+            acc += r["subtotal"]
+    else:
+        subtotal_schema = f"pid long, {group_col} string, subtotal double"
+
+        def subtotals(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pid = TaskContext.get().partitionId()
+            acc: dict = {}
+            for pdf in it:
+                for g, s in pdf.groupby(group_col, sort=False,
+                                        dropna=False)[value_col].sum().items():
+                    acc[_gkey(g)] = acc.get(_gkey(g), 0.0) + float(s)
+            yield pd.DataFrame({
+                "pid": [pid] * len(acc),
+                group_col: list(acc.keys()),
+                "subtotal": list(acc.values()),
+            })
+
+        rows = arranged.mapInPandas(subtotals, subtotal_schema).collect()
+        offsets = {}
+        run_by_group: dict = {}
+        for r in sorted(rows, key=lambda r: r["pid"]):
+            key = (r["pid"], r[group_col])
+            offsets[key] = run_by_group.get(r[group_col], 0.0)
+            run_by_group[r[group_col]] = offsets[key] + r["subtotal"]
 
     # build a fresh StructType: StructType.add mutates in place, and
     # df.schema is cached on the DataFrame — add() would corrupt the
@@ -84,11 +138,34 @@ def prefix_sum(df: DataFrame, order_col: str, value_col: str,
 
     def local_cumsum(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
-        run = offsets.get(pid, 0.0)
-        for pdf in it:
-            c = pdf[value_col].astype("float64").cumsum() + run - pdf[value_col]
-            run += float(pdf[value_col].sum())
-            yield pdf.assign(**{out_col: c})
+        if group_col is None:
+            run = offsets.get(pid, 0.0)
+            for pdf in it:
+                c = (pdf[value_col].astype("float64").cumsum()
+                     + run - pdf[value_col])
+                run += float(pdf[value_col].sum())
+                yield pdf.assign(**{out_col: c})
+        else:
+            import numpy as np
+
+            run: dict = {}
+            for pdf in it:
+                vals = pdf[value_col].astype("float64")
+                # rows are sorted by (group, order): factorize gives
+                # first-appearance codes, so per-group work is
+                # O(#groups) python, everything else vectorized
+                codes, uniques = pd.factorize(pdf[group_col],
+                                              use_na_sentinel=False)
+                c = vals.groupby(codes).cumsum() - vals
+                gsums = vals.groupby(codes).sum()
+                group_start = np.empty(len(uniques), dtype="float64")
+                for gi, g in enumerate(uniques):
+                    key = _gkey(g)
+                    if key not in run:
+                        run[key] = offsets.get((pid, key), 0.0)
+                    group_start[gi] = run[key]
+                    run[key] += float(gsums[gi])
+                yield pdf.assign(**{out_col: c + group_start[codes]})
 
     return arranged.mapInPandas(local_cumsum, out_schema)
 

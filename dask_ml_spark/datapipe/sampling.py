@@ -120,19 +120,27 @@ def token_quota(docs: DataFrame, quota: int, source_col: str = "source",
     documents in id order until the cumulative token count would
     exceed `quota` (the streaming rendering is
     streaming/stateful.py::token_quota_stream — one long of state per
-    source). One window per source (shuffle on source_col); the
-    running sum is O(1) state per row. Output adds n_tokens and
+    source; the two renderings agree by the prefix rule).
+
+    Scale shape: the per-source running sum is a GROUPED distributed
+    prefix sum (packing.py::prefix_sum with group_col) — range-
+    partitioned on (source, id), local cumsum, per-(partition, source)
+    subtotal longs through the driver. A
+    ``Window.partitionBy(source)`` would hash every row of a hot
+    source into ONE task, serializing the whole pass on a skewed
+    corpus (one source holding 90% of 100 TB is the common case);
+    range partitioning splits that source across as many contiguous
+    slices as its row share demands. Output adds n_tokens and
     tokens_before (cumulative count before this doc).
     """
-    from pyspark.sql import Window
-
+    from dask_ml_spark.datapipe.packing import prefix_sum
     from dask_ml_spark.datapipe.text_stats import token_count
 
-    w = (Window.partitionBy(source_col).orderBy(id_col)
-         .rowsBetween(Window.unboundedPreceding, 0))
-    tagged = (docs
-              .withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
-              .withColumn("__cum", F.sum("n_tokens").over(w)))
-    return (tagged.where(F.col("__cum") <= quota)
-            .withColumn("tokens_before", F.col("__cum") - F.col("n_tokens"))
-            .drop("__cum"))
+    tagged = docs.withColumn(
+        "n_tokens", token_count(F.col(text_col)).cast("long"))
+    summed = prefix_sum(tagged, id_col, "n_tokens",
+                        out_col="__before", group_col=source_col)
+    return (summed
+            .where(F.col("__before") + F.col("n_tokens") <= quota)
+            .withColumn("tokens_before", F.col("__before").cast("long"))
+            .drop("__before"))

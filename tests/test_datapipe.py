@@ -945,3 +945,73 @@ def test_interval_join_left_preserves_unmatched(spark):
         interval_join(spark.createDataFrame(pts), spark.createDataFrame(iv),
                       point_col="p", start_col="s", end_col="e", by="g",
                       how="right")
+
+
+def test_grouped_prefix_sum_matches_pandas(spark):
+    """Grouped two-phase prefix sum == per-group pandas cumsum, across
+    repartitionings (content-deterministic), including a null group."""
+    import pandas as pd
+
+    from dask_ml_spark.datapipe.packing import prefix_sum
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({
+        "k": rng.permutation(400),
+        "g": [["web", "books", None][i % 3] for i in range(400)],
+        "v": rng.randint(1, 50, 400).astype("float64"),
+    })
+    expect = pdf.sort_values("k").copy()
+    expect["run"] = (expect.groupby("g", dropna=False)["v"].cumsum()
+                     - expect["v"])
+    for nparts in (1, 7):
+        got = (prefix_sum(spark.createDataFrame(pdf).repartition(nparts),
+                          "k", "v", "run", group_col="g")
+               .toPandas().sort_values("k"))
+        pd.testing.assert_series_equal(
+            got.set_index("k")["run"], expect.set_index("k")["run"])
+
+
+def test_token_quota_skewed_source_spans_multiple_tasks(spark):
+    """The skew contract: a source holding 90% of rows must NOT
+    serialize into one task — range partitioning on (source, id)
+    splits it across multiple partitions, unlike
+    Window.partitionBy(source) which pins it to one."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.datapipe.sampling import token_quota
+
+    n = 4000
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        "source": ["hot" if i % 10 else "cold" for i in range(n)],
+        "text": ["alpha beta gamma delta"] * n,
+    })
+    df = spark.createDataFrame(pdf).repartition(8)
+    out = token_quota(df, quota=10**9)
+    parts_for_hot = (out.where(F.col("source") == "hot")
+                     .select(F.spark_partition_id().alias("pid"))
+                     .distinct().count())
+    assert parts_for_hot > 1
+    # and the quota semantics still hold under the distributed cumsum
+    small = token_quota(df, quota=40)  # 4 tokens/doc -> 10 docs/source
+    got = small.toPandas()
+    per_src = got.groupby("source").size()
+    assert per_src["hot"] == 10 and per_src["cold"] == 10
+    assert (got.groupby("source")["n_tokens"].sum() <= 40).all()
+    # prefix rule: kept docs are exactly each source's id-prefix
+    for s, grp in got.groupby("source"):
+        all_ids = pdf[pdf.source == s].doc_id.sort_values()
+        assert sorted(grp.doc_id) == list(all_ids.head(len(grp)))
+
+
+def test_token_quota_plan_has_no_window(spark, documents):
+    """Regression pin: the batch token_quota must not compile to a
+    hash-partitioned Window (the skew hazard the grouped prefix sum
+    replaces)."""
+    from dask_ml_spark.datapipe.sampling import token_quota
+
+    plan = token_quota(documents, quota=5_000)._jdf.queryExecution(
+        ).explainString(spark._jvm.org.apache.spark.sql.execution
+                        .ExplainMode.fromString("formatted"))
+    assert "Window" not in plan
