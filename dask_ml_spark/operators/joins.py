@@ -50,6 +50,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     (right rows sort before left at equal timestamps, and the forward
     frame starts one row early to re-admit those ties). O(1) running
     state per row; the only exchange is the hash partition on `by`.
+
+    Keyless case (by=None): a bare ``Window.partitionBy()`` would pull
+    EVERY row into one task, so instead the union is bucketed by
+    approximate time quantiles (one approxQuantile pass; equal
+    timestamps always share a bucket, so tie matches never straddle),
+    the carry windows run per-bucket in parallel, and the cross-bucket
+    boundary state — one closing/opening payload per bucket — is
+    carried by a window over the ≤#buckets-row bucket table and
+    broadcast back. The only single-partition work is over that tiny
+    bucket table.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
@@ -63,8 +73,31 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     l = left.withColumn("__payload", F.lit(None).cast(
         r.schema["__payload"].dataType)).withColumn("__side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
-    base = (Window.partitionBy(*by_cols) if by_cols else Window.partitionBy()
-            ).orderBy(F.col(on).asc(), F.col("__side").asc())
+    if not by_cols:
+        # keyless: bucket the time axis so the carry windows
+        # parallelize; cross-bucket state rides the tiny bucket table
+        spark = left.sparkSession
+        n_target = max(int(spark.sparkContext.defaultParallelism), 16)
+        probs = [i / n_target for i in range(1, n_target)]
+        bounds = (u.select(F.col(on).cast("double").alias("__t"))
+                  .approxQuantile("__t", probs, 0.01))
+        bounds = sorted(set(b for b in bounds if b == b))  # drop dup/NaN
+        x = F.col(on).cast("double")
+        if bounds:
+            barr = F.array(*[F.lit(float(b)) for b in bounds])
+            bucket = F.size(F.filter(barr, lambda b: b <= x)).cast("int")
+        else:
+            bucket = F.lit(0)
+        u = u.withColumn("__bucket", bucket)
+        part_keys = ["__bucket"]
+        n_buckets = len(bounds) + 1
+        allb = spark.range(0, n_buckets).select(
+            F.col("id").cast("int").alias("__bucket"))
+    else:
+        part_keys = by_cols
+        allb = None
+    base = Window.partitionBy(*part_keys).orderBy(
+        F.col(on).asc(), F.col("__side").asc())
     carried = u
     matches = []
     if direction in ("backward", "nearest"):
@@ -77,12 +110,46 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         # side DESC puts left rows before right at equal timestamps, so
         # an unbounded-following frame from the left row admits exactly
         # the right rows with t >= on, ties included
-        basef = (Window.partitionBy(*by_cols) if by_cols else Window.partitionBy()
-                 ).orderBy(F.col(on).asc(), F.col("__side").desc())
+        basef = Window.partitionBy(*part_keys).orderBy(
+            F.col(on).asc(), F.col("__side").desc())
         wf = basef.rowsBetween(0, Window.unboundedFollowing)
         carried = carried.withColumn(
             "__mf", F.first("__payload", ignorenulls=True).over(wf))
         matches.append("__mf")
+    if not by_cols and allb is not None:
+        # boundary carry-over: per-bucket closing (last right payload)
+        # / opening (first right payload), prefix/suffix-carried over
+        # the ≤#buckets-row bucket table, broadcast back. Equal
+        # timestamps share a bucket (value-derived), so tie matches
+        # are always resolved locally — the carry only supplies
+        # strictly-earlier / strictly-later buckets' state.
+        rights = u.where(F.col("__side") == 0)
+        carry_cols = []
+        if "__mb" in matches:
+            closing = rights.groupBy("__bucket").agg(
+                F.max_by("__payload", F.col(on)).alias("__closing"))
+            wprev = (Window.orderBy("__bucket")
+                     .rowsBetween(Window.unboundedPreceding, -1))
+            cb = (allb.join(closing, "__bucket", "left")
+                  .withColumn("__cb", F.last("__closing", ignorenulls=True)
+                              .over(wprev))
+                  .select("__bucket", "__cb"))
+            carry_cols.append(("__mb", "__cb", cb))
+        if "__mf" in matches:
+            opening = rights.groupBy("__bucket").agg(
+                F.min_by("__payload", F.col(on)).alias("__opening"))
+            wnext = (Window.orderBy("__bucket")
+                     .rowsBetween(1, Window.unboundedFollowing))
+            cf = (allb.join(opening, "__bucket", "left")
+                  .withColumn("__cf", F.first("__opening", ignorenulls=True)
+                              .over(wnext))
+                  .select("__bucket", "__cf"))
+            carry_cols.append(("__mf", "__cf", cf))
+        for mcol, ccol, ctab in carry_cols:
+            carried = (carried.join(F.broadcast(ctab), "__bucket", "left")
+                       .withColumn(mcol, F.coalesce(F.col(mcol), F.col(ccol)))
+                       .drop(ccol))
+        carried = carried.drop("__bucket")
     out = carried.where(F.col("__side") == 1)
     if tolerance is not None:
         for m in matches:

@@ -1015,3 +1015,48 @@ def test_token_quota_plan_has_no_window(spark, documents):
         ).explainString(spark._jvm.org.apache.spark.sql.execution
                         .ExplainMode.fromString("formatted"))
     assert "Window" not in plan
+
+
+def test_asof_join_keyless_matches_pandas_and_parallelizes(spark):
+    """by=None path: quantile-bucketed carry must equal
+    pandas.merge_asof for all three directions, and the big-side carry
+    window must partition by bucket — not a global single-partition
+    window (the r4 scale hazard)."""
+    import pandas as pd
+
+    from dask_ml_spark.operators.joins import asof_join
+
+    rng = np.random.RandomState(13)
+    left = pd.DataFrame({
+        "t": np.sort(rng.uniform(0, 1000, 300)),
+        "lv": rng.randn(300),
+    })
+    right = pd.DataFrame({
+        "t": np.sort(rng.choice(np.arange(0, 1000, 0.5), 200, replace=False)),
+        "rv": rng.randn(200),
+    })
+    # force boundary-tie coverage: duplicate some left times into right
+    right.loc[:10, "t"] = left["t"].iloc[5:16].to_numpy()
+    right = right.sort_values("t").reset_index(drop=True)
+    for direction in ("backward", "forward", "nearest"):
+        expect = pd.merge_asof(left, right, on="t", direction=direction,
+                               suffixes=("", "_right"))
+        sdf = asof_join(spark.createDataFrame(left),
+                        spark.createDataFrame(right),
+                        on="t", by=None, suffix="_right",
+                        direction=direction)
+        got = sdf.toPandas().sort_values("t").reset_index(drop=True)
+        exp = expect.sort_values("t").reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got["rv_right"], exp["rv"].rename("rv_right"),
+            check_exact=False)
+
+    plan = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="t", by=None)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "hashpartitioning(__bucket" in plan
+    # the only SinglePartition exchanges feed the <=#buckets-row carry
+    # table; the data-bearing window is bucket-partitioned
+    assert plan.count("Exchange SinglePartition") <= 2
