@@ -97,6 +97,8 @@ HEADLINE = [
     "hyperband_best",
     # distributed prefix-sum machinery (rank-sum AUC over score groups)
     "roc_auc_eval",
+    # the 100 TB AUC path: equal-width binning, no score-sorted shuffle
+    "roc_auc_binned",
 ]
 
 

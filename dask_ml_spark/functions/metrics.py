@@ -352,17 +352,28 @@ def score_estimator(scorer, estimator, df: DataFrame, label_col: str = "label") 
     return scorer(pred, label_col=label_col, prediction_col="prediction")
 
 
+# Scorer-registry AUC default: the binned path. Exact rank-sum AUC
+# range-sorts the distinct-score table — a sort-sized shuffle that a
+# CV grid re-pays per (param, fold). 4096 bins keeps |error| ≤ the
+# within-bin pair mass (≈ O(1/4096) for smooth score distributions,
+# far below fold-to-fold CV noise) for two cheap aggregate passes.
+# Call roc_auc_score(..., bins=None) directly when exactness matters.
+DEFAULT_AUC_BINS = 4096
+
+
 def _roc_auc_from_proba(df: DataFrame, label_col: str = "label",
                         prediction_col: str = "probability", **_ignored) -> float:
     """AUC over a probability column (double P(class=1) or
-    predict_proba array — scorer-protocol adapter for roc_auc_score)."""
+    predict_proba array — scorer-protocol adapter for roc_auc_score).
+    Uses the binned scale path (DEFAULT_AUC_BINS) — see the constant's
+    error-bound note."""
     from pyspark.sql import types as T
 
     if isinstance(df.schema[prediction_col].dataType, T.ArrayType):
         df = df.withColumn("__score", F.element_at(F.col(prediction_col), 2))
     else:
         df = df.withColumn("__score", F.col(prediction_col))
-    return roc_auc_score(df, label_col, "__score")
+    return roc_auc_score(df, label_col, "__score", bins=DEFAULT_AUC_BINS)
 
 
 SCORERS = {

@@ -2445,6 +2445,7 @@ def build_catalog():
         "poisson_regression_fit": q_poisson_regression_fit,
         "poisson_saturated_fit": q_poisson_saturated_fit,
         "roc_auc_eval": q_roc_auc_eval,
+        "roc_auc_binned": q_roc_auc_binned,
         "precision_recall_f1": q_precision_recall_f1,
         "confusion_matrix": q_confusion_matrix,
         "calibration_curve": q_calibration_curve,
@@ -2573,6 +2574,7 @@ def build_catalog():
         "logistic_saturated_fit": SQL_LOGISTIC_SATURATED_FIT,
         "poisson_saturated_fit": SQL_POISSON_SATURATED_FIT,
         "roc_auc_eval": SQL_ROC_AUC_EVAL,
+        "roc_auc_binned": SQL_ROC_AUC_BINNED,
         "precision_recall_f1": SQL_PRECISION_RECALL_F1,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "confusion_matrix": SQL_CONFUSION_MATRIX,
@@ -4049,6 +4051,52 @@ w AS (
     FROM g
 )
 SELECT sum(p * (neg_below + 0.5 * neg)) / (sum(p) * sum(neg)) AS auc FROM w
+"""
+
+
+def q_roc_auc_binned(spark, sf_dir):
+    """The 100 TB ROC-AUC path (functions/metrics.py::roc_auc_score
+    with bins=4096): scores bucket into K equal-width bins — one
+    min/max pass + one ≤K-group aggregate, no score-sorted shuffle —
+    with |error| bounded by the within-bin pair mass (O(1/K)). The
+    oracle replays the identical bucketing arithmetic in SQL, so this
+    is a full hash-match, not rows-only."""
+    from dask_ml_spark.functions.metrics import roc_auc_score
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("double").alias("label"),
+        (F.col("l_extendedprice") / (F.lit(1.0) + F.col("l_discount"))).alias("score"),
+    )
+    auc = roc_auc_score(li, "label", "score", bins=4096)
+    return spark.createDataFrame([{"auc": float(auc)}]).select(
+        F.round(F.col("auc"), 9).alias("auc"))
+
+
+SQL_ROC_AUC_BINNED = """
+WITH scored AS (
+    SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label,
+           l_extendedprice / (1.0 + l_discount) AS score
+    FROM lineitem
+),
+rng AS (
+    SELECT min(score) AS lo,
+           CASE WHEN max(score) = min(score) THEN 1.0
+                ELSE max(score) - min(score) END AS width
+    FROM scored
+),
+g AS (
+    SELECT least(4095, floor((score - lo) / width * 4096))::INT AS b,
+           count(*)::DOUBLE AS c, sum(label) AS p
+    FROM scored, rng GROUP BY 1
+),
+w AS (
+    SELECT p, c - p AS neg,
+           COALESCE(sum(c - p) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+    FROM g
+)
+SELECT round(sum(p * (neg_below + 0.5 * neg)) / (sum(p) * sum(neg)), 9) AS auc
+FROM w
 """
 
 

@@ -224,3 +224,50 @@ def test_calibration_curve(spark):
     # calibrated generator: observed rate tracks mean prediction per bin
     np.testing.assert_allclose(out["fraction_positive"], out["mean_predicted"], atol=0.12)
     assert out["n"].sum() == 1000
+
+
+def test_roc_auc_binned_error_bound_continuous(spark):
+    """|exact − binned| on a continuous-score fixture is bounded by
+    the within-bin pair mass — empirically well under 1/bins·C for
+    smooth distributions; pin the documented DEFAULT_AUC_BINS level
+    and the scorer registry's use of it."""
+    import numpy as np
+    import pandas as pd
+
+    from dask_ml_spark.functions.metrics import (DEFAULT_AUC_BINS,
+                                                 roc_auc_score)
+
+    rng = np.random.RandomState(7)
+    n = 20_000
+    label = rng.binomial(1, 0.4, n).astype("float64")
+    # overlapping Gaussians -> AUC ~ 0.76, scores continuous
+    score = rng.randn(n) + label
+    df = spark.createDataFrame(pd.DataFrame({"label": label, "score": score}))
+    exact = roc_auc_score(df, "label", "score")
+    binned = roc_auc_score(df, "label", "score", bins=DEFAULT_AUC_BINS)
+    assert abs(exact - binned) < 2e-3
+    coarse = roc_auc_score(df, "label", "score", bins=64)
+    assert abs(exact - coarse) < 3e-2
+
+
+def test_roc_auc_scorer_registry_uses_binned_path(spark):
+    """The registered 'roc_auc' scorer must agree with the explicit
+    binned call (same bins) — and with exact AUC to binning error."""
+    import numpy as np
+    import pandas as pd
+
+    from dask_ml_spark.functions.metrics import (DEFAULT_AUC_BINS,
+                                                 _roc_auc_from_proba,
+                                                 roc_auc_score)
+
+    rng = np.random.RandomState(21)
+    n = 5000
+    label = rng.binomial(1, 0.5, n).astype("float64")
+    proba = 1 / (1 + np.exp(-(rng.randn(n) + 2 * label - 1)))
+    df = spark.createDataFrame(
+        pd.DataFrame({"label": label, "probability": proba}))
+    got = _roc_auc_from_proba(df)
+    want = roc_auc_score(df, "label", "probability", bins=DEFAULT_AUC_BINS)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+    exact = roc_auc_score(df, "label", "probability")
+    assert abs(got - exact) < 2e-3
