@@ -161,26 +161,34 @@ class SpectralClustering(BaseEstimator):
 
     def __init__(self, n_clusters: int = 8, n_components: int = 100,
                  gamma: float = 1.0, affinity: str = "rbf", random_state: int | None = None,
-                 kmeans_params: dict | None = None):
+                 kmeans_params: dict | None = None, landmarks=None):
         self.n_clusters = n_clusters
         self.n_components = n_components
         self.gamma = gamma
         self.affinity = affinity
         self.random_state = random_state
         self.kmeans_params = kmeans_params
+        # explicit Nyström landmark rows (array-like, len×n_features):
+        # skips the seeded sample, making the whole pipeline
+        # deterministic-by-literals and therefore SQL-oracle-able
+        # (the kmeans pinned-init trick applied one level up)
+        self.landmarks = landmarks
 
     def fit_predict(self, df: DataFrame, columns=None, output_col: str = "prediction") -> DataFrame:
         from dask_ml_spark.operators.pairwise import rbf_kernel_matrix
 
         cols = self._validate_data(df, columns)
-        n = df.count()
-        l = min(self.n_components, n)
-        frac = min(1.0, 1.2 * l / max(n, 1))
-        sample = np.asarray(
-            df.select(*cols).sample(fraction=frac, seed=self.random_state or 0)
-            .orderBy(F.rand(self.random_state or 0)).limit(l).collect(),
-            dtype="float64",
-        )
+        if self.landmarks is not None:
+            sample = np.asarray(self.landmarks, dtype="float64")
+        else:
+            n = df.count()
+            l = min(self.n_components, n)
+            frac = min(1.0, 1.2 * l / max(n, 1))
+            sample = np.asarray(
+                df.select(*cols).sample(fraction=frac, seed=self.random_state or 0)
+                .orderBy(F.rand(self.random_state or 0)).limit(l).collect(),
+                dtype="float64",
+            )
         l = len(sample)
         # A: l×l exact kernel on driver (small); Nyström embedding map =
         # top-k eigenvectors scaled by S^{-1/2} (phi(x) ≈ K(x,sample)·U_k·S_k^{-1/2})

@@ -2575,6 +2575,7 @@ def build_catalog():
         "poisson_saturated_fit": SQL_POISSON_SATURATED_FIT,
         "roc_auc_eval": SQL_ROC_AUC_EVAL,
         "roc_auc_binned": SQL_ROC_AUC_BINNED,
+        "spectral_clustering_sizes": sql_spectral_clustering_sizes(),
         "precision_recall_f1": SQL_PRECISION_RECALL_F1,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "confusion_matrix": SQL_CONFUSION_MATRIX,
@@ -3881,23 +3882,134 @@ def q_train_test_split_sizes(spark, sf_dir):
     }])
 
 
+SPECTRAL_GAMMA = 0.5
+SPECTRAL_LANDMARKS = [
+    [-1.2, -1.2, -1.2], [-1.2, 0.0, 1.2], [0.0, -1.2, 1.2], [0.0, 0.0, 0.0],
+    [0.0, 1.2, -1.2], [1.2, -1.2, 0.0], [1.2, 0.0, -1.2], [1.2, 1.2, 1.2],
+]
+SPECTRAL_KM_INIT = [[-0.6, -0.3, 0.0], [-0.4, 0.3, 0.3], [-0.2, 0.0, -0.2]]
+SPECTRAL_ITERS = 2
+
+
+def _spectral_proj():
+    """The Nyström embedding map for the PINNED landmarks — computed
+    in numpy from the literals alone, so the Spark query and the SQL
+    generator derive the IDENTICAL l×k weight matrix (the driver-side
+    SVD is not a distributed computation; what the oracle verifies is
+    everything distributed: scaling, the kernel embedding of every
+    row, the Lloyd rounds, and the final assignment)."""
+    import numpy as np
+
+    from dask_ml_spark.operators.pairwise import rbf_kernel_matrix
+
+    lm = np.asarray(SPECTRAL_LANDMARKS, dtype="float64")
+    A = rbf_kernel_matrix(lm, lm, SPECTRAL_GAMMA)
+    U, S, _ = np.linalg.svd(A, hermitian=True)
+    k = len(SPECTRAL_KM_INIT)
+    S_inv_sqrt = np.where(S[:k] > 1e-12, 1.0 / np.sqrt(S[:k]), 0.0)
+    return U[:, :k] * S_inv_sqrt
+
+
 def q_spectral_clustering_sizes(spark, sf_dir):
     """Nyström spectral clustering (reference spectral.py:22-375):
-    sampled kernel block + distributed embedding + k-means. Sampled and
-    seeded — rows-only."""
+    kernel block + distributed embedding + k-means. Landmarks and
+    k-means init are PINNED literals (the kmeans_cluster_sizes trick
+    one level up), so the full pipeline — standardize, RBF-embed
+    through the SVD map, replayed Lloyd rounds, final assignment — is
+    SQL-oracle-able. The seeded-sampling path stays available on the
+    operator (landmarks=None)."""
     from dask_ml_spark.operators.cluster import SpectralClustering
     from dask_ml_spark.operators.preprocessing import StandardScaler
 
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     scaled = StandardScaler().fit(li, cols).transform(li)
-    sc = SpectralClustering(n_clusters=3, n_components=40, gamma=0.5, random_state=11)
+    sc = SpectralClustering(
+        n_clusters=3, gamma=SPECTRAL_GAMMA, landmarks=SPECTRAL_LANDMARKS,
+        kmeans_params={"init": SPECTRAL_KM_INIT, "max_iter": SPECTRAL_ITERS,
+                       "tol": 0.0, "algorithm": "lloyd_dataframe"})
     return (
         sc.fit_predict(scaled, cols)
         .groupBy("prediction")
         .agg(F.count("*").alias("n"))
         .select(F.col("prediction").cast("long").alias("cluster"), "n")
     )
+
+
+def sql_spectral_clustering_sizes() -> str:
+    """Replay the pinned spectral pipeline in SQL: standardize with
+    population stddev windows, compute the k embedding columns as
+    Σ_i proj[i][j]·exp(-γ·||x - landmark_i||²) (full-precision numpy
+    literals), then the same pivot/assign/update Lloyd replay as
+    sql_kmeans_cluster_sizes over the embedding coordinates."""
+    proj = _spectral_proj()
+    k = len(SPECTRAL_KM_INIT)
+    dims = [f"e{j}" for j in range(k)]
+    cols = KMEANS_COLS
+    svars = ["q", "p", "d"]
+
+    kernels = []
+    for i, lm in enumerate(SPECTRAL_LANDMARKS):
+        d2 = " + ".join(f"({v} - {lm[a]!r}) * ({v} - {lm[a]!r})"
+                        for a, v in enumerate(svars))
+        kernels.append(f"exp(-{SPECTRAL_GAMMA!r} * ({d2})) AS kk{i}")
+    embs = []
+    for j in range(k):
+        terms = [f"kk{i} * {float(proj[i, j])!r}"
+                 for i in range(len(SPECTRAL_LANDMARKS))
+                 if float(proj[i, j]) != 0.0]
+        embs.append("(" + " + ".join(terms) + f") AS e{j}")
+
+    def pivot(src: str, name: str) -> str:
+        cells = ", ".join(
+            f"max(CASE WHEN cluster = {c} THEN c{v} END) AS c{v}{c}"
+            for c in range(k) for v in dims)
+        return f"{name} AS (SELECT {cells} FROM {src})"
+
+    def assign(name: str, piv: str) -> str:
+        dist = ", ".join(
+            "(" + " + ".join(f"(s.{v} - {piv}.c{v}{c}) * (s.{v} - {piv}.c{v}{c})"
+                             for v in dims) + f") AS d{c}"
+            for c in range(k))
+        whens = []
+        for c in range(k - 1):
+            cond = " AND ".join(f"d{c} <= d{o}" for o in range(c + 1, k))
+            whens.append(f"WHEN {cond} THEN {c}")
+        case = "CASE " + " ".join(whens) + f" ELSE {k - 1} END"
+        return (f"{name} AS (SELECT {', '.join(dims)}, {case} AS cluster "
+                f"FROM (SELECT s.*, {dist} FROM emb s CROSS JOIN {piv}))")
+
+    def update(prev: str, assigned: str, gname: str, cname: str) -> str:
+        avgs = ", ".join(f"avg({v}) AS m{v}" for v in dims)
+        coal = ", ".join(f"coalesce(g.m{v}, p.c{v}) AS c{v}" for v in dims)
+        return (f"{gname} AS (SELECT cluster, {avgs} FROM {assigned} GROUP BY cluster), "
+                f"{cname} AS (SELECT p.cluster, {coal} FROM {prev} p "
+                f"LEFT JOIN {gname} g ON p.cluster = g.cluster)")
+
+    init_rows = ", ".join(
+        "(" + ", ".join([str(c)] + [f"{v!r}" for v in SPECTRAL_KM_INIT[c]]) + ")"
+        for c in range(k))
+    parts = [
+        "scaled AS (SELECT "
+        + ", ".join(
+            f"({col} - avg({col}) OVER ()) / stddev_pop({col}) OVER () AS {v}"
+            for col, v in zip(cols, svars))
+        + " FROM lineitem)",
+        f"kern AS (SELECT {', '.join(kernels)} FROM scaled)",
+        f"emb AS (SELECT {', '.join(embs)} FROM kern)",
+        f"c0(cluster, {', '.join('c' + v for v in dims)}) AS (VALUES {init_rows})",
+    ]
+    prev = "c0"
+    for it in range(SPECTRAL_ITERS):
+        parts.append(pivot(prev, f"pv{it}"))
+        parts.append(assign(f"a{it}", f"pv{it}"))
+        parts.append(update(prev, f"a{it}", f"g{it}", f"c{it + 1}"))
+        prev = f"c{it + 1}"
+    parts.append(pivot(prev, "pvf"))
+    parts.append(assign("af", "pvf"))
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT cluster::BIGINT AS cluster, count(*) AS n "
+              "FROM af GROUP BY cluster")
 
 
 def q_incremental_sgd_eval(spark, sf_dir):
