@@ -136,10 +136,16 @@ def _decode_any(data: bytes) -> np.ndarray:
         return _decode_bmp(data)
     if data[:2] == b"P6":
         return _decode_ppm(data)
+    if data[:2] == b"\xff\xd8":
+        from dask_ml_spark.datapipe.jpeg import decode_jpeg
+
+        img = decode_jpeg(data)
+        return np.repeat(img, 3, axis=2) if img.shape[2] == 1 else img
     raise NotImplementedError(
-        "only uncompressed BMP and binary PPM decode without codec "
-        "libraries (not in this container) — JPEG/PNG/video/audio stay "
-        "stubbed; run with stub=True for the deterministic fake"
+        "only uncompressed BMP, binary PPM, and baseline JPEG decode "
+        "without codec libraries (not in this container) — "
+        "PNG/progressive-JPEG/video/audio stay stubbed; run with "
+        "stub=True for the deterministic fake"
     )
 
 

@@ -253,9 +253,9 @@ def test_multimodal_real_bmp_ppm_decode(spark):
     for w in (1, 2, 3, 5, 7):
         odd = rng.randint(0, 256, size=(3, w, 3), dtype="uint8")
         np.testing.assert_array_equal(_decode_any(encode_bmp(odd)), odd)
-    # compressed formats stay honestly stubbed
+    # codec-less formats stay honestly stubbed (JPEG is real now)
     with pytest.raises(NotImplementedError):
-        _decode_any(b"\xff\xd8\xff\xe0 fake jpeg")
+        _decode_any(b"\x89PNG\r\n\x1a\n fake png")
 
 
 def test_multimodal_frame_sample(documents):

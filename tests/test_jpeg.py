@@ -1,0 +1,104 @@
+"""Pure-Python baseline JPEG codec tests (datapipe/jpeg.py).
+
+Round-trip alone can hide self-cancelling encoder/decoder bug pairs,
+so the suite anchors on analytic facts: a uniform image is DC-only and
+must decode EXACTLY to its quantized DC value; PSNR floors catch
+coefficient/zigzag scrambles (a mis-ordered zigzag craters PSNR)."""
+
+import numpy as np
+import pytest
+
+from dask_ml_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
+
+
+def _psnr(a, b):
+    mse = float(((a.astype(float) - b.astype(float)) ** 2).mean())
+    return 10 * np.log10(255**2 / mse) if mse else np.inf
+
+
+def test_uniform_image_decodes_to_dc_exact():
+    for val in (0, 77, 130, 255):
+        img = np.full((16, 16, 3), val, np.uint8)
+        dec = decode_jpeg(encode_jpeg(img))
+        assert dec.shape == (16, 16, 3)
+        # DC-only: every output pixel identical, within DC quant step
+        assert dec.std() == 0.0
+        assert abs(int(dec[0, 0, 0]) - val) <= 9
+
+
+def test_gradient_roundtrip_psnr_444_and_420():
+    h, w = 24, 40
+    x = np.linspace(0, 255, w)[None, :, None]
+    y = np.linspace(0, 255, h)[:, None, None]
+    img = np.clip(np.concatenate(
+        [x * np.ones((h, 1, 1)), y * np.ones((1, w, 1)), (x + y) / 2],
+        axis=2), 0, 255).astype(np.uint8)
+    dec444 = decode_jpeg(encode_jpeg(img))
+    assert dec444.shape == img.shape and _psnr(dec444, img) > 30
+    dec420 = decode_jpeg(encode_jpeg(img, subsample=True))
+    assert dec420.shape == img.shape and _psnr(dec420, img) > 27
+
+
+def test_noise_and_odd_sizes():
+    rng = np.random.RandomState(0)
+    for shape, sub in [((17, 19, 3), False), ((19, 21, 3), True),
+                       ((8, 8, 3), False), ((1, 1, 3), False)]:
+        img = rng.randint(0, 256, shape, np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, subsample=sub))
+        assert dec.shape == shape
+
+
+def test_grayscale_roundtrip():
+    # smooth gradient: high-frequency noise is (correctly) crushed by
+    # the Annex-K quantizer, so PSNR floors only make sense on
+    # low-frequency content
+    img = (np.linspace(0, 255, 24)[None, :]
+           * np.ones((16, 1))).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec.shape == (16, 24, 1)
+    assert _psnr(dec[:, :, 0], img) > 30
+
+
+def test_luma_channel_tracks_brightness():
+    """Cross-check against the color transform: a pure-red image must
+    decode with R >> B (catches channel-order/YCbCr sign errors that a
+    same-transform round trip cannot)."""
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[..., 0] = 200
+    dec = decode_jpeg(encode_jpeg(img)).astype(float)
+    assert dec[..., 0].mean() > 150
+    assert dec[..., 2].mean() < 60
+
+
+def test_non_baseline_rejected():
+    img = np.full((8, 8, 3), 100, np.uint8)
+    blob = bytearray(encode_jpeg(img))
+    # flip SOF0 (0xC0) to SOF2 progressive (0xC2)
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_decode_image_features_stub_false_jpeg(spark):
+    """Spark plumbing: baseline JPEGs decode for real inside
+    mapInPandas and the features match a local decode oracle."""
+    import pandas as pd
+
+    from dask_ml_spark.datapipe.multimodal import (_decode_any,
+                                                   _resize_nearest,
+                                                   decode_image_features)
+
+    rng = np.random.RandomState(5)
+    imgs = {i: rng.randint(0, 256, (16, 12, 3), np.uint8) for i in range(3)}
+    rows = [{"doc_id": i, "blob": bytearray(encode_jpeg(img))}
+            for i, img in imgs.items()]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = decode_image_features(df, resize=(4, 4), stub=False).toPandas()
+    assert len(out) == 3
+    for _, r in out.iterrows():
+        local = _decode_any(bytes(encode_jpeg(imgs[r.doc_id])))
+        want = _resize_nearest(local, 4, 4).mean(axis=2).ravel()
+        np.testing.assert_allclose(np.asarray(r.features), want)
