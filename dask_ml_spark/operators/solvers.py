@@ -212,15 +212,25 @@ def gradient_descent(df, cols, label_col, family, fit_intercept=True,
 
 
 def newton(df, cols, label_col, family, fit_intercept=True,
-           max_iter=50, tol=1e-8, **_):
-    """Newton-Raphson / IRLS (unregularized). One grad+hess pass per
-    iteration; the (k x k) solve is driver-side numpy.
+           max_iter=50, tol=1e-8, lamduh=0.0, regularizer="l2", **_):
+    """Newton-Raphson / IRLS; smooth (L2) penalties supported exactly —
+    grad += lam*w and hess += lam*I on the weight block, so the
+    gaussian/ridge case is STILL one-step exact (the ridge normal
+    equations), which is what makes GridSearchCV over ridge C
+    SQL-oracle-able. L1 is non-smooth and routes to proximal_grad/admm
+    (raise here rather than silently ignoring it — dask_glm's newton is
+    unregularized). One grad+hess pass per iteration; the (k x k) solve
+    is driver-side numpy.
 
     The intercept starts at the link of the label mean (one JVM agg
     pass) — from beta=0 the exp-link Hessian is tiny next to the
     gradient and the first Poisson step overshoots by ~ln(mean(y)),
     after which Newton crawls back ~1 unit per iteration; mean-link
     init lands the first step near the optimum instead."""
+    if lamduh > 0.0 and regularizer != "l2":
+        raise ValueError(
+            "newton supports only smooth (l2) penalties; use "
+            "proximal_grad or admm for l1/elastic_net")
     d = len(cols)
     k = d + 1 if fit_intercept else d
     beta = np.zeros(k)
@@ -234,6 +244,11 @@ def newton(df, cols, label_col, family, fit_intercept=True,
     for _it in range(max_iter):
         _, _, grad, hess = _suffstats(df, cols, label_col, beta, family,
                                       fit_intercept, True, True)
+        if lamduh > 0.0:
+            grad = grad.copy()
+            grad[:d] += lamduh * beta[:d]
+            hess = hess + lamduh * np.diag(
+                np.concatenate([np.ones(d), np.zeros(k - d)]))
         hess = hess + 1e-10 * np.eye(k)  # guard exact singularity
         try:
             delta = np.linalg.solve(hess, grad)

@@ -161,6 +161,32 @@ class KFold(BaseEstimator):
             )
 
 
+class HashKFold(KFold):
+    """Content-deterministic k folds: fold id = Knuth-hash bucket of
+    the row KEY modulo k (same engine-portable arithmetic as
+    hash_split). Unlike rand(seed) folds, a row's fold is a pure
+    function of its key — stable across partitionings, task retries,
+    and engines — which is what production CV on 100 TB needs for
+    reproducible searches, and what lets a SQL oracle verify a whole
+    GridSearchCV end-to-end (fold content included). Rows with equal
+    keys share a fold (group-leakage-safe)."""
+
+    def __init__(self, n_splits: int = 5, key_cols=None,
+                 n_buckets: int = 10_000, salt: int = 0):
+        super().__init__(n_splits=n_splits, shuffle=False, random_state=None)
+        if not key_cols:
+            raise ValueError("HashKFold requires key_cols")
+        self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        self.n_buckets = n_buckets
+        self.salt = salt
+
+    def fold_column(self, df: DataFrame, col_name: str = "__fold") -> DataFrame:
+        bucket = _hash_bucket_expr(self.key_cols, self.n_buckets,
+                                   self.salt, df=df)
+        return df.withColumn(
+            col_name, F.pmod(bucket, F.lit(self.n_splits)).cast("int"))
+
+
 def check_cv(cv=None):
     if cv is None:
         return KFold(n_splits=5)
@@ -291,7 +317,8 @@ class GridSearchCV(BaseEstimator):
             # storage memory AND makes every (candidate, fold) scan pay
             # for unused columns (pipelines keep the full frame — their
             # stages may reference any column)
-            keep = list(dict.fromkeys([*columns, label_col]))
+            keep = list(dict.fromkeys(
+                [*columns, label_col, *getattr(cv, "key_cols", [])]))
             df = df.select(*keep)
 
         # spread the cached folds up-front: fold filters preserve the

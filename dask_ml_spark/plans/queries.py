@@ -2438,6 +2438,7 @@ def build_catalog():
         "incremental_search_best": q_incremental_search_best,
         "truncated_svd_variance": q_truncated_svd_variance,
         "grid_search_best": q_grid_search_best,
+        "ridge_grid_search_hash_cv": q_ridge_grid_search,
         "blockwise_voting_eval": q_blockwise_voting_eval,
         "train_test_split_sizes": q_train_test_split_sizes,
         "spectral_clustering_sizes": q_spectral_clustering_sizes,
@@ -2576,6 +2577,7 @@ def build_catalog():
         "roc_auc_eval": SQL_ROC_AUC_EVAL,
         "roc_auc_binned": SQL_ROC_AUC_BINNED,
         "spectral_clustering_sizes": sql_spectral_clustering_sizes(),
+        "ridge_grid_search_hash_cv": _sql_ridge_grid_search(),
         "precision_recall_f1": SQL_PRECISION_RECALL_F1,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "confusion_matrix": SQL_CONFUSION_MATRIX,
@@ -3806,6 +3808,111 @@ def q_grid_search_best(spark, sf_dir):
         "best_score": float(gs.best_score_),
         "n_candidates": int(len(gs.cv_results_["mean_test_score"])),
     }])
+
+
+RIDGE_GRID_C = [0.1, 10.0]
+
+
+def q_ridge_grid_search(spark, sf_dir):
+    """A GridSearchCV whose ENTIRE result is value-verified: ridge
+    regression (one-step-exact newton = the ridge normal equations)
+    over content-deterministic HashKFold folds (Knuth-hash bucket % k,
+    the hash_split arithmetic), so the oracle can replay fold
+    assignment, per-fold penalized normal equations (Cramer's rule),
+    held-out R², and candidate ranking — the first value-verified
+    model-selection query (the seeded grid_search_best stays rows-only
+    by design, mirroring the reference's seeded folds)."""
+    from dask_ml_spark.operators.linear_model import LinearRegression
+    from dask_ml_spark.plans.model_selection import GridSearchCV, HashKFold
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "label", F.col("l_extendedprice").cast("double"))
+    gs = GridSearchCV(
+        LinearRegression(penalty="l2", solver="newton"),
+        {"C": RIDGE_GRID_C},
+        cv=HashKFold(n_splits=3, key_cols=["l_orderkey", "l_linenumber"]),
+        refit=False, n_jobs=6)
+    gs.fit(li, ["l_quantity", "l_discount"], label_col="label")
+    rows = [
+        {"C": float(p["C"]), "mean_r2": round(float(s), 6)}
+        for p, s in zip(gs.cv_results_["params"],
+                        gs.cv_results_["mean_test_score"])
+    ]
+    best = max(r["mean_r2"] for r in rows)
+    for r in rows:
+        r["is_best"] = r["mean_r2"] == best
+    return spark.createDataFrame(rows).select("C", "mean_r2", "is_best")
+
+
+def _sql_ridge_grid_search() -> str:
+    """Replay the whole search in SQL: Knuth-hash fold ids, per-fold
+    sufficient statistics (one grouped pass; train sums = total −
+    held-out fold), the 3×3 penalized normal equations by Cramer's
+    rule per (fold, C), held-out R² expanded in the same sufficient
+    statistics, then the per-candidate fold mean and argmax."""
+    cand = ", ".join(f"({c!r})" for c in RIDGE_GRID_C)
+    det = ("a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13) "
+           "+ a13*(a12*a23 - a22*a13)")
+    return f"""
+WITH f AS (
+    SELECT l_quantity AS x1, l_discount AS x2,
+           l_extendedprice::DOUBLE AS y,
+           ((((0 + l_orderkey) % 2147483648) * 2654435761 % 2147483648
+             + l_linenumber) % 2147483648) * 2654435761
+             % 2147483648 % 10000 % 3 AS fold
+    FROM lineitem
+),
+per AS (
+    SELECT fold, count(*)::DOUBLE AS n, sum(x1) AS s1, sum(x2) AS s2,
+           sum(y) AS sy, sum(x1*x1) AS s11, sum(x2*x2) AS s22,
+           sum(x1*x2) AS s12, sum(x1*y) AS s1y, sum(x2*y) AS s2y,
+           sum(y*y) AS syy
+    FROM f GROUP BY fold
+),
+tot AS (
+    SELECT sum(n) AS n, sum(s1) AS s1, sum(s2) AS s2, sum(sy) AS sy,
+           sum(s11) AS s11, sum(s22) AS s22, sum(s12) AS s12,
+           sum(s1y) AS s1y, sum(s2y) AS s2y
+    FROM per
+),
+tr AS (
+    SELECT p.fold, t.n - p.n AS n, t.s1 - p.s1 AS s1, t.s2 - p.s2 AS s2,
+           t.sy - p.sy AS sy, t.s11 - p.s11 AS s11, t.s22 - p.s22 AS s22,
+           t.s12 - p.s12 AS s12, t.s1y - p.s1y AS s1y, t.s2y - p.s2y AS s2y
+    FROM per p CROSS JOIN tot t
+),
+cand(c) AS (VALUES {cand}),
+mats AS (
+    SELECT tr.fold, cand.c,
+           tr.s11/tr.n + 1.0/cand.c AS a11, tr.s12/tr.n AS a12,
+           tr.s1/tr.n AS a13, tr.s22/tr.n + 1.0/cand.c AS a22,
+           tr.s2/tr.n AS a23, 1.0 AS a33,
+           tr.s1y/tr.n AS b1, tr.s2y/tr.n AS b2, tr.sy/tr.n AS b3
+    FROM tr CROSS JOIN cand
+),
+coef AS (
+    SELECT fold, c,
+      (b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)
+         + a13*(b2*a23 - a22*b3)) / ({det}) AS w1,
+      (a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13)
+         + a13*(a12*b3 - b2*a13)) / ({det}) AS w2,
+      (a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13)
+         + b1*(a12*a23 - a22*a13)) / ({det}) AS b
+    FROM mats
+),
+scored AS (
+    SELECT coef.c, coef.fold,
+      1 - (p.syy - 2*w1*p.s1y - 2*w2*p.s2y - 2*b*p.sy
+           + w1*w1*p.s11 + w2*w2*p.s22 + 2*w1*w2*p.s12
+           + 2*w1*b*p.s1 + 2*w2*b*p.s2 + b*b*p.n)
+        / (p.syy - p.sy*p.sy/p.n) AS r2
+    FROM coef JOIN per p ON coef.fold = p.fold
+),
+means AS (SELECT c, round(avg(r2), 6) AS mean_r2 FROM scored GROUP BY c)
+SELECT c AS "C", mean_r2,
+       mean_r2 = (SELECT max(mean_r2) FROM means) AS is_best
+FROM means
+"""
 
 
 def q_blockwise_voting_eval(spark, sf_dir):

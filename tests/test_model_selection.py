@@ -277,3 +277,53 @@ def test_grid_search_roc_auc_scoring(xy_classification):
     )
     gs.fit(xy_classification, FEATS20)
     assert 0.5 <= gs.best_score_ <= 1.0
+
+
+def test_hash_kfold_content_deterministic_and_leakage_safe(spark, lineitem):
+    """HashKFold: fold id is a pure function of the key — identical
+    across repartitionings — folds partition the data, and rows with
+    equal keys share a fold."""
+    from dask_ml_spark.plans.model_selection import HashKFold
+
+    cv = HashKFold(n_splits=3, key_cols=["l_orderkey", "l_linenumber"])
+    a = (cv.fold_column(lineitem).groupBy("__fold").count()
+         .orderBy("__fold").collect())
+    b = (cv.fold_column(lineitem.repartition(13)).groupBy("__fold").count()
+         .orderBy("__fold").collect())
+    assert [(r["__fold"], r["count"]) for r in a] == \
+        [(r["__fold"], r["count"]) for r in b]
+    assert sum(r["count"] for r in a) == lineitem.count()
+    assert {r["__fold"] for r in a} == {0, 1, 2}
+    # equal keys -> equal fold (check via max distinct folds per key)
+    from pyspark.sql import functions as F
+    dup = (cv.fold_column(lineitem)
+           .groupBy("l_orderkey", "l_linenumber")
+           .agg(F.countDistinct("__fold").alias("nf"))
+           .agg(F.max("nf")).collect()[0][0])
+    assert dup == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="key_cols"):
+        HashKFold(n_splits=3)
+
+
+def test_grid_search_with_hash_kfold_prunes_but_keeps_keys(spark, lineitem):
+    """The fold-cache column pruning must keep the cv key columns, and
+    the search must run end-to-end with the exact newton-ridge."""
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.operators.linear_model import LinearRegression
+    from dask_ml_spark.plans.model_selection import GridSearchCV, HashKFold
+
+    li = lineitem.withColumn("label", F.col("l_extendedprice").cast("double"))
+    gs = GridSearchCV(
+        LinearRegression(penalty="l2", solver="newton"),
+        {"C": [0.1, 10.0]},
+        cv=HashKFold(n_splits=3, key_cols=["l_orderkey", "l_linenumber"]),
+        refit=False, n_jobs=4)
+    gs.fit(li, ["l_quantity", "l_discount"], label_col="label")
+    scores = gs.cv_results_["mean_test_score"]
+    assert len(scores) == 2
+    assert all(-1.0 <= s <= 1.0 for s in scores)
+    # weaker ridge (larger C) must fit at least as well in-sample terms;
+    # here both are far from degenerate and distinct
+    assert abs(scores[0] - scores[1]) > 1e-9

@@ -114,4 +114,41 @@ def test_grid_search_over_solver(xy_classification):
     ).fit(xy_classification, cols)
     assert len(gs.cv_results_["params"]) == 4
     assert gs.best_params_["solver"] in ("lbfgs", "newton")
-    assert 0.5 <= gs.best_score_ <= 1.0
+    # newton now honors the L2 penalty (it used to silently drop it,
+    # so the grid compared different objectives across solvers); on
+    # this noisy fixture the regularized optimum scores just under the
+    # old 0.5 floor
+    assert 0.45 <= gs.best_score_ <= 1.0
+
+
+def test_newton_ridge_matches_normal_equations(spark):
+    """newton with an L2 penalty solves the ridge normal equations
+    exactly in one step for the gaussian family (grad += lam*w,
+    hess += lam*I on the weight block, intercept unpenalized)."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from dask_ml_spark.operators.linear_model import LinearRegression
+
+    rng = np.random.RandomState(0)
+    n = 2000
+    x1, x2 = rng.randn(n), rng.randn(n) * 2 + 1
+    y = 3 * x1 - 1.5 * x2 + 0.7 + rng.randn(n) * 0.5
+    df = spark.createDataFrame(pd.DataFrame({"x1": x1, "x2": x2, "label": y}))
+    X = np.stack([x1, x2], 1)
+    for C in (0.1, 10.0):
+        lam = 1.0 / C
+        m = LinearRegression(penalty="l2", C=C, solver="newton").fit(
+            df, ["x1", "x2"])
+        A = np.zeros((3, 3))
+        A[:2, :2] = X.T @ X / n + lam * np.eye(2)
+        A[:2, 2] = A[2, :2] = X.mean(0)
+        A[2, 2] = 1.0
+        b = np.concatenate([X.T @ y / n, [y.mean()]])
+        sol = np.linalg.solve(A, b)
+        np.testing.assert_allclose(m.coef_, sol[:2], rtol=1e-8)
+        np.testing.assert_allclose(m.intercept_, sol[2], rtol=1e-8)
+    with _pytest.raises(ValueError, match="smooth"):
+        LinearRegression(penalty="l1", C=1.0, solver="newton").fit(
+            df, ["x1", "x2"])
