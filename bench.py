@@ -45,6 +45,7 @@ HEADLINE = [
     "document_fingerprint",
     "ann_bruteforce_topk",
     "embedding_near_dup",
+    "embedding_near_dup_scaled",
     "semantic_dedup",
     "cross_corpus_dedup",
     "source_token_quota",

@@ -303,7 +303,8 @@ def lsh_plane_matrix(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
                              threshold: float = 0.95, n_bands: int = 12,
                              bits_per_band: int = 12, seed: int = 42,
-                             exact: bool = False, dim: int | None = None) -> DataFrame:
+                             exact: bool = False, dim: int | None = None,
+                             auto_scale: bool = True) -> DataFrame:
     """Embedding-cosine near-duplicates.
 
     Scale path (default): BANDED random-hyperplane LSH, the same
@@ -317,6 +318,15 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: 
     (per-bit ≈ 0.90) survives ≥1 of the default 12×12 bands with
     prob ≈ 0.98. A single coarse code (the pre-r4 design, 2^8 buckets
     total) instead grows candidates as N²/256 at corpus scale.
+
+    auto_scale (default): FIXED bits make spurious candidates grow as
+    N² (the sf0.1→sf1 bench measured exactly that: 100× candidates for
+    10× rows). One count() pass derives bits ≈ log2(N)+4 — pinning
+    expected spurious pairs to ~N·n_bands/32, i.e. LINEAR in N — and
+    re-derives n_bands so a threshold-cosine pair still survives ≥1
+    band with ≥95% probability (bands ≈ ln20 / p_bit^bits). Pass
+    auto_scale=False to pin the geometry (the SQL-oracle catalog query
+    does, so its plane literals stay reproducible).
 
     All n_bands·bits_per_band projections per row are ONE BLAS matmul
     in an Arrow-batched pandas UDF (shared with CosineLSHIndex); the
@@ -332,6 +342,17 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: 
 
         if dim is None:
             dim = len(df.select(vec_col).first()[0])
+        if auto_scale:
+            import math
+
+            n = df.count()
+            needed = math.ceil(math.log2(max(n, 2)) + 4)
+            if needed > bits_per_band:
+                bits_per_band = needed
+                p_bit = 1.0 - math.acos(min(threshold, 0.999)) / math.pi
+                p_band = p_bit ** bits_per_band
+                n_bands = max(n_bands,
+                              min(64, math.ceil(math.log(20.0) / p_band)))
         idx = CosineLSHIndex(n_bands=n_bands, bits_per_band=bits_per_band,
                              seed=seed, vec_col=vec_col, id_col=id_col)
         # shared matrix with the SQL-oracle generator (lsh_plane_matrix

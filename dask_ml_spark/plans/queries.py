@@ -1748,11 +1748,29 @@ def q_embedding_near_dup(spark, sf_dir):
     candidates = ≥1 band collision); the oracle reproduces the same
     per-band buckets from the same plane literals."""
     emb = _t(spark, sf_dir, "embeddings")
+    # auto_scale=False: the oracle replays these exact plane literals;
+    # the production geometry-scaling path is benched separately
+    # (embedding_near_dup_scaled) and invariant-tested
     out = DD.embedding_near_dup_pairs(
         emb, threshold=0.9, exact=False, n_bands=NEAR_DUP_BANDS,
         bits_per_band=NEAR_DUP_BITS, seed=42, dim=EMB_DIM,
+        auto_scale=False,
     )
     return out.select("id_a", "id_b", "cosine")
+
+
+def q_embedding_near_dup_scaled(spark, sf_dir):
+    """The N-adaptive geometry (auto_scale=True): bits ≈ log2(N)+4
+    keeps spurious candidate pairs LINEAR in N (fixed bits measured
+    100× candidates for 10× rows at sf1), with bands re-derived for
+    ≥95% recall at the threshold. Rows-only (geometry depends on N);
+    the pinned sibling embedding_near_dup is the hash-matched oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = DD.embedding_near_dup_pairs(
+        emb, threshold=0.9, exact=False, seed=42, dim=EMB_DIM)
+    return (out.groupBy()
+            .agg(F.count("*").alias("n_pairs"),
+                 F.round(F.avg("cosine"), 4).alias("avg_cosine")))
 
 
 def sql_embedding_near_dup() -> str:
@@ -2376,6 +2394,7 @@ def build_catalog():
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_scaled": q_embedding_near_dup_scaled,
         "semantic_dedup": q_semantic_dedup,
         "quantized_embeddings": q_quantized_embeddings,
         "ann_recall_metrics": q_ann_recall_metrics,
