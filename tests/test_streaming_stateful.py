@@ -157,3 +157,66 @@ def test_token_quota_stream_prefix_rule_not_greedy(spark, tmp_path):
     q.awaitTermination(60)
     got = spark.sql("select * from quota_prefix_out").toPandas()
     assert sorted(got.doc_id) == sorted(batch.doc_id) == [0]
+
+
+def test_windowed_features_watermark_drops_late_data(spark, tmp_path):
+    """The watermark contract, end to end across micro-batches: batch
+    1 advances the watermark; a batch-2 event older than it must be
+    DROPPED from the append-mode window aggregate — while the batch
+    rendering of the same function counts it. maxFilesPerTrigger=1
+    forces the two files into separate micro-batches."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.streaming.incremental import windowed_event_features
+
+    d = tmp_path / "ev"
+    cp = str(tmp_path / "cp")
+    d.mkdir()
+    f1 = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 01:00:00", "2024-01-01 12:00:00"]),
+        "user_id": [1, 1],
+        "value": [10.0, 1.0],
+    })
+    f2 = pd.DataFrame({
+        # 01:30 is far below the post-batch-1 watermark (12:00 - 2h)
+        "ts": pd.to_datetime(["2024-01-01 01:30:00", "2024-01-01 13:00:00"]),
+        "user_id": [1, 1],
+        "value": [100.0, 2.0],
+    })
+
+    outdir = str(tmp_path / "out")
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("ts timestamp, user_id long, value double")
+                  .parquet(str(d)))
+        out = windowed_event_features(stream, window="1 hour",
+                                      watermark="2 hours")
+        # parquet sink (the memory sink cannot recover from a
+        # checkpoint, and checkpoint recovery is the point here)
+        q = (out.writeStream.format("parquet")
+             .option("path", outdir)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # micro-batch 1: on-time data only; the checkpoint persists the
+    # advanced watermark across the restart — the canonical recovery
+    # path a real pipeline takes
+    spark.createDataFrame(f1).coalesce(1).write.mode("append").parquet(str(d))
+    run_once()
+    # micro-batch 2: a too-late event plus fresh data
+    spark.createDataFrame(f2).coalesce(1).write.mode("append").parquet(str(d))
+    run_once()
+    got = spark.read.parquet(outdir).toPandas()
+    w1 = got[got.window_start == pd.Timestamp("2024-01-01 01:00:00")]
+    assert len(w1) == 1
+    # the late 100.0 event was dropped: only the on-time 10.0 counted
+    assert w1.iloc[0].n_events == 1 and w1.iloc[0].sum_value == 10.0
+
+    # batch rendering of the SAME function sees both
+    batch = windowed_event_features(
+        spark.read.parquet(str(d / "*")), window="1 hour").toPandas()
+    b1 = batch[batch.window_start == pd.Timestamp("2024-01-01 01:00:00")]
+    assert b1.iloc[0].n_events == 2 and b1.iloc[0].sum_value == 110.0
