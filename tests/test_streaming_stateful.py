@@ -163,8 +163,9 @@ def test_windowed_features_watermark_drops_late_data(spark, tmp_path):
     """The watermark contract, end to end across micro-batches: batch
     1 advances the watermark; a batch-2 event older than it must be
     DROPPED from the append-mode window aggregate — while the batch
-    rendering of the same function counts it. maxFilesPerTrigger=1
-    forces the two files into separate micro-batches."""
+    rendering of the same function counts it. A checkpointed
+    stop/restart forces the two files into separate micro-batches
+    (and exercises watermark recovery on the way)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
