@@ -133,6 +133,59 @@ def make_blobs(n_samples: int = 100, n_features: int = 2, centers: int | np.ndar
     return _partitioned_generator(spark, n_samples, n_partitions, random_state, block, schema)
 
 
+def make_blobs_deterministic(n_samples: int, centers: np.ndarray,
+                             cluster_std: float = 1.0, salt: int = 0,
+                             spark: SparkSession | None = None) -> DataFrame:
+    """Content-deterministic Gaussian blobs — the 100 TB variant of
+    make_blobs: every row is a PURE FUNCTION of its index (Knuth
+    multiplicative hash → two uniforms → Box–Muller normal), so the
+    generated data is identical across partitionings, retries, and
+    engines. numpy-RNG generation (make_blobs above, reference
+    datasets.py:78-206) is partition-order-reproducible only; this
+    variant is row-addressable, which is what lets a SQL oracle verify
+    the distributed generation path value-by-value and what makes a
+    regenerated shard byte-stable after executor loss.
+
+    Entirely JVM expressions over spark.range — no Python workers,
+    scales to any n_samples. Uniforms come from a 14-hex-digit md5
+    prefix of "{id}_{tag}" (the same engine-portable fold
+    _hash_bucket_expr uses for string keys): a multiplicative
+    congruential hash would NOT do here — compositions of multiply-mod
+    maps stay affine mod P, so cluster membership and the uniforms
+    share linear structure and the per-cluster means bias by ~10σ
+    (measured); md5 breaks the linearity. Cluster of row i = md5
+    bucket % k.
+    """
+    from pyspark.sql import functions as F
+
+    spark = spark or SparkSession.getActiveSession()
+    centers = np.asarray(centers, dtype="float64")
+    k, n_features = centers.shape
+    W = float(1 << 56)
+
+    def h(tag):
+        return F.conv(F.substring(F.md5(F.concat(
+            F.col("id").cast("string"), F.lit(f"_{salt}_{tag}"))), 1, 14),
+            16, 10).cast("long")
+
+    df = spark.range(n_samples)
+    cluster = F.pmod(h("c"), F.lit(k)).cast("int")
+    cols = {"cluster": cluster}
+    two_pi = 2.0 * np.pi
+    for j in range(n_features):
+        # two independent uniforms per (row, feature); +0.5 keeps u1
+        # strictly inside (0, 1) so ln() is finite
+        u1 = (h(f"a{j}") + F.lit(0.5)) / F.lit(W)
+        u2 = (h(f"b{j}") + F.lit(0.5)) / F.lit(W)
+        z = F.sqrt(-2.0 * F.log(u1)) * F.cos(F.lit(two_pi) * u2)
+        center_j = F.element_at(
+            F.array(*[F.lit(float(c[j])) for c in centers]), cluster + 1)
+        cols[f"x{j}"] = center_j + F.lit(float(cluster_std)) * z
+    return df.select(
+        F.col("id"), *[cols[f"x{j}"].alias(f"x{j}") for j in range(n_features)],
+        cols["cluster"].alias("cluster"))
+
+
 def random_date(start, end):
     """Uniform random datetime in [start, end) (reference
     datasets.py:384-389 — same numpy-randint-seconds semantics, driver

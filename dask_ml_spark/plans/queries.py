@@ -2470,6 +2470,7 @@ def build_catalog():
         "confusion_matrix": q_confusion_matrix,
         "calibration_curve": q_calibration_curve,
         "make_blobs_kmeans": q_make_blobs_kmeans,
+        "blobs_deterministic_stats": q_blobs_deterministic_stats,
         "feature_hasher_long": q_feature_hasher_long,
         "feature_hasher_portable": q_feature_hasher_portable,
         "hyperband_best": q_hyperband_best,
@@ -2597,6 +2598,7 @@ def build_catalog():
         "roc_auc_binned": SQL_ROC_AUC_BINNED,
         "spectral_clustering_sizes": sql_spectral_clustering_sizes(),
         "ridge_grid_search_hash_cv": _sql_ridge_grid_search(),
+        "blobs_deterministic_stats": _sql_blobs_deterministic_stats(),
         "precision_recall_f1": SQL_PRECISION_RECALL_F1,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "confusion_matrix": SQL_CONFUSION_MATRIX,
@@ -3827,6 +3829,60 @@ def q_grid_search_best(spark, sf_dir):
         "best_score": float(gs.best_score_),
         "n_candidates": int(len(gs.cv_results_["mean_test_score"])),
     }])
+
+
+BLOBS_CENTERS = [[-5.0, 0.0], [0.0, 5.0], [5.0, -5.0]]
+BLOBS_N = 10_000
+BLOBS_STD = 1.5
+
+
+def q_blobs_deterministic_stats(spark, sf_dir):
+    """Content-deterministic distributed data generation
+    (datasets.py::make_blobs_deterministic): every row is a pure
+    function of its index (Knuth hash → Box–Muller), entirely JVM
+    expressions over spark.range — so unlike the numpy-RNG
+    make_blobs (rows-only make_blobs_kmeans), the generated VALUES are
+    verified by the oracle replaying the identical arithmetic."""
+    from dask_ml_spark.datasets import make_blobs_deterministic
+
+    df = make_blobs_deterministic(BLOBS_N, BLOBS_CENTERS,
+                                  cluster_std=BLOBS_STD, spark=spark)
+    return (df.groupBy("cluster")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("x0"), 6).alias("mean_x0"),
+                 F.round(F.avg("x1"), 6).alias("mean_x1"),
+                 F.round(F.stddev_pop("x0"), 6).alias("std_x0"))
+            .orderBy("cluster"))
+
+
+def _sql_blobs_deterministic_stats() -> str:
+    k = len(BLOBS_CENTERS)
+    W = float(1 << 56)
+    two_pi = 2.0 * 3.141592653589793
+
+    def h(tag):
+        return ("CAST(('0x' || substr(md5(id::VARCHAR || '_0_" + tag
+                + "'), 1, 14)) AS BIGINT)")
+
+    feats = []
+    for j in range(2):
+        u1 = f"(({h(f'a{j}')}) + 0.5) / {W!r}"
+        u2 = f"(({h(f'b{j}')}) + 0.5) / {W!r}"
+        z = f"sqrt(-2.0 * ln({u1})) * cos({two_pi!r} * ({u2}))"
+        center = ("CASE cluster "
+                  + " ".join(f"WHEN {c} THEN {BLOBS_CENTERS[c][j]!r}"
+                             for c in range(k))
+                  + " END")
+        feats.append(f"{center} + {BLOBS_STD!r} * ({z}) AS x{j}")
+    return f"""
+WITH r AS (SELECT range AS id FROM range({BLOBS_N})),
+c AS (SELECT id, ({h('c')}) % {k} AS cluster FROM r),
+pts AS (SELECT cluster, {', '.join(feats)} FROM c)
+SELECT cluster::INT AS cluster, count(*) AS n,
+       round(avg(x0), 6) AS mean_x0, round(avg(x1), 6) AS mean_x1,
+       round(stddev_pop(x0), 6) AS std_x0
+FROM pts GROUP BY cluster ORDER BY cluster
+"""
 
 
 RIDGE_GRID_C = [0.1, 10.0]
