@@ -363,6 +363,16 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: 
             id_col, vec_col, "__norm",
             F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
         )
+        # explicit key repartition before the self-join: the coded rows
+        # are SMALL (id + vector + two ints), so AQE coalesces the join
+        # exchange down to one task and the candidate-pair explosion
+        # then runs serially (observed at sf1: one task, minutes).
+        # A user-specified repartition is exempt from AQE coalescing
+        # and the self-join reuses the co-partitioning — same shuffle
+        # count, full parallelism on the explosion.
+        parts = max(
+            df.sparkSession.sparkContext.defaultParallelism, 32)
+        coded = coded.repartition(parts, F.col("band"), F.col("bucket"))
         l, r = coded.alias("l"), coded.alias("r")
         pairs = l.join(
             r,
