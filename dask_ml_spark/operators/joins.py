@@ -26,6 +26,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _numeric(col: "F.Column", dtype) -> "F.Column":
+    """Monotone numeric view of a time-ish column: seconds for
+    timestamps (TIMESTAMP_NTZ cannot cast straight to double — route
+    it through TIMESTAMP first), plain double otherwise."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.TimestampNTZType):
+        return col.cast("timestamp").cast("double")
+    return col.cast("double")
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: str | list | None = None, right_cols=None,
               tolerance=None, suffix: str = "_right",
@@ -73,16 +84,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     l = left.withColumn("__payload", F.lit(None).cast(
         r.schema["__payload"].dataType)).withColumn("__side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
+    on_type = left.schema[on].dataType
     if not by_cols:
         # keyless: bucket the time axis so the carry windows
         # parallelize; cross-bucket state rides the tiny bucket table
         spark = left.sparkSession
         n_target = max(int(spark.sparkContext.defaultParallelism), 16)
         probs = [i / n_target for i in range(1, n_target)]
-        bounds = (u.select(F.col(on).cast("double").alias("__t"))
+        bounds = (u.select(_numeric(F.col(on), on_type).alias("__t"))
                   .approxQuantile("__t", probs, 0.01))
         bounds = sorted(set(b for b in bounds if b == b))  # drop dup/NaN
-        x = F.col(on).cast("double")
+        x = _numeric(F.col(on), on_type)
         if bounds:
             barr = F.array(*[F.lit(float(b)) for b in bounds])
             bucket = F.size(F.filter(barr, lambda b: b <= x)).cast("int")
@@ -153,11 +165,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     out = carried.where(F.col("__side") == 1)
     if tolerance is not None:
         for m in matches:
-            gap = F.abs(F.col(on).cast("double") - F.col(f"{m}.__t").cast("double"))
+            gap = F.abs(_numeric(F.col(on), on_type)
+                        - _numeric(F.col(f"{m}.__t"), on_type))
             out = out.withColumn(m, F.when(gap <= float(tolerance), F.col(m)))
     if direction == "nearest":
-        gb = F.abs(F.col(on).cast("double") - F.col("__mb.__t").cast("double"))
-        gf = F.abs(F.col(on).cast("double") - F.col("__mf.__t").cast("double"))
+        gb = F.abs(_numeric(F.col(on), on_type)
+                   - _numeric(F.col("__mb.__t"), on_type))
+        gf = F.abs(_numeric(F.col(on), on_type)
+                   - _numeric(F.col("__mf.__t"), on_type))
         pick = (F.when(F.col("__mb").isNull(), F.col("__mf"))
                 .when(F.col("__mf").isNull(), F.col("__mb"))
                 .when(gf < gb, F.col("__mf"))

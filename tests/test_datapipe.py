@@ -1079,3 +1079,28 @@ def test_ann_indexes_auto_geometry(spark, embeddings):
     got = lsh.search(embeddings, q, k=1).toPandas()
     # with auto bits each query still collides with near neighbors
     assert len(got) >= 1 and (got.score <= 1.0 + 1e-9).all()
+
+
+def test_asof_join_keyless_timestamp_ntz(spark):
+    """Regression: keyless asof (and tolerance) on a TIMESTAMP_NTZ
+    column — NTZ cannot cast straight to double; the bucket/tolerance
+    arithmetic must route through a timestamp cast."""
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime(
+            ["2024-01-01 00:00:05", "2024-01-01 00:01:40"]),
+            "lv": [1.0, 2.0]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime(
+            ["2024-01-01 00:00:00", "2024-01-01 00:01:00"]),
+            "rv": [10.0, 20.0]}))
+    from dask_ml_spark.operators.joins import asof_join
+
+    got = (asof_join(left, right, on="ts", by=None, tolerance=60.0)
+           .orderBy("ts").toPandas())
+    assert list(got.rv_right) == [10.0, 20.0]  # gaps 5s and 40s
+    tight = (asof_join(left, right, on="ts", by=None, tolerance=10.0)
+             .orderBy("ts").toPandas())
+    assert tight.rv_right.iloc[0] == 10.0
+    assert pd.isna(tight.rv_right.iloc[1])  # 40s gap > 10s tolerance
