@@ -78,6 +78,8 @@ HEADLINE = [
     "small_quantity_revenue",
     "bracketed_discount_revenue",
     "important_parts",
+    "market_share",
+    "product_profit",
     "asof_purchase_attribution",
     "interval_session_clicks",
     "ols_newton_fit",

@@ -787,6 +787,101 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8-shaped: a nation's share of a region's import revenue
+    by order year. Customer→nation→region restricts the market
+    map-side (all dimension joins broadcast); the share is a
+    conditional-sum ratio inside ONE aggregate — no second pass, no
+    self-join. At 100 TB only the lineitem-orders join shuffles, and
+    AQE picks SMJ for it automatically."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cn = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+          .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+          .where(F.col("r_name") == "ASIA")
+          .select("c_custkey"))
+    sn = (s.join(F.broadcast(
+        n.select(F.col("n_nationkey").alias("sn_key"),
+                 F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                  .otherwise(F.lit(0.0))) / F.sum(vol), 6).alias("mkt_share"))
+    )
+
+
+SQL_MARKET_SHARE = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9-shaped: profit by supplier nation and order year, with
+    p_retailprice·l_quantity standing in for ps_supplycost·l_quantity
+    (this schema ships no partsupp). part and the
+    supplier→nation lookup broadcast; one shuffle joins lineitem to
+    orders, one tiny exchange for the (nation, year) rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    sn = (s.join(F.broadcast(
+        n.select(F.col("n_nationkey").alias("sn_key"),
+                 F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "nation"))
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"),
+             F.count("*").alias("n_items"))
+    )
+
+
+SQL_PRODUCT_PROFIT = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity), 4) AS sum_profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
 def q_customer_order_distribution(spark, sf_dir):
     """TPC-H Q13-shaped: distribution of orders-per-customer including
     zero-order customers (LEFT join + double aggregate). The first
@@ -2365,6 +2460,8 @@ def build_catalog():
         "large_orders": q_large_orders,
         "nation_volume_shipping": q_nation_volume_shipping,
         "customer_order_distribution": q_customer_order_distribution,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
         "sales_cube": q_sales_cube,
         "daily_active_users": q_daily_active_users,
         "salted_join_revenue": q_salted_join_revenue,
@@ -2508,6 +2605,8 @@ def build_catalog():
         "promo_revenue": SQL_PROMO_REVENUE,
         "large_orders": SQL_LARGE_ORDERS,
         "nation_volume_shipping": SQL_NATION_VOLUME_SHIPPING,
+        "market_share": SQL_MARKET_SHARE,
+        "product_profit": SQL_PRODUCT_PROFIT,
         "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
         "sales_cube": SQL_SALES_CUBE,
         "daily_active_users": SQL_DAILY_ACTIVE_USERS,
