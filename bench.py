@@ -49,6 +49,7 @@ HEADLINE = [
     "semantic_dedup",
     "cross_corpus_dedup",
     "source_token_quota",
+    "sequence_packing",
     "quantized_embeddings",
     "ann_recall_metrics",
     "windowed_event_features",

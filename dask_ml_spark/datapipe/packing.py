@@ -170,6 +170,50 @@ def prefix_sum(df: DataFrame, order_col: str, value_col: str,
     return arranged.mapInPandas(local_cumsum, out_schema)
 
 
+def pack_sequences(df: DataFrame, seq_len: int, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Chunk the corpus-wide token stream into fixed-length training
+    sequences — the step AFTER shard assignment: every document's
+    tokens occupy the half-open span [start, start+n) of the global
+    stream (distributed prefix sum in ``id_col`` order), and sequence
+    k covers stream tokens [k·seq_len, (k+1)·seq_len). A document
+    straddling sequence boundaries emits one row per overlapped
+    sequence with its LOCAL token slice — exactly what a tokenizer
+    worker needs to cut examples without re-counting anything.
+
+    Output: (id, seq_id, tok_start, tok_end) with 0 ≤ tok_start <
+    tok_end ≤ n_tokens; per-document slices concatenate to the whole
+    document, and every sequence except the last sums to exactly
+    ``seq_len`` tokens. Deterministic in content (prefix sum, no RNG)
+    → SQL-oracle-able, idempotent under retries/repartitioning.
+
+    Shape: one prefix sum + a JVM explode of ceil(n/seq_len)+1 chunk
+    ids per doc — output volume ~ corpus_tokens/seq_len extra rows,
+    no shuffle beyond the prefix sum's range partition.
+    """
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+
+    counted = df.select(F.col(id_col),
+                        F.size(tokens_expr(F.col(text_col))).alias("n_tokens"))
+    L = int(seq_len)
+    w = prefix_sum(counted, id_col, "n_tokens", "__start")
+    start = F.col("__start").cast("long")
+    n = F.col("n_tokens").cast("long")
+    first = F.floor(start / L).cast("long")
+    last = F.floor((start + n - F.lit(1)) / L).cast("long")
+    return (w.where(n > 0)
+            .select(
+                F.col(id_col), start.alias("__s"), n.alias("__n"),
+                F.explode(F.sequence(first, last)).alias("seq_id"))
+            .select(
+                id_col, "seq_id",
+                F.greatest(F.lit(0), F.col("seq_id") * L - F.col("__s"))
+                .alias("tok_start"),
+                F.least(F.col("__n"),
+                        (F.col("seq_id") + 1) * L - F.col("__s"))
+                .alias("tok_end")))
+
+
 def pack_token_shards(df: DataFrame, budget: int, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Assign each document a shard id so every shard holds ~``budget``

@@ -1440,6 +1440,41 @@ FROM o
 """.replace("{TOKEN_RE}", TOKEN_RE_SQL)
 
 
+def q_sequence_packing(spark, sf_dir):
+    """Fixed-length training-sequence chunking
+    (datapipe/packing.py::pack_sequences): each document's global
+    token span is cut at 256-token sequence boundaries; one row per
+    (doc, overlapped sequence) with the local token slice. Exact
+    arithmetic over the distributed prefix sum — fully oracled."""
+    from dask_ml_spark.datapipe.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=256).select(
+        "doc_id", "seq_id", "tok_start", "tok_end")
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{{TOKEN_RE}}'))::BIGINT AS n
+  FROM documents
+), o AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+  FROM c
+), chunks AS (
+  SELECT doc_id, n, s,
+         unnest(generate_series(s // 256, (s + n - 1) // 256)) AS seq_id
+  FROM o WHERE n > 0
+)
+SELECT doc_id, seq_id,
+       greatest(0, seq_id * 256 - s) AS tok_start,
+       least(n, (seq_id + 1) * 256 - s) AS tok_end
+FROM chunks
+""".replace("{TOKEN_RE}", TOKEN_RE_SQL)
+
+
 BM25_TOPK_QUERIES = {
     "q_common": ["the", "and", "of"],
     "q_data": ["data", "model", "training"],
@@ -2479,6 +2514,7 @@ def build_catalog():
         "dedup_clusters": q_dedup_clusters,
         "pii_redaction": q_pii_redaction,
         "token_shards": q_token_shards,
+        "sequence_packing": q_sequence_packing,
         "classification_metrics": q_classification_metrics,
         "regression_metrics": q_regression_metrics,
         "token_document_frequency": q_token_document_frequency,
@@ -2627,6 +2663,7 @@ def build_catalog():
         "dedup_clusters": _sql_dedup_clusters(),
         "pii_redaction": _sql_pii_redaction(),
         "token_shards": SQL_TOKEN_SHARDS,
+        "sequence_packing": SQL_SEQUENCE_PACKING,
         "classification_metrics": SQL_CLASSIFICATION_METRICS,
         "regression_metrics": SQL_REGRESSION_METRICS,
         "token_document_frequency": SQL_TOKEN_DOCUMENT_FREQUENCY,

@@ -1134,3 +1134,33 @@ def test_grouped_prefix_sum_property(spark):
         exp["run"] = exp.groupby("g")["v"].cumsum() - exp["v"]
         pd.testing.assert_series_equal(got["run"], exp["run"],
                                        check_exact=True)
+
+
+def test_pack_sequences_invariants(spark, documents):
+    """Sequence chunking: per-doc slices concatenate to the whole
+    document; every sequence except the last holds exactly seq_len
+    tokens; boundaries are content-deterministic under repartition."""
+    from dask_ml_spark.datapipe.packing import pack_sequences
+
+    L = 128
+    out = pack_sequences(documents, seq_len=L).toPandas()
+    assert (out.tok_start < out.tok_end).all()
+    # per-sequence token mass == L except the final sequence
+    per_seq = (out.assign(n=out.tok_end - out.tok_start)
+               .groupby("seq_id")["n"].sum().sort_index())
+    assert (per_seq.iloc[:-1] == L).all()
+    assert 0 < per_seq.iloc[-1] <= L
+    # per-doc slices cover [0, n_tokens) contiguously
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+    n_tok = {r.doc_id: r.n for r in documents.select(
+        "doc_id", F.size(tokens_expr(F.col("text"))).alias("n")).collect()}
+    for did, g in out.groupby("doc_id"):
+        g = g.sort_values("seq_id")
+        assert g.tok_start.iloc[0] == 0
+        assert g.tok_end.iloc[-1] == n_tok[did]
+        assert (g.tok_start.iloc[1:].to_numpy()
+                == g.tok_end.iloc[:-1].to_numpy()).all()
+    again = pack_sequences(documents.repartition(7), seq_len=L).toPandas()
+    a = out.sort_values(["doc_id", "seq_id"]).reset_index(drop=True)
+    b = again.sort_values(["doc_id", "seq_id"]).reset_index(drop=True)
+    assert a.equals(b)
