@@ -88,6 +88,7 @@ HEADLINE = [
     "table_profile_approx",
     "contamination_scores",
     "mixture_sample",
+    "temperature_mixture_sample",
     "group_quality_topk",
     "lsh_ann_topk",
     "repetition_scores",

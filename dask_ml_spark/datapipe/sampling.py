@@ -144,3 +144,46 @@ def token_quota(docs: DataFrame, quota: int, source_col: str = "source",
             .where(F.col("__before") + F.col("n_tokens") <= quota)
             .withColumn("tokens_before", F.col("__before").cast("long"))
             .drop("__before"))
+
+
+def temperature_mixture(docs: DataFrame, token_budget: int,
+                        alpha: float = 0.5, source_col: str = "source",
+                        text_col: str = "text", key_cols="doc_id",
+                        n_buckets: int = 10_000, salt: int = 0,
+                        token_count_col: str = "n_tokens") -> DataFrame:
+    """Temperature-weighted domain mixture: target token shares are
+    proportional to (source token mass)^alpha — the standard
+    multilingual/multi-domain re-balancing rule (alpha=1 keeps natural
+    proportions, alpha→0 approaches uniform across sources, the usual
+    range is 0.3–0.7). Unlike ``mixture_by_token_budget`` (explicit
+    per-source weights) the weights here DERIVE from the data in the
+    same single aggregate pass:
+
+        w_s = tot_s^alpha / Σ_t tot_t^alpha
+        rate_s = min(1, w_s · budget / tot_s)
+
+    Selection stays content-deterministic (Knuth-hash buckets, rates
+    floor-quantized to the bucket grid) so the sampled CONTENT is
+    engine-reproducible and oracle-checkable. Only #sources rows reach
+    the driver."""
+    import math
+
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+
+    counted = docs.withColumn(token_count_col,
+                              F.size(tokens_expr(F.col(text_col))))
+    totals = {
+        r[source_col]: int(r["tot"])
+        for r in counted.groupBy(source_col)
+        .agg(F.sum(token_count_col).alias("tot")).collect()
+    }
+    a = float(alpha)
+    pows = {s: float(t) ** a for s, t in totals.items()}
+    psum = float(sum(pows.values()))
+    rates = {}
+    for s, tot in totals.items():
+        target = pows[s] / psum * token_budget
+        rate = min(1.0, target / max(tot, 1))
+        rates[s] = math.floor(rate * n_buckets) / n_buckets
+    return stratified_sample(counted, source_col, rates, key_cols=key_cols,
+                             n_buckets=n_buckets, salt=salt)

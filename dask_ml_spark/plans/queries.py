@@ -2570,6 +2570,7 @@ def build_catalog():
         "curation_pipeline": q_curation_pipeline,
         "contamination_scores": q_contamination_scores,
         "mixture_sample": q_mixture_sample,
+        "temperature_mixture_sample": q_temperature_mixture,
         "table_profile": q_table_profile,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
@@ -2675,6 +2676,7 @@ def build_catalog():
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "contamination_scores": SQL_CONTAMINATION_SCORES,
         "mixture_sample": _sql_mixture_sample(),
+        "temperature_mixture_sample": _sql_temperature_mixture(),
         "table_profile": _sql_table_profile(),
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "bigram_logprob": SQL_BIGRAM_LOGPROB,
@@ -3799,6 +3801,54 @@ FROM b
 WHERE bucket < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 10000
                          WHEN 'zh' THEN 5000 ELSE 0 END
 GROUP BY lang
+"""
+
+
+TEMP_MIX_ALPHA = 0.5
+TEMP_MIX_BUDGET = 5_000
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-weighted domain mixture
+    (datapipe/sampling.py::temperature_mixture): per-source rates
+    derive from the data itself (share ∝ token-mass^alpha, the
+    multilingual re-balancing rule) and rows are selected by the
+    engine-portable hash bucket, so the oracle recomputes both the
+    rates AND the selected row content in SQL."""
+    from dask_ml_spark.datapipe.sampling import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_mixture(docs, TEMP_MIX_BUDGET, alpha=TEMP_MIX_ALPHA)
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("doc_id").alias("id_checksum"),
+                 F.sum("n_tokens").alias("tok_sum")))
+
+
+def _sql_temperature_mixture() -> str:
+    return f"""
+WITH counted AS (
+    SELECT doc_id, source,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS n_tokens,
+           ((((0 + doc_id) % 2147483648) * 2654435761) % 2147483648) % 10000 AS bucket
+    FROM documents
+), tot AS (
+    SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tot FROM counted GROUP BY source
+), psum AS (
+    SELECT sum(pow(tot::DOUBLE, {TEMP_MIX_ALPHA!r})) AS ps FROM tot
+), cuts AS (
+    SELECT source,
+           floor(least(1.0,
+                 (pow(tot::DOUBLE, {TEMP_MIX_ALPHA!r}) / ps
+                  * {TEMP_MIX_BUDGET}.0) / greatest(tot, 1)) * 10000) AS cut
+    FROM tot CROSS JOIN psum
+)
+SELECT c.source, count(*) AS n_kept,
+       CAST(sum(c.doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(c.n_tokens) AS BIGINT) AS tok_sum
+FROM counted c JOIN cuts ON c.source = cuts.source
+WHERE c.bucket < cuts.cut
+GROUP BY c.source
 """
 
 

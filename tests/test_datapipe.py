@@ -1164,3 +1164,31 @@ def test_pack_sequences_invariants(spark, documents):
     a = out.sort_values(["doc_id", "seq_id"]).reset_index(drop=True)
     b = again.sort_values(["doc_id", "seq_id"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_temperature_mixture_rebalances(spark, documents):
+    """alpha<1 upweights rare domains: the kept-token share of the
+    smallest source must EXCEED its natural share, and alpha=1
+    reproduces natural proportions (capped at keep-everything);
+    selection is content-deterministic under repartition."""
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+    from dask_ml_spark.datapipe.sampling import temperature_mixture
+
+    tot = (documents
+           .withColumn("n", F.size(tokens_expr(F.col("text"))))
+           .groupBy("source").agg(F.sum("n").alias("tot"))
+           .toPandas().set_index("source")["tot"])
+    budget = int(tot.sum() * 0.3)
+    kept = (temperature_mixture(documents, budget, alpha=0.3)
+            .groupBy("source").agg(F.sum("n_tokens").alias("k"))
+            .toPandas().set_index("source")["k"])
+    smallest, largest = tot.idxmin(), tot.idxmax()
+    nat_small = tot[smallest] / tot.sum()
+    kept_small = kept.get(smallest, 0) / kept.sum()
+    assert kept_small > nat_small  # rare domain upweighted
+    # largest source must be downsampled hardest
+    assert kept[largest] / tot[largest] < kept.get(smallest, 0) / tot[smallest]
+    again = (temperature_mixture(documents.repartition(9), budget, alpha=0.3)
+             .groupBy("source").agg(F.sum("n_tokens").alias("k"))
+             .toPandas().set_index("source")["k"])
+    assert kept.sort_index().equals(again.sort_index())
