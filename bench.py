@@ -71,6 +71,7 @@ HEADLINE = [
     "row_normalizer",
     "feature_hasher_long",
     "curation_pipeline",
+    "training_data_prep",
     "local_supplier_volume",
     "promo_revenue",
     "large_orders",

@@ -2568,6 +2568,7 @@ def build_catalog():
         "label_encoder_roundtrip": q_label_encoder_roundtrip,
         "part_brand_stats": q_part_brand_stats,
         "curation_pipeline": q_curation_pipeline,
+        "training_data_prep": q_training_data_prep,
         "contamination_scores": q_contamination_scores,
         "mixture_sample": q_mixture_sample,
         "temperature_mixture_sample": q_temperature_mixture,
@@ -2723,6 +2724,7 @@ def build_catalog():
         "label_encoder_roundtrip": SQL_LABEL_ENCODER_ROUNDTRIP,
         "part_brand_stats": SQL_PART_BRAND_STATS,
         "curation_pipeline": sql_curation_pipeline(),
+        "training_data_prep": sql_training_data_prep(),
         "kmeans_cluster_sizes": sql_kmeans_cluster_sizes(),
         "truncated_svd_variance": SQL_TRUNCATED_SVD_VARIANCE,
         "blockwise_voting_eval": sql_blockwise_voting_eval(),
@@ -3849,6 +3851,101 @@ SELECT c.source, count(*) AS n_kept,
 FROM counted c JOIN cuts ON c.source = cuts.source
 WHERE c.bucket < cuts.cut
 GROUP BY c.source
+"""
+
+
+TRAIN_PREP_BUDGET = 3_000
+
+
+def q_training_data_prep(spark, sf_dir):
+    """The FULL north-star flow, end to end in one Catalyst plan:
+    quality filter → exact dedup → language gate → temperature-
+    weighted mixture (α=0.5 over the surviving corpus) → fixed-length
+    sequence packing. Every stage is the library operator; the oracle
+    replays all five stages in SQL including the data-derived mixture
+    rates and the distributed prefix sum's chunk arithmetic — the
+    chunk table itself hash-matches."""
+    from dask_ml_spark.datapipe.dedup import exact_dedup
+    from dask_ml_spark.datapipe.packing import pack_sequences
+    from dask_ml_spark.datapipe.sampling import temperature_mixture
+    from dask_ml_spark.datapipe.text_stats import language_scores, quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_filter(docs).persist()
+    survivors = exact_dedup(q).select("doc_id")
+    kept = q.join(survivors, "doc_id").persist()
+    en = (language_scores(kept).where(F.col("lang_pred") == "en")
+          .select("doc_id"))
+    kept_en = kept.join(en, "doc_id")
+    mixed = temperature_mixture(kept_en, TRAIN_PREP_BUDGET, alpha=0.5)
+    packed = pack_sequences(mixed, seq_len=128)
+    return packed.select("doc_id", "seq_id", "tok_start", "tok_end")
+
+
+def sql_training_data_prep() -> str:
+    langs = sorted(TS.STOPWORDS)
+    scores = ", ".join(f"{_sql_lang_score(l)} AS score_{l}" for l in langs)
+    conds = []
+    for lang in langs:
+        cmp = " AND ".join(
+            f"score_{lang} {'>' if other < lang else '>='} score_{other}"
+            for other in langs if other != lang
+        )
+        conds.append(f"WHEN {cmp} THEN '{lang}'")
+    case = "CASE " + " ".join(conds) + f" ELSE '{langs[0]}' END"
+    return f"""
+WITH q AS (
+    SELECT doc_id, source, text FROM (
+        SELECT *, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks,
+               greatest(length(text), 1)::DOUBLE AS safe_chars,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+        FROM documents
+    )
+    WHERE len(toks) >= 5
+      AND n_digit / safe_chars <= 0.3
+      AND len(list_distinct(toks)) / greatest(len(toks), 1)::DOUBLE >= 0.2
+), dd AS (
+    SELECT min(doc_id) AS doc_id FROM (
+        SELECT doc_id, md5(array_to_string(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), ' ')) AS h
+        FROM q
+    ) GROUP BY h
+), kept AS (
+    SELECT q.doc_id, q.source, q.text FROM q JOIN dd USING (doc_id)
+), scored AS (
+    SELECT doc_id, {scores} FROM kept
+), en AS (
+    SELECT doc_id FROM scored WHERE {case} = 'en'
+), ke AS (
+    SELECT kept.doc_id, kept.source,
+           len(regexp_extract_all(lower(kept.text), '{TOKEN_RE_SQL}'))::BIGINT AS n,
+           ((((0 + kept.doc_id) % 2147483648) * 2654435761) % 2147483648) % 10000 AS bucket
+    FROM kept JOIN en USING (doc_id)
+), tot AS (
+    SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM ke GROUP BY source
+), psum AS (
+    SELECT sum(pow(tot::DOUBLE, 0.5)) AS ps FROM tot
+), cuts AS (
+    SELECT source,
+           floor(least(1.0, (pow(tot::DOUBLE, 0.5) / ps
+                 * {TRAIN_PREP_BUDGET}.0) / greatest(tot, 1)) * 10000) AS cut
+    FROM tot CROSS JOIN psum
+), mixed AS (
+    SELECT ke.doc_id, ke.n FROM ke JOIN cuts ON ke.source = cuts.source
+    WHERE ke.bucket < cuts.cut
+), o AS (
+    SELECT doc_id, n,
+           coalesce(sum(n) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+    FROM mixed
+), chunks AS (
+    SELECT doc_id, n, s,
+           unnest(generate_series(s // 128, (s + n - 1) // 128)) AS seq_id
+    FROM o WHERE n > 0
+)
+SELECT doc_id, seq_id,
+       greatest(0, seq_id * 128 - s) AS tok_start,
+       least(n, (seq_id + 1) * 128 - s) AS tok_end
+FROM chunks
 """
 
 
