@@ -90,6 +90,7 @@ HEADLINE = [
     "contamination_scores",
     "mixture_sample",
     "temperature_mixture_sample",
+    "epoch_plan",
     "group_quality_topk",
     "lsh_ann_topk",
     "repetition_scores",

@@ -187,3 +187,42 @@ def temperature_mixture(docs: DataFrame, token_budget: int,
         rates[s] = math.floor(rate * n_buckets) / n_buckets
     return stratified_sample(counted, source_col, rates, key_cols=key_cols,
                              n_buckets=n_buckets, salt=salt)
+
+
+def plan_epochs(docs: DataFrame, token_budget: int, alpha: float = 0.5,
+                max_epochs: float = 4.0, source_col: str = "source",
+                text_col: str = "text") -> DataFrame:
+    """Epoch/repetition plan for data-constrained mixing: when a
+    source's temperature-weighted target share EXCEEDS its token mass,
+    sampling caps at keep-everything — real pipelines instead REPEAT
+    the rare source for multiple epochs (diminishing returns bound the
+    useful count; the data-constrained-scaling literature suggests ~4
+    epochs as the knee). This planner emits, per source:
+
+        target_s  = tot_s^alpha / Σ tot^alpha · budget
+        epochs_s  = min(max_epochs, target_s / tot_s)   (≥1 ⇒ repeat)
+        rate_s    = min(1, target_s / tot_s)            (<1 ⇒ downsample)
+
+    One aggregate pass; #sources rows total — a pure PLAN table the
+    scheduler consumes (the row-level selection for rate_s < 1 is
+    ``temperature_mixture``; repetition itself is an epoch-scheduling
+    concern, not a row transform). Deterministic → SQL-oracle-able.
+    """
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+
+    tot = (docs
+           .withColumn("__n", F.size(tokens_expr(F.col(text_col))))
+           .groupBy(source_col)
+           .agg(F.sum("__n").cast("long").alias("tot_tokens")))
+    p = F.pow(F.col("tot_tokens").cast("double"), F.lit(float(alpha)))
+    psum = tot.agg(F.sum(p).alias("ps"))
+    target = (p / F.col("ps") * F.lit(float(token_budget)))
+    safe_tot = F.greatest(F.col("tot_tokens"), F.lit(1)).cast("double")
+    return (tot.crossJoin(F.broadcast(psum))
+            .select(
+                source_col, "tot_tokens",
+                F.round(target, 6).alias("target_tokens"),
+                F.round(F.least(F.lit(float(max_epochs)), target / safe_tot),
+                        6).alias("epochs"),
+                F.round(F.least(F.lit(1.0), target / safe_tot), 6)
+                .alias("rate")))

@@ -2572,6 +2572,7 @@ def build_catalog():
         "contamination_scores": q_contamination_scores,
         "mixture_sample": q_mixture_sample,
         "temperature_mixture_sample": q_temperature_mixture,
+        "epoch_plan": q_epoch_plan,
         "table_profile": q_table_profile,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
@@ -2678,6 +2679,7 @@ def build_catalog():
         "contamination_scores": SQL_CONTAMINATION_SCORES,
         "mixture_sample": _sql_mixture_sample(),
         "temperature_mixture_sample": _sql_temperature_mixture(),
+        "epoch_plan": SQL_EPOCH_PLAN,
         "table_profile": _sql_table_profile(),
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "bigram_logprob": SQL_BIGRAM_LOGPROB,
@@ -3851,6 +3853,36 @@ SELECT c.source, count(*) AS n_kept,
 FROM counted c JOIN cuts ON c.source = cuts.source
 WHERE c.bucket < cuts.cut
 GROUP BY c.source
+"""
+
+
+def q_epoch_plan(spark, sf_dir):
+    """Epoch/repetition planning for data-constrained mixing
+    (datapipe/sampling.py::plan_epochs): per-source temperature
+    targets with repetition counts for under-represented sources
+    (capped at 4 epochs) and sampling rates for over-represented
+    ones. One aggregate pass; fully oracled."""
+    from dask_ml_spark.datapipe.sampling import plan_epochs
+
+    docs = _t(spark, sf_dir, "documents")
+    # budget > corpus so some sources plan multi-epoch repetition
+    return plan_epochs(docs, token_budget=200_000, alpha=0.5)
+
+
+SQL_EPOCH_PLAN = f"""
+WITH tot AS (
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))) AS BIGINT)
+             AS tot_tokens
+    FROM documents GROUP BY source
+), ps AS (SELECT sum(pow(tot_tokens::DOUBLE, 0.5)) AS ps FROM tot)
+SELECT source, tot_tokens,
+       round(pow(tot_tokens::DOUBLE, 0.5) / ps * 200000.0, 6) AS target_tokens,
+       round(least(4.0, pow(tot_tokens::DOUBLE, 0.5) / ps * 200000.0
+                        / greatest(tot_tokens, 1)), 6) AS epochs,
+       round(least(1.0, pow(tot_tokens::DOUBLE, 0.5) / ps * 200000.0
+                        / greatest(tot_tokens, 1)), 6) AS rate
+FROM tot CROSS JOIN ps
 """
 
 

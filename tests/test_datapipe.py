@@ -1192,3 +1192,23 @@ def test_temperature_mixture_rebalances(spark, documents):
              .groupBy("source").agg(F.sum("n_tokens").alias("k"))
              .toPandas().set_index("source")["k"])
     assert kept.sort_index().equals(again.sort_index())
+
+
+def test_plan_epochs_semantics(spark, documents):
+    """Epoch planner: targets sum to the budget; rare sources plan
+    >1 epoch (capped), over-represented ones plan rate<1 with
+    epochs == rate; rate == min(1, epochs)."""
+    from dask_ml_spark.datapipe.sampling import plan_epochs
+
+    budget = int(documents.count()) * 60  # ~1 epoch on average
+    plan = plan_epochs(documents, token_budget=budget, alpha=0.5,
+                       max_epochs=4.0).toPandas()
+    assert abs(plan.target_tokens.sum() - budget) < 1.0
+    assert (plan.epochs <= 4.0 + 1e-9).all()
+    assert np.allclose(plan.rate, np.minimum(1.0, plan.epochs), atol=1e-6)
+    small = plan.loc[plan.tot_tokens.idxmin()]
+    big = plan.loc[plan.tot_tokens.idxmax()]
+    assert small.epochs > big.epochs  # rare source repeats more
+    # alpha=1 -> everyone gets the same epoch multiple (natural mix)
+    nat = plan_epochs(documents, token_budget=budget, alpha=1.0).toPandas()
+    assert nat.epochs.std() < 1e-6
