@@ -348,11 +348,22 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: 
             n = df.count()
             needed = math.ceil(math.log2(max(n, 2)) + 4)
             if needed > bits_per_band:
-                bits_per_band = needed
+                # recall is the CONTRACT, the band budget is the
+                # constraint: if ≥95% band-survival at `needed` bits
+                # would take more than 64 bands, shed bits (candidates
+                # grow 2× per shed bit — still exponentially below the
+                # fixed-geometry N² — rather than silently losing
+                # recall, which capping bands alone would do)
                 p_bit = 1.0 - math.acos(min(threshold, 0.999)) / math.pi
-                p_band = p_bit ** bits_per_band
-                n_bands = max(n_bands,
-                              min(64, math.ceil(math.log(20.0) / p_band)))
+                bits = needed
+                while bits > bits_per_band:
+                    bands_req = math.ceil(math.log(20.0) / (p_bit ** bits))
+                    if bands_req <= 64:
+                        break
+                    bits -= 1
+                bits_per_band = bits
+                n_bands = max(n_bands, math.ceil(
+                    math.log(20.0) / (p_bit ** bits_per_band)))
         idx = CosineLSHIndex(n_bands=n_bands, bits_per_band=bits_per_band,
                              seed=seed, vec_col=vec_col, id_col=id_col)
         # shared matrix with the SQL-oracle generator (lsh_plane_matrix

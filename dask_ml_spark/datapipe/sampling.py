@@ -45,6 +45,41 @@ def stratified_sample(df: DataFrame, strata_col: str, fractions,
     return df.where(bucket < cut)
 
 
+def _mixture_rates(totals: dict, weights: dict, token_budget: int,
+                   n_buckets: int) -> dict:
+    """Shared rate derivation for the mixture family: per-source rate
+    = min(1, share·budget / token-mass), floor-quantized to the bucket
+    grid (floor, unlike round-half, has no cross-engine tie hazard, so
+    the selection stays oracle-reproducible). Sources absent from
+    ``weights`` are dropped."""
+    import math
+
+    wsum = float(sum(weights.values()))
+    rates = {}
+    for s, tot in totals.items():
+        w = weights.get(s)
+        if w is None:
+            continue
+        target = w / wsum * token_budget
+        rate = min(1.0, target / max(int(tot or 0), 1))
+        rates[s] = math.floor(rate * n_buckets) / n_buckets
+    return rates
+
+
+def _count_and_totals(docs: DataFrame, source_col: str, text_col: str,
+                      token_count_col: str):
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+
+    counted = docs.withColumn(token_count_col,
+                              F.size(tokens_expr(F.col(text_col))))
+    totals = {
+        r[source_col]: int(r["tot"] or 0)
+        for r in counted.groupBy(source_col)
+        .agg(F.sum(token_count_col).alias("tot")).collect()
+    }
+    return counted, totals
+
+
 def mixture_by_token_budget(docs: DataFrame, weights: dict, token_budget: int,
                             source_col: str = "source", text_col: str = "text",
                             key_cols="doc_id", n_buckets: int = 10_000,
@@ -64,28 +99,9 @@ def mixture_by_token_budget(docs: DataFrame, weights: dict, token_budget: int,
     from ``weights`` are dropped — the explicit-mixture contract.
     Returns the sampled docs with a ``token_count_col`` column.
     """
-    from dask_ml_spark.datapipe.dedup import tokens_expr
-
-    counted = docs.withColumn(token_count_col, F.size(tokens_expr(F.col(text_col))))
-    totals = {
-        r[source_col]: r["tot"]
-        for r in counted.groupBy(source_col)
-        .agg(F.sum(token_count_col).alias("tot")).collect()
-    }
-    import math
-
-    wsum = float(sum(weights.values()))
-    rates = {}
-    for s, tot in totals.items():
-        w = weights.get(s)
-        if w is None:
-            continue
-        target = w / wsum * token_budget
-        # floor-quantize to the bucket grid: never exceeds the budget,
-        # and floor (unlike round-half) has no cross-engine tie hazard,
-        # keeping the selection oracle-reproducible
-        rate = min(1.0, target / max(int(tot), 1))
-        rates[s] = math.floor(rate * n_buckets) / n_buckets
+    counted, totals = _count_and_totals(docs, source_col, text_col,
+                                        token_count_col)
+    rates = _mixture_rates(totals, weights, token_budget, n_buckets)
     return stratified_sample(counted, source_col, rates, key_cols=key_cols,
                              n_buckets=n_buckets, salt=salt)
 
@@ -165,26 +181,14 @@ def temperature_mixture(docs: DataFrame, token_budget: int,
     Selection stays content-deterministic (Knuth-hash buckets, rates
     floor-quantized to the bucket grid) so the sampled CONTENT is
     engine-reproducible and oracle-checkable. Only #sources rows reach
-    the driver."""
-    import math
-
-    from dask_ml_spark.datapipe.dedup import tokens_expr
-
-    counted = docs.withColumn(token_count_col,
-                              F.size(tokens_expr(F.col(text_col))))
-    totals = {
-        r[source_col]: int(r["tot"])
-        for r in counted.groupBy(source_col)
-        .agg(F.sum(token_count_col).alias("tot")).collect()
-    }
+    the driver. Shares the counting/rate scaffolding with
+    ``mixture_by_token_budget`` — the only difference IS the weight
+    rule."""
+    counted, totals = _count_and_totals(docs, source_col, text_col,
+                                        token_count_col)
     a = float(alpha)
-    pows = {s: float(t) ** a for s, t in totals.items()}
-    psum = float(sum(pows.values()))
-    rates = {}
-    for s, tot in totals.items():
-        target = pows[s] / psum * token_budget
-        rate = min(1.0, target / max(tot, 1))
-        rates[s] = math.floor(rate * n_buckets) / n_buckets
+    weights = {s: float(t) ** a for s, t in totals.items()}
+    rates = _mixture_rates(totals, weights, token_budget, n_buckets)
     return stratified_sample(counted, source_col, rates, key_cols=key_cols,
                              n_buckets=n_buckets, salt=salt)
 

@@ -96,12 +96,18 @@ class CosineLSHIndex:
             import math
 
             n = df.count()
-            self.bits_per_band = max(
+            # resolved into a fitted attribute so the constructor
+            # param stays 'auto' — a refit on a bigger corpus re-derives
+            # instead of silently reusing the first corpus's geometry,
+            # and get_params/clone round-trip the contract
+            self.bits_per_band_ = max(
                 10, math.ceil(math.log2(max(n, 2) / 32.0)))
+        else:
+            self.bits_per_band_ = int(self.bits_per_band)
         dim = len(df.select(self.vec_col).first()[0])
         rng = np.random.RandomState(self.seed)
         self.hyperplanes_ = rng.standard_normal(
-            (self.n_bands * self.bits_per_band, dim))
+            (self.n_bands * self.bits_per_band_, dim))
         return self
 
     def _buckets_udf(self):
@@ -110,7 +116,8 @@ class CosineLSHIndex:
         from pyspark.sql.functions import pandas_udf
 
         H = self.hyperplanes_.T  # (dim, n_bands*bits_per_band)
-        n_bands, bits = self.n_bands, self.bits_per_band
+        n_bands = self.n_bands
+        bits = getattr(self, "bits_per_band_", self.bits_per_band)
         weights = (1 << np.arange(bits)).astype(np.int64)
 
         @pandas_udf("array<long>")
@@ -180,13 +187,16 @@ class IVFIndex:
         an unbiased sample without a full shuffle; a bare limit() would
         draw only from the first partitions."""
         if self.n_lists == "auto":
-            self.n_lists = max(16, int(df.count() ** 0.5))
+            # fitted attribute, same contract note as CosineLSHIndex
+            self.n_lists_ = max(16, int(df.count() ** 0.5))
+        else:
+            self.n_lists_ = int(self.n_lists)
         sample = np.asarray(
             [r[0] for r in df.select(self.vec_col).orderBy(F.rand(self.seed)).limit(sample_rows).collect()],
             dtype="float64",
         )
         rng = np.random.RandomState(self.seed)
-        k = min(self.n_lists, len(sample))
+        k = min(self.n_lists_, len(sample))
         centroids = sample[rng.choice(len(sample), size=k, replace=False)]
         for _ in range(20):
             d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)

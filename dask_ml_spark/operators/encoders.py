@@ -336,6 +336,7 @@ class TargetEncoder(BaseEstimator, TransformerMixin):
         self.global_mean_ = float(df.agg(F.avg(t)).first()[0])
         s = float(self.smoothing)
         self.encodings_ = {}
+        self.null_encodings_ = {}
         for c in cols:
             stats = df.groupBy(c).agg(F.count(t).alias("n"), F.avg(t).alias("m"))
             # cardinality guard (same policy as CountVectorizer's
@@ -366,7 +367,6 @@ class TargetEncoder(BaseEstimator, TransformerMixin):
                 else:
                     enc[r[c]] = val
             self.encodings_[c] = enc
-            self.null_encodings_ = getattr(self, "null_encodings_", {})
             self.null_encodings_[c] = null_enc
         self.columns_ = cols
         self.target_col_ = target_col

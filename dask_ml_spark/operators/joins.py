@@ -87,7 +87,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     on_type = left.schema[on].dataType
     if not by_cols:
         # keyless: bucket the time axis so the carry windows
-        # parallelize; cross-bucket state rides the tiny bucket table
+        # parallelize; cross-bucket state rides the tiny bucket table.
+        # localCheckpoint: this path consumes u up to 4 times (the
+        # eager quantile pass, the carried pipeline, and one carry
+        # aggregate per direction) — materialize once, let the
+        # ContextCleaner reclaim it
+        u = u.localCheckpoint()
         spark = left.sparkSession
         n_target = max(int(spark.sparkContext.defaultParallelism), 16)
         probs = [i / n_target for i in range(1, n_target)]
@@ -237,7 +242,18 @@ def interval_join(points: DataFrame, intervals: DataFrame,
         return inner
     point_cols = list(points.columns)
     matched = inner.select(*point_cols).distinct()
-    unmatched = points.join(matched, point_cols, "left_anti")
+    # null-SAFE anti-join: plain column equality evaluates NULL for a
+    # null payload cell, so a matched row with any NULL point column
+    # would find no anti-match and be re-admitted null-padded (twice
+    # in the output)
+    m = matched.alias("__m")
+    p_al = points.alias("__p")
+    cond = None
+    for c in point_cols:
+        e = F.col(f"__p.{c}").eqNullSafe(F.col(f"__m.{c}"))
+        cond = e if cond is None else cond & e
+    unmatched = p_al.join(m, cond, "left_anti").select(
+        *[F.col(f"__p.{c}").alias(c) for c in point_cols])
     iv_cols = [c for c in inner.columns if c not in point_cols]
     inner_schema = {f.name: f.dataType for f in inner.schema.fields}
     preserved = unmatched.select(

@@ -1070,10 +1070,12 @@ def test_ann_indexes_auto_geometry(spark, embeddings):
 
     n = embeddings.count()
     ivf = IVFIndex(n_lists="auto", seed=1).fit(embeddings)
-    assert ivf.n_lists == max(16, int(n ** 0.5))
+    assert ivf.n_lists == "auto"  # param survives for refit/clone
+    assert ivf.n_lists_ == max(16, int(n ** 0.5))
     lsh = CosineLSHIndex(bits_per_band="auto", seed=1).fit(embeddings)
     import math
-    assert lsh.bits_per_band == max(10, math.ceil(math.log2(max(n, 2) / 32)))
+    assert lsh.bits_per_band == "auto"
+    assert lsh.bits_per_band_ == max(10, math.ceil(math.log2(max(n, 2) / 32)))
     q = embeddings.limit(3).select(
         F.col("vec_id").alias("query_id"), "embedding")
     got = lsh.search(embeddings, q, k=1).toPandas()
@@ -1212,3 +1214,26 @@ def test_plan_epochs_semantics(spark, documents):
     # alpha=1 -> everyone gets the same epoch multiple (natural mix)
     nat = plan_epochs(documents, token_budget=budget, alpha=1.0).toPandas()
     assert nat.epochs.std() < 1e-6
+
+
+def test_interval_join_left_null_payload_no_duplicates(spark):
+    """Code-review regression: a matched point row with a NULL payload
+    column must appear exactly once in how='left' output (the anti-join
+    must be null-safe)."""
+    import pandas as pd
+
+    from dask_ml_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(pd.DataFrame({
+        "g": ["a", "a"],
+        "p": [5.0, 500.0],
+        "note": pd.array([None, "x"], dtype="string"),
+    }))
+    iv = spark.createDataFrame(pd.DataFrame(
+        {"g": ["a"], "s": [0.0], "e": [10.0], "iid": [1]}))
+    got = interval_join(pts, iv, point_col="p", start_col="s", end_col="e",
+                        by="g", bucket_width=100.0, how="left").toPandas()
+    assert len(got) == 2  # matched row once, unmatched row once
+    matched = got[got.p == 5.0]
+    assert len(matched) == 1 and matched.iid.iloc[0] == 1
+    assert got[got.p == 500.0].iid.isna().all()
