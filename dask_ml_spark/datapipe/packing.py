@@ -171,7 +171,8 @@ def prefix_sum(df: DataFrame, order_col: str, value_col: str,
 
 
 def pack_sequences(df: DataFrame, seq_len: int, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   token_count_col: str | None = None) -> DataFrame:
     """Chunk the corpus-wide token stream into fixed-length training
     sequences — the step AFTER shard assignment: every document's
     tokens occupy the half-open span [start, start+n) of the global
@@ -190,11 +191,20 @@ def pack_sequences(df: DataFrame, seq_len: int, text_col: str = "text",
     Shape: one prefix sum + a JVM explode of ceil(n/seq_len)+1 chunk
     ids per doc — output volume ~ corpus_tokens/seq_len extra rows,
     no shuffle beyond the prefix sum's range partition.
+
+    token_count_col: name of a PRE-COMPUTED token-count column to
+    reuse (upstream mixture/quota stages already carry one) — skips
+    re-tokenizing the text, which is the expensive part.
     """
     from dask_ml_spark.datapipe.dedup import tokens_expr
 
-    counted = df.select(F.col(id_col),
-                        F.size(tokens_expr(F.col(text_col))).alias("n_tokens"))
+    if token_count_col is not None:
+        counted = df.select(
+            F.col(id_col), F.col(token_count_col).alias("n_tokens"))
+    else:
+        counted = df.select(
+            F.col(id_col),
+            F.size(tokens_expr(F.col(text_col))).alias("n_tokens"))
     L = int(seq_len)
     w = prefix_sum(counted, id_col, "n_tokens", "__start")
     start = F.col("__start").cast("long")

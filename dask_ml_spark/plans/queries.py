@@ -3910,7 +3910,8 @@ def q_training_data_prep(spark, sf_dir):
           .select("doc_id"))
     kept_en = kept.join(en, "doc_id")
     mixed = temperature_mixture(kept_en, TRAIN_PREP_BUDGET, alpha=0.5)
-    packed = pack_sequences(mixed, seq_len=128)
+    # the mixture already counted tokens — reuse, don't re-tokenize
+    packed = pack_sequences(mixed, seq_len=128, token_count_col="n_tokens")
     return packed.select("doc_id", "seq_id", "tok_start", "tok_end")
 
 
