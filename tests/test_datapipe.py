@@ -1237,3 +1237,18 @@ def test_interval_join_left_null_payload_no_duplicates(spark):
     matched = got[got.p == 5.0]
     assert len(matched) == 1 and matched.iid.iloc[0] == 1
     assert got[got.p == 500.0].iid.isna().all()
+
+
+def test_pack_sequences_token_count_col_parity(spark, documents):
+    """The precomputed-count fast path must chunk identically to the
+    recompute path."""
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+    from dask_ml_spark.datapipe.packing import pack_sequences
+
+    withn = documents.withColumn(
+        "n_tokens", F.size(tokens_expr(F.col("text"))))
+    a = (pack_sequences(documents, seq_len=96)
+         .toPandas().sort_values(["doc_id", "seq_id"]).reset_index(drop=True))
+    b = (pack_sequences(withn, seq_len=96, token_count_col="n_tokens")
+         .toPandas().sort_values(["doc_id", "seq_id"]).reset_index(drop=True))
+    assert a.equals(b)
