@@ -102,3 +102,29 @@ def test_decode_image_features_stub_false_jpeg(spark):
         local = _decode_any(bytes(encode_jpeg(imgs[r.doc_id])))
         want = _resize_nearest(local, 4, 4).mean(axis=2).ravel()
         np.testing.assert_allclose(np.asarray(r.features), want)
+
+
+def test_truncated_and_corrupt_inputs_fail_fast():
+    """Malformed blobs must raise promptly — a decoder that hangs or
+    spins on truncated entropy data would stall a whole mapInPandas
+    task at scale."""
+    import time
+
+    img = np.full((16, 16, 3), 90, np.uint8)
+    blob = encode_jpeg(img)
+    for data in (blob[: len(blob) // 2], blob[:20], blob[2:], b"\xff\xd8"):
+        t0 = time.time()
+        with pytest.raises(Exception):
+            decode_jpeg(data)
+        assert time.time() - t0 < 2.0
+    # bit corruption inside entropy data decodes to SOMETHING (JPEG has
+    # no integrity check) or raises — either way, promptly
+    corrupt = bytearray(blob)
+    corrupt[len(blob) // 2] ^= 0xFF
+    t0 = time.time()
+    try:
+        out = decode_jpeg(bytes(corrupt))
+        assert out.shape == (16, 16, 3)
+    except Exception:
+        pass
+    assert time.time() - t0 < 2.0
