@@ -3905,7 +3905,11 @@ def q_training_data_prep(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     q = quality_filter(docs).persist()
     survivors = exact_dedup(q).select("doc_id")
-    kept = q.join(survivors, "doc_id").persist()
+    # spread BEFORE persisting (AQE-exempt user repartition): the
+    # language filter pushes its regex below the exchange into the
+    # cache scan, so cache partitioning bounds its parallelism
+    dp = spark.sparkContext.defaultParallelism
+    kept = q.join(survivors, "doc_id").repartition(dp, "doc_id").persist()
     en = (language_scores(kept).where(F.col("lang_pred") == "en")
           .select("doc_id"))
     kept_en = kept.join(en, "doc_id")
@@ -5162,10 +5166,17 @@ def q_curation_pipeline(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # persist the two fan-out points: q feeds dedup AND the keep-join,
     # kept feeds language scoring AND the final join — without the
-    # caches the regexp-heavy filter re-runs once per reference
+    # caches the regexp-heavy filter re-runs once per reference.
+    # explicit repartition BEFORE the persist: downstream filters on
+    # computed columns push below exchanges into the cache scan, so
+    # the CACHE's own partition count bounds the parallelism of every
+    # regex-heavy consumer — and AQE would coalesce the join output to
+    # ~2 partitions here (30 MB of text). A user-specified repartition
+    # is AQE-exempt.
+    dp = spark.sparkContext.defaultParallelism
     q = quality_filter(docs).persist()
     survivors = exact_dedup(q).select("doc_id")
-    kept = q.join(survivors, "doc_id").persist()
+    kept = q.join(survivors, "doc_id").repartition(dp, "doc_id").persist()
     en = (
         language_scores(kept)
         .where(F.col("lang_pred") == "en")

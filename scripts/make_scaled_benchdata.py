@@ -91,10 +91,25 @@ def amplify(src: str, out: str, copies: int) -> None:
             parts.append(c)
         big = pd.concat(parts, ignore_index=True)
         schema = pq.read_schema(f"{src}/{name}.parquet")
-        pq.write_table(pa.Table.from_pandas(big, schema=schema,
-                                            preserve_index=False),
-                       f"{out}/{name}.parquet")
-        print(f"{name}: {len(base)} -> {len(big)} rows")
+        # many part FILES (a directory named <name>.parquet): Spark's
+        # scan parallelism — and therefore every pushed-down filter's
+        # parallelism — follows the file-split count, and a single
+        # 30 MB file yields ONE split at the default 128 MB
+        # maxPartitionBytes, serializing regex-heavy scans onto 2
+        # tasks. A real 10x corpus is many files; no 100 TB table has
+        # this small-file artifact.
+        d = f"{out}/{name}.parquet"
+        os.makedirs(d, exist_ok=True)
+        n_files = min(32, max(1, len(big) // 1024))
+        step = -(-len(big) // n_files)
+        for fi in range(n_files):
+            chunk = big.iloc[fi * step:(fi + 1) * step]
+            if len(chunk) == 0:
+                continue
+            pq.write_table(pa.Table.from_pandas(chunk, schema=schema,
+                                                preserve_index=False),
+                           f"{d}/part-{fi:05d}.parquet")
+        print(f"{name}: {len(base)} -> {len(big)} rows in {n_files} files")
 
 
 if __name__ == "__main__":
