@@ -636,6 +636,12 @@ def semantic_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
         base = base.withColumn("__rank", F.col(id_col))
     else:
         raise ValueError(f"order must be 'id' or 'centroid', got {order!r}")
+    # NOTE: unlike the banded-LSH self-join (embedding_near_dup_pairs),
+    # no explicit key repartition here — with only ~sqrt(N) distinct
+    # clusters a user repartition on `cluster` skews badly AND disables
+    # AQE's skew-join splitting, which is exactly what balances a hot
+    # cluster's pair mass (measured: explicit repartition 16.9s vs AQE
+    # 9.0s at sf1)
     l, r = base.alias("l"), base.alias("r")
     pairs = l.join(
         r,
