@@ -82,6 +82,13 @@ HEADLINE = [
     "important_parts",
     "market_share",
     "product_profit",
+    # TPC-H tail shapes (Q2/Q12/Q15/Q16/Q20 analogs) — completes the
+    # 22-shape family
+    "min_cost_supplier",
+    "late_shipment_priority",
+    "top_supplier_revenue",
+    "part_supplier_variety",
+    "dominant_part_suppliers",
     "asof_purchase_attribution",
     "interval_session_clicks",
     "ols_newton_fit",

@@ -2457,6 +2457,243 @@ FROM b, generate_series(0, 3) AS t(fi)
 
 
 # =====================================================================
+# TPC-H tail shapes (Q2 / Q12 / Q15 / Q16 / Q20 analogs)
+# =====================================================================
+# This schema ships no partsupp table, so lineitem's observed
+# (l_partkey, l_suppkey) pairs stand in for the part-supplier relation
+# and min(l_extendedprice / l_quantity) per pair stands in for
+# ps_supplycost. The distinctive PLAN of each classic query is kept.
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-shaped: for each small STANDARD part, the supplier(s)
+    offering the minimum unit price, ranked by account balance.
+    The correlated-min subquery becomes ONE exchange on the pair key:
+    groupBy(l_partkey, l_suppkey) builds supply costs, and the
+    per-part minimum is a window over that already-aggregated frame
+    (partition size <= #suppliers, so no hot-group hazard). supplier
+    and part are broadcast dimensions; nothing else shuffles at 100 TB.
+    Unit prices are exact IEEE divisions, so the min-equality filter
+    is engine-deterministic; ties keep every minimal supplier."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    small = (p.where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+             .select("p_partkey", "p_brand", "p_size"))
+    cost = (li.join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("l_partkey", "l_suppkey", "p_brand", "p_size")
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("supply_cost")))
+    w = Window.partitionBy("l_partkey")
+    best = (cost.withColumn("min_cost", F.min("supply_cost").over(w))
+            .where(F.col("supply_cost") == F.col("min_cost")))
+    sn = (s.join(F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                                      F.col("n_name").alias("s_nation"))),
+                 F.col("s_nationkey") == F.col("sn_key"))
+          .select("s_suppkey", "s_name", "s_acctbal", "s_nation"))
+    return (best.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_acctbal"), F.col("s_name"), F.col("s_nation"),
+                    F.col("l_partkey").alias("p_partkey"),
+                    F.col("p_brand"), F.col("p_size"),
+                    F.round("supply_cost", 6).alias("supply_cost"))
+            .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
+            .limit(100))
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH cost AS (
+    SELECT l_partkey, l_suppkey, p_brand, p_size,
+           min(l_extendedprice / l_quantity) AS supply_cost
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'STANDARD' AND p_size <= 10
+    GROUP BY 1, 2, 3, 4
+), best AS (
+    SELECT *, min(supply_cost) OVER (PARTITION BY l_partkey) AS min_cost
+    FROM cost
+)
+SELECT s_acctbal, s_name, n_name AS s_nation,
+       l_partkey AS p_partkey, p_brand, p_size,
+       round(supply_cost, 6) AS supply_cost
+FROM best
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE supply_cost = min_cost
+ORDER BY s_acctbal DESC, p_partkey, s_name
+LIMIT 100
+"""
+
+
+def q_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12-shaped: shipments that left more than 60 days after
+    the order date, counted by return flag and split into
+    high/low order priority with conditional sums. ONE shuffle join
+    (lineitem x orders on orderkey, AQE picks SMJ) feeding a 3-row
+    hash aggregate; the priority split is a CASE inside the agg, not
+    a second pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+    )
+
+
+SQL_LATE_SHIPMENT_PRIORITY = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15-shaped: the supplier(s) with the maximum revenue over
+    one quarter. The classic view + scalar-max subquery becomes one
+    per-supplier aggregate and a 1-row broadcast of the max joined
+    back as a filter — no recomputation of the view, no global sort.
+    Revenue is rounded to cents BEFORE the max comparison so the
+    selected rows are stable across engines' summation orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                    & (F.col("l_shipdate") < F.lit("1996-04-01")))
+           .groupBy("l_suppkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (rev.join(F.broadcast(top),
+                     F.col("total_revenue") == F.col("max_revenue"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+SQL_TOP_SUPPLIER_REVENUE = """
+WITH rev AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_part_supplier_variety(spark, sf_dir):
+    """TPC-H Q16-shaped: how many distinct suppliers can ship each
+    (brand, type, size) bucket, excluding one brand, one type, and a
+    supplier blocklist. The NOT IN subquery is a broadcast LEFT ANTI
+    join (the blocklist is tiny); the part-supplier relation is the
+    distinct (l_partkey, l_suppkey) pairs — ONE exchange, and the
+    count(distinct) reuses the pair aggregate rather than re-shuffling
+    raw lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    dim = (p.where((F.col("p_brand") != "Brand#11")
+                   & (F.col("p_type") != "PROMO")
+                   & F.col("p_size").isin(1, 5, 9, 15, 25, 35, 45, 49))
+           .select("p_partkey", "p_brand", "p_type", "p_size"))
+    blocklist = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (pairs
+            .join(F.broadcast(dim), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(blocklist),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+SQL_PART_SUPPLIER_VARIETY = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 15, 25, 35, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_dominant_part_suppliers(spark, sf_dir):
+    """TPC-H Q20-shaped: suppliers who shipped more than 30% of a
+    small part's 1997 volume, restricted to one nation. The nested
+    EXISTS chain becomes: pair-level quantity aggregate -> per-part
+    total as a window over the aggregated frame (partition <=
+    #suppliers) -> threshold filter -> LEFT SEMI join into supplier.
+    l_quantity is integral-valued so the sums are FP-exact and the
+    30% threshold is engine-deterministic. Only the pair aggregate
+    shuffles big data; part and nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    small = p.where(F.col("p_name").startswith("small")).select("p_partkey")
+    pair_qty = (li.where((F.col("l_shipdate") >= F.lit("1997-01-01"))
+                         & (F.col("l_shipdate") < F.lit("1998-01-01")))
+                .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+                .groupBy("l_partkey", "l_suppkey")
+                .agg(F.sum("l_quantity").alias("pair_qty")))
+    w = Window.partitionBy("l_partkey")
+    dominant = (pair_qty
+                .withColumn("part_qty", F.sum("pair_qty").over(w))
+                .where(F.col("pair_qty") > 0.3 * F.col("part_qty"))
+                .select("l_suppkey").distinct())
+    nat = n.where(F.col("n_name") == "NATION_2").select("n_nationkey")
+    return (s.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+            .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+            .orderBy("s_suppkey"))
+
+
+SQL_DOMINANT_PART_SUPPLIERS = """
+WITH pair_qty AS (
+    SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND p_name LIKE 'small%'
+    GROUP BY 1, 2
+), dominant AS (
+    SELECT DISTINCT l_suppkey
+    FROM (SELECT *, sum(pair_qty) OVER (PARTITION BY l_partkey) AS part_qty
+          FROM pair_qty)
+    WHERE pair_qty > 0.3 * part_qty
+)
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_suppkey
+"""
+
+
+# =====================================================================
 # catalog assembly
 # =====================================================================
 
@@ -2546,6 +2783,11 @@ def build_catalog():
         "maxabs_scaler": q_maxabs_scaler,
         "interval_session_clicks": q_interval_session_clicks,
         "sole_supplier_orders": q_sole_supplier_orders,
+        "min_cost_supplier": q_min_cost_supplier,
+        "late_shipment_priority": q_late_shipment_priority,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "part_supplier_variety": q_part_supplier_variety,
+        "dominant_part_suppliers": q_dominant_part_suppliers,
         "embedding_centroids": q_embedding_centroids,
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
@@ -2704,6 +2946,11 @@ def build_catalog():
         "maxabs_scaler": SQL_MAXABS_SCALER,
         "interval_session_clicks": SQL_INTERVAL_SESSION_CLICKS,
         "sole_supplier_orders": SQL_SOLE_SUPPLIER_ORDERS,
+        "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+        "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,
+        "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
+        "part_supplier_variety": SQL_PART_SUPPLIER_VARIETY,
+        "dominant_part_suppliers": SQL_DOMINANT_PART_SUPPLIERS,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "language_id": sql_language_id(),
         "quality_scores": sql_quality_scores(),
