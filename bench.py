@@ -70,6 +70,10 @@ HEADLINE = [
     "target_encoder",
     "row_normalizer",
     "feature_hasher_long",
+    "boilerplate_removal",
+    "shuffle_shards",
+    "normalized_text_hash",
+    "outlink_domain_profile",
     "curation_pipeline",
     "training_data_prep",
     "local_supplier_volume",

@@ -144,6 +144,64 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def remove_boilerplate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       sep: str = "\n", min_docs: int = 2,
+                       min_chars: int = 1) -> DataFrame:
+    """Frequency-threshold boilerplate stripping: a line is boilerplate
+    iff it occurs in >= ``min_docs`` DISTINCT documents, and then EVERY
+    occurrence is dropped — the nav-bar/cookie-banner rule, vs
+    ``paragraph_dedup`` which keeps the global first occurrence.
+
+    Shape at 100 TB: one narrow posexplode, one shuffle on the uniform
+    line hash for the distinct-doc count (map-side partial via the
+    two-level groupBy Spark plans for countDistinct), one equi hash
+    join back on the hash (the boilerplate side holds only lines
+    repeated across >= min_docs docs — AQE broadcasts it when small),
+    and one groupBy(doc) reassembly. No self-join, no N².
+
+    Lines shorter than ``min_chars`` after trim (blank separators,
+    markup debris) are never counted and never removed — they are
+    document structure, not boilerplate.
+
+    Output: (id, text, n_lines, n_kept).
+    """
+    lines = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col), F.posexplode(F.split(F.col(text_col), sep))
+                .alias("__idx", "__line"))
+        .withColumn("__h", F.md5(F.col("__line")))
+        .withColumn("__counted", F.length(F.trim(F.col("__line"))) >= min_chars)
+    )
+    boiler = (
+        lines.where(F.col("__counted"))
+        .groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .select("__h", F.lit(True).alias("__is_boiler"))
+    )
+    marked = (lines.join(boiler, "__h", "left")
+              .withColumn("__keep",
+                          F.col("__is_boiler").isNull() | ~F.col("__counted")))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("__keep"),
+                               F.struct(F.col("__idx").alias("i"),
+                                        F.col("__line").alias("p"))))),
+                    lambda s: s["p"],
+                ),
+                sep,
+            ).alias(text_col),
+        )
+        .select(id_col, text_col, "n_lines", "n_kept")
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        n_hashes: int = 16, shingle_n: int = 3, seed: int = 42) -> DataFrame:
     """MinHash signature per document: explode shingles → n affine

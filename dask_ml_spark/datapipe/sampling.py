@@ -230,3 +230,32 @@ def plan_epochs(docs: DataFrame, token_budget: int, alpha: float = 0.5,
                         6).alias("epochs"),
                 F.round(F.least(F.lit(1.0), target / safe_tot), 6)
                 .alias("rate")))
+
+
+def shuffle_shards(df: DataFrame, n_shards: int, key_cols="doc_id",
+                   seed: int = 0, shard_col: str = "shard",
+                   order_col: str = "shuffle_key") -> DataFrame:
+    """Content-deterministic global shuffle for training-data ordering.
+
+    Every row gets a pseudo-random 128-bit key — the md5 of
+    (seed, row key) — and from it a shard id (first 60 bits mod
+    ``n_shards``). Writing with ``partitionBy(shard_col)`` +
+    ``sortWithinPartitions(order_col)`` then yields a reproducible
+    global shuffle of the corpus: shard membership and within-shard
+    order depend only on CONTENT and seed, so re-running after a
+    retry, a repartition, or on a different cluster emits byte-identical
+    shards — unlike ``orderBy(rand())``, which is neither stable nor
+    retry-safe. A new ``seed`` gives an independent epoch permutation.
+
+    Pure narrow projection: no shuffle happens HERE; the one shuffle is
+    the partitioned write the caller chooses, on uniformly distributed
+    md5 bits (no skew by construction).
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    key = F.concat_ws("\x1f", F.lit(str(seed)),
+                      *[F.col(c).cast("string") for c in key_cols])
+    hk = F.md5(key)
+    shard = F.pmod(F.conv(F.substring(hk, 1, 15), 16, 10).cast("long"),
+                   F.lit(n_shards))
+    return df.withColumn(order_col, hk).withColumn(shard_col, shard)

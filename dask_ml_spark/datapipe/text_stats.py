@@ -330,3 +330,83 @@ def bigram_logprob_scores(df: DataFrame, text_col: str = "text",
             .groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_bigrams"),
                  F.round(F.avg(logp), 6).alias("avg_logprob")))
+
+
+# ---------------------------------------------------------------------
+# text normalization & link extraction
+# ---------------------------------------------------------------------
+
+# Domain capture for outbound links. Kept RE2-compatible (no lookarounds,
+# no backrefs) so the identical pattern runs in Spark AND the DuckDB
+# oracle.
+URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+# C0 controls (minus \t \n \r, which are document structure) + DEL.
+_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   output_col: str | None = None, form: str | None = "NFC",
+                   strip_control: bool = True,
+                   collapse_spaces: bool = True) -> DataFrame:
+    """Unicode + whitespace normalization — the first pass of every
+    text-curation pipeline (mixed-source corpora hold NFC and NFD
+    renderings of the same glyphs, which defeats exact dedup).
+
+    Control-char stripping and space/tab collapsing are JVM regexps
+    (codegen, narrow). The unicode normalization itself is the one
+    genuinely UDF-bound step — Spark has no unicode-normalize builtin —
+    so it runs as an Arrow-batched pandas UDF over the already-cleaned
+    column. ``form=None`` skips the UDF entirely and the whole operator
+    stays JVM-side. Narrow map either way: no shuffle at any scale.
+    """
+    out = output_col or text_col
+    col = F.col(text_col)
+    if strip_control:
+        col = F.regexp_replace(col, _CONTROL_RE, "")
+    if collapse_spaces:
+        col = F.trim(F.regexp_replace(col, "[ \\t]+", " "))
+    if form is not None:
+        import pandas as pd  # noqa: F401 — resolves the UDF type hints
+        from pyspark.sql.functions import pandas_udf
+
+        nf = str(form)
+
+        def _unicode_norm(s):
+            import unicodedata
+
+            return s.map(lambda t: unicodedata.normalize(nf, t)
+                         if t is not None else None)
+
+        _unicode_norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        col = pandas_udf(_unicode_norm, "string")(col)
+    return df.withColumn(out, col)
+
+
+def outlink_domains(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, domain) pairs for every http(s) link in the text —
+    lowercased hostnames via one JVM regexp_extract_all + explode.
+    Narrow map; the caller aggregates (domain profile) or joins
+    (blocklists). At 100 TB this is the scan-side of link-graph
+    curation: no shuffle until the caller's aggregate."""
+    domains = F.expr(
+        f"regexp_extract_all({text_col}, '{URL_DOMAIN_RE}', 1)")
+    return (df.select(F.col(id_col), F.explode(domains).alias("domain"))
+            .withColumn("domain", F.lower(F.col("domain"))))
+
+
+def filter_blocked_domains(df: DataFrame, blocklist: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Drop documents that link to ANY blocklisted domain. The
+    blocklist (a `domain` column) is broadcast; offending doc ids are
+    found by one narrow extract + broadcast semi-join, and removed from
+    the corpus with a LEFT ANTI join on the id — two joins, zero
+    shuffles of the documents table when the blocklist is small."""
+    links = outlink_domains(df, text_col=text_col, id_col=id_col)
+    bad = (links.join(F.broadcast(blocklist.select(F.lower(F.col("domain"))
+                                                   .alias("domain"))),
+                      "domain", "left_semi")
+           .select(id_col).distinct())
+    return df.join(bad, id_col, "left_anti")

@@ -2457,6 +2457,159 @@ FROM b, generate_series(0, 3) AS t(fi)
 
 
 # =====================================================================
+# curation: boilerplate, shuffling, normalization, link filtering
+# =====================================================================
+
+def q_boilerplate_removal(spark, sf_dir):
+    """Frequency-threshold boilerplate stripping: every line occurring
+    in >= 25 distinct documents is dropped from ALL of them (nav-bar /
+    cookie-banner rule — distinct from paragraph_dedup's keep-first).
+    The synthetic docs have no newlines, so the query chunks on a
+    common word; the operator is generic over `sep`."""
+    docs = _t(spark, sf_dir, "documents")
+    out = DD.remove_boilerplate(docs, sep=" table ", min_docs=25)
+    return out.select("doc_id", "text", "n_lines", "n_kept")
+
+
+SQL_BOILERPLATE_REMOVAL = """
+WITH lines AS (
+    SELECT doc_id,
+           generate_subscripts(parts, 1) - 1 AS idx,
+           unnest(parts) AS line
+    FROM (SELECT doc_id, string_split(text, ' table ') AS parts FROM documents)
+),
+hashed AS (
+    SELECT *, md5(line) AS h, length(trim(line)) >= 1 AS counted FROM lines
+),
+boiler AS (
+    SELECT h FROM hashed WHERE counted
+    GROUP BY h HAVING count(DISTINCT doc_id) >= 25
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, ' table ' ORDER BY idx)
+                FILTER (WHERE keep), '') AS text,
+       count(*) AS n_lines,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM (SELECT hashed.*, (b.h IS NULL OR NOT counted) AS keep
+      FROM hashed LEFT JOIN boiler b ON hashed.h = b.h)
+GROUP BY doc_id
+"""
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Content-deterministic corpus shuffle: md5(seed, doc_id) gives
+    shard + within-shard order; per-shard count and first/last key are
+    value-checked (the whole permutation is a function of content, so
+    the oracle replays it exactly)."""
+    from dask_ml_spark.datapipe.sampling import shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    out = shuffle_shards(docs, n_shards=8, key_cols="doc_id", seed=1)
+    return (out.groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("shuffle_key").alias("first_key"),
+                 F.max("shuffle_key").alias("last_key")))
+
+
+SQL_SHUFFLE_SHARDS = """
+WITH keyed AS (
+    SELECT doc_id,
+           md5('1' || chr(31) || doc_id::VARCHAR) AS shuffle_key
+    FROM documents
+)
+SELECT ('0x' || substr(shuffle_key, 1, 15))::BIGINT % 8 AS shard,
+       count(*) AS n_docs,
+       min(shuffle_key) AS first_key,
+       max(shuffle_key) AS last_key
+FROM keyed
+GROUP BY 1
+"""
+
+
+def q_normalized_text_hash(spark, sf_dir):
+    """Unicode NFC + whitespace normalization, value-checked through
+    md5: a decomposed 'e<combining-acute>' and a double space are
+    appended to every document in BOTH engines, and the normalized
+    text must hash identically (NFC composes the accent, the collapse
+    removes the double space). Exercises the one legitimately UDF-bound
+    step (Spark has no unicode-normalize builtin) as an Arrow batch."""
+    from dask_ml_spark.datapipe.text_stats import normalize_text
+
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("text", F.concat(F.col("text"),
+                                         F.lit(" cafe\u0301  x"))))
+    out = normalize_text(docs, form="NFC")
+    return out.select("doc_id", F.md5("text").alias("text_md5"),
+                      F.length("text").cast("long").alias("n_chars_norm"))
+
+
+SQL_NORMALIZED_TEXT_HASH = """
+WITH aug AS (
+    SELECT doc_id, text || ' cafe' || chr(769) || '  x' AS text
+    FROM documents
+),
+norm AS (
+    SELECT doc_id,
+           nfc_normalize(trim(regexp_replace(
+               regexp_replace(text,
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+               '[ \\t]+', ' ', 'g'))) AS text
+    FROM aug
+)
+SELECT doc_id, md5(text) AS text_md5, length(text) AS n_chars_norm
+FROM norm
+"""
+
+
+def q_outlink_domain_profile(spark, sf_dir):
+    """Outbound-link domain profile after a blocklist pass: synthetic
+    deterministic URLs are appended in both engines, documents linking
+    to a blocked domain are removed (broadcast semi-join -> anti-join),
+    and the surviving corpus is profiled per domain. Extraction is one
+    JVM regexp_extract_all — the identical RE2 pattern runs in the
+    oracle."""
+    from dask_ml_spark.datapipe.text_stats import (filter_blocked_domains,
+                                                   outlink_domains)
+
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("text", F.concat(
+                F.col("text"), F.lit(" see https://site"),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit(".example.com/page and https://cdn.shared.net/x"))))
+    block = docs.sparkSession.createDataFrame(
+        [("site3.example.com",), ("site7.example.com",)], ["domain"])
+    kept = filter_blocked_domains(docs, block)
+    return (outlink_domains(kept)
+            .groupBy("domain")
+            .agg(F.count("*").alias("n_links"),
+                 F.countDistinct("doc_id").alias("n_docs")))
+
+
+SQL_OUTLINK_DOMAIN_PROFILE = """
+WITH aug AS (
+    SELECT doc_id,
+           text || ' see https://site' || (doc_id % 20)::VARCHAR
+                || '.example.com/page and https://cdn.shared.net/x' AS text
+    FROM documents
+),
+links AS (
+    SELECT doc_id,
+           lower(unnest(regexp_extract_all(
+               text, 'https?://([A-Za-z0-9.-]+)', 1))) AS domain
+    FROM aug
+),
+bad AS (
+    SELECT DISTINCT doc_id FROM links
+    WHERE domain IN ('site3.example.com', 'site7.example.com')
+)
+SELECT domain, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+FROM links
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+GROUP BY 1
+"""
+
+
+# =====================================================================
 # TPC-H tail shapes (Q2 / Q12 / Q15 / Q16 / Q20 analogs)
 # =====================================================================
 # This schema ships no partsupp table, so lineitem's observed
@@ -2783,6 +2936,10 @@ def build_catalog():
         "maxabs_scaler": q_maxabs_scaler,
         "interval_session_clicks": q_interval_session_clicks,
         "sole_supplier_orders": q_sole_supplier_orders,
+        "boilerplate_removal": q_boilerplate_removal,
+        "shuffle_shards": q_shuffle_shards,
+        "normalized_text_hash": q_normalized_text_hash,
+        "outlink_domain_profile": q_outlink_domain_profile,
         "min_cost_supplier": q_min_cost_supplier,
         "late_shipment_priority": q_late_shipment_priority,
         "top_supplier_revenue": q_top_supplier_revenue,
@@ -2946,6 +3103,10 @@ def build_catalog():
         "maxabs_scaler": SQL_MAXABS_SCALER,
         "interval_session_clicks": SQL_INTERVAL_SESSION_CLICKS,
         "sole_supplier_orders": SQL_SOLE_SUPPLIER_ORDERS,
+        "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
+        "shuffle_shards": SQL_SHUFFLE_SHARDS,
+        "normalized_text_hash": SQL_NORMALIZED_TEXT_HASH,
+        "outlink_domain_profile": SQL_OUTLINK_DOMAIN_PROFILE,
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
         "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,
         "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,

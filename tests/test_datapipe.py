@@ -1252,3 +1252,86 @@ def test_pack_sequences_token_count_col_parity(spark, documents):
     b = (pack_sequences(withn, seq_len=96, token_count_col="n_tokens")
          .toPandas().sort_values(["doc_id", "seq_id"]).reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_remove_boilerplate_drops_all_occurrences(spark):
+    from dask_ml_spark.datapipe.dedup import remove_boilerplate
+
+    df = spark.createDataFrame(
+        [(1, "COOKIE BANNER\nunique alpha\nfooter"),
+         (2, "COOKIE BANNER\nunique beta\nfooter"),
+         (3, "unique gamma\nfooter"),
+         (4, "only original text here")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate(df, min_docs=2).collect()}
+    # banner occurs in 2 docs, footer in 3 -> both dropped everywhere
+    # (unlike paragraph_dedup, which would keep the first occurrence)
+    assert out[1]["text"] == "unique alpha"
+    assert out[2]["text"] == "unique beta"
+    assert out[3]["text"] == "unique gamma"
+    assert out[4]["text"] == "only original text here"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 1
+    assert out[4]["n_lines"] == 1 and out[4]["n_kept"] == 1
+
+
+def test_remove_boilerplate_short_lines_protected(spark):
+    from dask_ml_spark.datapipe.dedup import remove_boilerplate
+
+    # blank/short lines repeat everywhere but are structure, not
+    # boilerplate: min_chars shields them from the frequency rule
+    df = spark.createDataFrame(
+        [(1, "a\n\nkeep one"), (2, "a\n\nkeep two"), (3, "a\n\nkeep three")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"] for r in
+           remove_boilerplate(df, min_docs=2, min_chars=2).collect()}
+    assert out[1] == "a\n\nkeep one"
+
+
+def test_shuffle_shards_deterministic_and_balanced(spark, documents):
+    from dask_ml_spark.datapipe.sampling import shuffle_shards
+
+    a = shuffle_shards(documents, n_shards=8, seed=7)
+    b = shuffle_shards(documents.repartition(13), n_shards=8, seed=7)
+    rows_a = sorted((r["doc_id"], r["shard"], r["shuffle_key"])
+                    for r in a.select("doc_id", "shard", "shuffle_key").collect())
+    rows_b = sorted((r["doc_id"], r["shard"], r["shuffle_key"])
+                    for r in b.select("doc_id", "shard", "shuffle_key").collect())
+    assert rows_a == rows_b  # partitioning-independent
+    sizes = [r["n"] for r in a.groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    n = sum(sizes)
+    assert len(sizes) == 8 and max(sizes) < n  # spread across shards
+    # a different seed gives a different permutation
+    c = shuffle_shards(documents, n_shards=8, seed=8)
+    keys_c = sorted((r["doc_id"], r["shuffle_key"])
+                    for r in c.select("doc_id", "shuffle_key").collect())
+    assert keys_c != [(d, k) for d, _, k in rows_a]
+
+
+def test_normalize_text_nfc_and_whitespace(spark):
+    from dask_ml_spark.datapipe.text_stats import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "café   double\tspace\x00ctl")], ["doc_id", "text"])
+    row = normalize_text(df).collect()[0]
+    assert row["text"] == "café double spacectl"
+    # form=None stays entirely JVM-side (no BatchEvalPython/ArrowEval)
+    plan = normalize_text(df, form=None)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_outlink_blocklist_filters_docs(spark):
+    from dask_ml_spark.datapipe.text_stats import (filter_blocked_domains,
+                                                   outlink_domains)
+
+    df = spark.createDataFrame(
+        [(1, "see https://Bad.example.com/x and https://ok.net/y"),
+         (2, "only https://ok.net/z"),
+         (3, "no links at all")],
+        ["doc_id", "text"])
+    links = {(r["doc_id"], r["domain"]) for r in outlink_domains(df).collect()}
+    assert (1, "bad.example.com") in links and (2, "ok.net") in links
+    block = spark.createDataFrame([("bad.example.com",)], ["domain"])
+    kept = sorted(r["doc_id"] for r in
+                  filter_blocked_domains(df, block).collect())
+    assert kept == [2, 3]
