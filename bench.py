@@ -95,6 +95,7 @@ HEADLINE = [
     "dominant_part_suppliers",
     "asof_purchase_attribution",
     "interval_session_clicks",
+    "view_click_attribution",
     "ols_newton_fit",
     "stratified_sample",
     "table_profile_approx",

@@ -2609,6 +2609,35 @@ GROUP BY 1
 """
 
 
+def q_view_click_attribution(spark, sf_dir):
+    """Batch rendering of the watermarked stream-stream interval join
+    (streaming/joins.py::stream_interval_join): every click joins the
+    same user's views from the preceding 30 minutes. On batch this is
+    ONE equi hash join on user_id with the time range as a
+    post-condition; on a stream the same function bounds join state by
+    watermark + horizon (parity asserted in
+    tests/test_streaming_joins.py). Gaps are exact integer
+    microseconds, so the oracle hash-matches."""
+    from dask_ml_spark.streaming.joins import stream_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view")
+    clicks = ev.where(F.col("event_type") == "click")
+    out = stream_interval_join(views, clicks, horizon="30 minutes")
+    gap_us = (F.unix_micros(F.col("r_ts").cast("timestamp"))
+              - F.unix_micros(F.col("l_ts").cast("timestamp")))
+    return out.select("l_event_id", "r_event_id", gap_us.alias("gap_us"))
+
+
+SQL_VIEW_CLICK_ATTRIBUTION = """
+SELECT v.event_id AS l_event_id, c.event_id AS r_event_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM events v JOIN events c ON v.user_id = c.user_id
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+  AND v.ts <= c.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+
+
 # =====================================================================
 # TPC-H tail shapes (Q2 / Q12 / Q15 / Q16 / Q20 analogs)
 # =====================================================================
@@ -2936,6 +2965,7 @@ def build_catalog():
         "maxabs_scaler": q_maxabs_scaler,
         "interval_session_clicks": q_interval_session_clicks,
         "sole_supplier_orders": q_sole_supplier_orders,
+        "view_click_attribution": q_view_click_attribution,
         "boilerplate_removal": q_boilerplate_removal,
         "shuffle_shards": q_shuffle_shards,
         "normalized_text_hash": q_normalized_text_hash,
@@ -3103,6 +3133,7 @@ def build_catalog():
         "maxabs_scaler": SQL_MAXABS_SCALER,
         "interval_session_clicks": SQL_INTERVAL_SESSION_CLICKS,
         "sole_supplier_orders": SQL_SOLE_SUPPLIER_ORDERS,
+        "view_click_attribution": SQL_VIEW_CLICK_ATTRIBUTION,
         "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
         "shuffle_shards": SQL_SHUFFLE_SHARDS,
         "normalized_text_hash": SQL_NORMALIZED_TEXT_HASH,

@@ -1,0 +1,62 @@
+"""Stream-stream interval join: stream-vs-batch parity and bounded state."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    from dask_ml_spark.sources.io import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev.coalesce(3).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _split(df):
+    views = df.where(F.col("event_type") == "view")
+    clicks = df.where(F.col("event_type") == "click")
+    return views, clicks
+
+
+def test_stream_interval_join_matches_batch(spark, events_dir):
+    from dask_ml_spark.streaming.joins import stream_interval_join
+
+    batch = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+
+    sv, sc = _split(stream)
+    out = stream_interval_join(sv, sc, horizon="30 minutes",
+                               watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("ssj_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = spark.sql(
+        "select l_event_id, r_event_id, gap_seconds from ssj_out").toPandas()
+
+    bv, bc = _split(batch)
+    expected = stream_interval_join(bv, bc, horizon="30 minutes").select(
+        "l_event_id", "r_event_id", "gap_seconds").toPandas()
+
+    got = set(map(tuple, streamed.itertuples(index=False)))
+    want = set(map(tuple, expected.itertuples(index=False)))
+    assert got == want
+    assert len(want) > 0  # the fixture actually exercises the join
+    # every attribution respects the horizon
+    assert (expected["gap_seconds"] >= 0).all()
+    assert (expected["gap_seconds"] <= 1800).all()
+
+
+def test_stream_interval_join_plans_bounded_state(spark, events_dir):
+    """The streaming plan must carry watermarks on BOTH sides — that is
+    what lets Spark evict join state instead of buffering the streams
+    forever."""
+    batch = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    from dask_ml_spark.streaming.joins import stream_interval_join
+
+    sv, sc = _split(stream)
+    out = stream_interval_join(sv, sc)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
