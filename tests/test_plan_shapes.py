@@ -133,3 +133,58 @@ def test_semantic_dedup_no_cartesian(spark, catalog):
 def test_cross_corpus_dedup_is_anti_join(spark, catalog):
     plan = _plan(spark, catalog, "cross_corpus_dedup")
     assert "LeftAnti" in plan
+
+
+def test_shuffle_shards_is_narrow(spark, catalog):
+    # the permutation itself is a pure projection — the only Exchange
+    # is the final 8-row stats aggregate, never a row-level shuffle
+    from dask_ml_spark.datapipe.sampling import shuffle_shards
+    from dask_ml_spark.sources.io import load_table
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = shuffle_shards(docs, n_shards=8)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_normalize_text_jvm_only_without_form(spark, catalog):
+    from dask_ml_spark.datapipe.text_stats import normalize_text
+    from dask_ml_spark.sources.io import load_table
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = normalize_text(docs, form=None)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_boilerplate_removal_no_self_join_no_cartesian(spark, catalog):
+    plan = _plan(spark, catalog, "boilerplate_removal")
+    # frequency rule = count-distinct aggregate + hash join back on the
+    # line hash; never a cartesian/self-join of the lines table
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    assert plan.count("Generate") >= 1  # the one posexplode
+
+
+def test_min_cost_supplier_broadcasts_dims(spark, catalog):
+    plan = _plan(spark, catalog, "min_cost_supplier")
+    # part + supplier(+nation) broadcast; the only big exchange is the
+    # pair aggregate
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_part_supplier_variety_anti_join_broadcasts(spark, catalog):
+    plan = _plan(spark, catalog, "part_supplier_variety")
+    assert "BroadcastHashJoin" in plan
+    # the blocklist NOT IN renders as LeftAnti, not a full join+filter
+    assert "LeftAnti" in plan
+
+
+def test_view_click_attribution_no_cartesian(spark, catalog):
+    plan = _plan(spark, catalog, "view_click_attribution")
+    # equi join on user_id with the time range as post-condition
+    assert "CartesianProduct" not in plan
