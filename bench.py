@@ -70,6 +70,8 @@ HEADLINE = [
     "target_encoder",
     "row_normalizer",
     "feature_hasher_long",
+    "bpe_pair_counts",
+    "bpe_merges",
     "boilerplate_removal",
     "shuffle_shards",
     "normalized_text_hash",

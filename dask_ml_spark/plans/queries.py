@@ -2609,6 +2609,61 @@ GROUP BY 1
 """
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """First round of distributed BPE training: adjacent-symbol pair
+    frequencies over the word-TYPE table (the corpus is touched once;
+    every merge round runs on the vocabulary-bounded types). Top-20
+    with full deterministic tie-break."""
+    from dask_ml_spark.datapipe.bpe import _pair_counts, _to_symbols, word_types
+
+    docs = _t(spark, sf_dir, "documents")
+    words = word_types(docs).withColumn("syms", _to_symbols(F.col("word")))
+    return (_pair_counts(words)
+            .select(F.col("left").alias("pair_left"),
+                    F.col("right").alias("pair_right"),
+                    F.col("pair_count"))
+            .orderBy(F.desc("pair_count"), "pair_left", "pair_right")
+            .limit(20))
+
+
+SQL_BPE_PAIR_COUNTS = """
+WITH words AS (
+    SELECT word, count(*) AS n FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]{2,}')) AS word
+        FROM documents)
+    GROUP BY word
+),
+syms AS (
+    SELECT n, regexp_extract_all(word, '.') AS cs FROM words
+    WHERE length(word) >= 2
+),
+pairs AS (
+    SELECT cs[i] AS pair_left, cs[i + 1] AS pair_right, n
+    FROM syms, unnest(range(1, len(cs))) AS t(i)
+)
+SELECT pair_left, pair_right, CAST(sum(n) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY 1, 2
+ORDER BY pair_count DESC, pair_left, pair_right
+LIMIT 20
+"""
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Full distributed BPE training (6 merge rounds) — deterministic
+    (ties break count desc, pair asc) but its k-round greedy replay is
+    not expressible in one SQL pass, so the driver does the rows-only
+    check; pytest pins training EXACTLY against an independent
+    pure-Python BPE (tests/test_bpe.py)."""
+    from dask_ml_spark.datapipe.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=6)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, pair_left string, pair_right string, pair_count bigint")
+
+
 def q_view_click_attribution(spark, sf_dir):
     """Batch rendering of the watermarked stream-stream interval join
     (streaming/joins.py::stream_interval_join): every click joins the
@@ -2965,6 +3020,8 @@ def build_catalog():
         "maxabs_scaler": q_maxabs_scaler,
         "interval_session_clicks": q_interval_session_clicks,
         "sole_supplier_orders": q_sole_supplier_orders,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_merges": q_bpe_merges,
         "view_click_attribution": q_view_click_attribution,
         "boilerplate_removal": q_boilerplate_removal,
         "shuffle_shards": q_shuffle_shards,
@@ -3133,6 +3190,7 @@ def build_catalog():
         "maxabs_scaler": SQL_MAXABS_SCALER,
         "interval_session_clicks": SQL_INTERVAL_SESSION_CLICKS,
         "sole_supplier_orders": SQL_SOLE_SUPPLIER_ORDERS,
+        "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
         "view_click_attribution": SQL_VIEW_CLICK_ATTRIBUTION,
         "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
         "shuffle_shards": SQL_SHUFFLE_SHARDS,
