@@ -26,9 +26,6 @@ from pyspark.sql import functions as F
 
 from dask_ml_spark.datapipe.dedup import tokens_expr
 
-# separator for pair keys; never appears in word tokens
-_SEP = "\x1f"
-
 
 def word_types(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) word-type table — the ONE corpus-sized pass. Bounded
@@ -122,16 +119,16 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
         f"transform({text_col}_words, w -> regexp_extract_all(w, '.', 0))")
     base = df.withColumn(f"{text_col}_words", tokens_expr(F.col(text_col)))
     if method == "expr":
+        def _merge_fn(left, right):
+            # a real 1-arg closure: F.transform counts default args as
+            # lambda parameters and would reject `lambda s, l=..., r=...`
+            return lambda syms: _apply_merge(syms, left, right)
+
         col = base.withColumn("__wsyms", words)
         for left, right, _ in merges:
-            merged = F.expr(
-                "transform(__wsyms, syms -> aggregate(syms, "
-                "cast(array() as array<string>), (acc, x) -> "
-                f"if(size(acc) > 0 and element_at(acc, -1) = '{left}' "
-                f"and x = '{right}', "
-                f"concat(slice(acc, 1, size(acc) - 1), array('{left}{right}')), "
-                "concat(acc, array(x)))))")
-            col = col.withColumn("__wsyms", merged)
+            col = col.withColumn(
+                "__wsyms", F.transform(F.col("__wsyms"),
+                                       _merge_fn(left, right)))
         return (col.withColumn(output_col, F.flatten(F.col("__wsyms")))
                 .drop("__wsyms", f"{text_col}_words"))
     # arrow path: one Python pass applying all merges per word
@@ -142,6 +139,8 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
 
     def _encode(series):
         def enc(ws):
+            if ws is None:  # null text -> null tokens, like the expr path
+                return None
             out = []
             for w in ws:
                 syms = list(w)

@@ -92,6 +92,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def _literal_regex(sep: str) -> str:
+    """Quote a separator for F.split, which regex-interprets its
+    pattern: \\Q...\\E treats the whole separator literally (matching
+    the LITERAL split the DuckDB oracles use via string_split)."""
+    return "\\Q" + sep + "\\E"
+
+
 def paragraph_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     sep: str = "\n\n", min_chars: int = 1) -> DataFrame:
     """Sub-document (paragraph-level) exact dedup — the corpus-curation
@@ -110,7 +117,8 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """
     paras = (
         ensure_min_partitions(df)
-        .select(F.col(id_col), F.posexplode(F.split(F.col(text_col), sep))
+        .select(F.col(id_col),
+                F.posexplode(F.split(F.col(text_col), _literal_regex(sep)))
                 .alias("__idx", "__para"))
         .where(F.length(F.trim(F.col("__para"))) >= min_chars)
         .withColumn("__h", F.md5(F.col("__para")))
@@ -167,7 +175,8 @@ def remove_boilerplate(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """
     lines = (
         ensure_min_partitions(df)
-        .select(F.col(id_col), F.posexplode(F.split(F.col(text_col), sep))
+        .select(F.col(id_col),
+                F.posexplode(F.split(F.col(text_col), _literal_regex(sep)))
                 .alias("__idx", "__line"))
         .withColumn("__h", F.md5(F.col("__line")))
         .withColumn("__counted", F.length(F.trim(F.col("__line"))) >= min_chars)

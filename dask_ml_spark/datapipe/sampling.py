@@ -250,12 +250,17 @@ def shuffle_shards(df: DataFrame, n_shards: int, key_cols="doc_id",
     Pure narrow projection: no shuffle happens HERE; the one shuffle is
     the partitioned write the caller chooses, on uniformly distributed
     md5 bits (no skew by construction).
+
+    A NULL in any key column yields NULL shard/order keys (F.concat
+    propagates nulls — deliberately NOT concat_ws, which would silently
+    collapse every null-key row onto ONE identical key and shard).
     """
     if isinstance(key_cols, str):
         key_cols = [key_cols]
-    key = F.concat_ws("\x1f", F.lit(str(seed)),
-                      *[F.col(c).cast("string") for c in key_cols])
-    hk = F.md5(key)
+    parts = [F.lit(str(seed))]
+    for c in key_cols:
+        parts += [F.lit("\x1f"), F.col(c).cast("string")]
+    hk = F.md5(F.concat(*parts))
     shard = F.pmod(F.conv(F.substring(hk, 1, 15), 16, 10).cast("long"),
                    F.lit(n_shards))
     return df.withColumn(order_col, hk).withColumn(shard_col, shard)

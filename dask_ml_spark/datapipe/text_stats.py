@@ -336,10 +336,15 @@ def bigram_logprob_scores(df: DataFrame, text_col: str = "text",
 # text normalization & link extraction
 # ---------------------------------------------------------------------
 
-# Domain capture for outbound links. Kept RE2-compatible (no lookarounds,
-# no backrefs) so the identical pattern runs in Spark AND the DuckDB
-# oracle.
-URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+# Domain capture for outbound links. Kept RE2-compatible (no
+# lookarounds, no backrefs) AND backslash-free (so the identical
+# pattern embeds in Spark and DuckDB string literals without escaping
+# drift). An optional userinfo@ prefix is consumed BEFORE the capture —
+# otherwise 'https://innocuous@blocked.com/x' would extract 'innocuous'
+# and evade a blocklist — and the hostname alternation cannot end in a
+# dot, so 'blocked.com.' extracts 'blocked.com'.
+URL_DOMAIN_RE = (r"https?://(?:[A-Za-z0-9._%+:-]+@)?"
+                 r"([A-Za-z0-9-]+(?:[.][A-Za-z0-9-]+)*)")
 
 # C0 controls (minus \t \n \r, which are document structure) + DEL.
 _CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
@@ -356,16 +361,19 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     Control-char stripping and space/tab collapsing are JVM regexps
     (codegen, narrow). The unicode normalization itself is the one
     genuinely UDF-bound step — Spark has no unicode-normalize builtin —
-    so it runs as an Arrow-batched pandas UDF over the already-cleaned
-    column. ``form=None`` skips the UDF entirely and the whole operator
-    stays JVM-side. Narrow map either way: no shuffle at any scale.
+    so it runs as an Arrow-batched pandas UDF. ``form=None`` skips the
+    UDF entirely and the whole operator stays JVM-side. Narrow map
+    either way: no shuffle at any scale.
+
+    Order matters: the unicode pass runs BEFORE the space collapse,
+    because compatibility forms (NFKC/NFKD) map non-ASCII whitespace
+    like NBSP to U+0020 — collapsing first would leave those
+    reintroduced runs uncollapsed.
     """
     out = output_col or text_col
     col = F.col(text_col)
     if strip_control:
         col = F.regexp_replace(col, _CONTROL_RE, "")
-    if collapse_spaces:
-        col = F.trim(F.regexp_replace(col, "[ \\t]+", " "))
     if form is not None:
         import pandas as pd  # noqa: F401 — resolves the UDF type hints
         from pyspark.sql.functions import pandas_udf
@@ -380,6 +388,8 @@ def normalize_text(df: DataFrame, text_col: str = "text",
 
         _unicode_norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
         col = pandas_udf(_unicode_norm, "string")(col)
+    if collapse_spaces:
+        col = F.trim(F.regexp_replace(col, "[ \\t]+", " "))
     return df.withColumn(out, col)
 
 
@@ -390,8 +400,7 @@ def outlink_domains(df: DataFrame, text_col: str = "text",
     Narrow map; the caller aggregates (domain profile) or joins
     (blocklists). At 100 TB this is the scan-side of link-graph
     curation: no shuffle until the caller's aggregate."""
-    domains = F.expr(
-        f"regexp_extract_all({text_col}, '{URL_DOMAIN_RE}', 1)")
+    domains = F.regexp_extract_all(F.col(text_col), F.lit(URL_DOMAIN_RE), 1)
     return (df.select(F.col(id_col), F.explode(domains).alias("domain"))
             .withColumn("domain", F.lower(F.col("domain"))))
 

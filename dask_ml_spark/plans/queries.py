@@ -2549,11 +2549,13 @@ WITH aug AS (
     FROM documents
 ),
 norm AS (
+    -- same order as the operator: strip controls, unicode-normalize,
+    -- THEN collapse/trim (NFKC can reintroduce U+0020 runs)
     SELECT doc_id,
-           nfc_normalize(trim(regexp_replace(
-               regexp_replace(text,
-                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
-               '[ \\t]+', ' ', 'g'))) AS text
+           trim(regexp_replace(
+               nfc_normalize(regexp_replace(text,
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')),
+               '[ \\t]+', ' ', 'g')) AS text
     FROM aug
 )
 SELECT doc_id, md5(text) AS text_md5, length(text) AS n_chars_norm
@@ -2585,7 +2587,13 @@ def q_outlink_domain_profile(spark, sf_dir):
                  F.countDistinct("doc_id").alias("n_docs")))
 
 
-SQL_OUTLINK_DOMAIN_PROFILE = """
+def _sql_outlink_domain_profile() -> str:
+    from dask_ml_spark.datapipe.text_stats import URL_DOMAIN_RE
+
+    return SQL_OUTLINK_DOMAIN_PROFILE_TMPL.replace("__URL_RE__", URL_DOMAIN_RE)
+
+
+SQL_OUTLINK_DOMAIN_PROFILE_TMPL = """
 WITH aug AS (
     SELECT doc_id,
            text || ' see https://site' || (doc_id % 20)::VARCHAR
@@ -2595,7 +2603,7 @@ WITH aug AS (
 links AS (
     SELECT doc_id,
            lower(unnest(regexp_extract_all(
-               text, 'https?://([A-Za-z0-9.-]+)', 1))) AS domain
+               text, '__URL_RE__', 1))) AS domain
     FROM aug
 ),
 bad AS (
@@ -2787,9 +2795,9 @@ def q_late_shipment_priority(spark, sf_dir):
 SQL_LATE_SHIPMENT_PRIORITY = """
 SELECT l_returnflag,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
@@ -3195,7 +3203,7 @@ def build_catalog():
         "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
         "shuffle_shards": SQL_SHUFFLE_SHARDS,
         "normalized_text_hash": SQL_NORMALIZED_TEXT_HASH,
-        "outlink_domain_profile": SQL_OUTLINK_DOMAIN_PROFILE,
+        "outlink_domain_profile": _sql_outlink_domain_profile(),
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
         "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,
         "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,

@@ -101,3 +101,28 @@ def test_bpe_encode_no_shuffle(spark, toy_docs):
     plan = bpe_encode(toy_docs, merges, method="expr")._jdf.queryExecution(
         ).executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_bpe_encode_null_text_parity(spark):
+    from dask_ml_spark.datapipe.bpe import bpe_encode
+
+    df = spark.createDataFrame([(1, "low lower"), (2, None)],
+                               "doc_id int, text string")
+    merges = [("l", "o", 3)]
+    a = {r["doc_id"]: r["bpe_tokens"] for r in
+         bpe_encode(df, merges, method="expr").collect()}
+    b = {r["doc_id"]: r["bpe_tokens"] for r in
+         bpe_encode(df, merges, method="arrow").collect()}
+    assert a == b
+    assert a[2] is None and a[1][0] == "lo"
+
+
+def test_bpe_encode_quote_symbols_safe(spark):
+    # merge symbols are arbitrary strings on the public API — a quote
+    # must not break the expr path (built from expressions, not SQL text)
+    from dask_ml_spark.datapipe.bpe import _apply_merge
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(["a", "'", "b"],)], "syms array<string>")
+    out = df.select(_apply_merge(F.col("syms"), "a", "'").alias("m")).collect()
+    assert out[0]["m"] == ["a'", "b"]

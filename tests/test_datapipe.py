@@ -1335,3 +1335,54 @@ def test_outlink_blocklist_filters_docs(spark):
     kept = sorted(r["doc_id"] for r in
                   filter_blocked_domains(df, block).collect())
     assert kept == [2, 3]
+
+
+def test_remove_boilerplate_metachar_separator(spark):
+    from dask_ml_spark.datapipe.dedup import remove_boilerplate
+
+    # '|' is a regex metachar: the split must treat it literally
+    df = spark.createDataFrame(
+        [(1, "common|unique a"), (2, "common|unique b"), (3, "unique c")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate(df, sep="|", min_docs=2).collect()}
+    assert out[1]["text"] == "unique a" and out[1]["n_lines"] == 2
+    assert out[3]["text"] == "unique c"
+
+
+def test_shuffle_shards_null_key_propagates(spark):
+    from dask_ml_spark.datapipe.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(1,), (None,), (None,)], "doc_id int")
+    rows = shuffle_shards(df, n_shards=4).collect()
+    nulls = [r for r in rows if r["doc_id"] is None]
+    # null keys do NOT collapse onto one shared shard/key (concat_ws
+    # would); they propagate to null like the SQL rendering
+    assert all(r["shuffle_key"] is None and r["shard"] is None for r in nulls)
+
+
+def test_outlink_userinfo_cannot_evade_blocklist(spark):
+    from dask_ml_spark.datapipe.text_stats import (filter_blocked_domains,
+                                                   outlink_domains)
+
+    df = spark.createDataFrame(
+        [(1, "link https://user:pw@blocked.example.com/x"),
+         (2, "link https://blocked.example.com./y"),
+         (3, "link https://fine.org/z")],
+        ["doc_id", "text"])
+    doms = {r["doc_id"]: r["domain"] for r in outlink_domains(df).collect()}
+    assert doms[1] == "blocked.example.com"  # userinfo consumed
+    assert doms[2] == "blocked.example.com"  # no trailing-dot variant
+    block = spark.createDataFrame([("blocked.example.com",)], ["domain"])
+    kept = sorted(r["doc_id"] for r in filter_blocked_domains(df, block).collect())
+    assert kept == [3]
+
+
+def test_normalize_text_nfkc_whitespace_order(spark):
+    from dask_ml_spark.datapipe.text_stats import normalize_text
+
+    # NFKC maps NBSP -> U+0020; the collapse must run AFTER the
+    # unicode pass or these runs survive
+    df = spark.createDataFrame([(1, "a  b")], ["doc_id", "text"])
+    row = normalize_text(df, form="NFKC").collect()[0]
+    assert row["text"] == "a b"
