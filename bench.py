@@ -72,6 +72,7 @@ HEADLINE = [
     "feature_hasher_long",
     "bpe_pair_counts",
     "bpe_merges",
+    "quality_classifier_scores",
     "boilerplate_removal",
     "shuffle_shards",
     "normalized_text_hash",

@@ -2617,6 +2617,75 @@ GROUP BY 1
 """
 
 
+def q_quality_classifier_scores(spark, sf_dir):
+    """Weak-supervision quality classifier end to end: heuristic
+    length-prior labels -> distributed GaussianNB moments fit ->
+    corpus-wide log-odds scoring as a literal-folded projection. The
+    oracle replays the features, the labeling rule, the per-class
+    mean/var_pop aggregates, sklearn's var_smoothing rule, and the
+    full joint-log-likelihood arithmetic — the SCORES hash-match, not
+    just the fit."""
+    from dask_ml_spark.datapipe.quality_model import (score_quality,
+                                                      train_quality_classifier)
+
+    docs = _t(spark, sf_dir, "documents")
+    nb = train_quality_classifier(docs)
+    scored = score_quality(docs, nb)
+    return scored.select(
+        "doc_id",
+        F.round("quality_logit", 6).alias("quality_logit"),
+        (F.col("quality_logit") > 0).cast("int").alias("pred"))
+
+
+def _sql_quality_classifier_scores() -> str:
+    en = ", ".join(f"'{w}'" for w in TS.STOPWORDS["en"])
+
+    def jll(m: str) -> str:
+        terms = [f"ln({m}.prior)"]
+        for j, f in enumerate(
+                ["distinct_ratio", "stopword_ratio", "digit_ratio"], 1):
+            terms.append(f"- 0.5 * ln(2 * pi() * {m}.v{j})")
+            terms.append(f"- pow(f.{f} - {m}.m{j}, 2) / (2 * {m}.v{j})")
+        return " ".join(terms)
+
+    return f"""
+WITH feats AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) / greatest(len(toks), 1)::DOUBLE AS distinct_ratio,
+           len(list_intersect(list_distinct(toks), [{en}]))
+               / greatest(len(toks), 1)::DOUBLE AS stopword_ratio,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / greatest(length(text), 1)::DOUBLE AS digit_ratio
+    FROM (SELECT doc_id, text,
+                 regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+          FROM documents)
+), lab AS (
+    SELECT *, CASE WHEN n_tokens >= 40 THEN 1 ELSE 0 END AS label FROM feats
+), stats AS (
+    SELECT label, count(*)::DOUBLE AS n,
+           avg(distinct_ratio) AS m1, var_pop(distinct_ratio) AS v1,
+           avg(stopword_ratio) AS m2, var_pop(stopword_ratio) AS v2,
+           avg(digit_ratio)    AS m3, var_pop(digit_ratio)    AS v3
+    FROM lab GROUP BY label
+), eps AS (
+    SELECT 1e-9 * max(greatest(v1, v2, v3)) AS e FROM stats
+), model AS (
+    SELECT label, n / (SELECT sum(n) FROM stats) AS prior,
+           m1, v1 + e AS v1, m2, v2 + e AS v2, m3, v3 + e AS v3
+    FROM stats CROSS JOIN eps
+)
+SELECT doc_id, round(logit, 6) AS quality_logit,
+       CASE WHEN logit > 0 THEN 1 ELSE 0 END AS pred
+FROM (
+    SELECT f.doc_id, ({jll('g')}) - ({jll('b')}) AS logit
+    FROM feats f
+    CROSS JOIN (SELECT * FROM model WHERE label = 1) g
+    CROSS JOIN (SELECT * FROM model WHERE label = 0) b
+)
+"""
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """First round of distributed BPE training: adjacent-symbol pair
     frequencies over the word-TYPE table (the corpus is touched once;
@@ -3028,6 +3097,7 @@ def build_catalog():
         "maxabs_scaler": q_maxabs_scaler,
         "interval_session_clicks": q_interval_session_clicks,
         "sole_supplier_orders": q_sole_supplier_orders,
+        "quality_classifier_scores": q_quality_classifier_scores,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "view_click_attribution": q_view_click_attribution,
@@ -3198,6 +3268,7 @@ def build_catalog():
         "maxabs_scaler": SQL_MAXABS_SCALER,
         "interval_session_clicks": SQL_INTERVAL_SESSION_CLICKS,
         "sole_supplier_orders": SQL_SOLE_SUPPLIER_ORDERS,
+        "quality_classifier_scores": _sql_quality_classifier_scores(),
         "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
         "view_click_attribution": SQL_VIEW_CLICK_ATTRIBUTION,
         "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,

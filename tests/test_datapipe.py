@@ -1386,3 +1386,22 @@ def test_normalize_text_nfkc_whitespace_order(spark):
     df = spark.createDataFrame([(1, "a  b")], ["doc_id", "text"])
     row = normalize_text(df, form="NFKC").collect()[0]
     assert row["text"] == "a b"
+
+
+def test_quality_classifier_separates_and_scores_narrow(spark):
+    from dask_ml_spark.datapipe.quality_model import (score_quality,
+                                                      train_quality_classifier)
+
+    good = [(i, "the quick brown fox jumps over the lazy dog and runs far "
+                "into the wide green hills with many fine words to say " * 2)
+            for i in range(20)]
+    bad = [(100 + i, f"00 11 22 33 44 {i}5 66") for i in range(20)]
+    docs = spark.createDataFrame(good + bad, ["doc_id", "text"])
+    nb = train_quality_classifier(docs)
+    scored = score_quality(docs, nb)
+    rows = {r["doc_id"]: r["quality_logit"] for r in scored.collect()}
+    assert all(rows[i] > 0 for i, _ in good)
+    assert all(rows[i] < 0 for i, _ in bad)
+    # scoring is a literal-folded narrow projection: no shuffle, no UDF
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
