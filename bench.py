@@ -73,6 +73,8 @@ HEADLINE = [
     "bpe_pair_counts",
     "bpe_merges",
     "quality_classifier_scores",
+    "corpus_manifest",
+    "perplexity_bucket_sample",
     "boilerplate_removal",
     "shuffle_shards",
     "normalized_text_hash",

@@ -68,3 +68,32 @@ def profile_table(df: DataFrame, columns=None, approx_distinct: bool = True,
             row.asDict().get(f"ms_{n}"), row.asDict().get(f"xs_{n}"),
         ))
     return df.sparkSession.createDataFrame(out, PROFILE_SCHEMA)
+
+
+def corpus_manifest(df, group_cols=("source",), text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Release manifest for a corpus: per-group document counts, token
+    mass, id range, and an ORDER-INSENSITIVE content checksum (bit_xor
+    of a 60-bit md5 fold over id + text) — the artifact a reproducible
+    data release ships so any consumer can verify a shard set without
+    re-reading it in a fixed order.
+
+    One hash aggregate over the corpus; the checksum is engine-portable
+    (md5 fold, the repo-wide scheme) and partitioning/retry-invariant
+    because xor commutes. At 100 TB this is scan + one small exchange.
+    """
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        "\x1f", F.col(id_col).cast("string"), F.col(text_col))), 1, 15),
+        16, 10).cast("long")
+    return (df.withColumn("__h", h)
+            .groupBy(*group_cols)
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.size(tokens_expr(F.col(text_col))))
+                 .cast("long").alias("n_tokens"),
+                 F.min(id_col).alias("min_id"),
+                 F.max(id_col).alias("max_id"),
+                 F.expr("bit_xor(__h)").alias("content_checksum")))

@@ -2617,6 +2617,80 @@ GROUP BY 1
 """
 
 
+def q_corpus_manifest(spark, sf_dir):
+    """Per-source release manifest: counts, token mass, id range, and
+    an order-insensitive engine-portable content checksum (bit_xor of
+    a 60-bit md5 fold) — ONE hash aggregate, verifiable without
+    re-reading shards in any fixed order."""
+    from dask_ml_spark.datapipe.profiling import corpus_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_manifest(docs, group_cols=("source",))
+
+
+SQL_CORPUS_MANIFEST = f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))) AS BIGINT) AS n_tokens,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id,
+       bit_xor(('0x' || substr(md5(doc_id::VARCHAR || chr(31) || text), 1, 15))::BIGINT)
+           AS content_checksum
+FROM documents
+GROUP BY source
+"""
+
+
+def q_perplexity_bucket_sample(spark, sf_dir):
+    """Perplexity-curriculum selection: bigram-LM fluency scores ->
+    equal-width buckets -> content-deterministic per-bucket sampling
+    rates (keep the mid-perplexity band fully, thin the tails — the
+    CCNet bucketing rule). Composition of three oracled operators in
+    one Catalyst plan."""
+    from dask_ml_spark.datapipe.text_stats import bigram_logprob_scores
+    from dask_ml_spark.plans.model_selection import _hash_bucket_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    # round BEFORE bucketing — the embedded oracle CTE rounds to 6, so
+    # a boundary doc must land in the same bucket in both engines
+    scored = (bigram_logprob_scores(docs)
+              .withColumn("avg_logprob", F.round("avg_logprob", 6)))
+    b = F.width_bucket(F.col("avg_logprob"), F.lit(-3.5), F.lit(-3.25), F.lit(4))
+    rates = {1: 0.25, 2: 1.0, 3: 1.0, 4: 0.25, 0: 0.1, 5: 0.1}
+    keep_cut = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])[b]
+    bucket = _hash_bucket_expr(["doc_id"], 10_000, 17, df=scored)
+    out = (scored.withColumn("ppl_bucket", b.cast("int"))
+           .where(bucket < keep_cut * 10_000)
+           .groupBy("ppl_bucket")
+           .agg(F.count("*").alias("n_kept"),
+                F.round(F.avg("avg_logprob"), 6).alias("mean_logprob")))
+    return out
+
+
+def _sql_perplexity_bucket_sample(sql_bigram_logprob: str) -> str:
+    return f"""
+WITH scored AS ({sql_bigram_logprob}),
+b AS (
+    SELECT doc_id, avg_logprob,
+           CASE WHEN avg_logprob < -3.5 THEN 0
+                WHEN avg_logprob >= -3.25 THEN 5
+                ELSE 1 + floor((avg_logprob - (-3.5)) / 0.0625)::INT END AS ppl_bucket,
+           ((((17 + doc_id) % 2147483648) * 2654435761) % 2147483648) % 10000 AS bucket
+    FROM scored
+), rated AS (
+    SELECT *, CASE ppl_bucket WHEN 1 THEN 0.25 WHEN 2 THEN 1.0
+                              WHEN 3 THEN 1.0 WHEN 4 THEN 0.25
+                              ELSE 0.0 END AS cut
+    FROM b
+)
+SELECT ppl_bucket, count(*) AS n_kept,
+       round(avg(avg_logprob), 6) AS mean_logprob
+FROM rated
+WHERE bucket < cut * 10000
+GROUP BY 1
+"""
+
+
 def q_quality_classifier_scores(spark, sf_dir):
     """Weak-supervision quality classifier end to end: heuristic
     length-prior labels -> distributed GaussianNB moments fit ->
@@ -3097,6 +3171,8 @@ def build_catalog():
         "maxabs_scaler": q_maxabs_scaler,
         "interval_session_clicks": q_interval_session_clicks,
         "sole_supplier_orders": q_sole_supplier_orders,
+        "corpus_manifest": q_corpus_manifest,
+        "perplexity_bucket_sample": q_perplexity_bucket_sample,
         "quality_classifier_scores": q_quality_classifier_scores,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
@@ -3268,6 +3344,9 @@ def build_catalog():
         "maxabs_scaler": SQL_MAXABS_SCALER,
         "interval_session_clicks": SQL_INTERVAL_SESSION_CLICKS,
         "sole_supplier_orders": SQL_SOLE_SUPPLIER_ORDERS,
+        "corpus_manifest": SQL_CORPUS_MANIFEST,
+        "perplexity_bucket_sample":
+            _sql_perplexity_bucket_sample(SQL_BIGRAM_LOGPROB),
         "quality_classifier_scores": _sql_quality_classifier_scores(),
         "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
         "view_click_attribution": SQL_VIEW_CLICK_ATTRIBUTION,

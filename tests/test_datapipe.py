@@ -1405,3 +1405,25 @@ def test_quality_classifier_separates_and_scores_narrow(spark):
     # scoring is a literal-folded narrow projection: no shuffle, no UDF
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_corpus_manifest_order_insensitive(spark, documents):
+    from dask_ml_spark.datapipe.profiling import corpus_manifest
+
+    a = {r["source"]: r for r in corpus_manifest(documents).collect()}
+    b = {r["source"]: r for r in
+         corpus_manifest(documents.repartition(11)).collect()}
+    assert set(a) == set(b)
+    for s in a:
+        # xor checksum commutes: identical under any partitioning/order
+        assert a[s]["content_checksum"] == b[s]["content_checksum"]
+        assert a[s]["n_docs"] == b[s]["n_docs"]
+    # a content change flips the checksum
+    from pyspark.sql import functions as F
+    tampered = documents.withColumn(
+        "text", F.when(F.col("doc_id") == 0, F.lit("tampered"))
+        .otherwise(F.col("text")))
+    c = {r["source"]: r["content_checksum"]
+         for r in corpus_manifest(tampered).collect()}
+    changed = [s for s in a if c[s] != a[s]["content_checksum"]]
+    assert len(changed) == 1
