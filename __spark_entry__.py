@@ -5,9 +5,11 @@ entry(spark)  — flagship pipeline on sf0.001 (scaler → split →
                 TPC-H-style pricing summary, returned as one small
                 result DataFrame.
 queries()     — one callable per implemented operator (SURVEY.md §2 +
-                datapipe), from dask_ml_spark.plans.queries.
+                datapipe), from dask_ml_spark.plans.queries
+                (161 entries as of round 5).
 oracle_sql()  — the DuckDB-equivalent SQL for every hash-checkable
-                query; iterative/seeded ops are rows-only by design.
+                query (145); iterative/seeded ops are rows-only by
+                design, each value-checked another way (see README).
 """
 
 from __future__ import annotations
