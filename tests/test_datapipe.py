@@ -1427,3 +1427,37 @@ def test_corpus_manifest_order_insensitive(spark, documents):
          for r in corpus_manifest(tampered).collect()}
     changed = [s for s in a if c[s] != a[s]["content_checksum"]]
     assert len(changed) == 1
+
+
+def test_remove_boilerplate_properties(spark):
+    """Property sweep: reassembled output equals the input's line
+    sequence with exactly the >=min_docs lines removed, for random
+    corpora."""
+    import random
+
+    from dask_ml_spark.datapipe.dedup import remove_boilerplate
+
+    rng = random.Random(7)
+    vocab = [f"line_{i}" for i in range(12)]
+    docs = []
+    for d in range(30):
+        lines = [rng.choice(vocab) for _ in range(rng.randint(1, 8))]
+        docs.append((d, "\n".join(lines)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    min_docs = 5
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate(df, min_docs=min_docs).collect()}
+
+    # python reference
+    from collections import defaultdict
+    docs_of = defaultdict(set)
+    for d, t in docs:
+        for ln in t.split("\n"):
+            docs_of[ln].add(d)
+    boiler = {ln for ln, ds in docs_of.items() if len(ds) >= min_docs}
+    for d, t in docs:
+        lines = t.split("\n")
+        kept = [ln for ln in lines if ln not in boiler]
+        assert out[d]["text"] == "\n".join(kept)
+        assert out[d]["n_lines"] == len(lines)
+        assert out[d]["n_kept"] == len(kept)

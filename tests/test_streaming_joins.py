@@ -60,3 +60,29 @@ def test_stream_interval_join_plans_bounded_state(spark, events_dir):
     out = stream_interval_join(sv, sc)
     plan = out._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2
+
+
+def test_quality_scoring_runs_on_streams(spark, tmp_path):
+    """score_quality is a literal-folded narrow projection, so the
+    same fitted model scores an unbounded stream with no state."""
+    from dask_ml_spark.datapipe.quality_model import (score_quality,
+                                                      train_quality_classifier)
+    from dask_ml_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    d = str(tmp_path / "docs")
+    docs.coalesce(2).write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+    nb = train_quality_classifier(batch)
+
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    out = score_quality(stream, nb).select("doc_id", "quality_logit")
+    q = (out.writeStream.format("memory").queryName("qs_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = {r["doc_id"]: r["quality_logit"]
+                for r in spark.sql("select * from qs_out").collect()}
+    expected = {r["doc_id"]: r["quality_logit"]
+                for r in score_quality(batch, nb)
+                .select("doc_id", "quality_logit").collect()}
+    assert streamed == expected
