@@ -86,8 +86,12 @@ def corpus_manifest(df, group_cols=("source",), text_col: str = "text",
 
     from dask_ml_spark.datapipe.dedup import tokens_expr
 
-    h = F.conv(F.substring(F.md5(F.concat_ws(
-        "\x1f", F.col(id_col).cast("string"), F.col(text_col))), 1, 15),
+    # F.concat, NOT concat_ws: a null id/text must propagate to a null
+    # hash (skipped by bit_xor, like the SQL rendering) — concat_ws
+    # would silently drop the null field, making (1, NULL) and
+    # (NULL, '1') fold to the same string and cancel in the xor
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.col(id_col).cast("string"), F.lit("\x1f"), F.col(text_col))), 1, 15),
         16, 10).cast("long")
     return (df.withColumn("__h", h)
             .groupBy(*group_cols)

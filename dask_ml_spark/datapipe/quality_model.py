@@ -37,7 +37,10 @@ def train_quality_classifier(docs: DataFrame, feature_cols=DEFAULT_FEATURES,
     classifier then generalizes into the ratio features."""
     feats = quality_scores(docs, text_col=text_col, id_col=id_col)
     rule = label_rule if label_rule is not None else (F.col("n_tokens") >= 40)
-    labeled = feats.withColumn("label", rule.cast("int"))
+    # a NULL rule result (e.g. null text) must not become a third
+    # label class — it would corrupt the per-class moments
+    labeled = (feats.withColumn("label", rule.cast("int"))
+               .where(F.col("label").isNotNull()))
     return GaussianNB(var_smoothing=var_smoothing).fit(
         labeled, columns=list(feature_cols), label_col="label")
 

@@ -2651,10 +2651,10 @@ def q_perplexity_bucket_sample(spark, sf_dir):
     from dask_ml_spark.plans.model_selection import _hash_bucket_expr
 
     docs = _t(spark, sf_dir, "documents")
-    # round BEFORE bucketing — the embedded oracle CTE rounds to 6, so
-    # a boundary doc must land in the same bucket in both engines
-    scored = (bigram_logprob_scores(docs)
-              .withColumn("avg_logprob", F.round("avg_logprob", 6)))
+    # bigram_logprob_scores already returns avg_logprob rounded to 6,
+    # so both engines bucket the same values; the bucket bounds are
+    # dyadic (width 0.0625), keeping the arithmetic FP-exact too
+    scored = bigram_logprob_scores(docs)
     b = F.width_bucket(F.col("avg_logprob"), F.lit(-3.5), F.lit(-3.25), F.lit(4))
     rates = {1: 0.25, 2: 1.0, 3: 1.0, 4: 0.25, 0: 0.1, 5: 0.1}
     keep_cut = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])[b]
@@ -2680,7 +2680,7 @@ b AS (
 ), rated AS (
     SELECT *, CASE ppl_bucket WHEN 1 THEN 0.25 WHEN 2 THEN 1.0
                               WHEN 3 THEN 1.0 WHEN 4 THEN 0.25
-                              ELSE 0.0 END AS cut
+                              ELSE 0.1 END AS cut
     FROM b
 )
 SELECT ppl_bucket, count(*) AS n_kept,

@@ -1461,3 +1461,36 @@ def test_remove_boilerplate_properties(spark):
         assert out[d]["text"] == "\n".join(kept)
         assert out[d]["n_lines"] == len(lines)
         assert out[d]["n_kept"] == len(kept)
+
+
+def test_quality_classifier_tolerates_null_text(spark):
+    from dask_ml_spark.datapipe.quality_model import (score_quality,
+                                                      train_quality_classifier)
+
+    good = [(i, "the quick brown fox and the lazy dog run far " * 5)
+            for i in range(10)]
+    bad = [(50 + i, "00 11 22") for i in range(10)]
+    docs = spark.createDataFrame(good + bad + [(99, None)],
+                                 "doc_id int, text string")
+    nb = train_quality_classifier(docs)
+    # null text never becomes a third label class
+    assert sorted(nb.classes_.tolist()) == [0, 1]
+    scored = score_quality(docs, nb)
+    assert scored.where(F.col("doc_id") < 99).count() == 20
+
+
+def test_corpus_manifest_null_text_propagates(spark):
+    from dask_ml_spark.datapipe.profiling import corpus_manifest
+
+    df = spark.createDataFrame(
+        [(1, "a", "s"), (2, None, "s"), (3, "b", "s")],
+        ["doc_id", "text", "source"])
+    base = spark.createDataFrame(
+        [(1, "a", "s"), (3, "b", "s")], ["doc_id", "text", "source"])
+    m_with_null = corpus_manifest(df).collect()[0]
+    m_without = corpus_manifest(base).collect()[0]
+    # the null row's hash is null -> skipped by bit_xor, so the
+    # checksum equals the non-null corpus (and a (1,NULL)/(NULL,'1')
+    # pair can no longer cancel); counts still see all rows
+    assert m_with_null["content_checksum"] == m_without["content_checksum"]
+    assert m_with_null["n_docs"] == 3
