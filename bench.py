@@ -74,6 +74,7 @@ HEADLINE = [
     "bpe_merges",
     "quality_classifier_scores",
     "corpus_manifest",
+    "corpus_diff",
     "perplexity_bucket_sample",
     "boilerplate_removal",
     "shuffle_shards",

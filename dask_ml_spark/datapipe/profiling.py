@@ -101,3 +101,40 @@ def corpus_manifest(df, group_cols=("source",), text_col: str = "text",
                  F.min(id_col).alias("min_id"),
                  F.max(id_col).alias("max_id"),
                  F.expr("bit_xor(__h)").alias("content_checksum")))
+
+
+def corpus_diff(old, new, group_cols=("source",), text_col: str = "text",
+                id_col: str = "doc_id"):
+    """Release-to-release corpus diff: per-group counts of documents
+    added, removed, and retained between two corpus versions, compared
+    by CONTENT hash (so a re-ingest that renumbers ids but keeps bytes
+    shows zero churn).
+
+    Each side is first reduced to (group, hash, copy-count), so
+    duplicated content cannot fan the join out; churn is counted in
+    COPY units: added = extra copies in new, removed = copies gone
+    from old, retained = min of the two. A doc moving between groups
+    counts as removed from the old group and added to the new one.
+
+    Shape at 100 TB: one md5 projection + one aggregate per side, one
+    equi full-outer join on the uniform (group, hash) key — no N², no
+    skew, #groups output rows. The companion to ``corpus_manifest``
+    for verifying what a new drop actually changed.
+    """
+    from pyspark.sql import functions as F
+
+    gcols = list(group_cols)
+
+    def keyed(df, side):
+        return (df.select(*gcols, F.md5(F.col(text_col)).alias("__h"))
+                .groupBy(*gcols, "__h")
+                .agg(F.count("*").alias(f"n_{side}")))
+
+    j = keyed(old, "old").join(keyed(new, "new"), gcols + ["__h"],
+                               "full_outer")
+    no = F.coalesce(F.col("n_old"), F.lit(0))
+    nn = F.coalesce(F.col("n_new"), F.lit(0))
+    return (j.groupBy(*gcols)
+            .agg(F.sum(F.greatest(nn - no, F.lit(0))).alias("added"),
+                 F.sum(F.greatest(no - nn, F.lit(0))).alias("removed"),
+                 F.sum(F.least(no, nn)).alias("retained")))

@@ -2641,6 +2641,45 @@ GROUP BY source
 """
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Release-to-release diff: a v2 corpus is derived deterministically
+    (every 7th doc dropped, every 5th edited) and diffed against v1 by
+    content hash — added/removed/retained copy counts per source.
+    Duplicate content cannot fan out the join (per-side hash counts)."""
+    from dask_ml_spark.datapipe.profiling import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    v2 = (docs.where(F.col("doc_id") % 7 != 0)
+          .withColumn("text", F.when(F.col("doc_id") % 5 == 0,
+                                     F.concat(F.col("text"), F.lit(" v2")))
+                      .otherwise(F.col("text"))))
+    return corpus_diff(docs, v2, group_cols=("source",))
+
+
+SQL_CORPUS_DIFF = """
+WITH v2 AS (
+    SELECT source,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 7 <> 0
+), o AS (
+    SELECT source, md5(text) AS h, count(*) AS n_old
+    FROM documents GROUP BY 1, 2
+), n AS (
+    SELECT source, md5(text) AS h, count(*) AS n_new
+    FROM v2 GROUP BY 1, 2
+), j AS (
+    SELECT coalesce(o.source, n.source) AS source,
+           coalesce(n_old, 0) AS no, coalesce(n_new, 0) AS nn
+    FROM o FULL OUTER JOIN n ON o.source = n.source AND o.h = n.h
+)
+SELECT source,
+       CAST(sum(greatest(nn - no, 0)) AS BIGINT) AS added,
+       CAST(sum(greatest(no - nn, 0)) AS BIGINT) AS removed,
+       CAST(sum(least(no, nn)) AS BIGINT) AS retained
+FROM j GROUP BY 1
+"""
+
+
 def q_perplexity_bucket_sample(spark, sf_dir):
     """Perplexity-curriculum selection: bigram-LM fluency scores ->
     equal-width buckets -> content-deterministic per-bucket sampling
@@ -3172,6 +3211,7 @@ def build_catalog():
         "interval_session_clicks": q_interval_session_clicks,
         "sole_supplier_orders": q_sole_supplier_orders,
         "corpus_manifest": q_corpus_manifest,
+        "corpus_diff": q_corpus_diff,
         "perplexity_bucket_sample": q_perplexity_bucket_sample,
         "quality_classifier_scores": q_quality_classifier_scores,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -3345,6 +3385,7 @@ def build_catalog():
         "interval_session_clicks": SQL_INTERVAL_SESSION_CLICKS,
         "sole_supplier_orders": SQL_SOLE_SUPPLIER_ORDERS,
         "corpus_manifest": SQL_CORPUS_MANIFEST,
+        "corpus_diff": SQL_CORPUS_DIFF,
         "perplexity_bucket_sample":
             _sql_perplexity_bucket_sample(SQL_BIGRAM_LOGPROB),
         "quality_classifier_scores": _sql_quality_classifier_scores(),

@@ -340,3 +340,44 @@ def salted_join(left: DataFrame, right: DataFrame, on: str, n_salt: int = 16,
         "__salt", F.explode(F.sequence(F.lit(0).cast("int"), F.lit(n_salt - 1).cast("int")))
     )
     return salted_l.join(salted_r, [on, "__salt"], how).drop("__salt")
+
+
+class ScalabilityError(RuntimeError):
+    """Raised by assert_scalable when a plan contains a known
+    scale-killer shape."""
+
+
+def assert_scalable(df: DataFrame, *, allow_cartesian: bool = False,
+                    allow_row_python: bool = False,
+                    allow_broadcast_nested_loop: bool = False) -> DataFrame:
+    """Plan lint: raise ScalabilityError if the physical plan contains
+    a shape that is quietly fine on test data and catastrophic at
+    100 TB — the library's plan-shape regression tests, packaged for
+    user pipelines (call it on a DataFrame in CI before the job ships).
+
+    Checks, each individually waivable:
+    - CartesianProduct — O(N·M) pairs; only ever acceptable as an
+      explicitly-chosen brute-force baseline.
+    - BatchEvalPython — a ROW-AT-A-TIME Python UDF in the plan (Arrow
+      / pandas UDFs show up as ArrowEvalPython and are not flagged).
+    - BroadcastNestedLoopJoin — a non-equi join Spark could not hash;
+      usually a missed equi-key or an accidental cross join.
+
+    Returns the DataFrame unchanged so it chains:
+        assert_scalable(build_pipeline(...)).write.parquet(...)
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    problems = []
+    if not allow_cartesian and "CartesianProduct" in plan:
+        problems.append("CartesianProduct (O(N*M) pair explosion)")
+    if not allow_row_python and "BatchEvalPython" in plan:
+        problems.append("BatchEvalPython (row-at-a-time Python UDF; "
+                        "use an Arrow pandas_udf)")
+    if not allow_broadcast_nested_loop and "BroadcastNestedLoopJoin" in plan:
+        problems.append("BroadcastNestedLoopJoin (non-equi join; "
+                        "add an equi key or bucket the range)")
+    if problems:
+        raise ScalabilityError(
+            "plan contains scale-killer shapes: " + "; ".join(problems)
+            + "\n(waive explicitly via allow_* if intentional)")
+    return df

@@ -1494,3 +1494,19 @@ def test_corpus_manifest_null_text_propagates(spark):
     # pair can no longer cancel); counts still see all rows
     assert m_with_null["content_checksum"] == m_without["content_checksum"]
     assert m_with_null["n_docs"] == 3
+
+
+def test_corpus_diff_copy_semantics(spark):
+    from dask_ml_spark.datapipe.profiling import corpus_diff
+
+    # old: 3 copies of X, 1 Y; new: 1 copy of X, 1 Y, 1 Z
+    old = spark.createDataFrame(
+        [(1, "X", "s"), (2, "X", "s"), (3, "X", "s"), (4, "Y", "s")],
+        ["doc_id", "text", "source"])
+    new = spark.createDataFrame(
+        [(10, "X", "s"), (11, "Y", "s"), (12, "Z", "s")],
+        ["doc_id", "text", "source"])
+    r = corpus_diff(old, new).collect()[0]
+    # duplicate content must not fan out the join: 2 X copies removed,
+    # 1 Z added, X+Y retained (ids are irrelevant — content compare)
+    assert (r["added"], r["removed"], r["retained"]) == (1, 2, 2)

@@ -234,3 +234,45 @@ def test_estimator_save_load_roundtrip(spark, lineitem, tmp_path):
     assert isinstance(BaseEstimator.load(p), StandardScaler)
     with pytest.raises(TypeError):
         KMeans.load(p)
+
+
+def test_assert_scalable_flags_and_waives(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.utils import ScalabilityError, assert_scalable
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+
+    # clean equi-join passes and chains
+    ok = a.join(b, a.id == b.id2)
+    assert assert_scalable(ok) is ok
+
+    # cross join flagged (CartesianProduct, or BroadcastNestedLoopJoin
+    # when one side is small enough to broadcast), waivable
+    cross = a.crossJoin(b)
+    with _pytest.raises(ScalabilityError, match="scale-killer"):
+        assert_scalable(cross)
+    assert_scalable(cross, allow_cartesian=True,
+                    allow_broadcast_nested_loop=True)
+
+    # row-at-a-time Python UDF flagged; Arrow pandas UDF is fine
+    slow = F.udf(lambda x: x + 1, "long")
+    with _pytest.raises(ScalabilityError, match="BatchEvalPython"):
+        assert_scalable(a.select(slow("id")))
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fast(s):
+        return s + 1
+
+    _fast.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    fast = pandas_udf(_fast, "long")
+    assert_scalable(a.select(fast("id")))
+
+    # non-equi join flagged
+    noneq = a.join(b, a.id < b.id2)
+    with _pytest.raises(ScalabilityError, match="BroadcastNestedLoopJoin"):
+        assert_scalable(noneq)
