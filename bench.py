@@ -111,6 +111,7 @@ HEADLINE = [
     "epoch_plan",
     "group_quality_topk",
     "lsh_ann_topk",
+    "pq_ann_topk",
     "repetition_scores",
     "unigram_logprob",
     "bigram_logprob",

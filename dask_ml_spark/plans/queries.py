@@ -2641,6 +2641,66 @@ GROUP BY source
 """
 
 
+def q_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN with PINNED codebooks (the subvectors
+    of vec_id 0..15 — same fixed-state pattern as ivf_ann_topk): encode
+    compresses 64 float dims to 4 codes in one narrow JVM projection,
+    and each query scores the compressed corpus via its literal ADC
+    distance table. Assignment, scoring, and ranking all replay in
+    SQL. The learned-codebook path (PQIndex.fit) stays the production
+    default and is recall-tested against brute force."""
+    import numpy as np
+
+    from dask_ml_spark.datapipe.similarity import PQIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pq = PQIndex(m=4, k=16)
+    rows = (emb.where(F.col("vec_id") < 16).orderBy("vec_id")
+            .select("embedding").collect())
+    vecs = np.asarray([list(r[0]) for r in rows], dtype="float64")
+    pq.codebooks_ = [vecs[:, s * 16:(s + 1) * 16] for s in range(4)]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = pq.search(emb, queries, topk=10)
+    return out.select("query_id", "vec_id",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+SQL_PQ_ANN_TOPK = """
+WITH ss AS (SELECT unnest(range(0, 4)) AS s),
+cw AS (
+    SELECT ss.s, e.vec_id AS j,
+           (e.embedding[ss.s*16+1 : ss.s*16+16])::DOUBLE[] AS cvec
+    FROM embeddings e CROSS JOIN ss WHERE e.vec_id < 16
+),
+codes AS (
+    SELECT e.vec_id, ss.s,
+           (SELECT j FROM cw WHERE cw.s = ss.s
+            ORDER BY list_distance(
+                (e.embedding[ss.s*16+1 : ss.s*16+16])::DOUBLE[],
+                cw.cvec) ASC, j ASC
+            LIMIT 1) AS j
+    FROM embeddings e CROSS JOIN ss
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           sum(pow(list_distance(
+               (q.embedding[c.s*16+1 : c.s*16+16])::DOUBLE[], cw.cvec), 2))
+               AS score
+    FROM embeddings q
+    CROSS JOIN codes c
+    JOIN cw ON cw.s = c.s AND cw.j = c.j
+    WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+    GROUP BY 1, 2
+)
+SELECT query_id, vec_id, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score ASC, vec_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
+
+
 def q_corpus_diff(spark, sf_dir):
     """Release-to-release diff: a v2 corpus is derived deterministically
     (every 7th doc dropped, every 5th edited) and diffed against v1 by
@@ -3212,6 +3272,7 @@ def build_catalog():
         "sole_supplier_orders": q_sole_supplier_orders,
         "corpus_manifest": q_corpus_manifest,
         "corpus_diff": q_corpus_diff,
+        "pq_ann_topk": q_pq_ann_topk,
         "perplexity_bucket_sample": q_perplexity_bucket_sample,
         "quality_classifier_scores": q_quality_classifier_scores,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -3386,6 +3447,7 @@ def build_catalog():
         "sole_supplier_orders": SQL_SOLE_SUPPLIER_ORDERS,
         "corpus_manifest": SQL_CORPUS_MANIFEST,
         "corpus_diff": SQL_CORPUS_DIFF,
+        "pq_ann_topk": SQL_PQ_ANN_TOPK,
         "perplexity_bucket_sample":
             _sql_perplexity_bucket_sample(SQL_BIGRAM_LOGPROB),
         "quality_classifier_scores": _sql_quality_classifier_scores(),
