@@ -106,6 +106,7 @@ HEADLINE = [
     "stratified_sample",
     "table_profile_approx",
     "contamination_scores",
+    "bloom_decontam_scores",
     "mixture_sample",
     "temperature_mixture_sample",
     "epoch_plan",

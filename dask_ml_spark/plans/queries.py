@@ -3273,6 +3273,7 @@ def build_catalog():
         "corpus_manifest": q_corpus_manifest,
         "corpus_diff": q_corpus_diff,
         "pq_ann_topk": q_pq_ann_topk,
+        "bloom_decontam_scores": q_bloom_decontam_scores,
         "perplexity_bucket_sample": q_perplexity_bucket_sample,
         "quality_classifier_scores": q_quality_classifier_scores,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -3448,6 +3449,7 @@ def build_catalog():
         "corpus_manifest": SQL_CORPUS_MANIFEST,
         "corpus_diff": SQL_CORPUS_DIFF,
         "pq_ann_topk": SQL_PQ_ANN_TOPK,
+        "bloom_decontam_scores": SQL_CONTAMINATION_SCORES,
         "perplexity_bucket_sample":
             _sql_perplexity_bucket_sample(SQL_BIGRAM_LOGPROB),
         "quality_classifier_scores": _sql_quality_classifier_scores(),
@@ -4478,6 +4480,21 @@ def q_contamination_scores(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") >= 20)
     eval_set = docs.where(F.col("doc_id") < 20)
     return contamination_scores(corpus, eval_set, shingle_n=3)
+
+
+def q_bloom_decontam_scores(spark, sf_dir):
+    """The Bloom-prefiltered rendering of contamination_scores: eval
+    shingles fold into one bloom_filter_agg sketch, definite-negative
+    corpus shingles drop at scan speed via might_contain, and only the
+    survivors hit the exact verify join. Output is BYTE-IDENTICAL to
+    the exact path by construction (false positives just do extra
+    exact work), so this query shares the exact oracle verbatim."""
+    from dask_ml_spark.datapipe.decontam import contamination_scores_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") >= 20)
+    eval_set = docs.where(F.col("doc_id") < 20)
+    return contamination_scores_bloom(corpus, eval_set, shingle_n=3)
 
 
 SQL_CONTAMINATION_SCORES = f"""

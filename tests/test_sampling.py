@@ -168,3 +168,24 @@ def test_contamination_scores_and_decontaminate(spark):
     assert clean.columns == corpus.columns  # full schema survives
     strict = decontaminate(corpus, eval_docs, threshold=0.5)
     assert {r["doc_id"] for r in strict.select("doc_id").collect()} == {3}
+
+
+def test_bloom_prefilter_matches_exact_decontam(spark, documents):
+    from dask_ml_spark.datapipe.decontam import (contamination_scores,
+                                                 contamination_scores_bloom)
+
+    corpus = documents.where(F.col("doc_id") >= 20)
+    eval_set = documents.where(F.col("doc_id") < 20)
+    exact = {r["doc_id"]: (r["n_shingles"], r["n_overlap"], r["contamination"])
+             for r in contamination_scores(corpus, eval_set).collect()}
+    bloom = {r["doc_id"]: (r["n_shingles"], r["n_overlap"], r["contamination"])
+             for r in contamination_scores_bloom(corpus, eval_set).collect()}
+    # byte-identical by construction: the Bloom stage only prunes
+    # definite negatives before the exact verify join
+    assert bloom == exact
+    # and with an aggressive (tiny) filter the answer still holds —
+    # false positives cost work, never correctness
+    bloom_small = {r["doc_id"]: (r["n_shingles"], r["n_overlap"], r["contamination"])
+                   for r in contamination_scores_bloom(
+                       corpus, eval_set, bits_per_item=2, n_hashes=1).collect()}
+    assert bloom_small == exact
