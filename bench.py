@@ -80,6 +80,7 @@ HEADLINE = [
     "shuffle_shards",
     "normalized_text_hash",
     "outlink_domain_profile",
+    "domain_pagerank",
     "curation_pipeline",
     "training_data_prep",
     "local_supplier_volume",

@@ -3274,6 +3274,7 @@ def build_catalog():
         "corpus_diff": q_corpus_diff,
         "pq_ann_topk": q_pq_ann_topk,
         "bloom_decontam_scores": q_bloom_decontam_scores,
+        "domain_pagerank": q_domain_pagerank,
         "perplexity_bucket_sample": q_perplexity_bucket_sample,
         "quality_classifier_scores": q_quality_classifier_scores,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -3450,6 +3451,7 @@ def build_catalog():
         "corpus_diff": SQL_CORPUS_DIFF,
         "pq_ann_topk": SQL_PQ_ANN_TOPK,
         "bloom_decontam_scores": SQL_CONTAMINATION_SCORES,
+        "domain_pagerank": _sql_domain_pagerank(),
         "perplexity_bucket_sample":
             _sql_perplexity_bucket_sample(SQL_BIGRAM_LOGPROB),
         "quality_classifier_scores": _sql_quality_classifier_scores(),
@@ -4480,6 +4482,62 @@ def q_contamination_scores(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") >= 20)
     eval_set = docs.where(F.col("doc_id") < 20)
     return contamination_scores(corpus, eval_set, shingle_n=3)
+
+
+def q_domain_pagerank(spark, sf_dir):
+    """Domain-authority scoring: the synthetic outlink graph (each doc
+    co-links its site domain and a shared CDN, both directions) feeds
+    3 iterations of weighted PageRank (datapipe/graph.py) — one join +
+    one aggregate per iteration over the degree-normalized edge table.
+    Deterministic, so the oracle replays all 3 iterations as chained
+    CTEs."""
+    from dask_ml_spark.datapipe.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    site = F.concat(F.lit("site"), (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".example.com"))
+    cdn = F.lit("cdn.shared.net")
+    edges = (docs.select(site.alias("src"), cdn.alias("dst"))
+             .unionAll(docs.select(cdn.alias("src"), site.alias("dst"))))
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _sql_domain_pagerank(iters: int = 3, d: float = 0.85) -> str:
+    head = """
+WITH edges AS (
+    SELECT src, dst, count(*)::DOUBLE AS w FROM (
+        SELECT 'site' || (doc_id % 20)::VARCHAR || '.example.com' AS src,
+               'cdn.shared.net' AS dst
+        FROM documents
+        UNION ALL
+        SELECT 'cdn.shared.net',
+               'site' || (doc_id % 20)::VARCHAR || '.example.com'
+        FROM documents
+    ) GROUP BY src, dst
+),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges
+           UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+norm AS (SELECT src, dst, w / out_w AS p FROM edges JOIN deg USING (src)),
+r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn)"""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f""",
+r{k} AS (
+    SELECT nodes.node,
+           (1 - {d}) / nn.n + {d} * (coalesce(c.c, 0) + dm.dm / nn.n) AS rank
+    FROM nodes CROSS JOIN nn
+    CROSS JOIN (SELECT coalesce(sum(rank), 0) AS dm FROM r{k - 1}
+                WHERE node NOT IN (SELECT src FROM deg)) dm
+    LEFT JOIN (SELECT dst, sum(p * rank) AS c FROM norm
+               JOIN r{k - 1} ON norm.src = r{k - 1}.node GROUP BY dst) c
+      ON nodes.node = c.dst
+)""")
+    return (head + "".join(its)
+            + f"\nSELECT node, round(rank, 6) AS rank FROM r{iters}")
 
 
 def q_bloom_decontam_scores(spark, sf_dir):

@@ -1582,3 +1582,35 @@ def test_pq_search_deterministic_across_partitioning(spark, embeddings):
     b = [(r["query_id"], r["vec_id"], r["rank"])
          for r in pq.search(embeddings.repartition(9), q).orderBy("rank").collect()]
     assert a == b
+
+
+def test_pagerank_properties(spark):
+    from dask_ml_spark.datapipe.graph import pagerank
+
+    # known asymmetric graph with a dangling node D:
+    # A -> B, A -> C, B -> C, C -> A, D has no out-edges but is linked
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("a", "d")],
+        ["src", "dst"])
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(edges, iters=20, damping=0.85).collect()}
+    # total mass conserved (dangling redistribution keeps Σ = 1)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # c receives from a AND b -> highest-ranked of the cycle
+    assert ranks["c"] > ranks["b"]
+    assert ranks["a"] > ranks["d"]
+    # python reference fixpoint for the same formula
+    import numpy as np
+    nodes = ["a", "b", "c", "d"]
+    out = {"a": 3, "b": 1, "c": 1}
+    links = {("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("a", "d")}
+    r = {x: 0.25 for x in nodes}
+    for _ in range(20):
+        dm = sum(r[x] for x in nodes if x not in out)
+        nr = {}
+        for y in nodes:
+            c = sum(r[x] / out[x] for x in nodes if (x, y) in links)
+            nr[y] = 0.15 / 4 + 0.85 * (c + dm / 4)
+        r = nr
+    for x in nodes:
+        assert abs(ranks[x] - r[x]) < 1e-9
