@@ -415,10 +415,15 @@ class PQIndex:
         return F.element_at(F.array_sort(F.array(*ds)), 1)["j"]
 
     def encode(self, df: DataFrame, code_col: str = "pq_code") -> DataFrame:
-        """Compress: adds an array<int> of m codes per row (narrow)."""
+        """Compress: adds an array<int> of m codes per row (narrow).
+        The projection is heavy per row (m*k distance folds), so an
+        under-split input is spread first — scan parallelism follows
+        file splits, and one small file would serialize the encode."""
+        from dask_ml_spark.utils import ensure_min_partitions
+
         codes = F.array(*[self._argmin_expr(F.col(self.vec_col), s)
                           for s in range(self.m)])
-        return df.withColumn(code_col, codes)
+        return ensure_min_partitions(df).withColumn(code_col, codes)
 
     def search(self, df: DataFrame, queries, topk: int = 10,
                query_id_col: str = "query_id",
@@ -430,7 +435,10 @@ class PQIndex:
             queries = [(r[query_id_col], np.asarray(r[self.vec_col], dtype="float64"))
                        for r in queries.collect()]
         coded = df if code_col in df.columns else self.encode(df, code_col)
-        per_query = []
+        # ONE pass over the corpus for ALL queries: each row explodes a
+        # (query_id, score) struct array — a per-query union would
+        # re-run the encode projection once per query
+        entries = []
         for qid, qvec in queries:
             score = F.lit(0.0)
             for s, book in enumerate(self.codebooks_):
@@ -440,12 +448,12 @@ class PQIndex:
                 lit = F.array(*[F.lit(float(v)) for v in table])
                 score = score + F.element_at(
                     lit, F.element_at(F.col(code_col), s + 1) + 1)
-            per_query.append(coded.select(
-                F.lit(qid).alias(query_id_col), F.col(self.id_col),
-                score.alias("score")))
-        out = per_query[0]
-        for p in per_query[1:]:
-            out = out.unionAll(p)
+            entries.append(F.struct(F.lit(qid).alias("qid"),
+                                    score.alias("score")))
+        out = (coded.select(F.col(self.id_col),
+                            F.explode(F.array(*entries)).alias("__q"))
+               .select(F.col("__q.qid").alias(query_id_col),
+                       self.id_col, F.col("__q.score").alias("score")))
         out = out.where(F.col(query_id_col) != F.col(self.id_col))
         w = Window.partitionBy(query_id_col).orderBy(F.asc("score"),
                                                     F.asc(self.id_col))
