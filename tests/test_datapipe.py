@@ -1518,10 +1518,13 @@ def test_pq_index_recall_and_narrow_encode(spark, embeddings):
     pq = PQIndex(m=4, k=16).fit(embeddings)
     assert len(pq.codebooks_) == 4 and pq.codebooks_[0].shape == (16, 16)
 
-    # encode is a pure narrow projection: no shuffle, no Python
+    # encode is a narrow JVM projection — no Python; the only Exchange
+    # permitted is the deliberate round-robin spread of an under-split
+    # input (a no-op on real multi-split corpora)
     coded = pq.encode(embeddings)
     plan = coded._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan and "Python" not in plan
+    assert "Python" not in plan
+    assert plan.count("Exchange") <= 1 and "RoundRobinPartitioning" in plan
     row = coded.limit(1).collect()[0]
     assert len(row["pq_code"]) == 4
     assert all(0 <= c < 16 for c in row["pq_code"])
