@@ -494,3 +494,27 @@ class RandomizedSearchCV(GridSearchCV):
 
     def _candidates(self):
         return list(ParameterSampler(self.param_distributions, self.n_iter, self.random_state))
+
+
+class GroupKFold(HashKFold):
+    """sklearn-parity group-aware k folds: every row of a group lands
+    in the SAME fold, so no group leaks across a train/test boundary.
+    Exactly HashKFold keyed on the group column (the content-hash fold
+    id is a pure function of the group value — partitioning-, retry-,
+    and engine-stable), named for users arriving from sklearn, where
+    dask-ml ships no group-aware splitter at all."""
+
+    def __init__(self, n_splits: int = 5, group_col: str = "group",
+                 salt: int = 0):
+        super().__init__(n_splits=n_splits, key_cols=group_col, salt=salt)
+        self.group_col = group_col
+
+
+def group_shuffle_split(df: DataFrame, group_col: str,
+                        test_size: float = 0.25, salt: int = 0):
+    """sklearn GroupShuffleSplit analog, one split: the group's
+    content hash decides the side, so all rows of a group land
+    together and the split replays identically anywhere. Returns
+    (train_df, test_df)."""
+    return hash_split(df, key_cols=group_col, test_size=test_size,
+                      salt=salt)

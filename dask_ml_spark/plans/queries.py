@@ -3275,6 +3275,7 @@ def build_catalog():
         "pq_ann_topk": q_pq_ann_topk,
         "bloom_decontam_scores": q_bloom_decontam_scores,
         "domain_pagerank": q_domain_pagerank,
+        "group_kfold_assignment": q_group_kfold_assignment,
         "perplexity_bucket_sample": q_perplexity_bucket_sample,
         "quality_classifier_scores": q_quality_classifier_scores,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -3452,6 +3453,7 @@ def build_catalog():
         "pq_ann_topk": SQL_PQ_ANN_TOPK,
         "bloom_decontam_scores": SQL_CONTAMINATION_SCORES,
         "domain_pagerank": _sql_domain_pagerank(),
+        "group_kfold_assignment": SQL_GROUP_KFOLD_ASSIGNMENT,
         "perplexity_bucket_sample":
             _sql_perplexity_bucket_sample(SQL_BIGRAM_LOGPROB),
         "quality_classifier_scores": _sql_quality_classifier_scores(),
@@ -4482,6 +4484,38 @@ def q_contamination_scores(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") >= 20)
     eval_set = docs.where(F.col("doc_id") < 20)
     return contamination_scores(corpus, eval_set, shingle_n=3)
+
+
+def q_group_kfold_assignment(spark, sf_dir):
+    """Group-aware CV folds (GroupKFold, sklearn-parity — dask-ml has
+    no group splitter): every document of a source lands in ONE fold,
+    so no group straddles a train/test boundary. The oracle replays
+    the engine-portable md5-fold + Knuth-bucket fold id, verifying the
+    ASSIGNMENT, and count(distinct source) summing to the total source
+    count across folds is the no-leakage proof."""
+    from dask_ml_spark.plans.model_selection import GroupKFold
+
+    docs = _t(spark, sf_dir, "documents")
+    gk = GroupKFold(n_splits=5, group_col="source")
+    wf = gk.fold_column(docs)
+    return (wf.groupBy(F.col("__fold").cast("long").alias("fold"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("source").alias("n_sources")))
+
+
+SQL_GROUP_KFOLD_ASSIGNMENT = """
+WITH keyed AS (
+    SELECT source,
+           ('0x' || substr(md5(source), 1, 14))::BIGINT AS key
+    FROM documents
+)
+SELECT ((((key % 2147483648) * 2654435761) % 2147483648) % 10000) % 5
+           AS fold,
+       count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources
+FROM keyed
+GROUP BY 1
+"""
 
 
 def q_domain_pagerank(spark, sf_dir):

@@ -327,3 +327,27 @@ def test_grid_search_with_hash_kfold_prunes_but_keeps_keys(spark, lineitem):
     # weaker ridge (larger C) must fit at least as well in-sample terms;
     # here both are far from degenerate and distinct
     assert abs(scores[0] - scores[1]) > 1e-9
+
+
+def test_group_kfold_no_leakage(spark, documents):
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.plans.model_selection import (GroupKFold,
+                                                     group_shuffle_split)
+
+    gk = GroupKFold(n_splits=4, group_col="source")
+    for train, test in gk.split(documents):
+        tr = {r["source"] for r in train.select("source").distinct().collect()}
+        te = {r["source"] for r in test.select("source").distinct().collect()}
+        assert not (tr & te)  # no group straddles the boundary
+
+    train, test = group_shuffle_split(documents, "source", test_size=0.3)
+    tr = {r["source"] for r in train.select("source").distinct().collect()}
+    te = {r["source"] for r in test.select("source").distinct().collect()}
+    assert not (tr & te)
+    assert train.count() + test.count() == documents.count()
+    # content-deterministic: repartitioning does not move any row
+    t2, _ = group_shuffle_split(documents.repartition(7), "source",
+                                test_size=0.3)
+    assert sorted(r["doc_id"] for r in t2.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in train.select("doc_id").collect())
