@@ -121,6 +121,7 @@ HEADLINE = [
     # model-selection planner coverage (SURVEY §2.6 — the reference's
     # biggest subsystem): cached-fold grid search + executor-trained
     # Hyperband, so a planner regression shows up in the bench
+    "group_kfold_assignment",
     "grid_search_best",
     "hyperband_best",
     # distributed prefix-sum machinery (rank-sum AUC over score groups)
