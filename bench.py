@@ -114,6 +114,7 @@ HEADLINE = [
     "group_quality_topk",
     "lsh_ann_topk",
     "pq_ann_topk",
+    "ivfpq_ann_topk",
     "repetition_scores",
     "unigram_logprob",
     "bigram_logprob",

@@ -459,3 +459,132 @@ class PQIndex:
                                                     F.asc(self.id_col))
         return out.withColumn("rank", F.row_number().over(w)).where(
             F.col("rank") <= topk)
+
+
+class IVFPQIndex:
+    """IVF-PQ — the production ANN layout (Jegou 2011 §IV): a coarse
+    quantizer routes vectors into inverted lists, and PQ encodes each
+    vector's RESIDUAL (x - centroid) so the codebooks only span the
+    within-list spread, where distance structure is sharpest. Search
+    probes n_probe lists per query and ADC-scores against the QUERY
+    RESIDUAL per probed list.
+
+    Spark shape: encode = bucket argmin + residual (element-wise
+    subtraction against a literal centroid table indexed by bucket) +
+    PQ codes — one narrow JVM projection; the coded table can be
+    written partitioned-by-bucket so probes prune at scan time.
+    Search = one pass over the coded table exploding per-(query, list)
+    score structs, filtered to bucket == probed list; all distance
+    tables are literals, no join.
+    """
+
+    def __init__(self, n_lists: int = 8, m: int = 4, k: int = 16,
+                 n_probe: int = 2, vec_col: str = "embedding",
+                 id_col: str = "vec_id", seed: int = 42):
+        self.n_lists = n_lists
+        self.m = m
+        self.k = k
+        self.n_probe = n_probe
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.seed = seed
+
+    def fit(self, df: DataFrame, sample_rows: int = 100_000) -> "IVFPQIndex":
+        """Coarse k-means, then PQ codebooks on the sample's residuals
+        (both driver-side numpy on a bounded sample; the corpus-scale
+        work stays in Spark)."""
+        ivf = IVFIndex(n_lists=self.n_lists, vec_col=self.vec_col,
+                       id_col=self.id_col, seed=self.seed)
+        ivf.fit(df, sample_rows=sample_rows)
+        self.centroids_ = np.asarray(ivf.centroids_, dtype="float64")
+        sample = np.asarray(
+            [r[0] for r in df.select(self.vec_col)
+             .orderBy(F.rand(self.seed)).limit(sample_rows).collect()],
+            dtype="float64")
+        d = ((sample[:, None, :] - self.centroids_[None]) ** 2).sum(axis=2)
+        residuals = sample - self.centroids_[d.argmin(axis=1)]
+        # PQ's per-subspace k-means trainer, run on the residual matrix
+        sub = residuals.shape[1] // self.m
+        rng = np.random.RandomState(self.seed)
+        books = []
+        for s in range(self.m):
+            block = residuals[:, s * sub:(s + 1) * sub]
+            kk = min(self.k, len(block))
+            cent = block[rng.choice(len(block), size=kk, replace=False)]
+            for _ in range(20):
+                dist = ((block[:, None, :] - cent[None]) ** 2).sum(axis=2)
+                a = dist.argmin(axis=1)
+                new = np.stack([block[a == j].mean(axis=0) if (a == j).any()
+                                else cent[j] for j in range(kk)])
+                if np.allclose(new, cent):
+                    break
+                cent = new
+            books.append(cent)
+        self.codebooks_ = books
+        return self
+
+    def _bucket_expr(self, vec_col):
+        ds = []
+        for ci, c in enumerate(self.centroids_):
+            lit = F.array(*[F.lit(float(v)) for v in c])
+            d = F.aggregate(
+                F.zip_with(vec_col, lit,
+                           lambda x, y: (x.cast("double") - y)
+                           * (x.cast("double") - y)),
+                F.lit(0.0), lambda a, x: a + x)
+            ds.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
+        return F.element_at(F.array_sort(F.array(*ds)), 1)["c"]
+
+    def encode(self, df: DataFrame, bucket_col: str = "bucket",
+               code_col: str = "pq_code") -> DataFrame:
+        from dask_ml_spark.utils import ensure_min_partitions
+
+        cent_lit = F.array(*[
+            F.array(*[F.lit(float(v)) for v in c]) for c in self.centroids_])
+        out = (ensure_min_partitions(df)
+               .withColumn(bucket_col, self._bucket_expr(F.col(self.vec_col)))
+               .withColumn("__resid", F.zip_with(
+                   F.col(self.vec_col),
+                   F.element_at(cent_lit, F.col(bucket_col) + 1),
+                   lambda x, y: x.cast("double") - y)))
+        pq = PQIndex(m=self.m, k=self.k, vec_col="__resid",
+                     id_col=self.id_col)
+        pq.codebooks_ = self.codebooks_
+        return pq.encode(out, code_col=code_col).drop("__resid")
+
+    def search(self, df: DataFrame, queries, topk: int = 10,
+               query_id_col: str = "query_id",
+               bucket_col: str = "bucket",
+               code_col: str = "pq_code") -> DataFrame:
+        if isinstance(queries, DataFrame):
+            queries = [(r[query_id_col],
+                        np.asarray(r[self.vec_col], dtype="float64"))
+                       for r in queries.collect()]
+        coded = (df if code_col in df.columns
+                 else self.encode(df, bucket_col, code_col))
+        sub = self.centroids_.shape[1] // self.m
+        entries = []
+        for qid, qvec in queries:
+            cd = ((self.centroids_ - qvec[None]) ** 2).sum(axis=1)
+            for lst in np.argsort(cd, kind="stable")[:self.n_probe]:
+                resid = qvec - self.centroids_[lst]
+                score = F.lit(0.0)
+                for s, book in enumerate(self.codebooks_):
+                    qs = resid[s * sub:(s + 1) * sub]
+                    table = ((np.asarray(book) - qs[None]) ** 2).sum(axis=1)
+                    lit = F.array(*[F.lit(float(v)) for v in table])
+                    score = score + F.element_at(
+                        lit, F.element_at(F.col(code_col), s + 1) + 1)
+                entries.append(F.struct(
+                    F.lit(qid).alias("qid"),
+                    F.lit(int(lst)).alias("lst"), score.alias("score")))
+        out = (coded.select(self.id_col, bucket_col,
+                            F.explode(F.array(*entries)).alias("__q"))
+               .where((F.col("__q.lst") == F.col(bucket_col))
+                      & (F.col("__q.qid") != F.col(self.id_col)))
+               .select(F.col("__q.qid").alias(query_id_col),
+                       self.id_col, F.col("__q.score").alias("score")))
+        w = Window.partitionBy(query_id_col).orderBy(F.asc("score"),
+                                                    F.asc(self.id_col))
+        return out.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= topk)

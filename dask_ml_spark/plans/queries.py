@@ -2701,6 +2701,100 @@ SELECT query_id, vec_id, rank FROM (
 """
 
 
+def q_ivfpq_ann_topk(spark, sf_dir):
+    """IVF-PQ with PINNED state (coarse centroids = embeddings 0..7,
+    residual codewords = subvectors of embeddings 8..23): vectors route
+    to inverted lists, PQ encodes the residual against the list
+    centroid, and each query ADC-scores its 2 probed lists against the
+    QUERY residual — the production ANN layout, with assignment,
+    residual encoding, probing, and scoring all replayed in SQL."""
+    import numpy as np
+
+    from dask_ml_spark.datapipe.similarity import IVFPQIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = IVFPQIndex(n_lists=8, m=4, k=16, n_probe=2)
+    cents = np.asarray(
+        [list(r[0]) for r in emb.where(F.col("vec_id") < 8)
+         .orderBy("vec_id").select("embedding").collect()], dtype="float64")
+    words = np.asarray(
+        [list(r[0]) for r in
+         emb.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 24))
+         .orderBy("vec_id").select("embedding").collect()], dtype="float64")
+    idx.centroids_ = cents
+    idx.codebooks_ = [words[:, s * 16:(s + 1) * 16] for s in range(4)]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = idx.search(emb, queries, topk=10)
+    return out.select("query_id", "vec_id",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+SQL_IVFPQ_ANN_TOPK = """
+WITH ss AS (SELECT unnest(range(0, 4)) AS s),
+cent AS (
+    SELECT vec_id AS c, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+cw AS (
+    SELECT ss.s, e.vec_id - 8 AS j,
+           (e.embedding[ss.s*16+1 : ss.s*16+16])::DOUBLE[] AS wvec
+    FROM embeddings e CROSS JOIN ss
+    WHERE e.vec_id >= 8 AND e.vec_id < 24
+),
+assign AS (
+    SELECT e.vec_id, e.embedding,
+           (SELECT c FROM cent
+            ORDER BY list_distance(e.embedding::DOUBLE[],
+                                   cent.cvec::DOUBLE[]) ASC, c ASC
+            LIMIT 1) AS bucket
+    FROM embeddings e
+),
+resid AS (
+    SELECT a.vec_id, a.bucket,
+           list_transform(range(1, 65),
+                          i -> a.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+               AS r
+    FROM assign a JOIN cent c ON a.bucket = c.c
+),
+codes AS (
+    SELECT r.vec_id, r.bucket, ss.s,
+           (SELECT j FROM cw WHERE cw.s = ss.s
+            ORDER BY list_distance(
+                (r.r[ss.s*16+1 : ss.s*16+16])::DOUBLE[], cw.wvec) ASC, j ASC
+            LIMIT 1) AS j
+    FROM resid r CROSS JOIN ss
+),
+qprobe AS (
+    SELECT query_id, embedding, lst, cvec FROM (
+        SELECT q.vec_id AS query_id, q.embedding, cent.c AS lst, cent.cvec,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.embedding::DOUBLE[],
+                                          cent.cvec::DOUBLE[]) ASC,
+                            cent.c ASC) AS pr
+        FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 5
+    ) WHERE pr <= 2
+),
+scored AS (
+    SELECT qp.query_id, codes.vec_id,
+           sum(pow(list_distance(
+               (list_transform(range(1, 65),
+                    i -> qp.embedding[i]::DOUBLE - qp.cvec[i]::DOUBLE)
+                )[codes.s*16+1 : codes.s*16+16],
+               cw.wvec), 2)) AS score
+    FROM qprobe qp
+    JOIN codes ON codes.bucket = qp.lst AND codes.vec_id <> qp.query_id
+    JOIN cw ON cw.s = codes.s AND cw.j = codes.j
+    GROUP BY 1, 2
+)
+SELECT query_id, vec_id, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score ASC, vec_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
+
+
 def q_corpus_diff(spark, sf_dir):
     """Release-to-release diff: a v2 corpus is derived deterministically
     (every 7th doc dropped, every 5th edited) and diffed against v1 by
@@ -3273,6 +3367,7 @@ def build_catalog():
         "corpus_manifest": q_corpus_manifest,
         "corpus_diff": q_corpus_diff,
         "pq_ann_topk": q_pq_ann_topk,
+        "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "bloom_decontam_scores": q_bloom_decontam_scores,
         "domain_pagerank": q_domain_pagerank,
         "group_kfold_assignment": q_group_kfold_assignment,
@@ -3451,6 +3546,7 @@ def build_catalog():
         "corpus_manifest": SQL_CORPUS_MANIFEST,
         "corpus_diff": SQL_CORPUS_DIFF,
         "pq_ann_topk": SQL_PQ_ANN_TOPK,
+        "ivfpq_ann_topk": SQL_IVFPQ_ANN_TOPK,
         "bloom_decontam_scores": SQL_CONTAMINATION_SCORES,
         "domain_pagerank": _sql_domain_pagerank(),
         "group_kfold_assignment": SQL_GROUP_KFOLD_ASSIGNMENT,

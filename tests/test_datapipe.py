@@ -1617,3 +1617,46 @@ def test_pagerank_properties(spark):
         r = nr
     for x in nodes:
         assert abs(ranks[x] - r[x]) < 1e-9
+
+
+def test_ivfpq_matches_numpy_reference(spark, embeddings):
+    import numpy as np
+
+    from dask_ml_spark.datapipe.similarity import IVFPQIndex
+
+    idx = IVFPQIndex(n_lists=8, m=4, k=16, n_probe=2).fit(embeddings)
+    got = idx.search(embeddings,
+                     embeddings.where(F.col("vec_id") < 3).select(
+                         F.col("vec_id").alias("query_id"), "embedding"),
+                     topk=10)
+    g = {(r["query_id"], r["vec_id"], r["rank"]) for r in got.collect()}
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows], dtype="float64")
+    C = idx.centroids_
+    buckets = ((X[:, None, :] - C[None]) ** 2).sum(2).argmin(1)
+    resid = X - C[buckets]
+    sub = 16
+    codes = np.stack([
+        ((resid[:, None, s * sub:(s + 1) * sub]
+          - np.asarray(idx.codebooks_[s])[None]) ** 2).sum(2).argmin(1)
+        for s in range(4)], axis=1)
+    ref = set()
+    for qid in range(3):
+        q = X[ids == qid][0]
+        probes = np.argsort(((C - q[None]) ** 2).sum(1), kind="stable")[:2]
+        cand = []
+        for lst in probes:
+            qr = q - C[lst]
+            tables = [((np.asarray(idx.codebooks_[s])
+                        - qr[s * sub:(s + 1) * sub]) ** 2).sum(1)
+                      for s in range(4)]
+            for i in np.where(buckets == lst)[0]:
+                if ids[i] == qid:
+                    continue
+                cand.append((sum(tables[s][codes[i, s]] for s in range(4)),
+                             int(ids[i])))
+        for rank, (_, vid) in enumerate(sorted(cand)[:10], 1):
+            ref.add((qid, vid, rank))
+    assert g == ref
