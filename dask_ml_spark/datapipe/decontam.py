@@ -100,7 +100,10 @@ def contamination_scores_bloom(docs: DataFrame, eval_docs: DataFrame,
         .select(F.explode(shingles_from_tokens(F.col("__toks"), shingle_n))
                 .alias("shingle"))
         .distinct()
-        .persist()
+        # localCheckpoint, not persist: a persist inside a library call
+        # leaks executor storage for the session (the ContextCleaner
+        # reclaims checkpoints once unreferenced)
+        .localCheckpoint()
     )
     n_items = max(eval_sh.count(), 1)
     m = max(64, n_items * bits_per_item)
@@ -121,21 +124,28 @@ def contamination_scores_bloom(docs: DataFrame, eval_docs: DataFrame,
         .select(F.col(id_col),
                 F.explode(shingles_from_tokens(F.col("__toks"), shingle_n))
                 .alias("shingle"))
-        .persist()
+        .localCheckpoint()
     )
     sizes = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    # the membership test as one generated SQL expression: shiftleft's
-    # shift argument must be a column here, which the Python helper
-    # does not accept
-    words_sql = "array(" + ", ".join(
-        f"{w - (1 << 64) if w >= (1 << 63) else w}L" for w in words) + ")"
+    # the membership test references the two hashes and the bitmap
+    # through named columns, so each appears ONCE in the plan (inlining
+    # the literal array per hash test would multiply it n_hashes times
+    # and recompute every xxhash64 4x); shiftleft needs a column shift,
+    # which only the SQL form accepts
+    bitmap = F.array(*[F.lit(w - (1 << 64) if w >= (1 << 63) else w)
+                       .cast("long") for w in words])
+    probed = (doc_sh
+              .withColumn("__bm", bitmap)
+              .withColumn("__h1", F.xxhash64("shingle"))
+              .withColumn("__h2", F.xxhash64("shingle", F.lit(1))))
     tests = []
     for i in range(n_hashes):
-        bit = (f"pmod(xxhash64(shingle) + {i}L * xxhash64(shingle, 1), {m}L)")
+        bit = f"pmod(__h1 + {i}L * __h2, {m}L)"
         tests.append(
-            f"(element_at({words_sql}, cast({bit} div 64 as int) + 1) & "
+            f"(element_at(__bm, cast({bit} div 64 as int) + 1) & "
             f"shiftleft(1L, cast(pmod({bit}, 64) as int))) != 0")
-    candidates = doc_sh.where(F.expr(" AND ".join(tests)))
+    candidates = (probed.where(F.expr(" AND ".join(tests)))
+                  .drop("__bm", "__h1", "__h2"))
     overlap = (candidates.join(F.broadcast(eval_sh), "shingle")
                .groupBy(id_col).agg(F.count("*").alias("n_overlap")))
     return (

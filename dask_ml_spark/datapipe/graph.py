@@ -20,8 +20,7 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
-             weight_col: str | None = None,
-             checkpoint_every: int = 5) -> DataFrame:
+             weight_col: str | None = None) -> DataFrame:
     """Weighted PageRank. Returns (node, rank) with Σ rank = 1.
 
     ``edges`` is a directed edge list; parallel edges sum their
@@ -41,14 +40,21 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     norm = (e.join(deg, "src")
             .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
             .localCheckpoint())
+    # the dangling-node SET is static — computed once, not per iteration
+    dangling_nodes = (nodes.join(norm.select(F.col("src").alias("node")),
+                                 "node", "left_anti").localCheckpoint())
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     for i in range(iters):
+        # checkpoint the (#nodes-row, tiny) rank table every iteration:
+        # it feeds BOTH the contribution join and the dangling-mass
+        # aggregate, and without the cut the plan would double per
+        # iteration; materializing #nodes rows is cheap
+        ranks = ranks.localCheckpoint()
         contrib = (norm.join(ranks, norm.src == ranks.node)
                    .groupBy("dst")
                    .agg(F.sum(F.col("p") * F.col("rank")).alias("c")))
-        # dangling mass: rank sitting on nodes with no out-edges
-        dangling = (ranks.join(deg, ranks.node == deg.src, "left_anti")
+        dangling = (ranks.join(dangling_nodes, "node", "left_semi")
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
                          .alias("dm")))
         ranks = (nodes.join(contrib, nodes.node == contrib.dst, "left")
@@ -58,6 +64,4 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
                           + F.lit(damping)
                           * (F.coalesce(F.col("c"), F.lit(0.0))
                              + F.col("dm") / n)).alias("rank")))
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint()
     return ranks

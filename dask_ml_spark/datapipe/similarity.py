@@ -332,6 +332,68 @@ def ranking_metrics(pred: DataFrame, truth: DataFrame, k: int = 10,
             ))
 
 
+def _kmeans_codebook(block, k, rng, iters=20):
+    """One driver-side k-means run over a sample matrix (the shared
+    trainer for PQ subspaces, residual codebooks, and coarse lists)."""
+    k = min(k, len(block))
+    cent = block[rng.choice(len(block), size=k, replace=False)]
+    for _ in range(iters):
+        dist = ((block[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = dist.argmin(axis=1)
+        new = np.stack([
+            block[assign == j].mean(axis=0) if (assign == j).any()
+            else cent[j] for j in range(k)])
+        if np.allclose(new, cent):
+            break
+        cent = new
+    return cent
+
+
+def _train_pq_codebooks(matrix, m, k, seed):
+    """Per-subspace codebooks over a sample matrix; validates d % m."""
+    d = matrix.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    return [_kmeans_codebook(matrix[:, s * sub:(s + 1) * sub], k, rng)
+            for s in range(m)]
+
+
+def _ids_comparable(qid, df, id_col) -> bool:
+    """Whether a query id literal can ever equal the corpus id column.
+    Comparing incompatible kinds (string qid vs bigint ids) would cast
+    to NULL under non-ANSI semantics and silently filter EVERY row, so
+    the self-exclusion predicate must be skipped instead."""
+    from pyspark.sql import types as T
+
+    dtype = df.schema[id_col].dataType
+    if isinstance(qid, bool):
+        return isinstance(dtype, T.BooleanType)
+    if isinstance(qid, (int, float)):
+        return isinstance(dtype, T.NumericType)
+    if isinstance(qid, str):
+        return isinstance(dtype, T.StringType)
+    return True
+
+
+def _skew_safe_topk(scored, query_id_col, id_col, topk):
+    """Two-stage top-k: a per-(query, physical-partition) partial rank
+    prunes to <= topk rows per partition BEFORE the global per-query
+    rank, so no single window partition ever holds the full corpus
+    (the hot-group window trap — each query's global partition would
+    otherwise shuffle+sort N rows through one task)."""
+    part = scored.withColumn("__part", F.spark_partition_id())
+    wl = Window.partitionBy(query_id_col, "__part").orderBy(
+        F.asc("score"), F.asc(id_col))
+    pruned = (part.withColumn("__lr", F.row_number().over(wl))
+              .where(F.col("__lr") <= topk).drop("__lr", "__part"))
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("score"),
+                                                 F.asc(id_col))
+    return pruned.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= topk)
+
+
 class PQIndex:
     """Product quantization (Jegou et al. 2011, "Product Quantization
     for Nearest Neighbor Search") — the memory lever past int8: d
@@ -372,27 +434,8 @@ class PQIndex:
             [r[0] for r in df.select(self.vec_col)
              .orderBy(F.rand(self.seed)).limit(sample_rows).collect()],
             dtype="float64")
-        d = sample.shape[1]
-        if d % self.m:
-            raise ValueError(f"dim {d} not divisible by m={self.m}")
-        sub = d // self.m
-        rng = np.random.RandomState(self.seed)
-        books = []
-        for s in range(self.m):
-            block = sample[:, s * sub:(s + 1) * sub]
-            k = min(self.k, len(block))
-            cent = block[rng.choice(len(block), size=k, replace=False)]
-            for _ in range(20):
-                dist = ((block[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-                assign = dist.argmin(axis=1)
-                new = np.stack([
-                    block[assign == j].mean(axis=0) if (assign == j).any()
-                    else cent[j] for j in range(k)])
-                if np.allclose(new, cent):
-                    break
-                cent = new
-            books.append(cent)
-        self.codebooks_ = books
+        self.codebooks_ = _train_pq_codebooks(sample, self.m, self.k,
+                                              self.seed)
         return self
 
     def _sub(self, vec_col, s: int):
@@ -454,11 +497,9 @@ class PQIndex:
                             F.explode(F.array(*entries)).alias("__q"))
                .select(F.col("__q.qid").alias(query_id_col),
                        self.id_col, F.col("__q.score").alias("score")))
-        out = out.where(F.col(query_id_col) != F.col(self.id_col))
-        w = Window.partitionBy(query_id_col).orderBy(F.asc("score"),
-                                                    F.asc(self.id_col))
-        return out.withColumn("rank", F.row_number().over(w)).where(
-            F.col("rank") <= topk)
+        if all(_ids_comparable(qid, df, self.id_col) for qid, _ in queries):
+            out = out.where(F.col(query_id_col) != F.col(self.id_col))
+        return _skew_safe_topk(out, query_id_col, self.id_col, topk)
 
 
 class IVFPQIndex:
@@ -490,37 +531,20 @@ class IVFPQIndex:
         self.seed = seed
 
     def fit(self, df: DataFrame, sample_rows: int = 100_000) -> "IVFPQIndex":
-        """Coarse k-means, then PQ codebooks on the sample's residuals
-        (both driver-side numpy on a bounded sample; the corpus-scale
-        work stays in Spark)."""
-        ivf = IVFIndex(n_lists=self.n_lists, vec_col=self.vec_col,
-                       id_col=self.id_col, seed=self.seed)
-        ivf.fit(df, sample_rows=sample_rows)
-        self.centroids_ = np.asarray(ivf.centroids_, dtype="float64")
+        """ONE corpus sample trains both stages (driver-side numpy on a
+        bounded sample; the corpus-scale work stays in Spark): coarse
+        k-means for the lists, then the shared per-subspace trainer on
+        the sample's residuals."""
         sample = np.asarray(
             [r[0] for r in df.select(self.vec_col)
              .orderBy(F.rand(self.seed)).limit(sample_rows).collect()],
             dtype="float64")
+        rng = np.random.RandomState(self.seed)
+        self.centroids_ = _kmeans_codebook(sample, self.n_lists, rng)
         d = ((sample[:, None, :] - self.centroids_[None]) ** 2).sum(axis=2)
         residuals = sample - self.centroids_[d.argmin(axis=1)]
-        # PQ's per-subspace k-means trainer, run on the residual matrix
-        sub = residuals.shape[1] // self.m
-        rng = np.random.RandomState(self.seed)
-        books = []
-        for s in range(self.m):
-            block = residuals[:, s * sub:(s + 1) * sub]
-            kk = min(self.k, len(block))
-            cent = block[rng.choice(len(block), size=kk, replace=False)]
-            for _ in range(20):
-                dist = ((block[:, None, :] - cent[None]) ** 2).sum(axis=2)
-                a = dist.argmin(axis=1)
-                new = np.stack([block[a == j].mean(axis=0) if (a == j).any()
-                                else cent[j] for j in range(kk)])
-                if np.allclose(new, cent):
-                    break
-                cent = new
-            books.append(cent)
-        self.codebooks_ = books
+        self.codebooks_ = _train_pq_codebooks(residuals, self.m, self.k,
+                                              self.seed)
         return self
 
     def _bucket_expr(self, vec_col):
@@ -580,11 +604,9 @@ class IVFPQIndex:
                     F.lit(int(lst)).alias("lst"), score.alias("score")))
         out = (coded.select(self.id_col, bucket_col,
                             F.explode(F.array(*entries)).alias("__q"))
-               .where((F.col("__q.lst") == F.col(bucket_col))
-                      & (F.col("__q.qid") != F.col(self.id_col)))
-               .select(F.col("__q.qid").alias(query_id_col),
-                       self.id_col, F.col("__q.score").alias("score")))
-        w = Window.partitionBy(query_id_col).orderBy(F.asc("score"),
-                                                    F.asc(self.id_col))
-        return out.withColumn("rank", F.row_number().over(w)).where(
-            F.col("rank") <= topk)
+               .where(F.col("__q.lst") == F.col(bucket_col)))
+        if all(_ids_comparable(qid, df, self.id_col) for qid, _ in queries):
+            out = out.where(F.col("__q.qid") != F.col(self.id_col))
+        out = out.select(F.col("__q.qid").alias(query_id_col),
+                         self.id_col, F.col("__q.score").alias("score"))
+        return _skew_safe_topk(out, query_id_col, self.id_col, topk)

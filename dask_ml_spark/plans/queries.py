@@ -4672,11 +4672,13 @@ r{k} AS (
 
 def q_bloom_decontam_scores(spark, sf_dir):
     """The Bloom-prefiltered rendering of contamination_scores: eval
-    shingles fold into one bloom_filter_agg sketch, definite-negative
-    corpus shingles drop at scan speed via might_contain, and only the
-    survivors hit the exact verify join. Output is BYTE-IDENTICAL to
-    the exact path by construction (false positives just do extra
-    exact work), so this query shares the exact oracle verbatim."""
+    shingles fold into an expression-built Bloom bitmap (xxhash64
+    double hashing, the bitmap a literal long array referenced once
+    through a named column), definite-negative corpus shingles drop at
+    scan speed, and only the survivors hit the exact verify join.
+    Output is BYTE-IDENTICAL to the exact path by construction (false
+    positives just do extra exact work), so this query shares the
+    exact oracle verbatim."""
     from dask_ml_spark.datapipe.decontam import contamination_scores_bloom
 
     docs = _t(spark, sf_dir, "documents")

@@ -356,12 +356,16 @@ def assert_scalable(df: DataFrame, *, allow_cartesian: bool = False,
     user pipelines (call it on a DataFrame in CI before the job ships).
 
     Checks, each individually waivable:
-    - CartesianProduct — O(N·M) pairs; only ever acceptable as an
-      explicitly-chosen brute-force baseline.
+    - CartesianProduct — O(N·M) pairs of two LARGE sides; only ever
+      acceptable as an explicitly-chosen brute-force baseline.
     - BatchEvalPython — a ROW-AT-A-TIME Python UDF in the plan (Arrow
       / pandas UDFs show up as ArrowEvalPython and are not flagged).
-    - BroadcastNestedLoopJoin — a non-equi join Spark could not hash;
-      usually a missed equi-key or an accidental cross join.
+    - BroadcastNestedLoopJoin WITH a join condition — a non-equi join
+      Spark could not hash; usually a missed equi-key or an unbucketed
+      range. A condition-free Cross BNLJ is NOT flagged: Spark only
+      plans it when one side fits the broadcast threshold, which is
+      the scalar-aggregate crossJoin pattern (1-row stats broadcasts)
+      this library itself uses — bounded by construction.
 
     Returns the DataFrame unchanged so it chains:
         assert_scalable(build_pipeline(...)).write.parquet(...)
@@ -373,9 +377,13 @@ def assert_scalable(df: DataFrame, *, allow_cartesian: bool = False,
     if not allow_row_python and "BatchEvalPython" in plan:
         problems.append("BatchEvalPython (row-at-a-time Python UDF; "
                         "use an Arrow pandas_udf)")
-    if not allow_broadcast_nested_loop and "BroadcastNestedLoopJoin" in plan:
-        problems.append("BroadcastNestedLoopJoin (non-equi join; "
-                        "add an equi key or bucket the range)")
+    if not allow_broadcast_nested_loop:
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line and ", Cross" not in line:
+                problems.append(
+                    "BroadcastNestedLoopJoin with a join condition "
+                    "(non-equi join; add an equi key or bucket the range)")
+                break
     if problems:
         raise ScalabilityError(
             "plan contains scale-killer shapes: " + "; ".join(problems)

@@ -249,13 +249,19 @@ def test_assert_scalable_flags_and_waives(spark):
     ok = a.join(b, a.id == b.id2)
     assert assert_scalable(ok) is ok
 
-    # cross join flagged (CartesianProduct, or BroadcastNestedLoopJoin
-    # when one side is small enough to broadcast), waivable
-    cross = a.crossJoin(b)
-    with _pytest.raises(ScalabilityError, match="scale-killer"):
-        assert_scalable(cross)
-    assert_scalable(cross, allow_cartesian=True,
-                    allow_broadcast_nested_loop=True)
+    # a broadcastable Cross BNLJ is the bounded scalar-stats pattern
+    # and passes; a genuine big-big cartesian (broadcast disabled)
+    # plans CartesianProduct and is flagged
+    assert_scalable(a.crossJoin(b.agg(F.count("*").alias("n"))))
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cross = a.crossJoin(b)
+        with _pytest.raises(ScalabilityError, match="CartesianProduct"):
+            assert_scalable(cross)
+        assert_scalable(cross, allow_cartesian=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
     # row-at-a-time Python UDF flagged; Arrow pandas UDF is fine
     slow = F.udf(lambda x: x + 1, "long")
@@ -276,3 +282,14 @@ def test_assert_scalable_flags_and_waives(spark):
     noneq = a.join(b, a.id < b.id2)
     with _pytest.raises(ScalabilityError, match="BroadcastNestedLoopJoin"):
         assert_scalable(noneq)
+
+
+def test_assert_scalable_accepts_library_pipelines(spark):
+    # the lint must not flag the library's own scalar-broadcast
+    # patterns — pagerank crossJoins a 1-row dangling-mass aggregate
+    from dask_ml_spark.datapipe.graph import pagerank
+    from dask_ml_spark.utils import assert_scalable
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"])
+    assert_scalable(pagerank(edges, iters=2))
