@@ -77,6 +77,7 @@ HEADLINE = [
     "corpus_diff",
     "perplexity_bucket_sample",
     "boilerplate_removal",
+    "repeated_span_removal",
     "shuffle_shards",
     "normalized_text_hash",
     "outlink_domain_profile",

@@ -211,6 +211,99 @@ def remove_boilerplate(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def remove_repeated_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", span_tokens: int = 5,
+                          min_occurrences: int = 2,
+                          keep_first: bool = True) -> DataFrame:
+    """Corpus-wide repeated-SPAN removal — the token-window
+    approximation of exact-substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better";
+    reference has no analog — line/paragraph ops stop at structural
+    boundaries, this catches verbatim reuse ANYWHERE in the stream).
+
+    Every ``span_tokens``-token window (stride 1) is hashed; a window
+    whose hash occurs >= ``min_occurrences`` times corpus-wide (across
+    OR within documents) is a repeated span. With ``keep_first`` the
+    lexicographically first occurrence (min (id, pos)) of each span
+    survives and every other copy's token range is removed; with
+    ``keep_first=False`` every copy is removed (the boilerplate rule).
+    Overlapping removed windows merge naturally — their covered token
+    index sets union — so a repeated region of length L >= span_tokens
+    disappears wholesale, not window-by-window.
+
+    Shape at 100 TB: window hashing is a narrow per-row transform
+    (~|tokens| rows, one 16-byte hash each); the occurrence count and
+    first-occurrence min are ONE shuffle on the uniform hash with
+    map-side partial aggregation (min(struct) — no per-hash window, so
+    a nav-bar span repeated 10^6 times costs partial-aggregate merges,
+    not a single-task sort); the join back fans out linearly in
+    occurrence count; coverage explode multiplies only DUPLICATED
+    windows by span_tokens; the final (id, idx) anti-mark join and
+    groupBy(id) reassembly are uniform-key shuffles. No self-join,
+    no N².
+
+    Tokens are ``tokens_expr`` tokens (the datapipe-wide convention),
+    so the output ``text`` is the cleaned token stream, space-joined —
+    what packing/mixture stages consume downstream.
+
+    Output: (id, text, n_tokens, n_kept).
+    """
+    t = F.col("__toks")
+    base = (ensure_min_partitions(df)
+            .select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")))
+    # 1-based window start positions; guarded so sequence() never sees
+    # start > stop (Spark would count DOWN, not return empty)
+    starts = F.when(
+        F.size(t) >= span_tokens,
+        F.sequence(F.lit(1), F.size(t) - span_tokens + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = (base.select(
+        F.col(id_col),
+        F.explode(F.transform(starts, lambda p: F.struct(
+            (p - 1).alias("pos"),
+            F.md5(F.array_join(F.slice(t, p, span_tokens), " ")).alias("h"))))
+        .alias("__w"))
+        .select(F.col(id_col), F.col("__w.pos").alias("pos"),
+                F.col("__w.h").alias("h"))
+        # consumed twice (occurrence agg + join back); localCheckpoint,
+        # not persist, so the ContextCleaner reclaims the blocks
+        .localCheckpoint())
+    dup = (wins.groupBy("h")
+           .agg(F.count("*").alias("__occ"),
+                F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"))
+           .where(F.col("__occ") >= min_occurrences))
+    marked = wins.join(dup, "h")
+    if keep_first:
+        marked = marked.where(~(
+            (F.col(id_col) == F.col(f"__first.{id_col}"))
+            & (F.col("pos") == F.col("__first.pos"))))
+    covered = (marked.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + span_tokens - 1)).alias("__idx"))
+        .distinct()
+        .withColumn("__cov", F.lit(True)))
+    alltok = base.select(F.col(id_col), F.posexplode(t).alias("__idx", "__tok"))
+    out = (alltok.join(covered, [id_col, "__idx"], "left")
+           .groupBy(id_col)
+           .agg(F.count("*").cast("long").alias("n_tokens"),
+                F.sum(F.col("__cov").isNull().cast("long")).alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(F.col("__cov").isNull(),
+                                   F.struct(F.col("__idx").alias("i"),
+                                            F.col("__tok").alias("p"))))),
+                        lambda s: s["p"]),
+                    " ").alias(text_col))
+           .select(id_col, text_col, "n_tokens", "n_kept"))
+    empty = (base.where(F.size(t) == 0)
+             .select(F.col(id_col), F.lit("").alias(text_col),
+                     F.lit(0).cast("long").alias("n_tokens"),
+                     F.lit(0).cast("long").alias("n_kept")))
+    return out.unionByName(empty)
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        n_hashes: int = 16, shingle_n: int = 3, seed: int = 42) -> DataFrame:
     """MinHash signature per document: explode shingles → n affine

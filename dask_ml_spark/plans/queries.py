@@ -2496,6 +2496,60 @@ GROUP BY doc_id
 """
 
 
+def q_repeated_span_removal(spark, sf_dir):
+    """Corpus-wide repeated-span removal (the token-window rendering
+    of exact-substring dedup, Lee et al. 2021): every 5-token window
+    occurring >= 2 times anywhere in the corpus is removed from all
+    but its first (min (doc_id, pos)) occurrence. Window hashing,
+    occurrence counting, first-occurrence election, coverage merge,
+    and reassembly all replay in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    out = DD.remove_repeated_spans(docs, span_tokens=5, min_occurrences=2)
+    return out.select("doc_id", "text", "n_tokens", "n_kept")
+
+
+SQL_REPEATED_SPAN_REMOVAL = f"""
+WITH base AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+    FROM documents
+),
+wins AS (
+    SELECT b.doc_id, u.p - 1 AS pos,
+           md5(array_to_string(b.toks[u.p : u.p + 4], ' ')) AS h
+    FROM base b, unnest(range(1, len(b.toks) - 3)) AS u(p)
+),
+dup AS (
+    SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+),
+ranked AS (
+    SELECT w.doc_id, w.pos,
+           row_number() OVER (PARTITION BY w.h
+                              ORDER BY w.doc_id, w.pos) AS rn
+    FROM wins w JOIN dup USING (h)
+),
+cov AS (
+    SELECT DISTINCT r.doc_id, r.pos + u.i AS idx
+    FROM ranked r, unnest(range(0, 5)) AS u(i)
+    WHERE r.rn > 1
+),
+tok AS (
+    SELECT doc_id, generate_subscripts(toks, 1) - 1 AS idx,
+           unnest(toks) AS tok
+    FROM base
+)
+SELECT t.doc_id,
+       COALESCE(string_agg(t.tok, ' ' ORDER BY t.idx)
+                FILTER (WHERE c.idx IS NULL), '') AS text,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN c.idx IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx
+GROUP BY t.doc_id
+UNION ALL
+SELECT doc_id, '' AS text, 0::BIGINT AS n_tokens, 0::BIGINT AS n_kept
+FROM base WHERE len(toks) = 0
+"""
+
+
 def q_shuffle_shards(spark, sf_dir):
     """Content-deterministic corpus shuffle: md5(seed, doc_id) gives
     shard + within-shard order; per-shard count and first/last key are
@@ -3377,6 +3431,7 @@ def build_catalog():
         "bpe_merges": q_bpe_merges,
         "view_click_attribution": q_view_click_attribution,
         "boilerplate_removal": q_boilerplate_removal,
+        "repeated_span_removal": q_repeated_span_removal,
         "shuffle_shards": q_shuffle_shards,
         "normalized_text_hash": q_normalized_text_hash,
         "outlink_domain_profile": q_outlink_domain_profile,
@@ -3556,6 +3611,7 @@ def build_catalog():
         "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
         "view_click_attribution": SQL_VIEW_CLICK_ATTRIBUTION,
         "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
+        "repeated_span_removal": SQL_REPEATED_SPAN_REMOVAL,
         "shuffle_shards": SQL_SHUFFLE_SHARDS,
         "normalized_text_hash": SQL_NORMALIZED_TEXT_HASH,
         "outlink_domain_profile": _sql_outlink_domain_profile(),

@@ -1463,6 +1463,106 @@ def test_remove_boilerplate_properties(spark):
         assert out[d]["n_kept"] == len(kept)
 
 
+def test_remove_repeated_spans_cases(spark):
+    """Cross-doc span copy, within-doc repetition, sub-span docs, and
+    zero-token docs — all against a pure-python reference."""
+    import re
+
+    from dask_ml_spark.datapipe.dedup import TOKEN_RE, remove_repeated_spans
+
+    docs = [
+        (1, "Alpha beta gamma delta epsilon zeta unique one here now"),
+        (2, "prefix words alpha beta gamma delta epsilon zeta suffix tail"),
+        (3, "totally different content with no repeats at all whatsoever"),
+        (4, "loop loop loop loop loop loop loop loop loop loop"),
+        (5, "short doc"),
+        (6, "!!! ... ---"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_repeated_spans(df, span_tokens=5).collect()}
+
+    def toks(s):
+        return re.findall(TOKEN_RE, s.lower())
+
+    wins = {}
+    for i, txt in docs:
+        tt = toks(txt)
+        for p in range(len(tt) - 4):
+            wins.setdefault(tuple(tt[p:p + 5]), []).append((i, p))
+    cov = {}
+    for w, occ in wins.items():
+        if len(occ) >= 2:
+            for (i, p) in sorted(occ)[1:]:
+                for k in range(p, p + 5):
+                    cov.setdefault(i, set()).add(k)
+    for i, txt in docs:
+        tt = toks(txt)
+        kept = [t for k, t in enumerate(tt) if k not in cov.get(i, set())]
+        assert out[i]["text"] == " ".join(kept)
+        assert out[i]["n_tokens"] == len(tt)
+        assert out[i]["n_kept"] == len(kept)
+    # the first occurrence survives verbatim
+    assert out[1]["n_kept"] == out[1]["n_tokens"]
+    # within-doc run collapses to its first window's worth of coverage
+    assert out[4]["text"] == "loop"
+
+
+def test_remove_repeated_spans_remove_all(spark):
+    """keep_first=False removes EVERY copy (the boilerplate rule)."""
+    from dask_ml_spark.datapipe.dedup import remove_repeated_spans
+
+    docs = [(1, "one two three four five tail_a"),
+            (2, "head_b one two three four five")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"] for r in
+           remove_repeated_spans(df, span_tokens=5,
+                                 keep_first=False).collect()}
+    assert out[1] == "tail_a"
+    assert out[2] == "head_b"
+
+
+def test_remove_repeated_spans_properties(spark):
+    """Property sweep vs a python reference over random corpora with
+    heavy window collisions (tiny vocab)."""
+    import random
+    import re
+
+    from dask_ml_spark.datapipe.dedup import TOKEN_RE, remove_repeated_spans
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(6)]
+    n = 3
+    docs = [(d, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 12))))
+            for d in range(25)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_repeated_spans(df, span_tokens=n).collect()}
+
+    def toks(s):
+        return re.findall(TOKEN_RE, s.lower())
+
+    wins = {}
+    for i, txt in docs:
+        tt = toks(txt)
+        for p in range(len(tt) - n + 1):
+            wins.setdefault(tuple(tt[p:p + n]), []).append((i, p))
+    cov = {}
+    for w, occ in wins.items():
+        if len(occ) >= 2:
+            for (i, p) in sorted(occ)[1:]:
+                for k in range(p, p + n):
+                    cov.setdefault(i, set()).add(k)
+    assert set(out) == {d for d, _ in docs}
+    for i, txt in docs:
+        tt = toks(txt)
+        kept = [t for k, t in enumerate(tt) if k not in cov.get(i, set())]
+        assert out[i]["text"] == " ".join(kept), f"doc {i}"
+        assert out[i]["n_tokens"] == len(tt)
+        assert out[i]["n_kept"] == len(kept)
+
+
 def test_quality_classifier_tolerates_null_text(spark):
     from dask_ml_spark.datapipe.quality_model import (score_quality,
                                                       train_quality_classifier)
