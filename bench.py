@@ -114,6 +114,7 @@ HEADLINE = [
     "epoch_plan",
     "group_quality_topk",
     "lsh_ann_topk",
+    "knn_graph_topk",
     "pq_ann_topk",
     "ivfpq_ann_topk",
     "repetition_scores",

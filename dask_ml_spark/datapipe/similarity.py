@@ -158,6 +158,59 @@ class CosineLSHIndex:
         return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def knn_graph(df: DataFrame, k: int = 10,
+              index: "CosineLSHIndex | None" = None, n_bands: int = 8,
+              bits_per_band: int | str = "auto", seed: int = 42,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Approximate k-NN GRAPH: the whole corpus against itself — top-k
+    cosine neighbors per vector via LSH bucket collisions. This is the
+    corpus-scale sibling of ``CosineLSHIndex.search`` (which BROADCASTS
+    its query set — correct for a bounded query table, wrong when the
+    queries ARE the corpus). The k-NN graph feeds SemDeDup-style
+    clustering, graph-based quality propagation, and diversity
+    sampling.
+
+    Shape at 100 TB: one narrow bucketing pass, an explicit
+    (band, bucket) keyed repartition (exempt from AQE input-size
+    coalescing — the coded rows are tiny but the collision join
+    EXPLODES, the embedding-near-dup lesson), an equi self-join that
+    shuffles only colliding rows, a (src, dst) dedup of multi-band
+    collisions, then the two-stage skew-safe top-k (no full-corpus
+    window partition per node). With 'auto' bits (= log2(N/32)),
+    per-bucket occupancy — and so per-node candidate count — stays
+    ~constant as N grows. Output: (src, dst, score, rank).
+    """
+    idx = index if index is not None else CosineLSHIndex(
+        n_bands=n_bands, bits_per_band=bits_per_band, seed=seed,
+        vec_col=vec_col, id_col=id_col)
+    if not hasattr(idx, "hyperplanes_"):
+        idx.fit(df)
+    coded = idx.index(df)
+    parts = max(df.sparkSession.sparkContext.defaultParallelism, 32)
+    # localCheckpoint after the keyed repartition: BOTH self-join sides
+    # read the materialized buckets (the Arrow bucketing UDF would
+    # otherwise run once per side — exchange reuse does not fire across
+    # the aliased subplans); checkpoint preserves the hash partitioning
+    # so the join still co-locates, and the ContextCleaner reclaims the
+    # blocks when the returned DataFrame is dropped
+    coded = coded.repartition(parts, F.col("band"),
+                              F.col("bucket")).localCheckpoint()
+    l, r = coded.alias("l"), coded.alias("r")
+    cand = (l.join(r, (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.bucket") == F.col("r.bucket"))
+                   & (F.col(f"l.{idx.id_col}") != F.col(f"r.{idx.id_col}")))
+            .select(F.col(f"l.{idx.id_col}").alias("src"),
+                    F.col(f"r.{idx.id_col}").alias("dst"),
+                    cosine_similarity(F.col(f"l.{idx.vec_col}"),
+                                      F.col(f"r.{idx.vec_col}"))
+                    .alias("score"))
+            # multi-band collisions re-compute an identical cosine;
+            # dedup AFTER scoring so the exchange carries only
+            # (src, dst, score), never two embedding vectors per row
+            .dropDuplicates(["src", "dst"]))
+    return _skew_safe_topk(cand, "src", "dst", k, ascending=False)
+
+
 class IVFIndex:
     """Inverted-file ANN index: coarse k-means quantizer + bucketed
     storage. Scale shape: build = one k-means fit + one narrow map
@@ -377,19 +430,22 @@ def _ids_comparable(qid, df, id_col) -> bool:
     return True
 
 
-def _skew_safe_topk(scored, query_id_col, id_col, topk):
+def _skew_safe_topk(scored, query_id_col, id_col, topk, ascending=True):
     """Two-stage top-k: a per-(query, physical-partition) partial rank
     prunes to <= topk rows per partition BEFORE the global per-query
     rank, so no single window partition ever holds the full corpus
     (the hot-group window trap — each query's global partition would
-    otherwise shuffle+sort N rows through one task)."""
+    otherwise shuffle+sort N rows through one task).
+
+    ascending=True ranks low scores first (distances);
+    ascending=False ranks high scores first (similarities)."""
+    order = F.asc("score") if ascending else F.desc("score")
     part = scored.withColumn("__part", F.spark_partition_id())
     wl = Window.partitionBy(query_id_col, "__part").orderBy(
-        F.asc("score"), F.asc(id_col))
+        order, F.asc(id_col))
     pruned = (part.withColumn("__lr", F.row_number().over(wl))
               .where(F.col("__lr") <= topk).drop("__lr", "__part"))
-    w = Window.partitionBy(query_id_col).orderBy(F.asc("score"),
-                                                 F.asc(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(order, F.asc(id_col))
     return pruned.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= topk)
 

@@ -3480,6 +3480,7 @@ def build_catalog():
         "pca_transform_variance": q_pca_transform_variance,
         "ivf_ann_topk": q_ivf_ann_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "knn_graph_topk": q_knn_graph_topk,
         "stratified_sample": q_stratified_sample,
         "group_quality_topk": q_group_quality_topk,
         "hashing_vectorizer_long": q_hashing_vectorizer_long,
@@ -3580,6 +3581,7 @@ def build_catalog():
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE_TOPK,
         "ivf_ann_topk": SQL_IVF_ANN_TOPK,
         "lsh_ann_topk": SQL_LSH_ANN_TOPK,
+        "knn_graph_topk": SQL_KNN_GRAPH_TOPK,
         "embedding_near_dup": sql_embedding_near_dup(),
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "quantized_embeddings": SQL_QUANTIZED_EMBEDDINGS,
@@ -3930,6 +3932,59 @@ def q_lsh_ann_topk(spark, sf_dir):
     return lsh.search(emb, queries, k=10).select(
         "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
     )
+
+
+def q_knn_graph_topk(spark, sf_dir):
+    """Corpus-wide approximate k-NN graph (datapipe/similarity.py::
+    knn_graph): every vector's top-5 cosine neighbors from LSH bucket
+    collisions — the self-join rendering (no query broadcast) with the
+    PINNED hyperplanes of lsh_ann_topk regrouped as 8 bands x 10
+    bits (1024 buckets/band: the graph explodes EVERY bucket, so it
+    needs the occupancy a 5-query probe does not — 16x5 measured 2.1M
+    candidate pairs at sf0.1 vs 41k for 8x10), so bucketing,
+    collision candidates, and ranking all replay in SQL."""
+    import numpy as np
+
+    from dask_ml_spark.datapipe.similarity import CosineLSHIndex, knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lsh = CosineLSHIndex(n_bands=8, bits_per_band=10)
+    planes = (emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 180))
+              .orderBy("vec_id").select("embedding").collect())
+    lsh.hyperplanes_ = np.asarray([list(r[0]) for r in planes], dtype="float64")
+    return knn_graph(emb, k=5, index=lsh).select(
+        "src", "dst", F.col("rank").cast("long").alias("rank"))
+
+
+SQL_KNN_GRAPH_TOPK = """
+WITH planes AS (
+    SELECT vec_id - 100 AS p, embedding::DOUBLE[] AS pvec
+    FROM embeddings WHERE vec_id >= 100 AND vec_id < 180
+), bits AS (
+    SELECT e.vec_id, e.embedding, p // 10 AS band,
+           CASE WHEN list_inner_product(e.embedding::DOUBLE[], pl.pvec) > 0
+                THEN 1 << (p % 10) ELSE 0 END AS bit
+    FROM embeddings e CROSS JOIN planes pl
+), buckets AS (
+    SELECT vec_id, any_value(embedding) AS embedding, band,
+           CAST(sum(bit) AS BIGINT) AS bucket
+    FROM bits GROUP BY vec_id, band
+), cand AS (
+    SELECT DISTINCT a.vec_id AS src, a.embedding AS avec,
+           b.vec_id AS dst, b.embedding AS bvec
+    FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.vec_id != b.vec_id
+), scored AS (
+    SELECT src, dst, list_cosine_similarity(avec, bvec) AS score
+    FROM cand
+)
+SELECT src, dst, rank FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY score DESC, dst ASC) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
 
 
 def q_ann_recall_metrics(spark, sf_dir):

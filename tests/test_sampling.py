@@ -77,6 +77,51 @@ def test_lsh_deterministic(embeddings):
     assert (a[["query_id", "vec_id"]].values == b[["query_id", "vec_id"]].values).all()
 
 
+def test_knn_graph_matches_query_search(embeddings):
+    """knn_graph (self-join rendering, no query broadcast) returns
+    exactly what CosineLSHIndex.search returns when the query set IS
+    the corpus — same candidates, same ranks, same tie-breaks."""
+    from dask_ml_spark.datapipe.similarity import CosineLSHIndex, knn_graph
+
+    lsh = CosineLSHIndex(n_bands=24, bits_per_band=4).fit(embeddings)
+    graph = knn_graph(embeddings, k=5, index=lsh).toPandas()
+    queries = embeddings.select(F.col("vec_id").alias("query_id"),
+                                "embedding")
+    ref = lsh.search(embeddings, queries, k=5).toPandas()
+    g = graph.sort_values(["src", "rank"]).reset_index(drop=True)
+    r = ref.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(g) == len(r)
+    assert (g["src"].values == r["query_id"].values).all()
+    assert (g["dst"].values == r["vec_id"].values).all()
+    assert (g["rank"].values == r["rank"].values).all()
+
+
+def test_knn_graph_recall_and_autofit(embeddings):
+    """The auto-fit path (no index passed) builds a graph whose
+    neighbors overlap exact brute-force neighbors."""
+    from dask_ml_spark.datapipe.similarity import brute_force_topk, knn_graph
+
+    graph = knn_graph(embeddings, k=10, n_bands=24,
+                      bits_per_band=4).toPandas()
+    queries = embeddings.select(F.col("vec_id").alias("query_id"),
+                                "embedding")
+    exact = brute_force_topk(embeddings, queries, k=10).toPandas()
+    recalls = []
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp.vec_id)
+        got = set(graph[graph.src == qid].dst)
+        recalls.append(len(truth & got) / len(truth))
+    assert np.mean(recalls) >= 0.6, np.mean(recalls)
+    # scores are genuine cosines: every listed edge's score is the
+    # true cosine similarity of its endpoints
+    vecs = {r["vec_id"]: np.asarray(r["embedding"])
+            for r in embeddings.collect()}
+    for row in graph.sample(min(len(graph), 50), random_state=0).itertuples():
+        a, b = vecs[row.src], vecs[row.dst]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(row.score - want) < 1e-6
+
+
 def test_hash_split_string_keys(documents):
     """String keys fold through a portable md5-prefix integer: split is
     deterministic, disjoint, complete, and partition-invariant."""
