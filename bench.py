@@ -78,6 +78,7 @@ HEADLINE = [
     "perplexity_bucket_sample",
     "boilerplate_removal",
     "repeated_span_removal",
+    "document_chunks",
     "shuffle_shards",
     "normalized_text_hash",
     "outlink_domain_profile",

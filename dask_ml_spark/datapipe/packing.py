@@ -224,6 +224,57 @@ def pack_sequences(df: DataFrame, seq_len: int, text_col: str = "text",
                 .alias("tok_end")))
 
 
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    stride: int | None = None, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document overlapping token-window chunking — the
+    RAG/embedding-ingest splitter, the WITHIN-document sibling of
+    ``pack_sequences`` (which cuts the corpus-wide stream at global
+    boundaries). Chunk i covers tokens [i·stride, i·stride +
+    chunk_tokens) of its OWN document; stride < chunk_tokens overlaps
+    consecutive chunks by chunk_tokens - stride tokens (the standard
+    context-preservation trick), stride defaults to chunk_tokens
+    (disjoint cover).
+
+    Shape at 100 TB: a pure NARROW projection — tokenize, explode
+    ceil(n/stride) window starts, slice. Zero shuffles; output volume
+    ≈ corpus_tokens/stride rows. Deterministic in content.
+
+    Output: (id, chunk_id, text, n_tokens) — chunk_id 0.. per
+    document, n_tokens = tokens in the chunk (= chunk_tokens except
+    the tail). Zero-token documents emit no chunks.
+    """
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+
+    if stride is None:
+        stride = chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    t = F.col("__toks")
+    base = (df.select(F.col(id_col),
+                      tokens_expr(F.col(text_col)).alias("__toks"))
+            .where(F.size(t) > 0))
+    # 1 + ceil((n - chunk_tokens)/stride) chunks: chunking stops once a
+    # chunk reaches the document end, so no tail chunk is ever fully
+    # contained in its predecessor (n=100, chunk=128, stride=96 emits
+    # ONE chunk, not a redundant [96:100] tail)
+    n_chunks = (F.lit(1) + F.greatest(
+        F.ceil((F.size(t) - chunk_tokens) / F.lit(float(stride))),
+        F.lit(0))).cast("int")
+    chunk = (base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        t)
+        .select(
+            F.col(id_col), F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(t, F.col("chunk_id") * stride + 1,
+                    chunk_tokens).alias("__chunk"))
+        .select(F.col(id_col), "chunk_id",
+                F.array_join(F.col("__chunk"), " ").alias(text_col),
+                F.size(F.col("__chunk")).cast("long").alias("n_tokens")))
+    return chunk
+
+
 def pack_token_shards(df: DataFrame, budget: int, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Assign each document a shard id so every shard holds ~``budget``

@@ -2550,6 +2550,36 @@ FROM base WHERE len(toks) = 0
 """
 
 
+def q_document_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (datapipe/packing.py::
+    chunk_documents): 32-token chunks at stride 24 (8-token overlap) —
+    the RAG/embedding-ingest splitter, a pure narrow projection (zero
+    shuffles); chunk boundaries, contents, and the no-redundant-tail
+    rule all replay in SQL."""
+    from dask_ml_spark.datapipe.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, stride=24).select(
+        "doc_id", "chunk_id", "text", "n_tokens")
+
+
+SQL_DOCUMENT_CHUNKS = f"""
+WITH base AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+    FROM documents
+), nc AS (
+    SELECT doc_id, toks,
+           1 + greatest(CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT), 0)
+               AS n_chunks
+    FROM base WHERE len(toks) > 0
+)
+SELECT doc_id, u.i AS chunk_id,
+       array_to_string(toks[u.i*24 + 1 : u.i*24 + 32], ' ') AS text,
+       len(toks[u.i*24 + 1 : u.i*24 + 32])::BIGINT AS n_tokens
+FROM nc, unnest(range(0, n_chunks)) AS u(i)
+"""
+
+
 def q_shuffle_shards(spark, sf_dir):
     """Content-deterministic corpus shuffle: md5(seed, doc_id) gives
     shard + within-shard order; per-shard count and first/last key are
@@ -3432,6 +3462,7 @@ def build_catalog():
         "view_click_attribution": q_view_click_attribution,
         "boilerplate_removal": q_boilerplate_removal,
         "repeated_span_removal": q_repeated_span_removal,
+        "document_chunks": q_document_chunks,
         "shuffle_shards": q_shuffle_shards,
         "normalized_text_hash": q_normalized_text_hash,
         "outlink_domain_profile": q_outlink_domain_profile,
@@ -3614,6 +3645,7 @@ def build_catalog():
         "view_click_attribution": SQL_VIEW_CLICK_ATTRIBUTION,
         "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
         "repeated_span_removal": SQL_REPEATED_SPAN_REMOVAL,
+        "document_chunks": SQL_DOCUMENT_CHUNKS,
         "shuffle_shards": SQL_SHUFFLE_SHARDS,
         "normalized_text_hash": SQL_NORMALIZED_TEXT_HASH,
         "outlink_domain_profile": _sql_outlink_domain_profile(),

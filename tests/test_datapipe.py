@@ -1563,6 +1563,63 @@ def test_remove_repeated_spans_properties(spark):
         assert out[i]["n_kept"] == len(kept)
 
 
+def test_chunk_documents_cases(spark):
+    """Overlap, exact-fit, sub-chunk docs, the no-redundant-tail rule,
+    and zero-token docs — against a python reference."""
+    import re
+
+    from dask_ml_spark.datapipe.dedup import TOKEN_RE
+    from dask_ml_spark.datapipe.packing import chunk_documents
+
+    def words(n, p):
+        return " ".join(f"{p}{i}" for i in range(n))
+
+    docs = [
+        (1, words(10, "aa")),   # 10 toks, chunk 4 stride 3
+        (2, words(4, "bb")),    # exact fit -> 1 chunk
+        (3, words(3, "cc")),    # sub-chunk -> 1 chunk
+        (4, words(5, "dd")),    # tail chunk shorter than overlap
+        (5, "!!! ..."),         # zero tokens -> no chunks
+        (6, words(7, "ee")),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    chunk_n, stride = 4, 3
+    out = chunk_documents(df, chunk_tokens=chunk_n, stride=stride)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+            r["text"], r["n_tokens"])
+
+    import math
+    for i, txt in docs:
+        tt = re.findall(TOKEN_RE, txt.lower())
+        if not tt:
+            assert i not in got
+            continue
+        n_chunks = 1 + max(0, math.ceil((len(tt) - chunk_n) / stride))
+        assert set(got[i]) == set(range(n_chunks)), (i, got[i])
+        for c in range(n_chunks):
+            want = tt[c * stride:c * stride + chunk_n]
+            assert got[i][c] == (" ".join(want), len(want)), (i, c)
+    # plan is pure-narrow: no exchange anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_chunk_documents_disjoint_default(spark):
+    """Default stride = chunk_tokens: chunks partition the token
+    stream exactly (concatenation round-trips the document)."""
+    from dask_ml_spark.datapipe.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(257)))], ["doc_id", "text"])
+    rows = sorted(chunk_documents(df, chunk_tokens=128).collect(),
+                  key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in rows] == [128, 128, 1]
+    joined = " ".join(r["text"] for r in rows)
+    assert joined == " ".join(f"tok{i}" for i in range(257))
+
+
 def test_quality_classifier_tolerates_null_text(spark):
     from dask_ml_spark.datapipe.quality_model import (score_quality,
                                                       train_quality_classifier)
