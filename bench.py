@@ -83,6 +83,7 @@ HEADLINE = [
     "normalized_text_hash",
     "outlink_domain_profile",
     "domain_pagerank",
+    "score_smoothing",
     "curation_pipeline",
     "training_data_prep",
     "local_supplier_volume",

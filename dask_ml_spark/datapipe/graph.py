@@ -65,3 +65,47 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
                           * (F.coalesce(F.col("c"), F.lit(0.0))
                              + F.col("dm") / n)).alias("rank")))
     return ranks
+
+
+def smooth_scores(edges: DataFrame, scores: DataFrame,
+                  id_col: str = "doc_id", score_col: str = "score",
+                  src_col: str = "src", dst_col: str = "dst",
+                  alpha: float = 0.5, iters: int = 1) -> DataFrame:
+    """Neighborhood score smoothing over an edge list — quality/label
+    propagation: each round blends a node's score with the mean of its
+    out-neighbors' scores,
+
+        s_{t+1}(v) = (1 - alpha) * s_t(v) + alpha * mean_{v->u} s_t(u)
+
+    and a node with no out-edges keeps its own score. Fed by
+    ``similarity.knn_graph`` this is the standard trick for denoising
+    per-document quality signals (a good doc surrounded by spam gets
+    pulled down, an unlucky heuristic score gets pulled up by its
+    semantic neighbors).
+
+    Shape at 100 TB: per iteration ONE equi join (edges x scores on
+    dst — uniform key) and one groupBy(src) aggregate (bounded by the
+    graph's out-degree, k for a k-NN graph — no hot groups), plus a
+    left join back. Edge table localCheckpointed once; score state is
+    #nodes rows. Deterministic — SQL-replayable.
+
+    Output: (id, score).
+    """
+    e = (edges.select(F.col(src_col).alias("__src"),
+                      F.col(dst_col).alias("__dst"))
+         .localCheckpoint())
+    cur = scores.select(F.col(id_col),
+                        F.col(score_col).cast("double").alias("__s"))
+    for _ in range(iters):
+        nb = (e.join(cur.select(F.col(id_col).alias("__dst"), "__s"), "__dst")
+              .groupBy("__src").agg(F.avg("__s").alias("__nb")))
+        cur = (cur.join(nb.select(F.col("__src").alias(id_col), "__nb"),
+                        id_col, "left")
+               .select(F.col(id_col),
+                       F.when(F.col("__nb").isNull(), F.col("__s"))
+                       .otherwise((1.0 - alpha) * F.col("__s")
+                                  + alpha * F.col("__nb")).alias("__s")))
+        # materialize per round (the pagerank idiom): keeps the plan
+        # one-iteration deep instead of stacking every round's joins
+        cur = cur.localCheckpoint()
+    return cur.select(F.col(id_col), F.col("__s").alias(score_col))

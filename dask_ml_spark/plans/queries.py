@@ -3454,6 +3454,7 @@ def build_catalog():
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "bloom_decontam_scores": q_bloom_decontam_scores,
         "domain_pagerank": q_domain_pagerank,
+        "score_smoothing": q_score_smoothing,
         "group_kfold_assignment": q_group_kfold_assignment,
         "perplexity_bucket_sample": q_perplexity_bucket_sample,
         "quality_classifier_scores": q_quality_classifier_scores,
@@ -3637,6 +3638,7 @@ def build_catalog():
         "ivfpq_ann_topk": SQL_IVFPQ_ANN_TOPK,
         "bloom_decontam_scores": SQL_CONTAMINATION_SCORES,
         "domain_pagerank": _sql_domain_pagerank(),
+        "score_smoothing": SQL_SCORE_SMOOTHING,
         "group_kfold_assignment": SQL_GROUP_KFOLD_ASSIGNMENT,
         "perplexity_bucket_sample":
             _sql_perplexity_bucket_sample(SQL_BIGRAM_LOGPROB),
@@ -4016,6 +4018,49 @@ SELECT src, dst, rank FROM (
                               ORDER BY score DESC, dst ASC) AS rank
     FROM scored
 ) WHERE rank <= 5
+"""
+
+
+def q_score_smoothing(spark, sf_dir):
+    """Graph-based quality denoising (datapipe/graph.py::
+    smooth_scores): each document's length-based quality score blends
+    with the mean score of its semantic neighbors from the pinned-plane
+    k-NN graph (the exact edge set of knn_graph_topk). One iteration
+    with alpha=0.5 keeps every arithmetic step FP-exact and
+    order-independent — integer n_chars sums add exactly in double, the
+    avg divides once, and the 0.5/0.5 blend is dyadic — so the whole
+    propagation replays bit-for-bit in SQL with no rounding."""
+    import numpy as np
+
+    from dask_ml_spark.datapipe.graph import smooth_scores
+    from dask_ml_spark.datapipe.similarity import CosineLSHIndex, knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    lsh = CosineLSHIndex(n_bands=8, bits_per_band=10)
+    planes = (emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 180))
+              .orderBy("vec_id").select("embedding").collect())
+    lsh.hyperplanes_ = np.asarray([list(r[0]) for r in planes], dtype="float64")
+    edges = knn_graph(emb, k=5, index=lsh)
+    scores = docs.select(
+        "doc_id", F.col("n_chars").cast("double").alias("score"))
+    out = smooth_scores(edges, scores, id_col="doc_id", score_col="score",
+                        alpha=0.5, iters=1)
+    return out.select("doc_id", F.col("score").alias("smooth_score"))
+
+
+SQL_SCORE_SMOOTHING = f"""
+WITH edges AS ({SQL_KNN_GRAPH_TOPK}),
+s0 AS (SELECT doc_id, n_chars::DOUBLE AS s FROM documents),
+nb AS (
+    SELECT e.src AS doc_id, avg(n.s) AS nbavg
+    FROM edges e JOIN s0 n ON n.doc_id = e.dst
+    GROUP BY e.src
+)
+SELECT s0.doc_id,
+       CASE WHEN nb.nbavg IS NULL THEN s0.s
+            ELSE 0.5 * s0.s + 0.5 * nb.nbavg END AS smooth_score
+FROM s0 LEFT JOIN nb ON s0.doc_id = nb.doc_id
 """
 
 

@@ -1776,6 +1776,35 @@ def test_pagerank_properties(spark):
         assert abs(ranks[x] - r[x]) < 1e-9
 
 
+def test_smooth_scores_matches_numpy_reference(spark):
+    from dask_ml_spark.datapipe.graph import smooth_scores
+
+    # d has no out-edges (keeps its own score every round); a has two
+    # neighbors so the mean matters; alpha and iters both non-trivial
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")],
+        ["src", "dst"])
+    scores = spark.createDataFrame(
+        [("a", 1.0), ("b", 10.0), ("c", 4.0), ("d", 0.0)],
+        ["doc_id", "score"])
+    got = {r["doc_id"]: r["score"]
+           for r in smooth_scores(edges, scores, alpha=0.3,
+                                  iters=3).collect()}
+    ref = {"a": 1.0, "b": 10.0, "c": 4.0, "d": 0.0}
+    nbrs = {"a": ["b", "c"], "b": ["c"], "c": ["a", "d"]}
+    for _ in range(3):
+        ref = {v: (0.7 * s + 0.3 * sum(ref[u] for u in nbrs[v])
+                   / len(nbrs[v])) if v in nbrs else s
+               for v, s in ref.items()}
+    assert set(got) == set(ref)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-12
+    # iters=0 is the identity
+    same = {r["doc_id"]: r["score"]
+            for r in smooth_scores(edges, scores, iters=0).collect()}
+    assert same == {"a": 1.0, "b": 10.0, "c": 4.0, "d": 0.0}
+
+
 def test_ivfpq_matches_numpy_reference(spark, embeddings):
     import numpy as np
 

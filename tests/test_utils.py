@@ -293,3 +293,9 @@ def test_assert_scalable_accepts_library_pipelines(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"])
     assert_scalable(pagerank(edges, iters=2))
+
+    # smooth_scores: equi joins + degree-bounded aggregates only
+    from dask_ml_spark.datapipe.graph import smooth_scores
+    scores = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], ["doc_id", "score"])
+    assert_scalable(smooth_scores(edges, scores, iters=2))
