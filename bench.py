@@ -114,6 +114,9 @@ HEADLINE = [
     "mixture_sample",
     "temperature_mixture_sample",
     "epoch_plan",
+    "weighted_doc_sample",
+    "weighted_lang_sample",
+    "token_heavy_hitters",
     "group_quality_topk",
     "lsh_ann_topk",
     "knn_graph_topk",

@@ -264,3 +264,63 @@ def shuffle_shards(df: DataFrame, n_shards: int, key_cols="doc_id",
     shard = F.pmod(F.conv(F.substring(hk, 1, 15), 16, 10).cast("long"),
                    F.lit(n_shards))
     return df.withColumn(order_col, hk).withColumn(shard_col, shard)
+
+
+def _aes_key(df: DataFrame, weight_col: str, key_cols, n_buckets: int,
+             salt: int):
+    """Efraimidis–Spirakis exponential key, engine-portable: the
+    uniform draw u comes from the Knuth content-hash bucket (mid-bucket
+    offset keeps u in (0, 1)), and the key is E/w with E = -ln(u) an
+    Exp(1) draw. Rounded to 9 digits so a last-ulp libm difference
+    between engines cannot flip an ordering; ties break on the row key
+    downstream. Weight <= 0 or NULL -> NULL key (caller filters)."""
+    bucket = _hash_bucket_expr(key_cols, n_buckets, salt, df=df)
+    u = (bucket.cast("double") + F.lit(0.5)) / F.lit(float(n_buckets))
+    w = F.col(weight_col).cast("double")
+    return F.when(w > 0, F.round(-F.log(u) / w, 9))
+
+
+def weighted_sample(df: DataFrame, n: int, weight_col: str, key_cols,
+                    n_buckets: int = 1 << 20, salt: int = 0) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, content-deterministic:
+    the Efraimidis–Spirakis A-ES scheme (each row draws an Exp(1)
+    variate E from its content hash and ranks by E/weight; the n
+    smallest keys are exactly a weighted sample without replacement).
+    The standard corpus move this enables: sample documents
+    proportionally to quality/length without materializing per-stratum
+    rates, and reproducibly — retries and repartitions select the SAME
+    rows, and the oracle can verify the selected CONTENT.
+
+    Shape at 100 TB: the key is a narrow projection; the selection is
+    ``orderBy(key).limit(n)`` which Catalyst executes as
+    TakeOrderedAndProject — per-partition top-n then a driver merge of
+    n-row partials, never a global sort shuffle. Rows with weight <= 0
+    or NULL are never sampled (sampling-theory contract).
+    """
+    kc = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    key = _aes_key(df, weight_col, kc, n_buckets, salt)
+    return (df.withColumn("__aes", key).where(F.col("__aes").isNotNull())
+            .orderBy(F.asc("__aes"), *[F.asc(c) for c in kc])
+            .limit(n).drop("__aes"))
+
+
+def weighted_sample_per_group(df: DataFrame, group_col: str, n: int,
+                              weight_col: str, key_cols,
+                              n_buckets: int = 1 << 20,
+                              salt: int = 0) -> DataFrame:
+    """Per-group A-ES weighted sampling without replacement (n rows per
+    group — e.g. a per-language quality-weighted subsample). Uses the
+    two-stage skew-safe top-k, so a group holding 90% of the corpus
+    never funnels through one window task.
+    """
+    from dask_ml_spark.datapipe.similarity import _skew_safe_topk
+
+    kc = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    key = _aes_key(df, weight_col, kc, n_buckets, salt)
+    scored = (df.withColumn("score", -key)
+              .where(F.col("score").isNotNull()))
+    # _skew_safe_topk ranks DESC on "score" with ascending=False; the
+    # negated key makes "largest score" = "smallest E/w", and its
+    # id-column tie-break mirrors weighted_sample's key tie-break
+    out = _skew_safe_topk(scored, group_col, kc[0], n, ascending=False)
+    return out.drop("score", "rank")

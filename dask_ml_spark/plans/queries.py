@@ -3455,6 +3455,9 @@ def build_catalog():
         "bloom_decontam_scores": q_bloom_decontam_scores,
         "domain_pagerank": q_domain_pagerank,
         "score_smoothing": q_score_smoothing,
+        "token_heavy_hitters": q_token_heavy_hitters,
+        "weighted_doc_sample": q_weighted_doc_sample,
+        "weighted_lang_sample": q_weighted_lang_sample,
         "group_kfold_assignment": q_group_kfold_assignment,
         "perplexity_bucket_sample": q_perplexity_bucket_sample,
         "quality_classifier_scores": q_quality_classifier_scores,
@@ -3639,6 +3642,9 @@ def build_catalog():
         "bloom_decontam_scores": SQL_CONTAMINATION_SCORES,
         "domain_pagerank": _sql_domain_pagerank(),
         "score_smoothing": SQL_SCORE_SMOOTHING,
+        "token_heavy_hitters": SQL_TOKEN_HEAVY_HITTERS,
+        "weighted_doc_sample": SQL_WEIGHTED_DOC_SAMPLE,
+        "weighted_lang_sample": SQL_WEIGHTED_LANG_SAMPLE,
         "group_kfold_assignment": SQL_GROUP_KFOLD_ASSIGNMENT,
         "perplexity_bucket_sample":
             _sql_perplexity_bucket_sample(SQL_BIGRAM_LOGPROB),
@@ -4061,6 +4067,93 @@ SELECT s0.doc_id,
        CASE WHEN nb.nbavg IS NULL THEN s0.s
             ELSE 0.5 * s0.s + 0.5 * nb.nbavg END AS smooth_score
 FROM s0 LEFT JOIN nb ON s0.doc_id = nb.doc_id
+"""
+
+
+def q_token_heavy_hitters(spark, sf_dir):
+    """Corpus vocabulary profiling at scale (datapipe/sketches.py::
+    heavy_hitters): top-30 most frequent tokens via the Misra-Gries
+    per-partition sketch + candidate-recount path. require_sketch=True
+    pins that the exactness certificate held (k-th frequency >
+    N/(capacity+1)) — so the sketch plan ran AND the answer is provably
+    the exact top-30, which is why this shares the plain exact SQL
+    oracle."""
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+    from dask_ml_spark.datapipe.sketches import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens_expr(F.col("text"))).alias("token"))
+    return heavy_hitters(toks, "token", k=30, capacity=4096,
+                         require_sketch=True).select(
+        F.col("value").alias("token"), F.col("freq").cast("long").alias("freq"))
+
+
+SQL_TOKEN_HEAVY_HITTERS = f"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS token
+    FROM documents
+)
+SELECT token, count(*)::BIGINT AS freq
+FROM toks GROUP BY token
+ORDER BY freq DESC, token ASC LIMIT 30
+"""
+
+
+def q_weighted_doc_sample(spark, sf_dir):
+    """Quality-weighted corpus subsampling (datapipe/sampling.py::
+    weighted_sample): 60 documents drawn WITHOUT replacement with
+    probability proportional to length, via the Efraimidis-Spirakis
+    exponential-key scheme seeded from the content hash — deterministic,
+    so the oracle re-derives every key and verifies the selected
+    CONTENT, not just the sample size."""
+    from dask_ml_spark.datapipe.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (weighted_sample(docs, 60, "n_chars", "doc_id", salt=3)
+            .select("doc_id", "n_chars"))
+
+
+SQL_WEIGHTED_DOC_SAMPLE = """
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           round(-ln((((((3 + doc_id) % 2147483648) * 2654435761)
+                       % 2147483648) % 1048576 + 0.5) / 1048576.0)
+                 / n_chars, 9) AS aes
+    FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars FROM keyed
+ORDER BY aes ASC, doc_id ASC LIMIT 60
+"""
+
+
+def q_weighted_lang_sample(spark, sf_dir):
+    """Per-group weighted sampling (datapipe/sampling.py::
+    weighted_sample_per_group): 5 length-weighted documents per
+    language through the two-stage skew-safe top-k — a language holding
+    90% of the corpus never funnels through one window task."""
+    from dask_ml_spark.datapipe.sampling import weighted_sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return (weighted_sample_per_group(docs, "lang", 5, "n_chars",
+                                      "doc_id", salt=7)
+            .select("doc_id", "lang", "n_chars"))
+
+
+SQL_WEIGHTED_LANG_SAMPLE = """
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           round(-ln((((((7 + doc_id) % 2147483648) * 2654435761)
+                       % 2147483648) % 1048576 + 0.5) / 1048576.0)
+                 / n_chars, 9) AS aes
+    FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars FROM (
+    SELECT doc_id, lang, n_chars,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY aes ASC, doc_id ASC) AS rn
+    FROM keyed
+) WHERE rn <= 5
 """
 
 

@@ -234,3 +234,89 @@ def test_bloom_prefilter_matches_exact_decontam(spark, documents):
                    for r in contamination_scores_bloom(
                        corpus, eval_set, bits_per_item=2, n_hashes=1).collect()}
     assert bloom_small == exact
+
+
+def test_weighted_sample_without_replacement(documents):
+    from dask_ml_spark.datapipe.sampling import weighted_sample
+
+    got = weighted_sample(documents, 40, "n_chars", "doc_id").collect()
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == 40 and len(set(ids)) == 40
+    # content-addressed: identical selection under any partitioning
+    again = weighted_sample(documents.repartition(7), 40, "n_chars",
+                            "doc_id").collect()
+    assert set(ids) == {r["doc_id"] for r in again}
+    # a different salt draws a different sample
+    other = weighted_sample(documents, 40, "n_chars", "doc_id",
+                            salt=99).collect()
+    assert set(ids) != {r["doc_id"] for r in other}
+
+
+def test_weighted_sample_weight_bias(spark):
+    from dask_ml_spark.datapipe.sampling import weighted_sample
+
+    # one row with overwhelming weight is (essentially) always drawn;
+    # zero/negative/null weights are never drawn
+    rows = ([(i, 1.0) for i in range(100)] + [(100, 1e12)]
+            + [(101, 0.0), (102, -5.0), (103, None)])
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    for salt in range(5):
+        ids = {r["doc_id"]
+               for r in weighted_sample(df, 10, "w", "doc_id",
+                                        salt=salt).collect()}
+        assert 100 in ids
+        assert not ids & {101, 102, 103}
+
+
+def test_weighted_sample_per_group_matches_global_rule(documents):
+    from dask_ml_spark.datapipe.sampling import (weighted_sample,
+                                                 weighted_sample_per_group)
+
+    per = weighted_sample_per_group(documents, "lang", 3, "n_chars",
+                                    "doc_id", salt=5)
+    pdf = per.toPandas()
+    assert (pdf.groupby("lang").size() <= 3).all()
+    # each group's selection equals running the global sampler on that
+    # group alone (same keys, same ordering rule)
+    lang = pdf["lang"].iloc[0]
+    sub = documents.where(F.col("lang") == lang)
+    solo = {r["doc_id"]
+            for r in weighted_sample(sub, 3, "n_chars", "doc_id",
+                                     salt=5).collect()}
+    assert set(pdf[pdf["lang"] == lang]["doc_id"]) == solo
+    # skew-safety: repartition-stable
+    again = weighted_sample_per_group(documents.repartition(9), "lang", 3,
+                                      "n_chars", "doc_id", salt=5)
+    assert {tuple(r) for r in pdf[["doc_id"]].itertuples(index=False)} == \
+        {(r["doc_id"],) for r in again.collect()}
+
+
+def test_heavy_hitters_exact_with_forced_reductions(spark):
+    from dask_ml_spark.datapipe.sketches import heavy_hitters
+
+    # zipf-ish: value v appears 200 // (v + 1) times, 400 distinct
+    rows = [(v,) for v in range(400) for _ in range(200 // (v + 1))]
+    df = spark.createDataFrame(rows, ["x"]).repartition(4)
+    # capacity 64 << ~200 distinct-per-partition forces MG reductions
+    # (N ~ 1175 so the certificate bound is ~18 < the 10th freq of 20);
+    # require_sketch pins that the certificate held anyway
+    got = heavy_hitters(df, "x", k=10, capacity=64,
+                        require_sketch=True).collect()
+    import collections
+    exact = collections.Counter(v for v, in rows)
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["value"], r["freq"]) for r in got] == want
+
+
+def test_heavy_hitters_flat_fallback_still_exact(spark):
+    from dask_ml_spark.datapipe.sketches import heavy_hitters
+
+    # all-unique: no certificate possible -> exact fallback, with nulls
+    # never counted
+    rows = [(v,) for v in range(300)] + [(None,)] * 50
+    df = spark.createDataFrame(rows, "x: int").repartition(3)
+    with pytest.raises(RuntimeError, match="certificate"):
+        heavy_hitters(df, "x", k=5, capacity=16, require_sketch=True)
+    got = heavy_hitters(df, "x", k=5, capacity=16).collect()
+    assert [(r["value"], r["freq"]) for r in got] == [
+        (0, 1), (1, 1), (2, 1), (3, 1), (4, 1)]
