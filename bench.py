@@ -117,6 +117,9 @@ HEADLINE = [
     "weighted_doc_sample",
     "weighted_lang_sample",
     "token_heavy_hitters",
+    "variance_threshold",
+    "select_kbest",
+    "f_regression_scores",
     "group_quality_topk",
     "lsh_ann_topk",
     "knn_graph_topk",

@@ -3458,6 +3458,9 @@ def build_catalog():
         "token_heavy_hitters": q_token_heavy_hitters,
         "weighted_doc_sample": q_weighted_doc_sample,
         "weighted_lang_sample": q_weighted_lang_sample,
+        "variance_threshold": q_variance_threshold,
+        "select_kbest": q_select_kbest,
+        "f_regression_scores": q_f_regression_scores,
         "group_kfold_assignment": q_group_kfold_assignment,
         "perplexity_bucket_sample": q_perplexity_bucket_sample,
         "quality_classifier_scores": q_quality_classifier_scores,
@@ -3645,6 +3648,9 @@ def build_catalog():
         "token_heavy_hitters": SQL_TOKEN_HEAVY_HITTERS,
         "weighted_doc_sample": SQL_WEIGHTED_DOC_SAMPLE,
         "weighted_lang_sample": SQL_WEIGHTED_LANG_SAMPLE,
+        "variance_threshold": SQL_VARIANCE_THRESHOLD,
+        "select_kbest": _sql_select_kbest(),
+        "f_regression_scores": SQL_F_REGRESSION_SCORES,
         "group_kfold_assignment": SQL_GROUP_KFOLD_ASSIGNMENT,
         "perplexity_bucket_sample":
             _sql_perplexity_bucket_sample(SQL_BIGRAM_LOGPROB),
@@ -4154,6 +4160,122 @@ SELECT doc_id, lang, n_chars FROM (
                               ORDER BY aes ASC, doc_id ASC) AS rn
     FROM keyed
 ) WHERE rn <= 5
+"""
+
+
+def q_variance_threshold(spark, sf_dir):
+    """VarianceThreshold fit (operators/feature_selection.py): per-
+    column population variance + keep decision; the injected constant
+    column is the one that must be dropped. Attrs are one agg row of
+    driver state, replayed with var_pop in SQL."""
+    from dask_ml_spark.operators.feature_selection import VarianceThreshold
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        F.lit(7.5).alias("const"))
+    vt = VarianceThreshold(threshold=0.0).fit(li)
+    rows = [(c, float(v), int(keep)) for c, v, keep in
+            zip(vt.columns_, vt.variances_, vt.support_)]
+    return spark.createDataFrame(
+        rows, "feature string, variance double, kept long")
+
+
+SQL_VARIANCE_THRESHOLD = """
+SELECT 'l_quantity' AS feature, var_pop(l_quantity) AS variance,
+       CASE WHEN var_pop(l_quantity) > 0 THEN 1 ELSE 0 END::BIGINT AS kept
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', var_pop(l_extendedprice),
+       CASE WHEN var_pop(l_extendedprice) > 0 THEN 1 ELSE 0 END::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', var_pop(l_discount),
+       CASE WHEN var_pop(l_discount) > 0 THEN 1 ELSE 0 END::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', var_pop(l_tax),
+       CASE WHEN var_pop(l_tax) > 0 THEN 1 ELSE 0 END::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'const', var_pop(7.5),
+       CASE WHEN var_pop(7.5) > 0 THEN 1 ELSE 0 END::BIGINT
+FROM lineitem
+"""
+
+
+def q_select_kbest(spark, sf_dir):
+    """SelectKBest(f_classif) over the first 8 embedding dims vs the
+    class label: per-feature ANOVA F plus the top-3 keep flags. The
+    oracle recomputes the per-class (n, sum, sum_sq) moments and the
+    same F formula in SQL; selection ranks (f_stat DESC, feature ASC)
+    in both engines."""
+    from dask_ml_spark.operators.feature_selection import SelectKBest
+
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", *[F.element_at("embedding", i + 1).cast("double")
+                   .alias(f"d{i}") for i in range(8)])
+    kb = SelectKBest(k=3, score_func="f_classif").fit(
+        x, columns=[f"d{i}" for i in range(8)], label_col="label")
+    rows = [(c, float(s), int(keep)) for c, s, keep in
+            zip(kb.columns_, kb.scores_, kb.support_)]
+    return spark.createDataFrame(
+        rows, "feature string, f_stat double, selected long")
+
+
+def _sql_select_kbest(dims: int = 8, k: int = 3) -> str:
+    sel = ", ".join(f"embedding[{i + 1}]::DOUBLE AS d{i}"
+                    for i in range(dims))
+    moments = ", ".join(f"sum(d{i}) AS s{i}, sum(d{i}*d{i}) AS q{i}"
+                        for i in range(dims))
+    totals = ", ".join(f"sum(s{i}) AS ts{i}" for i in range(dims))
+    branches = "\nUNION ALL\n".join(f"""
+    SELECT 'd{i}' AS feature,
+           (sum(n * pow(s{i}/n - ts{i}/ntot, 2)) / (max(ngrp) - 1))
+           / (sum(q{i} - s{i}*s{i}/n) / (max(ntot) - max(ngrp))) AS f_stat
+    FROM g CROSS JOIN t""" for i in range(dims))
+    return f"""
+WITH x AS (SELECT label, {sel} FROM embeddings),
+g AS (SELECT label, count(*)::DOUBLE AS n, {moments} FROM x GROUP BY label),
+t AS (SELECT sum(n) AS ntot, count(*)::DOUBLE AS ngrp, {totals} FROM g),
+f AS ({branches}),
+ranked AS (
+    SELECT feature, f_stat,
+           row_number() OVER (ORDER BY f_stat DESC, feature ASC) AS rn
+    FROM f
+)
+SELECT feature, f_stat,
+       CASE WHEN rn <= {k} THEN 1 ELSE 0 END::BIGINT AS selected
+FROM ranked
+"""
+
+
+def q_f_regression_scores(spark, sf_dir):
+    """f_regression univariate F-tests: which lineitem columns predict
+    extendedprice. One corr+count agg; F = r^2/(1-r^2)*(n-2), the
+    identical closed form replayed over DuckDB's corr."""
+    from dask_ml_spark.operators.feature_selection import f_regression
+
+    li = _t(spark, sf_dir, "lineitem")
+    scores = f_regression(li, ["l_quantity", "l_discount", "l_tax"],
+                          "l_extendedprice")
+    rows = [(c, float(v)) for c, v in scores.items()]
+    return spark.createDataFrame(rows, "feature string, f_stat double")
+
+
+SQL_F_REGRESSION_SCORES = """
+WITH c AS (
+    SELECT count(*)::DOUBLE AS n,
+           corr(l_quantity, l_extendedprice) AS rq,
+           corr(l_discount, l_extendedprice) AS rd,
+           corr(l_tax, l_extendedprice) AS rt
+    FROM lineitem
+)
+SELECT 'l_quantity' AS feature, rq*rq / (1 - rq*rq) * (n - 2) AS f_stat FROM c
+UNION ALL
+SELECT 'l_discount', rd*rd / (1 - rd*rd) * (n - 2) FROM c
+UNION ALL
+SELECT 'l_tax', rt*rt / (1 - rt*rt) * (n - 2) FROM c
 """
 
 

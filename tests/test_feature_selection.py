@@ -1,0 +1,109 @@
+"""Feature selection: VarianceThreshold / f_classif / f_regression /
+SelectKBest vs closed-form numpy references."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rng = np.random.RandomState(7)
+    y = rng.randint(0, 3, 240)
+    # f0 strongly separates classes, f1 weakly, f2 pure noise, f3 constant
+    f0 = y * 2.0 + rng.randn(240) * 0.3
+    f1 = y * 0.5 + rng.randn(240)
+    f2 = rng.randn(240)
+    f3 = np.full(240, 1.25)
+    rows = [(float(a), float(b), float(c), float(d), int(t))
+            for a, b, c, d, t in zip(f0, f1, f2, f3, y)]
+    df = spark.createDataFrame(
+        rows, "f0 double, f1 double, f2 double, f3 double, label int")
+    return df, np.column_stack([f0, f1, f2, f3]), y
+
+
+def _anova_f(x, y):
+    classes = np.unique(y)
+    n, g = len(x), len(classes)
+    grand = x.mean()
+    ssb = sum((y == c).sum() * (x[y == c].mean() - grand) ** 2
+              for c in classes)
+    ssw = sum(((x[y == c] - x[y == c].mean()) ** 2).sum() for c in classes)
+    return (ssb / (g - 1)) / (ssw / (n - g))
+
+
+def test_variance_threshold(frame):
+    from dask_ml_spark.operators.feature_selection import VarianceThreshold
+
+    df, X, _ = frame
+    vt = VarianceThreshold().fit(df, ["f0", "f1", "f2", "f3"])
+    for got, want in zip(vt.variances_, X.var(axis=0, ddof=0)):
+        assert abs(got - want) < 1e-9
+    assert vt.get_support() == [True, True, True, False]
+    out = vt.transform(df)
+    assert "f3" not in out.columns and "f0" in out.columns
+    # a higher threshold drops low-variance features too
+    hi = VarianceThreshold(threshold=X.var(axis=0, ddof=0)[2] + 0.1).fit(
+        df, ["f0", "f1", "f2", "f3"])
+    assert hi.get_support()[3] is False and hi.get_support()[2] is False
+
+
+def test_f_classif_matches_numpy(frame):
+    from dask_ml_spark.operators.feature_selection import f_classif
+
+    df, X, y = frame
+    scores = f_classif(df, ["f0", "f1", "f2"], "label")
+    for i, c in enumerate(["f0", "f1", "f2"]):
+        assert abs(scores[c] - _anova_f(X[:, i], y)) < 1e-6 * (
+            1 + _anova_f(X[:, i], y))
+    # constant feature: SS_within == 0 AND SS_between == 0 -> here inf
+    # guard only fires when within-variance vanishes
+    assert scores["f0"] > scores["f1"] > scores["f2"]
+
+
+def test_f_regression_matches_numpy(frame):
+    from dask_ml_spark.operators.feature_selection import f_regression
+
+    df, X, y = frame
+    scores = f_regression(df, ["f0", "f1", "f2"], "label")
+    n = len(y)
+    for i, c in enumerate(["f0", "f1", "f2"]):
+        r = np.corrcoef(X[:, i], y)[0, 1]
+        want = r * r / (1 - r * r) * (n - 2)
+        assert abs(scores[c] - want) < 1e-6 * (1 + abs(want))
+    # constant feature has undefined correlation -> NaN
+    const = f_regression(df, ["f3"], "label")
+    assert math.isnan(const["f3"])
+
+
+def test_select_kbest(frame):
+    from dask_ml_spark.operators.feature_selection import SelectKBest
+
+    df, _, _ = frame
+    kb = SelectKBest(k=2).fit(df, ["f0", "f1", "f2", "f3"],
+                              label_col="label")
+    assert kb.get_support() == [True, True, False, False]
+    out = kb.transform(df)
+    assert set(out.columns) & {"f0", "f1", "f2", "f3"} == {"f0", "f1"}
+    # fit_transform and estimator save/load roundtrip
+    out2 = SelectKBest(k=1).fit_transform(df, ["f0", "f1", "f2"],
+                                          label_col="label")
+    assert set(out2.columns) & {"f0", "f1", "f2"} == {"f0"}
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".pkl") as f:
+        kb.save(f.name)
+        back = SelectKBest.load(f.name)
+        assert back.get_support() == kb.get_support()
+
+
+def test_select_kbest_f_regression_mode(frame):
+    from dask_ml_spark.operators.feature_selection import SelectKBest
+
+    df, _, _ = frame
+    kb = SelectKBest(k=1, score_func="f_regression").fit(
+        df, ["f1", "f2"], label_col="label")
+    assert kb.get_support() == [True, False]
+    with pytest.raises(ValueError, match="score_func"):
+        SelectKBest(score_func="chi9").fit(df, ["f1"], label_col="label")
