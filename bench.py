@@ -120,6 +120,7 @@ HEADLINE = [
     "variance_threshold",
     "select_kbest",
     "f_regression_scores",
+    "time_series_split_stats",
     "group_quality_topk",
     "lsh_ann_topk",
     "knn_graph_topk",

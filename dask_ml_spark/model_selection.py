@@ -8,12 +8,16 @@ from dask_ml_spark.plans.incremental import (  # noqa: F401
 )
 from dask_ml_spark.plans.model_selection import (  # noqa: F401
     GridSearchCV,
+    GroupKFold,
+    HashKFold,
     KFold,
     ParameterGrid,
     ParameterSampler,
     RandomizedSearchCV,
     ShuffleSplit,
+    TimeSeriesSplit,
     check_cv,
     compute_n_splits,
+    group_shuffle_split,
     train_test_split,
 )

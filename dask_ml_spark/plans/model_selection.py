@@ -518,3 +518,65 @@ def group_shuffle_split(df: DataFrame, group_col: str,
     (train_df, test_df)."""
     return hash_split(df, key_cols=group_col, test_size=test_size,
                       salt=salt)
+
+
+class TimeSeriesSplit(BaseEstimator):
+    """Expanding-window time-series CV (sklearn TimeSeriesSplit
+    semantics re-expressed on a TIME COLUMN, the only ordering that
+    exists at 100 TB): the time axis is cut into n_splits+1 contiguous
+    blocks; fold i trains on everything strictly before cut i+1 and
+    tests on the following block — train always precedes test, so no
+    temporal leakage, and the train window expands per fold.
+
+    boundary="range" (default): cuts equally spaced in TIME between
+    min and max, computed in integer microseconds (timestamps) so the
+    boundaries are EXACT and engine-portable — a SQL oracle can replay
+    fold membership row-for-row. boundary="quantile": percentile_approx
+    cuts balance fold SIZES instead (approximate, engine-specific).
+
+    Scale shape: boundary state is n_splits+1 driver scalars from one
+    min/max (or quantile-sketch) aggregate; every (train, test) pair is
+    two pushdown-friendly range filters — no sort, no window, no
+    shuffle.
+    """
+
+    def __init__(self, n_splits: int = 5, time_col: str = "ts",
+                 boundary: str = "range"):
+        if boundary not in ("range", "quantile"):
+            raise ValueError(f"boundary must be 'range'|'quantile', "
+                             f"got {boundary!r}")
+        self.n_splits = n_splits
+        self.time_col = time_col
+        self.boundary = boundary
+
+    def _time_expr(self, df: DataFrame):
+        from pyspark.sql import types as T
+
+        dt = df.schema[self.time_col].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            # NTZ cannot cast straight to numeric; route through
+            # TIMESTAMP — unix_micros then equals DuckDB's epoch_us
+            return F.unix_micros(F.col(self.time_col).cast("timestamp"))
+        return F.col(self.time_col).cast("long")
+
+    def cuts(self, df: DataFrame) -> list:
+        """The n_splits interior boundaries (ascending)."""
+        t = self._time_expr(df)
+        k = self.n_splits + 1
+        if self.boundary == "range":
+            row = df.agg(F.min(t).alias("t0"), F.max(t).alias("t1")).collect()[0]
+            t0, t1 = int(row["t0"]), int(row["t1"])
+            return [t0 + (t1 - t0) * i // k for i in range(1, k)]
+        qs = [i / k for i in range(1, k)]
+        row = df.select(t.alias("__t")).agg(
+            F.percentile_approx("__t", qs, 10_000).alias("c")).collect()[0]
+        return [int(c) for c in row["c"]]
+
+    def split(self, df: DataFrame):
+        t = self._time_expr(df)
+        cuts = self.cuts(df)
+        hi = cuts[1:] + [None]
+        for lo, h in zip(cuts, hi):
+            test = (t >= F.lit(lo)) if h is None else \
+                ((t >= F.lit(lo)) & (t < F.lit(h)))
+            yield df.where(t < F.lit(lo)), df.where(test)

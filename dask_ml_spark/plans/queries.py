@@ -3461,6 +3461,7 @@ def build_catalog():
         "variance_threshold": q_variance_threshold,
         "select_kbest": q_select_kbest,
         "f_regression_scores": q_f_regression_scores,
+        "time_series_split_stats": q_time_series_split_stats,
         "group_kfold_assignment": q_group_kfold_assignment,
         "perplexity_bucket_sample": q_perplexity_bucket_sample,
         "quality_classifier_scores": q_quality_classifier_scores,
@@ -3651,6 +3652,7 @@ def build_catalog():
         "variance_threshold": SQL_VARIANCE_THRESHOLD,
         "select_kbest": _sql_select_kbest(),
         "f_regression_scores": SQL_F_REGRESSION_SCORES,
+        "time_series_split_stats": _sql_time_series_split_stats(),
         "group_kfold_assignment": SQL_GROUP_KFOLD_ASSIGNMENT,
         "perplexity_bucket_sample":
             _sql_perplexity_bucket_sample(SQL_BIGRAM_LOGPROB),
@@ -4160,6 +4162,55 @@ SELECT doc_id, lang, n_chars FROM (
                               ORDER BY aes ASC, doc_id ASC) AS rn
     FROM keyed
 ) WHERE rn <= 5
+"""
+
+
+def q_time_series_split_stats(spark, sf_dir):
+    """TimeSeriesSplit over the events stream (plans/
+    model_selection.py): 4 expanding-window folds cut at exact integer-
+    microsecond range boundaries; per fold the train/test row counts
+    plus the test block's value mass prove fold MEMBERSHIP, not just
+    sizes. The oracle recomputes every boundary and filter in SQL."""
+    from functools import reduce
+
+    from dask_ml_spark.plans.model_selection import TimeSeriesSplit
+
+    ev = _t(spark, sf_dir, "events")
+    tss = TimeSeriesSplit(n_splits=4, time_col="ts")
+    stats = []
+    for i, (train, test) in enumerate(tss.split(ev)):
+        stats.append(
+            train.agg(F.count("*").alias("train_rows")).crossJoin(
+                test.agg(
+                    F.count("*").alias("test_rows"),
+                    F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6)
+                    .alias("test_value_sum")))
+            .select(F.lit(i).cast("long").alias("fold"),
+                    "train_rows", "test_rows", "test_value_sum"))
+    return reduce(lambda a, b: a.unionAll(b), stats)
+
+
+def _sql_time_series_split_stats(n: int = 4) -> str:
+    k = n + 1
+    parts = []
+    for i in range(n):
+        lo = f"(t0 + (t1 - t0) * {i + 1} // {k})"
+        hi = f"(t0 + (t1 - t0) * {i + 2} // {k})"
+        test = (f"tu >= {lo}" if i == n - 1
+                else f"tu >= {lo} AND tu < {hi}")
+        parts.append(f"""
+SELECT {i}::BIGINT AS fold,
+       count(*) FILTER (WHERE tu < {lo})::BIGINT AS train_rows,
+       count(*) FILTER (WHERE {test})::BIGINT AS test_rows,
+       round(coalesce(sum(value) FILTER (WHERE {test}), 0), 6)
+           AS test_value_sum
+FROM e CROSS JOIN b""")
+    body = "\nUNION ALL".join(parts)
+    return f"""
+WITH b AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+           FROM events),
+e AS (SELECT epoch_us(ts) AS tu, value FROM events)
+{body}
 """
 
 

@@ -351,3 +351,48 @@ def test_group_kfold_no_leakage(spark, documents):
                                 test_size=0.3)
     assert sorted(r["doc_id"] for r in t2.select("doc_id").collect()) == \
         sorted(r["doc_id"] for r in train.select("doc_id").collect())
+
+
+def test_time_series_split_no_leakage(spark):
+    from dask_ml_spark.plans.model_selection import TimeSeriesSplit
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(hours=i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "i long, ts timestamp")
+    tss = TimeSeriesSplit(n_splits=4, time_col="ts")
+    seen_train, seen_test = [], []
+    for train, test in tss.split(df):
+        tr = [r["i"] for r in train.collect()]
+        te = [r["i"] for r in test.collect()]
+        assert te, "every fold must have a test block"
+        if tr:
+            # strict temporal order: ALL train rows precede ALL test rows
+            assert max(tr) < min(te)
+        seen_train.append(len(tr))
+        seen_test.append(te)
+    # expanding window: train grows monotonically
+    assert seen_train == sorted(seen_train)
+    # test blocks are disjoint and cover everything after the first cut
+    flat = [i for te in seen_test for i in te]
+    assert len(flat) == len(set(flat))
+    assert set(flat) | set(range(min(flat))) == set(range(100))
+    # fold i+1's train = fold i's train + fold i's test (expanding)
+    assert seen_train[1] == seen_train[0] + len(seen_test[0])
+
+
+def test_time_series_split_numeric_and_quantile(spark):
+    from dask_ml_spark.plans.model_selection import TimeSeriesSplit
+    import pytest as _pytest
+
+    # heavily skewed numeric time: range cuts give lopsided folds,
+    # quantile cuts balance them
+    rows = [(i, int(i ** 3)) for i in range(200)]
+    df = spark.createDataFrame(rows, "i long, t long")
+    qt = TimeSeriesSplit(n_splits=3, time_col="t", boundary="quantile")
+    sizes = [test.count() for _, test in qt.split(df)]
+    assert all(30 <= s <= 70 for s in sizes), sizes
+    for _, dtest in TimeSeriesSplit(n_splits=3, time_col="t").split(df):
+        assert dtest.count() >= 0  # range mode still partitions cleanly
+    with _pytest.raises(ValueError, match="boundary"):
+        TimeSeriesSplit(boundary="nope")
