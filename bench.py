@@ -121,6 +121,8 @@ HEADLINE = [
     "select_kbest",
     "f_regression_scores",
     "time_series_split_stats",
+    "winsorized_prices",
+    "part_attribute_stats",
     "group_quality_topk",
     "lsh_ann_topk",
     "knn_graph_topk",

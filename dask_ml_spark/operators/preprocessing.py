@@ -520,3 +520,44 @@ class MaxAbsScaler(BaseEstimator, TransformerMixin):
             for c, s in zip(self.columns_, self.scale_)
         }
         return df.withColumns(exprs)
+
+
+class Winsorizer(BaseEstimator, TransformerMixin):
+    """Clip each column to its [lower, upper] quantiles — the standard
+    outlier guard before scaling/regression (beyond-reference;
+    complements RobustScaler, which rescales by quantiles but leaves
+    the tails in the data). One quantile-aggregate row of driver state;
+    transform is a literal-folded least/greatest projection (narrow,
+    codegen, no UDF). ``approximate=True`` (default) uses the
+    percentile_approx sketch — the 100 TB path; exact ``F.percentile``
+    is what a SQL oracle can replay (quantile_cont)."""
+
+    def __init__(self, lower: float = 0.05, upper: float = 0.95,
+                 approximate: bool = True):
+        if not 0.0 <= lower < upper <= 1.0:
+            raise ValueError(f"need 0 <= lower < upper <= 1, got "
+                             f"({lower}, {upper})")
+        self.lower = lower
+        self.upper = upper
+        self.approximate = approximate
+
+    def fit(self, df: DataFrame, columns=None) -> "Winsorizer":
+        cols = self._validate_data(df, columns)
+        pct = F.percentile_approx if self.approximate else F.percentile
+        aggs = []
+        for c in cols:
+            aggs += [pct(_nn(c), F.lit(self.lower)).alias(f"__lo_{c}"),
+                     pct(_nn(c), F.lit(self.upper)).alias(f"__hi_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        self.columns_ = cols
+        self.bounds_ = {c: (float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"]))
+                        for c in cols}
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        exprs = {
+            c: F.least(F.greatest(F.col(c).cast("double"), F.lit(lo)),
+                       F.lit(hi))
+            for c, (lo, hi) in self.bounds_.items()
+        }
+        return df.withColumns(exprs)

@@ -3462,6 +3462,8 @@ def build_catalog():
         "select_kbest": q_select_kbest,
         "f_regression_scores": q_f_regression_scores,
         "time_series_split_stats": q_time_series_split_stats,
+        "winsorized_prices": q_winsorized_prices,
+        "part_attribute_stats": q_part_attribute_stats,
         "group_kfold_assignment": q_group_kfold_assignment,
         "perplexity_bucket_sample": q_perplexity_bucket_sample,
         "quality_classifier_scores": q_quality_classifier_scores,
@@ -3653,6 +3655,8 @@ def build_catalog():
         "select_kbest": _sql_select_kbest(),
         "f_regression_scores": SQL_F_REGRESSION_SCORES,
         "time_series_split_stats": _sql_time_series_split_stats(),
+        "winsorized_prices": SQL_WINSORIZED_PRICES,
+        "part_attribute_stats": SQL_PART_ATTRIBUTE_STATS,
         "group_kfold_assignment": SQL_GROUP_KFOLD_ASSIGNMENT,
         "perplexity_bucket_sample":
             _sql_perplexity_bucket_sample(SQL_BIGRAM_LOGPROB),
@@ -4162,6 +4166,70 @@ SELECT doc_id, lang, n_chars FROM (
                               ORDER BY aes ASC, doc_id ASC) AS rn
     FROM keyed
 ) WHERE rn <= 5
+"""
+
+
+def q_winsorized_prices(spark, sf_dir):
+    """Winsorizer fit + transform (operators/preprocessing.py): clip
+    extendedprice and quantity to their exact [5%, 95%] quantiles,
+    then per-flag sums of the clipped columns value-check BOTH the
+    fitted bounds and the least/greatest projection (the maxabs_scaler
+    idiom). exact=True so the oracle replays the bounds with
+    quantile_cont; percentile_approx stays the library default."""
+    from dask_ml_spark.operators.preprocessing import Winsorizer
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_extendedprice", "l_quantity"]
+    w = Winsorizer(lower=0.05, upper=0.95, approximate=False).fit(li, cols)
+    out = w.transform(li)
+    return (out.groupBy("l_returnflag")
+            .agg(*[F.round(F.sum(c), 4).alias(f"wsum_{c}") for c in cols],
+                 F.count("*").alias("n")))
+
+
+SQL_WINSORIZED_PRICES = """
+WITH q AS (
+    SELECT quantile_cont(l_extendedprice, 0.05) AS lo_p,
+           quantile_cont(l_extendedprice, 0.95) AS hi_p,
+           quantile_cont(l_quantity, 0.05) AS lo_q,
+           quantile_cont(l_quantity, 0.95) AS hi_q
+    FROM lineitem
+)
+SELECT l_returnflag,
+       round(sum(least(greatest(l_extendedprice, lo_p), hi_p)), 4)
+           AS wsum_l_extendedprice,
+       round(sum(least(greatest(l_quantity, lo_q), hi_q)), 4)
+           AS wsum_l_quantity,
+       count(*)::BIGINT AS n
+FROM lineitem CROSS JOIN q
+GROUP BY l_returnflag
+"""
+
+
+def q_part_attribute_stats(spark, sf_dir):
+    """Wide-to-long reshaping (dask.dataframe.melt analog — Spark's
+    native ``unpivot``, zero-shuffle narrow explode) then per-(brand,
+    attribute) stats; the oracle renders the same melt as UNION ALL."""
+    p = _t(spark, sf_dir, "part")
+    long = (p.select("p_brand",
+                     F.col("p_size").cast("double").alias("size"),
+                     F.col("p_retailprice").cast("double")
+                     .alias("retailprice"))
+            .unpivot("p_brand", ["size", "retailprice"], "attr", "val"))
+    return (long.groupBy("p_brand", "attr")
+            .agg(F.round(F.avg("val"), 6).alias("avg_val"),
+                 F.count("*").alias("n")))
+
+
+SQL_PART_ATTRIBUTE_STATS = """
+WITH long AS (
+    SELECT p_brand, 'size' AS attr, p_size::DOUBLE AS val FROM part
+    UNION ALL
+    SELECT p_brand, 'retailprice', p_retailprice::DOUBLE FROM part
+)
+SELECT p_brand, attr, round(avg(val), 6) AS avg_val,
+       count(*)::BIGINT AS n
+FROM long GROUP BY p_brand, attr
 """
 
 

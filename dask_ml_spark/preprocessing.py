@@ -18,6 +18,7 @@ from dask_ml_spark.operators.preprocessing import (  # noqa: F401
     QuantileTransformer,
     RobustScaler,
     SimpleImputer,
+    Winsorizer,
     StandardScaler,
 )
 from dask_ml_spark.operators.wrappers import BlockTransformer  # noqa: F401

@@ -196,3 +196,28 @@ def test_maxabs_scaler_zero_and_null_columns(spark):
     out = sc.transform(spark.createDataFrame(pdf)).toPandas()
     np.testing.assert_allclose(out["zero"], [0.0, 0.0, 0.0])
     np.testing.assert_allclose(out["x"], [0.5, -1.0, 0.25])
+
+
+def test_winsorizer(spark):
+    import numpy as np
+    from dask_ml_spark.operators.preprocessing import Winsorizer
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([rng.randn(500), [100.0, -100.0]])  # outliers
+    df = spark.createDataFrame([(float(v),) for v in vals], ["x"])
+    w = Winsorizer(lower=0.05, upper=0.95, approximate=False).fit(df, ["x"])
+    lo, hi = w.bounds_["x"]
+    assert abs(lo - np.quantile(vals, 0.05)) < 1e-9
+    assert abs(hi - np.quantile(vals, 0.95)) < 1e-9
+    out = np.array([r["x"] for r in w.transform(df).collect()])
+    assert out.max() <= hi + 1e-12 and out.min() >= lo - 1e-12
+    # interior values untouched
+    inside = vals[(vals >= lo) & (vals <= hi)]
+    assert np.isin(inside, out).all()
+    # approximate path still bounds the outliers away
+    wa = Winsorizer().fit(df, ["x"])
+    la, ha = wa.bounds_["x"]
+    assert -3 < la < ha < 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lower"):
+        Winsorizer(lower=0.9, upper=0.1)
