@@ -91,11 +91,15 @@ def smooth_scores(edges: DataFrame, scores: DataFrame,
 
     Output: (id, score).
     """
+    cur = scores.select(F.col(id_col),
+                        F.col(score_col).cast("double").alias("__s"))
+    if iters <= 0:
+        return cur.select(F.col(id_col), F.col("__s").alias(score_col))
+    # localCheckpoint is EAGER — only materialize the (possibly
+    # expensive, e.g. knn_graph) edge table once iterating is certain
     e = (edges.select(F.col(src_col).alias("__src"),
                       F.col(dst_col).alias("__dst"))
          .localCheckpoint())
-    cur = scores.select(F.col(id_col),
-                        F.col(score_col).cast("double").alias("__s"))
     for _ in range(iters):
         nb = (e.join(cur.select(F.col(id_col).alias("__dst"), "__s"), "__dst")
               .groupBy("__src").agg(F.avg("__s").alias("__nb")))

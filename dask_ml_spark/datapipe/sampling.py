@@ -273,11 +273,14 @@ def _aes_key(df: DataFrame, weight_col: str, key_cols, n_buckets: int,
     offset keeps u in (0, 1)), and the key is E/w with E = -ln(u) an
     Exp(1) draw. Rounded to 9 digits so a last-ulp libm difference
     between engines cannot flip an ordering; ties break on the row key
-    downstream. Weight <= 0 or NULL -> NULL key (caller filters)."""
+    downstream. Weight <= 0, NULL, or NaN -> NULL key (caller filters;
+    the NaN guard matters because Spark orders NaN above every number,
+    so `w > 0` alone would let a NaN weight through and its NaN key
+    would then sort FIRST under a descending rank)."""
     bucket = _hash_bucket_expr(key_cols, n_buckets, salt, df=df)
     u = (bucket.cast("double") + F.lit(0.5)) / F.lit(float(n_buckets))
     w = F.col(weight_col).cast("double")
-    return F.when(w > 0, F.round(-F.log(u) / w, 9))
+    return F.when((w > 0) & ~F.isnan(w), F.round(-F.log(u) / w, 9))
 
 
 def weighted_sample(df: DataFrame, n: int, weight_col: str, key_cols,
@@ -317,10 +320,13 @@ def weighted_sample_per_group(df: DataFrame, group_col: str, n: int,
 
     kc = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     key = _aes_key(df, weight_col, kc, n_buckets, salt)
-    scored = (df.withColumn("score", -key)
-              .where(F.col("score").isNotNull()))
-    # _skew_safe_topk ranks DESC on "score" with ascending=False; the
-    # negated key makes "largest score" = "smallest E/w", and its
-    # id-column tie-break mirrors weighted_sample's key tie-break
-    out = _skew_safe_topk(scored, group_col, kc[0], n, ascending=False)
-    return out.drop("score", "rank")
+    scored = (df.withColumn("__wscore", -key)
+              .where(F.col("__wscore").isNotNull()))
+    # collision-safe internal names: a corpus df routinely already HAS
+    # 'score'/'rank' columns and must get them back untouched. Ranks
+    # DESC with ascending=False; the negated key makes "largest score"
+    # = "smallest E/w", and the id-column tie-break mirrors
+    # weighted_sample's key tie-break
+    out = _skew_safe_topk(scored, group_col, kc[0], n, ascending=False,
+                          score_col="__wscore", rank_col="__wrank")
+    return out.drop("__wscore", "__wrank")

@@ -430,7 +430,8 @@ def _ids_comparable(qid, df, id_col) -> bool:
     return True
 
 
-def _skew_safe_topk(scored, query_id_col, id_col, topk, ascending=True):
+def _skew_safe_topk(scored, query_id_col, id_col, topk, ascending=True,
+                    score_col="score", rank_col="rank"):
     """Two-stage top-k: a per-(query, physical-partition) partial rank
     prunes to <= topk rows per partition BEFORE the global per-query
     rank, so no single window partition ever holds the full corpus
@@ -438,16 +439,18 @@ def _skew_safe_topk(scored, query_id_col, id_col, topk, ascending=True):
     otherwise shuffle+sort N rows through one task).
 
     ascending=True ranks low scores first (distances);
-    ascending=False ranks high scores first (similarities)."""
-    order = F.asc("score") if ascending else F.desc("score")
+    ascending=False ranks high scores first (similarities).
+    score_col/rank_col let callers whose frames already carry
+    'score'/'rank' columns use collision-safe names."""
+    order = F.asc(score_col) if ascending else F.desc(score_col)
     part = scored.withColumn("__part", F.spark_partition_id())
     wl = Window.partitionBy(query_id_col, "__part").orderBy(
         order, F.asc(id_col))
     pruned = (part.withColumn("__lr", F.row_number().over(wl))
               .where(F.col("__lr") <= topk).drop("__lr", "__part"))
     w = Window.partitionBy(query_id_col).orderBy(order, F.asc(id_col))
-    return pruned.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= topk)
+    return pruned.withColumn(rank_col, F.row_number().over(w)).where(
+        F.col(rank_col) <= topk)
 
 
 class PQIndex:

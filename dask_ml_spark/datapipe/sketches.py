@@ -85,11 +85,14 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 20,
     n_total = summ.where(F.col("value").isNull()) \
         .agg(F.sum("mg_count")).collect()[0][0] or 0
     cand = summ.where(F.col("value").isNotNull()).select("value").distinct()
-    exact = (df.select(F.col(col).alias("value"))
-             .where(F.col("value").isNotNull())
-             .join(F.broadcast(cand), "value", "left_semi")
-             .groupBy("value").agg(F.count("*").alias("freq"))
-             .orderBy(F.desc("freq"), F.asc("value")).limit(k))
+    base = (df.select(F.col(col).alias("value"))
+            .where(F.col("value").isNotNull()))
+
+    def topk(counted):
+        return (counted.groupBy("value").agg(F.count("*").alias("freq"))
+                .orderBy(F.desc("freq"), F.asc("value")).limit(k))
+
+    exact = topk(base.join(F.broadcast(cand), "value", "left_semi"))
     top = exact.collect()
     bound = n_total / (capacity + 1)
     if len(top) == k and top[-1]["freq"] > bound:
@@ -102,7 +105,4 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 20,
             f"{bound:.1f}; raise capacity")
     # flat distribution — the certificate cannot exclude a non-candidate,
     # so recount everything (still exact, just the plain plan)
-    return (df.select(F.col(col).alias("value"))
-            .where(F.col("value").isNotNull())
-            .groupBy("value").agg(F.count("*").alias("freq"))
-            .orderBy(F.desc("freq"), F.asc("value")).limit(k))
+    return topk(base)

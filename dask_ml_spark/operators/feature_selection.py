@@ -53,30 +53,37 @@ def f_classif(df: DataFrame, feature_cols, label_col: str = "label"):
     #classes rows of driver state — then scalar math.
 
     Returns {feature: F} (inf where SS_within == 0, NaN for g < 2,
-    matching sklearn's degenerate conventions).
+    matching sklearn's degenerate conventions). NULL/NaN feature
+    values are excluded PER FEATURE (pairwise-complete: each feature's
+    class counts track its own non-null rows).
     """
     feats = list(feature_cols)
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs = []
     for i, c in enumerate(feats):
-        x = F.col(c).cast("double")
-        aggs += [F.sum(x).alias(f"__s{i}"), F.sum(x * x).alias(f"__q{i}")]
+        x = _nn(c)
+        aggs += [F.count(x).alias(f"__n{i}"),
+                 F.sum(x).alias(f"__s{i}"), F.sum(x * x).alias(f"__q{i}")]
     rows = df.groupBy(F.col(label_col).alias("__y")).agg(*aggs).collect()
-    g = len(rows)
-    n_total = sum(r["__n"] for r in rows)
     out = {}
     for i, c in enumerate(feats):
-        ts = sum(r[f"__s{i}"] for r in rows)
+        # only classes where this feature has data participate
+        rs = [r for r in rows if r[f"__n{i}"] > 0]
+        g = len(rs)
+        n_total = sum(r[f"__n{i}"] for r in rs)
+        if g < 2 or n_total <= g:
+            out[c] = float("nan")
+            continue
+        ts = sum(r[f"__s{i}"] for r in rs)
         grand_mean = ts / n_total
-        ssb = sum(r["__n"] * (r[f"__s{i}"] / r["__n"] - grand_mean) ** 2
-                  for r in rows)
-        ssw = sum(r[f"__q{i}"] - r[f"__s{i}"] ** 2 / r["__n"] for r in rows)
+        ssb = sum(r[f"__n{i}"] * (r[f"__s{i}"] / r[f"__n{i}"]
+                                  - grand_mean) ** 2 for r in rs)
+        ssw = sum(r[f"__q{i}"] - r[f"__s{i}"] ** 2 / r[f"__n{i}"]
+                  for r in rs)
         # degeneracy must be judged RELATIVE to the feature's magnitude:
         # a constant column leaves both sums as FP dust (~eps * sum_sq),
         # and dust/dust would otherwise fabricate a huge F
-        scale = sum(abs(r[f"__q{i}"]) for r in rows) + 1.0
-        if g < 2 or n_total <= g:
-            out[c] = float("nan")
-        elif ssw <= 1e-12 * scale:
+        scale = sum(abs(r[f"__q{i}"]) for r in rs) + 1.0
+        if ssw <= 1e-12 * scale:
             out[c] = (float("nan") if ssb <= 1e-12 * scale
                       else float("inf"))
         else:
@@ -86,18 +93,22 @@ def f_classif(df: DataFrame, feature_cols, label_col: str = "label"):
 
 def f_regression(df: DataFrame, feature_cols, target_col: str):
     """Univariate linear-regression F-test per feature (sklearn
-    ``f_regression``): F_i = r_i^2 / (1 - r_i^2) * (n - 2) with r_i
-    the Pearson correlation. One agg of ``corr`` + ``count``."""
+    ``f_regression``): F_i = r_i^2 / (1 - r_i^2) * (n_i - 2) with r_i
+    the Pearson correlation and n_i the PAIRWISE-COMPLETE count —
+    ``corr`` silently skips incomplete pairs, so the degrees of freedom
+    must count the same rows or NULLs inflate F. One agg."""
     feats = list(feature_cols)
-    y = F.col(target_col).cast("double")
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    aggs += [F.corr(F.col(c).cast("double"), y).alias(f"__r{i}")
-             for i, c in enumerate(feats)]
+    y = _nn(target_col)
+    aggs = []
+    for i, c in enumerate(feats):
+        x = _nn(c)
+        aggs += [F.corr(x, y).alias(f"__r{i}"),
+                 F.count(F.when(x.isNotNull() & y.isNotNull(), 1))
+                 .alias(f"__n{i}")]
     row = df.agg(*aggs).collect()[0]
-    n = row["__n"]
     out = {}
     for i, c in enumerate(feats):
-        r = row[f"__r{i}"]
+        r, n = row[f"__r{i}"], row[f"__n{i}"]
         if r is None or n <= 2:
             out[c] = float("nan")
         elif abs(r) >= 1.0:

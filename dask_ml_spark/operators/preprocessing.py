@@ -550,14 +550,24 @@ class Winsorizer(BaseEstimator, TransformerMixin):
                      pct(_nn(c), F.lit(self.upper)).alias(f"__hi_{c}")]
         row = df.agg(*aggs).collect()[0]
         self.columns_ = cols
-        self.bounds_ = {c: (float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"]))
-                        for c in cols}
+        # an all-NULL/all-NaN column has no quantiles: record (None,
+        # None) and leave it untouched at transform (MaxAbsScaler's
+        # missing-aggregate convention)
+        self.bounds_ = {
+            c: ((float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"]))
+                if row[f"__lo_{c}"] is not None else (None, None))
+            for c in cols}
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:
-        exprs = {
-            c: F.least(F.greatest(F.col(c).cast("double"), F.lit(lo)),
-                       F.lit(hi))
-            for c, (lo, hi) in self.bounds_.items()
-        }
+        exprs = {}
+        for c, (lo, hi) in self.bounds_.items():
+            if lo is None:
+                continue
+            x = F.col(c).cast("double")
+            # NULL/NaN must propagate, not impute: Spark's greatest
+            # skips NULLs (NULL -> lo) and least treats NaN as largest
+            # (NaN -> hi) — guard both like every transformer here
+            exprs[c] = F.when(x.isNull() | F.isnan(x), x).otherwise(
+                F.least(F.greatest(x, F.lit(lo)), F.lit(hi)))
         return df.withColumns(exprs)

@@ -570,7 +570,15 @@ class TimeSeriesSplit(BaseEstimator):
         qs = [i / k for i in range(1, k)]
         row = df.select(t.alias("__t")).agg(
             F.percentile_approx("__t", qs, 10_000).alias("c")).collect()[0]
-        return [int(c) for c in row["c"]]
+        cuts = [int(c) for c in row["c"]]
+        if len(set(cuts)) < len(cuts):
+            # a dominant timestamp collapses adjacent quantiles; a
+            # duplicated cut would silently yield an EMPTY test fold
+            raise ValueError(
+                f"quantile cuts collide ({cuts}): too many rows share "
+                f"one time value for {self.n_splits} splits — reduce "
+                f"n_splits or use boundary='range'")
+        return cuts
 
     def split(self, df: DataFrame):
         t = self._time_expr(df)

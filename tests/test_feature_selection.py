@@ -107,3 +107,39 @@ def test_select_kbest_f_regression_mode(frame):
     assert kb.get_support() == [True, False]
     with pytest.raises(ValueError, match="score_func"):
         SelectKBest(score_func="chi9").fit(df, ["f1"], label_col="label")
+
+
+def test_f_classif_and_regression_null_handling(spark):
+    from dask_ml_spark.operators.feature_selection import (f_classif,
+                                                           f_regression)
+
+    rows = []
+    rng = np.random.RandomState(11)
+    for i in range(300):
+        y = i % 2
+        full = float(y * 3 + rng.randn())
+        half = float(y * 3 + rng.randn()) if i % 2 == 0 else None
+        rows.append((full, half, None, y))
+    df = spark.createDataFrame(
+        rows, "full double, half double, empty double, label int")
+    # all-NULL feature: NaN, not a TypeError crash
+    s = f_classif(df, ["full", "half", "empty"], "label")
+    assert math.isnan(s["empty"])
+    # 'half' is only observed in class 0 -> a single populated class
+    assert math.isnan(s["half"])
+    assert s["full"] > 100
+    # f_regression: degrees of freedom must count pairwise-complete
+    # rows; an all-null feature is NaN
+    r = f_regression(df, ["full", "empty"], "label")
+    assert math.isnan(r["empty"]) and r["full"] > 100
+    # nulls halve the degrees of freedom: with r pinned equal on the
+    # two halves (xh = x where present), F scales ~ with the pairwise-
+    # complete count, so F(xh)/F(x) ~ 0.5 — not the ~1.0 the old
+    # all-rows count produced
+    xs = rng.randn(400)
+    noise = rng.randn(400) * 0.5
+    rows2 = [(float(v), float(v) if i % 2 == 0 else None,
+              float(v + e)) for i, (v, e) in enumerate(zip(xs, noise))]
+    df2 = spark.createDataFrame(rows2, "x double, xh double, y double")
+    r2 = f_regression(df2, ["x", "xh"], "y")
+    assert 0.3 < r2["xh"] / r2["x"] < 0.7

@@ -396,3 +396,16 @@ def test_time_series_split_numeric_and_quantile(spark):
         assert dtest.count() >= 0  # range mode still partitions cleanly
     with _pytest.raises(ValueError, match="boundary"):
         TimeSeriesSplit(boundary="nope")
+
+
+def test_time_series_split_quantile_collision_raises(spark):
+    from dask_ml_spark.plans.model_selection import TimeSeriesSplit
+    import pytest as _pytest
+
+    # 90% of rows share one timestamp: adjacent quantile cuts collide
+    rows = [(i, 1000) for i in range(180)] + [(200 + i, 2000 + i)
+                                              for i in range(20)]
+    df = spark.createDataFrame(rows, "i long, t long")
+    tss = TimeSeriesSplit(n_splits=4, time_col="t", boundary="quantile")
+    with _pytest.raises(ValueError, match="collide"):
+        list(tss.split(df))

@@ -221,3 +221,24 @@ def test_winsorizer(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="lower"):
         Winsorizer(lower=0.9, upper=0.1)
+
+
+def test_winsorizer_null_nan_propagation(spark):
+    from dask_ml_spark.operators.preprocessing import Winsorizer
+
+    rows = [(float(v), None) for v in range(100)]
+    rows += [(None, None), (float("nan"), None)]
+    df = spark.createDataFrame(rows, "x double, allnull double")
+    w = Winsorizer(lower=0.1, upper=0.9, approximate=False).fit(
+        df, ["x", "allnull"])
+    # all-null column: no bounds, left untouched by transform
+    assert w.bounds_["allnull"] == (None, None)
+    got = w.transform(df).toPandas()
+    # NULL stays NULL (greatest would have imputed the LOWER bound) and
+    # NaN stays NaN (least would have imputed the UPPER bound)
+    import numpy as np
+    assert got["x"].isna().sum() == 2
+    assert got["allnull"].isna().all()
+    lo, hi = w.bounds_["x"]
+    vals = got["x"].dropna()
+    assert vals.min() == lo and vals.max() == hi

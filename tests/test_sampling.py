@@ -258,14 +258,17 @@ def test_weighted_sample_weight_bias(spark):
     # one row with overwhelming weight is (essentially) always drawn;
     # zero/negative/null weights are never drawn
     rows = ([(i, 1.0) for i in range(100)] + [(100, 1e12)]
-            + [(101, 0.0), (102, -5.0), (103, None)])
+            + [(101, 0.0), (102, -5.0), (103, None),
+               (104, float("nan"))])
     df = spark.createDataFrame(rows, ["doc_id", "w"])
     for salt in range(5):
         ids = {r["doc_id"]
                for r in weighted_sample(df, 10, "w", "doc_id",
                                         salt=salt).collect()}
         assert 100 in ids
-        assert not ids & {101, 102, 103}
+        # zero / negative / NULL / NaN weights are never drawn (NaN
+        # compares greater than 0 in Spark, so it needs its own guard)
+        assert not ids & {101, 102, 103, 104}
 
 
 def test_weighted_sample_per_group_matches_global_rule(documents):
@@ -320,3 +323,19 @@ def test_heavy_hitters_flat_fallback_still_exact(spark):
     got = heavy_hitters(df, "x", k=5, capacity=16).collect()
     assert [(r["value"], r["freq"]) for r in got] == [
         (0, 1), (1, 1), (2, 1), (3, 1), (4, 1)]
+
+
+def test_weighted_sample_per_group_preserves_user_columns(spark):
+    from dask_ml_spark.datapipe.sampling import weighted_sample_per_group
+
+    # the corpus frame already carries 'score' and 'rank' columns —
+    # they must come back untouched, and NaN weights never selected
+    rows = [(g, i, 1.0 + i, 0.5, 7) for g in ("a", "b") for i in range(20)]
+    rows.append(("a", 99, float("nan"), 0.5, 7))
+    df = spark.createDataFrame(
+        rows, ["grp", "doc_id", "w", "score", "rank"])
+    out = weighted_sample_per_group(df, "grp", 3, "w", "doc_id")
+    pdf = out.toPandas()
+    assert set(pdf.columns) == {"grp", "doc_id", "w", "score", "rank"}
+    assert (pdf["score"] == 0.5).all() and (pdf["rank"] == 7).all()
+    assert 99 not in set(pdf["doc_id"])
