@@ -85,14 +85,7 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 20,
     n_total = summ.where(F.col("value").isNull()) \
         .agg(F.sum("mg_count")).collect()[0][0] or 0
     cand = summ.where(F.col("value").isNotNull()).select("value").distinct()
-    base = (df.select(F.col(col).alias("value"))
-            .where(F.col("value").isNotNull()))
-
-    def topk(counted):
-        return (counted.groupBy("value").agg(F.count("*").alias("freq"))
-                .orderBy(F.desc("freq"), F.asc("value")).limit(k))
-
-    exact = topk(base.join(F.broadcast(cand), "value", "left_semi"))
+    exact = _candidate_recount(df, col, cand, k)
     top = exact.collect()
     bound = n_total / (capacity + 1)
     if len(top) == k and top[-1]["freq"] > bound:
@@ -105,4 +98,20 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 20,
             f"{bound:.1f}; raise capacity")
     # flat distribution — the certificate cannot exclude a non-candidate,
     # so recount everything (still exact, just the plain plan)
-    return topk(base)
+    return _candidate_recount(df, col, None, k)
+
+
+def _topk_by_freq(counted: DataFrame, k: int) -> DataFrame:
+    return (counted.groupBy("value").agg(F.count("*").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("value")).limit(k))
+
+
+def _candidate_recount(df: DataFrame, col: str, cand, k: int) -> DataFrame:
+    """The exact top-k recount plan: corpus semi-joined (broadcast) to
+    the candidate keys when a candidate set is given, else the plain
+    full recount. Exposed for the plan-shape regression tests."""
+    base = (df.select(F.col(col).alias("value"))
+            .where(F.col("value").isNotNull()))
+    if cand is not None:
+        base = base.join(F.broadcast(cand), "value", "left_semi")
+    return _topk_by_freq(base, k)

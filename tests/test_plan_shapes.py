@@ -188,3 +188,41 @@ def test_view_click_attribution_no_cartesian(spark, catalog):
     plan = _plan(spark, catalog, "view_click_attribution")
     # equi join on user_id with the time range as post-condition
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, catalog):
+    plan = _plan(spark, catalog, "weighted_doc_sample")
+    # the n-smallest-keys selection must be TakeOrderedAndProject
+    # (per-partition top-n + driver merge), never a global Sort+Exchange
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+    # the A-ES key is a pure column expression: no Python anywhere
+    assert "Python" not in plan
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark):
+    # the candidate recount must semi-join via broadcast: the corpus
+    # side never shuffles on the value key. heavy_hitters itself
+    # returns certified collected rows (an ExistingRDD scan), so pin
+    # the INTERNAL recount plan it executes
+    from pyspark.sql import functions as F
+    from dask_ml_spark.datapipe.sketches import (_candidate_recount,
+                                                 _mg_summaries)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    cand = (_mg_summaries(toks, "token", 64)
+            .where(F.col("value").isNotNull()).select("value").distinct())
+    df = _candidate_recount(toks, "token", cand, 10)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winsorizer_transform_is_narrow(spark, catalog):
+    plan = _plan(spark, catalog, "winsorized_prices")
+    # bounds fold into literals: the clip projection adds no shuffle
+    # beyond the final groupBy's single Exchange, and no Python
+    assert "Python" not in plan
+    assert plan.count("Exchange") <= 2  # partial/final agg only
