@@ -123,6 +123,8 @@ HEADLINE = [
     "time_series_split_stats",
     "winsorized_prices",
     "part_attribute_stats",
+    "quality_drift",
+    "chi2_scores",
     "group_quality_topk",
     "lsh_ann_topk",
     "knn_graph_topk",

@@ -138,3 +138,57 @@ def corpus_diff(old, new, group_cols=("source",), text_col: str = "text",
             .agg(F.sum(F.greatest(nn - no, F.lit(0))).alias("added"),
                  F.sum(F.greatest(no - nn, F.lit(0))).alias("removed"),
                  F.sum(F.least(no, nn)).alias("retained")))
+
+
+def histogram(df: DataFrame, col: str, bins: int, lo: float,
+              hi: float) -> DataFrame:
+    """Fixed-bound histogram: bin = floor((x - lo) / width) clamped to
+    [0, bins-1]; NULL/NaN excluded. Explicit (lo, hi) rather than a
+    data-derived range keeps two tables' histograms COMPARABLE (the
+    drift contract) and the bucketing engine-portable. One narrow
+    projection + one groupBy(bin) over at most ``bins`` groups."""
+    x = F.col(col).cast("double")
+    width = (hi - lo) / bins
+    b = F.floor((x - F.lit(float(lo))) / F.lit(float(width))).cast("long")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(int(bins - 1)))
+    return (df.where(x.isNotNull() & ~F.isnan(x))
+            .select(b.alias("bin")).groupBy("bin")
+            .agg(F.count("*").alias("cnt")))
+
+
+def distribution_drift(df_a: DataFrame, df_b: DataFrame, col: str,
+                       bins: int = 16, lo: float = 0.0,
+                       hi: float = 1.0) -> dict:
+    """Distribution drift between two corpus releases / sources over a
+    numeric column — the standard data-quality gate before a new shard
+    joins training. Both sides histogram into the SAME fixed bins (one
+    tiny aggregate each, <= bins rows to the driver), then:
+
+    - psi  : population stability index, sum (pa-pb) * ln(pa/pb) with
+             the usual +0.5 Laplace smoothing (industry rule of thumb:
+             > 0.2 = significant shift)
+    - kl   : KL(a || b), same smoothing
+    - tvd  : total variation distance 0.5 * sum |pa - pb| (exact, no
+             smoothing needed)
+
+    Returns {"psi", "kl", "tvd", "n_a", "n_b"}; deterministic given
+    (bins, lo, hi), so SQL-replayable.
+    """
+    import math
+
+    ca = {r["bin"]: r["cnt"] for r in histogram(df_a, col, bins, lo, hi).collect()}
+    cb = {r["bin"]: r["cnt"] for r in histogram(df_b, col, bins, lo, hi).collect()}
+    n_a, n_b = sum(ca.values()), sum(cb.values())
+    if n_a == 0 or n_b == 0:
+        raise ValueError(
+            f"distribution_drift needs non-null rows on both sides "
+            f"(got n_a={n_a}, n_b={n_b})")
+    psi = kl = tvd = 0.0
+    for i in range(bins):
+        pa = (ca.get(i, 0) + 0.5) / (n_a + 0.5 * bins)
+        pb = (cb.get(i, 0) + 0.5) / (n_b + 0.5 * bins)
+        psi += (pa - pb) * math.log(pa / pb)
+        kl += pa * math.log(pa / pb)
+        tvd += abs(ca.get(i, 0) / n_a - cb.get(i, 0) / n_b)
+    return {"psi": psi, "kl": kl, "tvd": 0.5 * tvd,
+            "n_a": n_a, "n_b": n_b}

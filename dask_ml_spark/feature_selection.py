@@ -5,6 +5,7 @@ dask-ml ships no feature_selection module; these compose with
 from dask_ml_spark.operators.feature_selection import (  # noqa: F401
     SelectKBest,
     VarianceThreshold,
+    chi2,
     f_classif,
     f_regression,
 )

@@ -58,6 +58,11 @@ class Pipeline(BaseEstimator):
         for name, est in self.steps[:-1]:
             est.fit(data, columns=columns)
             data = est.transform(data)
+            # a shape-changing step (feature selection, dummy encoding)
+            # publishes its surviving/produced columns — downstream
+            # steps must fit on THOSE, not the original list
+            if hasattr(est, "transformed_columns_"):
+                columns = est.transformed_columns_
         final = self._final()
         try:
             final.fit(data, columns=columns, label_col=label_col)

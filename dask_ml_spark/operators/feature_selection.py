@@ -35,6 +35,8 @@ class VarianceThreshold(BaseEstimator, TransformerMixin):
                            for c in cols]
         self.columns_ = cols
         self.support_ = [bool(v > self.threshold) for v in self.variances_]
+        self.transformed_columns_ = [c for c, k in zip(cols, self.support_)
+                                     if k]
         return self
 
     def get_support(self):
@@ -118,6 +120,40 @@ def f_regression(df: DataFrame, feature_cols, target_col: str):
     return out
 
 
+def chi2(df: DataFrame, feature_cols, label_col: str = "label"):
+    """sklearn ``chi2``: treats each NON-NEGATIVE feature as a mass
+    distributed over classes and tests observed per-class mass against
+    the expectation under independence (class priors from row counts):
+    chi2_i = sum_g (obs_gi - exp_gi)^2 / exp_gi. One groupBy(label)
+    pass of (n, sum, min) per feature; a negative value raises (the
+    sklearn contract); NULL/NaN rows contribute zero mass but still
+    count toward the class priors. All-zero features score NaN."""
+    feats = list(feature_cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(feats):
+        x = _nn(c)
+        aggs += [F.sum(x).alias(f"__s{i}"), F.min(x).alias(f"__m{i}")]
+    rows = df.groupBy(F.col(label_col).alias("__y")).agg(*aggs).collect()
+    n_total = sum(r["__n"] for r in rows)
+    out = {}
+    for i, c in enumerate(feats):
+        mins = [r[f"__m{i}"] for r in rows if r[f"__m{i}"] is not None]
+        if mins and min(mins) < 0:
+            raise ValueError(f"chi2 requires non-negative features; "
+                             f"{c!r} has negative values")
+        total = sum(r[f"__s{i}"] or 0.0 for r in rows)
+        if len(rows) < 2 or total <= 0:
+            out[c] = float("nan")
+            continue
+        stat = 0.0
+        for r in rows:
+            exp = total * r["__n"] / n_total
+            obs = r[f"__s{i}"] or 0.0
+            stat += (obs - exp) ** 2 / exp
+        out[c] = stat
+    return out
+
+
 class SelectKBest(BaseEstimator, TransformerMixin):
     """Keep the k features with the highest score (``f_classif`` for
     classification targets, ``f_regression`` for continuous ones).
@@ -135,6 +171,8 @@ class SelectKBest(BaseEstimator, TransformerMixin):
             scores = f_classif(df, cols, label_col)
         elif self.score_func == "f_regression":
             scores = f_regression(df, cols, label_col)
+        elif self.score_func == "chi2":
+            scores = chi2(df, cols, label_col)
         else:
             raise ValueError(f"unknown score_func {self.score_func!r}")
         self.columns_ = cols
@@ -145,6 +183,8 @@ class SelectKBest(BaseEstimator, TransformerMixin):
                                         else float("-inf")), i))
         chosen = set(order[:self.k])
         self.support_ = [i in chosen for i in range(len(cols))]
+        self.transformed_columns_ = [c for c, keep in zip(cols, self.support_)
+                                     if keep]
         return self
 
     def get_support(self):

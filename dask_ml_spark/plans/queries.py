@@ -3464,6 +3464,8 @@ def build_catalog():
         "time_series_split_stats": q_time_series_split_stats,
         "winsorized_prices": q_winsorized_prices,
         "part_attribute_stats": q_part_attribute_stats,
+        "quality_drift": q_quality_drift,
+        "chi2_scores": q_chi2_scores,
         "group_kfold_assignment": q_group_kfold_assignment,
         "perplexity_bucket_sample": q_perplexity_bucket_sample,
         "quality_classifier_scores": q_quality_classifier_scores,
@@ -3657,6 +3659,8 @@ def build_catalog():
         "time_series_split_stats": _sql_time_series_split_stats(),
         "winsorized_prices": SQL_WINSORIZED_PRICES,
         "part_attribute_stats": SQL_PART_ATTRIBUTE_STATS,
+        "quality_drift": SQL_QUALITY_DRIFT,
+        "chi2_scores": SQL_CHI2_SCORES,
         "group_kfold_assignment": SQL_GROUP_KFOLD_ASSIGNMENT,
         "perplexity_bucket_sample":
             _sql_perplexity_bucket_sample(SQL_BIGRAM_LOGPROB),
@@ -4166,6 +4170,99 @@ SELECT doc_id, lang, n_chars FROM (
                               ORDER BY aes ASC, doc_id ASC) AS rn
     FROM keyed
 ) WHERE rn <= 5
+"""
+
+
+def q_chi2_scores(spark, sf_dir):
+    """chi2 feature scoring (operators/feature_selection.py::chi2):
+    observed per-language mass of two non-negative document features
+    (chars, tokens) against the independence expectation — one
+    groupBy(label) moments pass, the formula replayed in SQL."""
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+    from dask_ml_spark.operators.feature_selection import chi2
+
+    docs = _t(spark, sf_dir, "documents")
+    x = docs.select(
+        "lang", F.col("n_chars").cast("double").alias("nchars"),
+        F.size(tokens_expr(F.col("text"))).cast("double").alias("ntokens"))
+    s = chi2(x, ["nchars", "ntokens"], "lang")
+    return spark.createDataFrame(
+        [(c, float(v)) for c, v in s.items()],
+        "feature string, chi2 double")
+
+
+SQL_CHI2_SCORES = f"""
+WITH x AS (
+    SELECT lang, n_chars::DOUBLE AS nchars,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::DOUBLE
+               AS ntokens
+    FROM documents
+), g AS (
+    SELECT lang, count(*)::DOUBLE AS n,
+           sum(nchars) AS s0, sum(ntokens) AS s1
+    FROM x GROUP BY lang
+), t AS (
+    SELECT sum(n) AS ntot, sum(s0) AS t0, sum(s1) AS t1 FROM g
+)
+SELECT 'nchars' AS feature,
+       sum(pow(s0 - t0 * n / ntot, 2) / (t0 * n / ntot)) AS chi2
+FROM g CROSS JOIN t
+UNION ALL
+SELECT 'ntokens',
+       sum(pow(s1 - t1 * n / ntot, 2) / (t1 * n / ntot))
+FROM g CROSS JOIN t
+"""
+
+
+def q_quality_drift(spark, sf_dir):
+    """Distribution drift (datapipe/profiling.py::distribution_drift):
+    PSI / KL / total-variation of the doc-length distribution between
+    the en and de sub-corpora, over 16 fixed dyadic-width bins (width
+    128 — FP-exact bucketing in both engines). The standard gate before
+    a new shard joins training; the oracle replays histogram,
+    smoothing, and the log sums."""
+    from dask_ml_spark.datapipe.profiling import distribution_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    d = distribution_drift(docs.where(F.col("lang") == "en"),
+                           docs.where(F.col("lang") == "de"),
+                           "n_chars", bins=16, lo=0.0, hi=2048.0)
+    return spark.createDataFrame(
+        [(round(d["psi"], 6), round(d["kl"], 6), round(d["tvd"], 6),
+          d["n_a"], d["n_b"])],
+        "psi double, kl double, tvd double, n_a long, n_b long")
+
+
+SQL_QUALITY_DRIFT = """
+WITH ha AS (
+    SELECT least(greatest(CAST(floor(n_chars / 128.0) AS BIGINT), 0), 15)
+               AS bin, count(*) AS cnt
+    FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+    GROUP BY 1
+), hb AS (
+    SELECT least(greatest(CAST(floor(n_chars / 128.0) AS BIGINT), 0), 15)
+               AS bin, count(*) AS cnt
+    FROM documents WHERE lang = 'de' AND n_chars IS NOT NULL
+    GROUP BY 1
+), tot AS (
+    SELECT (SELECT sum(cnt) FROM ha)::DOUBLE AS na,
+           (SELECT sum(cnt) FROM hb)::DOUBLE AS nb
+), j AS (
+    SELECT i.bin, coalesce(ha.cnt, 0)::DOUBLE AS ca,
+           coalesce(hb.cnt, 0)::DOUBLE AS cb
+    FROM (SELECT unnest(range(0, 16)) AS bin) i
+    LEFT JOIN ha ON ha.bin = i.bin LEFT JOIN hb ON hb.bin = i.bin
+)
+SELECT
+    round(sum(((ca + 0.5) / (na + 8) - (cb + 0.5) / (nb + 8))
+              * ln(((ca + 0.5) / (na + 8)) / ((cb + 0.5) / (nb + 8)))), 6)
+        AS psi,
+    round(sum(((ca + 0.5) / (na + 8))
+              * ln(((ca + 0.5) / (na + 8)) / ((cb + 0.5) / (nb + 8)))), 6)
+        AS kl,
+    round(0.5 * sum(abs(ca / na - cb / nb)), 6) AS tvd,
+    max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b
+FROM j CROSS JOIN tot
 """
 
 

@@ -1846,3 +1846,33 @@ def test_ivfpq_matches_numpy_reference(spark, embeddings):
         for rank, (_, vid) in enumerate(sorted(cand)[:10], 1):
             ref.add((qid, vid, rank))
     assert g == ref
+
+
+def test_distribution_drift(spark):
+    import numpy as np
+    from dask_ml_spark.datapipe.profiling import distribution_drift, histogram
+
+    rng = np.random.RandomState(9)
+    a = spark.createDataFrame([(float(v),) for v in rng.uniform(0, 1, 2000)],
+                              ["x"])
+    b_same = spark.createDataFrame(
+        [(float(v),) for v in rng.uniform(0, 1, 2000)], ["x"])
+    b_shift = spark.createDataFrame(
+        [(float(v),) for v in rng.uniform(0.5, 1.5, 2000)], ["x"])
+    same = distribution_drift(a, b_same, "x", bins=10, lo=0.0, hi=1.0)
+    shift = distribution_drift(a, b_shift, "x", bins=10, lo=0.0, hi=1.0)
+    # identical distributions: negligible drift; shifted: large
+    assert same["psi"] < 0.05 and shift["psi"] > 1.0
+    assert same["tvd"] < 0.05 and shift["tvd"] > 0.4
+    assert shift["kl"] > same["kl"] >= 0 - 1e-12
+    assert same["n_a"] == same["n_b"] == 2000
+    # histogram clamps out-of-range values into the edge bins and
+    # excludes NULL/NaN
+    h = spark.createDataFrame(
+        [(-5.0,), (0.5,), (99.0,), (None,), (float("nan"),)], "x double")
+    bins = {r["bin"]: r["cnt"]
+            for r in histogram(h, "x", bins=4, lo=0.0, hi=1.0).collect()}
+    assert bins == {0: 1, 2: 1, 3: 1}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-null"):
+        distribution_drift(a, h.where("x > 1000"), "x", 4, 0.0, 1.0)

@@ -143,3 +143,53 @@ def test_f_classif_and_regression_null_handling(spark):
     df2 = spark.createDataFrame(rows2, "x double, xh double, y double")
     r2 = f_regression(df2, ["x", "xh"], "y")
     assert 0.3 < r2["xh"] / r2["x"] < 0.7
+
+
+def test_chi2_matches_reference(spark):
+    from dask_ml_spark.operators.feature_selection import chi2
+
+    rng = np.random.RandomState(5)
+    y = rng.randint(0, 3, 200)
+    f0 = (y + 1.0) * 2 + rng.rand(200)      # class-dependent mass
+    f1 = rng.rand(200) * 4                  # independent
+    rows = [(float(a), float(b), int(t)) for a, b, t in zip(f0, f1, y)]
+    df = spark.createDataFrame(rows, "f0 double, f1 double, label int")
+    s = chi2(df, ["f0", "f1"], "label")
+
+    def ref(x):
+        tot = x.sum()
+        stat = 0.0
+        for c in np.unique(y):
+            exp = tot * (y == c).sum() / len(y)
+            stat += (x[y == c].sum() - exp) ** 2 / exp
+        return stat
+
+    assert abs(s["f0"] - ref(f0)) < 1e-8 * (1 + ref(f0))
+    assert abs(s["f1"] - ref(f1)) < 1e-8 * (1 + ref(f1))
+    assert s["f0"] > s["f1"]
+    # negative features raise (sklearn contract)
+    neg = spark.createDataFrame([(-1.0, 0), (2.0, 1)], "f0 double, label int")
+    with pytest.raises(ValueError, match="non-negative"):
+        chi2(neg, ["f0"], "label")
+
+
+def test_feature_selection_composes_in_pipeline(frame):
+    from dask_ml_spark.operators.compose import Pipeline
+    from dask_ml_spark.operators.feature_selection import (SelectKBest,
+                                                           VarianceThreshold)
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+
+    df, _, _ = frame
+    # VarianceThreshold drops the constant f3; SelectKBest keeps the 2
+    # strongest; StandardScaler must then fit on the SURVIVORS — the
+    # pipeline propagates each step's transformed_columns_
+    pipe = Pipeline([
+        ("vt", VarianceThreshold()),
+        ("kb", SelectKBest(k=2)),
+        ("scale", StandardScaler()),
+    ]).fit(df, columns=["f0", "f1", "f2", "f3"], label_col="label")
+    out = pipe.transform(df)
+    assert set(out.columns) & {"f0", "f1", "f2", "f3"} == {"f0", "f1"}
+    assert pipe.named_steps["scale"].columns_ == ["f0", "f1"]
+    stats = out.agg(F.avg("f0"), F.stddev_pop("f0")).collect()[0]
+    assert abs(stats[0]) < 1e-9 and abs(stats[1] - 1.0) < 1e-9
