@@ -226,9 +226,14 @@ class IVFIndex:
         self.vec_col = vec_col
         self.id_col = id_col
 
-    def fit(self, df: DataFrame, sample_rows: int = 100_000) -> "IVFIndex":
+    def fit(self, df: DataFrame, sample_rows: int = 100_000,
+            coarse: str = "sample") -> "IVFIndex":
         """Train the coarse quantizer on a sample (driver numpy k-means —
         centroids are tiny; the data-scale work stays in Spark).
+        coarse='distributed' trains on the FULL corpus via the
+        distributed KMeans operator instead (see
+        `_distributed_coarse_centroids`) — the production path when
+        n_lists is large enough that a bounded sample starves lists.
 
         n_lists='auto' applies the standard IVF sizing n_lists ≈ √N
         (one count() pass): fixed lists make each probe scan N/n_lists
@@ -244,6 +249,12 @@ class IVFIndex:
             self.n_lists_ = max(16, int(df.count() ** 0.5))
         else:
             self.n_lists_ = int(self.n_lists)
+        if coarse == "distributed":
+            self.centroids_ = _distributed_coarse_centroids(
+                df, self.vec_col, self.n_lists_, self.seed)
+            return self
+        if coarse != "sample":
+            raise ValueError(f"coarse must be 'sample' or 'distributed', got {coarse!r}")
         sample = np.asarray(
             [r[0] for r in df.select(self.vec_col).orderBy(F.rand(self.seed)).limit(sample_rows).collect()],
             dtype="float64",
@@ -283,11 +294,31 @@ class IVFIndex:
         )
 
     def search(self, df: DataFrame, queries: DataFrame, k: int = 10,
-               query_id_col: str = "query_id") -> DataFrame:
+               query_id_col: str = "query_id",
+               bucket_col: str = "bucket") -> DataFrame:
         """Probe the n_probe nearest lists per query: join restricted to
         matching buckets (shuffle/broadcast on bucket id), then exact
-        cosine within the probed subset."""
-        indexed = self.assign(df)
+        cosine within the probed subset.
+
+        If `df` already carries `bucket_col` (a coded table, e.g. read
+        back from a `write_coded` partitioned layout), the assignment
+        is reused and the union of probed lists — driver-known from
+        the query vectors vs the fitted centroids — is applied as a
+        `bucket IN (probed)` scan filter, which prunes partitions at
+        read time instead of scanning the whole corpus."""
+        if bucket_col in df.columns:
+            # probed union via the same argsort the query-side expr
+            # computes, so the filter provably keeps every join match
+            qvecs = np.asarray(
+                [r[0] for r in queries.select(self.vec_col).collect()],
+                dtype="float64")
+            d = ((qvecs[:, None, :] - self.centroids_[None]) ** 2).sum(axis=2)
+            order = np.argsort(d, axis=1, kind="stable")[:, :self.n_probe]
+            probed = sorted({int(b) for b in order.ravel()})
+            indexed = df.where(F.col(bucket_col).isin(probed)) \
+                        .withColumnRenamed(bucket_col, "bucket")
+        else:
+            indexed = self.assign(df)
         q = queries.select(
             F.col(query_id_col), F.col(self.vec_col).alias("__qvec"),
             F.explode(self._nearest_expr(F.col(self.vec_col), self.n_probe)).alias("bucket"),
@@ -383,6 +414,37 @@ def ranking_metrics(pred: DataFrame, truth: DataFrame, k: int = 10,
                 F.coalesce(F.lit(1.0) / F.col("first_hit_rank"), F.lit(0.0)).alias("mrr_at_k"),
                 (F.coalesce("dcg", F.lit(0.0)) / F.col("idcg")).alias("ndcg_at_k"),
             ))
+
+
+def write_coded(coded: DataFrame, path: str, bucket_col: str = "bucket",
+                format: str = "parquet", mode: str = "overwrite") -> None:
+    """Persist a coded ANN table (from `IVFIndex.assign` or
+    `IVFPQIndex.encode`) laid out partitioned-by-list, so a probe's
+    `bucket IN (probed)` filter prunes whole partitions at scan time —
+    the IVF contract at 100 TB: each query touches n_probe/n_lists of
+    the corpus bytes, not all of them."""
+    coded.write.format(format).mode(mode).partitionBy(bucket_col).save(path)
+
+
+def _distributed_coarse_centroids(df: DataFrame, vec_col: str,
+                                  n_lists: int, seed: int) -> np.ndarray:
+    """Coarse-quantizer training that scans the full corpus via the
+    distributed KMeans operator (MLlib k-means|| init + Lloyd) instead
+    of a bounded driver sample. The sample path stays the default —
+    it is deterministic-pinnable for oracles — but at production
+    n_lists (>=1024) a 100k sample leaves <100 rows per list, and the
+    quantizer quality becomes sample-noise bound; this path keeps the
+    per-list population at corpus scale. Driver state is still only
+    the n_lists x d centroid matrix."""
+    from dask_ml_spark.operators.cluster import KMeans
+
+    d = len(df.select(vec_col).first()[0])
+    cols = [f"__f{i}" for i in range(d)]
+    flat = df.select(*[
+        F.element_at(F.col(vec_col), i + 1).cast("double").alias(c)
+        for i, c in enumerate(cols)])
+    km = KMeans(n_clusters=n_lists, random_state=seed).fit(flat, cols)
+    return np.asarray(km.cluster_centers_, dtype="float64")
 
 
 def _kmeans_codebook(block, k, rng, iters=20):
@@ -589,17 +651,27 @@ class IVFPQIndex:
         self.id_col = id_col
         self.seed = seed
 
-    def fit(self, df: DataFrame, sample_rows: int = 100_000) -> "IVFPQIndex":
+    def fit(self, df: DataFrame, sample_rows: int = 100_000,
+            coarse: str = "sample") -> "IVFPQIndex":
         """ONE corpus sample trains both stages (driver-side numpy on a
         bounded sample; the corpus-scale work stays in Spark): coarse
         k-means for the lists, then the shared per-subspace trainer on
-        the sample's residuals."""
+        the sample's residuals. coarse='distributed' swaps the coarse
+        stage for the full-corpus MLlib fit (see
+        `_distributed_coarse_centroids`) — use it when n_lists is in
+        the hundreds+; the sample path stays deterministic-pinnable."""
         sample = np.asarray(
             [r[0] for r in df.select(self.vec_col)
              .orderBy(F.rand(self.seed)).limit(sample_rows).collect()],
             dtype="float64")
         rng = np.random.RandomState(self.seed)
-        self.centroids_ = _kmeans_codebook(sample, self.n_lists, rng)
+        if coarse == "distributed":
+            self.centroids_ = _distributed_coarse_centroids(
+                df, self.vec_col, self.n_lists, self.seed)
+        elif coarse == "sample":
+            self.centroids_ = _kmeans_codebook(sample, self.n_lists, rng)
+        else:
+            raise ValueError(f"coarse must be 'sample' or 'distributed', got {coarse!r}")
         d = ((sample[:, None, :] - self.centroids_[None]) ** 2).sum(axis=2)
         residuals = sample - self.centroids_[d.argmin(axis=1)]
         self.codebooks_ = _train_pq_codebooks(residuals, self.m, self.k,
@@ -647,9 +719,11 @@ class IVFPQIndex:
                  else self.encode(df, bucket_col, code_col))
         sub = self.centroids_.shape[1] // self.m
         entries = []
+        probed: set[int] = set()
         for qid, qvec in queries:
             cd = ((self.centroids_ - qvec[None]) ** 2).sum(axis=1)
             for lst in np.argsort(cd, kind="stable")[:self.n_probe]:
+                probed.add(int(lst))
                 resid = qvec - self.centroids_[lst]
                 score = F.lit(0.0)
                 for s, book in enumerate(self.codebooks_):
@@ -661,9 +735,28 @@ class IVFPQIndex:
                 entries.append(F.struct(
                     F.lit(qid).alias("qid"),
                     F.lit(int(lst)).alias("lst"), score.alias("score")))
+        # the union of probed lists is driver-known: on a PRECODED
+        # table (bucket is a stored column — e.g. read back from a
+        # `write_coded` partitionBy(bucket) layout) filter it BEFORE
+        # the explode so the predicate reaches the scan as partition
+        # pruning / row-group stats; probes cover only
+        # n_probe/n_lists of the corpus, so at production n_lists the
+        # unpruned scan is >99% waste. When encoding inline the same
+        # filter is a measured LOSS: Catalyst substitutes the alias
+        # and pushes the n_lists-centroid argmin into a scan
+        # DataFilter, evaluating it twice per surviving row — there
+        # the per-row array filter below already drops non-probed
+        # rows (empty array ⇒ explode emits nothing) without
+        # recomputing the bucket.
+        if code_col in df.columns and bucket_col in df.columns:
+            coded = coded.where(F.col(bucket_col).isin(sorted(probed)))
+        # drop non-matching (query, list) structs PRE-explode so only
+        # real candidates are generated into the top-k shuffle
         out = (coded.select(self.id_col, bucket_col,
-                            F.explode(F.array(*entries)).alias("__q"))
-               .where(F.col("__q.lst") == F.col(bucket_col)))
+                            F.explode(F.filter(
+                                F.array(*entries),
+                                lambda e: e["lst"] == F.col(bucket_col)))
+                            .alias("__q")))
         if all(_ids_comparable(qid, df, self.id_col) for qid, _ in queries):
             out = out.where(F.col("__q.qid") != F.col(self.id_col))
         out = out.select(F.col("__q.qid").alias(query_id_col),

@@ -190,14 +190,17 @@ def bm25_scores(df: DataFrame, query_terms, text_col: str = "text",
         F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks"))
     base = base.select(id_col, "__toks", F.size("__toks").alias("dl"))
     stats = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    # persist the postings: df-counts AND the scoring join both read tf,
+    # pin the postings: df-counts AND the scoring join both read tf,
     # and without the pin Catalyst plans two full corpus scans for the
-    # same subtree. The cached frame is tiny — only (doc, matched-term)
-    # rows, bounded by n_docs * |query|.
+    # same subtree. localCheckpoint, not persist — a bare persist
+    # leaks a cached dataset into executor storage for the session's
+    # lifetime; checkpoint blocks are reclaimed by the ContextCleaner
+    # once the returned DataFrame is dropped. The pinned frame is tiny
+    # — only (doc, matched-term) rows, bounded by n_docs * |query|.
     tf = (base.select(id_col, "dl", F.explode("__toks").alias("term"))
           .where(F.col("term").isin(terms))
           .groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
-          .persist())
+          .localCheckpoint())
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = (F.col("tf")
@@ -230,10 +233,11 @@ def bm25_topk(df: DataFrame, queries: dict, k: int = 10,
         F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks"))
     base = base.select(id_col, "__toks", F.size("__toks").alias("dl"))
     stats = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # localCheckpoint, same leak rationale as bm25_scores
     tf = (base.select(id_col, "dl", F.explode("__toks").alias("term"))
           .where(F.col("term").isin(all_terms))
           .groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
-          .persist())
+          .localCheckpoint())
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     qdf = spark.createDataFrame(
         [(qid, t.lower()) for qid, ts in queries.items() for t in set(ts)],
@@ -267,10 +271,12 @@ def unigram_logprob_scores(df: DataFrame, text_col: str = "text",
     join beyond. Low scores = improbable token sequences (gibberish,
     boilerplate in the wrong corpus); use as a quality gate.
     """
-    # persisted: scanned for LM counts, the N/V scalars, and scoring —
-    # released by the caller's session (clearCache) like the other
-    # self-join datapipe ops
-    toks = df.select(F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("token")).persist()
+    # pinned: scanned for LM counts, the N/V scalars, and scoring.
+    # localCheckpoint, not persist — persist would leak the cached
+    # token table into executor storage for the session's lifetime;
+    # checkpoint blocks are reclaimed once the result frame is dropped
+    toks = df.select(F.col(id_col), F.explode(
+        tokens_expr(F.col(text_col))).alias("token")).localCheckpoint()
     lm = toks.groupBy("token").agg(F.count("*").alias("c"))
     n_total, vocab = lm.agg(
         F.sum("c").alias("n"), F.count("*").alias("v")).collect()[0]

@@ -1876,3 +1876,103 @@ def test_distribution_drift(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="non-null"):
         distribution_drift(a, h.where("x > 1000"), "x", 4, 0.0, 1.0)
+
+
+def test_ivfpq_prunes_scan_to_probed_lists(spark, embeddings, tmp_path):
+    """The round-6 scale fix: search must filter `bucket IN (probed)`
+    BEFORE the explode, and on a partitioned-by-bucket layout that
+    filter must reach the scan as a partition filter — each query
+    touches n_probe/n_lists of the corpus, not all of it."""
+    from dask_ml_spark.datapipe.similarity import IVFPQIndex, write_coded
+
+    idx = IVFPQIndex(n_lists=8, m=4, k=16, n_probe=2).fit(embeddings)
+    queries = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    baseline = {(r["query_id"], r["vec_id"], r["rank"])
+                for r in idx.search(embeddings, queries, topk=10).collect()}
+
+    path = str(tmp_path / "ivfpq_coded")
+    write_coded(idx.encode(embeddings), path)
+    coded = spark.read.parquet(path)
+    out = idx.search(coded, queries, topk=10)
+    got = {(r["query_id"], r["vec_id"], r["rank"]) for r in out.collect()}
+    assert got == baseline
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # probed-list pruning lands at the parquet scan as partition
+    # filters (bucket is the partition column of the written layout)
+    seg = plan.split("PartitionFilters", 1)
+    assert len(seg) == 2 and "bucket" in seg[1][:200]
+    # the probed union is a strict subset of the 8 lists: the scan
+    # filter is a real IN-list prune, not a tautology
+    assert " IN (" in seg[1][:200]
+
+
+def test_ivf_precoded_search_prunes_and_matches(spark, embeddings, tmp_path):
+    from dask_ml_spark.datapipe.similarity import IVFIndex, write_coded
+
+    idx = IVFIndex(n_lists=8, n_probe=3).fit(embeddings)
+    queries = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    baseline = {(r["query_id"], r["vec_id"], r["rank"])
+                for r in idx.search(embeddings, queries, k=10).collect()}
+
+    path = str(tmp_path / "ivf_coded")
+    write_coded(idx.assign(embeddings), path)
+    coded = spark.read.parquet(path)
+    out = idx.search(coded, queries, k=10)
+    assert {(r["query_id"], r["vec_id"], r["rank"])
+            for r in out.collect()} == baseline
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters", 1)
+    assert len(seg) == 2 and "bucket" in seg[1][:200]
+
+
+def test_ivf_distributed_coarse_fit(spark, embeddings):
+    """coarse='distributed' trains the quantizer with the full-corpus
+    MLlib KMeans instead of a driver sample; search still returns a
+    full top-k per query from the probed lists."""
+    from dask_ml_spark.datapipe.similarity import IVFIndex, IVFPQIndex
+
+    idx = IVFIndex(n_lists=4, n_probe=2, seed=3).fit(
+        embeddings, coarse="distributed")
+    assert idx.centroids_.shape[0] == 4
+    queries = embeddings.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = idx.search(embeddings, queries, k=5).collect()
+    assert {r["query_id"] for r in got} == {0, 1}
+    assert all(1 <= r["rank"] <= 5 for r in got)
+
+    pq = IVFPQIndex(n_lists=4, m=4, k=8, n_probe=2, seed=3).fit(
+        embeddings, coarse="distributed")
+    assert pq.centroids_.shape[0] == 4 and len(pq.codebooks_) == 4
+    out = pq.search(embeddings, queries, topk=5).collect()
+    assert {r["query_id"] for r in out} == {0, 1}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="coarse"):
+        IVFIndex(n_lists=4).fit(embeddings, coarse="nope")
+
+
+def test_text_stats_do_not_leak_session_cache(spark):
+    """bm25_scores / bm25_topk / unigram_logprob_scores pin their
+    shared subtrees via localCheckpoint, not persist: a library-level
+    persist registers in the session CacheManager and stays there for
+    the session's lifetime (nothing ever unpersists it), while
+    checkpoint blocks are reclaimed by the ContextCleaner once the
+    result frame is dropped."""
+    from dask_ml_spark.datapipe.text_stats import (
+        bigram_logprob_scores, bm25_scores, bm25_topk,
+        unigram_logprob_scores)
+
+    docs = spark.createDataFrame(
+        [(1, "red dog runs"), (2, "red red cat dog"), (3, "blue bird")],
+        ["doc_id", "text"])
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    bm25_scores(docs, ["red", "dog"]).collect()
+    bm25_topk(docs, {"q1": ["red"], "q2": ["bird"]}, k=2).collect()
+    unigram_logprob_scores(docs).collect()
+    bigram_logprob_scores(docs).collect()
+    assert cm.isEmpty()
