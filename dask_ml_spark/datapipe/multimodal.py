@@ -4,10 +4,11 @@ Treats media as opaque `binary` columns plus typed metadata structs.
 The Spark-side machinery — schemas, Arrow batch shapes, mapInPandas
 signatures, partition sizing — is real and tested. Codecs: formats a
 stdlib+numpy container can honestly decode are REAL under
-`stub=False` — uncompressed BMP / binary P6 PPM images and PCM WAV
-audio (stdlib `wave` + rfft band energies); compressed formats
-(JPEG/PNG/mp3/video) still raise NotImplementedError because no codec
-library ships here. `stub=True` (default) produces a deterministic
+`stub=False` — uncompressed BMP / binary P6 PPM images, baseline JPEG
+(jpeg.py), 8-bit PNG (png.py — stdlib zlib + scanline unfiltering),
+and PCM WAV audio (stdlib `wave` + rfft band energies); the remaining
+compressed formats (progressive JPEG/mp3/video) still raise
+NotImplementedError because no codec library ships here. `stub=True` (default) produces a deterministic
 fake decode derived from the bytes, so every pipeline stays
 end-to-end testable either way.
 
@@ -141,10 +142,19 @@ def _decode_any(data: bytes) -> np.ndarray:
 
         img = decode_jpeg(data)
         return np.repeat(img, 3, axis=2) if img.shape[2] == 1 else img
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from dask_ml_spark.datapipe.png import decode_png
+
+        img = decode_png(data)
+        if img.shape[2] == 2:  # gray+alpha → replicate luma, drop alpha
+            img = img[:, :, :1]
+        if img.shape[2] == 1:
+            return np.repeat(img, 3, axis=2)
+        return img[:, :, :3]  # RGBA → RGB
     raise NotImplementedError(
-        "only uncompressed BMP, binary PPM, and baseline JPEG decode "
-        "without codec libraries (not in this container) — "
-        "PNG/progressive-JPEG/video/audio stay stubbed; run with "
+        "only uncompressed BMP, binary PPM, baseline JPEG, and 8-bit "
+        "PNG decode without codec libraries (not in this container) — "
+        "progressive-JPEG/video/audio stay stubbed; run with "
         "stub=True for the deterministic fake"
     )
 
@@ -177,11 +187,12 @@ def decode_image_features(df: DataFrame, blob_col: str = "blob", id_col: str = "
     n_bytes). Real pipeline shape: mapInPandas over Arrow batches,
     per-batch numpy, no row-at-a-time Python.
 
-    stub=False performs a REAL decode for uncompressed BMP and binary
-    P6 PPM (pure-Python, stdlib+numpy — see _decode_bmp/_decode_ppm)
-    with nearest-neighbor resize; compressed formats (JPEG/PNG/…)
-    still raise NotImplementedError because no codec library ships in
-    this container.
+    stub=False performs a REAL decode for uncompressed BMP, binary
+    P6 PPM, baseline JPEG, and 8-bit PNG (pure-Python, stdlib+numpy —
+    see _decode_any) with nearest-neighbor resize; the remaining
+    compressed formats (progressive JPEG/…) still raise
+    NotImplementedError because no codec library ships in this
+    container.
     """
     h, w = resize
 

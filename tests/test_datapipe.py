@@ -253,9 +253,10 @@ def test_multimodal_real_bmp_ppm_decode(spark):
     for w in (1, 2, 3, 5, 7):
         odd = rng.randint(0, 256, size=(3, w, 3), dtype="uint8")
         np.testing.assert_array_equal(_decode_any(encode_bmp(odd)), odd)
-    # codec-less formats stay honestly stubbed (JPEG is real now)
+    # codec-less formats stay honestly stubbed (JPEG and PNG are real
+    # now — an unknown container must still raise, not fake-decode)
     with pytest.raises(NotImplementedError):
-        _decode_any(b"\x89PNG\r\n\x1a\n fake png")
+        _decode_any(b"\x1aE\xdf\xa3 fake webm")
 
 
 def test_multimodal_frame_sample(documents):
