@@ -115,9 +115,12 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
     """
     if method == "auto":
         method = "expr" if len(merges) <= 16 else "arrow"
+    # collision-safe staging name (double-underscore convention): a
+    # user column literally named f"{text_col}_words" must not be
+    # overwritten and then silently dropped
     words = F.expr(
-        f"transform({text_col}_words, w -> regexp_extract_all(w, '.', 0))")
-    base = df.withColumn(f"{text_col}_words", tokens_expr(F.col(text_col)))
+        "transform(__bpe_words, w -> regexp_extract_all(w, '.', 0))")
+    base = df.withColumn("__bpe_words", tokens_expr(F.col(text_col)))
     if method == "expr":
         def _merge_fn(left, right):
             # a real 1-arg closure: F.transform counts default args as
@@ -130,7 +133,7 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
                 "__wsyms", F.transform(F.col("__wsyms"),
                                        _merge_fn(left, right)))
         return (col.withColumn(output_col, F.flatten(F.col("__wsyms")))
-                .drop("__wsyms", f"{text_col}_words"))
+                .drop("__wsyms", "__bpe_words"))
     # arrow path: one Python pass applying all merges per word
     import pandas as pd  # noqa: F401 — resolves the UDF type hints
     from pyspark.sql.functions import pandas_udf
@@ -159,5 +162,5 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
 
     _encode.__annotations__ = {"series": pd.Series, "return": pd.Series}
     udf = pandas_udf(_encode, "array<string>")
-    return (base.withColumn(output_col, udf(F.col(f"{text_col}_words")))
-            .drop(f"{text_col}_words"))
+    return (base.withColumn(output_col, udf(F.col("__bpe_words")))
+            .drop("__bpe_words"))

@@ -224,12 +224,15 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
     Every ``span_tokens``-token window (stride 1) is hashed; a window
     whose hash occurs >= ``min_occurrences`` times corpus-wide (across
     OR within documents) is a repeated span. With ``keep_first`` the
-    lexicographically first occurrence (min (id, pos)) of each span
-    survives and every other copy's token range is removed; with
-    ``keep_first=False`` every copy is removed (the boilerplate rule).
-    Overlapping removed windows merge naturally — their covered token
-    index sets union — so a repeated region of length L >= span_tokens
-    disappears wholesale, not window-by-window.
+    lexicographically first occurrence (min (id, pos)) of each span is
+    exempt PER WINDOW — its tokens are only guaranteed to survive if
+    no OTHER duplicate window covers them, so self-overlapping runs
+    ("loop" * 10) collapse to roughly one period rather than keeping
+    the whole first window. With ``keep_first=False`` every copy is
+    removed (the boilerplate rule). Overlapping removed windows merge
+    naturally — their covered token index sets union — so a repeated
+    region of length L >= span_tokens disappears wholesale, not
+    window-by-window.
 
     Shape at 100 TB: window hashing is a narrow per-row transform
     (~|tokens| rows, one 16-byte hash each); the occurrence count and

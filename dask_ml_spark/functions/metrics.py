@@ -362,18 +362,31 @@ DEFAULT_AUC_BINS = 4096
 
 
 def _roc_auc_from_proba(df: DataFrame, label_col: str = "label",
-                        prediction_col: str = "probability", **_ignored) -> float:
+                        prediction_col: str = "probability",
+                        bins: int | None = DEFAULT_AUC_BINS,
+                        **_ignored) -> float:
     """AUC over a probability column (double P(class=1) or
     predict_proba array — scorer-protocol adapter for roc_auc_score).
-    Uses the binned scale path (DEFAULT_AUC_BINS) — see the constant's
-    error-bound note."""
+
+    The registry's 'roc_auc' uses the binned scale path
+    (DEFAULT_AUC_BINS — see the constant's error-bound note): scores
+    can differ from the exact rank-sum AUC by ~O(1/4096), which can
+    flip near-tie candidate rankings in a CV grid. Register-level
+    opt-out: 'roc_auc_exact' runs bins=None (exact, sort-sized
+    shuffle per evaluation)."""
     from pyspark.sql import types as T
 
     if isinstance(df.schema[prediction_col].dataType, T.ArrayType):
         df = df.withColumn("__score", F.element_at(F.col(prediction_col), 2))
     else:
         df = df.withColumn("__score", F.col(prediction_col))
-    return roc_auc_score(df, label_col, "__score", bins=DEFAULT_AUC_BINS)
+    return roc_auc_score(df, label_col, "__score", bins=bins)
+
+
+def _roc_auc_exact_from_proba(df: DataFrame, label_col: str = "label",
+                              prediction_col: str = "probability",
+                              **_ignored) -> float:
+    return _roc_auc_from_proba(df, label_col, prediction_col, bins=None)
 
 
 SCORERS = {
@@ -382,7 +395,11 @@ SCORERS = {
     "neg_mean_squared_error": Scorer(mean_squared_error, greater_is_better=False),
     "neg_mean_absolute_error": Scorer(mean_absolute_error, greater_is_better=False),
     "neg_log_loss": Scorer(log_loss, greater_is_better=False, needs_proba=True),
+    # binned AUC (DEFAULT_AUC_BINS, ~O(1/4096) error) — the 100 TB
+    # default; 'roc_auc_exact' is the rank-sum path when near-tie
+    # candidate rankings must not flip on binning error
     "roc_auc": Scorer(_roc_auc_from_proba, needs_proba=True),
+    "roc_auc_exact": Scorer(_roc_auc_exact_from_proba, needs_proba=True),
 }
 
 

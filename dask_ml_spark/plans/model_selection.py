@@ -566,6 +566,15 @@ class TimeSeriesSplit(BaseEstimator):
         if self.boundary == "range":
             row = df.agg(F.min(t).alias("t0"), F.max(t).alias("t1")).collect()[0]
             t0, t1 = int(row["t0"]), int(row["t1"])
+            if t1 - t0 < k:
+                # mirror the quantile path's guard: a (near-)constant
+                # time column yields duplicate integer cuts, silently
+                # producing empty train AND empty test folds
+                raise ValueError(
+                    f"time range [{t0}, {t1}] too narrow for "
+                    f"{self.n_splits} splits — boundary='range' cuts "
+                    "would collide; reduce n_splits or use a "
+                    "finer-grained time column")
             return [t0 + (t1 - t0) * i // k for i in range(1, k)]
         qs = [i / k for i in range(1, k)]
         row = df.select(t.alias("__t")).agg(

@@ -126,3 +126,19 @@ def test_bpe_encode_quote_symbols_safe(spark):
     df = spark.createDataFrame([(["a", "'", "b"],)], "syms array<string>")
     out = df.select(_apply_merge(F.col("syms"), "a", "'").alias("m")).collect()
     assert out[0]["m"] == ["a'", "b"]
+
+
+def test_bpe_encode_preserves_user_words_column(spark):
+    """A user column literally named f'{text_col}_words' must survive:
+    the staging column is __bpe_words, not text_words (ADVICE r5)."""
+    from dask_ml_spark.datapipe.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [("ab ab", "KEEP"), ("ba", "ME")], ["text", "text_words"])
+    for method in ("expr", "arrow"):
+        out = bpe_encode(df, [("a", "b", 2)], method=method)
+        assert "text_words" in out.columns
+        rows = {r["text"]: (r["text_words"], r["bpe_tokens"])
+                for r in out.collect()}
+        assert rows["ab ab"] == ("KEEP", ["ab", "ab"])
+        assert rows["ba"] == ("ME", ["b", "a"])

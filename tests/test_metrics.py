@@ -271,3 +271,17 @@ def test_roc_auc_scorer_registry_uses_binned_path(spark):
     np.testing.assert_allclose(got, want, rtol=0, atol=0)
     exact = roc_auc_score(df, "label", "probability")
     assert abs(got - exact) < 2e-3
+
+
+def test_roc_auc_exact_scorer_variant(preds):
+    """'roc_auc' (registry default) is the binned 100 TB path;
+    'roc_auc_exact' restores the exact rank-sum AUC (ADVICE r5 — the
+    binned default can flip near-tie CV rankings silently, so the
+    opt-out must exist by name)."""
+    df, pdf = preds
+    exact = M.get_scorer("roc_auc_exact")(df)
+    binned = M.get_scorer("roc_auc")(df)
+    want = M.roc_auc_score(df, "label", "probability", bins=None)
+    assert exact == want
+    assert abs(binned - exact) < 1e-2  # binning error bounded, not zero
+    assert M.get_scorer("roc_auc_exact").needs_proba

@@ -409,3 +409,22 @@ def test_time_series_split_quantile_collision_raises(spark):
     tss = TimeSeriesSplit(n_splits=4, time_col="t", boundary="quantile")
     with _pytest.raises(ValueError, match="collide"):
         list(tss.split(df))
+
+
+def test_time_series_split_range_guard_on_constant_time(spark):
+    """boundary='range' on a (near-)constant time column must raise
+    like the quantile path, not yield empty degenerate folds."""
+    import pytest
+
+    from dask_ml_spark.plans.model_selection import TimeSeriesSplit
+
+    df = spark.createDataFrame([(7, i) for i in range(20)], ["ts", "x"])
+    with pytest.raises(ValueError, match="too narrow"):
+        TimeSeriesSplit(n_splits=4, time_col="ts",
+                        boundary="range").cuts(df)
+    # range 0..2 cannot host 4 interior cuts either
+    df2 = spark.createDataFrame(
+        [(i % 3, i) for i in range(20)], ["ts", "x"])
+    with pytest.raises(ValueError, match="too narrow"):
+        TimeSeriesSplit(n_splits=4, time_col="ts",
+                        boundary="range").cuts(df2)
