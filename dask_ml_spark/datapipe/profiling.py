@@ -161,8 +161,9 @@ def distribution_drift(df_a: DataFrame, df_b: DataFrame, col: str,
                        hi: float = 1.0) -> dict:
     """Distribution drift between two corpus releases / sources over a
     numeric column — the standard data-quality gate before a new shard
-    joins training. Both sides histogram into the SAME fixed bins (one
-    tiny aggregate each, <= bins rows to the driver), then:
+    joins training. Both sides histogram into the SAME fixed bins in
+    ONE union-tagged aggregate (a single Spark query, <= 2*bins rows
+    to the driver), then:
 
     - psi  : population stability index, sum (pa-pb) * ln(pa/pb) with
              the usual +0.5 Laplace smoothing (industry rule of thumb:
@@ -176,8 +177,21 @@ def distribution_drift(df_a: DataFrame, df_b: DataFrame, col: str,
     """
     import math
 
-    ca = {r["bin"]: r["cnt"] for r in histogram(df_a, col, bins, lo, hi).collect()}
-    cb = {r["bin"]: r["cnt"] for r in histogram(df_b, col, bins, lo, hi).collect()}
+    # ONE union-tagged aggregate instead of two separate jobs: both
+    # sides share the bucketing expression, so a literal side tag +
+    # groupBy(side, bin) histograms them in a single Spark job
+    tagged = (df_a.select(F.col(col), F.lit("a").alias("__side"))
+              .unionByName(df_b.select(F.col(col), F.lit("b").alias("__side"))))
+    x = F.col(col).cast("double")
+    width = (hi - lo) / bins
+    b = F.floor((x - F.lit(float(lo))) / F.lit(float(width))).cast("long")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(int(bins - 1)))
+    counts = (tagged.where(x.isNotNull() & ~F.isnan(x))
+              .select("__side", b.alias("bin"))
+              .groupBy("__side", "bin").agg(F.count("*").alias("cnt"))
+              .collect())
+    ca = {r["bin"]: r["cnt"] for r in counts if r["__side"] == "a"}
+    cb = {r["bin"]: r["cnt"] for r in counts if r["__side"] == "b"}
     n_a, n_b = sum(ca.values()), sum(cb.values())
     if n_a == 0 or n_b == 0:
         raise ValueError(

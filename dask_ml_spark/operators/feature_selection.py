@@ -126,8 +126,19 @@ def chi2(df: DataFrame, feature_cols, label_col: str = "label"):
     the expectation under independence (class priors from row counts):
     chi2_i = sum_g (obs_gi - exp_gi)^2 / exp_gi. One groupBy(label)
     pass of (n, sum, min) per feature; a negative value raises (the
-    sklearn contract); NULL/NaN rows contribute zero mass but still
-    count toward the class priors. All-zero features score NaN."""
+    sklearn contract); all-zero features score NaN.
+
+    NULL/NaN edge (sklearn parity note): NULL/NaN rows contribute
+    ZERO mass to a feature's per-class observed sums but still count
+    toward the class priors (the row-count n used for expectations) —
+    sklearn has no such rows because it rejects NaN input outright.
+    With a shared null pattern across features this shrinks every
+    statistic toward independence proportionally (ranking preserved);
+    with per-feature null patterns the priors are those of the whole
+    frame, not of each feature's non-null subset. For exact sklearn
+    semantics drop null rows first:
+    ``chi2(df.dropna(subset=feats + [label]), feats)`` equals
+    sklearn's ``chi2(X, y)`` on the same dense matrix (tested)."""
     feats = list(feature_cols)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(feats):

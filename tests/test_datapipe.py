@@ -1977,3 +1977,21 @@ def test_text_stats_do_not_leak_session_cache(spark):
     unigram_logprob_scores(docs).collect()
     bigram_logprob_scores(docs).collect()
     assert cm.isEmpty()
+
+
+def test_distribution_drift_single_query(spark):
+    """Both sides histogram in ONE union-tagged aggregate (a single
+    collect), not one job pair per side (VERDICT r5 polish)."""
+    from dask_ml_spark.datapipe.profiling import distribution_drift
+
+    a = spark.createDataFrame([(float(i % 10) / 10,) for i in range(100)], ["x"])
+    b = spark.createDataFrame([(float(i % 5) / 5,) for i in range(100)], ["x"])
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    out = distribution_drift(a, b, "x", bins=10, lo=0.0, hi=1.0)
+    after = set(tracker.getJobIdsForGroup(None))
+    # one query: AQE may stage it as up to 2 jobs; the old two-collect
+    # implementation ran 2 queries (>= 2 jobs even without AQE, 4 with)
+    assert 1 <= len(after - before) <= 2
+    assert out["n_a"] == out["n_b"] == 100
+    assert out["tvd"] > 0.0

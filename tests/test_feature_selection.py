@@ -193,3 +193,49 @@ def test_feature_selection_composes_in_pipeline(frame):
     assert pipe.named_steps["scale"].columns_ == ["f0", "f1"]
     stats = out.agg(F.avg("f0"), F.stddev_pop("f0")).collect()[0]
     assert abs(stats[0]) < 1e-9 and abs(stats[1] - 1.0) < 1e-9
+
+
+def test_chi2_null_rows_and_sklearn_parity_on_dropped(spark):
+    """Documented NULL edge: null rows add zero mass but stay in the
+    class priors, shrinking statistics toward independence; dropping
+    them first reproduces sklearn's chi2 exactly (independent numpy
+    replay of sklearn's formula — sklearn itself rejects NaN input)."""
+    import numpy as np
+
+    from dask_ml_spark.operators.feature_selection import chi2
+
+    rng = np.random.RandomState(3)
+    X = rng.randint(0, 6, size=(60, 2)).astype(float)
+    y = rng.randint(0, 3, size=60)
+    rows = [(float(a), float(b), int(c)) for (a, b), c in zip(X, y)]
+    # poke nulls into feature f0 only
+    nulled = [(None if i % 5 == 0 else a, b, c)
+              for i, (a, b, c) in enumerate(rows)]
+    df = spark.createDataFrame(nulled, "f0 double, f1 double, label int")
+
+    def sk_chi2(Xm, yv):
+        # sklearn.feature_selection.chi2: observed per-class sums vs
+        # class_prob * feature_total
+        classes = np.unique(yv)
+        obs = np.stack([Xm[yv == g].sum(axis=0) for g in classes])
+        prior = np.array([(yv == g).mean() for g in classes])
+        exp = prior[:, None] * Xm.sum(axis=0)[None, :]
+        return ((obs - exp) ** 2 / exp).sum(axis=0)
+
+    # parity after dropping null rows
+    keep = ~np.array([r[0] is None for r in nulled])
+    got = chi2(df.dropna(subset=["f0"]), ["f0", "f1"])
+    want = sk_chi2(X[keep], y[keep])
+    assert got["f0"] == pytest.approx(want[0])
+    assert got["f1"] == pytest.approx(want[1])
+
+    # with nulls retained, f0 uses whole-frame priors: equals the
+    # numpy replay with nulls as zero mass but full row counts
+    full = chi2(df, ["f0", "f1"])
+    X0 = np.where(keep, X[:, 0], 0.0)
+    classes = np.unique(y)
+    obs = np.array([X0[y == g].sum() for g in classes])
+    exp = np.array([(y == g).mean() for g in classes]) * X0.sum()
+    assert full["f0"] == pytest.approx((((obs - exp) ** 2) / exp).sum())
+    # f1 has no nulls: unaffected by f0's null pattern
+    assert full["f1"] == pytest.approx(sk_chi2(X, y)[1])
