@@ -220,16 +220,23 @@ class QuantileTransformer(BaseEstimator, TransformerMixin):
     """
 
     def __init__(self, n_quantiles: int = 1000, output_distribution: str = "uniform",
-                 approximate: bool = True):
+                 approximate: bool = True, accuracy: int = 10000):
         self.n_quantiles = n_quantiles
         self.output_distribution = output_distribution
         self.approximate = approximate
+        # GK sketch accuracy; > n/2 makes the approx path exact (the
+        # *_approx oracle's lever — same note as KBinsDiscretizer)
+        self.accuracy = accuracy
 
     def fit(self, df: DataFrame, columns=None) -> "QuantileTransformer":
         cols = self._validate_data(df, columns)
         n = min(self.n_quantiles, df.count())
         self.references_ = np.linspace(0, 1, n, endpoint=True)
-        pct = F.percentile_approx if self.approximate else F.percentile
+        if self.approximate:
+            def pct(c, probs):
+                return F.percentile_approx(c, probs, F.lit(self.accuracy))
+        else:
+            pct = F.percentile
         probs = F.array(*[F.lit(float(x)) for x in self.references_])
         row = df.agg(*[pct(_nn(c), probs).alias(f"q_{c}") for c in cols]).collect()[0]
         self.quantiles_ = np.column_stack([np.asarray(row[f"q_{c}"], dtype="float64") for c in cols])
@@ -421,16 +428,24 @@ class KBinsDiscretizer(BaseEstimator, TransformerMixin):
     """
 
     def __init__(self, n_bins: int = 5, strategy: str = "quantile",
-                 approximate: bool = False):
+                 approximate: bool = False, accuracy: int = 10000):
         self.n_bins = n_bins
         self.strategy = strategy
         self.approximate = approximate
+        # GK sketch accuracy (rank error <= n/(2*accuracy)); raising it
+        # past n/2 makes percentile_approx EXACT — how the *_approx
+        # oracle pins this path against DuckDB's quantile_disc
+        self.accuracy = accuracy
 
     def fit(self, df: DataFrame, columns=None) -> "KBinsDiscretizer":
         cols = self._validate_data(df, columns)
         k = self.n_bins
         if self.strategy == "quantile":
-            pct = F.percentile_approx if self.approximate else F.percentile
+            if self.approximate:
+                def pct(c, probs):
+                    return F.percentile_approx(c, probs, F.lit(self.accuracy))
+            else:
+                pct = F.percentile
             probs = F.array(*[F.lit(i / k) for i in range(k + 1)])
             row = df.agg(*[pct(_nn(c), probs).alias(c) for c in cols]).collect()[0]
             edges = {c: [float(v) for v in row[c]] for c in cols}

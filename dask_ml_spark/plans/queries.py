@@ -2250,20 +2250,51 @@ FROM g, generate_series(1, 11) AS t(i)
 """
 
 
+# GK at accuracy=2e6 is in its exact regime at sf<=0.1 (rank error
+# n/(2*accuracy) < 1): percentile_approx deterministically returns the
+# order statistic at rank ceil(p * n) computed in DOUBLE arithmetic —
+# including the FP noise the np.linspace grid carries (linspace's
+# 0.30000000000000004 * 60000 lands just above 18000, so Spark picks
+# rank 18001 where a clean 0.3 would pick 18000). The oracle replays
+# the SAME double products (string-cast literals are correctly-rounded
+# to the identical doubles), so both engines select identical ranks.
+SQL_QUANTILE_TRANSFORMER_FIT_APPROX = """
+WITH probs AS (
+    SELECT * FROM (VALUES
+        (0, '0.0'::DOUBLE), (1, '0.1'::DOUBLE), (2, '0.2'::DOUBLE),
+        (3, '0.30000000000000004'::DOUBLE), (4, '0.4'::DOUBLE),
+        (5, '0.5'::DOUBLE), (6, '0.6000000000000001'::DOUBLE),
+        (7, '0.7000000000000001'::DOUBLE), (8, '0.8'::DOUBLE),
+        (9, '0.9'::DOUBLE), (10, '1.0'::DOUBLE)) t(i, pr)
+),
+n AS (SELECT count(*)::DOUBLE AS cnt FROM lineitem),
+ranks AS (
+    SELECT i, GREATEST(1, CEIL(pr * cnt))::BIGINT AS rk FROM probs, n
+),
+sq AS (SELECT row_number() OVER (ORDER BY l_quantity) AS r,
+              l_quantity AS v FROM lineitem),
+sp AS (SELECT row_number() OVER (ORDER BY l_extendedprice) AS r,
+              l_extendedprice AS v FROM lineitem)
+SELECT ranks.i::BIGINT AS idx, sq.v::DOUBLE AS q_quantity,
+       sp.v::DOUBLE AS q_price
+FROM ranks JOIN sq ON sq.r = ranks.rk JOIN sp ON sp.r = ranks.rk
+"""
+
+
 def q_quantile_transformer_fit_approx(spark, sf_dir):
     """The scale path of the QuantileTransformer fit: percentile_approx
     (Greenwald-Khanna sketch — bounded memory per aggregate regardless
     of row count, mergeable map-side). This is the default
     (approximate=True) and the bench headline; the exact-percentile
-    variant above exists only as the small-SF oracle query — exact
-    percentile buffers every value in the aggregation buffer and does
-    not survive 100 TB columns. GK results are engine-specific, so this
-    query is rows-only (no DuckDB oracle), matching the reference whose
-    dask percentiles are approximate-by-design (data.py:303-312)."""
+    variant above buffers every value in the aggregation buffer and
+    does not survive 100 TB columns. accuracy=2e6 puts GK in its EXACT
+    regime at oracle/bench SFs (rank error n/(2*accuracy) < 1), so the
+    approx path is now DuckDB-oracled via quantile_disc (was
+    rows-only), while the library default accuracy stays 10000."""
     from dask_ml_spark.operators.preprocessing import QuantileTransformer
 
     li = _t(spark, sf_dir, "lineitem")
-    qt = QuantileTransformer(n_quantiles=11).fit(
+    qt = QuantileTransformer(n_quantiles=11, accuracy=2_000_000).fit(
         li, ["l_quantity", "l_extendedprice"]
     )
     rows = [
@@ -3634,6 +3665,8 @@ def build_catalog():
         "cross_corpus_minhash": sql_cross_corpus_minhash(),
         "asof_purchase_attribution": SQL_ASOF_PURCHASE_ATTRIBUTION,
         "kbins_discretizer": SQL_KBINS_DISCRETIZER,
+        "kbins_discretizer_approx": SQL_KBINS_DISCRETIZER_APPROX,
+        "quantile_transformer_fit_approx": SQL_QUANTILE_TRANSFORMER_FIT_APPROX,
         "target_encoder": SQL_TARGET_ENCODER,
         "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
         "source_token_quota": SQL_SOURCE_TOKEN_QUOTA,
@@ -4781,14 +4814,16 @@ GROUP BY p.p_brand
 
 
 def q_kbins_discretizer_approx(spark, sf_dir):
-    """Scale-path KBinsDiscretizer: percentile_approx edges
-    (Greenwald-Khanna — engine-specific sketch, so rows-only like the
-    other *_approx variants; the exact sibling is the oracle)."""
+    """Scale-path KBinsDiscretizer: percentile_approx edges. GK rank
+    error is <= n/(2*accuracy), so accuracy=2e6 puts the sketch in its
+    EXACT regime at oracle/bench SFs (n <= 6e5) — the approx code path
+    runs end-to-end AND DuckDB's quantile_disc replays the edges
+    bit-for-bit (was rows-only before r6)."""
     from dask_ml_spark.operators.preprocessing import KBinsDiscretizer
 
     li = _t(spark, sf_dir, "lineitem")
-    kb = KBinsDiscretizer(n_bins=8, strategy="quantile",
-                          approximate=True).fit(li, ["l_extendedprice"])
+    kb = KBinsDiscretizer(n_bins=8, strategy="quantile", approximate=True,
+                          accuracy=2_000_000).fit(li, ["l_extendedprice"])
     return (kb.transform(li.select("l_extendedprice"))
             .groupBy(F.col("l_extendedprice").cast("long").alias("bin"))
             .agg(F.count("*").alias("n")))
@@ -4906,6 +4941,28 @@ SELECT
    + CASE WHEN l_extendedprice >= q[6] THEN 1 ELSE 0 END
    + CASE WHEN l_extendedprice >= q[7] THEN 1 ELSE 0 END)::BIGINT AS bin,
     count(*) AS n, sum(l_extendedprice) AS total
+FROM lineitem CROSS JOIN e
+GROUP BY 1
+"""
+
+
+# approx sibling: quantile_disc replays exact-regime GK edges (see
+# SQL_QUANTILE_TRANSFORMER_FIT_APPROX note); the bin rule is the same
+SQL_KBINS_DISCRETIZER_APPROX = """
+WITH e AS (
+    SELECT quantile_disc(l_extendedprice,
+        [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q
+    FROM lineitem
+)
+SELECT
+    (CASE WHEN l_extendedprice >= q[1] THEN 1 ELSE 0 END
+   + CASE WHEN l_extendedprice >= q[2] THEN 1 ELSE 0 END
+   + CASE WHEN l_extendedprice >= q[3] THEN 1 ELSE 0 END
+   + CASE WHEN l_extendedprice >= q[4] THEN 1 ELSE 0 END
+   + CASE WHEN l_extendedprice >= q[5] THEN 1 ELSE 0 END
+   + CASE WHEN l_extendedprice >= q[6] THEN 1 ELSE 0 END
+   + CASE WHEN l_extendedprice >= q[7] THEN 1 ELSE 0 END)::BIGINT AS bin,
+    count(*)::BIGINT AS n
 FROM lineitem CROSS JOIN e
 GROUP BY 1
 """
