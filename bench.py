@@ -60,6 +60,8 @@ HEADLINE = [
     "count_vectorizer_long",
     "rbf_kernel_to_centers",
     "multimodal_decode",
+    "image_dhash_bands",
+    "image_near_dup_pairs",
     "frame_sample",
     "weighted_metrics",
     "pipeline_poly_scale",

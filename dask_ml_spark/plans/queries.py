@@ -2459,6 +2459,60 @@ FROM documents
 """
 
 
+def q_image_dhash_bands(spark, sf_dir):
+    """Perceptual image hashing (datapipe/image_dedup.py): dHash of
+    every blob as four 16-bit band integers — pure JVM expressions
+    under stub=True (md5-tile thumbnail), so the oracle replays the
+    ENTIRE hash bit-for-bit in SQL (gray sums, gradient bits, band
+    packing). The real-decode path shares the integer math and is
+    pinned in tests against BMP fixtures."""
+    from dask_ml_spark.datapipe.image_dedup import image_hashes
+    from dask_ml_spark.datapipe.multimodal import attach_binary_from_text
+
+    docs = _t(spark, sf_dir, "documents")
+    h = image_hashes(attach_binary_from_text(docs))
+    return h.select("doc_id", *[F.col(f"h{i}").cast("long").alias(f"h{i}")
+                                for i in range(4)])
+
+
+def q_image_near_dup_pairs(spark, sf_dir):
+    """Near-duplicate image pairs via banded Hamming LSH
+    (image_dedup.image_near_dup): 64-bit dHash in 4 bands, pigeonhole
+    guarantees EXHAUSTIVE recall at max_hamming=3 — which is exactly
+    what the oracle checks: DuckDB computes the brute-force all-pairs
+    Hamming set (fine at oracle SF; the Spark side never does
+    all-pairs) and the banded join must equal it."""
+    from dask_ml_spark.datapipe.image_dedup import image_near_dup
+    from dask_ml_spark.datapipe.multimodal import attach_binary_from_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_near_dup(attach_binary_from_text(docs), max_hamming=3)
+
+
+def _sql_dhash_bands() -> str:
+    """doc_id, h0..h3 — the md5-tile dHash replayed in DuckDB lists."""
+    byte = ("('0x' || substr(md5(text), ((%s) %% 16) * 2 + 1, 2))::BIGINT")
+    gray = ("list_transform(range(0, 72), i -> "
+            f"{byte % '3*i'} + {byte % '3*i+1'} + {byte % '3*i+2'})")
+    bands = ", ".join(
+        "list_sum(list_transform(range(0, 16), j -> CASE WHEN "
+        f"gr[((16*{b}+j) // 8) * 9 + ((16*{b}+j) % 8) + 1] > "
+        f"gr[((16*{b}+j) // 8) * 9 + ((16*{b}+j) % 8) + 2] "
+        f"THEN (1::BIGINT << (15 - j)) ELSE 0 END))::BIGINT AS h{b}"
+        for b in range(4))
+    return (f"WITH g AS (SELECT doc_id, {gray} AS gr FROM documents)\n"
+            f"SELECT doc_id, {bands} FROM g")
+
+
+def _sql_image_near_dup_pairs() -> str:
+    ham = " + ".join(f"bit_count(xor(a.h{i}, b.h{i}))" for i in range(4))
+    return (f"WITH h AS ({_sql_dhash_bands()})\n"
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            f"({ham})::BIGINT AS hamming\n"
+            "FROM h a JOIN h b ON a.doc_id < b.doc_id\n"
+            f"WHERE ({ham}) <= 3")
+
+
 def q_frame_sample(spark, sf_dir):
     """Video frame-sampling plumbing: blob → 4 evenly-spaced frame
     slices per row (explode-shaped mapInPandas). Slice lengths are pure
@@ -3526,6 +3580,8 @@ def build_catalog():
         "rbf_kernel_to_centers": q_rbf_kernel_to_centers,
         "event_sessionization": q_event_sessionization,
         "multimodal_decode": q_multimodal_decode,
+        "image_dhash_bands": q_image_dhash_bands,
+        "image_near_dup_pairs": q_image_near_dup_pairs,
         "frame_sample": q_frame_sample,
         "quality_filter": q_quality_filter,
         "weighted_metrics": q_weighted_metrics,
@@ -3723,6 +3779,8 @@ def build_catalog():
         "rbf_kernel_to_centers": SQL_RBF_KERNEL_TO_CENTERS,
         "event_sessionization": SQL_EVENT_SESSIONIZATION,
         "multimodal_decode": SQL_MULTIMODAL_DECODE,
+        "image_dhash_bands": _sql_dhash_bands(),
+        "image_near_dup_pairs": _sql_image_near_dup_pairs(),
         "frame_sample": SQL_FRAME_SAMPLE,
         "quality_filter": SQL_QUALITY_FILTER,
         "weighted_metrics": SQL_WEIGHTED_METRICS,

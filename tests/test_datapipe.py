@@ -1995,3 +1995,101 @@ def test_distribution_drift_single_query(spark):
     assert 1 <= len(after - before) <= 2
     assert out["n_a"] == out["n_b"] == 100
     assert out["tvd"] > 0.0
+
+
+def test_image_dhash_stub_matches_python_replay(spark):
+    """The JVM stub dHash replays multimodal._fake_pixels + integer
+    gradient bits exactly (independent hashlib/numpy reference)."""
+    import hashlib
+
+    import numpy as np
+
+    from dask_ml_spark.datapipe.image_dedup import image_hashes
+
+    texts = ["hello world", "hello world", "other text", ""]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]).withColumn(
+        "blob", F.encode("text", "utf-8"))
+    got = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"])
+           for r in image_hashes(df).collect()}
+
+    def replay(text):
+        d = hashlib.md5(text.encode()).digest()
+        px = np.frombuffer((d * 15)[:216], dtype=np.uint8)
+        gray = px.astype(int).reshape(8, 9, 3).sum(axis=2)
+        bits = (gray[:, :-1] > gray[:, 1:]).astype(int).ravel()
+        return tuple(int((bits[16 * b:16 * b + 16]
+                          << np.arange(15, -1, -1)).sum()) for b in range(4))
+
+    for i, t in enumerate(texts):
+        assert got[i] == replay(t)
+    assert got[0] == got[1] and got[0] != got[2]
+
+
+def test_image_dhash_real_decode_and_perturbation(spark):
+    """Real path: identical BMP re-encodes hash identically; a tiny
+    local perturbation moves few bits; gradient structure is captured
+    (left-to-right ramp -> all-zero bits; reverse ramp -> all-one)."""
+    import numpy as np
+
+    from dask_ml_spark.datapipe.image_dedup import (image_hashes,
+                                                    image_near_dup)
+    from dask_ml_spark.datapipe.multimodal import encode_bmp
+
+    rng = np.random.RandomState(2)
+    base = rng.randint(0, 256, size=(16, 18, 3), dtype="uint8")
+    tweak = base.copy()
+    # flip one pixel ON the nearest-resize sampling grid (even row/col
+    # at 16x18 -> 8x9) so the thumbnail actually sees it
+    tweak[2, 4] = 255 - tweak[2, 4]
+    ramp = np.tile(np.linspace(0, 255, 18).astype("uint8")[None, :, None],
+                   (16, 1, 3))
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_bmp(base))),
+         (1, bytearray(encode_bmp(base))),
+         (2, bytearray(encode_bmp(tweak))),
+         (3, bytearray(encode_bmp(ramp))),
+         (4, bytearray(encode_bmp(ramp[:, ::-1].copy())))],
+        "doc_id long, blob binary")
+    got = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"])
+           for r in image_hashes(df, stub=False).collect()}
+    assert got[0] == got[1]
+    # increasing ramp: every adjacent comparison is '<' -> bits 0
+    assert got[3] == (0, 0, 0, 0)
+    assert got[4] == (65535, 65535, 65535, 65535)
+    ham = sum(bin(a ^ b).count("1") for a, b in zip(got[0], got[2]))
+    assert 0 < ham <= 3  # local tweak moves at most a few bits
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_dup(df, stub=False, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 2)] == ham and pairs[(1, 2)] == ham
+    assert (3, 4) not in pairs  # opposite gradients are far
+
+
+def test_image_near_dup_banding_is_exhaustive_at_3(spark):
+    """Pigeonhole recall proof at the operator level: every pair with
+    Hamming distance <= 3 out of 64 bits shares a 16-bit band, so the
+    banded join finds exactly the brute-force pair set."""
+    import itertools
+
+    import numpy as np
+
+    from dask_ml_spark.datapipe.image_dedup import image_hashes, image_near_dup
+
+    rng = np.random.RandomState(7)
+    texts = [("t%d" % i, "doc %d" % (i % 12)) for i in range(60)]
+    df = spark.createDataFrame(texts, ["sid", "text"]).withColumn(
+        "blob", F.encode("text", "utf-8")).withColumn(
+        "doc_id", F.monotonically_increasing_id())
+    hashes = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"])
+              for r in image_hashes(df).collect()}
+    want = set()
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        d = sum(bin(x ^ y).count("1")
+                for x, y in zip(hashes[a], hashes[b]))
+        if d <= 3:
+            want.add((a, b, d))
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in image_near_dup(df, max_hamming=3).collect()}
+    assert got == want and len(want) >= 1  # dup texts guarantee hits

@@ -226,3 +226,23 @@ def test_winsorizer_transform_is_narrow(spark, catalog):
     # beyond the final groupBy's single Exchange, and no Python
     assert "Python" not in plan
     assert plan.count("Exchange") <= 2  # partial/final agg only
+
+
+def test_image_dhash_is_narrow_jvm_only(spark, catalog):
+    plan = _plan(spark, catalog, "image_dhash_bands")
+    # the stub hash is pure JVM expressions: no Python worker, and the
+    # only exchange permitted is the deliberate round-robin spread of
+    # an under-split input
+    assert "Python" not in plan
+    # formatted explain lists a node in the tree AND the details block,
+    # so one physical Exchange (the round-robin spread) = 2 mentions
+    assert plan.count("RoundRobinPartitioning") <= 2
+    assert "hashpartitioning" not in plan.lower()
+
+
+def test_image_near_dup_no_cartesian(spark, catalog):
+    plan = _plan(spark, catalog, "image_near_dup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidates come from the banded equi-join on (band, val)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
