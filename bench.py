@@ -106,6 +106,7 @@ HEADLINE = [
     "part_supplier_variety",
     "dominant_part_suppliers",
     "asof_purchase_attribution",
+    "fuzzy_vocab_pairs",
     "interval_session_clicks",
     "view_click_attribution",
     "ols_newton_fit",

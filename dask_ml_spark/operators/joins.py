@@ -260,3 +260,79 @@ def interval_join(points: DataFrame, intervals: DataFrame,
         *point_cols,
         *[F.lit(None).cast(inner_schema[c]).alias(c) for c in iv_cols])
     return inner.unionByName(preserved)
+
+
+def _deletion_variants_expr(col, k: int):
+    """Array of all strings reachable from ``col`` by deleting up to
+    ``k`` characters (the string itself included), deduplicated.
+    Built by iterating the 1-deletion neighborhood k times with
+    higher-order functions — pure JVM, no UDF. |variants| is
+    O(len^k), which is why fuzzy_join documents a short-key contract."""
+    level = F.array(col)
+    for _ in range(k):
+        one_del = F.transform(
+            level,
+            lambda s: F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+                lambda i: F.concat(F.substring(s, F.lit(1), i - 1),
+                                   s.substr(i + 1, F.length(s)))))
+        level = F.array_distinct(F.concat(level, F.flatten(one_del)))
+    return level
+
+
+def fuzzy_join(left: DataFrame, right: DataFrame,
+               left_col: str, right_col: str,
+               left_id: str, right_id: str,
+               max_edit: int = 1) -> DataFrame:
+    """Edit-distance join: (left_id, right_id, distance) for every
+    pair with levenshtein(left_col, right_col) <= max_edit.
+
+    Blocking is the FastSS deletion neighborhood (Bocek et al. 2007):
+    two strings within edit distance k ALWAYS share a variant
+    reachable by <= k deletions from each, so exploding each side's
+    deletion neighborhood and equi-joining on the variant is an
+    EXHAUSTIVE candidate generator — no recall loss, unlike
+    prefix/length blocking. Candidates verify with the exact
+    levenshtein (identical across Spark and DuckDB, so the operator
+    oracles directly against a brute-force all-pairs SQL).
+
+    Scale contract: |variants| = O(len^k) per string — this is a
+    SHORT-KEY join (titles, names, codes; len <~ 64, k <= 2), the
+    record-linkage workhorse. The join key is a uniform string
+    variant; multi-variant collisions dedup on the light (id, id)
+    pairs BEFORE the levenshtein verify, and the verify runs once per
+    candidate pair on the carried key strings (no second lookup join).
+    """
+    if max_edit < 0:
+        raise ValueError("max_edit must be >= 0")
+
+    def keyed(df, col, idc, side):
+        return (df.select(
+            F.col(idc).alias(f"{side}_id"), F.col(col).alias(f"__{side}_s"),
+            F.explode(_deletion_variants_expr(F.col(col), max_edit))
+            .alias("__v")))
+
+    a = keyed(left, left_col, left_id, "l")
+    b = keyed(right, right_col, right_id, "r")
+    cand = (a.join(b, "__v")
+            .select("l_id", "r_id", "__l_s", "__r_s")
+            .dropDuplicates(["l_id", "r_id"]))
+    return (cand.withColumn(
+        "distance", F.levenshtein(F.col("__l_s"), F.col("__r_s")))
+        .where(F.col("distance") <= max_edit)
+        .select(F.col("l_id").alias(left_id + "_l"),
+                F.col("r_id").alias(right_id + "_r"),
+                F.col("distance").cast("long").alias("distance")))
+
+
+def fuzzy_self_pairs(df: DataFrame, col: str, id_col: str,
+                     max_edit: int = 1) -> DataFrame:
+    """Near-duplicate KEY pairs within one frame: (id_a, id_b,
+    distance), id_a < id_b, edit distance <= max_edit — fuzzy dedup of
+    titles/names (the string counterpart of image_near_dup). Same
+    FastSS blocking and exhaustive-recall guarantee as fuzzy_join."""
+    out = fuzzy_join(df, df, col, col, id_col, id_col, max_edit)
+    la, lb = f"{id_col}_l", f"{id_col}_r"
+    return (out.where(F.col(la) < F.col(lb))
+            .select(F.col(la).alias("id_a"), F.col(lb).alias("id_b"),
+                    "distance"))

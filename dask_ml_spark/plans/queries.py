@@ -2504,6 +2504,33 @@ def _sql_dhash_bands() -> str:
             f"SELECT doc_id, {bands} FROM g")
 
 
+def q_fuzzy_vocab_pairs(spark, sf_dir):
+    """Edit-distance fuzzy join (operators/joins.py::fuzzy_self_pairs,
+    FastSS deletion-neighborhood blocking — exhaustive recall by
+    construction): near-duplicate pairs in the corpus token
+    vocabulary at edit distance <= 2. The oracle is the brute-force
+    all-pairs levenshtein set (fine at vocabulary size; the Spark
+    side never does all-pairs), proving the blocking loses nothing."""
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+    from dask_ml_spark.operators.joins import fuzzy_self_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (docs.select(F.explode(tokens_expr(F.col("text"))).alias("w"))
+             .distinct())
+    return fuzzy_self_pairs(vocab, "w", "w", max_edit=2)
+
+
+SQL_FUZZY_VOCAB_PAIRS = f"""
+WITH v AS (
+    SELECT DISTINCT unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS w
+    FROM documents
+)
+SELECT a.w AS id_a, b.w AS id_b, levenshtein(a.w, b.w)::BIGINT AS distance
+FROM v a JOIN v b ON a.w < b.w
+WHERE levenshtein(a.w, b.w) <= 2
+"""
+
+
 def _sql_image_near_dup_pairs() -> str:
     ham = " + ".join(f"bit_count(xor(a.h{i}, b.h{i}))" for i in range(4))
     return (f"WITH h AS ({_sql_dhash_bands()})\n"
@@ -3581,6 +3608,7 @@ def build_catalog():
         "event_sessionization": q_event_sessionization,
         "multimodal_decode": q_multimodal_decode,
         "image_dhash_bands": q_image_dhash_bands,
+        "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
         "image_near_dup_pairs": q_image_near_dup_pairs,
         "frame_sample": q_frame_sample,
         "quality_filter": q_quality_filter,
@@ -3780,6 +3808,7 @@ def build_catalog():
         "event_sessionization": SQL_EVENT_SESSIONIZATION,
         "multimodal_decode": SQL_MULTIMODAL_DECODE,
         "image_dhash_bands": _sql_dhash_bands(),
+        "fuzzy_vocab_pairs": SQL_FUZZY_VOCAB_PAIRS,
         "image_near_dup_pairs": _sql_image_near_dup_pairs(),
         "frame_sample": SQL_FRAME_SAMPLE,
         "quality_filter": SQL_QUALITY_FILTER,

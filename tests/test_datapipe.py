@@ -2093,3 +2093,55 @@ def test_image_near_dup_banding_is_exhaustive_at_3(spark):
     got = {(r["id_a"], r["id_b"], r["hamming"])
            for r in image_near_dup(df, max_hamming=3).collect()}
     assert got == want and len(want) >= 1  # dup texts guarantee hits
+
+
+def test_fuzzy_join_matches_bruteforce(spark):
+    """FastSS deletion-neighborhood blocking is EXHAUSTIVE: for random
+    short strings (empties included) the banded operator returns
+    exactly the brute-force levenshtein pair set at k=1 and k=2."""
+    import itertools
+    import random
+
+    from dask_ml_spark.operators.joins import fuzzy_self_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    rng = random.Random(4)
+    words = ["".join(rng.choice("abc") for _ in range(rng.randint(0, 5)))
+             for _ in range(40)]
+    df = spark.createDataFrame(list(enumerate(words)), ["id", "w"])
+    for k in (1, 2):
+        want = {(i, j, lev(words[i], words[j]))
+                for i, j in itertools.combinations(range(len(words)), 2)
+                if lev(words[i], words[j]) <= k}
+        got = {(r["id_a"], r["id_b"], r["distance"])
+               for r in fuzzy_self_pairs(df, "w", "id", max_edit=k).collect()}
+        assert got == want and len(want) > 0
+
+
+def test_fuzzy_join_two_sided_and_k0(spark):
+    from dask_ml_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame([(1, "spark"), (2, "flink")], ["lid", "name"])
+    right = spark.createDataFrame(
+        [(10, "sparc"), (11, "spark"), (12, "blink"), (13, "other")],
+        ["rid", "name"])
+    got = {(r["lid_l"], r["rid_r"], r["distance"])
+           for r in fuzzy_join(left, right, "name", "name",
+                               "lid", "rid", max_edit=1).collect()}
+    assert got == {(1, 10, 1), (1, 11, 0), (2, 12, 1)}
+    # k=0 degenerates to the exact equi-join
+    exact = {(r["lid_l"], r["rid_r"])
+             for r in fuzzy_join(left, right, "name", "name",
+                                 "lid", "rid", max_edit=0).collect()}
+    assert exact == {(1, 11)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_edit"):
+        fuzzy_join(left, right, "name", "name", "lid", "rid", max_edit=-1)
