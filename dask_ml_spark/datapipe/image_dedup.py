@@ -149,9 +149,17 @@ def image_near_dup(df: DataFrame, blob_col: str = "blob",
     pixels); per-pair work is O(1). The verify step keeps the join
     output linear in true candidates.
     """
+    hashes = image_hashes(df, blob_col, id_col, stub=stub)
+    return banded_hamming_pairs(hashes, id_col, max_hamming)
+
+
+def banded_hamming_pairs(hashes: DataFrame, id_col: str,
+                         max_hamming: int) -> DataFrame:
+    """The shared banded-Hamming candidate join over an (id, h0..h3)
+    frame — image dHash and audio fingerprints both route here. See
+    `image_near_dup` for the pigeonhole recall contract."""
     if max_hamming >= _BITS_PER_BAND * N_BANDS:
         raise ValueError("max_hamming must be < 64")
-    hashes = image_hashes(df, blob_col, id_col, stub=stub)
     entries = F.array(*[
         F.struct(F.lit(i).alias("band"), F.col(f"h{i}").alias("val"))
         for i in range(N_BANDS)])

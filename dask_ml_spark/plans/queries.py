@@ -2504,6 +2504,34 @@ def _sql_dhash_bands() -> str:
             f"SELECT doc_id, {bands} FROM g")
 
 
+def q_audio_fingerprint_bands(spark, sf_dir):
+    """Spectral-gradient audio fingerprints (datapipe/audio_dedup.py)
+    as four 16-bit bands — pure JVM expressions under stub=True
+    (md5-tile energies), so the oracle replays every bit; the real
+    PCM-WAV path shares the comparison math and is pinned in tests.
+    The near-dup join is the shared banded-Hamming machinery already
+    recall-oracled by image_near_dup_pairs."""
+    from dask_ml_spark.datapipe.audio_dedup import audio_fingerprints
+    from dask_ml_spark.datapipe.multimodal import attach_binary_from_text
+
+    docs = _t(spark, sf_dir, "documents")
+    h = audio_fingerprints(attach_binary_from_text(docs))
+    return h.select("doc_id", *[F.col(f"h{i}").cast("long").alias(f"h{i}")
+                                for i in range(4)])
+
+
+def _sql_audio_fingerprint_bands() -> str:
+    byte = ("('0x' || substr(md5(text), ((%s) %% 16) * 2 + 1, 2))::BIGINT")
+    energies = f"list_transform(range(0, 65), i -> {byte % 'i'})"
+    bands = ", ".join(
+        "list_sum(list_transform(range(0, 16), j -> CASE WHEN "
+        f"e[16*{b}+j+1] > e[16*{b}+j+2] "
+        f"THEN (1::BIGINT << (15 - j)) ELSE 0 END))::BIGINT AS h{b}"
+        for b in range(4))
+    return (f"WITH g AS (SELECT doc_id, {energies} AS e FROM documents)\n"
+            f"SELECT doc_id, {bands} FROM g")
+
+
 def q_fuzzy_vocab_pairs(spark, sf_dir):
     """Edit-distance fuzzy join (operators/joins.py::fuzzy_self_pairs,
     FastSS deletion-neighborhood blocking — exhaustive recall by
@@ -3609,6 +3637,7 @@ def build_catalog():
         "multimodal_decode": q_multimodal_decode,
         "image_dhash_bands": q_image_dhash_bands,
         "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
+        "audio_fingerprint_bands": q_audio_fingerprint_bands,
         "image_near_dup_pairs": q_image_near_dup_pairs,
         "frame_sample": q_frame_sample,
         "quality_filter": q_quality_filter,
@@ -3809,6 +3838,7 @@ def build_catalog():
         "multimodal_decode": SQL_MULTIMODAL_DECODE,
         "image_dhash_bands": _sql_dhash_bands(),
         "fuzzy_vocab_pairs": SQL_FUZZY_VOCAB_PAIRS,
+        "audio_fingerprint_bands": _sql_audio_fingerprint_bands(),
         "image_near_dup_pairs": _sql_image_near_dup_pairs(),
         "frame_sample": SQL_FRAME_SAMPLE,
         "quality_filter": SQL_QUALITY_FILTER,

@@ -2145,3 +2145,58 @@ def test_fuzzy_join_two_sided_and_k0(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="max_edit"):
         fuzzy_join(left, right, "name", "name", "lid", "rid", max_edit=-1)
+
+
+def test_audio_fingerprint_stub_matches_python_replay(spark):
+    import hashlib
+
+    import numpy as np
+
+    from dask_ml_spark.datapipe.audio_dedup import audio_fingerprints
+
+    texts = ["clip one", "clip one", "clip two", ""]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]).withColumn(
+        "blob", F.encode("text", "utf-8"))
+    got = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"])
+           for r in audio_fingerprints(df).collect()}
+
+    def replay(text):
+        d = hashlib.md5(text.encode()).digest()
+        e = np.frombuffer((d * 5)[:65], dtype=np.uint8).astype(int)
+        bits = (e[:-1] > e[1:]).astype(int)
+        return tuple(int((bits[16 * b:16 * b + 16]
+                          << np.arange(15, -1, -1)).sum()) for b in range(4))
+
+    for i, t in enumerate(texts):
+        assert got[i] == replay(t)
+    assert got[0] == got[1] and got[0] != got[2]
+
+
+def test_audio_fingerprint_real_wav_and_near_dup(spark):
+    """Real path: identical PCM re-encodes fingerprint identically; a
+    slightly amplitude-scaled copy keeps the SPECTRAL SHAPE (gradient
+    bits are scale-invariant -> hamming 0); a different tone mix is
+    far; near-dup pairs reflect exactly that."""
+    import numpy as np
+
+    from dask_ml_spark.datapipe.audio_dedup import (audio_fingerprints,
+                                                    audio_near_dup)
+    from dask_ml_spark.datapipe.multimodal import encode_wav
+
+    t = np.arange(4096) / 16000.0
+    a = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 1300 * t)
+    b = 0.8 * a  # re-levelled copy: same spectral envelope
+    c = 0.5 * np.sin(2 * np.pi * 3000 * t) + 0.3 * np.sin(2 * np.pi * 700 * t)
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_wav(a))), (1, bytearray(encode_wav(a))),
+         (2, bytearray(encode_wav(b))), (3, bytearray(encode_wav(c)))],
+        "doc_id long, blob binary")
+    got = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"])
+           for r in audio_fingerprints(df, stub=False).collect()}
+    assert got[0] == got[1] == got[2]
+    far = sum(bin(x ^ y).count("1") for x, y in zip(got[0], got[3]))
+    assert far > 3
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in audio_near_dup(df, stub=False).collect()}
+    assert pairs == {(0, 1): 0, (0, 2): 0, (1, 2): 0}
