@@ -17,6 +17,34 @@ from pyspark.sql import functions as F
 from dask_ml_spark.functions.vector import cosine_similarity, dot, norm2
 
 
+class _IndexPersistence:
+    """save/load for ANN index model state — the BaseEstimator
+    contract (base.py:54) applied to the index classes: fitted state
+    is driver-sized (centroids, codebooks, hyperplanes), never data,
+    so a pickled index pairs with a `write_coded` table to reopen a
+    production ANN index in a fresh SparkSession."""
+
+    def save(self, path: str) -> str:
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+        return path
+
+    @classmethod
+    def load(cls, path: str):
+        import pickle
+
+        with open(path, "rb") as f:
+            obj = pickle.load(f)
+        if cls is not _IndexPersistence and not isinstance(obj, cls):
+            raise TypeError(
+                f"{path} holds {type(obj).__name__}, not {cls.__name__}")
+        return obj
+
+
+
+
 def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      query_id_col: str = "query_id", metric: str = "cosine") -> DataFrame:
@@ -46,7 +74,7 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
-class CosineLSHIndex:
+class CosineLSHIndex(_IndexPersistence):
     """Random-hyperplane LSH (SimHash-style) ANN index — the
     bucketed-join scale path alongside IVF.
 
@@ -211,7 +239,7 @@ def knn_graph(df: DataFrame, k: int = 10,
     return _skew_safe_topk(cand, "src", "dst", k, ascending=False)
 
 
-class IVFIndex:
+class IVFIndex(_IndexPersistence):
     """Inverted-file ANN index: coarse k-means quantizer + bucketed
     storage. Scale shape: build = one k-means fit + one narrow map
     adding `bucket`; the bucketed table can be written
@@ -515,7 +543,7 @@ def _skew_safe_topk(scored, query_id_col, id_col, topk, ascending=True,
         F.col(rank_col) <= topk)
 
 
-class PQIndex:
+class PQIndex(_IndexPersistence):
     """Product quantization (Jegou et al. 2011, "Product Quantization
     for Nearest Neighbor Search") — the memory lever past int8: d
     float32 dims (256 bytes at d=64) compress to m small codes (m
@@ -623,7 +651,7 @@ class PQIndex:
         return _skew_safe_topk(out, query_id_col, self.id_col, topk)
 
 
-class IVFPQIndex:
+class IVFPQIndex(_IndexPersistence):
     """IVF-PQ — the production ANN layout (Jegou 2011 §IV): a coarse
     quantizer routes vectors into inverted lists, and PQ encodes each
     vector's RESIDUAL (x - centroid) so the codebooks only span the

@@ -2200,3 +2200,37 @@ def test_audio_fingerprint_real_wav_and_near_dup(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in audio_near_dup(df, stub=False).collect()}
     assert pairs == {(0, 1): 0, (0, 2): 0, (1, 2): 0}
+
+
+def test_ann_index_save_load_roundtrip(spark, embeddings, tmp_path):
+    """Index model state (centroids/codebooks/hyperplanes) pickles and
+    reopens; paired with write_coded this reopens a production index
+    in a fresh session. Wrong-type loads are rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dask_ml_spark.datapipe.similarity import (CosineLSHIndex,
+                                                   IVFIndex, IVFPQIndex,
+                                                   PQIndex)
+
+    queries = embeddings.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    idx = IVFPQIndex(n_lists=8, m=4, k=16, n_probe=2).fit(embeddings)
+    p = str(tmp_path / "ivfpq.pkl")
+    back = IVFPQIndex.load(idx.save(p))
+    assert np.allclose(back.centroids_, idx.centroids_)
+    a = {(r["query_id"], r["vec_id"], r["rank"])
+         for r in idx.search(embeddings, queries, topk=5).collect()}
+    b = {(r["query_id"], r["vec_id"], r["rank"])
+         for r in back.search(embeddings, queries, topk=5).collect()}
+    assert a == b
+
+    lsh = CosineLSHIndex(n_bands=4, bits_per_band=8).fit(embeddings)
+    lsh2 = CosineLSHIndex.load(lsh.save(str(tmp_path / "lsh.pkl")))
+    assert np.allclose(lsh2.hyperplanes_, lsh.hyperplanes_)
+
+    ivf = IVFIndex(n_lists=4).fit(embeddings)
+    ivf.save(str(tmp_path / "ivf.pkl"))
+    with _pytest.raises(TypeError, match="IVFIndex"):
+        PQIndex.load(str(tmp_path / "ivf.pkl"))

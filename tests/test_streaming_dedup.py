@@ -48,3 +48,27 @@ def test_dedup_stats_counts_copies(spark, docs_dir):
     stats = dedup_stats_stream(batch).toPandas()
     assert (stats["n_copies"] >= 1).all()
     assert (stats["n_copies"] == 2).sum() == 40  # the duplicated slice
+
+
+def test_stream_fingerprints_match_batch(spark, docs_dir):
+    """image_hashes / audio_fingerprints are narrow maps, so they run
+    unchanged on a stream; fingerprinting a stream against a static
+    index is the production shape for incremental multimodal dedup."""
+    from dask_ml_spark.datapipe.audio_dedup import audio_fingerprints
+    from dask_ml_spark.datapipe.image_dedup import image_hashes
+    from dask_ml_spark.datapipe.multimodal import attach_binary_from_text
+
+    batch = attach_binary_from_text(spark.read.parquet(docs_dir))
+    schema = spark.read.parquet(docs_dir).schema
+    stream = attach_binary_from_text(
+        spark.readStream.schema(schema).parquet(docs_dir))
+
+    for name, op in [("img_fp_out", image_hashes),
+                     ("aud_fp_out", audio_fingerprints)]:
+        q = (op(stream).writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        streamed = {tuple(r) for r in
+                    spark.sql(f"select * from {name}").collect()}
+        expected = {tuple(r) for r in op(batch).collect()}
+        assert streamed == expected and len(streamed) > 0
