@@ -84,6 +84,8 @@ HEADLINE = [
     "document_chunks",
     "shuffle_shards",
     "normalized_text_hash",
+    "strip_markup",
+    "vocab_coverage",
     "outlink_domain_profile",
     "domain_pagerank",
     "score_smoothing",

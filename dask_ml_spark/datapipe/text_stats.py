@@ -425,3 +425,61 @@ def filter_blocked_domains(df: DataFrame, blocklist: DataFrame,
                       "domain", "left_semi")
            .select(id_col).distinct())
     return df.join(bad, id_col, "left_anti")
+
+
+def strip_markup(df: DataFrame, text_col: str = "text",
+                 output_col: str | None = None) -> DataFrame:
+    """HTML/markup → plain text, the crawl-ingest curation primitive:
+    drop script/style blocks wholesale (their text is never prose),
+    strip remaining tags, decode the six common entities, collapse
+    whitespace. Pure regexp_replace chain — one narrow JVM projection,
+    no UDF, and every step is RE2/Java-regex common ground so the SQL
+    oracle replays it verbatim. (A full HTML5 parser is out of scope —
+    this is the boilerplate-grade stripper curation pipelines run
+    BEFORE quality scoring, not a DOM.)"""
+    out = output_col or text_col
+    x = F.col(text_col)
+    # two patterns, not one with a backreference: DuckDB's RE2 has no
+    # backreferences, and the oracle replays these verbatim
+    x = F.regexp_replace(x, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, r"(?s)<[^>]*>", " ")
+    for ent, rep in [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")]:
+        x = F.regexp_replace(x, ent, rep)
+    x = F.trim(F.regexp_replace(x, r"\s+", " "))
+    return df.withColumn(out, x)
+
+
+def vocab_coverage(df: DataFrame, vocab, text_col: str = "text",
+                   group_col: str | None = None) -> DataFrame:
+    """Tokenizer-fit metrics for a corpus against a fixed vocabulary —
+    the pre-training sanity check that a tokenizer suits a data mix:
+
+    - n_tokens        total tokens
+    - oov_rate        fraction of tokens NOT in the vocabulary
+    - chars_per_token mean token length (the compression proxy: a
+                      vocabulary that fragments this corpus shows a
+                      low chars-per-token and a high oov_rate)
+
+    ``vocab``: a list of strings or a 1-column DataFrame. Shape: one
+    explode + broadcast membership + one aggregate; grouped by
+    ``group_col`` (e.g. source/lang) when given, so mixture decisions
+    can weigh per-source tokenizer fit."""
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+
+    keys = [group_col] if group_col else []
+    toks = (ensure_min_partitions(df).select(
+        *keys, F.explode(tokens_expr(F.col(text_col))).alias("token")))
+    if isinstance(vocab, DataFrame):
+        vcol = vocab.columns[0]
+        v = F.broadcast(vocab.select(F.col(vcol).alias("token")).distinct()
+                        .withColumn("__in", F.lit(1)))
+        toks = toks.join(v, "token", "left")
+        in_vocab = F.col("__in").isNotNull()
+    else:
+        in_vocab = F.col("token").isin([str(t) for t in vocab])
+    return (toks.groupBy(*keys).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg((~in_vocab).cast("double")), 6).alias("oov_rate"),
+        F.round(F.avg(F.length("token")), 6).alias("chars_per_token")))

@@ -2504,6 +2504,90 @@ def _sql_dhash_bands() -> str:
             f"SELECT doc_id, {bands} FROM g")
 
 
+def q_strip_markup(spark, sf_dir):
+    """Markup stripping (text_stats.strip_markup): documents are
+    wrapped in synthetic HTML (tags + script block + entities) inside
+    the query, stripped, and hashed — the oracle replays both the
+    wrapping and the regexp chain, so the round-trip pins every
+    pattern. One narrow JVM projection."""
+    from dask_ml_spark.datapipe.text_stats import strip_markup
+
+    docs = _t(spark, sf_dir, "documents")
+    html = docs.select(
+        "doc_id",
+        F.concat(F.lit("<html><head><style>p{color:red}</style></head>"
+                       "<body onload=\"x()\"><p class='t'>"),
+                 F.col("text"),
+                 F.lit("</p><script type=\"text/javascript\">var a=1;"
+                       "</script>&amp;&lt;tag&gt;&nbsp;&quot;q&#39;"
+                       "</body></html>")).alias("text"))
+    out = strip_markup(html)
+    return out.select("doc_id", F.md5("text").alias("clean_hash"),
+                      F.length("text").cast("long").alias("clean_len"))
+
+
+SQL_STRIP_MARKUP = r"""
+WITH h AS (
+    SELECT doc_id,
+           '<html><head><style>p{color:red}</style></head><body onload="x()"><p class=''t''>'
+           || text ||
+           '</p><script type="text/javascript">var a=1;</script>&amp;&lt;tag&gt;&nbsp;&quot;q&#39;</body></html>'
+           AS t
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<[^>]*>', ' ', 'g'),
+        '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        '&quot;', '"'), '&#39;', ''''),
+      '\s+', ' ', 'g')) AS clean
+    FROM h
+)
+SELECT doc_id, md5(clean) AS clean_hash, length(clean)::BIGINT AS clean_len
+FROM s
+"""
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-fit metrics (text_stats.vocab_coverage) per source:
+    token count, OOV rate, chars-per-token against a fixed vocabulary
+    (the corpus's own 20 most frequent tokens, pinned by the same
+    deterministic count+tiebreak in both engines)."""
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+    from dask_ml_spark.datapipe.text_stats import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (docs.select(F.explode(tokens_expr(F.col("text"))).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("c"))
+             .orderBy(F.desc("c"), F.asc("w")).limit(20).select("w"))
+    return (vocab_coverage(docs, vocab, group_col="source")
+            .orderBy("source"))
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH toks AS (
+    SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS token
+    FROM documents
+),
+vocab AS (
+    SELECT token AS w FROM toks GROUP BY token
+    ORDER BY count(*) DESC, token ASC LIMIT 20
+)
+SELECT source,
+       count(*)::BIGINT AS n_tokens,
+       round(avg(CASE WHEN w IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_rate,
+       round(avg(length(token)), 6) AS chars_per_token
+FROM toks LEFT JOIN vocab ON toks.token = vocab.w
+GROUP BY source ORDER BY source
+"""
+
+
 def q_audio_fingerprint_bands(spark, sf_dir):
     """Spectral-gradient audio fingerprints (datapipe/audio_dedup.py)
     as four 16-bit bands — pure JVM expressions under stub=True
@@ -3638,6 +3722,8 @@ def build_catalog():
         "image_dhash_bands": q_image_dhash_bands,
         "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
         "audio_fingerprint_bands": q_audio_fingerprint_bands,
+        "strip_markup": q_strip_markup,
+        "vocab_coverage": q_vocab_coverage,
         "image_near_dup_pairs": q_image_near_dup_pairs,
         "frame_sample": q_frame_sample,
         "quality_filter": q_quality_filter,
@@ -3839,6 +3925,8 @@ def build_catalog():
         "image_dhash_bands": _sql_dhash_bands(),
         "fuzzy_vocab_pairs": SQL_FUZZY_VOCAB_PAIRS,
         "audio_fingerprint_bands": _sql_audio_fingerprint_bands(),
+        "strip_markup": SQL_STRIP_MARKUP,
+        "vocab_coverage": SQL_VOCAB_COVERAGE,
         "image_near_dup_pairs": _sql_image_near_dup_pairs(),
         "frame_sample": SQL_FRAME_SAMPLE,
         "quality_filter": SQL_QUALITY_FILTER,

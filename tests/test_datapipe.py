@@ -2234,3 +2234,51 @@ def test_ann_index_save_load_roundtrip(spark, embeddings, tmp_path):
     ivf.save(str(tmp_path / "ivf.pkl"))
     with _pytest.raises(TypeError, match="IVFIndex"):
         PQIndex.load(str(tmp_path / "ivf.pkl"))
+
+
+def test_strip_markup_behaviors(spark):
+    from dask_ml_spark.datapipe.text_stats import strip_markup
+
+    rows = [
+        (1, "<p>Hello <b>world</b></p>"),
+        (2, "<script>var x = '<p>not text</p>';</script>real"),
+        (3, "<STYLE media=all>body{}</STYLE>kept"),
+        (4, "a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f"),
+        (5, "  spaced\t\tout\n\nlines  "),
+        (6, "no markup at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"]
+           for r in strip_markup(df).collect()}
+    assert got[1] == "Hello world"
+    assert got[2] == "real"            # script CONTENT removed wholesale
+    assert got[3] == "kept"            # case-insensitive style block
+    assert got[4] == "a & b <c> \"d\" 'e' f"
+    assert got[5] == "spaced out lines"
+    assert got[6] == "no markup at all"
+    # output_col keeps the original
+    out = strip_markup(df, output_col="clean").collect()[0]
+    assert "clean" in out.asDict() and "text" in out.asDict()
+    # narrow JVM plan
+    plan = strip_markup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_vocab_coverage_metrics(spark):
+    from dask_ml_spark.datapipe.text_stats import vocab_coverage
+
+    df = spark.createDataFrame(
+        [("s1", "aa bb aa cc"), ("s2", "aa dddd")], ["source", "text"])
+    # list-vocab path
+    out = {r["source"]: r for r in vocab_coverage(
+        df, ["aa", "bb"], group_col="source").collect()}
+    assert out["s1"]["n_tokens"] == 4
+    assert out["s1"]["oov_rate"] == 0.25          # cc
+    assert out["s1"]["chars_per_token"] == 2.0
+    assert out["s2"]["oov_rate"] == 0.5           # dddd
+    assert out["s2"]["chars_per_token"] == 3.0
+    # DataFrame-vocab path + corpus-level (no group)
+    vdf = spark.createDataFrame([("aa",), ("dddd",)], ["w"])
+    corpus = vocab_coverage(df, vdf).collect()[0]
+    assert corpus["n_tokens"] == 6
+    assert corpus["oov_rate"] == pytest.approx(2 / 6)
