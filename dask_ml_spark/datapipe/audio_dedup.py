@@ -104,9 +104,11 @@ def audio_fingerprints(df: DataFrame, blob_col: str = "blob",
 
 def audio_near_dup(df: DataFrame, blob_col: str = "blob",
                    id_col: str = "doc_id", max_hamming: int = 3,
-                   stub: bool = True) -> DataFrame:
+                   stub: bool = True,
+                   collapse_exact: bool = False) -> DataFrame:
     """Near-duplicate audio PAIRS (id_a, id_b, hamming), id_a < id_b,
     hamming <= max_hamming — exhaustive recall for max_hamming <= 3
     (see image_dedup.banded_hamming_pairs)."""
     fps = audio_fingerprints(df, blob_col, id_col, stub=stub)
-    return banded_hamming_pairs(fps, id_col, max_hamming)
+    return banded_hamming_pairs(fps, id_col, max_hamming,
+                                collapse_exact=collapse_exact)

@@ -132,7 +132,8 @@ def hamming_expr(left_prefix: str, right_prefix: str):
 
 def image_near_dup(df: DataFrame, blob_col: str = "blob",
                    id_col: str = "doc_id", max_hamming: int = 3,
-                   stub: bool = True) -> DataFrame:
+                   stub: bool = True,
+                   collapse_exact: bool = False) -> DataFrame:
     """Near-duplicate image PAIRS: (id_a, id_b, hamming) with
     id_a < id_b and hamming <= max_hamming.
 
@@ -150,16 +151,34 @@ def image_near_dup(df: DataFrame, blob_col: str = "blob",
     output linear in true candidates.
     """
     hashes = image_hashes(df, blob_col, id_col, stub=stub)
-    return banded_hamming_pairs(hashes, id_col, max_hamming)
+    return banded_hamming_pairs(hashes, id_col, max_hamming,
+                                collapse_exact=collapse_exact)
 
 
 def banded_hamming_pairs(hashes: DataFrame, id_col: str,
-                         max_hamming: int) -> DataFrame:
+                         max_hamming: int,
+                         collapse_exact: bool = False) -> DataFrame:
     """The shared banded-Hamming candidate join over an (id, h0..h3)
     frame — image dHash and audio fingerprints both route here. See
-    `image_near_dup` for the pigeonhole recall contract."""
+    `image_near_dup` for the pigeonhole recall contract.
+
+    collapse_exact=True is the 100 TB posture for corpora with heavy
+    EXACT duplication (one logo re-encoded 10^6 times): identical
+    fingerprints collapse to their min-id representative in one
+    groupBy BEFORE the banded join, so the band key never goes hot
+    with same-hash members and the pair output stays linear in
+    DISTINCT fingerprints — C(10^6, 2) same-hash pairs is a quadratic
+    OUTPUT no join strategy survives. Pairs then reference
+    representatives; recover full membership with a plain
+    groupBy(h0..h3) when needed (the exact-dedup keep-one pattern).
+    The default (False) emits every id pair — the brute-force-oracle
+    contract at test SFs."""
     if max_hamming >= _BITS_PER_BAND * N_BANDS:
         raise ValueError("max_hamming must be < 64")
+    if collapse_exact:
+        hashes = (hashes.groupBy("h0", "h1", "h2", "h3")
+                  .agg(F.min(id_col).alias(id_col))
+                  .select(id_col, "h0", "h1", "h2", "h3"))
     entries = F.array(*[
         F.struct(F.lit(i).alias("band"), F.col(f"h{i}").alias("val"))
         for i in range(N_BANDS)])

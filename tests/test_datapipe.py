@@ -2282,3 +2282,22 @@ def test_vocab_coverage_metrics(spark):
     corpus = vocab_coverage(df, vdf).collect()[0]
     assert corpus["n_tokens"] == 6
     assert corpus["oov_rate"] == pytest.approx(2 / 6)
+
+
+def test_image_near_dup_collapse_exact(spark):
+    """collapse_exact: identical fingerprints reduce to their min-id
+    representative — pair output linear in DISTINCT fingerprints, the
+    heavy-exact-duplication posture."""
+    from dask_ml_spark.datapipe.image_dedup import image_near_dup
+
+    df = spark.createDataFrame(
+        [(i, "same content") for i in range(6)] + [(10, "different!")],
+        ["doc_id", "text"]).withColumn("blob", F.encode("text", "utf-8"))
+    full = image_near_dup(df).collect()
+    assert len(full) == 15  # C(6,2) same-hash pairs
+    collapsed = image_near_dup(df, collapse_exact=True).collect()
+    # one representative (id 0) left for the clones; no cross pair with
+    # the distinct content at hamming<=3 expected from random md5 bits
+    assert all(r["id_a"] != r["id_b"] for r in collapsed)
+    ids = {i for r in collapsed for i in (r["id_a"], r["id_b"])}
+    assert not ({1, 2, 3, 4, 5} & ids)
