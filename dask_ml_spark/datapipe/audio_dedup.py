@@ -10,8 +10,9 @@ survive where byte-exact dedup fails.
 
 Same Spark shape and guarantees as image_dedup:
 - fingerprinting is a NARROW map. stub=True derives the 65 band
-  energies from the md5-tile fake (multimodal._bytes_to_array) as
-  pure JVM expressions — SQL-oracle-replayable bit-for-bit;
+  energies from an md5-digest tile (period 13 — see
+  _stub_bands_struct for why not 16) as pure JVM expressions —
+  SQL-oracle-replayable bit-for-bit;
   stub=False decodes real PCM WAV in mapInPandas (stdlib `wave` +
   numpy rfft — the same honest-decode subset as audio_features) and
   runs the SAME comparison on real energies.
@@ -27,8 +28,9 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dask_ml_spark.datapipe.image_dedup import (N_BANDS,
-                                                banded_hamming_pairs)
+from dask_ml_spark.datapipe.image_dedup import (N_BANDS, band_fold_sql,
+                                                banded_hamming_pairs,
+                                                md5_byte_sql)
 from dask_ml_spark.utils import ensure_min_partitions
 
 _N_ENERGIES = 65  # 64 gradient bits
@@ -36,17 +38,21 @@ _N_ENERGIES = 65  # 64 gradient bits
 
 def _stub_bands_struct(blob_col_sql: str):
     """struct(h0..h3) from the md5-tile fake energies: energy[k] is
-    digest byte (k mod 16) — the audio stub needs no 2-D indexing, so
+    digest byte (k mod 13) — the audio stub needs no 2-D indexing, so
     the expression is a direct adjacent-byte compare. Same HOF shape
-    as image_dedup (per-bit unrolls blow the codegen method limit)."""
-    byte = (f"cast(conv(substring(md5({blob_col_sql}), "
-            "((%s) %% 16) * 2 + 1, 2), 16, 10) as int)")
+    as image_dedup (per-bit unrolls blow the codegen method limit).
+
+    The modulus is 13, NOT 16: with a 16-byte period, band b's bits
+    compare byte[(16b+j) mod 16] = byte[j mod 16] — b cancels and all
+    four bands come out IDENTICAL (caught in review: Hamming distances
+    collapsed to multiples of 4 and the effective space to 2^16).
+    Any modulus dividing the 16-bit band length degenerates the same
+    way; 13 makes band b start at (16b mod 13) — a different digest
+    offset per band."""
     energies = (f"transform(sequence(0, {_N_ENERGIES - 1}), i -> "
-                f"{byte % 'i'})")
+                f"{md5_byte_sql(blob_col_sql, 'i', 13)})")
     bands = ", ".join(
-        "aggregate(sequence(0, 15), 0, (acc, j) -> acc + "
-        f"if(element_at(g, 16*{b}+j+1) > element_at(g, 16*{b}+j+2),"
-        f" shiftleft(1, 15 - j), 0)) as h{b}"
+        band_fold_sql(b, f"16*{b}+j+1", f"16*{b}+j+2")
         for b in range(N_BANDS))
     return F.expr(
         f"element_at(transform(array({energies}), g -> struct({bands})), 1)")

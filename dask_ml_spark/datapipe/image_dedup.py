@@ -44,6 +44,24 @@ N_BANDS = 4
 _BITS_PER_BAND = 16
 
 
+def md5_byte_sql(blob_col_sql: str, index_sql: str, modulus: int) -> str:
+    """SQL for digest byte (index mod modulus) of md5(blob) — the
+    md5-tile fake-decode primitive shared by the image and audio stub
+    fingerprints (keeps the two Spark templates from drifting; the
+    DuckDB oracle builders mirror the same shapes)."""
+    return (f"cast(conv(substring(md5({blob_col_sql}), "
+            f"(({index_sql}) % {modulus}) * 2 + 1, 2), 16, 10) as int)")
+
+
+def band_fold_sql(b: int, left_idx: str, right_idx: str) -> str:
+    """SQL folding 16 comparison bits into band integer h{b}: bit j =
+    (g[left_idx] > g[right_idx]) weighted 2^(15-j), over a lambda
+    array g."""
+    return ("aggregate(sequence(0, 15), 0, (acc, j) -> acc + "
+            f"if(element_at(g, {left_idx}) > element_at(g, {right_idx}),"
+            f" shiftleft(1, 15 - j), 0)) as h{b}")
+
+
 def _stub_bands_struct(blob_col_sql: str):
     """struct(h0..h3): the dHash bands of the md5-tile fake thumbnail
     (multimodal._fake_pixels replayed as JVM expressions).
@@ -55,20 +73,19 @@ def _stub_bands_struct(blob_col_sql: str):
     bits x 6 md5-substr chains) blows whole-stage codegen's 64 KB
     method limit and silently drops the row batch to interpreted
     mode — measured before this shape was chosen."""
-    byte = (f"cast(conv(substring(md5({blob_col_sql}), "
-            "((%s) %% 16) * 2 + 1, 2), 16, 10) as int)")
+    def byte(i):
+        return md5_byte_sql(blob_col_sql, i, 16)
+
     gray = (f"transform(sequence(0, {_GH * _GW - 1}), i -> "
-            f"{byte % '3*i'} + {byte % '3*i+1'} + {byte % '3*i+2'})")
+            f"{byte('3*i')} + {byte('3*i+1')} + {byte('3*i+2')})")
+
     def idx(b, plus):
         # element_at needs INT; `div` yields BIGINT
         return (f"cast(((16*{b}+j) div 8) * {_GW} "
                 f"+ ((16*{b}+j) % 8) + {plus} as int)")
 
-    bands = ", ".join(
-        "aggregate(sequence(0, 15), 0, (acc, j) -> acc + "
-        f"if(element_at(g, {idx(b, 1)}) > element_at(g, {idx(b, 2)}),"
-        f" shiftleft(1, 15 - j), 0)) as h{b}"
-        for b in range(N_BANDS))
+    bands = ", ".join(band_fold_sql(b, idx(b, 1), idx(b, 2))
+                      for b in range(N_BANDS))
     return F.expr(
         f"element_at(transform(array({gray}), g -> struct({bands})), 1)")
 

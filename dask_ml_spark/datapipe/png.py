@@ -45,28 +45,48 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _unfilter(kind: int, row: bytearray, prev: bytes, bpp: int) -> None:
-    """Reverse one scanline filter in place (RFC 2083 §6.3-6.9)."""
-    n = len(row)
+def _unfilter(kind: int, row: np.ndarray, prev: np.ndarray,
+              bpp: int) -> np.ndarray:
+    """Reverse one scanline filter (RFC 2083 §6.3-6.9); returns the
+    reconstructed row (uint8). None/Up/Sub are fully vectorized —
+    they dominate real encoders' filter choices, and a per-byte
+    Python loop over a megapixel image costs millions of interpreter
+    iterations inside the executor batch (review-caught). Average and
+    Paeth keep the per-pixel loop (each byte depends on the
+    reconstructed left neighbor) but step vectorized across channels."""
     if kind == 0:  # None
-        return
-    if kind == 1:  # Sub
-        for i in range(bpp, n):
-            row[i] = (row[i] + row[i - bpp]) & 0xFF
-    elif kind == 2:  # Up
-        for i in range(n):
-            row[i] = (row[i] + prev[i]) & 0xFF
-    elif kind == 3:  # Average
-        for i in range(n):
-            left = row[i - bpp] if i >= bpp else 0
-            row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
-    elif kind == 4:  # Paeth
-        for i in range(n):
-            left = row[i - bpp] if i >= bpp else 0
-            ul = prev[i - bpp] if i >= bpp else 0
-            row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
-    else:
-        raise ValueError(f"bad PNG filter type {kind}")
+        return row
+    if kind == 1:  # Sub: per-channel prefix sum mod 256
+        out = row.reshape(-1, bpp)
+        return np.cumsum(out, axis=0, dtype=np.uint64).astype(np.uint8) \
+            .reshape(-1)
+    if kind == 2:  # Up
+        return (row + prev).astype(np.uint8)
+    n = len(row)
+    out = np.zeros(n, dtype=np.int32)
+    r = row.astype(np.int32)
+    p = prev.astype(np.int32)
+    if kind == 3:  # Average
+        for i in range(0, n, bpp):
+            left = out[i - bpp:i] if i >= bpp else np.zeros(bpp, np.int32)
+            out[i:i + bpp] = (r[i:i + bpp]
+                              + ((left + p[i:i + bpp]) >> 1)) & 0xFF
+        return out.astype(np.uint8)
+    if kind == 4:  # Paeth
+        for i in range(0, n, bpp):
+            if i >= bpp:
+                left, ul = out[i - bpp:i], p[i - bpp:i]
+            else:
+                left = ul = np.zeros(bpp, np.int32)
+            up = p[i:i + bpp]
+            pa = np.abs(up - ul)
+            pb = np.abs(left - ul)
+            pc = np.abs(left + up - 2 * ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, up, ul))
+            out[i:i + bpp] = (r[i:i + bpp] + pred) & 0xFF
+        return out.astype(np.uint8)
+    raise ValueError(f"bad PNG filter type {kind}")
 
 
 def decode_png(data: bytes) -> np.ndarray:
@@ -104,13 +124,13 @@ def decode_png(data: bytes) -> np.ndarray:
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel payload has wrong length")
     out = np.empty((h, stride), dtype=np.uint8)
-    prev = bytes(stride)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         off = y * (stride + 1)
-        row = bytearray(raw[off + 1:off + 1 + stride])
-        _unfilter(raw[off], row, prev, ch)
-        out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
-        prev = bytes(row)
+        row = np.frombuffer(raw, dtype=np.uint8,
+                            count=stride, offset=off + 1)
+        prev = _unfilter(raw[off], row, prev, ch)
+        out[y] = prev
     img = out.reshape(h, w, ch)
     if color == 3:
         if plte is None:

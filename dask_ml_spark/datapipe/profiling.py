@@ -140,6 +140,18 @@ def corpus_diff(old, new, group_cols=("source",), text_col: str = "text",
                  F.sum(F.least(no, nn)).alias("retained")))
 
 
+def _bin_expr(col: str, bins: int, lo: float, hi: float):
+    """(not-null-and-not-NaN predicate, clamped bin id) — THE binning
+    rule, shared by histogram and distribution_drift so the two can
+    never desynchronize (the drift contract depends on bit-identical
+    bucketing)."""
+    x = F.col(col).cast("double")
+    width = (hi - lo) / bins
+    b = F.floor((x - F.lit(float(lo))) / F.lit(float(width))).cast("long")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(int(bins - 1)))
+    return x.isNotNull() & ~F.isnan(x), b
+
+
 def histogram(df: DataFrame, col: str, bins: int, lo: float,
               hi: float) -> DataFrame:
     """Fixed-bound histogram: bin = floor((x - lo) / width) clamped to
@@ -147,11 +159,8 @@ def histogram(df: DataFrame, col: str, bins: int, lo: float,
     data-derived range keeps two tables' histograms COMPARABLE (the
     drift contract) and the bucketing engine-portable. One narrow
     projection + one groupBy(bin) over at most ``bins`` groups."""
-    x = F.col(col).cast("double")
-    width = (hi - lo) / bins
-    b = F.floor((x - F.lit(float(lo))) / F.lit(float(width))).cast("long")
-    b = F.least(F.greatest(b, F.lit(0)), F.lit(int(bins - 1)))
-    return (df.where(x.isNotNull() & ~F.isnan(x))
+    keep, b = _bin_expr(col, bins, lo, hi)
+    return (df.where(keep)
             .select(b.alias("bin")).groupBy("bin")
             .agg(F.count("*").alias("cnt")))
 
@@ -182,11 +191,8 @@ def distribution_drift(df_a: DataFrame, df_b: DataFrame, col: str,
     # groupBy(side, bin) histograms them in a single Spark job
     tagged = (df_a.select(F.col(col), F.lit("a").alias("__side"))
               .unionByName(df_b.select(F.col(col), F.lit("b").alias("__side"))))
-    x = F.col(col).cast("double")
-    width = (hi - lo) / bins
-    b = F.floor((x - F.lit(float(lo))) / F.lit(float(width))).cast("long")
-    b = F.least(F.greatest(b, F.lit(0)), F.lit(int(bins - 1)))
-    counts = (tagged.where(x.isNotNull() & ~F.isnan(x))
+    keep, b = _bin_expr(col, bins, lo, hi)
+    counts = (tagged.where(keep)
               .select("__side", b.alias("bin"))
               .groupBy("__side", "bin").agg(F.count("*").alias("cnt"))
               .collect())

@@ -291,7 +291,7 @@ class IVFIndex(_IndexPersistence):
         k = min(self.n_lists_, len(sample))
         centroids = sample[rng.choice(len(sample), size=k, replace=False)]
         for _ in range(20):
-            d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            d = _sqdist_matrix(sample, centroids)
             assign = d.argmin(axis=1)
             new = np.stack([
                 sample[assign == j].mean(axis=0) if (assign == j).any() else centroids[j]
@@ -333,24 +333,35 @@ class IVFIndex(_IndexPersistence):
         is reused and the union of probed lists — driver-known from
         the query vectors vs the fitted centroids — is applied as a
         `bucket IN (probed)` scan filter, which prunes partitions at
-        read time instead of scanning the whole corpus."""
+        read time instead of scanning the whole corpus. On that path
+        the query-side probe list is built from the SAME driver-side
+        numpy ranking that built the filter: numpy's pairwise
+        summation and the JVM aggregate fold can differ in the last
+        ulp on near-tied centroid distances, and a probe the filter
+        pruned but the JVM expr still ranked would silently join
+        nothing (review-caught)."""
         if bucket_col in df.columns:
-            # probed union via the same argsort the query-side expr
-            # computes, so the filter provably keeps every join match
-            qvecs = np.asarray(
-                [r[0] for r in queries.select(self.vec_col).collect()],
-                dtype="float64")
-            d = ((qvecs[:, None, :] - self.centroids_[None]) ** 2).sum(axis=2)
+            qrows = queries.select(query_id_col, self.vec_col).collect()
+            qvecs = np.asarray([list(r[1]) for r in qrows], dtype="float64")
+            d = _sqdist_matrix(qvecs, np.asarray(self.centroids_,
+                                                 dtype="float64"))
             order = np.argsort(d, axis=1, kind="stable")[:, :self.n_probe]
             probed = sorted({int(b) for b in order.ravel()})
             indexed = df.where(F.col(bucket_col).isin(probed)) \
                         .withColumnRenamed(bucket_col, "bucket")
+            spark = df.sparkSession
+            q = spark.createDataFrame(
+                [(r[0], [float(v) for v in r[1]], int(b))
+                 for r, row in zip(qrows, order) for b in row],
+                schema=f"{query_id_col} {queries.schema[query_id_col].dataType.simpleString()}, "
+                       "__qvec array<double>, bucket int")
         else:
             indexed = self.assign(df)
-        q = queries.select(
-            F.col(query_id_col), F.col(self.vec_col).alias("__qvec"),
-            F.explode(self._nearest_expr(F.col(self.vec_col), self.n_probe)).alias("bucket"),
-        )
+            q = queries.select(
+                F.col(query_id_col), F.col(self.vec_col).alias("__qvec"),
+                F.explode(self._nearest_expr(
+                    F.col(self.vec_col), self.n_probe)).alias("bucket"),
+            )
         joined = indexed.join(F.broadcast(q), "bucket")
         score = cosine_similarity(F.col(self.vec_col), F.col("__qvec"))
         scored = joined.select(
@@ -475,13 +486,26 @@ def _distributed_coarse_centroids(df: DataFrame, vec_col: str,
     return np.asarray(km.cluster_centers_, dtype="float64")
 
 
+def _sqdist_matrix(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, k) squared distances via ||x||^2 - 2xC^T + ||c||^2 — the
+    memory-safe form: the naive (X[:,None,:] - C[None])**2 broadcast
+    allocates an n*k*d float64 temp, which at the coarse='distributed'
+    regime this module documents (n=1e5 sample, n_lists>=512, d=64)
+    is tens of GB on the driver (review-caught). The matmul form peaks
+    at the n*k result itself."""
+    d2 = ((X ** 2).sum(axis=1)[:, None] - 2.0 * (X @ C.T)
+          + (C ** 2).sum(axis=1)[None, :])
+    np.maximum(d2, 0.0, out=d2)  # FP cancellation can dip below zero
+    return d2
+
+
 def _kmeans_codebook(block, k, rng, iters=20):
     """One driver-side k-means run over a sample matrix (the shared
     trainer for PQ subspaces, residual codebooks, and coarse lists)."""
     k = min(k, len(block))
     cent = block[rng.choice(len(block), size=k, replace=False)]
     for _ in range(iters):
-        dist = ((block[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        dist = _sqdist_matrix(block, cent)
         assign = dist.argmin(axis=1)
         new = np.stack([
             block[assign == j].mean(axis=0) if (assign == j).any()
@@ -700,7 +724,7 @@ class IVFPQIndex(_IndexPersistence):
             self.centroids_ = _kmeans_codebook(sample, self.n_lists, rng)
         else:
             raise ValueError(f"coarse must be 'sample' or 'distributed', got {coarse!r}")
-        d = ((sample[:, None, :] - self.centroids_[None]) ** 2).sum(axis=2)
+        d = _sqdist_matrix(sample, self.centroids_)
         residuals = sample - self.centroids_[d.argmin(axis=1)]
         self.codebooks_ = _train_pq_codebooks(residuals, self.m, self.k,
                                               self.seed)

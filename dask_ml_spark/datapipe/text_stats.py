@@ -271,12 +271,15 @@ def unigram_logprob_scores(df: DataFrame, text_col: str = "text",
     join beyond. Low scores = improbable token sequences (gibberish,
     boilerplate in the wrong corpus); use as a quality gate.
     """
-    # pinned: scanned for LM counts, the N/V scalars, and scoring.
-    # localCheckpoint, not persist — persist would leak the cached
-    # token table into executor storage for the session's lifetime;
-    # checkpoint blocks are reclaimed once the result frame is dropped
+    # deliberately UNPINNED: the exploded token table is corpus-scale,
+    # so persist leaks session-lifetime cache and localCheckpoint
+    # materializes the whole thing to executor disk AND severs lineage
+    # (an executor loss then fails every downstream job). The explode
+    # is a narrow map over the scan — recomputing it for the second
+    # consumer costs one extra cheap scan and keeps the operator
+    # stateless; the tiny pinned frames in bm25_* stay checkpointed.
     toks = df.select(F.col(id_col), F.explode(
-        tokens_expr(F.col(text_col))).alias("token")).localCheckpoint()
+        tokens_expr(F.col(text_col))).alias("token"))
     lm = toks.groupBy("token").agg(F.count("*").alias("c"))
     n_total, vocab = lm.agg(
         F.sum("c").alias("n"), F.count("*").alias("v")).collect()[0]
@@ -444,8 +447,12 @@ def strip_markup(df: DataFrame, text_col: str = "text",
     x = F.regexp_replace(x, r"(?is)<script\b[^>]*>.*?</script>", " ")
     x = F.regexp_replace(x, r"(?is)<style\b[^>]*>.*?</style>", " ")
     x = F.regexp_replace(x, r"(?s)<[^>]*>", " ")
-    for ent, rep in [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")]:
+    # &amp; decodes LAST (HTML spec order): decoding it first turns
+    # entity-escaped text like '&amp;lt;script&amp;gt;' into '&lt;…&gt;'
+    # and the later passes resurrect it as LIVE markup after the tag
+    # strip already ran (review-caught double-decode)
+    for ent, rep in [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")]:
         x = F.regexp_replace(x, ent, rep)
     x = F.trim(F.regexp_replace(x, r"\s+", " "))
     return df.withColumn(out, x)

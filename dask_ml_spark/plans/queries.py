@@ -2544,8 +2544,8 @@ s AS (
             regexp_replace(t, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
             '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
           '(?s)<[^>]*>', ' ', 'g'),
-        '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-        '&quot;', '"'), '&#39;', ''''),
+        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
       '\s+', ' ', 'g')) AS clean
     FROM h
 )
@@ -2605,7 +2605,9 @@ def q_audio_fingerprint_bands(spark, sf_dir):
 
 
 def _sql_audio_fingerprint_bands() -> str:
-    byte = ("('0x' || substr(md5(text), ((%s) %% 16) * 2 + 1, 2))::BIGINT")
+    # mod 13, matching audio_dedup._stub_bands_struct — a modulus
+    # dividing the 16-bit band length would make every band identical
+    byte = ("('0x' || substr(md5(text), ((%s) %% 13) * 2 + 1, 2))::BIGINT")
     energies = f"list_transform(range(0, 65), i -> {byte % 'i'})"
     bands = ", ".join(
         "list_sum(list_transform(range(0, 16), j -> CASE WHEN "

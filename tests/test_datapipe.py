@@ -2162,8 +2162,8 @@ def test_audio_fingerprint_stub_matches_python_replay(spark):
            for r in audio_fingerprints(df).collect()}
 
     def replay(text):
-        d = hashlib.md5(text.encode()).digest()
-        e = np.frombuffer((d * 5)[:65], dtype=np.uint8).astype(int)
+        d = hashlib.md5(text.encode()).digest()[:13]
+        e = np.asarray([d[k % 13] for k in range(65)], dtype=int)
         bits = (e[:-1] > e[1:]).astype(int)
         return tuple(int((bits[16 * b:16 * b + 16]
                           << np.arange(15, -1, -1)).sum()) for b in range(4))
@@ -2171,6 +2171,9 @@ def test_audio_fingerprint_stub_matches_python_replay(spark):
     for i, t in enumerate(texts):
         assert got[i] == replay(t)
     assert got[0] == got[1] and got[0] != got[2]
+    # the four bands must NOT be degenerate copies of one another
+    # (a 16-byte tile period would cancel the band index entirely)
+    assert len(set(got[0])) > 1
 
 
 def test_audio_fingerprint_real_wav_and_near_dup(spark):
@@ -2256,6 +2259,13 @@ def test_strip_markup_behaviors(spark):
     assert got[4] == "a & b <c> \"d\" 'e' f"
     assert got[5] == "spaced out lines"
     assert got[6] == "no markup at all"
+    # entity-escaped markup shown AS TEXT must stay text, not be
+    # resurrected into live markup by decoding &amp; before &lt;
+    esc = spark.createDataFrame(
+        [(1, "&amp;lt;script&amp;gt;alert(1)&amp;lt;/script&amp;gt;")],
+        ["doc_id", "text"])
+    got2 = strip_markup(esc).collect()[0]["text"]
+    assert got2 == "&lt;script&gt;alert(1)&lt;/script&gt;"
     # output_col keeps the original
     out = strip_markup(df, output_col="clean").collect()[0]
     assert "clean" in out.asDict() and "text" in out.asDict()
