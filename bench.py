@@ -62,6 +62,7 @@ HEADLINE = [
     "multimodal_decode",
     "image_dhash_bands",
     "image_near_dup_pairs",
+    "image_dedup_keep_one",
     "audio_fingerprint_bands",
     "frame_sample",
     "weighted_metrics",

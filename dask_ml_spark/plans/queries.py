@@ -2654,6 +2654,56 @@ def _sql_image_near_dup_pairs() -> str:
             f"WHERE ({ham}) <= 3")
 
 
+def q_image_dedup_keep_one(spark, sf_dir):
+    """The actionable multimodal dedup: dHash near-dup pairs →
+    connected components → keep the min-id representative per cluster
+    (the same dedup_keep_representatives the text dedup family uses —
+    the pair ops compose across modalities). Oracle: recursive-CTE
+    min-reachable-id over the brute-force pair set, anti-joined back."""
+    from dask_ml_spark.datapipe.dedup import dedup_keep_representatives
+    from dask_ml_spark.datapipe.image_dedup import image_near_dup
+    from dask_ml_spark.datapipe.multimodal import attach_binary_from_text
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = attach_binary_from_text(docs)
+    pairs = image_near_dup(blobs, max_hamming=3)
+    kept = dedup_keep_representatives(docs, pairs)
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("doc_id").cast("long").alias("kept_checksum")))
+
+
+def _sql_image_dedup_keep_one() -> str:
+    ham = " + ".join(f"bit_count(xor(a.h{i}, b.h{i}))" for i in range(4))
+    return f"""
+WITH RECURSIVE h AS ({_sql_dhash_bands()}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM h a JOIN h b ON a.doc_id < b.doc_id
+  WHERE ({ham}) <= 3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.node
+),
+dropped AS (
+  SELECT node FROM (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+  WHERE node != cluster
+)
+SELECT source, count(*)::BIGINT AS n_kept,
+       sum(doc_id)::BIGINT AS kept_checksum
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM dropped)
+GROUP BY source
+"""
+
+
 def q_frame_sample(spark, sf_dir):
     """Video frame-sampling plumbing: blob → 4 evenly-spaced frame
     slices per row (explode-shaped mapInPandas). Slice lengths are pure
@@ -3727,6 +3777,7 @@ def build_catalog():
         "strip_markup": q_strip_markup,
         "vocab_coverage": q_vocab_coverage,
         "image_near_dup_pairs": q_image_near_dup_pairs,
+        "image_dedup_keep_one": q_image_dedup_keep_one,
         "frame_sample": q_frame_sample,
         "quality_filter": q_quality_filter,
         "weighted_metrics": q_weighted_metrics,
@@ -3930,6 +3981,7 @@ def build_catalog():
         "strip_markup": SQL_STRIP_MARKUP,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "image_near_dup_pairs": _sql_image_near_dup_pairs(),
+        "image_dedup_keep_one": _sql_image_dedup_keep_one(),
         "frame_sample": SQL_FRAME_SAMPLE,
         "quality_filter": SQL_QUALITY_FILTER,
         "weighted_metrics": SQL_WEIGHTED_METRICS,
