@@ -50,12 +50,13 @@ def _stub_bands_struct(blob_col_sql: str):
     way; 13 makes band b start at (16b mod 13) — a different digest
     offset per band."""
     energies = (f"transform(sequence(0, {_N_ENERGIES - 1}), i -> "
-                f"{md5_byte_sql(blob_col_sql, 'i', 13)})")
+                f"{md5_byte_sql('hx', 'i', 13)})")
     bands = ", ".join(
         band_fold_sql(b, f"16*{b}+j+1", f"16*{b}+j+2")
         for b in range(N_BANDS))
+    inner = f"element_at(transform(array({energies}), g -> struct({bands})), 1)"
     return F.expr(
-        f"element_at(transform(array({energies}), g -> struct({bands})), 1)")
+        f"element_at(transform(array(md5({blob_col_sql})), hx -> {inner}), 1)")
 
 
 def _real_bands(raw: bytes) -> list[int]:

@@ -44,12 +44,16 @@ N_BANDS = 4
 _BITS_PER_BAND = 16
 
 
-def md5_byte_sql(blob_col_sql: str, index_sql: str, modulus: int) -> str:
-    """SQL for digest byte (index mod modulus) of md5(blob) — the
-    md5-tile fake-decode primitive shared by the image and audio stub
-    fingerprints (keeps the two Spark templates from drifting; the
-    DuckDB oracle builders mirror the same shapes)."""
-    return (f"cast(conv(substring(md5({blob_col_sql}), "
+def md5_byte_sql(hex_sql: str, index_sql: str, modulus: int) -> str:
+    """SQL for digest byte (index mod modulus) of an md5 HEX STRING —
+    the md5-tile fake-decode primitive shared by the image and audio
+    stub fingerprints (keeps the two Spark templates from drifting;
+    the DuckDB oracle builders mirror the same shapes). Callers pass a
+    hex expression that is evaluated ONCE per row (a lambda variable
+    from a one-element transform) — passing md5(blob) directly would
+    re-hash the full blob per array element (216x per row for the
+    image grid; measured as the dominant cost of the first bench)."""
+    return (f"cast(conv(substring({hex_sql}, "
             f"(({index_sql}) % {modulus}) * 2 + 1, 2), 16, 10) as int)")
 
 
@@ -74,7 +78,7 @@ def _stub_bands_struct(blob_col_sql: str):
     method limit and silently drops the row batch to interpreted
     mode — measured before this shape was chosen."""
     def byte(i):
-        return md5_byte_sql(blob_col_sql, i, 16)
+        return md5_byte_sql("hx", i, 16)
 
     gray = (f"transform(sequence(0, {_GH * _GW - 1}), i -> "
             f"{byte('3*i')} + {byte('3*i+1')} + {byte('3*i+2')})")
@@ -86,8 +90,10 @@ def _stub_bands_struct(blob_col_sql: str):
 
     bands = ", ".join(band_fold_sql(b, idx(b, 1), idx(b, 2))
                       for b in range(N_BANDS))
+    inner = f"element_at(transform(array({gray}), g -> struct({bands})), 1)"
+    # outer one-element transform binds hx = md5(blob) ONCE per row
     return F.expr(
-        f"element_at(transform(array({gray}), g -> struct({bands})), 1)")
+        f"element_at(transform(array(md5({blob_col_sql})), hx -> {inner}), 1)")
 
 
 def _real_bands(raw: bytes) -> list[int]:
