@@ -1,0 +1,127 @@
+"""Count-based static word embeddings from a corpus:
+co-occurrence -> PPMI -> truncated SVD (Levy & Goldberg 2014,
+"Neural Word Embedding as Implicit Matrix Factorization" — SGNS
+factorizes a shifted PMI matrix, so the count-based pipeline is the
+closed-form cousin of word2vec and needs no gradient loop).
+
+This closes a loop in the datapipe: a corpus can now PRODUCE the
+embedding column the similarity/dedup operators consume
+(corpus -> embed_train -> embedding_near_dup / ANN), with zero
+external model dependencies.
+
+Scale shape — the 100 TB work is the COUNTING, and only the counting:
+- vocabulary: one token count aggregate, top-V by (count desc, token)
+  — deterministic tiebreak, broadcast back (V is bounded, like the
+  BPE vocab and BM25 query tables).
+- co-occurrence: window pairs are built INSIDE the token array with
+  higher-order functions (no posexplode self-join — a window join on
+  (doc, position) would shuffle the corpus twice), then one explode +
+  semi-filter to the vocabulary + one groupBy(w1, w2) with map-side
+  combine. Output is <= V^2 rows regardless of corpus size.
+- PPMI: marginals are V-row aggregates joined back (broadcast).
+- SVD: driver-side numpy on the V x V PPMI matrix — bounded by
+  vocab_size (documented: keep V <= ~4k on this path; larger
+  vocabularies belong to the hashed/feature-space estimators).
+
+The count and PPMI tables are DuckDB-oracle-replayable; the SVD
+factors carry a sign/rotation ambiguity, so embedding values are
+pinned against an independent numpy replay in tests instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_ml_spark.datapipe.dedup import tokens_expr
+from dask_ml_spark.utils import ensure_min_partitions
+
+
+def top_vocabulary(df: DataFrame, text_col: str = "text",
+                   vocab_size: int = 1000) -> DataFrame:
+    """(word) — the vocab_size most frequent tokens, ties broken by
+    token ascending (deterministic across engines)."""
+    return (ensure_min_partitions(df)
+            .select(F.explode(tokens_expr(F.col(text_col))).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("word")).limit(vocab_size)
+            .select("word"))
+
+
+def _window_pairs_expr(toks, window: int):
+    """array<struct<w1,w2>> of BOTH directions of every within-window
+    ordered pair — built inside the array (narrow), guarded so
+    sequence() never runs descending (the Spark count-DOWN trap)."""
+    n = F.size(toks)
+    starts = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    fwd = F.flatten(F.transform(starts, lambda i: F.transform(
+        F.sequence(i + 1, F.least(i + F.lit(window), n)),
+        lambda j: F.struct(F.element_at(toks, i).alias("w1"),
+                           F.element_at(toks, j).alias("w2")))))
+    rev = F.transform(fwd, lambda p: F.struct(
+        p["w2"].alias("w1"), p["w1"].alias("w2")))
+    return F.concat(fwd, rev)
+
+
+def cooccurrence_counts(df: DataFrame, text_col: str = "text",
+                        window: int = 2,
+                        vocab: DataFrame | None = None,
+                        vocab_size: int = 1000) -> DataFrame:
+    """(w1, w2, n) symmetric within-window co-occurrence counts over
+    the top-V vocabulary. One explode + one aggregate; <= V^2 rows."""
+    if vocab is None:
+        vocab = top_vocabulary(df, text_col, vocab_size)
+    v = F.broadcast(vocab.select(F.col("word")))
+    pairs = (ensure_min_partitions(df)
+             .select(F.explode(_window_pairs_expr(
+                 tokens_expr(F.col(text_col)), window)).alias("p"))
+             .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
+    pairs = (pairs.join(v.withColumnRenamed("word", "w1"), "w1", "left_semi")
+             .join(v.withColumnRenamed("word", "w2"), "w2", "left_semi"))
+    return pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n"))
+
+
+def ppmi_scores(cooc: DataFrame) -> DataFrame:
+    """(w1, w2, ppmi): positive pointwise mutual information
+    ppmi = max(0, ln(n * N / (n1 * n2))) with N the total pair mass
+    and n1/n2 the marginals — all broadcast-size joins; rounded to 6
+    digits for engine-portable comparison."""
+    total = cooc.agg(F.sum("n").alias("N"))
+    m1 = cooc.groupBy("w1").agg(F.sum("n").alias("n1"))
+    m2 = cooc.groupBy("w2").agg(F.sum("n").alias("n2"))
+    return (cooc.join(F.broadcast(m1), "w1")
+            .join(F.broadcast(m2), "w2")
+            .crossJoin(F.broadcast(total))
+            .select("w1", "w2", F.round(F.greatest(
+                F.lit(0.0),
+                F.log((F.col("n").cast("double") * F.col("N"))
+                      / (F.col("n1").cast("double") * F.col("n2")))),
+                6).alias("ppmi")))
+
+
+def train_static_embeddings(df: DataFrame, text_col: str = "text",
+                            dim: int = 16, window: int = 2,
+                            vocab_size: int = 500) -> DataFrame:
+    """(word, embedding array<double>) — L2-normalized rank-`dim` SVD
+    factors of the PPMI matrix (U * sqrt(S), the standard count-based
+    embedding). Distributed counting; driver-side factorization of the
+    bounded V x V matrix (see module docstring for the V contract)."""
+    vocab = top_vocabulary(df, text_col, vocab_size)
+    words = [r["word"] for r in vocab.collect()]
+    index = {w: i for i, w in enumerate(words)}
+    ppmi = ppmi_scores(cooccurrence_counts(
+        df, text_col, window, vocab=vocab))
+    M = np.zeros((len(words), len(words)))
+    for r in ppmi.collect():  # <= V^2 rows, bounded driver state
+        M[index[r["w1"]], index[r["w2"]]] = r["ppmi"]
+    U, S, _ = np.linalg.svd(M, full_matrices=False)
+    k = min(dim, len(S))
+    E = U[:, :k] * np.sqrt(S[:k])[None, :]
+    norms = np.linalg.norm(E, axis=1, keepdims=True)
+    E = E / np.maximum(norms, 1e-12)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(w, [float(v) for v in E[i]]) for i, w in enumerate(words)],
+        "word string, embedding array<double>")

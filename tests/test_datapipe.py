@@ -2311,3 +2311,80 @@ def test_image_near_dup_collapse_exact(spark):
     assert all(r["id_a"] != r["id_b"] for r in collapsed)
     ids = {i for r in collapsed for i in (r["id_a"], r["id_b"])}
     assert not ({1, 2, 3, 4, 5} & ids)
+
+
+def test_cooccurrence_and_ppmi_match_bruteforce(spark):
+    from collections import Counter
+
+    import numpy as np
+
+    from dask_ml_spark.datapipe.embed_train import (cooccurrence_counts,
+                                                    ppmi_scores)
+
+    texts = ["the cat sat on the mat", "the dog sat on the log",
+             "cat and dog play", "x"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = {(r["w1"], r["w2"]): r["n"]
+           for r in cooccurrence_counts(df, window=2, vocab_size=100).collect()}
+
+    ref = Counter()
+    for t in texts:
+        toks = [w for w in t.lower().split() if len(w) >= 2]
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + 3, len(toks))):
+                ref[(toks[i], toks[j])] += 1
+                ref[(toks[j], toks[i])] += 1
+    assert got == dict(ref)
+
+    ppmi = {(r["w1"], r["w2"]): r["ppmi"]
+            for r in ppmi_scores(cooccurrence_counts(
+                df, window=2, vocab_size=100)).collect()}
+    N = sum(ref.values())
+    m1 = Counter(); m2 = Counter()
+    for (a, b), n in ref.items():
+        m1[a] += n; m2[b] += n
+    for (a, b), n in ref.items():
+        want = round(max(0.0, np.log(n * N / (m1[a] * m2[b]))), 6)
+        assert abs(ppmi[(a, b)] - want) < 1e-9
+
+
+def test_static_embeddings_semantics_and_replay(spark):
+    """cat/dog share contexts -> high cosine; unrelated words low.
+    Values replay exactly: the same rounded-PPMI matrix through the
+    same numpy SVD."""
+    import numpy as np
+
+    from dask_ml_spark.datapipe.embed_train import (cooccurrence_counts,
+                                                    ppmi_scores,
+                                                    top_vocabulary,
+                                                    train_static_embeddings)
+
+    texts = (["the cat sat on the mat"] * 5
+             + ["the dog sat on the mat"] * 5
+             + ["stocks fell sharply today"] * 5
+             + ["the cat chased string"] * 3
+             + ["the dog chased string"] * 3)
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    emb = {r["word"]: np.asarray(r["embedding"])
+           for r in train_static_embeddings(
+               df, dim=8, window=2, vocab_size=50).collect()}
+
+    def cos(a, b):
+        return float(emb[a] @ emb[b])
+
+    assert cos("cat", "dog") > 0.8          # interchangeable contexts
+    assert cos("cat", "dog") > cos("cat", "stocks") + 0.3
+
+    # exact replay: rebuild the matrix from the Spark PPMI table and
+    # run the identical factorization
+    vocab = top_vocabulary(df, vocab_size=50)
+    words = [r["word"] for r in vocab.collect()]
+    idx = {w: i for i, w in enumerate(words)}
+    M = np.zeros((len(words), len(words)))
+    for r in ppmi_scores(cooccurrence_counts(df, 2, vocab=vocab)).collect():
+        M[idx[r["w1"]], idx[r["w2"]]] = r["ppmi"]
+    U, S, _ = np.linalg.svd(M, full_matrices=False)
+    E = U[:, :8] * np.sqrt(S[:8])[None, :]
+    E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+    for i, w in enumerate(words):
+        assert np.allclose(emb[w], E[i], atol=1e-9)
