@@ -2287,14 +2287,15 @@ def q_quantile_transformer_fit_approx(spark, sf_dir):
     of row count, mergeable map-side). This is the default
     (approximate=True) and the bench headline; the exact-percentile
     variant above buffers every value in the aggregation buffer and
-    does not survive 100 TB columns. accuracy=2e6 puts GK in its EXACT
-    regime at oracle/bench SFs (rank error n/(2*accuracy) < 1), so the
-    approx path is now DuckDB-oracled via quantile_disc (was
-    rows-only), while the library default accuracy stays 10000."""
+    does not survive 100 TB columns. accuracy=250k (the measured
+    no-compression exactness floor at the oracle SF) makes the approx
+    path DuckDB-oracled (was rows-only); the library default stays
+    accuracy=10000 — the deliberate oracle-vs-production split
+    winsorized_prices also makes."""
     from dask_ml_spark.operators.preprocessing import QuantileTransformer
 
     li = _t(spark, sf_dir, "lineitem")
-    qt = QuantileTransformer(n_quantiles=11, accuracy=2_000_000).fit(
+    qt = QuantileTransformer(n_quantiles=11, accuracy=250_000).fit(
         li, ["l_quantity", "l_extendedprice"]
     )
     rows = [
@@ -5074,15 +5075,17 @@ GROUP BY p.p_brand
 
 def q_kbins_discretizer_approx(spark, sf_dir):
     """Scale-path KBinsDiscretizer: percentile_approx edges. GK rank
-    error is <= n/(2*accuracy), so accuracy=2e6 puts the sketch in its
-    EXACT regime at oracle/bench SFs (n <= 6e5) — the approx code path
-    runs end-to-end AND DuckDB's quantile_disc replays the edges
-    bit-for-bit (was rows-only before r6)."""
+    error is <= n/(2*accuracy), so accuracy=250k is the measured
+    exactness floor at the ORACLE SF (no sketch compression at n=6e4,
+    so DuckDB's quantile_disc replays the edges bit-for-bit — was
+    rows-only before r6; 1e5 compresses and drifts). Same deliberate
+    oracle-vs-production split as winsorized_prices: the LIBRARY
+    default stays accuracy=10000, the bounded 100 TB sketch."""
     from dask_ml_spark.operators.preprocessing import KBinsDiscretizer
 
     li = _t(spark, sf_dir, "lineitem")
     kb = KBinsDiscretizer(n_bins=8, strategy="quantile", approximate=True,
-                          accuracy=2_000_000).fit(li, ["l_extendedprice"])
+                          accuracy=250_000).fit(li, ["l_extendedprice"])
     return (kb.transform(li.select("l_extendedprice"))
             .groupBy(F.col("l_extendedprice").cast("long").alias("bin"))
             .agg(F.count("*").alias("n")))
