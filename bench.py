@@ -87,6 +87,8 @@ HEADLINE = [
     "normalized_text_hash",
     "strip_markup",
     "vocab_coverage",
+    "cooccurrence_topk",
+    "ppmi_topk",
     "outlink_domain_profile",
     "domain_pagerank",
     "score_smoothing",

@@ -88,7 +88,9 @@ def ppmi_scores(cooc: DataFrame) -> DataFrame:
     ppmi = max(0, ln(n * N / (n1 * n2))) with N the total pair mass
     and n1/n2 the marginals — all broadcast-size joins; rounded to 6
     digits for engine-portable comparison."""
-    total = cooc.agg(F.sum("n").alias("N"))
+    # "__total", not "N": Spark resolves case-insensitively, so "N"
+    # collides with the count column "n"
+    total = cooc.agg(F.sum("n").alias("__total"))
     m1 = cooc.groupBy("w1").agg(F.sum("n").alias("n1"))
     m2 = cooc.groupBy("w2").agg(F.sum("n").alias("n2"))
     return (cooc.join(F.broadcast(m1), "w1")
@@ -96,7 +98,7 @@ def ppmi_scores(cooc: DataFrame) -> DataFrame:
             .crossJoin(F.broadcast(total))
             .select("w1", "w2", F.round(F.greatest(
                 F.lit(0.0),
-                F.log((F.col("n").cast("double") * F.col("N"))
+                F.log((F.col("n").cast("double") * F.col("__total"))
                       / (F.col("n1").cast("double") * F.col("n2")))),
                 6).alias("ppmi")))
 

@@ -2505,6 +2505,85 @@ def _sql_dhash_bands() -> str:
             f"SELECT doc_id, {bands} FROM g")
 
 
+def q_cooccurrence_topk(spark, sf_dir):
+    """Distributed co-occurrence counting (datapipe/embed_train.py —
+    the count stage of the PPMI embedding trainer): symmetric
+    window-2 pairs over the top-100 vocabulary, top-50 by
+    (count desc, w1, w2). The window pairs are built inside the token
+    array with HOFs (no positional self-join); the oracle replays the
+    identical pair construction with lateral unnest."""
+    from dask_ml_spark.datapipe.embed_train import cooccurrence_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    cooc = cooccurrence_counts(docs, window=2, vocab_size=100)
+    return (cooc.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2")).limit(50))
+
+
+def q_ppmi_topk(spark, sf_dir):
+    """PPMI stage of the embedding trainer: the same deterministic
+    top-50 pair SELECTION as cooccurrence_topk (integer-count ordering
+    — immune to float rounding flips), with the PPMI value attached.
+    The SVD factors carry sign ambiguity, so the embedding stage
+    itself is pinned against an independent numpy replay in pytest
+    instead of a SQL oracle."""
+    from dask_ml_spark.datapipe.embed_train import (cooccurrence_counts,
+                                                    ppmi_scores)
+
+    docs = _t(spark, sf_dir, "documents")
+    cooc = cooccurrence_counts(docs, window=2, vocab_size=100)
+    top = cooc.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2")).limit(50)
+    return (top.join(ppmi_scores(cooc), ["w1", "w2"])
+            .select("w1", "w2", "n", "ppmi"))
+
+
+def _sql_cooccurrence_base() -> str:
+    return f"""
+t AS (SELECT regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+      FROM documents),
+vocab AS (
+  SELECT token AS word FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS token
+    FROM documents)
+  GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 100
+),
+raw AS (
+  SELECT toks[i+1] AS wa, toks[i+o+1] AS wb
+  FROM t, unnest(range(0, greatest(len(toks)-1, 0))) AS a(i),
+       unnest([1, 2]) AS b(o)
+  WHERE i + o < len(toks)
+),
+both_dirs AS (
+  SELECT wa AS w1, wb AS w2 FROM raw
+  UNION ALL
+  SELECT wb AS w1, wa AS w2 FROM raw
+),
+cooc AS (
+  SELECT w1, w2, count(*)::BIGINT AS n
+  FROM both_dirs
+  WHERE w1 IN (SELECT word FROM vocab) AND w2 IN (SELECT word FROM vocab)
+  GROUP BY w1, w2
+)"""
+
+
+SQL_COOCCURRENCE_TOPK = f"""
+WITH {_sql_cooccurrence_base()}
+SELECT w1, w2, n FROM cooc ORDER BY n DESC, w1, w2 LIMIT 50
+"""
+
+
+SQL_PPMI_TOPK = f"""
+WITH {_sql_cooccurrence_base()},
+tot AS (SELECT sum(n)::DOUBLE AS t FROM cooc),
+m1 AS (SELECT w1, sum(n)::DOUBLE AS n1 FROM cooc GROUP BY w1),
+m2 AS (SELECT w2, sum(n)::DOUBLE AS n2 FROM cooc GROUP BY w2),
+top AS (SELECT w1, w2, n FROM cooc ORDER BY n DESC, w1, w2 LIMIT 50)
+SELECT top.w1, top.w2, top.n,
+       round(greatest(0.0, ln((top.n * t) / (n1 * n2))), 6) AS ppmi
+FROM top JOIN m1 ON top.w1 = m1.w1 JOIN m2 ON top.w2 = m2.w2
+CROSS JOIN tot
+"""
+
+
 def q_strip_markup(spark, sf_dir):
     """Markup stripping (text_stats.strip_markup): documents are
     wrapped in synthetic HTML (tags + script block + entities) inside
@@ -3776,6 +3855,8 @@ def build_catalog():
         "fuzzy_vocab_pairs": q_fuzzy_vocab_pairs,
         "audio_fingerprint_bands": q_audio_fingerprint_bands,
         "strip_markup": q_strip_markup,
+        "cooccurrence_topk": q_cooccurrence_topk,
+        "ppmi_topk": q_ppmi_topk,
         "vocab_coverage": q_vocab_coverage,
         "image_near_dup_pairs": q_image_near_dup_pairs,
         "image_dedup_keep_one": q_image_dedup_keep_one,
@@ -3980,6 +4061,8 @@ def build_catalog():
         "fuzzy_vocab_pairs": SQL_FUZZY_VOCAB_PAIRS,
         "audio_fingerprint_bands": _sql_audio_fingerprint_bands(),
         "strip_markup": SQL_STRIP_MARKUP,
+        "cooccurrence_topk": SQL_COOCCURRENCE_TOPK,
+        "ppmi_topk": SQL_PPMI_TOPK,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "image_near_dup_pairs": _sql_image_near_dup_pairs(),
         "image_dedup_keep_one": _sql_image_dedup_keep_one(),

@@ -2381,7 +2381,7 @@ def test_static_embeddings_semantics_and_replay(spark):
     words = [r["word"] for r in vocab.collect()]
     idx = {w: i for i, w in enumerate(words)}
     M = np.zeros((len(words), len(words)))
-    for r in ppmi_scores(cooccurrence_counts(df, 2, vocab=vocab)).collect():
+    for r in ppmi_scores(cooccurrence_counts(df, window=2, vocab=vocab)).collect():
         M[idx[r["w1"]], idx[r["w2"]]] = r["ppmi"]
     U, S, _ = np.linalg.svd(M, full_matrices=False)
     E = U[:, :8] * np.sqrt(S[:8])[None, :]
