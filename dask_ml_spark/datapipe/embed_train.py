@@ -52,7 +52,11 @@ def top_vocabulary(df: DataFrame, text_col: str = "text",
 def _window_pairs_expr(toks, window: int):
     """array<struct<w1,w2>> of BOTH directions of every within-window
     ordered pair — built inside the array (narrow), guarded so
-    sequence() never runs descending (the Spark count-DOWN trap)."""
+    sequence() never runs descending (the Spark count-DOWN trap; the
+    inner sequence is ascending iff window >= 1, which
+    cooccurrence_counts validates). `toks` must be a MATERIALIZED
+    column reference, not a computed expression — the shingles lesson:
+    HOF lambdas re-evaluate embedded expressions per element."""
     n = F.size(toks)
     starts = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
         .otherwise(F.array().cast("array<int>"))
@@ -71,12 +75,18 @@ def cooccurrence_counts(df: DataFrame, text_col: str = "text",
                         vocab_size: int = 1000) -> DataFrame:
     """(w1, w2, n) symmetric within-window co-occurrence counts over
     the top-V vocabulary. One explode + one aggregate; <= V^2 rows."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     if vocab is None:
         vocab = top_vocabulary(df, text_col, vocab_size)
     v = F.broadcast(vocab.select(F.col("word")))
+    # materialize the token array BEFORE the pair HOF references it
+    # (size + 2 element_at per pair would otherwise re-run the full
+    # regexp tokenizer per element — review-caught, ~4x at sf1)
     pairs = (ensure_min_partitions(df)
+             .select(tokens_expr(F.col(text_col)).alias("__toks"))
              .select(F.explode(_window_pairs_expr(
-                 tokens_expr(F.col(text_col)), window)).alias("p"))
+                 F.col("__toks"), window)).alias("p"))
              .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
     pairs = (pairs.join(v.withColumnRenamed("word", "w1"), "w1", "left_semi")
              .join(v.withColumnRenamed("word", "w2"), "w2", "left_semi"))
@@ -113,17 +123,22 @@ def train_static_embeddings(df: DataFrame, text_col: str = "text",
     vocab = top_vocabulary(df, text_col, vocab_size)
     words = [r["word"] for r in vocab.collect()]
     index = {w: i for i, w in enumerate(words)}
+    # rebuild the vocab frame from the already-collected words (no
+    # second lineage execution), and pull the PPMI table via Arrow —
+    # V^2 PySpark Row objects would cost GBs of driver Python objects
+    # at the documented V ceiling where a flat frame is ~MBs
+    spark = df.sparkSession
+    vocab_df = spark.createDataFrame([(w,) for w in words], "word string")
     ppmi = ppmi_scores(cooccurrence_counts(
-        df, text_col, window, vocab=vocab))
+        df, text_col, window, vocab=vocab_df)).toPandas()
     M = np.zeros((len(words), len(words)))
-    for r in ppmi.collect():  # <= V^2 rows, bounded driver state
-        M[index[r["w1"]], index[r["w2"]]] = r["ppmi"]
+    M[[index[w] for w in ppmi["w1"]],
+      [index[w] for w in ppmi["w2"]]] = ppmi["ppmi"].to_numpy()
     U, S, _ = np.linalg.svd(M, full_matrices=False)
     k = min(dim, len(S))
     E = U[:, :k] * np.sqrt(S[:k])[None, :]
     norms = np.linalg.norm(E, axis=1, keepdims=True)
     E = E / np.maximum(norms, 1e-12)
-    spark = df.sparkSession
     return spark.createDataFrame(
         [(w, [float(v) for v in E[i]]) for i, w in enumerate(words)],
         "word string, embedding array<double>")
