@@ -463,6 +463,33 @@ def lsh_plane_matrix(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).randn(n_planes, dim)
 
 
+def derive_lsh_geometry(n: int, threshold: float, n_bands: int,
+                        bits_per_band: int) -> tuple[int, int]:
+    """The auto_scale geometry rule, shared by the operator and the
+    SQL-oracle builder (sql_embedding_near_dup_scaled) so the two can
+    never drift: bits ≈ log2(N)+4 pins expected spurious pairs to
+    ~N·n_bands/32 (linear in N), then — recall is the CONTRACT, the
+    band budget the constraint — if ≥95% band-survival at `needed`
+    bits would take more than 64 bands, shed bits (candidates grow 2×
+    per shed bit, still exponentially below the fixed-geometry N²)
+    rather than silently losing recall."""
+    import math
+
+    needed = math.ceil(math.log2(max(n, 2)) + 4)
+    if needed > bits_per_band:
+        p_bit = 1.0 - math.acos(min(threshold, 0.999)) / math.pi
+        bits = needed
+        while bits > bits_per_band:
+            bands_req = math.ceil(math.log(20.0) / (p_bit ** bits))
+            if bands_req <= 64:
+                break
+            bits -= 1
+        bits_per_band = bits
+        n_bands = max(n_bands, math.ceil(
+            math.log(20.0) / (p_bit ** bits_per_band)))
+    return n_bands, bits_per_band
+
+
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
                              threshold: float = 0.95, n_bands: int = 12,
                              bits_per_band: int = 12, seed: int = 42,
@@ -506,27 +533,8 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: 
         if dim is None:
             dim = len(df.select(vec_col).first()[0])
         if auto_scale:
-            import math
-
-            n = df.count()
-            needed = math.ceil(math.log2(max(n, 2)) + 4)
-            if needed > bits_per_band:
-                # recall is the CONTRACT, the band budget is the
-                # constraint: if ≥95% band-survival at `needed` bits
-                # would take more than 64 bands, shed bits (candidates
-                # grow 2× per shed bit — still exponentially below the
-                # fixed-geometry N² — rather than silently losing
-                # recall, which capping bands alone would do)
-                p_bit = 1.0 - math.acos(min(threshold, 0.999)) / math.pi
-                bits = needed
-                while bits > bits_per_band:
-                    bands_req = math.ceil(math.log(20.0) / (p_bit ** bits))
-                    if bands_req <= 64:
-                        break
-                    bits -= 1
-                bits_per_band = bits
-                n_bands = max(n_bands, math.ceil(
-                    math.log(20.0) / (p_bit ** bits_per_band)))
+            n_bands, bits_per_band = derive_lsh_geometry(
+                df.count(), threshold, n_bands, bits_per_band)
         idx = CosineLSHIndex(n_bands=n_bands, bits_per_band=bits_per_band,
                              seed=seed, vec_col=vec_col, id_col=id_col)
         # shared matrix with the SQL-oracle generator (lsh_plane_matrix

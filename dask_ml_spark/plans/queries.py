@@ -1893,8 +1893,11 @@ def q_embedding_near_dup_scaled(spark, sf_dir):
     """The N-adaptive geometry (auto_scale=True): bits ≈ log2(N)+4
     keeps spurious candidate pairs LINEAR in N (fixed bits measured
     100× candidates for 10× rows at sf1), with bands re-derived for
-    ≥95% recall at the threshold. Rows-only (geometry depends on N);
-    the pinned sibling embedding_near_dup is the hash-matched oracle."""
+    ≥95% recall at the threshold. Oracled since r6: the adaptive
+    formula RESOLVES to 23 bands x 13 bits at the oracle SF (N=500 —
+    the same fixed-point convention q_semantic_dedup uses for its
+    adaptive n_cent), and the SQL replays those exact plane literals
+    plus the banded join and aggregate."""
     emb = _t(spark, sf_dir, "embeddings")
     out = DD.embedding_near_dup_pairs(
         emb, threshold=0.9, exact=False, seed=42, dim=EMB_DIM)
@@ -1926,6 +1929,43 @@ SELECT l.vec_id AS id_a, r.vec_id AS id_b,
        list_cosine_similarity(l.embedding, r.embedding) AS cosine
 FROM coded l JOIN coded r ON ({collide}) AND l.vec_id < r.vec_id
 WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.9
+"""
+
+
+def sql_embedding_near_dup_scaled() -> str:
+    """Oracle for the adaptive-geometry near-dup at the oracle SF:
+    auto_scale resolves to 23 bands x 13 bits for N=500 (derived by
+    the same formula embedding_near_dup_pairs runs — needed =
+    ceil(log2(500)+4) = 13 bits, bands = ceil(ln20 / p_bit^13) = 23 at
+    threshold 0.9). The plane matrix is the shared lsh_plane_matrix
+    draw, so the literals match the Spark side bit-for-bit."""
+    # MUST match the operator's runtime derivation at N=500 — pinned
+    # by tests/test_datapipe.py::test_lsh_geometry_derivation
+    bands, bits = DD.derive_lsh_geometry(500, 0.9, 12, 12)
+    planes = DD.lsh_plane_matrix(bands * bits, EMB_DIM, seed=42)
+    band_cols = []
+    for b in range(bands):
+        terms = []
+        for j in range(bits):
+            plane = planes[b * bits + j]
+            lit = "[" + ", ".join(f"{v!r}" for v in plane.tolist()) + "]"
+            terms.append(f"(CASE WHEN list_dot_product(embedding, {lit}) > 0 THEN {2**j} ELSE 0 END)")
+        band_cols.append(" + ".join(terms) + f" AS bucket_{b}")
+    buckets = ", ".join(band_cols)
+    collide = " OR ".join(
+        f"l.bucket_{b} = r.bucket_{b}" for b in range(bands))
+    return f"""
+WITH coded AS (
+    SELECT vec_id, embedding, {buckets} FROM embeddings
+),
+pairs AS (
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           list_cosine_similarity(l.embedding, r.embedding) AS cosine
+    FROM coded l JOIN coded r ON ({collide}) AND l.vec_id < r.vec_id
+    WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.9
+)
+SELECT count(*)::BIGINT AS n_pairs, round(avg(cosine), 4) AS avg_cosine
+FROM pairs
 """
 
 
@@ -3991,6 +4031,7 @@ def build_catalog():
         "lsh_ann_topk": SQL_LSH_ANN_TOPK,
         "knn_graph_topk": SQL_KNN_GRAPH_TOPK,
         "embedding_near_dup": sql_embedding_near_dup(),
+        "embedding_near_dup_scaled": sql_embedding_near_dup_scaled(),
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "quantized_embeddings": SQL_QUANTIZED_EMBEDDINGS,
         "ann_recall_metrics": sql_ann_recall_metrics(),

@@ -2388,3 +2388,28 @@ def test_static_embeddings_semantics_and_replay(spark):
     E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
     for i, w in enumerate(words):
         assert np.allclose(emb[w], E[i], atol=1e-9)
+
+
+def test_lsh_geometry_derivation(spark):
+    """The shared auto_scale rule (operator AND the scaled-near-dup
+    SQL oracle builder call it): bits ~ log2(N)+4, bands re-derived
+    for >= 95% band survival, shed bits when the band budget (64)
+    would blow."""
+    from dask_ml_spark.datapipe.dedup import derive_lsh_geometry
+
+    # the oracle fixed point: N=500 at threshold 0.9 -> 23 x 13
+    assert derive_lsh_geometry(500, 0.9, 12, 12) == (23, 13)
+    # small N keeps the defaults
+    assert derive_lsh_geometry(100, 0.9, 12, 12) == (12, 12)
+    # bits grow ~log2(N) (minus budget-driven shedding: 50k wants 20
+    # bits but 20 needs 67 bands > 64, so it sheds to 19); bands stay
+    # within the 64 budget either way
+    b1, k1 = derive_lsh_geometry(5_000, 0.9, 12, 12)
+    b2, k2 = derive_lsh_geometry(50_000, 0.9, 12, 12)
+    assert (b1, k1) == (42, 17) and (b2, k2) == (57, 19)
+    # and the operator path at sf0.001 still runs green with auto bits
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from dask_ml_spark.datapipe.dedup import embedding_near_dup_pairs
+
+    out = embedding_near_dup_pairs(emb, threshold=0.9)
+    assert out.count() >= 0
