@@ -10,9 +10,10 @@ survive where byte-exact dedup fails.
 
 Same Spark shape and guarantees as image_dedup:
 - fingerprinting is a NARROW map. stub=True derives the 65 band
-  energies from an md5-digest tile (period 13 — see
-  _stub_bands_struct for why not 16) as pure JVM expressions —
-  SQL-oracle-replayable bit-for-bit;
+  energies from a mixed-moduli md5-digest tile (period
+  lcm(13,16)=208 — see _stub_bands_struct for why neither 13 nor 16
+  alone survives) as pure JVM expressions — SQL-oracle-replayable
+  bit-for-bit;
   stub=False decodes real PCM WAV in mapInPandas (stdlib `wave` +
   numpy rfft — the same honest-decode subset as audio_features) and
   runs the SAME comparison on real energies.
@@ -37,20 +38,26 @@ _N_ENERGIES = 65  # 64 gradient bits
 
 
 def _stub_bands_struct(blob_col_sql: str):
-    """struct(h0..h3) from the md5-tile fake energies: energy[k] is
-    digest byte (k mod 13) — the audio stub needs no 2-D indexing, so
-    the expression is a direct adjacent-byte compare. Same HOF shape
-    as image_dedup (per-bit unrolls blow the codegen method limit).
+    """struct(h0..h3) from the md5-tile fake energies:
+    energy[k] = byte[k mod 13] XOR byte[(5k+1) mod 16] — the audio
+    stub needs no 2-D indexing, so the expression is a direct
+    adjacent-energy compare. Same HOF shape as image_dedup (per-bit
+    unrolls blow the codegen method limit).
 
-    The modulus is 13, NOT 16: with a 16-byte period, band b's bits
-    compare byte[(16b+j) mod 16] = byte[j mod 16] — b cancels and all
-    four bands come out IDENTICAL (caught in review: Hamming distances
-    collapsed to multiples of 4 and the effective space to 2^16).
-    Any modulus dividing the 16-bit band length degenerates the same
-    way; 13 makes band b start at (16b mod 13) — a different digest
-    offset per band."""
+    Why two mixed moduli (ADVICE r6): a single-byte tile repeats —
+    mod 16 makes band b's bits compare byte[(16b+j) mod 16] =
+    byte[j mod 16], so b cancels and all four bands come out
+    IDENTICAL (caught in review: effective space 2^16); a bare
+    mod 13 makes bit p identical to bit p+13, collapsing the
+    keyspace to ~2^13 and colliding unrelated blobs at Hamming 0
+    with prob ~1/8192 — visibly inflating near-dup counts at bench
+    SFs. XORing the coprime-stride 16-byte lookup gives the tile
+    period lcm(13,16) = 208 > 65, so all 64 comparison bits are
+    distinct digest functions and the stub keyspace is a real
+    ~2^64."""
     energies = (f"transform(sequence(0, {_N_ENERGIES - 1}), i -> "
-                f"{md5_byte_sql('hx', 'i', 13)})")
+                f"({md5_byte_sql('hx', 'i', 13)} ^ "
+                f"{md5_byte_sql('hx', '5*i+1', 16)}))")
     bands = ", ".join(
         band_fold_sql(b, f"16*{b}+j+1", f"16*{b}+j+2")
         for b in range(N_BANDS))

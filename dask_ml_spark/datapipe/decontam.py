@@ -39,8 +39,11 @@ def contamination_scores(docs: DataFrame, eval_docs: DataFrame,
         .select(F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("shingle"))
         .distinct()
     )
-    # doc_sh is scanned twice (sizes + overlap); the eval set broadcasts
-    doc_sh = doc_sh.persist()
+    # doc_sh is scanned twice (sizes + overlap) but is CORPUS-scale, so
+    # no pin: persist() leaks the session CacheManager entry and
+    # localCheckpoint would eagerly materialize the whole corpus's
+    # shingles on executors. It is a pure narrow map+explode — the
+    # second consumer re-runs one narrow scan. The eval set broadcasts.
     sizes = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     overlap = (
         doc_sh.join(F.broadcast(eval_sh), "shingle")
@@ -119,12 +122,13 @@ def contamination_scores_bloom(docs: DataFrame, eval_docs: DataFrame,
     words = [0] * ((m + 63) // 64)
     for b in positions:
         words[b // 64] |= 1 << (b % 64)
+    # no pin on the corpus-scale shingle explode (see
+    # contamination_scores) — narrow recompute per consumer
     doc_sh = (
         docs.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks"))
         .select(F.col(id_col),
                 F.explode(shingles_from_tokens(F.col("__toks"), shingle_n))
                 .alias("shingle"))
-        .localCheckpoint()
     )
     sizes = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     # the membership test references the two hashes and the bitmap

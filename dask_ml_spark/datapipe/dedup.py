@@ -343,13 +343,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.concat_ws("_", *[F.col(f"m{bi * r + j}").cast("string") for j in range(r)])
         for bi in range(bands)
     ])
-    # persist: the self-join plans one side as a broadcast, so exchange
-    # reuse cannot share the signature aggregation between sides — the
-    # cache makes it compute once (ContextCleaner reclaims it when the
-    # result DataFrame is dropped). One row per (doc, band): small.
-    banded = sig.select(
+    # localCheckpoint(eager=False), NOT persist: the self-join plans
+    # one side as a broadcast, so exchange reuse cannot share the
+    # signature aggregation between sides — pinning makes it compute
+    # once. A library-level persist() registers in the session
+    # CacheManager and leaks until someone calls unpersist()/
+    # clearCache(); checkpoint RDD blocks are reclaimed by the
+    # ContextCleaner once the result frame is dropped. Lazy, so the
+    # signatures materialize inside the main query (an eager
+    # checkpoint runs a separate job per call — measured 2x slower).
+    banded = sig.localCheckpoint(eager=False).select(
         F.col(id_col), F.posexplode(band_arr).alias("band", "band_key")
-    ).persist()
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -401,9 +406,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
         F.pmod(F.shiftright(F.col("simhash"), blk * bits_per), F.lit(int(2**bits_per)))
         for blk in range(n_blocks)
     ])
-    blocks = fps.select(
+    # lazy localCheckpoint of the 1-row-per-doc fingerprints (see the
+    # minhash_lsh_pairs note — persist would leak the CacheManager
+    # entry for the session); the block explode re-derives per side.
+    blocks = fps.localCheckpoint(eager=False).select(
         F.col(id_col), F.col("simhash"), F.posexplode(block_arr).alias("blk", "blk_val")
-    ).persist()  # see minhash_lsh_pairs persist note
+    )
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (
         l.join(
@@ -434,8 +442,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     sizes. The join key (shingle) is the scale hazard — very common
     shingles create hot keys; drop top-frequency shingles upstream or
     rely on AQE skew handling. Output: (id_a, id_b, jaccard)."""
-    # persist: referenced three times (sizes + both join sides)
-    sh = _exploded_shingles(df, text_col, id_col, shingle_n).persist()
+    # No pin: the exploded shingles are CORPUS-scale (one row per
+    # shingle occurrence), so neither persist (session CacheManager
+    # leak) nor localCheckpoint (eager executor materialization of the
+    # whole corpus) is safe in a library call. The frame is a pure
+    # narrow map+explode; the two join sides share an identical
+    # shuffle-on-shingle subplan that exchange reuse evaluates once,
+    # and the sizes aggregate re-runs one narrow scan.
+    sh = _exploded_shingles(df, text_col, id_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     l, r = sh.alias("l"), sh.alias("r")
     shared = (
@@ -708,9 +722,14 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         return connected_components_star(pairs, id_a, id_b, max_iter)
     if method != "label":
         raise ValueError(f"method must be 'label' or 'star', got {method!r}")
+    # lazy localCheckpoint, not persist: sym is referenced every round,
+    # and a library persist() leaks its CacheManager entry for the
+    # session (checkpoint blocks are ContextCleaner-reclaimed once
+    # dropped). Edge tables are candidate-pair scale — far below
+    # corpus scale; lazy so it materializes with round 1's job.
     sym = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
            .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-           .distinct().persist())
+           .distinct().localCheckpoint(eager=False))
     # localCheckpoint, not persist: each round references `labels`
     # TWICE (neighbor join + left join), so without lineage truncation
     # the logical plan DOUBLES per round — exponential in rounds, and a
@@ -734,7 +753,6 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    sym.unpersist()
     return labels.select("node", F.col("label").alias("cluster"))
 
 

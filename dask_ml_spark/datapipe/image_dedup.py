@@ -76,7 +76,18 @@ def _stub_bands_struct(blob_col_sql: str):
     bands fold over it with element_at. A naive per-bit unroll (64
     bits x 6 md5-substr chains) blows whole-stage codegen's 64 KB
     method limit and silently drops the row batch to interpreted
-    mode — measured before this shape was chosen."""
+    mode — measured before this shape was chosen.
+
+    Known stub-only limit (ADVICE r6, documented by choice): the
+    16-byte digest tile gives gray[] period 16, so comparison bits at
+    grid offsets i and i+16 coincide and the effective stub keyspace
+    is ~2^16, not 2^64 — unrelated blobs collide at Hamming 0 with
+    prob ~1/65536, mildly inflating stub near-dup counts at large N.
+    The stub must replay multimodal._fake_pixels bit-for-bit (several
+    oracles pin that parity), so the tile stays as-is; real decodes
+    (stub=False) have no such limit, and the audio stub — which has
+    no _fake_pixels contract — uses a decorrelated two-modulus tile
+    instead (audio_dedup._stub_bands_struct)."""
     def byte(i):
         return md5_byte_sql("hx", i, 16)
 

@@ -2725,10 +2725,13 @@ def q_audio_fingerprint_bands(spark, sf_dir):
 
 
 def _sql_audio_fingerprint_bands() -> str:
-    # mod 13, matching audio_dedup._stub_bands_struct — a modulus
-    # dividing the 16-bit band length would make every band identical
-    byte = ("('0x' || substr(md5(text), ((%s) %% 13) * 2 + 1, 2))::BIGINT")
-    energies = f"list_transform(range(0, 65), i -> {byte % 'i'})"
+    # byte[i mod 13] XOR byte[(5i+1) mod 16], matching
+    # audio_dedup._stub_bands_struct — the mixed moduli give the tile
+    # period lcm(13,16)=208 > 65 so no bit repeats (ADVICE r6); DuckDB
+    # spells bitwise xor as xor() (its ^ is exponent)
+    byte = ("('0x' || substr(md5(text), ((%s) %% %d) * 2 + 1, 2))::BIGINT")
+    energies = (f"list_transform(range(0, 65), i -> "
+                f"xor({byte % ('i', 13)}, {byte % ('5*i+1', 16)}))")
     bands = ", ".join(
         "list_sum(list_transform(range(0, 16), j -> CASE WHEN "
         f"e[16*{b}+j+1] > e[16*{b}+j+2] "

