@@ -19,9 +19,16 @@ Scale shape — the 100 TB work is the COUNTING, and only the counting:
   semi-filter to the vocabulary + one groupBy(w1, w2) with map-side
   combine. Output is <= V^2 rows regardless of corpus size.
 - PPMI: marginals are V-row aggregates joined back (broadcast).
-- SVD: driver-side numpy on the V x V PPMI matrix — bounded by
-  vocab_size (documented: keep V <= ~4k on this path; larger
-  vocabularies belong to the hashed/feature-space estimators).
+- SVD, solver="driver": numpy on the dense V x V PPMI matrix —
+  bounded by vocab_size (keep V <= ~4k on this path).
+- SVD, solver="distributed": randomized range-finder SVD (Halko
+  2011, the same algorithm as operators/decomposition.randomized_svd)
+  run directly on the SPARSE (w1, w2, ppmi) COO table: every
+  matrix product A@W / A^T@Q is ONE broadcast join (the V x l sketch,
+  ~MBs) + ONE groupBy(word) aggregate over the <= V^2-row COO frame,
+  and the driver only ever holds V x l panels (50k x 26 ~ 10 MB),
+  never V x V. 2*n_iter + 2 distributed passes total. This lifts the
+  vocab ceiling to ~100k+; solver="auto" picks it above V = 4096.
 
 The count and PPMI tables are DuckDB-oracle-replayable; the SVD
 factors carry a sign/rotation ambiguity, so embedding values are
@@ -113,30 +120,127 @@ def ppmi_scores(cooc: DataFrame) -> DataFrame:
                 6).alias("ppmi")))
 
 
+def _coo_matvec_frame(coo: DataFrame, key_col: str, lookup_col: str,
+                      val_col: str, sketch: DataFrame, l: int) -> DataFrame:
+    """The distributed half of one sparse matrix-panel product
+    Y[key] = sum_j A[key, j] * W[j]: broadcast-join the V x l sketch
+    panel on `lookup_col`, scale by the COO value, and sum the l
+    components per key — one broadcast join + one hash aggregate with
+    map-side combine, no shuffle of the sketch. Split out so the plan
+    shape is pin-testable."""
+    prods = coo.join(F.broadcast(sketch), lookup_col).select(
+        key_col,
+        *[(F.col(val_col) * F.element_at("__w", k + 1)).alias(f"__y{k}")
+          for k in range(l)])
+    return prods.groupBy(key_col).agg(
+        *[F.sum(f"__y{k}").alias(f"__y{k}") for k in range(l)])
+
+
+def _coo_matmul(coo: DataFrame, key_col: str, lookup_col: str,
+                val_col: str, W: np.ndarray, words: list[str],
+                index: dict[str, int]) -> np.ndarray:
+    """Distributed Y = A @ W (or A^T @ W with key/lookup swapped) for
+    a string-keyed COO matrix; returns the dense V x l numpy panel.
+    Words with no COO row get a zero row."""
+    spark = coo.sparkSession
+    l = W.shape[1]
+    sketch = spark.createDataFrame(
+        [(w, [float(x) for x in W[i]]) for i, w in enumerate(words)],
+        f"{lookup_col} string, __w array<double>")
+    Y = np.zeros((len(words), l))
+    for r in _coo_matvec_frame(coo, key_col, lookup_col, val_col,
+                               sketch, l).collect():
+        Y[index[r[key_col]]] = [r[f"__y{k}"] for k in range(l)]
+    return Y
+
+
+def distributed_ppmi_svd(ppmi: DataFrame, words: list[str], dim: int,
+                         n_oversamples: int = 10, n_iter: int = 2,
+                         seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Randomized range-finder SVD (Halko, Martinsson & Tropp 2011 —
+    reference da.linalg.svd_compressed's algorithm) of the sparse
+    (w1, w2, ppmi) table WITHOUT materializing V x V anywhere: the
+    COO frame stays on executors, every product is one broadcast
+    join + aggregate (_coo_matvec_frame), and the driver holds only
+    V x l panels. Returns (U[:, :dim], S[:dim]).
+
+    With n_oversamples >= V - dim the sketch spans the full row space
+    and the factorization is exact (how the parity test pins it to the
+    dense-numpy path)."""
+    V = len(words)
+    l = min(V, dim + n_oversamples)
+    index = {w: i for i, w in enumerate(words)}
+    rng = np.random.RandomState(seed)
+    W = rng.standard_normal((V, l))
+    # range finder + power iterations (QR re-orthonormalization per
+    # pass, Halko alg 4.4); A @ X keys on w1 / looks up w2, A^T @ X
+    # swaps them (PPMI is symmetric, but don't rely on it)
+    Y = _coo_matmul(ppmi, "w1", "w2", "ppmi", W, words, index)
+    Q, _ = np.linalg.qr(Y)
+    for _ in range(n_iter):
+        Z = _coo_matmul(ppmi, "w2", "w1", "ppmi", Q, words, index)
+        Qz, _ = np.linalg.qr(Z)
+        Y = _coo_matmul(ppmi, "w1", "w2", "ppmi", Qz, words, index)
+        Q, _ = np.linalg.qr(Y)
+    # B^T = A^T @ Q is V x l; SVD of B (l x V) on the driver is small
+    Bt = _coo_matmul(ppmi, "w2", "w1", "ppmi", Q, words, index)
+    Ub, S, _ = np.linalg.svd(Bt.T, full_matrices=False)
+    U = Q @ Ub
+    k = min(dim, len(S))
+    return U[:, :k], S[:k]
+
+
+# above this vocab size, "auto" switches from the dense driver-side
+# numpy SVD (V x V doubles: 4096^2 = 128 MB) to the distributed
+# sparse-COO randomized SVD
+_DRIVER_SVD_VOCAB_CEILING = 4096
+
+
 def train_static_embeddings(df: DataFrame, text_col: str = "text",
                             dim: int = 16, window: int = 2,
-                            vocab_size: int = 500) -> DataFrame:
+                            vocab_size: int = 500,
+                            solver: str = "auto",
+                            n_oversamples: int = 10,
+                            n_iter: int = 2,
+                            random_state: int = 0) -> DataFrame:
     """(word, embedding array<double>) — L2-normalized rank-`dim` SVD
     factors of the PPMI matrix (U * sqrt(S), the standard count-based
-    embedding). Distributed counting; driver-side factorization of the
-    bounded V x V matrix (see module docstring for the V contract)."""
+    embedding). Distributed counting always; the factorization is
+    solver="driver" (exact numpy on the dense V x V matrix, V <= ~4k),
+    solver="distributed" (sparse-COO randomized SVD, driver holds only
+    V x l panels — the 50k+-vocab scale path), or "auto" (driver up to
+    V = 4096, distributed beyond)."""
+    if solver not in ("auto", "driver", "distributed"):
+        raise ValueError(
+            f"solver must be 'auto', 'driver' or 'distributed', got {solver!r}")
     vocab = top_vocabulary(df, text_col, vocab_size)
     words = [r["word"] for r in vocab.collect()]
     index = {w: i for i, w in enumerate(words)}
     # rebuild the vocab frame from the already-collected words (no
-    # second lineage execution), and pull the PPMI table via Arrow —
-    # V^2 PySpark Row objects would cost GBs of driver Python objects
-    # at the documented V ceiling where a flat frame is ~MBs
+    # second lineage execution)
     spark = df.sparkSession
     vocab_df = spark.createDataFrame([(w,) for w in words], "word string")
     ppmi = ppmi_scores(cooccurrence_counts(
-        df, text_col, window, vocab=vocab_df)).toPandas()
-    M = np.zeros((len(words), len(words)))
-    M[[index[w] for w in ppmi["w1"]],
-      [index[w] for w in ppmi["w2"]]] = ppmi["ppmi"].to_numpy()
-    U, S, _ = np.linalg.svd(M, full_matrices=False)
-    k = min(dim, len(S))
-    E = U[:, :k] * np.sqrt(S[:k])[None, :]
+        df, text_col, window, vocab=vocab_df))
+    if solver == "auto":
+        solver = ("driver" if len(words) <= _DRIVER_SVD_VOCAB_CEILING
+                  else "distributed")
+    if solver == "distributed":
+        U, S = distributed_ppmi_svd(ppmi, words, dim,
+                                    n_oversamples=n_oversamples,
+                                    n_iter=n_iter, seed=random_state)
+        E = U * np.sqrt(S)[None, :]
+    else:
+        # pull the PPMI table via Arrow — V^2 PySpark Row objects
+        # would cost GBs of driver Python objects at the documented V
+        # ceiling where a flat frame is ~MBs
+        pdf = ppmi.toPandas()
+        M = np.zeros((len(words), len(words)))
+        M[[index[w] for w in pdf["w1"]],
+          [index[w] for w in pdf["w2"]]] = pdf["ppmi"].to_numpy()
+        U, S, _ = np.linalg.svd(M, full_matrices=False)
+        k = min(dim, len(S))
+        E = U[:, :k] * np.sqrt(S[:k])[None, :]
     norms = np.linalg.norm(E, axis=1, keepdims=True)
     E = E / np.maximum(norms, 1e-12)
     return spark.createDataFrame(

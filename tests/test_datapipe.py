@@ -2430,6 +2430,67 @@ def test_static_embeddings_semantics_and_replay(spark):
         assert np.allclose(emb[w], E[i], atol=1e-9)
 
 
+def test_static_embeddings_distributed_solver_matches_driver(spark):
+    """solver='distributed' (sparse-COO randomized SVD, VERDICT r6 #2)
+    reproduces the dense driver-numpy factorization: with
+    n_oversamples >= V the sketch spans the full space, so the
+    factorization is exact and the embedding GRAM matrix E@E^T
+    (= U_k S_k U_k^T before normalization — invariant to the
+    per-component sign ambiguity) must agree to float tolerance."""
+    import numpy as np
+
+    from dask_ml_spark.datapipe.embed_train import train_static_embeddings
+
+    texts = (["the cat sat on the mat"] * 5
+             + ["the dog sat on the mat"] * 5
+             + ["stocks fell sharply today"] * 5
+             + ["the cat chased string"] * 3
+             + ["the dog chased string"] * 3)
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    kw = dict(dim=8, window=2, vocab_size=50)
+    e_drv = {r["word"]: np.asarray(r["embedding"]) for r in
+             train_static_embeddings(df, solver="driver", **kw).collect()}
+    e_dst = {r["word"]: np.asarray(r["embedding"]) for r in
+             train_static_embeddings(df, solver="distributed",
+                                     n_oversamples=50, n_iter=2,
+                                     **kw).collect()}
+    words = sorted(e_drv)
+    assert words == sorted(e_dst)
+    G_drv = np.asarray([[e_drv[a] @ e_drv[b] for b in words] for a in words])
+    G_dst = np.asarray([[e_dst[a] @ e_dst[b] for b in words] for a in words])
+    assert np.allclose(G_drv, G_dst, atol=1e-6)
+    # auto dispatch: small V stays on the exact driver path
+    e_auto = {r["word"]: np.asarray(r["embedding"]) for r in
+              train_static_embeddings(df, solver="auto", **kw).collect()}
+    for w in words:
+        assert np.allclose(e_auto[w], e_drv[w], atol=1e-12)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="solver"):
+        train_static_embeddings(df, solver="nope", **kw)
+
+
+def test_embed_train_coo_matvec_plan_shape(spark):
+    """The distributed-SVD building block is one BROADCAST join of the
+    V x l sketch + one hash aggregate over the COO frame — no shuffle
+    of the sketch, no cartesian, no V x V anywhere (the driver only
+    sees the collected V x l panel)."""
+    from dask_ml_spark.datapipe.embed_train import _coo_matvec_frame
+
+    coo = spark.createDataFrame(
+        [("a", "b", 1.5), ("b", "a", 1.5), ("a", "c", 0.5)],
+        "w1 string, w2 string, ppmi double")
+    sketch = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [1.0, 1.0])],
+        "w2 string, __w array<double>")
+    frame = _coo_matvec_frame(coo, "w1", "w2", "ppmi", sketch, 2)
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    got = {r["w1"]: (r["__y0"], r["__y1"]) for r in frame.collect()}
+    # y[a] = 1.5*W[b] + 0.5*W[c]; y[b] = 1.5*W[a]
+    assert got["a"] == (0.5, 2.0) and got["b"] == (1.5, 0.0)
+
+
 def test_lsh_geometry_derivation(spark):
     """The shared auto_scale rule (operator AND the scaled-near-dup
     SQL oracle builder call it): bits ~ log2(N)+4, bands re-derived
