@@ -339,9 +339,26 @@ class IVFIndex(_IndexPersistence):
         summation and the JVM aggregate fold can differ in the last
         ulp on near-tied centroid distances, and a probe the filter
         pruned but the JVM expr still ranked would silently join
-        nothing (review-caught)."""
+        nothing (review-caught).
+
+        Driver-size contract (ADVICE r6): the precoded path collects
+        the query table to the driver to build that shared ranking —
+        queries are the SMALL side of an ANN probe by construction
+        (the corpus is the big side), and the collect is capped at
+        100k rows (~100 MB at d=128) with a clear error beyond it.
+        For larger query batches, chunk the query table caller-side or
+        drop `bucket_col` to take the inline path, which keeps queries
+        distributed (and forgoes the scan prune)."""
         if bucket_col in df.columns:
-            qrows = queries.select(query_id_col, self.vec_col).collect()
+            cap = 100_000
+            qrows = (queries.select(query_id_col, self.vec_col)
+                     .limit(cap + 1).collect())
+            if len(qrows) > cap:
+                raise ValueError(
+                    f"IVFIndex.search precoded path collects queries "
+                    f"driver-side; got > {cap} rows. Chunk the query "
+                    "table, or drop the bucket column to use the "
+                    "distributed inline path.")
             qvecs = np.asarray([list(r[1]) for r in qrows], dtype="float64")
             d = _sqdist_matrix(qvecs, np.asarray(self.centroids_,
                                                  dtype="float64"))

@@ -454,7 +454,10 @@ def strip_markup(df: DataFrame, text_col: str = "text",
     for ent, rep in [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
                      ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")]:
         x = F.regexp_replace(x, ent, rep)
-    x = F.trim(F.regexp_replace(x, r"\s+", " "))
+    # explicit class, not \s: Java's \s includes \x0B (vertical tab)
+    # but RE2's does not, so \s+ desyncs Spark from the DuckDB oracle
+    # on documents containing \x0B (ADVICE r6)
+    x = F.trim(F.regexp_replace(x, r"[ \t\n\r\f]+", " "))
     return df.withColumn(out, x)
 
 

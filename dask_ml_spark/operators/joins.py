@@ -283,7 +283,7 @@ def _deletion_variants_expr(col, k: int):
 def fuzzy_join(left: DataFrame, right: DataFrame,
                left_col: str, right_col: str,
                left_id: str, right_id: str,
-               max_edit: int = 1) -> DataFrame:
+               max_edit: int = 1, max_key_len: int | None = 64) -> DataFrame:
     """Edit-distance join: (left_id, right_id, distance) for every
     pair with levenshtein(left_col, right_col) <= max_edit.
 
@@ -302,14 +302,37 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     variant; multi-variant collisions dedup on the light (id, id)
     pairs BEFORE the levenshtein verify, and the verify runs once per
     candidate pair on the carried key strings (no second lookup join).
+
+    The contract is ENFORCED, not just documented (ADVICE r6): keys
+    longer than ``max_key_len`` (default 64) fail the job with a clear
+    message instead of silently exploding to ~len^k/k! variants per row
+    (a full-text column passed by mistake is the classic footgun), and
+    ``max_edit > 2`` raises — at k >= 3 the neighborhood is cubic in
+    key length and FastSS is the wrong algorithm. Pass
+    ``max_key_len=None`` to opt out of the length check.
     """
     if max_edit < 0:
         raise ValueError("max_edit must be >= 0")
+    if max_edit > 2:
+        raise ValueError(
+            "fuzzy_join builds O(len^k) deletion variants per key; "
+            f"max_edit={max_edit} > 2 is outside the FastSS contract. "
+            "For coarser matching use minhash/ngram-jaccard near-dup.")
 
     def keyed(df, col, idc, side):
+        key = F.col(col)
+        if max_key_len is not None:
+            key = F.when(
+                F.length(key) > max_key_len,
+                F.raise_error(F.concat(
+                    F.lit(f"fuzzy_join key exceeds max_key_len={max_key_len} "
+                          "(short-key contract; pass max_key_len=None to "
+                          "override): "),
+                    F.substring(key, 1, 40)))
+            ).otherwise(key)
         return (df.select(
-            F.col(idc).alias(f"{side}_id"), F.col(col).alias(f"__{side}_s"),
-            F.explode(_deletion_variants_expr(F.col(col), max_edit))
+            F.col(idc).alias(f"{side}_id"), key.alias(f"__{side}_s"),
+            F.explode(_deletion_variants_expr(key, max_edit))
             .alias("__v")))
 
     a = keyed(left, left_col, left_id, "l")

@@ -2666,7 +2666,7 @@ s AS (
           '(?s)<[^>]*>', ' ', 'g'),
         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
         '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-      '\s+', ' ', 'g')) AS clean
+      '[ \t\n\r\f]+', ' ', 'g')) AS clean
     FROM h
 )
 SELECT doc_id, md5(clean) AS clean_hash, length(clean)::BIGINT AS clean_len

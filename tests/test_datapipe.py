@@ -2177,6 +2177,32 @@ def test_fuzzy_join_two_sided_and_k0(spark):
         fuzzy_join(left, right, "name", "name", "lid", "rid", max_edit=-1)
 
 
+def test_fuzzy_join_contract_guards(spark):
+    """ADVICE r6: the O(len^k) contract is enforced — max_edit > 2
+    raises, keys over max_key_len fail the job with a clear message,
+    and max_key_len=None opts out."""
+    import pytest as _pytest
+
+    from dask_ml_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame([(1, "spark")], ["lid", "name"])
+    right = spark.createDataFrame([(10, "sparc")], ["rid", "name"])
+    with _pytest.raises(ValueError, match="FastSS"):
+        fuzzy_join(left, right, "name", "name", "lid", "rid", max_edit=3)
+
+    long = spark.createDataFrame([(2, "x" * 200)], ["lid", "name"])
+    with _pytest.raises(Exception, match="max_key_len"):
+        fuzzy_join(long, right, "name", "name", "lid", "rid",
+                   max_edit=1).collect()
+    # opt-out path still computes (no pairs at distance <= 1 here)
+    assert fuzzy_join(long, right, "name", "name", "lid", "rid",
+                      max_edit=1, max_key_len=None).count() == 0
+    # boundary: exactly max_key_len chars is allowed
+    edge = spark.createDataFrame([(3, "y" * 64)], ["lid", "name"])
+    assert fuzzy_join(edge, right, "name", "name", "lid", "rid",
+                      max_edit=1).count() == 0
+
+
 def test_audio_fingerprint_stub_matches_python_replay(spark):
     import hashlib
 
@@ -2312,6 +2338,17 @@ def test_strip_markup_behaviors(spark):
     # narrow JVM plan
     plan = strip_markup(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+    # ADVICE r6: \x0B (vertical tab) is in Java's \s but NOT RE2's —
+    # the collapse uses the explicit class [ \t\n\r\f]+ so both
+    # engines agree: \x0B survives, surrounding runs still collapse
+    import duckdb as _duck
+    vt = spark.createDataFrame([(1, "a \x0b\t b\f\nc")], ["doc_id", "text"])
+    got_vt = strip_markup(vt).collect()[0]["text"]
+    want_vt = _duck.sql(
+        r"SELECT trim(regexp_replace('a ' || chr(11) || chr(9) ||"
+        r" ' b' || chr(12) || chr(10) || 'c',"
+        r" '[ \t\n\r\f]+', ' ', 'g'))").fetchone()[0]
+    assert got_vt == want_vt and "\x0b" in got_vt
 
 
 def test_vocab_coverage_metrics(spark):
