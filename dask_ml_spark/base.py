@@ -51,6 +51,18 @@ class BaseEstimator:
         cls = type(self)
         return cls(**{k: copy.deepcopy(v) for k, v in self.get_params().items()})
 
+    def prepare_cv_cache(self, df, columns, label_col):
+        """Hook for CV planners (GridSearchCV & co): transform the
+        frame ONCE, before it is split into folds and persisted, with
+        any row-wise parameter-independent preparation every candidate
+        fit would otherwise repeat (e.g. the GLMs assemble their
+        ``__features`` vector here so k*n_candidates fits share one
+        cached copy instead of persisting k*n_candidates private
+        ones). Must be row-wise (no shuffle, no fitting — it runs
+        BEFORE the train/test split, so anything data-dependent here
+        would leak). Default: no-op."""
+        return df
+
     def save(self, path: str) -> str:
         """Persist the estimator (params + fitted state) with pickle.
         Every estimator here is a plain Python object whose fitted

@@ -39,6 +39,53 @@ def _assemble(df: DataFrame, cols, out="__features"):
     return va.transform(ensure_min_partitions(df))
 
 
+def _reuse_assembled(df: DataFrame, cols, label_col, out="__features"):
+    """Return ``df`` unchanged when it already carries a ``__features``
+    vector assembled from exactly ``cols`` (checked via the ML-attr
+    metadata VectorAssembler writes) and a double label — the CV-cache
+    fast path: GridSearchCV/Hyperband assemble ONCE at the fold-cache
+    grain, and every (candidate, fold) fit plus the refit skips its own
+    assemble + persist + materialize. None → caller assembles itself."""
+    if out not in df.columns or label_col not in df.columns:
+        return None
+    if df.schema[label_col].dataType.simpleString() != "double":
+        return None
+    try:
+        attrs = df.schema[out].metadata["ml_attr"]["attrs"]
+        flat = [a for group in attrs.values() for a in group]
+        flat.sort(key=lambda a: a["idx"])
+        assembled_names = [a["name"] for a in flat]
+    except (KeyError, TypeError):
+        return None
+    return df if assembled_names == list(cols) else None
+
+
+def _assembled_input(df: DataFrame, cols, label_col):
+    """(assembled_frame, owned): reuse a caller-assembled CV-cache
+    frame when present, else assemble + persist a private copy (the
+    solver's treeAggregate rescans the input once per iteration).
+    ``owned`` tells the fit whether to unpersist afterwards."""
+    pre = _reuse_assembled(df, cols, label_col)
+    if pre is not None:
+        return pre, False
+    assembled = _assemble(
+        df.select(*cols, F.col(label_col).cast("double").alias(label_col)),
+        cols).persist()
+    return assembled, True
+
+
+def prepare_glm_cv_cache(df: DataFrame, cols, label_col) -> DataFrame:
+    """Pre-assemble the ``__features`` vector at the CV fold-cache
+    grain (see _reuse_assembled). Row-wise and parameter-independent,
+    so it belongs ABOVE the per-candidate fan-out: without it every
+    (candidate, fold) fit persists and materializes its own assembled
+    copy of the fold — k*n_candidates cached copies instead of one."""
+    keep = [c for c in df.columns if c != label_col]
+    return _assemble(
+        df.select(*keep, F.col(label_col).cast("double").alias(label_col)),
+        cols)
+
+
 def _fit_custom(est, df, cols, label_col, family):
     """Route non-lbfgs solver names to operators/solvers.py (reference
     glm.py:139-171 delegates the same names to dask_glm)."""
@@ -78,15 +125,24 @@ class LinearRegression(BaseEstimator, RegressorMixin):
         self.solver = solver
         self.solver_kwargs = solver_kwargs
 
+    def prepare_cv_cache(self, df, columns, label_col):
+        """GLM CV-cache preparation: pre-assemble ``__features`` at the
+        fold-cache grain when this fit would delegate to MLlib (see
+        _reuse_assembled); custom solvers read raw columns, no prep."""
+        if self.solver not in ("auto", "lbfgs") or columns is None:
+            return df
+        return prepare_glm_cv_cache(df, list(columns), label_col)
+
     def fit(self, df: DataFrame, columns=None, label_col: str = "label") -> "LinearRegression":
         from pyspark.ml.regression import LinearRegression as MLlibLR
 
         cols = self._validate_data(df, columns)
         if self.solver not in ("auto", "lbfgs"):
             return _fit_custom(self, df, cols, label_col, "gaussian")
-        # persist across solver iterations: LBFGS/IRLS treeAggregate
-        # rescans the input once per iteration
-        assembled = _assemble(df.select(*cols, F.col(label_col).cast("double").alias(label_col)), cols).persist()
+        # persist across solver iterations (LBFGS/IRLS treeAggregate
+        # rescans the input once per iteration) — unless the caller
+        # already assembled at the CV fold-cache grain
+        assembled, owned = _assembled_input(df, cols, label_col)
         reg = 0.0 if self.C in (None, float("inf")) else 1.0 / self.C
         if self.penalty is None or self.penalty == "none":
             reg, elastic = 0.0, 0.0
@@ -101,7 +157,8 @@ class LinearRegression(BaseEstimator, RegressorMixin):
             standardization=False,
             fitIntercept=self.fit_intercept, maxIter=self.max_iter, tol=self.tol,
         ).fit(assembled)
-        assembled.unpersist()
+        if owned:
+            assembled.unpersist()
         self.coef_ = np.asarray(m.coefficients.toArray())
         self.intercept_ = float(m.intercept)
         self.feature_columns_ = cols
@@ -127,6 +184,14 @@ class LogisticRegression(BaseEstimator, ClassifierMixin):
         self.solver = solver
         self.solver_kwargs = solver_kwargs
 
+    def prepare_cv_cache(self, df, columns, label_col):
+        """GLM CV-cache preparation: pre-assemble ``__features`` at the
+        fold-cache grain when this fit would delegate to MLlib (see
+        _reuse_assembled); custom solvers read raw columns, no prep."""
+        if self.solver not in ("auto", "lbfgs") or columns is None:
+            return df
+        return prepare_glm_cv_cache(df, list(columns), label_col)
+
     def fit(self, df: DataFrame, columns=None, label_col: str = "label") -> "LogisticRegression":
         from pyspark.ml.classification import LogisticRegression as MLlibLogReg
 
@@ -135,9 +200,10 @@ class LogisticRegression(BaseEstimator, ClassifierMixin):
             out = _fit_custom(self, df, cols, label_col, "logistic")
             out.classes_ = np.array([0.0, 1.0])
             return out
-        # persist across solver iterations: LBFGS/IRLS treeAggregate
-        # rescans the input once per iteration
-        assembled = _assemble(df.select(*cols, F.col(label_col).cast("double").alias(label_col)), cols).persist()
+        # persist across solver iterations (LBFGS/IRLS treeAggregate
+        # rescans the input once per iteration) — unless the caller
+        # already assembled at the CV fold-cache grain
+        assembled, owned = _assembled_input(df, cols, label_col)
         reg = 0.0 if self.C in (None, float("inf")) else 1.0 / self.C
         if self.penalty is None or self.penalty == "none":
             reg, elastic = 0.0, 0.0
@@ -152,7 +218,8 @@ class LogisticRegression(BaseEstimator, ClassifierMixin):
             standardization=False,
             fitIntercept=self.fit_intercept, maxIter=self.max_iter, tol=self.tol,
         ).fit(assembled)
-        assembled.unpersist()
+        if owned:
+            assembled.unpersist()
         self.coef_ = np.asarray(m.coefficients.toArray())
         self.intercept_ = float(m.intercept)
         self.classes_ = np.array([0.0, 1.0])
@@ -188,15 +255,24 @@ class PoissonRegression(BaseEstimator, RegressorMixin):
         self.solver_kwargs = solver_kwargs
         self.penalty = "l2"
 
+    def prepare_cv_cache(self, df, columns, label_col):
+        """GLM CV-cache preparation: pre-assemble ``__features`` at the
+        fold-cache grain when this fit would delegate to MLlib (see
+        _reuse_assembled); custom solvers read raw columns, no prep."""
+        if self.solver not in ("auto", "lbfgs") or columns is None:
+            return df
+        return prepare_glm_cv_cache(df, list(columns), label_col)
+
     def fit(self, df: DataFrame, columns=None, label_col: str = "label") -> "PoissonRegression":
         from pyspark.ml.regression import GeneralizedLinearRegression
 
         cols = self._validate_data(df, columns)
         if self.solver not in ("auto", "lbfgs"):
             return _fit_custom(self, df, cols, label_col, "poisson")
-        # persist across solver iterations: LBFGS/IRLS treeAggregate
-        # rescans the input once per iteration
-        assembled = _assemble(df.select(*cols, F.col(label_col).cast("double").alias(label_col)), cols).persist()
+        # persist across solver iterations (LBFGS/IRLS treeAggregate
+        # rescans the input once per iteration) — unless the caller
+        # already assembled at the CV fold-cache grain
+        assembled, owned = _assembled_input(df, cols, label_col)
         reg = 0.0 if self.C in (None, float("inf")) else 1.0 / self.C
         m = GeneralizedLinearRegression(
             featuresCol="__features", labelCol=label_col,
@@ -204,7 +280,8 @@ class PoissonRegression(BaseEstimator, RegressorMixin):
             regParam=reg, fitIntercept=self.fit_intercept,
             maxIter=self.max_iter, tol=self.tol,
         ).fit(assembled)
-        assembled.unpersist()
+        if owned:
+            assembled.unpersist()
         self.coef_ = np.asarray(m.coefficients.toArray())
         self.intercept_ = float(m.intercept)
         self.feature_columns_ = cols

@@ -321,6 +321,12 @@ class GridSearchCV(BaseEstimator):
                 [*columns, label_col, *getattr(cv, "key_cols", [])]))
             df = df.select(*keep)
 
+        # row-wise parameter-independent prep (e.g. GLM feature
+        # assembly) runs ONCE here, above the (candidate, fold)
+        # fan-out, so every fit shares the one cached prepared frame
+        # instead of persisting+materializing its own copy
+        df = self.estimator.prepare_cv_cache(df, columns, label_col)
+
         # spread the cached folds up-front: fold filters preserve the
         # partitioning, so every downstream (candidate, fold) fit sees a
         # well-parallelized cached input and skips its own repartition
@@ -448,7 +454,13 @@ class GridSearchCV(BaseEstimator):
         self.best_score_ = mean_scores[self.best_index_]
         if self.refit:
             self.best_estimator_ = self.estimator.clone().set_params(**self.best_params_)
-            self.best_estimator_.fit(df, columns=columns, label_col=label_col)
+            # refit on the union of the persisted folds — the same rows
+            # as df, already cached (and already prepared), so the
+            # refit skips a full rescan of the source plan
+            refit_df = (with_fold.drop("__fold")
+                        if with_fold is not None else df)
+            self.best_estimator_.fit(refit_df, columns=columns,
+                                     label_col=label_col)
         if with_fold is not None:
             with_fold.unpersist()
         else:
