@@ -28,18 +28,30 @@ PROFILE_SCHEMA = (
 
 
 def profile_table(df: DataFrame, columns=None, approx_distinct: bool = True,
-                  rsd: float = 0.05) -> DataFrame:
+                  rsd: float = 0.05, check_hll: bool = False) -> DataFrame:
     """Per-column profile: one row per column with
     (n_rows, n_nulls, null_frac, n_distinct, min/max/mean/stddev for
     numerics, min/max for strings). Numeric stats are rounded to 6
-    decimals so profiles are engine-comparable."""
+    decimals so profiles are engine-comparable.
+
+    ``check_hll=True`` computes BOTH the exact distinct count and the
+    HLL estimate in the same fused aggregate and adds a ``hll_ok``
+    column: |hll − exact| ≤ max(3·rsd·exact, 2). ``n_distinct`` is
+    then the exact count, so the whole profile is deterministic and a
+    SQL oracle can replay it while the HLL sketch is still exercised
+    and bound-checked — the oracle rendering of the approx scale path
+    (the pure-HLL default stays the 100 TB setting: exact distincts
+    add a per-column EXPAND shuffle)."""
     fields = [f for f in df.schema.fields
               if columns is None or f.name in set(columns)]
     aggs = [F.count(F.lit(1)).alias("__n")]
     for f in fields:
         c, n = F.col(f.name), f.name
         aggs.append(F.count(c).alias(f"nn_{n}"))
-        if approx_distinct:
+        if check_hll:
+            aggs.append(F.count_distinct(c).alias(f"nd_{n}"))
+            aggs.append(F.approx_count_distinct(c, rsd).alias(f"hd_{n}"))
+        elif approx_distinct:
             aggs.append(F.approx_count_distinct(c, rsd).alias(f"nd_{n}"))
         else:
             aggs.append(F.count_distinct(c).alias(f"nd_{n}"))
@@ -59,15 +71,20 @@ def profile_table(df: DataFrame, columns=None, approx_distinct: bool = True,
     for f in fields:
         n = f.name
         nn = int(row[f"nn_{n}"])
-        out.append((
+        rec = (
             n, n_rows, n_rows - nn,
             round((n_rows - nn) / n_rows, 6) if n_rows else 0.0,
             int(row[f"nd_{n}"]),
             row.asDict().get(f"mn_{n}"), row.asDict().get(f"mx_{n}"),
             row.asDict().get(f"av_{n}"), row.asDict().get(f"sd_{n}"),
             row.asDict().get(f"ms_{n}"), row.asDict().get(f"xs_{n}"),
-        ))
-    return df.sparkSession.createDataFrame(out, PROFILE_SCHEMA)
+        )
+        if check_hll:
+            exact, hll = int(row[f"nd_{n}"]), int(row[f"hd_{n}"])
+            rec = rec + (abs(hll - exact) <= max(3.0 * rsd * exact, 2.0),)
+        out.append(rec)
+    schema = PROFILE_SCHEMA + (", hll_ok boolean" if check_hll else "")
+    return df.sparkSession.createDataFrame(out, schema)
 
 
 def corpus_manifest(df, group_cols=("source",), text_col: str = "text",

@@ -394,10 +394,23 @@ class GridSearchCV(BaseEstimator):
                     fitted_prefix.append((name, stage))
                 data_tr, data_te = data_tr.persist(), data_te.persist()
                 try:
-                    for ci, final_p in g["cands"]:
+                    # final-stage candidates share the cached transformed
+                    # fold — race them concurrently instead of serially
+                    # (the fold-level outer pool alone leaves each fold's
+                    # candidate chain sequential)
+                    def _fit_final(cand):
+                        ci, final_p = cand
                         fin = self.estimator.steps[-1][1].clone().set_params(**final_p)
                         fin.fit(data_tr, columns=columns, label_col=label_col)
-                        out.append((ci, fi, score_estimator(scorer, fin, data_te, label_col)))
+                        return (ci, fi,
+                                score_estimator(scorer, fin, data_te, label_col))
+                    if len(g["cands"]) > 1:
+                        with ThreadPoolExecutor(
+                                max_workers=min(len(g["cands"]),
+                                                self.n_jobs)) as inner:
+                            out.extend(inner.map(_fit_final, g["cands"]))
+                    else:
+                        out.append(_fit_final(g["cands"][0]))
                 finally:
                     data_tr.unpersist()
                     data_te.unpersist()

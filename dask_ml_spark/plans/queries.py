@@ -4027,6 +4027,10 @@ def build_catalog():
         "temperature_mixture_sample": _sql_temperature_mixture(),
         "epoch_plan": SQL_EPOCH_PLAN,
         "table_profile": _sql_table_profile(),
+        # the approx query emits exact stats + a deterministic HLL
+        # bound flag; the oracle replays the stats and pins the flag
+        "table_profile_approx":
+            "SELECT *, TRUE AS hll_ok FROM (" + _sql_table_profile() + ")",
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "bigram_logprob": SQL_BIGRAM_LOGPROB,
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE_TOPK,
@@ -4134,6 +4138,7 @@ def build_catalog():
         "roc_auc_binned": SQL_ROC_AUC_BINNED,
         "spectral_clustering_sizes": sql_spectral_clustering_sizes(),
         "ridge_grid_search_hash_cv": _sql_ridge_grid_search(),
+        "pipeline_grid_search": _sql_pipeline_grid_search(),
         "blobs_deterministic_stats": _sql_blobs_deterministic_stats(),
         "precision_recall_f1": SQL_PRECISION_RECALL_F1,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
@@ -5597,14 +5602,19 @@ def q_table_profile(spark, sf_dir):
 
 
 def q_table_profile_approx(spark, sf_dir):
-    """The scale path of table profiling: HyperLogLog cardinalities
-    (one fused aggregate, no per-column EXPAND shuffle — the exact
-    variant above exists only as the DuckDB oracle query). HLL counts
-    are engine-specific, so rows-only."""
+    """The HLL profiling path, oracle-verified (r7): one fused
+    aggregate computes the exact distinct counts AND the HLL++
+    estimates, emitting hll_ok = |hll − exact| ≤ max(3·rsd·exact, 2)
+    per column. The oracle replays every deterministic stat and
+    asserts hll_ok TRUE — a broken sketch flips the flag and fails the
+    hash-match. (The library default stays pure-HLL for the 100 TB
+    path; this rendering pays the exact-distinct EXPAND only to keep
+    the sketch value-checked.)"""
     from dask_ml_spark.datapipe.profiling import profile_table
 
     li = _t(spark, sf_dir, "lineitem")
-    return profile_table(li, PROFILE_NUM_COLS + PROFILE_STR_COLS)
+    return profile_table(li, PROFILE_NUM_COLS + PROFILE_STR_COLS,
+                         check_hll=True)
 
 
 def _sql_table_profile() -> str:
@@ -7158,31 +7168,123 @@ GROUP BY p_brand
 """
 
 
+PIPE_GRID_C = [0.2, 2.0, 20.0]
+
+
 def q_pipeline_grid_search(spark, sf_dir):
     """GridSearchCV over a Pipeline with step__param candidates —
-    exercises prefix sharing (one scaler fit per fold, cached
-    transformed folds, final stages race over them; reference
-    _search.py:619-749). Seeded folds — rows-only."""
+    exercises prefix sharing (ONE scaler fit per fold, cached
+    transformed folds, final-stage candidates race over them;
+    reference _search.py:619-749) — and, since r7, every value is
+    oracle-verified: content-deterministic HashKFold folds + a
+    StandardScaler prefix + one-step-exact newton ridge let the SQL
+    replay fold hash, per-fold train mean/std, the scaled-space
+    penalized normal equations (which DECOUPLE the intercept: scaled
+    features have exact zero train mean), the back-substituted
+    raw-space coefficients, held-out R², and candidate ranking."""
     from dask_ml_spark.operators.compose import Pipeline
-    from dask_ml_spark.operators.linear_model import LogisticRegression
+    from dask_ml_spark.operators.linear_model import LinearRegression
     from dask_ml_spark.operators.preprocessing import StandardScaler
-    from dask_ml_spark.plans.model_selection import GridSearchCV, KFold
+    from dask_ml_spark.plans.model_selection import GridSearchCV, HashKFold
 
     li = _t(spark, sf_dir, "lineitem").withColumn(
-        "label", (F.col("l_returnflag") == "R").cast("double")
-    )
-    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        "label", F.col("l_extendedprice").cast("double"))
     gs = GridSearchCV(
-        Pipeline([("scale", StandardScaler()), ("clf", LogisticRegression(max_iter=10, tol=1e-4))]),
-        {"clf__C": [0.1, 10.0]},
-        cv=KFold(n_splits=2, shuffle=True, random_state=9),
-    )
-    gs.fit(li, cols, label_col="label")
-    return spark.createDataFrame([{
-        "best_C": float(gs.best_params_["clf__C"]),
-        "best_score": float(gs.best_score_),
-        "n_candidates": int(len(gs.cv_results_["mean_test_score"])),
-    }])
+        Pipeline([("scale", StandardScaler()),
+                  ("ridge", LinearRegression(penalty="l2", solver="newton"))]),
+        {"ridge__C": PIPE_GRID_C},
+        cv=HashKFold(n_splits=3, key_cols=["l_orderkey", "l_linenumber"]),
+        refit=False, n_jobs=6)
+    gs.fit(li, ["l_quantity", "l_discount"], label_col="label")
+    rows = [
+        {"C": float(p["ridge__C"]), "mean_r2": round(float(s), 6)}
+        for p, s in zip(gs.cv_results_["params"],
+                        gs.cv_results_["mean_test_score"])
+    ]
+    best = max(r["mean_r2"] for r in rows)
+    for r in rows:
+        r["is_best"] = r["mean_r2"] == best
+    return spark.createDataFrame(rows).select("C", "mean_r2", "is_best")
+
+
+def _sql_pipeline_grid_search() -> str:
+    """Replay the PIPELINE search in SQL: Knuth-hash fold ids, per-fold
+    sufficient statistics (train sums = total − held-out fold), the
+    TRAIN-fold scaler (population mean/std — fit on train only, no
+    leakage), then the ridge normal equations in SCALED space, where
+    the train means are exactly zero so the intercept decouples:
+
+        [1+1/C  g12 ] [w1]   [c1]
+        [g12  1+1/C ] [w2] = [c2],   b = ybar_train
+
+    with g12 the train correlation and c1/c2 the scaled feature-label
+    covariances — all pure algebra over the raw sums. Coefficients
+    back-substitute to raw space (W = w/sd, B = b − Σ w·m/sd) and the
+    held-out R² expands in the test fold's raw sufficient statistics."""
+    cand = ", ".join(f"({c!r})" for c in PIPE_GRID_C)
+    den = "((1.0+1.0/c)*(1.0+1.0/c) - g12*g12)"
+    u1 = f"((c1*(1.0+1.0/c) - g12*c2) / {den})"  # scaled-space w1
+    u2 = f"((c2*(1.0+1.0/c) - g12*c1) / {den})"  # scaled-space w2
+    return f"""
+WITH f AS (
+    SELECT l_quantity AS x1, l_discount AS x2,
+           l_extendedprice::DOUBLE AS y,
+           ((((0 + l_orderkey) % 2147483648) * 2654435761 % 2147483648
+             + l_linenumber) % 2147483648) * 2654435761
+             % 2147483648 % 10000 % 3 AS fold
+    FROM lineitem
+),
+per AS (
+    SELECT fold, count(*)::DOUBLE AS n, sum(x1) AS s1, sum(x2) AS s2,
+           sum(y) AS sy, sum(x1*x1) AS s11, sum(x2*x2) AS s22,
+           sum(x1*x2) AS s12, sum(x1*y) AS s1y, sum(x2*y) AS s2y,
+           sum(y*y) AS syy
+    FROM f GROUP BY fold
+),
+tot AS (
+    SELECT sum(n) AS n, sum(s1) AS s1, sum(s2) AS s2, sum(sy) AS sy,
+           sum(s11) AS s11, sum(s22) AS s22, sum(s12) AS s12,
+           sum(s1y) AS s1y, sum(s2y) AS s2y
+    FROM per
+),
+tr AS (
+    SELECT p.fold, t.n - p.n AS n, t.s1 - p.s1 AS s1, t.s2 - p.s2 AS s2,
+           t.sy - p.sy AS sy, t.s11 - p.s11 AS s11, t.s22 - p.s22 AS s22,
+           t.s12 - p.s12 AS s12, t.s1y - p.s1y AS s1y, t.s2y - p.s2y AS s2y
+    FROM per p CROSS JOIN tot t
+),
+sm AS (
+    SELECT fold, sy/n AS ybar, s1/n AS m1, s2/n AS m2,
+           sqrt(s11/n - (s1/n)*(s1/n)) AS sd1,
+           sqrt(s22/n - (s2/n)*(s2/n)) AS sd2,
+           (s12/n - (s1/n)*(s2/n))
+             / (sqrt(s11/n - (s1/n)*(s1/n)) * sqrt(s22/n - (s2/n)*(s2/n)))
+             AS g12,
+           (s1y/n - (s1/n)*(sy/n)) / sqrt(s11/n - (s1/n)*(s1/n)) AS c1,
+           (s2y/n - (s2/n)*(sy/n)) / sqrt(s22/n - (s2/n)*(s2/n)) AS c2
+    FROM tr
+),
+cand(c) AS (VALUES {cand}),
+coef AS (
+    SELECT fold, c,
+           {u1} / sd1 AS w1,
+           {u2} / sd2 AS w2,
+           ybar - {u1} * m1 / sd1 - {u2} * m2 / sd2 AS b
+    FROM sm CROSS JOIN cand
+),
+scored AS (
+    SELECT coef.c, coef.fold,
+      1 - (p.syy - 2*w1*p.s1y - 2*w2*p.s2y - 2*b*p.sy
+           + w1*w1*p.s11 + w2*w2*p.s22 + 2*w1*w2*p.s12
+           + 2*w1*b*p.s1 + 2*w2*b*p.s2 + b*b*p.n)
+        / (p.syy - p.sy*p.sy/p.n) AS r2
+    FROM coef JOIN per p ON coef.fold = p.fold
+),
+means AS (SELECT c, round(avg(r2), 6) AS mean_r2 FROM scored GROUP BY c)
+SELECT c AS "C", mean_r2,
+       mean_r2 = (SELECT max(mean_r2) FROM means) AS is_best
+FROM means
+"""
 
 
 def q_curation_pipeline(spark, sf_dir):

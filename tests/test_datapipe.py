@@ -473,6 +473,12 @@ def test_profile_table(spark):
     # column selection restricts the profile
     only = profile_table(df, ["k"], approx_distinct=False).collect()
     assert [r["column"] for r in only] == ["k"]
+    # check_hll: exact n_distinct + a deterministic HLL bound flag in
+    # one fused aggregate (the oracle rendering of the approx path)
+    chk = {r["column"]: r for r in profile_table(df, check_hll=True).collect()}
+    assert chk["k"]["n_distinct"] == 4 and chk["k"]["hll_ok"] is True
+    assert chk["v"]["n_distinct"] == 2 and chk["v"]["hll_ok"] is True
+    assert "hll_ok" not in profile_table(df).columns
 
 
 def test_unigram_logprob_scores(spark):
