@@ -1,19 +1,25 @@
-"""Pure-Python baseline JPEG codec (stdlib + numpy only).
+"""Pure-Python JPEG codec (stdlib + numpy only): baseline + progressive.
 
-The container ships no image codec libraries, but baseline sequential
-JPEG (SOF0, 8-bit, Huffman) is decodable in ~250 lines of numpy:
-segment parse → Huffman-decode MCUs → dequantize → inverse zigzag →
-2-D IDCT (two 8×8 matmuls per block) → chroma upsample → YCbCr→RGB.
-This makes `decode_image_features(stub=False)` honest for the most
-common real-world format; progressive (SOF2), arithmetic coding, and
-12-bit stay out of scope (NotImplementedError).
+The container ships no image codec libraries, but Huffman JPEG is
+decodable in pure numpy: segment parse → Huffman-decode MCUs →
+dequantize → inverse zigzag → 2-D IDCT (two 8×8 matmuls per block) →
+chroma upsample → YCbCr→RGB. Baseline sequential (SOF0/1) decodes
+scan-at-once; progressive (SOF2, r7) accumulates per-component
+coefficient arrays across spectral-selection / successive-
+approximation scans (DC first + refinement, AC first + refinement
+with EOB runs and in-run correction bits, interleaved DC and
+per-component AC geometry, restart intervals) and IDCTs once at EOI.
+This makes `decode_image_features(stub=False)` honest for the two
+most common real-world web formats; arithmetic coding, 12-bit, and
+hierarchical stay out of scope (NotImplementedError).
 
-A minimal 4:4:4 encoder (standard Annex-K quantization tables +
-Annex-K Huffman tables) lives here too, so tests can round-trip
-without any external fixture. The decoder is anchored beyond the
-round-trip by analytic checks (a uniform image must decode exactly to
-its DC-quantized value), which guards against self-cancelling
-encoder/decoder bug pairs.
+Encoders for both modes (standard Annex-K quantization tables) live
+here too, so tests can round-trip without any external fixture. The
+baseline decoder is anchored beyond the round-trip by analytic checks
+(a uniform image must decode exactly to its DC-quantized value); the
+progressive decoder is anchored by EXACT pixel equality with the
+baseline decode of the same quantized coefficients — a self-cancelling
+bug pair would have to hit two independent scan codecs identically.
 
 Ref behavior parity: the reference treats image decode as an opaque
 per-record map (see SURVEY §2 multimodal notes); this module is the
@@ -127,8 +133,11 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline-sequential JPEG → (h, w, 3) or (h, w, 1)
-    uint8 (YCbCr→RGB for 3 components, direct for grayscale)."""
+    """Decode a baseline-sequential (SOF0/1) or progressive (SOF2)
+    JPEG → (h, w, 3) or (h, w, 1) uint8 (YCbCr→RGB for 3 components,
+    direct for grayscale). Progressive accumulates per-component
+    coefficient arrays across the DC/AC first and refinement scans and
+    dequantizes + IDCTs once at EOI."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -136,6 +145,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htables: dict[tuple, dict] = {}
     frame = None
     restart_interval = 0
+    coef = None  # progressive: per-comp (BH, BW, 64) zigzag coefficients
     while True:
         if data[pos] != 0xFF:
             pos += 1
@@ -145,6 +155,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
+            if coef is not None:
+                return _finish_progressive(frame, coef, qtables)
             raise ValueError("EOI before scan data")
         seglen = (data[pos] << 8) | data[pos + 1]
         seg = data[pos + 2: pos + seglen]
@@ -169,7 +181,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 symbols = list(seg[p + 17: p + 17 + n])
                 htables[(tc, th)] = _build_huffman(counts, symbols)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, ncomp = seg[0], (seg[1] << 8) | seg[2], \
                 (seg[3] << 8) | seg[4], seg[5]
             if prec != 8:
@@ -179,22 +191,35 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + 3 * ci: 9 + 3 * ci]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/1) supported")
+                "only baseline (SOF0/1) and progressive (SOF2) "
+                "Huffman JPEG supported")
         elif marker == 0xDD:  # DRI
             restart_interval = (seg[0] << 8) | seg[1]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan = {}
+            order = []
             for si in range(ns):
                 cid, tt = seg[1 + 2 * si], seg[2 + 2 * si]
                 scan[cid] = (tt >> 4, tt & 0x0F)
+                order.append(cid)
             pos += seglen
-            return _decode_scan(data, pos, frame, scan, qtables, htables,
-                                restart_interval)
+            if not frame.get("progressive"):
+                return _decode_scan(data, pos, frame, scan, qtables,
+                                    htables, restart_interval)
+            if coef is None:
+                coef = _alloc_coef(frame)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            pos = _decode_prog_scan(data, pos, frame, order, scan, coef,
+                                    ss, se, ah, al, htables,
+                                    restart_interval)
+            continue
         pos += seglen
 
 
@@ -233,6 +258,12 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+    return _assemble_image(planes, comps, h, w, hmax, vmax)
+
+
+def _assemble_image(planes, comps, h, w, hmax, vmax):
+    """Shared decode tail: chroma upsample, crop, level shift,
+    YCbCr→RGB (3 comps) or direct grayscale (1 comp)."""
     out = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -274,6 +305,202 @@ def _decode_block(br, dc_t, ac_t, q, pred):
         k += 1
     coeffs = (zz * q).astype(np.float64)[UNZIGZAG].reshape(8, 8)
     return _idct2(coeffs), pred
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) scan decoding: each SOS covers a spectral band
+# [Ss, Se] of one successive-approximation bit position; coefficients
+# accumulate in per-component zigzag arrays until EOI.
+
+
+def _geom(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_coef(frame):
+    _, _, mcux, mcuy = _geom(frame)
+    return [np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+            for c in frame["comps"]]
+
+
+def _comp_blocks(frame, ci):
+    """Non-interleaved block grid of component ci: ceil of the
+    component's own sample dimensions (NOT padded to MCU multiples)."""
+    hmax, vmax, _, _ = _geom(frame)
+    c = frame["comps"][ci]
+    cw = -(-frame["w"] * c["h"] // hmax)
+    chh = -(-frame["h"] * c["v"] // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def _decode_prog_scan(data, pos, frame, order, scan, coef, ss, se, ah, al,
+                      htables, restart_interval):
+    """Decode one progressive scan into `coef`; returns the stream
+    position after the scan's entropy data. Handles DC first/refine
+    (interleaved or single-component) and AC first/refine
+    (single-component by spec), EOB runs, and restart intervals."""
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = _geom(frame)
+    idxs = [next(i for i, c in enumerate(comps) if c["id"] == cid)
+            for cid in order]
+    br = _BitReader(data, pos)
+    if ss == 0:
+        # DC scan. Interleaved when the scan carries >1 component;
+        # geometry degenerates to the raster grid for 1-comp frames.
+        pred = {i: 0 for i in idxs}
+        if len(idxs) > 1 or len(comps) == 1:
+            units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+
+            def blocks_of(unit):
+                my, mx = unit
+                for i in idxs:
+                    c = comps[i]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            yield i, my * c["v"] + by, mx * c["h"] + bx
+        else:
+            i0 = idxs[0]
+            bh, bw_ = _comp_blocks(frame, i0)
+            units = [(by, bx) for by in range(bh) for bx in range(bw_)]
+
+            def blocks_of(unit):
+                yield i0, unit[0], unit[1]
+        count = 0
+        for unit in units:
+            if restart_interval and count and \
+                    count % restart_interval == 0:
+                br.align_restart()
+                pred = {i: 0 for i in idxs}
+            count += 1
+            for i, by, bx in blocks_of(unit):
+                blk = coef[i][by, bx]
+                if ah == 0:
+                    dc_t = htables[(0, scan[comps[i]["id"]][0])]
+                    size = _huff_decode(br, dc_t)
+                    diff = _extend(br.read(size), size) if size else 0
+                    pred[i] += diff
+                    blk[0] = pred[i] << al
+                elif br.read(1):
+                    # refinement: OR in one magnitude bit (pairs with
+                    # the encoder's arithmetic shift — two's complement
+                    # makes |= correct for negative DC too)
+                    blk[0] |= 1 << al
+    else:
+        # AC scan: exactly one component (F.2.3: AC scans are never
+        # interleaved)
+        i0 = idxs[0]
+        ac_t = htables[(1, scan[comps[i0]["id"]][1])]
+        bh, bw_ = _comp_blocks(frame, i0)
+        eobrun = 0
+        count = 0
+        for by in range(bh):
+            for bx in range(bw_):
+                if restart_interval and count and \
+                        count % restart_interval == 0:
+                    br.align_restart()
+                    eobrun = 0
+                count += 1
+                blk = coef[i0][by, bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(br, ac_t, blk, ss, se, al,
+                                             eobrun)
+                else:
+                    eobrun = _ac_refine_block(br, ac_t, blk, ss, se, al,
+                                              eobrun)
+    return br.pos
+
+
+def _ac_first_block(br, ac_t, blk, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_decode(br, ac_t)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(br.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, ac_t, blk, ss, se, al, eobrun):
+    """Successive-approximation AC refinement (spec G.1.2.3 / the
+    libjpeg decode_mcu_AC_refine control flow): newly significant
+    coefficients arrive as ±1<<Al after runs counted over ZERO-history
+    positions only; every nonzero-history coefficient passed on the
+    way (and the whole band tail during an EOB run) consumes one
+    correction bit."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_decode(br, ac_t)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r < 15:
+                    # FULL run count — the current block's band tail
+                    # still consumes its correction bits below, then
+                    # decrements (EOB0 covers exactly this block)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if br.read(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish_progressive(frame, coef, qtables):
+    """Dequantize + inverse zigzag + IDCT every accumulated block
+    (vectorized: one einsum per component), then the shared
+    upsample/crop/color tail."""
+    comps = frame["comps"]
+    hmax, vmax, _, _ = _geom(frame)
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qtables[c["tq"]]
+        arr = coef[ci].astype(np.float64) * q[None, None, :]
+        blocks = arr[:, :, UNZIGZAG].reshape(*arr.shape[:2], 8, 8)
+        pix = np.einsum("xu,ijuv,vy->ijxy", _A.T, blocks, _A)
+        bh, bw_ = pix.shape[:2]
+        planes.append(pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8))
+    return _assemble_image(planes, comps, frame["h"], frame["w"],
+                           hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -402,11 +629,10 @@ def _encode_block(bw, block, q, dc_enc, ac_enc, pred):
     return int(coeffs[0])
 
 
-def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
-    """Encode (h, w, 3) RGB or (h, w) / (h, w, 1) grayscale uint8 as a
-    baseline JPEG with Annex-K tables: 4:4:4 by default, 4:2:0 with
-    subsample=True (exercises the decoder's chroma-upsample path).
-    Test-fixture quality — no quality knob."""
+def _prep_encode(img, subsample):
+    """Shared encoder front half: color convert, pad to MCU multiples,
+    box-downsample chroma. Returns (planes, samps, qids, hids, h, w,
+    ph, pw, hmax, vmax, nch)."""
     img = np.asarray(img, dtype=np.float64)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -438,7 +664,16 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
         if fy > 1 or fx > 1:
             p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
         ds.append(p)
-    planes = ds
+    return ds, samps, qids, hids, h, w, ph, pw, hmax, vmax, nch
+
+
+def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w) / (h, w, 1) grayscale uint8 as a
+    baseline JPEG with Annex-K tables: 4:4:4 by default, 4:2:0 with
+    subsample=True (exercises the decoder's chroma-upsample path).
+    Test-fixture quality — no quality knob."""
+    planes, samps, qids, hids, h, w, ph, pw, hmax, vmax, nch = \
+        _prep_encode(img, subsample)
 
     out = bytearray(b"\xff\xd8")
 
@@ -484,5 +719,266 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
                             qmats[qids[ci]], dc_enc, ac_enc, preds[ci])
     bw.flush()
     out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (tests only): libjpeg-style default scan script
+# with spectral selection AND successive approximation, so round-trips
+# exercise every progressive decode path (DC/AC first + refinement,
+# EOB runs, ZRL-in-refinement, restarts). AC scans use a custom
+# all-length-8 canonical Huffman table because the Annex-K baseline AC
+# tables lack the EOBn (run-length > 1) symbols progressive needs.
+
+_AC_PROG_SYMS = sorted(
+    [r << 4 for r in range(15)]                      # EOB0..EOB14
+    + [0xF0]                                         # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_SYMS), 0, 0, 0, 0, 0, 0,
+             0, 0], _AC_PROG_SYMS)
+
+
+def _trunc_pt(v: int, al: int) -> int:
+    """AC point transform: magnitude shift (truncation toward zero)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan: wraps a _BitWriter and
+    carries the EOB-run + buffered-correction-bit state, flushing into
+    `out` (with optional restart markers) as units complete."""
+
+    def __init__(self, out: bytearray, ac_enc=None):
+        self.out = out
+        self.ac_enc = ac_enc
+        self.bw = _BitWriter()
+        self.eobrun = 0
+        self.bebuf: list[int] = []
+        self.rst = 0
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            nb = self.eobrun.bit_length() - 1
+            c, l = self.ac_enc[nb << 4]
+            self.bw.write(c, l)
+            if nb:
+                self.bw.write(self.eobrun & ((1 << nb) - 1), nb)
+            for b in self.bebuf:
+                self.bw.write(b, 1)
+            self.eobrun = 0
+            self.bebuf = []
+
+    def restart(self):
+        self.flush_eobrun()
+        self.bw.flush()
+        self.out.extend(self.bw.out)
+        self.out.extend(bytes([0xFF, 0xD0 + self.rst]))
+        self.rst = (self.rst + 1) % 8
+        self.bw = _BitWriter()
+
+    def finish(self):
+        self.flush_eobrun()
+        self.bw.flush()
+        self.out.extend(self.bw.out)
+
+
+def _enc_dc_first(sw, dc_enc, dc_shifted, pred):
+    diff = dc_shifted - pred
+    size, bits = _enc_coeff(diff) if diff else (0, 0)
+    c, l = dc_enc[size]
+    sw.bw.write(c, l)
+    if size:
+        sw.bw.write(bits, size)
+    return dc_shifted
+
+
+def _enc_ac_first_block(sw, blkzz, ss, se, al):
+    ac = sw.ac_enc
+    r = 0
+    for k in range(ss, se + 1):
+        t = _trunc_pt(int(blkzz[k]), al)
+        if t == 0:
+            r += 1
+            continue
+        sw.flush_eobrun()
+        while r > 15:
+            c, l = ac[0xF0]
+            sw.bw.write(c, l)
+            r -= 16
+        size, bits = _enc_coeff(t)
+        c, l = ac[(r << 4) | size]
+        sw.bw.write(c, l)
+        sw.bw.write(bits, size)
+        r = 0
+    if r > 0:
+        sw.eobrun += 1
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+
+
+def _enc_ac_refine_block(sw, blkzz, ss, se, al):
+    ac = sw.ac_enc
+    absv = [abs(int(blkzz[k])) >> al for k in range(ss, se + 1)]
+    eob_rel = -1
+    for idx, t in enumerate(absv):
+        if t == 1:
+            eob_rel = idx
+    r = 0
+    br_bits: list[int] = []
+    for idx, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and idx <= eob_rel:
+            sw.flush_eobrun()
+            c, l = ac[0xF0]
+            sw.bw.write(c, l)
+            r -= 16
+            for b in br_bits:
+                sw.bw.write(b, 1)
+            br_bits = []
+        if t > 1:
+            br_bits.append(t & 1)
+            continue
+        # newly significant (point-transformed magnitude exactly 1)
+        sw.flush_eobrun()
+        c, l = ac[(r << 4) | 1]
+        sw.bw.write(c, l)
+        sw.bw.write(1 if int(blkzz[ss + idx]) >= 0 else 0, 1)
+        for b in br_bits:
+            sw.bw.write(b, 1)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:
+        sw.eobrun += 1
+        sw.bebuf.extend(br_bits)
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+
+
+def encode_jpeg_progressive(img: np.ndarray, subsample: bool = False,
+                            restart_interval: int = 0) -> bytes:
+    """Encode as progressive (SOF2) JPEG with the libjpeg-style default
+    scan script: DC first at Al=1, luma AC split 1-5/6-63 at Al=2 with
+    two refinement passes, chroma AC at Al=1 with one refinement, DC
+    refinement last. Quantized coefficients are identical to
+    encode_jpeg's, so decode(progressive) must equal decode(baseline)
+    EXACTLY — the cross-codec anchor the tests pin."""
+    planes, samps, qids, hids, h, w, ph, pw, hmax, vmax, nch = \
+        _prep_encode(img, subsample)
+    qmats = {0: _Q_LUM, 1: _Q_CHR}
+
+    # quantized zigzag coefficient arrays, one (BH, BW, 64) per comp
+    coef = []
+    for ci, p in enumerate(planes):
+        bh, bw_ = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3) - 128.0
+        fc = np.einsum("ux,ijxy,vy->ijuv", _A, blocks, _A)
+        zz = fc.reshape(bh, bw_, 64)[:, :, ZIGZAG]
+        coef.append(np.round(zz / qmats[qids[ci]]).astype(np.int64))
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0x00]) + bytes(_Q_LUM[ZIGZAG].astype(np.uint8)))
+    if nch == 3:
+        seg(0xDB, bytes([0x01]) + bytes(_Q_CHR[ZIGZAG].astype(np.uint8)))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([len(planes)])
+    for ci in range(len(planes)):
+        sh, sv = samps[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, qids[ci]])
+    seg(0xC2, bytes(sof))
+    for tc, th, (counts, syms) in [(0, 0, _DC_LUM), (1, 0, _AC_PROG)] + (
+            [(0, 1, _DC_CHR)] if nch == 3 else []):
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms))
+    if restart_interval:
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+
+    dc_encs = {0: _enc_table(*_DC_LUM)}
+    if nch == 3:
+        dc_encs[1] = _enc_table(*_DC_CHR)
+    ac_enc = _enc_table(*_AC_PROG)
+
+    if nch == 3:
+        script = [
+            ("dc", [0, 1, 2], 0, 0, 0, 1),
+            ("ac", 0, 1, 5, 0, 2),
+            ("ac", 2, 1, 63, 0, 1),
+            ("ac", 1, 1, 63, 0, 1),
+            ("ac", 0, 6, 63, 0, 2),
+            ("ac", 0, 1, 63, 2, 1),
+            ("dc", [0, 1, 2], 0, 0, 1, 0),
+            ("ac", 2, 1, 63, 1, 0),
+            ("ac", 1, 1, 63, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc", [0], 0, 0, 0, 1),
+            ("ac", 0, 1, 63, 0, 2),
+            ("ac", 0, 1, 63, 2, 1),
+            ("dc", [0], 0, 0, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+
+    mcuy, mcux = ph // (8 * vmax), pw // (8 * hmax)
+    for kind, target, ss, se, ah, al in script:
+        if kind == "dc":
+            sos = bytearray([len(target)])
+            for ci in target:
+                sos += bytes([ci + 1, hids[ci] << 4])
+            sos += bytes([ss, se, (ah << 4) | al])
+            seg(0xDA, bytes(sos))
+            sw = _ProgScanWriter(out)
+            preds = {ci: 0 for ci in target}
+            count = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and count and \
+                            count % restart_interval == 0:
+                        sw.restart()
+                        preds = {ci: 0 for ci in target}
+                    count += 1
+                    for ci in target:
+                        sh, sv = samps[ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                dc = int(coef[ci][my * sv + by,
+                                                  mx * sh + bx, 0])
+                                if ah == 0:
+                                    preds[ci] = _enc_dc_first(
+                                        sw, dc_encs[hids[ci]],
+                                        dc >> al, preds[ci])
+                                else:
+                                    sw.bw.write((dc >> al) & 1, 1)
+            sw.finish()
+        else:
+            ci = target
+            sos = bytearray([1, ci + 1, 0x00])  # AC table 0 for all
+            sos += bytes([ss, se, (ah << 4) | al])
+            seg(0xDA, bytes(sos))
+            sw = _ProgScanWriter(out, ac_enc)
+            sh, sv = samps[ci]
+            bh = -(- (-(-h * sv // vmax)) // 8)
+            bw_ = -(- (-(-w * sh // hmax)) // 8)
+            count = 0
+            for by in range(bh):
+                for bx in range(bw_):
+                    if restart_interval and count and \
+                            count % restart_interval == 0:
+                        sw.restart()
+                    count += 1
+                    blk = coef[ci][by, bx]
+                    if ah == 0:
+                        _enc_ac_first_block(sw, blk, ss, se, al)
+                    else:
+                        _enc_ac_refine_block(sw, blk, ss, se, al)
+            sw.finish()
     out.extend(b"\xff\xd9")
     return bytes(out)

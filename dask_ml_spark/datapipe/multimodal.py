@@ -4,10 +4,12 @@ Treats media as opaque `binary` columns plus typed metadata structs.
 The Spark-side machinery — schemas, Arrow batch shapes, mapInPandas
 signatures, partition sizing — is real and tested. Codecs: formats a
 stdlib+numpy container can honestly decode are REAL under
-`stub=False` — uncompressed BMP / binary P6 PPM images, baseline JPEG
-(jpeg.py), 8-bit PNG (png.py — stdlib zlib + scanline unfiltering),
-and PCM WAV audio (stdlib `wave` + rfft band energies); the remaining
-compressed formats (progressive JPEG/mp3/video) still raise
+`stub=False` — uncompressed BMP / binary P6 PPM images, baseline AND
+progressive JPEG (jpeg.py: SOF0/1 sequential plus the full SOF2
+spectral-selection + successive-approximation scan machinery), 8-bit
+PNG (png.py — stdlib zlib + scanline unfiltering), and PCM WAV audio
+(stdlib `wave` + rfft band energies); the remaining
+compressed formats (mp3/video) still raise
 NotImplementedError because no codec library ships here. `stub=True` (default) produces a deterministic
 fake decode derived from the bytes, so every pipeline stays
 end-to-end testable either way.
@@ -152,10 +154,10 @@ def _decode_any(data: bytes) -> np.ndarray:
             return np.repeat(img, 3, axis=2)
         return img[:, :, :3]  # RGBA → RGB
     raise NotImplementedError(
-        "only uncompressed BMP, binary PPM, baseline JPEG, and 8-bit "
-        "PNG decode without codec libraries (not in this container) — "
-        "progressive-JPEG/video/audio stay stubbed; run with "
-        "stub=True for the deterministic fake"
+        "only uncompressed BMP, binary PPM, baseline/progressive "
+        "JPEG, and 8-bit PNG decode without codec libraries (not in "
+        "this container) — video/audio-compressed stay stubbed; run "
+        "with stub=True for the deterministic fake"
     )
 
 
@@ -188,9 +190,9 @@ def decode_image_features(df: DataFrame, blob_col: str = "blob", id_col: str = "
     per-batch numpy, no row-at-a-time Python.
 
     stub=False performs a REAL decode for uncompressed BMP, binary
-    P6 PPM, baseline JPEG, and 8-bit PNG (pure-Python, stdlib+numpy —
-    see _decode_any) with nearest-neighbor resize; the remaining
-    compressed formats (progressive JPEG/…) still raise
+    P6 PPM, baseline + progressive JPEG, and 8-bit PNG (pure-Python,
+    stdlib+numpy — see _decode_any) with nearest-neighbor resize; the
+    remaining compressed formats (mp3/video/…) still raise
     NotImplementedError because no codec library ships in this
     container.
     """

@@ -73,13 +73,55 @@ def test_luma_channel_tracks_brightness():
 def test_non_baseline_rejected():
     img = np.full((8, 8, 3), 100, np.uint8)
     blob = bytearray(encode_jpeg(img))
-    # flip SOF0 (0xC0) to SOF2 progressive (0xC2)
+    # flip SOF0 (0xC0) to SOF3 lossless (0xC3) — still unsupported
+    # (SOF2 progressive became a real decode path in r7)
     i = blob.find(b"\xff\xc0")
-    blob[i + 1] = 0xC2
+    blob[i + 1] = 0xC3
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
+
+
+def test_progressive_equals_baseline_exactly():
+    """The progressive anchor: SOF2 scans (spectral selection +
+    successive approximation) reconstruct the SAME quantized
+    coefficients the baseline stream carries, so the decoded pixels
+    must be bit-identical — across 4:4:4, 4:2:0, grayscale,
+    non-multiple-of-8 dims, and restart intervals."""
+    from dask_ml_spark.datapipe.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(7)
+    cases = [((24, 33, 3), False, 0), ((24, 33, 3), True, 0),
+             ((17, 19), False, 0), ((40, 40, 3), False, 3),
+             ((40, 40, 3), True, 2)]
+    for shape, sub, ri in cases:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(
+            img, subsample=sub, restart_interval=ri))
+        assert np.array_equal(base, prog), (shape, sub, ri)
+    # smooth gradient: long EOB runs across blocks
+    smooth = (np.add.outer(np.arange(40), np.arange(56)) * 2 % 256
+              ).astype(np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(smooth)),
+                          decode_jpeg(encode_jpeg_progressive(smooth)))
+
+
+def test_progressive_uniform_analytic():
+    """Uniform image decodes to exactly its DC-quantized value through
+    the progressive path (DC-first at Al=1 + DC refinement), same
+    analytic anchor the baseline decoder is pinned by."""
+    from dask_ml_spark.datapipe.jpeg import encode_jpeg_progressive
+
+    for v in (0, 77, 130, 255):
+        img = np.full((16, 24), v, np.uint8)
+        out = decode_jpeg(encode_jpeg_progressive(img))
+        # DC-only: constant output, equal to the baseline decode of the
+        # same coefficients, within the DC quant step of the input
+        assert out.std() == 0.0
+        assert np.array_equal(out, decode_jpeg(encode_jpeg(img)))
+        assert abs(int(out[0, 0, 0]) - v) <= 3
 
 
 def test_decode_image_features_stub_false_jpeg(spark):
@@ -102,6 +144,19 @@ def test_decode_image_features_stub_false_jpeg(spark):
         local = _decode_any(bytes(encode_jpeg(imgs[r.doc_id])))
         want = _resize_nearest(local, 4, 4).mean(axis=2).ravel()
         np.testing.assert_allclose(np.asarray(r.features), want)
+    # progressive blobs flow through the same mapInPandas path and,
+    # being the same quantized coefficients, yield identical features
+    from dask_ml_spark.datapipe.jpeg import encode_jpeg_progressive
+
+    prows = [{"doc_id": i, "blob": bytearray(encode_jpeg_progressive(img))}
+             for i, img in imgs.items()]
+    pout = decode_image_features(spark.createDataFrame(pd.DataFrame(prows)),
+                                 resize=(4, 4), stub=False).toPandas()
+    merged = out.merge(pout, on="doc_id", suffixes=("_b", "_p"))
+    assert len(merged) == 3
+    for _, r in merged.iterrows():
+        np.testing.assert_array_equal(np.asarray(r.features_b),
+                                      np.asarray(r.features_p))
 
 
 def test_truncated_and_corrupt_inputs_fail_fast():
@@ -110,9 +165,13 @@ def test_truncated_and_corrupt_inputs_fail_fast():
     task at scale."""
     import time
 
+    from dask_ml_spark.datapipe.jpeg import encode_jpeg_progressive
+
     img = np.full((16, 16, 3), 90, np.uint8)
     blob = encode_jpeg(img)
-    for data in (blob[: len(blob) // 2], blob[:20], blob[2:], b"\xff\xd8"):
+    pblob = encode_jpeg_progressive(img)
+    for data in (blob[: len(blob) // 2], blob[:20], blob[2:], b"\xff\xd8",
+                 pblob[: len(pblob) // 2], pblob[:40]):
         t0 = time.time()
         with pytest.raises(Exception):
             decode_jpeg(data)
