@@ -93,9 +93,12 @@ def audio_fingerprints(df: DataFrame, blob_col: str = "blob",
     blob, as four 16-bit band integers."""
     if stub:
         s = _stub_bands_struct(blob_col)
+        # long bands, matching the mapInPandas real path (stub/real
+        # schema parity — see image_dedup.image_hashes)
         return ensure_min_partitions(df).select(
             F.col(id_col), s.alias("__s")).select(
-            id_col, "__s.h0", "__s.h1", "__s.h2", "__s.h3")
+            id_col, *[F.col(f"__s.h{i}").cast("long").alias(f"h{i}")
+                      for i in range(4)])
 
     import pandas as pd
     from pyspark.sql import types as T

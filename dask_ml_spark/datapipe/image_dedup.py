@@ -130,9 +130,13 @@ def image_hashes(df: DataFrame, blob_col: str = "blob",
     stub/real split."""
     if stub:
         s = _stub_bands_struct(blob_col)
+        # cast to long: the mapInPandas real path emits int64 bands,
+        # and the stub/real schema-parity contract is load-bearing
+        # (r7 parity test caught the int-vs-bigint drift)
         return ensure_min_partitions(df).select(
             F.col(id_col), s.alias("__s")).select(
-            id_col, "__s.h0", "__s.h1", "__s.h2", "__s.h3")
+            id_col, *[F.col(f"__s.h{i}").cast("long").alias(f"h{i}")
+                      for i in range(N_BANDS)])
 
     import pandas as pd
     from pyspark.sql import types as T
