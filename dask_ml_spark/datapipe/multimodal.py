@@ -155,7 +155,7 @@ def _decode_any(data: bytes) -> np.ndarray:
         return img[:, :, :3]  # RGBA → RGB
     raise NotImplementedError(
         "only uncompressed BMP, binary PPM, baseline/progressive "
-        "JPEG, and 8-bit PNG decode without codec libraries (not in "
+        "JPEG, and full-matrix PNG decode without codec libraries (not in "
         "this container) — video/audio-compressed stay stubbed; run "
         "with stub=True for the deterministic fake"
     )
@@ -190,7 +190,7 @@ def decode_image_features(df: DataFrame, blob_col: str = "blob", id_col: str = "
     per-batch numpy, no row-at-a-time Python.
 
     stub=False performs a REAL decode for uncompressed BMP, binary
-    P6 PPM, baseline + progressive JPEG, and 8-bit PNG (pure-Python,
+    P6 PPM, baseline + progressive JPEG, and PNG (all depths + Adam7;
     stdlib+numpy — see _decode_any) with nearest-neighbor resize; the
     remaining compressed formats (mp3/video/…) still raise
     NotImplementedError because no codec library ships in this

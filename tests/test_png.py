@@ -49,16 +49,23 @@ def test_honest_gates():
     good = encode_png(img)
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"JUNK" + good)
-    # 16-bit depth
-    deep = bytearray(good)
-    deep[24] = 16  # IHDR bit-depth byte
+    # ILLEGAL spec combos still raise (16-bit/Adam7 became real in r7;
+    # what's rejected now is what the spec itself forbids)
+    bad = bytearray(good)
+    bad[24] = 16  # depth 16 ...
+    bad[25] = 3   # ... with palette color type: illegal per §11.2.2
     with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(bytes(bad))
+    bad2 = bytearray(good)
+    bad2[24] = 2  # depth 2 with RGB: illegal
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(bytes(bad2))
+    # flipping the depth/interlace bytes on an 8-bit sequential payload
+    # now fails the payload-length consistency check instead
+    deep = bytearray(good)
+    deep[24] = 16
+    with pytest.raises(ValueError, match="length"):
         decode_png(bytes(deep))
-    # Adam7 interlace flag
-    laced = bytearray(good)
-    laced[28] = 1
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_png(bytes(laced))
     # corrupt payload length
     short = struct.pack(">IIBBBBB", 9, 9, 8, 2, 0, 0, 0)
     data = (_SIG + _chunk(b"IHDR", short)
@@ -66,6 +73,50 @@ def test_honest_gates():
             + _chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="length"):
         decode_png(data)
+
+
+def test_16bit_lowdepth_and_adam7_roundtrip():
+    """r7 decode-matrix closure: 16-bit (all color types), 1/2/4-bit
+    grayscale and palette, and Adam7 interlacing — every mode
+    round-trips through the fixture encoder, interlaced output equals
+    sequential output, and 16-bit v*257 folds back to v exactly."""
+    rng = np.random.RandomState(3)
+    # 16-bit: gray, gray+alpha, RGB, RGBA — v*257 has high byte v
+    for chs in (None, 2, 3, 4):
+        shape = (11, 13) if chs is None else (11, 13, chs)
+        v8 = rng.randint(0, 256, shape, dtype=np.uint8)
+        v16 = v8.astype(np.uint16) * 257
+        out = decode_png(encode_png(v16, depth=16))
+        np.testing.assert_array_equal(
+            out, v8.reshape(11, 13, -1))
+        # 16-bit + Adam7 together
+        out_i = decode_png(encode_png(v16, depth=16, interlace=True))
+        np.testing.assert_array_equal(out_i, out)
+    # low-depth grayscale: values scale by 255/(2^d - 1)
+    for d in (1, 2, 4):
+        lv = rng.randint(0, 1 << d, (9, 17), dtype=np.uint8)
+        out = decode_png(encode_png(lv, depth=d))
+        np.testing.assert_array_equal(
+            out[:, :, 0], lv * (255 // ((1 << d) - 1)))
+        out_i = decode_png(encode_png(lv, depth=d, interlace=True))
+        np.testing.assert_array_equal(out_i, out)
+    # low-depth palette: indices expand through PLTE
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (10, 21), dtype=np.uint8)
+    out = decode_png(encode_png(idx, depth=4, palette=pal))
+    np.testing.assert_array_equal(out, pal[idx])
+    # Adam7 on plain 8-bit across every filter type
+    img = rng.randint(0, 256, (23, 19, 3), dtype=np.uint8)
+    for ft in (0, 1, 2, 3, 4, "mixed"):
+        out_i = decode_png(encode_png(img, filter_type=ft,
+                                      interlace=True))
+        np.testing.assert_array_equal(out_i, img)
+    # tiny images where some Adam7 passes are EMPTY
+    for shape in ((1, 1, 3), (2, 3), (5, 4, 4), (8, 1)):
+        small = rng.randint(0, 256, shape, dtype=np.uint8)
+        out_i = decode_png(encode_png(small, interlace=True))
+        np.testing.assert_array_equal(out_i, small.reshape(
+            shape[0], shape[1], -1))
 
 
 def test_decode_image_features_real_png(spark):
