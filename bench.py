@@ -113,6 +113,8 @@ HEADLINE = [
     "dominant_part_suppliers",
     "asof_purchase_attribution",
     "fuzzy_vocab_pairs",
+    "url_dedup",
+    "kcenter_sample",
     "interval_session_clicks",
     "view_click_attribution",
     "ols_newton_fit",

@@ -330,3 +330,55 @@ def weighted_sample_per_group(df: DataFrame, group_col: str, n: int,
     out = _skew_safe_topk(scored, group_col, kc[0], n, ascending=False,
                           score_col="__wscore", rank_col="__wrank")
     return out.drop("__wscore", "__wrank")
+
+
+def kcenter_sample(df: DataFrame, k: int, vec_col: str = "embedding",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Greedy k-center (farthest-point / Gonzalez) diversity sample
+    over an embedding column: pick the min-id row first, then k−1
+    times the row FARTHEST (squared euclidean) from every center
+    chosen so far — the classic coverage-maximizing curation sample
+    (each selection's distance is the corpus's covering radius at that
+    size, so the output doubles as a coverage curve).
+
+    Output: (round, id, dist) — round 1..k in selection order, dist =
+    the row's min squared distance to the previous centers at
+    selection time (rounded to 6; 0.0 for the seed), ties broken on
+    smallest id so the whole selection is content-deterministic and a
+    SQL oracle can replay it round by round.
+
+    Distributed shape: k−1 rounds; each round is ONE narrow scan with
+    the ≤k chosen centers folded in as literal arrays (min-distance =
+    least over per-center zip_with folds) topped by a
+    TakeOrderedAndProject(1) — no shuffle, no all-pairs, nothing
+    quadratic, and nothing driver-side except the k center vectors.
+    k is small by contract (a diversity sample is 10s-100s of rows;
+    the per-round expression carries k literal vectors). At 100 TB
+    this is k passes over a cached/columnar scan — the standard
+    trade for an exact greedy 2-approximation of the k-center
+    optimum; use kmeans for thousands of representatives instead."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    seed = (df.select(id_col, vec_col)
+            .orderBy(id_col).limit(1).collect()[0])
+    centers = [(seed[0], [float(v) for v in seed[1]])]
+    out = [(1, seed[0], 0.0)]
+
+    def sqdist(vec):
+        lit = F.array(*[F.lit(v) for v in vec])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda a, x: a + x)
+
+    for r in range(2, k + 1):
+        mind = F.least(*[sqdist(v) for _, v in centers]) if len(centers) > 1 \
+            else sqdist(centers[0][1])
+        row = (df.select(F.col(id_col), F.col(vec_col),
+                         mind.alias("__d"))
+               .orderBy(F.desc("__d"), F.asc(id_col)).limit(1).collect()[0])
+        centers.append((row[0], [float(v) for v in row[1]]))
+        out.append((r, row[0], round(float(row[2]), 6)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, f"round int, {id_col} {df.schema[id_col].dataType.simpleString()},"
+             " dist double")

@@ -430,6 +430,83 @@ def filter_blocked_domains(df: DataFrame, blocklist: DataFrame,
     return df.join(bad, id_col, "left_anti")
 
 
+def canonical_url_expr(col):
+    """Canonical form of a URL column — the crawl-dedup primitive
+    (the same page arrives as http/HTTPS, with/without www., default
+    ports, tracking params, fragments, and trailing slashes, and
+    byte-exact dedup misses all of them):
+
+    - scheme and host lowercase; leading ``www.`` dropped
+    - default ports stripped (``:80`` for http, ``:443`` for https)
+    - the ``#fragment`` dropped (never sent to the server)
+    - tracking params removed (``utm_*``, ``fbclid``, ``gclid``),
+      with leftover ``?``/``&`` separators tidied
+    - a terminal ``/`` stripped
+
+    Pure regexp_extract/replace chain, RE2/Java common ground, so the
+    SQL oracle replays it verbatim (SQL_CANONICAL_URL). Non-URL
+    strings (no ``scheme://``) pass through unchanged."""
+    scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(
+        col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = (F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+            .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+            .otherwise(host))
+    rest = F.regexp_extract(
+        col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    rest = F.regexp_replace(rest, r"(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*", "")
+    rest = F.regexp_replace(rest, r"\?&+", "?")
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return (F.when(scheme == F.lit(""), col)
+            .otherwise(F.concat(scheme, F.lit("://"), host, rest)))
+
+
+def sql_canonical_url(col_sql: str) -> str:
+    """DuckDB rendering of canonical_url_expr over ``col_sql`` —
+    identical regex chain (RE2 'g' flag where Spark replaces all)."""
+    scheme = f"lower(regexp_extract({col_sql}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    host0 = (f"regexp_replace(lower(regexp_extract({col_sql}, "
+             "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '')")
+    host = (f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host0}, ':80$', '') "
+            f"WHEN {scheme} = 'https' THEN regexp_replace({host0}, ':443$', '') "
+            f"ELSE {host0} END")
+    rest = (f"regexp_extract({col_sql}, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1)")
+    rest = (f"regexp_replace({rest}, "
+            "'(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*', '', 'g')")
+    rest = f"regexp_replace({rest}, '\\?&+', '?', 'g')"
+    rest = f"regexp_replace({rest}, '&&+', '&', 'g')"
+    rest = f"regexp_replace({rest}, '[?&]+$', '')"
+    rest = f"regexp_replace({rest}, '/$', '')"
+    return (f"CASE WHEN {scheme} = '' THEN {col_sql} "
+            f"ELSE {scheme} || '://' || {host} || {rest} END")
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url",
+                      output_col: str | None = None) -> DataFrame:
+    """Narrow map adding the canonical form of ``url_col`` (see
+    canonical_url_expr). No shuffle; at 100 TB this is scan-side."""
+    return df.withColumn(output_col or url_col,
+                         canonical_url_expr(F.col(url_col)))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Keep ONE row per canonical URL (the smallest id — the
+    exact-dedup keep-one contract applied to the canonical form).
+    Returns the surviving rows plus their ``canonical_url``. One
+    groupBy on the canonical key + one semi-join back — the same
+    shuffle shape as exact_dedup, linear at 100 TB."""
+    canon = df.withColumn("canonical_url",
+                          canonical_url_expr(F.col(url_col)))
+    keep = (canon.groupBy("canonical_url")
+            .agg(F.min(id_col).alias(id_col)))
+    return canon.join(keep, ["canonical_url", id_col])
+
+
 def strip_markup(df: DataFrame, text_col: str = "text",
                  output_col: str | None = None) -> DataFrame:
     """HTML/markup → plain text, the crawl-ingest curation primitive:

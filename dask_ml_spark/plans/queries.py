@@ -3915,6 +3915,7 @@ def build_catalog():
         "curation_pipeline": q_curation_pipeline,
         "training_data_prep": q_training_data_prep,
         "contamination_scores": q_contamination_scores,
+        "url_dedup": q_url_dedup,
         "mixture_sample": q_mixture_sample,
         "temperature_mixture_sample": q_temperature_mixture,
         "epoch_plan": q_epoch_plan,
@@ -3933,6 +3934,7 @@ def build_catalog():
         "lsh_ann_topk": q_lsh_ann_topk,
         "knn_graph_topk": q_knn_graph_topk,
         "stratified_sample": q_stratified_sample,
+        "kcenter_sample": q_kcenter_sample,
         "group_quality_topk": q_group_quality_topk,
         "hashing_vectorizer_long": q_hashing_vectorizer_long,
         "hashing_vectorizer_portable": q_hashing_vectorizer_portable,
@@ -4003,6 +4005,7 @@ def build_catalog():
         "event_funnel": SQL_EVENT_FUNNEL,
         "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "kcenter_sample": _sql_kcenter_sample(),
         "group_quality_topk": sql_group_quality_topk(),
         "pca_covariance": SQL_PCA_COVARIANCE,
         "incremental_pca_fit": SQL_INCREMENTAL_PCA_FIT,
@@ -4023,6 +4026,7 @@ def build_catalog():
         "simhash": sql_simhash(16),
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "contamination_scores": SQL_CONTAMINATION_SCORES,
+        "url_dedup": _sql_url_dedup(),
         "mixture_sample": _sql_mixture_sample(),
         "temperature_mixture_sample": _sql_temperature_mixture(),
         "epoch_plan": SQL_EPOCH_PLAN,
@@ -5506,6 +5510,48 @@ GROUP BY lang
 """
 
 
+KCENTER_K = 6
+
+
+def q_kcenter_sample(spark, sf_dir):
+    """Greedy k-center diversity sample (sampling.kcenter_sample) over
+    the embeddings table: k=6 farthest-point selections with min-id
+    seed and min-id tie-breaks. Fully oracle-verified — the SQL
+    replays every round (chained CTEs: each round's argmax of the
+    least squared distance to the previously selected centers) and
+    the covering-radius distances round to 6."""
+    from dask_ml_spark.datapipe.sampling import kcenter_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_sample(emb, k=KCENTER_K, vec_col="embedding",
+                          id_col="vec_id")
+
+
+def _sql_kcenter_sample() -> str:
+    """Round-by-round replay: cN = argmax over rows of min squared
+    distance to c1..c(N-1), ties to the smallest vec_id; distances in
+    DOUBLE via per-index lambda (same elementwise (a-b)^2 sum as the
+    Spark zip_with fold)."""
+    def dist(c):
+        return ("list_sum(list_transform(generate_series(1, len(e.v)), "
+                f"i -> (e.v[i] - {c}.v[i]) * (e.v[i] - {c}.v[i])))")
+
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+            "c1 AS (SELECT vec_id, v, 0.0 AS dist FROM e ORDER BY vec_id LIMIT 1)"]
+    for r in range(2, KCENTER_K + 1):
+        prev = [f"c{i}" for i in range(1, r)]
+        d = (f"least({', '.join(dist(c) for c in prev)})"
+             if len(prev) > 1 else dist(prev[0]))
+        joins = " CROSS JOIN ".join(["e"] + prev)
+        ctes.append(
+            f"c{r} AS (SELECT e.vec_id, e.v, {d} AS dist "
+            f"FROM {joins} ORDER BY dist DESC, e.vec_id LIMIT 1)")
+    selects = [
+        f"SELECT {r} AS \"round\", vec_id, round(dist, 6) AS dist FROM c{r}"
+        for r in range(1, KCENTER_K + 1)]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Content-hash stratified sampling (datapipe/sampling.py): keep
     30% of English, all German, half of Chinese documents; other
@@ -5641,6 +5687,57 @@ SELECT '{c}' AS "column", count(*) AS n_rows,
        min({c}) AS min_str, max({c}) AS max_str
 FROM lineitem""")
     return "\nUNION ALL\n".join(parts)
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + keep-one dedup (text_stats.url_dedup):
+    every document fabricates one of five crawl-style surface forms of
+    a logical page (uppercase scheme/host + www + trailing slash,
+    explicit default port, utm tracking params, #fragment, real params
+    mixed with tracking) and the canonical keep-one must collapse each
+    page to its min-id representative — with the ?a=1&b=2 real-param
+    page staying DISTINCT. Fully oracled: the SQL replays the
+    construction, the whole canonicalization regex chain, and the
+    keep-one join."""
+    from dask_ml_spark.datapipe.text_stats import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 40).cast("string")
+    v = F.col("doc_id") % 5
+    url = (F.when(v == 0, F.concat(F.lit("HTTPS://WWW.Example.com/p/"),
+                                   page, F.lit("/")))
+           .when(v == 1, F.concat(F.lit("https://example.com:443/p/"), page))
+           .when(v == 2, F.concat(F.lit("https://example.com/p/"), page,
+                                  F.lit("?utm_source=feed")))
+           .when(v == 3, F.concat(F.lit("https://example.com/p/"), page,
+                                  F.lit("#frag")))
+           .otherwise(F.concat(F.lit("https://example.com/p/"), page,
+                               F.lit("?a=1&utm_campaign=x&b=2"))))
+    u = docs.select("doc_id", url.alias("url"))
+    return url_dedup(u, "url", "doc_id").select(
+        "canonical_url", "doc_id", "url")
+
+
+def _sql_url_dedup() -> str:
+    from dask_ml_spark.datapipe.text_stats import sql_canonical_url
+
+    return f"""
+WITH u AS (
+    SELECT doc_id,
+        CASE doc_id % 5
+            WHEN 0 THEN 'HTTPS://WWW.Example.com/p/' || (doc_id % 40)::VARCHAR || '/'
+            WHEN 1 THEN 'https://example.com:443/p/' || (doc_id % 40)::VARCHAR
+            WHEN 2 THEN 'https://example.com/p/' || (doc_id % 40)::VARCHAR || '?utm_source=feed'
+            WHEN 3 THEN 'https://example.com/p/' || (doc_id % 40)::VARCHAR || '#frag'
+            ELSE 'https://example.com/p/' || (doc_id % 40)::VARCHAR || '?a=1&utm_campaign=x&b=2'
+        END AS url
+    FROM documents
+),
+c AS (SELECT doc_id, url, {sql_canonical_url('url')} AS canonical_url FROM u),
+k AS (SELECT canonical_url, min(doc_id) AS doc_id FROM c GROUP BY canonical_url)
+SELECT c.canonical_url, c.doc_id, c.url
+FROM c JOIN k ON c.canonical_url = k.canonical_url AND c.doc_id = k.doc_id
+"""
 
 
 def q_contamination_scores(spark, sf_dir):

@@ -2614,3 +2614,42 @@ def test_lsh_geometry_derivation(spark):
 
     out = embedding_near_dup_pairs(emb, threshold=0.9)
     assert out.count() >= 0
+
+
+def test_canonical_url_and_dedup(spark):
+    from dask_ml_spark.datapipe.text_stats import (canonicalize_urls,
+                                                   url_dedup)
+
+    cases = [
+        # (input, canonical)
+        ("HTTPS://WWW.Example.COM/Path/", "https://example.com/Path"),
+        ("https://example.com:443/x", "https://example.com/x"),
+        ("http://example.com:80/x", "http://example.com/x"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://example.com/x?utm_source=a&utm_medium=b",
+         "https://example.com/x"),
+        ("https://example.com/x?a=1&utm_campaign=c&b=2",
+         "https://example.com/x?a=1&b=2"),
+        ("https://example.com/x?utm_source=a&b=2",
+         "https://example.com/x?b=2"),
+        ("https://example.com/x#frag", "https://example.com/x"),
+        ("https://example.com/x?fbclid=123", "https://example.com/x"),
+        # path case is PRESERVED (paths are case-sensitive), and
+        # non-URLs pass through untouched
+        ("not a url at all", "not a url at all"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], ["doc_id", "url"])
+    got = {r["doc_id"]: r["canon"]
+           for r in canonicalize_urls(df, "url", "canon").collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+
+    # keep-one: all equivalent forms of one page collapse to min id
+    dup = spark.createDataFrame(
+        [(10, "https://www.site.com/a/"), (11, "HTTPS://site.com/a"),
+         (12, "https://site.com:443/a#x"), (13, "https://site.com/b")],
+        ["doc_id", "url"])
+    out = {(r["doc_id"], r["canonical_url"])
+           for r in url_dedup(dup).collect()}
+    assert out == {(10, "https://site.com/a"), (13, "https://site.com/b")}

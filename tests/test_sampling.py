@@ -339,3 +339,38 @@ def test_weighted_sample_per_group_preserves_user_columns(spark):
     assert set(pdf.columns) == {"grp", "doc_id", "w", "score", "rank"}
     assert (pdf["score"] == 0.5).all() and (pdf["rank"] == 7).all()
     assert 99 not in set(pdf["doc_id"])
+
+
+def test_kcenter_sample_matches_numpy_greedy(spark):
+    """Greedy farthest-point selection replays exactly in numpy: same
+    seed (min id), same argmax with min-id tie-breaks, same covering
+    radii; k=1 degenerates to the seed; duplicate points pick the
+    smaller id on the distance-0 tie."""
+    import numpy as np
+
+    from dask_ml_spark.datapipe.sampling import kcenter_sample
+
+    rng = np.random.RandomState(9)
+    X = rng.randn(60, 5)
+    X[13] = X[4]  # planted duplicate
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "doc_id long, embedding array<double>")
+
+    got = [(r["round"], r["doc_id"], r["dist"])
+           for r in kcenter_sample(df, k=7).orderBy("round").collect()]
+
+    centers = [0]
+    want = [(1, 0, 0.0)]
+    for r in range(2, 8):
+        d = np.min([((X - X[c]) ** 2).sum(axis=1) for c in centers], axis=0)
+        best = max(range(60), key=lambda i: (d[i], -i))
+        centers.append(best)
+        want.append((r, best, round(float(d[best]), 6)))
+    assert got == want
+    # covering radius is non-increasing (greedy k-center invariant)
+    radii = [d for _, _, d in got[1:]]
+    assert radii == sorted(radii, reverse=True)
+    # k=1: just the seed
+    assert [(r["round"], r["doc_id"])
+            for r in kcenter_sample(df, k=1).collect()] == [(1, 0)]
