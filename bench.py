@@ -115,6 +115,7 @@ HEADLINE = [
     "fuzzy_vocab_pairs",
     "url_dedup",
     "kcenter_sample",
+    "gopher_quality",
     "interval_session_clicks",
     "view_click_attribution",
     "ols_newton_fit",

@@ -87,6 +87,84 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   max_bullet_frac: float = 0.9,
+                   max_ellipsis_frac: float = 0.3,
+                   min_alpha_frac: float = 0.8,
+                   min_stop_hits: int = 2) -> DataFrame:
+    """The published Gopher corpus-quality rules (Rae et al. 2021,
+    "Scaling Language Models", Table A1 — the de-facto standard
+    heuristic filter for web-crawl pretraining data): word-count
+    bounds, mean word length bounds, symbol-to-word ratio (# and
+    ellipsis), bullet-start and ellipsis-end line fractions, fraction
+    of words with an alphabetic character, and presence of common
+    English stop words.
+
+    Emits the per-document features plus the combined ``passes`` flag
+    so pipelines can either filter or audit rule-by-rule. One narrow
+    JVM projection — whitespace word split + line split + HOF
+    counts, no UDF, no shuffle; at 100 TB this is scan-side and the
+    flag predicate pushes into the curation join. Engine-portable by
+    construction (explicit [ \\t\\n\\r\\f]+ word class, exact integer
+    counts divided as doubles), so the SQL oracle replays every rule
+    bit-for-bit; fractions are also ROUNDED to 6 for display while
+    the flags compare the exact ratios."""
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"[ \t\n\r\f]+"),
+                     lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    safe_w = F.greatest(n_words, F.lit(1)).cast("double")
+    sum_len = F.aggregate(words, F.lit(0),
+                          lambda a, w: a + F.length(w)).cast("double")
+    mean_wl = sum_len / safe_w
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_lit = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, lambda w: F.lower(w))),
+        stop_lit))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    dots3 = (F.length(text)
+             - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    uell = F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit("")))
+    symbol_ratio = (dots3 + uell + n_hash) / safe_w
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    safe_l = F.greatest(n_lines, F.lit(1)).cast("double")
+    n_bullet = F.size(F.filter(
+        lines, lambda l: F.substring(l, 1, 1).isin("•", "-", "*")))
+    n_edots = F.size(F.filter(
+        lines, lambda l: l.endswith("...") | l.endswith("…")))
+    bullet_frac = n_bullet / safe_l
+    ellipsis_frac = n_edots / safe_l
+    alpha_frac = n_alpha / safe_w
+    passes = ((n_words >= min_words) & (n_words <= max_words)
+              & (mean_wl >= min_mean_word_len)
+              & (mean_wl <= max_mean_word_len)
+              & (symbol_ratio <= max_symbol_ratio)
+              & (bullet_frac <= max_bullet_frac)
+              & (ellipsis_frac <= max_ellipsis_frac)
+              & (alpha_frac >= min_alpha_frac)
+              & (n_stop >= min_stop_hits))
+    return ensure_min_partitions(df).select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stop_present"),
+        passes.alias("passes"))
+
+
 def document_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set. Whitespace/punctuation/word-order-robust — the

@@ -3916,6 +3916,7 @@ def build_catalog():
         "training_data_prep": q_training_data_prep,
         "contamination_scores": q_contamination_scores,
         "url_dedup": q_url_dedup,
+        "gopher_quality": q_gopher_quality,
         "mixture_sample": q_mixture_sample,
         "temperature_mixture_sample": q_temperature_mixture,
         "epoch_plan": q_epoch_plan,
@@ -4027,6 +4028,7 @@ def build_catalog():
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "contamination_scores": SQL_CONTAMINATION_SCORES,
         "url_dedup": _sql_url_dedup(),
+        "gopher_quality": SQL_GOPHER_QUALITY,
         "mixture_sample": _sql_mixture_sample(),
         "temperature_mixture_sample": _sql_temperature_mixture(),
         "epoch_plan": SQL_EPOCH_PLAN,
@@ -5687,6 +5689,100 @@ SELECT '{c}' AS "column", count(*) AS n_rows,
        min({c}) AS min_str, max({c}) AS max_str
 FROM lineitem""")
     return "\nUNION ALL\n".join(parts)
+
+
+def q_gopher_quality(spark, sf_dir):
+    """The published Gopher quality-rule battery (text_stats.
+    gopher_quality) over every document: word/line statistics, symbol
+    and bullet/ellipsis fractions, alphabetic-word fraction, stopword
+    presence, and the combined pass flag. Fully oracled — the SQL
+    replays every rule from the same splits; ratio columns round via
+    an explicit floor(x*1e6+0.5)/1e6 so both engines apply identical
+    half-up semantics (Spark round is HALF_UP, DuckDB's is not, and
+    dyadic ratios like 1/128 land exactly on the .5 boundary)."""
+    from dask_ml_spark.datapipe.text_stats import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gopher_quality(docs)
+    fix = [(c, F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6)
+           for c in ("mean_word_len", "symbol_ratio", "bullet_line_frac",
+                     "ellipsis_line_frac", "alpha_word_frac")]
+    # re-round the already-6-digit values with the engine-portable
+    # floor form (idempotent except exactly on the half boundary)
+    return out.withColumns(dict(fix))
+
+
+SQL_GOPHER_QUALITY = r"""
+WITH w AS (
+    SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(text, '[ \t\n\r\f]+')) AS word
+        FROM documents)
+    WHERE length(word) > 0
+),
+ws AS (
+    SELECT doc_id, count(*)::BIGINT AS n_words,
+           sum(length(word))::DOUBLE AS sum_len,
+           sum(CASE WHEN regexp_matches(word, '[A-Za-z]')
+                    THEN 1 ELSE 0 END)::BIGINT AS n_alpha,
+           count(DISTINCT CASE WHEN lower(word) IN
+               ('the','be','to','of','and','that','have','with')
+               THEN lower(word) END)::BIGINT AS n_stop
+    FROM w GROUP BY doc_id
+),
+l AS (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+    FROM documents
+),
+ls AS (
+    SELECT doc_id, count(*)::BIGINT AS n_lines,
+           sum(CASE WHEN left(line, 1) IN ('•', '-', '*')
+                    THEN 1 ELSE 0 END)::BIGINT AS n_bullet,
+           sum(CASE WHEN line LIKE '%...' OR line LIKE '%…'
+                    THEN 1 ELSE 0 END)::BIGINT AS n_edots
+    FROM l GROUP BY doc_id
+),
+s AS (
+    SELECT doc_id,
+           (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+           (length(text) - length(replace(text, '...', ''))) / 3 AS dots3,
+           (length(text) - length(replace(text, '…', '')))::BIGINT AS uell
+    FROM documents
+),
+j AS (
+    SELECT d.doc_id,
+           coalesce(ws.n_words, 0) AS nw,
+           coalesce(ws.sum_len, 0.0) AS sum_len,
+           coalesce(ws.n_alpha, 0) AS n_alpha,
+           coalesce(ws.n_stop, 0) AS n_stop,
+           greatest(coalesce(ws.n_words, 0), 1)::DOUBLE AS safe_w,
+           coalesce(ls.n_lines, 0) AS nl,
+           greatest(coalesce(ls.n_lines, 0), 1)::DOUBLE AS safe_l,
+           coalesce(ls.n_bullet, 0) AS n_bullet,
+           coalesce(ls.n_edots, 0) AS n_edots,
+           s.n_hash, s.dots3, s.uell
+    FROM documents d
+    LEFT JOIN ws ON d.doc_id = ws.doc_id
+    LEFT JOIN ls ON d.doc_id = ls.doc_id
+    JOIN s ON d.doc_id = s.doc_id
+)
+SELECT doc_id, nw AS n_words,
+       floor(sum_len / safe_w * 1e6 + 0.5) / 1e6 AS mean_word_len,
+       floor((dots3 + uell + n_hash) / safe_w * 1e6 + 0.5) / 1e6
+           AS symbol_ratio,
+       floor(n_bullet / safe_l * 1e6 + 0.5) / 1e6 AS bullet_line_frac,
+       floor(n_edots / safe_l * 1e6 + 0.5) / 1e6 AS ellipsis_line_frac,
+       floor(n_alpha / safe_w * 1e6 + 0.5) / 1e6 AS alpha_word_frac,
+       n_stop AS n_stop_present,
+       (nw >= 50 AND nw <= 100000
+        AND sum_len / safe_w >= 3.0 AND sum_len / safe_w <= 10.0
+        AND (dots3 + uell + n_hash) / safe_w <= 0.1
+        AND n_bullet / safe_l <= 0.9
+        AND n_edots / safe_l <= 0.3
+        AND n_alpha / safe_w >= 0.8
+        AND n_stop >= 2) AS passes
+FROM j
+"""
 
 
 def q_url_dedup(spark, sf_dir):

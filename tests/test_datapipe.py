@@ -2653,3 +2653,38 @@ def test_canonical_url_and_dedup(spark):
     out = {(r["doc_id"], r["canonical_url"])
            for r in url_dedup(dup).collect()}
     assert out == {(10, "https://site.com/a"), (13, "https://site.com/b")}
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule trips on its crafted document; the normal doc
+    passes; feature values match hand computation."""
+    from dask_ml_spark.datapipe.text_stats import gopher_quality
+
+    stop = "the be to of and that have with"
+    good = ("the quick brown fox jumps over a lazy dog and then " * 5
+            + stop)  # 55+ words, stopwords present, all alphabetic
+    short = "the of and"  # < 50 words
+    bullets = "\n".join("• item %d with the of and text here ok" % i
+                        for i in range(20))  # every line bullet-led
+    dots = "\n".join("this line of the text trails off..." for _ in range(10))
+    symbols = ("### " * 30) + good  # hash-heavy
+    numbers = ("12345 " * 60) + "the of"  # alpha fraction low
+    rows = [(0, good), (1, short), (2, bullets), (3, dots),
+            (4, symbols), (5, numbers)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_quality(df, min_words=20).collect()}
+
+    assert got[0]["passes"] is True
+    assert got[1]["passes"] is False and got[1]["n_words"] == 3
+    assert got[2]["passes"] is False and got[2]["bullet_line_frac"] == 1.0
+    assert got[3]["passes"] is False and got[3]["ellipsis_line_frac"] == 1.0
+    assert got[4]["passes"] is False and got[4]["symbol_ratio"] > 0.1
+    assert got[5]["passes"] is False and got[5]["alpha_word_frac"] < 0.8
+    # hand-check a couple of features on the short doc
+    assert got[1]["n_stop_present"] == 3  # the, of, and
+    assert got[1]["mean_word_len"] == round((3 + 2 + 3) / 3, 6)
+    # word split treats \x0B like RE2 does NOT (explicit class):
+    # vertical tab is NOT a separator, matching the oracle
+    vt = spark.createDataFrame([(9, "aa\x0bbb cc")], ["doc_id", "text"])
+    assert gopher_quality(vt, min_words=1).collect()[0]["n_words"] == 2
