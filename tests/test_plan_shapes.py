@@ -246,3 +246,46 @@ def test_image_near_dup_no_cartesian(spark, catalog):
     assert "BroadcastNestedLoopJoin" not in plan
     # candidates come from the banded equi-join on (band, val)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_gopher_quality_is_narrow_jvm_only(spark, catalog):
+    plan = _plan(spark, catalog, "gopher_quality")
+    # the whole rule battery is one narrow projection over the scan:
+    # no Python, no hash shuffle (the only exchange permitted is the
+    # deliberate round-robin spread of an under-split input — a no-op
+    # at real scale), and only doc_id + text are read
+    assert "Python" not in plan
+    assert plan.count("RoundRobinPartitioning") <= 2
+    assert "hashpartitioning" not in plan.lower()
+    read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "text" in read_schema and "source" not in read_schema
+
+
+def test_url_dedup_single_shuffle_keep_one(spark, catalog):
+    plan = _plan(spark, catalog, "url_dedup")
+    # canonical keep-one = groupBy + join back: the aggregate's
+    # exchange (+AQE join exchanges) — and no cartesian/sort-merge
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_kcenter_rounds_are_take_ordered(spark):
+    """Each greedy round must plan as TakeOrderedAndProject over a
+    narrow projection — not a global sort, not a shuffle."""
+    from dask_ml_spark.datapipe.sampling import kcenter_sample  # noqa: F401
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # replicate one round's frame: dist-to-center projection + top-1
+    vec = [0.0] * len(emb.select("embedding").first()[0])
+    lit = F.array(*[F.lit(v) for v in vec])
+    d = F.aggregate(F.zip_with(F.col("embedding"), lit,
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda a, x: a + x)
+    round_df = (emb.select("vec_id", d.alias("__d"))
+                .orderBy(F.desc("__d"), F.asc("vec_id")).limit(1))
+    plan = round_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
