@@ -116,6 +116,7 @@ HEADLINE = [
     "url_dedup",
     "kcenter_sample",
     "gopher_quality",
+    "knn_classifier_eval",
     "interval_session_clicks",
     "view_click_attribution",
     "ols_newton_fit",

@@ -3936,6 +3936,7 @@ def build_catalog():
         "knn_graph_topk": q_knn_graph_topk,
         "stratified_sample": q_stratified_sample,
         "kcenter_sample": q_kcenter_sample,
+        "knn_classifier_eval": q_knn_classifier_eval,
         "group_quality_topk": q_group_quality_topk,
         "hashing_vectorizer_long": q_hashing_vectorizer_long,
         "hashing_vectorizer_portable": q_hashing_vectorizer_portable,
@@ -4007,6 +4008,7 @@ def build_catalog():
         "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "kcenter_sample": _sql_kcenter_sample(),
+        "knn_classifier_eval": SQL_KNN_CLASSIFIER_EVAL,
         "group_quality_topk": sql_group_quality_topk(),
         "pca_covariance": SQL_PCA_COVARIANCE,
         "incremental_pca_fit": SQL_INCREMENTAL_PCA_FIT,
@@ -5509,6 +5511,66 @@ WHERE n.doc_id >= 200
   AND NOT EXISTS (SELECT 1 FROM documents c
                   WHERE c.doc_id < 300 AND c.text = n.text)
 GROUP BY lang
+"""
+
+
+def q_knn_classifier_eval(spark, sf_dir):
+    """Brute-force k-NN prediction (operators/neighbors.py): the first
+    100 embedding rows are the evaluation batch, the rest train; the
+    classifier majority-votes (ties to the smallest label) and the
+    regressor means over the SAME 5 euclidean neighbors. Fully
+    oracled — the SQL replays distances, the (dist, tid) neighbor
+    ranking, the vote, and the mean."""
+    from dask_ml_spark.operators.neighbors import (KNeighborsClassifier,
+                                                   KNeighborsRegressor)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") >= 100)
+    test = emb.where(F.col("vec_id") < 100).select("vec_id", "embedding")
+    clf = KNeighborsClassifier(n_neighbors=5, vec_col="embedding").fit(
+        train, label_col="label", id_col="vec_id")
+    reg = KNeighborsRegressor(n_neighbors=5, vec_col="embedding").fit(
+        train, label_col="label", id_col="vec_id")
+    p = clf.predict(test, "vec_id")
+    m = reg.predict(test, "vec_id", output_col="knn_mean")
+    return (p.join(m, "vec_id")
+            .select("vec_id", F.col("prediction").cast("long"),
+                    F.round("knn_mean", 6).alias("knn_mean")))
+
+
+SQL_KNN_CLASSIFIER_EVAL = """
+WITH tr AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v, label
+    FROM embeddings WHERE vec_id >= 100
+),
+te AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v
+    FROM embeddings WHERE vec_id < 100
+),
+d AS (
+    SELECT te.vec_id AS qid, tr.vec_id AS tid, tr.label,
+           list_sum(list_transform(generate_series(1, len(te.v)),
+               i -> (te.v[i] - tr.v[i]) * (te.v[i] - tr.v[i]))) AS dist
+    FROM te CROSS JOIN tr
+),
+r AS (
+    SELECT qid, tid, label,
+           row_number() OVER (PARTITION BY qid ORDER BY dist, tid) AS rk
+    FROM d
+),
+k AS (SELECT qid, label FROM r WHERE rk <= 5),
+v AS (SELECT qid, label, count(*) AS votes FROM k GROUP BY qid, label),
+p AS (
+    SELECT qid, label,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY votes DESC, label) AS pr
+    FROM v
+),
+m AS (SELECT qid, round(avg(label::DOUBLE), 6) AS knn_mean
+      FROM k GROUP BY qid)
+SELECT p.qid AS vec_id, p.label::BIGINT AS prediction, m.knn_mean
+FROM p JOIN m ON p.qid = m.qid
+WHERE p.pr = 1
 """
 
 

@@ -174,3 +174,99 @@ def test_pca_randomized_solver(xy_regression):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(rand.explained_variance_, exact.explained_variance_, rtol=1e-5)
     np.testing.assert_allclose(rand.noise_variance_, exact.noise_variance_, rtol=1e-3, atol=1e-8)
+
+
+def test_knn_classifier_and_regressor_match_numpy(spark):
+    """Brute-force kNN (euclidean + cosine) matches a local numpy
+    replay exactly: same neighbors (tie-break on train id), majority
+    vote with ties to the smallest label, mean for the regressor."""
+    import numpy as np
+
+    from dask_ml_spark.operators.neighbors import (KNeighborsClassifier,
+                                                   KNeighborsRegressor)
+
+    rng = np.random.RandomState(21)
+    Xtr = rng.randn(80, 3)
+    ytr = rng.randint(0, 3, 80).astype(float)
+    Xte = rng.randn(12, 3)
+    train = spark.createDataFrame(
+        [(i, *map(float, Xtr[i]), float(ytr[i])) for i in range(80)],
+        ["doc_id", "f0", "f1", "f2", "label"])
+    test = spark.createDataFrame(
+        [(100 + j, *map(float, Xte[j])) for j in range(12)],
+        ["doc_id", "f0", "f1", "f2"])
+    cols = ["f0", "f1", "f2"]
+
+    def numpy_neighbors(metric, k=5):
+        out = {}
+        for j in range(12):
+            if metric == "euclidean":
+                d = ((Xtr - Xte[j]) ** 2).sum(axis=1)
+                order = sorted(range(80), key=lambda i: (d[i], i))
+            else:
+                s = (Xtr @ Xte[j]) / (np.linalg.norm(Xtr, axis=1)
+                                      * np.linalg.norm(Xte[j]))
+                order = sorted(range(80), key=lambda i: (-s[i], i))
+            out[100 + j] = order[:k]
+        return out
+
+    for metric in ("euclidean", "cosine"):
+        knn = KNeighborsClassifier(n_neighbors=5, metric=metric).fit(
+            train, cols, label_col="label")
+        got_n = {}
+        for r in knn.kneighbors(test, "doc_id").collect():
+            got_n.setdefault(r["doc_id"], []).append((r["rank"], r["__tid"]))
+        want_n = numpy_neighbors(metric)
+        for qid, pairs in got_n.items():
+            assert [t for _, t in sorted(pairs)] == want_n[qid], (metric, qid)
+        pred = {r["doc_id"]: r["prediction"]
+                for r in knn.predict(test, "doc_id").collect()}
+        for qid, nbrs in want_n.items():
+            votes = {}
+            for i in nbrs:
+                votes[ytr[i]] = votes.get(ytr[i], 0) + 1
+            best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            assert pred[qid] == best, (metric, qid)
+
+    reg = KNeighborsRegressor(n_neighbors=5).fit(train, cols,
+                                                 label_col="label")
+    pred = {r["doc_id"]: r["prediction"]
+            for r in reg.predict(test, "doc_id").collect()}
+    want_n = numpy_neighbors("euclidean")
+    for qid, nbrs in want_n.items():
+        assert abs(pred[qid] - float(np.mean([ytr[i] for i in nbrs]))) < 1e-9
+
+
+def test_knn_classifier_index_backed(spark):
+    """index= hands neighbor generation to an ANN index (here the
+    brute-force-recall IVF with n_probe = n_lists, so the answer is
+    exact): predictions equal the brute-force classifier's."""
+    import numpy as np
+
+    from dask_ml_spark.datapipe.similarity import IVFIndex
+    from dask_ml_spark.operators.neighbors import KNeighborsClassifier
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(120, 4)
+    y = rng.randint(0, 2, 120).astype(float)
+    train = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]], float(y[i])) for i in range(120)],
+        "doc_id long, embedding array<double>, label double")
+    test = spark.createDataFrame(
+        [(1000 + j, [float(v) for v in rng.randn(4)]) for j in range(6)],
+        "qid long, embedding array<double>")
+
+    idx = IVFIndex(n_lists=4, n_probe=4, vec_col="embedding",
+                   id_col="vec_id")
+    idx.fit(train.select(F.col("doc_id").alias("vec_id"), "embedding"))
+    knn_idx = KNeighborsClassifier(
+        n_neighbors=5, vec_col="embedding", index=idx).fit(
+        train, label_col="label")
+    knn_brute = KNeighborsClassifier(
+        n_neighbors=5, metric="cosine", vec_col="embedding").fit(
+        train, label_col="label")
+    got_idx = {r["qid"]: r["prediction"]
+               for r in knn_idx.predict(test, "qid").collect()}
+    got_brt = {r["qid"]: r["prediction"]
+               for r in knn_brute.predict(test, "qid").collect()}
+    assert got_idx == got_brt and len(got_idx) == 6
