@@ -117,6 +117,7 @@ HEADLINE = [
     "kcenter_sample",
     "gopher_quality",
     "knn_classifier_eval",
+    "script_profile",
     "interval_session_clicks",
     "view_click_attribution",
     "ols_newton_fit",

@@ -87,6 +87,72 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+# Unicode script ranges as LITERAL character-class patterns (built
+# with chr() so the identical UTF-8 pattern string lands in both the
+# Java regex and the RE2 oracle — \\uXXXX vs \\x{XXXX} escape syntax
+# differs between the engines, literals do not)
+SCRIPT_PATTERNS = {
+    "latin": "[A-Za-z" + chr(0xC0) + "-" + chr(0x24F) + "]",
+    "greek": "[" + chr(0x370) + "-" + chr(0x3FF) + "]",
+    "cyrillic": "[" + chr(0x400) + "-" + chr(0x4FF) + "]",
+    "hebrew": "[" + chr(0x590) + "-" + chr(0x5FF) + "]",
+    "arabic": "[" + chr(0x600) + "-" + chr(0x6FF) + "]",
+    "devanagari": "[" + chr(0x900) + "-" + chr(0x97F) + "]",
+    "han": "[" + chr(0x4E00) + "-" + chr(0x9FFF) + "]",
+    "kana": "[" + chr(0x3040) + "-" + chr(0x30FF) + "]",
+    "hangul": "[" + chr(0xAC00) + "-" + chr(0xD7A3) + "]",
+}
+_ASCII_PRINTABLE = "[ -~\t\n\r]"
+
+
+def script_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Unicode-script character profile per document — the script-level
+    companion of language_scores (language ID assumes you already know
+    the script; corpus curation first SPLITS by script, e.g. to route
+    CJK to a different tokenizer or drop scripts outside the target
+    mix):
+
+    - n_<script>     characters in each of 9 major script ranges
+    - dominant_script  the script with the most characters (ties to
+      the alphabetically first; 'none' when no script char occurs)
+    - non_ascii_frac  fraction of characters outside printable ASCII
+      (+ \\t\\n\\r)
+
+    One narrow JVM projection — a regexp_replace count per script
+    over literal character-class ranges that parse identically in
+    Java regex and RE2, so the SQL oracle replays every count and the
+    dominant-script tie-break verbatim."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    safe = F.greatest(n_chars, F.lit(1)).cast("double")
+    counts = {s: (n_chars - F.length(F.regexp_replace(text, p, "")))
+              for s, p in SCRIPT_PATTERNS.items()}
+    names = sorted(SCRIPT_PATTERNS)
+    dom = F.lit("none")
+    # alphabetical winner on ties: script s beats alphabetically
+    # EARLIER others only strictly (the language_scores convention);
+    # evaluated as a reversed when-chain so the first match wins
+    for s in names:
+        cond = counts[s] > 0
+        for o in names:
+            if o == s:
+                continue
+            cond = cond & ((counts[s] > counts[o]) if o < s
+                           else (counts[s] >= counts[o]))
+        dom = F.when(cond, F.lit(s)).otherwise(dom)
+    # what REMAINS after deleting printable ASCII is the non-ASCII
+    # content (the deletion-count form would measure ASCII instead —
+    # pytest-caught inversion the oracle was blind to, both engines
+    # having shared the same mistake)
+    non_ascii = F.length(F.regexp_replace(text, _ASCII_PRINTABLE, ""))
+    return ensure_min_partitions(df).select(
+        F.col(id_col),
+        *[counts[s].cast("long").alias(f"n_{s}") for s in names],
+        dom.alias("dominant_script"),
+        F.round(non_ascii / safe, 6).alias("non_ascii_frac"))
+
+
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 

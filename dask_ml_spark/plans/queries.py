@@ -3917,6 +3917,7 @@ def build_catalog():
         "contamination_scores": q_contamination_scores,
         "url_dedup": q_url_dedup,
         "gopher_quality": q_gopher_quality,
+        "script_profile": q_script_profile,
         "mixture_sample": q_mixture_sample,
         "temperature_mixture_sample": q_temperature_mixture,
         "epoch_plan": q_epoch_plan,
@@ -4031,6 +4032,7 @@ def build_catalog():
         "contamination_scores": SQL_CONTAMINATION_SCORES,
         "url_dedup": _sql_url_dedup(),
         "gopher_quality": SQL_GOPHER_QUALITY,
+        "script_profile": _sql_script_profile(),
         "mixture_sample": _sql_mixture_sample(),
         "temperature_mixture_sample": _sql_temperature_mixture(),
         "epoch_plan": SQL_EPOCH_PLAN,
@@ -5751,6 +5753,71 @@ SELECT '{c}' AS "column", count(*) AS n_rows,
        min({c}) AS min_str, max({c}) AS max_str
 FROM lineitem""")
     return "\nUNION ALL\n".join(parts)
+
+
+def q_script_profile(spark, sf_dir):
+    """Unicode-script character profile (text_stats.script_profile):
+    9 script-range counts + dominant script + non-ASCII fraction per
+    document, with mixed-script content fabricated deterministically
+    (every 3rd doc gets Cyrillic appended, every 5th Han+kana) so the
+    dominant-script tie-break machinery actually runs. Fully oracled —
+    the literal character-class patterns parse identically in Java
+    regex and RE2."""
+    from dask_ml_spark.datapipe.text_stats import script_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    spiked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" привет мир словарь текст")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" 漢字かなカナ言語処理")).otherwise(F.lit("")),
+        ).alias("text"))
+    out = script_profile(spiked)
+    return out.withColumn(
+        "non_ascii_frac",
+        F.floor(F.col("non_ascii_frac") * 1e6 + F.lit(0.5)) / 1e6)
+
+
+def _sql_script_profile() -> str:
+    from dask_ml_spark.datapipe.text_stats import (_ASCII_PRINTABLE,
+                                                   SCRIPT_PATTERNS)
+
+    names = sorted(SCRIPT_PATTERNS)
+    cnt = {s: ("(length(t) - length(regexp_replace(t, '"
+               + SCRIPT_PATTERNS[s] + "', '', 'g')))")
+           for s in names}
+    branches = []
+    for s in names:
+        conds = [f"{cnt[s]} > 0"]
+        for o in names:
+            if o == s:
+                continue
+            op = ">" if o < s else ">="
+            conds.append(f"{cnt[s]} {op} {cnt[o]}")
+        branches.append("WHEN " + " AND ".join(conds) + f" THEN '{s}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'none' END"
+    count_cols = ", ".join(f"{cnt[s]}::BIGINT AS n_{s}" for s in names)
+    na = ("length(regexp_replace(t, '" + _ASCII_PRINTABLE
+          + "', '', 'g'))")
+    return f"""
+WITH spiked AS (
+    SELECT doc_id,
+           text
+           || (CASE WHEN doc_id % 3 = 0
+               THEN ' привет мир словарь текст' ELSE '' END)
+           || (CASE WHEN doc_id % 5 = 0
+               THEN ' 漢字かなカナ言語処理' ELSE '' END) AS t
+    FROM documents
+)
+SELECT doc_id, {count_cols},
+       {case} AS dominant_script,
+       floor({na} / greatest(length(t), 1)::DOUBLE * 1e6 + 0.5) / 1e6
+           AS non_ascii_frac
+FROM spiked
+"""
 
 
 def q_gopher_quality(spark, sf_dir):

@@ -2688,3 +2688,34 @@ def test_gopher_quality_rules(spark):
     # vertical tab is NOT a separator, matching the oracle
     vt = spark.createDataFrame([(9, "aa\x0bbb cc")], ["doc_id", "text"])
     assert gopher_quality(vt, min_words=1).collect()[0]["n_words"] == 2
+
+
+def test_script_profile_detection(spark):
+    from dask_ml_spark.datapipe.text_stats import script_profile
+
+    rows = [
+        (0, "hello plain english text"),
+        (1, "привет мир"),                      # cyrillic
+        (2, "γειά σου κόσμε"),                  # greek
+        (3, "שלום עולם"),                        # hebrew
+        (4, "مرحبا بالعالم"),                    # arabic
+        (5, "नमस्ते दुनिया"),                     # devanagari
+        (6, "漢字の文章"),                        # han (+ kana の)
+        (7, "ひらがなカタカナ"),                   # kana
+        (8, "안녕하세요 세계"),                    # hangul
+        (9, "12345 !!! ..."),                   # no script at all
+        (10, "abc абв"),                        # tie 3 vs 3 → alphabetical
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in script_profile(df).collect()}
+    want_dom = {0: "latin", 1: "cyrillic", 2: "greek", 3: "hebrew",
+                4: "arabic", 5: "devanagari", 6: "han", 7: "kana",
+                8: "hangul", 9: "none", 10: "cyrillic"}
+    for i, w in want_dom.items():
+        assert got[i]["dominant_script"] == w, (i, got[i]["dominant_script"])
+    assert got[0]["n_latin"] == len("helloplainenglishtext")
+    assert got[0]["non_ascii_frac"] == 0.0
+    assert got[1]["n_cyrillic"] == 9 and got[1]["n_latin"] == 0
+    assert got[6]["n_han"] == 4 and got[6]["n_kana"] == 1
+    # non-ascii fraction: 9 cyrillic chars of 10 total
+    assert got[1]["non_ascii_frac"] == 0.9
