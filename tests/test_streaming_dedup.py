@@ -72,3 +72,35 @@ def test_stream_fingerprints_match_batch(spark, docs_dir):
                     spark.sql(f"select * from {name}").collect()}
         expected = {tuple(r) for r in op(batch).collect()}
         assert streamed == expected and len(streamed) > 0
+
+
+def test_stream_curation_ops_match_batch(spark, docs_dir):
+    """gopher_quality / script_profile / canonicalize_urls are
+    stateless narrow maps, so the SAME operator runs unchanged on a
+    stream — the incremental-ingest curation shape: score and route
+    documents as they arrive, no state store needed."""
+    from dask_ml_spark.datapipe.text_stats import (gopher_quality,
+                                                   script_profile)
+
+    batch = spark.read.parquet(docs_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(docs_dir)
+
+    out = gopher_quality(stream, min_words=5)
+    q = (out.writeStream.format("memory").queryName("gq_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = spark.sql("select * from gq_out").toPandas()
+    expected = gopher_quality(batch, min_words=5).toPandas()
+    cols = sorted(expected.columns)
+    a = streamed[cols].sort_values(cols).reset_index(drop=True)
+    b = expected[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+    out2 = script_profile(stream)
+    q2 = (out2.writeStream.format("memory").queryName("sp_out")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    s2 = spark.sql("select dominant_script, count(*) n from sp_out group by 1").toPandas()
+    e2 = (script_profile(batch).groupBy("dominant_script").count().toPandas())
+    assert dict(zip(s2["dominant_script"], s2["n"])) == \
+        dict(zip(e2["dominant_script"], e2["count"]))
