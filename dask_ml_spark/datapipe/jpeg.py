@@ -869,14 +869,24 @@ def encode_jpeg_progressive(img: np.ndarray, subsample: bool = False,
         _prep_encode(img, subsample)
     qmats = {0: _Q_LUM, 1: _Q_CHR}
 
-    # quantized zigzag coefficient arrays, one (BH, BW, 64) per comp
+    # quantized zigzag coefficient arrays, one (BH, BW, 64) per comp —
+    # computed with the SAME per-block _fdct2 matmul + round as
+    # _encode_block, NOT a batched einsum: a different FP summation
+    # order could round a coefficient sitting exactly on a
+    # quantization .5 boundary the other way, breaking the bit-exact
+    # progressive==baseline anchor (review-caught)
     coef = []
     for ci, p in enumerate(planes):
         bh, bw_ = p.shape[0] // 8, p.shape[1] // 8
-        blocks = p.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3) - 128.0
-        fc = np.einsum("ux,ijxy,vy->ijuv", _A, blocks, _A)
-        zz = fc.reshape(bh, bw_, 64)[:, :, ZIGZAG]
-        coef.append(np.round(zz / qmats[qids[ci]]).astype(np.int64))
+        q = qmats[qids[ci]]
+        arr = np.empty((bh, bw_, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw_):
+                block = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                arr[by, bx] = np.round(
+                    _fdct2(block - 128.0).ravel()[ZIGZAG] / q).astype(
+                    np.int64)
+        coef.append(arr)
 
     out = bytearray(b"\xff\xd8")
 

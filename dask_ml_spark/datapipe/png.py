@@ -68,12 +68,12 @@ def _unfilter(kind: int, row: np.ndarray, prev: np.ndarray,
     if kind == 0:  # None
         return row
     if kind == 1:  # Sub: per-channel prefix sum mod 256
-        pad = (-len(row)) % bpp
-        out = np.concatenate([row, np.zeros(pad, np.uint8)]) if pad else row
-        out = out.reshape(-1, bpp)
-        out = np.cumsum(out, axis=0, dtype=np.uint64).astype(np.uint8) \
+        # stride is an exact multiple of bpp for every legal
+        # depth/color combination (bpp=1 when depth<8, else
+        # stride = pw*ch*depth/8 = pw*bpp), so reshape is safe
+        out = row.reshape(-1, bpp)
+        return np.cumsum(out, axis=0, dtype=np.uint64).astype(np.uint8) \
             .reshape(-1)
-        return out[:len(row)] if pad else out
     if kind == 2:  # Up
         return (row + prev).astype(np.uint8)
     n = len(row)
@@ -83,8 +83,8 @@ def _unfilter(kind: int, row: np.ndarray, prev: np.ndarray,
     if kind == 3:  # Average
         for i in range(0, n, bpp):
             left = out[i - bpp:i] if i >= bpp else np.zeros(bpp, np.int32)
-            j = min(i + bpp, n)
-            out[i:j] = (r[i:j] + ((left[:j - i] + p[i:j]) >> 1)) & 0xFF
+            out[i:i + bpp] = (r[i:i + bpp]
+                              + ((left + p[i:i + bpp]) >> 1)) & 0xFF
         return out.astype(np.uint8)
     if kind == 4:  # Paeth
         for i in range(0, n, bpp):
@@ -92,14 +92,13 @@ def _unfilter(kind: int, row: np.ndarray, prev: np.ndarray,
                 left, ul = out[i - bpp:i], p[i - bpp:i]
             else:
                 left = ul = np.zeros(bpp, np.int32)
-            j = min(i + bpp, n)
-            up = p[i:j]
-            pa = np.abs(up - ul[:j - i])
-            pb = np.abs(left[:j - i] - ul[:j - i])
-            pc = np.abs(left[:j - i] + up - 2 * ul[:j - i])
-            pred = np.where((pa <= pb) & (pa <= pc), left[:j - i],
-                            np.where(pb <= pc, up, ul[:j - i]))
-            out[i:j] = (r[i:j] + pred) & 0xFF
+            up = p[i:i + bpp]
+            pa = np.abs(up - ul)
+            pb = np.abs(left - ul)
+            pc = np.abs(left + up - 2 * ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, up, ul))
+            out[i:i + bpp] = (r[i:i + bpp] + pred) & 0xFF
         return out.astype(np.uint8)
     raise ValueError(f"bad PNG filter type {kind}")
 

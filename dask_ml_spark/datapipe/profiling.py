@@ -70,7 +70,7 @@ def profile_table(df: DataFrame, columns=None, approx_distinct: bool = True,
             aggs += [F.min(c).alias(f"ms_{n}"), F.max(c).alias(f"xs_{n}")]
     row = df.agg(*aggs).collect()[0]
     exact_nd = {}
-    if check_hll:
+    if check_hll and fields:
         from concurrent.futures import ThreadPoolExecutor
 
         def _nd(f):

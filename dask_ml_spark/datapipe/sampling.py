@@ -12,6 +12,8 @@ which is what makes 100 TB pipeline retries idempotent.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -377,7 +379,11 @@ def kcenter_sample(df: DataFrame, k: int, vec_col: str = "embedding",
                          mind.alias("__d"))
                .orderBy(F.desc("__d"), F.asc(id_col)).limit(1).collect()[0])
         centers.append((row[0], [float(v) for v in row[1]]))
-        out.append((r, row[0], round(float(row[2]), 6)))
+        # floor(x*1e6+0.5): explicit half-up, matching the SQL oracle
+        # exactly on dyadic .5 boundaries where Python's banker's
+        # round() and DuckDB's round() disagree (review-caught)
+        out.append((r, row[0],
+                    math.floor(float(row[2]) * 1e6 + 0.5) / 1e6))
     spark = df.sparkSession
     return spark.createDataFrame(
         out, f"round int, {id_col} {df.schema[id_col].dataType.simpleString()},"

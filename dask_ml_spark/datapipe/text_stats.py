@@ -599,7 +599,11 @@ def canonical_url_expr(col):
             .otherwise(host))
     rest = F.regexp_extract(
         col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
-    rest = F.regexp_replace(rest, r"(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*", "")
+    # anchored to the [?&] separator (kept via $1): an UNanchored
+    # pattern would also mangle params merely CONTAINING utm_/fbclid
+    # ('myfbclid=A' -> 'my'), conflating distinct URLs (review-caught)
+    rest = F.regexp_replace(
+        rest, r"([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*", "$1")
     rest = F.regexp_replace(rest, r"\?&+", "?")
     rest = F.regexp_replace(rest, r"&&+", "&")
     rest = F.regexp_replace(rest, r"[?&]+$", "")
@@ -619,8 +623,9 @@ def sql_canonical_url(col_sql: str) -> str:
             f"ELSE {host0} END")
     rest = (f"regexp_extract({col_sql}, "
             "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1)")
+    # RE2 replacement backrefs use \1 where Java uses $1
     rest = (f"regexp_replace({rest}, "
-            "'(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*', '', 'g')")
+            r"'([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*', '\1', 'g')")
     rest = f"regexp_replace({rest}, '\\?&+', '?', 'g')"
     rest = f"regexp_replace({rest}, '&&+', '&', 'g')"
     rest = f"regexp_replace({rest}, '[?&]+$', '')"

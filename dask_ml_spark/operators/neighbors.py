@@ -78,7 +78,14 @@ class _KNeighborsBase(BaseEstimator):
 
         Brute-force: broadcast the bounded test batch against the
         train scan; index-backed: the ANN index's pruned candidates,
-        labels joined back on the train id."""
+        labels joined back on the train id.
+
+        Index-path id contract: the ANN indexes drop candidate pairs
+        whose query id EQUALS the corpus id (their self-join
+        convention), so test ids must be DISJOINT from train ids when
+        ``index=`` is set — a test row sharing a train row's id would
+        silently lose that train row as a neighbor. The brute-force
+        path has no such constraint (ids never meet in a predicate)."""
         from dask_ml_spark.datapipe.similarity import _skew_safe_topk
 
         k = self.n_neighbors

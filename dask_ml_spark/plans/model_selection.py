@@ -376,6 +376,14 @@ class GridSearchCV(BaseEstimator):
                 g = groups.setdefault(_param_token(prefix_p), {"prefix": prefix_p, "cands": []})
                 g["cands"].append((ci, final_p))
 
+            # combined concurrency stays bounded by n_jobs: the inner
+            # per-candidate pool only gets the slots the outer
+            # (group, fold) pool leaves unused (n_jobs^2 concurrent
+            # MLlib fits otherwise — review-caught)
+            n_outer = min(self.n_jobs,
+                          max(1, len(groups) * len(folds)))
+            inner_workers = max(1, self.n_jobs // n_outer)
+
             def _run_group(task):
                 g, fi = task
                 train, test = folds[fi]
@@ -404,13 +412,13 @@ class GridSearchCV(BaseEstimator):
                         fin.fit(data_tr, columns=columns, label_col=label_col)
                         return (ci, fi,
                                 score_estimator(scorer, fin, data_te, label_col))
-                    if len(g["cands"]) > 1:
+                    if len(g["cands"]) > 1 and inner_workers > 1:
                         with ThreadPoolExecutor(
                                 max_workers=min(len(g["cands"]),
-                                                self.n_jobs)) as inner:
+                                                inner_workers)) as inner:
                             out.extend(inner.map(_fit_final, g["cands"]))
                     else:
-                        out.append(_fit_final(g["cands"][0]))
+                        out.extend(_fit_final(c) for c in g["cands"])
                 finally:
                     data_tr.unpersist()
                     data_te.unpersist()

@@ -5613,7 +5613,8 @@ def _sql_kcenter_sample() -> str:
             f"c{r} AS (SELECT e.vec_id, e.v, {d} AS dist "
             f"FROM {joins} ORDER BY dist DESC, e.vec_id LIMIT 1)")
     selects = [
-        f"SELECT {r} AS \"round\", vec_id, round(dist, 6) AS dist FROM c{r}"
+        f'SELECT {r} AS "round", vec_id, '
+        f"floor(dist * 1e6 + 0.5) / 1e6 AS dist FROM c{r}"
         for r in range(1, KCENTER_K + 1)]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 

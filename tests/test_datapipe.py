@@ -2634,6 +2634,11 @@ def test_canonical_url_and_dedup(spark):
          "https://example.com/x?b=2"),
         ("https://example.com/x#frag", "https://example.com/x"),
         ("https://example.com/x?fbclid=123", "https://example.com/x"),
+        # anchored removal: params merely CONTAINING a tracking name
+        # are REAL params and must survive intact (review-caught)
+        ("https://example.com/x?myfbclid=A", "https://example.com/x?myfbclid=A"),
+        ("https://example.com/x?foo_utm_x=1&b=2",
+         "https://example.com/x?foo_utm_x=1&b=2"),
         # path case is PRESERVED (paths are case-sensitive), and
         # non-URLs pass through untouched
         ("not a url at all", "not a url at all"),

@@ -360,13 +360,15 @@ def test_kcenter_sample_matches_numpy_greedy(spark):
     got = [(r["round"], r["doc_id"], r["dist"])
            for r in kcenter_sample(df, k=7).orderBy("round").collect()]
 
+    import math
+
     centers = [0]
     want = [(1, 0, 0.0)]
     for r in range(2, 8):
         d = np.min([((X - X[c]) ** 2).sum(axis=1) for c in centers], axis=0)
         best = max(range(60), key=lambda i: (d[i], -i))
         centers.append(best)
-        want.append((r, best, round(float(d[best]), 6)))
+        want.append((r, best, math.floor(float(d[best]) * 1e6 + 0.5) / 1e6))
     assert got == want
     # covering radius is non-increasing (greedy k-center invariant)
     radii = [d for _, _, d in got[1:]]
