@@ -1,3 +1,7 @@
 """dask_ml.cluster-compatible namespace."""
 
-from dask_ml_spark.operators.cluster import KMeans, SpectralClustering  # noqa: F401
+from dask_ml_spark.operators.cluster import (  # noqa: F401
+    DBSCAN,
+    KMeans,
+    SpectralClustering,
+)

@@ -3958,6 +3958,7 @@ def build_catalog():
         "calibration_curve": q_calibration_curve,
         "make_blobs_kmeans": q_make_blobs_kmeans,
         "blobs_deterministic_stats": q_blobs_deterministic_stats,
+        "dbscan_cluster_sizes": q_dbscan_cluster_sizes,
         "feature_hasher_long": q_feature_hasher_long,
         "feature_hasher_portable": q_feature_hasher_portable,
         "hyperband_best": q_hyperband_best,
@@ -4150,6 +4151,7 @@ def build_catalog():
         "ridge_grid_search_hash_cv": _sql_ridge_grid_search(),
         "pipeline_grid_search": _sql_pipeline_grid_search(),
         "blobs_deterministic_stats": _sql_blobs_deterministic_stats(),
+        "dbscan_cluster_sizes": _sql_dbscan_cluster_sizes(),
         "precision_recall_f1": SQL_PRECISION_RECALL_F1,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "confusion_matrix": SQL_CONFUSION_MATRIX,
@@ -6517,6 +6519,105 @@ def q_grid_search_best(spark, sf_dir):
 BLOBS_CENTERS = [[-5.0, 0.0], [0.0, 5.0], [5.0, -5.0]]
 BLOBS_N = 10_000
 BLOBS_STD = 1.5
+
+
+DBSCAN_N = 2000
+DBSCAN_EPS = 0.8
+DBSCAN_MINPTS = 5
+
+
+def q_dbscan_cluster_sizes(spark, sf_dir):
+    """DBSCAN (operators/cluster.py) over content-deterministic blobs:
+    the grid-cell-join implementation's full contract — core set,
+    min-core-id components, nearest-core border assignment, noise —
+    verified against a brute-force SQL replay (all-pairs distances +
+    recursive-CTE reachability). Coordinates quantize to 6 decimals
+    via floor(x*1e6+0.5) in BOTH engines first, so every downstream
+    threshold compares identical doubles (Box-Muller cos/ln can differ
+    in the last ulp between engines)."""
+    from dask_ml_spark.datasets import make_blobs_deterministic
+    from dask_ml_spark.operators.cluster import DBSCAN
+
+    pts = make_blobs_deterministic(DBSCAN_N, BLOBS_CENTERS,
+                                   cluster_std=BLOBS_STD, spark=spark)
+    quant = pts.select(
+        F.col("id"),
+        *[(F.floor(F.col(f"x{j}") * 1e6 + F.lit(0.5)) / 1e6).alias(f"x{j}")
+          for j in range(2)])
+    out = DBSCAN(eps=DBSCAN_EPS, min_pts=DBSCAN_MINPTS).fit_predict(
+        quant, ["x0", "x1"], id_col="id")
+    return (out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("cluster"))
+
+
+def _sql_dbscan_cluster_sizes() -> str:
+    """Brute-force replay: generate the same quantized points,
+    all-pairs eps-neighborhoods, core set (self included, >= min_pts),
+    min-core-id labels via recursive reachability over core-core
+    edges, nearest-core border assignment (ties -> smallest core id),
+    noise -1."""
+    W = float(1 << 56)
+    two_pi = 2.0 * 3.141592653589793
+
+    def h(tag):
+        return ("CAST(('0x' || substr(md5(id::VARCHAR || '_0_" + tag
+                + "'), 1, 14)) AS BIGINT)")
+
+    k = len(BLOBS_CENTERS)
+    feats = []
+    for j in range(2):
+        u1 = f"(({h(f'a{j}')}) + 0.5) / {W!r}"
+        u2 = f"(({h(f'b{j}')}) + 0.5) / {W!r}"
+        z = f"sqrt(-2.0 * ln({u1})) * cos({two_pi!r} * ({u2}))"
+        centers = ", ".join(f"({c[j]!r})" for c in BLOBS_CENTERS)
+        cj = f"list_extract([{centers}], (({h('c')}) % {k}) + 1)"
+        feats.append(
+            f"floor(({cj} + {BLOBS_STD!r} * ({z})) * 1e6 + 0.5) / 1e6"
+            f" AS x{j}")
+    eps2 = DBSCAN_EPS * DBSCAN_EPS
+    return f"""
+WITH RECURSIVE pts AS (
+    SELECT id, {feats[0]}, {feats[1]}
+    FROM range({DBSCAN_N}) t(id)
+),
+pairs AS (
+    SELECT a.id AS ia, b.id AS ib,
+           (a.x0 - b.x0) * (a.x0 - b.x0)
+           + (a.x1 - b.x1) * (a.x1 - b.x1) AS d2
+    FROM pts a JOIN pts b ON a.id <> b.id
+    WHERE (a.x0 - b.x0) * (a.x0 - b.x0)
+          + (a.x1 - b.x1) * (a.x1 - b.x1) <= {eps2!r}
+),
+cnt AS (SELECT ia AS id, count(*) + 1 AS n FROM pairs GROUP BY ia),
+core AS (SELECT id FROM cnt WHERE n >= {DBSCAN_MINPTS}),
+ce AS (
+    SELECT p.ia, p.ib FROM pairs p
+    JOIN core c1 ON p.ia = c1.id JOIN core c2 ON p.ib = c2.id
+),
+reach AS (
+    SELECT id AS node, id AS lbl FROM core
+    UNION
+    SELECT ce.ib AS node, reach.lbl FROM reach JOIN ce ON ce.ia = reach.node
+),
+core_lbl AS (SELECT node AS id, min(lbl) AS cluster FROM reach GROUP BY node),
+border AS (
+    SELECT p.ia AS id, cl.cluster,
+           row_number() OVER (PARTITION BY p.ia
+                              ORDER BY p.d2, p.ib) AS rk
+    FROM pairs p
+    JOIN core c ON p.ib = c.id
+    JOIN core_lbl cl ON cl.id = p.ib
+    WHERE p.ia NOT IN (SELECT id FROM core)
+),
+lbl AS (
+    SELECT id, cluster FROM core_lbl
+    UNION ALL
+    SELECT id, cluster FROM border WHERE rk = 1
+)
+SELECT coalesce(l.cluster, -1)::BIGINT AS cluster, count(*)::BIGINT AS n
+FROM pts LEFT JOIN lbl l ON pts.id = l.id
+GROUP BY 1 ORDER BY 1
+"""
 
 
 def q_blobs_deterministic_stats(spark, sf_dir):

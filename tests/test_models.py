@@ -270,3 +270,76 @@ def test_knn_classifier_index_backed(spark):
     got_brt = {r["qid"]: r["prediction"]
                for r in knn_brute.predict(test, "qid").collect()}
     assert got_idx == got_brt and len(got_idx) == 6
+
+
+def test_dbscan_matches_bruteforce_replay(spark):
+    """DBSCAN against an exact local replay of its deterministic
+    contract: neighbor counts (self included), core set, components
+    over core-core edges labeled by MIN CORE id, borders to the
+    nearest core (ties -> smallest core id), noise -1."""
+    import numpy as np
+
+    from dask_ml_spark.operators.cluster import DBSCAN
+
+    rng = np.random.RandomState(6)
+    X = np.vstack([
+        rng.randn(40, 2) * 0.3 + [0.0, 0.0],
+        rng.randn(40, 2) * 0.3 + [5.0, 5.0],
+        rng.uniform(-2.0, 7.0, (12, 2)),
+    ])
+    n = len(X)
+    eps, min_pts = 0.7, 5
+    df = spark.createDataFrame(
+        [(i, float(X[i, 0]), float(X[i, 1])) for i in range(n)],
+        ["doc_id", "x0", "x1"])
+    got = {r["doc_id"]: r["cluster"]
+           for r in DBSCAN(eps=eps, min_pts=min_pts)
+           .fit_predict(df, ["x0", "x1"]).collect()}
+    assert len(got) == n
+
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    within = d2 <= eps * eps
+    ncount = within.sum(axis=1)  # self included
+    core = set(np.where(ncount >= min_pts)[0])
+    # components over core-core edges, label = min core id
+    label = {c: c for c in core}
+    changed = True
+    while changed:
+        changed = False
+        for a in core:
+            for b in core:
+                if within[a, b] and label[b] < label[a]:
+                    label[a] = label[b]
+                    changed = True
+    want = {}
+    for i in range(n):
+        if i in core:
+            want[i] = label[i]
+        else:
+            cands = sorted((d2[i, c], c) for c in core
+                           if within[i, c] and c != i)
+            want[i] = label[cands[0][1]] if cands else -1
+    assert got == want
+    # sanity: two real clusters plus some noise
+    labs = set(want.values())
+    assert len([v for v in labs if v >= 0]) == 2 and -1 in labs
+
+
+def test_dbscan_guards_and_edge_cases(spark):
+    import pytest as _pytest
+
+    from dask_ml_spark.operators.cluster import DBSCAN
+
+    df = spark.createDataFrame(
+        [(i, *[float(i)] * 7) for i in range(5)],
+        ["doc_id"] + [f"f{j}" for j in range(7)])
+    with _pytest.raises(ValueError, match="3\\^d"):
+        DBSCAN().fit_predict(df, [f"f{j}" for j in range(7)])
+    # all-noise input (points too sparse for min_pts)
+    sparse = spark.createDataFrame(
+        [(i, float(10 * i), 0.0) for i in range(6)],
+        ["doc_id", "x0", "x1"])
+    out = {r["doc_id"]: r["cluster"]
+           for r in DBSCAN(eps=0.5, min_pts=3)
+           .fit_predict(sparse, ["x0", "x1"]).collect()}
+    assert set(out.values()) == {-1}
