@@ -3959,6 +3959,7 @@ def build_catalog():
         "make_blobs_kmeans": q_make_blobs_kmeans,
         "blobs_deterministic_stats": q_blobs_deterministic_stats,
         "dbscan_cluster_sizes": q_dbscan_cluster_sizes,
+        "mahalanobis_outliers": q_mahalanobis_outliers,
         "feature_hasher_long": q_feature_hasher_long,
         "feature_hasher_portable": q_feature_hasher_portable,
         "hyperband_best": q_hyperband_best,
@@ -4152,6 +4153,7 @@ def build_catalog():
         "pipeline_grid_search": _sql_pipeline_grid_search(),
         "blobs_deterministic_stats": _sql_blobs_deterministic_stats(),
         "dbscan_cluster_sizes": _sql_dbscan_cluster_sizes(),
+        "mahalanobis_outliers": _sql_mahalanobis_outliers(),
         "precision_recall_f1": SQL_PRECISION_RECALL_F1,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "confusion_matrix": SQL_CONFUSION_MATRIX,
@@ -6519,6 +6521,67 @@ def q_grid_search_best(spark, sf_dir):
 BLOBS_CENTERS = [[-5.0, 0.0], [0.0, 5.0], [5.0, -5.0]]
 BLOBS_N = 10_000
 BLOBS_STD = 1.5
+
+
+def q_mahalanobis_outliers(spark, sf_dir):
+    """Empirical-covariance Mahalanobis outlier scoring
+    (operators/outliers.py) over three lineitem measures: fit is one
+    moments aggregate, Σ⁻¹ folds into a literal quadratic form, and
+    the query returns the 10 most outlying rows. Fully oracled — the
+    SQL recomputes mean/covariance from raw sums, inverts the 3x3 by
+    Cramer (adjugate / det), and replays the same quadratic form and
+    ranking."""
+    from dask_ml_spark.operators.outliers import MahalanobisOutlier
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    m = MahalanobisOutlier().fit(li, cols)
+    scored = m.score_samples(li, "m2")
+    return (scored
+            .orderBy(F.desc("m2"), "l_orderkey", "l_linenumber")
+            .limit(10)
+            .select("l_orderkey", "l_linenumber",
+                    (F.floor(F.col("m2") * 1e6 + F.lit(0.5)) / 1e6)
+                    .alias("m2")))
+
+
+def _sql_mahalanobis_outliers() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    moments = ", ".join(
+        [f"avg({c}) AS m{i}" for i, c in enumerate(cols)]
+        + [f"avg({cols[i]} * {cols[j]}) AS p{i}{j}"
+           for i in range(3) for j in range(i, 3)])
+    covs = ", ".join(f"p{i}{j} - m{i} * m{j} AS c{i}{j}"
+                     for i in range(3) for j in range(i, 3))
+    det = ("c00*(c11*c22 - c12*c12) - c01*(c01*c22 - c12*c02) "
+           "+ c02*(c01*c12 - c11*c02)")
+    # precision = adjugate / det (symmetric 3x3)
+    prec = f"""
+    (c11*c22 - c12*c12) / ({det}) AS q00,
+    (c02*c12 - c01*c22) / ({det}) AS q01,
+    (c01*c12 - c02*c11) / ({det}) AS q02,
+    (c00*c22 - c02*c02) / ({det}) AS q11,
+    (c02*c01 - c00*c12) / ({det}) AS q12,
+    (c00*c11 - c01*c01) / ({det}) AS q22"""
+    q = {(0, 0): "q00", (0, 1): "q01", (0, 2): "q02",
+         (1, 0): "q01", (1, 1): "q11", (1, 2): "q12",
+         (2, 0): "q02", (2, 1): "q12", (2, 2): "q22"}
+    # EXACT same i,j accumulation order as score_samples
+    terms = " + ".join(
+        f"{q[(i, j)]} * ({cols[i]} - m{i}) * ({cols[j]} - m{j})"
+        for i in range(3) for j in range(3))
+    return f"""
+WITH st AS (SELECT {moments} FROM lineitem),
+cv AS (SELECT *, {covs} FROM st),
+pr AS (SELECT *, {prec} FROM cv),
+sc AS (
+    SELECT l.l_orderkey, l.l_linenumber, 0.0 + {terms} AS m2
+    FROM lineitem l CROSS JOIN pr
+)
+SELECT l_orderkey, l_linenumber,
+       floor(m2 * 1e6 + 0.5) / 1e6 AS m2
+FROM sc ORDER BY sc.m2 DESC, l_orderkey, l_linenumber LIMIT 10
+"""
 
 
 DBSCAN_N = 2000

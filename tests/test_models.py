@@ -343,3 +343,46 @@ def test_dbscan_guards_and_edge_cases(spark):
            for r in DBSCAN(eps=0.5, min_pts=3)
            .fit_predict(sparse, ["x0", "x1"]).collect()}
     assert set(out.values()) == {-1}
+
+
+def test_mahalanobis_outlier_matches_numpy(spark):
+    """Fit (population mean/cov), score (quadratic form with Σ⁻¹),
+    and threshold predict all match numpy exactly; a planted far
+    point gets the top score; the scoring plan stays narrow JVM."""
+    import numpy as np
+
+    from dask_ml_spark.operators.outliers import MahalanobisOutlier
+
+    rng = np.random.RandomState(12)
+    X = rng.randn(300, 3) @ np.array([[1.0, 0.4, 0.0],
+                                      [0.0, 1.0, 0.3],
+                                      [0.0, 0.0, 1.0]])
+    X[7] = [9.0, -9.0, 9.0]  # planted outlier
+    df = spark.createDataFrame(
+        [(i, *map(float, X[i])) for i in range(300)],
+        ["doc_id", "a", "b", "c"])
+    m = MahalanobisOutlier(threshold=16.27).fit(df, ["a", "b", "c"])
+
+    mu = X.mean(axis=0)
+    cov = np.cov(X.T, bias=True)
+    np.testing.assert_allclose(m.location_, mu, rtol=1e-12)
+    np.testing.assert_allclose(m.covariance_, cov, rtol=1e-9)
+
+    P = np.linalg.inv(cov)
+    want = np.einsum("ni,ij,nj->n", X - mu, P, X - mu)
+    got = {r["doc_id"]: r["mahalanobis_sq"]
+           for r in m.score_samples(df).collect()}
+    for i in range(300):
+        assert abs(got[i] - want[i]) < 1e-7 * max(1.0, want[i])
+    assert max(got, key=got.get) == 7
+
+    pred = {r["doc_id"]: r["is_outlier"] for r in m.predict(df).collect()}
+    for i in range(300):
+        assert pred[i] == bool(want[i] > 16.27)
+    # scoring is a pure projection: no shuffle, no Python
+    plan = m.score_samples(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="threshold"):
+        MahalanobisOutlier().fit(df, ["a", "b", "c"]).predict(df)
