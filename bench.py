@@ -118,6 +118,8 @@ HEADLINE = [
     "gopher_quality",
     "knn_classifier_eval",
     "script_profile",
+    "dbscan_cluster_sizes",
+    "mahalanobis_outliers",
     "interval_session_clicks",
     "view_click_attribution",
     "ols_newton_fit",
