@@ -315,42 +315,10 @@ class DBSCAN(BaseEstimator):
                 f"DBSCAN's adjacent-cell join fans out 3^d; d={d} is "
                 "outside the low-dimensional contract (use KMeans or "
                 "the embedding dedup family instead)")
-        eps, eps2 = float(self.eps), float(self.eps) ** 2
-
-        cell = [F.floor(F.col(c).cast("double") / eps).cast("long")
-                for c in cols]
-        base = df.select(
-            F.col(id_col).alias("__id"),
-            *[F.col(c).cast("double").alias(f"__x{i}")
-              for i, c in enumerate(cols)],
-            F.concat_ws("_", *cell).alias("__cell"),
-            *[c.alias(f"__c{i}") for i, c in enumerate(cell)])
-
-        from itertools import product
-        offsets = list(product((-1, 0, 1), repeat=d))
-        nbr_keys = F.array(*[
-            F.concat_ws("_", *[(F.col(f"__c{i}") + F.lit(o[i]))
-                               for i in range(d)])
-            for o in offsets])
-        exploded = base.select(
-            F.col("__id").alias("__qid"),
-            *[F.col(f"__x{i}").alias(f"__qx{i}") for i in range(d)],
-            F.explode(nbr_keys).alias("__cell"))
-
-        # explicit keyed repartition: the cell join explodes while its
-        # INPUT is small — AQE would coalesce it into few tasks (the
-        # recurring exploding-self-join lesson)
-        parts = max(df.sparkSession.sparkContext.defaultParallelism, 32)
-        dist2 = sum((F.col(f"__x{i}") - F.col(f"__qx{i}")) ** 2
-                    for i in range(d))
-        pairs = (base.repartition(parts, "__cell")
-                 .join(exploded.repartition(parts, "__cell"), "__cell")
-                 .where(F.col("__id") != F.col("__qid"))
-                 .where(dist2 <= F.lit(eps2))
-                 .select("__id", "__qid",
-                         dist2.alias("__d2")))
+        base, pairs = _dbscan_pairs(df, cols, float(self.eps), id_col)
         # pairs carries BOTH directions of every neighbor pair, so one
-        # groupBy counts each point's neighborhood (plus itself)
+        # groupBy counts each point's neighborhood (plus itself);
+        # lazy localCheckpoint: referenced three times downstream
         pairs = pairs.localCheckpoint(eager=False)
         counts = (pairs.groupBy("__id")
                   .agg((F.count(F.lit(1)) + 1).alias("__n")))
@@ -390,3 +358,41 @@ class DBSCAN(BaseEstimator):
                 .select(F.col("__id").alias(id_col),
                         F.coalesce(F.col("cluster"), F.lit(-1))
                         .cast("long").alias("cluster")))
+
+
+def _dbscan_pairs(df: DataFrame, cols, eps: float, id_col: str):
+    """(base, pairs) for DBSCAN: eps-grid cell keys and the
+    adjacent-cell candidate join filtered to true eps-neighbors, BOTH
+    directions of every pair. Split out so plan tests can pin the
+    pre-checkpoint join shape (explicit AQE-exempt keyed repartition
+    on the exploding cell join — the recurring lesson)."""
+    from itertools import product
+
+    d = len(cols)
+    eps2 = eps * eps
+    cell = [F.floor(F.col(c).cast("double") / eps).cast("long")
+            for c in cols]
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c).cast("double").alias(f"__x{i}")
+          for i, c in enumerate(cols)],
+        F.concat_ws("_", *cell).alias("__cell"),
+        *[c.alias(f"__c{i}") for i, c in enumerate(cell)])
+    offsets = list(product((-1, 0, 1), repeat=d))
+    nbr_keys = F.array(*[
+        F.concat_ws("_", *[(F.col(f"__c{i}") + F.lit(o[i]))
+                           for i in range(d)])
+        for o in offsets])
+    exploded = base.select(
+        F.col("__id").alias("__qid"),
+        *[F.col(f"__x{i}").alias(f"__qx{i}") for i in range(d)],
+        F.explode(nbr_keys).alias("__cell"))
+    parts = max(df.sparkSession.sparkContext.defaultParallelism, 32)
+    dist2 = sum((F.col(f"__x{i}") - F.col(f"__qx{i}")) ** 2
+                for i in range(d))
+    pairs = (base.repartition(parts, "__cell")
+             .join(exploded.repartition(parts, "__cell"), "__cell")
+             .where(F.col("__id") != F.col("__qid"))
+             .where(dist2 <= F.lit(eps2))
+             .select("__id", "__qid", dist2.alias("__d2")))
+    return base, pairs

@@ -289,3 +289,34 @@ def test_kcenter_rounds_are_take_ordered(spark):
         .fromString("formatted"))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_dbscan_pair_join_repartitions_on_cell(spark):
+    """The grid-cell candidate join must shuffle on the cell key via
+    the EXPLICIT user repartition (AQE-exempt — the exploding-join
+    lesson) and never degrade to a cartesian product."""
+    import numpy as np
+
+    from dask_ml_spark.operators.cluster import DBSCAN
+
+    rng = np.random.RandomState(0)
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in
+         enumerate(rng.randn(50, 2))],
+        ["doc_id", "x0", "x1"])
+    out = DBSCAN(eps=0.5, min_pts=3).fit_predict(df, ["x0", "x1"])
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate join's keyed repartition lives ABOVE the lazy
+    # localCheckpoint, so pin it on the pre-checkpoint fragment
+    from dask_ml_spark.operators.cluster import _dbscan_pairs
+
+    _, pairs = _dbscan_pairs(df, ["x0", "x1"], 0.5, "doc_id")
+    pplan = pairs._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "hashpartitioning(__cell" in pplan
+    assert "CartesianProduct" not in pplan
