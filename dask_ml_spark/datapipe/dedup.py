@@ -352,6 +352,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # ContextCleaner once the result frame is dropped. Lazy, so the
     # signatures materialize inside the main query (an eager
     # checkpoint runs a separate job per call — measured 2x slower).
+    # Fault-tolerance trade: checkpoint blocks are UNREPLICATED and
+    # lineage is truncated, so an executor loss after materialization
+    # fails the query instead of recomputing the partition — on a
+    # long multi-hour cluster job, retries must restart the query (or
+    # swap in checkpoint() to reliable storage).
     banded = sig.localCheckpoint(eager=False).select(
         F.col(id_col), F.posexplode(band_arr).alias("band", "band_key")
     )
@@ -642,7 +647,8 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
-                              id_b: str = "id_b", max_iter: int = 30) -> DataFrame:
+                              id_b: str = "id_b", max_iter: int = 30,
+                              local_edges: int = 1_000_000) -> DataFrame:
     """Connected components by alternating large-star/small-star
     contraction (Kiveris et al. 2014) — same (node, cluster) contract
     as `duplicate_clusters`, but O(log² n) rounds REGARDLESS of
@@ -655,22 +661,45 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
     round. At convergence the edge set is a union of stars centered at
     each component's minimum id, so the final map is the edge list
     itself plus a (root, root) row per center.
+
+    Hybrid finish (the standard local phase of parallel CC, cf.
+    FastSV-style hybrids): the per-round signature aggregate already
+    measures the surviving edge count, so once it drops to
+    <= local_edges (default 1M edges ≈ 16 MB of longs) the remaining
+    graph is collected in ONE Arrow batch and finished with driver-side
+    union-find — each distributed round on a contracted graph costs a
+    fixed ~5 shuffle-stage launches regardless of size, so finishing a
+    tiny tail distributedly is pure scheduling overhead (measured 5x
+    on a 94k-edge graph). At corpus scale the loop still does the real
+    contraction work; the collect stays bounded by the documented
+    constant. local_edges=0 disables the local phase (pure
+    distributed, e.g. for tests of the loop itself).
     """
     # localCheckpoint (not persist): each round's plan nests two
     # joins + three exchanges on top of the last, so lineage grows
     # exponentially across O(log² n) rounds — truncating it per round
-    # is what keeps the optimizer's work O(1) per round. (On a real
-    # cluster use checkpoint() to a reliable store if executor loss
-    # during the loop must be survivable.)
+    # is what keeps the optimizer's work O(1) per round. LAZY
+    # (eager=False): the signature aggregate right below is the first
+    # action anyway, so it materializes the checkpoint in the SAME job
+    # — an eager checkpoint would run one extra job per round (measured
+    # ~2x the job count on small fixed inputs where scheduling, not
+    # data, is the cost). Fault-tolerance note: checkpoint blocks are
+    # unreplicated and lineage is truncated, so losing an executor
+    # mid-loop fails the job instead of recomputing the partition — on
+    # a real cluster swap in checkpoint() to a reliable store if
+    # executor loss during the loop must be survivable.
     edges = (pairs.select(F.col(id_a).cast("long").alias("src"),
                           F.col(id_b).cast("long").alias("dst"))
              .where(F.col("src") != F.col("dst"))
-             .distinct().localCheckpoint())
+             .distinct().localCheckpoint(eager=False))
     sig = edges.agg(
         F.count("*").alias("n"),
         F.coalesce(_xor_agg(), F.lit(0)).alias("h")).first()
     for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        if sig["n"] <= local_edges:
+            return _components_local(edges)
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(
+            eager=False)
         new_sig = new_edges.agg(
             F.count("*").alias("n"),
             F.coalesce(_xor_agg(), F.lit(0)).alias("h")).first()
@@ -683,6 +712,48 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
     out = (edges.select(F.col("src").alias("node"), F.col("dst").alias("cluster"))
            .unionAll(roots.select("node", F.col("node").alias("cluster"))))
     return out
+
+
+def _components_local(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find finish for a measured-small edge set:
+    ONE Arrow toPandas (the repo's bounded-collect idiom — never
+    toLocalIterator), path-halving DSU, roots resolved to the MIN
+    member id so labels match the distributed rendering exactly.
+    Output contract matches connected_components_star: (node, cluster)
+    for every node that appears in any edge."""
+    import pandas as pd
+
+    spark = edges.sparkSession
+    pdf = edges.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], "node long, cluster long")
+    # compact ids -> dense indices for an array-backed DSU
+    nodes = pd.unique(pd.concat([pdf["src"], pdf["dst"]], ignore_index=True))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    parent = list(range(len(nodes)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+        ra, rb = find(idx[int(s)]), find(idx[int(d)])
+        if ra != rb:
+            parent[rb] = ra
+    roots = [find(i) for i in range(len(nodes))]
+    # min member id per component = the deterministic cluster label
+    comp_min: dict = {}
+    for i, r in enumerate(roots):
+        v = int(nodes[i])
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    out = pd.DataFrame({
+        "node": [int(v) for v in nodes],
+        "cluster": [comp_min[r] for r in roots],
+    })
+    return spark.createDataFrame(out, "node long, cluster long")
 
 
 def _xor_agg():
@@ -735,9 +806,15 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # the logical plan DOUBLES per round — exponential in rounds, and a
     # diameter-10 component already OOMs the driver on plan strings.
     # Truncation keeps optimizer work O(1) per round; caching comes
-    # with it.
+    # with it. LAZY: the label-sum aggregate below is the first action
+    # and materializes the checkpoint in the same job (an eager
+    # checkpoint would double the per-round job count). Same
+    # fault-tolerance trade as connected_components_star: executor
+    # loss mid-loop fails the job — use checkpoint() to reliable
+    # storage on a real cluster if that must be survivable.
     labels = (sym.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")).localCheckpoint())
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=False))
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         neigh = (sym.join(labels, sym.src == labels.node)
@@ -746,7 +823,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         new_labels = (labels.join(neigh, "node", "left")
                       .select("node", F.least("label", F.coalesce("nmin", "label"))
                               .alias("label"))
-                      .localCheckpoint())
+                      .localCheckpoint(eager=False))
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels

@@ -320,9 +320,18 @@ class DBSCAN(BaseEstimator):
         # groupBy counts each point's neighborhood (plus itself);
         # lazy localCheckpoint: referenced three times downstream
         pairs = pairs.localCheckpoint(eager=False)
-        counts = (pairs.groupBy("__id")
-                  .agg((F.count(F.lit(1)) + 1).alias("__n")))
-        core = counts.where(F.col("__n") >= self.min_pts).select("__id")
+        if self.min_pts <= 1:
+            # every point's neighborhood includes itself, so with
+            # min_pts <= 1 EVERY point is core — including isolated
+            # points that never appear in the pair table (they become
+            # singleton clusters, matching sklearn min_samples=1)
+            core = base.select("__id")
+        else:
+            # counts derived from pairs alone are fine here: a point
+            # absent from pairs has neighborhood size 1 < min_pts
+            counts = (pairs.groupBy("__id")
+                      .agg((F.count(F.lit(1)) + 1).alias("__n")))
+            core = counts.where(F.col("__n") >= self.min_pts).select("__id")
 
         core_edges = (pairs
                       .join(core.withColumnRenamed("__id", "__qid"), "__qid")

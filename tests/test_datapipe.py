@@ -598,9 +598,16 @@ def test_connected_components_star_chain_and_equivalence(spark):
 
     chain = spark.createDataFrame(
         pd.DataFrame({"id_a": range(59), "id_b": range(1, 60)}))
-    out = D.connected_components_star(chain, max_iter=10).toPandas()
+    # local_edges=0 pins the DISTRIBUTED star loop itself (the default
+    # hybrid would finish this tiny graph driver-side)
+    out = D.connected_components_star(
+        chain, max_iter=10, local_edges=0).toPandas()
     assert set(out.cluster) == {0}
     assert set(out.node) == set(range(60))
+    # the hybrid local finish agrees exactly with the loop
+    hyb = D.connected_components_star(chain, max_iter=10).toPandas()
+    assert (dict(zip(hyb.node, hyb.cluster))
+            == {int(n): 0 for n in range(60)})
 
     rng = np.random.RandomState(11)
     edges = pd.DataFrame({
@@ -609,7 +616,7 @@ def test_connected_components_star_chain_and_equivalence(spark):
     })
     edges = edges[edges.id_a != edges.id_b]
     pairs = spark.createDataFrame(edges)
-    star = D.connected_components_star(pairs).toPandas()
+    star = D.connected_components_star(pairs, local_edges=0).toPandas()
     label = D.duplicate_clusters(pairs, method="label").toPandas()
     assert (dict(zip(star.node, star.cluster))
             == dict(zip(label.node, label.cluster)))

@@ -343,6 +343,22 @@ def test_dbscan_guards_and_edge_cases(spark):
            for r in DBSCAN(eps=0.5, min_pts=3)
            .fit_predict(sparse, ["x0", "x1"]).collect()}
     assert set(out.values()) == {-1}
+    # min_pts=1: EVERY point is core (its neighborhood includes
+    # itself) — isolated points become singleton clusters labeled by
+    # their own id, matching sklearn min_samples=1, NOT noise
+    out1 = {r["doc_id"]: r["cluster"]
+            for r in DBSCAN(eps=0.5, min_pts=1)
+            .fit_predict(sparse, ["x0", "x1"]).collect()}
+    assert out1 == {i: i for i in range(6)}
+    # min_pts=1 with one real pair: the pair shares the min id,
+    # the isolated point keeps its own
+    mixed = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 0.1, 0.0), (2, 50.0, 0.0)],
+        ["doc_id", "x0", "x1"])
+    outm = {r["doc_id"]: r["cluster"]
+            for r in DBSCAN(eps=0.5, min_pts=1)
+            .fit_predict(mixed, ["x0", "x1"]).collect()}
+    assert outm == {0: 0, 1: 0, 2: 2}
 
 
 def test_mahalanobis_outlier_matches_numpy(spark):
