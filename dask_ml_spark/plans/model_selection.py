@@ -327,14 +327,20 @@ class GridSearchCV(BaseEstimator):
         # instead of persisting+materializing its own copy
         df = self.estimator.prepare_cv_cache(df, columns, label_col)
 
-        # spread the cached folds up-front: fold filters preserve the
-        # partitioning, so every downstream (candidate, fold) fit sees a
-        # well-parallelized cached input and skips its own repartition
-        # shuffle (a per-fit 100%-data shuffle otherwise; no-op when the
-        # source already carries enough partitions)
+        # right-size the cached folds up-front: fold filters preserve
+        # the partitioning, so every downstream (candidate, fold) fit
+        # sees the same layout and skips its own repartition shuffle.
+        # Sizing balances two forces: enough partitions that one fit
+        # parallelizes, FEW enough that n_jobs concurrent iterative
+        # fits don't each pay 32-task scheduling per LBFGS iteration
+        # (see right_size_cv_cache — bytes-floored, so big caches keep
+        # their partitions)
+        from dask_ml_spark.utils import right_size_cv_cache
+
         with_fold = cv.fold_column(df) if isinstance(cv, KFold) else None
         if with_fold is not None:
-            with_fold = ensure_min_partitions(with_fold).persist()  # CVCache analog
+            with_fold = right_size_cv_cache(
+                with_fold, self.n_jobs).persist()  # CVCache analog
             folds = [
                 (with_fold.where(F.col("__fold") != i).drop("__fold"),
                  with_fold.where(F.col("__fold") == i).drop("__fold"))
@@ -343,8 +349,9 @@ class GridSearchCV(BaseEstimator):
         else:
             # CVCache analog for the ShuffleSplit path too — otherwise
             # every (candidate, fold) fit rescans the source
-            folds = [(ensure_min_partitions(tr).persist(),
-                      ensure_min_partitions(te).persist()) for tr, te in cv.split(df)]
+            folds = [(right_size_cv_cache(tr, self.n_jobs).persist(),
+                      right_size_cv_cache(te, self.n_jobs).persist())
+                     for tr, te in cv.split(df)]
 
         seen: dict[str, int] = {}  # dedup identical candidates (reference `seen`)
         unique: list[tuple[int, dict]] = []

