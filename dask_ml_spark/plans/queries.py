@@ -1979,10 +1979,12 @@ def q_semantic_dedup(spark, sf_dir):
     invariant-tested in tests/test_datapipe.py."""
     emb = _t(spark, sf_dir, "embeddings")
     # k ~ sqrt(N)/3 (paper rule, floored at 8): the quantizer size must
-    # GROW with the corpus so within-cluster pair volume stays ~N·c —
-    # resolves to exactly the 8 centroids the oracle pins at sf0.01
-    # (N=500) and to 23 at sf0.1, where 8 clusters over 5k vectors
-    # would already quadruple the pair join
+    # GROW with the corpus — total pair volume is N²/(2k), so the sqrt
+    # rule yields N^1.5 pair work (measured 6.7x for 10x rows at sf1;
+    # semantic_dedup_pairs' target_pairs_per_item knob is the linear
+    # alternative). Resolves to exactly the 8 centroids the oracle pins
+    # at sf0.01 (N=500) and to 23 at sf0.1, where 8 clusters over 5k
+    # vectors would already quadruple the pair join
     n_cent = max(8, int(emb.count() ** 0.5 / 3))
     cent = (emb.where(F.col("vec_id") < n_cent).orderBy("vec_id")
             .select("embedding").collect())

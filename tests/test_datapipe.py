@@ -590,6 +590,32 @@ def test_semantic_dedup_learned_quantizer_and_centroid_order(embeddings):
     assert len(kept) == n - len(dropped)
 
 
+def test_semantic_dedup_target_pairs_per_item(embeddings):
+    """Linear-cost mode: target_pairs_per_item sizes the quantizer as
+    k = ceil(N/(2t+1)) — so k grows LINEARLY with N (pair volume
+    ~N*t, vs the paper sqrt rule's N^1.5) — and the run equals an
+    explicit n_clusters run at the same k. Pinned centroids reject
+    the knob (their geometry is fixed)."""
+    import pytest as _pytest
+
+    n = embeddings.count()
+    t = 4.0
+    k_expect = -(-n // int(2 * t + 1))
+    via_knob = D.semantic_dedup(
+        embeddings, threshold=0.95, order="id", seed=3,
+        target_pairs_per_item=t).toPandas()
+    explicit = D.semantic_dedup(
+        embeddings, threshold=0.95, order="id", seed=3,
+        n_clusters=k_expect).toPandas()
+    assert sorted(via_knob.vec_id) == sorted(explicit.vec_id)
+    # doubling N doubles k (to rounding): the closed form is linear in N
+    assert abs(-(-(2 * n) // int(2 * t + 1)) - 2 * k_expect) <= 1
+    with _pytest.raises(ValueError, match="pinned"):
+        D.semantic_dedup_pairs(
+            embeddings, centroids=np.zeros((4, 8)),
+            target_pairs_per_item=t)
+
+
 def test_connected_components_star_chain_and_equivalence(spark):
     """Star contraction resolves a 60-node chain (diameter 59) in
     O(log²) rounds and agrees exactly with min-label propagation on a
