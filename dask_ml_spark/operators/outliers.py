@@ -24,6 +24,53 @@ from pyspark.sql import DataFrame, functions as F
 from dask_ml_spark.base import BaseEstimator
 
 
+def _precision(cov: np.ndarray) -> np.ndarray:
+    """Robust precision matrix with engine-parity arithmetic.
+
+    Degenerate Σ (a constant column, a collinear pair — cond > 1e12 or
+    det 0) takes the Moore-Penrose pseudo-inverse: scores stay finite,
+    measuring distance within the data's actual subspace (the
+    rank-deficient directions contribute 0, the convention sklearn's
+    EmpiricalCovariance ends up with under its own pinvh path).
+
+    Well-conditioned d <= 3 uses the closed-form adjugate/det with the
+    SAME operation order as the SQL oracle's Cramer replay
+    (plans/queries.py::_sql_mahalanobis_outliers) so both engines fold
+    bit-identical precision literals into the quadratic form — LAPACK
+    inv() differs from the cofactor arithmetic in the last ulps, which
+    can flip a value sitting on a 0.5e-6 rounding boundary. d > 3
+    falls back to np.linalg.inv.
+    """
+    d = cov.shape[0]
+    cond = np.linalg.cond(cov)
+    if not np.isfinite(cond) or cond > 1e12:
+        return np.linalg.pinv(cov, hermitian=True)
+    if d == 1:
+        return np.array([[1.0 / float(cov[0, 0])]])
+    if d == 2:
+        c00, c01, c11 = float(cov[0, 0]), float(cov[0, 1]), float(cov[1, 1])
+        det = c00 * c11 - c01 * c01
+        return np.array([[c11 / det, -c01 / det],
+                         [-c01 / det, c00 / det]])
+    if d == 3:
+        c00, c01, c02 = float(cov[0, 0]), float(cov[0, 1]), float(cov[0, 2])
+        c11, c12, c22 = float(cov[1, 1]), float(cov[1, 2]), float(cov[2, 2])
+        # cofactor expansion in the oracle's exact order
+        det = (c00 * (c11 * c22 - c12 * c12)
+               - c01 * (c01 * c22 - c12 * c02)
+               + c02 * (c01 * c12 - c11 * c02))
+        q00 = (c11 * c22 - c12 * c12) / det
+        q01 = (c02 * c12 - c01 * c22) / det
+        q02 = (c01 * c12 - c02 * c11) / det
+        q11 = (c00 * c22 - c02 * c02) / det
+        q12 = (c02 * c01 - c00 * c12) / det
+        q22 = (c00 * c11 - c01 * c01) / det
+        return np.array([[q00, q01, q02],
+                         [q01, q11, q12],
+                         [q02, q12, q22]])
+    return np.linalg.inv(cov)
+
+
 class MahalanobisOutlier(BaseEstimator):
     def __init__(self, threshold: float | None = None):
         # threshold: squared-distance cutoff for predict(); callers
@@ -49,7 +96,7 @@ class MahalanobisOutlier(BaseEstimator):
         self.columns_ = cols
         self.location_ = mu
         self.covariance_ = cov
-        self.precision_ = np.linalg.inv(cov)
+        self.precision_ = _precision(cov)
         return self
 
     def score_samples(self, df: DataFrame,

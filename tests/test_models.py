@@ -402,3 +402,41 @@ def test_mahalanobis_outlier_matches_numpy(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="threshold"):
         MahalanobisOutlier().fit(df, ["a", "b", "c"]).predict(df)
+
+
+def test_mahalanobis_outlier_degenerate_covariance(spark):
+    """Singular Σ must not raise: a constant column and an exactly
+    collinear pair both fit via the pseudo-inverse, score every row
+    finite, and still measure distance within the data's actual
+    subspace (rank-deficient directions contribute zero)."""
+    import numpy as np
+
+    from dask_ml_spark.operators.outliers import MahalanobisOutlier
+
+    rng = np.random.RandomState(3)
+    a = rng.randn(100)
+    # constant column c, collinear pair b = 2a
+    df = spark.createDataFrame(
+        [(i, float(a[i]), float(2.0 * a[i]), 5.0) for i in range(100)],
+        ["doc_id", "a", "b", "c"])
+    m = MahalanobisOutlier().fit(df, ["a", "b", "c"])
+    got = {r["doc_id"]: r["mahalanobis_sq"]
+           for r in m.score_samples(df).collect()}
+    assert all(np.isfinite(v) for v in got.values())
+    # pinv parity with numpy on the same covariance
+    X = np.column_stack([a, 2.0 * a, np.full(100, 5.0)])
+    mu = X.mean(axis=0)
+    P = np.linalg.pinv(np.cov(X.T, bias=True), hermitian=True)
+    want = np.einsum("ni,ij,nj->n", X - mu, P, X - mu)
+    for i in range(100):
+        assert abs(got[i] - want[i]) < 1e-7 * max(1.0, abs(want[i]))
+    # well-conditioned d=3 still matches the exact inverse (the
+    # closed-form adjugate path agrees with LAPACK to float tolerance)
+    X2 = rng.randn(200, 3) + [1.0, -2.0, 0.5]
+    df2 = spark.createDataFrame(
+        [(i, *map(float, X2[i])) for i in range(200)],
+        ["doc_id", "a", "b", "c"])
+    m2 = MahalanobisOutlier().fit(df2, ["a", "b", "c"])
+    np.testing.assert_allclose(
+        m2.precision_, np.linalg.inv(np.cov(X2.T, bias=True)),
+        rtol=1e-9)
