@@ -106,7 +106,8 @@ _ASCII_PRINTABLE = "[ -~\t\n\r]"
 
 
 def script_profile(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   round_digits: int | None = 6) -> DataFrame:
     """Unicode-script character profile per document — the script-level
     companion of language_scores (language ID assumes you already know
     the script; corpus curation first SPLITS by script, e.g. to route
@@ -146,11 +147,17 @@ def script_profile(df: DataFrame, text_col: str = "text",
     # pytest-caught inversion the oracle was blind to, both engines
     # having shared the same mistake)
     non_ascii = F.length(F.regexp_replace(text, _ASCII_PRINTABLE, ""))
+    frac = non_ascii / safe
+    # round_digits=None emits the raw ratio so callers with their own
+    # rounding convention round ONCE (see gopher_quality's note on
+    # double-rounding)
+    if round_digits is not None:
+        frac = F.round(frac, round_digits)
     return ensure_min_partitions(df).select(
         F.col(id_col),
         *[counts[s].cast("long").alias(f"n_{s}") for s in names],
         dom.alias("dominant_script"),
-        F.round(non_ascii / safe, 6).alias("non_ascii_frac"))
+        frac.alias("non_ascii_frac"))
 
 
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
@@ -165,7 +172,8 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
                    max_bullet_frac: float = 0.9,
                    max_ellipsis_frac: float = 0.3,
                    min_alpha_frac: float = 0.8,
-                   min_stop_hits: int = 2) -> DataFrame:
+                   min_stop_hits: int = 2,
+                   round_digits: int | None = 6) -> DataFrame:
     """The published Gopher corpus-quality rules (Rae et al. 2021,
     "Scaling Language Models", Table A1 — the de-facto standard
     heuristic filter for web-crawl pretraining data): word-count
@@ -182,7 +190,11 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
     construction (explicit [ \\t\\n\\r\\f]+ word class, exact integer
     counts divided as doubles), so the SQL oracle replays every rule
     bit-for-bit; fractions are also ROUNDED to 6 for display while
-    the flags compare the exact ratios."""
+    the flags compare the exact ratios. round_digits=None emits the
+    RAW ratios instead — for callers that apply their own rounding
+    convention (rounding an already-rounded value double-rounds:
+    composing HALF_UP-to-6 with a second rounding form can disagree
+    with a single rounding of the raw ratio on .5-boundary values)."""
     text = F.col(text_col)
     words = F.filter(F.split(text, r"[ \t\n\r\f]+"),
                      lambda w: F.length(w) > 0)
@@ -219,14 +231,17 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
               & (ellipsis_frac <= max_ellipsis_frac)
               & (alpha_frac >= min_alpha_frac)
               & (n_stop >= min_stop_hits))
+    def _r(x):
+        return F.round(x, round_digits) if round_digits is not None else x
+
     return ensure_min_partitions(df).select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
-        F.round(bullet_frac, 6).alias("bullet_line_frac"),
-        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
-        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        _r(mean_wl).alias("mean_word_len"),
+        _r(symbol_ratio).alias("symbol_ratio"),
+        _r(bullet_frac).alias("bullet_line_frac"),
+        _r(ellipsis_frac).alias("ellipsis_line_frac"),
+        _r(alpha_frac).alias("alpha_word_frac"),
         n_stop.cast("long").alias("n_stop_present"),
         passes.alias("passes"))
 

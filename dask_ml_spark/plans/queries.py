@@ -5782,7 +5782,9 @@ def q_script_profile(spark, sf_dir):
             F.when(F.col("doc_id") % 5 == 0,
                    F.lit(" 漢字かなカナ言語処理")).otherwise(F.lit("")),
         ).alias("text"))
-    out = script_profile(spiked)
+    # round_digits=None + one floor-form rounding of the raw ratio —
+    # single rounding on both engines (see q_gopher_quality)
+    out = script_profile(spiked, round_digits=None)
     return out.withColumn(
         "non_ascii_frac",
         F.floor(F.col("non_ascii_frac") * 1e6 + F.lit(0.5)) / 1e6)
@@ -5839,12 +5841,14 @@ def q_gopher_quality(spark, sf_dir):
     from dask_ml_spark.datapipe.text_stats import gopher_quality
 
     docs = _t(spark, sf_dir, "documents")
-    out = gopher_quality(docs)
+    # round_digits=None: take the RAW ratios and apply the
+    # engine-portable floor form exactly ONCE — rounding the library's
+    # HALF_UP 6-digit values again could disagree with the oracle's
+    # single rounding on values within an ulp of a .5e-6 boundary
+    out = gopher_quality(docs, round_digits=None)
     fix = [(c, F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6)
            for c in ("mean_word_len", "symbol_ratio", "bullet_line_frac",
                      "ellipsis_line_frac", "alpha_word_frac")]
-    # re-round the already-6-digit values with the engine-portable
-    # floor form (idempotent except exactly on the half boundary)
     return out.withColumns(dict(fix))
 
 
