@@ -86,6 +86,88 @@ class MeanRegressor:
         return np.full(len(X), self.mean_)
 
 
+class SufficientStatsRidge:
+    """Exact streaming ridge regression: partial_fit accumulates the
+    second-order sufficient statistics (n, Σx, Σy, Σxxᵀ, Σxy) and the
+    coefficients solve the centered penalized normal equations
+    (XᵀX/n − x̄x̄ᵀ + αI) w = (Xᵀy/n − x̄ȳ), b = ȳ − wᵀx̄ on demand.
+
+    Unlike SGD the state after any batch multiset is a CLOSED FORM of
+    the batch sums — order-free, merge-able, and exactly replayable by
+    a SQL oracle — which makes this the content-deterministic model
+    for verifying the adaptive searches end-to-end (the analog of the
+    one-step-exact newton ridge that oracles pipeline_grid_search).
+    It is also a genuinely useful online model: one pass, exact ridge,
+    no learning rate."""
+
+    _estimator_type = "regressor"
+
+    def __init__(self, alpha: float = 1.0):
+        self.alpha = alpha
+
+    def get_params(self, deep=True):
+        return {"alpha": self.alpha}
+
+    def set_params(self, **p):
+        for k, v in p.items():
+            setattr(self, k, v)
+        return self
+
+    def partial_fit(self, X, y):
+        X = np.asarray(X, dtype="float64")
+        y = np.asarray(y, dtype="float64")
+        if not hasattr(self, "n_"):
+            d = X.shape[1]
+            self.n_ = 0.0
+            self.sx_ = np.zeros(d)
+            self.sy_ = 0.0
+            self.sxx_ = np.zeros((d, d))
+            self.sxy_ = np.zeros(d)
+        self.n_ += float(len(y))
+        self.sx_ += X.sum(axis=0)
+        self.sy_ += float(y.sum())
+        self.sxx_ += X.T @ X
+        self.sxy_ += X.T @ y
+        return self
+
+    def fit(self, X, y):
+        for a in ("n_", "sx_", "sy_", "sxx_", "sxy_"):
+            if hasattr(self, a):
+                delattr(self, a)
+        return self.partial_fit(X, y)
+
+    def _solve(self):
+        n = self.n_
+        mx = self.sx_ / n
+        my = self.sy_ / n
+        cov = self.sxx_ / n - np.outer(mx, mx) + self.alpha * np.eye(len(mx))
+        cxy = self.sxy_ / n - mx * my
+        d = len(mx)
+        # d <= 2: explicit Cramer arithmetic in the same operation
+        # order as the SQL oracle replay (LAPACK solve differs in the
+        # last ulps — the Mahalanobis precedent)
+        if d == 1:
+            w = np.array([float(cxy[0]) / float(cov[0, 0])])
+        elif d == 2:
+            a, b2, c2 = float(cov[0, 0]), float(cov[0, 1]), float(cov[1, 1])
+            det = a * c2 - b2 * b2
+            w = np.array([(float(cxy[0]) * c2 - b2 * float(cxy[1])) / det,
+                          (float(cxy[1]) * a - b2 * float(cxy[0])) / det])
+        else:
+            w = np.linalg.solve(cov, cxy)
+        return w, my - float(w @ mx)
+
+    def predict(self, X):
+        w, b = self._solve()
+        return np.asarray(X, dtype="float64") @ w + b
+
+    def score(self, X, y):
+        y = np.asarray(y, dtype="float64")
+        resid = y - self.predict(X)
+        sst = float(((y - y.mean()) ** 2).sum())
+        return 1.0 - float((resid ** 2).sum()) / sst if sst else 0.0
+
+
 class SGDClassifier:
     """Logistic regression by mini-batch SGD with partial_fit — the
     incremental-learning workhorse for the adaptive searches (stand-in

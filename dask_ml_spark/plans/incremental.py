@@ -37,7 +37,7 @@ from dask_ml_spark.plans.model_selection import ParameterSampler, train_test_spl
 
 
 def _collect_batches(df: DataFrame, feature_cols, label_col, max_rows_per_batch=50_000,
-                     max_total_rows=1_000_000):
+                     max_total_rows=1_000_000, order_by=None):
     """Materialize the training partitions to numpy batches for the
     one-time broadcast (the reference scatters blocks to workers and
     moves MODELS to data; here the bounded sample passes through the
@@ -54,9 +54,19 @@ def _collect_batches(df: DataFrame, feature_cols, label_col, max_rows_per_batch=
     toLocalIterator loop it replaces, with identical row order
     (partition order) and identical batch boundaries.
     """
-    sel = df.select(*feature_cols, label_col)
-    if max_total_rows is not None and sel.count() > max_total_rows:
-        sel = sel.orderBy(F.rand(seed=0)).limit(max_total_rows)
+    if order_by:
+        # deterministic mode: batches are contiguous KEY-SORTED slices
+        # (replayable as row_number()-over-key ranges by a SQL oracle);
+        # the over-cap trim keeps the smallest keys — deterministic,
+        # mildly biased, documented at the deterministic_by call site
+        sel = (df.select(*order_by, *feature_cols, label_col)
+               .orderBy(*order_by).select(*feature_cols, label_col))
+        if max_total_rows is not None and sel.count() > max_total_rows:
+            sel = sel.limit(max_total_rows)
+    else:
+        sel = df.select(*feature_cols, label_col)
+        if max_total_rows is not None and sel.count() > max_total_rows:
+            sel = sel.orderBy(F.rand(seed=0)).limit(max_total_rows)
     pdf = sel.toPandas()
     X = pdf[list(feature_cols)].to_numpy(dtype="float64")
     y = pdf[label_col].to_numpy()
@@ -99,7 +109,7 @@ class BaseIncrementalSearchCV(BaseEstimator):
     def __init__(self, estimator, parameters, n_initial_parameters: int = 10,
                  test_size: float = 0.15, patience: int | bool = False, tol: float = 1e-3,
                  max_iter: int = 100, random_state: int | None = None, scoring=None,
-                 n_jobs: int = 8):
+                 n_jobs: int = 8, deterministic_by=None):
         self.estimator = estimator
         self.parameters = parameters
         self.n_initial_parameters = n_initial_parameters
@@ -110,6 +120,16 @@ class BaseIncrementalSearchCV(BaseEstimator):
         self.random_state = random_state
         self.scoring = scoring
         self.n_jobs = n_jobs
+        # deterministic_by=[key cols] switches every seeded choice to a
+        # content-deterministic one: Knuth-hash train/test split,
+        # key-sorted contiguous batches, CYCLIC batch order, and
+        # candidates taken in listed/grid order (cycled) — the search
+        # becomes a pure function of the data, stable across
+        # partitionings/retries/engines, so a SQL oracle can replay it
+        # (and production reruns reproduce bit-identically)
+        self.deterministic_by = (
+            [deterministic_by] if isinstance(deterministic_by, str)
+            else list(deterministic_by) if deterministic_by else None)
 
     # -- policy ----------------------------------------------------------
     def _additional_calls(self, info: dict) -> dict:
@@ -133,9 +153,19 @@ class BaseIncrementalSearchCV(BaseEstimator):
         return records[-1]["score"] <= records[-1 - self.patience]["score"] + self.tol
 
     def _create_models(self):
-        rng = np.random.RandomState(self.random_state)
-        params = list(ParameterSampler(self.parameters, self.n_initial_parameters,
-                                       random_state=rng))
+        if self.deterministic_by:
+            # listed/grid order, cycled to n_initial_parameters — no rng
+            from dask_ml_spark.plans.model_selection import ParameterGrid
+
+            plist = ([dict(p) for p in self.parameters]
+                     if isinstance(self.parameters, list)
+                     else list(ParameterGrid(self.parameters)))
+            params = [plist[i % len(plist)]
+                      for i in range(self.n_initial_parameters)]
+        else:
+            rng = np.random.RandomState(self.random_state)
+            params = list(ParameterSampler(self.parameters, self.n_initial_parameters,
+                                           random_state=rng))
         models = {}
         for i, p in enumerate(params):
             est = self.estimator.clone() if hasattr(self.estimator, "clone") else _clone(self.estimator)
@@ -154,12 +184,26 @@ class BaseIncrementalSearchCV(BaseEstimator):
         _hyperband.py splits once and feeds every bracket the same
         data)."""
         sc = df.sparkSession.sparkContext
-        train, test = train_test_split(df, test_size=self.test_size,
-                                       random_state=self.random_state)
-        batches = _collect_batches(train, cols, label_col)
-        test_sel = test.select(*cols, label_col)
-        if test_sel.count() > 500_000:  # bounded scoring set at scale
-            test_sel = test_sel.orderBy(F.rand(seed=1)).limit(500_000)
+        if self.deterministic_by:
+            from dask_ml_spark.plans.model_selection import hash_split
+
+            train, test = hash_split(df, self.deterministic_by,
+                                     test_size=self.test_size)
+            batches = _collect_batches(train, cols, label_col,
+                                       order_by=self.deterministic_by)
+            test_sel = test.select(*cols, label_col)
+            if test_sel.count() > 500_000:
+                test_sel = (test.select(*self.deterministic_by, *cols,
+                                        label_col)
+                            .orderBy(*self.deterministic_by)
+                            .select(*cols, label_col).limit(500_000))
+        else:
+            train, test = train_test_split(df, test_size=self.test_size,
+                                           random_state=self.random_state)
+            batches = _collect_batches(train, cols, label_col)
+            test_sel = test.select(*cols, label_col)
+            if test_sel.count() > 500_000:  # bounded scoring set at scale
+                test_sel = test_sel.orderBy(F.rand(seed=1)).limit(500_000)
         test_pdf = test_sel.toPandas()
         X_test = test_pdf[cols].to_numpy(dtype="float64")
         y_test = test_pdf[label_col].to_numpy()
@@ -209,11 +253,20 @@ class BaseIncrementalSearchCV(BaseEstimator):
                     break
                 # draw each model's batch sequence on the driver in a fixed
                 # order — results stay seed-deterministic no matter how Spark
-                # schedules the per-model tasks
-                seqs = {
-                    i: [int(rng.randint(len(batches))) for _ in range(n)]
-                    for i, n in sorted(live.items())
-                }
+                # schedules the per-model tasks. Deterministic mode cycles
+                # epoch-style: call k trains on batch k % B (the batch
+                # multiset after c calls is then a pure function of c,
+                # which is what lets a SQL oracle replay the model state)
+                if self.deterministic_by:
+                    seqs = {
+                        i: [(calls[i] + j) % len(batches) for j in range(n)]
+                        for i, n in sorted(live.items())
+                    }
+                else:
+                    seqs = {
+                        i: [int(rng.randint(len(batches))) for _ in range(n)]
+                        for i, n in sorted(live.items())
+                    }
                 items = [(i, blobs[i], seq) for i, seq in sorted(seqs.items())]
                 # ONE Spark job per adaptive round: a task per surviving
                 # model (reference trains each model as a worker future,
@@ -380,7 +433,10 @@ class SuccessiveHalvingSearchCV(BaseIncrementalSearchCV):
             best = max(info, key=lambda k: info[k][-1]["score"])
             return {best: 0}
         n_k, r_k = self._steps[self._step_idx]
-        ranked = sorted(info, key=lambda k: info[k][-1]["score"], reverse=True)
+        # explicit (score desc, id asc) — identical to the stable-sort
+        # behavior this replaces, but now a documented contract the SQL
+        # oracle's rank() can replay on ties
+        ranked = sorted(info, key=lambda k: (-info[k][-1]["score"], k))
         keep = ranked[:n_k]
         out = {}
         for ident in keep:
@@ -402,7 +458,8 @@ class HyperbandSearchCV(BaseEstimator):
 
     def __init__(self, estimator, parameters, max_iter: int = 81, aggressiveness: float = 3,
                  test_size: float = 0.15, random_state: int | None = None, scoring=None,
-                 patience: int | bool = False, tol: float = 1e-3):
+                 patience: int | bool = False, tol: float = 1e-3,
+                 deterministic_by=None):
         self.estimator = estimator
         self.parameters = parameters
         self.max_iter = max_iter
@@ -412,6 +469,9 @@ class HyperbandSearchCV(BaseEstimator):
         self.scoring = scoring
         self.patience = patience
         self.tol = tol
+        # content-deterministic mode shared by every bracket (see
+        # BaseIncrementalSearchCV.deterministic_by)
+        self.deterministic_by = deterministic_by
 
     def _brackets(self):
         """Bracket schedule (reference _hyperband.py:20-55): s_max+1
@@ -438,6 +498,7 @@ class HyperbandSearchCV(BaseEstimator):
         prep = SuccessiveHalvingSearchCV(
             self.estimator, self.parameters, test_size=self.test_size,
             random_state=self.random_state,
+            deterministic_by=self.deterministic_by,
         )
         cols = prep._validate_data(df, columns)
         shared = prep._prepare_data(df, cols, label_col)
@@ -452,6 +513,7 @@ class HyperbandSearchCV(BaseEstimator):
                 test_size=self.test_size,
                 random_state=None if self.random_state is None else self.random_state + s,
                 scoring=self.scoring, patience=self.patience, tol=self.tol,
+                deterministic_by=self.deterministic_by,
             )
             sha.fit(df, columns=columns, label_col=label_col, classes=classes,
                     _shared_data=shared)

@@ -4156,6 +4156,7 @@ def build_catalog():
         "blobs_deterministic_stats": _sql_blobs_deterministic_stats(),
         "dbscan_cluster_sizes": _sql_dbscan_cluster_sizes(),
         "mahalanobis_outliers": _sql_mahalanobis_outliers(),
+        "hyperband_best": _sql_hyperband_best(),
         "precision_recall_f1": SQL_PRECISION_RECALL_F1,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "confusion_matrix": SQL_CONFUSION_MATRIX,
@@ -7379,31 +7380,208 @@ WHERE len(toks) >= 5
 """
 
 
+HB_ALPHAS = [1e6, 1e7, 3e7, 1e8, 3e8, 1e9, 3e9, 1e10, 3e10]
+HB_MAX_ITER, HB_ETA = 9, 3
+HB_BATCH = 50_000
+
+
+def _hyperband_schedule(R: int = HB_MAX_ITER, eta: int = HB_ETA):
+    """Mirror of HyperbandSearchCV._brackets + the engine's ACTUAL
+    call accounting (plans/incremental.py: round 0 gives every model
+    exactly ONE call; SHA step k then tops the (score desc, id asc)
+    top n_k up to r_k total calls). Pure arithmetic in (R, eta) — the
+    oracle embeds these as literals, so if the engine ever deviates
+    from its own schedule the driver's hash check fails."""
+    import math
+
+    s_max = int(math.floor(math.log(R) / math.log(eta)))
+    B = (s_max + 1) * R
+    out = []
+    for s in range(s_max, -1, -1):
+        n = int(math.ceil(B / R * eta ** s / (s + 1)))
+        r = max(1, int(R * eta ** -s))
+        steps, k = [], 0
+        while True:  # _sha_steps(n, r, eta, limit=R) mirror
+            n_k = max(1, int(math.floor(n * eta ** -k)))
+            r_k = min(int(r * eta ** k), R)
+            steps.append((n_k, r_k))
+            if n_k == 1 or r_k >= R:
+                break
+            k += 1
+        targets = [1] + [rk for (_nk, rk) in steps[1:]]
+        keeps = [n] + [nk for (nk, _rk) in steps[1:]]
+        total = keeps[0] * targets[0] + sum(
+            keeps[i] * (targets[i] - targets[i - 1])
+            for i in range(1, len(keeps)))
+        out.append({"s": s, "n": n, "targets": targets,
+                    "keeps": keeps, "total": total})
+    return out
+
+
 def q_hyperband_best(spark, sf_dir):
-    """HyperbandSearchCV (reference _hyperband.py:58-664): SHA brackets
-    with different aggressiveness/budget trade-offs over the same
-    cached batches. Seeded adaptive search — rows-only."""
-    from dask_ml_spark.operators.local_estimators import SGDClassifier
-    from dask_ml_spark.operators.preprocessing import StandardScaler
+    """HyperbandSearchCV (reference _hyperband.py:58-664) made fully
+    oracle-able (was rows-only through r7): deterministic_by switches
+    the engine's seeded choices to content-deterministic ones (Knuth
+    hash split, key-sorted cyclic batches, listed candidates) and the
+    model is SufficientStatsRidge, whose state after any batch
+    multiset is a closed form of the batch sums — so the SQL replays
+    the split, the per-batch sufficient statistics, every rung's
+    Cramer-ridge scores, the (score desc, id asc) promotions, and the
+    bracket winners. One row per bracket; n_models/partial_fit_calls
+    come from the ENGINE's metadata and are checked against the
+    schedule arithmetic the oracle embeds. The seeded SGD Hyperband
+    stays the production path (tests/test_incremental_search.py)."""
+    import math
+
+    from dask_ml_spark.operators.local_estimators import SufficientStatsRidge
     from dask_ml_spark.plans.incremental import HyperbandSearchCV
 
     li = _t(spark, sf_dir, "lineitem").withColumn(
-        "label", (F.col("l_returnflag") == "R").cast("double")
-    )
-    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    scaled = StandardScaler().fit(li, cols).transform(li)
+        "label",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"))
     hb = HyperbandSearchCV(
-        SGDClassifier(), {"lr": [0.01, 0.05, 0.1, 0.5], "alpha": [1e-5, 1e-4, 1e-3]},
-        max_iter=9, aggressiveness=3, random_state=0,
-    )
-    hb.fit(scaled, cols, classes=[0.0, 1.0])
-    return spark.createDataFrame([{
-        "best_lr": float(hb.best_params_["lr"]),
-        "best_alpha": float(hb.best_params_["alpha"]),
-        "best_score": float(hb.best_score_),
-        "n_models": int(hb.metadata_["n_models"]),
-        "partial_fit_calls": int(hb.metadata_["partial_fit_calls"]),
-    }])
+        SufficientStatsRidge(),
+        [{"alpha": a} for a in HB_ALPHAS],
+        max_iter=HB_MAX_ITER, aggressiveness=HB_ETA,
+        deterministic_by=["l_orderkey", "l_linenumber"])
+    hb.fit(li, ["l_extendedprice", "l_discount"], label_col="label")
+    winner = next(s for s, sha in hb._bracket_searches
+                  if sha.best_score_ == hb.best_score_)
+    rows = []
+    for (s, sha), meta in zip(hb._bracket_searches,
+                              hb.metadata_["brackets"]):
+        rows.append({
+            "bracket": int(s),
+            "n_models": int(meta["n_models"]),
+            "partial_fit_calls": int(meta["partial_fit_calls"]),
+            "best_alpha": float(sha.best_params_["alpha"]),
+            "best_score": math.floor(sha.best_score_ * 1e6 + 0.5) / 1e6,
+            "is_winner": bool(s == winner),
+        })
+    return spark.createDataFrame(rows).select(
+        "bracket", "n_models", "partial_fit_calls",
+        "best_alpha", "best_score", "is_winner")
+
+
+def _sql_hyperband_best() -> str:
+    """Generated rung-by-rung replay (the kcenter chained-CTE idiom):
+    hash split -> per-batch sufficient statistics -> model states for
+    every rung target (cyclic batch counts are a closed form of c and
+    the batch count) -> Cramer-ridge + expanded test R² per (model,
+    calls) -> per-bracket promotion chains -> winners. Schedule
+    geometry (targets/keeps/totals) is embedded as literals from
+    _hyperband_schedule."""
+    sched = _hyperband_schedule()
+    all_calls = sorted({c for br in sched for c in br["targets"]})
+    calls_vals = ", ".join(f"({c})" for c in all_calls)
+    cand_vals = ", ".join(f"({i}, {a!r})" for i, a in enumerate(HB_ALPHAS))
+    stats = ["n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y"]
+    wsum = ", ".join(
+        f"sum((c // b + CASE WHEN batch < c % b THEN 1 ELSE 0 END) * {x}) AS {x}"
+        for x in stats)
+
+    # per-bracket promotion chains
+    chains, finals = [], []
+    for br in sched:
+        s, n, targets, keeps = br["s"], br["n"], br["targets"], br["keeps"]
+        prev = None
+        for k, (c, nk) in enumerate(zip(targets, keeps)):
+            rung = f"b{s}r{k}"
+            src = (f"fitsc WHERE c = {c} AND mid < {n}" if k == 0 else
+                   f"fitsc JOIN b{s}k{k} USING (mid) WHERE c = {c}")
+            chains.append(f"{rung} AS (SELECT mid, alpha, score FROM {src})")
+            if k + 1 < len(targets):
+                nk_next = keeps[k + 1]
+                chains.append(
+                    f"b{s}k{k + 1} AS (SELECT mid FROM (SELECT mid, "
+                    f"row_number() OVER (ORDER BY score DESC, mid) AS rk "
+                    f"FROM {rung}) WHERE rk <= {nk_next})")
+            prev = rung
+        finals.append(
+            f"b{s}best AS (SELECT {s} AS bracket, {n} AS n_models, "
+            f"{br['total']} AS partial_fit_calls, alpha AS best_alpha, "
+            f"score FROM (SELECT *, row_number() OVER "
+            f"(ORDER BY score DESC, mid) AS rk FROM {prev}) WHERE rk = 1)")
+    union = " UNION ALL ".join(f"SELECT * FROM b{br['s']}best"
+                               for br in sched)
+    return f"""
+WITH split AS (
+    SELECT l_extendedprice::DOUBLE AS x1, l_discount AS x2,
+           (l_extendedprice * (1 - l_discount))::DOUBLE AS y,
+           l_orderkey, l_linenumber,
+           ((((0 + l_orderkey) % 2147483648) * 2654435761 % 2147483648
+             + l_linenumber) % 2147483648) * 2654435761
+             % 2147483648 % 10000 AS bucket
+    FROM lineitem
+),
+train AS (
+    SELECT x1, x2, y,
+           row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
+    FROM split WHERE bucket < 8500
+),
+bt AS (
+    SELECT rn // {HB_BATCH} AS batch, count(*)::DOUBLE AS n,
+           sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+           sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12,
+           sum(x1*y) AS s1y, sum(x2*y) AS s2y
+    FROM train GROUP BY 1
+),
+nb AS (SELECT count(*)::BIGINT AS b FROM bt),
+te AS (
+    SELECT count(*)::DOUBLE AS n, sum(x1) AS s1, sum(x2) AS s2,
+           sum(y) AS sy, sum(x1*x1) AS s11, sum(x2*x2) AS s22,
+           sum(x1*x2) AS s12, sum(x1*y) AS s1y, sum(x2*y) AS s2y,
+           sum(y*y) AS syy
+    FROM split WHERE bucket >= 8500
+),
+calls(c) AS (VALUES {calls_vals}),
+st AS (
+    SELECT c, {wsum}
+    FROM calls CROSS JOIN bt CROSS JOIN nb GROUP BY c
+),
+cand(mid, alpha) AS (VALUES {cand_vals}),
+mom AS (
+    SELECT mid, alpha, c,
+           s1/n AS m1, s2/n AS m2, sy/n AS my,
+           s11/n - (s1/n)*(s1/n) + alpha AS va,
+           s12/n - (s1/n)*(s2/n) AS vb,
+           s22/n - (s2/n)*(s2/n) + alpha AS vc,
+           s1y/n - (s1/n)*(sy/n) AS c1,
+           s2y/n - (s2/n)*(sy/n) AS c2
+    FROM cand CROSS JOIN st
+),
+coefs AS (
+    SELECT mid, alpha, c,
+           (c1*vc - vb*c2) / (va*vc - vb*vb) AS w1,
+           (c2*va - vb*c1) / (va*vc - vb*vb) AS w2,
+           my - ((c1*vc - vb*c2) / (va*vc - vb*vb) * m1
+                 + (c2*va - vb*c1) / (va*vc - vb*vb) * m2) AS b0
+    FROM mom
+),
+fitsc AS (
+    SELECT mid, alpha, c,
+           1 - (t.syy - 2*w1*t.s1y - 2*w2*t.s2y - 2*b0*t.sy
+                + w1*w1*t.s11 + w2*w2*t.s22 + 2*w1*w2*t.s12
+                + 2*w1*b0*t.s1 + 2*w2*b0*t.s2 + b0*b0*t.n)
+             / (t.syy - t.sy*t.sy/t.n) AS score
+    FROM coefs CROSS JOIN te t
+),
+{", ".join(chains)},
+{", ".join(finals)},
+allb AS ({union}),
+win AS (
+    SELECT bracket FROM (
+        SELECT bracket, row_number() OVER
+            (ORDER BY score DESC, bracket DESC) AS rk
+        FROM allb) WHERE rk = 1
+)
+SELECT bracket::BIGINT AS bracket, n_models::BIGINT AS n_models,
+       partial_fit_calls::BIGINT AS partial_fit_calls,
+       best_alpha::DOUBLE AS best_alpha,
+       floor(score * 1e6 + 0.5) / 1e6 AS best_score,
+       bracket = (SELECT bracket FROM win) AS is_winner
+FROM allb
+"""
 
 
 def q_weighted_metrics(spark, sf_dir):
