@@ -160,7 +160,35 @@ HEADLINE = [
     "roc_auc_eval",
     # the 100 TB AUC path: equal-width binning, no score-sorted shuffle
     "roc_auc_binned",
+    # r8 audit: every distinct operator family gets at least one bench
+    # line (these 14 had no timing record at any SF)
+    "truncated_svd_variance",       # Gramian eigensolve
+    "incremental_pca_fit",          # streaming PCA merge
+    "spectral_clustering_sizes",    # Nystrom landmark embedding
+    "parallel_post_fit_eval",       # broadcast-model mapInPandas inference
+    "incremental_sgd_eval",         # executor-chained partial_fit wrapper
+    "incremental_search_best",      # adaptive planner (non-SHA policy)
+    "poisson_newton_fit",           # IRLS GLM
+    "pipeline_grid_search",         # planner prefix sharing (oracled path)
+    "pii_redaction",                # regex-heavy curation projection
+    "ngram_jaccard_pairs",          # n-gram Jaccard near-dup join
+    "salted_join_revenue",          # skew-salting join lever
+    "ivf_ann_topk",                 # plain-IVF probe path
+    "token_shards",                 # grouped two-phase prefix sum
+    "dedup_clusters",               # min-label components over LSH pairs
 ]
+
+# The remaining ~50 catalog queries stay out of the headline
+# deliberately: they are cheap siblings of benchmarked entries (scaler
+# fit vs transform, *_portable hash variants, saturated/closed-form GLM
+# twins, single-metric variants of benchmarked metric bundles,
+# relational shapes whose family — rollup/pivot/window/asof — already
+# has a line) whose plans are identical to the benchmarked family
+# member, plus `blockwise_voting_eval`, whose ORACLE geometry pins a
+# single-partition layout (the whole table through one Python task —
+# a deliberate correctness rendering, misleading as a timing; its
+# production mapInPandas machinery is timed by parallel_post_fit_eval
+# and its multi-partition semantics live in tests/test_models.py).
 
 
 def main() -> None:
