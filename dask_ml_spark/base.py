@@ -51,6 +51,19 @@ class BaseEstimator:
         cls = type(self)
         return cls(**{k: copy.deepcopy(v) for k, v in self.get_params().items()})
 
+    # The library-wide fit/transform contract is COLUMN-SCOPED: an
+    # estimator reads only the `columns` it is handed (plus the
+    # label). Estimators that read OTHER frame columns (arbitrary
+    # per-partition funcs, transformers with their own column specs)
+    # must override required_input_columns — the CV planners use it to
+    # prune the fold cache, and an over-narrow answer would break
+    # their fits.
+    def required_input_columns(self, columns):
+        """Input-frame columns this estimator's fit/transform reads,
+        given the `columns` it will be called with; None = unknown
+        (callers must keep the full frame)."""
+        return list(columns) if columns is not None else None
+
     def prepare_cv_cache(self, df, columns, label_col):
         """Hook for CV planners (GridSearchCV & co): transform the
         frame ONCE, before it is split into folds and persisted, with

@@ -53,6 +53,23 @@ class Pipeline(BaseEstimator):
     def clone(self) -> "Pipeline":
         return Pipeline([(name, est.clone()) for name, est in self.steps])
 
+    def required_input_columns(self, columns):
+        """Union of the stages' input needs (w.r.t. the ORIGINAL
+        frame). Stages after a shape-changing step reference DERIVED
+        columns; including those names is harmless — the planner
+        intersects with the frame's actual columns — while any stage
+        that cannot declare its needs (returns None) disables pruning
+        for the whole pipeline."""
+        out: list = []
+        for _name, est in self.steps:
+            req = est.required_input_columns(columns)
+            if req is None:
+                return None
+            out.extend(c for c in req if c not in out)
+        if columns is not None:
+            out.extend(c for c in columns if c not in out)
+        return out
+
     def fit(self, df: DataFrame, columns=None, label_col: str = "label"):
         data = df
         for name, est in self.steps[:-1]:
@@ -105,6 +122,22 @@ class ColumnTransformer(BaseEstimator, TransformerMixin):
         self.transformers = transformers
         self.remainder = remainder
 
+    def required_input_columns(self, columns):
+        """The transformers' own column specs, not the caller's list
+        (each sub-transformer is column-scoped on its spec); with
+        remainder='passthrough' the whole frame flows through, so
+        pruning is unsafe -> None."""
+        if self.remainder == "passthrough":
+            return None
+        out: list = []
+        for _name, est, cols in self.transformers:
+            cols = [cols] if isinstance(cols, str) else list(cols)
+            req = est.required_input_columns(cols)
+            if req is None:
+                return None
+            out.extend(c for c in req if c not in out)
+        return out
+
     def fit(self, df: DataFrame, columns=None) -> "ColumnTransformer":
         self.fitted_ = []
         for name, est, cols in self.transformers:
@@ -146,6 +179,15 @@ class FeatureUnion(BaseEstimator, TransformerMixin):
 
     def __init__(self, transformer_list):
         self.transformer_list = transformer_list
+
+    def required_input_columns(self, columns):
+        out: list = []
+        for _name, est in self.transformer_list:
+            req = est.required_input_columns(columns)
+            if req is None:
+                return None
+            out.extend(c for c in req if c not in out)
+        return out
 
     def fit(self, df: DataFrame, columns=None) -> "FeatureUnion":
         for _, est in self.transformer_list:

@@ -208,6 +208,11 @@ class BlockTransformer(BaseEstimator):
         self.schema = schema
         self.kwargs = kwargs
 
+    def required_input_columns(self, columns):
+        # the arbitrary per-partition func sees the WHOLE frame —
+        # planners must not prune around it
+        return None
+
     def fit(self, df: DataFrame, columns=None) -> "BlockTransformer":
         return self
 

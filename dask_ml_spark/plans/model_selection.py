@@ -309,17 +309,20 @@ class GridSearchCV(BaseEstimator):
         scorer = check_scoring(self.estimator, self.scoring)
         from dask_ml_spark.utils import ensure_min_partitions
 
-        from dask_ml_spark.operators.compose import Pipeline as _PipelinePrune
-
-        if columns is not None and not isinstance(self.estimator, _PipelinePrune):
+        if columns is not None:
             # prune the fold cache to the columns the fits/scorer touch:
             # caching a wide fact table for a 4-feature search wastes
             # storage memory AND makes every (candidate, fold) scan pay
-            # for unused columns (pipelines keep the full frame — their
-            # stages may reference any column)
-            keep = list(dict.fromkeys(
-                [*columns, label_col, *getattr(cv, "key_cols", [])]))
-            df = df.select(*keep)
+            # for unused columns. Estimators declare their needs via
+            # required_input_columns (column-scoped by library contract;
+            # pipelines union their stages; BlockTransformer-style
+            # whole-frame stages return None and keep the full frame)
+            req = self.estimator.required_input_columns(columns)
+            if req is not None:
+                keep = [c for c in dict.fromkeys(
+                    [*req, label_col, *getattr(cv, "key_cols", [])])
+                    if c in df.columns]
+                df = df.select(*keep)
 
         # row-wise parameter-independent prep (e.g. GLM feature
         # assembly) runs ONCE here, above the (candidate, fold)

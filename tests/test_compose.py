@@ -74,6 +74,44 @@ def test_feature_union(xy_regression):
         assert c in out.columns
 
 
+def test_required_input_columns_declarations():
+    """The CV planners prune the fold cache to what the estimator
+    declares it reads: column-scoped stages union their needs, any
+    whole-frame stage (BlockTransformer, passthrough remainder)
+    disables pruning by returning None."""
+    from dask_ml_spark.operators.wrappers import BlockTransformer
+
+    pipe = Pipeline([("scale", StandardScaler()),
+                     ("reg", LinearRegression(penalty="none"))])
+    assert pipe.required_input_columns(["f0", "f1"]) == ["f0", "f1"]
+
+    # a whole-frame stage poisons the pipeline's declaration
+    blocked = Pipeline([("block", BlockTransformer(lambda pdf: pdf)),
+                        ("reg", LinearRegression(penalty="none"))])
+    assert blocked.required_input_columns(["f0"]) is None
+
+    # ColumnTransformer declares its OWN specs, not the caller's list
+    ct = ColumnTransformer([("a", StandardScaler(), ["f0", "f1"]),
+                            ("b", MinMaxScaler(), "f2")],
+                           remainder="drop")
+    assert ct.required_input_columns(["zzz"]) == ["f0", "f1", "f2"]
+    # the repo default remainder='passthrough' flows the whole frame
+    ct_pass = ColumnTransformer([("a", StandardScaler(), ["f0"])])
+    assert ct_pass.required_input_columns(["f0"]) is None
+
+    fu = FeatureUnion([("s1", StandardScaler()), ("s2", MinMaxScaler())])
+    assert fu.required_input_columns(["f0", "f3"]) == ["f0", "f3"]
+    fu_blocked = FeatureUnion([("s1", StandardScaler()),
+                               ("b", BlockTransformer(lambda pdf: pdf))])
+    assert fu_blocked.required_input_columns(["f0"]) is None
+
+    # pipeline keeps the caller's columns even when a stage narrows
+    ct_in_pipe = Pipeline([("ct", ct),
+                           ("reg", LinearRegression(penalty="none"))])
+    req = ct_in_pipe.required_input_columns(["f2", "f4"])
+    assert set(req) >= {"f0", "f1", "f2", "f4"}
+
+
 def test_polynomial_features(xy_regression):
     pf = PolynomialFeatures(degree=2).fit(xy_regression, ["f0", "f1"])
     assert pf.feature_names_out_ == ["1", "f0", "f1", "f0^2", "f0 f1", "f1^2"]

@@ -329,6 +329,61 @@ def test_grid_search_with_hash_kfold_prunes_but_keeps_keys(spark, lineitem):
     assert abs(scores[0] - scores[1]) > 1e-9
 
 
+def test_grid_search_pipeline_pruning_equivalence(spark, lineitem):
+    """Pipelines now declare their input needs, so the fold cache is
+    pruned for them too: the search over the WIDE frame must produce
+    bit-identical scores to the same search over a hand-narrowed
+    frame, and a pipeline with a whole-frame stage (BlockTransformer
+    reading a column outside `columns`) must still run — its None
+    declaration disables pruning."""
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.operators.compose import Pipeline
+    from dask_ml_spark.operators.linear_model import LinearRegression
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+    from dask_ml_spark.operators.wrappers import BlockTransformer
+    from dask_ml_spark.plans.model_selection import GridSearchCV, HashKFold
+
+    li = lineitem.withColumn("label", F.col("l_extendedprice").cast("double"))
+
+    def make_gs():
+        return GridSearchCV(
+            Pipeline([("scale", StandardScaler()),
+                      ("ridge", LinearRegression(penalty="l2",
+                                                 solver="newton"))]),
+            {"ridge__C": [0.1, 10.0]},
+            cv=HashKFold(n_splits=3, key_cols=["l_orderkey",
+                                               "l_linenumber"]),
+            refit=False, n_jobs=4)
+
+    wide = make_gs()
+    wide.fit(li, ["l_quantity", "l_discount"], label_col="label")
+    narrow = make_gs()
+    narrow.fit(li.select("l_quantity", "l_discount", "label",
+                         "l_orderkey", "l_linenumber"),
+               ["l_quantity", "l_discount"], label_col="label")
+    assert list(wide.cv_results_["mean_test_score"]) == \
+        list(narrow.cv_results_["mean_test_score"])
+
+    # whole-frame stage: func centers f=l_quantity by l_tax (a column
+    # OUTSIDE `columns`) — pruning would drop l_tax and break the fit
+    def shift(pdf):
+        pdf = pdf.copy()
+        pdf["l_quantity"] = pdf["l_quantity"] + pdf["l_tax"]
+        return pdf
+
+    gs = GridSearchCV(
+        Pipeline([("block", BlockTransformer(shift)),
+                  ("ridge", LinearRegression(penalty="l2",
+                                             solver="newton"))]),
+        {"ridge__C": [1.0]},
+        cv=HashKFold(n_splits=3, key_cols=["l_orderkey", "l_linenumber"]),
+        refit=False, n_jobs=2)
+    gs.fit(li, ["l_quantity", "l_discount"], label_col="label")
+    assert len(gs.cv_results_["mean_test_score"]) == 1
+    assert all(np.isfinite(s) for s in gs.cv_results_["mean_test_score"])
+
+
 def test_group_kfold_no_leakage(spark, documents):
     from pyspark.sql import functions as F
 
