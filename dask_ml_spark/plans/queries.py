@@ -10,6 +10,7 @@ compares after sorting columns by name).
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3931,6 +3932,9 @@ def build_catalog():
         "table_profile_approx": q_table_profile_approx,
         "quantile_transformer_fit_approx": q_quantile_transformer_fit_approx,
         "kmeans_cluster_sizes": q_kmeans_cluster_sizes,
+        "gmm_params": q_gmm_params,
+        "frequent_itemsets_stats": q_frequent_itemsets_stats,
+        "association_rules_topk": q_association_rules_topk,
         "logistic_regression_eval": q_logistic_regression_eval,
         "logistic_saturated_fit": q_logistic_saturated_fit,
         "pca_transform_variance": q_pca_transform_variance,
@@ -4140,6 +4144,9 @@ def build_catalog():
         "curation_pipeline": sql_curation_pipeline(),
         "training_data_prep": sql_training_data_prep(),
         "kmeans_cluster_sizes": sql_kmeans_cluster_sizes(),
+        "gmm_params": sql_gmm_params(),
+        "frequent_itemsets_stats": SQL_FREQUENT_ITEMSETS_STATS,
+        "association_rules_topk": SQL_ASSOCIATION_RULES_TOPK,
         "truncated_svd_variance": SQL_TRUNCATED_SVD_VARIANCE,
         "blockwise_voting_eval": sql_blockwise_voting_eval(),
         "pca_transform_variance": SQL_PCA_TRANSFORM_VARIANCE,
@@ -4255,6 +4262,211 @@ def sql_kmeans_cluster_sizes() -> str:
     parts.append(assign("af", "pvf"))
     return ("WITH " + ",\n".join(parts)
             + "\nSELECT cluster, count(*) AS n FROM af GROUP BY cluster")
+
+
+# pinned init (scaled space) + tol=0 → exactly GMM_ITERS EM rounds,
+# replayable in SQL just like the Lloyd loop above
+GMM_INIT = [[-1.0, -1.0, -1.0], [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]]
+GMM_W0 = 1.0 / 3.0
+GMM_ITERS = 3
+
+
+def q_gmm_params(spark, sf_dir):
+    """Diagonal-covariance Gaussian mixture EM (operators/mixture.py)
+    with fully pinned init on the standardized k-means columns: every
+    E-step is a literal-parameter projection, every M-step ONE
+    aggregate, and tol=0 runs exactly GMM_ITERS rounds — so the oracle
+    replays the identical responsibilities, sums, and parameter
+    updates round by round."""
+    from dask_ml_spark.operators.mixture import GaussianMixture
+    from dask_ml_spark.operators.preprocessing import StandardScaler
+
+    li = _t(spark, sf_dir, "lineitem")
+    scaled = StandardScaler().fit(li, KMEANS_COLS).transform(li)
+    gm = GaussianMixture(
+        n_components=3, max_iter=GMM_ITERS, tol=0.0, reg_covar=1e-6,
+        init_means=GMM_INIT, init_weights=[GMM_W0] * 3,
+        init_variances=[[1.0] * 3] * 3,
+    ).fit(scaled, KMEANS_COLS)
+    r6 = lambda x: math.floor(float(x) * 1e6 + 0.5) / 1e6  # noqa: E731
+    rows = [
+        {"component": j,
+         "weight": r6(gm.weights_[j]),
+         **{f"mu{i}": r6(gm.means_[j][i]) for i in range(3)},
+         **{f"var{i}": r6(gm.covariances_[j][i]) for i in range(3)}}
+        for j in range(3)
+    ]
+    return spark.createDataFrame(rows).select(
+        "component", "weight", "mu0", "mu1", "mu2", "var0", "var1", "var2")
+
+
+def sql_gmm_params() -> str:
+    """Replay the pinned-init diagonal EM in SQL: per round, a one-row
+    parameter pivot cross-joined to the scaled rows, the SAME
+    term-order log-density / stable-softmax expressions the Spark side
+    codegens, one grouped-sum M-step, and the identical
+    mu = sx/n, var = sxx/n − mu² + reg updates."""
+    k = len(GMM_INIT)
+    dims = ["q", "p", "d"]
+    TWO_PI_SQL = "(6.283185307179586::DOUBLE)"
+
+    def pivot(src: str, name: str) -> str:
+        cells = ", ".join(
+            f"max(CASE WHEN comp = {c} THEN {f} END) AS {f}{c}"
+            for c in range(k)
+            for f in (["w"] + [f"m{v}" for v in dims] + [f"v{v}" for v in dims])
+        )
+        return f"{name} AS (SELECT {cells} FROM {src})"
+
+    def estep(name: str, piv: str) -> str:
+        # lp{c}: identical left-assoc term order as _log_prob_exprs
+        lps = []
+        for c in range(k):
+            terms = " + ".join(
+                f"(ln({TWO_PI_SQL} * v{v}{c}) "
+                f"+ (s.{v} - m{v}{c}) * (s.{v} - m{v}{c}) / v{v}{c})"
+                for v in dims)
+            lps.append(f"ln(w{c}) - 0.5 * ({terms}) AS lp{c}")
+        es = " + ".join(f"exp(lp{c} - mx)" for c in range(k))
+        rs = ", ".join(f"exp(lp{c} - mx) / es AS r{c}" for c in range(k))
+        return (f"{name} AS (SELECT {', '.join(dims)}, {rs} FROM ("
+                f"SELECT *, {es} AS es FROM ("
+                f"SELECT {', '.join('s.' + v for v in dims)}, "
+                f"{', '.join(lps)}, "
+                f"greatest({', '.join('ln(w%d) - 0.5 * (%s)' % (c, ' + '.join('(ln(%s * v%s%d) + (s.%s - m%s%d) * (s.%s - m%s%d) / v%s%d)' % (TWO_PI_SQL, v, c, v, v, c, v, v, c, v, c) for v in dims)) for c in range(k))}) AS mx "
+                f"FROM scaled s CROSS JOIN {piv})))")
+
+    def mstep(src: str, gname: str, cname: str) -> str:
+        sums = ["count(*) AS n"]
+        for c in range(k):
+            sums.append(f"sum(r{c}) AS n{c}")
+            for v in dims:
+                sums.append(f"sum(r{c} * {v}) AS sx{c}{v}")
+                sums.append(f"sum(r{c} * {v} * {v}) AS sxx{c}{v}")
+        unions = []
+        for c in range(k):
+            cols = [f"{c} AS comp", f"n{c} / n AS w"]
+            cols += [f"sx{c}{v} / n{c} AS m{v}" for v in dims]
+            cols += [f"sxx{c}{v} / n{c} - (sx{c}{v} / n{c}) * (sx{c}{v} / n{c})"
+                     f" + 1e-6 AS v{v}" for v in dims]
+            unions.append(f"SELECT {', '.join(cols)} FROM {gname}")
+        return (f"{gname} AS (SELECT {', '.join(sums)} FROM {src}), "
+                f"{cname} AS ({' UNION ALL '.join(unions)})")
+
+    init_rows = ", ".join(
+        "(" + ", ".join(
+            [str(c), repr(GMM_W0)]
+            + [repr(m) for m in GMM_INIT[c]] + ["1.0"] * len(dims)) + ")"
+        for c in range(k))
+    parts = [
+        "scaled AS (SELECT "
+        + ", ".join(
+            f"({col} - avg({col}) OVER ()) / stddev_pop({col}) OVER () AS {v}"
+            for col, v in zip(KMEANS_COLS, dims))
+        + " FROM lineitem)",
+        f"c0(comp, w, {', '.join('m' + v for v in dims)}, "
+        f"{', '.join('v' + v for v in dims)}) AS (VALUES {init_rows})",
+    ]
+    prev = "c0"
+    for it in range(GMM_ITERS):
+        parts.append(pivot(prev, f"pv{it}"))
+        parts.append(estep(f"e{it}", f"pv{it}"))
+        parts.append(mstep(f"e{it}", f"g{it}", f"c{it + 1}"))
+        prev = f"c{it + 1}"
+    r6 = lambda e: f"floor({e} * 1e6 + 0.5) / 1e6"  # noqa: E731
+    out = ["comp AS component", f"{r6('w')} AS weight"]
+    out += [f"{r6('m' + v)} AS mu{i}" for i, v in enumerate(dims)]
+    out += [f"{r6('v' + v)} AS var{i}" for i, v in enumerate(dims)]
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT {', '.join(out)} FROM {prev}")
+
+
+def q_frequent_itemsets_stats(spark, sf_dir):
+    """Apriori levels 1-3 (operators/frequent_patterns.py) over the
+    order -> part co-purchase baskets: per itemset size, how many
+    itemsets clear min_count=2 and the support extremes. The Spark
+    side generates combinations with per-basket HOFs (no basket x
+    basket self-join); the oracle enumerates them with ordered
+    self-joins — agreeing counts check both the combination generation
+    and the member pruning."""
+    from dask_ml_spark.operators.frequent_patterns import frequent_itemsets
+
+    li = _t(spark, sf_dir, "lineitem")
+    fi = frequent_itemsets(li, basket_col="l_orderkey",
+                           item_col="l_partkey", min_count=2, max_len=3)
+    return (fi.groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_itemsets"),
+                 F.max("support").alias("max_support"),
+                 F.sum("support").cast("long").alias("total_support"))
+            .select(F.col("size").cast("int").alias("size"),
+                    "n_itemsets", "max_support", "total_support"))
+
+
+SQL_FREQUENT_ITEMSETS_STATS = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+f1 AS (SELECT i, count(*) AS s FROM bi GROUP BY i HAVING count(*) >= 2),
+p2 AS (SELECT x.i AS ia, y.i AS ib, count(*) AS s
+       FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+p3 AS (SELECT x.i AS ia, y.i AS ib, z.i AS ic, count(*) AS s
+       FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+            JOIN bi z ON y.b = z.b AND y.i < z.i
+       GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+u AS (SELECT 1 AS size, s FROM f1
+      UNION ALL SELECT 2, s FROM p2
+      UNION ALL SELECT 3, s FROM p3)
+SELECT size, count(*)::BIGINT AS n_itemsets, max(s)::BIGINT AS max_support,
+       sum(s)::BIGINT AS total_support
+FROM u GROUP BY size
+"""
+
+
+def q_association_rules_topk(spark, sf_dir):
+    """Top-20 co-purchase association rules by lift. Confidence and
+    lift are pure integer-ratio arithmetic evaluated in the SAME
+    operation order on both engines, so the ordering (lift DESC, then
+    rule) is engine-exact; output values are floor-form rounded."""
+    from dask_ml_spark.operators.frequent_patterns import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = association_rules(li, basket_col="l_orderkey",
+                              item_col="l_partkey", min_count=2)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (rules
+            .orderBy(F.desc("lift"), "antecedent", "consequent")
+            .limit(20)
+            .select("antecedent", "consequent", "support",
+                    "antecedent_support", "consequent_support",
+                    r6(F.col("confidence")).alias("confidence"),
+                    r6(F.col("lift")).alias("lift")))
+
+
+SQL_ASSOCIATION_RULES_TOPK = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+f1 AS (SELECT i, count(*) AS s FROM bi GROUP BY i HAVING count(*) >= 2),
+p2 AS (SELECT x.i AS ia, y.i AS ib, count(*) AS s
+       FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+dir AS (SELECT ia AS a, ib AS c, s FROM p2
+        UNION ALL SELECT ib, ia, s FROM p2),
+rules AS (
+    SELECT d.a AS antecedent, d.c AS consequent, d.s AS support,
+           fa.s AS antecedent_support, fc.s AS consequent_support,
+           d.s / fa.s AS confidence,
+           d.s / fa.s * (SELECT n FROM n) / fc.s AS lift
+    FROM dir d
+    JOIN f1 fa ON d.a = fa.i
+    JOIN f1 fc ON d.c = fc.i)
+SELECT antecedent, consequent, support::BIGINT AS support,
+       antecedent_support::BIGINT AS antecedent_support,
+       consequent_support::BIGINT AS consequent_support,
+       floor(confidence * 1e6 + 0.5) / 1e6 AS confidence,
+       floor(lift * 1e6 + 0.5) / 1e6 AS lift
+FROM rules
+ORDER BY lift DESC, antecedent, consequent
+LIMIT 20
+"""
 
 
 def q_logistic_saturated_fit(spark, sf_dir):

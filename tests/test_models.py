@@ -440,3 +440,101 @@ def test_mahalanobis_outlier_degenerate_covariance(spark):
     np.testing.assert_allclose(
         m2.precision_, np.linalg.inv(np.cov(X2.T, bias=True)),
         rtol=1e-9)
+
+
+def test_gaussian_mixture_matches_numpy_em(spark):
+    """Diag-covariance EM replayed independently in numpy from the
+    same pinned init: weights/means/variances match after 3 rounds,
+    predict is the numpy argmax, score_samples is the numpy logsumexp
+    (the hand-computed check the SQL oracle can't provide), and
+    scoring stays a narrow JVM projection."""
+    from dask_ml_spark.operators.mixture import GaussianMixture
+
+    rng = np.random.RandomState(5)
+    X = np.vstack([rng.normal([-3.0, 1.0], 1.0, (200, 2)),
+                   rng.normal([2.0, -2.0], 0.7, (100, 2))])
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(X)],
+        ["doc_id", "x", "y"])
+
+    init_m = np.array([[-1.0, 0.0], [1.0, 0.0]])
+    gm = GaussianMixture(n_components=2, max_iter=3, tol=0.0,
+                         init_means=init_m,
+                         init_weights=[0.5, 0.5],
+                         init_variances=[[1.0, 1.0], [1.0, 1.0]])
+    gm.fit(df, ["x", "y"])
+
+    # independent numpy EM (same update equations, diag covariance)
+    w = np.array([0.5, 0.5]); mu = init_m.astype(float).copy()
+    var = np.ones((2, 2)); reg = 1e-6
+    for _ in range(3):
+        lp = np.stack([
+            np.log(w[j]) - 0.5 * (
+                np.log(2 * np.pi * var[j]) + (X - mu[j]) ** 2 / var[j]
+            ).sum(axis=1)
+            for j in range(2)], axis=1)
+        m = lp.max(axis=1, keepdims=True)
+        e = np.exp(lp - m)
+        r = e / e.sum(axis=1, keepdims=True)
+        nj = r.sum(axis=0)
+        w = nj / len(X)
+        for j in range(2):
+            mu[j] = (r[:, j:j + 1] * X).sum(axis=0) / nj[j]
+            var[j] = (r[:, j:j + 1] * X * X).sum(axis=0) / nj[j] \
+                - mu[j] ** 2 + reg
+    np.testing.assert_allclose(gm.weights_, w, rtol=1e-9)
+    np.testing.assert_allclose(gm.means_, mu, rtol=1e-9)
+    np.testing.assert_allclose(gm.covariances_, var, rtol=1e-9)
+
+    lp = np.stack([
+        np.log(w[j]) - 0.5 * (np.log(2 * np.pi * var[j])
+                              + (X - mu[j]) ** 2 / var[j]).sum(axis=1)
+        for j in range(2)], axis=1)
+    want_pred = lp.argmax(axis=1)
+    got_pred = {r["doc_id"]: r["prediction"]
+                for r in gm.predict(df).collect()}
+    assert all(got_pred[i] == want_pred[i] for i in range(len(X)))
+
+    mx = lp.max(axis=1)
+    want_ll = mx + np.log(np.exp(lp - mx[:, None]).sum(axis=1))
+    got_ll = {r["doc_id"]: r["log_likelihood"]
+              for r in gm.score_samples(df).collect()}
+    for i in range(len(X)):
+        assert abs(got_ll[i] - want_ll[i]) < 1e-9 * max(1.0, abs(want_ll[i]))
+
+    proba = gm.predict_proba(df).select("probability").limit(5).collect()
+    for r in proba:
+        assert abs(sum(r["probability"]) - 1.0) < 1e-12
+
+    # scoring is a pure projection: no shuffle, no Python
+    plan = gm.predict(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_gaussian_mixture_deterministic_init_and_guards(spark, blobs):
+    """Default init (md5-min distinct rows) is content-deterministic:
+    the same fit from a repartitioned frame lands on identical params;
+    separated blobs are recovered; bad shapes and covariance types
+    raise."""
+    from dask_ml_spark.operators.mixture import GaussianMixture
+
+    cols = ["x0", "x1"]
+    a = GaussianMixture(n_components=3, max_iter=20, tol=1e-6).fit(blobs, cols)
+    b = GaussianMixture(n_components=3, max_iter=20, tol=1e-6).fit(
+        blobs.repartition(7), cols)
+    np.testing.assert_allclose(a.means_, b.means_, rtol=1e-12)
+    np.testing.assert_allclose(a.weights_, b.weights_, rtol=1e-12)
+    # three well-separated blobs recovered (weights near 1/3, means on
+    # the planted centers)
+    assert np.allclose(sorted(a.weights_), [1 / 3] * 3, atol=0.05)
+    got = np.array(sorted(a.means_.tolist()))
+    np.testing.assert_allclose(
+        got, [[-7.0, -7.0], [0.0, 0.0], [7.0, 7.0]], atol=0.3)
+
+    with pytest.raises(ValueError, match="diag"):
+        GaussianMixture(covariance_type="full")
+    with pytest.raises(ValueError, match="init_means shape"):
+        GaussianMixture(n_components=2, init_means=[[0.0]]).fit(blobs, cols)
+    with pytest.raises(ValueError, match="distinct rows"):
+        GaussianMixture(n_components=5, max_iter=1).fit(
+            blobs.limit(3), cols)
