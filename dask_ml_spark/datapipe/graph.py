@@ -113,3 +113,67 @@ def smooth_scores(edges: DataFrame, scores: DataFrame,
         # one-iteration deep instead of stacking every round's joins
         cur = cur.localCheckpoint()
     return cur.select(F.col(id_col), F.col("__s").alias(score_col))
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED graph (direction,
+    parallel edges, and self-loops in the input are normalized away).
+    Returns (node, triangles) for every node on >= 1 edge.
+
+    Spark-first shape — the degree-orientation algorithm (Cohen 2009,
+    "Graph Twiddling in a MapReduce World"): orient every undirected
+    edge from the (degree, id)-smaller endpoint to the larger, so each
+    triangle is counted exactly once from its smallest-degree corner
+    AND the wedge fan-out per node is bounded by its ORIENTED
+    out-degree, which is O(sqrt(m)) on any graph — a power-law hub
+    with degree 10^6 contributes wedges only through edges oriented
+    OUT of it, of which there are few. Wedge generation is one
+    self-join on the oriented source with an explicit keyed
+    repartition (the AQE input-size trap: a small edge table feeding
+    an exploding self-join would otherwise coalesce into one task);
+    closure is one equi-join of wedges against oriented edges; node
+    counts are one explode + groupBy.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (edges
+           .where(a != b)
+           .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+           .distinct())
+    deg = (und.select(F.col("u").alias("node"))
+           .unionByName(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    # orient u->v when (deg, id) of u < of v; join degrees in (small
+    # deg table — AQE broadcasts when it fits)
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (und.join(du, "u").join(dv, "v")
+                .select(
+                    F.when((F.col("du") < F.col("dv"))
+                           | ((F.col("du") == F.col("dv"))
+                              & (F.col("u") < F.col("v"))),
+                           F.struct(F.col("u").alias("s"),
+                                    F.col("v").alias("t")))
+                    .otherwise(F.struct(F.col("v").alias("s"),
+                                        F.col("u").alias("t")))
+                    .alias("e"))
+                .select(F.col("e.s").alias("s"), F.col("e.t").alias("t")))
+    sc = edges.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism, 1)
+    # lazy localCheckpoint: consumed twice (wedges + closure); lineage
+    # is truncated, so an executor loss mid-query restarts the query
+    # rather than recomputing the partition — the documented trade for
+    # not leaking CacheManager entries (see dedup.duplicate_clusters)
+    oriented = oriented.repartition(n_parts, "s").localCheckpoint(eager=False)
+    w1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    w2 = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    wedges = (w1.join(w2, "a")
+              .where(F.col("b") < F.col("c")))
+    closing = oriented.select(F.col("s").alias("b"), F.col("t").alias("c")) \
+        .unionByName(oriented.select(F.col("s").alias("c"),
+                                     F.col("t").alias("b")))
+    tris = wedges.join(closing, ["b", "c"])
+    return (tris
+            .select(F.explode(F.array("a", "b", "c")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("triangles")))

@@ -3935,6 +3935,8 @@ def build_catalog():
         "gmm_params": q_gmm_params,
         "frequent_itemsets_stats": q_frequent_itemsets_stats,
         "association_rules_topk": q_association_rules_topk,
+        "copurchase_triangles": q_copurchase_triangles,
+        "time_fill_events": q_time_fill_events,
         "logistic_regression_eval": q_logistic_regression_eval,
         "logistic_saturated_fit": q_logistic_saturated_fit,
         "pca_transform_variance": q_pca_transform_variance,
@@ -4147,6 +4149,8 @@ def build_catalog():
         "gmm_params": sql_gmm_params(),
         "frequent_itemsets_stats": SQL_FREQUENT_ITEMSETS_STATS,
         "association_rules_topk": SQL_ASSOCIATION_RULES_TOPK,
+        "copurchase_triangles": SQL_COPURCHASE_TRIANGLES,
+        "time_fill_events": SQL_TIME_FILL_EVENTS,
         "truncated_svd_variance": SQL_TRUNCATED_SVD_VARIANCE,
         "blockwise_voting_eval": sql_blockwise_voting_eval(),
         "pca_transform_variance": SQL_PCA_TRANSFORM_VARIANCE,
@@ -4466,6 +4470,97 @@ SELECT antecedent, consequent, support::BIGINT AS support,
 FROM rules
 ORDER BY lift DESC, antecedent, consequent
 LIMIT 20
+"""
+
+
+def q_copurchase_triangles(spark, sf_dir):
+    """Triangle counting (datapipe/graph.py triangle_count — Cohen's
+    degree-orientation MapReduce algorithm) over the part co-purchase
+    graph: parts are adjacent when some order contains both. The top
+    10 parts by triangle membership; integer counts, so the ordering
+    is engine-exact."""
+    from dask_ml_spark.datapipe.graph import triangle_count
+    from dask_ml_spark.operators.frequent_patterns import _pairs_hof
+
+    li = _t(spark, sf_dir, "lineitem")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("__arr"))
+    edges = (arrs
+             .select(F.explode(_pairs_hof(F.col("__arr"))).alias("__p"))
+             .select(F.col("__p.a").alias("src"),
+                     F.col("__p.b").alias("dst"))
+             .distinct())
+    return (triangle_count(edges)
+            .orderBy(F.desc("triangles"), "node")
+            .limit(10)
+            .select(F.col("node").cast("long").alias("node"), "triangles"))
+
+
+SQL_COPURCHASE_TRIANGLES = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+e AS (SELECT DISTINCT x.i AS u, y.i AS v
+      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i),
+t AS (SELECT e1.u AS a, e1.v AS bb, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+nodes AS (SELECT a AS node FROM t
+          UNION ALL SELECT bb FROM t
+          UNION ALL SELECT c FROM t)
+SELECT node, count(*)::BIGINT AS triangles
+FROM nodes GROUP BY node
+ORDER BY triangles DESC, node
+LIMIT 10
+"""
+
+
+def q_time_fill_events(spark, sf_dir):
+    """Per-user 6-hour grid over the event stream with linear
+    interpolation of the missing buckets (operators/timeseries.py
+    time_fill), reduced to per-user grid stats. The interpolation
+    expression evaluates in the same operation order on both engines,
+    so sums agree to FP rounding."""
+    from dask_ml_spark.operators.timeseries import time_fill
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_fill(ev, "ts", "value", key_cols=["user_id"], step=21600)
+    return (out.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 F.sum(F.col("observed").cast("long")).alias("n_observed"),
+                 (F.floor(F.sum("value") * 1e6 + F.lit(0.5)) / 1e6)
+                 .alias("sum_value"))
+            .select(F.col("user_id").cast("long").alias("user_id"),
+                    "n_buckets", "n_observed", "sum_value"))
+
+
+SQL_TIME_FILL_EVENTS = """
+WITH obs AS (
+    SELECT user_id, (floor(epoch(ts) / 21600) * 21600)::BIGINT AS b,
+           avg(value) AS v
+    FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM obs GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx, 21600)) AS b
+         FROM span),
+f AS (
+    SELECT user_id, b, v,
+           last_value(v IGNORE NULLS) OVER w AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER w AS pb,
+           first_value(v IGNORE NULLS) OVER w2 AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER w2 AS nb
+    FROM (SELECT g.user_id, g.b, o.v
+          FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id
+                                     AND g.b = o.b)
+    WINDOW w AS (PARTITION BY user_id ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY user_id ORDER BY b
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, count(*)::BIGINT AS n_buckets,
+       sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_observed,
+       floor(sum(coalesce(v, pv + (nv - pv) * (b - pb) / (nb - pb)))
+             * 1e6 + 0.5) / 1e6 AS sum_value
+FROM f GROUP BY user_id
 """
 
 

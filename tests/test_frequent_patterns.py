@@ -101,3 +101,47 @@ def test_frequent_itemsets_plan_no_self_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-oriented triangle counting vs an itertools enumeration
+    on a random graph (with self-loops, parallel and reversed
+    duplicate edges thrown in to exercise normalization)."""
+    from dask_ml_spark.datapipe.graph import triangle_count
+
+    rng = np.random.RandomState(11)
+    n = 40
+    und = set()
+    for _ in range(220):
+        u, v = rng.randint(0, n, 2)
+        if u != v:
+            und.add((min(u, v), max(u, v)))
+    rows = []
+    for u, v in und:
+        rows.append((int(u), int(v)))
+        if rng.rand() < 0.3:
+            rows.append((int(v), int(u)))  # reversed duplicate
+        if rng.rand() < 0.2:
+            rows.append((int(u), int(v)))  # parallel duplicate
+    rows += [(3, 3), (7, 7)]  # self-loops
+    df = spark.createDataFrame(rows, ["src", "dst"]).repartition(5)
+
+    adj = {i: set() for i in range(n)}
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    want = {i: 0 for i in range(n)}
+    total = 0
+    for a, b, c in combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            total += 1
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    got = {r["node"]: r["triangles"]
+           for r in triangle_count(df).collect()}
+    assert total > 50  # non-degenerate fixture
+    for i in range(n):
+        if want[i] or i in got:
+            assert got.get(i, 0) == want[i]
+    assert sum(got.values()) == 3 * total
