@@ -176,6 +176,12 @@ HEADLINE = [
     "ivf_ann_topk",                 # plain-IVF probe path
     "token_shards",                 # grouped two-phase prefix sum
     "dedup_clusters",               # min-label components over LSH pairs
+    # r8 additions — each a new operator family
+    "gmm_params",                   # diagonal-EM Gaussian mixture
+    "frequent_itemsets_stats",      # apriori levels 1-3 (HOF combos)
+    "association_rules_topk",       # confidence/lift rule ranking
+    "copurchase_triangles",         # degree-oriented triangle counting
+    "time_fill_events",             # grid fill + linear interpolation
 ]
 
 # The remaining ~50 catalog queries stay out of the headline

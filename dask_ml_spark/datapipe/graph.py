@@ -160,13 +160,21 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
                 .select(F.col("e.s").alias("s"), F.col("e.t").alias("t")))
     sc = edges.sparkSession.sparkContext
     n_parts = max(sc.defaultParallelism, 1)
-    # lazy localCheckpoint: consumed twice (wedges + closure); lineage
-    # is truncated, so an executor loss mid-query restarts the query
-    # rather than recomputing the partition — the documented trade for
-    # not leaking CacheManager entries (see dedup.duplicate_clusters)
-    oriented = oriented.repartition(n_parts, "s").localCheckpoint(eager=False)
-    w1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
-    w2 = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    # lazy localCheckpoint: consumed three times (2 wedge sides +
+    # closure); lineage is truncated, so an executor loss mid-query
+    # restarts the query rather than recomputing the partition — the
+    # documented trade for not leaking CacheManager entries (see
+    # dedup.duplicate_clusters)
+    oriented = oriented.repartition(n_parts).localCheckpoint(eager=False)
+    # the wedge join EXPLODES (sum of C(outdeg, 2) rows from a small
+    # edge input), and the checkpoint erased any partitioning info —
+    # so both join inputs carry their own EXPLICIT keyed repartition
+    # (AQE-exempt): sized by key count, not by the small input bytes
+    # AQE would otherwise coalesce into a handful of exploding tasks
+    w1 = (oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+          .repartition(n_parts, "a"))
+    w2 = (oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
+          .repartition(n_parts, "a"))
     wedges = (w1.join(w2, "a")
               .where(F.col("b") < F.col("c")))
     closing = oriented.select(F.col("s").alias("b"), F.col("t").alias("c")) \

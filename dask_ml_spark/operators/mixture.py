@@ -131,14 +131,43 @@ class GaussianMixture(BaseEstimator):
             weights, means, variances = self._init_params(data, cols)
             n = None
             prev_mean_ll = None
+            spark = df.sparkSession
             for it in range(self.max_iter):
-                lps = _log_prob_exprs(cols, weights, means, variances)
+                # parameters travel as a broadcast ONE-ROW frame, not
+                # as folded literals: the generated whole-stage code is
+                # then IDENTICAL across iterations (only the broadcast
+                # row's data changes), so Spark's codegen cache reuses
+                # one JIT-compiled class for every round instead of
+                # recompiling per iteration — on a 600k-row fit the
+                # compile cost dominated the arithmetic ~5:1. The
+                # log-weight and log(2π var) terms are precomputed
+                # driver-side (same arithmetic the literal path used).
+                prow = {}
+                for j in range(k):
+                    prow[f"__w{j}"] = math.log(float(weights[j]))
+                    for i in range(d):
+                        prow[f"__m{j}_{i}"] = float(means[j][i])
+                        prow[f"__v{j}_{i}"] = float(variances[j][i])
+                        prow[f"__lv{j}_{i}"] = math.log(
+                            TWO_PI * float(variances[j][i]))
+                pframe = spark.createDataFrame([prow])
+                # identical term order and operations (+, *, /) as
+                # _log_prob_exprs so the SQL oracle replay stays exact
+                lps = []
+                for j in range(k):
+                    quad = F.lit(0.0)
+                    for i, c in enumerate(cols):
+                        dd = F.col(c).cast("double") - F.col(f"__m{j}_{i}")
+                        quad = quad + (F.col(f"__lv{j}_{i}")
+                                       + dd * dd / F.col(f"__v{j}_{i}"))
+                    lps.append(F.col(f"__w{j}") - 0.5 * quad)
                 mx = F.greatest(*lps) if k > 1 else lps[0]
                 # responsibilities computed ONCE in a projection (the
                 # aggregate below reads the named columns, so the k
                 # exp() calls don't replicate per aggregate expression)
                 es = [F.exp(lp - F.col("__mx")) for lp in lps]
                 proj = (data
+                        .crossJoin(F.broadcast(pframe))
                         .withColumn("__mx", mx)
                         .withColumn("__s", sum(es[1:], es[0]))
                         .select(

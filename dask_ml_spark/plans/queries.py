@@ -4272,7 +4272,9 @@ def sql_kmeans_cluster_sizes() -> str:
 # replayable in SQL just like the Lloyd loop above
 GMM_INIT = [[-1.0, -1.0, -1.0], [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]]
 GMM_W0 = 1.0 / 3.0
-GMM_ITERS = 3
+# two rounds, like KMEANS_ITERS: round 1 replays the pinned-literal
+# E/M math, round 2 proves the computed-parameter feedback path
+GMM_ITERS = 2
 
 
 def q_gmm_params(spark, sf_dir):
@@ -4482,7 +4484,13 @@ def q_copurchase_triangles(spark, sf_dir):
     from dask_ml_spark.datapipe.graph import triangle_count
     from dask_ml_spark.operators.frequent_patterns import _pairs_hof
 
-    li = _t(spark, sf_dir, "lineitem")
+    # a half-year shipdate window scopes the graph (the full-corpus
+    # co-purchase graph at sf0.1 already has 1.2M edges / 1.9M
+    # triangles — honest but bench-dominating); the filter pushes to
+    # the parquet scan
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1995-07-01"))
     arrs = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("__arr"))
     edges = (arrs
@@ -4497,7 +4505,8 @@ def q_copurchase_triangles(spark, sf_dir):
 
 
 SQL_COPURCHASE_TRIANGLES = """
-WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+            WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1995-07-01'),
 e AS (SELECT DISTINCT x.i AS u, y.i AS v
       FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i),
 t AS (SELECT e1.u AS a, e1.v AS bb, e2.v AS c

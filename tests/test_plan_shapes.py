@@ -320,3 +320,90 @@ def test_dbscan_pair_join_repartitions_on_cell(spark):
         .fromString("formatted"))
     assert "hashpartitioning(__cell" in pplan
     assert "CartesianProduct" not in pplan
+
+
+def test_copurchase_triangles_pushdown_and_repartition(spark, catalog):
+    """The final plan sits on the oriented-edge localCheckpoint (an
+    ExistingRDD — lineage truncated by design), so the two properties
+    are pinned on their own sides of the cut: the shipdate window must
+    push into the EDGE-building scan, and the post-checkpoint plan
+    must shuffle via the explicit oriented-source repartition with no
+    cartesian degradation."""
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.operators.frequent_patterns import _pairs_hof
+
+    spark.catalog.clearCache()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1995-07-01"))
+    arrs = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("__arr"))
+    edges = (arrs.select(F.explode(_pairs_hof(F.col("__arr"))).alias("__p"))
+             .select(F.col("__p.a").alias("src"),
+                     F.col("__p.b").alias("dst")).distinct())
+    eplan = edges._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "PushedFilters" in eplan
+    assert "l_shipdate" in eplan.split("PushedFilters", 1)[1][:400]
+
+    plan = _plan(spark, catalog, "copurchase_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both wedge-join inputs carry the explicit AQE-exempt keyed
+    # repartition on the oriented source (the checkpoint erased
+    # partitioning, and AQE sizing by the small edge input would
+    # coalesce the exploding join into a handful of tasks)
+    assert plan.count("REPARTITION_BY_NUM") >= 2
+    assert "hashpartitioning(a" in plan
+
+
+def test_time_fill_events_narrow_scan_no_python(spark, catalog):
+    """time_fill is pure JVM (windows + sequence explode) and the
+    events scan must read only the three referenced columns."""
+    plan = _plan(spark, catalog, "time_fill_events")
+    assert "Python" not in plan
+    # two scans: the observed branch reads (ts, user_id, value); the
+    # span/grid branch is pruned all the way down to (ts, user_id)
+    schemas = [chunk.split("\n", 1)[0]
+               for chunk in plan.split("ReadSchema")[1:]]
+    assert any("value" in s for s in schemas)
+    assert all("props" not in s and "event_type" not in s
+               for s in schemas)
+
+
+def test_gmm_em_iteration_is_single_aggregate(spark):
+    """One EM round = broadcast the 1-row parameter frame, project
+    responsibilities, ONE partial+final aggregate — no extra shuffle,
+    no Python, and the parameters must arrive via BroadcastExchange
+    (attributes, not literals — the codegen-reuse design)."""
+    import numpy as np
+
+    from dask_ml_spark.operators.mixture import GaussianMixture
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in np.random.RandomState(0)
+         .randn(100, 2)], ["x", "y"])
+    gm = GaussianMixture(n_components=2, max_iter=1, tol=0.0,
+                         init_means=[[0.0, 0.0], [1.0, 1.0]],
+                         init_weights=[0.5, 0.5],
+                         init_variances=[[1.0, 1.0], [1.0, 1.0]])
+    captured = {}
+    orig_agg = type(df).agg
+
+    def spy(self, *a, **k):
+        out = orig_agg(self, *a, **k)
+        captured["plan"] = out._jdf.queryExecution().executedPlan().toString()
+        return out
+
+    type(df).agg = spy
+    try:
+        gm.fit(df, ["x", "y"])
+    finally:
+        type(df).agg = orig_agg
+    plan = captured["plan"]
+    assert "BroadcastExchange" in plan          # the 1-row param frame
+    assert "Python" not in plan
+    assert plan.count("HashAggregate") == 2     # partial + final only
