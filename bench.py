@@ -182,6 +182,7 @@ HEADLINE = [
     "association_rules_topk",       # confidence/lift rule ranking
     "copurchase_triangles",         # degree-oriented triangle counting
     "time_fill_events",             # grid fill + linear interpolation
+    "random_projection_norms",      # JL sparse projection fold
 ]
 
 # The remaining ~50 catalog queries stay out of the headline

@@ -3937,6 +3937,7 @@ def build_catalog():
         "association_rules_topk": q_association_rules_topk,
         "copurchase_triangles": q_copurchase_triangles,
         "time_fill_events": q_time_fill_events,
+        "random_projection_norms": q_random_projection_norms,
         "logistic_regression_eval": q_logistic_regression_eval,
         "logistic_saturated_fit": q_logistic_saturated_fit,
         "pca_transform_variance": q_pca_transform_variance,
@@ -4151,6 +4152,7 @@ def build_catalog():
         "association_rules_topk": SQL_ASSOCIATION_RULES_TOPK,
         "copurchase_triangles": SQL_COPURCHASE_TRIANGLES,
         "time_fill_events": SQL_TIME_FILL_EVENTS,
+        "random_projection_norms": sql_random_projection_norms(),
         "truncated_svd_variance": SQL_TRUNCATED_SVD_VARIANCE,
         "blockwise_voting_eval": sql_blockwise_voting_eval(),
         "pca_transform_variance": SQL_PCA_TRANSFORM_VARIANCE,
@@ -4571,6 +4573,66 @@ SELECT user_id, count(*)::BIGINT AS n_buckets,
              * 1e6 + 0.5) / 1e6 AS sum_value
 FROM f GROUP BY user_id
 """
+
+
+RP_K, RP_SEED = 16, 42
+
+
+def q_random_projection_norms(spark, sf_dir):
+    """Sparse random projection (operators/random_projection.py,
+    Achlioptas/Li) of the 64-dim embeddings down to RP_K dims; the 10
+    largest projected L2 norms. The (d, k, seed) matrix needs no data
+    pass, folds as literals, and the oracle regenerates the SAME
+    matrix from the same seed — so coordinates and ranking are
+    engine-exact arithmetic."""
+    from dask_ml_spark.operators.random_projection import (
+        SparseRandomProjection)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = 64
+    cols = [f"x{i}" for i in range(d)]
+    flat = emb.select(
+        "vec_id",
+        *[F.element_at("embedding", i + 1).cast("double").alias(cols[i])
+          for i in range(d)])
+    rp = SparseRandomProjection(RP_K, random_state=RP_SEED).fit(flat, cols)
+    proj = rp.transform(flat)
+    norm2 = F.lit(0.0)
+    for j in range(RP_K):
+        norm2 = norm2 + F.col(f"rp{j}") * F.col(f"rp{j}")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (proj
+            .withColumn("__n", F.sqrt(norm2))
+            .orderBy(F.desc("__n"), "vec_id")
+            .limit(10)
+            .select("vec_id", r6(F.col("__n")).alias("norm"),
+                    *[r6(F.col(f"rp{j}")).alias(f"rp{j}") for j in range(4)]))
+
+
+def sql_random_projection_norms() -> str:
+    """Regenerate the seeded Achlioptas matrix with the identical numpy
+    calls and fold it as SQL literals, mirroring the Spark fold's term
+    order (zero entries skipped on both sides)."""
+    from dask_ml_spark.operators.random_projection import (
+        SparseRandomProjection)
+
+    d = 64
+    W = SparseRandomProjection(RP_K, random_state=RP_SEED) \
+        ._make_components(d)
+    rps = []
+    for j in range(RP_K):
+        terms = [f"(embedding[{i + 1}]::DOUBLE) * ({float(W[j][i])!r}::DOUBLE)"
+                 for i in range(d) if W[j][i] != 0.0]
+        rps.append(" + ".join(terms) if terms else "0.0")
+    norm = " + ".join(f"rp{j} * rp{j}" for j in range(RP_K))
+    r6 = lambda e: f"floor({e} * 1e6 + 0.5) / 1e6"  # noqa: E731
+    return (
+        "WITH p AS (SELECT vec_id, "
+        + ", ".join(f"{e} AS rp{j}" for j, e in enumerate(rps))
+        + " FROM embeddings)\n"
+        + "SELECT vec_id, " + r6(f"sqrt({norm})") + " AS norm, "
+        + ", ".join(r6(f"rp{j}") + f" AS rp{j}" for j in range(4))
+        + f"\nFROM p ORDER BY sqrt({norm}) DESC, vec_id LIMIT 10")
 
 
 def q_logistic_saturated_fit(spark, sf_dir):

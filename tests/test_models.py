@@ -538,3 +538,57 @@ def test_gaussian_mixture_deterministic_init_and_guards(spark, blobs):
     with pytest.raises(ValueError, match="distinct rows"):
         GaussianMixture(n_components=5, max_iter=1).fit(
             blobs.limit(3), cols)
+
+
+def test_random_projection_matches_numpy_and_preserves_distance(spark):
+    """Transform equals the numpy matmul bit-for-bit-ish (same fold
+    order), sparse entries take only the three Achlioptas values at
+    the right density, JL distance distortion stays within the eps the
+    k was sized for, and the transform plans as a narrow projection."""
+    from dask_ml_spark.operators.random_projection import (
+        GaussianRandomProjection,
+        SparseRandomProjection,
+        johnson_lindenstrauss_min_dim,
+    )
+
+    # sklearn's published bound value for (n=10000, eps=0.1)
+    assert johnson_lindenstrauss_min_dim(10000, 0.1) == 7894
+    with pytest.raises(ValueError, match="eps"):
+        johnson_lindenstrauss_min_dim(100, 1.5)
+
+    rng = np.random.RandomState(0)
+    d, k, n = 40, 24, 120
+    X = rng.randn(n, d)
+    cols = [f"x{i}" for i in range(d)]
+    df = spark.createDataFrame(
+        [(i, *map(float, X[i])) for i in range(n)], ["rid", *cols])
+
+    for est in (GaussianRandomProjection(k, random_state=7),
+                SparseRandomProjection(k, random_state=7)):
+        est.fit(df, cols)
+        W = est.components_
+        assert W.shape == (k, d)
+        out = est.transform(df).orderBy("rid") \
+            .select(*[f"rp{j}" for j in range(k)]).toPandas().to_numpy()
+        np.testing.assert_allclose(out, X @ W.T, rtol=1e-12, atol=1e-12)
+        # JL: median pairwise distance ratio near 1
+        d_orig = np.sqrt(((X[:60, None, :] - X[None, :60, :]) ** 2)
+                         .sum(-1))[np.triu_indices(60, 1)]
+        P = X[:60] @ W.T
+        d_proj = np.sqrt(((P[:, None, :] - P[None, :, :]) ** 2)
+                         .sum(-1))[np.triu_indices(60, 1)]
+        ratio = d_proj / d_orig
+        assert 0.55 < np.median(ratio) < 1.45
+
+    sp = SparseRandomProjection(k, random_state=7).fit(df, cols)
+    scale = np.sqrt(np.sqrt(d)) / np.sqrt(k)
+    vals = set(np.round(np.unique(sp.components_), 12))
+    assert vals <= {np.round(v, 12) for v in (-scale, 0.0, scale)}
+    nz = (sp.components_ != 0).mean()
+    assert abs(nz - 1 / np.sqrt(d)) < 0.05
+    with pytest.raises(ValueError, match="density"):
+        SparseRandomProjection(4, density=2.0).fit(df, cols)
+
+    plan = GaussianRandomProjection(4, random_state=1).fit(df, cols) \
+        .transform(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
