@@ -851,7 +851,8 @@ def semantic_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
                          id_col: str = "vec_id", centroids=None,
                          n_clusters: int = 64, threshold: float = 0.9,
                          seed: int = 42, order: str = "id",
-                         target_pairs_per_item: float | None = None) -> DataFrame:
+                         target_pairs_per_item: float | None = None,
+                         quantizer: str = "auto") -> DataFrame:
     """SemDeDup within-cluster duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embedding space, then call a
     pair a semantic duplicate when both vectors land in the SAME
@@ -876,11 +877,24 @@ def semantic_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
     item; sizes n_clusters = ceil(N / (2*target + 1)) from a count of
     df (one cheap aggregate job), overriding n_clusters when larger.
     Only meaningful with centroids=None (a pinned-centroid geometry is
-    already fixed). Practical ceiling: the quantizer's centroid table
-    lives on the driver and folds into broadcast expressions, so k is
-    practical to ~1e5 — i.e. linear mode covers corpora to ~10M items
-    per run; beyond that shard the corpus, or use the (already
-    linear) banded-LSH `embedding_near_dup` family instead.
+    already fixed).
+
+    quantizer: how cluster ids are produced.
+      "kmeans" — the paper's flat quantizer (IVFIndex). Assignment is
+        N·k distance evaluations, so with the linear-PAIR-volume knob
+        (k ~ N/c) the QUANTIZER becomes the N²/c term: measured 11.6x
+        runtime for 10x rows at target_pairs_per_item=8. Right for the
+        paper's k ~ sqrt(N) geometry; wrong for k ~ N/c.
+      "lsh" — cluster id = a ceil(log2 k)-bit random-hyperplane code
+        (the simhash trick, same plane matrix the near-dup family
+        uses). Assignment is N·log2(k) dot products — O(N log N) even
+        at k ~ N/c — and buckets of similar vectors coincide with high
+        probability, so the within-bucket pair semantics still hold.
+        Buckets are less balanced than k-means cells (hyperplanes cut
+        blindly), the recall/pair-volume trade is slightly worse, and
+        there is no centroid, so order="centroid" is unavailable.
+      "auto" (default) — "lsh" whenever target_pairs_per_item is set
+        (the only honest linear-cost path), else "kmeans".
 
     order: "id" ranks cluster members by id (deterministic across
     engines — the SQL-oracle-able config); "centroid" is the
@@ -910,17 +924,46 @@ def semantic_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
         n = df.count()
         n_clusters = max(n_clusters,
                          -(-n // int(2 * target_pairs_per_item + 1)))
-    ivf = IVFIndex(n_lists=n_clusters, seed=seed, vec_col=vec_col, id_col=id_col)
-    if centroids is not None:
-        ivf.centroids_ = np.asarray(centroids, dtype="float64")
-        ivf.n_lists = len(ivf.centroids_)
+    if quantizer == "auto":
+        quantizer = ("lsh" if target_pairs_per_item is not None
+                     and centroids is None else "kmeans")
+    if quantizer not in ("kmeans", "lsh"):
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    if quantizer == "lsh":
+        if centroids is not None:
+            raise ValueError("quantizer='lsh' has no centroids")
+        if order == "centroid":
+            raise ValueError(
+                "order='centroid' needs the kmeans quantizer (hyperplane"
+                " buckets have no centroid)")
+        import math as _math
+
+        from dask_ml_spark.datapipe.similarity import CosineLSHIndex
+
+        bits = max(1, _math.ceil(_math.log2(max(n_clusters, 2))))
+        dim = len(df.select(vec_col).first()[0])
+        idx = CosineLSHIndex(n_bands=1, bits_per_band=bits, seed=seed,
+                             vec_col=vec_col, id_col=id_col)
+        idx.hyperplanes_ = lsh_plane_matrix(bits, dim, seed)
+        buckets = idx._buckets_udf()
+        base = (ensure_min_partitions(df.select(id_col, vec_col))
+                .withColumn("cluster",
+                            F.element_at(buckets(F.col(vec_col)), 1))
+                .withColumn("__norm", norm2(F.col(vec_col))))
     else:
-        ivf.fit(df)
-    # repartition small inputs: assignment + the pair-join cosines are
-    # per-row/per-pair expression work, and a single-file corpus would
-    # otherwise run them in ONE task
-    base = (ivf.assign(ensure_min_partitions(df.select(id_col, vec_col)),
-                       bucket_col="cluster")
+        ivf = IVFIndex(n_lists=n_clusters, seed=seed, vec_col=vec_col,
+                       id_col=id_col)
+        if centroids is not None:
+            ivf.centroids_ = np.asarray(centroids, dtype="float64")
+            ivf.n_lists = len(ivf.centroids_)
+        else:
+            ivf.fit(df)
+        # repartition small inputs: assignment + the pair-join cosines
+        # are per-row/per-pair expression work, and a single-file corpus
+        # would otherwise run them in ONE task
+        base = (ivf.assign(
+            ensure_min_partitions(df.select(id_col, vec_col)),
+            bucket_col="cluster")
             .withColumn("__norm", norm2(F.col(vec_col))))
     if order == "centroid":
         from pyspark.sql import Window
@@ -976,7 +1019,8 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
                    id_col: str = "vec_id", centroids=None,
                    n_clusters: int = 64, threshold: float = 0.9,
                    seed: int = 42, order: str = "id",
-                   target_pairs_per_item: float | None = None) -> DataFrame:
+                   target_pairs_per_item: float | None = None,
+                   quantizer: str = "auto") -> DataFrame:
     """SemDeDup keep-set: drop every vector that is a semantic
     duplicate (cosine >= threshold) of an EARLIER-ranked member of its
     cluster; keep everything else, singletons included. Matches the
@@ -988,7 +1032,7 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
     shuffles, and only on the cluster id."""
     pairs = semantic_dedup_pairs(df, vec_col, id_col, centroids,
                                  n_clusters, threshold, seed, order,
-                                 target_pairs_per_item)
+                                 target_pairs_per_item, quantizer)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
 
