@@ -919,6 +919,8 @@ def semantic_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
             raise ValueError(
                 "target_pairs_per_item sizes the quantizer; it cannot "
                 "apply to pinned centroids")
+        if target_pairs_per_item <= 0:
+            raise ValueError("target_pairs_per_item must be > 0")
         # c = N/k average members per cluster; each item meets ~(c-1)/2
         # earlier-ranked members, so k = N/(2t+1) targets t pairs/item
         n = df.count()

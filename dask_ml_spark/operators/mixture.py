@@ -13,8 +13,10 @@ the k responsibilities per row from LITERAL parameters (JVM codegen,
 no UDF, no shuffle) feeding a global aggregate of k·(2d+1) partial
 sums with map-side combine — the driver ever holds only the k·(2d+1)
 parameter scalars. Soft assignment means every component receives
-strictly positive responsibility from every row, so components cannot
-starve and no empty-cluster repair pass is needed (unlike Lloyd).
+positive responsibility from every row in exact arithmetic, so no
+empty-cluster repair pass is needed (unlike Lloyd); the one float64
+exception — exp underflow for a component stranded ~40σ from all
+data — keeps that component's previous parameters for the round.
 """
 
 from __future__ import annotations
@@ -105,7 +107,7 @@ class GaussianMixture(BaseEstimator):
             means = np.asarray([[float(r[c]) for c in cols] for r in rows],
                                dtype="float64")
         if self.init_variances is not None:
-            variances = np.asarray(self.init_variances, dtype="float64")
+            variances = np.array(self.init_variances, dtype="float64")
             if variances.shape != (k, d):
                 raise ValueError(
                     f"init_variances shape {variances.shape} != ({k}, {d})")
@@ -114,7 +116,7 @@ class GaussianMixture(BaseEstimator):
             variances = np.tile(
                 [max(float(gv[c]), self.reg_covar) for c in cols], (k, 1))
         if self.init_weights is not None:
-            weights = np.asarray(self.init_weights, dtype="float64")
+            weights = np.array(self.init_weights, dtype="float64")
             if weights.shape != (k,):
                 raise ValueError(f"init_weights shape {weights.shape} != ({k},)")
         else:
@@ -189,6 +191,14 @@ class GaussianMixture(BaseEstimator):
                 mean_ll = row["__sll"] / n
                 for j in range(k):
                     nj = row[f"n{j}"]
+                    if nj <= 0.0:
+                        # soft assignment can't starve in exact
+                        # arithmetic, but exp(lp - mx) underflows to
+                        # exactly 0.0 beyond ~-745 — e.g. an init mean
+                        # planted tens of sigma from all data. Keep the
+                        # component's previous parameters (weight
+                        # included) instead of dividing by zero.
+                        continue
                     weights[j] = nj / n
                     for i in range(d):
                         mu = row[f"sx{j}_{i}"] / nj

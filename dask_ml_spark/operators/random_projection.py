@@ -34,7 +34,8 @@ def johnson_lindenstrauss_min_dim(n_samples: int, eps: float = 0.1) -> int:
     if not 0 < eps < 1:
         raise ValueError("eps must be in (0, 1)")
     denom = (eps ** 2 / 2.0) - (eps ** 3 / 3.0)
-    return int(4.0 * math.log(n_samples) / denom)
+    # ceil, not trunc: flooring would return a k one below the bound
+    return int(math.ceil(4.0 * math.log(n_samples) / denom))
 
 
 class _BaseRandomProjection(BaseEstimator, TransformerMixin):

@@ -48,6 +48,11 @@ class CountVectorizer(BaseEstimator, TransformerMixin):
         self.max_features = max_features
         self.max_vocab_collect = max_vocab_collect
 
+    def required_input_columns(self, columns):
+        # self-scoped: reads input_col regardless of the caller's
+        # `columns` — the CV planners' fold-cache pruning must keep it
+        return [self.input_col]
+
     def _docfreq_filtered(self, df: DataFrame) -> DataFrame:
         """(token, df) rows surviving the min_df/max_df bounds —
         document frequency per token via explode of per-doc distincts."""
@@ -179,6 +184,10 @@ class HashingVectorizer(BaseEstimator, TransformerMixin):
         self.alternate_sign = alternate_sign
         self.hash_fn = hash_fn
 
+    def required_input_columns(self, columns):
+        # self-scoped on input_col (see CountVectorizer)
+        return [self.input_col]
+
     def _bucket_expr(self, tok):
         if self.hash_fn == "portable":
             h = F.conv(F.substring(F.md5(tok), 1, 14), 16, 10).cast("long")
@@ -251,6 +260,11 @@ class TfidfTransformer(BaseEstimator, TransformerMixin):
         self.smooth_idf = smooth_idf
         self.norm = norm
 
+    def required_input_columns(self, columns):
+        # id/token/count column names arrive per call, not at
+        # construction — planners cannot prune around this transformer
+        return None
+
     def fit(self, triplets: DataFrame, n_docs: int | None = None,
             id_col: str = "doc_id", token_col: str = "token_id") -> "TfidfTransformer":
         if n_docs is None:
@@ -300,6 +314,10 @@ class FeatureHasher(BaseEstimator, TransformerMixin):
         self.input_type = input_type
         self.alternate_sign = alternate_sign
         self.hash_fn = hash_fn
+
+    def required_input_columns(self, columns):
+        # self-scoped on input_col (see CountVectorizer)
+        return [self.input_col]
 
     # same engine-portable option as HashingVectorizer (md5-prefix hash
     # reproducible in DuckDB) — what the *_portable oracle query uses

@@ -59,7 +59,11 @@ def _collect_batches(df: DataFrame, feature_cols, label_col, max_rows_per_batch=
         # (replayable as row_number()-over-key ranges by a SQL oracle);
         # the over-cap trim keeps the smallest keys — deterministic,
         # mildly biased, documented at the deterministic_by call site
-        sel = (df.select(*order_by, *feature_cols, label_col)
+        # dict.fromkeys dedup: an order_by key that is ALSO a feature
+        # (or the label) would otherwise duplicate the column and make
+        # pdf[feature_cols] return both copies (wrong X width)
+        sel = (df.select(*dict.fromkeys([*order_by, *feature_cols,
+                                         label_col]))
                .orderBy(*order_by).select(*feature_cols, label_col))
         if max_total_rows is not None and sel.count() > max_total_rows:
             sel = sel.limit(max_total_rows)

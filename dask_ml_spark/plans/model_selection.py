@@ -340,10 +340,16 @@ class GridSearchCV(BaseEstimator):
         # their partitions)
         from dask_ml_spark.utils import right_size_cv_cache
 
+        # divide cores by the fits that actually RACE, not the
+        # configured ceiling: a 1-candidate 2-fold search with
+        # n_jobs=8 has 2 concurrent consumers, and shrinking its cache
+        # for 8 would leave most cores idle
+        n_concurrent = max(1, min(
+            self.n_jobs, len(candidates) * getattr(cv, "n_splits", 1)))
         with_fold = cv.fold_column(df) if isinstance(cv, KFold) else None
         if with_fold is not None:
             with_fold = right_size_cv_cache(
-                with_fold, self.n_jobs).persist()  # CVCache analog
+                with_fold, n_concurrent).persist()  # CVCache analog
             folds = [
                 (with_fold.where(F.col("__fold") != i).drop("__fold"),
                  with_fold.where(F.col("__fold") == i).drop("__fold"))
@@ -352,8 +358,8 @@ class GridSearchCV(BaseEstimator):
         else:
             # CVCache analog for the ShuffleSplit path too — otherwise
             # every (candidate, fold) fit rescans the source
-            folds = [(right_size_cv_cache(tr, self.n_jobs).persist(),
-                      right_size_cv_cache(te, self.n_jobs).persist())
+            folds = [(right_size_cv_cache(tr, n_concurrent).persist(),
+                      right_size_cv_cache(te, n_concurrent).persist())
                      for tr, te in cv.split(df)]
 
         seen: dict[str, int] = {}  # dedup identical candidates (reference `seen`)

@@ -7893,9 +7893,14 @@ WITH split AS (
     FROM lineitem
 ),
 train AS (
-    SELECT x1, x2, y,
-           row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
-    FROM split WHERE bucket < 8500
+    -- mirrors the engine's _collect_batches cap: the key-sorted train
+    -- frame is trimmed to its smallest 1M keys (no-op below the cap)
+    SELECT * FROM (
+        SELECT x1, x2, y,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+                   AS rn
+        FROM split WHERE bucket < 8500)
+    WHERE rn < 1000000
 ),
 bt AS (
     SELECT rn // {HB_BATCH} AS batch, count(*)::DOUBLE AS n,
@@ -7906,11 +7911,17 @@ bt AS (
 ),
 nb AS (SELECT count(*)::BIGINT AS b FROM bt),
 te AS (
+    -- mirrors the engine's 500k key-sorted test cap (no-op below it)
     SELECT count(*)::DOUBLE AS n, sum(x1) AS s1, sum(x2) AS s2,
            sum(y) AS sy, sum(x1*x1) AS s11, sum(x2*x2) AS s22,
            sum(x1*x2) AS s12, sum(x1*y) AS s1y, sum(x2*y) AS s2y,
            sum(y*y) AS syy
-    FROM split WHERE bucket >= 8500
+    FROM (SELECT * FROM (
+              SELECT x1, x2, y,
+                     row_number() OVER (ORDER BY l_orderkey,
+                                        l_linenumber) AS rn2
+              FROM split WHERE bucket >= 8500)
+          WHERE rn2 <= 500000)
 ),
 calls(c) AS (VALUES {calls_vals}),
 st AS (

@@ -242,3 +242,28 @@ def test_streaming_windowed_features_matches_batch(spark, tmp_path):
         .toPandas().sort_values(["window_start", "user_id"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_required_input_columns_self_scoped_vectorizers():
+    """CountVectorizer/HashingVectorizer/FeatureHasher read their own
+    input_col regardless of the caller's `columns` — the pruning
+    declaration must surface it (review-caught: the planner would
+    otherwise prune the text column out of the fold cache)."""
+    from dask_ml_spark.operators.text import (CountVectorizer,
+                                              FeatureHasher,
+                                              HashingVectorizer,
+                                              TfidfTransformer)
+
+    assert CountVectorizer(input_col="text") \
+        .required_input_columns(["features"]) == ["text"]
+    assert HashingVectorizer(input_col="body") \
+        .required_input_columns(None) == ["body"]
+    assert FeatureHasher(input_col="raw") \
+        .required_input_columns(["x"]) == ["raw"]
+    # call-time column names -> cannot declare; pruning disabled
+    assert TfidfTransformer().required_input_columns(["x"]) is None
+
+    pipe = Pipeline([("vec", CountVectorizer(input_col="text")),
+                     ("reg", LinearRegression(penalty="none"))])
+    req = pipe.required_input_columns(["features"])
+    assert "text" in req and "features" in req

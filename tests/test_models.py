@@ -552,7 +552,7 @@ def test_random_projection_matches_numpy_and_preserves_distance(spark):
     )
 
     # sklearn's published bound value for (n=10000, eps=0.1)
-    assert johnson_lindenstrauss_min_dim(10000, 0.1) == 7894
+    assert johnson_lindenstrauss_min_dim(10000, 0.1) == 7895
     with pytest.raises(ValueError, match="eps"):
         johnson_lindenstrauss_min_dim(100, 1.5)
 
@@ -592,3 +592,52 @@ def test_random_projection_matches_numpy_and_preserves_distance(spark):
     plan = GaussianRandomProjection(4, random_state=1).fit(df, cols) \
         .transform(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_gaussian_mixture_underflow_starvation_and_init_aliasing(spark):
+    """A component pinned ~1000 sigma from all data gets exactly-zero
+    responsibilities (exp underflow): the fit must complete, keeping
+    that component's previous parameters instead of dividing by zero —
+    and fitting twice from the same caller-owned init arrays must give
+    identical results (no in-place mutation of the caller's arrays)."""
+    from dask_ml_spark.operators.mixture import GaussianMixture
+
+    rng = np.random.RandomState(2)
+    df = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(0.0, 1.0, 300)], ["x"])
+    init_m = np.array([[0.5], [1000.0]])
+    init_w = np.array([0.5, 0.5])
+    init_v = np.array([[1.0], [1.0]])
+
+    def run():
+        return GaussianMixture(
+            n_components=2, max_iter=3, tol=0.0,
+            init_means=init_m, init_weights=init_w,
+            init_variances=init_v).fit(df, ["x"])
+
+    a = run()
+    assert np.isfinite(a.means_).all() and np.isfinite(a.weights_).all()
+    assert abs(a.means_[1][0] - 1000.0) < 1e-12   # starved: kept init
+    assert abs(a.means_[0][0]) < 0.2              # live: moved to data
+    # caller arrays untouched; second fit identical
+    assert init_m[0][0] == 0.5 and init_w[0] == 0.5 and init_v[0][0] == 1.0
+    b = run()
+    np.testing.assert_array_equal(a.means_, b.means_)
+    np.testing.assert_array_equal(a.weights_, b.weights_)
+
+
+def test_collect_batches_key_overlapping_features(spark):
+    """deterministic_by keys that are ALSO feature columns must not
+    duplicate columns in the collected matrix (review-caught: X grew
+    an extra column and the model trained at the wrong width)."""
+    from dask_ml_spark.plans.incremental import _collect_batches
+
+    df = spark.createDataFrame(
+        [(i, float(i) / 10, float(i)) for i in range(100)],
+        ["user_id", "f1", "label"])
+    batches = _collect_batches(
+        df, ["user_id", "f1"], "label",
+        max_rows_per_batch=40, order_by=["user_id"])
+    X, y = batches[0]
+    assert X.shape[1] == 2
+    assert list(X[:3, 0]) == [0.0, 1.0, 2.0]  # key-sorted
