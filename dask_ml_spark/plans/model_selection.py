@@ -446,6 +446,15 @@ class GridSearchCV(BaseEstimator):
                     for ci, fi, score in out:
                         results[(ci, fi)] = score
         else:
+            # persist the fold-train views when several candidates race
+            # over the same fold: an MLlib fit on an unpersisted input
+            # re-caches its instances INTERNALLY per fit (k*candidates
+            # materializations of the same rows); a cached view is
+            # materialized once and every candidate's solver skips its
+            # private copy
+            shared_folds = len(unique) > 1
+            if shared_folds:
+                folds = [(tr.persist(), te) for tr, te in folds]
             tasks = [
                 (ci, fi, params, train, test)
                 for ci, params in unique
@@ -461,6 +470,9 @@ class GridSearchCV(BaseEstimator):
             with ThreadPoolExecutor(max_workers=self.n_jobs) as pool:
                 for ci, fi, score in pool.map(_run, tasks):
                     results[(ci, fi)] = score
+            if shared_folds:
+                for tr, _te in folds:
+                    tr.unpersist()
 
         n_folds = len(folds)
         mean_scores, std_scores = [], []
