@@ -54,6 +54,16 @@ def time_fill(df: DataFrame, ts_col: str, value_col: str,
                         F.col(value_col).cast("double").alias("__v"))
                 .groupBy(*keys, "epoch_s")
                 .agg(F.avg("__v").alias("__v")))
+    if keys:
+        # ONE explicit AQE-exempt keyed layout that everything below
+        # reuses: the span aggregate, the grid-vs-observed join (key
+        # prefix satisfies its clustered distribution), and the fill
+        # windows. Without it the byte-small downsampled frame gets
+        # AQE-coalesced into a task or two and every later sort runs
+        # serially (measured 15s -> ~3s at sf1). Keyless series are ONE
+        # window partition by nature — nothing to pin.
+        n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+        observed = observed.repartition(n_parts, *keys)
     span = observed.groupBy(*keys).agg(
         F.min("epoch_s").alias("__mn"), F.max("epoch_s").alias("__mx"))
     n_buckets = (F.col("__mx") - F.col("__mn")) / step
