@@ -189,6 +189,7 @@ class GaussianMixture(BaseEstimator):
                 row = proj.agg(*aggs).collect()[0]
                 n = row["__n"]
                 mean_ll = row["__sll"] / n
+                starved = False
                 for j in range(k):
                     nj = row[f"n{j}"]
                     if nj <= 0.0:
@@ -198,6 +199,7 @@ class GaussianMixture(BaseEstimator):
                         # planted tens of sigma from all data. Keep the
                         # component's previous parameters (weight
                         # included) instead of dividing by zero.
+                        starved = True
                         continue
                     weights[j] = nj / n
                     for i in range(d):
@@ -205,6 +207,15 @@ class GaussianMixture(BaseEstimator):
                         means[j][i] = mu
                         variances[j][i] = (row[f"sxx{j}_{i}"] / nj
                                            - mu * mu + self.reg_covar)
+                if starved:
+                    # the survivors' updated weights already sum to 1,
+                    # so keeping the starved weight would leave the
+                    # mixture unnormalized (sum > 1) and predict_proba /
+                    # score_samples would score an improper mixture.
+                    # Uniform rescaling shifts every log-weight by the
+                    # same constant, so next-round responsibilities are
+                    # unchanged — only the reported weights are proper.
+                    weights = weights / weights.sum()
                 self.n_iter_ = it + 1
                 if (prev_mean_ll is not None
                         and abs(mean_ll - prev_mean_ll) <= self.tol

@@ -66,7 +66,9 @@ def time_fill(df: DataFrame, ts_col: str, value_col: str,
         observed = observed.repartition(n_parts, *keys)
     span = observed.groupBy(*keys).agg(
         F.min("epoch_s").alias("__mn"), F.max("epoch_s").alias("__mx"))
-    n_buckets = (F.col("__mx") - F.col("__mn")) / step
+    # +1: the generated grid has (mx-mn)/step + 1 ROWS (sequence is
+    # inclusive), so the guard counts rows, not intervals
+    n_buckets = (F.col("__mx") - F.col("__mn")) / step + 1
     guarded = F.when(
         n_buckets > max_buckets,
         F.raise_error(F.concat(

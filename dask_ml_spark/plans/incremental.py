@@ -130,7 +130,11 @@ class BaseIncrementalSearchCV(BaseEstimator):
         # candidates taken in listed/grid order (cycled) — the search
         # becomes a pure function of the data, stable across
         # partitionings/retries/engines, so a SQL oracle can replay it
-        # (and production reruns reproduce bit-identically)
+        # (and production reruns reproduce bit-identically).
+        # REQUIRES unique key tuples: with duplicate keys the key sort
+        # (and the oracle's row_number) is tie-arbitrary, so batch
+        # boundaries / the over-cap trim could differ across
+        # partitionings — _prepare_data validates and raises
         self.deterministic_by = (
             [deterministic_by] if isinstance(deterministic_by, str)
             else list(deterministic_by) if deterministic_by else None)
@@ -191,14 +195,31 @@ class BaseIncrementalSearchCV(BaseEstimator):
         if self.deterministic_by:
             from dask_ml_spark.plans.model_selection import hash_split
 
+            # unique-key validation: duplicate keys make the key sort
+            # tie-arbitrary, silently breaking the bit-reproducibility
+            # promise (one aggregate; countDistinct over the key tuple)
+            chk = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(*[F.col(c) for c in self.deterministic_by])
+                .alias("nd")).collect()[0]
+            if chk["n"] != chk["nd"]:
+                raise ValueError(
+                    f"deterministic_by={self.deterministic_by} must be a "
+                    f"unique key: {chk['n']} rows but only {chk['nd']} "
+                    "distinct key tuples — batch boundaries would be "
+                    "tie-arbitrary and non-reproducible")
             train, test = hash_split(df, self.deterministic_by,
                                      test_size=self.test_size)
             batches = _collect_batches(train, cols, label_col,
                                        order_by=self.deterministic_by)
             test_sel = test.select(*cols, label_col)
             if test_sel.count() > 500_000:
-                test_sel = (test.select(*self.deterministic_by, *cols,
-                                        label_col)
+                # same dict.fromkeys dedup as _collect_batches: a key
+                # that is also a feature/label would duplicate the
+                # column and break the orderBy/select with an
+                # ambiguous reference
+                test_sel = (test.select(*dict.fromkeys(
+                                [*self.deterministic_by, *cols, label_col]))
                             .orderBy(*self.deterministic_by)
                             .select(*cols, label_col).limit(500_000))
         else:

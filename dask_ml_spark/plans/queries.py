@@ -4466,14 +4466,23 @@ rules AS (
     FROM dir d
     JOIN f1 fa ON d.a = fa.i
     JOIN f1 fc ON d.c = fc.i)
-SELECT antecedent, consequent, support::BIGINT AS support,
-       antecedent_support::BIGINT AS antecedent_support,
-       consequent_support::BIGINT AS consequent_support,
-       floor(confidence * 1e6 + 0.5) / 1e6 AS confidence,
-       floor(lift * 1e6 + 0.5) / 1e6 AS lift
-FROM rules
-ORDER BY lift DESC, antecedent, consequent
-LIMIT 20
+SELECT antecedent, consequent, support, antecedent_support,
+       consequent_support,
+       floor(confidence_raw * 1e6 + 0.5) / 1e6 AS confidence,
+       floor(lift_raw * 1e6 + 0.5) / 1e6 AS lift
+FROM (
+    -- order by the RAW lift (the rounded output alias would shadow it
+    -- and two rules with distinct raw lifts rounding to the same 1e-6
+    -- value could flip rows at the LIMIT boundary vs the Spark side,
+    -- which orders before rounding)
+    SELECT antecedent, consequent, support::BIGINT AS support,
+           antecedent_support::BIGINT AS antecedent_support,
+           consequent_support::BIGINT AS consequent_support,
+           confidence AS confidence_raw, lift AS lift_raw
+    FROM rules
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT 20) q
+ORDER BY lift_raw DESC, antecedent, consequent
 """
 
 
@@ -7817,11 +7826,16 @@ def q_hyperband_best(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "label",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"))
+    # the full 4-column key: the synthetic lineitem duplicates
+    # (l_orderkey, l_linenumber) pairs, and deterministic_by REQUIRES a
+    # unique key (the engine validates) — ties would make the key sort
+    # and the oracle's row_number silently arbitrary
     hb = HyperbandSearchCV(
         SufficientStatsRidge(),
         [{"alpha": a} for a in HB_ALPHAS],
         max_iter=HB_MAX_ITER, aggressiveness=HB_ETA,
-        deterministic_by=["l_orderkey", "l_linenumber"])
+        deterministic_by=["l_orderkey", "l_linenumber",
+                          "l_extendedprice", "l_discount"])
     hb.fit(li, ["l_extendedprice", "l_discount"], label_col="label")
     winner = next(s for s, sha in hb._bracket_searches
                   if sha.best_score_ == hb.best_score_)
@@ -7886,9 +7900,15 @@ def _sql_hyperband_best() -> str:
 WITH split AS (
     SELECT l_extendedprice::DOUBLE AS x1, l_discount AS x2,
            (l_extendedprice * (1 - l_discount))::DOUBLE AS y,
-           l_orderkey, l_linenumber,
-           ((((0 + l_orderkey) % 2147483648) * 2654435761 % 2147483648
-             + l_linenumber) % 2147483648) * 2654435761
+           l_orderkey, l_linenumber, l_extendedprice, l_discount,
+           -- 4-key Knuth chain (engine casts doubles to long by
+           -- TRUNCATION, hence trunc() here, not ::BIGINT rounding)
+           ((((((((0 + l_orderkey) % 2147483648) * 2654435761
+                 % 2147483648
+             + l_linenumber) % 2147483648) * 2654435761 % 2147483648
+             + trunc(l_extendedprice)::BIGINT) % 2147483648)
+                 * 2654435761 % 2147483648
+             + trunc(l_discount)::BIGINT) % 2147483648) * 2654435761
              % 2147483648 % 10000 AS bucket
     FROM lineitem
 ),
@@ -7897,7 +7917,8 @@ train AS (
     -- frame is trimmed to its smallest 1M keys (no-op below the cap)
     SELECT * FROM (
         SELECT x1, x2, y,
-               row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                                  l_extendedprice, l_discount) - 1
                    AS rn
         FROM split WHERE bucket < 8500)
     WHERE rn < 1000000
@@ -7919,7 +7940,8 @@ te AS (
     FROM (SELECT * FROM (
               SELECT x1, x2, y,
                      row_number() OVER (ORDER BY l_orderkey,
-                                        l_linenumber) AS rn2
+                                        l_linenumber, l_extendedprice,
+                                        l_discount) AS rn2
               FROM split WHERE bucket >= 8500)
           WHERE rn2 <= 500000)
 ),

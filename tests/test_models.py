@@ -619,6 +619,8 @@ def test_gaussian_mixture_underflow_starvation_and_init_aliasing(spark):
     assert np.isfinite(a.means_).all() and np.isfinite(a.weights_).all()
     assert abs(a.means_[1][0] - 1000.0) < 1e-12   # starved: kept init
     assert abs(a.means_[0][0]) < 0.2              # live: moved to data
+    # mixture stays proper: starved-round weights are renormalized
+    assert abs(a.weights_.sum() - 1.0) < 1e-12
     # caller arrays untouched; second fit identical
     assert init_m[0][0] == 0.5 and init_w[0] == 0.5 and init_v[0][0] == 1.0
     b = run()

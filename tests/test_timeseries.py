@@ -76,3 +76,14 @@ def test_time_fill_guards(spark):
     with pytest.raises(Exception, match="max_buckets"):
         time_fill(df, "ts", "v", ["k"], step=1,
                   max_buckets=1000).collect()
+    # boundary: the guard counts grid ROWS (span/step + 1), so a key
+    # producing exactly max_buckets+1 rows must also fail fast...
+    rows2 = [("b", "1970-01-01 00:00:00", 1.0),
+             ("b", "1970-01-01 00:00:10", 2.0)]
+    df2 = _mk(spark, rows2)
+    with pytest.raises(Exception, match="max_buckets"):
+        time_fill(df2, "ts", "v", ["k"], step=1,
+                  max_buckets=10).collect()
+    # ...while exactly max_buckets rows passes
+    assert time_fill(df2, "ts", "v", ["k"], step=1,
+                     max_buckets=11).count() == 11
