@@ -1064,17 +1064,24 @@ GROUP BY quartile
 
 def q_salted_join_revenue(spark, sf_dir):
     """The explicit skew lever, correctness-proven: utils.salted_join
-    (hot keys split over 16 sub-keys, right side replicated per salt)
-    must produce byte-identical aggregates to the plain join — the
-    oracle is the UNSALTED SQL join, so this query asserts the skew
-    machinery changes the plan, never the answer."""
+    salts ONLY the listed hot keys (their left rows spread over 16
+    sub-keys, only the MATCHING right rows replicated per salt) and
+    unions the unsalted remainder — the r8-verdict fix for the naive
+    form that replicated the whole right side n_salt times for every
+    key. Here the 3 heaviest order keys play the hot list; the oracle
+    is the UNSALTED SQL join, so this query asserts the skew machinery
+    (split + salted branch + cold branch + union) changes the plan,
+    never the answer."""
     from dask_ml_spark.utils import salted_join
 
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"),
         F.col("l_extendedprice"), F.col("l_discount"))
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    joined = salted_join(li, o, on="o_orderkey", n_salt=16)
+    hot = [r[0] for r in
+           (li.groupBy("o_orderkey").count()
+            .orderBy(F.desc("count"), "o_orderkey").limit(3).collect())]
+    joined = salted_join(li, o, on="o_orderkey", n_salt=16, hot_keys=hot)
     return (joined.groupBy("o_orderpriority")
             .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
                  F.count("*").alias("n_items")))

@@ -351,32 +351,97 @@ def ensure_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 
 
 def salted_join(left: DataFrame, right: DataFrame, on: str, n_salt: int = 16,
-                how: str = "inner") -> DataFrame:
-    """Join a key-skewed left side against a smaller right side by
-    splitting each hot key across n_salt sub-keys.
+                how: str = "inner", hot_keys="auto",
+                hot_threshold: int | None = None,
+                max_hot_keys: int = 1000) -> DataFrame:
+    """Join a key-skewed left side against a right side by splitting
+    each HOT key across n_salt sub-keys, leaving the uniform remainder
+    on the plain hash join.
 
-    The left side gets a random salt (hot key rows spread over n_salt
-    reducers); the right side is replicated once per salt value. Use
-    when one side has a few dominant keys and the other is too big to
-    broadcast; AQE skew-join handles the same problem adaptively, this
-    is the explicit form for planned skew.
+    Only detected/listed hot keys are salted: their left rows get a
+    random salt (spread over n_salt reducers) and ONLY the matching
+    right rows are replicated n_salt times — the naive form that
+    replicates the whole right side multiplies right shuffle volume by
+    n_salt for every key, skewed or not. The unsalted remainder joins
+    normally and the two branches union. AQE skew-join handles the
+    same problem adaptively; this is the explicit form for planned
+    skew.
+
+    hot_keys:
+      - ``"auto"`` (default): detect heavy keys with one exact
+        ``groupBy(on).count()`` pass — map-side combine makes the
+        detection itself skew-immune (a hot key reduces to one row per
+        map partition before the shuffle). Costs one extra count job
+        for the default threshold; pass ``hot_threshold`` (or an
+        explicit key list) to skip that.
+      - ``"all"``: salt every key — the demonstration form
+        (right side replicated n_salt times wholesale).
+      - an iterable of key values: explicit hot list, no detection
+        pass (the production shape when skew is known up front).
+    hot_threshold: a key is hot when its left row count exceeds this;
+      default is a task's fair share, ``left.count() /
+      spark.sql.shuffle.partitions`` (floored at 1000 so small tables
+      never salt).
+    max_hot_keys: the hot list is collected to the driver for the
+      split predicates; above this, prefer AQE skew-join
+      (``spark.sql.adaptive.skewJoin.enabled``) over explicit salting.
 
     Only ``inner`` and ``left`` joins are supported: the right side is
-    replicated n_salt times, so right/full outer would emit each
-    unmatched right row once per salt replica. Flip the inputs (salting
-    the skewed side as ``left``) for the mirrored cases.
+    replicated n_salt times for hot keys, so right/full outer would
+    emit each unmatched hot right row once per salt replica. Flip the
+    inputs (salting the skewed side as ``left``) for the mirrored
+    cases.
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(
             f"salted_join supports how='inner'/'left' only, got {how!r}: "
             "the salt-replicated right side would duplicate unmatched right rows"
         )
-    salt_l = F.floor(F.rand(seed=0) * n_salt).cast("int")
-    salted_l = left.withColumn("__salt", salt_l)
-    salted_r = right.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0).cast("int"), F.lit(n_salt - 1).cast("int")))
-    )
-    return salted_l.join(salted_r, [on, "__salt"], how).drop("__salt")
+
+    def _salted(l_side: DataFrame, r_side: DataFrame) -> DataFrame:
+        salt_l = F.floor(F.rand(seed=0) * n_salt).cast("int")
+        salted_l = l_side.withColumn("__salt", salt_l)
+        salted_r = r_side.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0).cast("int"),
+                                           F.lit(n_salt - 1).cast("int"))))
+        return salted_l.join(salted_r, [on, "__salt"], how).drop("__salt")
+
+    if isinstance(hot_keys, str) and hot_keys == "all":
+        return _salted(left, right)
+    if isinstance(hot_keys, str) and hot_keys == "auto":
+        if hot_threshold is None:
+            sp = int(left.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"))
+            hot_threshold = max(left.count() // max(sp, 1), 1000)
+        counts = (left.groupBy(on)
+                  .agg(F.count(F.lit(1)).alias("__c"))
+                  .where(F.col("__c") > hot_threshold))
+        rows = counts.select(on).limit(max_hot_keys + 1).collect()
+        if len(rows) > max_hot_keys:
+            raise ValueError(
+                f"more than max_hot_keys={max_hot_keys} keys exceed "
+                f"hot_threshold={hot_threshold}; use AQE skew-join "
+                "(spark.sql.adaptive.skewJoin.enabled) instead of an "
+                "explicit hot list this long")
+        hot_list = [r[0] for r in rows]
+    elif isinstance(hot_keys, str):
+        raise ValueError(f"hot_keys must be 'auto', 'all', or a list, "
+                         f"got {hot_keys!r}")
+    else:
+        # NULL keys never equi-match; dropping them from the hot list
+        # keeps the split predicates three-valued-logic-safe
+        hot_list = [k for k in hot_keys if k is not None]
+
+    if not hot_list:
+        return left.join(right, on, how)
+
+    is_hot = F.col(on).isin(hot_list)
+    # null-key left rows go to the cold branch (they survive a left
+    # join unmatched there; ~isin(NULL) is NULL and would drop them)
+    cold = (left.where(~is_hot | F.col(on).isNull())
+            .join(right.where(~is_hot), on, how))
+    hot = _salted(left.where(is_hot), right.where(is_hot))
+    return hot.unionByName(cold)
 
 
 class ScalabilityError(RuntimeError):
