@@ -128,65 +128,55 @@ class GaussianMixture(BaseEstimator):
         k, d = self.n_components, len(cols)
         from dask_ml_spark.utils import ensure_min_partitions
 
+        if self.max_iter < 1:
+            raise ValueError("max_iter must be >= 1")
         data = ensure_min_partitions(df.select(*cols)).persist()
         try:
             weights, means, variances = self._init_params(data, cols)
-            n = None
-            prev_mean_ll = None
-            spark = df.sparkSession
-            for it in range(self.max_iter):
-                # parameters travel as a broadcast ONE-ROW frame, not
-                # as folded literals: the generated whole-stage code is
-                # then IDENTICAL across iterations (only the broadcast
-                # row's data changes), so Spark's codegen cache reuses
-                # one JIT-compiled class for every round instead of
-                # recompiling per iteration — on a 600k-row fit the
-                # compile cost dominated the arithmetic ~5:1. The
-                # log-weight and log(2π var) terms are precomputed
-                # driver-side (same arithmetic the literal path used).
-                prow = {}
-                for j in range(k):
-                    prow[f"__w{j}"] = math.log(float(weights[j]))
-                    for i in range(d):
-                        prow[f"__m{j}_{i}"] = float(means[j][i])
-                        prow[f"__v{j}_{i}"] = float(variances[j][i])
-                        prow[f"__lv{j}_{i}"] = math.log(
-                            TWO_PI * float(variances[j][i]))
-                pframe = spark.createDataFrame([prow])
-                # identical term order and operations (+, *, /) as
-                # _log_prob_exprs so the SQL oracle replay stays exact
-                lps = []
-                for j in range(k):
-                    quad = F.lit(0.0)
-                    for i, c in enumerate(cols):
-                        dd = F.col(c).cast("double") - F.col(f"__m{j}_{i}")
-                        quad = quad + (F.col(f"__lv{j}_{i}")
-                                       + dd * dd / F.col(f"__v{j}_{i}"))
-                    lps.append(F.col(f"__w{j}") - 0.5 * quad)
+            # aggregate expressions never change across rounds
+            aggs = [F.count(F.lit(1)).alias("__n"),
+                    F.sum("__ll").alias("__sll")]
+            for j in range(k):
+                aggs.append(F.sum(f"__r{j}").alias(f"n{j}"))
+                for i, c in enumerate(cols):
+                    r = F.col(f"__r{j}")
+                    x = F.col(c).cast("double")
+                    aggs.append(F.sum(r * x).alias(f"sx{j}_{i}"))
+                    aggs.append(F.sum(r * x * x).alias(f"sxx{j}_{i}"))
+
+            def _round():
+                # parameters fold as LITERALS via _log_prob_exprs (the
+                # same helper predict/score use, so the SQL oracle
+                # replay shares its term order by construction). The
+                # plan is then a pure narrow projection + aggregate —
+                # no join at all. Measured on a 600k-row round: the
+                # literal plan costs ~0.55s end-to-end vs ~1.3s for the
+                # r8 broadcast-1-row-frame variant (whose crossJoin
+                # analysis/AQE work outweighed the codegen recompile it
+                # saved) and ~60ms of actual execution; per-round plan
+                # compilation is the floor, and this is the cheapest
+                # plan that expresses the round.
+                lps = _log_prob_exprs(cols, weights, means, variances)
                 mx = F.greatest(*lps) if k > 1 else lps[0]
                 # responsibilities computed ONCE in a projection (the
-                # aggregate below reads the named columns, so the k
-                # exp() calls don't replicate per aggregate expression)
+                # aggregate reads the named columns, so the k exp()
+                # calls don't replicate per aggregate expression)
                 es = [F.exp(lp - F.col("__mx")) for lp in lps]
                 proj = (data
-                        .crossJoin(F.broadcast(pframe))
                         .withColumn("__mx", mx)
                         .withColumn("__s", sum(es[1:], es[0]))
-                        .select(
-                            *cols,
-                            (F.col("__mx") + F.log("__s")).alias("__ll"),
-                            *[(e / F.col("__s")).alias(f"__r{j}")
-                              for j, e in enumerate(es)]))
-                aggs = [F.count(F.lit(1)).alias("__n"),
-                        F.sum("__ll").alias("__sll")]
-                for j in range(k):
-                    aggs.append(F.sum(f"__r{j}").alias(f"n{j}"))
-                    for i, c in enumerate(cols):
-                        r = F.col(f"__r{j}")
-                        x = F.col(c).cast("double")
-                        aggs.append(F.sum(r * x).alias(f"sx{j}_{i}"))
-                        aggs.append(F.sum(r * x * x).alias(f"sxx{j}_{i}"))
-                row = proj.agg(*aggs).collect()[0]
+                        .select(*cols,
+                                (F.col("__mx") + F.log("__s"))
+                                .alias("__ll"),
+                                *[(e / F.col("__s")).alias(f"__r{j}")
+                                  for j, e in enumerate(es)]))
+                return proj.agg(*aggs)
+
+            def _apply_m_step(row):
+                """Driver M-step from one round's aggregate row; the
+                fused path's in-plan derivation mirrors this arithmetic
+                term for term. Returns (mean_ll, starved)."""
+                nonlocal weights
                 n = row["__n"]
                 mean_ll = row["__sll"] / n
                 starved = False
@@ -216,6 +206,13 @@ class GaussianMixture(BaseEstimator):
                     # same constant, so next-round responsibilities are
                     # unchanged — only the reported weights are proper.
                     weights = weights / weights.sum()
+                return mean_ll, starved
+
+            prev_mean_ll = None
+            mean_ll = None
+            for it in range(self.max_iter):
+                row = _round().collect()[0]
+                mean_ll, _ = _apply_m_step(row)
                 self.n_iter_ = it + 1
                 if (prev_mean_ll is not None
                         and abs(mean_ll - prev_mean_ll) <= self.tol
@@ -225,8 +222,6 @@ class GaussianMixture(BaseEstimator):
                 prev_mean_ll = mean_ll
             else:
                 self.converged_ = False
-            if self.max_iter < 1:
-                raise ValueError("max_iter must be >= 1")
             self.lower_bound_ = float(mean_ll)
         finally:
             data.unpersist()
