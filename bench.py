@@ -47,6 +47,7 @@ HEADLINE = [
     "embedding_near_dup",
     "embedding_near_dup_scaled",
     "semantic_dedup",
+    "semantic_dedup_linear",
     "cross_corpus_dedup",
     "source_token_quota",
     "sequence_packing",

@@ -2031,6 +2031,64 @@ FROM pairs GROUP BY cluster
 """
 
 
+SEMDEDUP_TPP = 8  # target candidate pairs charged per item (linear mode)
+
+
+def q_semantic_dedup_linear(spark, sf_dir):
+    """SemDeDup's PRODUCTION-scale geometry (r8 `target_pairs_per_item`
+    + LSH-code quantizer, dedup.py): k ~ N/(2t+1) buckets from a
+    ceil(log2 k)-bit random-hyperplane code, so BOTH the quantizer
+    (N·log k sign projections) and the pair volume (~N·t candidates)
+    are linear in N — unlike q_semantic_dedup's paper-rule k ~ sqrt(N),
+    which is N^1.5 pair work and benches 4.5x for 10x rows. Oracled by
+    the adaptive-geometry fixed-point convention: at the oracle SF
+    (N=500) the sizing resolves to the default 64-cluster floor = 6
+    bits, and the SQL replays those exact plane literals, the banded
+    code, the id-ranked within-bucket join, and the aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = DD.semantic_dedup_pairs(
+        emb, threshold=0.44, order="id",
+        target_pairs_per_item=SEMDEDUP_TPP, seed=42)
+    return (
+        pairs.groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(F.count("*").alias("n_pairs"),
+             F.countDistinct("id_b").alias("n_dropped"))
+    )
+
+
+def sql_semantic_dedup_linear() -> str:
+    """Replay the LSH-code quantizer at the oracle SF's resolved
+    geometry: n_clusters = max(64, ceil(500/(2·8+1))) = 64 → 6 planes,
+    bucket = Σ 2^j·[dot(v, plane_j) > 0] (bit j = plane j, the
+    single-band convention of CosineLSHIndex), then the same
+    id-ordered within-bucket pair join q_semantic_dedup uses."""
+    import math as _math
+
+    n = 500  # embeddings rows at the oracle SF (sf0.01)
+    n_clusters = max(64, _math.ceil(n / (2 * SEMDEDUP_TPP + 1)))
+    bits = max(1, _math.ceil(_math.log2(max(n_clusters, 2))))
+    planes = DD.lsh_plane_matrix(bits, EMB_DIM, seed=42)
+    terms = []
+    for j in range(bits):
+        lit = "[" + ", ".join(f"{v!r}" for v in planes[j].tolist()) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(embedding, {lit}) > 0"
+                     f" THEN {2 ** j} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+WITH coded AS (
+    SELECT vec_id, embedding, {bucket} AS cluster FROM embeddings
+), pairs AS (
+    SELECT l.cluster, l.vec_id AS id_a, r.vec_id AS id_b
+    FROM coded l JOIN coded r
+      ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+    WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.44
+)
+SELECT cluster::BIGINT AS cluster, count(*) AS n_pairs,
+       count(DISTINCT id_b) AS n_dropped
+FROM pairs GROUP BY cluster
+"""
+
+
 def q_quantized_embeddings(spark, sf_dir):
     """Int8 scalar quantization (datapipe/similarity.py::
     quantize_embeddings) — integer code stats per vector. The
@@ -3840,6 +3898,7 @@ def build_catalog():
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_scaled": q_embedding_near_dup_scaled,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_linear": q_semantic_dedup_linear,
         "quantized_embeddings": q_quantized_embeddings,
         "ann_recall_metrics": q_ann_recall_metrics,
         "idle_customers": q_idle_customers,
@@ -4068,6 +4127,7 @@ def build_catalog():
         "embedding_near_dup": sql_embedding_near_dup(),
         "embedding_near_dup_scaled": sql_embedding_near_dup_scaled(),
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
+        "semantic_dedup_linear": sql_semantic_dedup_linear(),
         "quantized_embeddings": SQL_QUANTIZED_EMBEDDINGS,
         "ann_recall_metrics": sql_ann_recall_metrics(),
         "idle_customers": SQL_IDLE_CUSTOMERS,
