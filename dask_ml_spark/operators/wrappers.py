@@ -137,20 +137,38 @@ class Incremental(ParallelPostFit):
     shuffled per epoch like the reference (random_state shuffles
     blocks, _partial.py:100-103); the shuffle's map side runs once and
     its output is reused by every per-partition job.
+
+    deterministic_by=[key cols] replaces the seeded partition shuffle
+    with CONTENT-deterministic blocks: block id = the engine-portable
+    Knuth hash of the row's key mod n_blocks (the hash_split chain),
+    processed in block order 0..n_blocks-1 — so block MULTISETS and
+    their order are pure functions of the data, stable across
+    partitionings/retries, and a SQL oracle can replay the sequential
+    partial_fit chain as n_blocks chained batch-aggregate updates.
+    (Row order WITHIN a block still follows shuffle fetch order; the
+    partial_fit contract this enables is batch-aggregate math like
+    SGDClassifier's mean-gradient step, which is order-free up to
+    float association.) shuffle_blocks/random_state are ignored in
+    this mode. Same executor topology: the model travels, block rows
+    never reach the driver.
     """
 
     def __init__(self, estimator=None, scoring=None, shuffle_blocks: bool = True,
-                 random_state: int | None = None):
+                 random_state: int | None = None, deterministic_by=None,
+                 n_blocks: int = 8):
         super().__init__(estimator, scoring)
         self.shuffle_blocks = shuffle_blocks
         self.random_state = random_state
+        self.deterministic_by = (
+            [deterministic_by] if isinstance(deterministic_by, str)
+            else list(deterministic_by) if deterministic_by else None)
+        self.n_blocks = n_blocks
 
     def fit(self, df: DataFrame, columns=None, label_col: str = "label", classes=None, epochs: int = 1):
         import pickle
 
         cols = self._validate_data(df, columns)
         self.feature_columns_ = cols
-        sel = df.select(*cols, label_col)
         sc = df.sparkSession.sparkContext
         rng = np.random.RandomState(self.random_state)
         fit_kwargs = {}
@@ -159,6 +177,33 @@ class Incremental(ParallelPostFit):
         blob = pickle.dumps(self.estimator)
         all_cols = [*cols, label_col]
         self.executor_partition_fits_ = 0
+        if self.deterministic_by:
+            # identity-partition by the key-hash fold so partition pid
+            # IS block pid (DataFrame repartition would route folds
+            # through murmur3, scrambling block identity); the
+            # partitionBy shuffle's map side still runs once and is
+            # reused by every per-partition job
+            from dask_ml_spark.plans.model_selection import _hash_bucket_expr
+
+            fold = _hash_bucket_expr(self.deterministic_by, self.n_blocks,
+                                     0, df=df)
+            sel2 = df.select(fold.cast("int").alias("__fold"),
+                             *cols, label_col)
+            rdd = (sel2.rdd
+                   .map(lambda r: (r[0], tuple(r[1:])))
+                   .partitionBy(self.n_blocks, lambda k: k)
+                   .values())
+            for _ in range(epochs):
+                for pid in range(self.n_blocks):
+                    task = _partition_partial_fit(
+                        blob, list(cols), all_cols, label_col, fit_kwargs)
+                    out = sc.runJob(rdd, task, partitions=[pid])
+                    if out:
+                        blob = out[0]
+                        self.executor_partition_fits_ += 1
+            self.estimator = pickle.loads(blob)
+            return self
+        sel = df.select(*cols, label_col)
         for _ in range(epochs):
             it_df = sel
             if self.shuffle_blocks:

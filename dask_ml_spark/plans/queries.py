@@ -4237,6 +4237,7 @@ def build_catalog():
         "dbscan_cluster_sizes": _sql_dbscan_cluster_sizes(),
         "mahalanobis_outliers": _sql_mahalanobis_outliers(),
         "hyperband_best": _sql_hyperband_best(),
+        "incremental_sgd_eval": sql_incremental_sgd_eval(),
         "precision_recall_f1": SQL_PRECISION_RECALL_F1,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "confusion_matrix": SQL_CONFUSION_MATRIX,
@@ -7502,12 +7503,23 @@ def sql_spectral_clustering_sizes() -> str:
               "FROM af GROUP BY cluster")
 
 
+SGD_N_BLOCKS = 8
+
+
 def q_incremental_sgd_eval(spark, sf_dir):
     """Incremental wrapper (reference wrappers.py:419-603): sequential
     partial_fit as chained single-partition executor jobs (the model
     travels between executors, partition data never leaves them), then
-    distributed broadcast predict + accuracy."""
-    from dask_ml_spark.functions.metrics import accuracy_expr
+    distributed broadcast predict + accuracy. Oracle-able since r9:
+    deterministic_by keys the blocks by the engine-portable Knuth hash
+    (content-deterministic block multisets in block order), and
+    SGDClassifier's partial_fit is one mean-gradient step per block —
+    a closed form of batch aggregates, so the SQL replays the
+    8-block sequential chain as chained CTE updates and scores the
+    final weights. Accuracy is a thresholded count ratio, so the
+    float-association slack between numpy block sums and SQL sums
+    cannot move it at the 1e-6 rounding. The seeded shuffle_blocks
+    mode stays the production default (tests/test_models.py)."""
     from dask_ml_spark.operators.local_estimators import SGDClassifier
     from dask_ml_spark.operators.preprocessing import StandardScaler
     from dask_ml_spark.operators.wrappers import Incremental
@@ -7517,13 +7529,69 @@ def q_incremental_sgd_eval(spark, sf_dir):
     )
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     scaled = StandardScaler().fit(li, cols).transform(li)
-    inc = Incremental(SGDClassifier(lr=0.1), random_state=3)
+    inc = Incremental(SGDClassifier(lr=0.1),
+                      deterministic_by=["l_orderkey", "l_linenumber"],
+                      n_blocks=SGD_N_BLOCKS)
     inc.fit(scaled, cols, label_col="label", classes=[0.0, 1.0])
     pred = inc.predict(scaled)
+    acc = F.avg((F.col("label") == F.col("prediction")).cast("double"))
     return pred.agg(
-        accuracy_expr(F.col("label"), F.col("prediction")).alias("accuracy"),
+        (F.floor(acc * 1e6 + F.lit(0.5)) / 1e6).alias("accuracy"),
         F.count("*").alias("n"),
     )
+
+
+def sql_incremental_sgd_eval() -> str:
+    """Replay the deterministic Incremental SGD chain: fold = the
+    2-key Knuth hash mod 8 (same chain as hash_split), then per block
+    one mean-gradient logistic step
+        p = sigmoid(clip(x·w + b, ±35)); g = p − y
+        c_k ← c_k − lr·(Σ g·x_k / n + alpha·c_k);  b ← b − lr·Σg/n
+    exactly SGDClassifier.partial_fit's arithmetic, chained through 8
+    CTEs, then broadcast predict (margin > 0) and accuracy."""
+    lr, alpha = 0.1, 1e-4
+    feats = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    nf = len(feats)
+    xs = ", ".join(
+        f"(({c} - avg({c}) OVER ()) / stddev_pop({c}) OVER ()) AS x{i}"
+        for i, c in enumerate(feats))
+    margin = " + ".join(f"x{i}*c{i}" for i in range(nf)) + " + b0"
+    chain = []
+    prev = "w0"
+    for b in range(SGD_N_BLOCKS):
+        sums = ", ".join(f"sum(g * x{i}) AS s{i}" for i in range(nf))
+        ups = ", ".join(
+            f"CASE WHEN n > 0 THEN c{i} - {lr!r} * (s{i}/n + {alpha!r}*c{i})"
+            f" ELSE c{i} END AS c{i}" for i in range(nf))
+        chain.append(f"""g{b} AS (
+    SELECT count(*)::DOUBLE AS n, {sums}, sum(g) AS sg
+    FROM (SELECT {', '.join(f'x{i}' for i in range(nf))},
+                 1.0/(1.0 + exp(-greatest(-35.0::DOUBLE,
+                     least(35.0::DOUBLE, {margin})))) - y AS g
+          FROM train CROSS JOIN {prev} WHERE fold = {b})
+), w{b + 1} AS (
+    SELECT {ups},
+           CASE WHEN n > 0 THEN b0 - {lr!r} * (sg / n) ELSE b0 END AS b0
+    FROM {prev} CROSS JOIN g{b})""")
+        prev = f"w{b + 1}"
+    chain_sql = ",\n".join(chain)
+    return f"""
+WITH train AS (
+    SELECT {xs},
+           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+           ((((0 + l_orderkey) % 2147483648) * 2654435761 % 2147483648
+             + l_linenumber) % 2147483648) * 2654435761
+             % 2147483648 % {SGD_N_BLOCKS} AS fold
+    FROM lineitem
+),
+w0 AS (SELECT {', '.join(f'0.0::DOUBLE AS c{i}' for i in range(nf))},
+              0.0::DOUBLE AS b0),
+{chain_sql}
+SELECT floor(avg(CASE WHEN (CASE WHEN {margin} > 0 THEN 1.0 ELSE 0.0 END) = y
+                      THEN 1.0 ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS accuracy,
+       count(*) AS n
+FROM train CROSS JOIN {prev}
+"""
 
 
 def q_poisson_regression_fit(spark, sf_dir):

@@ -64,6 +64,61 @@ def test_incremental_partial_fit(xy_classification):
     assert inc.executor_partition_fits_ >= 2
 
 
+def test_incremental_deterministic_blocks(spark):
+    """deterministic_by must make the block chain a pure function of
+    the data: (a) refits and arbitrary input repartitionings give
+    IDENTICAL coefficients, and (b) the result equals a driver-side
+    replay that groups rows by the same Knuth fold and chains
+    partial_fit in fold order (the semantics the SQL oracle replays)."""
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.operators.local_estimators import SGDClassifier
+    from dask_ml_spark.operators.wrappers import Incremental
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("double").alias("f0"),
+        ((F.col("id") % 13) / 13.0).alias("f1"),
+        ((F.col("id") % 3) == 0).cast("double").alias("label"))
+
+    def run(frame):
+        inc = Incremental(SGDClassifier(lr=0.1), deterministic_by=["k"],
+                          n_blocks=4)
+        inc.fit(frame, ["f0", "f1"], label_col="label", classes=[0.0, 1.0])
+        return inc
+
+    a, b = run(df), run(df.repartition(13))
+    # block MULTISETS and block order are exactly reproducible; row
+    # order WITHIN a block follows shuffle fetch order, so the
+    # batch-mean float sums agree only to association slack (~1e-16) —
+    # which is the documented contract (and why the oracle scores the
+    # thresholded accuracy, not raw coefficients)
+    np.testing.assert_allclose(a.estimator.coef_, b.estimator.coef_,
+                               rtol=1e-12)
+    np.testing.assert_allclose(a.estimator.intercept_,
+                               b.estimator.intercept_, rtol=1e-12)
+    assert a.executor_partition_fits_ == 4
+
+    # independent fold computation (the hash_split Knuth chain) +
+    # driver-side sequential chain over fold groups in fold order
+    pdf = df.toPandas()
+    M, P = 2654435761, 1 << 31
+    folds = ((pdf["k"].astype("int64") % P) * M % P) % 4
+    model = SGDClassifier(lr=0.1)
+    for fold in range(4):
+        part = pdf[folds == fold]
+        if len(part):
+            model.partial_fit(part[["f0", "f1"]].to_numpy(dtype="float64"),
+                              part["label"].to_numpy(dtype="float64"),
+                              classes=np.array([0.0, 1.0]))
+    # same multisets, same order; only within-block ROW order differs
+    # (shuffle fetch vs pandas order), so the batch-mean steps agree to
+    # float-association slack
+    np.testing.assert_allclose(a.estimator.coef_, model.coef_, rtol=1e-9)
+    np.testing.assert_allclose(a.estimator.intercept_, model.intercept_,
+                               rtol=1e-9)
+
+
 def test_block_transformer(xy_regression):
     bt = BlockTransformer(lambda pdf: pdf.assign(f0=pdf.f0 * 2))
     out = bt.transform(xy_regression).select("f0").toPandas()
