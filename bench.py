@@ -184,6 +184,11 @@ HEADLINE = [
     "copurchase_triangles",         # degree-oriented triangle counting
     "time_fill_events",             # grid fill + linear interpolation
     "random_projection_norms",      # JL sparse projection fold
+    # r9 additions (semantic_dedup_linear is listed above beside its
+    # paper-geometry sibling)
+    "ks_price_test",                # two-sample KS (prefix-sum ECDFs)
+    "mann_whitney_discount",        # rank-sum U + tie-corrected z/p
+    "kaplan_meier_conversion",      # product-limit survival curve
 ]
 
 # The remaining ~50 catalog queries stay out of the headline

@@ -1,0 +1,235 @@
+"""Distributed hypothesis tests and survival analysis.
+
+Beyond the reference (dask-ml defers hypothesis testing to single-node
+scipy; a corpus-scale engine needs the two-sample comparisons that gate
+data experiments — did the new scrape change the quality-score
+distribution? — and the survival curve that describes time-to-event
+behavior in event logs).
+
+All three operators share one scale shape: aggregate to ONE ROW PER
+DISTINCT VALUE first (a hash groupBy with map-side combine — the only
+pass over the raw rows), then run the cumulative pieces over that
+much smaller frame with datapipe.packing.prefix_sum, the range-
+partitioned two-phase cumsum. No keyless Window.partitionBy() anywhere,
+so no single-task serialization of the full corpus; the prefix frames
+hold one row per distinct value/duration, not per input row.
+
+p-values use explicit literal-coefficient approximations (the
+asymptotic Kolmogorov series; Abramowitz & Stegun 26.2.17 for the
+normal CDF, |error| < 7.5e-8) written with identical operation order
+in the Spark expressions and the SQL oracles, so both engines compute
+bit-comparable values.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SQRT_TWO_PI = 2.5066282746310002  # sqrt(2*pi), literal-folded
+
+# Abramowitz & Stegun 26.2.17 rational tail coefficients
+_AS_B = (0.319381530, -0.356563782, 1.781477937,
+         -1.821255978, 1.330274429)
+_AS_K = 0.2316419
+
+
+def normal_sf_expr(z: Column) -> Column:
+    """P(Z > z) for z >= 0 — A&S 26.2.17 (|error| < 7.5e-8): the same
+    five-term polynomial in k = 1/(1 + 0.2316419 z), times the normal
+    density. Literal arithmetic only, so any SQL engine replays it."""
+    k = 1.0 / (1.0 + F.lit(_AS_K) * z)
+    poly = F.lit(0.0)
+    for i, b in enumerate(_AS_B):
+        p = k
+        for _ in range(i):
+            p = p * k
+        poly = poly + F.lit(b) * p
+    phi = F.exp(-(z * z) / 2.0) / F.lit(SQRT_TWO_PI)
+    return phi * poly
+
+
+def _normal_sf_sql(z: str) -> str:
+    """The identical A&S 26.2.17 text for a DuckDB oracle (z >= 0)."""
+    k = f"(1.0 / (1.0 + {_AS_K!r} * {z}))"
+    terms = []
+    for i, b in enumerate(_AS_B):
+        pw = " * ".join([k] * (i + 1))
+        terms.append(f"{b!r} * {pw}")
+    poly = "(0.0 + " + " + ".join(terms) + ")"
+    return f"(exp(-({z} * {z}) / 2.0) / {SQRT_TWO_PI!r} * {poly})"
+
+
+_KS_TERMS = 25  # e^(-2 k^2 λ^2) underflows far earlier for any λ of note
+
+
+def ks_p_expr(lam: Column) -> Column:
+    """Asymptotic Kolmogorov tail Q(λ) = 2 Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²},
+    truncated at 25 terms (the k=25 term is e^{−1250·λ²} — below double
+    epsilon for any λ > 0.17) and clamped to [0, 1] (the series is only
+    asymptotically a probability)."""
+    s = F.lit(0.0)
+    for kk in range(1, _KS_TERMS + 1):
+        term = F.exp(F.lit(-2.0 * kk * kk) * lam * lam)
+        s = s + (term if kk % 2 == 1 else -term)
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * s))
+
+
+def _ks_p_sql(lam: str) -> str:
+    terms = []
+    for kk in range(1, _KS_TERMS + 1):
+        sign = "+" if kk % 2 == 1 else "-"
+        terms.append(f"{sign} exp({-2.0 * kk * kk!r} * {lam} * {lam})")
+    return (f"least(1.0, greatest(0.0, 2.0 * (0.0 {' '.join(terms)})))")
+
+
+def _two_group_counts(df: DataFrame, value_col: str, group_col: str,
+                      groups) -> tuple[DataFrame, object, object]:
+    """One row per distinct value with per-group counts — the shared
+    first pass. groups=(a, b) names the two samples; None infers them
+    (a bounded 3-row collect that raises unless exactly two)."""
+    if groups is None:
+        vals = [r[0] for r in (df.select(group_col).distinct()
+                               .orderBy(group_col).limit(3).collect())]
+        if len(vals) != 2:
+            raise ValueError(
+                f"{group_col} must have exactly 2 groups for a two-sample "
+                f"test; found {vals} (pass groups=(a, b) to select two)")
+        groups = tuple(vals)
+    g1, g2 = groups
+    v = F.col(value_col).cast("double")
+    kept = df.where(v.isNotNull() & ~F.isnan(v)
+                    & F.col(group_col).isin([g1, g2]))
+    g = (kept.groupBy(v.alias("__v"))
+         .agg(F.sum((F.col(group_col) == g1).cast("double")).alias("__c1"),
+              F.sum((F.col(group_col) == g2).cast("double")).alias("__c2")))
+    return g, g1, g2
+
+
+def ks_2sample(df: DataFrame, value_col: str, group_col: str,
+               groups=None) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test, distributed.
+
+    D = max_x |F1(x) − F2(x)| over the pooled distinct values
+    (both ECDFs evaluated inclusively — right-continuous — at each
+    value, which is where the sup of the step-function difference is
+    attained), p = the asymptotic Kolmogorov tail at
+    λ = D·√(n1·n2/(n1+n2)).
+
+    Returns one row: (n1, n2, d_stat, p_value). Shape: one groupBy of
+    the raw rows, two prefix sums over the distinct-value frame, one
+    final aggregate.
+    """
+    from dask_ml_spark.datapipe.packing import prefix_sum
+
+    g, _, _ = _two_group_counts(df, value_col, group_col, groups)
+    g = prefix_sum(g, "__v", "__c1", "__b1")
+    g = prefix_sum(g, "__v", "__c2", "__b2")
+    tot = g.agg(F.sum("__c1").alias("__n1"), F.sum("__c2").alias("__n2"))
+    j = g.crossJoin(F.broadcast(tot))
+    diff = F.abs((F.col("__b1") + F.col("__c1")) / F.col("__n1")
+                 - (F.col("__b2") + F.col("__c2")) / F.col("__n2"))
+    agg = j.agg(F.first("__n1").alias("n1_d"),
+                F.first("__n2").alias("n2_d"),
+                F.max(diff).alias("d_stat"))
+    lam = (F.col("d_stat")
+           * F.sqrt(F.col("n1_d") * F.col("n2_d")
+                    / (F.col("n1_d") + F.col("n2_d"))))
+    return agg.select(
+        F.col("n1_d").cast("long").alias("n1"),
+        F.col("n2_d").cast("long").alias("n2"),
+        F.col("d_stat"),
+        ks_p_expr(lam).alias("p_value"))
+
+
+def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
+                   groups=None) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum), distributed.
+
+    U (for the first group) via the tie-averaged rank-sum identity
+    U1 = Σ_x c1(x)·(below2(x) + ½·c2(x)) — the same machinery as the
+    exact ROC-AUC, which equals U/(n1·n2). The normal approximation is
+    tie-corrected (σ² = n1n2/12·[(n+1) − Σ(t³−t)/(n(n−1))]) and
+    continuity-corrected (±0.5 toward the mean); p is two-sided via
+    the A&S 26.2.17 normal tail. All-tied data (σ = 0) reports z = 0,
+    p = 1.
+
+    Returns one row: (n1, n2, u_stat, z, p_value). Shape: one groupBy,
+    one prefix sum over distinct values, one final aggregate.
+    """
+    from dask_ml_spark.datapipe.packing import prefix_sum
+
+    g, _, _ = _two_group_counts(df, value_col, group_col, groups)
+    g = prefix_sum(g, "__v", "__c2", "__b2")
+    t = F.col("__c1") + F.col("__c2")
+    agg = g.agg(
+        F.sum(F.col("__c1")
+              * (F.col("__b2") + 0.5 * F.col("__c2"))).alias("u_d"),
+        F.sum("__c1").alias("n1_d"),
+        F.sum("__c2").alias("n2_d"),
+        F.sum(t * t * t - t).alias("ties_d"))
+    n1, n2 = F.col("n1_d"), F.col("n2_d")
+    n = n1 + n2
+    u = F.col("u_d")
+    mu = n1 * n2 / 2.0
+    var = (n1 * n2 / 12.0
+           * ((n + 1.0) - F.col("ties_d") / (n * (n - 1.0))))
+    # continuity correction shrinks |U - mu| by 0.5 (not past zero)
+    shift = F.greatest(F.lit(0.0), F.abs(u - mu) - 0.5)
+    z = F.when(var <= 0.0, F.lit(0.0)).otherwise(
+        F.signum(u - mu) * shift / F.sqrt(var))
+    p = F.when(var <= 0.0, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), 2.0 * normal_sf_expr(F.abs(z))))
+    return agg.select(
+        n1.cast("long").alias("n1"), n2.cast("long").alias("n2"),
+        u.alias("u_stat"), z.alias("z"), p.alias("p_value"))
+
+
+def kaplan_meier(df: DataFrame, duration_col: str,
+                 event_col: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve, distributed.
+
+    One output row per distinct duration t:
+      n_risk(t)   = subjects with duration ≥ t
+      n_events(t) = events at exactly t (event_col truthy)
+      n_censored(t) = censorings at exactly t
+      survival(t) = Π_{t' ≤ t} (1 − d(t')/n_risk(t'))
+
+    The product is exp(Σ ln(1 − d/n)) with an explicit zero-factor
+    carry (once any factor hits 0 — everyone at risk dies — survival
+    is exactly 0.0 from there on, rather than exp(−inf) edge cases).
+    Shape: one groupBy(duration) over the raw rows, three chained
+    prefix sums over the distinct-duration frame (n_risk needs the
+    count cumsum BEFORE the log-factor cumsum exists).
+    """
+    from dask_ml_spark.datapipe.packing import prefix_sum
+
+    ev = F.col(event_col).cast("double")
+    g = (df.where(F.col(duration_col).isNotNull())
+         .groupBy(F.col(duration_col).cast("double").alias("__t"))
+         .agg(F.sum((ev != 0).cast("double")).alias("__d"),
+              F.sum((ev == 0).cast("double")).alias("__c"),
+              F.count(F.lit(1)).cast("double").alias("__n")))
+    g = prefix_sum(g, "__t", "__n", "__before")
+    tot = g.agg(F.sum("__n").alias("__ntot"))
+    j = g.crossJoin(F.broadcast(tot))
+    n_risk = F.col("__ntot") - F.col("__before")
+    factor = 1.0 - F.col("__d") / n_risk
+    j = j.select(
+        "__t", "__d", "__c", n_risk.alias("__nr"),
+        F.when(factor > 0.0, F.log(factor)).otherwise(F.lit(0.0))
+        .alias("__lnf"),
+        (factor <= 0.0).cast("double").alias("__zf"))
+    j = prefix_sum(j, "__t", "__lnf", "__cumln")
+    j = prefix_sum(j, "__t", "__zf", "__cumzf")
+    survival = F.when(
+        F.col("__cumzf") + F.col("__zf") > 0.0, F.lit(0.0)
+    ).otherwise(F.exp(F.col("__cumln") + F.col("__lnf")))
+    return j.select(
+        F.col("__t").alias("duration"),
+        F.col("__nr").cast("long").alias("n_risk"),
+        F.col("__d").cast("long").alias("n_events"),
+        F.col("__c").cast("long").alias("n_censored"),
+        survival.alias("survival"))

@@ -4024,6 +4024,9 @@ def build_catalog():
         "train_test_split_sizes": q_train_test_split_sizes,
         "spectral_clustering_sizes": q_spectral_clustering_sizes,
         "incremental_sgd_eval": q_incremental_sgd_eval,
+        "ks_price_test": q_ks_price_test,
+        "mann_whitney_discount": q_mann_whitney_discount,
+        "kaplan_meier_conversion": q_kaplan_meier_conversion,
         "poisson_regression_fit": q_poisson_regression_fit,
         "poisson_saturated_fit": q_poisson_saturated_fit,
         "roc_auc_eval": q_roc_auc_eval,
@@ -4238,6 +4241,9 @@ def build_catalog():
         "mahalanobis_outliers": _sql_mahalanobis_outliers(),
         "hyperband_best": _sql_hyperband_best(),
         "incremental_sgd_eval": sql_incremental_sgd_eval(),
+        "ks_price_test": _sql_ks_price_test(),
+        "mann_whitney_discount": _sql_mann_whitney_discount(),
+        "kaplan_meier_conversion": SQL_KAPLAN_MEIER_CONVERSION,
         "precision_recall_f1": SQL_PRECISION_RECALL_F1,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "confusion_matrix": SQL_CONFUSION_MATRIX,
@@ -7606,6 +7612,198 @@ def q_poisson_regression_fit(spark, sf_dir):
         "coef_tax": float(pr.coef_[1]),
         "intercept": float(pr.intercept_),
     }])
+
+
+def q_ks_price_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov (functions/stats.py::ks_2sample,
+    beyond-reference — the distribution-shift gate for data
+    experiments): did returned lineitems ship at different prices than
+    non-returned? D over the pooled distinct prices (inclusive ECDFs,
+    counts are exact in double so D is bit-exact cross-engine) + the
+    asymptotic Kolmogorov p (identical 25-term series both engines)."""
+    from dask_ml_spark.functions.stats import ks_2sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = ks_2sample(li, "l_extendedprice", "l_returnflag",
+                     groups=("N", "R"))
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n1", "n2", r6(F.col("d_stat")).alias("d_stat"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_ks_price_test() -> str:
+    from dask_ml_spark.functions.stats import _ks_p_sql
+
+    p = _ks_p_sql("lam")
+    return f"""
+WITH k AS (
+    SELECT l_extendedprice::DOUBLE AS v, l_returnflag AS g
+    FROM lineitem WHERE l_returnflag IN ('N', 'R')
+), g AS (
+    SELECT v,
+           sum(CASE WHEN g = 'N' THEN 1.0 ELSE 0.0 END) AS c1,
+           sum(CASE WHEN g = 'R' THEN 1.0 ELSE 0.0 END) AS c2
+    FROM k GROUP BY v
+), c AS (
+    SELECT v, c1, c2,
+           sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS f1,
+           sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS f2,
+           (SELECT sum(c1) FROM g) AS n1, (SELECT sum(c2) FROM g) AS n2
+    FROM g
+), d AS (
+    SELECT max(n1) AS n1, max(n2) AS n2,
+           max(abs(f1/n1 - f2/n2)) AS d_stat
+    FROM c
+), l AS (
+    SELECT n1, n2, d_stat,
+           d_stat * sqrt(n1 * n2 / (n1 + n2)) AS lam
+    FROM d
+)
+SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+       floor(d_stat * 1e6 + 0.5) / 1e6 AS d_stat,
+       floor({p} * 1e6 + 0.5) / 1e6 AS p_value
+FROM l
+"""
+
+
+def q_mann_whitney_discount(spark, sf_dir):
+    """Two-sample Mann–Whitney U (functions/stats.py::mann_whitney_u):
+    discount levels of returned vs non-returned items — 11 distinct
+    discount values, so the tie correction does real work. U is the
+    tie-averaged rank-sum (the exact-AUC identity: AUC = U/(n1·n2));
+    z is tie- and continuity-corrected; p via the shared A&S 26.2.17
+    normal tail (identical literal arithmetic both engines). Counts
+    and their products stay below 2^53, so u/z are exact."""
+    from dask_ml_spark.functions.stats import mann_whitney_u
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = mann_whitney_u(li, "l_discount", "l_returnflag",
+                         groups=("N", "R"))
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n1", "n2", "u_stat",
+                      r6(F.col("z")).alias("z"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_mann_whitney_discount() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    sf = _normal_sf_sql("abs(z)")
+    return f"""
+WITH k AS (
+    SELECT l_discount::DOUBLE AS v, l_returnflag AS g
+    FROM lineitem WHERE l_returnflag IN ('N', 'R')
+), g AS (
+    SELECT v,
+           sum(CASE WHEN g = 'N' THEN 1.0 ELSE 0.0 END) AS c1,
+           sum(CASE WHEN g = 'R' THEN 1.0 ELSE 0.0 END) AS c2
+    FROM k GROUP BY v
+), c AS (
+    SELECT v, c1, c2,
+           sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) - c2 AS b2
+    FROM g
+), a AS (
+    SELECT sum(c1 * (b2 + 0.5 * c2)) AS u,
+           sum(c1) AS n1, sum(c2) AS n2,
+           sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS ties
+    FROM c
+), s AS (
+    SELECT u, n1, n2,
+           n1 * n2 / 2.0 AS mu,
+           n1 * n2 / 12.0 * ((n1 + n2 + 1.0)
+               - ties / ((n1 + n2) * (n1 + n2 - 1.0))) AS var
+    FROM a
+), z AS (
+    SELECT u, n1, n2,
+           CASE WHEN var <= 0.0 THEN 0.0
+                ELSE sign(u - mu) * greatest(0.0, abs(u - mu) - 0.5)
+                     / sqrt(var) END AS z,
+           var
+    FROM s
+)
+SELECT n1::BIGINT AS n1, n2::BIGINT AS n2, u AS u_stat,
+       floor(z * 1e6 + 0.5) / 1e6 AS z,
+       floor((CASE WHEN var <= 0.0 THEN 1.0
+                   ELSE least(1.0, 2.0 * {sf}) END) * 1e6 + 0.5) / 1e6
+           AS p_value
+FROM z
+"""
+
+
+def q_kaplan_meier_conversion(spark, sf_dir):
+    """Kaplan–Meier time-to-purchase curve (functions/stats.py::
+    kaplan_meier) over the event log: per user, duration = days from
+    their first event to their first purchase; users who never
+    purchase are right-censored at their last event. The
+    product-limit curve runs as groupBy(duration) + three two-phase
+    prefix sums — no per-user or keyless window."""
+    from dask_ml_spark.functions.stats import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    d = F.to_date(F.col("ts").cast("timestamp"))
+    per = ev.groupBy("user_id").agg(
+        F.min(d).alias("first_d"),
+        F.max(d).alias("last_d"),
+        F.min(F.when(F.col("event_type") == "purchase", d))
+        .alias("purch_d"))
+    dur = F.when(F.col("purch_d").isNotNull(),
+                 F.datediff(F.col("purch_d"), F.col("first_d"))
+                 ).otherwise(F.datediff(F.col("last_d"), F.col("first_d")))
+    subj = per.select(dur.cast("double").alias("duration"),
+                      F.col("purch_d").isNotNull().cast("int")
+                      .alias("event"))
+    out = kaplan_meier(subj, "duration", "event")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(F.col("duration").cast("long").alias("duration"),
+                      "n_risk", "n_events", "n_censored",
+                      r6(F.col("survival")).alias("survival"))
+
+
+SQL_KAPLAN_MEIER_CONVERSION = """
+WITH per AS (
+    SELECT user_id,
+           min(CAST(ts AS DATE)) AS first_d,
+           max(CAST(ts AS DATE)) AS last_d,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ts AS DATE) END) AS purch_d
+    FROM events GROUP BY user_id
+), subj AS (
+    SELECT CASE WHEN purch_d IS NOT NULL
+                THEN date_diff('day', first_d, purch_d)
+                ELSE date_diff('day', first_d, last_d) END::DOUBLE AS t,
+           CASE WHEN purch_d IS NOT NULL THEN 1.0 ELSE 0.0 END AS e
+    FROM per
+), g AS (
+    SELECT t, sum(e) AS d, sum(1.0 - e) AS c, count(*)::DOUBLE AS n
+    FROM subj GROUP BY t
+), r AS (
+    SELECT t, d, c,
+           (SELECT sum(n) FROM g)
+               - (sum(n) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) - n) AS nr
+    FROM g
+), f AS (
+    SELECT t, d, c, nr,
+           CASE WHEN 1.0 - d/nr > 0.0 THEN ln(1.0 - d/nr)
+                ELSE 0.0 END AS lnf,
+           CASE WHEN 1.0 - d/nr <= 0.0 THEN 1.0 ELSE 0.0 END AS zf
+    FROM r
+), s AS (
+    SELECT t, d, c, nr,
+           CASE WHEN sum(zf) OVER w > 0.0 THEN 0.0
+                ELSE exp(sum(lnf) OVER w) END AS surv
+    FROM f
+    WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT t::BIGINT AS duration, nr::BIGINT AS n_risk,
+       d::BIGINT AS n_events, c::BIGINT AS n_censored,
+       floor(surv * 1e6 + 0.5) / 1e6 AS survival
+FROM s
+"""
 
 
 def q_calibration_curve(spark, sf_dir):

@@ -1,0 +1,143 @@
+"""Hypothesis tests + survival curve (functions/stats.py) against
+independent brute-force references — the oracle-blindness rule: every
+oracled query gets a hand-computed check that shares NO code with the
+implementation."""
+
+import math
+
+import numpy as np
+import pytest
+
+from dask_ml_spark.functions.stats import kaplan_meier, ks_2sample, mann_whitney_u
+
+
+def _brute_ks(a, b):
+    """Independent D: evaluate both ECDFs at every pooled point."""
+    a, b = np.sort(np.asarray(a, float)), np.sort(np.asarray(b, float))
+    pooled = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(a, pooled, side="right") / len(a)
+    f2 = np.searchsorted(b, pooled, side="right") / len(b)
+    return float(np.max(np.abs(f1 - f2)))
+
+
+def _brute_u(a, b):
+    """Independent U1: O(n^2) pair count (wins + half-ties)."""
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    gt = (a[:, None] > b[None, :]).sum()
+    eq = (a[:, None] == b[None, :]).sum()
+    return float(gt) + 0.5 * float(eq)
+
+
+def _mk(spark, a, b):
+    rows = [(float(v), "a") for v in a] + [(float(v), "b") for v in b]
+    return spark.createDataFrame(rows, ["x", "g"])
+
+
+def test_ks_2sample_matches_bruteforce(spark):
+    rng = np.random.RandomState(5)
+    a = rng.normal(0.0, 1.0, 300)
+    b = rng.normal(0.4, 1.2, 200)
+    # heavy ties too: quantize half of b
+    b[:100] = np.round(b[:100], 1)
+    row = ks_2sample(_mk(spark, a, b), "x", "g").collect()[0]
+    assert (row["n1"], row["n2"]) == (300, 200)
+    d_ref = _brute_ks(a, b)
+    assert abs(row["d_stat"] - d_ref) < 1e-12
+    # independent p: the same asymptotic series, written fresh
+    lam = d_ref * math.sqrt(300 * 200 / 500)
+    q = 2.0 * sum((-1) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+                  for k in range(1, 26))
+    assert abs(row["p_value"] - min(1.0, max(0.0, q))) < 1e-12
+    # identical distributions -> D small, p near 1
+    row2 = ks_2sample(_mk(spark, a, a), "x", "g").collect()[0]
+    assert row2["d_stat"] == 0.0 and row2["p_value"] == 1.0
+
+
+def test_mann_whitney_matches_bruteforce(spark):
+    rng = np.random.RandomState(9)
+    a = np.round(rng.normal(0.0, 1.0, 120), 1)   # rounded -> real ties
+    b = np.round(rng.normal(0.5, 1.0, 80), 1)
+    row = mann_whitney_u(_mk(spark, a, b), "x", "g").collect()[0]
+    u_ref = _brute_u(a, b)
+    assert row["u_stat"] == u_ref
+    # independent z/p: rank-sum normal approximation recomputed from
+    # scratch (tie term from the pooled value counts)
+    n1, n2 = 120, 80
+    n = n1 + n2
+    _, counts = np.unique(np.concatenate([a, b]), return_counts=True)
+    tie = float((counts.astype(float) ** 3 - counts).sum())
+    mu = n1 * n2 / 2.0
+    sd = math.sqrt(n1 * n2 / 12.0 * ((n + 1.0) - tie / (n * (n - 1.0))))
+    z_ref = math.copysign(max(0.0, abs(u_ref - mu) - 0.5), u_ref - mu) / sd
+    p_ref = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(abs(z_ref) / math.sqrt(2.0))))
+    assert abs(row["z"] - z_ref) < 1e-12
+    assert abs(row["p_value"] - min(1.0, p_ref)) < 1e-6  # A&S 26.2.17 tail
+    # all-tied data: sigma = 0 -> z = 0, p = 1 (not NaN)
+    row2 = mann_whitney_u(_mk(spark, [1, 1, 1], [1, 1]), "x", "g").collect()[0]
+    assert row2["z"] == 0.0 and row2["p_value"] == 1.0
+
+
+def test_mann_whitney_group_inference_guard(spark):
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "b"), (3.0, "c")], ["x", "g"])
+    with pytest.raises(ValueError, match="exactly 2 groups"):
+        mann_whitney_u(df, "x", "g")
+    # explicit groups select two of three
+    row = mann_whitney_u(df, "x", "g", groups=("a", "c")).collect()[0]
+    assert (row["n1"], row["n2"]) == (1, 1) and row["u_stat"] == 0.0
+
+
+def test_kaplan_meier_textbook(spark):
+    # classic worked example: times 1,2,3,4,5; death at 1,3,4;
+    # censored at 2; death+censored at 5 handled as separate subjects
+    rows = [(1.0, 1), (2.0, 0), (3.0, 1), (4.0, 1), (5.0, 1), (5.0, 0)]
+    df = spark.createDataFrame(rows, ["t", "e"])
+    out = {r["duration"]: r for r in kaplan_meier(df, "t", "e").collect()}
+    assert out[1.0]["n_risk"] == 6 and out[1.0]["n_events"] == 1
+    assert abs(out[1.0]["survival"] - 5 / 6) < 1e-12
+    assert out[2.0]["n_risk"] == 5 and out[2.0]["n_censored"] == 1
+    assert abs(out[2.0]["survival"] - 5 / 6) < 1e-12   # censoring: no drop
+    assert out[3.0]["n_risk"] == 4
+    assert abs(out[3.0]["survival"] - 5 / 6 * 3 / 4) < 1e-12
+    assert abs(out[4.0]["survival"] - 5 / 6 * 3 / 4 * 2 / 3) < 1e-12
+    # at t=5: 2 at risk, 1 dies, 1 censored -> S = previous * 1/2
+    assert out[5.0]["n_risk"] == 2 and out[5.0]["n_events"] == 1
+    assert abs(out[5.0]["survival"] - 5 / 6 * 3 / 4 * 2 / 3 * 1 / 2) < 1e-12
+
+
+def test_kaplan_meier_zero_survival_carry(spark):
+    # everyone at risk dies at t=2 -> survival exactly 0.0 there and
+    # (if later rows existed) thereafter; no exp(-inf) artifacts
+    rows = [(1.0, 1), (2.0, 1), (2.0, 1)]
+    df = spark.createDataFrame(rows, ["t", "e"])
+    out = {r["duration"]: r for r in kaplan_meier(df, "t", "e").collect()}
+    assert abs(out[1.0]["survival"] - 2 / 3) < 1e-12
+    assert out[2.0]["survival"] == 0.0
+
+
+def test_kaplan_meier_matches_bruteforce(spark):
+    rng = np.random.RandomState(3)
+    t = rng.randint(1, 15, 400).astype(float)
+    e = (rng.rand(400) < 0.7).astype(int)
+    df = spark.createDataFrame([(float(a), int(b)) for a, b in zip(t, e)],
+                               ["t", "e"])
+    got = {r["duration"]: r["survival"]
+           for r in kaplan_meier(df, "t", "e").collect()}
+    # independent loop replay
+    s = 1.0
+    at_risk = len(t)
+    for tt in sorted(np.unique(t)):
+        d = int(((t == tt) & (e == 1)).sum())
+        s *= 1.0 - d / at_risk
+        assert abs(got[float(tt)] - s) < 1e-12, tt
+        at_risk -= int((t == tt).sum())
+
+
+def test_stats_plans_have_no_global_window(spark):
+    """The scale contract: no keyless Window (single-task sort) — the
+    cumulative pieces run through the two-phase prefix sum."""
+    rng = np.random.RandomState(1)
+    df = _mk(spark, rng.rand(50), rng.rand(60))
+    for out in (ks_2sample(df, "x", "g"), mann_whitney_u(df, "x", "g")):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
