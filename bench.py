@@ -189,6 +189,7 @@ HEADLINE = [
     "ks_price_test",                # two-sample KS (prefix-sum ECDFs)
     "mann_whitney_discount",        # rank-sum U + tie-corrected z/p
     "kaplan_meier_conversion",      # product-limit survival curve
+    "chi2_independence_flags",      # contingency chi-square + exact tail
 ]
 
 # The remaining ~50 catalog queries stay out of the headline

@@ -187,6 +187,87 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
         u.alias("u_stat"), z.alias("z"), p.alias("p_value"))
 
 
+def chi2_sf(x: float, dof: int) -> float:
+    """Upper-tail chi-square probability, scipy-free.
+
+    Even dof uses the EXACT closed form
+    Q(x; 2m) = e^{−x/2} Σ_{j<m} (x/2)^j / j! (ascending-j sum, the
+    same term order the SQL oracles replay); odd dof uses the
+    Wilson–Hilferty cube-root normal approximation (|error| ~1e-3 in
+    p — fine for gating, documented)."""
+    if x <= 0.0:
+        return 1.0
+    if dof % 2 == 0:
+        h = x / 2.0
+        term, s = 1.0, 1.0
+        for j in range(1, dof // 2):
+            term = term * h / j
+            s = s + term
+        return min(1.0, max(0.0, math.exp(-h) * s))
+    z = (((x / dof) ** (1.0 / 3.0)) - (1.0 - 2.0 / (9.0 * dof))) \
+        / math.sqrt(2.0 / (9.0 * dof))
+    return min(1.0, max(0.0, 0.5 * math.erfc(z / math.sqrt(2.0))))
+
+
+def _chi2_sf_sql(x: str, dof: int) -> str:
+    """The even-dof closed form as SQL text (dof must be a build-time
+    literal — catalog fixed-point convention)."""
+    if dof % 2 != 0:
+        raise ValueError("SQL replay is provided for even dof only")
+    terms = ["1.0"]
+    denom = 1.0
+    for j in range(1, dof // 2):
+        denom *= j
+        pw = " * ".join([f"({x} / 2.0)"] * j)
+        terms.append(f"{pw} / {denom!r}")
+    series = " + ".join(terms)
+    return f"least(1.0, greatest(0.0, exp(-({x}) / 2.0) * ({series})))"
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str,
+                      max_cells: int = 10_000) -> DataFrame:
+    """Pearson chi-square test of independence for two categorical
+    columns: one groupBy(a, b) count aggregate (the only pass over the
+    raw rows), the bounded contingency table to the driver (raise
+    above max_cells — a chi-square over more cells than that has
+    degenerate expected counts anyway), expected counts from the
+    marginals, Q from chi2_sf. Returns one row:
+    (chi2, dof, p_value). Cells are summed in sorted (a, b) order so
+    the statistic is content-deterministic."""
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (df.where(a.isNotNull() & b.isNotNull())
+             .groupBy(a.cast("string").alias("__a"),
+                      b.cast("string").alias("__b"))
+             .agg(F.count(F.lit(1)).cast("double").alias("__o")))
+    rows = cells.limit(max_cells + 1).collect()
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"contingency table exceeds max_cells={max_cells} cells; "
+            "a chi-square over that many categories is ill-posed — "
+            "bucket the columns first")
+    rows.sort(key=lambda r: (r["__a"], r["__b"]))
+    row_tot: dict = {}
+    col_tot: dict = {}
+    n = 0.0
+    for r in rows:
+        row_tot[r["__a"]] = row_tot.get(r["__a"], 0.0) + r["__o"]
+        col_tot[r["__b"]] = col_tot.get(r["__b"], 0.0) + r["__o"]
+        n += r["__o"]
+    chi2 = 0.0
+    for r in rows:
+        e = row_tot[r["__a"]] * col_tot[r["__b"]] / n
+        d = r["__o"] - e
+        chi2 += d * d / e
+    dof = (len(row_tot) - 1) * (len(col_tot) - 1)
+    if dof < 1:
+        raise ValueError("chi2_independence needs >= 2 categories per "
+                         "column")
+    return df.sparkSession.createDataFrame([{
+        "chi2": float(chi2), "dof": int(dof),
+        "p_value": float(chi2_sf(chi2, dof)),
+    }]).select("chi2", "dof", "p_value")
+
+
 def kaplan_meier(df: DataFrame, duration_col: str,
                  event_col: str) -> DataFrame:
     """Kaplan–Meier product-limit survival curve, distributed.

@@ -4026,6 +4026,7 @@ def build_catalog():
         "incremental_sgd_eval": q_incremental_sgd_eval,
         "ks_price_test": q_ks_price_test,
         "mann_whitney_discount": q_mann_whitney_discount,
+        "chi2_independence_flags": q_chi2_independence_flags,
         "kaplan_meier_conversion": q_kaplan_meier_conversion,
         "poisson_regression_fit": q_poisson_regression_fit,
         "poisson_saturated_fit": q_poisson_saturated_fit,
@@ -4243,6 +4244,7 @@ def build_catalog():
         "incremental_sgd_eval": sql_incremental_sgd_eval(),
         "ks_price_test": _sql_ks_price_test(),
         "mann_whitney_discount": _sql_mann_whitney_discount(),
+        "chi2_independence_flags": _sql_chi2_independence_flags(),
         "kaplan_meier_conversion": SQL_KAPLAN_MEIER_CONVERSION,
         "precision_recall_f1": SQL_PRECISION_RECALL_F1,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
@@ -7730,6 +7732,48 @@ SELECT n1::BIGINT AS n1, n2::BIGINT AS n2, u AS u_stat,
                    ELSE least(1.0, 2.0 * {sf}) END) * 1e6 + 0.5) / 1e6
            AS p_value
 FROM z
+"""
+
+
+def q_chi2_independence_flags(spark, sf_dir):
+    """Pearson chi-square independence test (functions/stats.py::
+    chi2_independence): is return flag independent of line status? One
+    distributed groupBy pass, bounded contingency to the driver,
+    even-dof EXACT tail probability (dof = (3−1)(2−1) = 2 at every SF
+    — the fixed-point the SQL replays; Q(x; 2) = e^{−x/2})."""
+    from dask_ml_spark.functions.stats import chi2_independence
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = chi2_independence(li, "l_returnflag", "l_linestatus")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(r6(F.col("chi2")).alias("chi2"),
+                      F.col("dof").cast("long").alias("dof"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_chi2_independence_flags() -> str:
+    from dask_ml_spark.functions.stats import _chi2_sf_sql
+
+    p = _chi2_sf_sql("chi2", 2)
+    return f"""
+WITH c AS (
+    SELECT l_returnflag AS a, l_linestatus AS b, count(*)::DOUBLE AS o
+    FROM lineitem
+    WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+    GROUP BY 1, 2
+), m AS (
+    SELECT o,
+           sum(o) OVER (PARTITION BY a) AS ra,
+           sum(o) OVER (PARTITION BY b) AS cb,
+           sum(o) OVER () AS n
+    FROM c
+), s AS (
+    SELECT sum((o - ra*cb/n) * (o - ra*cb/n) / (ra*cb/n)) AS chi2
+    FROM m
+)
+SELECT floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2, 2::BIGINT AS dof,
+       floor({p} * 1e6 + 0.5) / 1e6 AS p_value
+FROM s
 """
 
 

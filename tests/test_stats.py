@@ -87,6 +87,40 @@ def test_mann_whitney_group_inference_guard(spark):
     assert (row["n1"], row["n2"]) == (1, 1) and row["u_stat"] == 0.0
 
 
+def test_chi2_independence_hand_example(spark):
+    from dask_ml_spark.functions.stats import chi2_independence, chi2_sf
+
+    # 2x2 with the closed-form statistic chi2 = n(ad-bc)^2 /
+    # ((a+b)(c+d)(a+c)(b+d)): a=10, b=20, c=30, d=40
+    rows = ([("x", "u")] * 10 + [("x", "v")] * 20
+            + [("y", "u")] * 30 + [("y", "v")] * 40)
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = chi2_independence(df, "a", "b").collect()[0]
+    n, a, b, c, d = 100, 10, 20, 30, 40
+    ref = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
+    assert abs(got["chi2"] - ref) < 1e-12
+    assert got["dof"] == 1
+    # odd dof -> Wilson-Hilferty; sanity: in (0,1) and decreasing in x
+    assert 0.0 < got["p_value"] < 1.0
+    assert chi2_sf(5.0, 1) < chi2_sf(1.0, 1)
+    # even-dof tail is exact: Q(x; 2) = e^{-x/2}, Q(x; 4) = e^{-x/2}(1+x/2)
+    assert abs(chi2_sf(3.0, 2) - math.exp(-1.5)) < 1e-15
+    assert abs(chi2_sf(3.0, 4) - math.exp(-1.5) * 2.5) < 1e-15
+    # independence -> chi2 ~ 0, p = 1
+    rows2 = [("x", "u")] * 10 + [("x", "v")] * 10 + \
+            [("y", "u")] * 20 + [("y", "v")] * 20
+    got2 = chi2_independence(
+        spark.createDataFrame(rows2, ["a", "b"]), "a", "b").collect()[0]
+    assert got2["chi2"] == 0.0 and got2["p_value"] == 1.0
+    with pytest.raises(ValueError, match="max_cells"):
+        wide = spark.range(100).selectExpr("cast(id as string) a",
+                                           "cast(id % 7 as string) b")
+        chi2_independence(wide, "a", "b", max_cells=50)
+    with pytest.raises(ValueError, match="categories"):
+        one = spark.createDataFrame([("x", "u"), ("x", "v")], ["a", "b"])
+        chi2_independence(one, "a", "b")
+
+
 def test_kaplan_meier_textbook(spark):
     # classic worked example: times 1,2,3,4,5; death at 1,3,4;
     # censored at 2; death+censored at 5 handled as separate subjects
