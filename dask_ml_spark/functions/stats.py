@@ -134,14 +134,18 @@ def ks_2sample(df: DataFrame, value_col: str, group_col: str,
     agg = j.agg(F.first("__n1").alias("n1_d"),
                 F.first("__n2").alias("n2_d"),
                 F.max(diff).alias("d_stat"))
+    # bind λ to a column FIRST: inlining it would replicate the
+    # d·sqrt(...) subtree into each of the 25 series terms (the
+    # HOF-lambda lesson — bind once)
     lam = (F.col("d_stat")
            * F.sqrt(F.col("n1_d") * F.col("n2_d")
                     / (F.col("n1_d") + F.col("n2_d"))))
-    return agg.select(
-        F.col("n1_d").cast("long").alias("n1"),
-        F.col("n2_d").cast("long").alias("n2"),
-        F.col("d_stat"),
-        ks_p_expr(lam).alias("p_value"))
+    return (agg.withColumn("__lam", lam)
+            .select(
+                F.col("n1_d").cast("long").alias("n1"),
+                F.col("n2_d").cast("long").alias("n2"),
+                F.col("d_stat"),
+                ks_p_expr(F.col("__lam")).alias("p_value")))
 
 
 def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
