@@ -374,10 +374,11 @@ def test_time_fill_events_narrow_scan_no_python(spark, catalog):
 
 
 def test_gmm_em_iteration_is_single_aggregate(spark):
-    """One EM round = broadcast the 1-row parameter frame, project
-    responsibilities, ONE partial+final aggregate — no extra shuffle,
-    no Python, and the parameters must arrive via BroadcastExchange
-    (attributes, not literals — the codegen-reuse design)."""
+    """One EM round = a pure NARROW projection (parameters literal-
+    folded — r9 measured the literal plan 2.4x cheaper to build than
+    the r8 broadcast-1-row-frame round, execution being ~60ms either
+    way) + ONE partial+final aggregate: no join of any kind, no extra
+    shuffle, no Python."""
     import numpy as np
 
     from dask_ml_spark.operators.mixture import GaussianMixture
@@ -404,6 +405,7 @@ def test_gmm_em_iteration_is_single_aggregate(spark):
     finally:
         type(df).agg = orig_agg
     plan = captured["plan"]
-    assert "BroadcastExchange" in plan          # the 1-row param frame
+    assert "Join" not in plan                   # literals, not a join
+    assert "BroadcastExchange" not in plan
     assert "Python" not in plan
     assert plan.count("HashAggregate") == 2     # partial + final only
