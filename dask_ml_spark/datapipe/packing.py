@@ -53,8 +53,8 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), *counts, redacted.alias("redacted_text"))
 
 
-def prefix_sum(df: DataFrame, order_col: str, value_col: str,
-               out_col: str = "running_total",
+def prefix_sum(df: DataFrame, order_col: str, value_col,
+               out_col="running_total",
                group_col: str | None = None) -> DataFrame:
     """Exclusive prefix sum of ``value_col`` in ``order_col`` order —
     globally, or per ``group_col`` group — fully distributed:
@@ -62,6 +62,13 @@ def prefix_sum(df: DataFrame, order_col: str, value_col: str,
     partition, per-(partition, group) subtotals to the driver,
     broadcast offsets back. Same two-phase scheme as
     utils.zip_with_index.
+
+    value_col/out_col may be parallel LISTS (global variant only): all
+    columns cumsum in the SAME pass — one range shuffle, one
+    checkpoint, one subtotal collect for the lot. Callers needing
+    several running totals over one ordering (the KS two-ECDF pass,
+    Kaplan–Meier's log-factor + zero-flag pair) should batch them here
+    rather than paying the fixed per-pass cost per column.
 
     The grouped variant is the skew-safe replacement for
     ``Window.partitionBy(group).orderBy(order)``: a hash-partitioned
@@ -76,6 +83,16 @@ def prefix_sum(df: DataFrame, order_col: str, value_col: str,
 
     from dask_ml_spark.utils import ensure_min_partitions
 
+    if isinstance(value_col, (list, tuple)):
+        value_cols = list(value_col)
+        out_cols = list(out_col)
+        if group_col is not None:
+            raise ValueError("multi-column prefix_sum is global-only")
+        if len(out_cols) != len(value_cols):
+            raise ValueError("out_col list must parallel value_col list")
+    else:
+        value_cols = [value_col]
+        out_cols = [out_col if isinstance(out_col, str) else out_col[0]]
     parts = ensure_min_partitions(df).rdd.getNumPartitions()
     range_keys = ([F.col(group_col)] if group_col else []) + [F.col(order_col)]
     sort_keys = ([group_col] if group_col else []) + [order_col]
@@ -89,21 +106,26 @@ def prefix_sum(df: DataFrame, order_col: str, value_col: str,
                 .sortWithinPartitions(*sort_keys).localCheckpoint())
 
     if group_col is None:
-        subtotal_schema = "pid long, subtotal double"
+        subtotal_schema = "pid long, " + ", ".join(
+            f"s{i} double" for i in range(len(value_cols)))
 
         def subtotals(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pid = TaskContext.get().partitionId()
-            tot = 0.0
+            tots = [0.0] * len(value_cols)
             for pdf in it:
-                tot += float(pdf[value_col].sum())
-            yield pd.DataFrame({"pid": [pid], "subtotal": [tot]})
+                for i, vc in enumerate(value_cols):
+                    tots[i] += float(pdf[vc].sum())
+            yield pd.DataFrame({"pid": [pid],
+                                **{f"s{i}": [t]
+                                   for i, t in enumerate(tots)}})
 
         rows = arranged.mapInPandas(subtotals, subtotal_schema).collect()
         offsets = {}
-        acc = 0.0
+        acc = [0.0] * len(value_cols)
         for r in sorted(rows, key=lambda r: r["pid"]):
-            offsets[r["pid"]] = acc
-            acc += r["subtotal"]
+            offsets[r["pid"]] = list(acc)
+            for i in range(len(value_cols)):
+                acc[i] += r[f"s{i}"]
     else:
         subtotal_schema = f"pid long, {group_col} string, subtotal double"
 
@@ -134,17 +156,20 @@ def prefix_sum(df: DataFrame, order_col: str, value_col: str,
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())])
+        list(df.schema.fields) + [T.StructField(oc, T.DoubleType())
+                                  for oc in out_cols])
 
     def local_cumsum(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
         if group_col is None:
-            run = offsets.get(pid, 0.0)
+            run = list(offsets.get(pid, [0.0] * len(value_cols)))
             for pdf in it:
-                c = (pdf[value_col].astype("float64").cumsum()
-                     + run - pdf[value_col])
-                run += float(pdf[value_col].sum())
-                yield pdf.assign(**{out_col: c})
+                assigns = {}
+                for i, (vc, oc) in enumerate(zip(value_cols, out_cols)):
+                    assigns[oc] = (pdf[vc].astype("float64").cumsum()
+                                   + run[i] - pdf[vc])
+                    run[i] += float(pdf[vc].sum())
+                yield pdf.assign(**assigns)
         else:
             import numpy as np
 

@@ -125,8 +125,8 @@ def ks_2sample(df: DataFrame, value_col: str, group_col: str,
     from dask_ml_spark.datapipe.packing import prefix_sum
 
     g, _, _ = _two_group_counts(df, value_col, group_col, groups)
-    g = prefix_sum(g, "__v", "__c1", "__b1")
-    g = prefix_sum(g, "__v", "__c2", "__b2")
+    # both ECDF cumsums in ONE prefix pass (one range shuffle/checkpoint)
+    g = prefix_sum(g, "__v", ["__c1", "__c2"], ["__b1", "__b2"])
     tot = g.agg(F.sum("__c1").alias("__n1"), F.sum("__c2").alias("__n2"))
     j = g.crossJoin(F.broadcast(tot))
     diff = F.abs((F.col("__b1") + F.col("__c1")) / F.col("__n1")
@@ -285,9 +285,10 @@ def kaplan_meier(df: DataFrame, duration_col: str,
     The product is exp(Σ ln(1 − d/n)) with an explicit zero-factor
     carry (once any factor hits 0 — everyone at risk dies — survival
     is exactly 0.0 from there on, rather than exp(−inf) edge cases).
-    Shape: one groupBy(duration) over the raw rows, three chained
-    prefix sums over the distinct-duration frame (n_risk needs the
-    count cumsum BEFORE the log-factor cumsum exists).
+    Shape: one groupBy(duration) over the raw rows, TWO chained
+    prefix passes over the distinct-duration frame — n_risk first
+    (the log factors need it), then the log-factor and zero-flag
+    cumsums batched into one multi-column pass.
     """
     from dask_ml_spark.datapipe.packing import prefix_sum
 
@@ -307,8 +308,7 @@ def kaplan_meier(df: DataFrame, duration_col: str,
         F.when(factor > 0.0, F.log(factor)).otherwise(F.lit(0.0))
         .alias("__lnf"),
         (factor <= 0.0).cast("double").alias("__zf"))
-    j = prefix_sum(j, "__t", "__lnf", "__cumln")
-    j = prefix_sum(j, "__t", "__zf", "__cumzf")
+    j = prefix_sum(j, "__t", ["__lnf", "__zf"], ["__cumln", "__cumzf"])
     survival = F.when(
         F.col("__cumzf") + F.col("__zf") > 0.0, F.lit(0.0)
     ).otherwise(F.exp(F.col("__cumln") + F.col("__lnf")))

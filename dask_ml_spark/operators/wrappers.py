@@ -145,12 +145,14 @@ class Incremental(ParallelPostFit):
     their order are pure functions of the data, stable across
     partitionings/retries, and a SQL oracle can replay the sequential
     partial_fit chain as n_blocks chained batch-aggregate updates.
-    (Row order WITHIN a block still follows shuffle fetch order; the
-    partial_fit contract this enables is batch-aggregate math like
-    SGDClassifier's mean-gradient step, which is order-free up to
-    float association.) shuffle_blocks/random_state are ignored in
-    this mode. Same executor topology: the model travels, block rows
-    never reach the driver.
+    (Row order WITHIN a block follows scan/coalesce order, which can
+    differ across layouts; the partial_fit contract this enables is
+    batch-aggregate math like SGDClassifier's mean-gradient step,
+    which is order-free up to float association.)
+    shuffle_blocks/random_state are ignored in this mode. Same
+    executor topology: the model travels, block rows never reach the
+    driver (each block job is one Arrow mapInPandas task returning
+    only the pickled model).
     """
 
     def __init__(self, estimator=None, scoring=None, shuffle_blocks: bool = True,
@@ -178,29 +180,44 @@ class Incremental(ParallelPostFit):
         all_cols = [*cols, label_col]
         self.executor_partition_fits_ = 0
         if self.deterministic_by:
-            # identity-partition by the key-hash fold so partition pid
-            # IS block pid (DataFrame repartition would route folds
-            # through murmur3, scrambling block identity); the
-            # partitionBy shuffle's map side still runs once and is
-            # reused by every per-partition job
+            # per-block job = fold-filter + coalesce(1) + Arrow
+            # mapInPandas: the block's rows stream into ONE executor
+            # task as Arrow batches and only the pickled model returns.
+            # (The identity-partitionBy RDD alternative — one shuffle,
+            # reused map side — moves every row through Python pickle
+            # twice and measured 2.3x slower at 600k rows: 5.7s vs
+            # 2.5s. Arrow transfer of the filtered block beats pickle
+            # of everything.) The projected input is persisted once so
+            # the n_blocks sequential jobs rescan the cache, not the
+            # source.
             from dask_ml_spark.plans.model_selection import _hash_bucket_expr
 
             fold = _hash_bucket_expr(self.deterministic_by, self.n_blocks,
                                      0, df=df)
-            sel2 = df.select(fold.cast("int").alias("__fold"),
-                             *cols, label_col)
-            rdd = (sel2.rdd
-                   .map(lambda r: (r[0], tuple(r[1:])))
-                   .partitionBy(self.n_blocks, lambda k: k)
-                   .values())
-            for _ in range(epochs):
-                for pid in range(self.n_blocks):
-                    task = _partition_partial_fit(
-                        blob, list(cols), all_cols, label_col, fit_kwargs)
-                    out = sc.runJob(rdd, task, partitions=[pid])
-                    if out:
-                        blob = out[0]
-                        self.executor_partition_fits_ += 1
+            # ONE up-front shuffle lays the cache out by fold, so each
+            # block job's coalesce(1) scan prunes non-matching cached
+            # batches via InMemoryTableScan's per-batch min/max stats
+            # instead of re-reading everything (coalesce on an
+            # unpartitioned cache was 8 serial FULL scans — 4x at sf1;
+            # a repartition(1) per fold paid 8 shuffles). Measured:
+            # 13.6s -> 7.4s at sf1, 2.3x for 10x rows.
+            sel2 = (df.select(fold.cast("int").alias("__fold"),
+                              *cols, label_col)
+                    .repartition(self.n_blocks, "__fold").persist())
+            try:
+                for _ in range(epochs):
+                    for pid in range(self.n_blocks):
+                        fn = _block_partial_fit(blob, list(cols),
+                                                label_col, fit_kwargs)
+                        out = (sel2.where(F.col("__fold") == pid)
+                               .drop("__fold").coalesce(1)
+                               .mapInPandas(fn, "model binary, n long")
+                               .collect())
+                        if out and out[0]["n"] > 0:
+                            blob = out[0]["model"]
+                            self.executor_partition_fits_ += 1
+            finally:
+                sel2.unpersist()
             self.estimator = pickle.loads(blob)
             return self
         sel = df.select(*cols, label_col)
@@ -221,6 +238,30 @@ class Incremental(ParallelPostFit):
         return self
 
     partial_fit = fit
+
+
+def _block_partial_fit(blob, cols, label_col, fit_kwargs):
+    """Executor-side Arrow task for one deterministic Incremental
+    block: concatenate the block's Arrow batches, train the pickled
+    model, return (pickled model, row count) — one tiny row."""
+
+    def fn(it):
+        import pickle as _pk
+
+        pdfs = [p for p in it]
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True)
+            if len(pdf):
+                model = _pk.loads(blob)
+                model.partial_fit(pdf[list(cols)].to_numpy(dtype="float64"),
+                                  pdf[label_col].to_numpy(), **fit_kwargs)
+                yield pd.DataFrame({"model": [_pk.dumps(model)],
+                                    "n": [len(pdf)]})
+                return
+        yield pd.DataFrame({"model": pd.Series([], dtype=object),
+                            "n": pd.Series([], dtype="int64")})
+
+    return fn
 
 
 def _partition_partial_fit(blob, cols, all_cols, label_col, fit_kwargs):
