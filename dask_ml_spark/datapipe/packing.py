@@ -91,8 +91,12 @@ def prefix_sum(df: DataFrame, order_col: str, value_col,
         if len(out_cols) != len(value_cols):
             raise ValueError("out_col list must parallel value_col list")
     else:
+        if not isinstance(out_col, str):
+            raise ValueError(
+                "scalar value_col with a list out_col — pass both as "
+                "parallel lists for the multi-column form")
         value_cols = [value_col]
-        out_cols = [out_col if isinstance(out_col, str) else out_col[0]]
+        out_cols = [out_col]
     parts = ensure_min_partitions(df).rdd.getNumPartitions()
     range_keys = ([F.col(group_col)] if group_col else []) + [F.col(order_col)]
     sort_keys = ([group_col] if group_col else []) + [order_col]

@@ -91,12 +91,17 @@ def _two_group_counts(df: DataFrame, value_col: str, group_col: str,
     first pass. groups=(a, b) names the two samples; None infers them
     (a bounded 3-row collect that raises unless exactly two)."""
     if groups is None:
-        vals = [r[0] for r in (df.select(group_col).distinct()
+        # NULL is not a group: (col == NULL) is three-valued NULL and
+        # would zero both counts — infer over non-null values only
+        vals = [r[0] for r in (df.select(group_col)
+                               .where(F.col(group_col).isNotNull())
+                               .distinct()
                                .orderBy(group_col).limit(3).collect())]
         if len(vals) != 2:
             raise ValueError(
-                f"{group_col} must have exactly 2 groups for a two-sample "
-                f"test; found {vals} (pass groups=(a, b) to select two)")
+                f"{group_col} must have exactly 2 non-null groups for a "
+                f"two-sample test; found {vals} (pass groups=(a, b) to "
+                "select two)")
         groups = tuple(vals)
     g1, g2 = groups
     v = F.col(value_col).cast("double")
@@ -106,6 +111,19 @@ def _two_group_counts(df: DataFrame, value_col: str, group_col: str,
          .agg(F.sum((F.col(group_col) == g1).cast("double")).alias("__c1"),
               F.sum((F.col(group_col) == g2).cast("double")).alias("__c2")))
     return g, g1, g2
+
+
+def _nonempty_guard(n1: Column, n2: Column, passthrough: Column,
+                    what: str) -> Column:
+    """raise_error instead of the silent NULL/NaN cascade a zero-row
+    group produces (a typo'd group name would otherwise flow a NULL
+    p-value into whatever gate consumes it)."""
+    return F.when(
+        (n1 <= 0) | (n2 <= 0) | n1.isNull() | n2.isNull(),
+        F.raise_error(F.lit(
+            f"{what}: a group matched no rows — check the group values "
+            "(NULL groups are excluded)"))
+    ).otherwise(passthrough)
 
 
 def ks_2sample(df: DataFrame, value_col: str, group_col: str,
@@ -144,7 +162,9 @@ def ks_2sample(df: DataFrame, value_col: str, group_col: str,
             .select(
                 F.col("n1_d").cast("long").alias("n1"),
                 F.col("n2_d").cast("long").alias("n2"),
-                F.col("d_stat"),
+                _nonempty_guard(F.col("n1_d"), F.col("n2_d"),
+                                F.col("d_stat"), "ks_2sample")
+                .alias("d_stat"),
                 ks_p_expr(F.col("__lam")).alias("p_value")))
 
 
@@ -188,7 +208,8 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
         F.least(F.lit(1.0), 2.0 * normal_sf_expr(F.abs(z))))
     return agg.select(
         n1.cast("long").alias("n1"), n2.cast("long").alias("n2"),
-        u.alias("u_stat"), z.alias("z"), p.alias("p_value"))
+        _nonempty_guard(n1, n2, u, "mann_whitney_u").alias("u_stat"),
+        z.alias("z"), p.alias("p_value"))
 
 
 def chi2_sf(x: float, dof: int) -> float:
@@ -249,19 +270,26 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str,
             f"contingency table exceeds max_cells={max_cells} cells; "
             "a chi-square over that many categories is ill-posed — "
             "bucket the columns first")
-    rows.sort(key=lambda r: (r["__a"], r["__b"]))
     row_tot: dict = {}
     col_tot: dict = {}
+    obs: dict = {}
     n = 0.0
     for r in rows:
         row_tot[r["__a"]] = row_tot.get(r["__a"], 0.0) + r["__o"]
         col_tot[r["__b"]] = col_tot.get(r["__b"], 0.0) + r["__o"]
+        obs[(r["__a"], r["__b"])] = r["__o"]
         n += r["__o"]
+    # the FULL row x column product, not just observed cells: a
+    # structurally empty cell contributes (0 - e)^2 / e = e to the
+    # Pearson statistic — skipping it understates chi2 (review-caught;
+    # the oracle shared the omission, so only a zero-cell hand test
+    # could see it)
     chi2 = 0.0
-    for r in rows:
-        e = row_tot[r["__a"]] * col_tot[r["__b"]] / n
-        d = r["__o"] - e
-        chi2 += d * d / e
+    for a in sorted(row_tot):
+        for b_ in sorted(col_tot):
+            e = row_tot[a] * col_tot[b_] / n
+            d = obs.get((a, b_), 0.0) - e
+            chi2 += d * d / e
     dof = (len(row_tot) - 1) * (len(col_tot) - 1)
     if dof < 1:
         raise ValueError("chi2_independence needs >= 2 categories per "
@@ -292,8 +320,12 @@ def kaplan_meier(df: DataFrame, duration_col: str,
     """
     from dask_ml_spark.datapipe.packing import prefix_sum
 
+    # NULL event flags are dropped WITH their subject (like NULL
+    # durations): counting them in n_risk but in neither n_events nor
+    # n_censored would silently unbalance the per-duration counts
     ev = F.col(event_col).cast("double")
-    g = (df.where(F.col(duration_col).isNotNull())
+    g = (df.where(F.col(duration_col).isNotNull()
+                  & F.col(event_col).isNotNull())
          .groupBy(F.col(duration_col).cast("double").alias("__t"))
          .agg(F.sum((ev != 0).cast("double")).alias("__d"),
               F.sum((ev == 0).cast("double")).alias("__c"),

@@ -173,9 +173,10 @@ class GaussianMixture(BaseEstimator):
                 return proj.agg(*aggs)
 
             def _apply_m_step(row):
-                """Driver M-step from one round's aggregate row; the
-                fused path's in-plan derivation mirrors this arithmetic
-                term for term. Returns (mean_ll, starved)."""
+                """Driver M-step from one round's aggregate row.
+                Returns (mean_ll, shift) — shift is the uniform
+                log-likelihood offset the starved-round weight
+                renormalization introduces into the NEXT round."""
                 nonlocal weights
                 n = row["__n"]
                 mean_ll = row["__sll"] / n
@@ -197,6 +198,7 @@ class GaussianMixture(BaseEstimator):
                         means[j][i] = mu
                         variances[j][i] = (row[f"sxx{j}_{i}"] / nj
                                            - mu * mu + self.reg_covar)
+                shift = 0.0
                 if starved:
                     # the survivors' updated weights already sum to 1,
                     # so keeping the starved weight would leave the
@@ -205,21 +207,30 @@ class GaussianMixture(BaseEstimator):
                     # Uniform rescaling shifts every log-weight by the
                     # same constant, so next-round responsibilities are
                     # unchanged — only the reported weights are proper.
-                    weights = weights / weights.sum()
-                return mean_ll, starved
+                    # The NEXT round's mean log-likelihood shifts by
+                    # that same −log(s); the caller adds `shift` to
+                    # this round's ll before the tol comparison so the
+                    # rescale can't masquerade as non-convergence.
+                    s = float(weights.sum())
+                    weights = weights / s
+                    shift = -math.log(s)
+                return mean_ll, shift
 
             prev_mean_ll = None
             mean_ll = None
             for it in range(self.max_iter):
                 row = _round().collect()[0]
-                mean_ll, _ = _apply_m_step(row)
+                mean_ll, shift = _apply_m_step(row)
                 self.n_iter_ = it + 1
                 if (prev_mean_ll is not None
                         and abs(mean_ll - prev_mean_ll) <= self.tol
                         and self.tol > 0):
                     self.converged_ = True
                     break
-                prev_mean_ll = mean_ll
+                # a starved-round renorm shifts the next round's ll by
+                # a constant; fold it into the comparison baseline so
+                # the rescale can't read as non-convergence
+                prev_mean_ll = mean_ll + shift
             else:
                 self.converged_ = False
             self.lower_bound_ = float(mean_ll)

@@ -205,6 +205,16 @@ class Incremental(ParallelPostFit):
                               *cols, label_col)
                     .repartition(self.n_blocks, "__fold").persist())
             try:
+                # a NULL key hashes to a NULL fold, which matches NO
+                # block filter — those rows would silently vanish from
+                # training (review-caught); fail loudly instead
+                n_null = sel2.where(F.col("__fold").isNull()).count()
+                if n_null:
+                    raise ValueError(
+                        f"deterministic_by={self.deterministic_by} has "
+                        f"NULL keys in {n_null} rows — they would be "
+                        "silently excluded from every block; drop or "
+                        "fill them first")
                 for _ in range(epochs):
                     for pid in range(self.n_blocks):
                         fn = _block_partial_fit(blob, list(cols),

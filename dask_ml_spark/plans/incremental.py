@@ -197,11 +197,24 @@ class BaseIncrementalSearchCV(BaseEstimator):
 
             # unique-key validation: duplicate keys make the key sort
             # tie-arbitrary, silently breaking the bit-reproducibility
-            # promise (one aggregate; countDistinct over the key tuple)
+            # promise. count_distinct skips tuples containing NULL, so
+            # NULL keys are counted separately and reported as such
+            # (they'd also be dropped by the hash split) rather than
+            # misdiagnosed as duplicates.
+            anynull = None
+            for c in self.deterministic_by:
+                cn = F.col(c).isNull()
+                anynull = cn if anynull is None else (anynull | cn)
             chk = df.agg(
                 F.count(F.lit(1)).alias("n"),
+                F.sum(anynull.cast("long")).alias("nn"),
                 F.count_distinct(*[F.col(c) for c in self.deterministic_by])
                 .alias("nd")).collect()[0]
+            if chk["nn"]:
+                raise ValueError(
+                    f"deterministic_by={self.deterministic_by} contains "
+                    f"NULLs in {chk['nn']} rows — NULL keys cannot be "
+                    "hash-split or key-sorted deterministically")
             if chk["n"] != chk["nd"]:
                 raise ValueError(
                     f"deterministic_by={self.deterministic_by} must be a "

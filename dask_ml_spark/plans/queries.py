@@ -7761,12 +7761,15 @@ WITH c AS (
     FROM lineitem
     WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
     GROUP BY 1, 2
-), m AS (
-    SELECT o,
-           sum(o) OVER (PARTITION BY a) AS ra,
-           sum(o) OVER (PARTITION BY b) AS cb,
-           sum(o) OVER () AS n
-    FROM c
+), ra AS (SELECT a, sum(o) AS ra FROM c GROUP BY a),
+cb AS (SELECT b, sum(o) AS cb FROM c GROUP BY b),
+-- the FULL row x column product: structurally empty cells contribute
+-- (0 - e)^2/e = e to the Pearson statistic (mirrors the engine)
+m AS (
+    SELECT coalesce(c.o, 0.0) AS o, ra.ra, cb.cb,
+           (SELECT sum(o) FROM c) AS n
+    FROM ra CROSS JOIN cb
+    LEFT JOIN c ON c.a = ra.a AND c.b = cb.b
 ), s AS (
     SELECT sum((o - ra*cb/n) * (o - ra*cb/n) / (ra*cb/n)) AS chi2
     FROM m

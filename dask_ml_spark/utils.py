@@ -409,14 +409,20 @@ def salted_join(left: DataFrame, right: DataFrame, on: str, n_salt: int = 16,
     if isinstance(hot_keys, str) and hot_keys == "all":
         return _salted(left, right)
     if isinstance(hot_keys, str) and hot_keys == "auto":
+        counts = left.groupBy(on).agg(F.count(F.lit(1)).alias("__c"))
         if hot_threshold is None:
+            # ONE pass over left: the fair-share total comes from the
+            # (persisted) per-key counts, not a second left.count()
+            # scan (review-caught — the stated use case is an
+            # expensive skewed fact frame)
+            counts = counts.persist()
             sp = int(left.sparkSession.conf.get(
                 "spark.sql.shuffle.partitions", "200"))
-            hot_threshold = max(left.count() // max(sp, 1), 1000)
-        counts = (left.groupBy(on)
-                  .agg(F.count(F.lit(1)).alias("__c"))
-                  .where(F.col("__c") > hot_threshold))
-        rows = counts.select(on).limit(max_hot_keys + 1).collect()
+            total = counts.agg(F.sum("__c")).collect()[0][0] or 0
+            hot_threshold = max(total // max(sp, 1), 1000)
+        hot = counts.where(F.col("__c") > hot_threshold)
+        rows = hot.select(on).limit(max_hot_keys + 1).collect()
+        counts.unpersist()
         if len(rows) > max_hot_keys:
             raise ValueError(
                 f"more than max_hot_keys={max_hot_keys} keys exceed "

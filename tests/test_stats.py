@@ -80,7 +80,7 @@ def test_mann_whitney_matches_bruteforce(spark):
 def test_mann_whitney_group_inference_guard(spark):
     df = spark.createDataFrame(
         [(1.0, "a"), (2.0, "b"), (3.0, "c")], ["x", "g"])
-    with pytest.raises(ValueError, match="exactly 2 groups"):
+    with pytest.raises(ValueError, match="exactly 2 non-null groups"):
         mann_whitney_u(df, "x", "g")
     # explicit groups select two of three
     row = mann_whitney_u(df, "x", "g", groups=("a", "c")).collect()[0]
@@ -119,6 +119,42 @@ def test_chi2_independence_hand_example(spark):
     with pytest.raises(ValueError, match="categories"):
         one = spark.createDataFrame([("x", "u"), ("x", "v")], ["a", "b"])
         chi2_independence(one, "a", "b")
+
+
+def test_chi2_zero_cell_and_group_guards(spark):
+    """Structurally EMPTY cells contribute (0−e)²/e = e to Pearson's
+    statistic (review-caught: both engines skipped them). Hand value:
+    (x,u)=10, (y,u)=5, (y,v)=5 → e(x,v)=2.5 missing → chi2 = 20/3."""
+    from dask_ml_spark.functions.stats import chi2_independence
+
+    rows = [("x", "u")] * 10 + [("y", "u")] * 5 + [("y", "v")] * 5
+    got = chi2_independence(
+        spark.createDataFrame(rows, ["a", "b"]), "a", "b").collect()[0]
+    assert abs(got["chi2"] - 20.0 / 3.0) < 1e-12
+
+    # KS/MWU: a group name matching no rows must raise, not flow a
+    # NULL p-value into downstream gates
+    df = _mk(spark, [1.0, 2.0], [3.0, 4.0])
+    for fn in (ks_2sample, mann_whitney_u):
+        with pytest.raises(Exception, match="matched no rows"):
+            fn(df, "x", "g", groups=("a", "TYPO")).collect()
+    # NULL group values are not a group: inference ignores them
+    dfn = spark.createDataFrame(
+        [(1.0, "a"), (2.0, None), (3.0, "b"), (4.0, "a")], ["x", "g"])
+    row = mann_whitney_u(dfn, "x", "g").collect()[0]
+    assert (row["n1"], row["n2"]) == (2, 1)
+
+    # Kaplan-Meier: NULL event flags drop with their subject — the
+    # per-duration counts stay reconciled (n_events + n_censored
+    # accounts for every counted subject)
+    from dask_ml_spark.functions.stats import kaplan_meier
+
+    km = kaplan_meier(spark.createDataFrame(
+        [(1.0, 1), (1.0, None), (2.0, 0)], ["t", "e"]),
+        "t", "e").collect()
+    out = {r["duration"]: r for r in km}
+    assert out[1.0]["n_risk"] == 2  # the NULL-event subject is gone
+    assert out[1.0]["n_events"] + out[1.0]["n_censored"] == 1
 
 
 def test_kaplan_meier_textbook(spark):
