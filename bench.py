@@ -190,6 +190,9 @@ HEADLINE = [
     "mann_whitney_discount",        # rank-sum U + tie-corrected z/p
     "kaplan_meier_conversion",      # product-limit survival curve
     "chi2_independence_flags",      # contingency chi-square + exact tail
+    "welch_ttest_price",            # one-pass unequal-variance t-test
+    "mutual_information_events",    # discrete MI + normalized coefficient
+    "feature_corr_matrix",          # all-pairs Pearson, one aggregate
 ]
 
 # The remaining ~50 catalog queries stay out of the headline

@@ -212,6 +212,128 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
         z.alias("z"), p.alias("p_value"))
 
 
+def welch_ttest(df: DataFrame, value_col: str, group_col: str,
+                groups=None) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test, one aggregate pass.
+
+    t = (m1 − m2) / √(v1/n1 + v2/n2) with sample variances, and the
+    Welch–Satterthwaite dof. The two-sided p uses the NORMAL
+    approximation to the t distribution (the exact t CDF needs the
+    incomplete beta; at the corpus scales this engine targets dof is
+    in the thousands, where |t − normal| < 1e-4 — documented, and the
+    dof is returned so a caller with a tiny sample can consult a t
+    table). Returns one row:
+    (n1, n2, mean_diff, t_stat, dof, p_value).
+    """
+    v = F.col(value_col).cast("double")
+    if groups is None:
+        _, g1, g2 = _two_group_counts(df, value_col, group_col, None)
+    else:
+        g1, g2 = groups
+    kept = df.where(v.isNotNull() & ~F.isnan(v)
+                    & F.col(group_col).isin([g1, g2]))
+    one = (F.col(group_col) == g1).cast("double")
+    two = (F.col(group_col) == g2).cast("double")
+    agg = kept.agg(
+        F.sum(one).alias("n1_d"), F.sum(two).alias("n2_d"),
+        F.sum(one * v).alias("s1"), F.sum(two * v).alias("s2"),
+        F.sum(one * v * v).alias("q1"), F.sum(two * v * v).alias("q2"))
+    n1, n2 = F.col("n1_d"), F.col("n2_d")
+    m1, m2 = F.col("s1") / n1, F.col("s2") / n2
+    # sample variance from raw sums: (q - n m^2) / (n - 1)
+    v1 = (F.col("q1") - n1 * m1 * m1) / (n1 - 1.0)
+    v2 = (F.col("q2") - n2 * m2 * m2) / (n2 - 1.0)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / F.sqrt(se2)
+    dof = (se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
+                         + (v2 / n2) * (v2 / n2) / (n2 - 1.0))
+    out = (agg.withColumn("__t", t)
+           .withColumn("__dof", dof)
+           .select(
+               n1.cast("long").alias("n1"), n2.cast("long").alias("n2"),
+               _nonempty_guard(n1 - 1.0, n2 - 1.0, m1 - m2,
+                               "welch_ttest (needs >= 2 rows per group)")
+               .alias("mean_diff"),
+               F.col("__t").alias("t_stat"),
+               F.col("__dof").alias("dof"),
+               F.least(F.lit(1.0),
+                       2.0 * normal_sf_expr(F.abs(F.col("__t"))))
+               .alias("p_value")))
+    return out
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str,
+                       max_cells: int = 10_000) -> DataFrame:
+    """Discrete mutual information I(A;B) = Σ p(a,b)·ln(p(a,b)/(p(a)p(b)))
+    in NATS, plus the normalized variant I/√(H(A)·H(B)). One
+    distributed groupBy(a,b) pass; the bounded contingency (max_cells)
+    aggregates driver-side in sorted cell order (empty cells contribute
+    0 — correct for MI, unlike the chi-square). Returns one row:
+    (mi, mi_normalized, n).
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (df.where(a.isNotNull() & b.isNotNull())
+             .groupBy(a.cast("string").alias("__a"),
+                      b.cast("string").alias("__b"))
+             .agg(F.count(F.lit(1)).cast("double").alias("__o")))
+    rows = cells.limit(max_cells + 1).collect()
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"contingency exceeds max_cells={max_cells}; bucket the "
+            "columns first")
+    rows.sort(key=lambda r: (r["__a"], r["__b"]))
+    row_tot: dict = {}
+    col_tot: dict = {}
+    n = 0.0
+    for r in rows:
+        row_tot[r["__a"]] = row_tot.get(r["__a"], 0.0) + r["__o"]
+        col_tot[r["__b"]] = col_tot.get(r["__b"], 0.0) + r["__o"]
+        n += r["__o"]
+    if n <= 0:
+        raise ValueError("mutual_information: no non-null rows")
+    mi = 0.0
+    for r in rows:
+        p_ab = r["__o"] / n
+        mi += p_ab * math.log(
+            p_ab / (row_tot[r["__a"]] / n * (col_tot[r["__b"]] / n)))
+    ha = -sum((c / n) * math.log(c / n) for c in
+              sorted(row_tot.values(), reverse=True))
+    hb = -sum((c / n) * math.log(c / n) for c in
+              sorted(col_tot.values(), reverse=True))
+    denom = math.sqrt(ha * hb)
+    return df.sparkSession.createDataFrame([{
+        "mi": float(mi),
+        "mi_normalized": float(mi / denom) if denom > 0 else 0.0,
+        "n": int(n),
+    }]).select("mi", "mi_normalized", "n")
+
+
+def corr_matrix(df: DataFrame, cols) -> DataFrame:
+    """All-pairs Pearson correlation in ONE aggregate pass: the
+    d(d+1)/2 F.corr aggregates run in a single scan with map-side
+    partial merge (Spark's corr is a streaming co-moment aggregate) —
+    never d² passes. Returns long form (col_a, col_b, corr) for
+    col_a < col_b, ordered."""
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs >= 2 columns")
+    aggs = []
+    for i, ca in enumerate(cols):
+        for cb in cols[i + 1:]:
+            aggs.append(F.corr(F.col(ca).cast("double"),
+                               F.col(cb).cast("double"))
+                        .alias(f"__{ca}__{cb}"))
+    row = df.agg(*aggs)
+    pairs = [(ca, cb) for i, ca in enumerate(cols) for cb in cols[i + 1:]]
+    stacked = F.explode(F.array(*[
+        F.struct(F.lit(ca).alias("col_a"), F.lit(cb).alias("col_b"),
+                 F.col(f"__{ca}__{cb}").alias("corr"))
+        for ca, cb in pairs]))
+    return (row.select(stacked.alias("__s"))
+            .select("__s.col_a", "__s.col_b", "__s.corr")
+            .orderBy("col_a", "col_b"))
+
+
 def chi2_sf(x: float, dof: int) -> float:
     """Upper-tail chi-square probability, scipy-free.
 
@@ -294,10 +416,15 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str,
     if dof < 1:
         raise ValueError("chi2_independence needs >= 2 categories per "
                          "column")
+    # Cramér's V effect size: sqrt(chi2 / (n * min(r-1, c-1))) — the
+    # p-value saturates at corpus scale (everything is "significant"
+    # at n=10^9); V stays interpretable
+    vdenom = n * min(len(row_tot) - 1, len(col_tot) - 1)
     return df.sparkSession.createDataFrame([{
         "chi2": float(chi2), "dof": int(dof),
         "p_value": float(chi2_sf(chi2, dof)),
-    }]).select("chi2", "dof", "p_value")
+        "cramers_v": float(math.sqrt(chi2 / vdenom)),
+    }]).select("chi2", "dof", "p_value", "cramers_v")
 
 
 def kaplan_meier(df: DataFrame, duration_col: str,

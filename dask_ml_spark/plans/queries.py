@@ -4027,6 +4027,9 @@ def build_catalog():
         "ks_price_test": q_ks_price_test,
         "mann_whitney_discount": q_mann_whitney_discount,
         "chi2_independence_flags": q_chi2_independence_flags,
+        "welch_ttest_price": q_welch_ttest_price,
+        "mutual_information_events": q_mutual_information_events,
+        "feature_corr_matrix": q_feature_corr_matrix,
         "kaplan_meier_conversion": q_kaplan_meier_conversion,
         "poisson_regression_fit": q_poisson_regression_fit,
         "poisson_saturated_fit": q_poisson_saturated_fit,
@@ -4245,6 +4248,9 @@ def build_catalog():
         "ks_price_test": _sql_ks_price_test(),
         "mann_whitney_discount": _sql_mann_whitney_discount(),
         "chi2_independence_flags": _sql_chi2_independence_flags(),
+        "welch_ttest_price": _sql_welch_ttest_price(),
+        "mutual_information_events": SQL_MUTUAL_INFORMATION_EVENTS,
+        "feature_corr_matrix": SQL_FEATURE_CORR_MATRIX,
         "kaplan_meier_conversion": SQL_KAPLAN_MEIER_CONVERSION,
         "precision_recall_f1": SQL_PRECISION_RECALL_F1,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
@@ -7748,7 +7754,8 @@ def q_chi2_independence_flags(spark, sf_dir):
     r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return out.select(r6(F.col("chi2")).alias("chi2"),
                       F.col("dof").cast("long").alias("dof"),
-                      r6(F.col("p_value")).alias("p_value"))
+                      r6(F.col("p_value")).alias("p_value"),
+                      r6(F.col("cramers_v")).alias("cramers_v"))
 
 
 def _sql_chi2_independence_flags() -> str:
@@ -7771,12 +7778,161 @@ m AS (
     FROM ra CROSS JOIN cb
     LEFT JOIN c ON c.a = ra.a AND c.b = cb.b
 ), s AS (
-    SELECT sum((o - ra*cb/n) * (o - ra*cb/n) / (ra*cb/n)) AS chi2
+    SELECT sum((o - ra*cb/n) * (o - ra*cb/n) / (ra*cb/n)) AS chi2,
+           max(n) AS n,
+           least((SELECT count(*) FROM ra) - 1,
+                 (SELECT count(*) FROM cb) - 1) AS mindim
     FROM m
 )
 SELECT floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2, 2::BIGINT AS dof,
-       floor({p} * 1e6 + 0.5) / 1e6 AS p_value
+       floor({p} * 1e6 + 0.5) / 1e6 AS p_value,
+       floor(sqrt(chi2 / (n * mindim)) * 1e6 + 0.5) / 1e6 AS cramers_v
 FROM s
+"""
+
+
+def q_welch_ttest_price(spark, sf_dir):
+    """Welch's unequal-variance t-test (functions/stats.py::
+    welch_ttest): do returned and non-returned lineitems differ in
+    mean price? ONE aggregate pass (counts, sums, sum-squares per
+    group via conditional sums); Welch–Satterthwaite dof; two-sided p
+    via the shared A&S normal tail (dof ~ 2·10^5 here — the normal
+    approximation to t is exact to <1e-8). All raw sums are shared-
+    term-order expressions both engines replay."""
+    from dask_ml_spark.functions.stats import welch_ttest
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = welch_ttest(li, "l_extendedprice", "l_returnflag",
+                      groups=("N", "R"))
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n1", "n2",
+                      r6(F.col("mean_diff")).alias("mean_diff"),
+                      r6(F.col("t_stat")).alias("t_stat"),
+                      r6(F.col("dof") / 1000.0).alias("dof_k"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_welch_ttest_price() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    sf = _normal_sf_sql("abs(t)")
+    return f"""
+WITH k AS (
+    SELECT l_extendedprice::DOUBLE AS v,
+           CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS one,
+           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS two
+    FROM lineitem WHERE l_returnflag IN ('N', 'R')
+), a AS (
+    SELECT sum(one) AS n1, sum(two) AS n2,
+           sum(one * v) AS s1, sum(two * v) AS s2,
+           sum(one * v * v) AS q1, sum(two * v * v) AS q2
+    FROM k
+), m AS (
+    SELECT n1, n2, s1/n1 AS m1, s2/n2 AS m2,
+           (q1 - n1 * (s1/n1) * (s1/n1)) / (n1 - 1.0) AS v1,
+           (q2 - n2 * (s2/n2) * (s2/n2)) / (n2 - 1.0) AS v2
+    FROM a
+), t AS (
+    SELECT n1, n2, m1 - m2 AS mean_diff,
+           (m1 - m2) / sqrt(v1/n1 + v2/n2) AS t,
+           ((v1/n1 + v2/n2) * (v1/n1 + v2/n2))
+               / ((v1/n1) * (v1/n1) / (n1 - 1.0)
+                  + (v2/n2) * (v2/n2) / (n2 - 1.0)) AS dof
+    FROM m
+)
+SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+       floor(mean_diff * 1e6 + 0.5) / 1e6 AS mean_diff,
+       floor(t * 1e6 + 0.5) / 1e6 AS t_stat,
+       floor(dof / 1000.0 * 1e6 + 0.5) / 1e6 AS dof_k,
+       floor(least(1.0, 2.0 * {sf}) * 1e6 + 0.5) / 1e6 AS p_value
+FROM t
+"""
+
+
+def q_mutual_information_events(spark, sf_dir):
+    """Discrete mutual information (functions/stats.py::
+    mutual_information): how informative is the event type about the
+    user's activity band? MI + the √(H·H)-normalized coefficient —
+    the dependence measure that, unlike the chi-square p, stays
+    interpretable at corpus row counts. Empty cells contribute 0 (the
+    correct MI convention; contrast the chi-square fix)."""
+    from dask_ml_spark.functions.stats import mutual_information
+
+    ev = _t(spark, sf_dir, "events")
+    banded = ev.withColumn(
+        "value_band", F.floor(F.col("value") / 25.0).cast("long"))
+    out = mutual_information(banded, "event_type", "value_band")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(r6(F.col("mi")).alias("mi"),
+                      r6(F.col("mi_normalized")).alias("mi_normalized"),
+                      "n")
+
+
+SQL_MUTUAL_INFORMATION_EVENTS = """
+WITH c AS (
+    SELECT event_type AS a,
+           CAST(floor(value / 25.0) AS BIGINT)::VARCHAR AS b,
+           count(*)::DOUBLE AS o
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2
+), m AS (
+    SELECT o,
+           sum(o) OVER (PARTITION BY a) AS ra,
+           sum(o) OVER (PARTITION BY b) AS cb,
+           sum(o) OVER () AS n
+    FROM c
+), s AS (
+    SELECT sum((o/n) * ln((o/n) / ((ra/n) * (cb/n)))) AS mi,
+           max(n) AS n
+    FROM m
+), ha AS (
+    SELECT -sum(p * ln(p)) AS h FROM (
+        SELECT sum(o) / (SELECT max(n) FROM m) AS p FROM c GROUP BY a)
+), hb AS (
+    SELECT -sum(p * ln(p)) AS h FROM (
+        SELECT sum(o) / (SELECT max(n) FROM m) AS p FROM c GROUP BY b)
+)
+SELECT floor(mi * 1e6 + 0.5) / 1e6 AS mi,
+       floor(mi / sqrt((SELECT h FROM ha) * (SELECT h FROM hb))
+             * 1e6 + 0.5) / 1e6 AS mi_normalized,
+       n::BIGINT AS n
+FROM s
+"""
+
+
+def q_feature_corr_matrix(spark, sf_dir):
+    """All-pairs Pearson correlations (functions/stats.py::
+    corr_matrix) over the four lineitem measures in ONE aggregate pass
+    — d(d+1)/2 streaming co-moment aggregates share a single scan with
+    map-side merge (the d²-passes naive form never touches the data
+    more than once here)."""
+    from dask_ml_spark.functions.stats import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = corr_matrix(li, ["l_quantity", "l_extendedprice",
+                           "l_discount", "l_tax"])
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("col_a", "col_b", r6(F.col("corr")).alias("corr"))
+
+
+SQL_FEATURE_CORR_MATRIX = """
+WITH pairs AS (
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           corr(l_quantity, l_extendedprice) AS corr FROM lineitem
+    UNION ALL SELECT 'l_quantity', 'l_discount',
+           corr(l_quantity, l_discount) FROM lineitem
+    UNION ALL SELECT 'l_quantity', 'l_tax',
+           corr(l_quantity, l_tax) FROM lineitem
+    UNION ALL SELECT 'l_extendedprice', 'l_discount',
+           corr(l_extendedprice, l_discount) FROM lineitem
+    UNION ALL SELECT 'l_extendedprice', 'l_tax',
+           corr(l_extendedprice, l_tax) FROM lineitem
+    UNION ALL SELECT 'l_discount', 'l_tax',
+           corr(l_discount, l_tax) FROM lineitem
+)
+SELECT col_a, col_b, floor(corr * 1e6 + 0.5) / 1e6 AS corr
+FROM pairs ORDER BY col_a, col_b
 """
 
 

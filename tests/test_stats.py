@@ -157,6 +157,76 @@ def test_chi2_zero_cell_and_group_guards(spark):
     assert out[1.0]["n_events"] + out[1.0]["n_censored"] == 1
 
 
+def test_welch_ttest_matches_numpy(spark):
+    from dask_ml_spark.functions.stats import welch_ttest
+
+    rng = np.random.RandomState(11)
+    a = rng.normal(0.0, 1.0, 150)
+    b = rng.normal(0.3, 2.0, 90)
+    row = welch_ttest(_mk(spark, a, b), "x", "g").collect()[0]
+    # independent reference: numpy moments + the textbook formulas
+    m1, m2 = a.mean(), b.mean()
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    se2 = v1 / 150 + v2 / 90
+    t_ref = (m1 - m2) / math.sqrt(se2)
+    dof_ref = se2 ** 2 / ((v1 / 150) ** 2 / 149 + (v2 / 90) ** 2 / 89)
+    p_ref = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(abs(t_ref) / math.sqrt(2))))
+    assert (row["n1"], row["n2"]) == (150, 90)
+    assert abs(row["mean_diff"] - (m1 - m2)) < 1e-10
+    assert abs(row["t_stat"] - t_ref) < 1e-10
+    assert abs(row["dof"] - dof_ref) < 1e-6
+    assert abs(row["p_value"] - p_ref) < 1e-6   # A&S tail vs erf
+    # < 2 rows in a group -> loud failure, not NaN variance
+    with pytest.raises(Exception, match="welch_ttest"):
+        welch_ttest(_mk(spark, [1.0], [2.0, 3.0]), "x", "g").collect()
+
+
+def test_mutual_information_identities(spark):
+    from dask_ml_spark.functions.stats import mutual_information
+
+    # independent columns -> MI exactly 0
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(10)]
+    got = mutual_information(
+        spark.createDataFrame(rows, ["a", "b"]), "a", "b").collect()[0]
+    assert abs(got["mi"]) < 1e-12 and abs(got["mi_normalized"]) < 1e-12
+    # perfect dependence -> MI = H(A) = ln 2, normalized = 1
+    rows2 = [("x", "u")] * 10 + [("y", "v")] * 10
+    got2 = mutual_information(
+        spark.createDataFrame(rows2, ["a", "b"]), "a", "b").collect()[0]
+    assert abs(got2["mi"] - math.log(2)) < 1e-12
+    assert abs(got2["mi_normalized"] - 1.0) < 1e-12
+    # hand-computed asymmetric table: p(x,u)=.5, p(y,u)=.25, p(y,v)=.25
+    rows3 = [("x", "u")] * 10 + [("y", "u")] * 5 + [("y", "v")] * 5
+    got3 = mutual_information(
+        spark.createDataFrame(rows3, ["a", "b"]), "a", "b").collect()[0]
+    mi_ref = (0.5 * math.log(0.5 / (0.5 * 0.75))
+              + 0.25 * math.log(0.25 / (0.5 * 0.75))
+              + 0.25 * math.log(0.25 / (0.5 * 0.25)))
+    assert abs(got3["mi"] - mi_ref) < 1e-12
+
+
+def test_corr_matrix_matches_numpy(spark):
+    from dask_ml_spark.functions.stats import corr_matrix
+
+    rng = np.random.RandomState(4)
+    X = rng.randn(300, 3)
+    X[:, 1] = 0.7 * X[:, 0] + 0.3 * X[:, 1]   # real correlation
+    df = spark.createDataFrame([tuple(map(float, r)) for r in X],
+                               ["c0", "c1", "c2"])
+    got = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in corr_matrix(df, ["c0", "c1", "c2"]).collect()}
+    ref = np.corrcoef(X.T)
+    names = ["c0", "c1", "c2"]
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert abs(got[(names[i], names[j])] - ref[i, j]) < 1e-9
+    assert len(got) == 3
+    # single aggregate pass: the plan has ONE Aggregate pair, no join
+    out = corr_matrix(df, ["c0", "c1", "c2"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
 def test_kaplan_meier_textbook(spark):
     # classic worked example: times 1,2,3,4,5; death at 1,3,4;
     # censored at 2; death+censored at 5 handled as separate subjects
