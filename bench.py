@@ -168,7 +168,7 @@ HEADLINE = [
     "spectral_clustering_sizes",    # Nystrom landmark embedding
     "parallel_post_fit_eval",       # broadcast-model mapInPandas inference
     "incremental_sgd_eval",         # executor-chained partial_fit wrapper
-    "incremental_search_best",      # adaptive planner (non-SHA policy)
+    "incremental_search_best",      # standalone SuccessiveHalving (oracled r9)
     "poisson_newton_fit",           # IRLS GLM
     "pipeline_grid_search",         # planner prefix sharing (oracled path)
     "pii_redaction",                # regex-heavy curation projection

@@ -4244,6 +4244,7 @@ def build_catalog():
         "dbscan_cluster_sizes": _sql_dbscan_cluster_sizes(),
         "mahalanobis_outliers": _sql_mahalanobis_outliers(),
         "hyperband_best": _sql_hyperband_best(),
+        "incremental_search_best": _sql_incremental_search_best(),
         "incremental_sgd_eval": sql_incremental_sgd_eval(),
         "ks_price_test": _sql_ks_price_test(),
         "mann_whitney_discount": _sql_mann_whitney_discount(),
@@ -4851,29 +4852,41 @@ HAVING sum(CASE WHEN CAST(('0x' || substr(md5(token), 15, 1)) AS BIGINT) % 2 = 0
 """
 
 
+SHA_N, SHA_R, SHA_ETA, SHA_MAX = 6, 2, 3, 12
+
+
 def q_incremental_search_best(spark, sf_dir):
-    """Adaptive search smoke at query scale: SuccessiveHalving over the
-    SGD stand-in on a lineitem-derived classification task."""
-    from dask_ml_spark.operators.local_estimators import SGDClassifier
-    from dask_ml_spark.operators.preprocessing import StandardScaler
+    """Standalone SuccessiveHalvingSearchCV (reference
+    _successive_halving.py:11-306), oracle-able since r9 the same way
+    hyperband_best was converted in r8: deterministic_by switches the
+    seeded choices to content-deterministic ones (Knuth hash split,
+    key-sorted cyclic batches, listed candidates) and the model is
+    SufficientStatsRidge, a closed form of the batch sums — so the SQL
+    replays the rung scores at every call target, the (score desc, id
+    asc) promotions, and the winner. The seeded SGD SuccessiveHalving
+    stays the tested production path
+    (tests/test_incremental_search.py)."""
+    import math
+
+    from dask_ml_spark.operators.local_estimators import SufficientStatsRidge
     from dask_ml_spark.plans.incremental import SuccessiveHalvingSearchCV
 
     li = _t(spark, sf_dir, "lineitem").withColumn(
-        "label", (F.col("l_returnflag") == "R").cast("double")
-    )
-    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    scaled = StandardScaler().fit(li, cols).transform(li)
+        "label",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"))
     sha = SuccessiveHalvingSearchCV(
-        SGDClassifier(), {"lr": [0.01, 0.1, 0.5], "alpha": [1e-5, 1e-3]},
-        n_initial_parameters=6, n_initial_iter=2, max_iter=12, random_state=0,
-    )
-    sha.fit(scaled, cols, classes=[0, 1])
+        SufficientStatsRidge(),
+        [{"alpha": a} for a in HB_ALPHAS[:SHA_N]],
+        n_initial_parameters=SHA_N, n_initial_iter=SHA_R,
+        aggressiveness=SHA_ETA, max_iter=SHA_MAX,
+        deterministic_by=["l_orderkey", "l_linenumber",
+                          "l_extendedprice", "l_discount"])
+    sha.fit(li, ["l_extendedprice", "l_discount"], label_col="label")
     return spark.createDataFrame([{
-        "best_lr": float(sha.best_params_["lr"]),
         "best_alpha": float(sha.best_params_["alpha"]),
-        "best_score": float(sha.best_score_),
+        "best_score": math.floor(sha.best_score_ * 1e6 + 0.5) / 1e6,
         "n_models": int(sha.n_models_),
-    }])
+    }]).select("best_alpha", "best_score", "n_models")
 
 
 def q_lsh_ann_topk(spark, sf_dir):
@@ -8389,6 +8402,132 @@ def q_hyperband_best(spark, sf_dir):
     return spark.createDataFrame(rows).select(
         "bracket", "n_models", "partial_fit_calls",
         "best_alpha", "best_score", "is_winner")
+
+
+def _sql_incremental_search_best() -> str:
+    """Single-bracket SuccessiveHalving replay — the hyperband oracle's
+    structure with the standalone schedule: steps for
+    (n=6, r=2, eta=3, limit=12) give ranking targets [1, 6, 12] calls
+    and keeps [6, 2, 1] (round 0 trains every model exactly ONE call,
+    then each SHA step tops the (score desc, id asc) top n_k up to r_k
+    — the engine's own accounting, embedded as literals so a schedule
+    deviation fails the driver's hash check)."""
+    import math
+
+    steps, k = [], 0
+    while True:  # _sha_steps(SHA_N, SHA_R, SHA_ETA, limit=SHA_MAX)
+        n_k = max(1, int(math.floor(SHA_N * SHA_ETA ** -k)))
+        r_k = min(int(SHA_R * SHA_ETA ** k), SHA_MAX)
+        steps.append((n_k, r_k))
+        if n_k == 1 or r_k >= SHA_MAX:
+            break
+        k += 1
+    targets = [1] + [rk for (_nk, rk) in steps[1:]]
+    keeps = [SHA_N] + [nk for (nk, _rk) in steps[1:]]
+    calls_vals = ", ".join(f"({c})" for c in sorted(set(targets)))
+    cand_vals = ", ".join(f"({i}, {a!r})"
+                          for i, a in enumerate(HB_ALPHAS[:SHA_N]))
+    stats = ["n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y"]
+    wsum = ", ".join(
+        f"sum((c // b + CASE WHEN batch < c % b THEN 1 ELSE 0 END) * {x}) AS {x}"
+        for x in stats)
+    chains = []
+    prev = None
+    for j, (c, nk) in enumerate(zip(targets, keeps)):
+        rung = f"r{j}"
+        src = (f"fitsc WHERE c = {c}" if j == 0 else
+               f"fitsc JOIN k{j} USING (mid) WHERE c = {c}")
+        chains.append(f"{rung} AS (SELECT mid, alpha, score FROM {src})")
+        if j + 1 < len(targets):
+            chains.append(
+                f"k{j + 1} AS (SELECT mid FROM (SELECT mid, "
+                f"row_number() OVER (ORDER BY score DESC, mid) AS rk "
+                f"FROM {rung}) WHERE rk <= {keeps[j + 1]})")
+        prev = rung
+    chain_sql = ",\n".join(chains)
+    return f"""
+WITH split AS (
+    SELECT l_extendedprice::DOUBLE AS x1, l_discount AS x2,
+           (l_extendedprice * (1 - l_discount))::DOUBLE AS y,
+           l_orderkey, l_linenumber, l_extendedprice, l_discount,
+           ((((((((0 + l_orderkey) % 2147483648) * 2654435761
+                 % 2147483648
+             + l_linenumber) % 2147483648) * 2654435761 % 2147483648
+             + trunc(l_extendedprice)::BIGINT) % 2147483648)
+                 * 2654435761 % 2147483648
+             + trunc(l_discount)::BIGINT) % 2147483648) * 2654435761
+             % 2147483648 % 10000 AS bucket
+    FROM lineitem
+),
+train AS (
+    SELECT * FROM (
+        SELECT x1, x2, y,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                                  l_extendedprice, l_discount) - 1
+                   AS rn
+        FROM split WHERE bucket < 8500)
+    WHERE rn < 1000000
+),
+bt AS (
+    SELECT rn // {HB_BATCH} AS batch, count(*)::DOUBLE AS n,
+           sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+           sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12,
+           sum(x1*y) AS s1y, sum(x2*y) AS s2y
+    FROM train GROUP BY 1
+),
+nb AS (SELECT count(*)::BIGINT AS b FROM bt),
+te AS (
+    SELECT count(*)::DOUBLE AS n, sum(x1) AS s1, sum(x2) AS s2,
+           sum(y) AS sy, sum(x1*x1) AS s11, sum(x2*x2) AS s22,
+           sum(x1*x2) AS s12, sum(x1*y) AS s1y, sum(x2*y) AS s2y,
+           sum(y*y) AS syy
+    FROM (SELECT * FROM (
+              SELECT x1, x2, y,
+                     row_number() OVER (ORDER BY l_orderkey,
+                                        l_linenumber, l_extendedprice,
+                                        l_discount) AS rn2
+              FROM split WHERE bucket >= 8500)
+          WHERE rn2 <= 500000)
+),
+calls(c) AS (VALUES {calls_vals}),
+st AS (
+    SELECT c, {wsum}
+    FROM calls CROSS JOIN bt CROSS JOIN nb GROUP BY c
+),
+cand(mid, alpha) AS (VALUES {cand_vals}),
+mom AS (
+    SELECT mid, alpha, c,
+           s1/n AS m1, s2/n AS m2, sy/n AS my,
+           s11/n - (s1/n)*(s1/n) + alpha AS va,
+           s12/n - (s1/n)*(s2/n) AS vb,
+           s22/n - (s2/n)*(s2/n) + alpha AS vc,
+           s1y/n - (s1/n)*(sy/n) AS c1,
+           s2y/n - (s2/n)*(sy/n) AS c2
+    FROM cand CROSS JOIN st
+),
+coefs AS (
+    SELECT mid, alpha, c,
+           (c1*vc - vb*c2) / (va*vc - vb*vb) AS w1,
+           (c2*va - vb*c1) / (va*vc - vb*vb) AS w2,
+           my - ((c1*vc - vb*c2) / (va*vc - vb*vb) * m1
+                 + (c2*va - vb*c1) / (va*vc - vb*vb) * m2) AS b0
+    FROM mom
+),
+fitsc AS (
+    SELECT mid, alpha, c,
+           1 - (t.syy - 2*w1*t.s1y - 2*w2*t.s2y - 2*b0*t.sy
+                + w1*w1*t.s11 + w2*w2*t.s22 + 2*w1*w2*t.s12
+                + 2*w1*b0*t.s1 + 2*w2*b0*t.s2 + b0*b0*t.n)
+             / (t.syy - t.sy*t.sy/t.n) AS score
+    FROM coefs CROSS JOIN te t
+),
+{chain_sql}
+SELECT alpha AS best_alpha,
+       floor(score * 1e6 + 0.5) / 1e6 AS best_score,
+       {SHA_N}::BIGINT AS n_models
+FROM (SELECT *, row_number() OVER (ORDER BY score DESC, mid) AS rk
+      FROM {prev}) WHERE rk = 1
+"""
 
 
 def _sql_hyperband_best() -> str:
