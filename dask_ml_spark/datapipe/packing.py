@@ -84,6 +84,10 @@ def prefix_sum(df: DataFrame, order_col: str, value_col,
     from dask_ml_spark.utils import ensure_min_partitions
 
     if isinstance(value_col, (list, tuple)):
+        if not isinstance(out_col, (list, tuple)):
+            # list('ab') would silently split a string into characters
+            raise ValueError(
+                "list value_col needs a parallel LIST of out_col names")
         value_cols = list(value_col)
         out_cols = list(out_col)
         if group_col is not None:

@@ -114,15 +114,19 @@ def _two_group_counts(df: DataFrame, value_col: str, group_col: str,
 
 
 def _nonempty_guard(n1: Column, n2: Column, passthrough: Column,
-                    what: str) -> Column:
+                    what: str,
+                    msg: str = ("a group matched no rows — check the "
+                                "group values (NULL groups are "
+                                "excluded)")) -> Column:
     """raise_error instead of the silent NULL/NaN cascade a zero-row
     group produces (a typo'd group name would otherwise flow a NULL
-    p-value into whatever gate consumes it)."""
+    p-value into whatever gate consumes it). Must wrap EVERY output
+    statistic column, not just one: Spark prunes unselected columns,
+    so a guard on d_stat alone never fires for
+    .select('p_value')-shaped consumers (review-caught)."""
     return F.when(
         (n1 <= 0) | (n2 <= 0) | n1.isNull() | n2.isNull(),
-        F.raise_error(F.lit(
-            f"{what}: a group matched no rows — check the group values "
-            "(NULL groups are excluded)"))
+        F.raise_error(F.lit(f"{what}: {msg}"))
     ).otherwise(passthrough)
 
 
@@ -137,8 +141,8 @@ def ks_2sample(df: DataFrame, value_col: str, group_col: str,
     λ = D·√(n1·n2/(n1+n2)).
 
     Returns one row: (n1, n2, d_stat, p_value). Shape: one groupBy of
-    the raw rows, two prefix sums over the distinct-value frame, one
-    final aggregate.
+    the raw rows, ONE multi-column prefix pass over the distinct-value
+    frame (both ECDF cumsums batched), one final aggregate.
     """
     from dask_ml_spark.datapipe.packing import prefix_sum
 
@@ -158,14 +162,16 @@ def ks_2sample(df: DataFrame, value_col: str, group_col: str,
     lam = (F.col("d_stat")
            * F.sqrt(F.col("n1_d") * F.col("n2_d")
                     / (F.col("n1_d") + F.col("n2_d"))))
+    def grd(c):
+        return _nonempty_guard(F.col("n1_d"), F.col("n2_d"), c,
+                               "ks_2sample")
+
     return (agg.withColumn("__lam", lam)
             .select(
                 F.col("n1_d").cast("long").alias("n1"),
                 F.col("n2_d").cast("long").alias("n2"),
-                _nonempty_guard(F.col("n1_d"), F.col("n2_d"),
-                                F.col("d_stat"), "ks_2sample")
-                .alias("d_stat"),
-                ks_p_expr(F.col("__lam")).alias("p_value")))
+                grd(F.col("d_stat")).alias("d_stat"),
+                grd(ks_p_expr(F.col("__lam"))).alias("p_value")))
 
 
 def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
@@ -206,10 +212,13 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
         F.signum(u - mu) * shift / F.sqrt(var))
     p = F.when(var <= 0.0, F.lit(1.0)).otherwise(
         F.least(F.lit(1.0), 2.0 * normal_sf_expr(F.abs(z))))
+    def grd(c):
+        return _nonempty_guard(n1, n2, c, "mann_whitney_u")
+
     return agg.select(
         n1.cast("long").alias("n1"), n2.cast("long").alias("n2"),
-        _nonempty_guard(n1, n2, u, "mann_whitney_u").alias("u_stat"),
-        z.alias("z"), p.alias("p_value"))
+        grd(u).alias("u_stat"), grd(z).alias("z"),
+        grd(p).alias("p_value"))
 
 
 def welch_ttest(df: DataFrame, value_col: str, group_col: str,
@@ -247,19 +256,69 @@ def welch_ttest(df: DataFrame, value_col: str, group_col: str,
     t = (m1 - m2) / F.sqrt(se2)
     dof = (se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
                          + (v2 / n2) * (v2 / n2) / (n2 - 1.0))
+    def grd(c):
+        # both failure modes guarded on EVERY output column: < 2 rows
+        # in a group (variance undefined) and zero pooled variance
+        # (t undefined — constant values in both groups); the size
+        # check wraps OUTERMOST so an undersized group reports itself,
+        # not a NULL-variance artifact
+        zerovar = F.when(
+            (se2 <= 0.0) | se2.isNull(),
+            F.raise_error(F.lit(
+                "welch_ttest: zero variance in both groups — t is "
+                "undefined on constant samples"))
+        ).otherwise(c)
+        return _nonempty_guard(n1 - 1.0, n2 - 1.0, zerovar, "welch_ttest",
+                               msg="each group needs >= 2 rows")
+
     out = (agg.withColumn("__t", t)
            .withColumn("__dof", dof)
            .select(
                n1.cast("long").alias("n1"), n2.cast("long").alias("n2"),
-               _nonempty_guard(n1 - 1.0, n2 - 1.0, m1 - m2,
-                               "welch_ttest (needs >= 2 rows per group)")
-               .alias("mean_diff"),
-               F.col("__t").alias("t_stat"),
-               F.col("__dof").alias("dof"),
-               F.least(F.lit(1.0),
-                       2.0 * normal_sf_expr(F.abs(F.col("__t"))))
+               grd(m1 - m2).alias("mean_diff"),
+               grd(F.col("__t")).alias("t_stat"),
+               grd(F.col("__dof")).alias("dof"),
+               grd(F.least(F.lit(1.0),
+                           2.0 * normal_sf_expr(F.abs(F.col("__t")))))
                .alias("p_value")))
     return out
+
+
+def _contingency_rows(df: DataFrame, col_a: str, col_b: str,
+                      max_cells: int, what: str):
+    """Shared contingency collection for chi2_independence /
+    mutual_information: one distributed groupBy(a,b) count (the only
+    raw-row pass), bounded driver collect, sorted cells, marginals.
+    max_cells bounds BOTH the observed cells and the full r×c product
+    (the chi-square iterates the product, so sparse tables with small
+    observed counts but huge marginal dimensions must also fail fast).
+    Returns (rows sorted by (a, b), row_tot, col_tot, n)."""
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (df.where(a.isNotNull() & b.isNotNull())
+             .groupBy(a.cast("string").alias("__a"),
+                      b.cast("string").alias("__b"))
+             .agg(F.count(F.lit(1)).cast("double").alias("__o")))
+    rows = cells.limit(max_cells + 1).collect()
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"{what}: contingency exceeds max_cells={max_cells}; "
+            "bucket the columns first")
+    rows.sort(key=lambda r: (r["__a"], r["__b"]))
+    row_tot: dict = {}
+    col_tot: dict = {}
+    n = 0.0
+    for r in rows:
+        row_tot[r["__a"]] = row_tot.get(r["__a"], 0.0) + r["__o"]
+        col_tot[r["__b"]] = col_tot.get(r["__b"], 0.0) + r["__o"]
+        n += r["__o"]
+    if n <= 0:
+        raise ValueError(f"{what}: no non-null rows")
+    if len(row_tot) * len(col_tot) > max_cells:
+        raise ValueError(
+            f"{what}: the full {len(row_tot)}x{len(col_tot)} "
+            f"row-by-column product exceeds max_cells={max_cells}; "
+            "bucket the columns first")
+    return rows, row_tot, col_tot, n
 
 
 def mutual_information(df: DataFrame, col_a: str, col_b: str,
@@ -271,26 +330,8 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str,
     0 — correct for MI, unlike the chi-square). Returns one row:
     (mi, mi_normalized, n).
     """
-    a, b = F.col(col_a), F.col(col_b)
-    cells = (df.where(a.isNotNull() & b.isNotNull())
-             .groupBy(a.cast("string").alias("__a"),
-                      b.cast("string").alias("__b"))
-             .agg(F.count(F.lit(1)).cast("double").alias("__o")))
-    rows = cells.limit(max_cells + 1).collect()
-    if len(rows) > max_cells:
-        raise ValueError(
-            f"contingency exceeds max_cells={max_cells}; bucket the "
-            "columns first")
-    rows.sort(key=lambda r: (r["__a"], r["__b"]))
-    row_tot: dict = {}
-    col_tot: dict = {}
-    n = 0.0
-    for r in rows:
-        row_tot[r["__a"]] = row_tot.get(r["__a"], 0.0) + r["__o"]
-        col_tot[r["__b"]] = col_tot.get(r["__b"], 0.0) + r["__o"]
-        n += r["__o"]
-    if n <= 0:
-        raise ValueError("mutual_information: no non-null rows")
+    rows, row_tot, col_tot, n = _contingency_rows(
+        df, col_a, col_b, max_cells, "mutual_information")
     mi = 0.0
     for r in rows:
         p_ab = r["__o"] / n
@@ -379,28 +420,13 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str,
     above max_cells — a chi-square over more cells than that has
     degenerate expected counts anyway), expected counts from the
     marginals, Q from chi2_sf. Returns one row:
-    (chi2, dof, p_value). Cells are summed in sorted (a, b) order so
-    the statistic is content-deterministic."""
-    a, b = F.col(col_a), F.col(col_b)
-    cells = (df.where(a.isNotNull() & b.isNotNull())
-             .groupBy(a.cast("string").alias("__a"),
-                      b.cast("string").alias("__b"))
-             .agg(F.count(F.lit(1)).cast("double").alias("__o")))
-    rows = cells.limit(max_cells + 1).collect()
-    if len(rows) > max_cells:
-        raise ValueError(
-            f"contingency table exceeds max_cells={max_cells} cells; "
-            "a chi-square over that many categories is ill-posed — "
-            "bucket the columns first")
-    row_tot: dict = {}
-    col_tot: dict = {}
-    obs: dict = {}
-    n = 0.0
-    for r in rows:
-        row_tot[r["__a"]] = row_tot.get(r["__a"], 0.0) + r["__o"]
-        col_tot[r["__b"]] = col_tot.get(r["__b"], 0.0) + r["__o"]
-        obs[(r["__a"], r["__b"])] = r["__o"]
-        n += r["__o"]
+    (chi2, dof, p_value, cramers_v). Cells are summed in sorted (a, b)
+    order so the statistic is content-deterministic. max_cells bounds
+    the full r×c product, not just the observed cells (the statistic
+    iterates the product)."""
+    rows, row_tot, col_tot, n = _contingency_rows(
+        df, col_a, col_b, max_cells, "chi2_independence")
+    obs = {(r["__a"], r["__b"]): r["__o"] for r in rows}
     # the FULL row x column product, not just observed cells: a
     # structurally empty cell contributes (0 - e)^2 / e = e to the
     # Pearson statistic — skipping it understates chi2 (review-caught;

@@ -133,11 +133,33 @@ def test_chi2_zero_cell_and_group_guards(spark):
     assert abs(got["chi2"] - 20.0 / 3.0) < 1e-12
 
     # KS/MWU: a group name matching no rows must raise, not flow a
-    # NULL p-value into downstream gates
+    # NULL p-value into downstream gates — and the guard must survive
+    # COLUMN PRUNING (review-caught: a guard on d_stat alone never
+    # fires for .select('p_value') consumers)
     df = _mk(spark, [1.0, 2.0], [3.0, 4.0])
     for fn in (ks_2sample, mann_whitney_u):
         with pytest.raises(Exception, match="matched no rows"):
             fn(df, "x", "g", groups=("a", "TYPO")).collect()
+        with pytest.raises(Exception, match="matched no rows"):
+            fn(df, "x", "g", groups=("a", "TYPO")) \
+                .select("p_value").collect()
+    # Welch: every failure mode loud on every column
+    from dask_ml_spark.functions.stats import welch_ttest
+
+    with pytest.raises(Exception, match="matched no rows|>= 2 rows"):
+        welch_ttest(df, "x", "g", groups=("a", "TYPO")) \
+            .select("p_value").collect()
+    with pytest.raises(Exception, match="zero variance"):
+        welch_ttest(_mk(spark, [2.0, 2.0, 2.0], [5.0, 5.0]),
+                    "x", "g").select("t_stat").collect()
+    # chi2/MI: the FULL r x c product is bounded, not just observed
+    # cells (a sparse diagonal table would otherwise hang the driver)
+    from dask_ml_spark.functions.stats import chi2_independence
+
+    diag = spark.range(40).selectExpr("cast(id as string) a",
+                                      "cast(id as string) b")
+    with pytest.raises(ValueError, match="row-by-column product"):
+        chi2_independence(diag, "a", "b", max_cells=100)
     # NULL group values are not a group: inference ignores them
     dfn = spark.createDataFrame(
         [(1.0, "a"), (2.0, None), (3.0, "b"), (4.0, "a")], ["x", "g"])
