@@ -187,6 +187,7 @@ HEADLINE = [
     # r9 additions (semantic_dedup_linear is listed above beside its
     # paper-geometry sibling)
     "ks_price_test",                # two-sample KS (prefix-sum ECDFs)
+    "ks_price_test_binned",         # KS 100TB path (equal-width bins)
     "mann_whitney_discount",        # rank-sum U + tie-corrected z/p
     "kaplan_meier_conversion",      # product-limit survival curve
     "chi2_independence_flags",      # contingency chi-square + exact tail

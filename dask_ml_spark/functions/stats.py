@@ -131,7 +131,7 @@ def _nonempty_guard(n1: Column, n2: Column, passthrough: Column,
 
 
 def ks_2sample(df: DataFrame, value_col: str, group_col: str,
-               groups=None) -> DataFrame:
+               groups=None, bins: int | None = None) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov test, distributed.
 
     D = max_x |F1(x) − F2(x)| over the pooled distinct values
@@ -143,10 +143,59 @@ def ks_2sample(df: DataFrame, value_col: str, group_col: str,
     Returns one row: (n1, n2, d_stat, p_value). Shape: one groupBy of
     the raw rows, ONE multi-column prefix pass over the distinct-value
     frame (both ECDF cumsums batched), one final aggregate.
+
+    ``bins=K`` is the 100 TB scale path (the roc_auc_binned pattern):
+    values bucket into K equal-width bins — one min/max aggregate +
+    one groupBy over ≤K groups, no prefix pass over distinct values
+    (continuous data makes the exact path's distinct-value frame
+    row-count-sized, a sort-sized shuffle). The binned D evaluates the
+    ECDF difference at bin RIGHT edges only, so |D_binned − D_exact| ≤
+    the largest within-bin probability mass — O(1/K) for smooth
+    distributions, and D_binned ≤ D_exact (the test gets conservative,
+    never anti-conservative on smooth data). Deterministic, so the
+    binned variant oracles too.
     """
     from dask_ml_spark.datapipe.packing import prefix_sum
 
     g, _, _ = _two_group_counts(df, value_col, group_col, groups)
+    if bins is not None:
+        if bins < 2:
+            raise ValueError("bins must be >= 2")
+        lohi = g.agg(F.min("__v").alias("lo"),
+                     F.max("__v").alias("hi")).collect()[0]
+        lo, hi = float(lohi["lo"]), float(lohi["hi"])
+        width = (hi - lo) or 1.0
+        bucket = F.least(
+            F.lit(bins - 1),
+            F.floor((F.col("__v") - F.lit(lo)) / F.lit(width)
+                    * F.lit(bins))).cast("int")
+        # ≤K groups: the driver-side cumsum replaces the prefix pass
+        rows = (g.groupBy(bucket.alias("__b"))
+                .agg(F.sum("__c1").alias("__c1"),
+                     F.sum("__c2").alias("__c2"))
+                .collect())
+        rows.sort(key=lambda r: r["__b"])
+        n1 = sum(r["__c1"] for r in rows)
+        n2 = sum(r["__c2"] for r in rows)
+        f1 = f2 = 0.0
+        d = 0.0
+        for r in rows:
+            f1 += r["__c1"]
+            f2 += r["__c2"]
+            if n1 and n2:
+                d = max(d, abs(f1 / n1 - f2 / n2))
+        if not n1 or not n2:
+            raise ValueError(
+                "ks_2sample: a group matched no rows — check the group "
+                "values (NULL groups are excluded)")
+        lam_v = d * math.sqrt(n1 * n2 / (n1 + n2))
+        q = 2.0 * sum((-1) ** (k - 1) * math.exp(-2.0 * k * k
+                                                 * lam_v * lam_v)
+                      for k in range(1, _KS_TERMS + 1))
+        return df.sparkSession.createDataFrame([{
+            "n1": int(n1), "n2": int(n2), "d_stat": float(d),
+            "p_value": float(min(1.0, max(0.0, q))),
+        }]).select("n1", "n2", "d_stat", "p_value")
     # both ECDF cumsums in ONE prefix pass (one range shuffle/checkpoint)
     g = prefix_sum(g, "__v", ["__c1", "__c2"], ["__b1", "__b2"])
     tot = g.agg(F.sum("__c1").alias("__n1"), F.sum("__c2").alias("__n2"))

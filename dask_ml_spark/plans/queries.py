@@ -4025,6 +4025,7 @@ def build_catalog():
         "spectral_clustering_sizes": q_spectral_clustering_sizes,
         "incremental_sgd_eval": q_incremental_sgd_eval,
         "ks_price_test": q_ks_price_test,
+        "ks_price_test_binned": q_ks_price_test_binned,
         "mann_whitney_discount": q_mann_whitney_discount,
         "chi2_independence_flags": q_chi2_independence_flags,
         "welch_ttest_price": q_welch_ttest_price,
@@ -4247,6 +4248,7 @@ def build_catalog():
         "incremental_search_best": _sql_incremental_search_best(),
         "incremental_sgd_eval": sql_incremental_sgd_eval(),
         "ks_price_test": _sql_ks_price_test(),
+        "ks_price_test_binned": _sql_ks_price_test_binned(),
         "mann_whitney_discount": _sql_mann_whitney_discount(),
         "chi2_independence_flags": _sql_chi2_independence_flags(),
         "welch_ttest_price": _sql_welch_ttest_price(),
@@ -7673,6 +7675,64 @@ WITH k AS (
                          AND CURRENT ROW) AS f2,
            (SELECT sum(c1) FROM g) AS n1, (SELECT sum(c2) FROM g) AS n2
     FROM g
+), d AS (
+    SELECT max(n1) AS n1, max(n2) AS n2,
+           max(abs(f1/n1 - f2/n2)) AS d_stat
+    FROM c
+), l AS (
+    SELECT n1, n2, d_stat,
+           d_stat * sqrt(n1 * n2 / (n1 + n2)) AS lam
+    FROM d
+)
+SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+       floor(d_stat * 1e6 + 0.5) / 1e6 AS d_stat,
+       floor({p} * 1e6 + 0.5) / 1e6 AS p_value
+FROM l
+"""
+
+
+KS_BINS = 128
+
+
+def q_ks_price_test_binned(spark, sf_dir):
+    """The KS test's 100 TB scale path (the roc_auc_binned pattern):
+    equal-width binning replaces the distinct-value prefix pass with
+    one min/max aggregate + one ≤K-group aggregate — continuous data
+    makes the exact path's distinct-value frame row-count-sized. The
+    binned D is conservative (≤ exact) within the largest per-bin
+    mass; deterministic, so fully oracled."""
+    from dask_ml_spark.functions.stats import ks_2sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = ks_2sample(li, "l_extendedprice", "l_returnflag",
+                     groups=("N", "R"), bins=KS_BINS)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n1", "n2", r6(F.col("d_stat")).alias("d_stat"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_ks_price_test_binned() -> str:
+    from dask_ml_spark.functions.stats import _ks_p_sql
+
+    p = _ks_p_sql("lam")
+    return f"""
+WITH k AS (
+    SELECT l_extendedprice::DOUBLE AS v, l_returnflag AS g
+    FROM lineitem WHERE l_returnflag IN ('N', 'R')
+), lim AS (SELECT min(v) AS lo, max(v) AS hi FROM k),
+b AS (
+    SELECT least({KS_BINS - 1},
+                 floor((v - (SELECT lo FROM lim))
+                       / ((SELECT hi - lo FROM lim)) * {KS_BINS}))
+               AS bkt,
+           sum(CASE WHEN g = 'N' THEN 1.0 ELSE 0.0 END) AS c1,
+           sum(CASE WHEN g = 'R' THEN 1.0 ELSE 0.0 END) AS c2
+    FROM k GROUP BY 1
+), c AS (
+    SELECT sum(c1) OVER w AS f1, sum(c2) OVER w AS f2,
+           (SELECT sum(c1) FROM b) AS n1, (SELECT sum(c2) FROM b) AS n2
+    FROM b WINDOW w AS (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
 ), d AS (
     SELECT max(n1) AS n1, max(n2) AS n2,
            max(abs(f1/n1 - f2/n2)) AS d_stat

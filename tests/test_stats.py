@@ -51,6 +51,19 @@ def test_ks_2sample_matches_bruteforce(spark):
     # identical distributions -> D small, p near 1
     row2 = ks_2sample(_mk(spark, a, a), "x", "g").collect()[0]
     assert row2["d_stat"] == 0.0 and row2["p_value"] == 1.0
+    # binned scale path: conservative (D_binned <= D_exact) and within
+    # the largest within-bin mass of exact; matches an independent
+    # histogram-ECDF replay exactly
+    rowb = ks_2sample(_mk(spark, a, b), "x", "g", bins=64).collect()[0]
+    assert rowb["d_stat"] <= d_ref + 1e-12
+    assert rowb["d_stat"] > d_ref - 0.1    # 64 bins on smooth data
+    lo = min(a.min(), b.min())
+    hi = max(a.max(), b.max())
+    ba = np.minimum(63, np.floor((a - lo) / (hi - lo) * 64)).astype(int)
+    bb = np.minimum(63, np.floor((b - lo) / (hi - lo) * 64)).astype(int)
+    f1 = np.cumsum(np.bincount(ba, minlength=64)) / len(a)
+    f2 = np.cumsum(np.bincount(bb, minlength=64)) / len(b)
+    assert abs(rowb["d_stat"] - np.max(np.abs(f1 - f2))) < 1e-12
 
 
 def test_mann_whitney_matches_bruteforce(spark):
