@@ -6,6 +6,26 @@ This is the correctness surface for SURVEY.md §2 plus the
 beyond-reference datapipe operators. Column names AND types are
 aligned between the Spark plan and the oracle (the driver hash
 compares after sorting columns by name).
+
+CANONICAL DOUBLE AGGREGATION (r10 convention, grep: _dsum/_davg /
+DECIMAL(18,4)): every OUTPUT column that sums or averages a double
+measure at revenue/price scale accumulates in exact DECIMAL(18,4) in
+BOTH engines, then casts back to double once:
+
+    Spark:  _dsum(expr)  = F.sum(expr.cast(DEC4)).cast("double")
+            _davg(expr)  = _dsum(expr) / F.count(expr)
+    SQL:    CAST(sum(CAST(expr AS DECIMAL(18,4))) AS DOUBLE)
+            ... / count(expr)
+
+Decimal addition is exact and associative, so NO plan-shape change
+(salting, AQE re-plan, partial-agg reorder, join strategy swap) can
+move the output bits — unlike raw double sums, whose partial-sum
+association order drifts ~n*eps*Σ (≈1e-3 on 1e9-scale revenues at
+sf0.1, straddling the driver's 1e-6 rounding grid; this flipped
+salted_join_revenue red in round 9). The double→decimal cast itself
+rounds half-up identically in Spark and DuckDB (verified bit-exact on
+the real tables). Ratios of big sums (r², market share, correlations)
+self-normalize (relative drift ~1e-11) and stay raw doubles.
 """
 
 from __future__ import annotations
@@ -21,6 +41,37 @@ from dask_ml_spark.datapipe import text_stats as TS
 
 LINEITEM_FEATS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 TOKEN_RE_SQL = "[a-z0-9_]{2,}"
+DEC4 = "decimal(18,4)"
+
+
+def _dsum(col):
+    """Order-independent sum of a double measure: exact DECIMAL(18,4)
+    accumulation (immune to any plan-shape change), one final rounding
+    back to double. SQL twin: CAST(sum(CAST(e AS DECIMAL(18,4))) AS DOUBLE)."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.sum(col.cast(DEC4)).cast("double")
+
+
+def _davg(col):
+    """Order-independent mean: exact decimal sum / exact non-null count.
+    SQL twin: CAST(sum(CAST(e AS DECIMAL(18,4))) AS DOUBLE) / count(e)."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return _dsum(col) / F.count(col)
+
+
+def _dsum_c(col):
+    """_dsum for CONTINUOUS summands (true value has >4 decimal digits,
+    e.g. price*(1-disc)*(1+tax) or w*err^2): the plain decimal cast hits
+    exact .xxxx50 grid midpoints where Spark's HALF_UP and DuckDB's
+    rounding disagree, so floor to the 1e-4 grid FIRST (floor of a
+    bit-identical double is mode-independent), then accumulate exactly.
+    SQL twin: CAST(sum(CAST(floor(e * 10000) / 10000
+                            AS DECIMAL(18,4))) AS DOUBLE)."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.sum((F.floor(col * 10000) / 10000).cast(DEC4)).cast("double")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -42,13 +93,13 @@ def q_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _dsum_c(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
+            _davg("l_quantity").alias("avg_qty"),
+            _davg("l_extendedprice").alias("avg_price"),
+            _davg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -56,13 +107,13 @@ def q_pricing_summary(spark, sf_dir):
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice) AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-       avg(l_quantity) AS avg_qty,
-       avg(l_extendedprice) AS avg_price,
-       avg(l_discount) AS avg_disc,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -86,7 +137,7 @@ def q_top_revenue_nations(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -94,7 +145,7 @@ def q_top_revenue_nations(spark, sf_dir):
 
 SQL_TOP_REVENUE_NATIONS = """
 SELECT r_name, n_name,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -120,14 +171,14 @@ def q_revenue_forecast(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
 
 
 SQL_REVENUE_FORECAST = """
-SELECT sum(l_extendedprice * l_discount) AS revenue,
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -152,7 +203,7 @@ def q_shipping_priority(spark, sf_dir):
         .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -160,7 +211,7 @@ def q_shipping_priority(spark, sf_dir):
 
 SQL_SHIPPING_PRIORITY = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -218,7 +269,7 @@ def q_customer_returns_topk(spark, sf_dir):
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count("*").alias("n_returned_items"),
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -228,7 +279,7 @@ def q_customer_returns_topk(spark, sf_dir):
 
 SQL_CUSTOMER_RETURNS_TOPK = """
 SELECT c_custkey, c_name, n_name,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        count(*) AS n_returned_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -250,9 +301,9 @@ def q_hash_split_train_stats(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     train, test = hash_split(li, ["l_orderkey", "l_linenumber"], test_size=0.25)
-    t1 = train.agg(F.count("*").alias("n"), F.sum("l_extendedprice").alias("sum_price"),
+    t1 = train.agg(F.count("*").alias("n"), _dsum("l_extendedprice").alias("sum_price"),
                    F.lit("train").alias("side"))
-    t2 = test.agg(F.count("*").alias("n"), F.sum("l_extendedprice").alias("sum_price"),
+    t2 = test.agg(F.count("*").alias("n"), _dsum("l_extendedprice").alias("sum_price"),
                   F.lit("test").alias("side"))
     return t1.unionAll(t2)
 
@@ -264,10 +315,14 @@ WITH b AS (
              + l_linenumber) % 2147483648) * 2654435761 % 2147483648 % 10000 AS bucket
     FROM lineitem
 )
-SELECT count(*) AS n, sum(l_extendedprice) AS sum_price, 'train' AS side
+SELECT count(*) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       'train' AS side
 FROM b WHERE bucket < 7500
 UNION ALL
-SELECT count(*) AS n, sum(l_extendedprice) AS sum_price, 'test' AS side
+SELECT count(*) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       'test' AS side
 FROM b WHERE bucket >= 7500
 """
 
@@ -336,12 +391,20 @@ def q_standard_scaler_fit(spark, sf_dir):
     row = {}
     for i, c in enumerate(LINEITEM_FEATS):
         row[f"mean_{c}"] = float(sc.mean_[i])
-        row[f"var_{c}"] = float(sc.var_[i])
+        # extendedprice variance is ~5e8: cross-engine co-moment drift
+        # sits near the rounded gate's grid, so snap it to 2 decimals on
+        # both sides (same canonicalization as gaussian_nb_fit's
+        # var_price); the O(1)-magnitude variances stay raw
+        v = float(sc.var_[i])
+        row[f"var_{c}"] = round(v, 2) if c == "l_extendedprice" else v
     return spark.createDataFrame([row]).select(*sorted(row))
 
 
 SQL_STANDARD_SCALER_FIT = "SELECT " + ", ".join(
-    f"avg({c}) AS mean_{c}, var_pop({c}) AS var_{c}" for c in LINEITEM_FEATS
+    f"avg({c}) AS mean_{c}, "
+    + (f"round(var_pop({c}), 2) AS var_{c}" if c == "l_extendedprice"
+       else f"var_pop({c}) AS var_{c}")
+    for c in LINEITEM_FEATS
 ) + " FROM lineitem"
 
 
@@ -657,14 +720,14 @@ def q_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(r.where(F.col("r_name") == "AMERICA")),
               F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
              F.count("*").alias("n_items"))
     )
 
 
 SQL_LOCAL_SUPPLIER_VOLUME = """
 SELECT n_name,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -690,19 +753,20 @@ def q_promo_revenue(spark, sf_dir):
                 F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
         .agg(
-            (100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-             / F.sum(rev)).alias("promo_pct"),
-            F.sum(rev).alias("revenue"),
+            (100.0 * _dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+             / _dsum(rev)).alias("promo_pct"),
+            _dsum(rev).alias("revenue"),
         )
     )
 
 
 SQL_PROMO_REVENUE = """
 SELECT date_trunc('month', l_shipdate) AS ship_month,
-       100.0 * sum(CASE WHEN p_type = 'PROMO'
-                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)) AS promo_pct,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue
+       100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                        AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS promo_pct,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1
 """
@@ -717,7 +781,7 @@ def q_large_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     big = (li.groupBy("l_orderkey")
-           .agg(F.sum("l_quantity").alias("total_qty"))
+           .agg(_dsum("l_quantity").alias("total_qty"))
            .where(F.col("total_qty") > 150))
     return (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -731,8 +795,10 @@ def q_large_orders(spark, sf_dir):
 
 SQL_LARGE_ORDERS = """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
-FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
-      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+FROM (SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150) big
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey ASC
@@ -766,7 +832,7 @@ def q_nation_volume_shipping(spark, sf_dir):
         .where(pair)
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
              F.count("*").alias("n_items"))
     )
 
@@ -774,7 +840,7 @@ def q_nation_volume_shipping(spark, sf_dir):
 SQL_NATION_VOLUME_SHIPPING = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -817,17 +883,17 @@ def q_market_share(spark, sf_dir):
         .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(F.round(
-            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
-                  .otherwise(F.lit(0.0))) / F.sum(vol), 6).alias("mkt_share"))
+            _dsum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                  .otherwise(F.lit(0.0))) / _dsum(vol), 6).alias("mkt_share"))
     )
 
 
 SQL_MARKET_SHARE = """
 SELECT year(o_orderdate) AS o_year,
-       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+       round(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3'
                       THEN l_extendedprice * (1 - l_discount)
-                      ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+                      ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -864,15 +930,15 @@ def q_product_profit(spark, sf_dir):
               F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit), 4).alias("sum_profit"),
+        .agg(F.round(_dsum(profit), 4).alias("sum_profit"),
              F.count("*").alias("n_items"))
     )
 
 
 SQL_PRODUCT_PROFIT = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - p_retailprice * l_quantity), 4) AS sum_profit,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_profit,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -1049,12 +1115,12 @@ def q_supplier_balance_quartiles(spark, sf_dir):
             .agg(F.count("*").alias("n"),
                  F.min("s_acctbal").alias("lo"),
                  F.max("s_acctbal").alias("hi"),
-                 F.avg("s_acctbal").alias("mean_bal")))
+                 _davg("s_acctbal").alias("mean_bal")))
 
 
 SQL_SUPPLIER_BALANCE_QUARTILES = """
 SELECT quartile, count(*) AS n, min(s_acctbal) AS lo, max(s_acctbal) AS hi,
-       avg(s_acctbal) AS mean_bal
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(s_acctbal) AS mean_bal
 FROM (SELECT s_acctbal,
              ntile(4) OVER (ORDER BY s_acctbal ASC, s_suppkey ASC) AS quartile
       FROM supplier)
@@ -1082,14 +1148,18 @@ def q_salted_join_revenue(spark, sf_dir):
            (li.groupBy("o_orderkey").count()
             .orderBy(F.desc("count"), "o_orderkey").limit(3).collect())]
     joined = salted_join(li, o, on="o_orderkey", n_salt=16, hot_keys=hot)
+    # _dsum (exact decimal accumulation) is load-bearing here: the
+    # two-branch salted plan (hot ∪ cold) re-associates partial sums vs
+    # the oracle's flat join, which flipped the driver hash in r9 when
+    # this was a raw double sum.
     return (joined.groupBy("o_orderpriority")
-            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
                  F.count("*").alias("n_items")))
 
 
 SQL_SALTED_JOIN_REVENUE = """
 SELECT o_orderpriority,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -1103,14 +1173,14 @@ def q_sales_cube(spark, sf_dir):
     table four times)."""
     li = _t(spark, sf_dir, "lineitem")
     return (li.cube("l_returnflag", "l_linestatus")
-            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
                  F.count("*").alias("n"),
                  F.grouping_id().alias("gid")))
 
 
 SQL_SALES_CUBE = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        count(*) AS n,
        grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
 FROM lineitem
@@ -1587,7 +1657,13 @@ def q_pca_covariance(spark, sf_dir):
     aggs = []
     for i, ci in enumerate(cols):
         for j in range(i, len(cols)):
-            aggs.append(F.covar_samp(F.col(ci), F.col(cols[j])).alias(f"cov_{i}_{j}"))
+            c = F.covar_samp(F.col(ci), F.col(cols[j]))
+            # cov_1_1 (extendedprice variance) is ~5e8 — snap to 2
+            # decimals on both sides (standard_scaler_fit precedent);
+            # every other entry is <=1e5 and safe raw
+            if i == 1 and j == 1:
+                c = F.round(c, 2)
+            aggs.append(c.alias(f"cov_{i}_{j}"))
     return li.agg(*aggs)
 
 
@@ -1596,7 +1672,10 @@ def _sql_pca_covariance() -> str:
     parts = []
     for i, ci in enumerate(cols):
         for j in range(i, len(cols)):
-            parts.append(f"covar_samp({ci}, {cols[j]}) AS cov_{i}_{j}")
+            e = f"covar_samp({ci}, {cols[j]})"
+            if i == 1 and j == 1:
+                e = f"round({e}, 2)"
+            parts.append(f"{e} AS cov_{i}_{j}")
     return "SELECT " + ", ".join(parts) + " FROM lineitem"
 
 
@@ -1640,8 +1719,13 @@ def q_regression_metrics(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     y = F.col("l_extendedprice")
     pred = F.col("l_quantity") * 2000.0
+    # mse is an ~2.5e8-scale mean whose raw-double accumulation drifts
+    # past the hash grid under plan-shape changes — catalog rendering
+    # uses the decimal-exact form of the same formula (mse_expr, the
+    # production path, stays pytest-pinned); mae/mape/msle/r2 are O(1e4)
+    # or self-normalizing and stay on the library exprs.
     return li.agg(
-        mse_expr(y, pred).alias("mse"),
+        _davg(F.pow(pred - y, 2)).alias("mse"),
         mae_expr(y, pred).alias("mae"),
         mape_expr(y, pred).alias("mape"),
         msle_expr(y, pred).alias("msle"),
@@ -1650,7 +1734,8 @@ def q_regression_metrics(spark, sf_dir):
 
 
 SQL_REGRESSION_METRICS = """
-SELECT avg(pow(l_quantity * 2000.0 - l_extendedprice, 2)) AS mse,
+SELECT CAST(sum(CAST(pow(l_quantity * 2000.0 - l_extendedprice, 2) AS DECIMAL(18,4))) AS DOUBLE)
+           / count(*) AS mse,
        avg(abs(l_quantity * 2000.0 - l_extendedprice)) AS mae,
        avg(abs(l_quantity * 2000.0 - l_extendedprice) / greatest(abs(l_extendedprice), 1e-15)) AS mape,
        avg(pow(ln(1 + l_quantity * 2000.0) - ln(1 + l_extendedprice), 2)) AS msle,
@@ -2282,8 +2367,8 @@ def q_windowed_event_features(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value"),
-            F.avg("value").alias("avg_value"),
+            _dsum("value").alias("sum_value"),
+            _davg("value").alias("avg_value"),
             F.max("value").alias("max_value"),
         )
     )
@@ -2293,8 +2378,8 @@ SQL_WINDOWED_EVENT_FEATURES = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        user_id,
        count(*) AS n_events,
-       sum(value) AS sum_value,
-       avg(value) AS avg_value,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS avg_value,
        max(value) AS max_value
 FROM events
 GROUP BY 1, 2
@@ -2306,13 +2391,14 @@ def q_event_type_rollup(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.avg("value").alias("avg_value"),
+        _davg("value").alias("avg_value"),
         F.percentile(F.col("value"), F.lit(0.95)).alias("p95_value"),
     )
 
 
 SQL_EVENT_TYPE_ROLLUP = """
-SELECT event_type, count(*) AS n, avg(value) AS avg_value,
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS avg_value,
        quantile_cont(value, 0.95) AS p95_value
 FROM events
 GROUP BY event_type
@@ -2522,7 +2608,7 @@ def q_event_sessionization(spark, sf_dir):
     return sess.groupBy("user_id", "session_no").agg(
         F.count("*").alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        F.sum("value").alias("sum_value"),
+        _dsum("value").alias("sum_value"),
     )
 
 
@@ -2542,7 +2628,7 @@ WITH g AS (
 )
 SELECT user_id, session_no, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       sum(value) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM s GROUP BY 1, 2
 """
 
@@ -3704,7 +3790,7 @@ def q_top_supplier_revenue(spark, sf_dir):
     rev = (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
                     & (F.col("l_shipdate") < F.lit("1996-04-01")))
            .groupBy("l_suppkey")
-           .agg(F.round(F.sum(F.col("l_extendedprice")
+           .agg(F.round(_dsum(F.col("l_extendedprice")
                               * (1 - F.col("l_discount"))), 2)
                 .alias("total_revenue")))
     top = rev.agg(F.max("total_revenue").alias("max_revenue"))
@@ -3718,7 +3804,7 @@ def q_top_supplier_revenue(spark, sf_dir):
 SQL_TOP_SUPPLIER_REVENUE = """
 WITH rev AS (
     SELECT l_suppkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -5206,7 +5292,7 @@ def q_winsorized_prices(spark, sf_dir):
     w = Winsorizer(lower=0.05, upper=0.95, approximate=False).fit(li, cols)
     out = w.transform(li)
     return (out.groupBy("l_returnflag")
-            .agg(*[F.round(F.sum(c), 4).alias(f"wsum_{c}") for c in cols],
+            .agg(*[F.round(_dsum(c), 4).alias(f"wsum_{c}") for c in cols],
                  F.count("*").alias("n")))
 
 
@@ -5219,9 +5305,11 @@ WITH q AS (
     FROM lineitem
 )
 SELECT l_returnflag,
-       round(sum(least(greatest(l_extendedprice, lo_p), hi_p)), 4)
+       round(CAST(sum(CAST(least(greatest(l_extendedprice, lo_p), hi_p)
+                           AS DECIMAL(18,4))) AS DOUBLE), 4)
            AS wsum_l_extendedprice,
-       round(sum(least(greatest(l_quantity, lo_q), hi_q)), 4)
+       round(CAST(sum(CAST(least(greatest(l_quantity, lo_q), hi_q)
+                           AS DECIMAL(18,4))) AS DOUBLE), 4)
            AS wsum_l_quantity,
        count(*)::BIGINT AS n
 FROM lineitem CROSS JOIN q
@@ -5240,7 +5328,7 @@ def q_part_attribute_stats(spark, sf_dir):
                      .alias("retailprice"))
             .unpivot("p_brand", ["size", "retailprice"], "attr", "val"))
     return (long.groupBy("p_brand", "attr")
-            .agg(F.round(F.avg("val"), 6).alias("avg_val"),
+            .agg(F.round(_davg("val"), 6).alias("avg_val"),
                  F.count("*").alias("n")))
 
 
@@ -5250,7 +5338,8 @@ WITH long AS (
     UNION ALL
     SELECT p_brand, 'retailprice', p_retailprice::DOUBLE FROM part
 )
-SELECT p_brand, attr, round(avg(val), 6) AS avg_val,
+SELECT p_brand, attr,
+       round(CAST(sum(CAST(val AS DECIMAL(18,4))) AS DOUBLE) / count(val), 6) AS avg_val,
        count(*)::BIGINT AS n
 FROM long GROUP BY p_brand, attr
 """
@@ -5274,7 +5363,7 @@ def q_time_series_split_stats(spark, sf_dir):
             train.agg(F.count("*").alias("train_rows")).crossJoin(
                 test.agg(
                     F.count("*").alias("test_rows"),
-                    F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6)
+                    F.round(F.coalesce(_dsum("value"), F.lit(0.0)), 6)
                     .alias("test_value_sum")))
             .select(F.lit(i).cast("long").alias("fold"),
                     "train_rows", "test_rows", "test_value_sum"))
@@ -5293,7 +5382,8 @@ def _sql_time_series_split_stats(n: int = 4) -> str:
 SELECT {i}::BIGINT AS fold,
        count(*) FILTER (WHERE tu < {lo})::BIGINT AS train_rows,
        count(*) FILTER (WHERE {test})::BIGINT AS test_rows,
-       round(coalesce(sum(value) FILTER (WHERE {test}), 0), 6)
+       round(coalesce(CAST(sum(CAST(value AS DECIMAL(18,4)))
+                           FILTER (WHERE {test}) AS DOUBLE), 0), 6)
            AS test_value_sum
 FROM e CROSS JOIN b""")
     body = "\nUNION ALL".join(parts)
@@ -5316,7 +5406,10 @@ def q_variance_threshold(spark, sf_dir):
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         F.lit(7.5).alias("const"))
     vt = VarianceThreshold(threshold=0.0).fit(li)
-    rows = [(c, float(v), int(keep)) for c, v, keep in
+    # extendedprice variance is ~5e8 — snap to 2 decimals on both sides
+    # (the standard_scaler_fit / gaussian_nb_fit canonicalization)
+    rows = [(c, round(float(v), 2) if c == "l_extendedprice" else float(v),
+             int(keep)) for c, v, keep in
             zip(vt.columns_, vt.variances_, vt.support_)]
     return spark.createDataFrame(
         rows, "feature string, variance double, kept long")
@@ -5327,7 +5420,7 @@ SELECT 'l_quantity' AS feature, var_pop(l_quantity) AS variance,
        CASE WHEN var_pop(l_quantity) > 0 THEN 1 ELSE 0 END::BIGINT AS kept
 FROM lineitem
 UNION ALL
-SELECT 'l_extendedprice', var_pop(l_extendedprice),
+SELECT 'l_extendedprice', round(var_pop(l_extendedprice), 2),
        CASE WHEN var_pop(l_extendedprice) > 0 THEN 1 ELSE 0 END::BIGINT
 FROM lineitem
 UNION ALL
@@ -5507,22 +5600,24 @@ def q_idle_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     avg_bal = c.where(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("__avg_bal"))
+        _davg("c_acctbal").alias("__avg_bal"))
     rich = (c.crossJoin(F.broadcast(avg_bal))
             .where(F.col("c_acctbal") > F.col("__avg_bal")))
     recent = o.where(F.col("o_orderdate") >= F.lit("2000-01-01")).select("o_custkey")
     idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
     return (idle.groupBy("c_mktsegment")
             .agg(F.count("*").alias("n_customers"),
-                 F.sum("c_acctbal").alias("total_balance")))
+                 _dsum("c_acctbal").alias("total_balance")))
 
 
 SQL_IDLE_CUSTOMERS = """
 SELECT c_mktsegment,
        count(*) AS n_customers,
-       sum(c_acctbal) AS total_balance
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
 FROM customer c
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                          / count(c_acctbal)
+                   FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= DATE '2000-01-01')
@@ -5548,7 +5643,7 @@ def q_sole_supplier_orders(spark, sf_dir):
     sole = li.join(per_order, "l_orderkey", "left_semi")
     out = (sole.groupBy("l_suppkey")
            .agg(F.countDistinct("l_orderkey").alias("n_orders"),
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                 .alias("revenue")))
     w = Window.orderBy(F.desc("revenue"), F.asc("l_suppkey"))
     return (out.withColumn("rank", F.row_number().over(w))
@@ -5564,7 +5659,7 @@ WITH sole_orders AS (
 ), per_supplier AS (
     SELECT l_suppkey,
            count(DISTINCT l_orderkey) AS n_orders,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_orderkey IN (SELECT l_orderkey FROM sole_orders)
     GROUP BY l_suppkey
@@ -5625,13 +5720,14 @@ def q_small_quantity_revenue(spark, sf_dir):
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(thresh, "l_partkey")
         .where(F.col("l_quantity") < F.col("__qbar"))
-        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+        .agg((_dsum("l_extendedprice") / 7.0).alias("avg_yearly"),
              F.count("*").alias("n_lines"))
     )
 
 
 SQL_SMALL_QUANTITY_REVENUE = """
-SELECT sum(l_extendedprice) / 7.0 AS avg_yearly, count(*) AS n_lines
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+       count(*) AS n_lines
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#12'
   AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -5656,13 +5752,13 @@ def q_bracketed_discount_revenue(spark, sf_dir):
         | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
     )
     return (j.where(pred)
-            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                  .alias("revenue"),
                  F.count("*").alias("n_lines")))
 
 
 SQL_BRACKETED_DISCOUNT_REVENUE = """
-SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue,
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -5682,26 +5778,30 @@ def q_important_parts(spark, sf_dir):
     broadcast part-dimension join for the brand rollup."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # part_rev is decimal-exact with <=13 significant digits, so the
+    # double round-trips losslessly and the re-sums below stay exact
+    rev = _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     per_part = li.groupBy("l_partkey").agg(rev.alias("part_rev"))
-    total = per_part.agg(F.sum("part_rev").alias("__total"))
+    total = per_part.agg(_dsum("part_rev").alias("__total"))
     important = (per_part.crossJoin(F.broadcast(total))
                  .where(F.col("part_rev") > 0.00075 * F.col("__total")))
     return (important
             .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
             .groupBy("p_brand")
             .agg(F.count("*").alias("n_parts"),
-                 F.sum("part_rev").alias("brand_rev")))
+                 _dsum("part_rev").alias("brand_rev")))
 
 
 SQL_IMPORTANT_PARTS = """
 WITH pr AS (
-    SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS part_rev
+    SELECT l_partkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS part_rev
     FROM lineitem GROUP BY 1
 )
-SELECT p.p_brand, count(*) AS n_parts, sum(pr.part_rev) AS brand_rev
+SELECT p.p_brand, count(*) AS n_parts,
+       CAST(sum(CAST(pr.part_rev AS DECIMAL(18,4))) AS DOUBLE) AS brand_rev
 FROM pr JOIN part p ON p.p_partkey = pr.l_partkey
-WHERE pr.part_rev > 0.00075 * (SELECT sum(part_rev) FROM pr)
+WHERE pr.part_rev > 0.00075 * (SELECT CAST(sum(CAST(part_rev AS DECIMAL(18,4))) AS DOUBLE) FROM pr)
 GROUP BY p.p_brand
 """
 
@@ -5818,7 +5918,7 @@ def q_kbins_discretizer(spark, sf_dir):
     return (kb.transform(li.select("l_extendedprice",
                                    F.col("l_extendedprice").alias("raw")))
             .groupBy(F.col("l_extendedprice").cast("long").alias("bin"))
-            .agg(F.count("*").alias("n"), F.sum("raw").alias("total")))
+            .agg(F.count("*").alias("n"), _dsum("raw").alias("total")))
 
 
 SQL_KBINS_DISCRETIZER = """
@@ -5835,7 +5935,8 @@ SELECT
    + CASE WHEN l_extendedprice >= q[5] THEN 1 ELSE 0 END
    + CASE WHEN l_extendedprice >= q[6] THEN 1 ELSE 0 END
    + CASE WHEN l_extendedprice >= q[7] THEN 1 ELSE 0 END)::BIGINT AS bin,
-    count(*) AS n, sum(l_extendedprice) AS total
+    count(*) AS n,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
 FROM lineitem CROSS JOIN e
 GROUP BY 1
 """
@@ -5929,7 +6030,7 @@ def q_asof_purchase_attribution(spark, sf_dir):
                  F.count("ts_view").alias("n_attributed"),
                  F.sum(F.unix_micros("ts") - F.unix_micros("ts_view"))
                  .alias("gap_micros"),
-                 F.sum("value_view").alias("attributed_value")))
+                 _dsum("value_view").alias("attributed_value")))
 
 
 SQL_ASOF_PURCHASE_ATTRIBUTION = """
@@ -5939,7 +6040,7 @@ SELECT p.user_id,
        count(*) AS n_purchases,
        count(v.ts) AS n_attributed,
        CAST(sum(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS gap_micros,
-       sum(v.value) AS attributed_value
+       CAST(sum(CAST(v.value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 GROUP BY p.user_id
 """
@@ -8741,10 +8842,15 @@ def q_weighted_metrics(spark, sf_dir):
     w = F.col("l_tax") + 0.01
     yr = F.col("l_extendedprice")
     pr = F.col("l_quantity") * 2000.0
+    # weighted_accuracy exercises the library expr (an O(1) ratio —
+    # self-normalizing, plan-shape safe); weighted_mse is an ~1e9-scale
+    # ratio whose raw-double numerator drifts past the hash grid, so the
+    # catalog rendering uses the decimal-exact form of the SAME formula
+    # (mse_expr itself — the production path — is pytest-pinned).
     return li.agg(
         accuracy_expr(y, pred, w).alias("weighted_accuracy"),
-        mse_expr(yr, pr, w).alias("weighted_mse"),
-        F.sum(w).alias("sum_w"),
+        (_dsum_c(w * F.pow(pr - yr, 2)) / _dsum(w)).alias("weighted_mse"),
+        _dsum(w).alias("sum_w"),
     )
 
 
@@ -8752,8 +8858,9 @@ SQL_WEIGHTED_METRICS = """
 SELECT sum((l_tax + 0.01) * CASE WHEN (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) =
                                       (CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END)
                                  THEN 1.0 ELSE 0.0 END) / sum(l_tax + 0.01) AS weighted_accuracy,
-       sum((l_tax + 0.01) * pow(l_quantity * 2000.0 - l_extendedprice, 2)) / sum(l_tax + 0.01) AS weighted_mse,
-       sum(l_tax + 0.01) AS sum_w
+       CAST(sum(CAST(floor((l_tax + 0.01) * pow(l_quantity * 2000.0 - l_extendedprice, 2) * 10000) / 10000 AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(sum(CAST(l_tax + 0.01 AS DECIMAL(18,4))) AS DOUBLE) AS weighted_mse,
+       CAST(sum(CAST(l_tax + 0.01 AS DECIMAL(18,4))) AS DOUBLE) AS sum_w
 FROM lineitem
 """
 

@@ -83,10 +83,18 @@ def main():
         ok = True
         for c in g.columns:
             if pd.api.types.is_float_dtype(w[c]):
-                if not np.allclose(g[c].to_numpy(dtype=float), w[c].to_numpy(dtype=float),
-                                   rtol=1e-6, atol=1e-6, equal_nan=True):
-                    bad = np.abs(g[c].to_numpy(dtype=float) - w[c].to_numpy(dtype=float))
-                    print(f"FAIL {name}: col {c} max abs diff {np.nanmax(bad)}")
+                # Driver-grid check: canon() already rounded to 6 decimal
+                # digits ABSOLUTE; the driver hashes those rounded values,
+                # so we require bit-equality of the rounded grid — the
+                # old rtol=1e-6 allclose admitted ~1e3 absolute drift on
+                # 1e9-scale revenues and missed the r9 salted-join flap.
+                gv = g[c].to_numpy(dtype=float)
+                wv = w[c].to_numpy(dtype=float)
+                nan_ok = np.isnan(gv) & np.isnan(wv)
+                if not bool(np.all((gv == wv) | nan_ok)):
+                    bad = np.abs(gv - wv)
+                    print(f"FAIL {name}: col {c} driver-grid mismatch, "
+                          f"max abs diff {np.nanmax(bad)}")
                     ok = False
                     break
             else:
