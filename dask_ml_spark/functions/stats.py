@@ -85,11 +85,14 @@ def _ks_p_sql(lam: str) -> str:
     return (f"least(1.0, greatest(0.0, 2.0 * (0.0 {' '.join(terms)})))")
 
 
-def _two_group_counts(df: DataFrame, value_col: str, group_col: str,
-                      groups) -> tuple[DataFrame, object, object]:
-    """One row per distinct value with per-group counts — the shared
-    first pass. groups=(a, b) names the two samples; None infers them
-    (a bounded 3-row collect that raises unless exactly two)."""
+def _two_group_kept(df: DataFrame, value_col: str, group_col: str,
+                    groups) -> tuple[DataFrame, object, object]:
+    """The filtered two-sample frame — (__v double, __g) rows with
+    NULL/NaN values dropped and only the two groups kept (a narrow
+    projection; downstream aggregates push both the filter and the
+    2-column ReadSchema to the scan). groups=(a, b) names the two
+    samples; None infers them (a bounded 3-row collect that raises
+    unless exactly two)."""
     if groups is None:
         # NULL is not a group: (col == NULL) is three-valued NULL and
         # would zero both counts — infer over non-null values only
@@ -105,11 +108,20 @@ def _two_group_counts(df: DataFrame, value_col: str, group_col: str,
         groups = tuple(vals)
     g1, g2 = groups
     v = F.col(value_col).cast("double")
-    kept = df.where(v.isNotNull() & ~F.isnan(v)
-                    & F.col(group_col).isin([g1, g2]))
-    g = (kept.groupBy(v.alias("__v"))
-         .agg(F.sum((F.col(group_col) == g1).cast("double")).alias("__c1"),
-              F.sum((F.col(group_col) == g2).cast("double")).alias("__c2")))
+    kept = (df.where(v.isNotNull() & ~F.isnan(v)
+                     & F.col(group_col).isin([g1, g2]))
+            .select(v.alias("__v"), F.col(group_col).alias("__g")))
+    return kept, g1, g2
+
+
+def _two_group_counts(df: DataFrame, value_col: str, group_col: str,
+                      groups) -> tuple[DataFrame, object, object]:
+    """One row per distinct value with per-group counts — the shared
+    first pass of the exact (prefix-sum) test paths."""
+    kept, g1, g2 = _two_group_kept(df, value_col, group_col, groups)
+    g = (kept.groupBy("__v")
+         .agg(F.sum((F.col("__g") == g1).cast("double")).alias("__c1"),
+              F.sum((F.col("__g") == g2).cast("double")).alias("__c2")))
     return g, g1, g2
 
 
@@ -145,49 +157,57 @@ def ks_2sample(df: DataFrame, value_col: str, group_col: str,
     frame (both ECDF cumsums batched), one final aggregate.
 
     ``bins=K`` is the 100 TB scale path (the roc_auc_binned pattern):
-    values bucket into K equal-width bins — one min/max aggregate +
-    one groupBy over ≤K groups, no prefix pass over distinct values
-    (continuous data makes the exact path's distinct-value frame
-    row-count-sized, a sort-sized shuffle). The binned D evaluates the
-    ECDF difference at bin RIGHT edges only, so |D_binned − D_exact| ≤
-    the largest within-bin probability mass — O(1/K) for smooth
-    distributions, and D_binned ≤ D_exact (the test gets conservative,
-    never anti-conservative on smooth data). Deterministic, so the
-    binned variant oracles too.
+    two narrow scans of the raw rows — one (min, max, n1, n2)
+    aggregate for the bounds, then one groupBy over ≤K equal-width
+    buckets — and the driver-side cumsum over ≤K rows. NO groupBy over
+    distinct raw values anywhere (continuous data makes the exact
+    path's distinct-value frame row-count-sized, a sort-sized
+    shuffle); the only wide op is the ≤K-group hash aggregate, whose
+    map-side combine reduces each partition to ≤K rows. The binned D
+    evaluates the ECDF difference at bin RIGHT edges only, so
+    |D_binned − D_exact| ≤ the largest within-bin probability mass —
+    O(1/K) for smooth distributions, and D_binned ≤ D_exact (the test
+    gets conservative, never anti-conservative on smooth data).
+    Deterministic, so the binned variant oracles too.
     """
     from dask_ml_spark.datapipe.packing import prefix_sum
 
-    g, _, _ = _two_group_counts(df, value_col, group_col, groups)
     if bins is not None:
         if bins < 2:
             raise ValueError("bins must be >= 2")
-        lohi = g.agg(F.min("__v").alias("lo"),
-                     F.max("__v").alias("hi")).collect()[0]
-        lo, hi = float(lohi["lo"]), float(lohi["hi"])
+        kept, g1, g2 = _two_group_kept(df, value_col, group_col, groups)
+        one = (F.col("__g") == g1).cast("double")
+        two = (F.col("__g") == g2).cast("double")
+        # bounds AND group sizes in ONE raw-row aggregate
+        st = kept.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi"),
+                      F.sum(one).alias("n1"),
+                      F.sum(two).alias("n2")).collect()[0]
+        n1 = float(st["n1"] or 0.0)
+        n2 = float(st["n2"] or 0.0)
+        if st["lo"] is None or not n1 or not n2:
+            # same contract as the exact path's guard (a typo'd group
+            # name must not surface as a bare TypeError on NULL min)
+            raise ValueError(
+                "ks_2sample: a group matched no rows — check the group "
+                "values (NULL groups are excluded)")
+        lo, hi = float(st["lo"]), float(st["hi"])
         width = (hi - lo) or 1.0
         bucket = F.least(
             F.lit(bins - 1),
             F.floor((F.col("__v") - F.lit(lo)) / F.lit(width)
                     * F.lit(bins))).cast("int")
-        # ≤K groups: the driver-side cumsum replaces the prefix pass
-        rows = (g.groupBy(bucket.alias("__b"))
-                .agg(F.sum("__c1").alias("__c1"),
-                     F.sum("__c2").alias("__c2"))
+        # the only wide op: a ≤K-group aggregate straight over raw rows
+        rows = (kept.groupBy(bucket.alias("__b"))
+                .agg(F.sum(one).alias("__c1"),
+                     F.sum(two).alias("__c2"))
                 .collect())
         rows.sort(key=lambda r: r["__b"])
-        n1 = sum(r["__c1"] for r in rows)
-        n2 = sum(r["__c2"] for r in rows)
         f1 = f2 = 0.0
         d = 0.0
         for r in rows:
             f1 += r["__c1"]
             f2 += r["__c2"]
-            if n1 and n2:
-                d = max(d, abs(f1 / n1 - f2 / n2))
-        if not n1 or not n2:
-            raise ValueError(
-                "ks_2sample: a group matched no rows — check the group "
-                "values (NULL groups are excluded)")
+            d = max(d, abs(f1 / n1 - f2 / n2))
         lam_v = d * math.sqrt(n1 * n2 / (n1 + n2))
         q = 2.0 * sum((-1) ** (k - 1) * math.exp(-2.0 * k * k
                                                  * lam_v * lam_v)
@@ -196,7 +216,9 @@ def ks_2sample(df: DataFrame, value_col: str, group_col: str,
             "n1": int(n1), "n2": int(n2), "d_stat": float(d),
             "p_value": float(min(1.0, max(0.0, q))),
         }]).select("n1", "n2", "d_stat", "p_value")
-    # both ECDF cumsums in ONE prefix pass (one range shuffle/checkpoint)
+    # exact path: one distinct-value groupBy, then both ECDF cumsums in
+    # ONE prefix pass (one range shuffle/checkpoint)
+    g, _, _ = _two_group_counts(df, value_col, group_col, groups)
     g = prefix_sum(g, "__v", ["__c1", "__c2"], ["__b1", "__b2"])
     tot = g.agg(F.sum("__c1").alias("__n1"), F.sum("__c2").alias("__n2"))
     j = g.crossJoin(F.broadcast(tot))
@@ -234,6 +256,14 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
     continuity-corrected (±0.5 toward the mean); p is two-sided via
     the A&S 26.2.17 normal tail. All-tied data (σ = 0) reports z = 0,
     p = 1.
+
+    Precision: both engines evaluate the identical operation order, so
+    u/z/p stay bit-comparable at any scale. The values themselves are
+    FP-exact only while every count product stays below 2^53 — the tie
+    term Σ(t³−t) crosses that once a single tied value holds ~2.1M
+    rows (plausible at sf≥1 on low-cardinality columns), after which
+    the shared-order doubles carry ~1e-16 relative error (identical in
+    both engines, so still bit-comparable).
 
     Returns one row: (n1, n2, u_stat, z, p_value). Shape: one groupBy,
     one prefix sum over distinct values, one final aggregate.
@@ -407,18 +437,17 @@ def corr_matrix(df: DataFrame, cols) -> DataFrame:
     cols = list(cols)
     if len(cols) < 2:
         raise ValueError("corr_matrix needs >= 2 columns")
-    aggs = []
-    for i, ca in enumerate(cols):
-        for cb in cols[i + 1:]:
-            aggs.append(F.corr(F.col(ca).cast("double"),
-                               F.col(cb).cast("double"))
-                        .alias(f"__{ca}__{cb}"))
-    row = df.agg(*aggs)
+    # positional aliases: embedding column NAMES in the alias is
+    # ambiguous for names containing '__' (['a','b__c'] vs
+    # ['a__b','c'] would collide) — map back to pairs by index
     pairs = [(ca, cb) for i, ca in enumerate(cols) for cb in cols[i + 1:]]
+    aggs = [F.corr(F.col(ca).cast("double"), F.col(cb).cast("double"))
+            .alias(f"__p{k}") for k, (ca, cb) in enumerate(pairs)]
+    row = df.agg(*aggs)
     stacked = F.explode(F.array(*[
         F.struct(F.lit(ca).alias("col_a"), F.lit(cb).alias("col_b"),
-                 F.col(f"__{ca}__{cb}").alias("corr"))
-        for ca, cb in pairs]))
+                 F.col(f"__p{k}").alias("corr"))
+        for k, (ca, cb) in enumerate(pairs)]))
     return (row.select(stacked.alias("__s"))
             .select("__s.col_a", "__s.col_b", "__s.corr")
             .orderBy("col_a", "col_b"))

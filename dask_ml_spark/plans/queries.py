@@ -7822,9 +7822,12 @@ WITH k AS (
     FROM lineitem WHERE l_returnflag IN ('N', 'R')
 ), lim AS (SELECT min(v) AS lo, max(v) AS hi FROM k),
 b AS (
+    -- width mirrors the engine's (hi - lo) or 1.0 zero-width guard
     SELECT least({KS_BINS - 1},
                  floor((v - (SELECT lo FROM lim))
-                       / ((SELECT hi - lo FROM lim)) * {KS_BINS}))
+                       / (SELECT CASE WHEN hi = lo THEN 1.0
+                                      ELSE hi - lo END FROM lim)
+                       * {KS_BINS}))
                AS bkt,
            sum(CASE WHEN g = 'N' THEN 1.0 ELSE 0.0 END) AS c1,
            sum(CASE WHEN g = 'R' THEN 1.0 ELSE 0.0 END) AS c2
