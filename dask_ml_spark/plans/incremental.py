@@ -62,10 +62,14 @@ def _collect_batches(df: DataFrame, feature_cols, label_col, max_rows_per_batch=
         # dict.fromkeys dedup: an order_by key that is ALSO a feature
         # (or the label) would otherwise duplicate the column and make
         # pdf[feature_cols] return both copies (wrong X width)
+        # unconditional limit instead of a count-then-maybe-limit: the
+        # limit is a no-op pass-through under the cap and identical to
+        # the old trim above it (GlobalLimit after the key sort keeps
+        # sorted order), and it saves one full count job per fit
         sel = (df.select(*dict.fromkeys([*order_by, *feature_cols,
                                          label_col]))
                .orderBy(*order_by).select(*feature_cols, label_col))
-        if max_total_rows is not None and sel.count() > max_total_rows:
+        if max_total_rows is not None:
             sel = sel.limit(max_total_rows)
     else:
         sel = df.select(*feature_cols, label_col)
@@ -193,6 +197,8 @@ class BaseIncrementalSearchCV(BaseEstimator):
         data)."""
         sc = df.sparkSession.sparkContext
         if self.deterministic_by:
+            from concurrent.futures import ThreadPoolExecutor
+
             from dask_ml_spark.plans.model_selection import hash_split
 
             # unique-key validation: duplicate keys make the key sort
@@ -205,36 +211,64 @@ class BaseIncrementalSearchCV(BaseEstimator):
             for c in self.deterministic_by:
                 cn = F.col(c).isNull()
                 anynull = cn if anynull is None else (anynull | cn)
-            chk = df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(anynull.cast("long")).alias("nn"),
-                F.count_distinct(*[F.col(c) for c in self.deterministic_by])
-                .alias("nd")).collect()[0]
-            if chk["nn"]:
-                raise ValueError(
-                    f"deterministic_by={self.deterministic_by} contains "
-                    f"NULLs in {chk['nn']} rows — NULL keys cannot be "
-                    "hash-split or key-sorted deterministically")
-            if chk["n"] != chk["nd"]:
-                raise ValueError(
-                    f"deterministic_by={self.deterministic_by} must be a "
-                    f"unique key: {chk['n']} rows but only {chk['nd']} "
-                    "distinct key tuples — batch boundaries would be "
-                    "tie-arbitrary and non-reproducible")
+
+            def _validate():
+                chk = df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(anynull.cast("long")).alias("nn"),
+                    F.count_distinct(*[F.col(c)
+                                       for c in self.deterministic_by])
+                    .alias("nd")).collect()[0]
+                if chk["nn"]:
+                    raise ValueError(
+                        f"deterministic_by={self.deterministic_by} "
+                        f"contains NULLs in {chk['nn']} rows — NULL keys "
+                        "cannot be hash-split or key-sorted "
+                        "deterministically")
+                if chk["n"] != chk["nd"]:
+                    raise ValueError(
+                        f"deterministic_by={self.deterministic_by} must "
+                        f"be a unique key: {chk['n']} rows but only "
+                        f"{chk['nd']} distinct key tuples — batch "
+                        "boundaries would be tie-arbitrary and "
+                        "non-reproducible")
+
             train, test = hash_split(df, self.deterministic_by,
                                      test_size=self.test_size)
-            batches = _collect_batches(train, cols, label_col,
-                                       order_by=self.deterministic_by)
-            test_sel = test.select(*cols, label_col)
-            if test_sel.count() > 500_000:
-                # same dict.fromkeys dedup as _collect_batches: a key
-                # that is also a feature/label would duplicate the
-                # column and break the orderBy/select with an
-                # ambiguous reference
-                test_sel = (test.select(*dict.fromkeys(
-                                [*self.deterministic_by, *cols, label_col]))
-                            .orderBy(*self.deterministic_by)
-                            .select(*cols, label_col).limit(500_000))
+
+            def _batches():
+                return _collect_batches(train, cols, label_col,
+                                        order_by=self.deterministic_by)
+
+            def _test_pdf():
+                # unconditional key-sort + limit (TakeOrdered/GlobalLimit
+                # — under the cap this returns the whole test set, just
+                # key-ordered, and every consumer is an order-free
+                # aggregate). Replaces the count-then-maybe-sort pair of
+                # jobs. dict.fromkeys dedup: a key that is also a
+                # feature/label would duplicate the column and break the
+                # orderBy/select with an ambiguous reference.
+                return (test.select(*dict.fromkeys(
+                            [*self.deterministic_by, *cols, label_col]))
+                        .orderBy(*self.deterministic_by)
+                        .select(*cols, label_col).limit(500_000)
+                        .toPandas())
+
+            # the three driver jobs (validation aggregate, train batch
+            # sort+collect, test sort+collect) are independent — race
+            # them so their Spark stages interleave; the validation
+            # VERDICT still gates the result (checked first, raises
+            # before any collected data is used). Hyperband amortizes
+            # all of this further: brackets share ONE _prepare_data via
+            # _shared_data, so the validation and both sorts run once
+            # per search, not per bracket.
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                f_val = pool.submit(_validate)
+                f_bat = pool.submit(_batches)
+                f_tst = pool.submit(_test_pdf)
+                f_val.result()
+                batches = f_bat.result()
+                test_pdf = f_tst.result()
         else:
             train, test = train_test_split(df, test_size=self.test_size,
                                            random_state=self.random_state)
@@ -242,7 +276,7 @@ class BaseIncrementalSearchCV(BaseEstimator):
             test_sel = test.select(*cols, label_col)
             if test_sel.count() > 500_000:  # bounded scoring set at scale
                 test_sel = test_sel.orderBy(F.rand(seed=1)).limit(500_000)
-        test_pdf = test_sel.toPandas()
+            test_pdf = test_sel.toPandas()
         X_test = test_pdf[cols].to_numpy(dtype="float64")
         y_test = test_pdf[label_col].to_numpy()
         b_batches = sc.broadcast(batches)
