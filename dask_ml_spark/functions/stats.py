@@ -531,8 +531,8 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str,
     }]).select("chi2", "dof", "p_value", "cramers_v")
 
 
-def kaplan_meier(df: DataFrame, duration_col: str,
-                 event_col: str) -> DataFrame:
+def kaplan_meier(df: DataFrame, duration_col: str, event_col: str,
+                 max_driver_rows: int = 65536) -> DataFrame:
     """Kaplan–Meier product-limit survival curve, distributed.
 
     One output row per distinct duration t:
@@ -544,10 +544,20 @@ def kaplan_meier(df: DataFrame, duration_col: str,
     The product is exp(Σ ln(1 − d/n)) with an explicit zero-factor
     carry (once any factor hits 0 — everyone at risk dies — survival
     is exactly 0.0 from there on, rather than exp(−inf) edge cases).
-    Shape: one groupBy(duration) over the raw rows, TWO chained
-    prefix passes over the distinct-duration frame — n_risk first
-    (the log factors need it), then the log-factor and zero-flag
-    cumsums batched into one multi-column pass.
+
+    Shape: ONE groupBy(duration) over the raw rows — the irreducible
+    data pass. The cumulative pieces (risk-set suffix count, log-factor
+    and zero-flag prefix sums) run over the distinct-duration frame,
+    which for day/bucket-granularity durations is tiny (hundreds of
+    rows) — so, the ks_2sample(bins=K) pattern: when that frame fits
+    ``max_driver_rows`` (checked with a bounded limit-collect, no extra
+    count job) the cumsums run driver-side in sorted order, replacing
+    two distributed prefix machines (each a range shuffle + checkpoint
+    + subtotal job) with one small collect. Truly continuous durations
+    blow the cap and fall through to the fully distributed TWO chained
+    prefix passes — n_risk first (the log factors need it), then the
+    log-factor and zero-flag cumsums batched into one multi-column
+    pass. Both paths compute the identical ascending-t arithmetic.
     """
     from dask_ml_spark.datapipe.packing import prefix_sum
 
@@ -561,6 +571,31 @@ def kaplan_meier(df: DataFrame, duration_col: str,
          .agg(F.sum((ev != 0).cast("double")).alias("__d"),
               F.sum((ev == 0).cast("double")).alias("__c"),
               F.count(F.lit(1)).cast("double").alias("__n")))
+    out_schema = ("duration double, n_risk long, n_events long, "
+                  "n_censored long, survival double")
+    if max_driver_rows and max_driver_rows > 0:
+        head = g.limit(max_driver_rows + 1).collect()
+        if len(head) <= max_driver_rows:
+            head.sort(key=lambda r: r["__t"])
+            ntot = sum(r["__n"] for r in head)
+            before = 0.0
+            cumln = 0.0
+            dead = False
+            rows = []
+            for r in head:
+                nr = ntot - before
+                factor = 1.0 - r["__d"] / nr
+                if factor <= 0.0:
+                    dead = True
+                else:
+                    cumln += math.log(factor)
+                rows.append((float(r["__t"]), int(nr), int(r["__d"]),
+                             int(r["__c"]),
+                             0.0 if dead else math.exp(cumln)))
+                before += r["__n"]
+            return df.sparkSession.createDataFrame(rows, out_schema)
+        # over the cap: fall through (one wasted bounded collect on a
+        # frame we now know is prefix-machine-sized — the rare case)
     g = prefix_sum(g, "__t", "__n", "__before")
     tot = g.agg(F.sum("__n").alias("__ntot"))
     j = g.crossJoin(F.broadcast(tot))

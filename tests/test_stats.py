@@ -308,6 +308,26 @@ def test_kaplan_meier_matches_bruteforce(spark):
         at_risk -= int((t == tt).sum())
 
 
+def test_kaplan_meier_driver_and_distributed_paths_agree(spark):
+    """The bounded driver path (default) and the prefix-machine
+    fallback (max_driver_rows exceeded) must produce identical curves
+    — same ascending-t arithmetic on both sides."""
+    rng = np.random.RandomState(7)
+    t = rng.randint(1, 40, 500).astype(float)
+    e = (rng.rand(500) < 0.6).astype(int)
+    df = spark.createDataFrame([(float(a), int(b)) for a, b in zip(t, e)],
+                               ["t", "e"])
+    fast = {r["duration"]: r for r in kaplan_meier(df, "t", "e").collect()}
+    slow = {r["duration"]: r
+            for r in kaplan_meier(df, "t", "e", max_driver_rows=5)
+            .collect()}
+    assert set(fast) == set(slow)
+    for k in fast:
+        for c in ("n_risk", "n_events", "n_censored"):
+            assert fast[k][c] == slow[k][c], (k, c)
+        assert abs(fast[k]["survival"] - slow[k]["survival"]) < 1e-12
+
+
 def test_stats_plans_have_no_global_window(spark):
     """The scale contract: no keyless Window (single-task sort) — the
     cumulative pieces run through the two-phase prefix sum."""
