@@ -363,6 +363,227 @@ def welch_ttest(df: DataFrame, value_col: str, group_col: str,
     return out
 
 
+def welch_ttest_by(df: DataFrame, value_col: str, group_col: str,
+                   groups, by) -> DataFrame:
+    """Welch's t-test PER STRATUM — the corpus-scale hypothesis sweep
+    (did returned items ship at different prices... in EVERY month?):
+    one groupBy(by) conditional-sum aggregate computes every stratum's
+    test in a single pass over the raw rows, exactly welch_ttest's
+    arithmetic per group. Feeds benjamini_hochberg for
+    multiple-testing control.
+
+    Unlike the single-test API (which raises on undersized/constant
+    groups — a caller error there), a sweep must not die on one thin
+    stratum: strata with < 2 rows in either sample or zero pooled
+    variance report NULL t/dof/p and valid=false, and
+    benjamini_hochberg excludes them (documented there).
+
+    Returns one row per stratum:
+    (by..., n1, n2, mean_diff, t_stat, dof, p_value, valid).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    g1, g2 = groups
+    v = F.col(value_col).cast("double")
+    kept = df.where(v.isNotNull() & ~F.isnan(v)
+                    & F.col(group_col).isin([g1, g2]))
+    one = (F.col(group_col) == g1).cast("double")
+    two = (F.col(group_col) == g2).cast("double")
+    agg = kept.groupBy(*by).agg(
+        F.sum(one).alias("n1_d"), F.sum(two).alias("n2_d"),
+        F.sum(one * v).alias("s1"), F.sum(two * v).alias("s2"),
+        F.sum(one * v * v).alias("q1"), F.sum(two * v * v).alias("q2"))
+    n1, n2 = F.col("n1_d"), F.col("n2_d")
+    m1, m2 = F.col("s1") / n1, F.col("s2") / n2
+    v1 = (F.col("q1") - n1 * m1 * m1) / (n1 - 1.0)
+    v2 = (F.col("q2") - n2 * m2 * m2) / (n2 - 1.0)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / F.sqrt(se2)
+    dof = (se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
+                         + (v2 / n2) * (v2 / n2) / (n2 - 1.0))
+    valid = (n1 >= 2.0) & (n2 >= 2.0) & se2.isNotNull() & (se2 > 0.0)
+    def opt(c):
+        return F.when(valid, c)
+
+    return agg.select(
+        *by,
+        n1.cast("long").alias("n1"), n2.cast("long").alias("n2"),
+        opt(m1 - m2).alias("mean_diff"),
+        opt(t).alias("t_stat"),
+        opt(dof).alias("dof"),
+        opt(F.least(F.lit(1.0), 2.0 * normal_sf_expr(F.abs(t))))
+        .alias("p_value"),
+        valid.alias("valid"))
+
+
+def benjamini_hochberg(df: DataFrame, p_col: str = "p_value",
+                       alpha: float = 0.05,
+                       max_tests: int = 100_000) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control over a family of tests
+    (the multiple-testing companion of welch_ttest_by: at corpus scale
+    EVERY per-stratum sweep needs it — with thousands of strata,
+    uncontrolled 0.05-level tests guarantee false discoveries).
+
+    q(i) = min_{j ≥ i} (p(j) · m / j) over the p-sorted family
+    (suffix-min, so tied p-values share one q); reject ⇔ q ≤ alpha —
+    equivalent to the classic step-up rule.
+
+    Scale shape: the family is bounded (max_tests, the max_cells
+    precedent — a million-hypothesis family wants a different method
+    anyway), so the sorted p-list computes q driver-side from ONE
+    bounded collect of the DISTINCT p values + per-p counts (ranks
+    need multiplicity, not rows), and the (p → q) map joins back as a
+    broadcast — input rows never move. NULL p rows (welch_ttest_by's
+    invalid strata) are NOT part of the family: they get NULL
+    q/reject and don't inflate m (documented; dropping them from m is
+    the standard complete-case convention).
+
+    Returns df plus (q_value double, reject boolean).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    pc = F.col(p_col).cast("double")
+    fam = (df.where(pc.isNotNull() & ~F.isnan(pc))
+           .groupBy(pc.alias("__p"))
+           .agg(F.count(F.lit(1)).alias("__c")))
+    rows = fam.limit(max_tests + 1).collect()
+    if len(rows) > max_tests:
+        raise ValueError(
+            f"benjamini_hochberg: family exceeds max_tests={max_tests} "
+            "distinct p-values — a family that size wants a "
+            "storey/empirical-null method, not BH")
+    if not rows:
+        raise ValueError("benjamini_hochberg: no non-null p-values")
+    rows.sort(key=lambda r: r["__p"])
+    m = sum(r["__c"] for r in rows)
+    # walk DESCENDING p carrying the suffix min; a tied block's q uses
+    # its LARGEST rank (the suffix min from the block's first rank
+    # includes the block's own smallest p·m/j at j = last rank)
+    out_rows = []
+    suffix = float("inf")
+    seen = m
+    for r in reversed(rows):
+        q = min(suffix, r["__p"] * m / seen)
+        suffix = q
+        out_rows.append((float(r["__p"]), float(min(1.0, q))))
+        seen -= r["__c"]
+    spark = df.sparkSession
+    qmap = spark.createDataFrame(out_rows, "__p double, q_value double")
+    joined = df.join(F.broadcast(qmap), pc.eqNullSafe(F.col("__p")),
+                     "left").drop("__p")
+    return joined.withColumn(
+        "reject", F.when(F.col("q_value").isNotNull(),
+                         F.col("q_value") <= alpha))
+
+
+# Poisson(1) inverse-CDF thresholds: F(k) = e^{-1} Σ_{j<=k} 1/j!.
+# Written out as literals so the SQL oracles replay the identical
+# ladder; the k=9 cap truncates 1.1e-8 of the mass.
+_POIS1_CDF = tuple(
+    math.exp(-1.0) * sum(1.0 / math.factorial(j) for j in range(k + 1))
+    for k in range(9))
+
+
+def _pois1_weight_expr(u: Column) -> Column:
+    """Poisson(1) draw from a uniform u in [0,1) via the inverse CDF,
+    branch-free: w = Σ_k [u ≥ F(k)] (the count of CDF thresholds below
+    u — identical to the CASE ladder, but 9 compare-adds keep B
+    replicates inside whole-stage codegen where B nested CASEs blew
+    the generated-method budget). Any SQL engine replays it."""
+    w = F.lit(0.0)
+    for k in range(9):
+        w = w + (u >= F.lit(_POIS1_CDF[k])).cast("double")
+    return w
+
+
+def _pois1_weight_sql(u: str) -> str:
+    return ("(" + " + ".join(
+        f"CASE WHEN {u} >= {_POIS1_CDF[k]!r} THEN 1.0 ELSE 0.0 END"
+        for k in range(9)) + ")")
+
+
+def bootstrap_ci(df: DataFrame, value_col: str, key_cols,
+                 n_boot: int = 200, alpha: float = 0.05,
+                 salt: int = 0) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean — THE
+    bootstrap that survives 100 TB: classic resampling needs n draws
+    per replicate from a materialized population; the Poisson
+    bootstrap instead gives every row an independent Poisson(1)
+    multiplicity per replicate (for large n, Binomial(n, 1/n) →
+    Poisson(1)), so ALL n_boot replicates reduce in ONE aggregate
+    pass over the raw rows — 2·B running sums, map-side combined,
+    nothing materialized, no shuffle beyond the 1-row aggregate.
+
+    Determinism: the multiplicity of row r in replicate b is a pure
+    function of (key_cols, b, salt) through the engine-portable Knuth
+    hash chain (hash_split's) — u = (chain(keys)+1+b)·M^{b+1} mod 2^31
+    scaled to [0,1) → inverse-CDF Poisson ladder — so results are
+    independent of partitioning, retries, AND engine: a SQL oracle
+    replays every draw bit-for-bit. The PER-REPLICATE multiplier
+    M^{b+1} matters: adding b into the chain affinely would shift
+    every row's u by the same constant between replicates (composed
+    affine steps stay affine mod 2^31), making cross-replicate weights
+    lattice-correlated and the CI width biased; one multiplicative
+    step per replicate stride-mixes each ladder interval across the
+    whole range instead.
+
+    CI: nearest-rank percentiles of the B replicate means
+    (k_lo = ceil(alpha/2·B), k_hi = ceil((1−alpha/2)·B), 1-indexed) —
+    no interpolation, so engine FP drift in a replicate mean can't
+    move the selected RANK. Returns one row:
+    (n, mean, ci_lo, ci_hi, n_boot).
+    """
+    from dask_ml_spark.plans.model_selection import _hash_bucket_expr
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    if n_boot < 2:
+        raise ValueError("n_boot must be >= 2")
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    P = 1 << 31
+    M = 2654435761
+    v = F.col(value_col).cast("double")
+    kept = df.where(v.isNotNull() & ~F.isnan(v))
+    # base chain over the row key ONCE (k in [0, P) — _hash_bucket_expr
+    # with n_buckets=P leaves the full chain state); per replicate only
+    # two int ops + the branch-free ladder. The replicates ride a
+    # broadcast (b, M^{b+1} mod P) constants join + ONE groupBy(b) with
+    # two aggregates — NOT 2·B aggregate columns, whose fresh expr ids
+    # forced a multi-second whole-stage codegen recompile per call (and
+    # whose construction paid thousands of py4j round-trips).
+    k0 = _hash_bucket_expr(key_cols, P, salt, df=df)
+    sel = kept.select(v.alias("__v"), k0.alias("__k0"))
+    spark = df.sparkSession
+    consts = spark.createDataFrame(
+        [(b, pow(M, b + 1, P)) for b in range(n_boot)],  # odd -> invertible
+        "b int, a long")
+    u = (F.pmod((F.col("__k0") + 1 + F.col("b")) * F.col("a"), F.lit(P))
+         .cast("double") / F.lit(float(P)))
+    w = _pois1_weight_expr(u)
+    # the plain sum/count ride in the same job: every b group sees all
+    # rows, so (s, n) is identical in each — read it off the first
+    reps = (sel.crossJoin(F.broadcast(consts))
+            .groupBy("b")
+            .agg(F.sum(w * F.col("__v")).alias("wx"),
+                 F.sum(w).alias("sw"),
+                 F.sum("__v").alias("s"),
+                 F.count(F.lit(1)).alias("n")))
+    rep_rows = reps.collect()
+    if not rep_rows or not rep_rows[0]["n"]:
+        raise ValueError("bootstrap_ci: no non-null values")
+    row = rep_rows[0]
+    means = sorted(r["wx"] / r["sw"] for r in rep_rows if r["sw"])
+    if len(means) < 2:
+        raise ValueError("bootstrap_ci: all replicates empty — "
+                         "n too small for the Poisson bootstrap")
+    bb = len(means)
+    k_lo = max(1, math.ceil(alpha / 2.0 * bb))
+    k_hi = min(bb, math.ceil((1.0 - alpha / 2.0) * bb))
+    return df.sparkSession.createDataFrame(
+        [(int(row["n"]), float(row["s"] / row["n"]),
+          float(means[k_lo - 1]), float(means[k_hi - 1]), int(n_boot))],
+        "n long, mean double, ci_lo double, ci_hi double, n_boot long")
+
+
 def _contingency_rows(df: DataFrame, col_a: str, col_b: str,
                       max_cells: int, what: str):
     """Shared contingency collection for chi2_independence /

@@ -7,24 +7,31 @@ beyond-reference datapipe operators. Column names AND types are
 aligned between the Spark plan and the oracle (the driver hash
 compares after sorting columns by name).
 
-CANONICAL DOUBLE AGGREGATION (r10 convention, grep: _dsum/_davg /
-DECIMAL(18,4)): every OUTPUT column that sums or averages a double
-measure at revenue/price scale accumulates in exact DECIMAL(18,4) in
-BOTH engines, then casts back to double once:
+CANONICAL DOUBLE AGGREGATION (r10 convention, grep: _dsum/_davg):
+every OUTPUT column that sums or averages a double measure at
+revenue/price scale accumulates in exact int64 FIXED-POINT (1e-4
+units) in BOTH engines, then converts to double once:
 
-    Spark:  _dsum(expr)  = F.sum(expr.cast(DEC4)).cast("double")
-            _davg(expr)  = _dsum(expr) / F.count(expr)
-    SQL:    CAST(sum(CAST(expr AS DECIMAL(18,4))) AS DOUBLE)
-            ... / count(expr)
+    Spark:  _dsum(e) = sum(floor(e*10000 + 0.5)::long)::double / 1e4
+            _davg(e) = _dsum(e) / count(e)
+    SQL:    CAST(sum(CAST(floor(e * 10000 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 10000
+            ... / count(e)
 
-Decimal addition is exact and associative, so NO plan-shape change
+Integer addition is exact and associative, so NO plan-shape change
 (salting, AQE re-plan, partial-agg reorder, join strategy swap) can
 move the output bits — unlike raw double sums, whose partial-sum
 association order drifts ~n*eps*Σ (≈1e-3 on 1e9-scale revenues at
 sf0.1, straddling the driver's 1e-6 rounding grid; this flipped
-salted_join_revenue red in round 9). The double→decimal cast itself
-rounds half-up identically in Spark and DuckDB (verified bit-exact on
-the real tables). Ratios of big sums (r², market share, correlations)
+salted_join_revenue red in round 9). floor on a bit-identical double
+needs no cross-engine rounding-mode agreement (a DECIMAL(18,4) cast
+hits exact .xxxx50 midpoints where Spark's HALF_UP and DuckDB
+disagree — measured on sum_charge), and the int64 sum benchmarked as
+fast as a raw double sum where decimal aggregation was 3-4x slower.
+Exactness bound: |Σ| < 2^63 fixed-point units ≈ 9.2e14 currency units
+— headroom through ~SF 1000; a true 100 TB GLOBAL rollup should widen
+to sum(CAST(e AS DECIMAL(18,4))) (same bit-stability, slower, 1e34
+headroom). Ratios of big sums (r², market share, correlations)
 self-normalize (relative drift ~1e-11) and stay raw doubles.
 """
 
@@ -41,37 +48,33 @@ from dask_ml_spark.datapipe import text_stats as TS
 
 LINEITEM_FEATS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 TOKEN_RE_SQL = "[a-z0-9_]{2,}"
-DEC4 = "decimal(18,4)"
-
-
 def _dsum(col):
-    """Order-independent sum of a double measure: exact DECIMAL(18,4)
-    accumulation (immune to any plan-shape change), one final rounding
-    back to double. SQL twin: CAST(sum(CAST(e AS DECIMAL(18,4))) AS DOUBLE)."""
+    """Order-independent sum of a double measure: exact int64
+    fixed-point (1e-4 unit) accumulation — immune to any plan-shape
+    change, no cross-engine rounding-mode dependence (floor of a
+    bit-identical double), and benchmarked as fast as a raw double sum
+    (DECIMAL aggregation was 3-4x slower). Exact while |Σ| < 2^63
+    units ≈ 9.2e14 currency units (see module docstring).
+    SQL twin: CAST(sum(CAST(floor(e * 10000 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 10000."""
     if isinstance(col, str):
         col = F.col(col)
-    return F.sum(col.cast(DEC4)).cast("double")
+    return (F.sum(F.floor(col * 10000 + F.lit(0.5)).cast("long"))
+            .cast("double") / F.lit(10000))
 
 
 def _davg(col):
-    """Order-independent mean: exact decimal sum / exact non-null count.
-    SQL twin: CAST(sum(CAST(e AS DECIMAL(18,4))) AS DOUBLE) / count(e)."""
+    """Order-independent mean: exact fixed-point sum / non-null count.
+    SQL twin: CAST(sum(CAST(floor(e * 10000 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 10000 / count(e)."""
     if isinstance(col, str):
         col = F.col(col)
     return _dsum(col) / F.count(col)
 
 
-def _dsum_c(col):
-    """_dsum for CONTINUOUS summands (true value has >4 decimal digits,
-    e.g. price*(1-disc)*(1+tax) or w*err^2): the plain decimal cast hits
-    exact .xxxx50 grid midpoints where Spark's HALF_UP and DuckDB's
-    rounding disagree, so floor to the 1e-4 grid FIRST (floor of a
-    bit-identical double is mode-independent), then accumulate exactly.
-    SQL twin: CAST(sum(CAST(floor(e * 10000) / 10000
-                            AS DECIMAL(18,4))) AS DOUBLE)."""
-    if isinstance(col, str):
-        col = F.col(col)
-    return F.sum((F.floor(col * 10000) / 10000).cast(DEC4)).cast("double")
+# continuous summands (>4 true decimal digits) need no special case
+# under the floor form — kept as an alias for call-site clarity
+_dsum_c = _dsum
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -107,13 +110,13 @@ def q_pricing_summary(spark, sf_dir):
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
-       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount) AS avg_disc,
+       (CAST(sum(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS sum_qty,
+       (CAST(sum(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS sum_base_price,
+       (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS sum_disc_price,
+       (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS sum_charge,
+       (CAST(sum(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) / count(l_quantity) AS avg_qty,
+       (CAST(sum(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) / count(l_extendedprice) AS avg_price,
+       (CAST(sum(CAST(floor((l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) / count(l_discount) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -145,7 +148,7 @@ def q_top_revenue_nations(spark, sf_dir):
 
 SQL_TOP_REVENUE_NATIONS = """
 SELECT r_name, n_name,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -178,7 +181,7 @@ def q_revenue_forecast(spark, sf_dir):
 
 
 SQL_REVENUE_FORECAST = """
-SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+SELECT (CAST(sum(CAST(floor((l_extendedprice * l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -211,7 +214,7 @@ def q_shipping_priority(spark, sf_dir):
 
 SQL_SHIPPING_PRIORITY = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -279,7 +282,7 @@ def q_customer_returns_topk(spark, sf_dir):
 
 SQL_CUSTOMER_RETURNS_TOPK = """
 SELECT c_custkey, c_name, n_name,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS revenue,
        count(*) AS n_returned_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -316,12 +319,12 @@ WITH b AS (
     FROM lineitem
 )
 SELECT count(*) AS n,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       (CAST(sum(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS sum_price,
        'train' AS side
 FROM b WHERE bucket < 7500
 UNION ALL
 SELECT count(*) AS n,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       (CAST(sum(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS sum_price,
        'test' AS side
 FROM b WHERE bucket >= 7500
 """
@@ -727,7 +730,7 @@ def q_local_supplier_volume(spark, sf_dir):
 
 SQL_LOCAL_SUPPLIER_VOLUME = """
 SELECT n_name,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -762,11 +765,9 @@ def q_promo_revenue(spark, sf_dir):
 
 SQL_PROMO_REVENUE = """
 SELECT date_trunc('month', l_shipdate) AS ship_month,
-       100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
-                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
-                        AS DECIMAL(18,4))) AS DOUBLE)
-             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS promo_pct,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       100.0 * (CAST(sum(CAST(floor((CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000)
+             / (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS promo_pct,
+       (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1
 """
@@ -796,9 +797,9 @@ def q_large_orders(spark, sf_dir):
 SQL_LARGE_ORDERS = """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
 FROM (SELECT l_orderkey,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+             (CAST(sum(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS total_qty
       FROM lineitem GROUP BY l_orderkey
-      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150) big
+      HAVING (CAST(sum(CAST(floor((l_quantity) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) > 150) big
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey ASC
@@ -840,7 +841,7 @@ def q_nation_volume_shipping(spark, sf_dir):
 SQL_NATION_VOLUME_SHIPPING = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -890,10 +891,8 @@ def q_market_share(spark, sf_dir):
 
 SQL_MARKET_SHARE = """
 SELECT year(o_orderdate) AS o_year,
-       round(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3'
-                      THEN l_extendedprice * (1 - l_discount)
-                      ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
-             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
+       round((CAST(sum(CAST(floor((CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000)
+             / (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000), 6) AS mkt_share
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -937,8 +936,7 @@ def q_product_profit(spark, sf_dir):
 
 SQL_PRODUCT_PROFIT = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                 - p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_profit,
+       round((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000), 4) AS sum_profit,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -1120,7 +1118,7 @@ def q_supplier_balance_quartiles(spark, sf_dir):
 
 SQL_SUPPLIER_BALANCE_QUARTILES = """
 SELECT quartile, count(*) AS n, min(s_acctbal) AS lo, max(s_acctbal) AS hi,
-       CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(s_acctbal) AS mean_bal
+       (CAST(sum(CAST(floor((s_acctbal) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) / count(s_acctbal) AS mean_bal
 FROM (SELECT s_acctbal,
              ntile(4) OVER (ORDER BY s_acctbal ASC, s_suppkey ASC) AS quartile
       FROM supplier)
@@ -1159,7 +1157,7 @@ def q_salted_join_revenue(spark, sf_dir):
 
 SQL_SALTED_JOIN_REVENUE = """
 SELECT o_orderpriority,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -1180,7 +1178,7 @@ def q_sales_cube(spark, sf_dir):
 
 SQL_SALES_CUBE = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS revenue,
        count(*) AS n,
        grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
 FROM lineitem
@@ -1734,7 +1732,7 @@ def q_regression_metrics(spark, sf_dir):
 
 
 SQL_REGRESSION_METRICS = """
-SELECT CAST(sum(CAST(pow(l_quantity * 2000.0 - l_extendedprice, 2) AS DECIMAL(18,4))) AS DOUBLE)
+SELECT (CAST(sum(CAST(floor((pow(l_quantity * 2000.0 - l_extendedprice, 2)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000)
            / count(*) AS mse,
        avg(abs(l_quantity * 2000.0 - l_extendedprice)) AS mae,
        avg(abs(l_quantity * 2000.0 - l_extendedprice) / greatest(abs(l_extendedprice), 1e-15)) AS mape,
@@ -2378,8 +2376,8 @@ SQL_WINDOWED_EVENT_FEATURES = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        user_id,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS avg_value,
+       (CAST(sum(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS sum_value,
+       (CAST(sum(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) / count(value) AS avg_value,
        max(value) AS max_value
 FROM events
 GROUP BY 1, 2
@@ -2398,7 +2396,7 @@ def q_event_type_rollup(spark, sf_dir):
 
 SQL_EVENT_TYPE_ROLLUP = """
 SELECT event_type, count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS avg_value,
+       (CAST(sum(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) / count(value) AS avg_value,
        quantile_cont(value, 0.95) AS p95_value
 FROM events
 GROUP BY event_type
@@ -2628,7 +2626,7 @@ WITH g AS (
 )
 SELECT user_id, session_no, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       (CAST(sum(CAST(floor((value) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS sum_value
 FROM s GROUP BY 1, 2
 """
 
@@ -3804,7 +3802,7 @@ def q_top_supplier_revenue(spark, sf_dir):
 SQL_TOP_SUPPLIER_REVENUE = """
 WITH rev AS (
     SELECT l_suppkey,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_revenue
+           round((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000), 2) AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -4115,6 +4113,8 @@ def build_catalog():
         "mann_whitney_discount": q_mann_whitney_discount,
         "chi2_independence_flags": q_chi2_independence_flags,
         "welch_ttest_price": q_welch_ttest_price,
+        "welch_bh_by_month": q_welch_bh_by_month,
+        "bootstrap_price_ci": q_bootstrap_price_ci,
         "mutual_information_events": q_mutual_information_events,
         "feature_corr_matrix": q_feature_corr_matrix,
         "kaplan_meier_conversion": q_kaplan_meier_conversion,
@@ -4338,6 +4338,8 @@ def build_catalog():
         "mann_whitney_discount": _sql_mann_whitney_discount(),
         "chi2_independence_flags": _sql_chi2_independence_flags(),
         "welch_ttest_price": _sql_welch_ttest_price(),
+        "welch_bh_by_month": _sql_welch_bh_by_month(),
+        "bootstrap_price_ci": _sql_bootstrap_price_ci(),
         "mutual_information_events": SQL_MUTUAL_INFORMATION_EVENTS,
         "feature_corr_matrix": SQL_FEATURE_CORR_MATRIX,
         "kaplan_meier_conversion": SQL_KAPLAN_MEIER_CONVERSION,
@@ -5305,11 +5307,9 @@ WITH q AS (
     FROM lineitem
 )
 SELECT l_returnflag,
-       round(CAST(sum(CAST(least(greatest(l_extendedprice, lo_p), hi_p)
-                           AS DECIMAL(18,4))) AS DOUBLE), 4)
+       round((CAST(sum(CAST(floor((least(greatest(l_extendedprice, lo_p), hi_p)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000), 4)
            AS wsum_l_extendedprice,
-       round(CAST(sum(CAST(least(greatest(l_quantity, lo_q), hi_q)
-                           AS DECIMAL(18,4))) AS DOUBLE), 4)
+       round((CAST(sum(CAST(floor((least(greatest(l_quantity, lo_q), hi_q)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000), 4)
            AS wsum_l_quantity,
        count(*)::BIGINT AS n
 FROM lineitem CROSS JOIN q
@@ -5339,7 +5339,7 @@ WITH long AS (
     SELECT p_brand, 'retailprice', p_retailprice::DOUBLE FROM part
 )
 SELECT p_brand, attr,
-       round(CAST(sum(CAST(val AS DECIMAL(18,4))) AS DOUBLE) / count(val), 6) AS avg_val,
+       round((CAST(sum(CAST(floor((val) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) / count(val), 6) AS avg_val,
        count(*)::BIGINT AS n
 FROM long GROUP BY p_brand, attr
 """
@@ -5382,8 +5382,8 @@ def _sql_time_series_split_stats(n: int = 4) -> str:
 SELECT {i}::BIGINT AS fold,
        count(*) FILTER (WHERE tu < {lo})::BIGINT AS train_rows,
        count(*) FILTER (WHERE {test})::BIGINT AS test_rows,
-       round(coalesce(CAST(sum(CAST(value AS DECIMAL(18,4)))
-                           FILTER (WHERE {test}) AS DOUBLE), 0), 6)
+       round(coalesce(CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                           FILTER (WHERE {test}) AS DOUBLE) / 10000, 0), 6)
            AS test_value_sum
 FROM e CROSS JOIN b""")
     body = "\nUNION ALL".join(parts)
@@ -5613,9 +5613,9 @@ def q_idle_customers(spark, sf_dir):
 SQL_IDLE_CUSTOMERS = """
 SELECT c_mktsegment,
        count(*) AS n_customers,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
+       (CAST(sum(CAST(floor((c_acctbal) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS total_balance
 FROM customer c
-WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+WHERE c_acctbal > (SELECT (CAST(sum(CAST(floor((c_acctbal) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000)
                           / count(c_acctbal)
                    FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -5659,7 +5659,7 @@ WITH sole_orders AS (
 ), per_supplier AS (
     SELECT l_suppkey,
            count(DISTINCT l_orderkey) AS n_orders,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS revenue
     FROM lineitem
     WHERE l_orderkey IN (SELECT l_orderkey FROM sole_orders)
     GROUP BY l_suppkey
@@ -5726,7 +5726,7 @@ def q_small_quantity_revenue(spark, sf_dir):
 
 
 SQL_SMALL_QUANTITY_REVENUE = """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+SELECT (CAST(sum(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) / 7.0 AS avg_yearly,
        count(*) AS n_lines
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#12'
@@ -5758,7 +5758,7 @@ def q_bracketed_discount_revenue(spark, sf_dir):
 
 
 SQL_BRACKETED_DISCOUNT_REVENUE = """
-SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+SELECT (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS revenue,
        count(*) AS n_lines
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -5795,13 +5795,13 @@ def q_important_parts(spark, sf_dir):
 SQL_IMPORTANT_PARTS = """
 WITH pr AS (
     SELECT l_partkey,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS part_rev
+           (CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS part_rev
     FROM lineitem GROUP BY 1
 )
 SELECT p.p_brand, count(*) AS n_parts,
-       CAST(sum(CAST(pr.part_rev AS DECIMAL(18,4))) AS DOUBLE) AS brand_rev
+       (CAST(sum(CAST(floor((pr.part_rev) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS brand_rev
 FROM pr JOIN part p ON p.p_partkey = pr.l_partkey
-WHERE pr.part_rev > 0.00075 * (SELECT CAST(sum(CAST(part_rev AS DECIMAL(18,4))) AS DOUBLE) FROM pr)
+WHERE pr.part_rev > 0.00075 * (SELECT (CAST(sum(CAST(floor((part_rev) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) FROM pr)
 GROUP BY p.p_brand
 """
 
@@ -5936,7 +5936,7 @@ SELECT
    + CASE WHEN l_extendedprice >= q[6] THEN 1 ELSE 0 END
    + CASE WHEN l_extendedprice >= q[7] THEN 1 ELSE 0 END)::BIGINT AS bin,
     count(*) AS n,
-    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    (CAST(sum(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS total
 FROM lineitem CROSS JOIN e
 GROUP BY 1
 """
@@ -6040,7 +6040,7 @@ SELECT p.user_id,
        count(*) AS n_purchases,
        count(v.ts) AS n_attributed,
        CAST(sum(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS gap_micros,
-       CAST(sum(CAST(v.value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+       (CAST(sum(CAST(floor((v.value) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS attributed_value
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 GROUP BY p.user_id
 """
@@ -8026,6 +8026,146 @@ FROM t
 """
 
 
+def q_welch_bh_by_month(spark, sf_dir):
+    """Per-stratum hypothesis sweep + multiple-testing control
+    (functions/stats.py::welch_ttest_by + benjamini_hochberg): ONE
+    conditional-sum groupBy computes a Welch test of returned-vs-kept
+    price for EVERY ship month, then BH step-up q-values control the
+    FDR over the ~80-test family (at corpus scale every per-stratum
+    sweep needs this — thousands of 0.05-level tests guarantee false
+    discoveries). The q map is a bounded driver computation joined
+    back as a broadcast; the oracle replays the sweep as per-month
+    conditional sums and BH as a rank + suffix-min window."""
+    from dask_ml_spark.functions.stats import benjamini_hochberg, welch_ttest_by
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_format(F.col("l_shipdate"), "yyyy-MM"))
+    tests = welch_ttest_by(li, "l_extendedprice", "l_returnflag",
+                           ("N", "R"), "ship_month")
+    out = benjamini_hochberg(tests, "p_value", alpha=0.05)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("ship_month", "n1", "n2",
+                      r6(F.col("t_stat")).alias("t_stat"),
+                      r6(F.col("p_value")).alias("p_value"),
+                      r6(F.col("q_value")).alias("q_value"),
+                      "reject", "valid")
+
+
+def _sql_welch_bh_by_month() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    sf = _normal_sf_sql("abs(t)")
+    return f"""
+WITH k AS (
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           l_extendedprice::DOUBLE AS v,
+           CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS one,
+           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS two
+    FROM lineitem WHERE l_returnflag IN ('N', 'R')
+), a AS (
+    SELECT ship_month, sum(one) AS n1, sum(two) AS n2,
+           sum(one * v) AS s1, sum(two * v) AS s2,
+           sum(one * v * v) AS q1, sum(two * v * v) AS q2
+    FROM k GROUP BY ship_month
+), m AS (
+    SELECT ship_month, n1, n2, s1/n1 AS m1, s2/n2 AS m2,
+           (q1 - n1 * (s1/n1) * (s1/n1)) / (n1 - 1.0) AS v1,
+           (q2 - n2 * (s2/n2) * (s2/n2)) / (n2 - 1.0) AS v2
+    FROM a
+), t AS (
+    SELECT ship_month, n1, n2,
+           CASE WHEN n1 >= 2 AND n2 >= 2
+                     AND v1/n1 + v2/n2 > 0.0
+                THEN (m1 - m2) / sqrt(v1/n1 + v2/n2) END AS t,
+           (n1 >= 2 AND n2 >= 2
+            AND coalesce(v1/n1 + v2/n2, -1.0) > 0.0) AS valid
+    FROM m
+), p AS (
+    SELECT ship_month, n1, n2, t, valid,
+           CASE WHEN valid THEN least(1.0, 2.0 * {sf}) END AS p
+    FROM t
+), fam AS (
+    SELECT *, row_number() OVER (ORDER BY p) AS rn,
+           count(*) OVER () AS mm
+    FROM p WHERE p IS NOT NULL
+), adj AS (
+    SELECT *, least(1.0, min(p * mm / rn)
+               OVER (ORDER BY rn ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING)) AS q
+    FROM fam
+)
+SELECT p.ship_month, p.n1::BIGINT AS n1, p.n2::BIGINT AS n2,
+       floor(p.t * 1e6 + 0.5) / 1e6 AS t_stat,
+       floor(p.p * 1e6 + 0.5) / 1e6 AS p_value,
+       floor(adj.q * 1e6 + 0.5) / 1e6 AS q_value,
+       CASE WHEN adj.q IS NOT NULL THEN adj.q <= 0.05 END AS reject,
+       p.valid AS valid
+FROM p LEFT JOIN adj ON p.ship_month = adj.ship_month
+"""
+
+
+BOOT_B = 50
+BOOT_M = 2654435761
+BOOT_P = 1 << 31
+
+
+def q_bootstrap_price_ci(spark, sf_dir):
+    """Poisson-bootstrap CI for the mean price (functions/stats.py::
+    bootstrap_ci — the 100 TB bootstrap: every row gets a
+    hash-deterministic Poisson(1) multiplicity per replicate, so all
+    50 replicates reduce in ONE aggregate pass; no resampled
+    materialization, no shuffle). Nearest-rank percentile selection
+    means engine FP drift in a replicate mean cannot move the chosen
+    rank; the oracle replays every draw bit-for-bit (the u values are
+    exact int/2^31 doubles) via a 50-row constants join."""
+    from dask_ml_spark.functions.stats import bootstrap_ci
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = bootstrap_ci(li, "l_extendedprice",
+                       ["l_orderkey", "l_linenumber"],
+                       n_boot=BOOT_B, alpha=0.1)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n", r6(F.col("mean")).alias("mean"),
+                      r6(F.col("ci_lo")).alias("ci_lo"),
+                      r6(F.col("ci_hi")).alias("ci_hi"), "n_boot")
+
+
+def _sql_bootstrap_price_ci() -> str:
+    from dask_ml_spark.functions.stats import _pois1_weight_sql
+
+    consts = ", ".join(f"({b}, {pow(BOOT_M, b + 1, BOOT_P)})"
+                       for b in range(BOOT_B))
+    ladder = _pois1_weight_sql("u")
+    # nearest-rank (1-indexed): k_lo = ceil(0.05*50) = 3,
+    # k_hi = ceil(0.95*50) = 48 — catalog fixed-point literals
+    return f"""
+WITH base AS (
+    SELECT l_extendedprice::DOUBLE AS v,
+           ((((0 + l_orderkey) % {BOOT_P}) * {BOOT_M} % {BOOT_P}
+             + l_linenumber) % {BOOT_P}) * {BOOT_M} % {BOOT_P} AS k0
+    FROM lineitem
+), consts(b, a) AS (VALUES {consts}),
+w AS (
+    SELECT v, b, {ladder} AS w FROM (
+        SELECT v, b,
+               (((k0 + 1 + b) * CAST(a AS BIGINT)) % {BOOT_P})::DOUBLE
+                   / {float(BOOT_P)!r} AS u
+        FROM base CROSS JOIN consts)
+), reps AS (
+    SELECT b, sum(w * v) AS wx, sum(w) AS sw FROM w GROUP BY b
+), means AS (
+    SELECT wx / sw AS m FROM reps WHERE sw > 0
+)
+SELECT (SELECT count(*) FROM base)::BIGINT AS n,
+       floor((SELECT sum(v) / count(v) FROM base) * 1e6 + 0.5) / 1e6 AS mean,
+       floor((SELECT m FROM means ORDER BY m LIMIT 1 OFFSET 2)
+             * 1e6 + 0.5) / 1e6 AS ci_lo,
+       floor((SELECT m FROM means ORDER BY m LIMIT 1 OFFSET 47)
+             * 1e6 + 0.5) / 1e6 AS ci_hi,
+       {BOOT_B}::BIGINT AS n_boot
+"""
+
+
 def q_mutual_information_events(spark, sf_dir):
     """Discrete mutual information (functions/stats.py::
     mutual_information): how informative is the event type about the
@@ -8861,9 +9001,9 @@ SQL_WEIGHTED_METRICS = """
 SELECT sum((l_tax + 0.01) * CASE WHEN (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) =
                                       (CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END)
                                  THEN 1.0 ELSE 0.0 END) / sum(l_tax + 0.01) AS weighted_accuracy,
-       CAST(sum(CAST(floor((l_tax + 0.01) * pow(l_quantity * 2000.0 - l_extendedprice, 2) * 10000) / 10000 AS DECIMAL(18,4))) AS DOUBLE)
-           / CAST(sum(CAST(l_tax + 0.01 AS DECIMAL(18,4))) AS DOUBLE) AS weighted_mse,
-       CAST(sum(CAST(l_tax + 0.01 AS DECIMAL(18,4))) AS DOUBLE) AS sum_w
+       (CAST(sum(CAST(floor(((l_tax + 0.01) * pow(l_quantity * 2000.0 - l_extendedprice, 2)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000)
+           / (CAST(sum(CAST(floor((l_tax + 0.01) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS weighted_mse,
+       (CAST(sum(CAST(floor((l_tax + 0.01) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS sum_w
 FROM lineitem
 """
 

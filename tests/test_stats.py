@@ -7,6 +7,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from dask_ml_spark.functions.stats import kaplan_meier, ks_2sample, mann_whitney_u
 
@@ -306,6 +307,85 @@ def test_kaplan_meier_matches_bruteforce(spark):
         s *= 1.0 - d / at_risk
         assert abs(got[float(tt)] - s) < 1e-12, tt
         at_risk -= int((t == tt).sum())
+
+
+def test_welch_ttest_by_matches_single(spark):
+    """Each stratum's row must equal welch_ttest run on that stratum
+    alone; an undersized stratum reports valid=false + NULL p instead
+    of killing the sweep."""
+    from dask_ml_spark.functions.stats import welch_ttest, welch_ttest_by
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for s, (mu_a, mu_b, n) in enumerate([(0.0, 0.6, 40), (1.0, 1.0, 60)]):
+        rows += [(f"s{s}", "a", float(x)) for x in rng.normal(mu_a, 1, n)]
+        rows += [(f"s{s}", "b", float(x)) for x in rng.normal(mu_b, 1, n)]
+    rows += [("thin", "a", 1.0), ("thin", "b", 2.0)]  # 1 row per side
+    df = spark.createDataFrame(rows, ["stratum", "g", "x"])
+    by = {r["stratum"]: r for r in
+          welch_ttest_by(df, "x", "g", ("a", "b"), "stratum").collect()}
+    for s in ("s0", "s1"):
+        single = welch_ttest(df.where(F.col("stratum") == s), "x", "g",
+                             groups=("a", "b")).collect()[0]
+        got = by[s]
+        assert got["valid"]
+        assert got["n1"] == single["n1"] and got["n2"] == single["n2"]
+        for c in ("mean_diff", "t_stat", "dof", "p_value"):
+            assert abs(got[c] - single[c]) < 1e-12, (s, c)
+    assert by["thin"]["valid"] is False
+    assert by["thin"]["p_value"] is None
+
+
+def test_benjamini_hochberg_pinned(spark):
+    from dask_ml_spark.functions.stats import benjamini_hochberg
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005),
+         ("e", None)], ["id", "p_value"])
+    out = {r["id"]: r for r in benjamini_hochberg(df, alpha=0.05).collect()}
+    # hand replay (m=4): sorted [.005,.01,.03,.04] -> q [.02,.02,.04,.04]
+    assert abs(out["d"]["q_value"] - 0.02) < 1e-12
+    assert abs(out["a"]["q_value"] - 0.02) < 1e-12
+    assert abs(out["c"]["q_value"] - 0.04) < 1e-12
+    assert abs(out["b"]["q_value"] - 0.04) < 1e-12
+    assert all(out[k]["reject"] for k in "abcd")
+    # NULL p is not part of the family: NULL q/reject, m stayed 4
+    assert out["e"]["q_value"] is None and out["e"]["reject"] is None
+    # ties share one q (suffix-min through the tied block)
+    df2 = spark.createDataFrame(
+        [(i, p) for i, p in enumerate([0.02, 0.02, 0.5])], ["id", "p_value"])
+    out2 = [r["q_value"] for r in
+            benjamini_hochberg(df2).orderBy("id").collect()]
+    assert abs(out2[0] - out2[1]) < 1e-15
+    assert abs(out2[0] - 0.03) < 1e-12  # 0.02 * 3 / 2
+
+
+def test_bootstrap_ci_quality_and_determinism(spark):
+    """CI width must track the analytic normal-theory interval (this
+    would catch cross-replicate weight correlation — the lattice
+    failure mode the per-replicate multiplier exists to prevent), and
+    results must be identical across partitionings."""
+    from dask_ml_spark.functions.stats import bootstrap_ci
+
+    rng = np.random.RandomState(5)
+    x = rng.normal(10.0, 2.0, 4000)
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(x)], ["k", "v"])
+    out = bootstrap_ci(df, "v", "k", n_boot=200, alpha=0.05).collect()[0]
+    mean, sd = float(np.mean(x)), float(np.std(x, ddof=1))
+    se = sd / np.sqrt(len(x))
+    assert abs(out["mean"] - mean) < 1e-9
+    assert out["ci_lo"] < mean < out["ci_hi"]
+    width = out["ci_hi"] - out["ci_lo"]
+    analytic = 2 * 1.959964 * se
+    assert 0.7 * analytic < width < 1.4 * analytic, (width, analytic)
+    # partition-independence: the DRAWS are keyed, not partition-seeded
+    # (replicate-sum float association still follows partition order —
+    # the usual ~1e-15 slack, absorbed by the catalog's 1e-6 rounding)
+    again = bootstrap_ci(df.repartition(13), "v", "k",
+                         n_boot=200, alpha=0.05).collect()[0]
+    assert abs(again["ci_lo"] - out["ci_lo"]) < 1e-9
+    assert abs(again["ci_hi"] - out["ci_hi"]) < 1e-9
 
 
 def test_kaplan_meier_driver_and_distributed_paths_agree(spark):
