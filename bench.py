@@ -194,6 +194,12 @@ HEADLINE = [
     "welch_ttest_price",            # one-pass unequal-variance t-test
     "mutual_information_events",    # discrete MI + normalized coefficient
     "feature_corr_matrix",          # all-pairs Pearson, one aggregate
+    # r10 additions
+    "welch_bh_by_month",            # per-stratum Welch sweep + BH FDR
+    "bootstrap_price_ci",           # Poisson-bootstrap CI, one pass
+    "prop_ztest_discount",          # two-proportion z, one aggregate
+    "anova_event_value",            # k-group one-way F + chi2-limit p
+    "spearman_price_quantity",      # tie-averaged rank correlation
 ]
 
 # The remaining ~50 catalog queries stay out of the headline

@@ -143,7 +143,8 @@ def _nonempty_guard(n1: Column, n2: Column, passthrough: Column,
 
 
 def ks_2sample(df: DataFrame, value_col: str, group_col: str,
-               groups=None, bins: int | None = None) -> DataFrame:
+               groups=None, bins: int | None = None,
+               max_driver_rows: int = 65536) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov test, distributed.
 
     D = max_x |F1(x) − F2(x)| over the pooled distinct values
@@ -216,9 +217,42 @@ def ks_2sample(df: DataFrame, value_col: str, group_col: str,
             "n1": int(n1), "n2": int(n2), "d_stat": float(d),
             "p_value": float(min(1.0, max(0.0, q))),
         }]).select("n1", "n2", "d_stat", "p_value")
-    # exact path: one distinct-value groupBy, then both ECDF cumsums in
-    # ONE prefix pass (one range shuffle/checkpoint)
+    # exact path: one distinct-value groupBy — the irreducible pass —
+    # then the ECDF cumsums. A distinct-value frame that fits
+    # max_driver_rows (bounded limit-collect, the kaplan_meier
+    # pattern) cumsums driver-side: counts are integers, so D is
+    # bit-identical to the prefix-machine result, and two distributed
+    # passes collapse into one small collect.
     g, _, _ = _two_group_counts(df, value_col, group_col, groups)
+    if max_driver_rows and max_driver_rows > 0:
+        # checkpoint BEFORE the bounded probe: on fallback the prefix
+        # machinery reuses the materialized distinct frame instead of
+        # re-running the groupBy (blocks reclaimed by the
+        # ContextCleaner, the prefix_sum rationale)
+        g = g.localCheckpoint()
+        head = g.limit(max_driver_rows + 1).collect()
+        if len(head) <= max_driver_rows:
+            head.sort(key=lambda r: r["__v"])
+            n1 = sum(r["__c1"] for r in head)
+            n2 = sum(r["__c2"] for r in head)
+            if not n1 or not n2:
+                raise ValueError(
+                    "ks_2sample: a group matched no rows — check the "
+                    "group values (NULL groups are excluded)")
+            f1 = f2 = 0.0
+            d = 0.0
+            for r in head:
+                f1 += r["__c1"]
+                f2 += r["__c2"]
+                d = max(d, abs(f1 / n1 - f2 / n2))
+            lam_v = d * math.sqrt(n1 * n2 / (n1 + n2))
+            q = 2.0 * sum((-1) ** (k - 1) * math.exp(-2.0 * k * k
+                                                     * lam_v * lam_v)
+                          for k in range(1, _KS_TERMS + 1))
+            return df.sparkSession.createDataFrame([{
+                "n1": int(n1), "n2": int(n2), "d_stat": float(d),
+                "p_value": float(min(1.0, max(0.0, q))),
+            }]).select("n1", "n2", "d_stat", "p_value")
     g = prefix_sum(g, "__v", ["__c1", "__c2"], ["__b1", "__b2"])
     tot = g.agg(F.sum("__c1").alias("__n1"), F.sum("__c2").alias("__n2"))
     j = g.crossJoin(F.broadcast(tot))
@@ -246,7 +280,7 @@ def ks_2sample(df: DataFrame, value_col: str, group_col: str,
 
 
 def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
-                   groups=None) -> DataFrame:
+                   groups=None, max_driver_rows: int = 65536) -> DataFrame:
     """Two-sample Mann–Whitney U (Wilcoxon rank-sum), distributed.
 
     U (for the first group) via the tie-averaged rank-sum identity
@@ -271,6 +305,54 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
     from dask_ml_spark.datapipe.packing import prefix_sum
 
     g, _, _ = _two_group_counts(df, value_col, group_col, groups)
+    # bounded driver path (kaplan_meier pattern): u / ties are sums of
+    # integer products < 2^53, so the driver cumsum is bit-identical
+    # to the prefix-machine result
+    if max_driver_rows and max_driver_rows > 0:
+        g = g.localCheckpoint()  # probe + fallback share one execution
+        head = g.limit(max_driver_rows + 1).collect()
+        if len(head) <= max_driver_rows:
+            head.sort(key=lambda r: r["__v"])
+            n1 = sum(r["__c1"] for r in head)
+            n2 = sum(r["__c2"] for r in head)
+            if not n1 or not n2:
+                raise ValueError(
+                    "mann_whitney_u: a group matched no rows — check "
+                    "the group values (NULL groups are excluded)")
+            b2 = 0.0
+            u = 0.0
+            ties = 0.0
+            for r in head:
+                u += r["__c1"] * (b2 + 0.5 * r["__c2"])
+                b2 += r["__c2"]
+                tt = r["__c1"] + r["__c2"]
+                ties += tt * tt * tt - tt
+            n = n1 + n2
+            mu = n1 * n2 / 2.0
+            var = (n1 * n2 / 12.0
+                   * ((n + 1.0) - ties / (n * (n - 1.0))))
+            if var <= 0.0:
+                z_v, p_v = 0.0, 1.0
+            else:
+                shift = max(0.0, abs(u - mu) - 0.5)
+                z_v = math.copysign(shift, u - mu) / math.sqrt(var)
+                # identical operation ORDER as normal_sf_expr /
+                # _normal_sf_sql (repeated multiply, not pow; the
+                # 2.0*(phi*poly) association) — bit-comparable with
+                # both the column path and the SQL oracle
+                k = 1.0 / (1.0 + _AS_K * abs(z_v))
+                poly = 0.0
+                for i, bcoef in enumerate(_AS_B):
+                    p = k
+                    for _ in range(i):
+                        p = p * k
+                    poly = poly + bcoef * p
+                phi = math.exp(-(z_v * z_v) / 2.0) / SQRT_TWO_PI
+                p_v = min(1.0, 2.0 * (phi * poly))
+            return df.sparkSession.createDataFrame([{
+                "n1": int(n1), "n2": int(n2), "u_stat": float(u),
+                "z": float(z_v), "p_value": float(p_v),
+            }]).select("n1", "n2", "u_stat", "z", "p_value")
     g = prefix_sum(g, "__v", "__c2", "__b2")
     t = F.col("__c1") + F.col("__c2")
     agg = g.agg(
@@ -584,6 +666,158 @@ def bootstrap_ci(df: DataFrame, value_col: str, key_cols,
         "n long, mean double, ci_lo double, ci_hi double, n_boot long")
 
 
+def prop_ztest(df: DataFrame, success, group_col: str,
+               groups) -> DataFrame:
+    """Two-sample proportion z-test — the most common corpus A/B gate
+    (did the new scrape change the fraction of toxic/english/dup
+    docs?): ONE conditional-sum aggregate (n, successes per group),
+    pooled-variance z, two-sided p via the shared A&S 26.2.17 normal
+    tail. ``success`` is a boolean Column (or column name). Returns
+    one row: (n1, n2, p1, p2, z, p_value); all-equal proportions with
+    zero pooled variance report z = 0, p = 1.
+    """
+    if isinstance(success, str):
+        success = F.col(success)
+    g1, g2 = groups
+    s = success.cast("double")
+    kept = df.where(s.isNotNull() & F.col(group_col).isin([g1, g2]))
+    one = (F.col(group_col) == g1).cast("double")
+    two = (F.col(group_col) == g2).cast("double")
+    agg = kept.agg(F.sum(one).alias("n1_d"), F.sum(two).alias("n2_d"),
+                   F.sum(one * s).alias("s1"), F.sum(two * s).alias("s2"))
+    n1, n2 = F.col("n1_d"), F.col("n2_d")
+    p1, p2 = F.col("s1") / n1, F.col("s2") / n2
+    pp = (F.col("s1") + F.col("s2")) / (n1 + n2)
+    var = pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)
+    z = F.when(var <= 0.0, F.lit(0.0)).otherwise((p1 - p2) / F.sqrt(var))
+    p = F.when(var <= 0.0, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), 2.0 * normal_sf_expr(F.abs(z))))
+    def grd(c):
+        return _nonempty_guard(n1, n2, c, "prop_ztest")
+
+    return agg.select(
+        n1.cast("long").alias("n1"), n2.cast("long").alias("n2"),
+        grd(p1).alias("p1"), grd(p2).alias("p2"),
+        grd(z).alias("z"), grd(p).alias("p_value"))
+
+
+def anova_oneway(df: DataFrame, value_col: str,
+                 group_col: str) -> DataFrame:
+    """One-way ANOVA across ALL groups of ``group_col`` — the k-group
+    generalization of welch_ttest (equal-variance classical F; the
+    per-feature scorer sibling is feature_selection.f_classif, which
+    this cross-checks against in tests). ONE groupBy(group) pass
+    collects (n, Σx, Σx²) per group; F and the partition of variance
+    assemble driver-side from k rows of state.
+
+    p-value: k·F → χ²_k as the within dof → ∞ (at corpus scale
+    df_within is ~rows, where the F and χ² tails agree to ~1/df_within
+    — documented; df_between/df_within are returned so a small-sample
+    caller can consult an F table). Returns one row:
+    (k, n, f_stat, df_between, df_within, p_value).
+    """
+    v = F.col(value_col).cast("double")
+    rows = (df.where(v.isNotNull() & ~F.isnan(v)
+                     & F.col(group_col).isNotNull())
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("double").alias("__n"),
+                 F.sum(v).alias("__s"),
+                 F.sum(v * v).alias("__q"))
+            .collect())
+    # sorted group order: the driver-side sums are content-deterministic
+    rows.sort(key=lambda r: str(r[group_col]))
+    k = len(rows)
+    if k < 2:
+        raise ValueError("anova_oneway needs >= 2 groups")
+    n = sum(r["__n"] for r in rows)
+    if n <= k:
+        raise ValueError("anova_oneway needs n > k rows")
+    tot_s = sum(r["__s"] for r in rows)
+    grand = tot_s / n
+    ss_between = sum(r["__n"] * (r["__s"] / r["__n"] - grand) ** 2
+                     for r in rows)
+    ss_within = sum(r["__q"] - r["__n"] * (r["__s"] / r["__n"]) ** 2
+                    for r in rows)
+    dfb, dfw = k - 1, int(n) - k
+    if ss_within <= 0.0:
+        raise ValueError("anova_oneway: zero within-group variance — "
+                         "F is undefined on constant groups")
+    f_stat = (ss_between / dfb) / (ss_within / dfw)
+    p = chi2_sf(dfb * f_stat, dfb)
+    return df.sparkSession.createDataFrame(
+        [(k, int(n), float(f_stat), dfb, dfw, float(p))],
+        "k long, n long, f_stat double, df_between long, "
+        "df_within long, p_value double")
+
+
+def spearman_rho(df: DataFrame, col_a: str, col_b: str,
+                 max_driver_rows: int = 65536) -> DataFrame:
+    """Spearman rank correlation, distributed with tie-averaged ranks:
+    per column rank(v) = (# below) + (count+1)/2 over the distinct
+    values, joined back to the complete-case rows, then ONE Pearson
+    co-moment aggregate over the rank pair — the standard
+    tie-corrected Spearman. No keyless window, no row-count-sized
+    sort.
+
+    Rank-map construction follows the kaplan_meier pattern: a column
+    whose distinct-value frame fits ``max_driver_rows`` (checked with
+    a bounded limit-collect) gets its cumsum driver-side and the map
+    joins back as an explicit BROADCAST (counts are integers, so the
+    driver cumsum is bit-identical to the distributed one); a
+    higher-cardinality column falls through to the two-phase prefix
+    machinery and a shuffle join.
+
+    The large-sample two-sided p uses z = ρ·√(n−1) against the shared
+    A&S normal tail (documented; exact for the corpus-scale n this
+    engine targets). Returns one row: (n, rho, p_value).
+    """
+    from dask_ml_spark.datapipe.packing import prefix_sum
+
+    va = F.col(col_a).cast("double")
+    vb = F.col(col_b).cast("double")
+    kept = (df.where(va.isNotNull() & ~F.isnan(va)
+                     & vb.isNotNull() & ~F.isnan(vb))
+            .select(va.alias("__a"), vb.alias("__b")))
+    spark = df.sparkSession
+    for col, rank_name in (("__a", "__ra"), ("__b", "__rb")):
+        g = (kept.groupBy(col)
+             .agg(F.count(F.lit(1)).cast("double").alias("__c")))
+        if max_driver_rows and max_driver_rows > 0:
+            g = g.localCheckpoint()  # probe + fallback share one run
+            head = g.limit(max_driver_rows + 1).collect()
+        else:
+            head = None
+        if head is not None and len(head) <= max_driver_rows:
+            head.sort(key=lambda r: r[col])
+            cum = 0.0
+            rows = []
+            for r in head:
+                rows.append((r[col], cum + (r["__c"] + 1.0) / 2.0))
+                cum += r["__c"]
+            ranks = F.broadcast(spark.createDataFrame(
+                rows, f"{col} double, {rank_name} double"))
+        else:
+            g = prefix_sum(g, col, "__c", "__before")
+            ranks = g.select(col, (F.col("__before")
+                                   + (F.col("__c") + 1.0) / 2.0)
+                             .alias(rank_name))
+        kept = kept.join(ranks, col)
+    agg = kept.agg(F.corr("__ra", "__rb").alias("rho_d"),
+                   F.count(F.lit(1)).cast("double").alias("n_d"))
+    n, rho = F.col("n_d"), F.col("rho_d")
+    z = F.abs(rho) * F.sqrt(n - 1.0)
+    def grd(c):
+        return _nonempty_guard(n - 1.0, n - 1.0, c, "spearman_rho",
+                               msg="needs >= 2 complete-case rows")
+
+    return agg.select(
+        n.cast("long").alias("n"),
+        grd(rho).alias("rho"),
+        grd(F.when(rho.isNull(), F.lit(1.0)).otherwise(
+            F.least(F.lit(1.0), 2.0 * normal_sf_expr(z))))
+        .alias("p_value"))
+
+
 def _contingency_rows(df: DataFrame, col_a: str, col_b: str,
                       max_cells: int, what: str):
     """Shared contingency collection for chi2_independence /
@@ -795,6 +1029,7 @@ def kaplan_meier(df: DataFrame, duration_col: str, event_col: str,
     out_schema = ("duration double, n_risk long, n_events long, "
                   "n_censored long, survival double")
     if max_driver_rows and max_driver_rows > 0:
+        g = g.localCheckpoint()  # probe + fallback share one execution
         head = g.limit(max_driver_rows + 1).collect()
         if len(head) <= max_driver_rows:
             head.sort(key=lambda r: r["__t"])

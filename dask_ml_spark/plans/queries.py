@@ -4115,6 +4115,9 @@ def build_catalog():
         "welch_ttest_price": q_welch_ttest_price,
         "welch_bh_by_month": q_welch_bh_by_month,
         "bootstrap_price_ci": q_bootstrap_price_ci,
+        "prop_ztest_discount": q_prop_ztest_discount,
+        "anova_event_value": q_anova_event_value,
+        "spearman_price_quantity": q_spearman_price_quantity,
         "mutual_information_events": q_mutual_information_events,
         "feature_corr_matrix": q_feature_corr_matrix,
         "kaplan_meier_conversion": q_kaplan_meier_conversion,
@@ -4340,6 +4343,9 @@ def build_catalog():
         "welch_ttest_price": _sql_welch_ttest_price(),
         "welch_bh_by_month": _sql_welch_bh_by_month(),
         "bootstrap_price_ci": _sql_bootstrap_price_ci(),
+        "prop_ztest_discount": _sql_prop_ztest_discount(),
+        "anova_event_value": _sql_anova_event_value(),
+        "spearman_price_quantity": _sql_spearman_price_quantity(),
         "mutual_information_events": SQL_MUTUAL_INFORMATION_EVENTS,
         "feature_corr_matrix": SQL_FEATURE_CORR_MATRIX,
         "kaplan_meier_conversion": SQL_KAPLAN_MEIER_CONVERSION,
@@ -8163,6 +8169,152 @@ SELECT (SELECT count(*) FROM base)::BIGINT AS n,
        floor((SELECT m FROM means ORDER BY m LIMIT 1 OFFSET 47)
              * 1e6 + 0.5) / 1e6 AS ci_hi,
        {BOOT_B}::BIGINT AS n_boot
+"""
+
+
+def q_prop_ztest_discount(spark, sf_dir):
+    """Two-sample proportion z-test (functions/stats.py::prop_ztest):
+    is the fraction of deep-discounted lines different between
+    returned and kept items? ONE conditional-sum aggregate; pooled
+    variance; two-sided p via the shared A&S normal tail."""
+    from dask_ml_spark.functions.stats import prop_ztest
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = prop_ztest(li, F.col("l_discount") > 0.05, "l_returnflag",
+                     ("N", "R"))
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n1", "n2", r6(F.col("p1")).alias("p1"),
+                      r6(F.col("p2")).alias("p2"),
+                      r6(F.col("z")).alias("z"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_prop_ztest_discount() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    sf = _normal_sf_sql("abs(z)")
+    return f"""
+WITH k AS (
+    SELECT CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS s,
+           CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS one,
+           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS two
+    FROM lineitem WHERE l_returnflag IN ('N', 'R')
+), a AS (
+    SELECT sum(one) AS n1, sum(two) AS n2,
+           sum(one * s) AS s1, sum(two * s) AS s2
+    FROM k
+), z AS (
+    SELECT n1, n2, s1/n1 AS p1, s2/n2 AS p2,
+           CASE WHEN ((s1+s2)/(n1+n2)) * (1.0 - (s1+s2)/(n1+n2))
+                     * (1.0/n1 + 1.0/n2) <= 0.0 THEN 0.0
+                ELSE (s1/n1 - s2/n2)
+                     / sqrt(((s1+s2)/(n1+n2)) * (1.0 - (s1+s2)/(n1+n2))
+                            * (1.0/n1 + 1.0/n2)) END AS z
+    FROM a
+)
+SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+       floor(p1 * 1e6 + 0.5) / 1e6 AS p1,
+       floor(p2 * 1e6 + 0.5) / 1e6 AS p2,
+       floor(z * 1e6 + 0.5) / 1e6 AS z,
+       floor(CASE WHEN z = 0.0 THEN 1.0
+                  ELSE least(1.0, 2.0 * {sf}) END * 1e6 + 0.5) / 1e6
+           AS p_value
+FROM z
+"""
+
+
+def q_anova_event_value(spark, sf_dir):
+    """One-way ANOVA across all event types (functions/stats.py::
+    anova_oneway — the k-group generalization of the Welch pair test):
+    one groupBy(event_type) pass of (n, Σx, Σx²), F assembled from k
+    rows of driver state, p via the large-within-dof χ² limit of k·F
+    (df_within ≈ 10^5 here; the even-dof exact tail replays in SQL).
+    Only the self-normalizing F/p are emitted — the raw SS terms are
+    1e9-scale order-dependent sums."""
+    from dask_ml_spark.functions.stats import anova_oneway
+
+    ev = _t(spark, sf_dir, "events")
+    out = anova_oneway(ev, "value", "event_type")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("k", "n", r6(F.col("f_stat")).alias("f_stat"),
+                      "df_between", "df_within",
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_anova_event_value() -> str:
+    from dask_ml_spark.functions.stats import _chi2_sf_sql
+
+    # events has 5 event types -> df_between = 4 (even): exact tail
+    tail = _chi2_sf_sql("4.0 * f", 4)
+    return f"""
+WITH g AS (
+    SELECT event_type, count(*)::DOUBLE AS n, sum(value) AS s,
+           sum(value * value) AS q
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+), t AS (
+    SELECT count(*)::BIGINT AS k, sum(n) AS n_tot, sum(s) AS s_tot,
+           sum(n * (s/n - (SELECT sum(s) FROM g) / (SELECT sum(n) FROM g))
+               * (s/n - (SELECT sum(s) FROM g) / (SELECT sum(n) FROM g)))
+               AS ssb,
+           sum(q - n * (s/n) * (s/n)) AS ssw
+    FROM g
+), f AS (
+    SELECT k, n_tot, (ssb / (k - 1)) / (ssw / (n_tot - k)) AS f
+    FROM t
+)
+SELECT k, n_tot::BIGINT AS n,
+       floor(f * 1e6 + 0.5) / 1e6 AS f_stat,
+       (k - 1)::BIGINT AS df_between,
+       (n_tot - k)::BIGINT AS df_within,
+       floor({tail} * 1e6 + 0.5) / 1e6 AS p_value
+FROM f
+"""
+
+
+def q_spearman_price_quantity(spark, sf_dir):
+    """Spearman rank correlation (functions/stats.py::spearman_rho):
+    price vs quantity with tie-averaged ranks (quantity has ~50
+    distinct values — the tie machinery does real work). Per column
+    one distinct-value groupBy + prefix pass builds the rank map,
+    joined back (AQE broadcasts the small maps); one Pearson co-moment
+    aggregate over the rank pair. ρ is a self-normalizing ratio."""
+    from dask_ml_spark.functions.stats import spearman_rho
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = spearman_rho(li, "l_extendedprice", "l_quantity")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n", r6(F.col("rho")).alias("rho"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_spearman_price_quantity() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    sf = _normal_sf_sql("(abs(rho) * sqrt(n - 1.0))")
+    return f"""
+WITH k AS (
+    SELECT l_extendedprice::DOUBLE AS a, l_quantity::DOUBLE AS b
+    FROM lineitem
+), ra AS (
+    SELECT a, cum - c + (c + 1.0) / 2.0 AS r FROM (
+        SELECT a, c, sum(c) OVER (ORDER BY a ROWS UNBOUNDED PRECEDING)
+               AS cum
+        FROM (SELECT a, count(*)::DOUBLE AS c FROM k GROUP BY a))
+), rb AS (
+    SELECT b, cum - c + (c + 1.0) / 2.0 AS r FROM (
+        SELECT b, c, sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+               AS cum
+        FROM (SELECT b, count(*)::DOUBLE AS c FROM k GROUP BY b))
+), j AS (
+    SELECT ra.r AS x, rb.r AS y
+    FROM k JOIN ra ON k.a = ra.a JOIN rb ON k.b = rb.b
+), c AS (
+    SELECT count(*)::DOUBLE AS n, corr(x, y) AS rho FROM j
+)
+SELECT n::BIGINT AS n,
+       floor(rho * 1e6 + 0.5) / 1e6 AS rho,
+       floor(least(1.0, 2.0 * {sf}) * 1e6 + 0.5) / 1e6 AS p_value
+FROM c
 """
 
 

@@ -388,6 +388,72 @@ def test_bootstrap_ci_quality_and_determinism(spark):
     assert abs(again["ci_hi"] - out["ci_hi"]) < 1e-9
 
 
+def test_prop_ztest_hand_formula(spark):
+    from dask_ml_spark.functions.stats import prop_ztest
+
+    rows = ([("a", 1)] * 30 + [("a", 0)] * 70
+            + [("b", 1)] * 45 + [("b", 0)] * 55)
+    df = spark.createDataFrame(rows, ["g", "s"])
+    out = prop_ztest(df, F.col("s") == 1, "g", ("a", "b")).collect()[0]
+    p1, p2 = 0.30, 0.45
+    pp = (30 + 45) / 200.0
+    z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / 100.0 + 1 / 100.0))
+    assert out["n1"] == 100 and out["n2"] == 100
+    assert abs(out["p1"] - p1) < 1e-12 and abs(out["p2"] - p2) < 1e-12
+    assert abs(out["z"] - z) < 1e-12
+    assert 0.02 < out["p_value"] < 0.04  # 2*Phi(-2.236) ~ 0.0254
+    # degenerate: all successes in both groups -> z=0, p=1
+    allones = spark.createDataFrame([("a", 1), ("a", 1), ("b", 1)], ["g", "s"])
+    d = prop_ztest(allones, F.col("s") == 1, "g", ("a", "b")).collect()[0]
+    assert d["z"] == 0.0 and d["p_value"] == 1.0
+
+
+def test_anova_oneway_matches_f_classif(spark):
+    from dask_ml_spark.functions.stats import anova_oneway
+    from dask_ml_spark.operators.feature_selection import f_classif
+
+    rng = np.random.RandomState(2)
+    rows = []
+    for g, mu in (("x", 0.0), ("y", 0.5), ("z", 1.5)):
+        rows += [(g, float(v)) for v in rng.normal(mu, 1.0, 50)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = anova_oneway(df, "v", "g").collect()[0]
+    want = f_classif(df.withColumnRenamed("g", "label"), ["v"],
+                     label_col="label")["v"]
+    assert out["k"] == 3 and out["n"] == 150
+    assert out["df_between"] == 2 and out["df_within"] == 147
+    assert abs(out["f_stat"] - want) < 1e-9 * max(1.0, abs(want))
+    # chi2_k limit of k*F: sanity vs an independent even-dof tail
+    from dask_ml_spark.functions.stats import chi2_sf
+    assert abs(out["p_value"] - chi2_sf(2 * out["f_stat"], 2)) < 1e-15
+    with pytest.raises(Exception, match="2 groups"):
+        anova_oneway(df.where(F.col("g") == "x"), "v", "g")
+
+
+def test_spearman_rho_matches_pandas(spark):
+    from dask_ml_spark.functions.stats import spearman_rho
+    import pandas as pd
+
+    rng = np.random.RandomState(9)
+    a = rng.randint(0, 20, 300).astype(float)  # heavy ties
+    b = a * 2 + rng.normal(0, 5, 300)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, b)], ["a", "b"])
+    out = spearman_rho(df, "a", "b").collect()[0]
+    ra = pd.Series(a).rank(method="average")
+    rb = pd.Series(b).rank(method="average")
+    want = float(np.corrcoef(ra, rb)[0, 1])
+    assert out["n"] == 300
+    assert abs(out["rho"] - want) < 1e-9
+    assert out["p_value"] < 1e-6  # strongly dependent
+    # independence: |rho| small, p large
+    c = rng.normal(0, 1, 300)
+    df2 = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, c)], ["a", "b"])
+    out2 = spearman_rho(df2, "a", "b").collect()[0]
+    assert abs(out2["rho"]) < 0.15 and out2["p_value"] > 0.01
+
+
 def test_kaplan_meier_driver_and_distributed_paths_agree(spark):
     """The bounded driver path (default) and the prefix-machine
     fallback (max_driver_rows exceeded) must produce identical curves
@@ -408,11 +474,43 @@ def test_kaplan_meier_driver_and_distributed_paths_agree(spark):
         assert abs(fast[k]["survival"] - slow[k]["survival"]) < 1e-12
 
 
+def test_ks_mwu_driver_and_distributed_paths_agree(spark):
+    """The bounded driver path (default) and the prefix-machine
+    fallback must produce identical statistics — counts are integer
+    doubles, so D/U/ties are exact on both sides."""
+    rng = np.random.RandomState(13)
+    df = _mk(spark, rng.randint(0, 25, 200).astype(float),
+             rng.randint(0, 25, 180).astype(float) + 0.5 * 0)
+    for fn in (ks_2sample, mann_whitney_u):
+        fast = fn(df, "x", "g").collect()[0]
+        slow = fn(df, "x", "g", max_driver_rows=3).collect()[0]
+        for c in fast.asDict():
+            a, b = fast[c], slow[c]
+            assert (a == b or abs(a - b) < 1e-12), (fn.__name__, c, a, b)
+
+
+def test_spearman_driver_and_distributed_paths_agree(spark):
+    from dask_ml_spark.functions.stats import spearman_rho
+
+    rng = np.random.RandomState(21)
+    a = rng.randint(0, 30, 250).astype(float)
+    b = a + rng.normal(0, 3, 250)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, b)], ["a", "b"])
+    fast = spearman_rho(df, "a", "b").collect()[0]
+    slow = spearman_rho(df, "a", "b", max_driver_rows=4).collect()[0]
+    assert fast["n"] == slow["n"]
+    assert abs(fast["rho"] - slow["rho"]) < 1e-12
+    assert abs(fast["p_value"] - slow["p_value"]) < 1e-12
+
+
 def test_stats_plans_have_no_global_window(spark):
     """The scale contract: no keyless Window (single-task sort) — the
-    cumulative pieces run through the two-phase prefix sum."""
+    cumulative pieces run through the two-phase prefix sum
+    (max_driver_rows=0 pins the distributed path)."""
     rng = np.random.RandomState(1)
     df = _mk(spark, rng.rand(50), rng.rand(60))
-    for out in (ks_2sample(df, "x", "g"), mann_whitney_u(df, "x", "g")):
+    for out in (ks_2sample(df, "x", "g", max_driver_rows=0),
+                mann_whitney_u(df, "x", "g", max_driver_rows=0)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
