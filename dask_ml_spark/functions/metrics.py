@@ -212,7 +212,8 @@ def f1_score(df: DataFrame, label_col: str = "label",
 
 
 def roc_auc_score(df: DataFrame, label_col: str = "label",
-                  score_col: str = "score", bins: int | None = None) -> float:
+                  score_col: str = "score", bins: int | None = None,
+                  max_driver_rows: int = 65536) -> float:
     """Distributed ROC-AUC (beyond-reference — dask-ml ships no AUC;
     quality-classifier gating needs one).
 
@@ -268,6 +269,24 @@ def roc_auc_score(df: DataFrame, label_col: str = "label",
              F.sum((F.col(label_col) == 1).cast("double")).alias("__p"))
         .withColumn("__neg", F.col("__c") - F.col("__p"))
     )
+    # bounded driver path (stats.py's kaplan/ks pattern): when the
+    # distinct-score frame fits, cumsum driver-side — U is a sum of
+    # integer products < 2^53, bit-identical to the prefix machine;
+    # the checkpoint lets the fallback reuse the materialized frame
+    if max_driver_rows and max_driver_rows > 0:
+        g = g.localCheckpoint()
+        head = g.limit(max_driver_rows + 1).collect()
+        if len(head) <= max_driver_rows:
+            head.sort(key=lambda r: r["__s"])
+            u = neg_below = n1 = n0 = 0.0
+            for r in head:
+                u += r["__p"] * (neg_below + 0.5 * r["__neg"])
+                neg_below += r["__neg"]
+                n1 += r["__p"]
+                n0 += r["__neg"]
+            if not n1 or not n0:
+                raise ValueError("roc_auc_score needs both classes present")
+            return float(u / (n1 * n0))
     withcum = prefix_sum(g, "__s", "__neg", "__neg_below")
     row = withcum.agg(
         F.sum(F.col("__p") * (F.col("__neg_below") + 0.5 * F.col("__neg"))).alias("u"),
