@@ -200,6 +200,7 @@ HEADLINE = [
     "prop_ztest_discount",          # two-proportion z, one aggregate
     "anova_event_value",            # k-group one-way F + chi2-limit p
     "spearman_price_quantity",      # tie-averaged rank correlation
+    "brown_forsythe_price",         # variance homogeneity (robust Levene)
 ]
 
 # The remaining ~50 catalog queries stay out of the headline

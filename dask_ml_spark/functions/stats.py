@@ -750,6 +750,36 @@ def anova_oneway(df: DataFrame, value_col: str,
         "df_within long, p_value double")
 
 
+def brown_forsythe(df: DataFrame, value_col: str, group_col: str,
+                   approximate: bool = True,
+                   accuracy: int = 10_000) -> DataFrame:
+    """Brown–Forsythe test of variance homogeneity across k groups —
+    the robust Levene variant (deviations from the group MEDIAN, not
+    the mean), the standard pre-check before pooling strata or
+    trusting an equal-variance ANOVA. Two passes: one groupBy(group)
+    median aggregate (percentile_approx by default — the bounded
+    100 TB sketch; ``approximate=False`` uses exact percentile for
+    oracle replay, the winsorized_prices convention — exact per-group
+    percentile state is O(group size)), broadcast the k medians back,
+    then one-way ANOVA on z = |x − med_g| (anova_oneway's single
+    (n, Σz, Σz²) pass; p via the same large-within-dof χ² limit of
+    k·W). Returns one row:
+    (k, n, f_stat, df_between, df_within, p_value).
+    """
+    v = F.col(value_col).cast("double")
+    kept = df.where(v.isNotNull() & ~F.isnan(v)
+                    & F.col(group_col).isNotNull())
+    med = (F.percentile_approx(v, 0.5, accuracy) if approximate
+           else F.percentile(v, F.lit(0.5)))
+    meds = (kept.groupBy(group_col).agg(med.alias("__med"))
+            .withColumnRenamed(group_col, "__g"))
+    z = F.abs(v - F.col("__med"))
+    joined = (kept.join(F.broadcast(meds),
+                        F.col(group_col) == F.col("__g"))
+              .select(F.col(group_col).alias("__grp"), z.alias("__z")))
+    return anova_oneway(joined, "__z", "__grp")
+
+
 def spearman_rho(df: DataFrame, col_a: str, col_b: str,
                  max_driver_rows: int = 65536) -> DataFrame:
     """Spearman rank correlation, distributed with tie-averaged ranks:

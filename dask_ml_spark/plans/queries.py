@@ -4118,6 +4118,7 @@ def build_catalog():
         "prop_ztest_discount": q_prop_ztest_discount,
         "anova_event_value": q_anova_event_value,
         "spearman_price_quantity": q_spearman_price_quantity,
+        "brown_forsythe_price": q_brown_forsythe_price,
         "mutual_information_events": q_mutual_information_events,
         "feature_corr_matrix": q_feature_corr_matrix,
         "kaplan_meier_conversion": q_kaplan_meier_conversion,
@@ -4346,6 +4347,7 @@ def build_catalog():
         "prop_ztest_discount": _sql_prop_ztest_discount(),
         "anova_event_value": _sql_anova_event_value(),
         "spearman_price_quantity": _sql_spearman_price_quantity(),
+        "brown_forsythe_price": _sql_brown_forsythe_price(),
         "mutual_information_events": SQL_MUTUAL_INFORMATION_EVENTS,
         "feature_corr_matrix": SQL_FEATURE_CORR_MATRIX,
         "kaplan_meier_conversion": SQL_KAPLAN_MEIER_CONVERSION,
@@ -8253,6 +8255,61 @@ WITH g AS (
     FROM events WHERE value IS NOT NULL GROUP BY event_type
 ), t AS (
     SELECT count(*)::BIGINT AS k, sum(n) AS n_tot, sum(s) AS s_tot,
+           sum(n * (s/n - (SELECT sum(s) FROM g) / (SELECT sum(n) FROM g))
+               * (s/n - (SELECT sum(s) FROM g) / (SELECT sum(n) FROM g)))
+               AS ssb,
+           sum(q - n * (s/n) * (s/n)) AS ssw
+    FROM g
+), f AS (
+    SELECT k, n_tot, (ssb / (k - 1)) / (ssw / (n_tot - k)) AS f
+    FROM t
+)
+SELECT k, n_tot::BIGINT AS n,
+       floor(f * 1e6 + 0.5) / 1e6 AS f_stat,
+       (k - 1)::BIGINT AS df_between,
+       (n_tot - k)::BIGINT AS df_within,
+       floor({tail} * 1e6 + 0.5) / 1e6 AS p_value
+FROM f
+"""
+
+
+def q_brown_forsythe_price(spark, sf_dir):
+    """Brown–Forsythe variance-homogeneity test (functions/stats.py::
+    brown_forsythe): do price spreads differ across return flags?
+    Two passes — per-group medians (approximate=False so DuckDB
+    quantile_cont replays them exactly, the winsorized_prices
+    convention; the LIBRARY default is the percentile_approx sketch),
+    then the one-way F over |x − med_g|. Only the self-normalizing
+    W/p are emitted."""
+    from dask_ml_spark.functions.stats import brown_forsythe
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = brown_forsythe(li, "l_extendedprice", "l_returnflag",
+                         approximate=False)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("k", "n", r6(F.col("f_stat")).alias("f_stat"),
+                      "df_between", "df_within",
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_brown_forsythe_price() -> str:
+    from dask_ml_spark.functions.stats import _chi2_sf_sql
+
+    # 3 return flags -> df_between = 2 (even): exact tail
+    tail = _chi2_sf_sql("2.0 * f", 2)
+    return f"""
+WITH med AS (
+    SELECT l_returnflag AS grp,
+           quantile_cont(l_extendedprice::DOUBLE, 0.5) AS m
+    FROM lineitem GROUP BY l_returnflag
+), z AS (
+    SELECT l_returnflag AS grp, abs(l_extendedprice::DOUBLE - m) AS v
+    FROM lineitem JOIN med ON l_returnflag = grp
+), g AS (
+    SELECT grp, count(*)::DOUBLE AS n, sum(v) AS s, sum(v * v) AS q
+    FROM z GROUP BY grp
+), t AS (
+    SELECT count(*)::BIGINT AS k, sum(n) AS n_tot,
            sum(n * (s/n - (SELECT sum(s) FROM g) / (SELECT sum(n) FROM g))
                * (s/n - (SELECT sum(s) FROM g) / (SELECT sum(n) FROM g)))
                AS ssb,

@@ -430,6 +430,32 @@ def test_anova_oneway_matches_f_classif(spark):
         anova_oneway(df.where(F.col("g") == "x"), "v", "g")
 
 
+def test_brown_forsythe_matches_numpy(spark):
+    from dask_ml_spark.functions.stats import brown_forsythe
+
+    rng = np.random.RandomState(17)
+    data = {"a": rng.normal(0, 1.0, 80), "b": rng.normal(5, 1.1, 90),
+            "c": rng.normal(-2, 3.0, 70)}
+    rows = [(g, float(v)) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = brown_forsythe(df, "v", "g", approximate=False).collect()[0]
+    # independent replay: z = |x - median_g|, classic one-way F on z
+    zs = {g: np.abs(vs - np.median(vs)) for g, vs in data.items()}
+    n = sum(len(z) for z in zs.values())
+    grand = sum(z.sum() for z in zs.values()) / n
+    ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in zs.values())
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs.values())
+    want = (ssb / 2) / (ssw / (n - 3))
+    assert out["k"] == 3 and out["n"] == n
+    assert abs(out["f_stat"] - want) < 1e-9 * max(1.0, want)
+    assert out["p_value"] < 0.05  # group c has 3x the spread
+    # equal spreads: W small, p large
+    eq = [(g, float(v)) for g in "ab" for v in rng.normal(0, 1.0, 100)]
+    out2 = brown_forsythe(spark.createDataFrame(eq, ["g", "v"]),
+                          "v", "g", approximate=False).collect()[0]
+    assert out2["p_value"] > 0.05
+
+
 def test_spearman_rho_matches_pandas(spark):
     from dask_ml_spark.functions.stats import spearman_rho
     import pandas as pd
