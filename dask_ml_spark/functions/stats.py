@@ -85,6 +85,33 @@ def _ks_p_sql(lam: str) -> str:
     return (f"least(1.0, greatest(0.0, 2.0 * (0.0 {' '.join(terms)})))")
 
 
+def _bounded_head(g: DataFrame, cap: int):
+    """The bounded driver-path probe shared by every distinct-value
+    cumulative (ks/mwu/kaplan/spearman/roc_auc): localCheckpoint FIRST
+    so a fallback to the distributed prefix machinery reuses the
+    materialized frame instead of re-running the groupBy (blocks
+    reclaimed by the ContextCleaner), then one limit(cap+1) collect.
+    Returns (checkpointed g, head rows if they fit else None)."""
+    g = g.localCheckpoint()
+    head = g.limit(cap + 1).collect()
+    return g, (head if len(head) <= cap else None)
+
+
+def _normal_sf_py(z: float) -> float:
+    """Driver-side twin of normal_sf_expr / _normal_sf_sql — the SAME
+    operation order (repeated multiply, 0.0+ accumulation), so driver
+    fast paths stay bit-comparable with the column and SQL forms."""
+    k = 1.0 / (1.0 + _AS_K * z)
+    poly = 0.0
+    for i, b in enumerate(_AS_B):
+        p = k
+        for _ in range(i):
+            p = p * k
+        poly = poly + b * p
+    phi = math.exp(-(z * z) / 2.0) / SQRT_TWO_PI
+    return phi * poly
+
+
 def _two_group_kept(df: DataFrame, value_col: str, group_col: str,
                     groups) -> tuple[DataFrame, object, object]:
     """The filtered two-sample frame — (__v double, __g) rows with
@@ -225,13 +252,8 @@ def ks_2sample(df: DataFrame, value_col: str, group_col: str,
     # passes collapse into one small collect.
     g, _, _ = _two_group_counts(df, value_col, group_col, groups)
     if max_driver_rows and max_driver_rows > 0:
-        # checkpoint BEFORE the bounded probe: on fallback the prefix
-        # machinery reuses the materialized distinct frame instead of
-        # re-running the groupBy (blocks reclaimed by the
-        # ContextCleaner, the prefix_sum rationale)
-        g = g.localCheckpoint()
-        head = g.limit(max_driver_rows + 1).collect()
-        if len(head) <= max_driver_rows:
+        g, head = _bounded_head(g, max_driver_rows)
+        if head is not None:
             head.sort(key=lambda r: r["__v"])
             n1 = sum(r["__c1"] for r in head)
             n2 = sum(r["__c2"] for r in head)
@@ -309,9 +331,8 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
     # integer products < 2^53, so the driver cumsum is bit-identical
     # to the prefix-machine result
     if max_driver_rows and max_driver_rows > 0:
-        g = g.localCheckpoint()  # probe + fallback share one execution
-        head = g.limit(max_driver_rows + 1).collect()
-        if len(head) <= max_driver_rows:
+        g, head = _bounded_head(g, max_driver_rows)
+        if head is not None:
             head.sort(key=lambda r: r["__v"])
             n1 = sum(r["__c1"] for r in head)
             n2 = sum(r["__c2"] for r in head)
@@ -336,19 +357,7 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
             else:
                 shift = max(0.0, abs(u - mu) - 0.5)
                 z_v = math.copysign(shift, u - mu) / math.sqrt(var)
-                # identical operation ORDER as normal_sf_expr /
-                # _normal_sf_sql (repeated multiply, not pow; the
-                # 2.0*(phi*poly) association) — bit-comparable with
-                # both the column path and the SQL oracle
-                k = 1.0 / (1.0 + _AS_K * abs(z_v))
-                poly = 0.0
-                for i, bcoef in enumerate(_AS_B):
-                    p = k
-                    for _ in range(i):
-                        p = p * k
-                    poly = poly + bcoef * p
-                phi = math.exp(-(z_v * z_v) / 2.0) / SQRT_TWO_PI
-                p_v = min(1.0, 2.0 * (phi * poly))
+                p_v = min(1.0, 2.0 * _normal_sf_py(abs(z_v)))
             return df.sparkSession.createDataFrame([{
                 "n1": int(n1), "n2": int(n2), "u_stat": float(u),
                 "z": float(z_v), "p_value": float(p_v),
@@ -523,6 +532,11 @@ def benjamini_hochberg(df: DataFrame, p_col: str = "p_value",
     """
     if not 0.0 < alpha < 1.0:
         raise ValueError("alpha must be in (0, 1)")
+    # checkpoint the (bounded-by-contract) test family ONCE: the
+    # q-map collect and the join back must see the SAME p doubles —
+    # re-executing a sweep whose aggregates could re-associate between
+    # jobs would make the eqNullSafe join silently miss (review-caught)
+    df = df.localCheckpoint()
     pc = F.col(p_col).cast("double")
     fam = (df.where(pc.isNotNull() & ~F.isnan(pc))
            .groupBy(pc.alias("__p"))
@@ -591,9 +605,10 @@ def bootstrap_ci(df: DataFrame, value_col: str, key_cols,
     per replicate from a materialized population; the Poisson
     bootstrap instead gives every row an independent Poisson(1)
     multiplicity per replicate (for large n, Binomial(n, 1/n) →
-    Poisson(1)), so ALL n_boot replicates reduce in ONE aggregate
-    pass over the raw rows — 2·B running sums, map-side combined,
-    nothing materialized, no shuffle beyond the 1-row aggregate.
+    Poisson(1)), so ALL n_boot replicates reduce in ONE Spark job over
+    the raw rows — a broadcast constants join fans each row across the
+    B replicates and a ≤B-group hash aggregate (map-side combined)
+    collapses them; nothing resampled is ever materialized.
 
     Determinism: the multiplicity of row r in replicate b is a pure
     function of (key_cols, b, salt) through the engine-portable Knuth
@@ -648,11 +663,20 @@ def bootstrap_ci(df: DataFrame, value_col: str, key_cols,
             .agg(F.sum(w * F.col("__v")).alias("wx"),
                  F.sum(w).alias("sw"),
                  F.sum("__v").alias("s"),
-                 F.count(F.lit(1)).alias("n")))
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("__k0").isNull().cast("long"))
+                 .alias("nullk")))
     rep_rows = reps.collect()
     if not rep_rows or not rep_rows[0]["n"]:
         raise ValueError("bootstrap_ci: no non-null values")
     row = rep_rows[0]
+    if row["nullk"]:
+        # a NULL key hashes to a NULL u -> NULL weight: the row would
+        # stay in mean/n but silently vanish from EVERY replicate,
+        # biasing the CI (the Incremental __fold NULL-guard precedent)
+        raise ValueError(
+            f"bootstrap_ci: key_cols={key_cols} contain NULLs in "
+            f"{row['nullk']} rows — drop or fill them first")
     means = sorted(r["wx"] / r["sw"] for r in rep_rows if r["sw"])
     if len(means) < 2:
         raise ValueError("bootstrap_ci: all replicates empty — "
@@ -701,8 +725,8 @@ def prop_ztest(df: DataFrame, success, group_col: str,
         grd(z).alias("z"), grd(p).alias("p_value"))
 
 
-def anova_oneway(df: DataFrame, value_col: str,
-                 group_col: str) -> DataFrame:
+def anova_oneway(df: DataFrame, value_col: str, group_col: str,
+                 max_groups: int = 65536) -> DataFrame:
     """One-way ANOVA across ALL groups of ``group_col`` — the k-group
     generalization of welch_ttest (equal-variance classical F; the
     per-feature scorer sibling is feature_selection.f_classif, which
@@ -723,7 +747,12 @@ def anova_oneway(df: DataFrame, value_col: str,
             .agg(F.count(F.lit(1)).cast("double").alias("__n"),
                  F.sum(v).alias("__s"),
                  F.sum(v * v).alias("__q"))
+            .limit(max_groups + 1)  # bounded driver state, max_cells style
             .collect())
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"anova_oneway: more than max_groups={max_groups} groups — "
+            "a family that size wants bucketing first")
     # sorted group order: the driver-side sums are content-deterministic
     rows.sort(key=lambda r: str(r[group_col]))
     k = len(rows)
@@ -812,12 +841,10 @@ def spearman_rho(df: DataFrame, col_a: str, col_b: str,
     for col, rank_name in (("__a", "__ra"), ("__b", "__rb")):
         g = (kept.groupBy(col)
              .agg(F.count(F.lit(1)).cast("double").alias("__c")))
+        head = None
         if max_driver_rows and max_driver_rows > 0:
-            g = g.localCheckpoint()  # probe + fallback share one run
-            head = g.limit(max_driver_rows + 1).collect()
-        else:
-            head = None
-        if head is not None and len(head) <= max_driver_rows:
+            g, head = _bounded_head(g, max_driver_rows)
+        if head is not None:
             head.sort(key=lambda r: r[col])
             cum = 0.0
             rows = []
@@ -1059,9 +1086,8 @@ def kaplan_meier(df: DataFrame, duration_col: str, event_col: str,
     out_schema = ("duration double, n_risk long, n_events long, "
                   "n_censored long, survival double")
     if max_driver_rows and max_driver_rows > 0:
-        g = g.localCheckpoint()  # probe + fallback share one execution
-        head = g.limit(max_driver_rows + 1).collect()
-        if len(head) <= max_driver_rows:
+        g, head = _bounded_head(g, max_driver_rows)
+        if head is not None:
             head.sort(key=lambda r: r["__t"])
             ntot = sum(r["__n"] for r in head)
             before = 0.0

@@ -72,9 +72,21 @@ def _davg(col):
     return _dsum(col) / F.count(col)
 
 
-# continuous summands (>4 true decimal digits) need no special case
-# under the floor form — kept as an alias for call-site clarity
-_dsum_c = _dsum
+def _dsum_wide(col):
+    """_dsum for LARGE-magnitude summands (squared errors ~1e8-1e10 per
+    row): the int64 fixed-point sum would cross 2^63 around sf1
+    (silently wrapping in Spark, erroring in DuckDB — review-caught),
+    so accumulate in DECIMAL(27,4) instead (1e23-unit headroom).
+    floor-to-grid FIRST keeps the decimal cast tie-free: the floored
+    double sits within half an ulp of an exact 1e-4-grid value, far
+    from any .xxxx50 midpoint where the engines' cast rounding modes
+    disagree. SQL twin:
+    CAST(sum(CAST(floor(e * 10000 + 0.5) / 10000
+                  AS DECIMAL(27,4))) AS DOUBLE)."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return (F.sum((F.floor(col * 10000 + F.lit(0.5)) / 10000)
+                  .cast("decimal(27,4)")).cast("double"))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -99,7 +111,7 @@ def q_pricing_summary(spark, sf_dir):
             _dsum("l_quantity").alias("sum_qty"),
             _dsum("l_extendedprice").alias("sum_base_price"),
             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            _dsum_c(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("sum_charge"),
             _davg("l_quantity").alias("avg_qty"),
             _davg("l_extendedprice").alias("avg_price"),
             _davg("l_discount").alias("avg_disc"),
@@ -1723,7 +1735,7 @@ def q_regression_metrics(spark, sf_dir):
     # production path, stays pytest-pinned); mae/mape/msle/r2 are O(1e4)
     # or self-normalizing and stay on the library exprs.
     return li.agg(
-        _davg(F.pow(pred - y, 2)).alias("mse"),
+        (_dsum_wide(F.pow(pred - y, 2)) / F.count("*")).alias("mse"),
         mae_expr(y, pred).alias("mae"),
         mape_expr(y, pred).alias("mape"),
         msle_expr(y, pred).alias("msle"),
@@ -1732,7 +1744,7 @@ def q_regression_metrics(spark, sf_dir):
 
 
 SQL_REGRESSION_METRICS = """
-SELECT (CAST(sum(CAST(floor((pow(l_quantity * 2000.0 - l_extendedprice, 2)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000)
+SELECT CAST(sum(CAST(floor(pow(l_quantity * 2000.0 - l_extendedprice, 2) * 10000 + 0.5) / 10000 AS DECIMAL(27,4))) AS DOUBLE)
            / count(*) AS mse,
        avg(abs(l_quantity * 2000.0 - l_extendedprice)) AS mae,
        avg(abs(l_quantity * 2000.0 - l_extendedprice) / greatest(abs(l_extendedprice), 1e-15)) AS mape,
@@ -3788,8 +3800,14 @@ def q_top_supplier_revenue(spark, sf_dir):
     rev = (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
                     & (F.col("l_shipdate") < F.lit("1996-04-01")))
            .groupBy("l_suppkey")
-           .agg(F.round(_dsum(F.col("l_extendedprice")
-                              * (1 - F.col("l_discount"))), 2)
+           # floor-form cents rounding, NOT round(): _dsum outputs sit
+           # exactly on the 1e-4 grid, so ~1% of revenues end in .xx50
+           # where Spark's HALF_UP and DuckDB's binary round disagree
+           # (review-caught); floor of a bit-identical double is
+           # mode-free
+           .agg((F.floor(_dsum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))) * 100
+                         + F.lit(0.5)) / 100)
                 .alias("total_revenue")))
     top = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (rev.join(F.broadcast(top),
@@ -3802,7 +3820,7 @@ def q_top_supplier_revenue(spark, sf_dir):
 SQL_TOP_SUPPLIER_REVENUE = """
 WITH rev AS (
     SELECT l_suppkey,
-           round((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000), 2) AS total_revenue
+           floor((CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) * 100 + 0.5) / 100 AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -8069,7 +8087,9 @@ WITH k AS (
            l_extendedprice::DOUBLE AS v,
            CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS one,
            CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS two
-    FROM lineitem WHERE l_returnflag IN ('N', 'R')
+    FROM lineitem
+    WHERE l_returnflag IN ('N', 'R')
+      AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
 ), a AS (
     SELECT ship_month, sum(one) AS n1, sum(two) AS n2,
            sum(one * v) AS s1, sum(two * v) AS s2,
@@ -8250,9 +8270,14 @@ def _sql_anova_event_value() -> str:
     tail = _chi2_sf_sql("4.0 * f", 4)
     return f"""
 WITH g AS (
+    -- filter parity with anova_oneway: NaN values and NULL groups are
+    -- dropped by the engine too
     SELECT event_type, count(*)::DOUBLE AS n, sum(value) AS s,
            sum(value * value) AS q
-    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+      AND event_type IS NOT NULL
+    GROUP BY event_type
 ), t AS (
     SELECT count(*)::BIGINT AS k, sum(n) AS n_tot, sum(s) AS s_tot,
            sum(n * (s/n - (SELECT sum(s) FROM g) / (SELECT sum(n) FROM g))
@@ -8298,13 +8323,19 @@ def _sql_brown_forsythe_price() -> str:
     # 3 return flags -> df_between = 2 (even): exact tail
     tail = _chi2_sf_sql("2.0 * f", 2)
     return f"""
-WITH med AS (
-    SELECT l_returnflag AS grp,
-           quantile_cont(l_extendedprice::DOUBLE, 0.5) AS m
-    FROM lineitem GROUP BY l_returnflag
+WITH kept AS (
+    -- filter parity with brown_forsythe/anova_oneway: NaN values and
+    -- NULL groups are dropped by the engine too
+    SELECT l_returnflag AS grp, l_extendedprice::DOUBLE AS x
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+      AND l_returnflag IS NOT NULL
+), med AS (
+    SELECT grp, quantile_cont(x, 0.5) AS m
+    FROM kept GROUP BY grp
 ), z AS (
-    SELECT l_returnflag AS grp, abs(l_extendedprice::DOUBLE - m) AS v
-    FROM lineitem JOIN med ON l_returnflag = grp
+    SELECT kept.grp AS grp, abs(x - m) AS v
+    FROM kept JOIN med ON kept.grp = med.grp
 ), g AS (
     SELECT grp, count(*)::DOUBLE AS n, sum(v) AS s, sum(v * v) AS q
     FROM z GROUP BY grp
@@ -9201,7 +9232,7 @@ def q_weighted_metrics(spark, sf_dir):
     # (mse_expr itself — the production path — is pytest-pinned).
     return li.agg(
         accuracy_expr(y, pred, w).alias("weighted_accuracy"),
-        (_dsum_c(w * F.pow(pr - yr, 2)) / _dsum(w)).alias("weighted_mse"),
+        (_dsum_wide(w * F.pow(pr - yr, 2)) / _dsum(w)).alias("weighted_mse"),
         _dsum(w).alias("sum_w"),
     )
 
@@ -9210,7 +9241,7 @@ SQL_WEIGHTED_METRICS = """
 SELECT sum((l_tax + 0.01) * CASE WHEN (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) =
                                       (CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END)
                                  THEN 1.0 ELSE 0.0 END) / sum(l_tax + 0.01) AS weighted_accuracy,
-       (CAST(sum(CAST(floor(((l_tax + 0.01) * pow(l_quantity * 2000.0 - l_extendedprice, 2)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000)
+       CAST(sum(CAST(floor((l_tax + 0.01) * pow(l_quantity * 2000.0 - l_extendedprice, 2) * 10000 + 0.5) / 10000 AS DECIMAL(27,4))) AS DOUBLE)
            / (CAST(sum(CAST(floor((l_tax + 0.01) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS weighted_mse,
        (CAST(sum(CAST(floor((l_tax + 0.01) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS sum_w
 FROM lineitem
