@@ -201,6 +201,7 @@ HEADLINE = [
     "anova_event_value",            # k-group one-way F + chi2-limit p
     "spearman_price_quantity",      # tie-averaged rank correlation
     "brown_forsythe_price",         # variance homogeneity (robust Levene)
+    "changepoint_event_value",      # binned mean-shift drift monitor
 ]
 
 # The remaining ~50 catalog queries stay out of the headline

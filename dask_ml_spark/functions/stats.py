@@ -783,6 +783,87 @@ def anova_oneway(df: DataFrame, value_col: str, group_col: str,
         "df_within long, p_value double")
 
 
+def changepoint_mean(df: DataFrame, value_col: str, order_col: str,
+                     bins: int = 64) -> DataFrame:
+    """Single mean-shift changepoint over an ordered axis — the
+    corpus-drift monitor ("did the stream's quality score move, and
+    WHEN?"): the ks_2sample(bins=K) skeleton. Two narrow scans — one
+    (min, max) aggregate over the order column, then one ≤K-group
+    bucket aggregate of (n, Σx, Σx²) — and a driver-side scan of the
+    K−1 split points maximizing the two-sample pooled-variance |t|
+    between [lo, s] and (s, hi]. Resolution is one bucket width
+    (O(range/K)), the price of never sorting the rows.
+
+    p-value: two-sided normal tail of max|t|, Bonferroni-corrected
+    ×(K−1) splits (conservative — max-|t| scan statistics need it;
+    documented, and the uncorrected t is returned for effect-size
+    reading). Ties in |t| break toward the SMALLEST split bucket, so
+    the reported split is content-deterministic. Returns one row:
+    (split_value, t_stat, p_value, n_before, n_after, mean_before,
+    mean_after).
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    o = F.col(order_col).cast("double")
+    v = F.col(value_col).cast("double")
+    kept = (df.where(o.isNotNull() & ~F.isnan(o)
+                     & v.isNotNull() & ~F.isnan(v))
+            .select(o.alias("__o"), v.alias("__v")))
+    lohi = kept.agg(F.min("__o").alias("lo"),
+                    F.max("__o").alias("hi")).collect()[0]
+    if lohi["lo"] is None:
+        raise ValueError("changepoint_mean: no complete-case rows")
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    width = (hi - lo) or 1.0
+    bucket = F.least(F.lit(bins - 1),
+                     F.floor((F.col("__o") - F.lit(lo)) / F.lit(width)
+                             * F.lit(bins))).cast("int")
+    rows = (kept.groupBy(bucket.alias("__b"))
+            .agg(F.count(F.lit(1)).cast("double").alias("__n"),
+                 F.sum("__v").alias("__s"),
+                 F.sum(F.col("__v") * F.col("__v")).alias("__q"))
+            .collect())
+    rows.sort(key=lambda r: r["__b"])
+    tot_n = sum(r["__n"] for r in rows)
+    tot_s = sum(r["__s"] for r in rows)
+    tot_q = sum(r["__q"] for r in rows)
+    if tot_n < 4:
+        raise ValueError("changepoint_mean needs >= 4 rows")
+    best = None  # (abs_t, split_bucket, t, n1, n2, m1, m2)
+    n1 = s1 = q1 = 0.0
+    for r in rows[:-1]:
+        n1 += r["__n"]
+        s1 += r["__s"]
+        q1 += r["__q"]
+        n2 = tot_n - n1
+        if n1 < 2 or n2 < 2:
+            continue
+        s2, q2 = tot_s - s1, tot_q - q1
+        m1, m2 = s1 / n1, s2 / n2
+        # pooled two-sample t
+        sp2 = ((q1 - n1 * m1 * m1) + (q2 - n2 * m2 * m2)) / (tot_n - 2.0)
+        se2 = sp2 * (1.0 / n1 + 1.0 / n2)
+        if se2 <= 0.0:
+            continue
+        t = (m1 - m2) / math.sqrt(se2)
+        key = (abs(t), -r["__b"])  # ties -> smallest split bucket
+        if best is None or key > best[0]:
+            best = (key, r["__b"], t, n1, n2, m1, m2)
+    if best is None:
+        raise ValueError("changepoint_mean: no valid split (constant "
+                         "values or too few rows per side)")
+    _, sb, t, bn1, bn2, m1, m2 = best
+    # split_value = the RIGHT edge of the split bucket
+    split_value = lo + (sb + 1) * (width / bins)
+    p = min(1.0, (bins - 1) * (2.0 * _normal_sf_py(abs(t))))
+    return df.sparkSession.createDataFrame(
+        [(float(split_value), float(t), float(p), int(bn1), int(bn2),
+          float(m1), float(m2))],
+        "split_value double, t_stat double, p_value double, "
+        "n_before long, n_after long, mean_before double, "
+        "mean_after double")
+
+
 def brown_forsythe(df: DataFrame, value_col: str, group_col: str,
                    approximate: bool = True,
                    accuracy: int = 10_000) -> DataFrame:

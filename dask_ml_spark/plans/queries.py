@@ -4137,6 +4137,7 @@ def build_catalog():
         "anova_event_value": q_anova_event_value,
         "spearman_price_quantity": q_spearman_price_quantity,
         "brown_forsythe_price": q_brown_forsythe_price,
+        "changepoint_event_value": q_changepoint_event_value,
         "mutual_information_events": q_mutual_information_events,
         "feature_corr_matrix": q_feature_corr_matrix,
         "kaplan_meier_conversion": q_kaplan_meier_conversion,
@@ -4366,6 +4367,7 @@ def build_catalog():
         "anova_event_value": _sql_anova_event_value(),
         "spearman_price_quantity": _sql_spearman_price_quantity(),
         "brown_forsythe_price": _sql_brown_forsythe_price(),
+        "changepoint_event_value": _sql_changepoint_event_value(),
         "mutual_information_events": SQL_MUTUAL_INFORMATION_EVENTS,
         "feature_corr_matrix": SQL_FEATURE_CORR_MATRIX,
         "kaplan_meier_conversion": SQL_KAPLAN_MEIER_CONVERSION,
@@ -8403,6 +8405,87 @@ SELECT n::BIGINT AS n,
        floor(rho * 1e6 + 0.5) / 1e6 AS rho,
        floor(least(1.0, 2.0 * {sf}) * 1e6 + 0.5) / 1e6 AS p_value
 FROM c
+"""
+
+
+CP_BINS = 64
+
+
+def q_changepoint_event_value(spark, sf_dir):
+    """Mean-shift changepoint over event time (functions/stats.py::
+    changepoint_mean — the ks-binned skeleton as a drift monitor):
+    bucket the stream into 64 equal-width time bins, one ≤K-group
+    (n, Σx, Σx²) aggregate, driver-side max-|t| split scan with a
+    Bonferroni-corrected p. Deterministic (smallest-split tie-break),
+    so the SQL oracle replays the scan as a window cumsum + argmax."""
+    from dask_ml_spark.functions.stats import changepoint_mean
+
+    ev = _t(spark, sf_dir, "events")
+    out = changepoint_mean(ev, "value", "ts", bins=CP_BINS)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(r6(F.col("split_value")).alias("split_value"),
+                      r6(F.col("t_stat")).alias("t_stat"),
+                      r6(F.col("p_value")).alias("p_value"),
+                      "n_before", "n_after",
+                      r6(F.col("mean_before")).alias("mean_before"),
+                      r6(F.col("mean_after")).alias("mean_after"))
+
+
+def _sql_changepoint_event_value() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    K = CP_BINS
+    sf = _normal_sf_sql("abs(t)")
+    return f"""
+WITH k AS (
+    SELECT epoch(ts)::DOUBLE AS o, value::DOUBLE AS v
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+), lim AS (SELECT min(o) AS lo, max(o) AS hi FROM k),
+w AS (SELECT CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END AS wd,
+             lo FROM lim),
+b AS (
+    SELECT least({K - 1},
+                 floor((o - (SELECT lo FROM w))
+                       / (SELECT wd FROM w) * {K})) AS bkt,
+           count(*)::DOUBLE AS n, sum(v) AS s, sum(v * v) AS q
+    FROM k GROUP BY 1
+), c AS (
+    SELECT bkt,
+           sum(n) OVER cw AS n1, sum(s) OVER cw AS s1,
+           sum(q) OVER cw AS q1,
+           (SELECT sum(n) FROM b) AS tn,
+           (SELECT sum(s) FROM b) AS tsum,
+           (SELECT sum(q) FROM b) AS tq
+    FROM b WINDOW cw AS (ORDER BY bkt ROWS UNBOUNDED PRECEDING)
+), t AS (
+    -- identical operation order as the engine's driver scan
+    SELECT bkt, n1, tn - n1 AS n2, s1/n1 AS m1,
+           (tsum - s1) / (tn - n1) AS m2,
+           (m1 - m2) / sqrt((((q1 - n1 * (s1/n1) * (s1/n1))
+                              + ((tq - q1) - (tn - n1)
+                                 * ((tsum - s1)/(tn - n1))
+                                 * ((tsum - s1)/(tn - n1))))
+                             / (tn - 2.0))
+                            * (1.0/n1 + 1.0/(tn - n1))) AS t
+    FROM c
+    WHERE bkt < {K - 1} AND n1 >= 2 AND tn - n1 >= 2
+      AND (((q1 - n1 * (s1/n1) * (s1/n1))
+            + ((tq - q1) - (tn - n1) * ((tsum - s1)/(tn - n1))
+               * ((tsum - s1)/(tn - n1)))) / (tn - 2.0))
+          * (1.0/n1 + 1.0/(tn - n1)) > 0.0
+), best AS (
+    SELECT * FROM t ORDER BY abs(t) DESC, bkt ASC LIMIT 1
+)
+SELECT floor(((SELECT lo FROM w) + (bkt + 1) * ((SELECT wd FROM w) / {K}))
+             * 1e6 + 0.5) / 1e6 AS split_value,
+       floor(t * 1e6 + 0.5) / 1e6 AS t_stat,
+       floor(least(1.0, {K - 1} * (2.0 * {sf})) * 1e6 + 0.5) / 1e6
+           AS p_value,
+       n1::BIGINT AS n_before, n2::BIGINT AS n_after,
+       floor(m1 * 1e6 + 0.5) / 1e6 AS mean_before,
+       floor(m2 * 1e6 + 0.5) / 1e6 AS mean_after
+FROM best
 """
 
 

@@ -456,6 +456,44 @@ def test_brown_forsythe_matches_numpy(spark):
     assert out2["p_value"] > 0.05
 
 
+def test_changepoint_mean_finds_step(spark):
+    from dask_ml_spark.functions.stats import changepoint_mean
+
+    rng = np.random.RandomState(23)
+    t = np.arange(2000, dtype=float)
+    x = np.where(t < 1300, 5.0, 8.0) + rng.normal(0, 1.0, 2000)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(t, x)], ["ts", "v"])
+    out = changepoint_mean(df, "v", "ts", bins=50).collect()[0]
+    # true step at t=1300; bucket width 2000/50 = 40 -> within one bucket
+    assert abs(out["split_value"] - 1300) <= 40 + 1e-9
+    assert out["p_value"] < 1e-6
+    assert out["mean_before"] < out["mean_after"]
+    assert abs(out["mean_before"] - 5.0) < 0.2
+    assert abs(out["mean_after"] - 8.0) < 0.2
+    # independent replay of the max-|t| scan from numpy bucket moments
+    b = np.minimum(49, ((t - t.min()) / ((t.max() - t.min()) or 1.0)
+                        * 50).astype(int))
+    best = 0.0
+    for s in range(49):
+        sel = b <= s
+        n1, n2 = sel.sum(), (~sel).sum()
+        if n1 < 2 or n2 < 2:
+            continue
+        m1, m2 = x[sel].mean(), x[~sel].mean()
+        sp2 = (((x[sel] - m1) ** 2).sum()
+               + ((x[~sel] - m2) ** 2).sum()) / (len(x) - 2)
+        tt = (m1 - m2) / np.sqrt(sp2 * (1 / n1 + 1 / n2))
+        best = max(best, abs(tt))
+    assert abs(abs(out["t_stat"]) - best) < 1e-6 * best
+    # null case: no shift -> |t| modest, Bonferroni p not tiny
+    y = rng.normal(0, 1.0, 2000)
+    df2 = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(t, y)], ["ts", "v"])
+    out2 = changepoint_mean(df2, "v", "ts", bins=50).collect()[0]
+    assert out2["p_value"] > 0.001
+
+
 def test_spearman_rho_matches_pandas(spark):
     from dask_ml_spark.functions.stats import spearman_rho
     import pandas as pd
