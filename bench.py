@@ -202,6 +202,7 @@ HEADLINE = [
     "spearman_price_quantity",      # tie-averaged rank correlation
     "brown_forsythe_price",         # variance homogeneity (robust Levene)
     "changepoint_event_value",      # binned mean-shift drift monitor
+    "ks_drift_daily",               # windowed KS drift vs reference
 ]
 
 # The remaining ~50 catalog queries stay out of the headline

@@ -4138,6 +4138,7 @@ def build_catalog():
         "spearman_price_quantity": q_spearman_price_quantity,
         "brown_forsythe_price": q_brown_forsythe_price,
         "changepoint_event_value": q_changepoint_event_value,
+        "ks_drift_daily": q_ks_drift_daily,
         "mutual_information_events": q_mutual_information_events,
         "feature_corr_matrix": q_feature_corr_matrix,
         "kaplan_meier_conversion": q_kaplan_meier_conversion,
@@ -4368,6 +4369,7 @@ def build_catalog():
         "spearman_price_quantity": _sql_spearman_price_quantity(),
         "brown_forsythe_price": _sql_brown_forsythe_price(),
         "changepoint_event_value": _sql_changepoint_event_value(),
+        "ks_drift_daily": _sql_ks_drift_daily(),
         "mutual_information_events": SQL_MUTUAL_INFORMATION_EVENTS,
         "feature_corr_matrix": SQL_FEATURE_CORR_MATRIX,
         "kaplan_meier_conversion": SQL_KAPLAN_MEIER_CONVERSION,
@@ -8486,6 +8488,80 @@ SELECT floor(((SELECT lo FROM w) + (bkt + 1) * ((SELECT wd FROM w) / {K}))
        floor(m1 * 1e6 + 0.5) / 1e6 AS mean_before,
        floor(m2 * 1e6 + 0.5) / 1e6 AS mean_after
 FROM best
+"""
+
+
+DRIFT_BINS = 24
+DRIFT_REF_END = "2024-01-08"
+
+
+def q_ks_drift_daily(spark, sf_dir):
+    """Windowed distribution-drift monitor (streaming/drift.py::
+    ks_drift — the stats family made continuous): fit a reference
+    histogram on the first week of events, then a one-sample binned KS
+    of EVERY daily window against it — ONE groupBy(window) aggregation
+    whose K−1 ECDF points are conditional sums (no cumsum, so the
+    identical code path is append-mode-streaming legal; the
+    stream-vs-batch parity test pins that). The oracle recomputes the
+    reference and replays every window's D and Kolmogorov-tail p."""
+    from dask_ml_spark.streaming.drift import ks_drift, reference_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    ref = reference_histogram(
+        ev.where(F.col("ts") < F.lit(DRIFT_REF_END)), "value",
+        bins=DRIFT_BINS)
+    out = ks_drift(ev, "value", "ts", ref, window="1 day")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "n", r6(F.col("d_stat")).alias("d_stat"),
+        r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_ks_drift_daily() -> str:
+    from dask_ml_spark.functions.stats import _ks_p_sql
+
+    K = DRIFT_BINS
+    p = _ks_p_sql("(d * sqrt(n::DOUBLE))")
+    les = ",\n           ".join(
+        f"sum(CASE WHEN bkt <= {k} THEN 1.0 ELSE 0.0 END) AS le{k}"
+        for k in range(K - 1))
+    ref_les = ", ".join(
+        f"sum(CASE WHEN bkt <= {k} THEN 1.0 ELSE 0.0 END) AS rle{k}"
+        for k in range(K - 1))
+    dterms = ", ".join(
+        f"abs(le{k} / n::DOUBLE - (SELECT rle{k} / rn FROM refcum))"
+        for k in range(K - 1))
+    return f"""
+WITH kept AS (
+    SELECT ts, value::DOUBLE AS v FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+), lim AS (
+    SELECT min(v) AS lo, max(v) AS hi FROM kept
+    WHERE ts < TIMESTAMP '{DRIFT_REF_END} 00:00:00'
+), w AS (SELECT lo, CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END AS wd
+         FROM lim),
+bk AS (
+    SELECT ts, greatest(0, least({K - 1},
+               CAST(floor((v - (SELECT lo FROM w))
+                          / (SELECT wd FROM w) * {K}) AS INTEGER)))
+               AS bkt
+    FROM kept
+), refcum AS (
+    SELECT count(*)::DOUBLE AS rn, {ref_les}
+    FROM bk WHERE ts < TIMESTAMP '{DRIFT_REF_END} 00:00:00'
+), win AS (
+    SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n,
+           {les}
+    FROM bk GROUP BY 1
+), d AS (
+    SELECT day, n, greatest({dterms}) AS d
+    FROM win
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n,
+       floor(d * 1e6 + 0.5) / 1e6 AS d_stat,
+       floor({p} * 1e6 + 0.5) / 1e6 AS p_value
+FROM d
 """
 
 

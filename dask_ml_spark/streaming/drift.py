@@ -1,0 +1,105 @@
+"""Windowed distribution-drift monitor (beyond-reference).
+
+The r9/r10 stats family answers "did the distribution move?" for
+batch corpora; a 100 TB ingest pipeline wants the same answer PER
+ARRIVAL WINDOW, continuously. ``ks_drift`` runs a one-sample binned
+Kolmogorov–Smirnov test of every tumbling event-time window against a
+fixed reference histogram — and it is ONE built-in windowed
+aggregation, legal in append-mode Structured Streaming with a
+watermark, because the ECDF needs no cumsum: the cumulative count at
+bucket edge k is just the conditional sum Σ[bucket ≤ k], so all K−1
+ECDF points ride the same groupBy(window) pass. The identical code
+path serves batch frames (same Catalyst expressions, batch source) —
+which is what the SQL oracle replays and what the stream-vs-batch
+parity test pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def reference_histogram(df: DataFrame, value_col: str,
+                        bins: int = 32) -> dict:
+    """Fit the fixed reference for ks_drift: (lo, hi) from one min/max
+    aggregate, then the reference CDF at the K−1 interior bucket edges
+    via the SAME conditional-sum shape ks_drift uses (one more
+    aggregate — counts are exact integers, so the cum fractions are
+    engine-reproducible doubles). Returns
+    {"lo", "hi", "bins", "cum": [K-1 fractions]}."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    v = F.col(value_col).cast("double")
+    kept = df.where(v.isNotNull() & ~F.isnan(v)).select(v.alias("__v"))
+    lohi = kept.agg(F.min("__v").alias("lo"),
+                    F.max("__v").alias("hi")).collect()[0]
+    if lohi["lo"] is None:
+        raise ValueError("reference_histogram: no non-null values")
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    width = (hi - lo) or 1.0
+    b = _bucket_expr(F.col("__v"), lo, width, bins)
+    row = kept.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum((b <= k).cast("double")).alias(f"le{k}")
+          for k in range(bins - 1)]).collect()[0]
+    n = float(row["n"])
+    return {"lo": lo, "hi": hi, "bins": bins,
+            "cum": [row[f"le{k}"] / n for k in range(bins - 1)]}
+
+
+def _bucket_expr(v, lo: float, width: float, bins: int):
+    """Clamped equal-width bucket — identical literal arithmetic in the
+    fit, the monitor, and the SQL oracle. Values outside the reference
+    range clamp into the edge buckets (a drifted stream legitimately
+    escapes the reference support; the edge mass then shows up as
+    ECDF disagreement, which is the point)."""
+    return F.greatest(
+        F.lit(0),
+        F.least(F.lit(bins - 1),
+                F.floor((v - F.lit(lo)) / F.lit(width) * F.lit(bins))
+                .cast("int")))
+
+
+def ks_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
+             window: str = "1 hour",
+             watermark: str | None = None) -> DataFrame:
+    """One-sample binned KS drift per tumbling window against ``ref``
+    (a reference_histogram result): D = max_k |ECDF_window(edge_k) −
+    ref.cum[k]|, p = the asymptotic Kolmogorov tail at λ = D·√n.
+
+    Works unchanged on a batch frame or a readStream (pass
+    ``watermark`` for append-mode streaming); either way it is ONE
+    groupBy(window(ts)) aggregation — the K−1 ECDF points are
+    conditional sums, the D/p arithmetic is a stateless projection.
+    Returns (window_start, n, d_stat, p_value) per window.
+    """
+    from dask_ml_spark.functions.stats import ks_p_expr
+
+    bins = int(ref["bins"])
+    cum = list(ref["cum"])
+    lo = float(ref["lo"])
+    width = (float(ref["hi"]) - lo) or 1.0
+    v = F.col(value_col).cast("double")
+    kept = df.where(v.isNotNull() & ~F.isnan(v))
+    if watermark is not None:
+        kept = kept.withWatermark(ts_col, watermark)
+    b = _bucket_expr(v, lo, width, bins)
+    agg = (kept.groupBy(F.window(ts_col, window).alias("__w"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                *[F.sum((b <= k).cast("double")).alias(f"__le{k}")
+                  for k in range(bins - 1)]))
+    n = F.col("n").cast("double")
+    d = F.greatest(*[F.abs(F.col(f"__le{k}") / n - F.lit(cum[k]))
+                     for k in range(bins - 1)])
+    # bind D and λ to columns FIRST (the ks_2sample lesson): inlining
+    # the 31-term greatest into each of the 25 series terms would
+    # multiply the expression tree ~800x
+    out = (agg.withColumn("__d", d)
+           .withColumn("__lam", F.col("__d") * F.sqrt(n))
+           .select(
+               F.col("__w.start").alias("window_start"),
+               F.col("n").cast("long").alias("n"),
+               F.col("__d").alias("d_stat"),
+               ks_p_expr(F.col("__lam")).alias("p_value")))
+    return out

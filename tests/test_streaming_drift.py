@@ -1,0 +1,103 @@
+"""Windowed KS drift monitor: detection quality, an independent numpy
+replay, and stream-vs-batch parity (the same one-aggregation code path
+runs on both sources)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def drifted_dir(spark, tmp_path_factory):
+    """Three 1-hour windows: two drawn like the reference, the third
+    shifted by +3 — the drift the monitor must flag."""
+    rng = np.random.RandomState(31)
+    base = 1_699_999_200  # hour-aligned
+    rows = []
+    for w, (mu, n) in enumerate([(10.0, 800), (10.0, 800), (13.0, 800)]):
+        ts = base + w * 3600 + rng.randint(0, 3600, n)
+        vals = rng.normal(mu, 2.0, n)
+        rows += [(int(t), float(v)) for t, v in zip(ts, vals)]
+    df = (spark.createDataFrame(rows, ["epoch", "v"])
+          .select(F.timestamp_seconds(F.col("epoch")).alias("ts"),
+                  "v"))
+    d = str(tmp_path_factory.mktemp("drift_stream"))
+    df.coalesce(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def reference(spark, drifted_dir):
+    from dask_ml_spark.streaming.drift import reference_histogram
+
+    batch = spark.read.parquet(drifted_dir)
+    # reference = the first (clean) hour
+    ref_frame = batch.where(
+        F.col("ts") < F.timestamp_seconds(F.lit(1_699_999_200 + 3600)))
+    return reference_histogram(ref_frame, "v", bins=24)
+
+
+def test_ks_drift_flags_the_shifted_window(spark, drifted_dir, reference):
+    from dask_ml_spark.streaming.drift import ks_drift
+
+    batch = spark.read.parquet(drifted_dir)
+    rows = sorted(ks_drift(batch, "v", "ts", reference,
+                           window="1 hour").collect(),
+                  key=lambda r: r["window_start"])
+    assert len(rows) == 3
+    # clean windows: small D, non-significant p; shifted window: flagged
+    assert rows[0]["d_stat"] < 0.08 and rows[1]["d_stat"] < 0.08
+    assert rows[0]["p_value"] > 0.05
+    assert rows[2]["d_stat"] > 0.3
+    assert rows[2]["p_value"] < 1e-6
+
+
+def test_ks_drift_matches_numpy_replay(spark, drifted_dir, reference):
+    from dask_ml_spark.streaming.drift import ks_drift
+
+    batch = spark.read.parquet(drifted_dir)
+    got = {r["window_start"]: r for r in
+           ks_drift(batch, "v", "ts", reference, window="1 hour")
+           .collect()}
+    pdf = batch.toPandas()
+    lo, hi, K = reference["lo"], reference["hi"], reference["bins"]
+    width = (hi - lo) or 1.0
+    pdf["w"] = pdf["ts"].dt.floor("h")
+    for w, grp in pdf.groupby("w"):
+        b = np.clip(np.floor((grp["v"].to_numpy() - lo) / width * K)
+                    .astype(int), 0, K - 1)
+        n = len(b)
+        d = max(abs((b <= k).sum() / n - reference["cum"][k])
+                for k in range(K - 1))
+        row = got[w.to_pydatetime()]
+        assert row["n"] == n
+        assert abs(row["d_stat"] - d) < 1e-12
+
+
+def test_ks_drift_stream_matches_batch(spark, drifted_dir, reference):
+    from dask_ml_spark.streaming.drift import ks_drift
+
+    batch = spark.read.parquet(drifted_dir)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(drifted_dir))
+    out = ks_drift(stream, "v", "ts", reference, window="1 hour",
+                   watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("drift_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = spark.sql("select * from drift_out").toPandas()
+    expected = (ks_drift(batch, "v", "ts", reference, window="1 hour")
+                .toPandas())
+    cols = sorted(expected.columns)
+    b = expected[cols].sort_values("window_start").reset_index(drop=True)
+    # append-mode contract: a window emits once the watermark passes
+    # its END — the final in-progress window stays in state (the
+    # sessionize_stream convention), so the streamed rows are the
+    # CLOSED prefix of the batch result and must match it exactly
+    a = streamed[cols].sort_values("window_start").reset_index(drop=True)
+    assert 2 <= len(a) < len(b)
+    b = b.iloc[:len(a)].reset_index(drop=True)
+    assert (a["n"].to_numpy() == b["n"].to_numpy()).all()
+    assert (a["window_start"].to_numpy() == b["window_start"].to_numpy()).all()
+    for c in ("d_stat", "p_value"):
+        assert np.allclose(a[c].to_numpy(), b[c].to_numpy(), atol=1e-12)
