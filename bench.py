@@ -203,6 +203,7 @@ HEADLINE = [
     "brown_forsythe_price",         # variance homogeneity (robust Levene)
     "changepoint_event_value",      # binned mean-shift drift monitor
     "ks_drift_daily",               # windowed KS drift vs reference
+    "acf_daily_value",              # lag correlation of the daily series
 ]
 
 # The remaining ~50 catalog queries stay out of the headline

@@ -783,6 +783,49 @@ def anova_oneway(df: DataFrame, value_col: str, group_col: str,
         "df_within long, p_value double")
 
 
+def autocorrelation(df: DataFrame, value_col: str, order_col: str,
+                    lags: int = 14, step: float = 1.0) -> DataFrame:
+    """Lag correlation (ACF) of the bucket-aggregated series: bucket
+    ``order_col`` by ``step`` (mean of ``value_col`` per bucket — the
+    irreducible raw-row pass), then for every lag 1..K the Pearson
+    correlation between the series and its lag-shifted self.
+
+    Shape: ONE explode(sequence(1, K)) over the (small) bucket series
+    + ONE equi-join on the shifted bucket index + ONE groupBy(lag) of
+    streaming co-moment aggregates — no keyless window, no K separate
+    joins, and the join keys are integers so pairing is exact. This is
+    the per-lag-mean Pearson convention (each lag's correlation uses
+    its own pair means — cross-engine replayable; the
+    statsmodels-style global-mean ACF differs at the series edges,
+    documented). Returns (lag, n_pairs, acf) ordered by lag; a lag
+    with < 2 pairs or zero variance reports NULL acf.
+    """
+    if lags < 1:
+        raise ValueError("lags must be >= 1")
+    if not step > 0:
+        raise ValueError("step must be > 0")
+    o = F.col(order_col).cast("double")
+    v = F.col(value_col).cast("double")
+    series = (df.where(o.isNotNull() & ~F.isnan(o)
+                       & v.isNotNull() & ~F.isnan(v))
+              .groupBy(F.floor(o / F.lit(step)).cast("long").alias("__b"))
+              .agg(F.avg(v).alias("__x")))
+    e = (series
+         .select("__b", "__x",
+                 F.explode(F.sequence(F.lit(1), F.lit(lags)))
+                 .alias("lag"))
+         .withColumn("__b2", F.col("__b") + F.col("lag")))
+    right = series.select(F.col("__b").alias("__b2"),
+                          F.col("__x").alias("__y"))
+    pairs = e.join(right, "__b2")
+    return (pairs.groupBy("lag")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.corr("__x", "__y").alias("acf"))
+            .select(F.col("lag").cast("long").alias("lag"),
+                    "n_pairs", "acf")
+            .orderBy("lag"))
+
+
 def changepoint_mean(df: DataFrame, value_col: str, order_col: str,
                      bins: int = 64) -> DataFrame:
     """Single mean-shift changepoint over an ordered axis — the

@@ -4139,6 +4139,7 @@ def build_catalog():
         "brown_forsythe_price": q_brown_forsythe_price,
         "changepoint_event_value": q_changepoint_event_value,
         "ks_drift_daily": q_ks_drift_daily,
+        "acf_daily_value": q_acf_daily_value,
         "mutual_information_events": q_mutual_information_events,
         "feature_corr_matrix": q_feature_corr_matrix,
         "kaplan_meier_conversion": q_kaplan_meier_conversion,
@@ -4370,6 +4371,7 @@ def build_catalog():
         "brown_forsythe_price": _sql_brown_forsythe_price(),
         "changepoint_event_value": _sql_changepoint_event_value(),
         "ks_drift_daily": _sql_ks_drift_daily(),
+        "acf_daily_value": SQL_ACF_DAILY_VALUE,
         "mutual_information_events": SQL_MUTUAL_INFORMATION_EVENTS,
         "feature_corr_matrix": SQL_FEATURE_CORR_MATRIX,
         "kaplan_meier_conversion": SQL_KAPLAN_MEIER_CONVERSION,
@@ -8562,6 +8564,40 @@ SELECT strftime(day, '%Y-%m-%d') AS day, n,
        floor(d * 1e6 + 0.5) / 1e6 AS d_stat,
        floor({p} * 1e6 + 0.5) / 1e6 AS p_value
 FROM d
+"""
+
+
+def q_acf_daily_value(spark, sf_dir):
+    """Autocorrelation of the daily mean event value
+    (functions/stats.py::autocorrelation): one raw-row bucket
+    aggregate, then ONE explode-over-lags + ONE integer equi-join +
+    ONE groupBy(lag) of co-moment aggregates — the time-series
+    dependence diagnostic with no keyless window. Per-lag Pearson
+    (each lag's own pair means), so every acf is a self-normalizing
+    ratio."""
+    from dask_ml_spark.functions.stats import autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    out = autocorrelation(ev, "value", "ts", lags=7, step=86400.0)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("lag", "n_pairs", r6(F.col("acf")).alias("acf"))
+
+
+SQL_ACF_DAILY_VALUE = """
+WITH s AS (
+    SELECT CAST(floor(epoch(ts)::DOUBLE / 86400.0) AS BIGINT) AS b,
+           avg(value::DOUBLE) AS x
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+    GROUP BY 1
+), e AS (
+    SELECT s.b, s.x, l.lag, s.b + l.lag AS b2
+    FROM s CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+)
+SELECT e.lag::BIGINT AS lag, count(*)::BIGINT AS n_pairs,
+       floor(corr(e.x, s2.x) * 1e6 + 0.5) / 1e6 AS acf
+FROM e JOIN s s2 ON e.b2 = s2.b
+GROUP BY e.lag
 """
 
 

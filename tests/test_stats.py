@@ -456,6 +456,34 @@ def test_brown_forsythe_matches_numpy(spark):
     assert out2["p_value"] > 0.05
 
 
+def test_autocorrelation_matches_numpy(spark):
+    from dask_ml_spark.functions.stats import autocorrelation
+
+    rng = np.random.RandomState(29)
+    n = 400
+    # AR(1)-ish series with strong lag-1 correlation
+    x = np.zeros(n)
+    for i in range(1, n):
+        x[i] = 0.8 * x[i - 1] + rng.normal(0, 1.0)
+    df = spark.createDataFrame(
+        [(float(i), float(v)) for i, v in enumerate(x)], ["t", "v"])
+    out = {r["lag"]: r for r in
+           autocorrelation(df, "v", "t", lags=5, step=1.0).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    for lag in range(1, 6):
+        a, b = x[:-lag], x[lag:]
+        want = float(np.corrcoef(a, b)[0, 1])
+        assert out[lag]["n_pairs"] == n - lag
+        assert abs(out[lag]["acf"] - want) < 1e-9, lag
+    assert out[1]["acf"] > 0.7 and out[1]["acf"] > out[5]["acf"]
+    # step-bucketing averages within buckets before correlating
+    out2 = autocorrelation(df, "v", "t", lags=2, step=4.0).collect()
+    bx = x.reshape(-1, 4).mean(axis=1)
+    want2 = float(np.corrcoef(bx[:-1], bx[1:])[0, 1])
+    got2 = {r["lag"]: r["acf"] for r in out2}
+    assert abs(got2[1] - want2) < 1e-9
+
+
 def test_changepoint_mean_finds_step(spark):
     from dask_ml_spark.functions.stats import changepoint_mean
 
