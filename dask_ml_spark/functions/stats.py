@@ -599,7 +599,7 @@ def _pois1_weight_sql(u: str) -> str:
 
 def bootstrap_ci(df: DataFrame, value_col: str, key_cols,
                  n_boot: int = 200, alpha: float = 0.05,
-                 salt: int = 0) -> DataFrame:
+                 salt: int = 0, grid: int | None = None) -> DataFrame:
     """Poisson-bootstrap confidence interval for the mean — THE
     bootstrap that survives 100 TB: classic resampling needs n draws
     per replicate from a materialized population; the Poisson
@@ -626,8 +626,23 @@ def bootstrap_ci(df: DataFrame, value_col: str, key_cols,
     CI: nearest-rank percentiles of the B replicate means
     (k_lo = ceil(alpha/2·B), k_hi = ceil((1−alpha/2)·B), 1-indexed) —
     no interpolation, so engine FP drift in a replicate mean can't
-    move the selected RANK. Returns one row:
-    (n, mean, ci_lo, ci_hi, n_boot).
+    move the selected RANK. An EMPTY replicate (every row drew w=0 —
+    only possible at tiny n) raises rather than silently re-ranking
+    over fewer replicates, because an oracle that selects fixed ranks
+    over the non-empty replicates would diverge from a bb-based
+    re-rank. Returns one row: (n, mean, ci_lo, ci_hi, n_boot).
+
+    ``grid``: decimal digits of exact fixed-point accumulation for the
+    value sums (the catalog _dsum convention — r10). With grid=4,
+    Σw·v and Σv accumulate as int64 1e-4 units (w is a small integer,
+    so w·v stays ON the grid): integer addition is exact and
+    associative, so no plan-shape change can move the replicate means
+    or the headline mean — the raw-double default leaves ~3e-8
+    association-order drift on price-scale means, only ~30× of margin
+    to a 1e-6 output grid (the r9 salted-join flap class). Exact while
+    |Σ| < 2^63 units; the int64 → double conversion at the end is
+    IEEE-deterministic in both engines. Default None keeps raw double
+    sums for values not on a known grid.
     """
     from dask_ml_spark.plans.model_selection import _hash_bucket_expr
 
@@ -648,7 +663,15 @@ def bootstrap_ci(df: DataFrame, value_col: str, key_cols,
     # forced a multi-second whole-stage codegen recompile per call (and
     # whose construction paid thousands of py4j round-trips).
     k0 = _hash_bucket_expr(key_cols, P, salt, df=df)
-    sel = kept.select(v.alias("__v"), k0.alias("__k0"))
+    if grid is not None:
+        # exact fixed-point units (int64): w·v_units stays integral
+        scale = float(10 ** grid)
+        vq = F.floor(v * F.lit(scale) + F.lit(0.5)).cast("long")
+        sel = kept.select(vq.alias("__vq"), v.alias("__v"),
+                          k0.alias("__k0"))
+    else:
+        scale = None
+        sel = kept.select(v.alias("__v"), k0.alias("__k0"))
     # replicate constants fan out via an inline array explode — a
     # whole-stage-codegen generator, measured faster than the broadcast
     # crossJoin it replaces (BroadcastNestedLoopJoin materializes B·n
@@ -662,11 +685,19 @@ def bootstrap_ci(df: DataFrame, value_col: str, key_cols,
     w = _pois1_weight_expr(u)
     # the plain sum/count ride in the same job: every b group sees all
     # rows, so (s, n) is identical in each — read it off the first
-    reps = (sel.select("__v", "__k0", F.explode(arr).alias("c"))
+    if grid is not None:
+        val_cols = ["__vq", "__v"]
+        wx_agg = F.sum(F.col("__vq") * w.cast("long")).alias("wx")
+        sw_agg = F.sum(w.cast("long")).alias("sw")
+        s_agg = F.sum("__vq").alias("s")
+    else:
+        val_cols = ["__v"]
+        wx_agg = F.sum(w * F.col("__v")).alias("wx")
+        sw_agg = F.sum(w).alias("sw")
+        s_agg = F.sum("__v").alias("s")
+    reps = (sel.select(*val_cols, "__k0", F.explode(arr).alias("c"))
             .groupBy("c.b")
-            .agg(F.sum(w * F.col("__v")).alias("wx"),
-                 F.sum(w).alias("sw"),
-                 F.sum("__v").alias("s"),
+            .agg(wx_agg, sw_agg, s_agg,
                  F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("__k0").isNull().cast("long"))
                  .alias("nullk")))
@@ -681,15 +712,26 @@ def bootstrap_ci(df: DataFrame, value_col: str, key_cols,
         raise ValueError(
             f"bootstrap_ci: key_cols={key_cols} contain NULLs in "
             f"{row['nullk']} rows — drop or fill them first")
-    means = sorted(r["wx"] / r["sw"] for r in rep_rows if r["sw"])
-    if len(means) < 2:
-        raise ValueError("bootstrap_ci: all replicates empty — "
-                         "n too small for the Poisson bootstrap")
+    n_empty = sum(1 for r in rep_rows if not r["sw"])
+    if n_empty:
+        # re-ranking over the non-empty replicates would silently
+        # diverge from any oracle selecting fixed ranks — fail loudly
+        raise ValueError(
+            f"bootstrap_ci: {n_empty}/{n_boot} replicates drew zero "
+            "total weight — n too small for the Poisson bootstrap")
+    if grid is not None:
+        # (int64 units → double) / scale / sw — the exact op order the
+        # SQL oracle replays: each step is IEEE-deterministic
+        means = sorted((r["wx"] / scale) / r["sw"] for r in rep_rows)
+        mean = (row["s"] / scale) / row["n"]
+    else:
+        means = sorted(r["wx"] / r["sw"] for r in rep_rows)
+        mean = row["s"] / row["n"]
     bb = len(means)
     k_lo = max(1, math.ceil(alpha / 2.0 * bb))
     k_hi = min(bb, math.ceil((1.0 - alpha / 2.0) * bb))
     return df.sparkSession.createDataFrame(
-        [(int(row["n"]), float(row["s"] / row["n"]),
+        [(int(row["n"]), float(mean),
           float(means[k_lo - 1]), float(means[k_hi - 1]), int(n_boot))],
         "n long, mean double, ci_lo double, ci_hi double, n_boot long")
 

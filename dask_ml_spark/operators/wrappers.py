@@ -245,7 +245,11 @@ class Incremental(ParallelPostFit):
         # seeded default: blocks follow the input partition count; the
         # per-epoch fold column (seeded random re-key, or the scan's
         # partition id when shuffle_blocks=False) feeds the SAME Arrow
-        # block machinery as the deterministic path
+        # block machinery as the deterministic path. Note: the fold
+        # repartition means WITHIN-block row order follows shuffle
+        # fetch order — partial_fit sees each block's rows in an
+        # unspecified order, which matches the reference's contract
+        # (blocks, not rows, are the training unit).
         sel = df.select(*cols, label_col)
         n_parts = max(1, sel.rdd.getNumPartitions())
         for _ in range(epochs):
@@ -253,7 +257,12 @@ class Incremental(ParallelPostFit):
                 fold = F.floor(F.rand(int(rng.randint(2 ** 31)))
                                * n_parts)
             else:
-                fold = F.spark_partition_id()
+                # pmod clamp: if the execution-time scan yields MORE
+                # partitions than the planning-time snapshot, a raw
+                # partition id >= n_parts would fall outside the block
+                # loop's range and those rows would silently never
+                # train (review-caught)
+                fold = F.pmod(F.spark_partition_id(), F.lit(n_parts))
             sel2 = (sel.withColumn("__fold", fold.cast("int"))
                     .repartition(n_parts, "__fold").persist())
             try:

@@ -8151,13 +8151,17 @@ def q_bootstrap_price_ci(spark, sf_dir):
     materialization, no shuffle). Nearest-rank percentile selection
     means engine FP drift in a replicate mean cannot move the chosen
     rank; the oracle replays every draw bit-for-bit (the u values are
-    exact int/2^31 doubles) via a 50-row constants join."""
+    exact int/2^31 doubles) via a 50-row constants join. grid=4 (the
+    catalog _dsum convention): Σw·v and Σv accumulate as exact int64
+    1e-4 units in BOTH engines, so the replicate means and the
+    headline mean are bit-stable under any plan-shape change — raw
+    double sums left only ~30× margin to the 1e-6 output grid."""
     from dask_ml_spark.functions.stats import bootstrap_ci
 
     li = _t(spark, sf_dir, "lineitem")
     out = bootstrap_ci(li, "l_extendedprice",
                        ["l_orderkey", "l_linenumber"],
-                       n_boot=BOOT_B, alpha=0.1)
+                       n_boot=BOOT_B, alpha=0.1, grid=4)
     r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return out.select("n", r6(F.col("mean")).alias("mean"),
                       r6(F.col("ci_lo")).alias("ci_lo"),
@@ -8172,26 +8176,32 @@ def _sql_bootstrap_price_ci() -> str:
     ladder = _pois1_weight_sql("u")
     # nearest-rank (1-indexed): k_lo = ceil(0.05*50) = 3,
     # k_hi = ceil(0.95*50) = 48 — catalog fixed-point literals
+    # grid=4 fixed point: vq = int64 1e-4 units; w is a small integer,
+    # so wx = Σ vq·w and sw = Σ w are exact int64 sums in both engines
+    # (the r10 _dsum convention); the final int64 → double conversion
+    # and the (÷1e4, ÷sw) op order mirror the engine exactly
     return f"""
 WITH base AS (
-    SELECT l_extendedprice::DOUBLE AS v,
+    SELECT CAST(floor(l_extendedprice::DOUBLE * 10000 + 0.5) AS BIGINT)
+               AS vq,
            ((((0 + l_orderkey) % {BOOT_P}) * {BOOT_M} % {BOOT_P}
              + l_linenumber) % {BOOT_P}) * {BOOT_M} % {BOOT_P} AS k0
     FROM lineitem
 ), consts(b, a) AS (VALUES {consts}),
 w AS (
-    SELECT v, b, {ladder} AS w FROM (
-        SELECT v, b,
+    SELECT vq, b, CAST({ladder} AS BIGINT) AS w FROM (
+        SELECT vq, b,
                (((k0 + 1 + b) * CAST(a AS BIGINT)) % {BOOT_P})::DOUBLE
                    / {float(BOOT_P)!r} AS u
         FROM base CROSS JOIN consts)
 ), reps AS (
-    SELECT b, sum(w * v) AS wx, sum(w) AS sw FROM w GROUP BY b
+    SELECT b, sum(vq * w) AS wx, sum(w) AS sw FROM w GROUP BY b
 ), means AS (
-    SELECT wx / sw AS m FROM reps WHERE sw > 0
+    SELECT (wx::DOUBLE / 10000) / sw AS m FROM reps WHERE sw > 0
 )
 SELECT (SELECT count(*) FROM base)::BIGINT AS n,
-       floor((SELECT sum(v) / count(v) FROM base) * 1e6 + 0.5) / 1e6 AS mean,
+       floor(((SELECT sum(vq) FROM base)::DOUBLE / 10000)
+             / (SELECT count(*) FROM base) * 1e6 + 0.5) / 1e6 AS mean,
        floor((SELECT m FROM means ORDER BY m LIMIT 1 OFFSET 2)
              * 1e6 + 0.5) / 1e6 AS ci_lo,
        floor((SELECT m FROM means ORDER BY m LIMIT 1 OFFSET 47)

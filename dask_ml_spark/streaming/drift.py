@@ -90,8 +90,10 @@ def ks_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
                 *[F.sum((b <= k).cast("double")).alias(f"__le{k}")
                   for k in range(bins - 1)]))
     n = F.col("n").cast("double")
-    d = F.greatest(*[F.abs(F.col(f"__le{k}") / n - F.lit(cum[k]))
-                     for k in range(bins - 1)])
+    # bins=2 leaves exactly one ECDF edge: F.greatest needs >= 2 args
+    terms = [F.abs(F.col(f"__le{k}") / n - F.lit(cum[k]))
+             for k in range(bins - 1)]
+    d = terms[0] if len(terms) == 1 else F.greatest(*terms)
     # bind D and λ to columns FIRST (the ks_2sample lesson): inlining
     # the 31-term greatest into each of the 25 series terms would
     # multiply the expression tree ~800x

@@ -388,6 +388,41 @@ def test_bootstrap_ci_quality_and_determinism(spark):
     assert abs(again["ci_hi"] - out["ci_hi"]) < 1e-9
 
 
+def test_bootstrap_ci_grid_bit_stable(spark):
+    """grid=4 fixed-point accumulation: BIT-identical (== not <tol)
+    results across partitionings — the property raw double sums can't
+    give — and the grid path must agree with the raw path to fixed-
+    point resolution. Values live on the 1e-4 grid (price-like)."""
+    from dask_ml_spark.functions.stats import bootstrap_ci
+
+    rng = np.random.RandomState(11)
+    x = np.round(rng.uniform(900.0, 105000.0, 3000), 4)
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(x)], ["k", "v"])
+    a = bootstrap_ci(df, "v", "k", n_boot=50, alpha=0.1,
+                     grid=4).collect()[0]
+    b = bootstrap_ci(df.repartition(17), "v", "k", n_boot=50,
+                     alpha=0.1, grid=4).collect()[0]
+    assert (a["mean"], a["ci_lo"], a["ci_hi"]) == \
+        (b["mean"], b["ci_lo"], b["ci_hi"])
+    raw = bootstrap_ci(df, "v", "k", n_boot=50, alpha=0.1).collect()[0]
+    for c in ("mean", "ci_lo", "ci_hi"):
+        assert abs(a[c] - raw[c]) < 1e-3, (c, a[c], raw[c])
+
+
+def test_bootstrap_ci_empty_replicate_raises(spark):
+    """An empty replicate (possible only at tiny n) must raise loudly
+    rather than silently re-rank over fewer replicates (the oracle
+    selects fixed ranks)."""
+    import pytest as _pt
+
+    from dask_ml_spark.functions.stats import bootstrap_ci
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["k", "v"])
+    with _pt.raises(ValueError, match="replicates drew zero"):
+        bootstrap_ci(df, "v", "k", n_boot=400, alpha=0.1)
+
+
 def test_prop_ztest_hand_formula(spark):
     from dask_ml_spark.functions.stats import prop_ztest
 

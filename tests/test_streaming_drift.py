@@ -101,3 +101,17 @@ def test_ks_drift_stream_matches_batch(spark, drifted_dir, reference):
     assert (a["window_start"].to_numpy() == b["window_start"].to_numpy()).all()
     for c in ("d_stat", "p_value"):
         assert np.allclose(a[c].to_numpy(), b[c].to_numpy(), atol=1e-12)
+
+
+def test_ks_drift_bins2_single_edge(spark, drifted_dir):
+    """bins=2 leaves exactly ONE ECDF edge — the d expression must not
+    call F.greatest with a single argument (plan-build ValueError)."""
+    from dask_ml_spark.streaming.drift import ks_drift, reference_histogram
+
+    batch = spark.read.parquet(drifted_dir)
+    ref = reference_histogram(
+        batch.where(F.col("ts") < F.timestamp_seconds(
+            F.lit(1_699_999_200 + 3600))), "v", bins=2)
+    rows = ks_drift(batch, "v", "ts", ref, window="1 hour").collect()
+    assert len(rows) == 3
+    assert all(0.0 <= r["d_stat"] <= 1.0 for r in rows)
