@@ -825,8 +825,15 @@ def anova_oneway(df: DataFrame, value_col: str, group_col: str,
         "df_within long, p_value double")
 
 
+#: z for a two-sided 95% normal interval — Phi^{-1}(0.975), the
+#: standard white-noise ACF band constant (written as a literal so the
+#: SQL oracles replay it bit-for-bit)
+_Z975 = 1.959963984540054
+
+
 def autocorrelation(df: DataFrame, value_col: str, order_col: str,
-                    lags: int = 14, step: float = 1.0) -> DataFrame:
+                    lags: int = 14, step: float = 1.0,
+                    conf: bool = True) -> DataFrame:
     """Lag correlation (ACF) of the bucket-aggregated series: bucket
     ``order_col`` by ``step`` (mean of ``value_col`` per bucket — the
     irreducible raw-row pass), then for every lag 1..K the Pearson
@@ -839,8 +846,18 @@ def autocorrelation(df: DataFrame, value_col: str, order_col: str,
     the per-lag-mean Pearson convention (each lag's correlation uses
     its own pair means — cross-engine replayable; the
     statsmodels-style global-mean ACF differs at the series edges,
-    documented). Returns (lag, n_pairs, acf) ordered by lag; a lag
-    with < 2 pairs or zero variance reports NULL acf.
+    documented). Returns (lag, n_pairs, acf[, band_lo, band_hi])
+    ordered by lag; a lag with < 2 pairs or zero variance reports NULL
+    acf.
+
+    ``conf`` (default True) adds the ±z₀.₉₇₅/√n_pairs white-noise 95%
+    band per lag — the Bartlett large-sample null band for "is this
+    lag's correlation distinguishable from noise?", which is the
+    question the operator exists to answer. A literal column
+    expression (no extra pass); an acf outside [band_lo, band_hi]
+    rejects the white-noise null at 5% for that lag (per-lag, not
+    family-corrected — scan K lags and Bonferroni yourself if you need
+    a family guarantee).
     """
     if lags < 1:
         raise ValueError("lags must be >= 1")
@@ -860,12 +877,15 @@ def autocorrelation(df: DataFrame, value_col: str, order_col: str,
     right = series.select(F.col("__b").alias("__b2"),
                           F.col("__x").alias("__y"))
     pairs = e.join(right, "__b2")
-    return (pairs.groupBy("lag")
-            .agg(F.count(F.lit(1)).alias("n_pairs"),
-                 F.corr("__x", "__y").alias("acf"))
-            .select(F.col("lag").cast("long").alias("lag"),
-                    "n_pairs", "acf")
-            .orderBy("lag"))
+    agg = (pairs.groupBy("lag")
+           .agg(F.count(F.lit(1)).alias("n_pairs"),
+                F.corr("__x", "__y").alias("acf")))
+    cols = [F.col("lag").cast("long").alias("lag"), F.col("n_pairs"),
+            F.col("acf")]
+    if conf:
+        band = F.lit(_Z975) / F.sqrt(F.col("n_pairs").cast("double"))
+        cols += [(-band).alias("band_lo"), band.alias("band_hi")]
+    return agg.select(*cols).orderBy("lag")
 
 
 def changepoint_mean(df: DataFrame, value_col: str, order_col: str,

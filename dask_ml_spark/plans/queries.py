@@ -4371,7 +4371,7 @@ def build_catalog():
         "brown_forsythe_price": _sql_brown_forsythe_price(),
         "changepoint_event_value": _sql_changepoint_event_value(),
         "ks_drift_daily": _sql_ks_drift_daily(),
-        "acf_daily_value": SQL_ACF_DAILY_VALUE,
+        "acf_daily_value": _sql_acf_daily_value(),
         "mutual_information_events": SQL_MUTUAL_INFORMATION_EVENTS,
         "feature_corr_matrix": SQL_FEATURE_CORR_MATRIX,
         "kaplan_meier_conversion": SQL_KAPLAN_MEIER_CONVERSION,
@@ -8590,10 +8590,15 @@ def q_acf_daily_value(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = autocorrelation(ev, "value", "ts", lags=7, step=86400.0)
     r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
-    return out.select("lag", "n_pairs", r6(F.col("acf")).alias("acf"))
+    return out.select("lag", "n_pairs", r6(F.col("acf")).alias("acf"),
+                      r6(F.col("band_lo")).alias("band_lo"),
+                      r6(F.col("band_hi")).alias("band_hi"))
 
 
-SQL_ACF_DAILY_VALUE = """
+def _sql_acf_daily_value() -> str:
+    from dask_ml_spark.functions.stats import _Z975
+
+    return f"""
 WITH s AS (
     SELECT CAST(floor(epoch(ts)::DOUBLE / 86400.0) AS BIGINT) AS b,
            avg(value::DOUBLE) AS x
@@ -8605,7 +8610,11 @@ WITH s AS (
     FROM s CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
 )
 SELECT e.lag::BIGINT AS lag, count(*)::BIGINT AS n_pairs,
-       floor(corr(e.x, s2.x) * 1e6 + 0.5) / 1e6 AS acf
+       floor(corr(e.x, s2.x) * 1e6 + 0.5) / 1e6 AS acf,
+       floor(-({_Z975!r} / sqrt(count(*)::DOUBLE)) * 1e6 + 0.5) / 1e6
+           AS band_lo,
+       floor(({_Z975!r} / sqrt(count(*)::DOUBLE)) * 1e6 + 0.5) / 1e6
+           AS band_hi
 FROM e JOIN s s2 ON e.b2 = s2.b
 GROUP BY e.lag
 """

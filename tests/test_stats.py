@@ -511,6 +511,16 @@ def test_autocorrelation_matches_numpy(spark):
         assert out[lag]["n_pairs"] == n - lag
         assert abs(out[lag]["acf"] - want) < 1e-9, lag
     assert out[1]["acf"] > 0.7 and out[1]["acf"] > out[5]["acf"]
+    # white-noise 95% band: ±1.959964/sqrt(n_pairs) per lag; the AR(1)
+    # lag-1 correlation must escape it
+    for lag in range(1, 6):
+        want_band = 1.959963984540054 / math.sqrt(n - lag)
+        assert abs(out[lag]["band_hi"] - want_band) < 1e-12
+        assert abs(out[lag]["band_lo"] + want_band) < 1e-12
+    assert out[1]["acf"] > out[1]["band_hi"]
+    # conf=False keeps the pre-band schema
+    lean = autocorrelation(df, "v", "t", lags=2, step=1.0, conf=False)
+    assert lean.columns == ["lag", "n_pairs", "acf"]
     # step-bucketing averages within buckets before correlating
     out2 = autocorrelation(df, "v", "t", lags=2, step=4.0).collect()
     bx = x.reshape(-1, 4).mean(axis=1)
