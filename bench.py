@@ -200,6 +200,7 @@ HEADLINE = [
     "prop_ztest_discount",          # two-proportion z, one aggregate
     "anova_event_value",            # k-group one-way F + chi2-limit p
     "spearman_price_quantity",      # tie-averaged rank correlation
+    "spearman_price_quantity_binned",  # bins=K scale path (one cell agg)
     "brown_forsythe_price",         # variance homogeneity (robust Levene)
     "changepoint_event_value",      # binned mean-shift drift monitor
     "ks_drift_daily",               # windowed KS drift vs reference

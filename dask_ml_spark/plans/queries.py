@@ -4136,6 +4136,7 @@ def build_catalog():
         "prop_ztest_discount": q_prop_ztest_discount,
         "anova_event_value": q_anova_event_value,
         "spearman_price_quantity": q_spearman_price_quantity,
+        "spearman_price_quantity_binned": q_spearman_price_quantity_binned,
         "brown_forsythe_price": q_brown_forsythe_price,
         "changepoint_event_value": q_changepoint_event_value,
         "ks_drift_daily": q_ks_drift_daily,
@@ -4368,6 +4369,8 @@ def build_catalog():
         "prop_ztest_discount": _sql_prop_ztest_discount(),
         "anova_event_value": _sql_anova_event_value(),
         "spearman_price_quantity": _sql_spearman_price_quantity(),
+        "spearman_price_quantity_binned":
+            _sql_spearman_price_quantity_binned(),
         "brown_forsythe_price": _sql_brown_forsythe_price(),
         "changepoint_event_value": _sql_changepoint_event_value(),
         "ks_drift_daily": _sql_ks_drift_daily(),
@@ -8414,6 +8417,91 @@ WITH k AS (
     FROM k JOIN ra ON k.a = ra.a JOIN rb ON k.b = rb.b
 ), c AS (
     SELECT count(*)::DOUBLE AS n, corr(x, y) AS rho FROM j
+)
+SELECT n::BIGINT AS n,
+       floor(rho * 1e6 + 0.5) / 1e6 AS rho,
+       floor(least(1.0, 2.0 * {sf}) * 1e6 + 0.5) / 1e6 AS p_value
+FROM c
+"""
+
+
+SPEARMAN_BINS = 256
+
+
+def q_spearman_price_quantity_binned(spark, sf_dir):
+    """Spearman's SCALE path (functions/stats.py::spearman_rho_binned
+    — the ks bins=K treatment for rank correlation): the exact path's
+    rank map groups by distinct value, which on a continuous price
+    column is distinct ≈ N (a row-count-sized sort in disguise — the
+    one sort-shaped plan in the r10 stats surface). Here: one min/max
+    aggregate + ONE groupBy(bucket_a, bucket_b) count (≤K² cells),
+    then exact integer arithmetic driver-side — no rank join, no
+    prefix machinery, |ρ_binned − ρ_exact| = O(1/K) (parity-pinned).
+    The oracle replays the integer sums in HUGEINT, bit-for-bit."""
+    from dask_ml_spark.functions.stats import spearman_rho_binned
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = spearman_rho_binned(li, "l_extendedprice", "l_quantity",
+                              bins=SPEARMAN_BINS)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n", r6(F.col("rho")).alias("rho"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_spearman_price_quantity_binned() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    K = SPEARMAN_BINS
+    sf = _normal_sf_sql("(abs(rho) * sqrt(n - 1.0))")
+    # doubled tie-averaged bucket ranks (2·rank = 2·cum − c + 1 with an
+    # INCLUSIVE cumsum) keep every sum integral; HUGEINT accumulation
+    # replays the engine's Python-bignum driver arithmetic bit-for-bit
+    # — the only float ops are the same two final divisions
+    return f"""
+WITH k AS (
+    SELECT l_extendedprice::DOUBLE AS a, l_quantity::DOUBLE AS b
+    FROM lineitem
+), lim AS (
+    SELECT min(a) AS la, max(a) AS ha, min(b) AS lb, max(b) AS hb FROM k
+), w AS (
+    SELECT la, lb,
+           CASE WHEN ha = la THEN 1.0 ELSE ha - la END AS wa,
+           CASE WHEN hb = lb THEN 1.0 ELSE hb - lb END AS wb
+    FROM lim
+), cells AS (
+    SELECT CAST(least({K - 1}, floor((a - (SELECT la FROM w))
+                                     / (SELECT wa FROM w) * {K}))
+                AS BIGINT) AS ba,
+           CAST(least({K - 1}, floor((b - (SELECT lb FROM w))
+                                     / (SELECT wb FROM w) * {K}))
+                AS BIGINT) AS bb,
+           count(*)::BIGINT AS cw
+    FROM k GROUP BY 1, 2
+), ra AS (
+    SELECT ba, 2 * cum - c + 1 AS r2 FROM (
+        SELECT ba, c, sum(c) OVER (ORDER BY ba ROWS UNBOUNDED PRECEDING)
+               AS cum
+        FROM (SELECT ba, sum(cw) AS c FROM cells GROUP BY ba))
+), rb AS (
+    SELECT bb, 2 * cum - c + 1 AS r2 FROM (
+        SELECT bb, c, sum(c) OVER (ORDER BY bb ROWS UNBOUNDED PRECEDING)
+               AS cum
+        FROM (SELECT bb, sum(cw) AS c FROM cells GROUP BY bb))
+), j AS (
+    SELECT cells.cw::HUGEINT AS cw, ra.r2::HUGEINT AS x,
+           rb.r2::HUGEINT AS y
+    FROM cells JOIN ra USING (ba) JOIN rb USING (bb)
+), s AS (
+    SELECT sum(cw) AS n, sum(cw * x) AS sx, sum(cw * y) AS sy,
+           sum(cw * x * x) AS sxx, sum(cw * y * y) AS syy,
+           sum(cw * x * y) AS sxy
+    FROM j
+), c AS (
+    SELECT n,
+           (n * sxy - sx * sy)::DOUBLE
+           / sqrt((n * sxx - sx * sx)::DOUBLE
+                  * (n * syy - sy * sy)::DOUBLE) AS rho
+    FROM s
 )
 SELECT n::BIGINT AS n,
        floor(rho * 1e6 + 0.5) / 1e6 AS rho,

@@ -529,6 +529,60 @@ def test_autocorrelation_matches_numpy(spark):
     assert abs(got2[1] - want2) < 1e-9
 
 
+def test_spearman_binned_tracks_exact(spark):
+    """The O(1/K) bias bound of the binned scale path: on smooth
+    continuous data |rho_binned - rho_exact| <= 2.5/K, tightening as
+    K grows; and the binned result is BIT-deterministic across
+    partitionings (integer driver arithmetic, no float sums)."""
+    from dask_ml_spark.functions.stats import (spearman_rho,
+                                               spearman_rho_binned)
+
+    rng = np.random.RandomState(47)
+    n = 6000
+    x = rng.normal(0.0, 1.0, n)
+    y = 0.6 * x + rng.normal(0.0, 1.0, n)  # monotone-ish dependence
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], ["a", "b"])
+    exact = spearman_rho(df, "a", "b").collect()[0]
+    prev_err = None
+    for K in (64, 256):
+        got = spearman_rho_binned(df, "a", "b", bins=K).collect()[0]
+        assert got["n"] == exact["n"] == n
+        err = abs(got["rho"] - exact["rho"])
+        assert err <= 2.5 / K, (K, err, got["rho"], exact["rho"])
+        if prev_err is not None:
+            assert err <= prev_err + 1e-12
+        prev_err = err
+    a = spearman_rho_binned(df, "a", "b", bins=128).collect()[0]
+    b = spearman_rho_binned(df.repartition(13), "a", "b",
+                            bins=128).collect()[0]
+    assert (a["rho"], a["p_value"]) == (b["rho"], b["p_value"])
+    # heavy ties: integer-ish columns collapse into single buckets and
+    # the tie-averaged bucket ranks must reproduce the exact statistic
+    xi = rng.randint(0, 12, 800)
+    yi = xi + rng.randint(0, 4, 800)
+    dfi = spark.createDataFrame(
+        [(float(p), float(q)) for p, q in zip(xi, yi)], ["a", "b"])
+    e = spearman_rho(dfi, "a", "b").collect()[0]
+    g = spearman_rho_binned(dfi, "a", "b", bins=1024).collect()[0]
+    # with bins >> distinct values every distinct value owns a bucket:
+    # binned == exact to float resolution
+    assert abs(g["rho"] - e["rho"]) < 1e-12
+
+
+def test_spearman_binned_guards(spark):
+    import pytest as _pt
+
+    from dask_ml_spark.functions.stats import spearman_rho_binned
+
+    df = spark.createDataFrame([(1.0, 1.0), (2.0, 2.0)], ["a", "b"])
+    with _pt.raises(ValueError, match="bins"):
+        spearman_rho_binned(df, "a", "b", bins=1)
+    const = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], ["a", "b"])
+    with _pt.raises(ValueError, match="constant"):
+        spearman_rho_binned(const, "a", "b")
+
+
 def test_changepoint_mean_finds_step(spark):
     from dask_ml_spark.functions.stats import changepoint_mean
 
