@@ -204,6 +204,8 @@ HEADLINE = [
     "brown_forsythe_price",         # variance homogeneity (robust Levene)
     "changepoint_event_value",      # binned mean-shift drift monitor
     "ks_drift_daily",               # windowed KS drift vs reference
+    "psi_drift_daily",              # windowed PSI vs reference
+    "zdrift_daily",                 # windowed mean/variance z-drift
     "acf_daily_value",              # lag correlation of the daily series
 ]
 

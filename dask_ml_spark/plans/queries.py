@@ -4140,6 +4140,8 @@ def build_catalog():
         "brown_forsythe_price": q_brown_forsythe_price,
         "changepoint_event_value": q_changepoint_event_value,
         "ks_drift_daily": q_ks_drift_daily,
+        "psi_drift_daily": q_psi_drift_daily,
+        "zdrift_daily": q_zdrift_daily,
         "acf_daily_value": q_acf_daily_value,
         "mutual_information_events": q_mutual_information_events,
         "feature_corr_matrix": q_feature_corr_matrix,
@@ -4374,6 +4376,8 @@ def build_catalog():
         "brown_forsythe_price": _sql_brown_forsythe_price(),
         "changepoint_event_value": _sql_changepoint_event_value(),
         "ks_drift_daily": _sql_ks_drift_daily(),
+        "psi_drift_daily": _sql_psi_drift_daily(),
+        "zdrift_daily": _sql_zdrift_daily(),
         "acf_daily_value": _sql_acf_daily_value(),
         "mutual_information_events": SQL_MUTUAL_INFORMATION_EVENTS,
         "feature_corr_matrix": SQL_FEATURE_CORR_MATRIX,
@@ -8662,6 +8666,141 @@ SELECT strftime(day, '%Y-%m-%d') AS day, n,
        floor(d * 1e6 + 0.5) / 1e6 AS d_stat,
        floor({p} * 1e6 + 0.5) / 1e6 AS p_value
 FROM d
+"""
+
+
+def q_psi_drift_daily(spark, sf_dir):
+    """Population Stability Index per daily window (streaming/
+    drift.py::psi_drift — the model-monitoring industry's standard
+    drift score, same one-windowed-aggregation shape as ks_drift so it
+    inherits append-mode streaming legality): K per-bucket conditional
+    sums per window, Laplace half-count smoothing on both sides so
+    empty buckets stay defined, Σ(p−q)·ln(p/q) as a stateless
+    projection. The oracle recomputes the reference histogram and
+    replays every window's smoothed PSI."""
+    from dask_ml_spark.streaming.drift import psi_drift, reference_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    ref = reference_histogram(
+        ev.where(F.col("ts") < F.lit(DRIFT_REF_END)), "value",
+        bins=DRIFT_BINS)
+    out = psi_drift(ev, "value", "ts", ref, window="1 day")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "n", r6(F.col("psi")).alias("psi"))
+
+
+def _sql_psi_drift_daily() -> str:
+    K = DRIFT_BINS
+    half_k = float(K) / 2.0
+    ref_cs = ", ".join(
+        f"sum(CASE WHEN bkt = {k} THEN 1.0 ELSE 0.0 END) AS rc{k}"
+        for k in range(K))
+    win_cs = ",\n           ".join(
+        f"sum(CASE WHEN bkt = {k} THEN 1.0 ELSE 0.0 END) AS c{k}"
+        for k in range(K))
+    # q_k is computed once (refq CTE) exactly as the engine's Python
+    # literal; the per-window terms mirror (p - q) * ln(p / q)
+    qk = ", ".join(f"(rc{k} + 0.5) / (rn + {half_k!r}) AS q{k}"
+                   for k in range(K))
+    terms = " + ".join(
+        f"(((c{k} + 0.5) / (n::DOUBLE + {half_k!r}))"
+        f" - (SELECT q{k} FROM refq))"
+        f" * ln(((c{k} + 0.5) / (n::DOUBLE + {half_k!r}))"
+        f" / (SELECT q{k} FROM refq))"
+        for k in range(K))
+    return f"""
+WITH kept AS (
+    SELECT ts, value::DOUBLE AS v FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+), lim AS (
+    SELECT min(v) AS lo, max(v) AS hi FROM kept
+    WHERE ts < TIMESTAMP '{DRIFT_REF_END} 00:00:00'
+), w AS (SELECT lo, CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END AS wd
+         FROM lim),
+bk AS (
+    SELECT ts, greatest(0, least({K - 1},
+               CAST(floor((v - (SELECT lo FROM w))
+                          / (SELECT wd FROM w) * {K}) AS INTEGER)))
+               AS bkt
+    FROM kept
+), refc AS (
+    SELECT count(*)::DOUBLE AS rn, {ref_cs}
+    FROM bk WHERE ts < TIMESTAMP '{DRIFT_REF_END} 00:00:00'
+), refq AS (
+    SELECT {qk} FROM refc
+), win AS (
+    SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n,
+           {win_cs}
+    FROM bk GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n,
+       floor((0.0 + {terms}) * 1e6 + 0.5) / 1e6 AS psi
+FROM win
+"""
+
+
+def q_zdrift_daily(spark, sf_dir):
+    """Mean/variance drift per daily window (streaming/drift.py::
+    z_drift — the first-moment companion to ks/psi): ONE
+    groupBy(window) of (n, Σx, Σx²) against a fixed reference's
+    (μ, σ²), z = (mean_w − μ)/√(σ²/n_w) with a two-sided normal p and
+    the window/reference variance ratio. Streaming-legal by the same
+    conditional-sum argument; the oracle recomputes the reference
+    moments and replays every window."""
+    from dask_ml_spark.streaming.drift import reference_moments, z_drift
+
+    ev = _t(spark, sf_dir, "events")
+    ref = reference_moments(
+        ev.where(F.col("ts") < F.lit(DRIFT_REF_END)), "value")
+    out = z_drift(ev, "value", "ts", ref, window="1 day")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "n", r6(F.col("mean")).alias("mean"),
+        r6(F.col("z_mean")).alias("z_mean"),
+        r6(F.col("p_value")).alias("p_value"),
+        r6(F.col("var_ratio")).alias("var_ratio"))
+
+
+def _sql_zdrift_daily() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    sf = _normal_sf_sql("abs(z)")
+    return f"""
+WITH kept AS (
+    SELECT ts, value::DOUBLE AS v FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+), ref AS (
+    SELECT count(*)::DOUBLE AS rn, sum(v) AS rs, sum(v * v) AS rq
+    FROM kept WHERE ts < TIMESTAMP '{DRIFT_REF_END} 00:00:00'
+), m AS (
+    -- identical op order as reference_moments: mu = s/n first, then
+    -- var = (q - n*mu*mu) / (n - 1.0)
+    SELECT rs / rn AS mu,
+           (rq - rn * (rs / rn) * (rs / rn)) / (rn - 1.0) AS var0
+    FROM ref
+), win AS (
+    SELECT date_trunc('day', ts) AS day, count(*)::DOUBLE AS n,
+           sum(v) AS s, sum(v * v) AS q
+    FROM kept GROUP BY 1
+), z AS (
+    SELECT day, n, s / n AS mean,
+           (s / n - (SELECT mu FROM m))
+               / sqrt((SELECT var0 FROM m) / n) AS z,
+           CASE WHEN n >= 2.0 THEN
+               ((q - n * (s / n) * (s / n)) / (n - 1.0))
+                   / (SELECT var0 FROM m)
+           END AS var_ratio
+    FROM win
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n::BIGINT AS n,
+       floor(mean * 1e6 + 0.5) / 1e6 AS mean,
+       floor(z * 1e6 + 0.5) / 1e6 AS z_mean,
+       floor(least(1.0, 2.0 * {sf}) * 1e6 + 0.5) / 1e6 AS p_value,
+       floor(var_ratio * 1e6 + 0.5) / 1e6 AS var_ratio
+FROM z
 """
 
 

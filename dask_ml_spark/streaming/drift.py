@@ -22,12 +22,14 @@ from pyspark.sql import functions as F
 
 def reference_histogram(df: DataFrame, value_col: str,
                         bins: int = 32) -> dict:
-    """Fit the fixed reference for ks_drift: (lo, hi) from one min/max
-    aggregate, then the reference CDF at the K−1 interior bucket edges
-    via the SAME conditional-sum shape ks_drift uses (one more
-    aggregate — counts are exact integers, so the cum fractions are
-    engine-reproducible doubles). Returns
-    {"lo", "hi", "bins", "cum": [K-1 fractions]}."""
+    """Fit the fixed reference for ks_drift / psi_drift: (lo, hi) from
+    one min/max aggregate, then the reference CDF at the K−1 interior
+    bucket edges via the SAME conditional-sum shape the monitors use
+    (one more aggregate — counts are exact integers, so the cum
+    fractions are engine-reproducible doubles). Returns
+    {"lo", "hi", "bins", "n", "cum": [K-1 fractions],
+    "counts": [K per-bucket counts]} — cum feeds ks_drift, counts
+    feeds psi_drift."""
     if bins < 2:
         raise ValueError("bins must be >= 2")
     v = F.col(value_col).cast("double")
@@ -44,8 +46,11 @@ def reference_histogram(df: DataFrame, value_col: str,
         *[F.sum((b <= k).cast("double")).alias(f"le{k}")
           for k in range(bins - 1)]).collect()[0]
     n = float(row["n"])
-    return {"lo": lo, "hi": hi, "bins": bins,
-            "cum": [row[f"le{k}"] / n for k in range(bins - 1)]}
+    le = [row[f"le{k}"] for k in range(bins - 1)] + [n]
+    counts = [le[0]] + [le[k] - le[k - 1] for k in range(1, bins)]
+    return {"lo": lo, "hi": hi, "bins": bins, "n": n,
+            "cum": [le[k] / n for k in range(bins - 1)],
+            "counts": counts}
 
 
 def _bucket_expr(v, lo: float, width: float, bins: int):
@@ -105,3 +110,111 @@ def ks_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
                F.col("__d").alias("d_stat"),
                ks_p_expr(F.col("__lam")).alias("p_value")))
     return out
+
+
+def psi_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
+              window: str = "1 hour",
+              watermark: str | None = None) -> DataFrame:
+    """Population Stability Index per tumbling window against ``ref``
+    (a reference_histogram result): PSI = Σ_k (p_k − q_k)·ln(p_k/q_k)
+    over the SAME K clamped equal-width buckets — the model-monitoring
+    industry's standard drift score (rule of thumb: < 0.1 stable,
+    0.1–0.25 moderate shift, > 0.25 action). Same shape as ks_drift:
+    ONE groupBy(window(ts)) aggregation whose K per-bucket counts are
+    conditional sums, then a stateless projection — append-mode
+    streaming legal with a watermark, identical code path on batch
+    (what the SQL oracle replays).
+
+    Zero-count buckets are handled by the deterministic additive
+    smoothing p_k = (c_k + 0.5)/(n + K/2) on BOTH sides (the Laplace
+    half-count; engine-replayable, unlike an eps clamp whose eps is a
+    tuning knob). Returns (window_start, n, psi) per window.
+    """
+    bins = int(ref["bins"])
+    if "counts" not in ref:
+        raise ValueError("psi_drift needs a reference_histogram fit "
+                         "with per-bucket counts (refit — older dicts "
+                         "carried only the CDF)")
+    rc = [float(c) for c in ref["counts"]]
+    rn = float(ref["n"])
+    lo = float(ref["lo"])
+    width = (float(ref["hi"]) - lo) or 1.0
+    v = F.col(value_col).cast("double")
+    kept = df.where(v.isNotNull() & ~F.isnan(v))
+    if watermark is not None:
+        kept = kept.withWatermark(ts_col, watermark)
+    b = _bucket_expr(v, lo, width, bins)
+    agg = (kept.groupBy(F.window(ts_col, window).alias("__w"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                *[F.sum((b == k).cast("double")).alias(f"__c{k}")
+                  for k in range(bins)]))
+    n = F.col("n").cast("double")
+    half_k = float(bins) / 2.0
+    psi = F.lit(0.0)
+    for k in range(bins):
+        p = (F.col(f"__c{k}") + F.lit(0.5)) / (n + F.lit(half_k))
+        q = F.lit((rc[k] + 0.5) / (rn + half_k))
+        psi = psi + (p - q) * F.log(p / q)
+    return (agg.withColumn("__psi", psi)
+            .select(F.col("__w.start").alias("window_start"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("__psi").alias("psi")))
+
+
+def reference_moments(df: DataFrame, value_col: str) -> dict:
+    """Fit the fixed reference for z_drift: ONE (n, Σx, Σx²) aggregate
+    → {"n", "mean", "var"} (sample variance, ddof=1). The moments are
+    assembled with the same op order z_drift's oracle uses."""
+    v = F.col(value_col).cast("double")
+    row = (df.where(v.isNotNull() & ~F.isnan(v))
+           .agg(F.count(F.lit(1)).alias("n"), F.sum(v).alias("s"),
+                F.sum(v * v).alias("q")).collect()[0])
+    n = float(row["n"] or 0)
+    if n < 2:
+        raise ValueError("reference_moments needs >= 2 non-null values")
+    mean = row["s"] / n
+    var = (row["q"] - n * mean * mean) / (n - 1.0)
+    if var <= 0.0:
+        raise ValueError("reference_moments: zero reference variance — "
+                         "z_drift is undefined on a constant reference")
+    return {"n": n, "mean": float(mean), "var": float(var)}
+
+
+def z_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
+            window: str = "1 hour",
+            watermark: str | None = None) -> DataFrame:
+    """Mean/variance drift per tumbling window against a fixed
+    reference (a reference_moments result): the first-moment companion
+    to ks_drift/psi_drift — z = (mean_w − μ_ref)/√(σ²_ref/n_w) with a
+    two-sided normal p, plus the window-to-reference variance ratio
+    (ddof=1 / ddof=1). ONE groupBy(window(ts)) aggregation of
+    (n, Σx, Σx²) and a stateless projection — append-mode streaming
+    legal with a watermark; identical code path on batch. Returns
+    (window_start, n, mean, z_mean, p_value, var_ratio) per window;
+    a 1-row window reports NULL var_ratio.
+    """
+    from dask_ml_spark.functions.stats import normal_sf_expr
+
+    mu = float(ref["mean"])
+    var0 = float(ref["var"])
+    v = F.col(value_col).cast("double")
+    kept = df.where(v.isNotNull() & ~F.isnan(v))
+    if watermark is not None:
+        kept = kept.withWatermark(ts_col, watermark)
+    agg = (kept.groupBy(F.window(ts_col, window).alias("__w"))
+           .agg(F.count(F.lit(1)).alias("n"), F.sum(v).alias("__s"),
+                F.sum(v * v).alias("__q")))
+    n = F.col("n").cast("double")
+    mean = F.col("__s") / n
+    z = (mean - F.lit(mu)) / F.sqrt(F.lit(var0) / n)
+    var_w = F.when(n >= 2.0,
+                   (F.col("__q") - n * mean * mean) / (n - 1.0))
+    return (agg.withColumn("__m", mean).withColumn("__z", z)
+            .select(F.col("__w.start").alias("window_start"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("__m").alias("mean"),
+                    F.col("__z").alias("z_mean"),
+                    F.least(F.lit(1.0),
+                            2.0 * normal_sf_expr(F.abs(F.col("__z"))))
+                    .alias("p_value"),
+                    (var_w / F.lit(var0)).alias("var_ratio")))

@@ -115,3 +115,91 @@ def test_ks_drift_bins2_single_edge(spark, drifted_dir):
     rows = ks_drift(batch, "v", "ts", ref, window="1 hour").collect()
     assert len(rows) == 3
     assert all(0.0 <= r["d_stat"] <= 1.0 for r in rows)
+
+
+def test_psi_drift_flags_shift_and_matches_numpy(spark, drifted_dir,
+                                                 reference):
+    from dask_ml_spark.streaming.drift import psi_drift
+
+    batch = spark.read.parquet(drifted_dir)
+    rows = sorted(psi_drift(batch, "v", "ts", reference,
+                            window="1 hour").collect(),
+                  key=lambda r: r["window_start"])
+    assert len(rows) == 3
+    # clean windows: PSI below the 0.1 "stable" line (window 0 IS the
+    # reference); shifted window: above the 0.25 action line
+    assert rows[0]["psi"] < 0.1 and rows[1]["psi"] < 0.1
+    assert rows[2]["psi"] > 0.25
+    # independent numpy replay of the smoothed PSI
+    pdf = batch.toPandas()
+    lo, hi, K = reference["lo"], reference["hi"], reference["bins"]
+    width = (hi - lo) or 1.0
+    rn, rc = reference["n"], reference["counts"]
+    pdf["w"] = pdf["ts"].dt.floor("h")
+    got = {r["window_start"]: r["psi"] for r in rows}
+    for w, grp in pdf.groupby("w"):
+        b = np.clip(np.floor((grp["v"].to_numpy() - lo) / width * K)
+                    .astype(int), 0, K - 1)
+        n = len(b)
+        want = 0.0
+        for k in range(K):
+            p = ((b == k).sum() + 0.5) / (n + K / 2.0)
+            q = (rc[k] + 0.5) / (rn + K / 2.0)
+            want += (p - q) * np.log(p / q)
+        assert abs(got[w.to_pydatetime()] - want) < 1e-10
+
+
+def test_z_drift_flags_shift(spark, drifted_dir):
+    from dask_ml_spark.streaming.drift import reference_moments, z_drift
+
+    batch = spark.read.parquet(drifted_dir)
+    ref = reference_moments(
+        batch.where(F.col("ts") < F.timestamp_seconds(
+            F.lit(1_699_999_200 + 3600))), "v")
+    assert abs(ref["mean"] - 10.0) < 0.3 and abs(ref["var"] - 4.0) < 1.0
+    rows = sorted(z_drift(batch, "v", "ts", ref,
+                          window="1 hour").collect(),
+                  key=lambda r: r["window_start"])
+    assert len(rows) == 3
+    assert abs(rows[0]["z_mean"]) < 1e-6  # window 0 IS the reference
+    assert abs(rows[0]["p_value"] - 1.0) < 1e-6
+    assert abs(rows[1]["z_mean"]) < 3.5  # same distribution
+    assert rows[2]["z_mean"] > 20 and rows[2]["p_value"] < 1e-12
+    for r in rows:
+        assert 0.5 < r["var_ratio"] < 2.0  # variance never shifted
+
+
+def test_psi_and_z_drift_stream_match_batch(spark, drifted_dir,
+                                            reference):
+    from dask_ml_spark.streaming.drift import (psi_drift,
+                                               reference_moments,
+                                               z_drift)
+
+    batch = spark.read.parquet(drifted_dir)
+    mom = reference_moments(
+        batch.where(F.col("ts") < F.timestamp_seconds(
+            F.lit(1_699_999_200 + 3600))), "v")
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(drifted_dir))
+    for tag, fn, ref, vals in (
+            ("psi", psi_drift, reference, ["psi"]),
+            ("zd", z_drift, mom, ["mean", "z_mean", "p_value",
+                                  "var_ratio"])):
+        out = fn(stream, "v", "ts", ref, window="1 hour",
+                 watermark="30 minutes")
+        q = (out.writeStream.format("memory").queryName(f"{tag}_out")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        streamed = spark.sql(f"select * from {tag}_out").toPandas()
+        expected = (fn(batch, "v", "ts", ref, window="1 hour")
+                    .toPandas().sort_values("window_start")
+                    .reset_index(drop=True))
+        a = (streamed.sort_values("window_start")
+             .reset_index(drop=True))
+        # closed-prefix contract (the ks_drift parity convention)
+        assert 2 <= len(a) < len(expected), tag
+        b = expected.iloc[:len(a)].reset_index(drop=True)
+        assert (a["n"].to_numpy() == b["n"].to_numpy()).all(), tag
+        for c in vals:
+            assert np.allclose(a[c].to_numpy(), b[c].to_numpy(),
+                               atol=1e-12), (tag, c)
