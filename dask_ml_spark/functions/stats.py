@@ -314,12 +314,14 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
     p = 1.
 
     Precision: both engines evaluate the identical operation order, so
-    u/z/p stay bit-comparable at any scale. The values themselves are
-    FP-exact only while every count product stays below 2^53 — the tie
-    term Σ(t³−t) crosses that once a single tied value holds ~2.1M
-    rows (plausible at sf≥1 on low-cardinality columns), after which
-    the shared-order doubles carry ~1e-16 relative error (identical in
-    both engines, so still bit-comparable).
+    u/z/p stay bit-comparable at any scale. The DRIVER fast path (the
+    common case — distinct values under max_driver_rows) accumulates
+    u and the tie term Σ(t³−t) in exact bignum integers, so it never
+    rounds: it is exact even past the 2^53 threshold the float form
+    crosses once a single tied value holds ~2.1M rows (plausible at
+    sf≥1 on low-cardinality columns). The distributed fallback and the
+    SQL oracles share double sums beyond that point (~1e-16 relative,
+    identical order in both engines, so still bit-comparable).
 
     Returns one row: (n1, n2, u_stat, z, p_value). Shape: one groupBy,
     one prefix sum over distinct values, one final aggregate.
@@ -340,14 +342,23 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
                 raise ValueError(
                     "mann_whitney_u: a group matched no rows — check "
                     "the group values (NULL groups are excluded)")
-            b2 = 0.0
-            u = 0.0
-            ties = 0.0
+            # exact bignum integers: the doubled rank-sum u2 = Σ c1·
+            # (2·below2 + c2) and the tie term Σ t³ − t never round,
+            # so the driver path stays EXACT past the 2^53 threshold
+            # the float form crosses once a single tied value holds
+            # ~2.1M rows (the documented sf≥1 regime); below 2^53 the
+            # values are bit-identical to the distributed float path
+            # (integer doubles — parity-pinned)
+            b2 = 0
+            u2 = 0
+            ties = 0
             for r in head:
-                u += r["__c1"] * (b2 + 0.5 * r["__c2"])
-                b2 += r["__c2"]
-                tt = r["__c1"] + r["__c2"]
+                c1, c2 = int(r["__c1"]), int(r["__c2"])
+                u2 += c1 * (2 * b2 + c2)
+                b2 += c2
+                tt = c1 + c2
                 ties += tt * tt * tt - tt
+            u = u2 / 2.0  # halving an exactly-converted double is exact
             n = n1 + n2
             mu = n1 * n2 / 2.0
             var = (n1 * n2 / 12.0
@@ -772,7 +783,8 @@ def prop_ztest(df: DataFrame, success, group_col: str,
 
 
 def anova_oneway(df: DataFrame, value_col: str, group_col: str,
-                 max_groups: int = 65536) -> DataFrame:
+                 max_groups: int = 65536,
+                 tail: str = "chi2") -> DataFrame:
     """One-way ANOVA across ALL groups of ``group_col`` — the k-group
     generalization of welch_ttest (equal-variance classical F; the
     per-feature scorer sibling is feature_selection.f_classif, which
@@ -780,12 +792,17 @@ def anova_oneway(df: DataFrame, value_col: str, group_col: str,
     collects (n, Σx, Σx²) per group; F and the partition of variance
     assemble driver-side from k rows of state.
 
-    p-value: k·F → χ²_k as the within dof → ∞ (at corpus scale
-    df_within is ~rows, where the F and χ² tails agree to ~1/df_within
-    — documented; df_between/df_within are returned so a small-sample
-    caller can consult an F table). Returns one row:
-    (k, n, f_stat, df_between, df_within, p_value).
+    p-value: ``tail="chi2"`` (default) uses k·F → χ²_k as the within
+    dof → ∞ (at corpus scale df_within is ~rows, where the F and χ²
+    tails agree to ~1/df_within; this is what the SQL oracles replay).
+    ``tail="exact"`` evaluates the exact F upper tail via the
+    driver-side incomplete-beta continued fraction (f_sf) — a
+    driver-side scalar swap, no plan change — for small-sample
+    callers; df_between/df_within are returned either way. Returns one
+    row: (k, n, f_stat, df_between, df_within, p_value).
     """
+    if tail not in ("chi2", "exact"):
+        raise ValueError("tail must be 'chi2' or 'exact'")
     v = F.col(value_col).cast("double")
     rows = (df.where(v.isNotNull() & ~F.isnan(v)
                      & F.col(group_col).isNotNull())
@@ -818,7 +835,8 @@ def anova_oneway(df: DataFrame, value_col: str, group_col: str,
         raise ValueError("anova_oneway: zero within-group variance — "
                          "F is undefined on constant groups")
     f_stat = (ss_between / dfb) / (ss_within / dfw)
-    p = chi2_sf(dfb * f_stat, dfb)
+    p = (f_sf(f_stat, float(dfb), float(dfw)) if tail == "exact"
+         else chi2_sf(dfb * f_stat, dfb))
     return df.sparkSession.createDataFrame(
         [(k, int(n), float(f_stat), dfb, dfw, float(p))],
         "k long, n long, f_stat double, df_between long, "
@@ -971,7 +989,8 @@ def changepoint_mean(df: DataFrame, value_col: str, order_col: str,
 
 def brown_forsythe(df: DataFrame, value_col: str, group_col: str,
                    approximate: bool = True,
-                   accuracy: int = 10_000) -> DataFrame:
+                   accuracy: int = 10_000,
+                   tail: str = "chi2") -> DataFrame:
     """Brown–Forsythe test of variance homogeneity across k groups —
     the robust Levene variant (deviations from the group MEDIAN, not
     the mean), the standard pre-check before pooling strata or
@@ -982,7 +1001,8 @@ def brown_forsythe(df: DataFrame, value_col: str, group_col: str,
     percentile state is O(group size)), broadcast the k medians back,
     then one-way ANOVA on z = |x − med_g| (anova_oneway's single
     (n, Σz, Σz²) pass; p via the same large-within-dof χ² limit of
-    k·W). Returns one row:
+    k·W by default, or the exact F tail with ``tail="exact"`` — see
+    anova_oneway). Returns one row:
     (k, n, f_stat, df_between, df_within, p_value).
     """
     v = F.col(value_col).cast("double")
@@ -996,7 +1016,7 @@ def brown_forsythe(df: DataFrame, value_col: str, group_col: str,
     joined = (kept.join(F.broadcast(meds),
                         F.col(group_col) == F.col("__g"))
               .select(F.col(group_col).alias("__grp"), z.alias("__z")))
-    return anova_oneway(joined, "__z", "__grp")
+    return anova_oneway(joined, "__z", "__grp", tail=tail)
 
 
 def spearman_rho(df: DataFrame, col_a: str, col_b: str,
@@ -1276,6 +1296,83 @@ def chi2_sf(x: float, dof: int) -> float:
     z = (((x / dof) ** (1.0 / 3.0)) - (1.0 - 2.0 / (9.0 * dof))) \
         / math.sqrt(2.0 / (9.0 * dof))
     return min(1.0, max(0.0, 0.5 * math.erfc(z / math.sqrt(2.0))))
+
+
+def _beta_cf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the regularized incomplete beta, by the
+    modified Lentz method (Lentz 1976; the textbook evaluation of the
+    standard even/odd coefficient recurrence d_{2m} = m(b−m)x/((a+2m−1)
+    (a+2m)), d_{2m+1} = −(a+m)(a+b+m)x/((a+2m)(a+2m+1))). Converges in
+    O(√(a+b)) iterations for x below the (a+1)/(a+b+2) split that
+    betainc_reg applies before calling."""
+    max_iter, eps, fpmin = 300, 3e-15, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < fpmin:
+        d = fpmin
+    d = 1.0 / d
+    h = d
+    for m in range(1, max_iter + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < fpmin:
+            d = fpmin
+        c = 1.0 + aa / c
+        if abs(c) < fpmin:
+            c = fpmin
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < fpmin:
+            d = fpmin
+        c = 1.0 + aa / c
+        if abs(c) < fpmin:
+            c = fpmin
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            return h
+    raise ArithmeticError(f"_beta_cf failed to converge (a={a}, b={b}, "
+                          f"x={x})")
+
+
+def betainc_reg(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b) — driver-side, scipy-free,
+    engine-free (pure math module): the exact tail every classical
+    small-sample distribution (t, F, binomial) reduces to. Uses the
+    continued fraction on whichever side of x = (a+1)/(a+b+2)
+    converges fast, with the symmetry I_x(a,b) = 1 − I_{1−x}(b,a)."""
+    if not (a > 0.0 and b > 0.0):
+        raise ValueError("betainc_reg needs a > 0 and b > 0")
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+                + a * math.log(x) + b * math.log(1.0 - x))
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _beta_cf(a, b, x) / a
+    return 1.0 - front * _beta_cf(b, a, 1.0 - x) / b
+
+
+def f_sf(x: float, d1: float, d2: float) -> float:
+    """EXACT upper-tail F probability P(F_{d1,d2} > x) =
+    I_{d2/(d2+d1·x)}(d2/2, d1/2) — the small-sample tail behind
+    anova_oneway/brown_forsythe's ``tail="exact"`` mode (their default
+    stays the large-within-dof χ² limit of k·F, which is what the SQL
+    oracles replay; this driver-side scalar exists so a 20-row-
+    per-group caller gets an honest p instead of a documented caveat).
+    Agrees with the χ² limit as d2 → ∞ and with the closed forms at
+    d1 = 2 / d2 = 2 (pytest-pinned)."""
+    if x <= 0.0:
+        return 1.0
+    return min(1.0, max(0.0, betainc_reg(d2 / 2.0, d1 / 2.0,
+                                         d2 / (d2 + d1 * x))))
 
 
 def _chi2_sf_sql(x: str, dof: int) -> str:

@@ -583,6 +583,71 @@ def test_spearman_binned_guards(spark):
         spearman_rho_binned(const, "a", "b")
 
 
+def test_f_sf_exact_tail():
+    """The driver-side incomplete-beta F tail, pinned against closed
+    forms and published F-table critical values (no scipy anywhere):
+    d1=2: sf = (1 + 2x/d2)^(-d2/2); d2=2: sf = 1 - (d1·x/(2+d1·x))^
+    (d1/2); plus large-d2 agreement with the chi2 limit."""
+    from dask_ml_spark.functions.stats import (betainc_reg, chi2_sf,
+                                               f_sf)
+
+    # closed forms at even shape parameters
+    for x in (0.5, 1.0, 2.7, 10.0):
+        for d2 in (3, 10, 41):
+            want = (1.0 + 2.0 * x / d2) ** (-d2 / 2.0)
+            assert abs(f_sf(x, 2.0, float(d2)) - want) < 1e-12, (x, d2)
+        for d1 in (4, 7, 12):
+            want = 1.0 - (d1 * x / (2.0 + d1 * x)) ** (d1 / 2.0)
+            assert abs(f_sf(x, float(d1), 2.0) - want) < 1e-12, (x, d1)
+    # published 5% / 1% upper critical values (Abramowitz & Stegun
+    # table 26.9): F(.05; 3,10)=3.7083, F(.05; 5,20)=2.7109,
+    # F(.01; 3,10)=6.5523, F(.05; 1,30)=4.1709
+    for x, d1, d2, p in ((3.7083, 3, 10, 0.05), (2.7109, 5, 20, 0.05),
+                         (6.5523, 3, 10, 0.01), (4.1709, 1, 30, 0.05)):
+        assert abs(f_sf(x, float(d1), float(d2)) - p) < 5e-4, (d1, d2)
+    # chi2 limit: d2 -> inf, P(F_{k,d2} > x) -> P(chi2_k > k x)
+    for k in (2, 4, 6):
+        assert abs(f_sf(1.3, float(k), 2_000_000.0)
+                   - chi2_sf(k * 1.3, k)) < 1e-4
+    # betainc symmetry + bounds
+    assert abs(betainc_reg(2.5, 3.5, 0.3)
+               + betainc_reg(3.5, 2.5, 0.7) - 1.0) < 1e-14
+    assert betainc_reg(1.0, 1.0, 0.25) == 0.25  # I_x(1,1) = x
+    assert f_sf(0.0, 3.0, 10.0) == 1.0
+
+
+def test_anova_exact_tail(spark):
+    """tail='exact' swaps only the driver-side p scalar: the F stat
+    and dofs are unchanged, the exact p matches a hand incomplete-beta
+    evaluation, and at corpus n the two tails agree."""
+    from dask_ml_spark.functions.stats import anova_oneway, f_sf
+
+    rng = np.random.RandomState(13)
+    rows = [(g, float(rng.normal(mu, 1.0)))
+            for g, mu, cnt in (("a", 0.0, 8), ("b", 0.6, 9),
+                               ("c", 1.1, 7))
+            for _ in range(cnt)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    chi = anova_oneway(df, "v", "g").collect()[0]
+    ex = anova_oneway(df, "v", "g", tail="exact").collect()[0]
+    assert ex["f_stat"] == chi["f_stat"]
+    assert (ex["df_between"], ex["df_within"]) == \
+        (chi["df_between"], chi["df_within"])
+    want = f_sf(ex["f_stat"], float(ex["df_between"]),
+                float(ex["df_within"]))
+    assert abs(ex["p_value"] - want) < 1e-15
+    # at 24 within-dof the chi2 limit overstates significance; the
+    # exact tail must be LARGER (F has fatter tails than chi2_k / k)
+    assert ex["p_value"] > chi["p_value"]
+    # brown_forsythe passes the tail through
+    from dask_ml_spark.functions.stats import brown_forsythe
+    bf = brown_forsythe(df, "v", "g", approximate=False,
+                        tail="exact").collect()[0]
+    assert abs(bf["p_value"]
+               - f_sf(bf["f_stat"], float(bf["df_between"]),
+                      float(bf["df_within"]))) < 1e-15
+
+
 def test_changepoint_mean_finds_step(spark):
     from dask_ml_spark.functions.stats import changepoint_mean
 
