@@ -198,7 +198,8 @@ HEADLINE = [
     "welch_bh_by_month",            # per-stratum Welch sweep + BH FDR
     "bootstrap_price_ci",           # Poisson-bootstrap CI, one pass
     "prop_ztest_discount",          # two-proportion z, one aggregate
-    "anova_event_value",            # k-group one-way F + chi2-limit p
+    "anova_event_value",            # k-group one-way F + chi2-limit p + eta^2
+    "pairwise_welch_events",        # post-hoc pairwise Welch + BH
     "spearman_price_quantity",      # tie-averaged rank correlation
     "spearman_price_quantity_binned",  # bins=K scale path (one cell agg)
     "brown_forsythe_price",         # variance homogeneity (robust Levene)

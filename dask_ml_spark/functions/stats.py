@@ -582,6 +582,101 @@ def benjamini_hochberg(df: DataFrame, p_col: str = "p_value",
                          F.col("q_value") <= alpha))
 
 
+def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
+                   alpha: float = 0.05,
+                   max_groups: int = 1024) -> DataFrame:
+    """Post-hoc pairwise comparisons after anova_oneway — the question
+    a significant F immediately raises ("WHICH groups differ?"), as
+    all k(k−1)/2 Welch unequal-variance t-tests with Benjamini–
+    Hochberg FDR across the pair family (Games–Howell's test built
+    from the same (n, m, v) triples, with BH in place of the studentized
+    range — the FDR convention this family already uses).
+
+    Scale shape: ONE groupBy(group) pass of (n, Σx, Σx²) — the same
+    single aggregate anova_oneway runs — then every pair statistic
+    assembles driver-side from k rows of bounded state (max_groups;
+    the pair loop is k²/2 scalar ops, trivial for any k a post-hoc
+    makes sense for). No second data pass, no pairwise join of raw
+    rows. A pair with a group under 2 rows or zero pooled variance
+    reports valid=false with NULL statistics and is EXCLUDED from the
+    BH family m (the welch_ttest_by convention). p is the large-sample
+    normal tail of Welch's t (dof returned; the documented corpus
+    convention). Returns one row per pair (group_a < group_b by string
+    sort): (group_a, group_b, n_a, n_b, mean_diff, t_stat, dof,
+    p_value, q_value, reject, valid), ordered by (group_a, group_b).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    v = F.col(value_col).cast("double")
+    rows = (df.where(v.isNotNull() & ~F.isnan(v)
+                     & F.col(group_col).isNotNull())
+            .groupBy(F.col(group_col).cast("string").alias("__g"))
+            .agg(F.count(F.lit(1)).cast("double").alias("__n"),
+                 F.sum(v).alias("__s"),
+                 F.sum(v * v).alias("__q"))
+            .limit(max_groups + 1)
+            .collect())
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"pairwise_welch: more than max_groups={max_groups} groups "
+            "— a pairwise sweep that size wants bucketing first")
+    rows.sort(key=lambda r: r["__g"])
+    if len(rows) < 2:
+        raise ValueError("pairwise_welch needs >= 2 groups")
+    stats = []
+    for r in rows:
+        n = r["__n"]
+        m = r["__s"] / n
+        var = ((r["__q"] - n * m * m) / (n - 1.0)) if n >= 2.0 else None
+        stats.append((r["__g"], n, m, var))
+    pairs = []
+    for i in range(len(stats)):
+        for j in range(i + 1, len(stats)):
+            ga, na, ma, va = stats[i]
+            gb, nb, mb, vb = stats[j]
+            rec = {"group_a": ga, "group_b": gb,
+                   "n_a": int(na), "n_b": int(nb),
+                   "mean_diff": None, "t_stat": None, "dof": None,
+                   "p_value": None, "q_value": None, "reject": None,
+                   "valid": False}
+            if va is not None and vb is not None:
+                se2 = va / na + vb / nb
+                if se2 > 0.0:
+                    t = (ma - mb) / math.sqrt(se2)
+                    dof = (se2 * se2) / ((va / na) * (va / na)
+                                         / (na - 1.0)
+                                         + (vb / nb) * (vb / nb)
+                                         / (nb - 1.0))
+                    rec.update(
+                        mean_diff=float(ma - mb), t_stat=float(t),
+                        dof=float(dof),
+                        p_value=float(min(1.0, 2.0 * _normal_sf_py(
+                            abs(t)))),
+                        valid=True)
+            pairs.append(rec)
+    # BH step-up over the VALID pair family (suffix min from the
+    # largest rank — benjamini_hochberg's walk, positional ranks with
+    # a deterministic (p, group_a, group_b) tie-break)
+    fam = [p for p in pairs if p["valid"]]
+    fam.sort(key=lambda p: (p["p_value"], p["group_a"], p["group_b"]))
+    m_tests = len(fam)
+    suffix = float("inf")
+    for rank in range(m_tests, 0, -1):
+        p = fam[rank - 1]
+        q = min(suffix, p["p_value"] * m_tests / rank)
+        suffix = q
+        p["q_value"] = float(min(1.0, q))
+        p["reject"] = p["q_value"] <= alpha
+    return df.sparkSession.createDataFrame(
+        [(p["group_a"], p["group_b"], p["n_a"], p["n_b"],
+          p["mean_diff"], p["t_stat"], p["dof"], p["p_value"],
+          p["q_value"], p["reject"], p["valid"]) for p in pairs],
+        "group_a string, group_b string, n_a long, n_b long, "
+        "mean_diff double, t_stat double, dof double, p_value double, "
+        "q_value double, reject boolean, valid boolean").orderBy(
+            "group_a", "group_b")
+
+
 # Poisson(1) inverse-CDF thresholds: F(k) = e^{-1} Σ_{j<=k} 1/j!.
 # Written out as literals so the SQL oracles replay the identical
 # ladder; the k=9 cap truncates 1.1e-8 of the mass.
@@ -799,7 +894,11 @@ def anova_oneway(df: DataFrame, value_col: str, group_col: str,
     driver-side incomplete-beta continued fraction (f_sf) — a
     driver-side scalar swap, no plan change — for small-sample
     callers; df_between/df_within are returned either way. Returns one
-    row: (k, n, f_stat, df_between, df_within, p_value).
+    row: (k, n, f_stat, df_between, df_within, p_value, eta_squared) —
+    η² = SS_between/SS_total, the effect size a corpus-scale caller
+    actually needs (at 10⁶ rows EVERYTHING is significant; η² says
+    whether the group structure explains 0.01% or 30% of the
+    variance). A self-normalizing ratio of the same driver sums.
     """
     if tail not in ("chi2", "exact"):
         raise ValueError("tail must be 'chi2' or 'exact'")
@@ -837,10 +936,11 @@ def anova_oneway(df: DataFrame, value_col: str, group_col: str,
     f_stat = (ss_between / dfb) / (ss_within / dfw)
     p = (f_sf(f_stat, float(dfb), float(dfw)) if tail == "exact"
          else chi2_sf(dfb * f_stat, dfb))
+    eta2 = ss_between / (ss_between + ss_within)
     return df.sparkSession.createDataFrame(
-        [(k, int(n), float(f_stat), dfb, dfw, float(p))],
+        [(k, int(n), float(f_stat), dfb, dfw, float(p), float(eta2))],
         "k long, n long, f_stat double, df_between long, "
-        "df_within long, p_value double")
+        "df_within long, p_value double, eta_squared double")
 
 
 #: z for a two-sided 95% normal interval — Phi^{-1}(0.975), the

@@ -4135,6 +4135,7 @@ def build_catalog():
         "bootstrap_price_ci": q_bootstrap_price_ci,
         "prop_ztest_discount": q_prop_ztest_discount,
         "anova_event_value": q_anova_event_value,
+        "pairwise_welch_events": q_pairwise_welch_events,
         "spearman_price_quantity": q_spearman_price_quantity,
         "spearman_price_quantity_binned": q_spearman_price_quantity_binned,
         "brown_forsythe_price": q_brown_forsythe_price,
@@ -4370,6 +4371,7 @@ def build_catalog():
         "bootstrap_price_ci": _sql_bootstrap_price_ci(),
         "prop_ztest_discount": _sql_prop_ztest_discount(),
         "anova_event_value": _sql_anova_event_value(),
+        "pairwise_welch_events": _sql_pairwise_welch_events(),
         "spearman_price_quantity": _sql_spearman_price_quantity(),
         "spearman_price_quantity_binned":
             _sql_spearman_price_quantity_binned(),
@@ -8283,7 +8285,8 @@ def q_anova_event_value(spark, sf_dir):
     r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return out.select("k", "n", r6(F.col("f_stat")).alias("f_stat"),
                       "df_between", "df_within",
-                      r6(F.col("p_value")).alias("p_value"))
+                      r6(F.col("p_value")).alias("p_value"),
+                      r6(F.col("eta_squared")).alias("eta_squared"))
 
 
 def _sql_anova_event_value() -> str:
@@ -8309,15 +8312,94 @@ WITH g AS (
            sum(q - n * (s/n) * (s/n)) AS ssw
     FROM g
 ), f AS (
-    SELECT k, n_tot, (ssb / (k - 1)) / (ssw / (n_tot - k)) AS f
+    SELECT k, n_tot, (ssb / (k - 1)) / (ssw / (n_tot - k)) AS f,
+           ssb / (ssb + ssw) AS eta2
     FROM t
 )
 SELECT k, n_tot::BIGINT AS n,
        floor(f * 1e6 + 0.5) / 1e6 AS f_stat,
        (k - 1)::BIGINT AS df_between,
        (n_tot - k)::BIGINT AS df_within,
-       floor({tail} * 1e6 + 0.5) / 1e6 AS p_value
+       floor({tail} * 1e6 + 0.5) / 1e6 AS p_value,
+       floor(eta2 * 1e6 + 0.5) / 1e6 AS eta_squared
 FROM f
+"""
+
+
+def q_pairwise_welch_events(spark, sf_dir):
+    """Post-hoc pairwise Welch after ANOVA (functions/stats.py::
+    pairwise_welch — "which event types differ?"): all C(5,2)=10
+    pairwise unequal-variance t-tests from the SAME single
+    (n, Σx, Σx²) groupBy pass anova runs, BH-corrected across the pair
+    family driver-side. The oracle replays the pair loop as a
+    self-join of the 5-row group aggregate and BH as a suffix-min
+    window."""
+    from dask_ml_spark.functions.stats import pairwise_welch
+
+    ev = _t(spark, sf_dir, "events")
+    out = pairwise_welch(ev, "value", "event_type")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        "group_a", "group_b", "n_a", "n_b",
+        r6(F.col("mean_diff")).alias("mean_diff"),
+        r6(F.col("t_stat")).alias("t_stat"),
+        r6(F.col("dof")).alias("dof"),
+        r6(F.col("p_value")).alias("p_value"),
+        r6(F.col("q_value")).alias("q_value"),
+        "reject")
+
+
+def _sql_pairwise_welch_events() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    sf = _normal_sf_sql("abs(t)")
+    # every events group has >= 2 rows and positive variance at any
+    # SF the oracle runs at, so the valid-filter parity is vacuous
+    # here (the engine would exclude invalid pairs from m; there are
+    # none) — documented rather than replicated
+    return f"""
+WITH g AS (
+    SELECT event_type::VARCHAR AS grp, count(*)::DOUBLE AS n,
+           sum(value::DOUBLE) AS s, sum(value::DOUBLE * value) AS q
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+      AND event_type IS NOT NULL
+    GROUP BY 1
+), st AS (
+    SELECT grp, n, s / n AS m,
+           (q - n * (s / n) * (s / n)) / (n - 1.0) AS v
+    FROM g
+), pr AS (
+    SELECT a.grp AS ga, b.grp AS gb, a.n AS na, b.n AS nb,
+           a.m - b.m AS diff,
+           (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) AS t,
+           (a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n)
+               / ((a.v / a.n) * (a.v / a.n) / (a.n - 1.0)
+                  + (b.v / b.n) * (b.v / b.n) / (b.n - 1.0)) AS dof
+    FROM st a JOIN st b ON a.grp < b.grp
+), pp AS (
+    SELECT ga, gb, na, nb, diff, t, dof,
+           least(1.0, 2.0 * {sf}) AS p
+    FROM pr
+), rk AS (
+    SELECT *, row_number() OVER (ORDER BY p, ga, gb) AS j,
+           count(*) OVER () AS m
+    FROM pp
+), bh AS (
+    SELECT *, least(1.0, min(p * m / j) OVER
+               (ORDER BY j ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING)) AS qv
+    FROM rk
+)
+SELECT ga AS group_a, gb AS group_b, na::BIGINT AS n_a,
+       nb::BIGINT AS n_b,
+       floor(diff * 1e6 + 0.5) / 1e6 AS mean_diff,
+       floor(t * 1e6 + 0.5) / 1e6 AS t_stat,
+       floor(dof * 1e6 + 0.5) / 1e6 AS dof,
+       floor(p * 1e6 + 0.5) / 1e6 AS p_value,
+       floor(qv * 1e6 + 0.5) / 1e6 AS q_value,
+       qv <= 0.05 AS reject
+FROM bh
 """
 
 
@@ -8337,7 +8419,8 @@ def q_brown_forsythe_price(spark, sf_dir):
     r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return out.select("k", "n", r6(F.col("f_stat")).alias("f_stat"),
                       "df_between", "df_within",
-                      r6(F.col("p_value")).alias("p_value"))
+                      r6(F.col("p_value")).alias("p_value"),
+                      r6(F.col("eta_squared")).alias("eta_squared"))
 
 
 def _sql_brown_forsythe_price() -> str:
@@ -8370,14 +8453,16 @@ WITH kept AS (
            sum(q - n * (s/n) * (s/n)) AS ssw
     FROM g
 ), f AS (
-    SELECT k, n_tot, (ssb / (k - 1)) / (ssw / (n_tot - k)) AS f
+    SELECT k, n_tot, (ssb / (k - 1)) / (ssw / (n_tot - k)) AS f,
+           ssb / (ssb + ssw) AS eta2
     FROM t
 )
 SELECT k, n_tot::BIGINT AS n,
        floor(f * 1e6 + 0.5) / 1e6 AS f_stat,
        (k - 1)::BIGINT AS df_between,
        (n_tot - k)::BIGINT AS df_within,
-       floor({tail} * 1e6 + 0.5) / 1e6 AS p_value
+       floor({tail} * 1e6 + 0.5) / 1e6 AS p_value,
+       floor(eta2 * 1e6 + 0.5) / 1e6 AS eta_squared
 FROM f
 """
 

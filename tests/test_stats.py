@@ -458,6 +458,11 @@ def test_anova_oneway_matches_f_classif(spark):
     assert out["k"] == 3 and out["n"] == 150
     assert out["df_between"] == 2 and out["df_within"] == 147
     assert abs(out["f_stat"] - want) < 1e-9 * max(1.0, abs(want))
+    # eta^2 = SSB/SST, tied to F by eta2/(1-eta2) = F * dfb/dfw
+    f, dfb, dfw = out["f_stat"], out["df_between"], out["df_within"]
+    want_eta = (f * dfb / dfw) / (1.0 + f * dfb / dfw)
+    assert abs(out["eta_squared"] - want_eta) < 1e-12
+    assert 0.05 < out["eta_squared"] < 0.6
     # chi2_k limit of k*F: sanity vs an independent even-dof tail
     from dask_ml_spark.functions.stats import chi2_sf
     assert abs(out["p_value"] - chi2_sf(2 * out["f_stat"], 2)) < 1e-15
@@ -581,6 +586,51 @@ def test_spearman_binned_guards(spark):
     const = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], ["a", "b"])
     with _pt.raises(ValueError, match="constant"):
         spearman_rho_binned(const, "a", "b")
+
+
+def test_pairwise_welch_posthoc(spark):
+    """All C(k,2) Welch pairs from one aggregate pass: each pair must
+    match the standalone welch_ttest, BH q-values must follow the
+    step-up rule, invalid (singleton) groups report valid=false and
+    don't inflate the family m."""
+    from dask_ml_spark.functions.stats import pairwise_welch, welch_ttest
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for g, mu, cnt in (("a", 0.0, 60), ("b", 0.1, 55), ("c", 2.0, 50)):
+        rows += [(g, float(v)) for v in rng.normal(mu, 1.0, cnt)]
+    rows.append(("d", 9.9))  # singleton: variance undefined
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {(r["group_a"], r["group_b"]): r
+           for r in pairwise_welch(df, "v", "g").collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c"),
+                        ("a", "d"), ("b", "d"), ("c", "d")}
+    for pair in (("a", "d"), ("b", "d"), ("c", "d")):
+        assert out[pair]["valid"] is False
+        assert out[pair]["p_value"] is None
+        assert out[pair]["q_value"] is None
+    # each valid pair matches the standalone two-sample Welch
+    for g1, g2 in (("a", "b"), ("a", "c"), ("b", "c")):
+        want = welch_ttest(df.where(F.col("g") != "d"), "v", "g",
+                           (g1, g2)).collect()[0]
+        got = out[(g1, g2)]
+        assert abs(got["t_stat"] - want["t_stat"]) < 1e-9
+        assert abs(got["p_value"] - want["p_value"]) < 1e-12
+        assert abs(got["dof"] - want["dof"]) < 1e-6
+    # BH over m=3 valid pairs: q = min suffix of p*m/rank; the two
+    # separated pairs reject, the a-b null pair must not
+    ps = sorted((out[k]["p_value"], k) for k in
+                (("a", "b"), ("a", "c"), ("b", "c")))
+    qs = {}
+    suffix = float("inf")
+    for rank in range(3, 0, -1):
+        p, k = ps[rank - 1]
+        suffix = min(suffix, p * 3.0 / rank)
+        qs[k] = min(1.0, suffix)
+    for k, q in qs.items():
+        assert abs(out[k]["q_value"] - q) < 1e-15, k
+    assert out[("a", "c")]["reject"] and out[("b", "c")]["reject"]
+    assert not out[("a", "b")]["reject"]
 
 
 def test_f_sf_exact_tail():
