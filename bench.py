@@ -206,6 +206,7 @@ HEADLINE = [
     "changepoint_event_value",      # binned mean-shift drift monitor
     "ks_drift_daily",               # windowed KS drift vs reference
     "psi_drift_daily",              # windowed PSI vs reference
+    "catdrift_daily",               # categorical-mix PSI + OTHER bucket
     "zdrift_daily",                 # windowed mean/variance z-drift
     "acf_daily_value",              # lag correlation of the daily series
 ]

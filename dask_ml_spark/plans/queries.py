@@ -4142,6 +4142,7 @@ def build_catalog():
         "changepoint_event_value": q_changepoint_event_value,
         "ks_drift_daily": q_ks_drift_daily,
         "psi_drift_daily": q_psi_drift_daily,
+        "catdrift_daily": q_catdrift_daily,
         "zdrift_daily": q_zdrift_daily,
         "acf_daily_value": q_acf_daily_value,
         "mutual_information_events": q_mutual_information_events,
@@ -4379,6 +4380,7 @@ def build_catalog():
         "changepoint_event_value": _sql_changepoint_event_value(),
         "ks_drift_daily": _sql_ks_drift_daily(),
         "psi_drift_daily": _sql_psi_drift_daily(),
+        "catdrift_daily": _sql_catdrift_daily(),
         "zdrift_daily": _sql_zdrift_daily(),
         "acf_daily_value": _sql_acf_daily_value(),
         "mutual_information_events": SQL_MUTUAL_INFORMATION_EVENTS,
@@ -8823,6 +8825,82 @@ bk AS (
 SELECT strftime(day, '%Y-%m-%d') AS day, n,
        floor((0.0 + {terms}) * 1e6 + 0.5) / 1e6 AS psi
 FROM win
+"""
+
+
+def q_catdrift_daily(spark, sf_dir):
+    """Categorical-mix drift per daily window (streaming/drift.py::
+    categorical_drift — psi_drift for string columns, with an OTHER
+    bucket absorbing categories unseen at fit time): one conditional
+    sum per reference category per window, Laplace half-count
+    smoothing, stateless PSI projection — the event-type mix monitor.
+    The oracle replays the reference fit and every window's PSI via a
+    days × categories join."""
+    from dask_ml_spark.streaming.drift import (categorical_drift,
+                                               reference_categories)
+
+    ev = _t(spark, sf_dir, "events")
+    ref = reference_categories(
+        ev.where(F.col("ts") < F.lit(DRIFT_REF_END)), "event_type")
+    out = categorical_drift(ev, "event_type", "ts", ref, window="1 day")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "n", r6(F.col("psi")).alias("psi"),
+        r6(F.col("other_frac")).alias("other_frac"))
+
+
+def _sql_catdrift_daily() -> str:
+    return f"""
+WITH kept AS (
+    SELECT ts, event_type::VARCHAR AS c FROM events
+    WHERE event_type IS NOT NULL
+), refc AS (
+    SELECT c, count(*)::DOUBLE AS rc FROM kept
+    WHERE ts < TIMESTAMP '{DRIFT_REF_END} 00:00:00' GROUP BY c
+), refn AS (
+    SELECT sum(rc) AS rn, (count(*) + 1)::DOUBLE / 2.0 AS hk FROM refc
+), win AS (
+    SELECT date_trunc('day', ts) AS day, c, count(*)::DOUBLE AS cnt
+    FROM kept GROUP BY 1, 2
+), wn AS (
+    SELECT day, sum(cnt) AS n FROM win GROUP BY day
+), terms AS (
+    -- every (day, reference category) pair, zero-filled: a category
+    -- MISSING from a window still contributes its smoothed term
+    SELECT d.day, r.rc, coalesce(w.cnt, 0.0) AS cnt
+    FROM (SELECT DISTINCT day FROM win) d
+    CROSS JOIN refc r
+    LEFT JOIN win w ON w.day = d.day AND w.c = r.c
+), seen_psi AS (
+    SELECT t.day,
+           sum(((t.cnt + 0.5) / (wn.n + (SELECT hk FROM refn))
+                - (t.rc + 0.5) / ((SELECT rn FROM refn)
+                                  + (SELECT hk FROM refn)))
+               * ln(((t.cnt + 0.5) / (wn.n + (SELECT hk FROM refn)))
+                    / ((t.rc + 0.5) / ((SELECT rn FROM refn)
+                                       + (SELECT hk FROM refn)))))
+               AS s,
+           sum(t.cnt) AS seen_cnt
+    FROM terms t JOIN wn ON t.day = wn.day
+    GROUP BY t.day
+), full_psi AS (
+    SELECT sp.day, wn.n,
+           sp.s + ((wn.n - sp.seen_cnt + 0.5)
+                   / (wn.n + (SELECT hk FROM refn))
+                   - 0.5 / ((SELECT rn FROM refn)
+                            + (SELECT hk FROM refn)))
+                  * ln(((wn.n - sp.seen_cnt + 0.5)
+                        / (wn.n + (SELECT hk FROM refn)))
+                       / (0.5 / ((SELECT rn FROM refn)
+                                 + (SELECT hk FROM refn)))) AS psi,
+           (wn.n - sp.seen_cnt) / wn.n AS other_frac
+    FROM seen_psi sp JOIN wn ON sp.day = wn.day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n::BIGINT AS n,
+       floor(psi * 1e6 + 0.5) / 1e6 AS psi,
+       floor(other_frac * 1e6 + 0.5) / 1e6 AS other_frac
+FROM full_psi
 """
 
 

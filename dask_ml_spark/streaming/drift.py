@@ -218,3 +218,73 @@ def z_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
                             2.0 * normal_sf_expr(F.abs(F.col("__z"))))
                     .alias("p_value"),
                     (var_w / F.lit(var0)).alias("var_ratio")))
+
+
+def reference_categories(df: DataFrame, cat_col: str,
+                         max_categories: int = 1024) -> dict:
+    """Fit the fixed reference for categorical_drift: one
+    groupBy(category) count with a bounded collect (max_categories —
+    the max_cells precedent), categories sorted so the monitor's
+    conditional-sum order is content-deterministic. Returns
+    {"cats": [sorted category strings], "counts": [...], "n"}."""
+    c = F.col(cat_col).cast("string")
+    rows = (df.where(c.isNotNull()).groupBy(c.alias("__c"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .limit(max_categories + 1).collect())
+    if len(rows) > max_categories:
+        raise ValueError(
+            f"reference_categories: more than {max_categories} "
+            "distinct categories — bucket or top-K the column first")
+    if not rows:
+        raise ValueError("reference_categories: no non-null categories")
+    rows.sort(key=lambda r: r["__c"])
+    return {"cats": [r["__c"] for r in rows],
+            "counts": [float(r["__n"]) for r in rows],
+            "n": float(sum(r["__n"] for r in rows))}
+
+
+def categorical_drift(df: DataFrame, cat_col: str, ts_col: str,
+                      ref: dict, window: str = "1 hour",
+                      watermark: str | None = None) -> DataFrame:
+    """Categorical-mix drift per tumbling window — the psi_drift
+    companion for string columns (language mix, source mix, event-type
+    mix): PSI over the reference's categories plus one OTHER bucket
+    that absorbs categories unseen at fit time (a new language
+    APPEARING is exactly the drift this monitor must flag, so unseen
+    mass is aggregated, not dropped). Same scale shape as the numeric
+    monitors: ONE groupBy(window(ts)) aggregation with one conditional
+    sum per reference category (+ OTHER), Laplace half-count smoothing
+    on both sides, stateless projection — append-mode streaming legal.
+    Returns (window_start, n, psi, other_frac) per window; other_frac
+    is the unseen-category mass, worth alerting on by itself.
+    """
+    cats = list(ref["cats"])
+    rc = [float(x) for x in ref["counts"]]
+    rn = float(ref["n"])
+    k_all = len(cats) + 1  # + OTHER
+    c = F.col(cat_col).cast("string")
+    kept = df.where(c.isNotNull())
+    if watermark is not None:
+        kept = kept.withWatermark(ts_col, watermark)
+    agg = (kept.groupBy(F.window(ts_col, window).alias("__w"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                *[F.sum((c == F.lit(cat)).cast("double"))
+                  .alias(f"__c{i}") for i, cat in enumerate(cats)]))
+    n = F.col("n").cast("double")
+    seen = sum((F.col(f"__c{i}") for i in range(len(cats))), F.lit(0.0))
+    other = n - seen
+    half_k = float(k_all) / 2.0
+    psi = F.lit(0.0)
+    for i in range(len(cats)):
+        p = (F.col(f"__c{i}") + F.lit(0.5)) / (n + F.lit(half_k))
+        q = F.lit((rc[i] + 0.5) / (rn + half_k))
+        psi = psi + (p - q) * F.log(p / q)
+    p_oth = (other + F.lit(0.5)) / (n + F.lit(half_k))
+    q_oth = F.lit(0.5 / (rn + half_k))  # reference saw zero OTHER
+    psi = psi + (p_oth - q_oth) * F.log(p_oth / q_oth)
+    return (agg.withColumn("__psi", psi)
+            .withColumn("__oth", other / n)
+            .select(F.col("__w.start").alias("window_start"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("__psi").alias("psi"),
+                    F.col("__oth").alias("other_frac")))

@@ -203,3 +203,94 @@ def test_psi_and_z_drift_stream_match_batch(spark, drifted_dir,
         for c in vals:
             assert np.allclose(a[c].to_numpy(), b[c].to_numpy(),
                                atol=1e-12), (tag, c)
+
+
+@pytest.fixture(scope="module")
+def cat_drifted_dir(spark, tmp_path_factory):
+    """Three 1-hour windows of categorical events: window 0/1 drawn
+    from the reference mix, window 2 shifts the mix AND introduces a
+    category unseen at fit time."""
+    rng = np.random.RandomState(37)
+    base = 1_699_999_200
+    mixes = [
+        (["en", "fr", "de"], [0.7, 0.2, 0.1]),
+        (["en", "fr", "de"], [0.7, 0.2, 0.1]),
+        (["en", "fr", "de", "zz"], [0.4, 0.2, 0.1, 0.3]),  # zz is NEW
+    ]
+    rows = []
+    for w, (cats, probs) in enumerate(mixes):
+        ts = base + w * 3600 + rng.randint(0, 3600, 900)
+        cs = rng.choice(cats, 900, p=probs)
+        rows += [(int(t), str(cv)) for t, cv in zip(ts, cs)]
+    df = (spark.createDataFrame(rows, ["epoch", "c"])
+          .select(F.timestamp_seconds(F.col("epoch")).alias("ts"), "c"))
+    d = str(tmp_path_factory.mktemp("cat_drift_stream"))
+    df.coalesce(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_categorical_drift_flags_mix_shift(spark, cat_drifted_dir):
+    from dask_ml_spark.streaming.drift import (categorical_drift,
+                                               reference_categories)
+
+    batch = spark.read.parquet(cat_drifted_dir)
+    ref = reference_categories(
+        batch.where(F.col("ts") < F.timestamp_seconds(
+            F.lit(1_699_999_200 + 3600))), "c")
+    assert ref["cats"] == ["de", "en", "fr"]  # sorted
+    rows = sorted(categorical_drift(batch, "c", "ts", ref,
+                                    window="1 hour").collect(),
+                  key=lambda r: r["window_start"])
+    assert len(rows) == 3
+    assert rows[0]["psi"] < 0.05 and rows[1]["psi"] < 0.05
+    assert rows[0]["other_frac"] == 0.0 and rows[1]["other_frac"] == 0.0
+    assert rows[2]["psi"] > 0.25          # action threshold
+    assert 0.2 < rows[2]["other_frac"] < 0.4  # the new category's mass
+    # independent numpy replay (smoothed PSI incl. the OTHER bucket)
+    pdf = batch.toPandas()
+    pdf["w"] = pdf["ts"].dt.floor("h")
+    rn, k1 = ref["n"], len(ref["cats"]) + 1
+    got = {r["window_start"]: r["psi"] for r in rows}
+    for w, grp in pdf.groupby("w"):
+        n = len(grp)
+        vc = grp["c"].value_counts()
+        want = 0.0
+        seen = 0.0
+        for cat, rc in zip(ref["cats"], ref["counts"]):
+            cnt = float(vc.get(cat, 0))
+            seen += cnt
+            p = (cnt + 0.5) / (n + k1 / 2.0)
+            q = (rc + 0.5) / (rn + k1 / 2.0)
+            want += (p - q) * np.log(p / q)
+        p = (n - seen + 0.5) / (n + k1 / 2.0)
+        q = 0.5 / (rn + k1 / 2.0)
+        want += (p - q) * np.log(p / q)
+        assert abs(got[w.to_pydatetime()] - want) < 1e-10
+
+
+def test_categorical_drift_stream_matches_batch(spark, cat_drifted_dir):
+    from dask_ml_spark.streaming.drift import (categorical_drift,
+                                               reference_categories)
+
+    batch = spark.read.parquet(cat_drifted_dir)
+    ref = reference_categories(
+        batch.where(F.col("ts") < F.timestamp_seconds(
+            F.lit(1_699_999_200 + 3600))), "c")
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(cat_drifted_dir))
+    out = categorical_drift(stream, "c", "ts", ref, window="1 hour",
+                            watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("cat_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = (spark.sql("select * from cat_out").toPandas()
+                .sort_values("window_start").reset_index(drop=True))
+    expected = (categorical_drift(batch, "c", "ts", ref,
+                                  window="1 hour").toPandas()
+                .sort_values("window_start").reset_index(drop=True))
+    assert 2 <= len(streamed) < len(expected)
+    b = expected.iloc[:len(streamed)].reset_index(drop=True)
+    assert (streamed["n"].to_numpy() == b["n"].to_numpy()).all()
+    for c in ("psi", "other_frac"):
+        assert np.allclose(streamed[c].to_numpy(), b[c].to_numpy(),
+                           atol=1e-12)
