@@ -204,6 +204,7 @@ HEADLINE = [
     "spearman_price_quantity_binned",  # bins=K scale path (one cell agg)
     "brown_forsythe_price",         # variance homogeneity (robust Levene)
     "changepoint_event_value",      # binned mean-shift drift monitor
+    "trend_event_value",            # Mann-Kendall + Sen slope (binned)
     "ks_drift_daily",               # windowed KS drift vs reference
     "psi_drift_daily",              # windowed PSI vs reference
     "catdrift_daily",               # categorical-mix PSI + OTHER bucket

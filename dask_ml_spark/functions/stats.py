@@ -1087,6 +1087,103 @@ def changepoint_mean(df: DataFrame, value_col: str, order_col: str,
         "mean_after double")
 
 
+def trend_test(df: DataFrame, value_col: str, order_col: str,
+               bins: int = 64, grid: int | None = None) -> DataFrame:
+    """Mann–Kendall monotone-trend test + Theil–Sen slope over an
+    ordered axis — the drift monitor changepoint_mean can't be ("is
+    quality SLOWLY eroding?" has no single split point): the
+    ks-binned skeleton again. Two narrow scans — one (min, max)
+    aggregate over the order column, one ≤K-group bucket aggregate of
+    (n, Σv) — then the K-point bucket-MEAN series drives both
+    statistics driver-side: S = Σ_{i<j} sign(m_j − m_i) with the
+    tie-corrected variance n(n−1)(2n+5)/18 − Σt(t−1)(2t+5)/18 and a
+    continuity-corrected two-sided normal p, and the Theil–Sen slope =
+    median of the C(K,2) pairwise slopes against bucket midpoints (per
+    order unit). Applying MK to the bucket means rather than raw rows
+    is the scale adaptation: resolution is one bucket (O(range/K)),
+    the price of never sorting rows — same trade as changepoint_mean.
+
+    ``grid``: like bootstrap_ci — with grid=g the bucket sums
+    accumulate as exact int64 10^-g units in BOTH engines, making
+    every bucket mean (and therefore every sign comparison in S)
+    bit-stable under plan-shape changes; sign flips between two
+    near-equal bucket means are exactly the r9 flap class, so the
+    catalog uses grid=4. Returns one row: (n, n_buckets, s_stat, z,
+    p_value, sen_slope).
+    """
+    if bins < 3:
+        raise ValueError("bins must be >= 3")
+    o = F.col(order_col).cast("double")
+    v = F.col(value_col).cast("double")
+    kept = (df.where(o.isNotNull() & ~F.isnan(o)
+                     & v.isNotNull() & ~F.isnan(v))
+            .select(o.alias("__o"), v.alias("__v")))
+    lohi = kept.agg(F.min("__o").alias("lo"),
+                    F.max("__o").alias("hi")).collect()[0]
+    if lohi["lo"] is None:
+        raise ValueError("trend_test: no complete-case rows")
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    width = (hi - lo) or 1.0
+    bucket = F.least(F.lit(bins - 1),
+                     F.floor((F.col("__o") - F.lit(lo)) / F.lit(width)
+                             * F.lit(bins))).cast("int")
+    if grid is not None:
+        scale = float(10 ** grid)
+        vs = F.sum(F.floor(F.col("__v") * F.lit(scale) + F.lit(0.5))
+                   .cast("long")).alias("__s")
+    else:
+        scale = None
+        vs = F.sum("__v").alias("__s")
+    rows = (kept.groupBy(bucket.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__n"), vs)
+            .collect())
+    rows.sort(key=lambda r: r["__b"])
+    if len(rows) < 3:
+        raise ValueError("trend_test: fewer than 3 non-empty buckets — "
+                         "widen the order range or lower bins")
+    n_rows = sum(r["__n"] for r in rows)
+    # bucket means and midpoints, in the exact op order the SQL replays
+    if grid is not None:
+        means = [(r["__s"] / scale) / r["__n"] for r in rows]
+    else:
+        means = [r["__s"] / r["__n"] for r in rows]
+    mids = [lo + (r["__b"] + 0.5) * (width / bins) for r in rows]
+    b = len(means)
+    s = 0
+    slopes = []
+    for i in range(b):
+        for j in range(i + 1, b):
+            d = means[j] - means[i]
+            s += (d > 0) - (d < 0)
+            slopes.append(d / (mids[j] - mids[i]))
+    # tie correction over equal bucket means
+    tie: dict = {}
+    for m in means:
+        tie[m] = tie.get(m, 0) + 1
+    var = (b * (b - 1) * (2 * b + 5)
+           - sum(t * (t - 1) * (2 * t + 5)
+                 for t in tie.values() if t > 1)) / 18.0
+    if var <= 0.0:
+        z = 0.0
+        p = 1.0
+    else:
+        if s > 0:
+            z = (s - 1) / math.sqrt(var)
+        elif s < 0:
+            z = (s + 1) / math.sqrt(var)
+        else:
+            z = 0.0
+        p = min(1.0, 2.0 * _normal_sf_py(abs(z)))
+    slopes.sort()
+    cnt = len(slopes)
+    s_lo, s_hi = slopes[(cnt - 1) // 2], slopes[cnt // 2]
+    sen = s_lo + (s_hi - s_lo) / 2.0  # the oracle replays this form
+    return df.sparkSession.createDataFrame(
+        [(int(n_rows), b, int(s), float(z), float(p), float(sen))],
+        "n long, n_buckets long, s_stat long, z double, "
+        "p_value double, sen_slope double")
+
+
 def brown_forsythe(df: DataFrame, value_col: str, group_col: str,
                    approximate: bool = True,
                    accuracy: int = 10_000,

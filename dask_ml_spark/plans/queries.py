@@ -4140,6 +4140,7 @@ def build_catalog():
         "spearman_price_quantity_binned": q_spearman_price_quantity_binned,
         "brown_forsythe_price": q_brown_forsythe_price,
         "changepoint_event_value": q_changepoint_event_value,
+        "trend_event_value": q_trend_event_value,
         "ks_drift_daily": q_ks_drift_daily,
         "psi_drift_daily": q_psi_drift_daily,
         "catdrift_daily": q_catdrift_daily,
@@ -4378,6 +4379,7 @@ def build_catalog():
             _sql_spearman_price_quantity_binned(),
         "brown_forsythe_price": _sql_brown_forsythe_price(),
         "changepoint_event_value": _sql_changepoint_event_value(),
+        "trend_event_value": _sql_trend_event_value(),
         "ks_drift_daily": _sql_ks_drift_daily(),
         "psi_drift_daily": _sql_psi_drift_daily(),
         "catdrift_daily": _sql_catdrift_daily(),
@@ -8679,6 +8681,103 @@ SELECT floor(((SELECT lo FROM w) + (bkt + 1) * ((SELECT wd FROM w) / {K}))
        floor(m1 * 1e6 + 0.5) / 1e6 AS mean_before,
        floor(m2 * 1e6 + 0.5) / 1e6 AS mean_after
 FROM best
+"""
+
+
+TREND_BINS = 64
+
+
+def q_trend_event_value(spark, sf_dir):
+    """Mann–Kendall trend + Theil–Sen slope over event time
+    (functions/stats.py::trend_test — the monotone-drift monitor
+    changepoint can't express): the ks-binned skeleton, then the
+    64-point bucket-mean series drives S, the tie-corrected z, and the
+    pairwise-slope median driver-side. grid=4 (the _dsum convention)
+    makes every bucket mean — and therefore every sign in S —
+    bit-stable under plan-shape changes; the oracle replays the
+    C(64,2) pair loop as a self-join."""
+    from dask_ml_spark.functions.stats import trend_test
+
+    ev = _t(spark, sf_dir, "events")
+    out = trend_test(ev, "value", "ts", bins=TREND_BINS, grid=4)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n", "n_buckets", "s_stat",
+                      r6(F.col("z")).alias("z"),
+                      r6(F.col("p_value")).alias("p_value"),
+                      r6(F.col("sen_slope") * 86400.0)
+                      .alias("sen_slope_per_day"))
+
+
+def _sql_trend_event_value() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    K = TREND_BINS
+    sf = _normal_sf_sql("abs(z)")
+    return f"""
+WITH k AS (
+    SELECT epoch(ts)::DOUBLE AS o, value::DOUBLE AS v
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+), lim AS (SELECT min(o) AS lo, max(o) AS hi FROM k),
+w AS (SELECT lo, CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END AS wd
+      FROM lim),
+b AS (
+    SELECT least({K - 1}, floor((o - (SELECT lo FROM w))
+                                / (SELECT wd FROM w) * {K})) AS bkt,
+           count(*)::BIGINT AS n,
+           sum(CAST(floor(v * 10000 + 0.5) AS BIGINT)) AS s
+    FROM k GROUP BY 1
+), m AS (
+    -- bucket means from exact int64 1e-4-unit sums (grid=4), in the
+    -- engine's exact op order; midpoints vs the bucket grid
+    SELECT bkt, n, (s::DOUBLE / 10000) / n AS mv,
+           (SELECT lo FROM w) + (bkt + 0.5) * ((SELECT wd FROM w) / {K})
+               AS x
+    FROM b
+), pairs AS (
+    SELECT a.mv AS m1, c.mv AS m2, a.x AS x1, c.x AS x2
+    FROM m a JOIN m c ON a.bkt < c.bkt
+), sstat AS (
+    SELECT sum(CASE WHEN m2 > m1 THEN 1 WHEN m2 < m1 THEN -1
+               ELSE 0 END)::BIGINT AS s,
+           count(*)::BIGINT AS np FROM pairs
+), bc AS (
+    SELECT count(*)::BIGINT AS nb, sum(n)::BIGINT AS n_rows FROM m
+), tc AS (
+    SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT AS t
+    FROM (SELECT count(*)::BIGINT AS t FROM m GROUP BY mv)
+    WHERE t > 1
+), vr AS (
+    SELECT ((SELECT nb FROM bc) * ((SELECT nb FROM bc) - 1)
+            * (2 * (SELECT nb FROM bc) + 5)
+            - (SELECT t FROM tc))::DOUBLE / 18.0 AS var
+), zz AS (
+    SELECT CASE WHEN (SELECT var FROM vr) <= 0.0 THEN 0.0
+                WHEN (SELECT s FROM sstat) > 0
+                    THEN ((SELECT s FROM sstat) - 1)
+                         / sqrt((SELECT var FROM vr))
+                WHEN (SELECT s FROM sstat) < 0
+                    THEN ((SELECT s FROM sstat) + 1)
+                         / sqrt((SELECT var FROM vr))
+                ELSE 0.0 END AS z
+), sl AS (
+    SELECT (m2 - m1) / (x2 - x1) AS sl FROM pairs
+), med AS (
+    SELECT (SELECT sl FROM sl ORDER BY sl
+            LIMIT 1 OFFSET (((SELECT np FROM sstat) - 1) // 2)) AS lo_s,
+           (SELECT sl FROM sl ORDER BY sl
+            LIMIT 1 OFFSET ((SELECT np FROM sstat) // 2)) AS hi_s
+)
+SELECT (SELECT n_rows FROM bc) AS n,
+       (SELECT nb FROM bc) AS n_buckets,
+       (SELECT s FROM sstat) AS s_stat,
+       floor(z * 1e6 + 0.5) / 1e6 AS z,
+       floor(CASE WHEN (SELECT var FROM vr) <= 0.0 THEN 1.0
+                  ELSE least(1.0, 2.0 * {sf}) END * 1e6 + 0.5) / 1e6
+           AS p_value,
+       floor((SELECT lo_s + (hi_s - lo_s) / 2.0 FROM med) * 86400.0
+             * 1e6 + 0.5) / 1e6 AS sen_slope_per_day
+FROM zz
 """
 
 

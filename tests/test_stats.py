@@ -698,6 +698,47 @@ def test_anova_exact_tail(spark):
                       float(bf["df_within"]))) < 1e-15
 
 
+def test_trend_test_mann_kendall(spark):
+    """Mann-Kendall on the bucket-mean series: a clean upward drift is
+    flagged with a positive S and a Sen slope near truth; pure noise
+    is not flagged; the statistics match an independent numpy replay
+    of MK over the same bucket means."""
+    from dask_ml_spark.functions.stats import trend_test
+
+    rng = np.random.RandomState(41)
+    t = np.arange(4000, dtype=float)
+    x = 0.002 * t + rng.normal(0, 1.0, 4000)  # slope 0.002/unit
+    df = spark.createDataFrame(
+        [(float(a), float(v)) for a, v in zip(t, x)], ["ts", "v"])
+    out = trend_test(df, "v", "ts", bins=40).collect()[0]
+    assert out["n"] == 4000 and out["n_buckets"] == 40
+    assert out["s_stat"] > 0 and out["p_value"] < 1e-6
+    assert abs(out["sen_slope"] - 0.002) < 0.0008
+    # numpy replay over the identical bucket means
+    lo, hi = t.min(), t.max()
+    width = hi - lo
+    b = np.minimum(39, np.floor((t - lo) / width * 40)).astype(int)
+    means = np.array([x[b == k].mean() for k in range(40)])
+    s = sum(np.sign(means[j] - means[i])
+            for i in range(40) for j in range(i + 1, 40))
+    var = 40 * 39 * 85 / 18.0
+    z = (s - 1) / math.sqrt(var) if s > 0 else (s + 1) / math.sqrt(var)
+    assert out["s_stat"] == int(s)
+    assert abs(out["z"] - z) < 1e-9
+    # no trend -> not flagged
+    noise = spark.createDataFrame(
+        [(float(a), float(v))
+         for a, v in zip(t, rng.normal(0, 1.0, 4000))], ["ts", "v"])
+    quiet = trend_test(noise, "v", "ts", bins=40).collect()[0]
+    assert quiet["p_value"] > 0.05
+    # grid=4 path: bit-deterministic across partitionings
+    a = trend_test(df, "v", "ts", bins=40, grid=4).collect()[0]
+    b2 = trend_test(df.repartition(11), "v", "ts", bins=40,
+                    grid=4).collect()[0]
+    assert (a["s_stat"], a["z"], a["sen_slope"]) == \
+        (b2["s_stat"], b2["z"], b2["sen_slope"])
+
+
 def test_changepoint_mean_finds_step(spark):
     from dask_ml_spark.functions.stats import changepoint_mean
 
