@@ -209,6 +209,7 @@ HEADLINE = [
     "psi_drift_daily",              # windowed PSI vs reference
     "catdrift_daily",               # categorical-mix PSI + OTHER bucket
     "zdrift_daily",                 # windowed mean/variance z-drift
+    "corrdrift_monthly",            # feature-relationship (Fisher) drift
     "acf_daily_value",              # lag correlation of the daily series
 ]
 

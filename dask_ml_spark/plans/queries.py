@@ -4145,6 +4145,7 @@ def build_catalog():
         "psi_drift_daily": q_psi_drift_daily,
         "catdrift_daily": q_catdrift_daily,
         "zdrift_daily": q_zdrift_daily,
+        "corrdrift_monthly": q_corrdrift_monthly,
         "acf_daily_value": q_acf_daily_value,
         "mutual_information_events": q_mutual_information_events,
         "feature_corr_matrix": q_feature_corr_matrix,
@@ -4384,6 +4385,7 @@ def build_catalog():
         "psi_drift_daily": _sql_psi_drift_daily(),
         "catdrift_daily": _sql_catdrift_daily(),
         "zdrift_daily": _sql_zdrift_daily(),
+        "corrdrift_monthly": _sql_corrdrift_monthly(),
         "acf_daily_value": _sql_acf_daily_value(),
         "mutual_information_events": SQL_MUTUAL_INFORMATION_EVENTS,
         "feature_corr_matrix": SQL_FEATURE_CORR_MATRIX,
@@ -9062,6 +9064,73 @@ SELECT strftime(day, '%Y-%m-%d') AS day, n::BIGINT AS n,
        floor(z * 1e6 + 0.5) / 1e6 AS z_mean,
        floor(least(1.0, 2.0 * {sf}) * 1e6 + 0.5) / 1e6 AS p_value,
        floor(var_ratio * 1e6 + 0.5) / 1e6 AS var_ratio
+FROM z
+"""
+
+
+CORR_REF_END = "1996-01-01"
+
+
+def q_corrdrift_monthly(spark, sf_dir):
+    """Feature-relationship drift (streaming/drift.py::corr_drift —
+    the drift family member marginal monitors can't see): per 30-day
+    ship window the Pearson r between price and quantity, Fisher-
+    transformed against a fixed reference r. ONE groupBy(window)
+    co-moment aggregate; streaming-legal. The oracle recomputes the
+    reference and replays every window (Spark's tumbling windows are
+    1970-epoch aligned, which the SQL mirrors with integer epoch
+    division)."""
+    from dask_ml_spark.streaming.drift import (corr_drift,
+                                               reference_correlation)
+
+    li = _t(spark, sf_dir, "lineitem")
+    ref = reference_correlation(
+        li.where(F.col("l_shipdate") < F.lit(CORR_REF_END)),
+        "l_extendedprice", "l_quantity")
+    out = corr_drift(li, "l_extendedprice", "l_quantity", "l_shipdate",
+                     ref, window="30 days")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("win"),
+        "n", r6(F.col("corr")).alias("corr"),
+        r6(F.col("z")).alias("z"),
+        r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_corrdrift_monthly() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    sf = _normal_sf_sql("abs(z)")
+    w = 30 * 86400
+    return f"""
+WITH kept AS (
+    SELECT l_shipdate AS ts, l_extendedprice::DOUBLE AS a,
+           l_quantity::DOUBLE AS b
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+      AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+), ref AS (
+    SELECT 0.5 * ln((1.0 + corr(a, b)) / (1.0 - corr(a, b))) AS z0
+    FROM kept WHERE ts < TIMESTAMP '{CORR_REF_END} 00:00:00'
+), win AS (
+    -- Spark tumbling windows align to the 1970 epoch
+    SELECT to_timestamp((epoch(ts)::BIGINT // {w}) * {w}) AS ws,
+           count(*)::BIGINT AS n, corr(a, b) AS r
+    FROM kept GROUP BY 1
+), z AS (
+    SELECT ws, n, r,
+           CASE WHEN n >= 4 AND r IS NOT NULL AND abs(r) < 1.0
+                THEN (0.5 * ln((1.0 + r) / (1.0 - r))
+                      - (SELECT z0 FROM ref)) * sqrt(n - 3.0)
+           END AS z
+    FROM win
+)
+SELECT strftime(ws, '%Y-%m-%d') AS win, n,
+       floor(r * 1e6 + 0.5) / 1e6 AS corr,
+       floor(z * 1e6 + 0.5) / 1e6 AS z,
+       floor(CASE WHEN z IS NULL THEN NULL
+                  ELSE least(1.0, 2.0 * {sf}) END * 1e6 + 0.5) / 1e6
+           AS p_value
 FROM z
 """
 

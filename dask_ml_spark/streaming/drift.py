@@ -1,20 +1,32 @@
-"""Windowed distribution-drift monitor (beyond-reference).
+"""Windowed drift monitors (beyond-reference).
 
 The r9/r10 stats family answers "did the distribution move?" for
 batch corpora; a 100 TB ingest pipeline wants the same answer PER
-ARRIVAL WINDOW, continuously. ``ks_drift`` runs a one-sample binned
-Kolmogorov–Smirnov test of every tumbling event-time window against a
-fixed reference histogram — and it is ONE built-in windowed
-aggregation, legal in append-mode Structured Streaming with a
-watermark, because the ECDF needs no cumsum: the cumulative count at
-bucket edge k is just the conditional sum Σ[bucket ≤ k], so all K−1
-ECDF points ride the same groupBy(window) pass. The identical code
-path serves batch frames (same Catalyst expressions, batch source) —
-which is what the SQL oracle replays and what the stream-vs-batch
-parity test pins.
+ARRIVAL WINDOW, continuously, for every way a feed can rot:
+
+- ``ks_drift``     — distribution SHAPE vs a reference histogram
+- ``psi_drift``    — distribution MASS (the PSI score, numeric)
+- ``categorical_drift`` — category MIX, with an OTHER bucket for
+  categories unseen at fit time
+- ``z_drift``      — LEVEL and SPREAD vs reference moments
+- ``corr_drift``   — feature RELATIONSHIP (Fisher-z vs a reference r),
+  which every marginal monitor above is blind to
+
+Each is ONE built-in windowed aggregation — the per-window statistics
+are conditional sums (the ECDF point at edge k is Σ[bucket ≤ k], a PSI
+bucket count is Σ[bucket = k], the co-moments are plain sums), so all
+of them are legal in append-mode Structured Streaming with a
+watermark, with NO cumsum, NO custom state. The identical code path
+serves batch frames (same Catalyst expressions, batch source) — which
+is what the SQL oracles replay and what the stream-vs-batch parity
+tests pin. Fit functions (reference_histogram / reference_categories /
+reference_moments / reference_correlation) are bounded one-aggregate
+passes over a reference slice.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -288,3 +300,68 @@ def categorical_drift(df: DataFrame, cat_col: str, ts_col: str,
                     F.col("n").cast("long").alias("n"),
                     F.col("__psi").alias("psi"),
                     F.col("__oth").alias("other_frac")))
+
+
+def reference_correlation(df: DataFrame, col_a: str,
+                          col_b: str) -> dict:
+    """Fit the fixed reference for corr_drift: ONE (n, Pearson r)
+    aggregate over the reference slice. Returns {"n", "corr"}."""
+    a = F.col(col_a).cast("double")
+    b = F.col(col_b).cast("double")
+    row = (df.where(a.isNotNull() & ~F.isnan(a)
+                    & b.isNotNull() & ~F.isnan(b))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.corr(a, b).alias("r")).collect()[0])
+    if not row["n"] or row["n"] < 4:
+        raise ValueError("reference_correlation needs >= 4 "
+                         "complete-case rows")
+    r = row["r"]
+    if r is None or abs(r) >= 1.0:
+        raise ValueError("reference_correlation: reference r is "
+                         "undefined or degenerate (|r| = 1)")
+    return {"n": float(row["n"]), "corr": float(r)}
+
+
+def corr_drift(df: DataFrame, col_a: str, col_b: str, ts_col: str,
+               ref: dict, window: str = "1 hour",
+               watermark: str | None = None) -> DataFrame:
+    """Feature-RELATIONSHIP drift per tumbling window — the family
+    member the level (z_drift), distribution (ks/psi), mix
+    (categorical) and trend (Mann–Kendall) monitors can't see: two
+    features can keep their marginals while their joint structure
+    breaks (an upstream join bug, a schema drift that decouples
+    columns). Per window the Pearson r over the pair, compared to a
+    fixed reference r through the Fisher transform: z = (atanh(r_w) −
+    atanh(r_ref))·√(n_w − 3), two-sided normal p. ONE
+    groupBy(window(ts)) aggregation of the six co-moment sums —
+    streaming-legal, identical code path on batch (what the oracle
+    replays). Returns (window_start, n, corr, z, p_value); windows
+    with n < 4 or a degenerate r report NULL z/p.
+    """
+    from dask_ml_spark.functions.stats import normal_sf_expr
+
+    r0 = float(ref["corr"])
+    z0 = 0.5 * math.log((1.0 + r0) / (1.0 - r0))  # atanh, replayable
+    a = F.col(col_a).cast("double")
+    b = F.col(col_b).cast("double")
+    kept = df.where(a.isNotNull() & ~F.isnan(a)
+                    & b.isNotNull() & ~F.isnan(b))
+    if watermark is not None:
+        kept = kept.withWatermark(ts_col, watermark)
+    agg = (kept.groupBy(F.window(ts_col, window).alias("__w"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.corr(a, b).alias("__r")))
+    n = F.col("n").cast("double")
+    r = F.col("__r")
+    ok = (n >= 4.0) & r.isNotNull() & (F.abs(r) < 1.0)
+    fisher = 0.5 * F.log((1.0 + r) / (1.0 - r))
+    z = F.when(ok, (fisher - F.lit(z0)) * F.sqrt(n - 3.0))
+    return (agg.withColumn("__z", z)
+            .select(F.col("__w.start").alias("window_start"),
+                    F.col("n").cast("long").alias("n"),
+                    r.alias("corr"),
+                    F.col("__z").alias("z"),
+                    F.when(F.col("__z").isNotNull(),
+                           F.least(F.lit(1.0), 2.0 * normal_sf_expr(
+                               F.abs(F.col("__z")))))
+                    .alias("p_value")))

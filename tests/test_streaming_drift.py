@@ -294,3 +294,83 @@ def test_categorical_drift_stream_matches_batch(spark, cat_drifted_dir):
     for c in ("psi", "other_frac"):
         assert np.allclose(streamed[c].to_numpy(), b[c].to_numpy(),
                            atol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def corr_drifted_dir(spark, tmp_path_factory):
+    """Three 1-hour windows of an (a, b) pair: windows 0/1 keep the
+    reference relationship b ~ 0.8a + noise; window 2 DECOUPLES the
+    pair (independent b) while both marginals stay the same."""
+    rng = np.random.RandomState(53)
+    base = 1_699_999_200
+    rows = []
+    for w in range(3):
+        ts = base + w * 3600 + rng.randint(0, 3600, 900)
+        a = rng.normal(0, 1.0, 900)
+        noise = rng.normal(0, 0.6, 900)
+        b = 0.8 * a + noise if w < 2 else rng.normal(0, 1.0, 900)
+        rows += [(int(t), float(x), float(y))
+                 for t, x, y in zip(ts, a, b)]
+    df = (spark.createDataFrame(rows, ["epoch", "a", "b"])
+          .select(F.timestamp_seconds(F.col("epoch")).alias("ts"),
+                  "a", "b"))
+    d = str(tmp_path_factory.mktemp("corr_drift_stream"))
+    df.coalesce(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_corr_drift_flags_decoupling(spark, corr_drifted_dir):
+    from dask_ml_spark.streaming.drift import (corr_drift,
+                                               reference_correlation)
+
+    batch = spark.read.parquet(corr_drifted_dir)
+    ref = reference_correlation(
+        batch.where(F.col("ts") < F.timestamp_seconds(
+            F.lit(1_699_999_200 + 3600))), "a", "b")
+    assert 0.6 < ref["corr"] < 0.9
+    rows = sorted(corr_drift(batch, "a", "b", "ts", ref,
+                             window="1 hour").collect(),
+                  key=lambda r: r["window_start"])
+    assert len(rows) == 3
+    assert abs(rows[0]["z"]) < 1e-9          # window 0 IS the reference
+    assert abs(rows[1]["z"]) < 3.5           # same relationship
+    assert rows[1]["p_value"] > 1e-3
+    assert rows[2]["z"] < -15                # decoupled: r collapsed
+    assert rows[2]["p_value"] < 1e-12
+    assert abs(rows[2]["corr"]) < 0.2
+    # Fisher replay
+    import math as _m
+    z0 = 0.5 * _m.log((1 + ref["corr"]) / (1 - ref["corr"]))
+    for r in rows:
+        want = (0.5 * _m.log((1 + r["corr"]) / (1 - r["corr"])) - z0) \
+            * _m.sqrt(r["n"] - 3.0)
+        assert abs(r["z"] - want) < 1e-9
+
+
+def test_corr_drift_stream_matches_batch(spark, corr_drifted_dir):
+    from dask_ml_spark.streaming.drift import (corr_drift,
+                                               reference_correlation)
+
+    batch = spark.read.parquet(corr_drifted_dir)
+    ref = reference_correlation(
+        batch.where(F.col("ts") < F.timestamp_seconds(
+            F.lit(1_699_999_200 + 3600))), "a", "b")
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(corr_drifted_dir))
+    out = corr_drift(stream, "a", "b", "ts", ref, window="1 hour",
+                     watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("corr_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = (spark.sql("select * from corr_out").toPandas()
+                .sort_values("window_start").reset_index(drop=True))
+    expected = (corr_drift(batch, "a", "b", "ts", ref,
+                           window="1 hour").toPandas()
+                .sort_values("window_start").reset_index(drop=True))
+    assert 2 <= len(streamed) < len(expected)
+    b = expected.iloc[:len(streamed)].reset_index(drop=True)
+    assert (streamed["n"].to_numpy() == b["n"].to_numpy()).all()
+    for c in ("corr", "z", "p_value"):
+        assert np.allclose(streamed[c].to_numpy(), b[c].to_numpy(),
+                           atol=1e-10)
