@@ -1113,6 +1113,11 @@ def trend_test(df: DataFrame, value_col: str, order_col: str,
     """
     if bins < 3:
         raise ValueError("bins must be >= 3")
+    if bins > 1024:
+        # C(K,2) pairwise slopes sort driver-side: 1024 → ~524k
+        # scalars, the bounded ceiling (the spearman_rho_binned cap)
+        raise ValueError("bins > 1024 — the C(K,2) driver slope state "
+                         "stops being bounded")
     o = F.col(order_col).cast("double")
     v = F.col(value_col).cast("double")
     kept = (df.where(o.isNotNull() & ~F.isnan(o)
@@ -1312,9 +1317,12 @@ def spearman_rho_binned(df: DataFrame, col_a: str, col_b: str,
     """
     if bins < 2:
         raise ValueError("bins must be >= 2")
-    if bins > 4096:
-        raise ValueError("bins > 4096 — the ≤K² driver cell state "
-                         "stops being 'bounded'; use spearman_rho")
+    if bins > 1024:
+        # K² cells is the driver state: 1024² ≈ 1M rows is the ceiling
+        # of 'bounded' (the max_driver_rows precedent); the O(1/K) bias
+        # at K=1024 is already below any decision threshold
+        raise ValueError("bins > 1024 — the ≤K² driver cell state "
+                         "stops being bounded; use spearman_rho")
     va = F.col(col_a).cast("double")
     vb = F.col(col_b).cast("double")
     kept = (df.where(va.isNotNull() & ~F.isnan(va)

@@ -271,6 +271,15 @@ def categorical_drift(df: DataFrame, cat_col: str, ts_col: str,
     is the unseen-category mass, worth alerting on by itself.
     """
     cats = list(ref["cats"])
+    if len(cats) > 512:
+        # one conditional-sum column per category: past ~512 the
+        # generated aggregate blows the whole-stage-codegen method
+        # budget (the bootstrap_ci 2·B-columns lesson) — top-K the
+        # column at fit time instead
+        raise ValueError(
+            f"categorical_drift: {len(cats)} reference categories — "
+            "cap the fit (reference_categories over a top-K or "
+            "bucketed column) at <= 512")
     rc = [float(x) for x in ref["counts"]]
     rn = float(ref["n"])
     k_all = len(cats) + 1  # + OTHER
