@@ -210,6 +210,7 @@ HEADLINE = [
     "catdrift_daily",               # categorical-mix PSI + OTHER bucket
     "zdrift_daily",                 # windowed mean/variance z-drift
     "corrdrift_monthly",            # feature-relationship (Fisher) drift
+    "embedding_drift_labels",       # per-dim embedding drift + BH
     "acf_daily_value",              # lag correlation of the daily series
 ]
 

@@ -244,3 +244,34 @@ def distribution_drift(df_a: DataFrame, df_b: DataFrame, col: str,
         tvd += abs(ca.get(i, 0) / n_a - cb.get(i, 0) / n_b)
     return {"psi": psi, "kl": kl, "tvd": 0.5 * tvd,
             "n_a": n_a, "n_b": n_b}
+
+
+def embedding_drift(df: DataFrame, vec_col: str, group_col: str,
+                    groups, alpha: float = 0.05) -> DataFrame:
+    """Embedding-SPACE drift between two corpus slices (old vs new
+    scrape, two encoder versions, two sources): per-DIMENSION Welch
+    t-tests with BH FDR across the d dimensions — the multivariate
+    sibling of the scalar drift monitors, answering "did the embedding
+    distribution move, and along WHICH axes?" before an index rebuild
+    or a SemDeDup threshold re-fit.
+
+    Shape: posexplode fans each vector into (dim, value) rows — n·d
+    narrow rows whose groupBy(dim) aggregate map-side-combines each
+    partition down to d rows — then the existing welch_ttest_by sweep
+    (ONE conditional-sum aggregate) and benjamini_hochberg (bounded
+    driver q-map, broadcast join-back) do the statistics. No pairwise
+    anything, no covariance matrix (a full Hotelling T² wants d×d
+    state; per-dim + FDR is the honest 100 TB screen, and the q-ranked
+    dims point at WHAT moved). Returns one row per dimension:
+    (dim, n1, n2, mean_diff, t_stat, dof, p_value, valid, q_value,
+    reject), ordered by dim.
+    """
+    from dask_ml_spark.functions.stats import (benjamini_hochberg,
+                                               welch_ttest_by)
+
+    exploded = df.select(
+        F.col(group_col).alias("__grp"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__val"))
+    sweep = welch_ttest_by(exploded, "__val", "__grp", groups=groups,
+                           by="dim")
+    return benjamini_hochberg(sweep, alpha=alpha).orderBy("dim")

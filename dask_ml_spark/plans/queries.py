@@ -4146,6 +4146,7 @@ def build_catalog():
         "catdrift_daily": q_catdrift_daily,
         "zdrift_daily": q_zdrift_daily,
         "corrdrift_monthly": q_corrdrift_monthly,
+        "embedding_drift_labels": q_embedding_drift_labels,
         "acf_daily_value": q_acf_daily_value,
         "mutual_information_events": q_mutual_information_events,
         "feature_corr_matrix": q_feature_corr_matrix,
@@ -4386,6 +4387,7 @@ def build_catalog():
         "catdrift_daily": _sql_catdrift_daily(),
         "zdrift_daily": _sql_zdrift_daily(),
         "corrdrift_monthly": _sql_corrdrift_monthly(),
+        "embedding_drift_labels": _sql_embedding_drift_labels(),
         "acf_daily_value": _sql_acf_daily_value(),
         "mutual_information_events": SQL_MUTUAL_INFORMATION_EVENTS,
         "feature_corr_matrix": SQL_FEATURE_CORR_MATRIX,
@@ -8150,6 +8152,81 @@ SELECT p.ship_month, p.n1::BIGINT AS n1, p.n2::BIGINT AS n2,
        CASE WHEN adj.q IS NOT NULL THEN adj.q <= 0.05 END AS reject,
        p.valid AS valid
 FROM p LEFT JOIN adj ON p.ship_month = adj.ship_month
+"""
+
+
+def q_embedding_drift_labels(spark, sf_dir):
+    """Per-dimension embedding-space drift (datapipe/profiling.py::
+    embedding_drift — the multivariate drift screen): posexplode fans
+    vectors into (dim, value) rows, ONE conditional-sum groupBy(dim)
+    computes all 64 Welch tests, BH controls the family. The oracle
+    replays the explode with a lateral unnest(range(length)) and the
+    sweep with the welch_bh window template."""
+    from dask_ml_spark.datapipe.profiling import embedding_drift
+
+    em = _t(spark, sf_dir, "embeddings")
+    out = embedding_drift(em, "embedding", "label", (0, 1))
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        "dim", "n1", "n2",
+        r6(F.col("mean_diff")).alias("mean_diff"),
+        r6(F.col("t_stat")).alias("t_stat"),
+        r6(F.col("p_value")).alias("p_value"),
+        r6(F.col("q_value")).alias("q_value"),
+        "reject", "valid")
+
+
+def _sql_embedding_drift_labels() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    sf = _normal_sf_sql("abs(t)")
+    return f"""
+WITH k AS (
+    SELECT t.i AS dim, embedding[t.i + 1]::DOUBLE AS v,
+           CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS one,
+           CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END AS two
+    FROM embeddings, unnest(range(length(embedding))) AS t(i)
+    WHERE label IN (0, 1)
+), a AS (
+    SELECT dim, sum(one) AS n1, sum(two) AS n2,
+           sum(one * v) AS s1, sum(two * v) AS s2,
+           sum(one * v * v) AS q1, sum(two * v * v) AS q2
+    FROM k GROUP BY dim
+), m AS (
+    SELECT dim, n1, n2, s1/n1 AS m1, s2/n2 AS m2,
+           (q1 - n1 * (s1/n1) * (s1/n1)) / (n1 - 1.0) AS v1,
+           (q2 - n2 * (s2/n2) * (s2/n2)) / (n2 - 1.0) AS v2
+    FROM a
+), t AS (
+    SELECT dim, n1, n2, m1 - m2 AS diff,
+           CASE WHEN n1 >= 2 AND n2 >= 2
+                     AND v1/n1 + v2/n2 > 0.0
+                THEN (m1 - m2) / sqrt(v1/n1 + v2/n2) END AS t,
+           (n1 >= 2 AND n2 >= 2
+            AND coalesce(v1/n1 + v2/n2, -1.0) > 0.0) AS valid
+    FROM m
+), p AS (
+    SELECT dim, n1, n2, diff, t, valid,
+           CASE WHEN valid THEN least(1.0, 2.0 * {sf}) END AS p
+    FROM t
+), fam AS (
+    SELECT *, row_number() OVER (ORDER BY p) AS rn,
+           count(*) OVER () AS mm
+    FROM p WHERE p IS NOT NULL
+), adj AS (
+    SELECT *, least(1.0, min(p * mm / rn)
+               OVER (ORDER BY rn ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING)) AS q
+    FROM fam
+)
+SELECT p.dim::BIGINT AS dim, p.n1::BIGINT AS n1, p.n2::BIGINT AS n2,
+       floor(p.diff * 1e6 + 0.5) / 1e6 AS mean_diff,
+       floor(p.t * 1e6 + 0.5) / 1e6 AS t_stat,
+       floor(p.p * 1e6 + 0.5) / 1e6 AS p_value,
+       floor(adj.q * 1e6 + 0.5) / 1e6 AS q_value,
+       CASE WHEN adj.q IS NOT NULL THEN adj.q <= 0.05 END AS reject,
+       p.valid AS valid
+FROM p LEFT JOIN adj ON p.dim = adj.dim
 """
 
 

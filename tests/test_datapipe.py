@@ -2785,3 +2785,38 @@ def test_script_profile_detection(spark):
     assert got[6]["n_han"] == 4 and got[6]["n_kana"] == 1
     # non-ascii fraction: 9 cyrillic chars of 10 total
     assert got[1]["non_ascii_frac"] == 0.9
+
+
+def test_embedding_drift_per_dimension(spark):
+    """Per-dim Welch sweep over exploded vectors: dims where the two
+    groups genuinely differ reject after BH, identical dims don't, and
+    each dim's t matches the scalar welch_ttest on that dim."""
+    import numpy as np
+
+    from dask_ml_spark.datapipe.profiling import embedding_drift
+    from dask_ml_spark.functions.stats import welch_ttest
+
+    rng = np.random.RandomState(61)
+    rows = []
+    for g, shift in ((0, 0.0), (1, 1.5)):
+        for _ in range(120):
+            # dims 0-1 shift with the group; dims 2-3 are identical
+            v = [float(rng.normal(shift, 1.0)),
+                 float(rng.normal(-shift, 1.0)),
+                 float(rng.normal(5.0, 1.0)),
+                 float(rng.normal(0.0, 1.0))]
+            rows.append((g, v))
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    out = {r["dim"]: r for r in
+           embedding_drift(df, "embedding", "label", (0, 1)).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(out[d]["valid"] for d in range(4))
+    assert out[0]["reject"] and out[1]["reject"]
+    assert not out[2]["reject"] and not out[3]["reject"]
+    assert out[0]["t_stat"] < -5 and out[1]["t_stat"] > 5
+    # per-dim t matches the standalone scalar Welch on that dimension
+    from pyspark.sql import functions as SF
+    one_dim = df.select("label",
+                        SF.col("embedding")[2].alias("v"))
+    want = welch_ttest(one_dim, "v", "label", (0, 1)).collect()[0]
+    assert abs(out[2]["t_stat"] - want["t_stat"]) < 1e-9
