@@ -197,6 +197,7 @@ HEADLINE = [
     # r10 additions
     "welch_bh_by_month",            # per-stratum Welch sweep + BH FDR
     "bootstrap_price_ci",           # Poisson-bootstrap CI, one pass
+    "bootstrap_ci_by_flag",         # per-group bootstrap CI sweep
     "prop_ztest_discount",          # two-proportion z, one aggregate
     "anova_event_value",            # k-group one-way F + chi2-limit p + eta^2
     "pairwise_welch_events",        # post-hoc pairwise Welch + BH

@@ -842,6 +842,110 @@ def bootstrap_ci(df: DataFrame, value_col: str, key_cols,
         "n long, mean double, ci_lo double, ci_hi double, n_boot long")
 
 
+def bootstrap_ci_by(df: DataFrame, value_col: str, key_cols, by,
+                    n_boot: int = 200, alpha: float = 0.05,
+                    salt: int = 0, grid: int | None = None,
+                    max_groups: int = 256) -> DataFrame:
+    """Per-GROUP Poisson-bootstrap CIs — the corpus-report sweep
+    ("mean quality per source, with error bars") in ONE Spark job:
+    bootstrap_ci's hash-deterministic per-(row, replicate) draws,
+    aggregated by (group, replicate) instead of replicate — still one
+    raw-row pass, ≤G·B aggregate groups, nothing materialized. The
+    driver state is the bounded (max_groups·n_boot)-row replicate
+    table (the max_cells precedent).
+
+    Unlike the single-population API (which raises on an empty
+    replicate — a caller error there), a sweep must not die on one
+    thin group: groups where ANY replicate drew zero weight report
+    NULL mean/ci and valid=false (the welch_ttest_by convention).
+    ``grid`` as in bootstrap_ci — the catalog uses grid=4 for
+    bit-stable price-scale sums. Returns one row per group, ordered by
+    the by-columns: (by..., n, mean, ci_lo, ci_hi, n_boot, valid).
+    """
+    from dask_ml_spark.plans.model_selection import _hash_bucket_expr
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    if n_boot < 2:
+        raise ValueError("n_boot must be >= 2")
+    by = [by] if isinstance(by, str) else list(by)
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    P = 1 << 31
+    M = 2654435761
+    v = F.col(value_col).cast("double")
+    kept = df.where(v.isNotNull() & ~F.isnan(v))
+    for c in by:
+        kept = kept.where(F.col(c).isNotNull())
+    k0 = _hash_bucket_expr(key_cols, P, salt, df=df)
+    if grid is not None:
+        scale = float(10 ** grid)
+        vq = F.floor(v * F.lit(scale) + F.lit(0.5)).cast("long")
+        sel = kept.select(*[F.col(c).cast("string").alias(f"__g{i}")
+                            for i, c in enumerate(by)],
+                          vq.alias("__vq"), k0.alias("__k0"))
+        wx_of = lambda w: F.sum(F.col("__vq") * w.cast("long"))  # noqa
+        sw_of = lambda w: F.sum(w.cast("long"))  # noqa: E731
+        s_agg = F.sum("__vq").alias("__s")
+    else:
+        scale = None
+        sel = kept.select(*[F.col(c).cast("string").alias(f"__g{i}")
+                            for i, c in enumerate(by)],
+                          v.alias("__v"), k0.alias("__k0"))
+        wx_of = lambda w: F.sum(w * F.col("__v"))  # noqa: E731
+        sw_of = lambda w: F.sum(w)  # noqa: E731
+        s_agg = F.sum("__v").alias("__s")
+    arr = F.array(*[F.struct(F.lit(b).alias("b"),
+                             F.lit(pow(M, b + 1, P)).alias("a"))
+                    for b in range(n_boot)])
+    u = (F.pmod((F.col("__k0") + 1 + F.col("c.b")) * F.col("c.a"),
+                F.lit(P))
+         .cast("double") / F.lit(float(P)))
+    w = _pois1_weight_expr(u)
+    gcols = [f"__g{i}" for i in range(len(by))]
+    reps = (sel.select("*", F.explode(arr).alias("c"))
+            .groupBy(*gcols, F.col("c.b").alias("__b"))
+            .agg(wx_of(w).alias("__wx"), sw_of(w).alias("__sw"),
+                 s_agg, F.count(F.lit(1)).alias("__n"),
+                 F.sum(F.col("__k0").isNull().cast("long"))
+                 .alias("__nullk")))
+    rep_rows = reps.limit(max_groups * n_boot + 1).collect()
+    if len(rep_rows) > max_groups * n_boot:
+        raise ValueError(
+            f"bootstrap_ci_by: more than max_groups={max_groups} "
+            "groups — bucket or top-K the by-columns first")
+    if any(r["__nullk"] for r in rep_rows):
+        raise ValueError(
+            f"bootstrap_ci_by: key_cols={key_cols} contain NULLs — "
+            "drop or fill them first (a NULL key silently vanishes "
+            "from every replicate)")
+    groups: dict = {}
+    for r in rep_rows:
+        groups.setdefault(tuple(r[c] for c in gcols), []).append(r)
+    out = []
+    for gkey in sorted(groups):
+        rs = groups[gkey]
+        row0 = rs[0]
+        n = int(row0["__n"])
+        if len(rs) < n_boot or any(not r["__sw"] for r in rs):
+            # a replicate drew zero weight (tiny group): no honest CI
+            out.append((*gkey, n, None, None, None, int(n_boot), False))
+            continue
+        if grid is not None:
+            means = sorted((r["__wx"] / scale) / r["__sw"] for r in rs)
+            mean = (row0["__s"] / scale) / row0["__n"]
+        else:
+            means = sorted(r["__wx"] / r["__sw"] for r in rs)
+            mean = row0["__s"] / row0["__n"]
+        k_lo = max(1, math.ceil(alpha / 2.0 * n_boot))
+        k_hi = min(n_boot, math.ceil((1.0 - alpha / 2.0) * n_boot))
+        out.append((*gkey, n, float(mean), float(means[k_lo - 1]),
+                    float(means[k_hi - 1]), int(n_boot), True))
+    by_schema = ", ".join(f"{c} string" for c in by)
+    return df.sparkSession.createDataFrame(
+        out, f"{by_schema}, n long, mean double, ci_lo double, "
+        "ci_hi double, n_boot long, valid boolean").orderBy(*by)
+
+
 def prop_ztest(df: DataFrame, success, group_col: str,
                groups) -> DataFrame:
     """Two-sample proportion z-test — the most common corpus A/B gate

@@ -4133,6 +4133,7 @@ def build_catalog():
         "welch_ttest_price": q_welch_ttest_price,
         "welch_bh_by_month": q_welch_bh_by_month,
         "bootstrap_price_ci": q_bootstrap_price_ci,
+        "bootstrap_ci_by_flag": q_bootstrap_ci_by_flag,
         "prop_ztest_discount": q_prop_ztest_discount,
         "anova_event_value": q_anova_event_value,
         "pairwise_welch_events": q_pairwise_welch_events,
@@ -4373,6 +4374,7 @@ def build_catalog():
         "welch_ttest_price": _sql_welch_ttest_price(),
         "welch_bh_by_month": _sql_welch_bh_by_month(),
         "bootstrap_price_ci": _sql_bootstrap_price_ci(),
+        "bootstrap_ci_by_flag": _sql_bootstrap_ci_by_flag(),
         "prop_ztest_discount": _sql_prop_ztest_discount(),
         "anova_event_value": _sql_anova_event_value(),
         "pairwise_welch_events": _sql_pairwise_welch_events(),
@@ -8299,6 +8301,76 @@ SELECT (SELECT count(*) FROM base)::BIGINT AS n,
        floor((SELECT m FROM means ORDER BY m LIMIT 1 OFFSET 47)
              * 1e6 + 0.5) / 1e6 AS ci_hi,
        {BOOT_B}::BIGINT AS n_boot
+"""
+
+
+def q_bootstrap_ci_by_flag(spark, sf_dir):
+    """Per-group Poisson-bootstrap CIs (functions/stats.py::
+    bootstrap_ci_by — the corpus-report sweep: mean price per return
+    flag WITH error bars, still ONE raw-row pass): the same
+    hash-deterministic draws as bootstrap_price_ci, aggregated by
+    (flag, replicate) — ≤G·B groups — and nearest-rank CIs per flag
+    driver-side. grid=4 fixed-point sums; the oracle replays every
+    draw and selects the same ranks with a per-flag window."""
+    from dask_ml_spark.functions.stats import bootstrap_ci_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = bootstrap_ci_by(li, "l_extendedprice",
+                          ["l_orderkey", "l_linenumber"],
+                          by="l_returnflag", n_boot=BOOT_B, alpha=0.1,
+                          grid=4)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("l_returnflag", "n",
+                      r6(F.col("mean")).alias("mean"),
+                      r6(F.col("ci_lo")).alias("ci_lo"),
+                      r6(F.col("ci_hi")).alias("ci_hi"),
+                      "n_boot", "valid")
+
+
+def _sql_bootstrap_ci_by_flag() -> str:
+    from dask_ml_spark.functions.stats import _pois1_weight_sql
+
+    consts = ", ".join(f"({b}, {pow(BOOT_M, b + 1, BOOT_P)})"
+                       for b in range(BOOT_B))
+    ladder = _pois1_weight_sql("u")
+    # nearest-rank per flag (1-indexed): k_lo = ceil(0.05*50) = 3,
+    # k_hi = ceil(0.95*50) = 48 — the engine's ranks, as a window
+    return f"""
+WITH base AS (
+    SELECT l_returnflag::VARCHAR AS g,
+           CAST(floor(l_extendedprice::DOUBLE * 10000 + 0.5) AS BIGINT)
+               AS vq,
+           ((((0 + l_orderkey) % {BOOT_P}) * {BOOT_M} % {BOOT_P}
+             + l_linenumber) % {BOOT_P}) * {BOOT_M} % {BOOT_P} AS k0
+    FROM lineitem
+    WHERE l_returnflag IS NOT NULL
+), consts(b, a) AS (VALUES {consts}),
+w AS (
+    SELECT g, vq, b, CAST({ladder} AS BIGINT) AS w FROM (
+        SELECT g, vq, b,
+               (((k0 + 1 + b) * CAST(a AS BIGINT)) % {BOOT_P})::DOUBLE
+                   / {float(BOOT_P)!r} AS u
+        FROM base CROSS JOIN consts)
+), reps AS (
+    SELECT g, b, sum(vq * w) AS wx, sum(w) AS sw
+    FROM w GROUP BY g, b
+), means AS (
+    SELECT g, (wx::DOUBLE / 10000) / sw AS m,
+           row_number() OVER (PARTITION BY g ORDER BY
+                              (wx::DOUBLE / 10000) / sw) AS rk
+    FROM reps WHERE sw > 0
+), st AS (
+    SELECT g, count(*)::BIGINT AS n, sum(vq) AS s FROM base GROUP BY g
+)
+SELECT st.g AS l_returnflag, st.n AS n,
+       floor((st.s::DOUBLE / 10000) / st.n * 1e6 + 0.5) / 1e6 AS mean,
+       floor((SELECT m FROM means WHERE means.g = st.g AND rk = 3)
+             * 1e6 + 0.5) / 1e6 AS ci_lo,
+       floor((SELECT m FROM means WHERE means.g = st.g AND rk = 48)
+             * 1e6 + 0.5) / 1e6 AS ci_hi,
+       {BOOT_B}::BIGINT AS n_boot,
+       TRUE AS valid
+FROM st
 """
 
 

@@ -423,6 +423,44 @@ def test_bootstrap_ci_empty_replicate_raises(spark):
         bootstrap_ci(df, "v", "k", n_boot=400, alpha=0.1)
 
 
+def test_bootstrap_ci_by_groups(spark):
+    """Per-group sweep: each group's CI matches the single-population
+    bootstrap_ci run on that group alone (identical draws — the hash
+    chain ignores the grouping), thin groups report valid=false
+    instead of dying, and grid=4 results are bit-stable across
+    partitionings."""
+    from dask_ml_spark.functions.stats import bootstrap_ci, bootstrap_ci_by
+
+    rng = np.random.RandomState(17)
+    rows = []
+    kid = 0
+    for g, mu, cnt in (("a", 10.0, 1500), ("b", 20.0, 1200)):
+        for v in rng.normal(mu, 2.0, cnt):
+            rows.append((kid, g, round(float(v), 4)))
+            kid += 1
+    rows.append((kid, "tiny", 5.0))  # 1-row group: replicates go empty
+    df = spark.createDataFrame(rows, ["k", "g", "v"])
+    out = {r["g"]: r for r in
+           bootstrap_ci_by(df, "v", "k", by="g", n_boot=50, alpha=0.1,
+                           grid=4).collect()}
+    assert set(out) == {"a", "b", "tiny"}
+    assert out["tiny"]["valid"] is False and out["tiny"]["mean"] is None
+    for g in ("a", "b"):
+        solo = bootstrap_ci(df.where(F.col("g") == g), "v", "k",
+                            n_boot=50, alpha=0.1, grid=4).collect()[0]
+        assert out[g]["valid"] is True
+        assert out[g]["n"] == solo["n"]
+        assert out[g]["mean"] == solo["mean"]
+        assert out[g]["ci_lo"] == solo["ci_lo"]
+        assert out[g]["ci_hi"] == solo["ci_hi"]
+    again = {r["g"]: r for r in
+             bootstrap_ci_by(df.repartition(19), "v", "k", by="g",
+                             n_boot=50, alpha=0.1, grid=4).collect()}
+    for g in ("a", "b"):
+        assert (again[g]["ci_lo"], again[g]["ci_hi"]) == \
+            (out[g]["ci_lo"], out[g]["ci_hi"])
+
+
 def test_prop_ztest_hand_formula(spark):
     from dask_ml_spark.functions.stats import prop_ztest
 
