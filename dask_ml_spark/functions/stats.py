@@ -1,24 +1,40 @@
-"""Distributed hypothesis tests and survival analysis.
+"""Distributed hypothesis tests, effect sizes, and survival analysis.
 
 Beyond the reference (dask-ml defers hypothesis testing to single-node
-scipy; a corpus-scale engine needs the two-sample comparisons that gate
-data experiments — did the new scrape change the quality-score
-distribution? — and the survival curve that describes time-to-event
-behavior in event logs).
+scipy; a corpus-scale engine needs the comparisons that gate data
+experiments — did the new scrape change the quality-score
+distribution? which segments differ, by how much, with what error
+bars? — and the survival curve that describes time-to-event behavior
+in event logs).
 
-All three operators share one scale shape: aggregate to ONE ROW PER
-DISTINCT VALUE first (a hash groupBy with map-side combine — the only
-pass over the raw rows), then run the cumulative pieces over that
-much smaller frame with datapipe.packing.prefix_sum, the range-
-partitioned two-phase cumsum. No keyless Window.partitionBy() anywhere,
-so no single-task serialization of the full corpus; the prefix frames
-hold one row per distinct value/duration, not per input row.
+The family: two-sample KS (exact + binned), Mann–Whitney U, Welch t
+(single, per-stratum sweep, and pairwise post-hoc with BH FDR),
+two-proportion z, one-way ANOVA with η² and an exact incomplete-beta
+F tail, Brown–Forsythe, Spearman ρ (exact tie-averaged + binned scale
+path), Mann–Kendall trend with Theil–Sen slope, binned mean-shift
+changepoint, autocorrelation with white-noise bands, χ² independence
++ Cramér's V, mutual information, Kaplan–Meier, correlation matrices,
+Benjamini–Hochberg, and Poisson-bootstrap CIs (global + per-group).
+
+The shared scale shapes, in preference order: (1) ONE bounded-group
+aggregate straight over the raw rows (ANOVA ≤max_groups, binned
+KS/changepoint/trend ≤K buckets, Spearman-binned ≤K² cells, bootstrap
+≤B or ≤G·B replicate groups) with the statistic assembled driver-side
+from that bounded state; (2) one row per DISTINCT VALUE via a hash
+groupBy with map-side combine, then cumulative pieces over the small
+frame — driver-side below max_driver_rows (_bounded_head), else
+datapipe.packing.prefix_sum, the range-partitioned two-phase cumsum.
+No keyless Window.partitionBy() anywhere, so no single-task
+serialization of the full corpus.
 
 p-values use explicit literal-coefficient approximations (the
 asymptotic Kolmogorov series; Abramowitz & Stegun 26.2.17 for the
 normal CDF, |error| < 7.5e-8) written with identical operation order
-in the Spark expressions and the SQL oracles, so both engines compute
-bit-comparable values.
+in the Spark expressions, the driver-side Python twins, and the SQL
+oracles, so all engines compute bit-comparable values. Exact
+small-sample tails (even-dof χ²; the F tail via the incomplete-beta
+continued fraction) are driver-side scalars behind the large-dof
+defaults.
 """
 
 from __future__ import annotations
