@@ -211,6 +211,7 @@ HEADLINE = [
     "catdrift_daily",               # categorical-mix PSI + OTHER bucket
     "zdrift_daily",                 # windowed mean/variance z-drift
     "corrdrift_monthly",            # feature-relationship (Fisher) drift
+    "quantile_drift_daily",         # windowed p50/p90/p99 + deltas
     "embedding_drift_labels",       # per-dim embedding drift + BH
     "acf_daily_value",              # lag correlation of the daily series
 ]

@@ -4147,6 +4147,7 @@ def build_catalog():
         "catdrift_daily": q_catdrift_daily,
         "zdrift_daily": q_zdrift_daily,
         "corrdrift_monthly": q_corrdrift_monthly,
+        "quantile_drift_daily": q_quantile_drift_daily,
         "embedding_drift_labels": q_embedding_drift_labels,
         "acf_daily_value": q_acf_daily_value,
         "mutual_information_events": q_mutual_information_events,
@@ -4389,6 +4390,7 @@ def build_catalog():
         "catdrift_daily": _sql_catdrift_daily(),
         "zdrift_daily": _sql_zdrift_daily(),
         "corrdrift_monthly": _sql_corrdrift_monthly(),
+        "quantile_drift_daily": _sql_quantile_drift_daily(),
         "embedding_drift_labels": _sql_embedding_drift_labels(),
         "acf_daily_value": _sql_acf_daily_value(),
         "mutual_information_events": SQL_MUTUAL_INFORMATION_EVENTS,
@@ -9218,6 +9220,108 @@ FROM z
 
 
 CORR_REF_END = "1996-01-01"
+
+
+def q_quantile_drift_daily(spark, sf_dir):
+    """Windowed tail-quantile drift (streaming/drift.py::
+    quantile_drift — "did p99 move?", which the mean-based z_drift
+    can't see and KS/PSI don't localize): per daily window the
+    p50/p90/p99 read off the binned CDF built from the SAME K
+    conditional sums as ks_drift (one windowed aggregation,
+    streaming-legal), each with its delta vs the reference's own
+    binned quantile. The oracle replays every crossing + interpolation
+    from the identical integer counts."""
+    from dask_ml_spark.streaming.drift import (quantile_drift,
+                                               reference_histogram)
+
+    ev = _t(spark, sf_dir, "events")
+    ref = reference_histogram(
+        ev.where(F.col("ts") < F.lit(DRIFT_REF_END)), "value",
+        bins=DRIFT_BINS)
+    out = quantile_drift(ev, "value", "ts", ref, window="1 day",
+                         probes=(0.5, 0.9, 0.99))
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"), "n",
+        *[r6(F.col(c)).alias(c)
+          for c in ("q50", "d50", "q90", "d90", "q99", "d99")])
+
+
+def _sql_quantile_drift_daily() -> str:
+    K = DRIFT_BINS
+    # relational replay (the wide CASE-chain form exceeded DuckDB's
+    # parser tree depth): per-(day, bucket) counts + a window cumsum
+    # give (prev, cum) per present bucket; exactly one bucket crosses
+    # each probe target, so a conditional sum selects its
+    # interpolation. Counts are exact integers, the interpolation is
+    # the engine's literal arithmetic.
+    unit = f"((SELECT wd FROM w) / {K})"
+    lo = "(SELECT lo FROM w)"
+
+    def interp(t):
+        return (f"{lo} + (bkt + ({t} - prev) / (cum - prev)) * {unit}")
+
+    win_cols = []
+    ref_scalars = []
+    for q, lbl in ((0.5, "50"), (0.9, "90"), (0.99, "99")):
+        t = f"({q!r} * n)"
+        rt = f"({q!r} * (SELECT rn FROM rtot))"
+        win_cols.append(
+            f"sum(CASE WHEN prev < {t} AND cum >= {t} "
+            f"THEN {interp(t)} ELSE 0.0 END) AS q{lbl}")
+        ref_scalars.append(
+            f"(SELECT {interp(rt)} FROM rcc "
+            f"WHERE prev < {rt} AND cum >= {rt} "
+            f"ORDER BY bkt LIMIT 1) AS rq{lbl}")
+    wcols = ",\n           ".join(win_cols)
+    rcols = ", ".join(ref_scalars)
+    return f"""
+WITH kept AS (
+    SELECT ts, value::DOUBLE AS v FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+), lim AS (
+    SELECT min(v) AS lo, max(v) AS hi FROM kept
+    WHERE ts < TIMESTAMP '{DRIFT_REF_END} 00:00:00'
+), w AS (SELECT lo, CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END AS wd
+         FROM lim),
+bk AS (
+    SELECT ts, greatest(0, least({K - 1},
+               CAST(floor((v - (SELECT lo FROM w))
+                          / (SELECT wd FROM w) * {K}) AS INTEGER)))
+               AS bkt
+    FROM kept
+), rc AS (
+    SELECT bkt, count(*)::DOUBLE AS c FROM bk
+    WHERE ts < TIMESTAMP '{DRIFT_REF_END} 00:00:00' GROUP BY bkt
+), rtot AS (SELECT sum(c) AS rn FROM rc),
+rcc AS (
+    SELECT bkt, sum(c) OVER (ORDER BY bkt) AS cum,
+           sum(c) OVER (ORDER BY bkt) - c AS prev
+    FROM rc
+), rq AS (SELECT {rcols}),
+wc AS (
+    SELECT date_trunc('day', ts) AS day, bkt, count(*)::DOUBLE AS c
+    FROM bk GROUP BY 1, 2
+), cc AS (
+    SELECT day, bkt, c,
+           sum(c) OVER (PARTITION BY day ORDER BY bkt) AS cum,
+           sum(c) OVER (PARTITION BY day ORDER BY bkt) - c AS prev,
+           sum(c) OVER (PARTITION BY day) AS n
+    FROM wc
+), qv AS (
+    SELECT day, max(n) AS n,
+           {wcols}
+    FROM cc GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n::BIGINT AS n,
+       floor(q50 * 1e6 + 0.5) / 1e6 AS q50,
+       floor((q50 - (SELECT rq50 FROM rq)) * 1e6 + 0.5) / 1e6 AS d50,
+       floor(q90 * 1e6 + 0.5) / 1e6 AS q90,
+       floor((q90 - (SELECT rq90 FROM rq)) * 1e6 + 0.5) / 1e6 AS d90,
+       floor(q99 * 1e6 + 0.5) / 1e6 AS q99,
+       floor((q99 - (SELECT rq99 FROM rq)) * 1e6 + 0.5) / 1e6 AS d99
+FROM qv
+"""
 
 
 def q_corrdrift_monthly(spark, sf_dir):

@@ -374,3 +374,69 @@ def test_corr_drift_stream_matches_batch(spark, corr_drifted_dir):
     for c in ("corr", "z", "p_value"):
         assert np.allclose(streamed[c].to_numpy(), b[c].to_numpy(),
                            atol=1e-10)
+
+
+def test_quantile_drift_tracks_shift(spark, drifted_dir, reference):
+    from dask_ml_spark.streaming.drift import _ref_quantile, quantile_drift
+
+    batch = spark.read.parquet(drifted_dir)
+    rows = sorted(quantile_drift(batch, "v", "ts", reference,
+                                 window="1 hour",
+                                 probes=(0.5, 0.9)).collect(),
+                  key=lambda r: r["window_start"])
+    assert len(rows) == 3
+    # binned-CDF inverse resolution is one bucket (range/24 ~ 0.6 here)
+    bucket_w = (reference["hi"] - reference["lo"]) / reference["bins"]
+    # clean windows: quantiles near the reference's own
+    for r in rows[:2]:
+        assert abs(r["d50"]) < bucket_w and abs(r["d90"]) < bucket_w
+    # +3-shifted window: q50 moved by ~3 (edge clamping erodes q90)
+    assert 3.0 - bucket_w < rows[2]["d50"] < 3.0 + bucket_w
+    assert rows[2]["d90"] > 1.5
+    # numpy replay of the crossing + interpolation for window 0
+    pdf = batch.toPandas()
+    pdf["w"] = pdf["ts"].dt.floor("h")
+    lo, hi, K = reference["lo"], reference["hi"], reference["bins"]
+    width = (hi - lo) or 1.0
+    grp = pdf[pdf["w"] == pdf["w"].min()]
+    b = np.clip(np.floor((grp["v"].to_numpy() - lo) / width * K)
+                .astype(int), 0, K - 1)
+    n = len(b)
+    for probe, col in ((0.5, "q50"), (0.9, "q90")):
+        target = probe * n
+        cum = 0.0
+        for k in range(K):
+            prev = cum
+            cum += (b == k).sum()
+            if cum >= target and prev < target:
+                want = lo + (k + (target - prev) / (cum - prev)) \
+                    * (width / K)
+                break
+        assert abs(rows[0][col] - want) < 1e-10, col
+    # the reference's own quantile helper agrees with percentile-ish
+    q50_ref = _ref_quantile(reference, 0.5)
+    assert abs(q50_ref - 10.0) < 2 * bucket_w  # N(10, 2) median
+
+
+def test_quantile_drift_stream_matches_batch(spark, drifted_dir,
+                                             reference):
+    from dask_ml_spark.streaming.drift import quantile_drift
+
+    batch = spark.read.parquet(drifted_dir)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(drifted_dir))
+    out = quantile_drift(stream, "v", "ts", reference, window="1 hour",
+                         watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("qd_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = (spark.sql("select * from qd_out").toPandas()
+                .sort_values("window_start").reset_index(drop=True))
+    expected = (quantile_drift(batch, "v", "ts", reference,
+                               window="1 hour").toPandas()
+                .sort_values("window_start").reset_index(drop=True))
+    assert 2 <= len(streamed) < len(expected)
+    b = expected.iloc[:len(streamed)].reset_index(drop=True)
+    for c in ("q50", "d50", "q90", "d90", "q99", "d99"):
+        assert np.allclose(streamed[c].to_numpy(), b[c].to_numpy(),
+                           atol=1e-12), c
