@@ -6,9 +6,9 @@ entry(spark)  — flagship pipeline on sf0.001 (scaler → split →
                 result DataFrame.
 queries()     — one callable per implemented operator (SURVEY.md §2 +
                 datapipe), from dask_ml_spark.plans.queries
-                (232 entries as of round 11).
+                (233 entries as of round 11).
 oracle_sql()  — the DuckDB-equivalent SQL for every hash-checkable
-                query (224); the 8 iterative/seeded ops are rows-only
+                query (225); the 8 iterative/seeded ops are rows-only
                 by design, each value-checked another way (see README).
 """
 

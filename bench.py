@@ -206,6 +206,7 @@ HEADLINE = [
     "brown_forsythe_price",         # variance homogeneity (robust Levene)
     "changepoint_event_value",      # binned mean-shift drift monitor
     "trend_event_value",            # Mann-Kendall + Sen slope (binned)
+    "isotonic_price_curve",         # binned minimax-PAV monotone fit
     "ks_drift_daily",               # windowed KS drift vs reference
     "psi_drift_daily",              # windowed PSI vs reference
     "catdrift_daily",               # categorical-mix PSI + OTHER bucket

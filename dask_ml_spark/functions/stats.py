@@ -1309,6 +1309,102 @@ def trend_test(df: DataFrame, value_col: str, order_col: str,
         "p_value double, sen_slope double")
 
 
+def isotonic_fit_binned(df: DataFrame, x_col: str, y_col: str,
+                        bins: int = 64, increasing: bool = True,
+                        grid: int | None = None) -> DataFrame:
+    """Isotonic (monotone) regression of y on x at corpus scale — the
+    calibration-curve fitter (quality-classifier score → empirical
+    label rate must be monotone before thresholding trusts it), and
+    the shape-constrained alternative to a parametric fit. The classic
+    PAV pools adjacent row-level violators — a sequential sort-shaped
+    algorithm; here the 100 TB form is the family's standard binning
+    trade: one (min, max) pass on x, ONE ≤K-bucket aggregate of
+    (n, Σy), then the monotone fit over the K weighted bucket means
+    driver-side, at O(range/K) resolution.
+
+    The driver solve uses the MINIMAX characterization
+    y*_i = max_{j≤i} min_{k≥i} mean(y over buckets j..k) — identical
+    results to PAV (pytest-pinned), chosen because a SQL oracle can
+    replay it relationally (pair means from window cumsums + two
+    grouped extremes) with bit-identical arithmetic, where PAV's
+    data-dependent pooling order cannot be mirrored op-for-op. O(K²)
+    via per-j suffix mins — trivial driver work at K ≤ 1024.
+
+    ``increasing=False`` fits a decreasing curve by negating y
+    (means are computed on the negated values and negated back —
+    document the double sign flip when replaying). ``grid`` as in
+    bootstrap_ci: exact int64 fixed-point Σy for plan-shape-proof
+    bucket means (the catalog convention). Returns one row per
+    NON-EMPTY bucket, ordered: (bucket, x_lo, x_hi, n, y_mean, y_fit);
+    y_fit is nondecreasing (nonincreasing) in x by construction.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if bins > 1024:
+        raise ValueError("bins > 1024 — the O(K²) driver solve stops "
+                         "being bounded")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    sign = 1.0 if increasing else -1.0
+    kept = (df.where(x.isNotNull() & ~F.isnan(x)
+                     & y.isNotNull() & ~F.isnan(y))
+            .select(x.alias("__x"), (y * F.lit(sign)).alias("__y")))
+    lohi = kept.agg(F.min("__x").alias("lo"),
+                    F.max("__x").alias("hi")).collect()[0]
+    if lohi["lo"] is None:
+        raise ValueError("isotonic_fit_binned: no complete-case rows")
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    width = (hi - lo) or 1.0
+    bucket = F.least(F.lit(bins - 1),
+                     F.floor((F.col("__x") - F.lit(lo)) / F.lit(width)
+                             * F.lit(bins))).cast("int")
+    if grid is not None:
+        scale = float(10 ** grid)
+        ysum = F.sum(F.floor(F.col("__y") * F.lit(scale) + F.lit(0.5))
+                     .cast("long")).alias("__s")
+    else:
+        scale = None
+        ysum = F.sum("__y").alias("__s")
+    rows = (kept.groupBy(bucket.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__n"), ysum)
+            .collect())
+    rows.sort(key=lambda r: r["__b"])
+    k_n = len(rows)
+    # inclusive cumulative (count, y-sum) with a leading zero — the
+    # exact ints/doubles the SQL window cumsums produce
+    cn = [0]
+    cs = [0 if grid is not None else 0.0]
+    for r in rows:
+        cn.append(cn[-1] + r["__n"])
+        cs.append(cs[-1] + r["__s"])
+
+    def mean(j: int, k: int) -> float:
+        # mean of y over buckets j..k (0-based indices into rows),
+        # the exact op order the oracle replays
+        if grid is not None:
+            return ((cs[k + 1] - cs[j]) / scale) / (cn[k + 1] - cn[j])
+        return (cs[k + 1] - cs[j]) / (cn[k + 1] - cn[j])
+
+    # minimax via per-j suffix mins: smin_j[i] = min_{k>=i} mean(j,k)
+    fit = [float("-inf")] * k_n
+    for j in range(k_n):
+        smin = float("inf")
+        for k in range(k_n - 1, j - 1, -1):
+            smin = min(smin, mean(j, k))
+            if smin > fit[k]:  # max over j<=k of smin_j[k]
+                fit[k] = smin
+    unit = width / bins
+    out = []
+    for idx, r in enumerate(rows):
+        b = int(r["__b"])
+        out.append((b, lo + b * unit, lo + (b + 1) * unit,
+                    int(r["__n"]), float(sign * mean(idx, idx)),
+                    float(sign * fit[idx])))
+    return df.sparkSession.createDataFrame(
+        out, "bucket long, x_lo double, x_hi double, n long, "
+        "y_mean double, y_fit double").orderBy("bucket")
+
+
 def brown_forsythe(df: DataFrame, value_col: str, group_col: str,
                    approximate: bool = True,
                    accuracy: int = 10_000,

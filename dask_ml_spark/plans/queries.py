@@ -4140,6 +4140,7 @@ def build_catalog():
         "spearman_price_quantity": q_spearman_price_quantity,
         "spearman_price_quantity_binned": q_spearman_price_quantity_binned,
         "brown_forsythe_price": q_brown_forsythe_price,
+        "isotonic_price_curve": q_isotonic_price_curve,
         "changepoint_event_value": q_changepoint_event_value,
         "trend_event_value": q_trend_event_value,
         "ks_drift_daily": q_ks_drift_daily,
@@ -4383,6 +4384,7 @@ def build_catalog():
         "spearman_price_quantity_binned":
             _sql_spearman_price_quantity_binned(),
         "brown_forsythe_price": _sql_brown_forsythe_price(),
+        "isotonic_price_curve": _sql_isotonic_price_curve(),
         "changepoint_event_value": _sql_changepoint_event_value(),
         "trend_event_value": _sql_trend_event_value(),
         "ks_drift_daily": _sql_ks_drift_daily(),
@@ -8557,6 +8559,82 @@ SELECT ga AS group_a, gb AS group_b, na::BIGINT AS n_a,
        floor(qv * 1e6 + 0.5) / 1e6 AS q_value,
        qv <= 0.05 AS reject
 FROM bh
+"""
+
+
+ISO_BINS = 64
+
+
+def q_isotonic_price_curve(spark, sf_dir):
+    """Binned isotonic regression (functions/stats.py::
+    isotonic_fit_binned — the calibration-curve fitter): the monotone
+    fit of mean price vs quantity. One min/max pass + ONE ≤K-bucket
+    (n, Σy) aggregate (grid=4 fixed point); the monotone solve uses
+    the MINIMAX characterization y*_i = max_{j≤i} min_{k≥i} mean(j..k)
+    — equal to PAV (pytest-pinned) but SQL-replayable op-for-op, which
+    PAV's data-dependent pooling order is not. The oracle builds all
+    pair means from window cumsums and takes the two grouped
+    extremes."""
+    from dask_ml_spark.functions.stats import isotonic_fit_binned
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = isotonic_fit_binned(li, "l_quantity", "l_extendedprice",
+                              bins=ISO_BINS, grid=4)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("bucket", r6(F.col("x_lo")).alias("x_lo"),
+                      r6(F.col("x_hi")).alias("x_hi"), "n",
+                      r6(F.col("y_mean")).alias("y_mean"),
+                      r6(F.col("y_fit")).alias("y_fit"))
+
+
+def _sql_isotonic_price_curve() -> str:
+    K = ISO_BINS
+    return f"""
+WITH k AS (
+    SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+      AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+), lim AS (SELECT min(x) AS lo, max(x) AS hi FROM k),
+w AS (SELECT lo, CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END AS wd
+      FROM lim),
+b AS (
+    SELECT CAST(least({K - 1}, floor((x - (SELECT lo FROM w))
+                                     / (SELECT wd FROM w) * {K}))
+                AS BIGINT) AS bkt,
+           count(*)::BIGINT AS n,
+           sum(CAST(floor(y * 10000 + 0.5) AS BIGINT)) AS s
+    FROM k GROUP BY 1
+), c AS (
+    SELECT bkt, n, s,
+           sum(n) OVER (ORDER BY bkt) AS cn,
+           sum(s) OVER (ORDER BY bkt) AS cs,
+           row_number() OVER (ORDER BY bkt) AS i
+    FROM b
+), pm AS (
+    -- mean of y over buckets j..k from the inclusive cumsums — the
+    -- engine's exact op order: (int-units :: DOUBLE / 1e4) / count
+    SELECT a.i AS ji, bb.i AS ki,
+           ((bb.cs - a.cs + a.s)::DOUBLE / 10000)
+               / (bb.cn - a.cn + a.n) AS m
+    FROM c a JOIN c bb ON a.i <= bb.i
+), im AS (
+    SELECT t.i AS ti, pm.ji, min(pm.m) AS mn
+    FROM c t JOIN pm ON pm.ji <= t.i AND pm.ki >= t.i
+    GROUP BY 1, 2
+), fit AS (
+    SELECT ti, max(mn) AS yfit FROM im GROUP BY ti
+)
+SELECT c.bkt AS bucket,
+       floor(((SELECT lo FROM w) + c.bkt * ((SELECT wd FROM w) / {K}))
+             * 1e6 + 0.5) / 1e6 AS x_lo,
+       floor(((SELECT lo FROM w)
+              + (c.bkt + 1) * ((SELECT wd FROM w) / {K}))
+             * 1e6 + 0.5) / 1e6 AS x_hi,
+       c.n AS n,
+       floor(((c.s::DOUBLE / 10000) / c.n) * 1e6 + 0.5) / 1e6 AS y_mean,
+       floor(fit.yfit * 1e6 + 0.5) / 1e6 AS y_fit
+FROM c JOIN fit ON fit.ti = c.i
 """
 
 

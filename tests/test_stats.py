@@ -736,6 +736,69 @@ def test_anova_exact_tail(spark):
                       float(bf["df_within"]))) < 1e-15
 
 
+def test_isotonic_fit_binned_matches_pav(spark):
+    """With bins >> distinct x every distinct value owns a bucket, so
+    the binned minimax fit must equal classic weighted PAV over the
+    per-x means; the fit is monotone by construction; decreasing=False
+    flips; grid=4 is bit-deterministic across partitionings."""
+    from dask_ml_spark.functions.stats import isotonic_fit_binned
+
+    rng = np.random.RandomState(71)
+    xs = rng.randint(0, 10, 600)
+    ys = np.round(0.5 * xs + rng.normal(0, 1.5, 600), 4)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(xs, ys)], ["x", "y"])
+    out = isotonic_fit_binned(df, "x", "y", bins=1024).collect()
+    assert len(out) == 10
+    fits = [r["y_fit"] for r in out]
+    assert all(b - a >= -1e-12 for a, b in zip(fits, fits[1:]))
+
+    # classic weighted PAV over the per-x (mean, count) pairs
+    means, weights = [], []
+    for v in range(10):
+        sel = ys[xs == v]
+        means.append(float(np.mean(sel)))
+        weights.append(float(len(sel)))
+    blocks = [[m * w, w, 1] for m, w in zip(means, weights)]
+    i = 0
+    pooled = [list(b) for b in blocks]
+    changed = True
+    while changed:
+        changed = False
+        i = 0
+        while i < len(pooled) - 1:
+            if pooled[i][0] / pooled[i][1] > pooled[i + 1][0] / pooled[i + 1][1]:
+                pooled[i][0] += pooled[i + 1][0]
+                pooled[i][1] += pooled[i + 1][1]
+                pooled[i][2] += pooled[i + 1][2]
+                del pooled[i + 1]
+                changed = True
+            else:
+                i += 1
+    pav = []
+    for swy, sw, c in pooled:
+        pav += [swy / sw] * c
+    for got, want in zip(fits, pav):
+        assert abs(got - want) < 1e-9, (got, want)
+    # per-bucket raw means are untouched by the fit
+    for r, m in zip(out, means):
+        assert abs(r["y_mean"] - m) < 1e-9
+    # decreasing fit on the mirrored data is the mirror of the fit
+    dec = isotonic_fit_binned(
+        df.select("x", (-F.col("y")).alias("y")), "x", "y",
+        bins=1024, increasing=False).collect()
+    dfits = [r["y_fit"] for r in dec]
+    assert all(a - b >= -1e-12 for a, b in zip(dfits, dfits[1:]))
+    for got, want in zip(dfits, pav):
+        assert abs(got + want) < 1e-9
+    # grid path: bit-identical across partitionings
+    a = isotonic_fit_binned(df, "x", "y", bins=64, grid=4).collect()
+    b = isotonic_fit_binned(df.repartition(7), "x", "y", bins=64,
+                            grid=4).collect()
+    assert [(r["bucket"], r["y_fit"]) for r in a] == \
+        [(r["bucket"], r["y_fit"]) for r in b]
+
+
 def test_trend_test_mann_kendall(spark):
     """Mann-Kendall on the bucket-mean series: a clean upward drift is
     flagged with a positive S and a Sen slope near truth; pure noise
