@@ -789,8 +789,7 @@ def bootstrap_ci(df: DataFrame, value_col: str, key_cols,
         # exact fixed-point units (int64): w·v_units stays integral
         scale = float(10 ** grid)
         vq = F.floor(v * F.lit(scale) + F.lit(0.5)).cast("long")
-        sel = kept.select(vq.alias("__vq"), v.alias("__v"),
-                          k0.alias("__k0"))
+        sel = kept.select(vq.alias("__vq"), k0.alias("__k0"))
     else:
         scale = None
         sel = kept.select(v.alias("__v"), k0.alias("__k0"))
@@ -808,7 +807,7 @@ def bootstrap_ci(df: DataFrame, value_col: str, key_cols,
     # the plain sum/count ride in the same job: every b group sees all
     # rows, so (s, n) is identical in each — read it off the first
     if grid is not None:
-        val_cols = ["__vq", "__v"]
+        val_cols = ["__vq"]
         wx_agg = F.sum(F.col("__vq") * w.cast("long")).alias("wx")
         sw_agg = F.sum(w.cast("long")).alias("sw")
         s_agg = F.sum("__vq").alias("s")
@@ -1420,8 +1419,11 @@ def brown_forsythe(df: DataFrame, value_col: str, group_col: str,
     then one-way ANOVA on z = |x − med_g| (anova_oneway's single
     (n, Σz, Σz²) pass; p via the same large-within-dof χ² limit of
     k·W by default, or the exact F tail with ``tail="exact"`` — see
-    anova_oneway). Returns one row:
-    (k, n, f_stat, df_between, df_within, p_value).
+    anova_oneway). Returns one row (anova_oneway's widened schema):
+    (k, n, f_stat, df_between, df_within, p_value, eta_squared) —
+    eta² here is the variance-explained of the |x − med_g|
+    deviations, i.e. how much of the spread-of-spreads the grouping
+    accounts for.
     """
     v = F.col(value_col).cast("double")
     kept = df.where(v.isNotNull() & ~F.isnan(v)

@@ -8193,6 +8193,8 @@ WITH k AS (
            CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END AS two
     FROM embeddings, unnest(range(length(embedding))) AS t(i)
     WHERE label IN (0, 1)
+      AND embedding[t.i + 1] IS NOT NULL
+      AND NOT isnan(embedding[t.i + 1]::DOUBLE)
 ), a AS (
     SELECT dim, sum(one) AS n1, sum(two) AS n2,
            sum(one * v) AS s1, sum(two * v) AS s2,
@@ -8785,6 +8787,8 @@ def _sql_spearman_price_quantity_binned() -> str:
 WITH k AS (
     SELECT l_extendedprice::DOUBLE AS a, l_quantity::DOUBLE AS b
     FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+      AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
 ), lim AS (
     SELECT min(a) AS la, max(a) AS ha, min(b) AS lb, max(b) AS hb FROM k
 ), w AS (

@@ -376,6 +376,12 @@ def corr_drift(df: DataFrame, col_a: str, col_b: str, ts_col: str,
                     .alias("p_value")))
 
 
+def _probe_label(q: float) -> str:
+    """0.5 → '50', 0.999 → '99_9' — the q<label>/d<label> column stem."""
+    label = repr(round(q * 100, 4)).rstrip("0").rstrip(".")
+    return label.replace(".", "_")
+
+
 def _ref_quantile(ref: dict, q: float) -> float:
     """Driver-side twin of quantile_drift's column arithmetic: the
     binned-CDF inverse at probe q over the reference's own counts —
@@ -427,6 +433,13 @@ def quantile_drift(df: DataFrame, value_col: str, ts_col: str,
     for q in probes:
         if not 0.0 < q < 1.0:
             raise ValueError("probes must be in (0, 1)")
+    fmt = [_probe_label(q) for q in probes]
+    if len(set(fmt)) != len(fmt):
+        # duplicate probes (or label collisions after formatting)
+        # would silently overwrite q/d output columns via withColumn
+        raise ValueError(
+            f"quantile_drift: duplicate probe labels {sorted(fmt)} — "
+            "probes must be distinct after label formatting")
     v = F.col(value_col).cast("double")
     kept = df.where(v.isNotNull() & ~F.isnan(v))
     if watermark is not None:
@@ -449,8 +462,7 @@ def quantile_drift(df: DataFrame, value_col: str, ts_col: str,
                             + [n])))
     labels = []
     for q in probes:
-        label = repr(round(q * 100, 4)).rstrip("0").rstrip(".")
-        label = label.replace(".", "_")
+        label = _probe_label(q)
         labels.append((q, label))
         target = F.lit(q) * n
         k = F.size(F.filter("__cums", lambda c: c < target))
