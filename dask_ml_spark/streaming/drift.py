@@ -65,6 +65,32 @@ def reference_histogram(df: DataFrame, value_col: str,
             "counts": counts}
 
 
+def _window_agg(kept: DataFrame, ts_col: str, window: str,
+                watermark: str | None, aggs) -> DataFrame:
+    """The shared monitor skeleton: (optional) watermark → ONE
+    groupBy(window(ts)) aggregation with a leading row count. Every
+    monitor in this module is this one aggregation plus a stateless
+    projection — extracting it here keeps the window/watermark
+    handling identical across the family (and makes monitor #N ~40
+    lines instead of ~90)."""
+    if watermark is not None:
+        kept = kept.withWatermark(ts_col, watermark)
+    return (kept.groupBy(F.window(ts_col, window).alias("__w"))
+            .agg(F.count(F.lit(1)).alias("n"), *aggs))
+
+
+def _emit(agg: DataFrame, *cols) -> DataFrame:
+    """The shared projection head: (window_start, n, monitor cols...)."""
+    return agg.select(F.col("__w.start").alias("window_start"),
+                      F.col("n").cast("long").alias("n"), *cols)
+
+
+def _numeric_kept(df: DataFrame, value_col: str):
+    """Complete-case numeric input: the cast column + filtered frame."""
+    v = F.col(value_col).cast("double")
+    return v, df.where(v.isNotNull() & ~F.isnan(v))
+
+
 def _bucket_expr(v, lo: float, width: float, bins: int):
     """Clamped equal-width bucket — identical literal arithmetic in the
     fit, the monitor, and the SQL oracle. Values outside the reference
@@ -97,15 +123,11 @@ def ks_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
     cum = list(ref["cum"])
     lo = float(ref["lo"])
     width = (float(ref["hi"]) - lo) or 1.0
-    v = F.col(value_col).cast("double")
-    kept = df.where(v.isNotNull() & ~F.isnan(v))
-    if watermark is not None:
-        kept = kept.withWatermark(ts_col, watermark)
+    v, kept = _numeric_kept(df, value_col)
     b = _bucket_expr(v, lo, width, bins)
-    agg = (kept.groupBy(F.window(ts_col, window).alias("__w"))
-           .agg(F.count(F.lit(1)).alias("n"),
-                *[F.sum((b <= k).cast("double")).alias(f"__le{k}")
-                  for k in range(bins - 1)]))
+    agg = _window_agg(kept, ts_col, window, watermark,
+                      [F.sum((b <= k).cast("double")).alias(f"__le{k}")
+                       for k in range(bins - 1)])
     n = F.col("n").cast("double")
     # bins=2 leaves exactly one ECDF edge: F.greatest needs >= 2 args
     terms = [F.abs(F.col(f"__le{k}") / n - F.lit(cum[k]))
@@ -114,14 +136,10 @@ def ks_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
     # bind D and λ to columns FIRST (the ks_2sample lesson): inlining
     # the 31-term greatest into each of the 25 series terms would
     # multiply the expression tree ~800x
-    out = (agg.withColumn("__d", d)
-           .withColumn("__lam", F.col("__d") * F.sqrt(n))
-           .select(
-               F.col("__w.start").alias("window_start"),
-               F.col("n").cast("long").alias("n"),
-               F.col("__d").alias("d_stat"),
-               ks_p_expr(F.col("__lam")).alias("p_value")))
-    return out
+    return _emit(agg.withColumn("__d", d)
+                 .withColumn("__lam", F.col("__d") * F.sqrt(n)),
+                 F.col("__d").alias("d_stat"),
+                 ks_p_expr(F.col("__lam")).alias("p_value"))
 
 
 def psi_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
@@ -151,15 +169,11 @@ def psi_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
     rn = float(ref["n"])
     lo = float(ref["lo"])
     width = (float(ref["hi"]) - lo) or 1.0
-    v = F.col(value_col).cast("double")
-    kept = df.where(v.isNotNull() & ~F.isnan(v))
-    if watermark is not None:
-        kept = kept.withWatermark(ts_col, watermark)
+    v, kept = _numeric_kept(df, value_col)
     b = _bucket_expr(v, lo, width, bins)
-    agg = (kept.groupBy(F.window(ts_col, window).alias("__w"))
-           .agg(F.count(F.lit(1)).alias("n"),
-                *[F.sum((b == k).cast("double")).alias(f"__c{k}")
-                  for k in range(bins)]))
+    agg = _window_agg(kept, ts_col, window, watermark,
+                      [F.sum((b == k).cast("double")).alias(f"__c{k}")
+                       for k in range(bins)])
     n = F.col("n").cast("double")
     half_k = float(bins) / 2.0
     psi = F.lit(0.0)
@@ -167,10 +181,8 @@ def psi_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
         p = (F.col(f"__c{k}") + F.lit(0.5)) / (n + F.lit(half_k))
         q = F.lit((rc[k] + 0.5) / (rn + half_k))
         psi = psi + (p - q) * F.log(p / q)
-    return (agg.withColumn("__psi", psi)
-            .select(F.col("__w.start").alias("window_start"),
-                    F.col("n").cast("long").alias("n"),
-                    F.col("__psi").alias("psi")))
+    return _emit(agg.withColumn("__psi", psi),
+                 F.col("__psi").alias("psi"))
 
 
 def reference_moments(df: DataFrame, value_col: str) -> dict:
@@ -209,27 +221,21 @@ def z_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
 
     mu = float(ref["mean"])
     var0 = float(ref["var"])
-    v = F.col(value_col).cast("double")
-    kept = df.where(v.isNotNull() & ~F.isnan(v))
-    if watermark is not None:
-        kept = kept.withWatermark(ts_col, watermark)
-    agg = (kept.groupBy(F.window(ts_col, window).alias("__w"))
-           .agg(F.count(F.lit(1)).alias("n"), F.sum(v).alias("__s"),
-                F.sum(v * v).alias("__q")))
+    v, kept = _numeric_kept(df, value_col)
+    agg = _window_agg(kept, ts_col, window, watermark,
+                      [F.sum(v).alias("__s"), F.sum(v * v).alias("__q")])
     n = F.col("n").cast("double")
     mean = F.col("__s") / n
     z = (mean - F.lit(mu)) / F.sqrt(F.lit(var0) / n)
     var_w = F.when(n >= 2.0,
                    (F.col("__q") - n * mean * mean) / (n - 1.0))
-    return (agg.withColumn("__m", mean).withColumn("__z", z)
-            .select(F.col("__w.start").alias("window_start"),
-                    F.col("n").cast("long").alias("n"),
-                    F.col("__m").alias("mean"),
-                    F.col("__z").alias("z_mean"),
-                    F.least(F.lit(1.0),
-                            2.0 * normal_sf_expr(F.abs(F.col("__z"))))
-                    .alias("p_value"),
-                    (var_w / F.lit(var0)).alias("var_ratio")))
+    return _emit(agg.withColumn("__m", mean).withColumn("__z", z),
+                 F.col("__m").alias("mean"),
+                 F.col("__z").alias("z_mean"),
+                 F.least(F.lit(1.0),
+                         2.0 * normal_sf_expr(F.abs(F.col("__z"))))
+                 .alias("p_value"),
+                 (var_w / F.lit(var0)).alias("var_ratio"))
 
 
 def reference_categories(df: DataFrame, cat_col: str,
@@ -285,12 +291,9 @@ def categorical_drift(df: DataFrame, cat_col: str, ts_col: str,
     k_all = len(cats) + 1  # + OTHER
     c = F.col(cat_col).cast("string")
     kept = df.where(c.isNotNull())
-    if watermark is not None:
-        kept = kept.withWatermark(ts_col, watermark)
-    agg = (kept.groupBy(F.window(ts_col, window).alias("__w"))
-           .agg(F.count(F.lit(1)).alias("n"),
-                *[F.sum((c == F.lit(cat)).cast("double"))
-                  .alias(f"__c{i}") for i, cat in enumerate(cats)]))
+    agg = _window_agg(kept, ts_col, window, watermark,
+                      [F.sum((c == F.lit(cat)).cast("double"))
+                       .alias(f"__c{i}") for i, cat in enumerate(cats)])
     n = F.col("n").cast("double")
     seen = sum((F.col(f"__c{i}") for i in range(len(cats))), F.lit(0.0))
     other = n - seen
@@ -303,12 +306,10 @@ def categorical_drift(df: DataFrame, cat_col: str, ts_col: str,
     p_oth = (other + F.lit(0.5)) / (n + F.lit(half_k))
     q_oth = F.lit(0.5 / (rn + half_k))  # reference saw zero OTHER
     psi = psi + (p_oth - q_oth) * F.log(p_oth / q_oth)
-    return (agg.withColumn("__psi", psi)
-            .withColumn("__oth", other / n)
-            .select(F.col("__w.start").alias("window_start"),
-                    F.col("n").cast("long").alias("n"),
-                    F.col("__psi").alias("psi"),
-                    F.col("__oth").alias("other_frac")))
+    return _emit(agg.withColumn("__psi", psi)
+                 .withColumn("__oth", other / n),
+                 F.col("__psi").alias("psi"),
+                 F.col("__oth").alias("other_frac"))
 
 
 def reference_correlation(df: DataFrame, col_a: str,
@@ -355,25 +356,20 @@ def corr_drift(df: DataFrame, col_a: str, col_b: str, ts_col: str,
     b = F.col(col_b).cast("double")
     kept = df.where(a.isNotNull() & ~F.isnan(a)
                     & b.isNotNull() & ~F.isnan(b))
-    if watermark is not None:
-        kept = kept.withWatermark(ts_col, watermark)
-    agg = (kept.groupBy(F.window(ts_col, window).alias("__w"))
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.corr(a, b).alias("__r")))
+    agg = _window_agg(kept, ts_col, window, watermark,
+                      [F.corr(a, b).alias("__r")])
     n = F.col("n").cast("double")
     r = F.col("__r")
     ok = (n >= 4.0) & r.isNotNull() & (F.abs(r) < 1.0)
     fisher = 0.5 * F.log((1.0 + r) / (1.0 - r))
     z = F.when(ok, (fisher - F.lit(z0)) * F.sqrt(n - 3.0))
-    return (agg.withColumn("__z", z)
-            .select(F.col("__w.start").alias("window_start"),
-                    F.col("n").cast("long").alias("n"),
-                    r.alias("corr"),
-                    F.col("__z").alias("z"),
-                    F.when(F.col("__z").isNotNull(),
-                           F.least(F.lit(1.0), 2.0 * normal_sf_expr(
-                               F.abs(F.col("__z")))))
-                    .alias("p_value")))
+    return _emit(agg.withColumn("__z", z),
+                 r.alias("corr"),
+                 F.col("__z").alias("z"),
+                 F.when(F.col("__z").isNotNull(),
+                        F.least(F.lit(1.0), 2.0 * normal_sf_expr(
+                            F.abs(F.col("__z")))))
+                 .alias("p_value"))
 
 
 def _probe_label(q: float) -> str:
@@ -440,15 +436,11 @@ def quantile_drift(df: DataFrame, value_col: str, ts_col: str,
         raise ValueError(
             f"quantile_drift: duplicate probe labels {sorted(fmt)} — "
             "probes must be distinct after label formatting")
-    v = F.col(value_col).cast("double")
-    kept = df.where(v.isNotNull() & ~F.isnan(v))
-    if watermark is not None:
-        kept = kept.withWatermark(ts_col, watermark)
+    v, kept = _numeric_kept(df, value_col)
     b = _bucket_expr(v, lo, width, bins)
-    agg = (kept.groupBy(F.window(ts_col, window).alias("__w"))
-           .agg(F.count(F.lit(1)).alias("n"),
-                *[F.sum((b <= k).cast("double")).alias(f"__le{k}")
-                  for k in range(bins - 1)]))
+    agg = _window_agg(kept, ts_col, window, watermark,
+                      [F.sum((b <= k).cast("double")).alias(f"__le{k}")
+                       for k in range(bins - 1)])
     n = F.col("n").cast("double")
     unit = width / bins
     # ONE array of the K cumulative counts, probed with HOFs: the
@@ -473,10 +465,9 @@ def quantile_drift(df: DataFrame, value_col: str, ts_col: str,
             f"q{label}",
             F.lit(lo) + (k.cast("double")
                          + (target - prev) / (cur - prev)) * F.lit(unit))
-    cols = [F.col("__w.start").alias("window_start"),
-            F.col("n").cast("long").alias("n")]
+    cols = []
     for q, label in labels:
         rq = _ref_quantile(ref, q)
         cols.append(F.col(f"q{label}"))
         cols.append((F.col(f"q{label}") - F.lit(rq)).alias(f"d{label}"))
-    return agg.select(*cols)
+    return _emit(agg, *cols)
