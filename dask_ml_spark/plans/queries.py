@@ -4148,6 +4148,7 @@ def build_catalog():
         "catdrift_daily": q_catdrift_daily,
         "zdrift_daily": q_zdrift_daily,
         "corrdrift_monthly": q_corrdrift_monthly,
+        "covdrift_monthly": q_covdrift_monthly,
         "quantile_drift_daily": q_quantile_drift_daily,
         "embedding_drift_labels": q_embedding_drift_labels,
         "acf_daily_value": q_acf_daily_value,
@@ -4392,6 +4393,7 @@ def build_catalog():
         "catdrift_daily": _sql_catdrift_daily(),
         "zdrift_daily": _sql_zdrift_daily(),
         "corrdrift_monthly": _sql_corrdrift_monthly(),
+        "covdrift_monthly": _sql_covdrift_monthly(),
         "quantile_drift_daily": _sql_quantile_drift_daily(),
         "embedding_drift_labels": _sql_embedding_drift_labels(),
         "acf_daily_value": _sql_acf_daily_value(),
@@ -9467,6 +9469,135 @@ SELECT strftime(ws, '%Y-%m-%d') AS win, n,
                   ELSE least(1.0, 2.0 * {sf}) END * 1e6 + 0.5) / 1e6
            AS p_value
 FROM z
+"""
+
+
+COV_COLS = ["l_extendedprice", "l_quantity", "l_discount", "l_tax"]
+
+
+def q_covdrift_monthly(spark, sf_dir):
+    """Covariance-structure drift (streaming/drift.py::cov_drift — the
+    multivariate drift-family member: ALL d(d−1)/2 pairwise Pearson
+    correlations per 30-day ship window, each Fisher-compared to a
+    fixed reference, with an in-row Benjamini–Hochberg step-up over
+    the window's pair family plus max|z| / Frobenius-delta family
+    scalars). ONE groupBy(window) aggregation of the 6 corr
+    aggregates + a stateless array-HOF projection; streaming-legal.
+    The oracle recomputes the reference, replays every window's
+    Fisher z and p, and reproduces the BH q via the partitioned
+    suffix-min window (tied p's share the largest-rank q — exactly
+    the engine's min over {p_(k) ≥ p} of p_(k)·m/k)."""
+    from dask_ml_spark.streaming.drift import (cov_drift,
+                                               reference_comoments)
+
+    li = _t(spark, sf_dir, "lineitem")
+    ref = reference_comoments(
+        li.where(F.col("l_shipdate") < F.lit(CORR_REF_END)), COV_COLS)
+    out = cov_drift(li, COV_COLS, "l_shipdate", ref, window="30 days")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("win"),
+        "col_a", "col_b", "n",
+        r6(F.col("corr")).alias("corr"),
+        r6(F.col("z")).alias("z"),
+        r6(F.col("p_value")).alias("p_value"),
+        r6(F.col("q_value")).alias("q_value"),
+        "reject",
+        r6(F.col("max_abs_z")).alias("max_abs_z"),
+        r6(F.col("frob_delta")).alias("frob_delta"),
+        "valid")
+
+
+def _sql_covdrift_monthly() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    sf = _normal_sf_sql("abs(z)")
+    w = 30 * 86400
+    d = len(COV_COLS)
+    pairs = [(i, j) for i in range(d) for j in range(i + 1, d)]
+    ref_cols = ", ".join(
+        f"corr(x{i}, x{j}) AS r{k}" for k, (i, j) in enumerate(pairs))
+    win_cols = ", ".join(
+        f"corr(x{i}, x{j}) AS c{k}" for k, (i, j) in enumerate(pairs))
+    z_cols = ", ".join(
+        f"""CASE WHEN n >= 4 AND c{k} IS NOT NULL AND abs(c{k}) < 1.0
+             THEN (0.5 * ln((1.0 + c{k}) / (1.0 - c{k}))
+                   - (SELECT 0.5 * ln((1.0 + r{k}) / (1.0 - r{k}))
+                      FROM ref)) * sqrt(n - 3.0) END AS z{k}"""
+        for k in range(len(pairs)))
+    # frob: left-to-right addition in pair index order (the engine's
+    # Python-loop order) so the double sum is bit-reproducible
+    frob_terms = " + ".join(
+        f"""CASE WHEN z{k} IS NOT NULL
+             THEN (c{k} - (SELECT r{k} FROM ref))
+                  * (c{k} - (SELECT r{k} FROM ref)) ELSE 0.0 END"""
+        for k in range(len(pairs)))
+    any_valid = " OR ".join(
+        f"z{k} IS NOT NULL" for k in range(len(pairs)))
+    kept_where = " AND ".join(
+        f"{c} IS NOT NULL AND NOT isnan({c}::DOUBLE)" for c in COV_COLS)
+    kept_sel = ", ".join(
+        f"{c}::DOUBLE AS x{i}" for i, c in enumerate(COV_COLS))
+    branches = "\n    UNION ALL\n".join(
+        f"""    SELECT ws, n, '{COV_COLS[i]}' AS col_a,
+           '{COV_COLS[j]}' AS col_b, c{k} AS r, z{k} AS z, frob
+    FROM zf""" for k, (i, j) in enumerate(pairs))
+    return f"""
+WITH kept AS (
+    SELECT l_shipdate AS ts, {kept_sel}
+    FROM lineitem
+    WHERE {kept_where}
+), ref AS (
+    SELECT {ref_cols}
+    FROM kept WHERE ts < TIMESTAMP '{CORR_REF_END} 00:00:00'
+), win AS (
+    -- Spark tumbling windows align to the 1970 epoch
+    SELECT to_timestamp((epoch(ts)::BIGINT // {w}) * {w}) AS ws,
+           count(*)::BIGINT AS n, {win_cols}
+    FROM kept GROUP BY 1
+), z AS (
+    SELECT *, {z_cols}
+    FROM win
+), zf AS (
+    SELECT *, CASE WHEN {any_valid}
+                   THEN sqrt(0.0 + {frob_terms}) END AS frob
+    FROM z
+), pairs AS (
+{branches}
+), p AS (
+    SELECT *, CASE WHEN z IS NOT NULL
+                   THEN least(1.0, 2.0 * {sf}) END AS p
+    FROM pairs
+), fam AS (
+    SELECT ws, p, row_number() OVER (PARTITION BY ws ORDER BY p) AS rn,
+           count(*) OVER (PARTITION BY ws) AS mm
+    FROM p WHERE p IS NOT NULL
+), adj AS (
+    SELECT ws, p,
+           least(1.0, min(p * mm / rn)
+                 OVER (PARTITION BY ws ORDER BY rn
+                       ROWS BETWEEN CURRENT ROW
+                       AND UNBOUNDED FOLLOWING)) AS q
+    FROM fam
+), adj_d AS (
+    -- tied p's share one q (largest-rank suffix min) — dedup so the
+    -- join back stays 1:1
+    SELECT ws, p, min(q) AS q FROM adj GROUP BY ws, p
+), mz AS (
+    SELECT ws, max(abs(z)) AS maxz FROM pairs GROUP BY ws
+)
+SELECT strftime(p.ws, '%Y-%m-%d') AS win, p.col_a, p.col_b, p.n,
+       floor(p.r * 1e6 + 0.5) / 1e6 AS corr,
+       floor(p.z * 1e6 + 0.5) / 1e6 AS z,
+       floor(p.p * 1e6 + 0.5) / 1e6 AS p_value,
+       floor(adj_d.q * 1e6 + 0.5) / 1e6 AS q_value,
+       CASE WHEN adj_d.q IS NOT NULL THEN adj_d.q <= 0.05 END AS reject,
+       floor(mz.maxz * 1e6 + 0.5) / 1e6 AS max_abs_z,
+       floor(p.frob * 1e6 + 0.5) / 1e6 AS frob_delta,
+       p.z IS NOT NULL AS valid
+FROM p
+LEFT JOIN adj_d ON p.ws = adj_d.ws AND p.p = adj_d.p
+LEFT JOIN mz ON p.ws = mz.ws
 """
 
 

@@ -11,6 +11,11 @@ ARRIVAL WINDOW, continuously, for every way a feed can rot:
 - ``z_drift``      — LEVEL and SPREAD vs reference moments
 - ``corr_drift``   — feature RELATIONSHIP (Fisher-z vs a reference r),
   which every marginal monitor above is blind to
+- ``cov_drift``    — COVARIANCE STRUCTURE: all d(d−1)/2 pairwise
+  correlations vs a reference co-moment fit, with an in-row BH
+  step-up and family-level max|z| / Frobenius-delta scalars — the
+  multivariate member that catches a whole feature block
+  decorrelating at once (corr_drift watches one pair)
 
 Each is ONE built-in windowed aggregation — the per-window statistics
 are conditional sums (the ECDF point at edge k is Σ[bucket ≤ k], a PSI
@@ -370,6 +375,176 @@ def corr_drift(df: DataFrame, col_a: str, col_b: str, ts_col: str,
                         F.least(F.lit(1.0), 2.0 * normal_sf_expr(
                             F.abs(F.col("__z")))))
                  .alias("p_value"))
+
+
+def reference_comoments(df: DataFrame, cols) -> dict:
+    """Fit the fixed reference for cov_drift: ONE aggregate of the
+    d(d−1)/2 pairwise Pearson correlations over the COMPLETE-CASE
+    reference slice (rows where every column is non-null/non-NaN —
+    one shared n keeps the co-moment matrix consistent, the standard
+    listwise convention). Returns {"n", "cols", "corr": [r per pair
+    in (i < j) index order]}. Loud errors on < 4 complete rows or any
+    degenerate pair (|r| = 1 — a duplicated/constant column, which
+    the caller should drop rather than monitor)."""
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("reference_comoments needs >= 2 columns")
+    if len(cols) > 30:
+        # 1 + d(d-1)/2 aggregate columns in the monitor: past d=30 the
+        # generated aggregate nears the whole-stage-codegen method
+        # budget (the categorical_drift 512-column precedent)
+        raise ValueError(
+            f"reference_comoments: {len(cols)} columns — a pairwise "
+            "screen past d=30 wants a projection (PCA / random "
+            "projection) first")
+    cs = [F.col(c).cast("double") for c in cols]
+    pred = cs[0].isNotNull() & ~F.isnan(cs[0])
+    for c in cs[1:]:
+        pred = pred & c.isNotNull() & ~F.isnan(c)
+    pairs = [(i, j) for i in range(len(cols))
+             for j in range(i + 1, len(cols))]
+    row = (df.where(pred)
+           .agg(F.count(F.lit(1)).alias("n"),
+                *[F.corr(cs[i], cs[j]).alias(f"r{i}_{j}")
+                  for i, j in pairs]).collect()[0])
+    if not row["n"] or row["n"] < 4:
+        raise ValueError("reference_comoments needs >= 4 complete-case "
+                         "rows")
+    corr = []
+    for i, j in pairs:
+        r = row[f"r{i}_{j}"]
+        if r is None or abs(r) >= 1.0:
+            raise ValueError(
+                f"reference_comoments: reference r for ({cols[i]}, "
+                f"{cols[j]}) is undefined or degenerate (|r| = 1) — "
+                "drop the constant/duplicated column")
+        corr.append(float(r))
+    return {"n": float(row["n"]), "cols": cols, "corr": corr}
+
+
+def cov_drift(df: DataFrame, cols, ts_col: str, ref: dict,
+              window: str = "1 hour", alpha: float = 0.05,
+              watermark: str | None = None) -> DataFrame:
+    """Windowed COVARIANCE-STRUCTURE drift — the multivariate member
+    the per-column family (ks/psi/z/quantile), the mix monitor
+    (categorical) and the single-pair corr_drift can't see: an
+    upstream join bug or schema drift that decorrelates a whole
+    feature block keeps every marginal AND may keep any one watched
+    pair, but breaks MANY pairs at once. Per tumbling window, ALL
+    d(d−1)/2 pairwise Pearson correlations over the complete-case
+    rows, each Fisher-compared to its fixed reference
+    (a reference_comoments fit): z_ij = (atanh(r_ij) −
+    atanh(r_ref,ij))·√(n−3), two-sided normal p, plus
+    Benjamini–Hochberg q over the window's valid-pair family and two
+    family-level scalars — max_abs_z and the Frobenius delta
+    ‖R_w − R_ref‖_F = √Σ_ij (r_ij − r_ref,ij)² over valid pairs.
+
+    Scale shape: ONE groupBy(window(ts)) aggregation of the d(d−1)/2
+    corr aggregates (bounded — d ≤ 30 by the fit), then a STATELESS
+    projection: the BH step-up runs inside the row via array HOFs
+    (sort the ≤435 valid p's, suffix-min each — q_ij =
+    min_{p_(k) ≥ p_ij} p_(k)·m/k, the tied-block-largest-rank
+    convention benjamini_hochberg uses), and the long per-pair format
+    comes from ONE posexplode of the assembled struct array. No
+    second aggregation, no join — append-mode streaming legal with a
+    watermark; identical code path on batch (what the SQL oracle
+    replays). Returns one row per (window, pair): (window_start, n,
+    col_a, col_b, corr, z, p_value, q_value, reject, max_abs_z,
+    frob_delta, valid); pairs with n < 4 or degenerate r report NULL
+    statistics and valid=false, excluded from the BH family and the
+    family scalars.
+    """
+    from dask_ml_spark.functions.stats import normal_sf_expr
+
+    cols = list(cols)
+    if cols != list(ref["cols"]):
+        raise ValueError(
+            f"cov_drift: cols {cols} do not match the reference fit's "
+            f"{list(ref['cols'])} — refit reference_comoments")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    d = len(cols)
+    pairs = [(i, j) for i in range(d) for j in range(i + 1, d)]
+    z0 = [0.5 * math.log((1.0 + r) / (1.0 - r)) for r in ref["corr"]]
+    cs = [F.col(c).cast("double") for c in cols]
+    pred = cs[0].isNotNull() & ~F.isnan(cs[0])
+    for c in cs[1:]:
+        pred = pred & c.isNotNull() & ~F.isnan(c)
+    agg = _window_agg(df.where(pred), ts_col, window, watermark,
+                      [F.corr(cs[i], cs[j]).alias(f"__r{k}")
+                       for k, (i, j) in enumerate(pairs)])
+    n = F.col("n").cast("double")
+    # bind per-pair z and p to columns FIRST (the ks_2sample lesson),
+    # all in one select — the BH and family scalars below re-read each
+    # p several times
+    zp = []
+    for k in range(len(pairs)):
+        r = F.col(f"__r{k}")
+        ok = (n >= 4.0) & r.isNotNull() & (F.abs(r) < 1.0)
+        fisher = 0.5 * F.log((1.0 + r) / (1.0 - r))
+        zp.append(F.when(ok, (fisher - F.lit(z0[k])) * F.sqrt(n - 3.0))
+                  .alias(f"__z{k}"))
+    agg = agg.select("*", *zp)
+    agg = agg.select("*", *[
+        F.when(F.col(f"__z{k}").isNotNull(),
+               F.least(F.lit(1.0),
+                       2.0 * normal_sf_expr(F.abs(F.col(f"__z{k}")))))
+        .alias(f"__p{k}") for k in range(len(pairs))])
+    # the window's BH family: sorted valid p's, in-row (array_sort
+    # drops nothing; F.filter drops the invalid pairs' NULLs first)
+    agg = agg.withColumn(
+        "__sp", F.array_sort(F.filter(
+            F.array(*[F.col(f"__p{k}") for k in range(len(pairs))]),
+            lambda x: x.isNotNull())))
+    msize = F.size("__sp")
+    md = msize.cast("double")
+
+    def q_of(p):
+        # q = min over ranks k with p_(k) >= p of p_(k)·m/k — the
+        # suffix-min step-up; p itself is in __sp, so m >= 1 whenever
+        # p is non-null (sequence(1, m) is never the 0-length trap)
+        return F.when(p.isNotNull(), F.least(F.lit(1.0), F.aggregate(
+            F.sequence(F.lit(1), msize), F.lit(float("inf")),
+            lambda acc, j: F.when(
+                F.element_at(F.col("__sp"), j) >= p,
+                F.least(acc, F.element_at(F.col("__sp"), j)
+                        * md / j.cast("double"))).otherwise(acc))))
+
+    # family scalars over the valid pairs (left-to-right addition in
+    # pair index order — the SQL oracle replays the same order)
+    frob = F.lit(0.0)
+    for k in range(len(pairs)):
+        frob = frob + F.when(F.col(f"__z{k}").isNotNull(),
+                             (F.col(f"__r{k}") - F.lit(ref["corr"][k]))
+                             * (F.col(f"__r{k}")
+                                - F.lit(ref["corr"][k]))).otherwise(0.0)
+    zabs = [F.abs(F.col(f"__z{k}")) for k in range(len(pairs))]
+    max_z = zabs[0] if len(zabs) == 1 else F.greatest(*zabs)
+    structs = []
+    for k, (i, j) in enumerate(pairs):
+        p = F.col(f"__p{k}")
+        q = q_of(p)
+        structs.append(F.struct(
+            F.lit(cols[i]).alias("col_a"), F.lit(cols[j]).alias("col_b"),
+            F.col(f"__r{k}").alias("corr"), F.col(f"__z{k}").alias("z"),
+            p.alias("p_value"), q.alias("q_value"),
+            F.when(q.isNotNull(), q <= F.lit(alpha)).alias("reject"),
+            F.col(f"__z{k}").isNotNull().alias("valid")))
+    agg = (agg.withColumn("__maxz", max_z)
+           .withColumn("__frob",
+                       F.when(msize > 0, F.sqrt(frob)))
+           .withColumn("__pair", F.explode(F.array(*structs))))
+    return _emit(agg,
+                 F.col("__pair.col_a").alias("col_a"),
+                 F.col("__pair.col_b").alias("col_b"),
+                 F.col("__pair.corr").alias("corr"),
+                 F.col("__pair.z").alias("z"),
+                 F.col("__pair.p_value").alias("p_value"),
+                 F.col("__pair.q_value").alias("q_value"),
+                 F.col("__pair.reject").alias("reject"),
+                 F.col("__maxz").alias("max_abs_z"),
+                 F.col("__frob").alias("frob_delta"),
+                 F.col("__pair.valid").alias("valid"))
 
 
 def _probe_label(q: float) -> str:

@@ -440,3 +440,142 @@ def test_quantile_drift_stream_matches_batch(spark, drifted_dir,
     for c in ("q50", "d50", "q90", "d90", "q99", "d99"):
         assert np.allclose(streamed[c].to_numpy(), b[c].to_numpy(),
                            atol=1e-12), c
+
+
+@pytest.fixture(scope="module")
+def cov_drifted_dir(spark, tmp_path_factory):
+    """Three 1-hour windows of an (a, b, c) block: windows 0/1 keep
+    the reference structure (b ~ 0.8a, c ~ −0.5a); window 2 DROPS the
+    whole block's correlation (independent b and c) while every
+    marginal stays the same — the multivariate failure a single-pair
+    monitor watching (b, c) alone would miss."""
+    rng = np.random.RandomState(71)
+    base = 1_699_999_200
+    rows = []
+    for w in range(3):
+        ts = base + w * 3600 + rng.randint(0, 3600, 900)
+        a = rng.normal(0, 1.0, 900)
+        if w < 2:
+            b = 0.8 * a + rng.normal(0, 0.6, 900)
+            c = -0.5 * a + rng.normal(0, 0.8, 900)
+        else:
+            b = rng.normal(0, 1.0, 900)
+            c = rng.normal(0, 1.0, 900)
+        rows += [(int(t), float(x), float(y), float(z))
+                 for t, x, y, z in zip(ts, a, b, c)]
+    df = (spark.createDataFrame(rows, ["epoch", "a", "b", "c"])
+          .select(F.timestamp_seconds(F.col("epoch")).alias("ts"),
+                  "a", "b", "c"))
+    d = str(tmp_path_factory.mktemp("cov_drift_stream"))
+    df.coalesce(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _cov_ref(spark, cov_drifted_dir):
+    from dask_ml_spark.streaming.drift import reference_comoments
+
+    batch = spark.read.parquet(cov_drifted_dir)
+    return batch, reference_comoments(
+        batch.where(F.col("ts") < F.timestamp_seconds(
+            F.lit(1_699_999_200 + 3600))), ["a", "b", "c"])
+
+
+def test_cov_drift_flags_block_decorrelation(spark, cov_drifted_dir):
+    from dask_ml_spark.streaming.drift import cov_drift
+
+    batch, ref = _cov_ref(spark, cov_drifted_dir)
+    assert ref["cols"] == ["a", "b", "c"]
+    rows = cov_drift(batch, ["a", "b", "c"], "ts", ref,
+                     window="1 hour").collect()
+    assert len(rows) == 9  # 3 windows x 3 pairs
+    by_w = {}
+    for r in rows:
+        by_w.setdefault(r["window_start"], []).append(r)
+    ws = sorted(by_w)
+    # window 0 IS the reference: every pair's z ~ 0, nothing rejects
+    for r in by_w[ws[0]]:
+        assert abs(r["z"]) < 1e-9 and not r["reject"] and r["valid"]
+    assert by_w[ws[0]][0]["frob_delta"] < 1e-9
+    # window 1: same structure — no rejections, small family scalars
+    for r in by_w[ws[1]]:
+        assert not r["reject"]
+    assert by_w[ws[1]][0]["max_abs_z"] < 3.5
+    # window 2: the (a,b) and (a,c) pairs broke; (b,c)'s own r was
+    # only ~-0.4 via a, so it breaks too — family verdict fires
+    w2 = {(r["col_a"], r["col_b"]): r for r in by_w[ws[2]]}
+    assert w2[("a", "b")]["reject"] and w2[("a", "c")]["reject"]
+    assert w2[("a", "b")]["p_value"] < 1e-12
+    assert by_w[ws[2]][0]["max_abs_z"] > 15
+    assert by_w[ws[2]][0]["frob_delta"] > 0.5
+    assert by_w[ws[2]][0]["frob_delta"] > \
+        10 * by_w[ws[1]][0]["frob_delta"]
+
+
+def test_cov_drift_bh_matches_stepup_replay(spark, cov_drifted_dir):
+    """The in-row array-HOF BH must equal the classic sorted step-up
+    (suffix min, tied block at its largest rank) replayed in numpy."""
+    from dask_ml_spark.streaming.drift import cov_drift
+
+    batch, ref = _cov_ref(spark, cov_drifted_dir)
+    rows = cov_drift(batch, ["a", "b", "c"], "ts", ref,
+                     window="1 hour").collect()
+    by_w = {}
+    for r in rows:
+        by_w.setdefault(r["window_start"], []).append(r)
+    for w, rs in by_w.items():
+        ps = sorted(r["p_value"] for r in rs if r["p_value"] is not None)
+        m = len(ps)
+        for r in rs:
+            if r["p_value"] is None:
+                assert r["q_value"] is None and r["reject"] is None
+                continue
+            want = min(ps[j] * m / (j + 1) for j in range(m)
+                       if ps[j] >= r["p_value"])
+            assert abs(r["q_value"] - min(1.0, want)) < 1e-15
+            assert r["reject"] == (r["q_value"] <= 0.05)
+
+
+def test_cov_drift_stream_matches_batch(spark, cov_drifted_dir):
+    from dask_ml_spark.streaming.drift import cov_drift
+
+    batch, ref = _cov_ref(spark, cov_drifted_dir)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(cov_drifted_dir))
+    out = cov_drift(stream, ["a", "b", "c"], "ts", ref,
+                    window="1 hour", watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("cov_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = (spark.sql("select * from cov_out").toPandas()
+                .sort_values(["window_start", "col_a", "col_b"])
+                .reset_index(drop=True))
+    expected = (cov_drift(batch, ["a", "b", "c"], "ts", ref,
+                          window="1 hour").toPandas()
+                .sort_values(["window_start", "col_a", "col_b"])
+                .reset_index(drop=True))
+    assert 3 <= len(streamed) < len(expected)
+    b = expected.iloc[:len(streamed)].reset_index(drop=True)
+    assert (streamed["n"].to_numpy() == b["n"].to_numpy()).all()
+    for c in ("corr", "z", "p_value", "q_value", "max_abs_z",
+              "frob_delta"):
+        assert np.allclose(streamed[c].to_numpy(), b[c].to_numpy(),
+                           atol=1e-10), c
+
+
+def test_cov_drift_validation(spark, cov_drifted_dir):
+    from dask_ml_spark.streaming.drift import (cov_drift,
+                                               reference_comoments)
+
+    batch, ref = _cov_ref(spark, cov_drifted_dir)
+    with pytest.raises(ValueError, match="do not match"):
+        cov_drift(batch, ["a", "b"], "ts", ref)
+    with pytest.raises(ValueError, match="alpha"):
+        cov_drift(batch, ["a", "b", "c"], "ts", ref, alpha=1.5)
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        reference_comoments(batch, ["a"])
+    with pytest.raises(ValueError, match="d=30"):
+        reference_comoments(batch, [f"x{i}" for i in range(31)])
+    # a duplicated column is degenerate (r = 1) — loud error
+    dup = batch.withColumn("a2", F.col("a"))
+    with pytest.raises(ValueError, match="degenerate"):
+        reference_comoments(dup, ["a", "a2"])
