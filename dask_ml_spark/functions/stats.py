@@ -419,18 +419,23 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
 
 
 def welch_ttest(df: DataFrame, value_col: str, group_col: str,
-                groups=None) -> DataFrame:
+                groups=None, tail: str = "normal") -> DataFrame:
     """Welch's unequal-variance two-sample t-test, one aggregate pass.
 
     t = (m1 − m2) / √(v1/n1 + v2/n2) with sample variances, and the
     Welch–Satterthwaite dof. The two-sided p uses the NORMAL
-    approximation to the t distribution (the exact t CDF needs the
-    incomplete beta; at the corpus scales this engine targets dof is
-    in the thousands, where |t − normal| < 1e-4 — documented, and the
-    dof is returned so a caller with a tiny sample can consult a t
-    table). Returns one row:
+    approximation to the t distribution by default (at the corpus
+    scales this engine targets dof is in the thousands, where
+    |t − normal| < 1e-4 — documented, and the dof is returned).
+    ``tail="exact"`` evaluates the exact Student-t upper tail via the
+    driver-side incomplete-beta continued fraction (t_sf — the f_sf
+    pattern): the single aggregate row collects either way, so this
+    is a driver-side scalar swap with no plan change; the SQL oracles
+    replay the normal default. Returns one row:
     (n1, n2, mean_diff, t_stat, dof, p_value).
     """
+    if tail not in ("normal", "exact"):
+        raise ValueError("tail must be 'normal' or 'exact'")
     v = F.col(value_col).cast("double")
     if groups is None:
         _, g1, g2 = _two_group_counts(df, value_col, group_col, None)
@@ -468,6 +473,29 @@ def welch_ttest(df: DataFrame, value_col: str, group_col: str,
         return _nonempty_guard(n1 - 1.0, n2 - 1.0, zerovar, "welch_ttest",
                                msg="each group needs >= 2 rows")
 
+    if tail == "exact":
+        # driver-side scalar swap, no plan change: the same single
+        # aggregate row, with the exact t tail applied in Python
+        row = agg.collect()[0]
+        fn1, fn2 = float(row["n1_d"]), float(row["n2_d"])
+        if fn1 < 2.0 or fn2 < 2.0:
+            raise ValueError("welch_ttest: each group needs >= 2 rows")
+        fm1, fm2 = row["s1"] / fn1, row["s2"] / fn2
+        fv1 = (row["q1"] - fn1 * fm1 * fm1) / (fn1 - 1.0)
+        fv2 = (row["q2"] - fn2 * fm2 * fm2) / (fn2 - 1.0)
+        fse2 = fv1 / fn1 + fv2 / fn2
+        if not fse2 > 0.0:
+            raise ValueError(
+                "welch_ttest: zero variance in both groups — t is "
+                "undefined on constant samples")
+        ft = (fm1 - fm2) / math.sqrt(fse2)
+        fdof = (fse2 * fse2) / ((fv1 / fn1) ** 2 / (fn1 - 1.0)
+                                + (fv2 / fn2) ** 2 / (fn2 - 1.0))
+        return df.sparkSession.createDataFrame(
+            [(int(fn1), int(fn2), float(fm1 - fm2), float(ft),
+              float(fdof), float(min(1.0, 2.0 * t_sf(abs(ft), fdof))))],
+            "n1 long, n2 long, mean_diff double, t_stat double, "
+            "dof double, p_value double")
     out = (agg.withColumn("__t", t)
            .withColumn("__dof", dof)
            .select(
@@ -600,7 +628,8 @@ def benjamini_hochberg(df: DataFrame, p_col: str = "p_value",
 
 def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
                    alpha: float = 0.05,
-                   max_groups: int = 1024) -> DataFrame:
+                   max_groups: int = 1024,
+                   tail: str = "normal") -> DataFrame:
     """Post-hoc pairwise comparisons after anova_oneway — the question
     a significant F immediately raises ("WHICH groups differ?"), as
     all k(k−1)/2 Welch unequal-variance t-tests with Benjamini–
@@ -616,13 +645,20 @@ def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
     rows. A pair with a group under 2 rows or zero pooled variance
     reports valid=false with NULL statistics and is EXCLUDED from the
     BH family m (the welch_ttest_by convention). p is the large-sample
-    normal tail of Welch's t (dof returned; the documented corpus
-    convention). Returns one row per pair (group_a < group_b by string
-    sort): (group_a, group_b, n_a, n_b, mean_diff, t_stat, dof,
-    p_value, q_value, reject, valid), ordered by (group_a, group_b).
+    normal tail of Welch's t by default (dof returned; the documented
+    corpus convention, what the SQL oracle replays); ``tail="exact"``
+    swaps in the exact Student-t tail (t_sf, driver-side — every pair
+    statistic already assembles on the driver, so this costs nothing)
+    — the honest choice on THIN strata, which are exactly where a
+    post-hoc pairwise sweep gets used. Returns one row per pair
+    (group_a < group_b by string sort): (group_a, group_b, n_a, n_b,
+    mean_diff, t_stat, dof, p_value, q_value, reject, valid), ordered
+    by (group_a, group_b).
     """
     if not 0.0 < alpha < 1.0:
         raise ValueError("alpha must be in (0, 1)")
+    if tail not in ("normal", "exact"):
+        raise ValueError("tail must be 'normal' or 'exact'")
     v = F.col(value_col).cast("double")
     rows = (df.where(v.isNotNull() & ~F.isnan(v)
                      & F.col(group_col).isNotNull())
@@ -663,11 +699,12 @@ def pairwise_welch(df: DataFrame, value_col: str, group_col: str,
                                          / (na - 1.0)
                                          + (vb / nb) * (vb / nb)
                                          / (nb - 1.0))
+                    p = (t_sf(abs(t), dof) if tail == "exact"
+                         else _normal_sf_py(abs(t)))
                     rec.update(
                         mean_diff=float(ma - mb), t_stat=float(t),
                         dof=float(dof),
-                        p_value=float(min(1.0, 2.0 * _normal_sf_py(
-                            abs(t)))),
+                        p_value=float(min(1.0, 2.0 * p)),
                         valid=True)
             pairs.append(rec)
     # BH step-up over the VALID pair family (suffix min from the
@@ -1796,6 +1833,22 @@ def f_sf(x: float, d1: float, d2: float) -> float:
         return 1.0
     return min(1.0, max(0.0, betainc_reg(d2 / 2.0, d1 / 2.0,
                                          d2 / (d2 + d1 * x))))
+
+
+def t_sf(x: float, dof: float) -> float:
+    """EXACT upper-tail Student-t probability P(T_ν > x) =
+    I_{ν/(ν+x²)}(ν/2, 1/2)/2 for x ≥ 0 (symmetry below zero) — the
+    small-sample tail behind welch_ttest/pairwise_welch's
+    ``tail="exact"`` mode (their default stays the large-dof normal
+    limit, which is what the SQL oracles replay; this driver-side
+    scalar exists so a thin-stratum post-hoc gets an honest p instead
+    of a documented caveat — the same pattern as f_sf for ANOVA).
+    Agrees with the Cauchy (ν=1) and ν=2 closed forms to 1e-14 and
+    with the normal limit as ν → ∞ (pytest-pinned)."""
+    if dof <= 0.0:
+        raise ValueError("t_sf needs dof > 0")
+    ib = betainc_reg(dof / 2.0, 0.5, dof / (dof + x * x))
+    return ib / 2.0 if x >= 0.0 else 1.0 - ib / 2.0
 
 
 def _chi2_sf_sql(x: str, dof: int) -> str:

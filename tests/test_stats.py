@@ -704,6 +704,84 @@ def test_f_sf_exact_tail():
     assert f_sf(0.0, 3.0, 10.0) == 1.0
 
 
+def test_t_sf_exact_tail():
+    """The driver-side incomplete-beta Student-t tail, pinned against
+    closed forms and published t-table critical values (no scipy):
+    ν=1 is the Cauchy sf = 1/2 − atan(x)/π; ν=2 has
+    sf = 1/2 − x/(2√(2+x²)); plus the normal limit as ν → ∞."""
+    import math
+
+    from dask_ml_spark.functions.stats import _normal_sf_py, t_sf
+
+    for x in (-3.0, -0.7, 0.0, 0.5, 1.0, 2.7, 10.0):
+        want1 = 0.5 - math.atan(x) / math.pi
+        assert abs(t_sf(x, 1.0) - want1) < 1e-14, x
+        want2 = 0.5 - x / (2.0 * math.sqrt(2.0 + x * x))
+        assert abs(t_sf(x, 2.0) - want2) < 1e-14, x
+    # published upper critical values (Abramowitz & Stegun table
+    # 26.10): t(.025; 10)=2.2281, t(.05; 5)=2.0150, t(.005; 20)=2.8453,
+    # t(.025; 1)=12.706
+    for x, dof, p in ((2.2281, 10, 0.025), (2.0150, 5, 0.05),
+                      (2.8453, 20, 0.005), (12.706, 1, 0.025)):
+        assert abs(t_sf(x, float(dof)) - p) < 5e-5, (x, dof)
+    # normal limit: dof -> inf
+    for x in (0.3, 1.0, 1.959964, 3.1):
+        assert abs(t_sf(x, 2_000_000.0) - _normal_sf_py(x)) < 1e-6, x
+    # symmetry + bounds
+    assert abs(t_sf(-1.3, 7.0) + t_sf(1.3, 7.0) - 1.0) < 1e-14
+    assert t_sf(0.0, 5.0) == 0.5
+    with pytest.raises(ValueError):
+        t_sf(1.0, 0.0)
+
+
+def test_welch_exact_tail(spark):
+    """tail='exact' on welch_ttest/pairwise_welch swaps only the
+    driver-side p scalar: statistics and dofs unchanged, exact p =
+    2·t_sf(|t|, dof), and on thin strata the exact p is LARGER than
+    the normal limit (t has fatter tails)."""
+    from dask_ml_spark.functions.stats import (pairwise_welch, t_sf,
+                                               welch_ttest)
+
+    rng = np.random.RandomState(29)
+    rows = [(g, float(rng.normal(mu, sd)))
+            for g, mu, sd, cnt in (("a", 0.0, 1.0, 9), ("b", 1.1, 1.4, 7),
+                                   ("c", 0.4, 0.8, 8))
+            for _ in range(cnt)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    nrm = welch_ttest(df, "v", "g", groups=("a", "b")).collect()[0]
+    ex = welch_ttest(df, "v", "g", groups=("a", "b"),
+                     tail="exact").collect()[0]
+    assert abs(ex["t_stat"] - nrm["t_stat"]) < 1e-12
+    assert abs(ex["dof"] - nrm["dof"]) < 1e-12
+    assert (ex["n1"], ex["n2"]) == (nrm["n1"], nrm["n2"])
+    assert abs(ex["p_value"]
+               - min(1.0, 2.0 * t_sf(abs(ex["t_stat"]), ex["dof"]))) \
+        < 1e-15
+    assert ex["p_value"] > nrm["p_value"]  # fatter tails at dof ~ 12
+    with pytest.raises(ValueError, match="tail"):
+        welch_ttest(df, "v", "g", tail="bogus")
+    # pairwise: same pins per pair, BH family recomputed over exact p
+    nrm_p = {(r["group_a"], r["group_b"]): r
+             for r in pairwise_welch(df, "v", "g").collect()}
+    ex_p = {(r["group_a"], r["group_b"]): r
+            for r in pairwise_welch(df, "v", "g",
+                                    tail="exact").collect()}
+    assert set(ex_p) == set(nrm_p) == {("a", "b"), ("a", "c"),
+                                       ("b", "c")}
+    for k, r in ex_p.items():
+        assert abs(r["t_stat"] - nrm_p[k]["t_stat"]) < 1e-12
+        assert abs(r["p_value"]
+                   - min(1.0, 2.0 * t_sf(abs(r["t_stat"]),
+                                         r["dof"]))) < 1e-15
+        assert r["p_value"] > nrm_p[k]["p_value"]
+    # BH step-up replay over the exact family
+    ps = sorted(r["p_value"] for r in ex_p.values())
+    for r in ex_p.values():
+        want = min(1.0, min(ps[j] * 3 / (j + 1) for j in range(3)
+                            if ps[j] >= r["p_value"]))
+        assert abs(r["q_value"] - want) < 1e-15
+
+
 def test_anova_exact_tail(spark):
     """tail='exact' swaps only the driver-side p scalar: the F stat
     and dofs are unchanged, the exact p matches a hand incomplete-beta
