@@ -9314,7 +9314,12 @@ def q_quantile_drift_daily(spark, sf_dir):
     conditional sums as ks_drift (one windowed aggregation,
     streaming-legal), each with its delta vs the reference's own
     binned quantile. The oracle replays every crossing + interpolation
-    from the identical integer counts."""
+    from the identical integer counts. Accuracy contract (pinned in
+    tests/test_streaming_drift.py::test_quantile_drift_accuracy_bound):
+    |q̂ − q_true| ≤ (hi − lo)/bins whenever the window's true quantile
+    is inside the reference support; out-of-support tails saturate at
+    the edge (delta becomes a sign-correct lower bound — see the
+    quantile_drift docstring)."""
     from dask_ml_spark.streaming.drift import (quantile_drift,
                                                reference_histogram)
 

@@ -594,6 +594,23 @@ def quantile_drift(df: DataFrame, value_col: str, ts_col: str,
     (window_start, n, q<P>, d<P> per probe), e.g. q50/d50, q90/d90,
     q99/d99; a probe label is int(p·100) (use probes like 0.999 via
     q99_9 → label replaces '.' with '_').
+
+    ACCURACY CONTRACT (pytest-pinned vs exact percentile on the same
+    windows): whenever the window's true probe quantile lies inside
+    the reference support [lo, hi], the binned estimate is within ONE
+    bucket width, |q̂ − q_true| ≤ (hi − lo)/bins — the estimate and
+    the true order statistic share the crossing bucket, and the
+    interpolation stays inside it. The bound is the user's sizing
+    rule: a p99 alert threshold of δ needs bins ≥ (hi − lo)/δ. When
+    the true quantile ESCAPES the reference support (a drifted tail —
+    e.g. p99 of a shifted heavy-tail length distribution), the clamp
+    pins the estimate to the edge bucket, so q̂ saturates at hi (or
+    lo): the reported delta is then a LOWER bound on the true move,
+    still sign-correct and still alerting — but downstream consumers
+    must not read a saturated q̂ as the literal tail value. Callers
+    needing out-of-support tail VALUES should refit the reference or
+    use percentile_approx on the flagged windows (the GK sketch; not
+    windowed-streaming-legal, which is why it isn't the monitor).
     """
     bins = int(ref["bins"])
     if "counts" not in ref:
