@@ -201,8 +201,8 @@ HEADLINE = [
     "prop_ztest_discount",          # two-proportion z, one aggregate
     "anova_event_value",            # k-group one-way F + chi2-limit p + eta^2
     "pairwise_welch_events",        # post-hoc pairwise Welch + BH
-    "spearman_price_quantity",      # tie-averaged rank correlation
-    "spearman_price_quantity_binned",  # bins=K scale path (one cell agg)
+    "spearman_price_quantity",        # headline: bins=K scale path
+    "spearman_price_quantity_exact",  # tie-averaged ranks (parity witness)
     "brown_forsythe_price",         # variance homogeneity (robust Levene)
     "changepoint_event_value",      # binned mean-shift drift monitor
     "trend_event_value",            # Mann-Kendall + Sen slope (binned)

@@ -4137,8 +4137,11 @@ def build_catalog():
         "prop_ztest_discount": q_prop_ztest_discount,
         "anova_event_value": q_anova_event_value,
         "pairwise_welch_events": q_pairwise_welch_events,
+        # headline = the binned scale path (the r12 promotion: the
+        # documented default for continuous columns); the exact
+        # tie-averaged-rank path stays oracled as the parity witness
         "spearman_price_quantity": q_spearman_price_quantity,
-        "spearman_price_quantity_binned": q_spearman_price_quantity_binned,
+        "spearman_price_quantity_exact": q_spearman_price_quantity_exact,
         "brown_forsythe_price": q_brown_forsythe_price,
         "isotonic_price_curve": q_isotonic_price_curve,
         "changepoint_event_value": q_changepoint_event_value,
@@ -4382,8 +4385,8 @@ def build_catalog():
         "anova_event_value": _sql_anova_event_value(),
         "pairwise_welch_events": _sql_pairwise_welch_events(),
         "spearman_price_quantity": _sql_spearman_price_quantity(),
-        "spearman_price_quantity_binned":
-            _sql_spearman_price_quantity_binned(),
+        "spearman_price_quantity_exact":
+            _sql_spearman_price_quantity_exact(),
         "brown_forsythe_price": _sql_brown_forsythe_price(),
         "isotonic_price_curve": _sql_isotonic_price_curve(),
         "changepoint_event_value": _sql_changepoint_event_value(),
@@ -8706,13 +8709,18 @@ FROM f
 """
 
 
-def q_spearman_price_quantity(spark, sf_dir):
-    """Spearman rank correlation (functions/stats.py::spearman_rho):
-    price vs quantity with tie-averaged ranks (quantity has ~50
-    distinct values — the tie machinery does real work). Per column
-    one distinct-value groupBy + prefix pass builds the rank map,
-    joined back (AQE broadcasts the small maps); one Pearson co-moment
-    aggregate over the rank pair. ρ is a self-normalizing ratio."""
+def q_spearman_price_quantity_exact(spark, sf_dir):
+    """EXACT Spearman rank correlation (functions/stats.py::
+    spearman_rho): price vs quantity with tie-averaged ranks
+    (quantity has ~50 distinct values — the tie machinery does real
+    work). Per column one distinct-value groupBy + prefix pass builds
+    the rank map, joined back (AQE broadcasts the small maps); one
+    Pearson co-moment aggregate over the rank pair. Since r12 this is
+    the PARITY WITNESS, not the headline: on a continuous column
+    (price: distinct ≈ N) the rank map is a row-count-sized sort in
+    disguise, so the catalog headline `spearman_price_quantity` is
+    the binned scale path (5× faster at sf0.1, |Δρ| = O(1/K)); this
+    exact sibling stays oracled to pin the binned path's accuracy."""
     from dask_ml_spark.functions.stats import spearman_rho
 
     li = _t(spark, sf_dir, "lineitem")
@@ -8722,7 +8730,7 @@ def q_spearman_price_quantity(spark, sf_dir):
                       r6(F.col("p_value")).alias("p_value"))
 
 
-def _sql_spearman_price_quantity() -> str:
+def _sql_spearman_price_quantity_exact() -> str:
     from dask_ml_spark.functions.stats import _normal_sf_sql
 
     sf = _normal_sf_sql("(abs(rho) * sqrt(n - 1.0))")
@@ -8756,16 +8764,19 @@ FROM c
 SPEARMAN_BINS = 256
 
 
-def q_spearman_price_quantity_binned(spark, sf_dir):
-    """Spearman's SCALE path (functions/stats.py::spearman_rho_binned
-    — the ks bins=K treatment for rank correlation): the exact path's
-    rank map groups by distinct value, which on a continuous price
-    column is distinct ≈ N (a row-count-sized sort in disguise — the
-    one sort-shaped plan in the r10 stats surface). Here: one min/max
-    aggregate + ONE groupBy(bucket_a, bucket_b) count (≤K² cells),
-    then exact integer arithmetic driver-side — no rank join, no
-    prefix machinery, |ρ_binned − ρ_exact| = O(1/K) (parity-pinned).
-    The oracle replays the integer sums in HUGEINT, bit-for-bit."""
+def q_spearman_price_quantity(spark, sf_dir):
+    """Spearman rank correlation, the CATALOG HEADLINE (functions/
+    stats.py::spearman_rho_binned — since r12 the binned scale path
+    is the documented default for continuous columns; the exact
+    tie-averaged-rank path stays oracled as
+    `spearman_price_quantity_exact`, the parity witness): the exact
+    path's rank map groups by distinct value, which on a continuous
+    price column is distinct ≈ N (a row-count-sized sort in
+    disguise). Here: one min/max aggregate + ONE
+    groupBy(bucket_a, bucket_b) count (≤K² cells), then exact integer
+    arithmetic driver-side — no rank join, no prefix machinery,
+    |ρ_binned − ρ_exact| = O(1/K) (parity-pinned). The oracle replays
+    the integer sums in HUGEINT, bit-for-bit."""
     from dask_ml_spark.functions.stats import spearman_rho_binned
 
     li = _t(spark, sf_dir, "lineitem")
@@ -8776,7 +8787,7 @@ def q_spearman_price_quantity_binned(spark, sf_dir):
                       r6(F.col("p_value")).alias("p_value"))
 
 
-def _sql_spearman_price_quantity_binned() -> str:
+def _sql_spearman_price_quantity() -> str:
     from dask_ml_spark.functions.stats import _normal_sf_sql
 
     K = SPEARMAN_BINS
