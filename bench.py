@@ -203,6 +203,8 @@ HEADLINE = [
     "pairwise_welch_events",        # post-hoc pairwise Welch + BH
     "spearman_price_quantity",        # headline: bins=K scale path
     "spearman_price_quantity_exact",  # tie-averaged ranks (parity witness)
+    "kendall_price_quantity",         # tau-b via K^2-cell 2-D prefix sums
+    "kruskal_wallis_quantity",        # k-group rank ANOVA, tie-corrected
     "brown_forsythe_price",         # variance homogeneity (robust Levene)
     "changepoint_event_value",      # binned mean-shift drift monitor
     "trend_event_value",            # Mann-Kendall + Sen slope (binned)
@@ -212,6 +214,7 @@ HEADLINE = [
     "catdrift_daily",               # categorical-mix PSI + OTHER bucket
     "zdrift_daily",                 # windowed mean/variance z-drift
     "corrdrift_monthly",            # feature-relationship (Fisher) drift
+    "covdrift_monthly",             # multivariate covariance-structure drift
     "quantile_drift_daily",         # windowed p50/p90/p99 + deltas
     "embedding_drift_labels",       # per-dim embedding drift + BH
     "acf_daily_value",              # lag correlation of the daily series

@@ -1652,6 +1652,204 @@ def spearman_rho_binned(df: DataFrame, col_a: str, col_b: str,
         "n long, rho double, p_value double")
 
 
+def kendall_tau_binned(df: DataFrame, col_a: str, col_b: str,
+                       bins: int = 256) -> DataFrame:
+    """Kendall's τ-b rank correlation, the binned scale path — the
+    spearman_rho_binned treatment applied to the OTHER classical rank
+    statistic (τ weights each discordant PAIR equally, so it is less
+    sensitive to a few extreme ranks than ρ and is the usual choice
+    for heavy-tailed monotone association). Exact τ needs all n(n−1)/2
+    pair orientations — quadratic, hopeless at scale. Binned:
+
+      pass 1: ONE (min, max) aggregate per column;
+      pass 2: ONE groupBy(bucket_a, bucket_b) count — ≤K² cells;
+      driver: 2-D prefix sums over the cell grid give the concordant/
+              discordant pair totals in O(K²) exact bignum integer
+              ops; within-bucket pairs become TIES, which is exactly
+              what τ-b's tie correction is for.
+
+    τ_b = (C − D)/√((n₀ − n₁)(n₀ − n₂)) with n₀ = n(n−1)/2 and
+    n₁/n₂ the same-bucket pair counts per column; the large-sample p
+    uses the tie-corrected normal variance of (C − D)
+    (Kendall 1970 §4; the standard formula with the three v-terms).
+    Every sum is an exact Python bignum — the only float ops are the
+    final divisions, so a SQL oracle replays bit-for-bit in HUGEINT
+    (dense-grid 2-D window cumsums). Bias: binning moves a pair's
+    orientation only when the pair shares a bucket on some axis
+    (those become ties), so |τ_binned − τ_exact| = O(1/K) on smooth
+    data, and binned ≡ exact when every distinct value owns a bucket
+    (parity-pinned both ways). Returns one row: (n, tau, p_value).
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if bins > 1024:
+        raise ValueError("bins > 1024 — the ≤K² driver cell state "
+                         "stops being bounded")
+    va = F.col(col_a).cast("double")
+    vb = F.col(col_b).cast("double")
+    kept = (df.where(va.isNotNull() & ~F.isnan(va)
+                     & vb.isNotNull() & ~F.isnan(vb))
+            .select(va.alias("__a"), vb.alias("__b")))
+    lim = kept.agg(F.min("__a").alias("la"), F.max("__a").alias("ha"),
+                   F.min("__b").alias("lb"),
+                   F.max("__b").alias("hb")).collect()[0]
+    if lim["la"] is None:
+        raise ValueError("kendall_tau_binned: no complete-case rows")
+    la, ha = float(lim["la"]), float(lim["ha"])
+    lb, hb = float(lim["lb"]), float(lim["hb"])
+    wa = (ha - la) or 1.0
+    wb = (hb - lb) or 1.0
+
+    def bucket(c, lo, width):
+        return F.least(F.lit(bins - 1),
+                       F.floor((c - F.lit(lo)) / F.lit(width)
+                               * F.lit(bins))).cast("int")
+
+    cells = (kept.groupBy(bucket(F.col("__a"), la, wa).alias("__ba"),
+                          bucket(F.col("__b"), lb, wb).alias("__bb"))
+             .agg(F.count(F.lit(1)).alias("__w"))
+             .collect())
+    # group cells by a-bucket, ascending; within each, b ascending
+    by_a: dict = {}
+    for r in cells:
+        by_a.setdefault(r["__ba"], {})[r["__bb"]] = r["__w"]
+    n = sum(r["__w"] for r in cells)
+    if n < 2:
+        raise ValueError("kendall_tau_binned needs >= 2 complete-case "
+                         "rows")
+    # one ascending sweep over a-buckets: `below` holds the per-b
+    # counts of all STRICTLY smaller a-buckets; its prefix sums give
+    # each cell's concordant (i'<i, j'<j) and discordant (i'<i, j'>j)
+    # partners in O(K²) exact integer ops, each unordered pair counted
+    # once from its larger-a member
+    below = [0] * bins           # counts per b-bucket, a' < current a
+    below_total = 0
+    conc = disc = 0
+    for a_key in sorted(by_a):
+        row = by_a[a_key]
+        prefix = [0] * (bins + 1)  # prefix[j] = sum(below[:j])
+        for j in range(bins):
+            prefix[j + 1] = prefix[j] + below[j]
+        for b_key, w in row.items():
+            conc += w * prefix[b_key]                    # j' < j
+            disc += w * (below_total - prefix[b_key + 1])  # j' > j
+        for b_key, w in row.items():
+            below[b_key] += w
+            below_total += w
+    # tie structure (within-bucket pairs per axis)
+    ta = {}
+    tb = {}
+    for r in cells:
+        ta[r["__ba"]] = ta.get(r["__ba"], 0) + r["__w"]
+        tb[r["__bb"]] = tb.get(r["__bb"], 0) + r["__w"]
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in ta.values())
+    n2 = sum(u * (u - 1) // 2 for u in tb.values())
+    if n0 == n1 or n0 == n2:
+        raise ValueError("kendall_tau_binned: a column is constant "
+                         "(or collapses to one bucket) — tau undefined")
+    tau = float(conc - disc) / math.sqrt(float(n0 - n1)
+                                         * float(n0 - n2))
+    # tie-corrected large-sample variance of (C − D), Kendall 1970:
+    # every term an exact bignum; float only at the final assembly
+    v0 = n * (n - 1) * (2 * n + 5)
+    vt = sum(t * (t - 1) * (2 * t + 5) for t in ta.values())
+    vu = sum(u * (u - 1) * (2 * u + 5) for u in tb.values())
+    s_t1 = sum(t * (t - 1) for t in ta.values())
+    s_u1 = sum(u * (u - 1) for u in tb.values())
+    s_t2 = sum(t * (t - 1) * (t - 2) for t in ta.values())
+    s_u2 = sum(u * (u - 1) * (u - 2) for u in tb.values())
+    var = (float(v0 - vt - vu) / 18.0
+           + float(s_t1) * float(s_u1) / (2.0 * n * (n - 1.0)))
+    if n > 2:
+        var = var + (float(s_t2) * float(s_u2)
+                     / (9.0 * n * (n - 1.0) * (n - 2.0)))
+    if not var > 0.0:
+        raise ValueError("kendall_tau_binned: degenerate tie structure "
+                         "— variance of (C - D) is zero")
+    z = float(conc - disc) / math.sqrt(var)
+    p = min(1.0, 2.0 * _normal_sf_py(abs(z)))
+    return df.sparkSession.createDataFrame(
+        [(int(n), float(tau), float(p))],
+        "n long, tau double, p_value double")
+
+
+def kruskal_wallis(df: DataFrame, value_col: str, group_col: str,
+                   max_cells: int = 65536) -> DataFrame:
+    """Kruskal–Wallis rank ANOVA across k groups — the k-group
+    generalization of mann_whitney_u (and the rank-based companion of
+    anova_oneway: same question, no normality assumption). H is a
+    pure function of the per-(value, group) contingency: ONE
+    groupBy(value, group) count is the only raw-row pass (the
+    chi2_independence shape), then the driver builds global
+    tie-averaged ranks from the value marginals and assembles H from
+    k rank sums — bounded state (max_cells, loud error), exact
+    integer rank arithmetic (doubled ranks stay integral; the only
+    float ops are the final assembly, mirrored in the SQL oracle).
+
+    H = 12/(n(n+1)) Σ_g R_g²/n_g − 3(n+1), divided by the tie
+    correction 1 − Σ(t³−t)/(n³−n); p from the χ²_{k−1} upper tail
+    (chi2_sf — exact closed form at even dof). Returns one row:
+    (k, n, h_stat, dof, tie_correction, p_value).
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    cells = (df.where(v.isNotNull() & ~F.isnan(v) & g.isNotNull())
+             .groupBy(v.alias("__v"),
+                      g.cast("string").alias("__g"))
+             .agg(F.count(F.lit(1)).alias("__c")))
+    rows = cells.limit(max_cells + 1).collect()
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"kruskal_wallis: more than max_cells={max_cells} "
+            "(value, group) cells — bin the value column first")
+    if not rows:
+        raise ValueError("kruskal_wallis: no complete-case rows")
+    # global tie-averaged ranks over the value marginals, doubled to
+    # stay integral: 2·rank(v) = 2·(count below) + count(v) + 1
+    vc: dict = {}
+    for r in rows:
+        vc[r["__v"]] = vc.get(r["__v"], 0) + r["__c"]
+    r2: dict = {}
+    cum = 0
+    for val in sorted(vc):
+        r2[val] = 2 * cum + vc[val] + 1
+        cum += vc[val]
+    n = cum
+    groups: dict = {}
+    for r in rows:
+        ng, rg = groups.get(r["__g"], (0, 0))
+        groups[r["__g"]] = (ng + r["__c"], rg + r["__c"] * r2[r["__v"]])
+    k = len(groups)
+    if k < 2:
+        raise ValueError("kruskal_wallis needs >= 2 groups")
+    if n <= k:
+        raise ValueError("kruskal_wallis needs n > k rows")
+    tie_sum = sum(t * t * t - t for t in vc.values())
+    corr = 1.0 - float(tie_sum) / float(n * n * n - n)
+    if not corr > 0.0:
+        raise ValueError("kruskal_wallis: all values identical — H is "
+                         "undefined")
+    # Σ R_g²/n_g with doubled ranks: R_g = R2_g/2 ⇒ R_g² = R2_g²/4.
+    # Group-sorted summation order, mirrored by the oracle (the float
+    # sum over ≤k group terms is the only order-sensitive op; at
+    # k ≤ thousands the drift is ~1e-10 of H — documented headroom to
+    # the 1e-6 grid)
+    s4 = 0.0
+    for key in sorted(groups):
+        ng, rg2 = groups[key]
+        s4 += float(rg2 * rg2) / (4.0 * ng)
+    h = 12.0 * s4 / (n * (n + 1.0)) - 3.0 * (n + 1.0)
+    h_c = h / corr
+    dof = k - 1
+    p = chi2_sf(h_c, dof)
+    return df.sparkSession.createDataFrame(
+        [(int(k), int(n), float(h_c), int(dof), float(corr),
+          float(p))],
+        "k long, n long, h_stat double, dof long, "
+        "tie_correction double, p_value double")
+
+
 def _contingency_rows(df: DataFrame, col_a: str, col_b: str,
                       max_cells: int, what: str):
     """Shared contingency collection for chi2_independence /

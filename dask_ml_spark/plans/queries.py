@@ -4142,6 +4142,8 @@ def build_catalog():
         # tie-averaged-rank path stays oracled as the parity witness
         "spearman_price_quantity": q_spearman_price_quantity,
         "spearman_price_quantity_exact": q_spearman_price_quantity_exact,
+        "kendall_price_quantity": q_kendall_price_quantity,
+        "kruskal_wallis_quantity": q_kruskal_wallis_quantity,
         "brown_forsythe_price": q_brown_forsythe_price,
         "isotonic_price_curve": q_isotonic_price_curve,
         "changepoint_event_value": q_changepoint_event_value,
@@ -4387,6 +4389,8 @@ def build_catalog():
         "spearman_price_quantity": _sql_spearman_price_quantity(),
         "spearman_price_quantity_exact":
             _sql_spearman_price_quantity_exact(),
+        "kendall_price_quantity": _sql_kendall_price_quantity(),
+        "kruskal_wallis_quantity": _sql_kruskal_wallis_quantity(),
         "brown_forsythe_price": _sql_brown_forsythe_price(),
         "isotonic_price_curve": _sql_isotonic_price_curve(),
         "changepoint_event_value": _sql_changepoint_event_value(),
@@ -9421,6 +9425,184 @@ SELECT strftime(day, '%Y-%m-%d') AS day, n::BIGINT AS n,
        floor(q99 * 1e6 + 0.5) / 1e6 AS q99,
        floor((q99 - (SELECT rq99 FROM rq)) * 1e6 + 0.5) / 1e6 AS d99
 FROM qv
+"""
+
+
+KENDALL_BINS = 128
+
+
+def q_kendall_price_quantity(spark, sf_dir):
+    """Kendall's τ-b rank correlation, binned scale path (functions/
+    stats.py::kendall_tau_binned — exact τ is all n(n−1)/2 pair
+    orientations, quadratic; here one min/max aggregate + ONE
+    groupBy(bucket_a, bucket_b) count ≤K² cells, then 2-D prefix sums
+    over the cell grid count concordant/discordant pairs in O(K²)
+    exact bignum ops — within-bucket pairs become ties, which τ-b's
+    tie correction absorbs). The oracle replays the cell grid with
+    dense-grid HUGEINT window cumsums, bit-for-bit up to the final
+    float divisions."""
+    from dask_ml_spark.functions.stats import kendall_tau_binned
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = kendall_tau_binned(li, "l_extendedprice", "l_quantity",
+                             bins=KENDALL_BINS)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n", r6(F.col("tau")).alias("tau"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_kendall_price_quantity() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    K = KENDALL_BINS
+    sf = _normal_sf_sql("abs(z)")
+    return f"""
+WITH k AS (
+    SELECT l_extendedprice::DOUBLE AS a, l_quantity::DOUBLE AS b
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+      AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+), lim AS (
+    SELECT min(a) AS la, max(a) AS ha, min(b) AS lb, max(b) AS hb FROM k
+), w AS (
+    SELECT la, lb,
+           CASE WHEN ha = la THEN 1.0 ELSE ha - la END AS wa,
+           CASE WHEN hb = lb THEN 1.0 ELSE hb - lb END AS wb
+    FROM lim
+), cells AS (
+    SELECT CAST(least({K - 1}, floor((a - (SELECT la FROM w))
+                                     / (SELECT wa FROM w) * {K}))
+                AS BIGINT) AS ba,
+           CAST(least({K - 1}, floor((b - (SELECT lb FROM w))
+                                     / (SELECT wb FROM w) * {K}))
+                AS BIGINT) AS bb,
+           count(*)::HUGEINT AS c
+    FROM k GROUP BY 1, 2
+), grid AS (
+    SELECT ga.range AS gi, gb.range AS gj
+    FROM range({K}) ga CROSS JOIN range({K}) gb
+), dense AS (
+    SELECT gi, gj, coalesce(cells.c, 0::HUGEINT) AS c
+    FROM grid LEFT JOIN cells ON cells.ba = gi AND cells.bb = gj
+), rowcum AS (
+    SELECT gi, gj,
+           sum(c) OVER (PARTITION BY gi ORDER BY gj
+                        ROWS UNBOUNDED PRECEDING) AS rc
+    FROM dense
+), pref AS (
+    -- P(gi, gj) = sum of cells with ba <= gi AND bb <= gj
+    SELECT gi, gj,
+           sum(rc) OVER (PARTITION BY gj ORDER BY gi
+                         ROWS UNBOUNDED PRECEDING) AS p2
+    FROM rowcum
+), cd AS (
+    -- each unordered pair counted once from its larger-a member:
+    -- concordant partners are P(i-1, j-1); discordant are
+    -- A(i-1) - P(i-1, j) with A(i) = P(i, K-1)
+    SELECT sum(x.c * coalesce(pll.p2, 0::HUGEINT)) AS conc,
+           sum(x.c * (coalesce(pa.p2, 0::HUGEINT)
+                      - coalesce(plj.p2, 0::HUGEINT))) AS disc
+    FROM cells x
+    LEFT JOIN pref pll ON pll.gi = x.ba - 1 AND pll.gj = x.bb - 1
+    LEFT JOIN pref plj ON plj.gi = x.ba - 1 AND plj.gj = x.bb
+    LEFT JOIN pref pa  ON pa.gi = x.ba - 1 AND pa.gj = {K - 1}
+), ta AS (
+    SELECT sum(t * (t - 1) // 2) AS n1,
+           sum(t * (t - 1) * (2 * t + 5)) AS vt,
+           sum(t * (t - 1)) AS st1,
+           sum(t * (t - 1) * (t - 2)) AS st2
+    FROM (SELECT sum(c) AS t FROM cells GROUP BY ba)
+), tb AS (
+    SELECT sum(u * (u - 1) // 2) AS n2,
+           sum(u * (u - 1) * (2 * u + 5)) AS vu,
+           sum(u * (u - 1)) AS su1,
+           sum(u * (u - 1) * (u - 2)) AS su2
+    FROM (SELECT sum(c) AS u FROM cells GROUP BY bb)
+), nn AS (
+    SELECT sum(c) AS n, sum(c) * (sum(c) - 1) // 2 AS n0 FROM cells
+), st AS (
+    SELECT n, (conc - disc)::DOUBLE
+              / sqrt((n0 - n1)::DOUBLE * (n0 - n2)::DOUBLE) AS tau,
+           (conc - disc)::DOUBLE
+           / sqrt((n * (n - 1) * (2 * n + 5) - vt - vu)::DOUBLE / 18.0
+                  + st1::DOUBLE * su1::DOUBLE
+                    / (2.0 * n * (n - 1.0))
+                  + st2::DOUBLE * su2::DOUBLE
+                    / (9.0 * n * (n - 1.0) * (n - 2.0))) AS z
+    FROM cd, ta, tb, nn
+)
+SELECT n::BIGINT AS n,
+       floor(tau * 1e6 + 0.5) / 1e6 AS tau,
+       floor(least(1.0, 2.0 * {sf}) * 1e6 + 0.5) / 1e6 AS p_value
+FROM st
+"""
+
+
+def q_kruskal_wallis_quantity(spark, sf_dir):
+    """Kruskal–Wallis rank ANOVA (functions/stats.py::kruskal_wallis —
+    the k-group Mann–Whitney / rank-based anova_oneway): quantity
+    across the three return flags. ONE groupBy(value, group) count is
+    the only raw-row pass (~50 distinct quantities × 3 flags of
+    driver state); global tie-averaged ranks and the k rank sums
+    assemble in exact doubled-integer arithmetic, H with the
+    tie-correction divisor, p from the even-dof χ² closed form the
+    oracle replays exactly."""
+    from dask_ml_spark.functions.stats import kruskal_wallis
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = kruskal_wallis(li, "l_quantity", "l_returnflag")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("k", "n", r6(F.col("h_stat")).alias("h_stat"),
+                      "dof",
+                      r6(F.col("tie_correction"))
+                      .alias("tie_correction"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_kruskal_wallis_quantity() -> str:
+    from dask_ml_spark.functions.stats import _chi2_sf_sql
+
+    p = _chi2_sf_sql("hc", 2)
+    return f"""
+WITH k AS (
+    SELECT l_quantity::DOUBLE AS v, l_returnflag::VARCHAR AS g
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+      AND l_returnflag IS NOT NULL
+), vc AS (
+    SELECT v, count(*)::HUGEINT AS c FROM k GROUP BY v
+), r AS (
+    -- doubled tie-averaged global ranks: 2·rank = 2·(cum − c) + c + 1
+    SELECT v, 2 * (cum - c) + c + 1 AS r2 FROM (
+        SELECT v, c, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS cum
+        FROM vc)
+), cells AS (
+    SELECT v, g, count(*)::HUGEINT AS c FROM k GROUP BY v, g
+), gr AS (
+    SELECT g, sum(cells.c) AS ng, sum(cells.c * r.r2) AS rg2
+    FROM cells JOIN r USING (v) GROUP BY g
+), nn AS (
+    SELECT sum(c) AS n, sum(c * c * c - c) AS tie_sum FROM vc
+), s AS (
+    SELECT count(*)::BIGINT AS k,
+           sum((rg2 * rg2)::DOUBLE / (4.0 * ng)) AS s4
+    FROM gr
+), h AS (
+    SELECT s.k, nn.n,
+           (12.0 * s.s4 / (nn.n * (nn.n + 1.0)) - 3.0 * (nn.n + 1.0))
+           / (1.0 - nn.tie_sum::DOUBLE
+                    / ((nn.n * nn.n * nn.n - nn.n)::DOUBLE)) AS hc,
+           1.0 - nn.tie_sum::DOUBLE
+                 / ((nn.n * nn.n * nn.n - nn.n)::DOUBLE) AS corr
+    FROM s, nn
+)
+SELECT k, n::BIGINT AS n,
+       floor(hc * 1e6 + 0.5) / 1e6 AS h_stat,
+       (k - 1)::BIGINT AS dof,
+       floor(corr * 1e6 + 0.5) / 1e6 AS tie_correction,
+       floor({p} * 1e6 + 0.5) / 1e6 AS p_value
+FROM h
 """
 
 

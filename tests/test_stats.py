@@ -704,6 +704,148 @@ def test_f_sf_exact_tail():
     assert f_sf(0.0, 3.0, 10.0) == 1.0
 
 
+def _brute_kendall(a, b):
+    """O(n²) independent replay: pair counts, τ-b, tie-corrected z."""
+    import collections
+    import math
+
+    n = len(a)
+    conc = disc = 0
+    for i in range(n):
+        s = (a[i] - a[i + 1:]) * (b[i] - b[i + 1:])
+        conc += int((s > 0).sum())
+        disc += int((s < 0).sum())
+    ta = collections.Counter(a.tolist())
+    tb = collections.Counter(b.tolist())
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in ta.values())
+    n2 = sum(t * (t - 1) // 2 for t in tb.values())
+    tau = (conc - disc) / math.sqrt(float(n0 - n1) * float(n0 - n2))
+    v0 = n * (n - 1) * (2 * n + 5)
+    vt = sum(t * (t - 1) * (2 * t + 5) for t in ta.values())
+    vu = sum(t * (t - 1) * (2 * t + 5) for t in tb.values())
+    st1 = sum(t * (t - 1) for t in ta.values())
+    su1 = sum(t * (t - 1) for t in tb.values())
+    st2 = sum(t * (t - 1) * (t - 2) for t in ta.values())
+    su2 = sum(t * (t - 1) * (t - 2) for t in tb.values())
+    var = ((v0 - vt - vu) / 18.0
+           + st1 * su1 / (2.0 * n * (n - 1.0))
+           + st2 * su2 / (9.0 * n * (n - 1.0) * (n - 2.0)))
+    return tau, (conc - disc) / math.sqrt(var)
+
+
+def test_kendall_tau_binned_matches_bruteforce(spark):
+    """Integer-valued data where every distinct value owns a bucket:
+    binned τ-b IS exact τ-b — pinned against an O(n²) pair count with
+    the tie-corrected variance."""
+    from dask_ml_spark.functions.stats import (_normal_sf_py,
+                                               kendall_tau_binned)
+
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 30, 300).astype(float)
+    b = (a + rng.randint(0, 12, 300)).astype(float)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, b)],
+        "a double, b double")
+    got = kendall_tau_binned(df, "a", "b", bins=64).collect()[0]
+    tau, z = _brute_kendall(a, b)
+    assert got["n"] == 300
+    assert abs(got["tau"] - tau) < 1e-12
+    assert abs(got["p_value"]
+               - min(1.0, 2.0 * _normal_sf_py(abs(z)))) < 1e-12
+    # the association is strongly positive — sanity on sign/level
+    assert got["tau"] > 0.5 and got["p_value"] < 1e-12
+
+
+def test_kendall_tau_binned_continuous_parity(spark):
+    """On continuous data binning costs O(1/K): within-bucket pairs
+    become ties, moving τ by at most the within-bucket pair mass."""
+    from dask_ml_spark.functions.stats import kendall_tau_binned
+
+    rng = np.random.RandomState(11)
+    x = rng.normal(0, 1, 400)
+    y = 0.6 * x + 0.8 * rng.normal(0, 1, 400)
+    df = spark.createDataFrame(
+        [(float(u), float(v)) for u, v in zip(x, y)],
+        "a double, b double")
+    exact, _ = _brute_kendall(x, y)
+    for bins, bound in ((256, 3.0 / 256), (64, 3.0 / 64)):
+        got = kendall_tau_binned(df, "a", "b", bins=bins).collect()[0]
+        assert abs(got["tau"] - exact) < bound, bins
+    # determinism across partitionings (the binned-cell contract)
+    one = kendall_tau_binned(df.coalesce(1), "a", "b",
+                             bins=128).collect()[0]
+    many = kendall_tau_binned(df.repartition(13), "a", "b",
+                              bins=128).collect()[0]
+    assert one["tau"] == many["tau"] and one["p_value"] == \
+        many["p_value"]
+
+
+def test_kendall_tau_binned_validation(spark):
+    from dask_ml_spark.functions.stats import kendall_tau_binned
+
+    df = spark.createDataFrame([(1.0, 2.0), (2.0, 3.0)],
+                               "a double, b double")
+    with pytest.raises(ValueError, match="bins"):
+        kendall_tau_binned(df, "a", "b", bins=1)
+    with pytest.raises(ValueError, match="bins"):
+        kendall_tau_binned(df, "a", "b", bins=2048)
+    const = spark.createDataFrame([(1.0, 2.0), (1.0, 3.0)],
+                                  "a double, b double")
+    with pytest.raises(ValueError, match="constant"):
+        kendall_tau_binned(const, "a", "b")
+
+
+def test_kruskal_wallis_matches_rank_replay(spark):
+    """Pinned against an independent pandas average-rank replay with
+    real tie structure, including the tie-correction divisor and the
+    even-dof chi2 closed form."""
+    import pandas as pd
+
+    from dask_ml_spark.functions.stats import chi2_sf, kruskal_wallis
+
+    rng = np.random.RandomState(17)
+    vals = rng.randint(0, 40, 500).astype(float)
+    grp = rng.choice(["x", "y", "z"], 500)
+    vals[grp == "y"] += 3
+    df = spark.createDataFrame(
+        [(float(v), str(g)) for v, g in zip(vals, grp)],
+        "v double, g string")
+    got = kruskal_wallis(df, "v", "g").collect()[0]
+    s = pd.Series(vals)
+    ranks = s.rank(method="average")
+    n = len(s)
+    h = 12.0 / (n * (n + 1)) * sum(
+        ranks[grp == g].sum() ** 2 / (grp == g).sum()
+        for g in ("x", "y", "z")) - 3 * (n + 1)
+    ties = s.value_counts()
+    corr = 1.0 - float((ties ** 3 - ties).sum()) / float(n ** 3 - n)
+    assert (got["k"], got["n"], got["dof"]) == (3, n, 2)
+    assert abs(got["h_stat"] - h / corr) < 1e-9
+    assert abs(got["tie_correction"] - corr) < 1e-12
+    assert abs(got["p_value"] - chi2_sf(h / corr, 2)) < 1e-12
+    # the +3 shift on group y must be detected
+    assert got["p_value"] < 0.01
+
+
+def test_kruskal_wallis_validation(spark):
+    from dask_ml_spark.functions.stats import kruskal_wallis
+
+    one = spark.createDataFrame([(1.0, "a"), (2.0, "a")],
+                                "v double, g string")
+    with pytest.raises(ValueError, match=">= 2 groups"):
+        kruskal_wallis(one, "v", "g")
+    const = spark.createDataFrame([(1.0, "a"), (1.0, "b"), (1.0, "a")],
+                                  "v double, g string")
+    with pytest.raises(ValueError, match="identical"):
+        kruskal_wallis(const, "v", "g")
+    big = spark.createDataFrame(
+        [(float(i), "g" + str(i % 3)) for i in range(40)],
+        "v double, g string")
+    with pytest.raises(ValueError, match="max_cells"):
+        kruskal_wallis(big, "v", "g", max_cells=10)
+
+
 def test_t_sf_exact_tail():
     """The driver-side incomplete-beta Student-t tail, pinned against
     closed forms and published t-table critical values (no scipy):
