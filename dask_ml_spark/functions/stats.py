@@ -339,8 +339,12 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
     SQL oracles share double sums beyond that point (~1e-16 relative,
     identical order in both engines, so still bit-comparable).
 
-    Returns one row: (n1, n2, u_stat, z, p_value). Shape: one groupBy,
-    one prefix sum over distinct values, one final aggregate.
+    Returns one row: (n1, n2, u_stat, z, p_value, rank_biserial) —
+    the rank-biserial correlation r = 2U/(n1·n2) − 1 (= 2·AUC − 1) is
+    the effect size: at corpus n EVERYTHING is significant, r says
+    whether group membership actually moves the ranks (the eta²
+    convention of anova_oneway, for the rank world). Shape: one
+    groupBy, one prefix sum over distinct values, one final aggregate.
     """
     from dask_ml_spark.datapipe.packing import prefix_sum
 
@@ -388,7 +392,9 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
             return df.sparkSession.createDataFrame([{
                 "n1": int(n1), "n2": int(n2), "u_stat": float(u),
                 "z": float(z_v), "p_value": float(p_v),
-            }]).select("n1", "n2", "u_stat", "z", "p_value")
+                "rank_biserial": float(2.0 * u / (n1 * n2) - 1.0),
+            }]).select("n1", "n2", "u_stat", "z", "p_value",
+                       "rank_biserial")
     g = prefix_sum(g, "__v", "__c2", "__b2")
     t = F.col("__c1") + F.col("__c2")
     agg = g.agg(
@@ -415,7 +421,100 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
     return agg.select(
         n1.cast("long").alias("n1"), n2.cast("long").alias("n2"),
         grd(u).alias("u_stat"), grd(z).alias("z"),
-        grd(p).alias("p_value"))
+        grd(p).alias("p_value"),
+        grd(2.0 * u / (n1 * n2) - 1.0).alias("rank_biserial"))
+
+
+def wilcoxon_signed_rank(df: DataFrame, col_a: str, col_b: str,
+                         max_driver_rows: int = 65536) -> DataFrame:
+    """Wilcoxon signed-rank test for PAIRED samples — the within-pair
+    companion of mann_whitney_u ("did each unit's A differ from ITS
+    OWN B?"), the nonparametric paired t-test. d = a − b per
+    complete-case row; zero differences are DISCARDED (the classic
+    Wilcoxon convention — they carry no sign information; n reports
+    the nonzero count); |d| gets tie-averaged ranks and W⁺ sums the
+    ranks of the positive differences.
+
+    Shape: the mann_whitney machinery on the |d| axis — ONE
+    groupBy(|d|) with a conditional positive count, then the bounded
+    driver path (distinct |d| under max_driver_rows: exact bignum
+    doubled-rank sums, never rounds) or the distributed prefix-sum
+    fallback. z is tie-corrected (σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    and continuity-corrected (±0.5 toward μ = n(n+1)/4); p two-sided
+    via the shared A&S normal tail. All-tied data (σ = 0) reports
+    z = 0, p = 1. Returns one row: (n, w_plus, z, p_value).
+    """
+    from dask_ml_spark.datapipe.packing import prefix_sum
+
+    a = F.col(col_a).cast("double")
+    b = F.col(col_b).cast("double")
+    d = a - b
+    kept = (df.where(a.isNotNull() & ~F.isnan(a)
+                     & b.isNotNull() & ~F.isnan(b) & (d != 0.0))
+            .select(F.abs(d).alias("__v"),
+                    (d > 0.0).cast("long").alias("__pos")))
+    g = (kept.groupBy("__v")
+         .agg(F.count(F.lit(1)).alias("__c"),
+              F.sum("__pos").alias("__cp")))
+    if max_driver_rows and max_driver_rows > 0:
+        g, head = _bounded_head(g, max_driver_rows)
+        if head is not None:
+            if not head:
+                raise ValueError("wilcoxon_signed_rank: no nonzero "
+                                 "complete-case differences")
+            head.sort(key=lambda r: r["__v"])
+            # exact bignum doubled ranks: 2·rank = 2·cum_before + c + 1
+            cum = 0
+            w2 = 0
+            ties = 0
+            n = 0
+            for r in head:
+                c, cp = int(r["__c"]), int(r["__cp"])
+                w2 += cp * (2 * cum + c + 1)
+                cum += c
+                n += c
+                ties += c * c * c - c
+            w = w2 / 2.0  # halving an exactly-converted double is exact
+            mu = n * (n + 1) / 4.0
+            var = (n * (n + 1.0) * (2.0 * n + 1.0)) / 24.0 \
+                - ties / 48.0
+            if var <= 0.0:
+                z_v, p_v = 0.0, 1.0
+            else:
+                shift = max(0.0, abs(w - mu) - 0.5)
+                z_v = math.copysign(shift, w - mu) / math.sqrt(var)
+                p_v = min(1.0, 2.0 * _normal_sf_py(abs(z_v)))
+            return df.sparkSession.createDataFrame([{
+                "n": int(n), "w_plus": float(w), "z": float(z_v),
+                "p_value": float(p_v),
+            }]).select("n", "w_plus", "z", "p_value")
+    g = prefix_sum(g, "__v", "__c", "__b")
+    agg = g.agg(
+        F.sum(F.col("__cp")
+              * (F.col("__b") + (F.col("__c") + 1.0) / 2.0))
+        .alias("w_d"),
+        F.sum("__c").alias("n_d"),
+        F.sum(F.col("__c") * F.col("__c") * F.col("__c")
+              - F.col("__c")).alias("ties_d"))
+    n = F.col("n_d")
+    w = F.col("w_d")
+    mu = n * (n + 1.0) / 4.0
+    var = (n * (n + 1.0) * (2.0 * n + 1.0)) / 24.0 \
+        - F.col("ties_d") / 48.0
+    shift = F.greatest(F.lit(0.0), F.abs(w - mu) - 0.5)
+    z = F.when(var <= 0.0, F.lit(0.0)).otherwise(
+        F.signum(w - mu) * shift / F.sqrt(var))
+    p = F.when(var <= 0.0, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), 2.0 * normal_sf_expr(F.abs(z))))
+    guard = F.when(
+        n.isNull() | (n < 1),
+        F.raise_error(F.lit("wilcoxon_signed_rank: no nonzero "
+                            "complete-case differences")))
+    return agg.select(
+        n.cast("long").alias("n"),
+        F.coalesce(guard, w).alias("w_plus"),
+        F.coalesce(guard, z).alias("z"),
+        F.coalesce(guard, p).alias("p_value"))
 
 
 def welch_ttest(df: DataFrame, value_col: str, group_col: str,

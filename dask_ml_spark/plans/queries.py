@@ -4129,6 +4129,7 @@ def build_catalog():
         "ks_price_test": q_ks_price_test,
         "ks_price_test_binned": q_ks_price_test_binned,
         "mann_whitney_discount": q_mann_whitney_discount,
+        "wilcoxon_user_value": q_wilcoxon_user_value,
         "chi2_independence_flags": q_chi2_independence_flags,
         "welch_ttest_price": q_welch_ttest_price,
         "welch_bh_by_month": q_welch_bh_by_month,
@@ -4378,6 +4379,7 @@ def build_catalog():
         "ks_price_test": _sql_ks_price_test(),
         "ks_price_test_binned": _sql_ks_price_test_binned(),
         "mann_whitney_discount": _sql_mann_whitney_discount(),
+        "wilcoxon_user_value": _sql_wilcoxon_user_value(),
         "chi2_independence_flags": _sql_chi2_independence_flags(),
         "welch_ttest_price": _sql_welch_ttest_price(),
         "welch_bh_by_month": _sql_welch_bh_by_month(),
@@ -7924,7 +7926,10 @@ def q_mann_whitney_discount(spark, sf_dir):
     tie-averaged rank-sum (the exact-AUC identity: AUC = U/(n1·n2));
     z is tie- and continuity-corrected; p via the shared A&S 26.2.17
     normal tail (identical literal arithmetic both engines). Counts
-    and their products stay below 2^53, so u/z are exact."""
+    and their products stay below 2^53, so u/z are exact. r12: the
+    rank-biserial effect size r = 2U/(n1·n2) − 1 joins the output
+    (the eta² convention — at corpus n significance is a given; r
+    says whether the groups actually move the ranks)."""
     from dask_ml_spark.functions.stats import mann_whitney_u
 
     li = _t(spark, sf_dir, "lineitem")
@@ -7933,7 +7938,8 @@ def q_mann_whitney_discount(spark, sf_dir):
     r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return out.select("n1", "n2", "u_stat",
                       r6(F.col("z")).alias("z"),
-                      r6(F.col("p_value")).alias("p_value"))
+                      r6(F.col("p_value")).alias("p_value"),
+                      r6(F.col("rank_biserial")).alias("rank_biserial"))
 
 
 def _sql_mann_whitney_discount() -> str:
@@ -7974,6 +7980,106 @@ WITH k AS (
     FROM s
 )
 SELECT n1::BIGINT AS n1, n2::BIGINT AS n2, u AS u_stat,
+       floor(z * 1e6 + 0.5) / 1e6 AS z,
+       floor((CASE WHEN var <= 0.0 THEN 1.0
+                   ELSE least(1.0, 2.0 * {sf}) END) * 1e6 + 0.5) / 1e6
+           AS p_value,
+       floor((2.0 * u / (n1 * n2) - 1.0) * 1e6 + 0.5) / 1e6
+           AS rank_biserial
+FROM z
+"""
+
+
+def q_wilcoxon_user_value(spark, sf_dir):
+    """Wilcoxon signed-rank test (functions/stats.py::
+    wilcoxon_signed_rank — the PAIRED nonparametric test): does each
+    user's mean click value differ from THAT USER's mean view value?
+    Pairs are per-user (click-mean, view-mean) — the within-unit
+    design no two-sample test can express. The per-user means use the
+    catalog's exact fixed-point convention (_davg twin: int64 1e-4
+    units / count) so the pair values — and therefore the |d| ranks —
+    are bit-identical cross-engine; the signed-rank machinery is the
+    mann_whitney bounded-driver shape on the |d| axis with exact
+    doubled-rank bignum sums."""
+    from dask_ml_spark.functions.stats import wilcoxon_signed_rank
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    kept = ev.where(v.isNotNull() & ~F.isnan(v)
+                    & F.col("user_id").isNotNull())
+    cv = F.when(F.col("event_type") == "click", v)
+    vv = F.when(F.col("event_type") == "view", v)
+    fx = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("long")  # noqa
+    paired = (kept.groupBy("user_id")
+              .agg(F.sum(fx(cv)).alias("__sa"),
+                   F.count(cv).alias("__ca"),
+                   F.sum(fx(vv)).alias("__sb"),
+                   F.count(vv).alias("__cb"))
+              .where((F.col("__ca") > 0) & (F.col("__cb") > 0))
+              .select((F.col("__sa").cast("double") / 10000
+                       / F.col("__ca")).alias("a"),
+                      (F.col("__sb").cast("double") / 10000
+                       / F.col("__cb")).alias("b")))
+    out = wilcoxon_signed_rank(paired, "a", "b")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n", "w_plus",
+                      r6(F.col("z")).alias("z"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_wilcoxon_user_value() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    sf = _normal_sf_sql("abs(z)")
+    return f"""
+WITH e AS (
+    SELECT user_id, event_type, value::DOUBLE AS v
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+      AND user_id IS NOT NULL
+), p AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click'
+                         THEN CAST(floor(v * 10000 + 0.5) AS BIGINT)
+                    END) AS DOUBLE) / 10000
+           / count(CASE WHEN event_type = 'click' THEN v END) AS a,
+           CAST(sum(CASE WHEN event_type = 'view'
+                         THEN CAST(floor(v * 10000 + 0.5) AS BIGINT)
+                    END) AS DOUBLE) / 10000
+           / count(CASE WHEN event_type = 'view' THEN v END) AS b
+    FROM e GROUP BY user_id
+    HAVING count(CASE WHEN event_type = 'click' THEN v END) > 0
+       AND count(CASE WHEN event_type = 'view' THEN v END) > 0
+), d AS (
+    SELECT a - b AS d FROM p WHERE a - b <> 0.0
+), g AS (
+    SELECT abs(d) AS v, count(*)::HUGEINT AS c,
+           sum(CASE WHEN d > 0.0 THEN 1 ELSE 0 END)::HUGEINT AS cp
+    FROM d GROUP BY 1
+), c AS (
+    SELECT v, c, cp,
+           sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+    FROM g
+), a2 AS (
+    -- doubled tie-averaged ranks: 2·rank = 2·cum_before + c + 1
+    SELECT sum(cp * (2 * (cum - c) + c + 1)) AS w2, sum(c) AS n,
+           sum(c * c * c - c) AS ties
+    FROM c
+), s AS (
+    SELECT n, w2::DOUBLE / 2.0 AS w,
+           (n * (n + 1)) / 4.0 AS mu,
+           (n * (n + 1.0) * (2.0 * n + 1.0)) / 24.0
+           - ties::DOUBLE / 48.0 AS var
+    FROM a2
+), z AS (
+    SELECT n, w,
+           CASE WHEN var <= 0.0 THEN 0.0
+                ELSE sign(w - mu) * greatest(0.0, abs(w - mu) - 0.5)
+                     / sqrt(var) END AS z,
+           var
+    FROM s
+)
+SELECT n::BIGINT AS n, w AS w_plus,
        floor(z * 1e6 + 0.5) / 1e6 AS z,
        floor((CASE WHEN var <= 0.0 THEN 1.0
                    ELSE least(1.0, 2.0 * {sf}) END) * 1e6 + 0.5) / 1e6

@@ -86,9 +86,61 @@ def test_mann_whitney_matches_bruteforce(spark):
     p_ref = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(abs(z_ref) / math.sqrt(2.0))))
     assert abs(row["z"] - z_ref) < 1e-12
     assert abs(row["p_value"] - min(1.0, p_ref)) < 1e-6  # A&S 26.2.17 tail
-    # all-tied data: sigma = 0 -> z = 0, p = 1 (not NaN)
+    # rank-biserial effect size r = 2U/(n1 n2) - 1 (r12)
+    assert abs(row["rank_biserial"]
+               - (2.0 * u_ref / (n1 * n2) - 1.0)) < 1e-12
+    assert -1.0 <= row["rank_biserial"] <= 1.0
+    # all-tied data: sigma = 0 -> z = 0, p = 1 (not NaN), r = 0
     row2 = mann_whitney_u(_mk(spark, [1, 1, 1], [1, 1]), "x", "g").collect()[0]
     assert row2["z"] == 0.0 and row2["p_value"] == 1.0
+    assert row2["rank_biserial"] == 0.0
+
+
+def test_wilcoxon_signed_rank_matches_replay(spark):
+    """Both execution paths (bounded driver / distributed prefix)
+    pinned against an independent pandas average-rank replay with
+    real ties AND zero differences (discarded, the classic
+    convention)."""
+    from dask_ml_spark.functions.stats import (_normal_sf_py,
+                                               wilcoxon_signed_rank)
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 15, 200).astype(float)
+    b = (a + rng.randint(-3, 4, 200)).astype(float)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, b)],
+        "a double, b double")
+    import pandas as pd
+    d = a - b
+    d = d[d != 0]
+    r = pd.Series(np.abs(d)).rank(method="average")
+    w_ref = float(r[d > 0].sum())
+    n = len(d)
+    tcounts = pd.Series(np.abs(d)).value_counts()
+    ties = float((tcounts ** 3 - tcounts).sum())
+    mu = n * (n + 1) / 4.0
+    var = n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - ties / 48.0
+    z_ref = math.copysign(max(0.0, abs(w_ref - mu) - 0.5),
+                          w_ref - mu) / math.sqrt(var)
+    p_ref = min(1.0, 2.0 * _normal_sf_py(abs(z_ref)))
+    for mdr in (65536, 0):
+        row = wilcoxon_signed_rank(df, "a", "b",
+                                   max_driver_rows=mdr).collect()[0]
+        assert row["n"] == n, mdr
+        assert abs(row["w_plus"] - w_ref) < 1e-9, mdr
+        assert abs(row["z"] - z_ref) < 1e-12, mdr
+        assert abs(row["p_value"] - p_ref) < 1e-12, mdr
+    # all differences zero -> no signal rows -> loud error
+    same = spark.createDataFrame([(1.0, 1.0), (2.0, 2.0)],
+                                 "a double, b double")
+    with pytest.raises(Exception, match="no nonzero"):
+        wilcoxon_signed_rank(same, "a", "b").collect()
+    # all-tied |d| with balanced signs: z = 0, p = 1
+    bal = spark.createDataFrame([(1.0, 0.0), (0.0, 1.0)],
+                                "a double, b double")
+    row = wilcoxon_signed_rank(bal, "a", "b").collect()[0]
+    assert row["n"] == 2 and abs(row["z"]) < 1e-12
+    assert row["p_value"] > 0.9
 
 
 def test_mann_whitney_group_inference_guard(spark):
