@@ -206,6 +206,7 @@ HEADLINE = [
     "kendall_price_quantity",         # tau-b via K^2-cell 2-D prefix sums
     "kruskal_wallis_quantity",        # k-group rank ANOVA, tie-corrected
     "wilcoxon_user_value",            # paired signed-rank, per-user means
+    "friedman_user_event_value",      # blocked rank test, in-row ranks
     "brown_forsythe_price",         # variance homogeneity (robust Levene)
     "changepoint_event_value",      # binned mean-shift drift monitor
     "trend_event_value",            # Mann-Kendall + Sen slope (binned)

@@ -1949,6 +1949,94 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: str,
         "tie_correction double, p_value double")
 
 
+def friedman_test(df: DataFrame, value_col: str, block_col: str,
+                  treatment_col: str,
+                  max_treatments: int = 64) -> DataFrame:
+    """Friedman test — the BLOCKED rank ANOVA (k treatments judged
+    within each of b blocks), completing the family square:
+    mann_whitney → kruskal_wallis is the unpaired axis, and
+    wilcoxon_signed_rank → friedman_test is this paired one ("did
+    users rank the five event types differently?", each user being
+    their own control). Multiple observations per (block, treatment)
+    cell are averaged first (document: pre-aggregate on a fixed-point
+    grid if you need bit-stable cross-engine ranks — the catalog
+    query does); blocks missing any treatment are DROPPED (the
+    standard complete-block requirement).
+
+    Shape: ONE groupBy(block, treatment) mean is the only raw-row
+    pass; per-block ranks are computed IN-ROW over each block's ≤k
+    element array (collect_list + O(k²) HOF comparisons — k is
+    bounded by max_treatments, so the 'sort' never touches the
+    shuffle); ONE groupBy(treatment) then sums the doubled
+    tie-averaged ranks, and the driver assembles Q from k integers.
+    Q = 12/(bk(k+1))·ΣR_j² − 3b(k+1), divided by the tie correction
+    C = 1 − Σ_blocks Σ(t³−t)/(bk(k²−1)); p from the χ²_{k−1} tail.
+    Returns one row: (k, b, q_stat, dof, tie_correction, p_value).
+    """
+    v = F.col(value_col).cast("double")
+    blk = F.col(block_col)
+    trt = F.col(treatment_col)
+    cells = (df.where(v.isNotNull() & ~F.isnan(v) & blk.isNotNull()
+                      & trt.isNotNull())
+             .groupBy(blk.alias("__b"),
+                      trt.cast("string").alias("__t"))
+             .agg(F.avg(v).alias("__v")))
+    tre = (cells.select("__t").distinct()
+           .limit(max_treatments + 1).collect())
+    if len(tre) > max_treatments:
+        raise ValueError(
+            f"friedman_test: more than max_treatments={max_treatments} "
+            "treatments — the in-row rank is O(k²) per block")
+    k = len(tre)
+    if k < 2:
+        raise ValueError("friedman_test needs >= 2 treatments")
+    packed = (cells.groupBy("__b")
+              .agg(F.collect_list(F.struct(F.col("__t").alias("t"),
+                                           F.col("__v").alias("v")))
+                   .alias("__arr"))
+              .where(F.size("__arr") == k))
+    e = F.col("__e")
+    arr = F.col("__arr")
+    smaller = F.size(F.filter(arr, lambda x: x["v"] < e["v"]))
+    equal = F.size(F.filter(arr, lambda x: x["v"] == e["v"]))
+    rows = (packed.select(F.explode(arr).alias("__e"), arr)
+            .select(e["t"].alias("__t"),
+                    (2 * smaller + equal + 1).cast("long").alias("__r2"),
+                    (equal * equal - 1).cast("long").alias("__tie"))
+            .groupBy("__t")
+            .agg(F.sum("__r2").alias("__rs"),
+                 F.count(F.lit(1)).alias("__n"),
+                 F.sum("__tie").alias("__ts"))
+            .collect())
+    if not rows:
+        raise ValueError("friedman_test: no complete blocks (every "
+                         "block is missing some treatment)")
+    bs = {int(r["__n"]) for r in rows}
+    if len(rows) != k or len(bs) != 1:
+        raise ValueError(
+            "friedman_test: a treatment appears only in incomplete "
+            "blocks — treatment sets differ across blocks")
+    b = bs.pop()
+    if b < 2:
+        raise ValueError("friedman_test needs >= 2 complete blocks")
+    ssq = sum(int(r["__rs"]) * int(r["__rs"]) for r in rows)
+    ties = sum(int(r["__ts"]) for r in rows)
+    corr = 1.0 - ties / float(b * k * (k * k - 1))
+    if not corr > 0.0:
+        raise ValueError("friedman_test: all values tied within every "
+                         "block — Q is undefined")
+    q = 12.0 * float(ssq) / (4.0 * b * k * (k + 1.0)) \
+        - 3.0 * b * (k + 1.0)
+    q_c = q / corr
+    dof = k - 1
+    p = chi2_sf(q_c, dof)
+    return df.sparkSession.createDataFrame(
+        [(int(k), int(b), float(q_c), int(dof), float(corr),
+          float(p))],
+        "k long, b long, q_stat double, dof long, "
+        "tie_correction double, p_value double")
+
+
 def _contingency_rows(df: DataFrame, col_a: str, col_b: str,
                       max_cells: int, what: str):
     """Shared contingency collection for chi2_independence /

@@ -4130,6 +4130,7 @@ def build_catalog():
         "ks_price_test_binned": q_ks_price_test_binned,
         "mann_whitney_discount": q_mann_whitney_discount,
         "wilcoxon_user_value": q_wilcoxon_user_value,
+        "friedman_user_event_value": q_friedman_user_event_value,
         "chi2_independence_flags": q_chi2_independence_flags,
         "welch_ttest_price": q_welch_ttest_price,
         "welch_bh_by_month": q_welch_bh_by_month,
@@ -4380,6 +4381,7 @@ def build_catalog():
         "ks_price_test_binned": _sql_ks_price_test_binned(),
         "mann_whitney_discount": _sql_mann_whitney_discount(),
         "wilcoxon_user_value": _sql_wilcoxon_user_value(),
+        "friedman_user_event_value": _sql_friedman_user_event_value(),
         "chi2_independence_flags": _sql_chi2_independence_flags(),
         "welch_ttest_price": _sql_welch_ttest_price(),
         "welch_bh_by_month": _sql_welch_bh_by_month(),
@@ -8085,6 +8087,95 @@ SELECT n::BIGINT AS n, w AS w_plus,
                    ELSE least(1.0, 2.0 * {sf}) END) * 1e6 + 0.5) / 1e6
            AS p_value
 FROM z
+"""
+
+
+def q_friedman_user_event_value(spark, sf_dir):
+    """Friedman blocked rank test (functions/stats.py::friedman_test —
+    the paired/blocked member completing the rank-family square:
+    MW→KW unpaired, Wilcoxon→Friedman blocked): do users rank the
+    five event types' values differently, each user their own
+    control? One (user, type) fixed-point mean is the raw-row pass;
+    ranks are computed IN-ROW over each user's 5-element array (no
+    shuffle-touching sort); one groupBy(type) of doubled-rank sums;
+    Q with the tie-correction divisor and the even-dof χ²₄ closed
+    form the oracle replays exactly."""
+    from dask_ml_spark.functions.stats import friedman_test
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    kept = ev.where(v.isNotNull() & ~F.isnan(v)
+                    & F.col("user_id").isNotNull()
+                    & F.col("event_type").isNotNull())
+    fx = F.floor(v * 10000 + F.lit(0.5)).cast("long")
+    cells = (kept.groupBy("user_id", "event_type")
+             .agg(F.sum(fx).alias("__s"), F.count(v).alias("__c"))
+             .select("user_id", "event_type",
+                     (F.col("__s").cast("double") / 10000
+                      / F.col("__c")).alias("v")))
+    out = friedman_test(cells, "v", "user_id", "event_type")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("k", "b", r6(F.col("q_stat")).alias("q_stat"),
+                      "dof",
+                      r6(F.col("tie_correction"))
+                      .alias("tie_correction"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_friedman_user_event_value() -> str:
+    from dask_ml_spark.functions.stats import _chi2_sf_sql
+
+    p = _chi2_sf_sql("qc", 4)
+    return f"""
+WITH e AS (
+    SELECT user_id, event_type, value::DOUBLE AS v
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+      AND user_id IS NOT NULL AND event_type IS NOT NULL
+), cells AS (
+    SELECT user_id, event_type,
+           CAST(sum(CAST(floor(v * 10000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000 / count(v) AS v
+    FROM e GROUP BY user_id, event_type
+), kk AS (
+    SELECT count(DISTINCT event_type) AS k FROM cells
+), cb AS (
+    -- complete blocks only (the standard Friedman requirement)
+    SELECT user_id FROM cells GROUP BY user_id
+    HAVING count(*) = (SELECT k FROM kk)
+), r AS (
+    -- doubled tie-averaged within-block ranks:
+    -- 2·rank = 2·(#smaller) + #equal + 1
+    SELECT c.event_type,
+           2 * (rank() OVER (PARTITION BY c.user_id ORDER BY c.v) - 1)
+           + count(*) OVER (PARTITION BY c.user_id, c.v) + 1 AS r2,
+           count(*) OVER (PARTITION BY c.user_id, c.v) AS ce
+    FROM cells c JOIN cb USING (user_id)
+), g AS (
+    SELECT event_type, sum(r2::HUGEINT) AS rs,
+           count(*)::HUGEINT AS b,
+           sum((ce * ce - 1)::HUGEINT) AS ts
+    FROM r GROUP BY event_type
+), s AS (
+    SELECT sum(rs * rs) AS ssq, sum(ts) AS ties, max(b) AS b,
+           count(*)::BIGINT AS k
+    FROM g
+), q AS (
+    SELECT k, b,
+           (12.0 * ssq::DOUBLE / (4.0 * b * k * (k + 1.0))
+            - 3.0 * b * (k + 1.0))
+           / (1.0 - ties::DOUBLE
+                    / ((b * k * (k * k - 1))::DOUBLE)) AS qc,
+           1.0 - ties::DOUBLE
+                 / ((b * k * (k * k - 1))::DOUBLE) AS corr
+    FROM s
+)
+SELECT k, b::BIGINT AS b,
+       floor(qc * 1e6 + 0.5) / 1e6 AS q_stat,
+       (k - 1)::BIGINT AS dof,
+       floor(corr * 1e6 + 0.5) / 1e6 AS tie_correction,
+       floor({p} * 1e6 + 0.5) / 1e6 AS p_value
+FROM q
 """
 
 

@@ -898,6 +898,54 @@ def test_kruskal_wallis_validation(spark):
         kruskal_wallis(big, "v", "g", max_cells=10)
 
 
+def test_friedman_matches_replay(spark):
+    """Blocked rank test pinned against a pandas within-row rank
+    replay (the scipy friedmanchisquare formula: ΣR_j², tie
+    correction from per-block value counts), with rounding-induced
+    ties and an incomplete block that must be dropped."""
+    from dask_ml_spark.functions.stats import chi2_sf, friedman_test
+
+    rng = np.random.RandomState(23)
+    b, k = 60, 4
+    effects = [0.0, 0.5, 0.2, 0.9]
+    data = np.zeros((b, k))
+    rows = []
+    for i in range(b):
+        base = rng.normal(0, 1)
+        for j in range(k):
+            data[i, j] = round(base + effects[j]
+                               + rng.normal(0, 0.7), 1)
+            rows.append((f"blk{i}", f"t{j}", float(data[i, j])))
+    import pandas as pd
+    ranks = pd.DataFrame(data).rank(axis=1, method="average").to_numpy()
+    ssbn = float((ranks.sum(axis=0) ** 2).sum())
+    chisq = 12.0 / (b * k * (k + 1)) * ssbn - 3 * b * (k + 1)
+    ties = 0
+    for i in range(b):
+        _, counts = np.unique(data[i], return_counts=True)
+        ties += int((counts.astype(np.int64) ** 3 - counts).sum())
+    c = 1.0 - ties / float(b * k * (k * k - 1))
+    df = spark.createDataFrame(rows, "b string, t string, v double")
+    got = friedman_test(df, "v", "b", "t").collect()[0]
+    assert (got["k"], got["b"], got["dof"]) == (k, b, k - 1)
+    assert abs(got["q_stat"] - chisq / c) < 1e-9
+    assert abs(got["tie_correction"] - c) < 1e-12
+    assert abs(got["p_value"] - chi2_sf(chisq / c, k - 1)) < 1e-12
+    assert got["p_value"] < 1e-4  # the injected effects are detected
+    # an incomplete block is dropped, leaving the statistic unchanged
+    df2 = spark.createDataFrame(rows + [("blkX", "t0", 1.0)],
+                                "b string, t string, v double")
+    got2 = friedman_test(df2, "v", "b", "t").collect()[0]
+    assert got2["b"] == b and abs(got2["q_stat"] - got["q_stat"]) \
+        < 1e-12
+    # all-tied blocks: Q undefined, loud error
+    const = spark.createDataFrame(
+        [(f"b{i}", f"t{j}", 1.0) for i in range(3) for j in range(3)],
+        "b string, t string, v double")
+    with pytest.raises(ValueError, match="tied"):
+        friedman_test(const, "v", "b", "t")
+
+
 def test_t_sf_exact_tail():
     """The driver-side incomplete-beta Student-t tail, pinned against
     closed forms and published t-table critical values (no scipy):
