@@ -207,6 +207,7 @@ HEADLINE = [
     "kruskal_wallis_quantity",        # k-group rank ANOVA, tie-corrected
     "wilcoxon_user_value",            # paired signed-rank, per-user means
     "friedman_user_event_value",      # blocked rank test, in-row ranks
+    "collocations_logdice_topk",      # Sketch-Engine collocation strength
     "brown_forsythe_price",         # variance homogeneity (robust Levene)
     "changepoint_event_value",      # binned mean-shift drift monitor
     "trend_event_value",            # Mann-Kendall + Sen slope (binned)

@@ -37,6 +37,8 @@ pinned against an independent numpy replay in tests instead.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -118,6 +120,27 @@ def ppmi_scores(cooc: DataFrame) -> DataFrame:
                 F.log((F.col("n").cast("double") * F.col("__total"))
                       / (F.col("n1").cast("double") * F.col("n2")))),
                 6).alias("ppmi")))
+
+
+def logdice_scores(cooc: DataFrame) -> DataFrame:
+    """(w1, w2, logdice): the lexicographer's collocation-strength
+    score logDice = 14 + log₂(2·n/(n1+n2)) (Rychlý 2008, the Sketch
+    Engine measure) — the PPMI companion that does NOT grow with
+    corpus size (PMI inflates rare pairs; logDice is a harmonic-mean
+    association capped at 14, comparable across corpora — the measure
+    to rank collocations for a training-data audit). Same shape as
+    ppmi_scores: two V-row marginal aggregates broadcast-joined back;
+    rounded to 6 digits for engine-portable comparison."""
+    m1 = cooc.groupBy("w1").agg(F.sum("n").alias("n1"))
+    m2 = cooc.groupBy("w2").agg(F.sum("n").alias("n2"))
+    log2 = math.log(2.0)
+    return (cooc.join(F.broadcast(m1), "w1")
+            .join(F.broadcast(m2), "w2")
+            .select("w1", "w2", F.round(
+                F.lit(14.0)
+                + F.log((2.0 * F.col("n").cast("double"))
+                        / (F.col("n1") + F.col("n2")).cast("double"))
+                / F.lit(log2), 6).alias("logdice")))
 
 
 def _coo_matvec_frame(coo: DataFrame, key_col: str, lookup_col: str,

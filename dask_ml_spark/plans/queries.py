@@ -2740,6 +2740,25 @@ def q_ppmi_topk(spark, sf_dir):
             .select("w1", "w2", "n", "ppmi"))
 
 
+def q_collocations_logdice_topk(spark, sf_dir):
+    """logDice collocation strength (datapipe/embed_train.py::
+    logdice_scores — Rychlý 2008, the Sketch Engine measure): the
+    PPMI companion that doesn't grow with corpus size (PMI inflates
+    rare pairs; logDice = 14 + log₂(2n/(n1+n2)) is a capped
+    harmonic-mean association, comparable across corpora — the right
+    ranking for a training-data collocation audit). Same deterministic
+    top-50 integer-count pair selection as ppmi_topk, same
+    broadcast-marginal join shape."""
+    from dask_ml_spark.datapipe.embed_train import (cooccurrence_counts,
+                                                    logdice_scores)
+
+    docs = _t(spark, sf_dir, "documents")
+    cooc = cooccurrence_counts(docs, window=2, vocab_size=100)
+    top = cooc.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2")).limit(50)
+    return (top.join(logdice_scores(cooc), ["w1", "w2"])
+            .select("w1", "w2", "n", "logdice"))
+
+
 def _sql_cooccurrence_base() -> str:
     return f"""
 t AS (SELECT regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
@@ -2785,6 +2804,18 @@ SELECT top.w1, top.w2, top.n,
        round(greatest(0.0, ln((top.n * t) / (n1 * n2))), 6) AS ppmi
 FROM top JOIN m1 ON top.w1 = m1.w1 JOIN m2 ON top.w2 = m2.w2
 CROSS JOIN tot
+"""
+
+
+SQL_COLLOCATIONS_LOGDICE_TOPK = f"""
+WITH {_sql_cooccurrence_base()},
+m1 AS (SELECT w1, sum(n) AS n1 FROM cooc GROUP BY w1),
+m2 AS (SELECT w2, sum(n) AS n2 FROM cooc GROUP BY w2),
+top AS (SELECT w1, w2, n FROM cooc ORDER BY n DESC, w1, w2 LIMIT 50)
+SELECT top.w1, top.w2, top.n,
+       round(14.0 + ln((2.0 * top.n) / ((n1 + n2)::DOUBLE))
+                    / 0.6931471805599453, 6) AS logdice
+FROM top JOIN m1 ON top.w1 = m1.w1 JOIN m2 ON top.w2 = m2.w2
 """
 
 
@@ -4071,6 +4102,7 @@ def build_catalog():
         "strip_markup": q_strip_markup,
         "cooccurrence_topk": q_cooccurrence_topk,
         "ppmi_topk": q_ppmi_topk,
+        "collocations_logdice_topk": q_collocations_logdice_topk,
         "vocab_coverage": q_vocab_coverage,
         "image_near_dup_pairs": q_image_near_dup_pairs,
         "image_dedup_keep_one": q_image_dedup_keep_one,
@@ -4337,6 +4369,7 @@ def build_catalog():
         "strip_markup": SQL_STRIP_MARKUP,
         "cooccurrence_topk": SQL_COOCCURRENCE_TOPK,
         "ppmi_topk": SQL_PPMI_TOPK,
+        "collocations_logdice_topk": SQL_COLLOCATIONS_LOGDICE_TOPK,
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "image_near_dup_pairs": _sql_image_near_dup_pairs(),
         "image_dedup_keep_one": _sql_image_dedup_keep_one(),

@@ -2549,6 +2549,46 @@ def test_cooccurrence_and_ppmi_match_bruteforce(spark):
         assert abs(ppmi[(a, b)] - want) < 1e-9
 
 
+def test_logdice_matches_bruteforce(spark):
+    """logDice = 14 + log2(2n/(n1+n2)) replayed from the same
+    brute-force co-occurrence counts; capped at 14 (a pair owning all
+    of both marginals), corpus-size invariant (duplicating the corpus
+    leaves it unchanged — the property PMI lacks)."""
+    import math
+    from collections import Counter
+
+    from dask_ml_spark.datapipe.embed_train import (cooccurrence_counts,
+                                                    logdice_scores)
+
+    texts = ["the cat sat on the mat", "the dog sat on the log",
+             "cat and dog play"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    cooc = cooccurrence_counts(df, window=2, vocab_size=100)
+    got = {(r["w1"], r["w2"]): r["logdice"]
+           for r in logdice_scores(cooc).collect()}
+    ref = Counter()
+    for t in texts:
+        toks = [w for w in t.lower().split() if len(w) >= 2]
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + 3, len(toks))):
+                ref[(toks[i], toks[j])] += 1
+                ref[(toks[j], toks[i])] += 1
+    m1 = Counter(); m2 = Counter()
+    for (a, b), n in ref.items():
+        m1[a] += n; m2[b] += n
+    for (a, b), n in ref.items():
+        want = round(14.0 + math.log(2.0 * n / (m1[a] + m2[b]))
+                     / math.log(2.0), 6)
+        assert abs(got[(a, b)] - want) < 1e-9
+        assert got[(a, b)] <= 14.0 + 1e-9
+    # corpus-size invariance: double every document, scores unchanged
+    df2 = spark.createDataFrame([(t,) for t in texts * 2], ["text"])
+    got2 = {(r["w1"], r["w2"]): r["logdice"]
+            for r in logdice_scores(cooccurrence_counts(
+                df2, window=2, vocab_size=100)).collect()}
+    assert got2 == got
+
+
 def test_static_embeddings_semantics_and_replay(spark):
     """cat/dog share contexts -> high cosine; unrelated words low.
     Values replay exactly: the same rounded-PPMI matrix through the
