@@ -205,6 +205,7 @@ HEADLINE = [
     "spearman_price_quantity_exact",  # tie-averaged ranks (parity witness)
     "kendall_price_quantity",         # tau-b via K^2-cell 2-D prefix sums
     "kruskal_wallis_quantity",        # k-group rank ANOVA, tie-corrected
+    "jonckheere_priority_price",      # ordered-alternative trend test
     "wilcoxon_user_value",            # paired signed-rank, per-user means
     "friedman_user_event_value",      # blocked rank test, in-row ranks
     "collocations_logdice_topk",      # Sketch-Engine collocation strength

@@ -1808,14 +1808,27 @@ def kendall_tau_binned(df: DataFrame, col_a: str, col_b: str,
                           bucket(F.col("__b"), lb, wb).alias("__bb"))
              .agg(F.count(F.lit(1)).alias("__w"))
              .collect())
+    n, tau, z = _kendall_cell_stats(
+        [(r["__ba"], r["__bb"], r["__w"]) for r in cells], bins,
+        "kendall_tau_binned")
+    p = min(1.0, 2.0 * _normal_sf_py(abs(z)))
+    return df.sparkSession.createDataFrame(
+        [(int(n), float(tau), float(p))],
+        "n long, tau double, p_value double")
+
+
+def _kendall_cell_stats(cells, bins: int, what: str):
+    """The exact-integer core shared by kendall_tau_binned and
+    jonckheere_terpstra: given (a_bucket, b_bucket, count) cells,
+    return (n, τ_b, tie-corrected z) via 2-D prefix sums — O(K²)
+    bignum ops, floats only in the final divisions."""
     # group cells by a-bucket, ascending; within each, b ascending
     by_a: dict = {}
-    for r in cells:
-        by_a.setdefault(r["__ba"], {})[r["__bb"]] = r["__w"]
-    n = sum(r["__w"] for r in cells)
+    for ba, bb, w in cells:
+        by_a.setdefault(ba, {})[bb] = w
+    n = sum(w for _, _, w in cells)
     if n < 2:
-        raise ValueError("kendall_tau_binned needs >= 2 complete-case "
-                         "rows")
+        raise ValueError(f"{what} needs >= 2 complete-case rows")
     # one ascending sweep over a-buckets: `below` holds the per-b
     # counts of all STRICTLY smaller a-buckets; its prefix sums give
     # each cell's concordant (i'<i, j'<j) and discordant (i'<i, j'>j)
@@ -1836,17 +1849,18 @@ def kendall_tau_binned(df: DataFrame, col_a: str, col_b: str,
             below[b_key] += w
             below_total += w
     # tie structure (within-bucket pairs per axis)
-    ta = {}
-    tb = {}
-    for r in cells:
-        ta[r["__ba"]] = ta.get(r["__ba"], 0) + r["__w"]
-        tb[r["__bb"]] = tb.get(r["__bb"], 0) + r["__w"]
+    ta: dict = {}
+    tb: dict = {}
+    for ba, bb, w in cells:
+        ta[ba] = ta.get(ba, 0) + w
+        tb[bb] = tb.get(bb, 0) + w
     n0 = n * (n - 1) // 2
     n1 = sum(t * (t - 1) // 2 for t in ta.values())
     n2 = sum(u * (u - 1) // 2 for u in tb.values())
     if n0 == n1 or n0 == n2:
-        raise ValueError("kendall_tau_binned: a column is constant "
-                         "(or collapses to one bucket) — tau undefined")
+        raise ValueError(f"{what}: a column is constant "
+                         "(or collapses to one bucket) — the statistic "
+                         "is undefined")
     tau = float(conc - disc) / math.sqrt(float(n0 - n1)
                                          * float(n0 - n2))
     # tie-corrected large-sample variance of (C − D), Kendall 1970:
@@ -1864,13 +1878,80 @@ def kendall_tau_binned(df: DataFrame, col_a: str, col_b: str,
         var = var + (float(s_t2) * float(s_u2)
                      / (9.0 * n * (n - 1.0) * (n - 2.0)))
     if not var > 0.0:
-        raise ValueError("kendall_tau_binned: degenerate tie structure "
-                         "— variance of (C - D) is zero")
+        raise ValueError(f"{what}: degenerate tie structure — the "
+                         "variance of (C - D) is zero")
     z = float(conc - disc) / math.sqrt(var)
+    return n, tau, z
+
+
+def jonckheere_terpstra(df: DataFrame, value_col: str, group_col: str,
+                        order, bins: int = 256) -> DataFrame:
+    """Jonckheere–Terpstra test for an ORDERED alternative across k
+    groups — the dose-response question kruskal_wallis can't pose
+    (KW asks "do the groups differ AT ALL?"; JT asks "do the values
+    TREND with the group order?", and has far more power when the
+    alternative really is monotone). ``order`` is the hypothesized
+    group sequence (the test is ABOUT that order — it must be given,
+    not inferred).
+
+    Implementation: the JT statistic's centered form is EXACTLY
+    Kendall's S = C − D between the group ordinal and the value
+    (textbook equivalence: JT = Σ_{i<j} U_ij and
+    S = 2·JT − Σ_{i<j} n_i n_j), so this reuses the binned Kendall
+    core: map each group to its ordinal (an exact bucket — equal-width
+    binning of integers 0..k−1 with K ≥ k buckets is injective and
+    monotone, so the pair orientation structure is preserved
+    exactly), bin the value axis into ≤K buckets, ONE
+    groupBy(ordinal, value_bucket) count, then the same O(K²)
+    exact-integer 2-D prefix sweep and the same tie-corrected normal
+    z — the tie term on the ordinal axis IS the within-group pair
+    count JT's variance must remove. Within-value-bucket pairs become
+    ties (the family's O(1/K) convention). Returns one row:
+    (n, k, tau, z, p_value) — tau (τ_b between ordinal and value) is
+    the effect size; z > 0 means values INCREASE along ``order``.
+    """
+    order = list(order)
+    if len(order) < 2:
+        raise ValueError("jonckheere_terpstra needs >= 2 ordered "
+                         "groups")
+    if len(set(order)) != len(order):
+        raise ValueError("jonckheere_terpstra: duplicate groups in "
+                         "order")
+    if bins < len(order):
+        raise ValueError("bins must be >= the number of groups")
+    if bins > 1024:
+        raise ValueError("bins > 1024 — the ≤K² driver cell state "
+                         "stops being bounded")
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col).cast("string")
+    ord_expr = F.lit(None).cast("int")
+    for i, label in enumerate(order):
+        ord_expr = F.when(g == F.lit(str(label)), F.lit(i)) \
+            .otherwise(ord_expr)
+    kept = (df.where(v.isNotNull() & ~F.isnan(v)
+                     & g.isin([str(x) for x in order]))
+            .select(ord_expr.alias("__o"), v.alias("__v")))
+    lim = kept.agg(F.min("__v").alias("lv"),
+                   F.max("__v").alias("hv")).collect()[0]
+    if lim["lv"] is None:
+        raise ValueError("jonckheere_terpstra: no complete-case rows "
+                         "in the ordered groups")
+    lv, hv = float(lim["lv"]), float(lim["hv"])
+    wv = (hv - lv) or 1.0
+    vbucket = F.least(F.lit(bins - 1),
+                      F.floor((F.col("__v") - F.lit(lv)) / F.lit(wv)
+                              * F.lit(bins))).cast("int")
+    cells = (kept.groupBy(F.col("__o").alias("__ba"),
+                          vbucket.alias("__bb"))
+             .agg(F.count(F.lit(1)).alias("__w"))
+             .collect())
+    n, tau, z = _kendall_cell_stats(
+        [(r["__ba"], r["__bb"], r["__w"]) for r in cells],
+        max(bins, len(order)), "jonckheere_terpstra")
     p = min(1.0, 2.0 * _normal_sf_py(abs(z)))
     return df.sparkSession.createDataFrame(
-        [(int(n), float(tau), float(p))],
-        "n long, tau double, p_value double")
+        [(int(n), len(order), float(tau), float(z), float(p))],
+        "n long, k long, tau double, z double, p_value double")
 
 
 def kruskal_wallis(df: DataFrame, value_col: str, group_col: str,

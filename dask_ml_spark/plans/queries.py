@@ -4178,6 +4178,7 @@ def build_catalog():
         "spearman_price_quantity_exact": q_spearman_price_quantity_exact,
         "kendall_price_quantity": q_kendall_price_quantity,
         "kruskal_wallis_quantity": q_kruskal_wallis_quantity,
+        "jonckheere_priority_price": q_jonckheere_priority_price,
         "brown_forsythe_price": q_brown_forsythe_price,
         "isotonic_price_curve": q_isotonic_price_curve,
         "changepoint_event_value": q_changepoint_event_value,
@@ -4428,6 +4429,7 @@ def build_catalog():
             _sql_spearman_price_quantity_exact(),
         "kendall_price_quantity": _sql_kendall_price_quantity(),
         "kruskal_wallis_quantity": _sql_kruskal_wallis_quantity(),
+        "jonckheere_priority_price": _sql_jonckheere_priority_price(),
         "brown_forsythe_price": _sql_brown_forsythe_price(),
         "isotonic_price_curve": _sql_isotonic_price_curve(),
         "changepoint_event_value": _sql_changepoint_event_value(),
@@ -9763,6 +9765,116 @@ WITH k AS (
 )
 SELECT n::BIGINT AS n,
        floor(tau * 1e6 + 0.5) / 1e6 AS tau,
+       floor(least(1.0, 2.0 * {sf}) * 1e6 + 0.5) / 1e6 AS p_value
+FROM st
+"""
+
+
+JT_ORDER = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+            "5-LOW"]
+JT_BINS = 256
+
+
+def q_jonckheere_priority_price(spark, sf_dir):
+    """Jonckheere–Terpstra ordered-alternative test (functions/
+    stats.py::jonckheere_terpstra): does order value TREND across the
+    five priority levels, urgent → low? KW would only say "differ";
+    JT tests the monotone dose-response and is the right tool when
+    the groups carry an order. Implemented as Kendall's S between the
+    group ordinal and the binned value (the textbook equivalence —
+    JT's centered statistic IS S), so it reuses the exact-integer
+    2-D-prefix cell core; the oracle replays the ordinal×bucket grid
+    with HUGEINT window cumsums."""
+    from dask_ml_spark.functions.stats import jonckheere_terpstra
+
+    od = _t(spark, sf_dir, "orders")
+    out = jonckheere_terpstra(od, "o_totalprice", "o_orderpriority",
+                              order=JT_ORDER, bins=JT_BINS)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n", "k", r6(F.col("tau")).alias("tau"),
+                      r6(F.col("z")).alias("z"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_jonckheere_priority_price() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    K = JT_BINS
+    kk = len(JT_ORDER)
+    sf = _normal_sf_sql("abs(z)")
+    case = "CASE " + " ".join(
+        f"WHEN o_orderpriority = '{g}' THEN {i}"
+        for i, g in enumerate(JT_ORDER)) + " END"
+    return f"""
+WITH k AS (
+    SELECT {case} AS o, o_totalprice::DOUBLE AS v
+    FROM orders
+    WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+      AND o_orderpriority IN ({', '.join(f"'{g}'" for g in JT_ORDER)})
+), lim AS (
+    SELECT min(v) AS lv, max(v) AS hv FROM k
+), w AS (
+    SELECT lv, CASE WHEN hv = lv THEN 1.0 ELSE hv - lv END AS wv
+    FROM lim
+), cells AS (
+    SELECT o AS ba,
+           CAST(least({K - 1}, floor((v - (SELECT lv FROM w))
+                                     / (SELECT wv FROM w) * {K}))
+                AS BIGINT) AS bb,
+           count(*)::HUGEINT AS c
+    FROM k GROUP BY 1, 2
+), grid AS (
+    SELECT ga.range AS gi, gb.range AS gj
+    FROM range({kk}) ga CROSS JOIN range({K}) gb
+), dense AS (
+    SELECT gi, gj, coalesce(cells.c, 0::HUGEINT) AS c
+    FROM grid LEFT JOIN cells ON cells.ba = gi AND cells.bb = gj
+), rowcum AS (
+    SELECT gi, gj,
+           sum(c) OVER (PARTITION BY gi ORDER BY gj
+                        ROWS UNBOUNDED PRECEDING) AS rc
+    FROM dense
+), pref AS (
+    SELECT gi, gj,
+           sum(rc) OVER (PARTITION BY gj ORDER BY gi
+                         ROWS UNBOUNDED PRECEDING) AS p2
+    FROM rowcum
+), cd AS (
+    SELECT sum(x.c * coalesce(pll.p2, 0::HUGEINT)) AS conc,
+           sum(x.c * (coalesce(pa.p2, 0::HUGEINT)
+                      - coalesce(plj.p2, 0::HUGEINT))) AS disc
+    FROM cells x
+    LEFT JOIN pref pll ON pll.gi = x.ba - 1 AND pll.gj = x.bb - 1
+    LEFT JOIN pref plj ON plj.gi = x.ba - 1 AND plj.gj = x.bb
+    LEFT JOIN pref pa  ON pa.gi = x.ba - 1 AND pa.gj = {K - 1}
+), ta AS (
+    SELECT sum(t * (t - 1) // 2) AS n1,
+           sum(t * (t - 1) * (2 * t + 5)) AS vt,
+           sum(t * (t - 1)) AS st1,
+           sum(t * (t - 1) * (t - 2)) AS st2
+    FROM (SELECT sum(c) AS t FROM cells GROUP BY ba)
+), tb AS (
+    SELECT sum(u * (u - 1) // 2) AS n2,
+           sum(u * (u - 1) * (2 * u + 5)) AS vu,
+           sum(u * (u - 1)) AS su1,
+           sum(u * (u - 1) * (u - 2)) AS su2
+    FROM (SELECT sum(c) AS u FROM cells GROUP BY bb)
+), nn AS (
+    SELECT sum(c) AS n, sum(c) * (sum(c) - 1) // 2 AS n0 FROM cells
+), st AS (
+    SELECT n, (conc - disc)::DOUBLE
+              / sqrt((n0 - n1)::DOUBLE * (n0 - n2)::DOUBLE) AS tau,
+           (conc - disc)::DOUBLE
+           / sqrt((n * (n - 1) * (2 * n + 5) - vt - vu)::DOUBLE / 18.0
+                  + st1::DOUBLE * su1::DOUBLE
+                    / (2.0 * n * (n - 1.0))
+                  + st2::DOUBLE * su2::DOUBLE
+                    / (9.0 * n * (n - 1.0) * (n - 2.0))) AS z
+    FROM cd, ta, tb, nn
+)
+SELECT n::BIGINT AS n, {kk}::BIGINT AS k,
+       floor(tau * 1e6 + 0.5) / 1e6 AS tau,
+       floor(z * 1e6 + 0.5) / 1e6 AS z,
        floor(least(1.0, 2.0 * {sf}) * 1e6 + 0.5) / 1e6 AS p_value
 FROM st
 """

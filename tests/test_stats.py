@@ -848,6 +848,43 @@ def test_kendall_tau_binned_validation(spark):
         kendall_tau_binned(const, "a", "b")
 
 
+def test_jonckheere_matches_kendall_bruteforce(spark):
+    """JT is Kendall's S between the group ordinal and the value
+    (textbook equivalence) — pinned against the O(n²) brute-force
+    pair count on integer values where binning is the identity; the
+    reversed order must exactly negate z."""
+    from dask_ml_spark.functions.stats import (_normal_sf_py,
+                                               jonckheere_terpstra)
+
+    rng = np.random.RandomState(41)
+    rows, ords, vals = [], [], []
+    for i, (g, mu) in enumerate([("lo", 0), ("mid", 1), ("hi", 2)]):
+        v = rng.randint(0, 12, 120) + mu
+        vals += v.tolist()
+        ords += [i] * 120
+        rows += [(g, float(x)) for x in v]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = jonckheere_terpstra(df, "v", "g",
+                              order=["lo", "mid", "hi"],
+                              bins=64).collect()[0]
+    tau_ref, z_ref = _brute_kendall(np.array(ords, dtype=float),
+                                    np.array(vals, dtype=float))
+    assert got["n"] == 360 and got["k"] == 3
+    assert abs(got["tau"] - tau_ref) < 1e-12
+    assert abs(got["z"] - z_ref) < 1e-12
+    assert abs(got["p_value"]
+               - min(1.0, 2.0 * _normal_sf_py(abs(z_ref)))) < 1e-12
+    assert got["z"] > 4  # the injected monotone trend is detected
+    rev = jonckheere_terpstra(df, "v", "g",
+                              order=["hi", "mid", "lo"],
+                              bins=64).collect()[0]
+    assert abs(rev["z"] + got["z"]) < 1e-12
+    with pytest.raises(ValueError, match="duplicate"):
+        jonckheere_terpstra(df, "v", "g", order=["lo", "lo", "hi"])
+    with pytest.raises(ValueError, match=">= 2 ordered"):
+        jonckheere_terpstra(df, "v", "g", order=["lo"])
+
+
 def test_kruskal_wallis_matches_rank_replay(spark):
     """Pinned against an independent pandas average-rank replay with
     real tie structure, including the tie-correction divisor and the
