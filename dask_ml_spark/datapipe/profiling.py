@@ -14,6 +14,8 @@ column and shuffle, so they are opt-in for oracle checks and small data.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -275,3 +277,69 @@ def embedding_drift(df: DataFrame, vec_col: str, group_col: str,
     sweep = welch_ttest_by(exploded, "__val", "__grp", groups=groups,
                            by="dim")
     return benjamini_hochberg(sweep, alpha=alpha).orderBy("dim")
+
+
+def concentration_profile(df: DataFrame, group_col: str,
+                          weight_col: str | None = None,
+                          max_groups: int = 65536) -> DataFrame:
+    """Concentration of a corpus across groups (sources, languages,
+    domains) — the audit number behind "is this dataset dominated by
+    a handful of feeds?": Gini coefficient, Herfindahl–Hirschman
+    index, Shannon entropy (nats) + its normalized form, and the
+    top-1 share, all from ONE groupBy(group) aggregate (row counts,
+    or a weight column such as characters/tokens) and exact driver
+    arithmetic over ≤max_groups integer totals.
+
+    Gini uses the discrete form over ascending group totals
+    G = 2·Σᵢ i·xᵢ / (k·Σx) − (k+1)/k (i 1-based; ties broken by
+    group label ascending — deterministic, and irrelevant to the
+    value since tied totals commute); 0 = perfectly even,
+    → 1 − 1/k = maximal for one dominant group. HHI = Σ shareᵢ²
+    (1/k … 1). Entropy −Σ share·ln(share); normalized by ln(k) (1 =
+    even; 0 when k = 1 reports NULL normalized). The weighted form
+    (weight_col) accumulates on the exact integer grid when the
+    weights are integral (char/token counts are), so every statistic
+    is a deterministic function of exact sums — the SQL oracle
+    replays the ascending-total Σ i·xᵢ via a window cumsum.
+    Returns one row: (k, total, gini, hhi, entropy,
+    entropy_normalized, top1_share).
+    """
+    g = F.col(group_col)
+    kept = df.where(g.isNotNull())
+    if weight_col is None:
+        agg = F.count(F.lit(1)).alias("__w")
+    else:
+        w = F.col(weight_col).cast("long")
+        kept = kept.where(w.isNotNull() & (w >= 0))
+        agg = F.sum(w).alias("__w")
+    rows = (kept.groupBy(g.cast("string").alias("__g")).agg(agg)
+            .limit(max_groups + 1).collect())
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"concentration_profile: more than max_groups="
+            f"{max_groups} groups — bucket the column first")
+    if not rows:
+        raise ValueError("concentration_profile: no non-null groups")
+    # ascending totals, ties by label: deterministic and value-neutral
+    rows.sort(key=lambda r: (int(r["__w"]), r["__g"]))
+    totals = [int(r["__w"]) for r in rows]
+    k = len(totals)
+    tot = sum(totals)
+    if tot <= 0:
+        raise ValueError("concentration_profile: zero total weight")
+    ixi = sum((i + 1) * x for i, x in enumerate(totals))  # exact
+    gini = 2.0 * float(ixi) / (k * float(tot)) - (k + 1.0) / k
+    hhi = 0.0
+    ent = 0.0
+    for x in totals:  # ascending order: deterministic float sums
+        s = x / float(tot)
+        hhi += s * s
+        if x > 0:
+            ent += -s * math.log(s)
+    top1 = totals[-1] / float(tot)
+    ent_norm = (ent / math.log(k)) if k > 1 else None
+    return df.sparkSession.createDataFrame(
+        [(int(k), int(tot), float(gini), float(hhi), float(ent),
+          None if ent_norm is None else float(ent_norm), float(top1))],
+        "k long, total long, gini double, hhi double, entropy double, "
+        "entropy_normalized double, top1_share double")

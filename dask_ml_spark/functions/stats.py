@@ -2118,6 +2118,57 @@ def friedman_test(df: DataFrame, value_col: str, block_col: str,
         "tie_correction double, p_value double")
 
 
+def benford_test(df: DataFrame, value_col: str,
+                 grid: int = 2) -> DataFrame:
+    """Benford first-significant-digit screen — the classic
+    fabricated-/synthetic-data smell test (real-world multiplicative
+    quantities follow P(d) = log₁₀(1 + 1/d); invented, truncated, or
+    template-generated numbers rarely do): χ²₈ against the Benford
+    expectation plus the MAD (mean absolute deviation of the nine
+    digit shares — Nigrini's decision number: < 0.006 close
+    conformity, > 0.015 nonconformity; unlike χ², MAD doesn't grow
+    with n, so it stays interpretable at corpus scale where χ²
+    rejects everything).
+
+    The first digit is extracted on the exact fixed-point grid
+    (|v|·10^grid rounded to int64, leading digit of its DECIMAL
+    rendering) — pure integer/string arithmetic both engines render
+    identically, with none of the log₁₀-ulp boundary hazard of the
+    floating extraction. Values rounding to 0 on the grid are
+    excluded (they have no significant digit at that resolution;
+    raise the grid for sub-grid data). ONE groupBy(digit) count of ≤9
+    rows; χ²/MAD assemble driver-side in digit order (the SQL replays
+    the same in-order float chain). Returns one row:
+    (n, chi2, p_value, mad).
+    """
+    v = F.col(value_col).cast("double")
+    cents = F.floor(F.abs(v) * F.lit(float(10 ** grid))
+                    + F.lit(0.5)).cast("long")
+    kept = (df.where(v.isNotNull() & ~F.isnan(v))
+            .select(cents.alias("__c"))
+            .where(F.col("__c") >= 1))
+    d = F.substring(F.col("__c").cast("string"), 1, 1).cast("int")
+    rows = (kept.groupBy(d.alias("__d"))
+            .agg(F.count(F.lit(1)).alias("__n")).collect())
+    counts = {int(r["__d"]): int(r["__n"]) for r in rows}
+    n = sum(counts.values())
+    if n == 0:
+        raise ValueError("benford_test: no nonzero values on the "
+                         f"10^-{grid} grid — raise grid")
+    chi2 = 0.0
+    mad = 0.0
+    for dd in range(1, 10):
+        p = math.log10(1.0 + 1.0 / dd)
+        o = counts.get(dd, 0)
+        e = n * p
+        chi2 += (o - e) * (o - e) / e
+        mad += abs(o / float(n) - p)
+    mad /= 9.0
+    return df.sparkSession.createDataFrame(
+        [(int(n), float(chi2), float(chi2_sf(chi2, 8)), float(mad))],
+        "n long, chi2 double, p_value double, mad double")
+
+
 def _contingency_rows(df: DataFrame, col_a: str, col_b: str,
                       max_cells: int, what: str):
     """Shared contingency collection for chi2_independence /

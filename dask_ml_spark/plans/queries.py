@@ -2819,6 +2819,64 @@ FROM top JOIN m1 ON top.w1 = m1.w1 JOIN m2 ON top.w2 = m2.w2
 """
 
 
+def q_source_concentration(spark, sf_dir):
+    """Corpus concentration audit (datapipe/profiling.py::
+    concentration_profile): how evenly is the character mass spread
+    across sources? Gini, HHI, Shannon entropy (+normalized) and the
+    top-1 share from ONE groupBy(source) weight aggregate and exact
+    driver arithmetic over the ≤G integer totals — the "is this
+    dataset secretly one feed?" number every mixture plan needs. The
+    oracle replays the ascending-total Σi·xᵢ via a window cumsum on
+    the same exact integers."""
+    from dask_ml_spark.datapipe.profiling import concentration_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    out = concentration_profile(docs, "source", weight_col="n_chars")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("k", "total",
+                      r6(F.col("gini")).alias("gini"),
+                      r6(F.col("hhi")).alias("hhi"),
+                      r6(F.col("entropy")).alias("entropy"),
+                      r6(F.col("entropy_normalized"))
+                      .alias("entropy_normalized"),
+                      r6(F.col("top1_share")).alias("top1_share"))
+
+
+def _sql_source_concentration() -> str:
+    return """
+WITH g AS (
+    SELECT source::VARCHAR AS g,
+           sum(CAST(floor(n_chars) AS BIGINT))::HUGEINT AS w
+    FROM documents
+    WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0
+    GROUP BY 1
+), o AS (
+    -- ascending totals, ties by label (deterministic, value-neutral)
+    SELECT w, row_number() OVER (ORDER BY w, g) AS i FROM g
+), s AS (
+    SELECT sum(w * i) AS ixi, sum(w) AS tot, count(*)::BIGINT AS k,
+           max(w) AS mx
+    FROM o
+), e AS (
+    SELECT sum((w::DOUBLE / (SELECT tot FROM s)::DOUBLE)
+               * (w::DOUBLE / (SELECT tot FROM s)::DOUBLE)) AS hhi,
+           sum(-(w::DOUBLE / (SELECT tot FROM s)::DOUBLE)
+               * ln(w::DOUBLE / (SELECT tot FROM s)::DOUBLE)) AS ent
+    FROM g WHERE w > 0
+)
+SELECT s.k, s.tot::BIGINT AS total,
+       floor((2.0 * s.ixi::DOUBLE / (s.k * s.tot::DOUBLE)
+              - (s.k + 1.0) / s.k) * 1e6 + 0.5) / 1e6 AS gini,
+       floor(e.hhi * 1e6 + 0.5) / 1e6 AS hhi,
+       floor(e.ent * 1e6 + 0.5) / 1e6 AS entropy,
+       floor(CASE WHEN s.k > 1 THEN e.ent / ln(s.k) END
+             * 1e6 + 0.5) / 1e6 AS entropy_normalized,
+       floor((s.mx::DOUBLE / s.tot::DOUBLE) * 1e6 + 0.5) / 1e6
+           AS top1_share
+FROM s, e
+"""
+
+
 def q_strip_markup(spark, sf_dir):
     """Markup stripping (text_stats.strip_markup): documents are
     wrapped in synthetic HTML (tags + script block + entities) inside
@@ -4103,6 +4161,7 @@ def build_catalog():
         "cooccurrence_topk": q_cooccurrence_topk,
         "ppmi_topk": q_ppmi_topk,
         "collocations_logdice_topk": q_collocations_logdice_topk,
+        "source_concentration": q_source_concentration,
         "vocab_coverage": q_vocab_coverage,
         "image_near_dup_pairs": q_image_near_dup_pairs,
         "image_dedup_keep_one": q_image_dedup_keep_one,
@@ -4163,6 +4222,7 @@ def build_catalog():
         "mann_whitney_discount": q_mann_whitney_discount,
         "wilcoxon_user_value": q_wilcoxon_user_value,
         "friedman_user_event_value": q_friedman_user_event_value,
+        "benford_price": q_benford_price,
         "chi2_independence_flags": q_chi2_independence_flags,
         "welch_ttest_price": q_welch_ttest_price,
         "welch_bh_by_month": q_welch_bh_by_month,
@@ -4371,6 +4431,7 @@ def build_catalog():
         "cooccurrence_topk": SQL_COOCCURRENCE_TOPK,
         "ppmi_topk": SQL_PPMI_TOPK,
         "collocations_logdice_topk": SQL_COLLOCATIONS_LOGDICE_TOPK,
+        "source_concentration": _sql_source_concentration(),
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "image_near_dup_pairs": _sql_image_near_dup_pairs(),
         "image_dedup_keep_one": _sql_image_dedup_keep_one(),
@@ -4416,6 +4477,7 @@ def build_catalog():
         "mann_whitney_discount": _sql_mann_whitney_discount(),
         "wilcoxon_user_value": _sql_wilcoxon_user_value(),
         "friedman_user_event_value": _sql_friedman_user_event_value(),
+        "benford_price": _sql_benford_price(),
         "chi2_independence_flags": _sql_chi2_independence_flags(),
         "welch_ttest_price": _sql_welch_ttest_price(),
         "welch_bh_by_month": _sql_welch_bh_by_month(),
@@ -8024,6 +8086,66 @@ SELECT n1::BIGINT AS n1, n2::BIGINT AS n2, u AS u_stat,
        floor((2.0 * u / (n1 * n2) - 1.0) * 1e6 + 0.5) / 1e6
            AS rank_biserial
 FROM z
+"""
+
+
+def q_benford_price(spark, sf_dir):
+    """Benford first-digit screen (functions/stats.py::benford_test —
+    the fabricated-data smell test): leading significant digits of the
+    prices on the exact 0.01 fixed-point grid vs the log₁₀(1+1/d)
+    law, χ²₈ (even-dof closed form replayed by the oracle) + Nigrini's
+    MAD. TPC-H prices are range-uniform, not multiplicative, so the
+    screen FLAGS them — which is the demonstration: the statistic
+    detects non-Benford generation processes. One ≤9-row digit
+    aggregate; the digit extraction is integer/string rendering, free
+    of the log₁₀ ulp boundary hazard."""
+    from dask_ml_spark.functions.stats import benford_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = benford_test(li, "l_extendedprice", grid=2)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n", r6(F.col("chi2") / 1000.0).alias("chi2_k"),
+                      r6(F.col("p_value")).alias("p_value"),
+                      r6(F.col("mad")).alias("mad"))
+
+
+def _sql_benford_price() -> str:
+    import math as _m
+
+    from dask_ml_spark.functions.stats import _chi2_sf_sql
+
+    ps = [_m.log10(1.0 + 1.0 / dd) for dd in range(1, 10)]
+    digit_counts = ", ".join(
+        f"sum(CASE WHEN d = {dd} THEN 1 ELSE 0 END)::BIGINT AS o{dd}"
+        for dd in range(1, 10))
+    # in-order left-associative chains mirror the engine's digit loop
+    chi2 = " + ".join(
+        f"(o{dd}::DOUBLE - n::DOUBLE * {ps[dd - 1]!r})"
+        f" * (o{dd}::DOUBLE - n::DOUBLE * {ps[dd - 1]!r})"
+        f" / (n::DOUBLE * {ps[dd - 1]!r})" for dd in range(1, 10))
+    mad = " + ".join(
+        f"abs(o{dd}::DOUBLE / n::DOUBLE - {ps[dd - 1]!r})"
+        for dd in range(1, 10))
+    p = _chi2_sf_sql("chi2", 8)
+    return f"""
+WITH k AS (
+    SELECT CAST(floor(abs(l_extendedprice::DOUBLE) * 100.0 + 0.5)
+                AS BIGINT) AS c
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+), dd AS (
+    SELECT CAST(substr(c::VARCHAR, 1, 1) AS INTEGER) AS d
+    FROM k WHERE c >= 1
+), agg AS (
+    SELECT count(*)::BIGINT AS n, {digit_counts} FROM dd
+), s AS (
+    SELECT n, ({chi2}) AS chi2, ({mad}) / 9.0 AS mad FROM agg
+)
+SELECT n,
+       floor(chi2 / 1000.0 * 1e6 + 0.5) / 1e6 AS chi2_k,
+       floor({p} * 1e6 + 0.5) / 1e6 AS p_value,
+       floor(mad * 1e6 + 0.5) / 1e6 AS mad
+FROM s
 """
 
 

@@ -2860,3 +2860,46 @@ def test_embedding_drift_per_dimension(spark):
                         SF.col("embedding")[2].alias("v"))
     want = welch_ttest(one_dim, "v", "label", (0, 1)).collect()[0]
     assert abs(out[2]["t_stat"] - want["t_stat"]) < 1e-9
+
+
+def test_concentration_profile(spark):
+    """Closed-form pins: a perfectly even split has gini 0, hhi 1/k,
+    normalized entropy 1; a single dominant group approaches the
+    1 - 1/k ceiling; a hand 2-group example replays exactly."""
+    import math
+
+    from dask_ml_spark.datapipe.profiling import concentration_profile
+
+    even = spark.createDataFrame(
+        [(f"s{i % 4}",) for i in range(400)], "g string")
+    r = concentration_profile(even, "g").collect()[0]
+    assert r["k"] == 4 and r["total"] == 400
+    assert abs(r["gini"]) < 1e-12
+    assert abs(r["hhi"] - 0.25) < 1e-12
+    assert abs(r["entropy_normalized"] - 1.0) < 1e-12
+    assert abs(r["top1_share"] - 0.25) < 1e-12
+    # 2 groups, 30/10 chars weighted: shares 0.75/0.25
+    w = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("b", 20)], "g string, ch long")
+    r2 = concentration_profile(w, "g", weight_col="ch").collect()[0]
+    assert r2["total"] == 40
+    # ascending totals (10, 30): gini = 2(1*10+2*30)/(2*40) - 3/2
+    assert abs(r2["gini"] - (2.0 * 70 / 80 - 1.5)) < 1e-12
+    assert abs(r2["hhi"] - (0.25 ** 2 + 0.75 ** 2)) < 1e-12
+    assert abs(r2["entropy"]
+               - (-0.25 * math.log(0.25) - 0.75 * math.log(0.75))) \
+        < 1e-12
+    assert abs(r2["top1_share"] - 0.75) < 1e-12
+    # one dominant group: gini near the 1 - 1/k ceiling
+    dom = spark.createDataFrame(
+        [("big",)] * 997 + [("a",), ("b",), ("c",)], "g string")
+    r3 = concentration_profile(dom, "g").collect()[0]
+    assert r3["gini"] > 0.7 and r3["top1_share"] == 0.997
+    # single group: normalized entropy undefined (NULL)
+    one = concentration_profile(
+        spark.createDataFrame([("x",)] * 5, "g string"), "g").collect()[0]
+    assert one["entropy_normalized"] is None and one["gini"] == 0.0
+    with pytest.raises(ValueError, match="max_groups"):
+        concentration_profile(
+            spark.createDataFrame([(str(i),) for i in range(30)],
+                                  "g string"), "g", max_groups=10)

@@ -1319,3 +1319,48 @@ def test_stats_plans_have_no_global_window(spark):
                 mann_whitney_u(df, "x", "g", max_driver_rows=0)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
+
+
+def test_benford_screen(spark):
+    """A multiplicative (log-uniform) sample conforms to Benford
+    (small MAD, per-digit replay pinned); a range-uniform sample is
+    flagged with a huge chi2. Digit extraction is on the exact
+    fixed-point grid — pinned against a string-based replay."""
+    import collections
+
+    from dask_ml_spark.functions.stats import benford_test, chi2_sf
+
+    rng = np.random.RandomState(7)
+    conforming = np.exp(rng.uniform(0.0, 3.0 * np.log(10.0), 4000))
+    df = spark.createDataFrame([(float(v),) for v in conforming],
+                               "v double")
+    got = benford_test(df, "v", grid=2).collect()[0]
+    # replay: digit of round(|v|*100) via its decimal rendering
+    counts = collections.Counter()
+    for v in conforming:
+        c = int(np.floor(abs(v) * 100.0 + 0.5))
+        if c >= 1:
+            counts[int(str(c)[0])] += 1
+    n = sum(counts.values())
+    chi2 = mad = 0.0
+    for d in range(1, 10):
+        p = math.log10(1.0 + 1.0 / d)
+        o = counts.get(d, 0)
+        chi2 += (o - n * p) ** 2 / (n * p)
+        mad += abs(o / float(n) - p)
+    mad /= 9.0
+    assert got["n"] == n
+    assert abs(got["chi2"] - chi2) < 1e-9
+    assert abs(got["mad"] - mad) < 1e-12
+    assert abs(got["p_value"] - chi2_sf(chi2, 8)) < 1e-12
+    assert got["mad"] < 0.015          # log-uniform conforms
+    assert got["p_value"] > 1e-6       # not flagged
+    # range-uniform data violates Benford loudly
+    uni = spark.createDataFrame(
+        [(float(v),) for v in rng.uniform(100.0, 999.0, 4000)],
+        "v double")
+    bad = benford_test(uni, "v").collect()[0]
+    assert bad["mad"] > 0.015 and bad["p_value"] < 1e-12
+    with pytest.raises(ValueError, match="grid"):
+        benford_test(spark.createDataFrame([(0.0001,)], "v double"),
+                     "v", grid=2)
