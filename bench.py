@@ -209,6 +209,9 @@ HEADLINE = [
     "wilcoxon_user_value",            # paired signed-rank, per-user means
     "friedman_user_event_value",      # blocked rank test, in-row ranks
     "collocations_logdice_topk",      # Sketch-Engine collocation strength
+    "source_concentration",           # Gini/HHI/entropy corpus audit
+    "benford_price",                  # first-digit fabrication screen
+    "readability_docs",               # Flesch/FK surface-count scores
     "brown_forsythe_price",         # variance homogeneity (robust Levene)
     "changepoint_event_value",      # binned mean-shift drift monitor
     "trend_event_value",            # Mann-Kendall + Sen slope (binned)

@@ -105,6 +105,62 @@ SCRIPT_PATTERNS = {
 _ASCII_PRINTABLE = "[ -~\t\n\r]"
 
 
+def readability_scores(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Flesch Reading Ease + Flesch–Kincaid grade level from
+    deterministic surface counts — the classic readability screens a
+    training-data audit slices quality by (a primary-school text and
+    a legal contract need different mixture quotas). Counts are pure
+    regex, identical in both engines: words = `[a-z]+` runs of the
+    lowercased text; sentences = `[.!?]+` runs (floored at 1);
+    syllables = per-word `[aeiouy]+` vowel-group runs floored at 1
+    (the standard heuristic — no dictionary, deterministic; it
+    overcounts silent-e words by design and is documented as the
+    comparable-score convention, not linguistic truth).
+
+    FRE = 206.835 − 1.015·(W/S) − 84.6·(Y/W);
+    FKGL = 0.39·(W/S) + 11.8·(Y/W) − 15.59. Documents with zero
+    words report NULL scores. One narrow JVM projection — no shuffle,
+    no UDF. Returns (id, words, sentences, syllables, flesch,
+    fk_grade).
+    """
+    text = F.col(text_col)
+    # materialize the word array BEFORE the syllable HOF references it
+    # (the embed_train shingles lesson: a HOF lambda re-evaluates an
+    # embedded expression per element — the tokenizer would re-run
+    # once per word)
+    staged = (ensure_min_partitions(df)
+              .select(F.col(id_col),
+                      F.regexp_extract_all(F.lower(text),
+                                           F.lit("[a-z]+"), F.lit(0))
+                      .alias("__words"),
+                      F.greatest(
+                          F.lit(1),
+                          F.size(F.regexp_extract_all(
+                              text, F.lit("[.!?]+"), F.lit(0))))
+                      .alias("sentences")))
+    syl = F.aggregate(
+        F.col("__words"), F.lit(0),
+        lambda acc, w: acc + F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"),
+                                        F.lit(0)))))
+    out = staged.select(F.col(id_col),
+                        F.size("__words").alias("words"),
+                        "sentences",
+                        syl.alias("syllables"))
+    w = F.col("words").cast("double")
+    s = F.col("sentences").cast("double")
+    y = F.col("syllables").cast("double")
+    ok = F.col("words") > 0
+    return out.select(
+        id_col, "words", "sentences", "syllables",
+        F.when(ok, F.lit(206.835) - F.lit(1.015) * (w / s)
+               - F.lit(84.6) * (y / w)).alias("flesch"),
+        F.when(ok, F.lit(0.39) * (w / s) + F.lit(11.8) * (y / w)
+               - F.lit(15.59)).alias("fk_grade"))
+
+
 def script_profile(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
                    round_digits: int | None = 6) -> DataFrame:

@@ -2877,6 +2877,52 @@ FROM s, e
 """
 
 
+def q_readability_docs(spark, sf_dir):
+    """Flesch / Flesch–Kincaid readability (datapipe/text_stats.py::
+    readability_scores): per-document surface counts (regex words,
+    sentence runs, per-word vowel-group syllables — the standard
+    deterministic heuristic) and the two classic scores. One narrow
+    JVM projection; the oracle replays the identical regexes and the
+    literal score arithmetic."""
+    from dask_ml_spark.datapipe.text_stats import readability_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = readability_scores(docs)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("doc_id", "words", "sentences", "syllables",
+                      r6(F.col("flesch")).alias("flesch"),
+                      r6(F.col("fk_grade")).alias("fk_grade"))
+
+
+def _sql_readability_docs() -> str:
+    return """
+WITH c AS (
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+')) AS words,
+           greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS sentences,
+           list_sum(list_transform(
+               regexp_extract_all(lower(text), '[a-z]+'),
+               w -> greatest(1, len(regexp_extract_all(w,
+                                                       '[aeiouy]+')))))
+               AS syl
+    FROM documents
+)
+SELECT doc_id, words::INTEGER AS words, sentences::INTEGER AS sentences,
+       coalesce(syl, 0)::INTEGER AS syllables,
+       floor(CASE WHEN words > 0
+                  THEN 206.835 - 1.015 * (words::DOUBLE
+                                          / sentences::DOUBLE)
+                       - 84.6 * (syl::DOUBLE / words::DOUBLE)
+             END * 1e6 + 0.5) / 1e6 AS flesch,
+       floor(CASE WHEN words > 0
+                  THEN 0.39 * (words::DOUBLE / sentences::DOUBLE)
+                       + 11.8 * (syl::DOUBLE / words::DOUBLE) - 15.59
+             END * 1e6 + 0.5) / 1e6 AS fk_grade
+FROM c
+"""
+
+
 def q_strip_markup(spark, sf_dir):
     """Markup stripping (text_stats.strip_markup): documents are
     wrapped in synthetic HTML (tags + script block + entities) inside
@@ -4162,6 +4208,7 @@ def build_catalog():
         "ppmi_topk": q_ppmi_topk,
         "collocations_logdice_topk": q_collocations_logdice_topk,
         "source_concentration": q_source_concentration,
+        "readability_docs": q_readability_docs,
         "vocab_coverage": q_vocab_coverage,
         "image_near_dup_pairs": q_image_near_dup_pairs,
         "image_dedup_keep_one": q_image_dedup_keep_one,
@@ -4432,6 +4479,7 @@ def build_catalog():
         "ppmi_topk": SQL_PPMI_TOPK,
         "collocations_logdice_topk": SQL_COLLOCATIONS_LOGDICE_TOPK,
         "source_concentration": _sql_source_concentration(),
+        "readability_docs": _sql_readability_docs(),
         "vocab_coverage": SQL_VOCAB_COVERAGE,
         "image_near_dup_pairs": _sql_image_near_dup_pairs(),
         "image_dedup_keep_one": _sql_image_dedup_keep_one(),

@@ -169,3 +169,30 @@ def test_count_vectorizer_small_vocab_stays_on_driver(corpus_df):
     cv = CountVectorizer().fit(corpus_df)  # default budget: 1M tokens
     assert cv.vocabulary_ is not None and len(cv.vocabulary_) == 9
     assert getattr(cv, "vocabulary_frame_", None) is None
+
+
+def test_readability_scores_hand_example(spark):
+    """Hand-counted example: 'The cat sat. It ran away!' — words 6,
+    sentences 2, syllables (the=1, cat=1, sat=1, it=1, ran=1,
+    away=2 [a, ay]) = 7; plus the zero-word NULL guard and the
+    sentence floor."""
+    from dask_ml_spark.datapipe.text_stats import readability_scores
+
+    df = spark.createDataFrame(
+        [("d1", "The cat sat. It ran away!"),
+         ("d2", "?!?"),          # no words: NULL scores
+         ("d3", "unpunctuated stream of words")],  # sentences floors to 1
+        "doc_id string, text string")
+    rows = {r["doc_id"]: r
+            for r in readability_scores(df).collect()}
+    r = rows["d1"]
+    assert (r["words"], r["sentences"], r["syllables"]) == (6, 2, 7)
+    w_s, y_w = 6 / 2.0, 7 / 6.0
+    assert abs(r["flesch"] - (206.835 - 1.015 * w_s - 84.6 * y_w)) \
+        < 1e-9
+    assert abs(r["fk_grade"] - (0.39 * w_s + 11.8 * y_w - 15.59)) \
+        < 1e-9
+    assert rows["d2"]["words"] == 0 and rows["d2"]["flesch"] is None
+    assert rows["d3"]["sentences"] == 1
+    # 4 words, syllables: un-pun-ctu... vowel groups: u,u,ua,e = 4? use engine consistency instead
+    assert rows["d3"]["words"] == 4 and rows["d3"]["syllables"] >= 4
