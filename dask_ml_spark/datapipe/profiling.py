@@ -300,18 +300,29 @@ def concentration_profile(df: DataFrame, group_col: str,
     (weight_col) accumulates on the exact integer grid when the
     weights are integral (char/token counts are), so every statistic
     is a deterministic function of exact sums — the SQL oracle
-    replays the ascending-total Σ i·xᵢ via a window cumsum.
-    Returns one row: (k, total, gini, hhi, entropy,
-    entropy_normalized, top1_share).
+    replays the ascending-total Σ i·xᵢ (and hence gini) on the exact
+    integers via a window cumsum. The hhi/entropy float sums run in
+    ascending-total order here and in engine-internal order in the
+    oracle — reassociating ≤max_groups O(1/G)-scale terms moves the
+    result by ulp·G ≪ the 1e-6 output grid (the anova
+    per-group-sums precedent). Returns one row: (k, total, gini,
+    hhi, entropy, entropy_normalized, top1_share).
     """
     g = F.col(group_col)
     kept = df.where(g.isNotNull())
     if weight_col is None:
         agg = F.count(F.lit(1)).alias("__w")
     else:
-        w = F.col(weight_col).cast("long")
-        kept = kept.where(w.isNotNull() & (w >= 0))
-        agg = F.sum(w).alias("__w")
+        # filter on the RAW value, then floor-to-long: a long cast
+        # truncates toward zero, so a negative-fractional or NaN
+        # weight would pass a post-cast w >= 0 filter here while the
+        # oracle's raw-column filter drops it (review-caught); floor
+        # matches the oracle's CAST(floor(w) AS BIGINT) exactly for
+        # the kept (>= 0) range
+        wraw = F.col(weight_col).cast("double")
+        kept = kept.where(wraw.isNotNull() & ~F.isnan(wraw)
+                          & (wraw >= 0))
+        agg = F.sum(F.floor(wraw).cast("long")).alias("__w")
     rows = (kept.groupBy(g.cast("string").alias("__g")).agg(agg)
             .limit(max_groups + 1).collect())
     if len(rows) > max_groups:

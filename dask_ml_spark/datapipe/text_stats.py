@@ -124,7 +124,11 @@ def readability_scores(df: DataFrame, text_col: str = "text",
     no UDF. Returns (id, words, sentences, syllables, flesch,
     fk_grade).
     """
-    text = F.col(text_col)
+    # NULL text counts as empty (0 words, 1 sentence floor, 0
+    # syllables, NULL scores) — the defined convention both engines
+    # share; without the coalesce the engine's NULL-array aggregate
+    # and the oracle's coalesced list_sum would diverge
+    text = F.coalesce(F.col(text_col), F.lit(""))
     # materialize the word array BEFORE the syllable HOF references it
     # (the embed_train shingles lesson: a HOF lambda re-evaluates an
     # embedded expression per element — the tokenizer would re-run

@@ -449,8 +449,12 @@ def wilcoxon_signed_rank(df: DataFrame, col_a: str, col_b: str,
     a = F.col(col_a).cast("double")
     b = F.col(col_b).cast("double")
     d = a - b
+    # ~isnan(d) matters even with non-NaN inputs: same-signed
+    # infinities give d = inf − inf = NaN, which passes (d != 0.0)
+    # and would corrupt the rank map (review-caught)
     kept = (df.where(a.isNotNull() & ~F.isnan(a)
-                     & b.isNotNull() & ~F.isnan(b) & (d != 0.0))
+                     & b.isNotNull() & ~F.isnan(b)
+                     & ~F.isnan(d) & (d != 0.0))
             .select(F.abs(d).alias("__v"),
                     (d > 0.0).cast("long").alias("__pos")))
     g = (kept.groupBy("__v")
@@ -510,8 +514,11 @@ def wilcoxon_signed_rank(df: DataFrame, col_a: str, col_b: str,
         n.isNull() | (n < 1),
         F.raise_error(F.lit("wilcoxon_signed_rank: no nonzero "
                             "complete-case differences")))
+    # n is guarded too: a .select("n") consumer prunes the other
+    # columns, and an unguarded n would return NULL silently instead
+    # of the loud error (the _nonempty_guard pruning rule)
     return agg.select(
-        n.cast("long").alias("n"),
+        F.coalesce(guard.cast("long"), n.cast("long")).alias("n"),
         F.coalesce(guard, w).alias("w_plus"),
         F.coalesce(guard, z).alias("z"),
         F.coalesce(guard, p).alias("p_value"))
@@ -576,6 +583,11 @@ def welch_ttest(df: DataFrame, value_col: str, group_col: str,
         # driver-side scalar swap, no plan change: the same single
         # aggregate row, with the exact t tail applied in Python
         row = agg.collect()[0]
+        if row["n1_d"] is None or not row["n1_d"] or not row["n2_d"]:
+            # behavior parity with the normal-tail _nonempty_guard
+            raise ValueError(
+                "welch_ttest: a group matched no rows — check the "
+                "group values (NULL groups are excluded)")
         fn1, fn2 = float(row["n1_d"]), float(row["n2_d"])
         if fn1 < 2.0 or fn2 < 2.0:
             raise ValueError("welch_ttest: each group needs >= 2 rows")
@@ -1945,6 +1957,15 @@ def jonckheere_terpstra(df: DataFrame, value_col: str, group_col: str,
                           vbucket.alias("__bb"))
              .agg(F.count(F.lit(1)).alias("__w"))
              .collect())
+    present = {int(r["__ba"]) for r in cells}
+    missing = [order[i] for i in range(len(order)) if i not in present]
+    if missing:
+        # silently testing fewer groups than `order` names would
+        # report a valid-looking k-group trend over a typo'd subset
+        # (the mann_whitney loud-error convention — review-caught)
+        raise ValueError(
+            f"jonckheere_terpstra: groups {missing} matched no rows — "
+            "check the order labels (NULL groups are excluded)")
     n, tau, z = _kendall_cell_stats(
         [(r["__ba"], r["__bb"], r["__w"]) for r in cells],
         max(bins, len(order)), "jonckheere_terpstra")
@@ -2011,10 +2032,13 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: str,
         raise ValueError("kruskal_wallis: all values identical — H is "
                          "undefined")
     # Σ R_g²/n_g with doubled ranks: R_g = R2_g/2 ⇒ R_g² = R2_g²/4.
-    # Group-sorted summation order, mirrored by the oracle (the float
-    # sum over ≤k group terms is the only order-sensitive op; at
-    # k ≤ thousands the drift is ~1e-10 of H — documented headroom to
-    # the 1e-6 grid)
+    # Each TERM is bit-identical cross-engine (exact-int → double →
+    # two divisions); the SUM over the ≤k terms is the one
+    # order-sensitive op — the engine sums in sorted-group order, the
+    # SQL oracle in engine-internal order. Reassociating ≤1024 terms
+    # moves H by ≲1e-8 (ulp-scale per term after the /4n(n+1)
+    # normalization) — documented headroom to the 1e-6 output grid,
+    # the anova per-group-sums precedent.
     s4 = 0.0
     for key in sorted(groups):
         ng, rg2 = groups[key]

@@ -2848,7 +2848,8 @@ WITH g AS (
     SELECT source::VARCHAR AS g,
            sum(CAST(floor(n_chars) AS BIGINT))::HUGEINT AS w
     FROM documents
-    WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0
+    WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      AND NOT isnan(n_chars::DOUBLE) AND n_chars >= 0
     GROUP BY 1
 ), o AS (
     -- ascending totals, ties by label (deterministic, value-neutral)
@@ -2897,12 +2898,16 @@ def q_readability_docs(spark, sf_dir):
 def _sql_readability_docs() -> str:
     return """
 WITH c AS (
+    -- NULL text counts as empty (the engine's coalesce convention)
     SELECT doc_id,
-           len(regexp_extract_all(lower(text), '[a-z]+')) AS words,
-           greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+           len(regexp_extract_all(lower(coalesce(text, '')),
+                                  '[a-z]+')) AS words,
+           greatest(1, len(regexp_extract_all(coalesce(text, ''),
+                                              '[.!?]+')))
                AS sentences,
            list_sum(list_transform(
-               regexp_extract_all(lower(text), '[a-z]+'),
+               regexp_extract_all(lower(coalesce(text, '')),
+                                  '[a-z]+'),
                w -> greatest(1, len(regexp_extract_all(w,
                                                        '[aeiouy]+')))))
                AS syl
@@ -9929,8 +9934,10 @@ WITH k AS (
            / sqrt((n * (n - 1) * (2 * n + 5) - vt - vu)::DOUBLE / 18.0
                   + st1::DOUBLE * su1::DOUBLE
                     / (2.0 * n * (n - 1.0))
-                  + st2::DOUBLE * su2::DOUBLE
-                    / (9.0 * n * (n - 1.0) * (n - 2.0))) AS z
+                  + CASE WHEN n > 2
+                         THEN st2::DOUBLE * su2::DOUBLE
+                              / (9.0 * n * (n - 1.0) * (n - 2.0))
+                         ELSE 0.0 END) AS z
     FROM cd, ta, tb, nn
 )
 SELECT n::BIGINT AS n,
@@ -10038,8 +10045,10 @@ WITH k AS (
            / sqrt((n * (n - 1) * (2 * n + 5) - vt - vu)::DOUBLE / 18.0
                   + st1::DOUBLE * su1::DOUBLE
                     / (2.0 * n * (n - 1.0))
-                  + st2::DOUBLE * su2::DOUBLE
-                    / (9.0 * n * (n - 1.0) * (n - 2.0))) AS z
+                  + CASE WHEN n > 2
+                         THEN st2::DOUBLE * su2::DOUBLE
+                              / (9.0 * n * (n - 1.0) * (n - 2.0))
+                         ELSE 0.0 END) AS z
     FROM cd, ta, tb, nn
 )
 SELECT n::BIGINT AS n, {kk}::BIGINT AS k,

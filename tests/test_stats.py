@@ -141,6 +141,13 @@ def test_wilcoxon_signed_rank_matches_replay(spark):
     row = wilcoxon_signed_rank(bal, "a", "b").collect()[0]
     assert row["n"] == 2 and abs(row["z"]) < 1e-12
     assert row["p_value"] > 0.9
+    # same-signed infinities give d = NaN — excluded, not rank-corrupt
+    # (review-caught)
+    inf = float("inf")
+    mixed = spark.createDataFrame(
+        [(inf, inf), (3.0, 1.0), (5.0, 2.0)], "a double, b double")
+    row = wilcoxon_signed_rank(mixed, "a", "b").collect()[0]
+    assert row["n"] == 2
 
 
 def test_mann_whitney_group_inference_guard(spark):
@@ -883,6 +890,10 @@ def test_jonckheere_matches_kendall_bruteforce(spark):
         jonckheere_terpstra(df, "v", "g", order=["lo", "lo", "hi"])
     with pytest.raises(ValueError, match=">= 2 ordered"):
         jonckheere_terpstra(df, "v", "g", order=["lo"])
+    # a typo'd order label must raise, not silently test fewer groups
+    # (review-caught)
+    with pytest.raises(ValueError, match="matched no rows"):
+        jonckheere_terpstra(df, "v", "g", order=["lo", "mid", "Hi"])
 
 
 def test_kruskal_wallis_matches_rank_replay(spark):
@@ -1039,6 +1050,11 @@ def test_welch_exact_tail(spark):
     assert ex["p_value"] > nrm["p_value"]  # fatter tails at dof ~ 12
     with pytest.raises(ValueError, match="tail"):
         welch_ttest(df, "v", "g", tail="bogus")
+    # empty groups: the exact tail raises the same clean error as the
+    # normal-tail guard, not a TypeError (review-caught)
+    with pytest.raises(ValueError, match="matched no rows"):
+        welch_ttest(df, "v", "g", groups=("nope", "alsono"),
+                    tail="exact")
     # pairwise: same pins per pair, BH family recomputed over exact p
     nrm_p = {(r["group_a"], r["group_b"]): r
              for r in pairwise_welch(df, "v", "g").collect()}
