@@ -441,14 +441,19 @@ def cov_drift(df: DataFrame, cols, ts_col: str, ref: dict,
 
     Scale shape: ONE groupBy(window(ts)) aggregation of the d(d−1)/2
     corr aggregates (bounded — d ≤ 30 by the fit), then a STATELESS
-    projection: the BH step-up runs inside the row via array HOFs
-    (sort the ≤435 valid p's, suffix-min each — q_ij =
-    min_{p_(k) ≥ p_ij} p_(k)·m/k, the tied-block-largest-rank
-    convention benjamini_hochberg uses), and the long per-pair format
-    comes from ONE posexplode of the assembled struct array. No
-    second aggregation, no join — append-mode streaming legal with a
-    watermark; identical code path on batch (what the SQL oracle
-    replays). Returns one row per (window, pair): (window_start, n,
+    projection: per-pair p's and the BH step-up run inside the row
+    via array HOFs over the pair arrays (sort the ≤435 valid p's,
+    suffix-min each — q_ij = min_{p_(k) ≥ p_ij} p_(k)·m/k, the
+    tied-block-largest-rank convention benjamini_hochberg uses; HOF
+    lambda bodies compile ONCE, where per-pair expression unrolling
+    blew the 64 KB whole-stage-codegen method limit at d≈12 —
+    measured), and the long per-pair format is ONE posexplode with
+    element_at lookups. No second aggregation, no join — append-mode
+    streaming legal with a watermark; identical code path on batch
+    (what the SQL oracle replays). Codegen holds through the d = 30
+    cap; note the d(d−1)/2 aggregate tree makes PLANNING (not data)
+    the cost at the cap — ~1 min one-time at d = 30, seconds at the
+    d ≤ 12 a drift screen typically watches. Returns one row per (window, pair): (window_start, n,
     col_a, col_b, corr, z, p_value, q_value, reject, max_abs_z,
     frob_delta, valid); pairs with n < 4 or degenerate r report NULL
     statistics and valid=false, excluded from the BH family and the
@@ -485,66 +490,83 @@ def cov_drift(df: DataFrame, cols, ts_col: str, ref: dict,
         zp.append(F.when(ok, (fisher - F.lit(z0[k])) * F.sqrt(n - 3.0))
                   .alias(f"__z{k}"))
     agg = agg.select("*", *zp)
-    agg = agg.select("*", *[
-        F.when(F.col(f"__z{k}").isNotNull(),
-               F.least(F.lit(1.0),
-                       2.0 * normal_sf_expr(F.abs(F.col(f"__z{k}")))))
-        .alias(f"__p{k}") for k in range(len(pairs))])
+    # per-pair p's via ONE transform over the z-array: the A&S normal
+    # tail is a large polynomial — unrolling it per pair is what blew
+    # the 64 KB whole-stage-codegen method limit (measured at d=12,
+    # interpreted fallback, 25× slower); a HOF lambda body compiles
+    # once regardless of the pair count
+    agg = agg.withColumn(
+        "__zsarr", F.array(*[F.col(f"__z{k}")
+                             for k in range(len(pairs))]))
+    agg = agg.withColumn("__psarr", F.transform(
+        F.col("__zsarr"),
+        lambda z: F.when(z.isNotNull(), F.least(
+            F.lit(1.0), 2.0 * normal_sf_expr(F.abs(z))))))
     # the window's BH family: sorted valid p's, in-row (array_sort
     # drops nothing; F.filter drops the invalid pairs' NULLs first)
     agg = agg.withColumn(
-        "__sp", F.array_sort(F.filter(
-            F.array(*[F.col(f"__p{k}") for k in range(len(pairs))]),
-            lambda x: x.isNotNull())))
+        "__sp", F.array_sort(F.filter(F.col("__psarr"),
+                                      lambda x: x.isNotNull())))
     msize = F.size("__sp")
     md = msize.cast("double")
+    # ALL q's in ONE transform over the p-array (same codegen
+    # argument). q = min over ranks k with p_(k) >= p of p_(k)·m/k —
+    # the suffix-min step-up; p itself is in __sp, so m >= 1 whenever
+    # p is non-null (sequence(1, m) is never the 0-length trap).
+    agg = agg.withColumn("__qs", F.transform(
+        F.col("__psarr"),
+        lambda p: F.when(p.isNotNull(), F.least(
+            F.lit(1.0), F.aggregate(
+                F.sequence(F.lit(1), msize), F.lit(float("inf")),
+                lambda acc, j: F.when(
+                    F.element_at(F.col("__sp"), j) >= p,
+                    F.least(acc, F.element_at(F.col("__sp"), j)
+                            * md / j.cast("double"))).otherwise(acc))))))
 
-    def q_of(p):
-        # q = min over ranks k with p_(k) >= p of p_(k)·m/k — the
-        # suffix-min step-up; p itself is in __sp, so m >= 1 whenever
-        # p is non-null (sequence(1, m) is never the 0-length trap)
-        return F.when(p.isNotNull(), F.least(F.lit(1.0), F.aggregate(
-            F.sequence(F.lit(1), msize), F.lit(float("inf")),
-            lambda acc, j: F.when(
-                F.element_at(F.col("__sp"), j) >= p,
-                F.least(acc, F.element_at(F.col("__sp"), j)
-                        * md / j.cast("double"))).otherwise(acc))))
-
-    # family scalars over the valid pairs (left-to-right addition in
-    # pair index order — the SQL oracle replays the same order)
-    frob = F.lit(0.0)
-    for k in range(len(pairs)):
-        frob = frob + F.when(F.col(f"__z{k}").isNotNull(),
-                             (F.col(f"__r{k}") - F.lit(ref["corr"][k]))
-                             * (F.col(f"__r{k}")
-                                - F.lit(ref["corr"][k]))).otherwise(0.0)
-    zabs = [F.abs(F.col(f"__z{k}")) for k in range(len(pairs))]
-    max_z = zabs[0] if len(zabs) == 1 else F.greatest(*zabs)
-    structs = []
-    for k, (i, j) in enumerate(pairs):
-        p = F.col(f"__p{k}")
-        q = q_of(p)
-        structs.append(F.struct(
-            F.lit(cols[i]).alias("col_a"), F.lit(cols[j]).alias("col_b"),
-            F.col(f"__r{k}").alias("corr"), F.col(f"__z{k}").alias("z"),
-            p.alias("p_value"), q.alias("q_value"),
-            F.when(q.isNotNull(), q <= F.lit(alpha)).alias("reject"),
-            F.col(f"__z{k}").isNotNull().alias("valid")))
+    # family scalars and the per-pair long format all run over the
+    # pair ARRAYS (one posexplode + element_at lookups against small
+    # literal arrays) — the per-pair struct unroll this replaces
+    # multiplied generated code by the pair count and re-blew the
+    # 64 KB codegen limit at large d. The frob aggregate adds in pair
+    # index order with a 0.0 seed — the exact left-to-right chain the
+    # engine documented and the SQL oracle replays.
+    agg = agg.withColumn(
+        "__rsarr", F.array(*[F.col(f"__r{k}")
+                             for k in range(len(pairs))]))
+    r0arr = F.array(*[F.lit(r) for r in ref["corr"]])
+    frob = F.aggregate(
+        F.sequence(F.lit(1), F.lit(len(pairs))), F.lit(0.0),
+        lambda acc, k: acc + F.when(
+            F.element_at(F.col("__zsarr"), k).isNotNull(),
+            (F.element_at(F.col("__rsarr"), k) - F.element_at(r0arr, k))
+            * (F.element_at(F.col("__rsarr"), k)
+               - F.element_at(r0arr, k))).otherwise(0.0))
+    max_z = F.array_max(F.transform(
+        F.filter(F.col("__zsarr"), lambda z: z.isNotNull()),
+        lambda z: F.abs(z)))
+    names_a = F.array(*[F.lit(cols[i]) for i, _ in pairs])
+    names_b = F.array(*[F.lit(cols[j]) for _, j in pairs])
     agg = (agg.withColumn("__maxz", max_z)
-           .withColumn("__frob",
-                       F.when(msize > 0, F.sqrt(frob)))
-           .withColumn("__pair", F.explode(F.array(*structs))))
+           .withColumn("__frob", F.when(msize > 0, F.sqrt(frob)))
+           .select("__w", "n", "__zsarr", "__psarr", "__qs",
+                   "__maxz", "__frob",
+                   F.posexplode("__rsarr").alias("__k", "__corr")))
+    idx = F.col("__k") + 1
+    z = F.element_at(F.col("__zsarr"), idx)
+    p = F.element_at(F.col("__psarr"), idx)
+    q = F.element_at(F.col("__qs"), idx)
     return _emit(agg,
-                 F.col("__pair.col_a").alias("col_a"),
-                 F.col("__pair.col_b").alias("col_b"),
-                 F.col("__pair.corr").alias("corr"),
-                 F.col("__pair.z").alias("z"),
-                 F.col("__pair.p_value").alias("p_value"),
-                 F.col("__pair.q_value").alias("q_value"),
-                 F.col("__pair.reject").alias("reject"),
+                 F.element_at(names_a, idx).alias("col_a"),
+                 F.element_at(names_b, idx).alias("col_b"),
+                 F.col("__corr").alias("corr"),
+                 z.alias("z"),
+                 p.alias("p_value"),
+                 q.alias("q_value"),
+                 F.when(q.isNotNull(), q <= F.lit(alpha))
+                 .alias("reject"),
                  F.col("__maxz").alias("max_abs_z"),
                  F.col("__frob").alias("frob_delta"),
-                 F.col("__pair.valid").alias("valid"))
+                 z.isNotNull().alias("valid"))
 
 
 def _probe_label(q: float) -> str:
