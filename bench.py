@@ -212,6 +212,11 @@ HEADLINE = [
     "source_concentration",           # Gini/HHI/entropy corpus audit
     "benford_price",                  # first-digit fabrication screen
     "readability_docs",               # Flesch/FK surface-count scores
+    "cohens_kappa_lang",              # chance-corrected label agreement
+    "mcnemar_quality_screens",        # paired-binary screen comparison
+    "cochrans_q_screens",             # k-screen binary Friedman
+    "mcc_return_rule",                # imbalance-honest 2x2 phi
+    "ece_event_probability",          # calibration error scalar
     "brown_forsythe_price",         # variance homogeneity (robust Levene)
     "changepoint_event_value",      # binned mean-shift drift monitor
     "trend_event_value",            # Mann-Kendall + Sen slope (binned)

@@ -14,6 +14,8 @@ exact in one pass.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -194,6 +196,220 @@ def calibration_curve(df: DataFrame, label_col: str = "label",
             F.count("*").alias("n"),
         )
     )
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str,
+                 max_cells: int = 10_000) -> DataFrame:
+    """Cohen's κ — chance-corrected agreement between two label
+    columns (rater vs rater, prediction vs gold, old pipeline vs new):
+    THE label-quality audit number, because raw accuracy flatters any
+    pair of raters that both over-predict the majority class.
+    κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement and
+    p_e = Σ_c row_c·col_c / n² the chance agreement from the
+    marginals. ONE groupBy(a, b) count is the only raw-row pass (the
+    chi2_independence contingency shape, bounded by max_cells); p_o
+    and p_e assemble from exact integer counts driver-side (Σ diag
+    and Σ row·col are exact bignums — the only float ops are the two
+    final divisions and the κ ratio, mirrored by the SQL oracle).
+    Rows with a NULL on either side are dropped (complete-case).
+    Returns one row: (n, k_classes, po, pe, kappa). Raises when both
+    columns are the same single constant (p_e = 1, κ undefined).
+    """
+    a = F.col(col_a).cast("string")
+    b = F.col(col_b).cast("string")
+    rows = (df.where(a.isNotNull() & b.isNotNull())
+            .groupBy(a.alias("__a"), b.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .limit(max_cells + 1).collect())
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"cohens_kappa: more than max_cells={max_cells} label "
+            "pairs — bucket the columns first")
+    if not rows:
+        raise ValueError("cohens_kappa: no complete-case rows")
+    n = sum(int(r["__n"]) for r in rows)
+    diag = sum(int(r["__n"]) for r in rows if r["__a"] == r["__b"])
+    row_t: dict = {}
+    col_t: dict = {}
+    for r in rows:
+        row_t[r["__a"]] = row_t.get(r["__a"], 0) + int(r["__n"])
+        col_t[r["__b"]] = col_t.get(r["__b"], 0) + int(r["__n"])
+    classes = sorted(set(row_t) | set(col_t))
+    pe_num = sum(row_t.get(c, 0) * col_t.get(c, 0) for c in classes)
+    po = diag / float(n)
+    pe = float(pe_num) / (float(n) * float(n))
+    if pe >= 1.0:
+        raise ValueError("cohens_kappa: both columns are the same "
+                         "constant — kappa is undefined (p_e = 1)")
+    kappa = (po - pe) / (1.0 - pe)
+    return df.sparkSession.createDataFrame(
+        [(int(n), len(classes), float(po), float(pe), float(kappa))],
+        "n long, k_classes long, po double, pe double, kappa double")
+
+
+def mcnemar_test(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — the model-eval
+    staple ("is classifier A actually better than classifier B on the
+    SAME examples?"), which an unpaired proportion z-test gets wrong
+    because the two error sets share the examples. Only the
+    DISCORDANT pairs carry signal: b = #(a ∧ ¬b), c = #(¬a ∧ b);
+    χ² = (|b − c| − 1)²/(b + c) (the standard continuity correction),
+    and because dof = 1 the tail is EXACT through the normal:
+    p = 2·Φ̄(√χ²) — no Wilson–Hilferty approximation, and the SQL
+    oracle replays the identical A&S tail. ONE aggregate of two
+    conditional counts. b + c = 0 (no disagreements) reports chi2 = 0,
+    p = 1 — the correct degenerate answer, not an error. Returns one
+    row: (n, b_discordant, c_discordant, chi2, p_value).
+    """
+    from dask_ml_spark.functions.stats import _normal_sf_py
+
+    a = F.col(col_a).cast("boolean")
+    b = F.col(col_b).cast("boolean")
+    row = (df.where(a.isNotNull() & b.isNotNull())
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum((a & ~b).cast("long")).alias("b"),
+                F.sum((~a & b).cast("long")).alias("c"))
+           .collect()[0])
+    if not row["n"]:
+        raise ValueError("mcnemar_test: no complete-case rows")
+    bb, cc = int(row["b"]), int(row["c"])
+    if bb + cc == 0:
+        chi2, p = 0.0, 1.0
+    else:
+        num = abs(bb - cc) - 1
+        num = max(num, 0)
+        chi2 = float(num * num) / float(bb + cc)
+        p = min(1.0, 2.0 * _normal_sf_py(math.sqrt(chi2)))
+    return df.sparkSession.createDataFrame(
+        [(int(row["n"]), bb, cc, float(chi2), float(p))],
+        "n long, b_discordant long, c_discordant long, chi2 double, "
+        "p_value double")
+
+
+def cochrans_q(df: DataFrame, value_cols) -> DataFrame:
+    """Cochran's Q — the k-treatment generalization of McNemar (and
+    the BINARY Friedman): do k binary screens/classifiers pass at the
+    same rate, accounting for the per-row pairing? (The corpus-audit
+    use: k quality filters over the same documents.)
+    Q = k(k−1)·Σ_j (T_j − ΣR/k)² / (k·ΣR − ΣR²) with T_j the column
+    totals and R_i the per-row pass counts — everything is ONE
+    aggregate (k conditional sums + Σrowsum + Σrowsum², all exact
+    integers; the only float ops are the final assembly, mirrored by
+    the SQL oracle); p from the χ²_{k−1} tail. Complete-case rows
+    only. Raises when every row is constant (all-pass/all-fail —
+    denominator zero, Q undefined). Returns one row:
+    (k, n, q_stat, dof, p_value).
+    """
+    from dask_ml_spark.functions.stats import chi2_sf
+
+    value_cols = list(value_cols)
+    k = len(value_cols)
+    if k < 2:
+        raise ValueError("cochrans_q needs >= 2 binary columns")
+    cs = [F.col(c).cast("boolean") for c in value_cols]
+    pred = cs[0].isNotNull()
+    for c in cs[1:]:
+        pred = pred & c.isNotNull()
+    rowsum = cs[0].cast("long")
+    for c in cs[1:]:
+        rowsum = rowsum + c.cast("long")
+    kept = df.where(pred).select(
+        *[c.cast("long").alias(f"__x{j}") for j, c in enumerate(cs)],
+        rowsum.alias("__r"))
+    row = kept.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"__x{j}").alias(f"__t{j}") for j in range(k)],
+        F.sum("__r").alias("__sr"),
+        F.sum(F.col("__r") * F.col("__r")).alias("__sr2")).collect()[0]
+    if not row["n"]:
+        raise ValueError("cochrans_q: no complete-case rows")
+    n = int(row["n"])
+    ts = [int(row[f"__t{j}"]) for j in range(k)]
+    sr, sr2 = int(row["__sr"]), int(row["__sr2"])
+    denom = k * sr - sr2
+    if denom <= 0:
+        raise ValueError("cochrans_q: every row is constant "
+                         "(all-pass or all-fail) — Q is undefined")
+    # numerator k(k−1)Σ(T_j − ΣR/k)² exactly: scale by k² →
+    # (k−1)·Σ(k·T_j − ΣR)² / k, still integral in the bignum sum
+    num = (k - 1) * sum((k * t - sr) * (k * t - sr) for t in ts)
+    q = float(num) / (float(k) * float(denom))
+    dof = k - 1
+    p = chi2_sf(q, dof)
+    return df.sparkSession.createDataFrame(
+        [(int(k), n, float(q), int(dof), float(p))],
+        "k long, n long, q_stat double, dof long, p_value double")
+
+
+def matthews_corrcoef(df: DataFrame, label_col: str = "label",
+                      prediction_col: str = "prediction",
+                      pos_label: float = 1.0) -> float:
+    """Matthews correlation coefficient for binary classification —
+    the single-number eval that stays honest under class imbalance
+    (accuracy and even F1 reward majority-class collapse; MCC is the
+    Pearson φ of the 2×2 table and is 0 for any constant predictor).
+    MCC = (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)); a zero
+    factor → 0.0 (the sklearn convention). ONE aggregate of four
+    conditional counts; the products stay exact in Python bignums.
+    """
+    y = F.col(label_col) == F.lit(pos_label)
+    p = F.col(prediction_col) == F.lit(pos_label)
+    row = df.agg(
+        F.sum((y & p).cast("long")).alias("tp"),
+        F.sum(((~y) & p).cast("long")).alias("fp"),
+        F.sum((y & (~p)).cast("long")).alias("fn"),
+        F.sum(((~y) & (~p)).cast("long")).alias("tn")).collect()[0]
+    tp, fp = int(row["tp"] or 0), int(row["fp"] or 0)
+    fn, tn = int(row["fn"] or 0), int(row["tn"] or 0)
+    denom = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    if denom == 0:
+        return 0.0
+    return float(tp * tn - fp * fn) / math.sqrt(float(denom))
+
+
+def expected_calibration_error(df: DataFrame, label_col: str = "label",
+                               prob_col: str = "probability",
+                               n_bins: int = 10) -> DataFrame:
+    """Expected / maximum calibration error — the scalar summary of
+    calibration_curve's reliability diagram (the modern
+    model-monitoring gate: a quality classifier whose 0.9 bucket is
+    right 60% of the time poisons every threshold downstream).
+    ECE = Σ_b (n_b/n)·|acc_b − conf_b|, MCE = max_b |acc_b − conf_b|,
+    over the same ≤n_bins equal-width probability buckets
+    calibration_curve uses — ONE groupBy(bin) aggregate, driver
+    assembly in bin order (≤n_bins float terms; integer counts and
+    fixed op order keep it engine-replayable). Returns one row:
+    (n, n_bins, ece, mce).
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    p = F.col(prob_col).cast("double")
+    b = F.least(F.lit(n_bins - 1),
+                F.floor(p * F.lit(n_bins))).cast("int")
+    rows = (df.where(p.isNotNull() & ~F.isnan(p)
+                     & (p >= 0.0) & (p <= 1.0)
+                     & F.col(label_col).isNotNull())
+            .groupBy(b.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.sum(p).alias("__sp"),
+                 F.sum((F.col(label_col) == 1).cast("long"))
+                 .alias("__pos"))
+            .collect())
+    if not rows:
+        raise ValueError("expected_calibration_error: no rows with "
+                         "probabilities in [0, 1]")
+    rows.sort(key=lambda r: r["__b"])
+    n = sum(int(r["__n"]) for r in rows)
+    ece = 0.0
+    mce = 0.0
+    for r in rows:
+        nb = float(r["__n"])
+        gap = abs(float(r["__pos"]) / nb - r["__sp"] / nb)
+        ece += (nb / n) * gap
+        mce = max(mce, gap)
+    return df.sparkSession.createDataFrame(
+        [(int(n), int(n_bins), float(ece), float(mce))],
+        "n long, n_bins long, ece double, mce double")
 
 
 def precision_score(df: DataFrame, label_col: str = "label",

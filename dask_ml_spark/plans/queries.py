@@ -2318,6 +2318,274 @@ SELECT doc_id, score_en, score_de, score_fr, score_es, {case} AS lang_pred FROM 
 """
 
 
+def q_cohens_kappa_lang(spark, sf_dir):
+    """Cohen's κ (functions/metrics.py::cohens_kappa — the
+    chance-corrected agreement audit): does the stopword-ratio
+    language guesser agree with the gold lang labels beyond chance?
+    Raw accuracy flatters any pair that over-predicts the majority
+    class; κ corrects by the marginal chance agreement. ONE
+    contingency aggregate + exact-integer driver assembly; the oracle
+    replays the lang_pred argmax CASE and the same integer
+    arithmetic."""
+    from dask_ml_spark.datapipe import text_stats as TS
+    from dask_ml_spark.functions.metrics import cohens_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = TS.language_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id")
+    out = cohens_kappa(pred, "lang", "lang_pred")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n", "k_classes",
+                      r6(F.col("po")).alias("po"),
+                      r6(F.col("pe")).alias("pe"),
+                      r6(F.col("kappa")).alias("kappa"))
+
+
+def _sql_cohens_kappa_lang() -> str:
+    from dask_ml_spark.datapipe import text_stats as TS
+
+    langs = sorted(TS.STOPWORDS)
+    scores = ", ".join(f"{_sql_lang_score(lg)} AS score_{lg}"
+                       for lg in langs)
+    conds = []
+    for lang in langs:
+        cmp = " AND ".join(
+            f"score_{lang} {'>' if other < lang else '>='} score_{other}"
+            for other in langs if other != lang)
+        conds.append(f"WHEN {cmp} THEN '{lang}'")
+    case = "CASE " + " ".join(conds) + f" ELSE '{langs[0]}' END"
+    return f"""
+WITH scored AS (
+    SELECT lang, {scores} FROM documents WHERE lang IS NOT NULL
+), pred AS (
+    SELECT lang AS a, {case} AS b FROM scored
+), c AS (
+    SELECT a, b, count(*)::HUGEINT AS n FROM pred GROUP BY a, b
+), s AS (
+    SELECT sum(n) AS n,
+           sum(CASE WHEN a = b THEN n ELSE 0::HUGEINT END) AS diag
+    FROM c
+), m AS (
+    SELECT cls, coalesce(ra, 0::HUGEINT) AS ra,
+           coalesce(cb, 0::HUGEINT) AS cb
+    FROM (SELECT a AS cls FROM c UNION SELECT b FROM c)
+    LEFT JOIN (SELECT a, sum(n) AS ra FROM c GROUP BY a) t1
+           ON t1.a = cls
+    LEFT JOIN (SELECT b, sum(n) AS cb FROM c GROUP BY b) t2
+           ON t2.b = cls
+), pe AS (
+    SELECT sum(ra * cb) AS pe_num, count(*)::BIGINT AS kc FROM m
+), k AS (
+    SELECT s.n, pe.kc,
+           diag::DOUBLE / s.n::DOUBLE AS po,
+           pe_num::DOUBLE / (s.n::DOUBLE * s.n::DOUBLE) AS pe
+    FROM s, pe
+)
+SELECT n::BIGINT AS n, kc AS k_classes,
+       floor(po * 1e6 + 0.5) / 1e6 AS po,
+       floor(pe * 1e6 + 0.5) / 1e6 AS pe,
+       floor((po - pe) / (1.0 - pe) * 1e6 + 0.5) / 1e6 AS kappa
+FROM k
+"""
+
+
+def q_mcnemar_quality_screens(spark, sf_dir):
+    """McNemar's paired-binary test (functions/metrics.py::
+    mcnemar_test — 'is screen A stricter than screen B on the SAME
+    documents?', which an unpaired proportion test gets wrong): a
+    char-length screen vs a token-count screen over the same corpus;
+    only the discordant documents carry signal. Exact dof-1 tail via
+    2·Φ̄(√χ²) — no Wilson–Hilferty, oracle-identical."""
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+    from dask_ml_spark.functions.metrics import mcnemar_test
+
+    docs = _t(spark, sf_dir, "documents")
+    screens = docs.select(
+        (F.length("text") >= 300).alias("pass_chars"),
+        (F.size(tokens_expr(F.col("text"))) >= 55).alias("pass_tokens"))
+    out = mcnemar_test(screens, "pass_chars", "pass_tokens")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n", "b_discordant", "c_discordant",
+                      r6(F.col("chi2")).alias("chi2"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_mcnemar_quality_screens() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    sf = _normal_sf_sql("sqrt(chi2)")
+    return f"""
+WITH s AS (
+    SELECT length(text) >= 300 AS a,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) >= 55
+               AS b
+    FROM documents
+), agg AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS bd,
+           sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS cd
+    FROM s
+), st AS (
+    SELECT n, bd, cd,
+           CASE WHEN bd + cd = 0 THEN 0.0
+                ELSE (greatest(abs(bd - cd) - 1, 0)
+                      * greatest(abs(bd - cd) - 1, 0))::DOUBLE
+                     / (bd + cd)::DOUBLE END AS chi2
+    FROM agg
+)
+SELECT n, bd AS b_discordant, cd AS c_discordant,
+       floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2,
+       floor((CASE WHEN bd + cd = 0 THEN 1.0
+                   ELSE least(1.0, 2.0 * {sf}) END) * 1e6 + 0.5) / 1e6
+           AS p_value
+FROM st
+"""
+
+
+def q_cochrans_q_screens(spark, sf_dir):
+    """Cochran's Q (functions/metrics.py::cochrans_q — the binary
+    Friedman): do three quality screens pass at the same rate over
+    the same documents, accounting for the per-document pairing? ONE
+    aggregate of exact integer sums (k column totals + Σrowsum +
+    Σrowsum²); χ²₂ tail replayed by the oracle's even-dof closed
+    form."""
+    from dask_ml_spark.datapipe.dedup import tokens_expr
+    from dask_ml_spark.functions.metrics import cochrans_q
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    screens = docs.select(
+        (F.length("text") >= 300).alias("s_chars"),
+        (F.size(toks) >= 55).alias("s_tokens"),
+        (F.size(F.array_distinct(toks)) >= 45).alias("s_distinct"))
+    out = cochrans_q(screens, ["s_chars", "s_tokens", "s_distinct"])
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("k", "n", r6(F.col("q_stat")).alias("q_stat"),
+                      "dof", r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_cochrans_q_screens() -> str:
+    from dask_ml_spark.functions.stats import _chi2_sf_sql
+
+    p = _chi2_sf_sql("q", 2)
+    return f"""
+WITH s AS (
+    SELECT CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS x0,
+           CASE WHEN len(regexp_extract_all(lower(text),
+                                            '{TOKEN_RE_SQL}')) >= 55
+                THEN 1 ELSE 0 END AS x1,
+           CASE WHEN len(list_distinct(regexp_extract_all(lower(text),
+                                            '{TOKEN_RE_SQL}'))) >= 45
+                THEN 1 ELSE 0 END AS x2
+    FROM documents
+), agg AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(x0)::HUGEINT AS t0, sum(x1)::HUGEINT AS t1,
+           sum(x2)::HUGEINT AS t2,
+           sum(x0 + x1 + x2)::HUGEINT AS sr,
+           sum((x0 + x1 + x2) * (x0 + x1 + x2))::HUGEINT AS sr2
+    FROM s
+), q AS (
+    SELECT n,
+           (2 * ((3 * t0 - sr) * (3 * t0 - sr)
+                 + (3 * t1 - sr) * (3 * t1 - sr)
+                 + (3 * t2 - sr) * (3 * t2 - sr)))::DOUBLE
+           / (3.0 * (3 * sr - sr2)::DOUBLE) AS q
+    FROM agg
+)
+SELECT 3::BIGINT AS k, n, floor(q * 1e6 + 0.5) / 1e6 AS q_stat,
+       2::BIGINT AS dof,
+       floor({p} * 1e6 + 0.5) / 1e6 AS p_value
+FROM q
+"""
+
+
+def q_mcc_return_rule(spark, sf_dir):
+    """Matthews correlation coefficient (functions/metrics.py::
+    matthews_corrcoef — the imbalance-honest single-number eval, the
+    Pearson φ of the 2×2 table): how well does a naive
+    discount-threshold rule predict returns? One aggregate of four
+    conditional counts, exact bignum products."""
+    from dask_ml_spark.functions.metrics import matthews_corrcoef
+
+    li = _t(spark, sf_dir, "lineitem")
+    labeled = li.select(
+        (F.col("l_returnflag") == "R").cast("double").alias("label"),
+        (F.col("l_discount") >= 0.05).cast("double").alias("prediction"))
+    mcc = matthews_corrcoef(labeled)
+    r6v = math.floor(mcc * 1e6 + 0.5) / 1e6
+    return spark.createDataFrame([(float(r6v),)], "mcc double")
+
+
+def _sql_mcc_return_rule() -> str:
+    return """
+WITH s AS (
+    SELECT (l_returnflag = 'R') AS y, (l_discount >= 0.05) AS p
+    FROM lineitem
+), agg AS (
+    SELECT sum(CASE WHEN y AND p THEN 1 ELSE 0 END)::HUGEINT AS tp,
+           sum(CASE WHEN NOT y AND p THEN 1 ELSE 0 END)::HUGEINT AS fp,
+           sum(CASE WHEN y AND NOT p THEN 1 ELSE 0 END)::HUGEINT AS fn,
+           sum(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END)::HUGEINT
+               AS tn
+    FROM s
+)
+SELECT floor((tp * tn - fp * fn)::DOUBLE
+             / sqrt(((tp + fp) * (tp + fn) * (tn + fp)
+                     * (tn + fn))::DOUBLE) * 1e6 + 0.5) / 1e6 AS mcc
+FROM agg
+"""
+
+
+def q_ece_event_probability(spark, sf_dir):
+    """Expected / maximum calibration error (functions/metrics.py::
+    expected_calibration_error — the reliability-diagram scalar the
+    calibration_curve points summarize): a synthetic probability
+    (clamped value/100) scored against the purchase indicator — the
+    gate a quality-classifier's probabilities must pass before its
+    thresholds mean anything. ONE ≤n_bins aggregate; driver assembly
+    in bin order replayed by the oracle."""
+    from dask_ml_spark.functions.metrics import expected_calibration_error
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        F.least(F.lit(0.99), F.greatest(
+            F.lit(0.01), F.col("value").cast("double") / 100.0))
+        .alias("probability"))
+    out = expected_calibration_error(scored, n_bins=10)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n", "n_bins", r6(F.col("ece")).alias("ece"),
+                      r6(F.col("mce")).alias("mce"))
+
+
+def _sql_ece_event_probability() -> str:
+    return """
+WITH s AS (
+    SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+           least(0.99, greatest(0.01, value::DOUBLE / 100.0)) AS p
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+), b AS (
+    SELECT CAST(least(9, floor(p * 10)) AS INTEGER) AS bin,
+           count(*)::BIGINT AS nb, sum(p) AS sp,
+           sum(y)::BIGINT AS pos
+    FROM s GROUP BY 1
+), n AS (
+    SELECT sum(nb) AS n FROM b
+), terms AS (
+    SELECT bin, nb, abs(pos::DOUBLE / nb::DOUBLE - sp / nb::DOUBLE)
+               AS gap
+    FROM b
+)
+SELECT (SELECT n FROM n)::BIGINT AS n, 10::BIGINT AS n_bins,
+       floor(sum((nb::DOUBLE / (SELECT n FROM n)::DOUBLE) * gap)
+             * 1e6 + 0.5) / 1e6 AS ece,
+       floor(max(gap) * 1e6 + 0.5) / 1e6 AS mce
+FROM terms
+"""
+
+
 def q_quality_scores(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = TS.quality_scores(docs)
@@ -4195,6 +4463,11 @@ def build_catalog():
         "dominant_part_suppliers": q_dominant_part_suppliers,
         "embedding_centroids": q_embedding_centroids,
         "language_id": q_language_id,
+        "cohens_kappa_lang": q_cohens_kappa_lang,
+        "mcnemar_quality_screens": q_mcnemar_quality_screens,
+        "cochrans_q_screens": q_cochrans_q_screens,
+        "mcc_return_rule": q_mcc_return_rule,
+        "ece_event_probability": q_ece_event_probability,
         "quality_scores": q_quality_scores,
         "document_fingerprint": q_document_fingerprint,
         "windowed_event_features": q_windowed_event_features,
@@ -4466,6 +4739,11 @@ def build_catalog():
         "dominant_part_suppliers": SQL_DOMINANT_PART_SUPPLIERS,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "language_id": sql_language_id(),
+        "cohens_kappa_lang": _sql_cohens_kappa_lang(),
+        "mcnemar_quality_screens": _sql_mcnemar_quality_screens(),
+        "cochrans_q_screens": _sql_cochrans_q_screens(),
+        "mcc_return_rule": _sql_mcc_return_rule(),
+        "ece_event_probability": _sql_ece_event_probability(),
         "quality_scores": sql_quality_scores(),
         "document_fingerprint": SQL_DOCUMENT_FINGERPRINT,
         "windowed_event_features": SQL_WINDOWED_EVENT_FEATURES,

@@ -285,3 +285,133 @@ def test_roc_auc_exact_scorer_variant(preds):
     assert exact == want
     assert abs(binned - exact) < 1e-2  # binning error bounded, not zero
     assert M.get_scorer("roc_auc_exact").needs_proba
+
+
+def test_cohens_kappa_matches_replay(spark):
+    """κ pinned against the standard contingency formula on data with
+    an injected 70% agreement rate; plus the perfect-agreement and
+    constant-columns edges."""
+    import numpy as np
+
+    from dask_ml_spark.functions.metrics import cohens_kappa
+
+    rng = np.random.RandomState(9)
+    a = rng.choice(["x", "y", "z"], 500, p=[0.5, 0.3, 0.2])
+    b = np.where(rng.rand(500) < 0.7, a,
+                 rng.choice(["x", "y", "z"], 500))
+    df = spark.createDataFrame(list(zip(a.tolist(), b.tolist())),
+                               "a string, b string")
+    got = cohens_kappa(df, "a", "b").collect()[0]
+    n = 500
+    po = float((a == b).mean())
+    pe = sum((a == c).sum() * (b == c).sum() for c in "xyz") / n / n
+    assert got["n"] == n and got["k_classes"] == 3
+    assert abs(got["po"] - po) < 1e-12
+    assert abs(got["pe"] - pe) < 1e-12
+    assert abs(got["kappa"] - (po - pe) / (1 - pe)) < 1e-12
+    assert 0.3 < got["kappa"] < 1.0  # real agreement, not chance
+    # perfect agreement: kappa = 1
+    same = spark.createDataFrame(
+        [("x", "x")] * 3 + [("y", "y")] * 2, "a string, b string")
+    assert abs(cohens_kappa(same, "a", "b").collect()[0]["kappa"]
+               - 1.0) < 1e-12
+    # both constant and equal: pe = 1, undefined
+    const = spark.createDataFrame([("x", "x")] * 5,
+                                  "a string, b string")
+    with pytest.raises(ValueError, match="undefined"):
+        cohens_kappa(const, "a", "b")
+
+
+def test_mcnemar_and_cochrans_q(spark):
+    """McNemar hand example (b=15, c=5 → χ² = 81/20, exact dof-1
+    normal tail); Cochran's Q vs the textbook formula; the k=2
+    Cochran reduces to the UNcorrected McNemar χ²."""
+    import math
+
+    import numpy as np
+
+    from dask_ml_spark.functions.metrics import cochrans_q, mcnemar_test
+    from dask_ml_spark.functions.stats import _normal_sf_py, chi2_sf
+
+    rows = ([(True, False)] * 15 + [(False, True)] * 5
+            + [(True, True)] * 30 + [(False, False)] * 50)
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    got = mcnemar_test(df, "a", "b").collect()[0]
+    assert (got["b_discordant"], got["c_discordant"]) == (15, 5)
+    assert abs(got["chi2"] - 81 / 20) < 1e-12
+    assert abs(got["p_value"]
+               - min(1.0, 2.0 * _normal_sf_py(math.sqrt(81 / 20)))) \
+        < 1e-12
+    # no disagreements: chi2 = 0, p = 1 (not an error)
+    agree = spark.createDataFrame([(True, True), (False, False)],
+                                  "a boolean, b boolean")
+    g2 = mcnemar_test(agree, "a", "b").collect()[0]
+    assert g2["chi2"] == 0.0 and g2["p_value"] == 1.0
+    # cochran vs the textbook formula
+    rng = np.random.RandomState(9)
+    X = (rng.rand(200, 3) < [0.5, 0.6, 0.7]).astype(int)
+    df3 = spark.createDataFrame(
+        [tuple(bool(v) for v in r) for r in X],
+        "c0 boolean, c1 boolean, c2 boolean")
+    q3 = cochrans_q(df3, ["c0", "c1", "c2"]).collect()[0]
+    k, T, R = 3, X.sum(0), X.sum(1)
+    q_ref = k * (k - 1) * ((T - R.sum() / k) ** 2).sum() \
+        / (k * R.sum() - (R ** 2).sum())
+    assert abs(q3["q_stat"] - q_ref) < 1e-9
+    assert abs(q3["p_value"] - chi2_sf(q_ref, 2)) < 1e-12
+    # k = 2 Cochran == UNcorrected McNemar chi-square (b-c)^2/(b+c)
+    df2 = spark.createDataFrame(rows, "a boolean, b boolean")
+    q2 = cochrans_q(df2, ["a", "b"]).collect()[0]
+    assert abs(q2["q_stat"] - (15 - 5) ** 2 / 20) < 1e-12
+    const = spark.createDataFrame([(True, True)] * 4,
+                                  "a boolean, b boolean")
+    with pytest.raises(ValueError, match="constant"):
+        cochrans_q(const, ["a", "b"])
+
+
+def test_mcc_and_ece(spark):
+    """MCC against the closed form (and the constant-predictor → 0
+    convention); ECE/MCE against a numpy bin replay on a deliberately
+    miscalibrated score."""
+    import math
+
+    import numpy as np
+
+    from dask_ml_spark.functions.metrics import (
+        expected_calibration_error, matthews_corrcoef)
+
+    rng = np.random.RandomState(9)
+    y = (rng.rand(400) < 0.3).astype(float)
+    p = np.where(rng.rand(400) < 0.8, y, 1 - y)
+    df = spark.createDataFrame(
+        list(zip(y.tolist(), p.tolist())),
+        "label double, prediction double")
+    got = matthews_corrcoef(df)
+    tp = int(((y == 1) & (p == 1)).sum())
+    fp = int(((y == 0) & (p == 1)).sum())
+    fn = int(((y == 1) & (p == 0)).sum())
+    tn = int(((y == 0) & (p == 0)).sum())
+    want = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    assert abs(got - want) < 1e-12 and got > 0.4
+    # constant predictor: a zero marginal -> 0.0 by convention
+    const = spark.createDataFrame(
+        [(1.0, 1.0), (0.0, 1.0)], "label double, prediction double")
+    assert matthews_corrcoef(const) == 0.0
+    # ECE replay
+    probs = rng.rand(1000)
+    labels = (rng.rand(1000) < probs ** 1.3).astype(int)
+    dfe = spark.createDataFrame(
+        list(zip(labels.tolist(), probs.tolist())),
+        "label long, probability double")
+    g = expected_calibration_error(dfe, n_bins=10).collect()[0]
+    bins = np.minimum(9, (probs * 10).astype(int))
+    ece = mce = 0.0
+    for bb in sorted(set(bins)):
+        m = bins == bb
+        gap = abs(labels[m].mean() - probs[m].mean())
+        ece += m.sum() / 1000 * gap
+        mce = max(mce, gap)
+    assert abs(g["ece"] - ece) < 1e-9
+    assert abs(g["mce"] - mce) < 1e-9
+    assert g["ece"] > 0.02  # the miscalibration is detected
