@@ -217,6 +217,7 @@ HEADLINE = [
     "cochrans_q_screens",             # k-screen binary Friedman
     "mcc_return_rule",                # imbalance-honest 2x2 phi
     "ece_event_probability",          # calibration error scalar
+    "seasonal_decompose_daily",       # trend + weekly seasonal + residual
     "brown_forsythe_price",         # variance homogeneity (robust Levene)
     "changepoint_event_value",      # binned mean-shift drift monitor
     "trend_event_value",            # Mann-Kendall + Sen slope (binned)

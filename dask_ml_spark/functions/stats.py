@@ -2142,6 +2142,123 @@ def friedman_test(df: DataFrame, value_col: str, block_col: str,
         "tie_correction double, p_value double")
 
 
+def seasonal_decompose(df: DataFrame, value_col: str, order_col: str,
+                       period: int, step: float = 1.0,
+                       max_buckets: int = 65536) -> DataFrame:
+    """Classical additive seasonal decomposition of the
+    bucket-aggregated series — the time-series family's "what is this
+    metric actually doing?" view (trend + seasonal + residual; the
+    residual is what changepoint/z-drift should be watching once a
+    known weekly cycle is removed). The autocorrelation shape: bucket
+    ``order_col`` by ``step`` (mean of ``value_col`` per bucket — the
+    only raw-row pass), then the decomposition runs driver-side over
+    the ≤max_buckets bucket series (bounded, loud error):
+
+    - trend: centered moving average over one period (odd period:
+      plain (2h+1)-window mean; even: the standard 2×MA split-end
+      weights ½,1,…,1,½ over period+1 points). A window touching a
+      MISSING grid bucket or the series edge reports NULL trend (and
+      NULL seasonal/resid) — gaps are surfaced, not interpolated
+      (use time_fill first if you want filling).
+    - seasonal: mean of (x − trend) per bucket-index-mod-period
+      position, centered to sum ~0 (subtract the position-mean mean);
+      positions anchor at the GRID (bucket index mod period), so the
+      phase is content-deterministic.
+    - resid = x − trend − seasonal.
+
+    Deterministic driver arithmetic (per-window sums accumulate in
+    index order); the SQL oracle replays the same windows/means with
+    the documented ulp-scale reassociation headroom. Returns
+    (bucket, n, x, trend, seasonal, resid) ordered by bucket —
+    missing grid buckets appear with n = 0 and NULL x.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    if not step > 0:
+        raise ValueError("step must be > 0")
+    o = F.col(order_col).cast("double")
+    v = F.col(value_col).cast("double")
+    rows = (df.where(o.isNotNull() & ~F.isnan(o)
+                     & v.isNotNull() & ~F.isnan(v))
+            .groupBy(F.floor(o / F.lit(step)).cast("long").alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.avg(v).alias("__x"))
+            .limit(max_buckets + 1).collect())
+    if len(rows) > max_buckets:
+        raise ValueError(
+            f"seasonal_decompose: more than max_buckets={max_buckets} "
+            "buckets — raise step")
+    if len(rows) < 2 * period:
+        raise ValueError("seasonal_decompose needs >= 2 full periods "
+                         "of buckets")
+    rows.sort(key=lambda r: r["__b"])
+    lo_b = rows[0]["__b"]
+    hi_b = rows[-1]["__b"]
+    series: dict = {int(r["__b"]): (int(r["__n"]), float(r["__x"]))
+                    for r in rows}
+    n_grid = int(hi_b - lo_b + 1)
+    if n_grid > max_buckets:
+        raise ValueError(
+            f"seasonal_decompose: the bucket GRID spans {n_grid} > "
+            f"max_buckets={max_buckets} slots — raise step")
+    xs = [series.get(lo_b + i, (0, None))[1] for i in range(n_grid)]
+    ns = [series.get(lo_b + i, (0, None))[0] for i in range(n_grid)]
+    half = period // 2
+    trend: list = [None] * n_grid
+    for i in range(n_grid):
+        if i - half < 0 or i + half >= n_grid:
+            continue
+        if period % 2 == 1:
+            win = xs[i - half:i + half + 1]
+            if any(x is None for x in win):
+                continue
+            s = 0.0
+            for x in win:
+                s += x
+            trend[i] = s / float(period)
+        else:
+            win = xs[i - half:i + half + 1]  # period+1 points
+            if any(x is None for x in win):
+                continue
+            s = 0.5 * win[0]
+            for x in win[1:-1]:
+                s += x
+            s += 0.5 * win[-1]
+            trend[i] = s / float(period)
+    pos_sum = [0.0] * period
+    pos_cnt = [0] * period
+    for i in range(n_grid):
+        if trend[i] is not None and xs[i] is not None:
+            p = (lo_b + i) % period
+            pos_sum[p] += xs[i] - trend[i]
+            pos_cnt[p] += 1
+    if not any(pos_cnt):
+        raise ValueError("seasonal_decompose: no complete trend "
+                         "windows — series too gappy")
+    pos_mean = [pos_sum[p] / pos_cnt[p] if pos_cnt[p] else None
+                for p in range(period)]
+    present = [m for m in pos_mean if m is not None]
+    center = 0.0
+    for m in present:
+        center += m
+    center /= float(len(present))
+    seasonal = [None if m is None else m - center for m in pos_mean]
+    out = []
+    for i in range(n_grid):
+        b = lo_b + i
+        s = seasonal[b % period]
+        t = trend[i]
+        x = xs[i]
+        resid = (x - t - s) if (x is not None and t is not None
+                               and s is not None) else None
+        # seasonal is periodic — report it wherever its position has
+        # a mean, even at edges where trend is NULL
+        out.append((int(b), int(ns[i]), x, t, s, resid))
+    return df.sparkSession.createDataFrame(
+        out, "bucket long, n long, x double, trend double, "
+        "seasonal double, resid double").orderBy("bucket")
+
+
 def benford_test(df: DataFrame, value_col: str,
                  grid: int = 2) -> DataFrame:
     """Benford first-significant-digit screen — the classic

@@ -4577,6 +4577,7 @@ def build_catalog():
         "quantile_drift_daily": q_quantile_drift_daily,
         "embedding_drift_labels": q_embedding_drift_labels,
         "acf_daily_value": q_acf_daily_value,
+        "seasonal_decompose_daily": q_seasonal_decompose_daily,
         "mutual_information_events": q_mutual_information_events,
         "feature_corr_matrix": q_feature_corr_matrix,
         "kaplan_meier_conversion": q_kaplan_meier_conversion,
@@ -4836,6 +4837,7 @@ def build_catalog():
         "quantile_drift_daily": _sql_quantile_drift_daily(),
         "embedding_drift_labels": _sql_embedding_drift_labels(),
         "acf_daily_value": _sql_acf_daily_value(),
+        "seasonal_decompose_daily": _sql_seasonal_decompose_daily(),
         "mutual_information_events": SQL_MUTUAL_INFORMATION_EVENTS,
         "feature_corr_matrix": SQL_FEATURE_CORR_MATRIX,
         "kaplan_meier_conversion": SQL_KAPLAN_MEIER_CONVERSION,
@@ -10595,6 +10597,73 @@ SELECT strftime(p.ws, '%Y-%m-%d') AS win, p.col_a, p.col_b, p.n,
 FROM p
 LEFT JOIN adj_d ON p.ws = adj_d.ws AND p.p = adj_d.p
 LEFT JOIN mz ON p.ws = mz.ws
+"""
+
+
+def q_seasonal_decompose_daily(spark, sf_dir):
+    """Classical additive seasonal decomposition (functions/stats.py::
+    seasonal_decompose — trend + weekly seasonal + residual of the
+    daily mean event value; the residual is what drift monitors
+    should watch once the known cycle is removed). One raw-row bucket
+    aggregate, then the decomposition over the ≤K bucket grid
+    driver-side: centered 7-day moving average (NULL at edges/gaps —
+    surfaced, not interpolated), grid-anchored position means,
+    centered seasonal. The oracle replays the windows and means over
+    the same dense grid."""
+    from dask_ml_spark.functions.stats import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    out = seasonal_decompose(ev, "value", "ts", period=7,
+                             step=86400.0)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("bucket", "n", r6(F.col("x")).alias("x"),
+                      r6(F.col("trend")).alias("trend"),
+                      r6(F.col("seasonal")).alias("seasonal"),
+                      r6(F.col("resid")).alias("resid"))
+
+
+def _sql_seasonal_decompose_daily() -> str:
+    return """
+WITH s AS (
+    SELECT CAST(floor(epoch(ts)::DOUBLE / 86400.0) AS BIGINT) AS b,
+           count(*)::BIGINT AS n, avg(value::DOUBLE) AS x
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+    GROUP BY 1
+), lim AS (
+    SELECT min(b) AS lo, max(b) AS hi FROM s
+), grid AS (
+    -- list-valued range() accepts expressions where the table
+    -- function does not
+    SELECT unnest(range(lo, hi + 1)) AS b FROM lim
+), d AS (
+    SELECT grid.b, coalesce(s.n, 0::BIGINT) AS n, s.x
+    FROM grid LEFT JOIN s USING (b)
+), tr AS (
+    -- full centered 7-window over the dense grid: edge-truncated or
+    -- gap-containing windows report NULL (the engine's contract)
+    SELECT b, n, x,
+           CASE WHEN count(*) OVER w = 7 AND count(x) OVER w = 7
+                THEN sum(x) OVER w / 7.0 END AS trend
+    FROM d
+    WINDOW w AS (ORDER BY b ROWS BETWEEN 3 PRECEDING
+                 AND 3 FOLLOWING)
+), pm AS (
+    SELECT b % 7 AS pos, avg(x - trend) AS m
+    FROM tr WHERE trend IS NOT NULL AND x IS NOT NULL
+    GROUP BY 1
+), ctr AS (
+    SELECT avg(m) AS c FROM pm
+), sea AS (
+    SELECT pos, m - (SELECT c FROM ctr) AS s FROM pm
+)
+SELECT tr.b AS bucket, tr.n,
+       floor(tr.x * 1e6 + 0.5) / 1e6 AS x,
+       floor(tr.trend * 1e6 + 0.5) / 1e6 AS trend,
+       floor(sea.s * 1e6 + 0.5) / 1e6 AS seasonal,
+       floor((tr.x - tr.trend - sea.s) * 1e6 + 0.5) / 1e6 AS resid
+FROM tr LEFT JOIN sea ON tr.b % 7 = sea.pos
+ORDER BY bucket
 """
 
 

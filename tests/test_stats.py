@@ -1380,3 +1380,51 @@ def test_benford_screen(spark):
     with pytest.raises(ValueError, match="grid"):
         benford_test(spark.createDataFrame([(0.0001,)], "v double"),
                      "v", grid=2)
+
+
+def test_seasonal_decompose_recovers_components(spark):
+    """On trend(0.5/day) + weekly pattern + noise: the centered MA
+    recovers the slope, the position means recover the centered
+    pattern, x = trend + seasonal + resid holds exactly, edges and a
+    punched gap report NULL trend."""
+    from dask_ml_spark.functions.stats import seasonal_decompose
+
+    rng = np.random.RandomState(4)
+    pat = [3, 1, -2, -1, 0, 2, -3]
+    rows = []
+    for d in range(56):
+        if d == 30:
+            continue  # punch a one-day hole in the grid
+        base = 10 + 0.5 * d + pat[d % 7]
+        for k in range(20):
+            rows.append((float(d * 86400 + k * 1000),
+                         float(base + rng.normal(0, 0.3))))
+    df = spark.createDataFrame(rows, "ts double, v double")
+    out = {r["bucket"]: r
+           for r in seasonal_decompose(df, "v", "ts", period=7,
+                                       step=86400.0).collect()}
+    assert len(out) == 56  # dense grid incl. the hole
+    assert out[30]["n"] == 0 and out[30]["x"] is None
+    # edges and every window touching the hole: NULL trend
+    for b in (0, 1, 2, 53, 54, 55, 28, 29, 30, 31, 32, 33):
+        assert out[b]["trend"] is None, b
+    assert out[10]["trend"] is not None
+    # slope of the interior trend ~ 0.5/day
+    slope = (out[25]["trend"] - out[10]["trend"]) / 15
+    assert abs(slope - 0.5) < 0.05
+    # seasonal ~ the centered pattern, periodic across the grid
+    cpat = [p - sum(pat) / 7 for p in pat]
+    for pos in range(7):
+        assert abs(out[pos + 7]["seasonal"] - cpat[pos]) < 0.35, pos
+        assert out[pos + 7]["seasonal"] == out[pos + 14]["seasonal"]
+    # identity where defined
+    for r in out.values():
+        if r["resid"] is not None:
+            assert abs(r["x"] - r["trend"] - r["seasonal"]
+                       - r["resid"]) < 1e-12
+    with pytest.raises(ValueError, match="period"):
+        seasonal_decompose(df, "v", "ts", period=1)
+    short = spark.createDataFrame([(0.0, 1.0), (86400.0, 2.0)],
+                                  "ts double, v double")
+    with pytest.raises(ValueError, match="2 full periods"):
+        seasonal_decompose(short, "v", "ts", period=7, step=86400.0)
