@@ -218,6 +218,8 @@ HEADLINE = [
     "mcc_return_rule",                # imbalance-honest 2x2 phi
     "ece_event_probability",          # calibration error scalar
     "seasonal_decompose_daily",       # trend + weekly seasonal + residual
+    "partial_corr_price_quantity",    # confounder-controlled Pearson
+    "hl_shift_price",                 # robust pair-median location shift
     "brown_forsythe_price",         # variance homogeneity (robust Levene)
     "changepoint_event_value",      # binned mean-shift drift monitor
     "trend_event_value",            # Mann-Kendall + Sen slope (binned)

@@ -2142,6 +2142,182 @@ def friedman_test(df: DataFrame, value_col: str, block_col: str,
         "tie_correction double, p_value double")
 
 
+def hodges_lehmann_shift(df: DataFrame, value_col: str,
+                         group_col: str, groups=None,
+                         bins: int = 512,
+                         clip=None,
+                         accuracy: int = 10_000) -> DataFrame:
+    """Hodges–Lehmann two-sample location shift — the ROBUST effect
+    size that completes the Mann–Whitney story (mann_whitney_u says
+    whether the groups differ and rank_biserial how strongly; Δ̂ =
+    median over all n1·n2 cross-pair differences says BY HOW MUCH, in
+    the value's own units, immune to the outliers that drag a mean
+    difference). Exact Δ̂ is a quadratic pair scan; binned: both
+    groups bucket onto ONE shared equal-width grid (one min/max pass
+    + ONE groupBy(bucket, group) count, ≤2K rows), then the
+    cross-difference distribution comes from an O(K²) exact-integer
+    convolution driver-side — diff index d carries weight
+    Σ_i c₁[i]·c₂[i−d] — and Δ̂ is the weighted LOWER MEDIAN diff
+    index × bucket width (nearest-rank selection, the bootstrap_ci
+    convention: integer rank arithmetic an oracle replays exactly;
+    resolution O(range/K), the family's standard price). Returns one
+    row: (n1, n2, shift).
+
+    HEAVY-TAIL CAVEAT: the default grid spans min..max, so a single
+    extreme outlier dilates the bucket width and destroys the
+    resolution (the equal-width family's known failure mode — ironic
+    for a robust estimator, so it is surfaced here). Pass
+    ``clip=(0.005, 0.995)`` (any quantile pair) to anchor the grid on
+    the central mass instead: lo/hi come from percentile_approx (the
+    bounded GK sketch) and values OUTSIDE clamp into the edge
+    buckets — they still carry their full weight in the pair-median,
+    so Δ̂ is unaffected unless the clipped mass itself straddles the
+    median. ``accuracy`` is the GK knob.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if bins > 1024:
+        raise ValueError("bins > 1024 — the ≤K² convolution driver "
+                         "state stops being bounded")
+    v = F.col(value_col).cast("double")
+    if groups is None:
+        # the welch/mann_whitney group-inference convention
+        _, g1, g2 = _two_group_counts(df, value_col, group_col, None)
+    else:
+        g1, g2 = groups
+    kept = (df.where(v.isNotNull() & ~F.isnan(v)
+                     & F.col(group_col).isin([g1, g2]))
+            .select(v.alias("__v"),
+                    (F.col(group_col) == g1).alias("__is1")))
+    if clip is None:
+        lim = kept.agg(F.min("__v").alias("lo"),
+                       F.max("__v").alias("hi")).collect()[0]
+    else:
+        p_lo, p_hi = clip
+        if not 0.0 <= p_lo < p_hi <= 1.0:
+            raise ValueError("clip must be (p_lo, p_hi) with "
+                             "0 <= p_lo < p_hi <= 1")
+        lim = kept.agg(
+            F.percentile_approx("__v", p_lo, accuracy).alias("lo"),
+            F.percentile_approx("__v", p_hi, accuracy).alias("hi")
+        ).collect()[0]
+    if lim["lo"] is None:
+        raise ValueError("hodges_lehmann_shift: no complete-case rows")
+    lo, hi = float(lim["lo"]), float(lim["hi"])
+    width = (hi - lo) or 1.0
+    unit = width / bins
+    b = F.greatest(F.lit(0), F.least(
+        F.lit(bins - 1),
+        F.floor((F.col("__v") - F.lit(lo)) / F.lit(width)
+                * F.lit(bins)).cast("int")))
+    cells = (kept.groupBy(b.alias("__b"), F.col("__is1"))
+             .agg(F.count(F.lit(1)).alias("__c")).collect())
+    c1 = {}
+    c2 = {}
+    for r in cells:
+        (c1 if r["__is1"] else c2)[int(r["__b"])] = int(r["__c"])
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    if not n1 or not n2:
+        raise ValueError(
+            "hodges_lehmann_shift: a group matched no rows — check "
+            "the group values (NULL groups are excluded)")
+    # exact integer convolution over diff index d = i - j
+    conv: dict = {}
+    for i, a in c1.items():
+        for j, bcount in c2.items():
+            d = i - j
+            conv[d] = conv.get(d, 0) + a * bcount
+    total = n1 * n2
+    target = (total + 1) // 2  # lower median, nearest-rank
+    cum = 0
+    d_med = None
+    for d in sorted(conv):
+        cum += conv[d]
+        if cum >= target:
+            d_med = d
+            break
+    shift = d_med * unit
+    return df.sparkSession.createDataFrame(
+        [(int(n1), int(n2), float(shift))],
+        "n1 long, n2 long, shift double")
+
+
+def partial_correlation(df: DataFrame, col_a: str, col_b: str,
+                        controls, tail: str = "exact") -> DataFrame:
+    """Partial Pearson correlation of (a, b) CONTROLLING for g other
+    columns — the confounder killer ("price correlates with quantity…
+    or do both just follow order size?"): r_ab·C from the precision
+    (inverse correlation) matrix, ρ = −P_ab/√(P_aa·P_bb), which
+    reduces to the textbook (r_ab − r_ac·r_bc)/√((1−r_ac²)(1−r_bc²))
+    for one control. ONE aggregate of the (g+2)(g+1)/2 pairwise
+    Pearson correlations over complete-case rows (the cov_drift /
+    corr_matrix single-scan shape, g + 2 ≤ 30), then a driver-side
+    numpy inverse of the bounded matrix. The two-sided p uses the
+    EXACT Student-t tail (t_sf, in-tree) with dof = n − 2 − g by
+    default; ``tail="normal"`` swaps the large-dof normal limit (what
+    the SQL oracle replays — at corpus dof the two agree far below
+    any decision threshold, the welch convention). Loud errors on a
+    singular correlation matrix (collinear controls) or |ρ| = 1.
+    Returns one row: (n, g_controls, r, t_stat, dof, p_value).
+    """
+    import numpy as np
+
+    if tail not in ("exact", "normal"):
+        raise ValueError("tail must be 'exact' or 'normal'")
+    controls = list(controls)
+    cols = [col_a, col_b] + controls
+    if len(set(cols)) != len(cols):
+        raise ValueError("partial_correlation: duplicate columns")
+    if len(cols) > 30:
+        raise ValueError("partial_correlation: more than 28 controls "
+                         "— fit a model instead")
+    g = len(controls)
+    cs = [F.col(c).cast("double") for c in cols]
+    pred = cs[0].isNotNull() & ~F.isnan(cs[0])
+    for c in cs[1:]:
+        pred = pred & c.isNotNull() & ~F.isnan(c)
+    pairs = [(i, j) for i in range(len(cols))
+             for j in range(i + 1, len(cols))]
+    row = (df.where(pred)
+           .agg(F.count(F.lit(1)).alias("n"),
+                *[F.corr(cs[i], cs[j]).alias(f"r{i}_{j}")
+                  for i, j in pairs]).collect()[0])
+    n = int(row["n"] or 0)
+    if n < g + 4:
+        raise ValueError("partial_correlation needs >= g + 4 "
+                         "complete-case rows")
+    k = len(cols)
+    R = np.eye(k)
+    for i, j in pairs:
+        r = row[f"r{i}_{j}"]
+        if r is None:
+            raise ValueError(
+                f"partial_correlation: corr({cols[i]}, {cols[j]}) is "
+                "undefined — a constant column")
+        R[i, j] = R[j, i] = float(r)
+    try:
+        P = np.linalg.inv(R)
+    except np.linalg.LinAlgError:
+        raise ValueError("partial_correlation: singular correlation "
+                         "matrix — collinear controls")
+    if abs(P[0, 0]) < 1e-12 or abs(P[1, 1]) < 1e-12 or \
+            not np.isfinite(P).all():
+        raise ValueError("partial_correlation: near-singular "
+                         "correlation matrix — collinear controls")
+    r_p = float(-P[0, 1] / math.sqrt(P[0, 0] * P[1, 1]))
+    dof = n - 2 - g
+    if abs(r_p) >= 1.0:
+        raise ValueError("partial_correlation: |r| = 1 after "
+                         "partialling — exact collinearity")
+    t = r_p * math.sqrt(dof / (1.0 - r_p * r_p))
+    p = min(1.0, 2.0 * (t_sf(abs(t), float(dof)) if tail == "exact"
+                        else _normal_sf_py(abs(t))))
+    return df.sparkSession.createDataFrame(
+        [(n, g, float(r_p), float(t), int(dof), float(p))],
+        "n long, g_controls long, r double, t_stat double, dof long, "
+        "p_value double")
+
+
 def seasonal_decompose(df: DataFrame, value_col: str, order_col: str,
                        period: int, step: float = 1.0,
                        max_buckets: int = 65536) -> DataFrame:

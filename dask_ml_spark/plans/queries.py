@@ -4545,6 +4545,7 @@ def build_catalog():
         "ks_price_test": q_ks_price_test,
         "ks_price_test_binned": q_ks_price_test_binned,
         "mann_whitney_discount": q_mann_whitney_discount,
+        "hl_shift_price": q_hl_shift_price,
         "wilcoxon_user_value": q_wilcoxon_user_value,
         "friedman_user_event_value": q_friedman_user_event_value,
         "benford_price": q_benford_price,
@@ -4578,6 +4579,7 @@ def build_catalog():
         "embedding_drift_labels": q_embedding_drift_labels,
         "acf_daily_value": q_acf_daily_value,
         "seasonal_decompose_daily": q_seasonal_decompose_daily,
+        "partial_corr_price_quantity": q_partial_corr_price_quantity,
         "mutual_information_events": q_mutual_information_events,
         "feature_corr_matrix": q_feature_corr_matrix,
         "kaplan_meier_conversion": q_kaplan_meier_conversion,
@@ -4807,6 +4809,7 @@ def build_catalog():
         "ks_price_test": _sql_ks_price_test(),
         "ks_price_test_binned": _sql_ks_price_test_binned(),
         "mann_whitney_discount": _sql_mann_whitney_discount(),
+        "hl_shift_price": _sql_hl_shift_price(),
         "wilcoxon_user_value": _sql_wilcoxon_user_value(),
         "friedman_user_event_value": _sql_friedman_user_event_value(),
         "benford_price": _sql_benford_price(),
@@ -4838,6 +4841,8 @@ def build_catalog():
         "embedding_drift_labels": _sql_embedding_drift_labels(),
         "acf_daily_value": _sql_acf_daily_value(),
         "seasonal_decompose_daily": _sql_seasonal_decompose_daily(),
+        "partial_corr_price_quantity":
+            _sql_partial_corr_price_quantity(),
         "mutual_information_events": SQL_MUTUAL_INFORMATION_EVENTS,
         "feature_corr_matrix": SQL_FEATURE_CORR_MATRIX,
         "kaplan_meier_conversion": SQL_KAPLAN_MEIER_CONVERSION,
@@ -8669,6 +8674,71 @@ FROM q
 """
 
 
+HL_BINS = 512
+
+
+def q_hl_shift_price(spark, sf_dir):
+    """Hodges–Lehmann location shift (functions/stats.py::
+    hodges_lehmann_shift — the robust BY-HOW-MUCH companion of
+    mann_whitney's p and rank_biserial): median over all cross-pair
+    price differences, returned vs non-returned items, via the binned
+    O(K²) exact-integer convolution (one shared-grid bucket aggregate;
+    nearest-rank lower-median selection the oracle replays in
+    HUGEINT)."""
+    from dask_ml_spark.functions.stats import hodges_lehmann_shift
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = hodges_lehmann_shift(li, "l_extendedprice", "l_returnflag",
+                               groups=("N", "R"), bins=HL_BINS)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n1", "n2", r6(F.col("shift")).alias("shift"))
+
+
+def _sql_hl_shift_price() -> str:
+    K = HL_BINS
+    return f"""
+WITH k AS (
+    SELECT l_extendedprice::DOUBLE AS v,
+           (l_returnflag = 'N') AS is1
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+      AND l_returnflag IN ('N', 'R')
+), lim AS (
+    SELECT min(v) AS lo, max(v) AS hi FROM k
+), w AS (
+    SELECT lo, CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END AS width
+    FROM lim
+), cells AS (
+    SELECT greatest(0, least({K - 1},
+               CAST(floor((v - (SELECT lo FROM w))
+                          / (SELECT width FROM w) * {K}) AS INTEGER)))
+               AS b,
+           is1, count(*)::HUGEINT AS c
+    FROM k GROUP BY 1, 2
+), c1 AS (SELECT b, c FROM cells WHERE is1),
+c2 AS (SELECT b, c FROM cells WHERE NOT is1),
+nn AS (
+    SELECT (SELECT sum(c) FROM c1) AS n1,
+           (SELECT sum(c) FROM c2) AS n2
+), conv AS (
+    SELECT c1.b - c2.b AS d, sum(c1.c * c2.c) AS cw
+    FROM c1 CROSS JOIN c2 GROUP BY 1
+), cum AS (
+    SELECT d, sum(cw) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+               AS cum
+    FROM conv
+), med AS (
+    SELECT min(d) AS d_med FROM cum
+    WHERE cum >= ((SELECT n1 FROM nn) * (SELECT n2 FROM nn) + 1) // 2
+)
+SELECT (SELECT n1 FROM nn)::BIGINT AS n1,
+       (SELECT n2 FROM nn)::BIGINT AS n2,
+       floor(d_med * ((SELECT width FROM w) / {K}) * 1e6 + 0.5) / 1e6
+           AS shift
+FROM med
+"""
+
+
 def q_chi2_independence_flags(spark, sf_dir):
     """Pearson chi-square independence test (functions/stats.py::
     chi2_independence): is return flag independent of line status? One
@@ -10472,6 +10542,62 @@ FROM z
 
 
 COV_COLS = ["l_extendedprice", "l_quantity", "l_discount", "l_tax"]
+
+
+def q_partial_corr_price_quantity(spark, sf_dir):
+    """Partial Pearson correlation (functions/stats.py::
+    partial_correlation — the confounder screen): price vs quantity
+    CONTROLLING for discount, ρ = −P_ab/√(P_aa·P_bb) from the inverse
+    of the 3×3 correlation matrix built in ONE co-moment aggregate.
+    tail='normal' here (dof ≈ n — the documented corpus convention
+    the SQL replays; the library default is the exact t tail). The
+    oracle replays the one-control closed form
+    (r_ab − r_ac·r_bc)/√((1−r_ac²)(1−r_bc²)), which the matrix
+    inverse equals algebraically."""
+    from dask_ml_spark.functions.stats import partial_correlation
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = partial_correlation(li, "l_extendedprice", "l_quantity",
+                              ["l_discount"], tail="normal")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n", "g_controls", r6(F.col("r")).alias("r"),
+                      r6(F.col("t_stat") / 100.0).alias("t_stat_c"),
+                      "dof", r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_partial_corr_price_quantity() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    sf = _normal_sf_sql("abs(t)")
+    return f"""
+WITH k AS (
+    SELECT l_extendedprice::DOUBLE AS a, l_quantity::DOUBLE AS b,
+           l_discount::DOUBLE AS c
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+      AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+      AND l_discount IS NOT NULL AND NOT isnan(l_discount)
+), m AS (
+    SELECT count(*)::BIGINT AS n, corr(a, b) AS rab,
+           corr(a, c) AS rac, corr(b, c) AS rbc
+    FROM k
+), p AS (
+    SELECT n,
+           (rab - rac * rbc)
+           / sqrt((1.0 - rac * rac) * (1.0 - rbc * rbc)) AS r
+    FROM m
+), t AS (
+    SELECT n, r, (n - 3) AS dof,
+           r * sqrt((n - 3) / (1.0 - r * r)) AS t
+    FROM p
+)
+SELECT n, 1::BIGINT AS g_controls,
+       floor(r * 1e6 + 0.5) / 1e6 AS r,
+       floor(t / 100.0 * 1e6 + 0.5) / 1e6 AS t_stat_c,
+       dof::BIGINT AS dof,
+       floor(least(1.0, 2.0 * {sf}) * 1e6 + 0.5) / 1e6 AS p_value
+FROM t
+"""
 
 
 def q_covdrift_monthly(spark, sf_dir):

@@ -1428,3 +1428,85 @@ def test_seasonal_decompose_recovers_components(spark):
                                   "ts double, v double")
     with pytest.raises(ValueError, match="2 full periods"):
         seasonal_decompose(short, "v", "ts", period=7, step=86400.0)
+
+
+def test_hodges_lehmann_shift(spark):
+    """Binned HL shift vs the O(n1·n2) brute-force lower-median on
+    integer data (each value owns a bucket); the clip mode keeps the
+    estimate on the central mass when outliers dilate the range (the
+    exact with-outlier lower median is 7.0 — the clipped engine lands
+    within a bucket of it, while the unclipped grid collapses)."""
+    from dask_ml_spark.functions.stats import hodges_lehmann_shift
+
+    rng = np.random.RandomState(15)
+    a = rng.randint(0, 40, 300).astype(float)
+    b = (rng.randint(0, 40, 200) - 7).astype(float)
+    rows = [("g1", float(x)) for x in a] + [("g2", float(y))
+                                            for y in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = hodges_lehmann_shift(df, "v", "g", groups=("g1", "g2"),
+                               bins=1024).collect()[0]
+    diffs = (a[:, None] - b[None, :]).ravel()
+    diffs.sort()
+    t = diffs.size
+    exact = diffs[(t + 1) // 2 - 1]
+    span = max(a.max(), b.max()) - min(a.min(), b.min())
+    assert (got["n1"], got["n2"]) == (300, 200)
+    assert abs(got["shift"] - exact) <= span / 1024 * 2 + 1e-9
+    # outliers: exact lower median moves to 7.0 (the outlier pairs
+    # shift the ranks); the clipped engine tracks it within a bucket
+    rows2 = rows + [("g2", 1e6)] * 3
+    df2 = spark.createDataFrame(rows2, "g string, v double")
+    got2 = hodges_lehmann_shift(df2, "v", "g", groups=("g1", "g2"),
+                                bins=1024,
+                                clip=(0.01, 0.99)).collect()[0]
+    b2 = np.concatenate([b, [1e6] * 3])
+    d2 = (a[:, None] - b2[None, :]).ravel()
+    d2.sort()
+    exact2 = d2[(d2.size + 1) // 2 - 1]
+    assert abs(got2["shift"] - exact2) < 0.1
+    with pytest.raises(ValueError, match="clip"):
+        hodges_lehmann_shift(df, "v", "g", groups=("g1", "g2"),
+                             clip=(0.9, 0.1))
+    with pytest.raises(ValueError, match="matched no rows"):
+        hodges_lehmann_shift(df, "v", "g", groups=("g1", "nope"))
+
+
+def test_partial_correlation_matches_residual_replay(spark):
+    """Partial r pinned against the definition (correlate the
+    least-squares residuals after regressing out the controls): a
+    pair related ONLY through two confounders has marginal r > 0.6
+    but partial r ~ 0. Zero controls reduces to plain Pearson; exact
+    vs normal tails agree at this dof; collinear controls raise."""
+    from dask_ml_spark.functions.stats import partial_correlation
+
+    rng = np.random.RandomState(12)
+    n = 2000
+    c1 = rng.normal(0, 1, n)
+    c2 = rng.normal(0, 1, n)
+    a = 2 * c1 - c2 + rng.normal(0, 1, n)
+    b = 2 * c1 + 0.5 * c2 + rng.normal(0, 1, n)
+    df = spark.createDataFrame(
+        [(float(w), float(x), float(y), float(z))
+         for w, x, y, z in zip(a, b, c1, c2)],
+        "a double, b double, c1 double, c2 double")
+    got = partial_correlation(df, "a", "b", ["c1", "c2"]).collect()[0]
+    X = np.column_stack([np.ones(n), c1, c2])
+    ra = a - X @ np.linalg.lstsq(X, a, rcond=None)[0]
+    rb = b - X @ np.linalg.lstsq(X, b, rcond=None)[0]
+    want = float(np.corrcoef(ra, rb)[0, 1])
+    assert abs(got["r"] - want) < 1e-9
+    assert got["dof"] == n - 4 and got["g_controls"] == 2
+    marg = float(np.corrcoef(a, b)[0, 1])
+    assert marg > 0.6 and abs(got["r"]) < 0.06  # confounding removed
+    # zero controls == plain pearson
+    got0 = partial_correlation(df, "a", "b", []).collect()[0]
+    assert abs(got0["r"] - marg) < 1e-12
+    # exact vs normal tails agree at dof ~ 2000
+    gn = partial_correlation(df, "a", "b", ["c1", "c2"],
+                             tail="normal").collect()[0]
+    assert abs(gn["p_value"] - got["p_value"]) < 5e-4  # O(1/dof)
+    # an exactly collinear control pair is singular
+    df2 = df.withColumn("c3", F.col("c1") * 2.0)
+    with pytest.raises(ValueError, match="singular|collinear"):
+        partial_correlation(df2, "a", "b", ["c1", "c3"])
