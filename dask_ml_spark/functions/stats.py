@@ -9,6 +9,7 @@ in event logs).
 
 The family: two-sample KS (exact + binned), Mann–Whitney U, Welch t
 (single, per-stratum sweep, and pairwise post-hoc with BH FDR),
+Hoeffding's D (binned — the non-monotone dependence screen),
 two-proportion z, one-way ANOVA with η² and an exact incomplete-beta
 F tail, Brown–Forsythe, Spearman ρ (exact tie-averaged + binned scale
 path), Mann–Kendall trend with Theil–Sen slope, binned mean-shift
@@ -1973,6 +1974,165 @@ def jonckheere_terpstra(df: DataFrame, value_col: str, group_col: str,
     return df.sparkSession.createDataFrame(
         [(int(n), len(order), float(tau), float(z), float(p))],
         "n long, k long, tau double, z double, p_value double")
+
+
+# Blum–Kiefer–Rosenblatt limit-law tail constants for hoeffding_d:
+# under independence n·D/30 → L = Σ_{j,k≥1} λ_jk (Z²_jk − 1) with
+# λ_jk = 1/(π⁴ j² k²) (the Brownian-pillow eigenvalues of the
+# independence empirical process). Dominant-eigenvalue (Zolotarev)
+# tail: P(L > x) ≈ c₀ · 2Φ̄(√((x + μ)/λ₁)) with λ₁ = 1/π⁴,
+# μ = E Σλ_jk Z² = (Σ1/j²)²/π⁴ = 1/36, and
+# c₀ = Π_{(j,k)≠(1,1)} (1 − λ_jk/λ₁)^{−1/2} = 2.4565542645301655
+# (computed once from the 400×400 truncation; converged at 1e-12).
+# Monte-Carlo-pinned accuracy (tests): within ±25% relative for
+# p ∈ [1e-4, 0.1], asymptotically exact as p → 0 — the regime that
+# matters at corpus n, where any real dependence drives p ≈ 0.
+_HOEFFD_LAM1 = 0.010265982254684338   # 1/pi^4
+_HOEFFD_MU = 1.0 / 36.0
+_HOEFFD_C0 = 2.4565542645301655
+
+
+def hoeffding_d(df: DataFrame, col_a: str, col_b: str,
+                bins: int = 256) -> DataFrame:
+    """Hoeffding's D test of INDEPENDENCE, binned scale path — the
+    non-monotone dependence screen the rank family can't provide.
+    Pearson/Spearman/Kendall (and cov_drift's correlation structure)
+    all measure (near-)monotone association: a V-shaped, sign-
+    symmetric, or periodic coupling has ρ ≈ τ ≈ 0 and is invisible to
+    every one of them. D estimates 30·∫(F₁₂ − F₁F₂)² dF₁₂ — nonzero
+    for ANY dependence — so it is the family's catch-all screen
+    (run it when the monotone tests come back null but you still
+    suspect structure).
+
+    Exact D needs every point's bivariate rank — quadratic. Binned
+    (the spearman_rho_binned / kendall_tau_binned treatment):
+
+      pass 1: ONE (min, max) aggregate per column;
+      pass 2: ONE groupBy(bucket_a, bucket_b) count — ≤K² cells;
+      driver: marginal cumsums give tie-averaged bucket mid-ranks
+              (doubled to stay integral); one ascending 2-D prefix
+              sweep gives each cell's strict-below count, same-row /
+              same-column below counts, and within-cell ties — the
+              quarter-tie bivariate rank Q (quadrupled to stay
+              integral: 4Q = 4 + 4·P + 2·(rowBelow + colBelow) +
+              (w − 1), the Hollander & Wolfe ties convention); D is
+              assembled from the three classical sums
+              D₁ = Σ(Q−1)(Q−2), D₂ = Σ(R−1)(R−2)(S−1)(S−2),
+              D₃ = Σ(R−2)(S−2)(Q−1) in exact Python bignum integers
+              (numerators carry 16× from the rank doubling /
+              quadrupling; the 16s cancel in the final ratio
+              D = 30·((n−2)(n−3)D₁ + D₂ − 2(n−2)D₃)
+                    / (n(n−1)(n−2)(n−3)(n−4))).
+
+    Floats appear only in the final division and the p-value, so a
+    SQL oracle replays bit-for-bit in HUGEINT (dense-grid window
+    cumsums; sums reach ~n⁵ — HUGEINT holds to n ≈ 2e7; the Python
+    side is bignum-exact at any n). Within-bucket pairs become TIES
+    (the family's O(1/K) convention — parity-pinned: binned ≡ exact
+    when every distinct value owns a bucket). D ∈ [−0.5, 1]; under
+    independence E[D] = 0; p is the documented BKR dominant-
+    eigenvalue tail of n·D/30 (see _HOEFFD_C0 above). Needs n ≥ 5.
+    Returns one row: (n, d, p_value).
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if bins > 1024:
+        raise ValueError("bins > 1024 — the ≤K² driver cell state "
+                         "stops being bounded")
+    va = F.col(col_a).cast("double")
+    vb = F.col(col_b).cast("double")
+    kept = (df.where(va.isNotNull() & ~F.isnan(va)
+                     & vb.isNotNull() & ~F.isnan(vb))
+            .select(va.alias("__a"), vb.alias("__b")))
+    lim = kept.agg(F.min("__a").alias("la"), F.max("__a").alias("ha"),
+                   F.min("__b").alias("lb"),
+                   F.max("__b").alias("hb")).collect()[0]
+    if lim["la"] is None:
+        raise ValueError("hoeffding_d: no complete-case rows")
+    la, ha = float(lim["la"]), float(lim["ha"])
+    lb, hb = float(lim["lb"]), float(lim["hb"])
+    wa = (ha - la) or 1.0
+    wb = (hb - lb) or 1.0
+
+    def bucket(c, lo, width):
+        return F.least(F.lit(bins - 1),
+                       F.floor((c - F.lit(lo)) / F.lit(width)
+                               * F.lit(bins))).cast("int")
+
+    cells = (kept.groupBy(bucket(F.col("__a"), la, wa).alias("__ba"),
+                          bucket(F.col("__b"), lb, wb).alias("__bb"))
+             .agg(F.count(F.lit(1)).alias("__w"))
+             .collect())
+    n, d = _hoeffding_cell_stats(
+        [(r["__ba"], r["__bb"], r["__w"]) for r in cells], bins)
+    x = n * d / 30.0  # the BKR statistic; → L under independence
+    if x + _HOEFFD_MU <= 0.0:
+        p = 1.0
+    else:
+        p = min(1.0, _HOEFFD_C0 * 2.0 * _normal_sf_py(
+            math.sqrt((x + _HOEFFD_MU) / _HOEFFD_LAM1)))
+    return df.sparkSession.createDataFrame(
+        [(int(n), float(d), float(p))],
+        "n long, d double, p_value double")
+
+
+def _hoeffding_cell_stats(cells, bins: int):
+    """Exact-integer core of hoeffding_d: given (a_bucket, b_bucket,
+    count) cells, return (n, D) via one ascending 2-D prefix sweep —
+    O(K²) bignum ops, floats only in the final division."""
+    by_a: dict = {}
+    for ba, bb, w in cells:
+        by_a.setdefault(ba, {})[bb] = w
+    n = sum(w for _, _, w in cells)
+    if n < 5:
+        raise ValueError("hoeffding_d needs >= 5 complete-case rows")
+    ca: dict = {}
+    cb: dict = {}
+    for ba, bb, w in cells:
+        ca[ba] = ca.get(ba, 0) + w
+        cb[bb] = cb.get(bb, 0) + w
+    if len(ca) < 2 or len(cb) < 2:
+        raise ValueError("hoeffding_d: a column is constant (or "
+                         "collapses to one bucket) — D is undefined")
+    # doubled tie-averaged bucket mid-ranks (2R = 2·cum_before + c + 1)
+    r2: dict = {}
+    cum = 0
+    for k in sorted(ca):
+        r2[k] = 2 * cum + ca[k] + 1
+        cum += ca[k]
+    s2: dict = {}
+    cum = 0
+    for k in sorted(cb):
+        s2[k] = 2 * cum + cb[k] + 1
+        cum += cb[k]
+    # ascending-a sweep (the _kendall_cell_stats shape): `below` holds
+    # per-b counts of strictly smaller a-buckets, so for a cell (a, b)
+    #   strict P  = Σ_{b'<b} below[b']   (smaller on BOTH axes)
+    #   colBelow  = below[b]             (tied a-axis? no — strictly
+    #                                     smaller a, same b bucket)
+    #   rowBelow  = running count within this a-row over b' < b
+    below = [0] * bins
+    n1 = n2 = n3 = 0  # 16·D1, 16·D2, 16·D3 (exact bignums)
+    for a_key in sorted(by_a):
+        row = by_a[a_key]
+        prefix = [0] * (bins + 1)
+        for j in range(bins):
+            prefix[j + 1] = prefix[j] + below[j]
+        rowcum = 0
+        for b_key in sorted(row):
+            w = row[b_key]
+            q4 = (4 + 4 * prefix[b_key]
+                  + 2 * (rowcum + below[b_key]) + (w - 1))
+            rr, ss = r2[a_key], s2[b_key]
+            n1 += w * (q4 - 4) * (q4 - 8)
+            n2 += w * (rr - 2) * (rr - 4) * (ss - 2) * (ss - 4)
+            n3 += w * (rr - 4) * (ss - 4) * (q4 - 4)
+            rowcum += w
+        for b_key, w in row.items():
+            below[b_key] += w
+    num = 30 * ((n - 2) * (n - 3) * n1 + n2 - 2 * (n - 2) * n3)
+    den = 16 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4)
+    return n, float(num) / float(den)
 
 
 def kruskal_wallis(df: DataFrame, value_col: str, group_col: str,

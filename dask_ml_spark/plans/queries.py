@@ -4563,6 +4563,7 @@ def build_catalog():
         "spearman_price_quantity": q_spearman_price_quantity,
         "spearman_price_quantity_exact": q_spearman_price_quantity_exact,
         "kendall_price_quantity": q_kendall_price_quantity,
+        "hoeffding_price_quantity": q_hoeffding_price_quantity,
         "kruskal_wallis_quantity": q_kruskal_wallis_quantity,
         "jonckheere_priority_price": q_jonckheere_priority_price,
         "brown_forsythe_price": q_brown_forsythe_price,
@@ -4825,6 +4826,7 @@ def build_catalog():
         "spearman_price_quantity_exact":
             _sql_spearman_price_quantity_exact(),
         "kendall_price_quantity": _sql_kendall_price_quantity(),
+        "hoeffding_price_quantity": _sql_hoeffding_price_quantity(),
         "kruskal_wallis_quantity": _sql_kruskal_wallis_quantity(),
         "jonckheere_priority_price": _sql_jonckheere_priority_price(),
         "brown_forsythe_price": _sql_brown_forsythe_price(),
@@ -12089,4 +12091,121 @@ WITH q AS (
     SELECT doc_id FROM scored WHERE {case} = 'en'
 )
 SELECT kept.doc_id, kept.n_chars, kept.source FROM kept JOIN en USING (doc_id)
+"""
+
+
+HOEFFD_BINS = 128
+
+
+def q_hoeffding_price_quantity(spark, sf_dir):
+    """Hoeffding's D independence test, binned scale path (functions/
+    stats.py::hoeffding_d) — the NON-monotone dependence screen:
+    Pearson/Spearman/Kendall all measure monotone association and
+    return ~0 on a V-shaped or sign-symmetric coupling; D estimates
+    30·∫(F₁₂ − F₁F₂)²dF₁₂, nonzero for ANY dependence. Same plan
+    shape as kendall_tau_binned: one min/max aggregate + ONE
+    groupBy(bucket_a, bucket_b) count ≤K² cells, then an O(K²)
+    exact-bignum prefix sweep assembles the three Hoeffding sums from
+    quarter-tie bivariate ranks. The oracle replays the cell grid
+    with dense-grid HUGEINT window cumsums — bit-for-bit up to the
+    final float divisions; p is the documented Blum–Kiefer–Rosenblatt
+    dominant-eigenvalue tail, identical literal constants in both
+    engines."""
+    from dask_ml_spark.functions.stats import hoeffding_d
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = hoeffding_d(li, "l_extendedprice", "l_quantity",
+                      bins=HOEFFD_BINS)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n", r6(F.col("d")).alias("d"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_hoeffding_price_quantity() -> str:
+    from dask_ml_spark.functions.stats import (
+        _HOEFFD_C0, _HOEFFD_LAM1, _normal_sf_sql)
+
+    K = HOEFFD_BINS
+    sf = _normal_sf_sql("sqrt((x + 1.0/36.0) / {lam})".format(
+        lam=repr(_HOEFFD_LAM1)))
+    return f"""
+WITH k AS (
+    SELECT l_extendedprice::DOUBLE AS a, l_quantity::DOUBLE AS b
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+      AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+), lim AS (
+    SELECT min(a) AS la, max(a) AS ha, min(b) AS lb, max(b) AS hb FROM k
+), w AS (
+    SELECT la, lb,
+           CASE WHEN ha = la THEN 1.0 ELSE ha - la END AS wa,
+           CASE WHEN hb = lb THEN 1.0 ELSE hb - lb END AS wb
+    FROM lim
+), cells AS (
+    SELECT CAST(least({K - 1}, floor((a - (SELECT la FROM w))
+                                     / (SELECT wa FROM w) * {K}))
+                AS BIGINT) AS ba,
+           CAST(least({K - 1}, floor((b - (SELECT lb FROM w))
+                                     / (SELECT wb FROM w) * {K}))
+                AS BIGINT) AS bb,
+           count(*)::HUGEINT AS c
+    FROM k GROUP BY 1, 2
+), grid AS (
+    SELECT ga.range AS gi, gb.range AS gj
+    FROM range({K}) ga CROSS JOIN range({K}) gb
+), dense AS (
+    SELECT gi, gj, coalesce(cells.c, 0::HUGEINT) AS c
+    FROM grid LEFT JOIN cells ON cells.ba = gi AND cells.bb = gj
+), rowcum AS (
+    SELECT gi, gj,
+           sum(c) OVER (PARTITION BY gi ORDER BY gj
+                        ROWS UNBOUNDED PRECEDING) AS rc
+    FROM dense
+), pref AS (
+    -- P(gi, gj) = sum of cells with ba <= gi AND bb <= gj
+    SELECT gi, gj,
+           sum(rc) OVER (PARTITION BY gj ORDER BY gi
+                         ROWS UNBOUNDED PRECEDING) AS p2
+    FROM rowcum
+), amarg AS (
+    -- doubled tie-averaged mid-rank per a-bucket: 2R = 2·cuminc − t + 1
+    SELECT ba, 2 * sum(t) OVER (ORDER BY ba ROWS UNBOUNDED PRECEDING)
+               - t + 1 AS r2
+    FROM (SELECT ba, sum(c) AS t FROM cells GROUP BY ba)
+), bmarg AS (
+    SELECT bb, 2 * sum(u) OVER (ORDER BY bb ROWS UNBOUNDED PRECEDING)
+               - u + 1 AS s2
+    FROM (SELECT bb, sum(u2.c) AS u FROM cells u2 GROUP BY bb)
+), percell AS (
+    -- quadrupled quarter-tie bivariate rank:
+    -- 4Q = 4 + 4·P(strict both) + 2·(rowBelow + colBelow) + (c − 1)
+    --    = 3 + c + 2·(pref(ba−1, bb) + pref(ba, bb−1))   [algebra]
+    SELECT x.c, am.r2, bm.s2,
+           3 + x.c + 2 * (coalesce(plj.p2, 0::HUGEINT)
+                          + coalesce(pjl.p2, 0::HUGEINT)) AS q4
+    FROM cells x
+    JOIN amarg am ON am.ba = x.ba
+    JOIN bmarg bm ON bm.bb = x.bb
+    LEFT JOIN pref plj ON plj.gi = x.ba - 1 AND plj.gj = x.bb
+    LEFT JOIN pref pjl ON pjl.gi = x.ba AND pjl.gj = x.bb - 1
+), sums AS (
+    SELECT sum(c * (q4 - 4) * (q4 - 8)) AS n1,
+           sum(c * (r2 - 2) * (r2 - 4) * (s2 - 2) * (s2 - 4)) AS n2,
+           sum(c * (r2 - 4) * (s2 - 4) * (q4 - 4)) AS n3,
+           sum(c) AS n
+    FROM percell
+), dd AS (
+    SELECT n,
+           (30 * ((n - 2) * (n - 3) * n1 + n2 - 2 * (n - 2) * n3))::DOUBLE
+           / (16 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4))::DOUBLE AS d
+    FROM sums
+), st AS (
+    SELECT n, d, n::DOUBLE * d / 30.0 AS x FROM dd
+)
+SELECT n::BIGINT AS n,
+       floor(d * 1e6 + 0.5) / 1e6 AS d,
+       floor(CASE WHEN x + 1.0/36.0 <= 0.0 THEN 1.0
+                  ELSE least(1.0, {repr(_HOEFFD_C0)} * 2.0 * {sf})
+             END * 1e6 + 0.5) / 1e6 AS p_value
+FROM st
 """

@@ -896,6 +896,155 @@ def test_jonckheere_matches_kendall_bruteforce(spark):
         jonckheere_terpstra(df, "v", "g", order=["lo", "mid", "Hi"])
 
 
+def _brute_hoeffding(a, b):
+    """O(n²) independent replay of Hoeffding's D with the Hollander &
+    Wolfe mid-rank / quarter-tie bivariate-rank convention (the Hmisc
+    hoeffd definition), assembled in exact integers."""
+    n = len(a)
+    n1 = n2 = n3 = 0
+    for i in range(n):
+        r2 = int(2 * (1 + (a < a[i]).sum()) + ((a == a[i]).sum() - 1))
+        s2 = int(2 * (1 + (b < b[i]).sum()) + ((b == b[i]).sum() - 1))
+        q4 = int(4 + 4 * ((a < a[i]) & (b < b[i])).sum()
+                 + 2 * (((a == a[i]) & (b < b[i])).sum()
+                        + ((a < a[i]) & (b == b[i])).sum())
+                 + (((a == a[i]) & (b == b[i])).sum() - 1))
+        n1 += (q4 - 4) * (q4 - 8)
+        n2 += (r2 - 2) * (r2 - 4) * (s2 - 2) * (s2 - 4)
+        n3 += (r2 - 4) * (s2 - 4) * (q4 - 4)
+    num = 30 * ((n - 2) * (n - 3) * n1 + n2 - 2 * (n - 2) * n3)
+    den = 16 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4)
+    return float(num) / float(den)
+
+
+def test_hoeffding_d_matches_bruteforce(spark):
+    """Integer-valued data where every distinct value owns a bucket:
+    binned D IS exact D — pinned against the O(n²) direct mid-rank /
+    quarter-tie replay, p against the documented BKR tail formula."""
+    from dask_ml_spark.functions.stats import (_HOEFFD_C0, _HOEFFD_LAM1,
+                                               _HOEFFD_MU,
+                                               _normal_sf_py,
+                                               hoeffding_d)
+
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 30, 300).astype(float)
+    b = (a + rng.randint(0, 12, 300)).astype(float)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, b)],
+        "a double, b double")
+    got = hoeffding_d(df, "a", "b", bins=64).collect()[0]
+    d_ref = _brute_hoeffding(a, b)
+    assert got["n"] == 300
+    assert abs(got["d"] - d_ref) < 1e-12
+    x = 300 * d_ref / 30.0
+    p_ref = min(1.0, _HOEFFD_C0 * 2.0 * _normal_sf_py(
+        math.sqrt((x + _HOEFFD_MU) / _HOEFFD_LAM1)))
+    assert abs(got["p_value"] - p_ref) < 1e-12
+    assert got["d"] > 0.3 and got["p_value"] < 1e-10
+    # independent columns: D ≈ 0, p not significant
+    c = rng.randint(0, 30, 300).astype(float)
+    df2 = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, c)],
+        "a double, b double")
+    got2 = hoeffding_d(df2, "a", "b", bins=64).collect()[0]
+    assert abs(got2["d"]) < 0.01
+    assert got2["p_value"] > 0.2
+
+
+def test_hoeffding_d_detects_nonmonotone(spark):
+    """The reason this operator exists: a V-shaped coupling has
+    Kendall τ ≈ 0 (invisible to every monotone test in the family)
+    but D far from 0 with p ≈ 0."""
+    from dask_ml_spark.functions.stats import (hoeffding_d,
+                                               kendall_tau_binned)
+
+    x = np.linspace(-1.0, 1.0, 400)
+    y = np.abs(x)
+    df = spark.createDataFrame(
+        [(float(u), float(v)) for u, v in zip(x, y)],
+        "a double, b double")
+    tau = kendall_tau_binned(df, "a", "b", bins=256).collect()[0]
+    assert abs(tau["tau"]) < 0.05 and tau["p_value"] > 0.1
+    hd = hoeffding_d(df, "a", "b", bins=256).collect()[0]
+    assert hd["d"] > 0.15 and hd["p_value"] < 1e-10
+
+
+def test_hoeffding_d_continuous_parity(spark):
+    """On continuous data binning costs O(1/K) (within-bucket pairs
+    become ties); determinism across partitionings."""
+    from dask_ml_spark.functions.stats import hoeffding_d
+
+    rng = np.random.RandomState(11)
+    x = rng.normal(0, 1, 400)
+    y = 0.6 * x + 0.8 * rng.normal(0, 1, 400)
+    df = spark.createDataFrame(
+        [(float(u), float(v)) for u, v in zip(x, y)],
+        "a double, b double")
+    exact = _brute_hoeffding(x, y)
+    for bins, bound in ((256, 3.0 / 256), (64, 3.0 / 64)):
+        got = hoeffding_d(df, "a", "b", bins=bins).collect()[0]
+        assert abs(got["d"] - exact) < bound, bins
+    one = hoeffding_d(df.coalesce(1), "a", "b", bins=128).collect()[0]
+    many = hoeffding_d(df.repartition(13), "a", "b",
+                       bins=128).collect()[0]
+    assert one["d"] == many["d"] and one["p_value"] == many["p_value"]
+
+
+def test_hoeffding_d_validation(spark):
+    from dask_ml_spark.functions.stats import hoeffding_d
+
+    df = spark.createDataFrame(
+        [(float(i), float(i)) for i in range(10)],
+        "a double, b double")
+    with pytest.raises(ValueError, match="bins"):
+        hoeffding_d(df, "a", "b", bins=1)
+    with pytest.raises(ValueError, match="bins"):
+        hoeffding_d(df, "a", "b", bins=2048)
+    tiny = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 3.0), (3.0, 1.0), (4.0, 4.0)],
+        "a double, b double")
+    with pytest.raises(ValueError, match=">= 5"):
+        hoeffding_d(tiny, "a", "b")
+    const = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(6)], "a double, b double")
+    with pytest.raises(ValueError, match="constant"):
+        hoeffding_d(const, "a", "b")
+
+
+def test_hoeffding_bkr_tail_constants():
+    """The p-value's three literals are re-derived here from scratch:
+    λ₁ = 1/π⁴, μ = Σλ = 1/36, c₀ = Π(1 − λ/λ₁)^{-1/2}; the tail
+    formula is then Monte-Carlo-pinned against the truncated limit
+    law L = Σ λ_jk(Z²_jk − 1) within ±30% relative in the p ∈
+    [1e-3, 0.1] band (it is asymptotically exact deeper)."""
+    from dask_ml_spark.functions.stats import (_HOEFFD_C0, _HOEFFD_LAM1,
+                                               _HOEFFD_MU,
+                                               _normal_sf_py)
+
+    assert abs(_HOEFFD_LAM1 - 1.0 / math.pi ** 4) < 1e-18
+    assert _HOEFFD_MU == 1.0 / 36.0
+    j = np.arange(1, 401)
+    lam = 1.0 / (math.pi ** 4 * np.outer(j * j, j * j))
+    ratios = np.sort((lam / lam[0, 0]).ravel())[::-1][1:]
+    c0 = float(np.exp(-0.5 * np.log1p(-ratios).sum()))
+    assert abs(c0 - _HOEFFD_C0) < 1e-6
+    # Monte Carlo of the truncated limit law (16×16 terms carry all
+    # but ~1e-6 of the variance)
+    k16 = np.arange(1, 17)
+    lam16 = (1.0 / (math.pi ** 4
+                    * np.outer(k16 * k16, k16 * k16))).ravel()
+    rng = np.random.RandomState(7)
+    sims = np.zeros(200000)
+    for s in range(0, 200000, 25000):
+        z2 = rng.chisquare(1, size=(25000, lam16.size))
+        sims[s:s + 25000] = ((z2 - 1) * lam16).sum(axis=1)
+    for x in (0.05, 0.1):
+        emp = float((sims > x).mean())
+        app = min(1.0, _HOEFFD_C0 * 2.0 * _normal_sf_py(
+            math.sqrt((x + _HOEFFD_MU) / _HOEFFD_LAM1)))
+        assert abs(app - emp) / emp < 0.30, (x, emp, app)
+
+
 def test_kruskal_wallis_matches_rank_replay(spark):
     """Pinned against an independent pandas average-rank replay with
     real tie structure, including the tie-correction divisor and the
