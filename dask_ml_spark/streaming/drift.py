@@ -181,11 +181,18 @@ def psi_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
                        for k in range(bins)])
     n = F.col("n").cast("double")
     half_k = float(bins) / 2.0
-    psi = F.lit(0.0)
-    for k in range(bins):
-        p = (F.col(f"__c{k}") + F.lit(0.5)) / (n + F.lit(half_k))
-        q = F.lit((rc[k] + 0.5) / (rn + half_k))
-        psi = psi + (p - q) * F.log(p / q)
+    # flat zip_with/aggregate, not a bins-deep chained add — constant
+    # expression-tree depth at any bin count (the categorical_drift
+    # 512-cap JVM-stack lesson; reference_histogram has no bins cap),
+    # same left-fold float order as the old chain (seed 0.0, bin order)
+    carr = F.array(*[F.col(f"__c{k}") for k in range(bins)])
+    qarr = F.array(*[F.lit((rc[k] + 0.5) / (rn + half_k))
+                     for k in range(bins)])
+    terms = F.zip_with(
+        carr, qarr,
+        lambda cnt, q: ((cnt + 0.5) / (n + F.lit(half_k)) - q)
+        * F.log(((cnt + 0.5) / (n + F.lit(half_k))) / q))
+    psi = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
     return _emit(agg.withColumn("__psi", psi),
                  F.col("__psi").alias("psi"))
 
@@ -300,14 +307,25 @@ def categorical_drift(df: DataFrame, cat_col: str, ts_col: str,
                       [F.sum((c == F.lit(cat)).cast("double"))
                        .alias(f"__c{i}") for i, cat in enumerate(cats)])
     n = F.col("n").cast("double")
-    seen = sum((F.col(f"__c{i}") for i in range(len(cats))), F.lit(0.0))
-    other = n - seen
     half_k = float(k_all) / 2.0
-    psi = F.lit(0.0)
-    for i in range(len(cats)):
-        p = (F.col(f"__c{i}") + F.lit(0.5)) / (n + F.lit(half_k))
-        q = F.lit((rc[i] + 0.5) / (rn + half_k))
-        psi = psi + (p - q) * F.log(p / q)
+    # FLAT array shapes, not K-deep chained adds: a chained
+    # `t0 + t1 + ... + t511` Column nests one node per term, and at the
+    # 512-category cap the nested `seen`-inside-`psi` tree overflowed
+    # the JVM stack during Column->expression conversion (found by the
+    # strict-codegen pin in test_plan_shapes). array()/zip_with keep
+    # the tree depth CONSTANT in K while F.aggregate's left-fold keeps
+    # the float summation order identical to the old chain (seed 0.0,
+    # category order, OTHER last) — same bits, same oracle.
+    carr = F.array(*[F.col(f"__c{i}") for i in range(len(cats))])
+    qarr = F.array(*[F.lit((rc[i] + 0.5) / (rn + half_k))
+                     for i in range(len(cats))])
+    seen = F.aggregate(carr, F.lit(0.0), lambda acc, x: acc + x)
+    other = n - seen
+    terms = F.zip_with(
+        carr, qarr,
+        lambda cnt, q: ((cnt + 0.5) / (n + F.lit(half_k)) - q)
+        * F.log(((cnt + 0.5) / (n + F.lit(half_k))) / q))
+    psi = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
     p_oth = (other + F.lit(0.5)) / (n + F.lit(half_k))
     q_oth = F.lit(0.5 / (rn + half_k))  # reference saw zero OTHER
     psi = psi + (p_oth - q_oth) * F.log(p_oth / q_oth)

@@ -409,3 +409,98 @@ def test_gmm_em_iteration_is_single_aggregate(spark):
     assert "BroadcastExchange" not in plan
     assert "Python" not in plan
     assert plan.count("HashAggregate") == 2     # partial + final only
+
+
+# ---------------------------------------------------------------------------
+# Whole-stage-codegen compilation pins for the WIDE aggregate/projection
+# family. The r12 cov_drift regression was SILENT-but-correct: per-pair
+# unrolling of the A&S normal-tail polynomial blew Janino's 64 KB
+# per-method bytecode limit at d≈12, Spark fell back to the interpreted
+# projection (25x slower, found only by timing — SCALING.md r12). With
+# spark.sql.codegen.fallback=false that exact failure THROWS instead, so
+# these tests execute the widest supported shapes under strict codegen:
+# a future edit that reintroduces per-pair expression unrolling (or a
+# per-category CASE chain in categorical_drift) fails loudly here.
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _strict_codegen(spark):
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def _pseudo_numeric_df(spark, d, n=200):
+    from pyspark.sql import functions as F
+
+    df = spark.range(n)
+    for k in range(d):
+        # deterministic, pairwise non-degenerate pseudo-noise
+        df = df.withColumn(
+            f"x{k}", (F.xxhash64("id", F.lit(k)) % 1000).cast("double"))
+    # spread the rows across exactly two 1-hour windows (base epoch
+    # hour-aligned: 1699999200 = 1700000000 - 800)
+    return df.withColumn(
+        "ts", F.timestamp_seconds(
+            F.lit(1699999200) + (F.col("id") * (7200 // n)) % 7200))
+
+
+@pytest.mark.parametrize("d", [12, 30])
+def test_cov_drift_codegen_compiles_wide(spark, d):
+    # d=12: where the r12 per-pair unroll first fell over. d=30: the
+    # documented cap (streaming/drift.py) — 435 pairs, the widest plan
+    # a user can build; codegen must hold all the way to it.
+    from dask_ml_spark.streaming.drift import cov_drift
+
+    df = _pseudo_numeric_df(spark, d)
+    cols = [f"x{k}" for k in range(d)]
+    # synthetic reference (the monitor only reads cols/corr) — skips
+    # the fit aggregate, which is not what this test pins
+    pairs = [(i, j) for i in range(d) for j in range(i + 1, d)]
+    ref = {"n": 200.0, "cols": cols,
+           "corr": [((i * 31 + j * 17) % 13 - 6) / 20.0 for i, j in pairs]}
+    out = cov_drift(df, cols, "ts", ref, window="1 hour")
+    with _strict_codegen(spark):
+        rows = out.collect()  # Janino failure would THROW here
+    # the AQE FINAL plan (post-execution) must carry codegen'd stages;
+    # in the simple plan string a codegen'd node is printed with a
+    # "*(n)" stage prefix (the literal WholeStageCodegen wrapper only
+    # appears in the formatted mode, which AQE hides pre-execution)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan and "*(" in plan
+    assert len(rows) == 2 * len(pairs)  # 2 windows x all pairs
+    assert all(r["q_value"] is not None for r in rows)
+
+
+def test_categorical_drift_codegen_compiles_at_cap(spark):
+    # 512 reference categories = 512 conditional-sum aggregate columns,
+    # the documented cap (streaming/drift.py): one column per category
+    # plus the OTHER bucket; the K-branch CASE-chain shape this module
+    # replaced with array HOFs recompiled whole-stage codegen per
+    # category and is exactly what this pin guards against.
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.streaming.drift import categorical_drift
+
+    n_cats = 512
+    df = (spark.range(2000)
+          .withColumn("cat", F.format_string("c%03d",
+                                             (F.col("id") % 520)))
+          .withColumn("ts", F.timestamp_seconds(
+              F.lit(1699999200) + (F.col("id") * 3) % 7200)))
+    ref = {"cats": [f"c{i:03d}" for i in range(n_cats)],
+           "counts": [10.0] * n_cats, "n": 10.0 * n_cats}
+    out = categorical_drift(df, "cat", "ts", ref, window="1 hour")
+    with _strict_codegen(spark):
+        rows = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan and "*(" in plan
+    assert len(rows) == 2
+    # ids 512..519 fall outside the reference's 512 categories
+    assert all(r["other_frac"] > 0.0 for r in rows)
