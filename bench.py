@@ -230,6 +230,7 @@ HEADLINE = [
     "zdrift_daily",                 # windowed mean/variance z-drift
     "corrdrift_monthly",            # feature-relationship (Fisher) drift
     "covdrift_monthly",             # multivariate covariance-structure drift
+    "covdrift_projected",           # the d>30 escape: random-project then monitor
     "quantile_drift_daily",         # windowed p50/p90/p99 + deltas
     "embedding_drift_labels",       # per-dim embedding drift + BH
     "acf_daily_value",              # lag correlation of the daily series

@@ -406,7 +406,7 @@ WITH kept AS (
     SELECT date_trunc('day', ts) AS day, count(*)::DOUBLE AS n,
            sum(v) AS s, sum(v * v) AS q
     FROM kept GROUP BY 1
-), z AS (
+), z AS MATERIALIZED (
     SELECT day, n, s / n AS mean,
            (s / n - (SELECT mu FROM m))
                / sqrt((SELECT var0 FROM m) / n) AS z,
@@ -581,7 +581,7 @@ WITH kept AS (
     SELECT to_timestamp((epoch(ts)::BIGINT // {w}) * {w}) AS ws,
            count(*)::BIGINT AS n, corr(a, b) AS r
     FROM kept GROUP BY 1
-), z AS (
+), z AS MATERIALIZED (
     SELECT ws, n, r,
            CASE WHEN n >= 4 AND r IS NOT NULL AND abs(r) < 1.0
                 THEN (0.5 * ln((1.0 + r) / (1.0 - r))
@@ -635,12 +635,16 @@ def q_covdrift_monthly(spark, sf_dir):
         "valid")
 
 
-def _sql_covdrift_monthly() -> str:
+def _covdrift_sql(cols, w: int, kept_sql: str, ref_where: str) -> str:
+    """Shared cov-drift oracle body (the Fisher-z + BH + family-scalar
+    replay of streaming/drift.py::cov_drift). ``kept_sql`` must be a
+    CTE definition chain whose LAST CTE is kept(ts, x0..x{d-1}), with
+    x_i mapping to ``cols[i]``; ``ref_where`` selects the reference
+    slice out of kept. ``w`` is the tumbling-window width in seconds."""
     from dask_ml_spark.functions.stats import _normal_sf_sql
 
     sf = _normal_sf_sql("abs(z)")
-    w = 30 * 86400
-    d = len(COV_COLS)
+    d = len(cols)
     pairs = [(i, j) for i in range(d) for j in range(i + 1, d)]
     ref_cols = ", ".join(
         f"corr(x{i}, x{j}) AS r{k}" for k, (i, j) in enumerate(pairs))
@@ -661,35 +665,27 @@ def _sql_covdrift_monthly() -> str:
         for k in range(len(pairs)))
     any_valid = " OR ".join(
         f"z{k} IS NOT NULL" for k in range(len(pairs)))
-    kept_where = " AND ".join(
-        f"{c} IS NOT NULL AND NOT isnan({c}::DOUBLE)" for c in COV_COLS)
-    kept_sel = ", ".join(
-        f"{c}::DOUBLE AS x{i}" for i, c in enumerate(COV_COLS))
     branches = "\n    UNION ALL\n".join(
-        f"""    SELECT ws, n, '{COV_COLS[i]}' AS col_a,
-           '{COV_COLS[j]}' AS col_b, c{k} AS r, z{k} AS z, frob
+        f"""    SELECT ws, n, '{cols[i]}' AS col_a,
+           '{cols[j]}' AS col_b, c{k} AS r, z{k} AS z, frob
     FROM zf""" for k, (i, j) in enumerate(pairs))
     return f"""
-WITH kept AS (
-    SELECT l_shipdate AS ts, {kept_sel}
-    FROM lineitem
-    WHERE {kept_where}
-), ref AS (
+WITH {kept_sql}, ref AS MATERIALIZED (
     SELECT {ref_cols}
-    FROM kept WHERE ts < TIMESTAMP '{CORR_REF_END} 00:00:00'
-), win AS (
+    FROM kept WHERE {ref_where}
+), win AS MATERIALIZED (
     -- Spark tumbling windows align to the 1970 epoch
     SELECT to_timestamp((epoch(ts)::BIGINT // {w}) * {w}) AS ws,
            count(*)::BIGINT AS n, {win_cols}
     FROM kept GROUP BY 1
-), z AS (
+), z AS MATERIALIZED (
     SELECT *, {z_cols}
     FROM win
-), zf AS (
+), zf AS MATERIALIZED (
     SELECT *, CASE WHEN {any_valid}
                    THEN sqrt(0.0 + {frob_terms}) END AS frob
     FROM z
-), pairs AS (
+), pairs AS MATERIALIZED (
 {branches}
 ), p AS (
     SELECT *, CASE WHEN z IS NOT NULL
@@ -728,6 +724,115 @@ LEFT JOIN mz ON p.ws = mz.ws
 """
 
 
+def _sql_covdrift_monthly() -> str:
+    kept_where = " AND ".join(
+        f"{c} IS NOT NULL AND NOT isnan({c}::DOUBLE)" for c in COV_COLS)
+    kept_sel = ", ".join(
+        f"{c}::DOUBLE AS x{i}" for i, c in enumerate(COV_COLS))
+    kept = f"""kept AS (
+    SELECT l_shipdate AS ts, {kept_sel}
+    FROM lineitem
+    WHERE {kept_where}
+)"""
+    return _covdrift_sql(COV_COLS, 30 * 86400, kept,
+                         f"ts < TIMESTAMP '{CORR_REF_END} 00:00:00'")
+
+
+# covdrift_projected: the documented d>30 escape for cov_drift
+# (streaming/drift.py::reference_comoments caps d at 30 because the
+# monitor generates 1 + d(d-1)/2 aggregate columns) — project first,
+# then monitor the projected block. With d=64 and k=8 the Achlioptas
+# density is 1/sqrt(64) = 1/8, so the sparse scale sqrt(1/density)/
+# sqrt(k) is EXACTLY 1.0: every projection weight is 0 or ±1.0 and the
+# oracle inlines them as exact literals (no float-parse hazard). The
+# projection fit needs NO data pass (seeded matrix), so both engines
+# share the same weights by construction.
+RP_K = 8
+RP_SEED = 0
+RP_D = 64
+RP_EPOCH0 = 820454400       # 1996-01-01 00:00:00 UTC, day-aligned
+RP_REF_DAYS = 150           # reference slice: first 150 synthetic days
+RP_WINDOW_DAYS = 60
+
+
+def _rp_components():
+    from dask_ml_spark.operators.random_projection import \
+        SparseRandomProjection
+
+    return SparseRandomProjection(
+        n_components=RP_K, random_state=RP_SEED)._make_components(RP_D)
+
+
+def q_covdrift_projected(spark, sf_dir):
+    """Covariance-structure drift on a PROJECTED wide block — the
+    recipe reference_comoments' d<=30 cap points at: 64-dim embeddings
+    -> SparseRandomProjection(k=8, seed 0) -> cov_drift over the 8
+    projected coordinates (28 pairs instead of 2016). The projection
+    folds into 8 narrow JVM column expressions (~8 ±1.0 terms each, no
+    UDF, no shuffle); the monitor is then the standard ONE
+    groupBy(window) + in-row BH. Time axis: one vector per synthetic
+    day (vec_id), 60-day tumbling windows, reference = first 150 days.
+    The oracle replays the ±1.0-weight projection inline and the full
+    Fisher-z / BH / family-scalar pipeline on the projected columns."""
+    from dask_ml_spark.operators.random_projection import \
+        SparseRandomProjection
+    from dask_ml_spark.streaming.drift import (cov_drift,
+                                               reference_comoments)
+
+    em = _t(spark, sf_dir, "embeddings")
+    ecols = [f"e{j}" for j in range(RP_D)]
+    wide = em.select(
+        F.timestamp_seconds(
+            F.lit(RP_EPOCH0) + F.col("vec_id") * 86400).alias("ts"),
+        *[F.col("embedding")[j].alias(c) for j, c in enumerate(ecols)])
+    rp = SparseRandomProjection(n_components=RP_K, random_state=RP_SEED)
+    proj = rp.fit(wide, columns=ecols).transform(wide)
+    pcols = [f"rp{k}" for k in range(RP_K)]
+    ref = reference_comoments(
+        proj.where(F.col("ts") < F.timestamp_seconds(
+            F.lit(RP_EPOCH0 + RP_REF_DAYS * 86400))), pcols)
+    out = cov_drift(proj, pcols, "ts", ref,
+                    window=f"{RP_WINDOW_DAYS} days")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("win"),
+        "col_a", "col_b", "n",
+        r6(F.col("corr")).alias("corr"),
+        r6(F.col("z")).alias("z"),
+        r6(F.col("p_value")).alias("p_value"),
+        r6(F.col("q_value")).alias("q_value"),
+        "reject",
+        r6(F.col("max_abs_z")).alias("max_abs_z"),
+        r6(F.col("frob_delta")).alias("frob_delta"),
+        "valid")
+
+
+def _sql_covdrift_projected() -> str:
+    comp = _rp_components()
+    # replicate SparseRandomProjection.transform's fold exactly:
+    # seed 0.0, then + embedding[j]::DOUBLE * w in ascending-j order,
+    # skipping zero weights (left-assoc additions = same float bits)
+    proj_sel = []
+    for k in range(RP_K):
+        terms = "".join(
+            f" + embedding[{j + 1}]::DOUBLE * {float(w)!r}"
+            for j, w in enumerate(comp[k]) if w != 0.0)
+        proj_sel.append(f"0.0{terms} AS x{k}")
+    kept_where = " AND ".join(
+        f"x{k} IS NOT NULL AND NOT isnan(x{k})" for k in range(RP_K))
+    kept = f"""kept0 AS (
+    SELECT to_timestamp({RP_EPOCH0} + vec_id * 86400) AS ts,
+           {", ".join(proj_sel)}
+    FROM embeddings
+), kept AS (
+    SELECT * FROM kept0 WHERE {kept_where}
+)"""
+    ref_end = RP_EPOCH0 + RP_REF_DAYS * 86400
+    return _covdrift_sql([f"rp{k}" for k in range(RP_K)],
+                         RP_WINDOW_DAYS * 86400, kept,
+                         f"ts < to_timestamp({ref_end})")
+
+
 def catalog_queries():
     """This family's queries() entries (order preserved by __init__)."""
     return {
@@ -738,6 +843,7 @@ def catalog_queries():
         "zdrift_daily": q_zdrift_daily,
         "corrdrift_monthly": q_corrdrift_monthly,
         "covdrift_monthly": q_covdrift_monthly,
+        "covdrift_projected": q_covdrift_projected,
         "quantile_drift_daily": q_quantile_drift_daily,
         "embedding_drift_labels": q_embedding_drift_labels,
     }
@@ -754,6 +860,7 @@ def catalog_oracles():
         "zdrift_daily": _sql_zdrift_daily(),
         "corrdrift_monthly": _sql_corrdrift_monthly(),
         "covdrift_monthly": _sql_covdrift_monthly(),
+        "covdrift_projected": _sql_covdrift_projected(),
         "quantile_drift_daily": _sql_quantile_drift_daily(),
         "embedding_drift_labels": _sql_embedding_drift_labels(),
     }

@@ -613,3 +613,64 @@ def test_quantile_drift_accuracy_bound(spark, drifted_dir, reference):
                 assert exact > hi
                 assert hi - width - 1e-9 <= row[label] <= hi + 1e-9
     assert n_in_support >= 6  # the contract was actually exercised
+
+
+def test_cov_drift_projected_stream_matches_batch(spark, tmp_path):
+    """The d>30 escape recipe (catalog covdrift_projected): a seeded
+    SparseRandomProjection is a STATELESS withColumns fold, so
+    projection -> cov_drift stays append-mode streaming legal and the
+    streamed windows must match the batch rendering bit-for-bit."""
+    import numpy as np
+
+    from dask_ml_spark.operators.random_projection import \
+        SparseRandomProjection
+    from dask_ml_spark.streaming.drift import (cov_drift,
+                                               reference_comoments)
+
+    rng = np.random.RandomState(17)
+    base = 1_699_999_200
+    d = 10
+    rows = []
+    for w in range(3):
+        ts = base + w * 3600 + rng.randint(0, 3600, 400)
+        x = rng.normal(0, 1.0, (400, d))
+        x[:, 1] = 0.7 * x[:, 0] + 0.3 * x[:, 1]  # give pairs structure
+        rows += [(int(t),) + tuple(float(v) for v in r)
+                 for t, r in zip(ts, x)]
+    cols = [f"x{j}" for j in range(d)]
+    df = (spark.createDataFrame(rows, ["epoch"] + cols)
+          .select(F.timestamp_seconds(F.col("epoch")).alias("ts"), *cols))
+    path = str(tmp_path / "wide")
+    df.coalesce(2).write.mode("overwrite").parquet(path)
+
+    batch = spark.read.parquet(path)
+    rp = SparseRandomProjection(n_components=3, density=0.5,
+                                random_state=3).fit(batch, columns=cols)
+    pcols = ["rp0", "rp1", "rp2"]
+    proj = rp.transform(batch)
+    ref = reference_comoments(
+        proj.where(F.col("ts") < F.timestamp_seconds(
+            F.lit(base + 2 * 3600))), pcols)
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    out = cov_drift(rp.transform(stream), pcols, "ts", ref,
+                    window="1 hour", watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("covp_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = (spark.sql("select * from covp_out").toPandas()
+                .sort_values(["window_start", "col_a", "col_b"])
+                .reset_index(drop=True))
+    expected = (cov_drift(proj, pcols, "ts", ref, window="1 hour")
+                .toPandas()
+                .sort_values(["window_start", "col_a", "col_b"])
+                .reset_index(drop=True))
+    assert 3 <= len(streamed) < len(expected)
+    b = expected.iloc[:len(streamed)].reset_index(drop=True)
+    assert (streamed["n"].to_numpy() == b["n"].to_numpy()).all()
+    for c in ("corr", "z", "p_value", "q_value", "max_abs_z",
+              "frob_delta"):
+        lhs, rhs = streamed[c].to_numpy(), b[c].to_numpy()
+        ok = np.isnan(lhs) & np.isnan(rhs)
+        assert np.allclose(lhs[~ok], rhs[~ok], atol=0.0, rtol=0.0), c
