@@ -33,9 +33,30 @@ asymptotic Kolmogorov series; Abramowitz & Stegun 26.2.17 for the
 normal CDF, |error| < 7.5e-8) written with identical operation order
 in the Spark expressions, the driver-side Python twins, and the SQL
 oracles, so all engines compute bit-comparable values. Exact
-small-sample tails (even-dof χ²; the F tail via the incomplete-beta
-continued fraction) are driver-side scalars behind the large-dof
-defaults.
+small-sample tails (even-dof χ²; the F and Student-t tails via the
+incomplete-beta continued fraction) are driver-side scalars behind
+the large-dof defaults.
+
+EXACT-TAIL POLICY — when to flip ``tail="exact"``: the normal/χ²
+defaults are the corpus convention (they are what the SQL oracles
+replay, and at dof ≥ ~200 the normal-vs-t gap is < 2e-3 in p — ~3%
+relative at p ≈ 0.05, decision-irrelevant for screening; it drops
+below the 1e-6 hash grid only at corpus dof ~10⁶). Flip to
+``tail="exact"`` whenever the SMALLEST stratum the statistic
+touches is thin: pairwise_welch/welch_sweep over high-cardinality
+group columns where a minority stratum can have dof < ~200 (one
+20-row group in an otherwise-huge sweep makes that pair's normal p
+overconfident — at dof 10 the normal tail reads p = 0.026 where the
+exact two-sided p is 0.050, overconfident by 2×),
+anova_oneway/brown_forsythe with small k·(n−1)
+within-dof, or any screening step whose BH family mixes thin and fat
+strata (BH ranks by p, so one overconfident thin-stratum p steals
+rejections from the rest of the family). The flip is a driver-side
+scalar swap — same aggregate, same plan, same cost — so when in
+doubt at small n, exact is free; it is not the default only because
+the oracle replay and the corpus-scale convention pin the normal
+form. The divergence and the agreement are both pytest-pinned
+(tests/test_stats.py::test_exact_tail_policy_thin_stratum).
 """
 
 from __future__ import annotations
@@ -479,7 +500,13 @@ def wilcoxon_signed_rank(df: DataFrame, col_a: str, col_b: str,
                 cum += c
                 n += c
                 ties += c * c * c - c
-            w = w2 / 2.0  # halving an exactly-converted double is exact
+            # w2 is exact (Python bignum); this true-division rounds
+            # it to the nearest double, which is lossy once
+            # w2 > 2^53 — n ≳ 1e8 nonzero diffs (w2 ~ n²/2), the same
+            # documented boundary class as mann_whitney's distributed
+            # tie sums. z/p assembly is float either way, so results
+            # stay bit-comparable cross-engine.
+            w = w2 / 2.0
             mu = n * (n + 1) / 4.0
             var = (n * (n + 1.0) * (2.0 * n + 1.0)) / 24.0 \
                 - ties / 48.0

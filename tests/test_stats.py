@@ -1659,3 +1659,33 @@ def test_partial_correlation_matches_residual_replay(spark):
     df2 = df.withColumn("c3", F.col("c1") * 2.0)
     with pytest.raises(ValueError, match="singular|collinear"):
         partial_correlation(df2, "a", "b", ["c1", "c3"])
+
+
+def test_exact_tail_policy_thin_stratum():
+    """The module-docstring exact-tail policy, quantified: at dof 10
+    the normal default reads p = 0.026 where the exact two-sided p is
+    0.050 — overconfident by 2x, enough to steal BH rejections from
+    the rest of the family — while at dof >= 200 normal and exact
+    agree to 2e-3 in p (~3% relative at p ~ 0.05) and the gap only
+    drops below the 1e-6 oracle hash grid at corpus dof ~1e6. These
+    are the numbers the policy note promises."""
+    from dask_ml_spark.functions.stats import _normal_sf_py, t_sf
+
+    # the dof-10 divergence at a decision-relevant t (p ~ 0.05)
+    t10 = 2.228  # t_{0.975, 10}
+    p_norm = 2.0 * _normal_sf_py(t10)
+    p_exact = 2.0 * t_sf(t10, 10.0)
+    assert p_exact > p_norm
+    assert 0.4 < (p_exact - p_norm) / p_exact < 0.55  # ~2x understated
+    assert 0.049 < p_exact < 0.051                    # it IS the 5% point
+    assert 0.025 < p_norm < 0.027                     # normal calls it 2.6%
+
+    # the dof-200 agreement bound
+    for t in (0.5, 1.0, 1.96, 2.6, 3.3):
+        assert abs(2.0 * t_sf(t, 200.0) - 2.0 * _normal_sf_py(t)) < 2e-3, t
+    # only near corpus dof ~1e6 does the gap cross the 1e-6 hash grid
+    for t in (0.5, 1.96, 3.3):
+        assert abs(2.0 * t_sf(t, 1_000_000.0)
+                   - 2.0 * _normal_sf_py(t)) < 1e-6, t
+        assert abs(2.0 * t_sf(t, 2000.0)
+                   - 2.0 * _normal_sf_py(t)) > 1e-6, t
