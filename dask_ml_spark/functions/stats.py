@@ -3019,3 +3019,128 @@ def kaplan_meier(df: DataFrame, duration_col: str, event_col: str,
         F.col("__d").cast("long").alias("n_events"),
         F.col("__c").cast("long").alias("n_censored"),
         survival.alias("survival"))
+
+
+def log_rank(df: DataFrame, duration_col: str, event_col: str,
+             group_col: str, groups=None,
+             max_driver_rows: int = 65536) -> DataFrame:
+    """Two-group log-rank (Mantel–Cox) test — the survival-family
+    hypothesis test next to kaplan_meier: do two cohorts share a
+    time-to-event distribution under right-censoring? (The question
+    every conversion/retention comparison actually asks; a Welch t on
+    raw durations is wrong under censoring because censored subjects
+    contribute "at least this long", not "exactly this long".)
+
+    At each distinct pooled EVENT time t with d_t ≥ 1 events:
+    n_it = subjects of group i at risk (duration ≥ t), d_it = events
+    of group i at t. O₁ = Σ d_1t, E₁ = Σ d_t·n_1t/n_t (the
+    hypergeometric mean), V = Σ d_t·(n_1t/n_t)·(n_2t/n_t)·
+    (n_t − d_t)/(n_t − 1) (skipping n_t < 2), z = (O₁ − E₁)/√V,
+    chi2 = z², p = the χ²₁ tail = 2·Φ̄(|z|) — elementary, the same
+    A&S normal form every engine replays bit-comparably.
+
+    Shape (the kaplan_meier skeleton): ONE groupBy(duration) over the
+    raw rows with per-group at-t and event-at-t conditional counts —
+    the irreducible pass; the risk-set suffix counts and the O/E/V
+    sums then run over the distinct-duration frame, driver-side in
+    ascending-t order when it fits ``max_driver_rows`` (bounded
+    limit-collect, integer counts → the float term sums are
+    bit-reproducible and SQL-replayable), else via the two-phase
+    prefix machine with the totals read off the LAST cumulative row
+    (prefix order is deterministic, so the distributed path sums in
+    the same ascending-t order — no nondeterministic double
+    reduction). Returns one row:
+    (n1, n2, observed1, expected1, z, chi2, p_value).
+    """
+    from dask_ml_spark.datapipe.packing import prefix_sum
+
+    if groups is None:
+        distinct = [r[0] for r in
+                    df.select(group_col).distinct().limit(3).collect()
+                    if r[0] is not None]
+        if len(distinct) != 2:
+            raise ValueError(
+                "log_rank: group_col must have exactly 2 non-null "
+                "groups, or pass groups=(a, b)")
+        g1, g2 = sorted(distinct)
+    else:
+        g1, g2 = groups
+    ev = F.col(event_col).cast("double")
+    kept = df.where(F.col(duration_col).isNotNull()
+                    & F.col(event_col).isNotNull()
+                    & F.col(group_col).isin([g1, g2]))
+    one = (F.col(group_col) == g1).cast("double")
+    two = (F.col(group_col) == g2).cast("double")
+    died = (ev != 0).cast("double")
+    g = (kept.groupBy(F.col(duration_col).cast("double").alias("__t"))
+         .agg(F.sum(one).alias("__n1"), F.sum(two).alias("__n2"),
+              F.sum(one * died).alias("__d1"),
+              F.sum(two * died).alias("__d2")))
+
+    def _emit_row(spark, n1t, n2t, o1, e1, v):
+        if not n1t or not n2t:
+            raise ValueError(
+                "log_rank: a group matched no rows — check the group "
+                "values (NULL groups are excluded)")
+        if v > 0.0:
+            z_v = (o1 - e1) / math.sqrt(v)
+            p_v = min(1.0, 2.0 * _normal_sf_py(abs(z_v)))
+        else:
+            z_v, p_v = 0.0, 1.0
+        return spark.createDataFrame([{
+            "n1": int(n1t), "n2": int(n2t), "observed1": float(o1),
+            "expected1": float(e1), "z": float(z_v),
+            "chi2": float(z_v * z_v), "p_value": float(p_v),
+        }]).select("n1", "n2", "observed1", "expected1", "z", "chi2",
+                   "p_value")
+
+    if max_driver_rows and max_driver_rows > 0:
+        g, head = _bounded_head(g, max_driver_rows)
+        if head is not None:
+            head.sort(key=lambda r: r["__t"])
+            tot1 = sum(int(r["__n1"]) for r in head)
+            tot2 = sum(int(r["__n2"]) for r in head)
+            b1 = b2 = 0
+            o1 = e1 = v = 0.0
+            for r in head:
+                r1, r2 = tot1 - b1, tot2 - b2
+                nt = r1 + r2
+                dt = int(r["__d1"]) + int(r["__d2"])
+                if dt > 0 and nt > 0:
+                    o1 += int(r["__d1"])
+                    e1 += dt * (r1 / nt)
+                    if nt >= 2:
+                        v += (dt * (r1 / nt) * (r2 / nt)
+                              * (nt - dt) / (nt - 1.0))
+                b1 += int(r["__n1"])
+                b2 += int(r["__n2"])
+            return _emit_row(df.sparkSession, tot1, tot2, o1, e1, v)
+    # distributed fallback: prefix the at-t counts, derive risk sets,
+    # prefix the O/E/V terms in the same ascending-t order, and read
+    # the totals off the max-t row (sum order stays deterministic)
+    g = prefix_sum(g, "__t", ["__n1", "__n2"], ["__b1", "__b2"])
+    tot = g.agg(F.sum("__n1").alias("__t1"), F.sum("__n2").alias("__t2"))
+    j = g.crossJoin(F.broadcast(tot))
+    r1 = F.col("__t1") - F.col("__b1")
+    r2 = F.col("__t2") - F.col("__b2")
+    nt = r1 + r2
+    dt = F.col("__d1") + F.col("__d2")
+    has = (dt > 0.0) & (nt > 0.0)
+    j = j.select(
+        "__t", "__t1", "__t2",
+        F.when(has, F.col("__d1")).otherwise(F.lit(0.0)).alias("__o"),
+        F.when(has, dt * (r1 / nt)).otherwise(F.lit(0.0)).alias("__e"),
+        F.when(has & (nt >= 2.0),
+               dt * (r1 / nt) * (r2 / nt) * (nt - dt) / (nt - 1.0))
+        .otherwise(F.lit(0.0)).alias("__v"))
+    j = prefix_sum(j, "__t", ["__o", "__e", "__v"],
+                   ["__co", "__ce", "__cv"])
+    last = (j.orderBy(F.col("__t").desc()).limit(1)
+            .select("__t1", "__t2",
+                    (F.col("__co") + F.col("__o")).alias("o1"),
+                    (F.col("__ce") + F.col("__e")).alias("e1"),
+                    (F.col("__cv") + F.col("__v")).alias("v"))
+            .collect()[0])
+    return _emit_row(df.sparkSession, int(last["__t1"]),
+                     int(last["__t2"]), float(last["o1"]),
+                     float(last["e1"]), float(last["v"]))

@@ -2222,6 +2222,123 @@ FROM st
 """
 
 
+
+def q_log_rank_conversion(spark, sf_dir):
+    """Two-group log-rank test (functions/stats.py::log_rank — the
+    survival-family hypothesis test next to kaplan_meier): do users
+    whose FIRST event was a click convert (first purchase) on a
+    different time-to-event distribution than everyone else, under
+    right-censoring at each user's last event? Cohorting is one
+    struct-min aggregate (deterministic (ts, event_id) tie-break, no
+    per-user window); the test is ONE groupBy(duration) with
+    per-group at-t / event-at-t counts, driver-side ascending-t
+    O/E/V assembly (integer counts -> bit-reproducible float terms).
+    The oracle replays the per-user cohorting with a row_number
+    window, the risk-set suffix counts via a window cumsum, and the
+    hypergeometric O/E/V sums."""
+    from dask_ml_spark.functions.stats import log_rank
+
+    ev = _t(spark, sf_dir, "events")
+    d = F.to_date(F.col("ts").cast("timestamp"))
+    per = ev.groupBy("user_id").agg(
+        F.min(d).alias("first_d"),
+        F.max(d).alias("last_d"),
+        F.min(F.when(F.col("event_type") == "purchase", d))
+        .alias("purch_d"),
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"]
+        .alias("ft"))
+    dur = F.when(F.col("purch_d").isNotNull(),
+                 F.datediff(F.col("purch_d"), F.col("first_d"))
+                 ).otherwise(F.datediff(F.col("last_d"),
+                                        F.col("first_d")))
+    subj = per.select(
+        dur.cast("double").alias("duration"),
+        F.col("purch_d").isNotNull().cast("int").alias("event"),
+        F.when(F.col("ft") == "click", F.lit("click_first"))
+        .otherwise(F.lit("other_first")).alias("grp"))
+    out = log_rank(subj, "duration", "event", "grp")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        "n1", "n2",
+        r6(F.col("observed1")).alias("observed1"),
+        r6(F.col("expected1")).alias("expected1"),
+        r6(F.col("z")).alias("z"),
+        r6(F.col("chi2")).alias("chi2"),
+        r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_log_rank_conversion() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    sf = _normal_sf_sql("abs(z)")
+    return f"""
+WITH per AS (
+    SELECT user_id,
+           min(CAST(ts AS DATE)) AS first_d,
+           max(CAST(ts AS DATE)) AS last_d,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ts AS DATE) END) AS purch_d
+    FROM events GROUP BY user_id
+), ranked AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), firsts AS (
+    SELECT user_id, event_type AS ft FROM ranked WHERE rn = 1
+), subj AS (
+    -- group 1 = 'click_first' (log_rank sorts the two labels)
+    SELECT CASE WHEN purch_d IS NOT NULL
+                THEN date_diff('day', first_d, purch_d)
+                ELSE date_diff('day', first_d, last_d) END::DOUBLE AS t,
+           CASE WHEN purch_d IS NOT NULL THEN 1.0 ELSE 0.0 END AS e,
+           CASE WHEN f.ft = 'click' THEN 0.0 ELSE 1.0 END AS is2
+    FROM per JOIN firsts f USING (user_id)
+), g AS (
+    SELECT t, sum(1.0 - is2) AS n1, sum(is2) AS n2,
+           sum((1.0 - is2) * e) AS d1, sum(is2 * e) AS d2
+    FROM subj GROUP BY t
+), c AS (
+    SELECT *,
+           (SELECT sum(n1) FROM g)
+             - coalesce(sum(n1) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0.0) AS r1,
+           (SELECT sum(n2) FROM g)
+             - coalesce(sum(n2) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0.0) AS r2
+    FROM g
+), terms AS (
+    SELECT CASE WHEN d1 + d2 > 0 THEN d1 ELSE 0.0 END AS o,
+           CASE WHEN d1 + d2 > 0 AND r1 + r2 > 0
+                THEN (d1 + d2) * (r1 / (r1 + r2)) ELSE 0.0 END AS ee,
+           CASE WHEN d1 + d2 > 0 AND r1 + r2 >= 2
+                THEN (d1 + d2) * (r1 / (r1 + r2)) * (r2 / (r1 + r2))
+                     * ((r1 + r2) - (d1 + d2)) / ((r1 + r2) - 1.0)
+                ELSE 0.0 END AS vv
+    FROM c
+), s AS (
+    SELECT (SELECT sum(n1) FROM g)::BIGINT AS n1,
+           (SELECT sum(n2) FROM g)::BIGINT AS n2,
+           sum(o) AS o1, sum(ee) AS e1, sum(vv) AS v
+    FROM terms
+), zz AS (
+    SELECT *, CASE WHEN v > 0.0 THEN (o1 - e1) / sqrt(v)
+                   ELSE 0.0 END AS z
+    FROM s
+)
+SELECT n1, n2,
+       floor(o1 * 1e6 + 0.5) / 1e6 AS observed1,
+       floor(e1 * 1e6 + 0.5) / 1e6 AS expected1,
+       floor(z * 1e6 + 0.5) / 1e6 AS z,
+       floor(z * z * 1e6 + 0.5) / 1e6 AS chi2,
+       floor(CASE WHEN v > 0.0 THEN least(1.0, 2.0 * {sf})
+                  ELSE 1.0 END * 1e6 + 0.5) / 1e6 AS p_value
+FROM zz
+"""
+
+
 def catalog_queries():
     """This family's queries() entries (order preserved by __init__)."""
     return {
@@ -2256,6 +2373,7 @@ def catalog_queries():
         "mutual_information_events": q_mutual_information_events,
         "feature_corr_matrix": q_feature_corr_matrix,
         "kaplan_meier_conversion": q_kaplan_meier_conversion,
+        "log_rank_conversion": q_log_rank_conversion,
     }
 
 
@@ -2294,4 +2412,5 @@ def catalog_oracles():
         "mutual_information_events": SQL_MUTUAL_INFORMATION_EVENTS,
         "feature_corr_matrix": SQL_FEATURE_CORR_MATRIX,
         "kaplan_meier_conversion": SQL_KAPLAN_MEIER_CONVERSION,
+        "log_rank_conversion": _sql_log_rank_conversion(),
     }

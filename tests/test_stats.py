@@ -1689,3 +1689,92 @@ def test_exact_tail_policy_thin_stratum():
                    - 2.0 * _normal_sf_py(t)) < 1e-6, t
         assert abs(2.0 * t_sf(t, 2000.0)
                    - 2.0 * _normal_sf_py(t)) > 1e-6, t
+
+
+def _log_rank_brute(rows):
+    """Independent ascending-t replay of the Mantel–Cox O/E/V sums.
+    rows: (duration, event 0/1, group 'a'|'b') — 'a' is group 1."""
+    import math as _math
+
+    times = sorted({t for t, _, _ in rows})
+    o1 = e1 = v = 0.0
+    for t in times:
+        r1 = sum(1 for d, _, g in rows if d >= t and g == "a")
+        r2 = sum(1 for d, _, g in rows if d >= t and g == "b")
+        d1 = sum(1 for d, e, g in rows if d == t and e and g == "a")
+        d2 = sum(1 for d, e, g in rows if d == t and e and g == "b")
+        nt, dt = r1 + r2, d1 + d2
+        if dt > 0 and nt > 0:
+            o1 += d1
+            e1 += dt * (r1 / nt)
+            if nt >= 2:
+                v += dt * (r1 / nt) * (r2 / nt) * (nt - dt) / (nt - 1.0)
+    z = (o1 - e1) / _math.sqrt(v) if v > 0 else 0.0
+    return o1, e1, v, z
+
+
+def test_log_rank_matches_bruteforce(spark):
+    """Random ties + censoring, driver path vs the quadratic replay,
+    plus the χ²₁ tail identity p = 2·Φ̄(|z|)."""
+    from dask_ml_spark.functions.stats import _normal_sf_py, log_rank
+
+    rng = np.random.RandomState(41)
+    rows = [(float(rng.randint(0, 25)), int(rng.rand() < 0.7),
+             "a" if rng.rand() < 0.45 else "b") for _ in range(400)]
+    df = spark.createDataFrame(rows, ["dur", "ev", "g"])
+    r = log_rank(df, "dur", "ev", "g").collect()[0]
+    o1, e1, v, z = _log_rank_brute(rows)
+    assert r["n1"] == sum(1 for _, _, g in rows if g == "a")
+    assert r["n2"] == sum(1 for _, _, g in rows if g == "b")
+    assert abs(r["observed1"] - o1) < 1e-9
+    assert abs(r["expected1"] - e1) < 1e-9
+    assert abs(r["z"] - z) < 1e-9
+    assert abs(r["chi2"] - z * z) < 1e-9
+    assert abs(r["p_value"]
+               - min(1.0, 2.0 * _normal_sf_py(abs(r["z"])))) < 1e-15
+
+
+def test_log_rank_distributed_fallback_parity(spark):
+    """max_driver_rows=0 forces the prefix-machine path; totals must
+    match the driver path to float reproduction."""
+    from dask_ml_spark.functions.stats import log_rank
+
+    rng = np.random.RandomState(43)
+    rows = [(float(rng.randint(0, 40)), int(rng.rand() < 0.6),
+             "x" if rng.rand() < 0.5 else "y") for _ in range(500)]
+    df = spark.createDataFrame(rows, ["dur", "ev", "g"])
+    a = log_rank(df, "dur", "ev", "g").collect()[0]
+    b = log_rank(df, "dur", "ev", "g", max_driver_rows=0).collect()[0]
+    assert (a["n1"], a["n2"]) == (b["n1"], b["n2"])
+    for c in ("observed1", "expected1", "z", "chi2", "p_value"):
+        assert abs(a[c] - b[c]) < 1e-12, c
+
+
+def test_log_rank_properties(spark):
+    """Identical groups → z == 0 exactly (symmetric risk sets);
+    a strongly separated pair rejects; censoring-vs-event asymmetry
+    moves the statistic; bad group column raises."""
+    from dask_ml_spark.functions.stats import log_rank
+
+    rows = [(float(t), 1, g) for t in range(1, 21)
+            for g in ("a", "b")]
+    df = spark.createDataFrame(rows, ["dur", "ev", "g"])
+    r = log_rank(df, "dur", "ev", "g").collect()[0]
+    assert abs(r["z"]) < 1e-12 and r["p_value"] > 0.999
+
+    # group b survives uniformly longer — large |z|, tiny p
+    rows2 = ([(float(t), 1, "a") for t in range(1, 31)]
+             + [(float(t + 30), 1, "b") for t in range(1, 31)])
+    df2 = spark.createDataFrame(rows2, ["dur", "ev", "g"])
+    r2 = log_rank(df2, "dur", "ev", "g").collect()[0]
+    assert r2["chi2"] > 30 and r2["p_value"] < 1e-6
+    # all of group a's events happen first — O1 > E1? No: a dies
+    # early so observed events at early times are all a's, and the
+    # brute replay is the arbiter (direction pinned by it)
+    o1, e1, _, z = _log_rank_brute([(d, e, g) for d, e, g in rows2])
+    assert abs(r2["z"] - z) < 1e-9
+
+    with pytest.raises(ValueError, match="exactly 2"):
+        log_rank(df.where(F.col("g") == "a"), "dur", "ev", "g")
+    with pytest.raises(ValueError, match="matched no rows"):
+        log_rank(df, "dur", "ev", "g", groups=("nope", "nah"))
