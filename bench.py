@@ -224,7 +224,8 @@ HEADLINE = [
     "changepoint_event_value",      # binned mean-shift drift monitor
     "trend_event_value",            # Mann-Kendall + Sen slope (binned)
     "isotonic_price_curve",         # binned minimax-PAV monotone fit
-    "ks_drift_daily",               # windowed KS drift vs reference
+    "ks_drift_daily",
+    "addrift_daily",                # tail-sensitive AD shape drift               # windowed KS drift vs reference
     "psi_drift_daily",              # windowed PSI vs reference
     "catdrift_daily",               # categorical-mix PSI + OTHER bucket
     "zdrift_daily",                 # windowed mean/variance z-drift

@@ -123,6 +123,64 @@ def _ks_p_sql(lam: str) -> str:
     return (f"least(1.0, greatest(0.0, 2.0 * (0.0 {' '.join(terms)})))")
 
 
+# Marsaglia & Marsaglia (2004), "Evaluating the Anderson-Darling
+# distribution": adinf(z) approximates the limiting CDF of A² for a
+# FULLY SPECIFIED null (case 0 — exactly the fixed-reference monitor
+# setting) to ~6-7 digits with two elementary literal-coefficient
+# branches. Elementary means every engine (Column expr, SQL oracle,
+# driver Python) replays it bit-comparably — the same property the
+# A&S normal form and the Kolmogorov series were chosen for.
+_AD_LO = (2.00012, 0.247105, -0.0649821, 0.0347962, -0.011672,
+          0.00168691)
+_AD_HI = (1.0776, -2.30695, 0.43424, -0.082433, 0.008056, -0.0003146)
+
+
+def _ad_poly(z, coefs, lit, mul):
+    # Horner from the highest coefficient, shared literal order
+    acc = lit(coefs[-1])
+    for c in reversed(coefs[:-1]):
+        acc = lit(c) + mul(acc, z)
+    return acc
+
+
+def ad_p_expr(a2: Column) -> Column:
+    """Upper tail P(A² > a2) = 1 − adinf(a2), Marsaglia 2004 form:
+    z < 2:  adinf = z^{−1/2}·e^{−1.2337141/z}·P_lo(z)
+    z ≥ 2:  adinf = exp(−exp(P_hi(z)))
+    clamped to [0, 1]; a2 ≤ 0 → p = 1."""
+    lo = (F.exp(F.lit(-1.2337141) / a2) / F.sqrt(a2)
+          * _ad_poly(a2, _AD_LO, F.lit, lambda a, z: a * z))
+    hi = F.exp(-F.exp(_ad_poly(a2, _AD_HI, F.lit, lambda a, z: a * z)))
+    cdf = F.when(a2 <= 0.0, F.lit(0.0)).when(a2 < 2.0, lo).otherwise(hi)
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), 1.0 - cdf))
+
+
+def _ad_p_sql(a2: str) -> str:
+    def poly(coefs):
+        acc = repr(coefs[-1])
+        for c in reversed(coefs[:-1]):
+            acc = f"({c!r} + ({acc}) * {a2})"
+        return acc
+
+    lo = (f"(exp(-1.2337141 / {a2}) / sqrt({a2}) * {poly(_AD_LO)})")
+    hi = f"exp(-exp({poly(_AD_HI)}))"
+    return (f"least(1.0, greatest(0.0, 1.0 - "
+            f"CASE WHEN {a2} <= 0.0 THEN 0.0 "
+            f"WHEN {a2} < 2.0 THEN {lo} ELSE {hi} END))")
+
+
+def _ad_p_py(a2: float) -> float:
+    if a2 <= 0.0:
+        return 1.0
+    if a2 < 2.0:
+        cdf = (math.exp(-1.2337141 / a2) / math.sqrt(a2)
+               * _ad_poly(a2, _AD_LO, float, lambda a, z: a * z))
+    else:
+        cdf = math.exp(-math.exp(
+            _ad_poly(a2, _AD_HI, float, lambda a, z: a * z)))
+    return min(1.0, max(0.0, 1.0 - cdf))
+
+
 def _bounded_head(g: DataFrame, cap: int):
     """The bounded driver-path probe shared by every distinct-value
     cumulative (ks/mwu/kaplan/spearman/roc_auc): localCheckpoint FIRST

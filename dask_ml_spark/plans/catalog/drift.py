@@ -214,6 +214,96 @@ FROM d
 """
 
 
+def q_addrift_daily(spark, sf_dir):
+    """Anderson–Darling drift per daily window (streaming/drift.py::
+    ad_drift — the tail-sensitive shape monitor: each squared ECDF gap
+    is divided by F₀(1−F₀), amplifying exactly the tail moves KS's
+    uniform sup-norm barely sees). Same one-windowed-aggregation shape
+    as ks_drift (K−1 conditional sums + a stateless array-HOF
+    projection), so it inherits append-mode streaming legality. The
+    oracle recomputes the reference CDF and replays every window's
+    grid quadrature and the Marsaglia two-branch tail."""
+    from dask_ml_spark.streaming.drift import ad_drift, reference_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    ref = reference_histogram(
+        ev.where(F.col("ts") < F.lit(DRIFT_REF_END)), "value",
+        bins=DRIFT_BINS)
+    out = ad_drift(ev, "value", "ts", ref, window="1 day")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "n", r6(F.col("a2")).alias("a2"),
+        r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_addrift_daily() -> str:
+    from dask_ml_spark.functions.stats import _ad_p_sql
+
+    K = DRIFT_BINS
+    les = ",\n           ".join(
+        f"sum(CASE WHEN bkt <= {k} THEN 1.0 ELSE 0.0 END) AS le{k}"
+        for k in range(K - 1))
+    ref_les = ", ".join(
+        f"sum(CASE WHEN bkt <= {k} THEN 1.0 ELSE 0.0 END) AS rle{k}"
+        for k in range(K - 1))
+    # rc{k}: the reference CDF edge value, exactly the engine's
+    # Python literal (same counts/n division)
+    rcs = ", ".join(f"rle{k} / rn AS rc{k}" for k in range(K - 1))
+
+    def rc(k):
+        if k < 0:
+            return "0.0"
+        if k > K - 2:
+            return "1.0"
+        return f"(SELECT rc{k} FROM refq)"
+
+    # mirror the engine fold: diff² first, then · g, summed in
+    # ascending-k order from a 0.0 seed, finally · n
+    terms = " + ".join(
+        f"""CASE WHEN {rc(k)} > 0.0 AND {rc(k)} < 1.0
+             THEN ((le{k} / n::DOUBLE - {rc(k)})
+                   * (le{k} / n::DOUBLE - {rc(k)}))
+                  * (({rc(k + 1)} - {rc(k - 1)}) * 0.5
+                     / ({rc(k)} * (1.0 - {rc(k)})))
+             ELSE 0.0 END"""
+        for k in range(K - 1))
+    p = _ad_p_sql("a2")
+    return f"""
+WITH kept AS (
+    SELECT ts, value::DOUBLE AS v FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+), lim AS (
+    SELECT min(v) AS lo, max(v) AS hi FROM kept
+    WHERE ts < TIMESTAMP '{DRIFT_REF_END} 00:00:00'
+), w AS (SELECT lo, CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END AS wd
+         FROM lim),
+bk AS (
+    SELECT ts, greatest(0, least({K - 1},
+               CAST(floor((v - (SELECT lo FROM w))
+                          / (SELECT wd FROM w) * {K}) AS INTEGER)))
+               AS bkt
+    FROM kept
+), refcum AS MATERIALIZED (
+    SELECT count(*)::DOUBLE AS rn, {ref_les}
+    FROM bk WHERE ts < TIMESTAMP '{DRIFT_REF_END} 00:00:00'
+), refq AS MATERIALIZED (
+    SELECT {rcs} FROM refcum
+), win AS (
+    SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n,
+           {les}
+    FROM bk GROUP BY 1
+), a AS MATERIALIZED (
+    SELECT day, n, n::DOUBLE * (0.0 + {terms}) AS a2
+    FROM win
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n,
+       floor(a2 * 1e6 + 0.5) / 1e6 AS a2,
+       floor({p} * 1e6 + 0.5) / 1e6 AS p_value
+FROM a
+"""
+
+
 def q_psi_drift_daily(spark, sf_dir):
     """Population Stability Index per daily window (streaming/
     drift.py::psi_drift — the model-monitoring industry's standard
@@ -838,6 +928,7 @@ def catalog_queries():
     return {
         "quality_drift": q_quality_drift,
         "ks_drift_daily": q_ks_drift_daily,
+        "addrift_daily": q_addrift_daily,
         "psi_drift_daily": q_psi_drift_daily,
         "catdrift_daily": q_catdrift_daily,
         "zdrift_daily": q_zdrift_daily,
@@ -855,6 +946,7 @@ def catalog_oracles():
     return {
         "quality_drift": SQL_QUALITY_DRIFT,
         "ks_drift_daily": _sql_ks_drift_daily(),
+        "addrift_daily": _sql_addrift_daily(),
         "psi_drift_daily": _sql_psi_drift_daily(),
         "catdrift_daily": _sql_catdrift_daily(),
         "zdrift_daily": _sql_zdrift_daily(),

@@ -5,6 +5,9 @@ batch corpora; a 100 TB ingest pipeline wants the same answer PER
 ARRIVAL WINDOW, continuously, for every way a feed can rot:
 
 - ``ks_drift``     — distribution SHAPE vs a reference histogram
+- ``ad_drift``     — distribution TAILS: the Anderson–Darling-weighted
+  quadratic ECDF distance, which amplifies the shape gaps KS's
+  uniform sup-norm barely sees (clipping bugs, outlier influx)
 - ``psi_drift``    — distribution MASS (the PSI score, numeric)
 - ``categorical_drift`` — category MIX, with an OTHER bucket for
   categories unseen at fit time
@@ -145,6 +148,70 @@ def ks_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
                  .withColumn("__lam", F.col("__d") * F.sqrt(n)),
                  F.col("__d").alias("d_stat"),
                  ks_p_expr(F.col("__lam")).alias("p_value"))
+
+
+def ad_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
+             window: str = "1 hour",
+             watermark: str | None = None) -> DataFrame:
+    """One-sample binned ANDERSON–DARLING drift per tumbling window
+    against ``ref`` (a reference_histogram fit) — the tail-sensitive
+    member of the shape family: KS weights every ECDF gap equally, so
+    a pure tail shift (the top/bottom percentile fattening while the
+    bulk holds — exactly what a clipping bug or an outlier influx
+    looks like) barely moves D; AD divides each squared gap by
+    F₀(1−F₀), amplifying the tails where that product vanishes.
+
+    Statistic (the grouped-data quadrature of n·∫(Fn−F₀)²/(F₀(1−F₀))
+    dF₀ on the reference grid): at each interior bucket edge k with
+    reference CDF c_k ∈ (0,1),
+      A² = n · Σ_k (Fn_k − c_k)² · g_k,
+      g_k = (c_{k+1} − c_{k−1})·0.5 / (c_k·(1 − c_k))
+    with c_0 = 0, c_K = 1 (centered dF₀ mass attribution); edges
+    where c_k ∉ (0,1) (empty reference edge buckets) contribute 0 —
+    their mass reappears at the first interior edge, the clamped-
+    bucket convention every monitor here shares. Like binned KS the
+    grid quadrature converges to the exact A² as K grows on smooth
+    references (pytest-pinned against the continuous formula on
+    uniform data); p = the Marsaglia 2004 elementary two-branch tail
+    (functions/stats.py::ad_p_expr — exact for the FIXED-reference
+    case 0 null, which is precisely this monitor's setting).
+
+    Same scale shape as ks_drift: ONE groupBy(window(ts)) of K−1
+    conditional sums, then a stateless projection — the Fn/constant
+    arrays fold via zip_with/aggregate (constant expression-tree
+    depth in K, the categorical_drift 512-cap lesson), append-mode
+    streaming legal with a watermark, identical code path on batch
+    (what the SQL oracle replays). Returns
+    (window_start, n, a2, p_value) per window.
+    """
+    from dask_ml_spark.functions.stats import ad_p_expr
+
+    bins = int(ref["bins"])
+    cum = [float(c) for c in ref["cum"]]
+    lo = float(ref["lo"])
+    width = (float(ref["hi"]) - lo) or 1.0
+    # g_k precomputed as ONE literal per edge (engine-reproducible:
+    # the oracle replays this exact arithmetic from its own cum)
+    full = [0.0] + cum + [1.0]
+    g = [((full[k + 2] - full[k]) * 0.5 / (c * (1.0 - c))
+          if 0.0 < c < 1.0 else 0.0)
+         for k, c in enumerate(cum)]
+    v, kept = _numeric_kept(df, value_col)
+    b = _bucket_expr(v, lo, width, bins)
+    agg = _window_agg(kept, ts_col, window, watermark,
+                      [F.sum((b <= k).cast("double")).alias(f"__le{k}")
+                       for k in range(bins - 1)])
+    n = F.col("n").cast("double")
+    le_arr = F.array(*[F.col(f"__le{k}") for k in range(bins - 1)])
+    cum_arr = F.array(*[F.lit(c) for c in cum])
+    g_arr = F.array(*[F.lit(x) for x in g])
+    d2 = F.zip_with(le_arr, cum_arr,
+                    lambda le, c: (le / n - c) * (le / n - c))
+    terms = F.zip_with(d2, g_arr, lambda x, gk: x * gk)
+    a2 = n * F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return _emit(agg.withColumn("__a2", a2),
+                 F.col("__a2").alias("a2"),
+                 ad_p_expr(F.col("__a2")).alias("p_value"))
 
 
 def psi_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
