@@ -794,3 +794,51 @@ def vocab_coverage(df: DataFrame, vocab, text_col: str = "text",
         F.count("*").alias("n_tokens"),
         F.round(F.avg((~in_vocab).cast("double")), 6).alias("oov_rate"),
         F.round(F.avg(F.length("token")), 6).alias("chars_per_token")))
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text",
+             xmin: int = 2) -> DataFrame:
+    """Discrete power-law (Zipf) MLE over the corpus token-frequency
+    distribution — the corpus-health screen next to
+    source_concentration: natural-language corpora follow
+    P(count = x) ∝ x^(−α) with α ≈ 2 (Zipf); a crawl whose α drifts
+    low is template/boilerplate-heavy (fat tail of repeated tokens),
+    one drifting high is fragmenting (OCR noise, tokenizer mismatch —
+    mass collapsing into singletons). Fitted α also feeds synthetic
+    load models and vocabulary-size planning.
+
+    Estimator (Clauset–Shalizi–Newman 2009, the discrete MLE's
+    continuous approximation): over distinct tokens with count
+    x ≥ xmin,  α̂ = 1 + m / Σ ln(x_i / (xmin − 0.5)),
+    se = (α̂ − 1)/√m  — m = tail type count. Deterministic, so it
+    oracles directly.
+
+    Shape: the unigram explode + groupBy(token) count (the
+    irreducible corpus pass, shared convention with
+    unigram_logprob_scores), then ONE aggregate over the counts frame
+    (type counts, token total, the conditional log-sum) and a
+    stateless projection — α never touches the driver. Returns one
+    row: (n_types, n_types_tail, n_tokens, xmin, alpha, se).
+    """
+    if xmin < 1:
+        raise ValueError("xmin must be >= 1")
+    toks = df.select(F.explode(tokens_expr(F.col(text_col)))
+                     .alias("token"))
+    lm = toks.groupBy("token").agg(F.count("*").alias("c"))
+    tail = (F.col("c") >= xmin).cast("double")
+    agg = lm.agg(
+        F.count("*").alias("n_types"),
+        F.sum(tail).alias("m_d"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(tail * F.log(F.col("c") / F.lit(xmin - 0.5)))
+        .alias("s"))
+    ok = (F.col("m_d") > 0.0) & (F.col("s") > 0.0)
+    alpha = F.when(ok, 1.0 + F.col("m_d") / F.col("s"))
+    return agg.select(
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("m_d").cast("long").alias("n_types_tail"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.lit(int(xmin)).alias("xmin"),
+        alpha.alias("alpha"),
+        F.when(ok, (F.col("m_d") / F.col("s"))
+               / F.sqrt(F.col("m_d"))).alias("se"))

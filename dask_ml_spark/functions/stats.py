@@ -3202,3 +3202,56 @@ def log_rank(df: DataFrame, duration_col: str, event_col: str,
     return _emit_row(df.sparkSession, int(last["__t1"]),
                      int(last["__t2"]), float(last["o1"]),
                      float(last["e1"]), float(last["v"]))
+
+
+def cohens_d(df: DataFrame, value_col: str, group_col: str,
+             groups=None) -> DataFrame:
+    """Standardized two-group effect size — the magnitude companion
+    every welch_ttest/BH sweep needs at corpus scale, where n makes
+    EVERYTHING significant and the decision question becomes "is the
+    difference big enough to matter?" (The established rank-side
+    analogue here is rank_biserial on U; this is the parametric one.)
+
+    d = (m1 − m2) / s_p with the pooled SD
+    s_p = √(((n1−1)v1 + (n2−1)v2)/(n1 + n2 − 2)), and Hedges'
+    small-sample correction g = d·J, J = 1 − 3/(4(n1+n2) − 9).
+    Rule-of-thumb bands (Cohen 1988): 0.2 small / 0.5 medium /
+    0.8 large.
+
+    Shape: the welch_ttest aggregate — ONE conditional-sum pass over
+    the raw rows — followed by a stateless projection (no collect, no
+    second job). Returns one row:
+    (n1, n2, mean_diff, pooled_sd, d, hedges_g).
+    """
+    v = F.col(value_col).cast("double")
+    if groups is None:
+        _, g1, g2 = _two_group_counts(df, value_col, group_col, None)
+    else:
+        g1, g2 = groups
+    kept = df.where(v.isNotNull() & ~F.isnan(v)
+                    & F.col(group_col).isin([g1, g2]))
+    one = (F.col(group_col) == g1).cast("double")
+    two = (F.col(group_col) == g2).cast("double")
+    agg = kept.agg(
+        F.sum(one).alias("n1_d"), F.sum(two).alias("n2_d"),
+        F.sum(one * v).alias("s1"), F.sum(two * v).alias("s2"),
+        F.sum(one * v * v).alias("q1"), F.sum(two * v * v).alias("q2"))
+    n1, n2 = F.col("n1_d"), F.col("n2_d")
+    m1, m2 = F.col("s1") / n1, F.col("s2") / n2
+    v1 = (F.col("q1") - n1 * m1 * m1) / (n1 - 1.0)
+    v2 = (F.col("q2") - n2 * m2 * m2) / (n2 - 1.0)
+    sp2 = ((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0)
+    ok = (n1 >= 2.0) & (n2 >= 2.0) & (sp2 > 0.0)
+    sp = F.when(ok, F.sqrt(sp2))
+    d = (m1 - m2) / sp
+    j = 1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)
+
+    def grd(c):
+        return _nonempty_guard(n1, n2, c, "cohens_d")
+
+    return agg.select(
+        n1.cast("long").alias("n1"), n2.cast("long").alias("n2"),
+        grd(m1 - m2).alias("mean_diff"),
+        grd(sp).alias("pooled_sd"),
+        grd(d).alias("d"),
+        grd(d * j).alias("hedges_g"))

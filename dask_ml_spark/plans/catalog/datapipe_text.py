@@ -2139,6 +2139,45 @@ SELECT kept.doc_id, kept.n_chars, kept.source FROM kept JOIN en USING (doc_id)
 """
 
 
+
+def q_zipf_token_fit(spark, sf_dir):
+    """Discrete power-law (Zipf) MLE over the token-frequency
+    distribution (datapipe/text_stats.py::zipf_fit — the corpus-health
+    screen: alpha drifting low = template-heavy crawl, high =
+    fragmenting tokens). One explode + groupBy(token) + ONE aggregate;
+    alpha/se are a stateless projection, never collected. The oracle
+    replays the tokenization, counts, and the CSN log-sum estimator."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TS.zipf_fit(docs, xmin=2)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n_types", "n_types_tail", "n_tokens", "xmin",
+                      r6(F.col("alpha")).alias("alpha"),
+                      r6(F.col("se")).alias("se"))
+
+
+SQL_ZIPF_TOKEN_FIT = f"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))
+        AS token
+    FROM documents
+), lm AS (
+    SELECT token, count(*)::DOUBLE AS c FROM toks GROUP BY token
+), a AS (
+    SELECT count(*)::BIGINT AS n_types,
+           sum(CASE WHEN c >= 2 THEN 1.0 ELSE 0.0 END) AS m,
+           sum(c)::BIGINT AS n_tokens,
+           sum(CASE WHEN c >= 2 THEN ln(c / 1.5) ELSE 0.0 END) AS s
+    FROM lm
+)
+SELECT n_types, m::BIGINT AS n_types_tail, n_tokens, 2 AS xmin,
+       floor(CASE WHEN m > 0 AND s > 0 THEN 1.0 + m / s END
+             * 1e6 + 0.5) / 1e6 AS alpha,
+       floor(CASE WHEN m > 0 AND s > 0 THEN (m / s) / sqrt(m) END
+             * 1e6 + 0.5) / 1e6 AS se
+FROM a
+"""
+
+
 def catalog_queries():
     """This family's queries() entries (order preserved by __init__)."""
     return {
@@ -2187,6 +2226,7 @@ def catalog_queries():
         "epoch_plan": q_epoch_plan,
         "table_profile": q_table_profile,
         "unigram_logprob": q_unigram_logprob,
+        "zipf_token_fit": q_zipf_token_fit,
         "bigram_logprob": q_bigram_logprob,
         "table_profile_approx": q_table_profile_approx,
         "copurchase_triangles": q_copurchase_triangles,
@@ -2218,6 +2258,7 @@ def catalog_oracles():
         "table_profile": _sql_table_profile(),
         "table_profile_approx": "SELECT *, TRUE AS hll_ok FROM (" + _sql_table_profile() + ")",
         "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+        "zipf_token_fit": SQL_ZIPF_TOKEN_FIT,
         "bigram_logprob": SQL_BIGRAM_LOGPROB,
         "source_token_quota": SQL_SOURCE_TOKEN_QUOTA,
         "corpus_manifest": SQL_CORPUS_MANIFEST,

@@ -2339,6 +2339,65 @@ FROM zz
 """
 
 
+
+def q_cohens_d_price(spark, sf_dir):
+    """Standardized effect size (functions/stats.py::cohens_d) for the
+    returned-vs-kept price difference the welch_ttest_price query
+    tests: at corpus n everything is significant, d answers whether
+    the gap MATTERS (Cohen bands 0.2/0.5/0.8). Same ONE conditional-
+    sum aggregate as welch, stateless projection, no collect. The
+    oracle replays pooled variance, d, and the Hedges J correction."""
+    from dask_ml_spark.functions.stats import cohens_d
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = cohens_d(li, "l_extendedprice", "l_returnflag",
+                   groups=("N", "R"))
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        "n1", "n2",
+        r6(F.col("mean_diff")).alias("mean_diff"),
+        r6(F.col("pooled_sd")).alias("pooled_sd"),
+        (F.floor(F.col("d") * 1e9 + F.lit(0.5)) / 1e9).alias("d"),
+        (F.floor(F.col("hedges_g") * 1e9 + F.lit(0.5)) / 1e9)
+        .alias("hedges_g"))
+
+
+SQL_COHENS_D_PRICE = """
+WITH k AS (
+    SELECT l_extendedprice::DOUBLE AS v,
+           CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS one,
+           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS two
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+      AND NOT isnan(l_extendedprice::DOUBLE)
+      AND l_returnflag IN ('N', 'R')
+), a AS (
+    SELECT sum(one) AS n1, sum(two) AS n2,
+           sum(one * v) AS s1, sum(two * v) AS s2,
+           sum(one * v * v) AS q1, sum(two * v * v) AS q2
+    FROM k
+), m AS (
+    SELECT n1, n2, s1/n1 - s2/n2 AS diff,
+           ((n1 - 1.0) * ((q1 - n1 * (s1/n1) * (s1/n1)) / (n1 - 1.0))
+            + (n2 - 1.0) * ((q2 - n2 * (s2/n2) * (s2/n2)) / (n2 - 1.0)))
+           / (n1 + n2 - 2.0) AS sp2
+    FROM a
+), d AS (
+    SELECT n1, n2, diff,
+           CASE WHEN n1 >= 2 AND n2 >= 2 AND sp2 > 0.0
+                THEN sqrt(sp2) END AS sp
+    FROM m
+)
+SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+       floor(diff * 1e6 + 0.5) / 1e6 AS mean_diff,
+       floor(sp * 1e6 + 0.5) / 1e6 AS pooled_sd,
+       floor((diff / sp) * 1e9 + 0.5) / 1e9 AS d,
+       floor((diff / sp) * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
+             * 1e9 + 0.5) / 1e9 AS hedges_g
+FROM d
+"""
+
+
 def catalog_queries():
     """This family's queries() entries (order preserved by __init__)."""
     return {
@@ -2374,6 +2433,7 @@ def catalog_queries():
         "feature_corr_matrix": q_feature_corr_matrix,
         "kaplan_meier_conversion": q_kaplan_meier_conversion,
         "log_rank_conversion": q_log_rank_conversion,
+        "cohens_d_price": q_cohens_d_price,
     }
 
 
@@ -2413,4 +2473,5 @@ def catalog_oracles():
         "feature_corr_matrix": SQL_FEATURE_CORR_MATRIX,
         "kaplan_meier_conversion": SQL_KAPLAN_MEIER_CONVERSION,
         "log_rank_conversion": _sql_log_rank_conversion(),
+        "cohens_d_price": SQL_COHENS_D_PRICE,
     }

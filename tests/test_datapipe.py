@@ -2903,3 +2903,44 @@ def test_concentration_profile(spark):
         concentration_profile(
             spark.createDataFrame([(str(i),) for i in range(30)],
                                   "g string"), "g", max_groups=10)
+
+
+def test_zipf_fit_bruteforce_and_recovery(spark):
+    """Hand-computable counts replay the CSN estimator exactly; a
+    corpus synthesized FROM a Zipf(alpha=2) law recovers alpha within
+    a few standard errors; degenerate all-singleton corpora emit NULL
+    alpha rather than a division blow-up."""
+    import math
+
+    import numpy as np
+
+    from dask_ml_spark.datapipe.text_stats import zipf_fit
+
+    # hand case: counts {aa:4, bb:2, cc:1} with xmin=2 -> m=2,
+    # s = ln(4/1.5)+ln(2/1.5)
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "aa bb aa")], ["doc_id", "text"])
+    r = zipf_fit(docs, xmin=2).collect()[0]
+    s = math.log(4 / 1.5) + math.log(2 / 1.5)
+    assert (r["n_types"], r["n_types_tail"], r["n_tokens"]) == (3, 2, 7)
+    assert abs(r["alpha"] - (1.0 + 2.0 / s)) < 1e-12
+    assert abs(r["se"] - (2.0 / s) / math.sqrt(2.0)) < 1e-12
+
+    # recovery: token counts drawn from P(x) ∝ x^-2 (discrete zeta),
+    # document = each token repeated count times
+    rng = np.random.RandomState(5)
+    counts = rng.zipf(2.0, size=3000)
+    counts = counts[counts <= 10000]
+    text = " ".join(f"tk{i:05d} " * int(c) for i, c in enumerate(counts))
+    docs2 = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r2 = zipf_fit(docs2, xmin=2).collect()[0]
+    assert abs(r2["alpha"] - 2.0) < 4.0 * r2["se"] + 0.05
+    assert 1.7 < r2["alpha"] < 2.3
+
+    # degenerate: all singletons -> NULL alpha/se
+    docs3 = spark.createDataFrame([(1, "aa bb cc dd")],
+                                  ["doc_id", "text"])
+    r3 = zipf_fit(docs3, xmin=2).collect()[0]
+    assert r3["alpha"] is None and r3["se"] is None
+    with pytest.raises(ValueError, match="xmin"):
+        zipf_fit(docs, xmin=0)

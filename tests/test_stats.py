@@ -1778,3 +1778,32 @@ def test_log_rank_properties(spark):
         log_rank(df.where(F.col("g") == "a"), "dur", "ev", "g")
     with pytest.raises(ValueError, match="matched no rows"):
         log_rank(df, "dur", "ev", "g", groups=("nope", "nah"))
+
+
+def test_cohens_d_bruteforce(spark):
+    """numpy replay of pooled SD / d / Hedges J; identical groups
+    give d == 0; the no-rows guard fires like welch's."""
+    from dask_ml_spark.functions.stats import cohens_d
+
+    rng = np.random.RandomState(23)
+    a = rng.normal(0.0, 1.0, 40)
+    b = rng.normal(0.6, 1.4, 25)
+    rows = ([("a", float(x)) for x in a] + [("b", float(x)) for x in b])
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = cohens_d(df, "v", "g").collect()[0]
+    n1, n2 = len(a), len(b)
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    sp = np.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+    d = (a.mean() - b.mean()) / sp
+    j = 1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert abs(r["pooled_sd"] - sp) < 1e-9
+    assert abs(r["d"] - d) < 1e-9
+    assert abs(r["hedges_g"] - d * j) < 1e-9
+
+    both = ([("a", float(x)) for x in a] + [("b", float(x)) for x in a])
+    r0 = cohens_d(spark.createDataFrame(both, ["g", "v"]),
+                  "v", "g").collect()[0]
+    assert abs(r0["d"]) < 1e-12
+    with pytest.raises(Exception, match="matched no rows"):
+        cohens_d(df, "v", "g", groups=("zz", "ww")).collect()
