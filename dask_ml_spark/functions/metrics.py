@@ -412,6 +412,68 @@ def expected_calibration_error(df: DataFrame, label_col: str = "label",
         "n long, n_bins long, ece double, mce double")
 
 
+def brier_decomposition(df: DataFrame, label_col: str = "label",
+                        prob_col: str = "probability",
+                        n_bins: int = 10) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score — the
+    diagnostic companion to expected_calibration_error: the same
+    scalar gate split into WHY it is what it is.
+    BS = (1/n)Σ(p_i − y_i)² decomposes over the ≤n_bins probability
+    buckets as
+      BS = REL − RES + UNC + WBV − 2·WBC
+    with REL = Σ n_k(p̄_k − ȳ_k)²/n (calibration gap — the fixable
+    part), RES = Σ n_k(ȳ_k − ȳ)²/n (how much sorting power the score
+    has), UNC = ȳ(1 − ȳ) (the irreducible base-rate floor), and the
+    two within-bin terms WBV = Σ(Σp² − n_k p̄_k²)/n,
+    WBC = Σ(Σpy − n_k p̄_k ȳ_k)/n that make the identity EXACT for
+    raw (unbinned) probabilities — pytest pins it to 1e-12.
+
+    ONE groupBy(bin) aggregate over ≤n_bins groups (the ece/
+    calibration_curve bucket convention: p ∈ [0,1] kept,
+    complete-case), exact-count driver assembly in bin order. Returns
+    one row: (n, n_bins, brier, reliability, resolution, uncertainty,
+    within_var, within_cov).
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    p = F.col(prob_col).cast("double")
+    y = (F.col(label_col) == 1).cast("double")
+    b = F.least(F.lit(n_bins - 1),
+                F.floor(p * F.lit(n_bins))).cast("int")
+    rows = (df.where(p.isNotNull() & ~F.isnan(p)
+                     & (p >= 0.0) & (p <= 1.0)
+                     & F.col(label_col).isNotNull())
+            .groupBy(b.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.sum(p).alias("__sp"),
+                 F.sum(p * p).alias("__spp"),
+                 F.sum(y).alias("__sy"),
+                 F.sum(p * y).alias("__spy"))
+            .collect())
+    if not rows:
+        raise ValueError("brier_decomposition: no rows with "
+                         "probabilities in [0, 1]")
+    rows.sort(key=lambda r: r["__b"])
+    n = sum(int(r["__n"]) for r in rows)
+    ybar = sum(float(r["__sy"]) for r in rows) / n
+    brier = rel = res = wbv = wbc = 0.0
+    for r in rows:
+        nb = float(r["__n"])
+        pbar, ybk = r["__sp"] / nb, float(r["__sy"]) / nb
+        # y is 0/1 so Σy² = Σy: (p−y)² sums to Σp² − 2Σpy + Σy
+        brier += r["__spp"] - 2.0 * r["__spy"] + float(r["__sy"])
+        rel += nb * (pbar - ybk) * (pbar - ybk)
+        res += nb * (ybk - ybar) * (ybk - ybar)
+        wbv += r["__spp"] - nb * pbar * pbar
+        wbc += r["__spy"] - nb * pbar * ybk
+    return df.sparkSession.createDataFrame(
+        [(int(n), int(n_bins), brier / n, rel / n, res / n,
+          ybar * (1.0 - ybar), wbv / n, wbc / n)],
+        "n long, n_bins long, brier double, reliability double, "
+        "resolution double, uncertainty double, within_var double, "
+        "within_cov double")
+
+
 def precision_score(df: DataFrame, label_col: str = "label",
                     prediction_col: str = "prediction", pos_label: float = 1.0) -> float:
     return precision_recall_f1(df, label_col, prediction_col, pos_label)["precision"]

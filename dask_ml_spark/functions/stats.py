@@ -3255,3 +3255,74 @@ def cohens_d(df: DataFrame, value_col: str, group_col: str,
         grd(sp).alias("pooled_sd"),
         grd(d).alias("d"),
         grd(d * j).alias("hedges_g"))
+
+
+def nelson_aalen(df: DataFrame, duration_col: str, event_col: str,
+                 max_driver_rows: int = 65536,
+                 z: float = 1.96) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator — kaplan_meier's
+    additive twin: H(t) = Σ_{t' ≤ t} d(t')/n_risk(t'). Where the KM
+    curve answers "what fraction survives past t", the hazard curve
+    answers "how fast do events arrive at t" — its SLOPE is the event
+    rate, so plateaus/knees localize when conversion stalls, and
+    ln-hazard differences feed proportional-hazards eyeballing.
+    Variance is the Poisson/Aalen form Var = Σ d/n_risk², with the
+    plain ±z·se interval clamped at 0 (documented choice — the
+    log-transformed interval exists but the linear one is what the
+    SQL oracle replays term-for-term; z defaults to the 95% 1.96).
+
+    Shape: identical to kaplan_meier (the shared survival skeleton) —
+    ONE groupBy(duration), driver-side ascending-t cumsums under
+    ``max_driver_rows``, else the two-phase prefix machine computing
+    the same arithmetic. Returns one row per distinct duration:
+    (duration, n_risk, n_events, n_censored, cum_hazard, se,
+    ci_lo, ci_hi).
+    """
+    from dask_ml_spark.datapipe.packing import prefix_sum
+
+    ev = F.col(event_col).cast("double")
+    g = (df.where(F.col(duration_col).isNotNull()
+                  & F.col(event_col).isNotNull())
+         .groupBy(F.col(duration_col).cast("double").alias("__t"))
+         .agg(F.sum((ev != 0).cast("double")).alias("__d"),
+              F.sum((ev == 0).cast("double")).alias("__c"),
+              F.count(F.lit(1)).cast("double").alias("__n")))
+    out_schema = ("duration double, n_risk long, n_events long, "
+                  "n_censored long, cum_hazard double, se double, "
+                  "ci_lo double, ci_hi double")
+    if max_driver_rows and max_driver_rows > 0:
+        g, head = _bounded_head(g, max_driver_rows)
+        if head is not None:
+            head.sort(key=lambda r: r["__t"])
+            ntot = sum(r["__n"] for r in head)
+            before = 0.0
+            h = var = 0.0
+            rows = []
+            for r in head:
+                nr = ntot - before
+                h += r["__d"] / nr
+                var += r["__d"] / (nr * nr)
+                se = math.sqrt(var)
+                rows.append((float(r["__t"]), int(nr), int(r["__d"]),
+                             int(r["__c"]), h, se,
+                             max(0.0, h - z * se), h + z * se))
+                before += r["__n"]
+            return df.sparkSession.createDataFrame(rows, out_schema)
+    g = prefix_sum(g, "__t", "__n", "__before")
+    tot = g.agg(F.sum("__n").alias("__ntot"))
+    j = g.crossJoin(F.broadcast(tot))
+    nr = F.col("__ntot") - F.col("__before")
+    j = j.select("__t", "__d", "__c", nr.alias("__nr"),
+                 (F.col("__d") / nr).alias("__ht"),
+                 (F.col("__d") / (nr * nr)).alias("__vt"))
+    j = prefix_sum(j, "__t", ["__ht", "__vt"], ["__bh", "__bv"])
+    h = F.col("__bh") + F.col("__ht")
+    se = F.sqrt(F.col("__bv") + F.col("__vt"))
+    return j.select(
+        F.col("__t").alias("duration"),
+        F.col("__nr").cast("long").alias("n_risk"),
+        F.col("__d").cast("long").alias("n_events"),
+        F.col("__c").cast("long").alias("n_censored"),
+        h.alias("cum_hazard"), se.alias("se"),
+        F.greatest(F.lit(0.0), h - F.lit(z) * se).alias("ci_lo"),
+        (h + F.lit(z) * se).alias("ci_hi"))

@@ -911,6 +911,70 @@ FROM terms
 """
 
 
+def q_brier_event_probability(spark, sf_dir):
+    """Murphy decomposition of the Brier score (functions/metrics.py::
+    brier_decomposition) on the same synthetic probability-vs-purchase
+    frame ece_event_probability gates: splits the score into the
+    fixable calibration gap (reliability), the score's sorting power
+    (resolution), the base-rate floor (uncertainty), and the two
+    within-bin terms that make the identity exact. ONE ≤n_bins
+    aggregate; driver assembly in bin order replayed by the oracle."""
+    from dask_ml_spark.functions.metrics import brier_decomposition
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        F.least(F.lit(0.99), F.greatest(
+            F.lit(0.01), F.col("value").cast("double") / 100.0))
+        .alias("probability"))
+    out = brier_decomposition(scored, n_bins=10)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        "n", "n_bins", r6(F.col("brier")).alias("brier"),
+        r6(F.col("reliability")).alias("reliability"),
+        r6(F.col("resolution")).alias("resolution"),
+        r6(F.col("uncertainty")).alias("uncertainty"),
+        r6(F.col("within_var")).alias("within_var"),
+        r6(F.col("within_cov")).alias("within_cov"))
+
+
+def _sql_brier_event_probability() -> str:
+    return """
+WITH s AS (
+    SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+           least(0.99, greatest(0.01, value::DOUBLE / 100.0)) AS p
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+), b AS (
+    SELECT CAST(least(9, floor(p * 10)) AS INTEGER) AS bin,
+           count(*)::DOUBLE AS nb, sum(p) AS sp, sum(p * p) AS spp,
+           sum(y) AS sy, sum(p * y) AS spy
+    FROM s GROUP BY 1
+), t AS (
+    SELECT (SELECT sum(nb) FROM b) AS n,
+           (SELECT sum(sy) FROM b) / (SELECT sum(nb) FROM b) AS ybar
+), terms AS (
+    SELECT b.*, t.n, t.ybar,
+           spp - 2.0 * spy + sy AS bs_t,
+           nb * (sp / nb - sy / nb) * (sp / nb - sy / nb) AS rel_t,
+           nb * (sy / nb - t.ybar) * (sy / nb - t.ybar) AS res_t,
+           spp - nb * (sp / nb) * (sp / nb) AS wbv_t,
+           spy - nb * (sp / nb) * (sy / nb) AS wbc_t
+    FROM b CROSS JOIN t
+)
+SELECT max(n)::BIGINT AS n, 10::BIGINT AS n_bins,
+       floor(sum(bs_t) / max(n) * 1e6 + 0.5) / 1e6 AS brier,
+       floor(sum(rel_t) / max(n) * 1e6 + 0.5) / 1e6 AS reliability,
+       floor(sum(res_t) / max(n) * 1e6 + 0.5) / 1e6 AS resolution,
+       floor(max(ybar) * (1.0 - max(ybar)) * 1e6 + 0.5) / 1e6
+           AS uncertainty,
+       floor(sum(wbv_t) / max(n) * 1e6 + 0.5) / 1e6 AS within_var,
+       floor(sum(wbc_t) / max(n) * 1e6 + 0.5) / 1e6 AS within_cov
+FROM terms
+"""
+
+
+
 # =====================================================================
 # quantile transformer / one-hot / count-vectorizer / kernels /
 # sessionization (widening pass)
@@ -2965,6 +3029,7 @@ def catalog_queries():
         "cochrans_q_screens": q_cochrans_q_screens,
         "mcc_return_rule": q_mcc_return_rule,
         "ece_event_probability": q_ece_event_probability,
+        "brier_event_probability": q_brier_event_probability,
         "quantile_transformer_fit": q_quantile_transformer_fit,
         "one_hot_encoder": q_one_hot_encoder,
         "count_vectorizer_long": q_count_vectorizer_long,
@@ -3048,6 +3113,7 @@ def catalog_oracles():
         "cochrans_q_screens": _sql_cochrans_q_screens(),
         "mcc_return_rule": _sql_mcc_return_rule(),
         "ece_event_probability": _sql_ece_event_probability(),
+        "brier_event_probability": _sql_brier_event_probability(),
         "quantile_transformer_fit": SQL_QUANTILE_TRANSFORMER_FIT,
         "one_hot_encoder": SQL_ONE_HOT_ENCODER,
         "count_vectorizer_long": SQL_COUNT_VECTORIZER_LONG,

@@ -2398,6 +2398,81 @@ FROM d
 """
 
 
+
+def q_nelson_aalen_conversion(spark, sf_dir):
+    """Nelson–Aalen cumulative conversion hazard (functions/stats.py::
+    nelson_aalen — kaplan_meier's additive twin over the same per-user
+    time-to-purchase frame): the curve's slope is the conversion rate,
+    so knees localize when purchases stall. Same groupBy(duration) +
+    ascending-t cumsum skeleton; the oracle replays risk sets and both
+    running sums with window cumsums."""
+    from dask_ml_spark.functions.stats import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events")
+    d = F.to_date(F.col("ts").cast("timestamp"))
+    per = ev.groupBy("user_id").agg(
+        F.min(d).alias("first_d"),
+        F.max(d).alias("last_d"),
+        F.min(F.when(F.col("event_type") == "purchase", d))
+        .alias("purch_d"))
+    dur = F.when(F.col("purch_d").isNotNull(),
+                 F.datediff(F.col("purch_d"), F.col("first_d"))
+                 ).otherwise(F.datediff(F.col("last_d"),
+                                        F.col("first_d")))
+    subj = per.select(dur.cast("double").alias("duration"),
+                      F.col("purch_d").isNotNull().cast("int")
+                      .alias("event"))
+    out = nelson_aalen(subj, "duration", "event")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(F.col("duration").cast("long").alias("duration"),
+                      "n_risk", "n_events", "n_censored",
+                      r6(F.col("cum_hazard")).alias("cum_hazard"),
+                      r6(F.col("se")).alias("se"),
+                      r6(F.col("ci_lo")).alias("ci_lo"),
+                      r6(F.col("ci_hi")).alias("ci_hi"))
+
+
+SQL_NELSON_AALEN_CONVERSION = """
+WITH per AS (
+    SELECT user_id,
+           min(CAST(ts AS DATE)) AS first_d,
+           max(CAST(ts AS DATE)) AS last_d,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ts AS DATE) END) AS purch_d
+    FROM events GROUP BY user_id
+), subj AS (
+    SELECT CASE WHEN purch_d IS NOT NULL
+                THEN date_diff('day', first_d, purch_d)
+                ELSE date_diff('day', first_d, last_d) END::DOUBLE AS t,
+           CASE WHEN purch_d IS NOT NULL THEN 1.0 ELSE 0.0 END AS e
+    FROM per
+), g AS (
+    SELECT t, sum(e) AS d, sum(1.0 - e) AS c, count(*)::DOUBLE AS n
+    FROM subj GROUP BY t
+), r AS (
+    SELECT t, d, c,
+           (SELECT sum(n) FROM g)
+               - (sum(n) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) - n) AS nr
+    FROM g
+), s AS (
+    SELECT t, d, c, nr,
+           sum(d / nr) OVER w AS h,
+           sqrt(sum(d / (nr * nr)) OVER w) AS se
+    FROM r
+    WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT t::BIGINT AS duration, nr::BIGINT AS n_risk,
+       d::BIGINT AS n_events, c::BIGINT AS n_censored,
+       floor(h * 1e6 + 0.5) / 1e6 AS cum_hazard,
+       floor(se * 1e6 + 0.5) / 1e6 AS se,
+       floor(greatest(0.0, h - 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_lo,
+       floor((h + 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_hi
+FROM s
+"""
+
+
 def catalog_queries():
     """This family's queries() entries (order preserved by __init__)."""
     return {
@@ -2432,6 +2507,7 @@ def catalog_queries():
         "mutual_information_events": q_mutual_information_events,
         "feature_corr_matrix": q_feature_corr_matrix,
         "kaplan_meier_conversion": q_kaplan_meier_conversion,
+        "nelson_aalen_conversion": q_nelson_aalen_conversion,
         "log_rank_conversion": q_log_rank_conversion,
         "cohens_d_price": q_cohens_d_price,
     }
@@ -2472,6 +2548,7 @@ def catalog_oracles():
         "mutual_information_events": SQL_MUTUAL_INFORMATION_EVENTS,
         "feature_corr_matrix": SQL_FEATURE_CORR_MATRIX,
         "kaplan_meier_conversion": SQL_KAPLAN_MEIER_CONVERSION,
+        "nelson_aalen_conversion": SQL_NELSON_AALEN_CONVERSION,
         "log_rank_conversion": _sql_log_rank_conversion(),
         "cohens_d_price": SQL_COHENS_D_PRICE,
     }

@@ -415,3 +415,60 @@ def test_mcc_and_ece(spark):
     assert abs(g["ece"] - ece) < 1e-9
     assert abs(g["mce"] - mce) < 1e-9
     assert g["ece"] > 0.02  # the miscalibration is detected
+
+
+def test_brier_decomposition_identity_and_bruteforce(spark):
+    """The Murphy identity BS = REL − RES + UNC + WBV − 2·WBC must
+    hold EXACTLY (1e-12) on raw probabilities; every component
+    matches a numpy replay; a perfectly calibrated score has
+    reliability ~ 0 while an anti-calibrated one does not."""
+    import numpy as np
+
+    from dask_ml_spark.functions.metrics import brier_decomposition
+
+    rng = np.random.RandomState(13)
+    p = rng.uniform(0.0, 1.0, 1200)
+    y = (rng.uniform(size=1200) < p).astype(int)   # calibrated draw
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, p)],
+        ["label", "probability"])
+    r = brier_decomposition(df, n_bins=10).collect()[0]
+
+    bs = float(np.mean((p - y) ** 2))
+    bins = np.minimum(9, np.floor(p * 10).astype(int))
+    n = len(p)
+    ybar = y.mean()
+    rel = res = wbv = wbc = 0.0
+    for k in range(10):
+        m = bins == k
+        if not m.any():
+            continue
+        nb = m.sum()
+        pb, yb = p[m].mean(), y[m].mean()
+        rel += nb * (pb - yb) ** 2
+        res += nb * (yb - ybar) ** 2
+        wbv += ((p[m] - pb) ** 2).sum()
+        wbc += ((p[m] - pb) * (y[m] - yb)).sum()
+    assert r["n"] == n
+    assert abs(r["brier"] - bs) < 1e-9
+    assert abs(r["reliability"] - rel / n) < 1e-9
+    assert abs(r["resolution"] - res / n) < 1e-9
+    assert abs(r["uncertainty"] - ybar * (1 - ybar)) < 1e-12
+    assert abs(r["within_var"] - wbv / n) < 1e-9
+    assert abs(r["within_cov"] - wbc / n) < 1e-9
+    ident = (r["reliability"] - r["resolution"] + r["uncertainty"]
+             + r["within_var"] - 2.0 * r["within_cov"])
+    assert abs(r["brier"] - ident) < 1e-12
+    assert r["reliability"] < 0.01       # calibrated → tiny gap
+
+    df_anti = spark.createDataFrame(
+        [(int(a), float(1.0 - b)) for a, b in zip(y, p)],
+        ["label", "probability"])
+    r2 = brier_decomposition(df_anti, n_bins=10).collect()[0]
+    assert r2["reliability"] > 0.2       # anti-calibrated → huge gap
+    ident2 = (r2["reliability"] - r2["resolution"] + r2["uncertainty"]
+              + r2["within_var"] - 2.0 * r2["within_cov"])
+    assert abs(r2["brier"] - ident2) < 1e-12
+
+    with pytest.raises(ValueError, match="n_bins"):
+        brier_decomposition(df, n_bins=0)

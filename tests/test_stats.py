@@ -1807,3 +1807,46 @@ def test_cohens_d_bruteforce(spark):
     assert abs(r0["d"]) < 1e-12
     with pytest.raises(Exception, match="matched no rows"):
         cohens_d(df, "v", "g", groups=("zz", "ww")).collect()
+
+
+def test_nelson_aalen_bruteforce_and_km_link(spark):
+    """Quadratic replay of H, Var, CI on tied+censored data; the
+    distributed prefix path matches the driver path; and the
+    exp(−H) ≥ KM identity (Fleming–Harrington dominates the
+    product-limit curve pointwise) ties the two survival estimators
+    together."""
+    import math
+
+    from dask_ml_spark.functions.stats import kaplan_meier, nelson_aalen
+
+    rng = np.random.RandomState(47)
+    rows = [(float(rng.randint(0, 15)), int(rng.rand() < 0.65))
+            for _ in range(300)]
+    df = spark.createDataFrame(rows, ["dur", "ev"])
+    got = {r["duration"]: r for r in
+           nelson_aalen(df, "dur", "ev").collect()}
+    times = sorted({t for t, _ in rows})
+    h = var = 0.0
+    for t in times:
+        nr = sum(1 for d, _ in rows if d >= t)
+        dd = sum(1 for d, e in rows if d == t and e)
+        h += dd / nr
+        var += dd / (nr * nr)
+        r = got[t]
+        assert r["n_risk"] == nr and r["n_events"] == dd
+        assert abs(r["cum_hazard"] - h) < 1e-12
+        assert abs(r["se"] - math.sqrt(var)) < 1e-12
+        assert abs(r["ci_lo"] - max(0.0, h - 1.96 * r["se"])) < 1e-12
+        assert abs(r["ci_hi"] - (h + 1.96 * r["se"])) < 1e-12
+
+    dist = {r["duration"]: r for r in
+            nelson_aalen(df, "dur", "ev", max_driver_rows=0).collect()}
+    assert set(dist) == set(got)
+    for t, r in got.items():
+        for c in ("n_risk", "n_events", "cum_hazard", "se"):
+            assert abs(dist[t][c] - r[c]) < 1e-12, (t, c)
+
+    km = {r["duration"]: r["survival"] for r in
+          kaplan_meier(df, "dur", "ev").collect()}
+    for t, r in got.items():
+        assert math.exp(-r["cum_hazard"]) >= km[t] - 1e-12
