@@ -3326,3 +3326,105 @@ def nelson_aalen(df: DataFrame, duration_col: str, event_col: str,
         h.alias("cum_hazard"), se.alias("se"),
         F.greatest(F.lit(0.0), h - F.lit(z) * se).alias("ci_lo"),
         (h + F.lit(z) * se).alias("ci_hi"))
+
+
+def mood_median(df: DataFrame, value_col: str, group_col: str,
+                groups=None, approximate: bool = False) -> DataFrame:
+    """Mood's median test — the robust two-group location screen when
+    even ranks are suspect: it reduces each observation to one bit
+    (above the POOLED median or not), so a handful of corrupted
+    extreme values can flip Welch and still shift Mann–Whitney, but
+    cannot move this test by more than their count.
+
+    Pooled median via exact F.percentile by default (the Winsorizer
+    convention — what the SQL oracle replays with quantile_cont);
+    ``approximate=True`` swaps the Greenwald–Khanna sketch for the
+    100 TB path. Ties at the median count as "not above" (scipy's
+    ties='below'). χ² is the 2×2 Pearson form from exact integer
+    counts, dof 1, p = 2·Φ̄(√χ²) — elementary, no correction
+    (documented; at screen scale the Yates correction is noise).
+
+    Shape: one percentile aggregate + one conditional-count aggregate
+    joined by a 1-row broadcast — all JVM, no driver round-trip.
+    Returns one row:
+    (n1, n2, grand_median, above1, above2, chi2, p_value).
+    """
+    v = F.col(value_col).cast("double")
+    if groups is None:
+        _, g1, g2 = _two_group_counts(df, value_col, group_col, None)
+    else:
+        g1, g2 = groups
+    kept = df.where(v.isNotNull() & ~F.isnan(v)
+                    & F.col(group_col).isin([g1, g2]))
+    pct = F.percentile_approx if approximate else F.percentile
+    med = kept.agg(pct(v, F.lit(0.5)).alias("__m"))
+    one = (F.col(group_col) == g1).cast("double")
+    two = (F.col(group_col) == g2).cast("double")
+    above = (v > F.col("__m")).cast("double")
+    agg = (kept.crossJoin(F.broadcast(med))
+           .agg(F.sum(one).alias("n1_d"), F.sum(two).alias("n2_d"),
+                F.sum(one * above).alias("a1"),
+                F.sum(two * above).alias("a2"),
+                F.first("__m").alias("m")))
+    n1, n2 = F.col("n1_d"), F.col("n2_d")
+    a1, a2 = F.col("a1"), F.col("a2")
+    b1, b2 = n1 - a1, n2 - a2
+    n = n1 + n2
+    det = a1 * b2 - a2 * b1
+    denom = (a1 + a2) * (b1 + b2) * n1 * n2
+    chi2 = F.when(denom > 0.0, n * det * det / denom).otherwise(0.0)
+
+    def grd(c):
+        return _nonempty_guard(n1, n2, c, "mood_median")
+
+    return (agg.withColumn("__chi2", chi2)
+            .select(
+                n1.cast("long").alias("n1"),
+                n2.cast("long").alias("n2"),
+                grd(F.col("m")).alias("grand_median"),
+                a1.cast("long").alias("above1"),
+                a2.cast("long").alias("above2"),
+                grd(F.col("__chi2")).alias("chi2"),
+                grd(F.least(F.lit(1.0), 2.0 * normal_sf_expr(
+                    F.sqrt(F.col("__chi2"))))).alias("p_value")))
+
+
+def exponential_survival_fit(df: DataFrame, duration_col: str,
+                             event_col: str,
+                             z: float = 1.96) -> DataFrame:
+    """Censored-exponential MLE — the one-parameter summary of the
+    survival family (kaplan_meier/nelson_aalen describe the curve;
+    this fits the constant-hazard model a capacity plan or an SLA
+    actually consumes): rate λ̂ = D / T with D = events and T = total
+    observed time (events AND censored both contribute their full
+    duration — the standard censored-likelihood estimator), mean
+    lifetime 1/λ̂, and the log-scale normal interval
+    λ̂·exp(∓z/√D) (se(ln λ̂) = 1/√D).
+
+    ONE aggregate over the raw rows, stateless projection. Zero
+    events or zero observed time raise loudly (no silent NULL rate).
+    Returns one row:
+    (n, n_events, total_time, rate, rate_lo, rate_hi, mean_lifetime).
+    """
+    ev = F.col(event_col).cast("double")
+    t = F.col(duration_col).cast("double")
+    kept = df.where(t.isNotNull() & ~F.isnan(t) & (t >= 0.0)
+                    & F.col(event_col).isNotNull())
+    agg = kept.agg(F.count(F.lit(1)).alias("n_d"),
+                   F.sum((ev != 0).cast("double")).alias("d_d"),
+                   F.sum(t).alias("t_d"))
+    d, tt = F.col("d_d"), F.col("t_d")
+    bad = d.isNull() | (d <= 0.0) | (tt <= 0.0)
+    guard = F.when(bad, F.raise_error(F.lit(
+        "exponential_survival_fit: needs >= 1 event and positive "
+        "total time")).cast("double"))
+    rate = F.coalesce(guard, d / tt)
+    half = F.exp(F.lit(z) / F.sqrt(d))
+    return agg.select(
+        F.col("n_d").cast("long").alias("n"),
+        d.cast("long").alias("n_events"),
+        F.coalesce(guard, tt).alias("total_time"),
+        rate.alias("rate"),
+        (rate / half).alias("rate_lo"),
+        (rate * half).alias("rate_hi"),
+        (1.0 / rate).alias("mean_lifetime"))

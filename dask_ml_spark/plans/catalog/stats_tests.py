@@ -2473,6 +2473,137 @@ FROM s
 """
 
 
+
+def q_mood_median_price(spark, sf_dir):
+    """Mood's median test (functions/stats.py::mood_median): are
+    returned lineitems' prices above the POOLED price median more
+    often than kept ones? The one-bit-per-row robust location screen
+    — corrupted extremes can flip Welch but move this by at most
+    their count. Exact pooled median (the Winsorizer percentile
+    convention) + one conditional-count aggregate; the oracle replays
+    the median with quantile_cont and the 2x2 chi2."""
+    from dask_ml_spark.functions.stats import mood_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = mood_median(li, "l_extendedprice", "l_returnflag",
+                      groups=("N", "R"))
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n1", "n2",
+                      r6(F.col("grand_median")).alias("grand_median"),
+                      "above1", "above2",
+                      r6(F.col("chi2")).alias("chi2"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_mood_median_price() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    sf = _normal_sf_sql("sqrt(chi2)")
+    return f"""
+WITH kept AS (
+    SELECT l_extendedprice::DOUBLE AS v, l_returnflag AS g
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+      AND NOT isnan(l_extendedprice::DOUBLE)
+      AND l_returnflag IN ('N', 'R')
+), med AS (
+    SELECT quantile_cont(v, 0.5) AS m FROM kept
+), cnt AS (
+    SELECT sum(CASE WHEN g = 'N' THEN 1.0 ELSE 0.0 END) AS n1,
+           sum(CASE WHEN g = 'R' THEN 1.0 ELSE 0.0 END) AS n2,
+           sum(CASE WHEN g = 'N' AND v > (SELECT m FROM med)
+                    THEN 1.0 ELSE 0.0 END) AS a1,
+           sum(CASE WHEN g = 'R' AND v > (SELECT m FROM med)
+                    THEN 1.0 ELSE 0.0 END) AS a2
+    FROM kept
+), x AS (
+    SELECT n1, n2, a1, a2, (SELECT m FROM med) AS m,
+           CASE WHEN (a1 + a2) * ((n1 - a1) + (n2 - a2)) * n1 * n2
+                     > 0.0
+                THEN (n1 + n2)
+                     * (a1 * (n2 - a2) - a2 * (n1 - a1))
+                     * (a1 * (n2 - a2) - a2 * (n1 - a1))
+                     / ((a1 + a2) * ((n1 - a1) + (n2 - a2)) * n1 * n2)
+                ELSE 0.0 END AS chi2
+    FROM cnt
+)
+SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+       floor(m * 1e6 + 0.5) / 1e6 AS grand_median,
+       a1::BIGINT AS above1, a2::BIGINT AS above2,
+       floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2,
+       floor(least(1.0, 2.0 * {sf}) * 1e6 + 0.5) / 1e6 AS p_value
+FROM x
+"""
+
+
+def q_exponential_fit_conversion(spark, sf_dir):
+    """Censored-exponential conversion-rate fit (functions/stats.py::
+    exponential_survival_fit) over the same per-user time-to-purchase
+    frame the KM/Nelson-Aalen queries describe: the one-parameter
+    constant-hazard summary (daily conversion rate, mean days to
+    convert, log-scale CI) a capacity plan consumes. ONE aggregate,
+    stateless projection; the oracle replays D/T and the
+    exp(±z/√D) interval."""
+    from dask_ml_spark.functions.stats import exponential_survival_fit
+
+    ev = _t(spark, sf_dir, "events")
+    d = F.to_date(F.col("ts").cast("timestamp"))
+    per = ev.groupBy("user_id").agg(
+        F.min(d).alias("first_d"),
+        F.max(d).alias("last_d"),
+        F.min(F.when(F.col("event_type") == "purchase", d))
+        .alias("purch_d"))
+    dur = F.when(F.col("purch_d").isNotNull(),
+                 F.datediff(F.col("purch_d"), F.col("first_d"))
+                 ).otherwise(F.datediff(F.col("last_d"),
+                                        F.col("first_d")))
+    # +0.5 day so same-day conversions contribute half a day of
+    # exposure instead of zero (the standard mid-day convention)
+    subj = per.select((dur.cast("double") + F.lit(0.5))
+                      .alias("duration"),
+                      F.col("purch_d").isNotNull().cast("int")
+                      .alias("event"))
+    out = exponential_survival_fit(subj, "duration", "event")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n", "n_events",
+                      r6(F.col("total_time")).alias("total_time"),
+                      r6(F.col("rate")).alias("rate"),
+                      r6(F.col("rate_lo")).alias("rate_lo"),
+                      r6(F.col("rate_hi")).alias("rate_hi"),
+                      r6(F.col("mean_lifetime")).alias("mean_lifetime"))
+
+
+SQL_EXPONENTIAL_FIT_CONVERSION = """
+WITH per AS (
+    SELECT user_id,
+           min(CAST(ts AS DATE)) AS first_d,
+           max(CAST(ts AS DATE)) AS last_d,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ts AS DATE) END) AS purch_d
+    FROM events GROUP BY user_id
+), subj AS (
+    SELECT (CASE WHEN purch_d IS NOT NULL
+                 THEN date_diff('day', first_d, purch_d)
+                 ELSE date_diff('day', first_d, last_d)
+            END::DOUBLE + 0.5) AS t,
+           CASE WHEN purch_d IS NOT NULL THEN 1.0 ELSE 0.0 END AS e
+    FROM per
+), a AS (
+    SELECT count(*)::BIGINT AS n, sum(e) AS d, sum(t) AS tt
+    FROM subj WHERE t >= 0.0
+)
+SELECT n, d::BIGINT AS n_events,
+       floor(tt * 1e6 + 0.5) / 1e6 AS total_time,
+       floor((d / tt) * 1e6 + 0.5) / 1e6 AS rate,
+       floor((d / tt) / exp(1.96 / sqrt(d)) * 1e6 + 0.5) / 1e6
+           AS rate_lo,
+       floor((d / tt) * exp(1.96 / sqrt(d)) * 1e6 + 0.5) / 1e6
+           AS rate_hi,
+       floor((1.0 / (d / tt)) * 1e6 + 0.5) / 1e6 AS mean_lifetime
+FROM a
+"""
+
+
 def catalog_queries():
     """This family's queries() entries (order preserved by __init__)."""
     return {
@@ -2508,6 +2639,8 @@ def catalog_queries():
         "feature_corr_matrix": q_feature_corr_matrix,
         "kaplan_meier_conversion": q_kaplan_meier_conversion,
         "nelson_aalen_conversion": q_nelson_aalen_conversion,
+        "exponential_fit_conversion": q_exponential_fit_conversion,
+        "mood_median_price": q_mood_median_price,
         "log_rank_conversion": q_log_rank_conversion,
         "cohens_d_price": q_cohens_d_price,
     }
@@ -2549,6 +2682,8 @@ def catalog_oracles():
         "feature_corr_matrix": SQL_FEATURE_CORR_MATRIX,
         "kaplan_meier_conversion": SQL_KAPLAN_MEIER_CONVERSION,
         "nelson_aalen_conversion": SQL_NELSON_AALEN_CONVERSION,
+        "exponential_fit_conversion": SQL_EXPONENTIAL_FIT_CONVERSION,
+        "mood_median_price": _sql_mood_median_price(),
         "log_rank_conversion": _sql_log_rank_conversion(),
         "cohens_d_price": SQL_COHENS_D_PRICE,
     }

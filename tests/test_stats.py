@@ -1850,3 +1850,84 @@ def test_nelson_aalen_bruteforce_and_km_link(spark):
           kaplan_meier(df, "dur", "ev").collect()}
     for t, r in got.items():
         assert math.exp(-r["cum_hazard"]) >= km[t] - 1e-12
+
+
+def test_mood_median_bruteforce(spark):
+    """numpy replay of the 2x2 chi2 on the pooled exact median
+    (ties count 'not above'); symmetric data gives chi2 ~ 0; a
+    shifted group rejects; robustness: corrupting 3 extreme values
+    moves the statistic by at most their count's worth."""
+    import math
+
+    from dask_ml_spark.functions.stats import _normal_sf_py, mood_median
+
+    rng = np.random.RandomState(59)
+    a = rng.normal(0.0, 1.0, 120)
+    b = rng.normal(0.9, 1.0, 90)
+    rows = ([("a", float(x)) for x in a] + [("b", float(x)) for x in b])
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = mood_median(df, "v", "g").collect()[0]
+    allv = np.concatenate([a, b])
+    m = float(np.percentile(allv, 50))   # exact linear interpolation
+    a1 = int((a > m).sum())
+    a2 = int((b > m).sum())
+    n1, n2 = len(a), len(b)
+    b1, b2 = n1 - a1, n2 - a2
+    det = a1 * b2 - a2 * b1
+    denom = (a1 + a2) * (b1 + b2) * n1 * n2
+    chi2 = (n1 + n2) * det * det / denom
+    assert abs(r["grand_median"] - m) < 1e-9
+    assert (r["above1"], r["above2"]) == (a1, a2)
+    assert abs(r["chi2"] - chi2) < 1e-9
+    assert abs(r["p_value"]
+               - min(1.0, 2.0 * _normal_sf_py(math.sqrt(chi2)))) < 1e-12
+    assert r["p_value"] < 0.01          # the shift is real
+
+    sym = ([("a", float(x)) for x in a] + [("b", float(x)) for x in a])
+    r0 = mood_median(spark.createDataFrame(sym, ["g", "v"]),
+                     "v", "g").collect()[0]
+    assert r0["chi2"] < 1e-9
+
+    # corrupt 3 values of 'a' to +1e9: above-counts move by <= 3
+    ac = a.copy()
+    ac[:3] = 1e9
+    rows_c = ([("a", float(x)) for x in ac]
+              + [("b", float(x)) for x in b])
+    rc = mood_median(spark.createDataFrame(rows_c, ["g", "v"]),
+                     "v", "g").collect()[0]
+    assert abs(rc["above1"] - r["above1"]) <= 3
+
+
+def test_exponential_survival_fit_bruteforce(spark):
+    """λ = D/T replay with censoring; the CI replay; rate recovery
+    from a censored exponential draw; the zero-event guard."""
+    import math
+
+    from dask_ml_spark.functions.stats import exponential_survival_fit
+
+    rows = [(2.0, 1), (4.0, 0), (1.0, 1), (7.0, 0), (3.0, 1)]
+    df = spark.createDataFrame(rows, ["dur", "ev"])
+    r = exponential_survival_fit(df, "dur", "ev").collect()[0]
+    d, tt = 3.0, 17.0
+    assert (r["n"], r["n_events"]) == (5, 3)
+    assert abs(r["total_time"] - tt) < 1e-12
+    assert abs(r["rate"] - d / tt) < 1e-12
+    half = math.exp(1.96 / math.sqrt(d))
+    assert abs(r["rate_lo"] - (d / tt) / half) < 1e-12
+    assert abs(r["rate_hi"] - (d / tt) * half) < 1e-12
+    assert abs(r["mean_lifetime"] - tt / d) < 1e-12
+
+    rng = np.random.RandomState(61)
+    lam = 0.25
+    t = rng.exponential(1.0 / lam, 2000)
+    cens = np.minimum(t, 6.0)                  # administrative censor
+    ev = (t <= 6.0).astype(int)
+    df2 = spark.createDataFrame(
+        [(float(a), int(e)) for a, e in zip(cens, ev)], ["dur", "ev"])
+    r2 = exponential_survival_fit(df2, "dur", "ev").collect()[0]
+    assert r2["rate_lo"] < lam < r2["rate_hi"]
+    assert abs(r2["rate"] - lam) < 0.03
+
+    df0 = spark.createDataFrame([(5.0, 0), (3.0, 0)], ["dur", "ev"])
+    with pytest.raises(Exception, match="needs >= 1 event"):
+        exponential_survival_fit(df0, "dur", "ev").collect()
