@@ -3428,3 +3428,121 @@ def exponential_survival_fit(df: DataFrame, duration_col: str,
         (rate / half).alias("rate_lo"),
         (rate * half).alias("rate_hi"),
         (1.0 / rate).alias("mean_lifetime"))
+
+
+def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
+    """Jarque–Bera normality screen — the one-aggregate answer to
+    "can I hand this column to a z-score/Gaussian gate?": JB =
+    n/6·(S² + (K−3)²/4) from sample skewness S and kurtosis K, with
+    the EXACT χ²₂ tail p = e^{−JB/2} (the one chi-square whose tail
+    is a single elementary term — every engine replays it
+    bit-comparably). At corpus n the test rejects for microscopic
+    departures, so S and K are returned as the effect sizes that
+    actually carry the decision (the η² convention).
+
+    ONE aggregate of the first four raw moments; central moments
+    assemble driver-side via the standard expansions (same
+    raw-moment shape as welch/anova — adequate for the |skew| ≲ 10³
+    screens this serves; a column whose mean dwarfs its spread wants
+    centering upstream, documented). Returns one row:
+    (n, mean, variance, skewness, kurtosis, jb, p_value).
+    """
+    v = F.col(value_col).cast("double")
+    kept = df.where(v.isNotNull() & ~F.isnan(v))
+    row = kept.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v).alias("s1"), F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4")).collect()[0]
+    n = float(row["n"] or 0.0)
+    if n < 4:
+        raise ValueError("jarque_bera needs >= 4 non-null rows")
+    m = row["s1"] / n
+    m2 = row["s2"] / n - m * m
+    if m2 <= 0.0:
+        raise ValueError("jarque_bera: zero variance — the screen is "
+                         "undefined on a constant column")
+    m3 = (row["s3"] - 3.0 * m * row["s2"] + 2.0 * n * m ** 3) / n
+    m4 = (row["s4"] - 4.0 * m * row["s3"] + 6.0 * m * m * row["s2"]
+          - 3.0 * n * m ** 4) / n
+    skew = m3 / m2 ** 1.5
+    kurt = m4 / (m2 * m2)
+    jb = n / 6.0 * (skew * skew + (kurt - 3.0) ** 2 / 4.0)
+    p = min(1.0, math.exp(-jb / 2.0))
+    return df.sparkSession.createDataFrame(
+        [(int(n), float(m), float(m2), float(skew), float(kurt),
+          float(jb), float(p))],
+        "n long, mean double, variance double, skewness double, "
+        "kurtosis double, jb double, p_value double")
+
+
+def welch_anova(df: DataFrame, value_col: str, group_col: str,
+                max_groups: int = 65536,
+                tail: str = "chi2") -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA — the k-group test that
+    stays honest when group VARIANCES differ (classical anova_oneway
+    pools them; with a 10× variance ratio and unequal n its F is
+    badly mis-calibrated — the per-source quality comparison case,
+    where one noisy crawl breaks the pooled assumption).
+
+    F* = [Σ wᵢ(x̄ᵢ − x̄*)² / (k−1)] / [1 + 2(k−2)/(k²−1)·Λ] with
+    wᵢ = nᵢ/vᵢ, x̄* = Σ wᵢx̄ᵢ/Σ wᵢ, Λ = Σ (1 − wᵢ/W)²/(nᵢ−1), and
+    Welch's denominator dof ν₂ = (k²−1)/(3Λ) (Welch 1951). p follows
+    the anova_oneway tail convention: ``tail="chi2"`` (default, what
+    the SQL oracles replay) uses (k−1)·F* → χ²_{k−1} as ν₂ → ∞;
+    ``tail="exact"`` swaps the driver-side f_sf(F*, k−1, ν₂) scalar —
+    see the module exact-tail policy.
+
+    Shape: anova_oneway's exactly — ONE groupBy(group) of (n, Σx,
+    Σx²), bounded ≤max_groups driver state, sorted-group assembly.
+    Returns one row: (k, n, f_stat, df_between, df_within_welch,
+    p_value).
+    """
+    if tail not in ("chi2", "exact"):
+        raise ValueError("tail must be 'chi2' or 'exact'")
+    v = F.col(value_col).cast("double")
+    rows = (df.where(v.isNotNull() & ~F.isnan(v)
+                     & F.col(group_col).isNotNull())
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("double").alias("__n"),
+                 F.sum(v).alias("__s"),
+                 F.sum(v * v).alias("__q"))
+            .limit(max_groups + 1)
+            .collect())
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"welch_anova: more than max_groups={max_groups} groups — "
+            "a family that size wants bucketing first")
+    rows.sort(key=lambda r: str(r[group_col]))
+    k = len(rows)
+    if k < 2:
+        raise ValueError("welch_anova needs >= 2 groups")
+    for r in rows:
+        if r["__n"] < 2:
+            raise ValueError("welch_anova needs >= 2 rows per group")
+    n = sum(r["__n"] for r in rows)
+    stats = []
+    for r in rows:
+        ni = r["__n"]
+        mi = r["__s"] / ni
+        vi = (r["__q"] - ni * mi * mi) / (ni - 1.0)
+        if vi <= 0.0:
+            raise ValueError("welch_anova: zero within-group variance "
+                             "— F* is undefined on constant groups")
+        stats.append((ni, mi, ni / vi))
+    w_tot = sum(w for _, _, w in stats)
+    xstar = sum(w * mi for _, mi, w in stats) / w_tot
+    num = sum(w * (mi - xstar) ** 2 for _, mi, w in stats) / (k - 1.0)
+    lam = sum((1.0 - w / w_tot) ** 2 / (ni - 1.0)
+              for ni, _, w in stats)
+    f_star = num / (1.0 + 2.0 * (k - 2.0) / (k * k - 1.0) * lam)
+    dof2 = (k * k - 1.0) / (3.0 * lam) if lam > 0.0 else float("inf")
+    dfb = k - 1
+    if tail == "exact" and math.isfinite(dof2):
+        p = f_sf(f_star, float(dfb), dof2)
+    else:
+        p = chi2_sf(dfb * f_star, dfb)
+    return df.sparkSession.createDataFrame(
+        [(k, int(n), float(f_star), dfb, float(dof2), float(p))],
+        "k long, n long, f_stat double, df_between long, "
+        "df_within_welch double, p_value double")

@@ -2604,6 +2604,127 @@ FROM a
 """
 
 
+
+def q_jarque_bera_value(spark, sf_dir):
+    """Jarque–Bera normality screen (functions/stats.py::jarque_bera)
+    on the event value column: ONE four-moment aggregate, exact chi2_2
+    tail e^(−JB/2). The uniform-ish value column fails normality
+    hugely (platykurtic, K ≈ 1.8) — skew/kurtosis carry the decision
+    at corpus n, which is why they are returned as effect sizes."""
+    from dask_ml_spark.functions.stats import jarque_bera
+
+    ev = _t(spark, sf_dir, "events")
+    out = jarque_bera(ev, "value")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n", r6(F.col("mean")).alias("mean"),
+                      r6(F.col("variance")).alias("variance"),
+                      r6(F.col("skewness")).alias("skewness"),
+                      r6(F.col("kurtosis")).alias("kurtosis"),
+                      r6(F.col("jb")).alias("jb"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+SQL_JARQUE_BERA_VALUE = """
+WITH k AS (
+    SELECT value::DOUBLE AS v FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+), a AS (
+    SELECT count(*)::DOUBLE AS n, sum(v) AS s1, sum(v * v) AS s2,
+           sum(v * v * v) AS s3, sum(v * v * v * v) AS s4
+    FROM k
+), m AS (
+    SELECT n, s1 / n AS m, s2 / n - (s1 / n) * (s1 / n) AS m2,
+           (s3 - 3.0 * (s1 / n) * s2
+            + 2.0 * n * (s1 / n) * (s1 / n) * (s1 / n)) / n AS m3,
+           (s4 - 4.0 * (s1 / n) * s3
+            + 6.0 * (s1 / n) * (s1 / n) * s2
+            - 3.0 * n * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) / n
+               AS m4
+    FROM a
+), j AS (
+    SELECT n, m, m2, m3 / (m2 * sqrt(m2)) AS skew,
+           m4 / (m2 * m2) AS kurt
+    FROM m
+), jb AS (
+    SELECT n, m, m2, skew, kurt,
+           n / 6.0 * (skew * skew
+                      + (kurt - 3.0) * (kurt - 3.0) / 4.0) AS jb
+    FROM j
+)
+SELECT n::BIGINT AS n,
+       floor(m * 1e6 + 0.5) / 1e6 AS mean,
+       floor(m2 * 1e6 + 0.5) / 1e6 AS variance,
+       floor(skew * 1e6 + 0.5) / 1e6 AS skewness,
+       floor(kurt * 1e6 + 0.5) / 1e6 AS kurtosis,
+       floor(jb * 1e6 + 0.5) / 1e6 AS jb,
+       floor(least(1.0, exp(-jb / 2.0)) * 1e6 + 0.5) / 1e6 AS p_value
+FROM jb
+"""
+
+
+def q_welch_anova_event_value(spark, sf_dir):
+    """Welch's heteroscedastic one-way ANOVA (functions/stats.py::
+    welch_anova) of event value across the 5 event types — the
+    unequal-variance k-group test next to the pooled anova_event_value
+    (one noisy source breaks the pooled assumption; Welch stays
+    honest). Same ONE groupBy(group) aggregate + bounded driver
+    assembly; k−1 = 4 is even so the chi2 tail replays exactly."""
+    from dask_ml_spark.functions.stats import welch_anova
+
+    ev = _t(spark, sf_dir, "events")
+    out = welch_anova(ev, "value", "event_type")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("k", "n", r6(F.col("f_stat")).alias("f_stat"),
+                      "df_between",
+                      r6(F.col("df_within_welch")).alias("dof2"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_welch_anova_event_value() -> str:
+    from dask_ml_spark.functions.stats import _chi2_sf_sql
+
+    p = _chi2_sf_sql("(4.0 * f)", 4)
+    return f"""
+WITH k AS (
+    SELECT value::DOUBLE AS v, event_type AS g FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+      AND event_type IS NOT NULL
+), gg AS (
+    SELECT g, count(*)::DOUBLE AS n, sum(v) AS s, sum(v * v) AS q
+    FROM k GROUP BY g
+), st AS (
+    SELECT g, n, s / n AS m,
+           n / ((q - n * (s / n) * (s / n)) / (n - 1.0)) AS w
+    FROM gg
+), tot AS (
+    SELECT count(*)::BIGINT AS kk, sum(n) AS nn, sum(w) AS wt,
+           sum(w * m) / sum(w) AS xstar
+    FROM st
+), lam AS (
+    SELECT sum((1.0 - w / (SELECT wt FROM tot))
+               * (1.0 - w / (SELECT wt FROM tot)) / (n - 1.0)) AS l,
+           sum(w * (m - (SELECT xstar FROM tot))
+                 * (m - (SELECT xstar FROM tot))) AS ssb
+    FROM st
+), f AS (
+    SELECT (SELECT kk FROM tot) AS kk, (SELECT nn FROM tot) AS nn,
+           (ssb / ((SELECT kk FROM tot) - 1.0))
+           / (1.0 + 2.0 * ((SELECT kk FROM tot) - 2.0)
+              / ((SELECT kk FROM tot) * (SELECT kk FROM tot) - 1.0)
+              * l) AS f,
+           ((SELECT kk FROM tot) * (SELECT kk FROM tot) - 1.0)
+           / (3.0 * l) AS dof2
+    FROM lam
+)
+SELECT kk AS k, nn::BIGINT AS n,
+       floor(f * 1e6 + 0.5) / 1e6 AS f_stat,
+       (kk - 1)::BIGINT AS df_between,
+       floor(dof2 * 1e6 + 0.5) / 1e6 AS dof2,
+       floor({p} * 1e6 + 0.5) / 1e6 AS p_value
+FROM f
+"""
+
+
 def catalog_queries():
     """This family's queries() entries (order preserved by __init__)."""
     return {
@@ -2641,6 +2762,8 @@ def catalog_queries():
         "nelson_aalen_conversion": q_nelson_aalen_conversion,
         "exponential_fit_conversion": q_exponential_fit_conversion,
         "mood_median_price": q_mood_median_price,
+        "jarque_bera_value": q_jarque_bera_value,
+        "welch_anova_event_value": q_welch_anova_event_value,
         "log_rank_conversion": q_log_rank_conversion,
         "cohens_d_price": q_cohens_d_price,
     }
@@ -2684,6 +2807,8 @@ def catalog_oracles():
         "nelson_aalen_conversion": SQL_NELSON_AALEN_CONVERSION,
         "exponential_fit_conversion": SQL_EXPONENTIAL_FIT_CONVERSION,
         "mood_median_price": _sql_mood_median_price(),
+        "jarque_bera_value": SQL_JARQUE_BERA_VALUE,
+        "welch_anova_event_value": _sql_welch_anova_event_value(),
         "log_rank_conversion": _sql_log_rank_conversion(),
         "cohens_d_price": SQL_COHENS_D_PRICE,
     }

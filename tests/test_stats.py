@@ -1931,3 +1931,82 @@ def test_exponential_survival_fit_bruteforce(spark):
     df0 = spark.createDataFrame([(5.0, 0), (3.0, 0)], ["dur", "ev"])
     with pytest.raises(Exception, match="needs >= 1 event"):
         exponential_survival_fit(df0, "dur", "ev").collect()
+
+
+def test_jarque_bera_bruteforce(spark):
+    """numpy replay of moments/S/K/JB; a normal draw passes, a
+    lognormal fails hugely; the chi2_2 tail is the exact e^{-JB/2};
+    guards for constant and tiny inputs."""
+    import math
+
+    from dask_ml_spark.functions.stats import jarque_bera
+
+    rng = np.random.RandomState(67)
+    x = rng.normal(5.0, 2.0, 3000)
+    df = spark.createDataFrame([(float(v),) for v in x], ["v"])
+    r = jarque_bera(df, "v").collect()[0]
+    m = x.mean()
+    m2 = ((x - m) ** 2).mean()
+    skew = ((x - m) ** 3).mean() / m2 ** 1.5
+    kurt = ((x - m) ** 4).mean() / m2 ** 2
+    jb = len(x) / 6.0 * (skew ** 2 + (kurt - 3.0) ** 2 / 4.0)
+    assert r["n"] == len(x)
+    assert abs(r["skewness"] - skew) < 1e-7
+    assert abs(r["kurtosis"] - kurt) < 1e-7
+    assert abs(r["jb"] - jb) < 1e-5
+    assert abs(r["p_value"] - min(1.0, math.exp(-r["jb"] / 2.0))) < 1e-15
+    assert r["p_value"] > 0.01          # normal draw: not rejected
+
+    y = rng.lognormal(0.0, 1.0, 3000)
+    r2 = jarque_bera(spark.createDataFrame(
+        [(float(v),) for v in y], ["v"]), "v").collect()[0]
+    assert r2["skewness"] > 2.0 and r2["p_value"] < 1e-10
+
+    with pytest.raises(ValueError, match="zero variance"):
+        jarque_bera(spark.createDataFrame(
+            [(1.0,)] * 10, ["v"]), "v")
+    with pytest.raises(ValueError, match=">= 4"):
+        jarque_bera(spark.createDataFrame([(1.0,), (2.0,)], ["v"]), "v")
+
+
+def test_welch_anova_bruteforce(spark):
+    """numpy replay of F*, Welch dof, and both tails; equal-variance
+    balanced data ~ matches classical ANOVA's F; a heteroscedastic
+    null case where classical ANOVA over-rejects stays calibrated."""
+    from dask_ml_spark.functions.stats import (anova_oneway, chi2_sf,
+                                               f_sf, welch_anova)
+
+    rng = np.random.RandomState(71)
+    groups = {"a": rng.normal(0.0, 1.0, 50),
+              "b": rng.normal(0.5, 3.0, 25),
+              "c": rng.normal(0.2, 0.5, 80)}
+    rows = [(g, float(v)) for g, xs in groups.items() for v in xs]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = welch_anova(df, "v", "g").collect()[0]
+    st = {g: (len(xs), xs.mean(), len(xs) / xs.var(ddof=1))
+          for g, xs in groups.items()}
+    k = 3
+    wt = sum(w for _, _, w in st.values())
+    xstar = sum(w * m for _, m, w in st.values()) / wt
+    num = sum(w * (m - xstar) ** 2 for _, m, w in st.values()) / (k - 1)
+    lam = sum((1 - w / wt) ** 2 / (n - 1) for n, _, w in st.values())
+    fstar = num / (1 + 2 * (k - 2) / (k * k - 1) * lam)
+    dof2 = (k * k - 1) / (3 * lam)
+    assert r["k"] == 3 and r["n"] == 155
+    assert abs(r["f_stat"] - fstar) < 1e-9
+    assert abs(r["df_within_welch"] - dof2) < 1e-9
+    assert abs(r["p_value"] - chi2_sf(2 * fstar, 2)) < 1e-12
+    rex = welch_anova(df, "v", "g", tail="exact").collect()[0]
+    assert abs(rex["p_value"] - f_sf(fstar, 2.0, dof2)) < 1e-15
+
+    # balanced equal-variance: Welch F* ~ classical F
+    bal = {g: rng.normal(mu, 1.0, 60)
+           for g, mu in (("x", 0.0), ("y", 0.4), ("z", 0.8))}
+    rows_b = [(g, float(v)) for g, xs in bal.items() for v in xs]
+    dfb = spark.createDataFrame(rows_b, ["g", "v"])
+    fw = welch_anova(dfb, "v", "g").collect()[0]["f_stat"]
+    fc = anova_oneway(dfb, "v", "g").collect()[0]["f_stat"]
+    assert abs(fw - fc) / fc < 0.1
+
+    with pytest.raises(ValueError, match=">= 2 groups"):
+        welch_anova(df.where(F.col("g") == "a"), "v", "g")
