@@ -923,6 +923,77 @@ def _sql_covdrift_projected() -> str:
                          f"ts < to_timestamp({ref_end})")
 
 
+
+EWMA_LAM = 0.2
+
+
+def q_ewmadrift_daily(spark, sf_dir):
+    """EWMA control chart on daily value means (streaming/drift.py::
+    ewma_drift — the small-shift accumulator: z_drift tests windows in
+    isolation, the EWMA pools a persistent creep across days until it
+    crosses 3 sigma). ONE groupBy(window) aggregate + the exact
+    ascending recursion over ≤max_windows driver rows; the oracle
+    replays E_t and the exact variance recursion with a RECURSIVE
+    CTE, term-for-term in the same float order."""
+    from dask_ml_spark.streaming.drift import ewma_drift, reference_moments
+
+    ev = _t(spark, sf_dir, "events")
+    ref = reference_moments(
+        ev.where(F.col("ts") < F.lit(DRIFT_REF_END)), "value")
+    out = ewma_drift(ev, "value", "ts", ref, window="1 day",
+                     lam=EWMA_LAM)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "n", r6(F.col("mean")).alias("mean"),
+        r6(F.col("ewma")).alias("ewma"),
+        r6(F.col("z")).alias("z"), "signal")
+
+
+def _sql_ewmadrift_daily() -> str:
+    lam = EWMA_LAM
+    one_m = 1.0 - lam           # the engine's Python literals, inlined
+    one_m2 = (1.0 - lam) ** 2
+    lam2 = lam * lam
+    return f"""
+WITH RECURSIVE kept AS (
+    SELECT ts, value::DOUBLE AS v FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)
+), ref AS MATERIALIZED (
+    SELECT avg(v) AS mu,
+           (sum(v * v) - count(*) * (sum(v) / count(*))
+                * (sum(v) / count(*))) / (count(*) - 1.0) AS var
+    FROM kept WHERE ts < TIMESTAMP '{DRIFT_REF_END} 00:00:00'
+), win AS (
+    SELECT date_trunc('day', ts) AS ws, count(*)::DOUBLE AS n,
+           sum(v) AS s
+    FROM kept GROUP BY 1
+), ord AS MATERIALIZED (
+    SELECT ws, n, s, row_number() OVER (ORDER BY ws) AS rn FROM win
+), e AS (
+    SELECT rn, ws, n, s / n AS xbar,
+           {lam!r} * (s / n) + {one_m!r} * (SELECT mu FROM ref)
+               AS ewma,
+           {one_m2!r} * 0.0
+               + {lam2!r} * (SELECT var FROM ref) / n AS vv
+    FROM ord WHERE rn = 1
+    UNION ALL
+    SELECT o.rn, o.ws, o.n, o.s / o.n,
+           {lam!r} * (o.s / o.n) + {one_m!r} * e.ewma,
+           {one_m2!r} * e.vv
+               + {lam2!r} * (SELECT var FROM ref) / o.n
+    FROM e JOIN ord o ON o.rn = e.rn + 1
+)
+SELECT strftime(ws, '%Y-%m-%d') AS day, n::BIGINT AS n,
+       floor(xbar * 1e6 + 0.5) / 1e6 AS mean,
+       floor(ewma * 1e6 + 0.5) / 1e6 AS ewma,
+       floor((ewma - (SELECT mu FROM ref)) / sqrt(vv) * 1e6 + 0.5)
+           / 1e6 AS z,
+       abs((ewma - (SELECT mu FROM ref)) / sqrt(vv)) > 3.0 AS signal
+FROM e
+"""
+
+
 def catalog_queries():
     """This family's queries() entries (order preserved by __init__)."""
     return {
@@ -932,6 +1003,7 @@ def catalog_queries():
         "psi_drift_daily": q_psi_drift_daily,
         "catdrift_daily": q_catdrift_daily,
         "zdrift_daily": q_zdrift_daily,
+        "ewmadrift_daily": q_ewmadrift_daily,
         "corrdrift_monthly": q_corrdrift_monthly,
         "covdrift_monthly": q_covdrift_monthly,
         "covdrift_projected": q_covdrift_projected,
@@ -950,6 +1022,7 @@ def catalog_oracles():
         "psi_drift_daily": _sql_psi_drift_daily(),
         "catdrift_daily": _sql_catdrift_daily(),
         "zdrift_daily": _sql_zdrift_daily(),
+        "ewmadrift_daily": _sql_ewmadrift_daily(),
         "corrdrift_monthly": _sql_corrdrift_monthly(),
         "covdrift_monthly": _sql_covdrift_monthly(),
         "covdrift_projected": _sql_covdrift_projected(),

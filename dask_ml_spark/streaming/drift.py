@@ -9,6 +9,9 @@ ARRIVAL WINDOW, continuously, for every way a feed can rot:
   quadratic ECDF distance, which amplifies the shape gaps KS's
   uniform sup-norm barely sees (clipping bugs, outlier influx)
 - ``psi_drift``    — distribution MASS (the PSI score, numeric)
+- ``ewma_drift``   — small persistent LEVEL creep: the EWMA control
+  chart pools evidence across windows (batch/backfill cadence only —
+  sequential by nature, the one non-streaming member, documented)
 - ``categorical_drift`` — category MIX, with an OTHER bucket for
   categories unseen at fit time
 - ``z_drift``      — LEVEL and SPREAD vs reference moments
@@ -23,8 +26,10 @@ ARRIVAL WINDOW, continuously, for every way a feed can rot:
 Each is ONE built-in windowed aggregation — the per-window statistics
 are conditional sums (the ECDF point at edge k is Σ[bucket ≤ k], a PSI
 bucket count is Σ[bucket = k], the co-moments are plain sums), so all
-of them are legal in append-mode Structured Streaming with a
-watermark, with NO cumsum, NO custom state. The identical code path
+of them EXCEPT ewma_drift are legal in append-mode Structured
+Streaming with a watermark, with NO cumsum, NO custom state
+(ewma_drift's cross-window recursion is the documented exception —
+it raises on a stream and runs on the batch cadence). The identical code path
 serves batch frames (same Catalyst expressions, batch source) — which
 is what the SQL oracles replay and what the stream-vs-batch parity
 tests pin. Fit functions (reference_histogram / reference_categories /
@@ -262,6 +267,73 @@ def psi_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
     psi = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
     return _emit(agg.withColumn("__psi", psi),
                  F.col("__psi").alias("psi"))
+
+
+def ewma_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
+               window: str = "1 hour", lam: float = 0.2,
+               level: float = 3.0,
+               max_windows: int = 100_000) -> DataFrame:
+    """EWMA control chart over window means — the SMALL-SHIFT
+    accumulator the per-window family can't be: z_drift tests each
+    window in isolation, so a persistent 0.3σ mean creep needs a huge
+    window to ever clear 3σ; the EWMA E_t = λ·x̄_t + (1−λ)·E_{t−1}
+    pools evidence across windows and crosses its limit after a
+    handful of drifted ones (the classic Roberts/Lucas–Saccucci
+    chart, λ ≈ 0.2, L = 3).
+
+    SEQUENTIAL BY NATURE: each window's score depends on the previous
+    one, so unlike every other monitor here this is NOT append-mode
+    streaming legal — it raises on a streaming frame (watch streams
+    with z_drift/ks_drift/ad_drift; run this on the scheduled batch/
+    backfill cadence). The recursion steps over the PRESENT windows
+    in ascending start order (an empty window has no row and is
+    simply skipped, documented).
+
+    Exact variance recursion alongside the mean:
+    V_t = (1−λ)²·V_{t−1} + λ²·σ²_ref/n_t (so varying window sizes are
+    handled exactly, not by the constant-n closed form), z_t =
+    (E_t − μ_ref)/√V_t, signal = |z_t| > level.
+
+    Shape: ONE groupBy(window(ts)) aggregate of (n, Σx) — the
+    irreducible pass — then the ≤max_windows window rows (loud cap;
+    a year of hourly windows is ~9k rows of driver state) drive the
+    exact ascending recursion; the SQL oracle replays it with a
+    RECURSIVE CTE term-for-term. Returns
+    (window_start, n, mean, ewma, z, signal) per window.
+    """
+    if df.isStreaming:
+        raise ValueError(
+            "ewma_drift is sequential across windows and cannot run "
+            "append-mode on a stream — use z_drift/ks_drift/ad_drift "
+            "for streams and run ewma_drift on the batch cadence")
+    if not 0.0 < lam <= 1.0:
+        raise ValueError("lam must be in (0, 1]")
+    mu = float(ref["mean"])
+    var = float(ref["var"])
+    v, kept = _numeric_kept(df, value_col)
+    agg = _window_agg(kept, ts_col, window, None,
+                      [F.sum(v).alias("__s")])
+    rows = (agg.select(F.col("__w.start").alias("ws"), "n", "__s")
+            .limit(max_windows + 1).collect())
+    if len(rows) > max_windows:
+        raise ValueError(
+            f"ewma_drift: more than max_windows={max_windows} windows "
+            "— widen the window or shard the time range")
+    rows.sort(key=lambda r: r["ws"])
+    out = []
+    e = mu
+    vv = 0.0
+    for r in rows:
+        n = float(r["n"])
+        xbar = r["__s"] / n
+        e = lam * xbar + (1.0 - lam) * e
+        vv = (1.0 - lam) ** 2 * vv + lam * lam * var / n
+        z = (e - mu) / math.sqrt(vv)
+        out.append((r["ws"], int(r["n"]), xbar, e, z,
+                    abs(z) > level))
+    return df.sparkSession.createDataFrame(
+        out, "window_start timestamp, n long, mean double, "
+             "ewma double, z double, signal boolean")
 
 
 def reference_moments(df: DataFrame, value_col: str) -> dict:

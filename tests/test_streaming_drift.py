@@ -797,3 +797,68 @@ def test_ad_drift_sees_scale_drift_ks_misses(spark):
     assert w2["p_value"] > 0.25     # KS: nowhere near firing
     assert a2["p_value"] < 0.02     # AD: flags the same window
     assert a2["p_value"] < w2["p_value"] / 10.0
+
+
+def test_ewma_drift_replay_and_small_shift(spark):
+    """Exact numpy replay of the E/V recursions on irregular window
+    sizes; the family-role pin — a persistent 0.15σ creep whose
+    single-window z sits around 1.8 (isolation keeps missing it) is
+    latched by the EWMA after a few windows; the streaming/lam/cap
+    guards."""
+    from dask_ml_spark.streaming.drift import ewma_drift, reference_moments
+
+    rng = np.random.RandomState(73)
+    base = 1_699_999_200
+    rows = []
+    sizes = []
+    for w in range(14):
+        n = int(rng.randint(120, 260))     # irregular window sizes
+        sizes.append(n)
+        mu = 10.0 if w < 4 else 10.15      # 0.15σ creep from window 4
+        ts = base + w * 3600 + rng.randint(0, 3600, n)
+        vals = rng.normal(mu, 1.0, n)
+        rows += [(int(t), float(v)) for t, v in zip(ts, vals)]
+    df = (spark.createDataFrame(rows, ["epoch", "v"])
+          .select(F.timestamp_seconds(F.col("epoch")).alias("ts"), "v"))
+    ref = df.where(F.col("ts") < F.timestamp_seconds(
+        F.lit(base + 4 * 3600)))
+    moments = reference_moments(ref, "v")
+    got = sorted(ewma_drift(df, "v", "ts", moments,
+                            window="1 hour", lam=0.2).collect(),
+                 key=lambda r: r["window_start"])
+    assert len(got) == 14
+
+    pdf = df.toPandas()
+    pdf["w"] = pdf["ts"].dt.floor("h")
+    lam, mu0, var0 = 0.2, moments["mean"], moments["var"]
+    e, vv = mu0, 0.0
+    for r, (w, grp) in zip(got, sorted(pdf.groupby("w"),
+                                       key=lambda t: t[0])):
+        n = len(grp)
+        xbar = float(grp["v"].sum()) / n
+        e = lam * xbar + (1.0 - lam) * e
+        vv = (1.0 - lam) ** 2 * vv + lam * lam * var0 / n
+        z = (e - mu0) / np.sqrt(vv)
+        assert r["n"] == n
+        assert abs(r["mean"] - xbar) < 1e-12
+        assert abs(r["ewma"] - e) < 1e-12
+        assert abs(r["z"] - z) < 1e-9
+        assert r["signal"] == (abs(z) > 3.0)
+
+    # the creep: no single window mean clears 3 sigma of ITS OWN
+    # z_drift test often, but the EWMA latches within ~4 windows of
+    # the shift and STAYS signalled
+    per_window_z = [abs(r["mean"] - mu0) / np.sqrt(var0 / r["n"])
+                    for r in got[4:]]
+    assert min(per_window_z) < 3.0          # isolation misses some
+    assert all(r["signal"] for r in got[8:])  # the EWMA has latched
+
+    stream = (spark.readStream.format("rate").load()
+              .selectExpr("timestamp as ts", "value as v"))
+    with pytest.raises(ValueError, match="sequential"):
+        ewma_drift(stream, "v", "ts", moments)
+    with pytest.raises(ValueError, match="lam"):
+        ewma_drift(df, "v", "ts", moments, lam=0.0)
+    with pytest.raises(ValueError, match="max_windows"):
+        ewma_drift(df, "v", "ts", moments, window="1 hour",
+                   max_windows=3)
