@@ -3546,3 +3546,93 @@ def welch_anova(df: DataFrame, value_col: str, group_col: str,
         [(k, int(n), float(f_star), dfb, float(dof2), float(p))],
         "k long, n long, f_stat double, df_between long, "
         "df_within_welch double, p_value double")
+
+
+# Acklam's rational approximation to the standard normal quantile
+# (peter.acklam 2003, the widely republished literal-coefficient
+# algorithm; |relative error| < 1.15e-9 over (0, 1)) — driver-side
+# only: the power/sample-size planners below need Φ^{-1}, nothing in
+# the distributed plans does.
+_PPF_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+          -2.759285104469687e+02, 1.383577518672690e+02,
+          -3.066479806614716e+01, 2.506628277459239e+00)
+_PPF_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+          -1.556989798598866e+02, 6.680131188771972e+01,
+          -1.328068155288572e+01)
+_PPF_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+          -2.400758277161838e+00, -2.549732539343734e+00,
+          4.374664141464968e+00, 2.938163982698783e+00)
+_PPF_D = (7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00)
+
+
+def normal_ppf(p: float) -> float:
+    """Φ^{-1}(p), Acklam's two-region rational approximation refined
+    by ONE Halley step against the in-tree _normal_sf_py tail, so the
+    quantile and the tail are mutually consistent (the round-trip
+    normal_ppf(1 − _normal_sf_py(t)) = t is pinned to ~1e-7).
+    Absolute accuracy is therefore bounded by the A&S tail itself
+    (~1e-6 in the quantile near the tails) — exactly what a
+    sample-size planner needs, deliberately NOT more precise than the
+    p-values the rest of the family reports."""
+    if not 0.0 < p < 1.0:
+        raise ValueError("normal_ppf needs p in (0, 1)")
+    p_low = 0.02425
+    if p < p_low:
+        q = math.sqrt(-2.0 * math.log(p))
+        x = ((((((_PPF_C[0] * q + _PPF_C[1]) * q + _PPF_C[2]) * q
+                + _PPF_C[3]) * q + _PPF_C[4]) * q + _PPF_C[5])
+             / ((((_PPF_D[0] * q + _PPF_D[1]) * q + _PPF_D[2]) * q
+                 + _PPF_D[3]) * q + 1.0))
+    elif p <= 1.0 - p_low:
+        q = p - 0.5
+        r = q * q
+        x = ((((((_PPF_A[0] * r + _PPF_A[1]) * r + _PPF_A[2]) * r
+                + _PPF_A[3]) * r + _PPF_A[4]) * r + _PPF_A[5]) * q
+             / (((((_PPF_B[0] * r + _PPF_B[1]) * r + _PPF_B[2]) * r
+                  + _PPF_B[3]) * r + _PPF_B[4]) * r + 1.0))
+    else:
+        q = math.sqrt(-2.0 * math.log(1.0 - p))
+        x = -((((((_PPF_C[0] * q + _PPF_C[1]) * q + _PPF_C[2]) * q
+                 + _PPF_C[3]) * q + _PPF_C[4]) * q + _PPF_C[5])
+              / ((((_PPF_D[0] * q + _PPF_D[1]) * q + _PPF_D[2]) * q
+                  + _PPF_D[3]) * q + 1.0))
+    # one Halley refinement against the engine's own normal tail
+    e = (1.0 - _normal_sf_py(x)) - p if x >= 0.0 \
+        else _normal_sf_py(-x) - p
+    u = e * math.sqrt(2.0 * math.pi) * math.exp(x * x / 2.0)
+    return x - u / (1.0 + x * u / 2.0)
+
+
+def power_two_sample(effect_size: float, alpha: float = 0.05,
+                    power: float = 0.8) -> int:
+    """Per-group n for a two-sided two-sample z/t comparison to detect
+    standardized effect d (cohens_d units) at the given alpha and
+    power: n = 2·((z_{1−α/2} + z_{power})/d)², rounded up — the
+    experiment-design closer of the stats family (cohens_d measures
+    what WAS; this says how many samples the NEXT experiment needs).
+    The normal form; at the n this returns for any d ≤ 1 the t
+    correction is < 1 sample (document-grade, like the tail policy).
+    """
+    if effect_size <= 0.0:
+        raise ValueError("effect_size must be > 0")
+    if not 0.0 < alpha < 1.0 or not 0.0 < power < 1.0:
+        raise ValueError("alpha and power must be in (0, 1)")
+    za = normal_ppf(1.0 - alpha / 2.0)
+    zb = normal_ppf(power)
+    return int(math.ceil(2.0 * ((za + zb) / effect_size) ** 2))
+
+
+def minimum_detectable_effect(n_per_group: int, alpha: float = 0.05,
+                              power: float = 0.8) -> float:
+    """The inverse planner: the smallest standardized effect a
+    two-sample comparison with ``n_per_group`` rows per arm detects at
+    the given alpha/power — d = (z_{1−α/2} + z_{power})·√(2/n). The
+    question a fixed-budget experiment actually asks."""
+    if n_per_group < 2:
+        raise ValueError("n_per_group must be >= 2")
+    if not 0.0 < alpha < 1.0 or not 0.0 < power < 1.0:
+        raise ValueError("alpha and power must be in (0, 1)")
+    za = normal_ppf(1.0 - alpha / 2.0)
+    zb = normal_ppf(power)
+    return (za + zb) * math.sqrt(2.0 / n_per_group)

@@ -2010,3 +2010,35 @@ def test_welch_anova_bruteforce(spark):
 
     with pytest.raises(ValueError, match=">= 2 groups"):
         welch_anova(df.where(F.col("g") == "a"), "v", "g")
+
+
+def test_normal_ppf_and_power_planners():
+    """Round-trip consistency with the in-tree tail, the classic
+    quantiles, and the textbook sample-size numbers (d=0.5 → 63/arm,
+    d=0.2 → 393/arm at 80% power; 0.8/90% → 33); mde inverts
+    power_two_sample within rounding."""
+    from dask_ml_spark.functions.stats import (
+        _normal_sf_py, minimum_detectable_effect, normal_ppf,
+        power_two_sample)
+
+    for t in (0.1, 0.5, 1.0, 1.96, 2.6, 3.5, 5.0):
+        p = 1.0 - _normal_sf_py(t)
+        tol = 1e-7 if t <= 3.5 else 1e-6   # deep tail: A&S-limited
+        assert abs(normal_ppf(p) - t) < tol, t
+        assert abs(normal_ppf(1.0 - p) + t) < tol, t
+    assert abs(normal_ppf(0.975) - 1.959964) < 1e-4
+    assert abs(normal_ppf(0.5)) < 1e-8
+
+    assert power_two_sample(0.5) == 63
+    assert power_two_sample(0.2) == 393
+    assert power_two_sample(0.8, power=0.9) == 33
+    for n in (30, 64, 500):
+        d = minimum_detectable_effect(n)
+        assert power_two_sample(d) <= n + 1
+        assert power_two_sample(d * 1.05) <= n
+    with pytest.raises(ValueError):
+        normal_ppf(0.0)
+    with pytest.raises(ValueError):
+        power_two_sample(0.0)
+    with pytest.raises(ValueError):
+        minimum_detectable_effect(1)
