@@ -3113,14 +3113,17 @@ def log_rank(df: DataFrame, duration_col: str, event_col: str,
     from dask_ml_spark.datapipe.packing import prefix_sum
 
     if groups is None:
+        # filter NULLs BEFORE limit(3): a NULL inside the first three
+        # distinct rows would otherwise mask a real third group
         distinct = [r[0] for r in
-                    df.select(group_col).distinct().limit(3).collect()
-                    if r[0] is not None]
+                    (df.select(group_col)
+                     .where(F.col(group_col).isNotNull())
+                     .distinct().orderBy(group_col).limit(3).collect())]
         if len(distinct) != 2:
             raise ValueError(
                 "log_rank: group_col must have exactly 2 non-null "
                 "groups, or pass groups=(a, b)")
-        g1, g2 = sorted(distinct)
+        g1, g2 = distinct
     else:
         g1, g2 = groups
     ev = F.col(event_col).cast("double")

@@ -1778,6 +1778,13 @@ def test_log_rank_properties(spark):
         log_rank(df.where(F.col("g") == "a"), "dur", "ev", "g")
     with pytest.raises(ValueError, match="matched no rows"):
         log_rank(df, "dur", "ev", "g", groups=("nope", "nah"))
+    # a NULL group row must not mask a real third group during
+    # inference (review-caught: NULLs filter BEFORE the limit probe)
+    df3 = spark.createDataFrame(
+        [(1.0, 1, "a"), (2.0, 1, "b"), (3.0, 1, "c"), (4.0, 1, None)],
+        ["dur", "ev", "g"])
+    with pytest.raises(ValueError, match="exactly 2"):
+        log_rank(df3, "dur", "ev", "g")
 
 
 def test_cohens_d_bruteforce(spark):
