@@ -220,15 +220,24 @@ HEADLINE = [
     "seasonal_decompose_daily",       # trend + weekly seasonal + residual
     "partial_corr_price_quantity",    # confounder-controlled Pearson
     "hl_shift_price",                 # robust pair-median location shift
+    "hoeffding_price_quantity",       # non-monotone dependence screen
+    "log_rank_conversion",            # censored two-cohort survival test
+    "nelson_aalen_conversion",        # cumulative conversion hazard
+    "mood_median_price",              # one-bit robust location screen
+    "welch_anova_event_value",        # heteroscedastic k-group ANOVA
+    "jarque_bera_value",              # four-moment normality screen
+    "zipf_token_fit",                 # corpus power-law alpha fit
+    "brier_event_probability",        # Murphy calibration decomposition
     "brown_forsythe_price",         # variance homogeneity (robust Levene)
     "changepoint_event_value",      # binned mean-shift drift monitor
     "trend_event_value",            # Mann-Kendall + Sen slope (binned)
     "isotonic_price_curve",         # binned minimax-PAV monotone fit
-    "ks_drift_daily",
-    "addrift_daily",                # tail-sensitive AD shape drift               # windowed KS drift vs reference
+    "ks_drift_daily",               # windowed KS drift vs reference
+    "addrift_daily",                # tail-sensitive AD shape drift
     "psi_drift_daily",              # windowed PSI vs reference
     "catdrift_daily",               # categorical-mix PSI + OTHER bucket
     "zdrift_daily",                 # windowed mean/variance z-drift
+    "ewmadrift_daily",              # EWMA small-shift control chart
     "corrdrift_monthly",            # feature-relationship (Fisher) drift
     "covdrift_monthly",             # multivariate covariance-structure drift
     "covdrift_projected",           # the d>30 escape: random-project then monitor
