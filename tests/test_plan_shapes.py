@@ -504,3 +504,52 @@ def test_categorical_drift_codegen_compiles_at_cap(spark):
     assert len(rows) == 2
     # ids 512..519 fall outside the reference's 512 categories
     assert all(r["other_frac"] > 0.0 for r in rows)
+
+
+def test_r13_one_aggregate_tests_have_no_extra_shuffle(spark, catalog):
+    """The r13 lazy single-aggregate statistics must stay ONE
+    partial+final aggregate pair over the scan — a second Exchange
+    would mean somebody added a distributed round-trip to what is a
+    one-pass statistic. (jarque_bera/welch_anova assemble driver-side
+    — their catalog plan is a local relation, asserted instead.)"""
+    for name, max_exchanges in (("cohens_d_price", 1),
+                                ("exponential_fit_conversion", 2),
+                                ("zipf_token_fit", 2)):
+        plan = _plan(spark, catalog, name)
+        # formatted mode prints each node twice (tree + detail):
+        # count tree entries only
+        assert plan.count("Exchange (") <= max_exchanges, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    for name in ("jarque_bera_value", "welch_anova_event_value"):
+        plan = _plan(spark, catalog, name)
+        assert ("LocalTableScan" in plan or "ExistingRDD" in plan), name
+
+
+def test_mood_median_is_two_aggregates_one_broadcast(spark, catalog):
+    """mood_median: percentile aggregate + conditional-count aggregate
+    joined by a 1-row broadcast — the broadcast must not degrade to a
+    sort-merge join, and no Python task may appear."""
+    plan = _plan(spark, catalog, "mood_median_price")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_ad_and_ewma_drift_window_aggregates(spark, catalog):
+    """ad_drift keeps the ks_drift shape (one windowed aggregation,
+    array-HOF projection, no Python); ewma_drift's distributed part is
+    the one windowed aggregation — the recursion is bounded driver
+    state, so the PLAN must show just the aggregate."""
+    plan = _plan(spark, catalog, "addrift_daily")
+    assert plan.count("HashAggregate") <= 4   # ref fit + window agg
+    assert "Python" not in plan
+    from dask_ml_spark.streaming.drift import ewma_drift  # noqa: F401
+    # ewmadrift_daily materializes driver-side; assert on the module
+    # contract instead: the catalog query returns a local relation
+    df = catalog["ewmadrift_daily"](spark, SF_DIR)
+    plan2 = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    assert ("LocalTableScan" in plan2 or "LocalRelation" in plan2
+            or "ExistingRDD" in plan2)
