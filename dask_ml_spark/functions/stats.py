@@ -3081,7 +3081,8 @@ def kaplan_meier(df: DataFrame, duration_col: str, event_col: str,
 
 def log_rank(df: DataFrame, duration_col: str, event_col: str,
              group_col: str, groups=None,
-             max_driver_rows: int = 65536) -> DataFrame:
+             max_driver_rows: int = 65536,
+             weights: str = "logrank") -> DataFrame:
     """Two-group log-rank (Mantel–Cox) test — the survival-family
     hypothesis test next to kaplan_meier: do two cohorts share a
     time-to-event distribution under right-censoring? (The question
@@ -3109,9 +3110,19 @@ def log_rank(df: DataFrame, duration_col: str, event_col: str,
     the same ascending-t order — no nondeterministic double
     reduction). Returns one row:
     (n1, n2, observed1, expected1, z, chi2, p_value).
+
+    ``weights="wilcoxon"`` gives the Gehan–Breslow–Wilcoxon variant:
+    every term is weighted by the pooled risk-set size n_t, so EARLY
+    differences dominate (the right sensitivity when hazards cross —
+    an onboarding change that speeds up early conversion but washes
+    out later is invisible to the equal-weight log-rank). Same plan,
+    same O/E/V machinery with w_t = n_t and w²_t in the variance;
+    observed1/expected1 are then WEIGHTED sums.
     """
     from dask_ml_spark.datapipe.packing import prefix_sum
 
+    if weights not in ("logrank", "wilcoxon"):
+        raise ValueError("weights must be 'logrank' or 'wilcoxon'")
     if groups is None:
         # filter NULLs BEFORE limit(3): a NULL inside the first three
         # distinct rows would otherwise mask a real third group
@@ -3168,10 +3179,11 @@ def log_rank(df: DataFrame, duration_col: str, event_col: str,
                 nt = r1 + r2
                 dt = int(r["__d1"]) + int(r["__d2"])
                 if dt > 0 and nt > 0:
-                    o1 += int(r["__d1"])
-                    e1 += dt * (r1 / nt)
+                    w = float(nt) if weights == "wilcoxon" else 1.0
+                    o1 += w * int(r["__d1"])
+                    e1 += w * (dt * (r1 / nt))
                     if nt >= 2:
-                        v += (dt * (r1 / nt) * (r2 / nt)
+                        v += (w * w * dt * (r1 / nt) * (r2 / nt)
                               * (nt - dt) / (nt - 1.0))
                 b1 += int(r["__n1"])
                 b2 += int(r["__n2"])
@@ -3187,12 +3199,16 @@ def log_rank(df: DataFrame, duration_col: str, event_col: str,
     nt = r1 + r2
     dt = F.col("__d1") + F.col("__d2")
     has = (dt > 0.0) & (nt > 0.0)
+    w = nt if weights == "wilcoxon" else F.lit(1.0)
     j = j.select(
         "__t", "__t1", "__t2",
-        F.when(has, F.col("__d1")).otherwise(F.lit(0.0)).alias("__o"),
-        F.when(has, dt * (r1 / nt)).otherwise(F.lit(0.0)).alias("__e"),
+        F.when(has, w * F.col("__d1")).otherwise(F.lit(0.0))
+        .alias("__o"),
+        F.when(has, w * (dt * (r1 / nt))).otherwise(F.lit(0.0))
+        .alias("__e"),
         F.when(has & (nt >= 2.0),
-               dt * (r1 / nt) * (r2 / nt) * (nt - dt) / (nt - 1.0))
+               w * w * dt * (r1 / nt) * (r2 / nt) * (nt - dt)
+               / (nt - 1.0))
         .otherwise(F.lit(0.0)).alias("__v"))
     j = prefix_sum(j, "__t", ["__o", "__e", "__v"],
                    ["__co", "__ce", "__cv"])

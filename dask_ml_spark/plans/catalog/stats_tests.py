@@ -2267,10 +2267,53 @@ def q_log_rank_conversion(spark, sf_dir):
         r6(F.col("p_value")).alias("p_value"))
 
 
-def _sql_log_rank_conversion() -> str:
+def q_log_rank_gehan(spark, sf_dir):
+    """Gehan–Breslow–Wilcoxon weighted log-rank (weights='wilcoxon'
+    on functions/stats.py::log_rank): every hypergeometric term is
+    weighted by the pooled risk-set size, so EARLY conversion
+    differences dominate — the right chart when hazards cross. Same
+    cohorting and plan as log_rank_conversion; the oracle carries the
+    n_t / n_t² weights through the O/E/V replay."""
+    from dask_ml_spark.functions.stats import log_rank
+
+    ev = _t(spark, sf_dir, "events")
+    d = F.to_date(F.col("ts").cast("timestamp"))
+    per = ev.groupBy("user_id").agg(
+        F.min(d).alias("first_d"),
+        F.max(d).alias("last_d"),
+        F.min(F.when(F.col("event_type") == "purchase", d))
+        .alias("purch_d"),
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"]
+        .alias("ft"))
+    dur = F.when(F.col("purch_d").isNotNull(),
+                 F.datediff(F.col("purch_d"), F.col("first_d"))
+                 ).otherwise(F.datediff(F.col("last_d"),
+                                        F.col("first_d")))
+    subj = per.select(
+        dur.cast("double").alias("duration"),
+        F.col("purch_d").isNotNull().cast("int").alias("event"),
+        F.when(F.col("ft") == "click", F.lit("click_first"))
+        .otherwise(F.lit("other_first")).alias("grp"))
+    out = log_rank(subj, "duration", "event", "grp",
+                   weights="wilcoxon")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        "n1", "n2",
+        r6(F.col("observed1")).alias("observed1"),
+        r6(F.col("expected1")).alias("expected1"),
+        r6(F.col("z")).alias("z"),
+        r6(F.col("chi2")).alias("chi2"),
+        r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_log_rank_conversion(weighted: bool = False) -> str:
     from dask_ml_spark.functions.stats import _normal_sf_sql
 
     sf = _normal_sf_sql("abs(z)")
+    # Gehan weights: w_t = pooled risk-set size (1.0 for log-rank);
+    # the engine multiplies w (and w^2 into vv) INSIDE each term in
+    # the same order
+    w = "(r1 + r2)" if weighted else "1.0"
     return f"""
 WITH per AS (
     SELECT user_id,
@@ -2310,11 +2353,13 @@ WITH per AS (
                         AND 1 PRECEDING), 0.0) AS r2
     FROM g
 ), terms AS (
-    SELECT CASE WHEN d1 + d2 > 0 THEN d1 ELSE 0.0 END AS o,
+    SELECT CASE WHEN d1 + d2 > 0 THEN {w} * d1 ELSE 0.0 END AS o,
            CASE WHEN d1 + d2 > 0 AND r1 + r2 > 0
-                THEN (d1 + d2) * (r1 / (r1 + r2)) ELSE 0.0 END AS ee,
+                THEN {w} * ((d1 + d2) * (r1 / (r1 + r2)))
+                ELSE 0.0 END AS ee,
            CASE WHEN d1 + d2 > 0 AND r1 + r2 >= 2
-                THEN (d1 + d2) * (r1 / (r1 + r2)) * (r2 / (r1 + r2))
+                THEN {w} * {w} * (d1 + d2) * (r1 / (r1 + r2))
+                     * (r2 / (r1 + r2))
                      * ((r1 + r2) - (d1 + d2)) / ((r1 + r2) - 1.0)
                 ELSE 0.0 END AS vv
     FROM c
@@ -2765,6 +2810,7 @@ def catalog_queries():
         "jarque_bera_value": q_jarque_bera_value,
         "welch_anova_event_value": q_welch_anova_event_value,
         "log_rank_conversion": q_log_rank_conversion,
+        "log_rank_gehan": q_log_rank_gehan,
         "cohens_d_price": q_cohens_d_price,
     }
 
@@ -2810,5 +2856,6 @@ def catalog_oracles():
         "jarque_bera_value": SQL_JARQUE_BERA_VALUE,
         "welch_anova_event_value": _sql_welch_anova_event_value(),
         "log_rank_conversion": _sql_log_rank_conversion(),
+        "log_rank_gehan": _sql_log_rank_conversion(weighted=True),
         "cohens_d_price": SQL_COHENS_D_PRICE,
     }

@@ -2049,3 +2049,59 @@ def test_normal_ppf_and_power_planners():
         power_two_sample(0.0)
     with pytest.raises(ValueError):
         minimum_detectable_effect(1)
+
+
+def test_log_rank_gehan_weights(spark):
+    """weights='wilcoxon' replays the n_t-weighted O/E/V quadratically
+    (both paths), reduces to the unweighted test on weight-free data
+    only in the trivial sense, and catches an EARLY-only difference
+    more strongly than the equal-weight test (the crossing-hazards
+    role)."""
+    import math
+
+    from dask_ml_spark.functions.stats import log_rank
+
+    rng = np.random.RandomState(79)
+    rows = [(float(rng.randint(0, 20)), int(rng.rand() < 0.7),
+             "a" if rng.rand() < 0.5 else "b") for _ in range(350)]
+    df = spark.createDataFrame(rows, ["dur", "ev", "g"])
+    r = log_rank(df, "dur", "ev", "g", weights="wilcoxon").collect()[0]
+    times = sorted({t for t, _, _ in rows})
+    o1 = e1 = v = 0.0
+    for t in times:
+        r1 = sum(1 for d, _, g in rows if d >= t and g == "a")
+        r2 = sum(1 for d, _, g in rows if d >= t and g == "b")
+        d1 = sum(1 for d, e, g in rows if d == t and e and g == "a")
+        d2 = sum(1 for d, e, g in rows if d == t and e and g == "b")
+        nt, dt = r1 + r2, d1 + d2
+        if dt > 0 and nt > 0:
+            w = float(nt)
+            o1 += w * d1
+            e1 += w * (dt * (r1 / nt))
+            if nt >= 2:
+                v += (w * w * dt * (r1 / nt) * (r2 / nt)
+                      * (nt - dt) / (nt - 1.0))
+    z = (o1 - e1) / math.sqrt(v)
+    assert abs(r["observed1"] - o1) < 1e-9
+    assert abs(r["expected1"] - e1) < 1e-9
+    assert abs(r["z"] - z) < 1e-9
+    rd = log_rank(df, "dur", "ev", "g", weights="wilcoxon",
+                  max_driver_rows=0).collect()[0]
+    for c in ("observed1", "expected1", "z", "chi2", "p_value"):
+        assert abs(rd[c] - r[c]) < 1e-9, c
+
+    # crossing hazards: group b converts FASTER early, then the
+    # difference washes out — Gehan (early-weighted) must score it
+    # more extremely than equal-weight log-rank
+    rows2 = ([(float(t), 1, "a") for t in
+              list(range(5, 15)) * 6 + list(range(15, 40))]
+             + [(float(t), 1, "b") for t in
+                list(range(1, 11)) * 6 + list(range(15, 40))])
+    df2 = spark.createDataFrame(rows2, ["dur", "ev", "g"])
+    zg = abs(log_rank(df2, "dur", "ev", "g",
+                      weights="wilcoxon").collect()[0]["z"])
+    zl = abs(log_rank(df2, "dur", "ev", "g").collect()[0]["z"])
+    assert zg > zl
+
+    with pytest.raises(ValueError, match="weights"):
+        log_rank(df, "dur", "ev", "g", weights="tarone")
