@@ -843,6 +843,13 @@ RP_D = 64
 RP_EPOCH0 = 820454400       # 1996-01-01 00:00:00 UTC, day-aligned
 RP_REF_DAYS = 150           # reference slice: first 150 synthetic days
 RP_WINDOW_DAYS = 60
+# the synthetic day index folds at 100k days (~274 years): scaled
+# copies of the table shift vec_id by huge key strides (sf1 benchdata
+# uses 1e8), and an unfolded vec_id*86400 overflows the max timestamp
+# — caught by the r13 sf1 audit. Identity below 100k ids, so the
+# sf0.01/sf0.1 oracle hashes are unchanged; at larger scales the
+# shifted copies share the day range (more vectors per window).
+RP_DAY_FOLD = 100_000
 
 
 def _rp_components():
@@ -873,7 +880,8 @@ def q_covdrift_projected(spark, sf_dir):
     ecols = [f"e{j}" for j in range(RP_D)]
     wide = em.select(
         F.timestamp_seconds(
-            F.lit(RP_EPOCH0) + F.col("vec_id") * 86400).alias("ts"),
+            F.lit(RP_EPOCH0)
+            + (F.col("vec_id") % RP_DAY_FOLD) * 86400).alias("ts"),
         *[F.col("embedding")[j].alias(c) for j, c in enumerate(ecols)])
     rp = SparseRandomProjection(n_components=RP_K, random_state=RP_SEED)
     proj = rp.fit(wide, columns=ecols).transform(wide)
@@ -911,7 +919,8 @@ def _sql_covdrift_projected() -> str:
     kept_where = " AND ".join(
         f"x{k} IS NOT NULL AND NOT isnan(x{k})" for k in range(RP_K))
     kept = f"""kept0 AS (
-    SELECT to_timestamp({RP_EPOCH0} + vec_id * 86400) AS ts,
+    SELECT to_timestamp({RP_EPOCH0}
+                        + (vec_id % {RP_DAY_FOLD}) * 86400) AS ts,
            {", ".join(proj_sel)}
     FROM embeddings
 ), kept AS (
