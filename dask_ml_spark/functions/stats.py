@@ -3655,3 +3655,85 @@ def minimum_detectable_effect(n_per_group: int, alpha: float = 0.05,
     za = normal_ppf(1.0 - alpha / 2.0)
     zb = normal_ppf(power)
     return (za + zb) * math.sqrt(2.0 / n_per_group)
+
+
+def _ab_block_score_sum(a: int, b: int, n: int) -> int:
+    """Exact integer Σ_{r=a}^{b} min(r, n+1−r) — the Ansari–Bradley
+    scores of a tied block occupying pooled ranks [a, b], as two
+    arithmetic series split at the fold point (n+1)//2."""
+    tot = 0
+    lo_end = min(b, (n + 1) // 2)          # min(r, n+1−r) == r here
+    if a <= lo_end:
+        tot += (a + lo_end) * (lo_end - a + 1) // 2
+    hi_start = max(a, (n + 1) // 2 + 1)    # == n+1−r beyond the fold
+    if hi_start <= b:
+        c1, c2 = n + 1 - hi_start, n + 1 - b
+        tot += (c1 + c2) * (c1 - c2 + 1) // 2
+    return tot
+
+
+def ansari_bradley(df: DataFrame, value_col: str, group_col: str,
+                   groups=None,
+                   max_driver_rows: int = 65536) -> DataFrame:
+    """Ansari–Bradley rank test of SCALE — mood_median's dispersion
+    twin: are two groups spread differently around a common center?
+    (The question behind "did the new scrape widen the quality-score
+    distribution?" when Brown–Forsythe's moment assumptions are shaky
+    — ranks survive the heavy tails that inflate variance ratios.)
+    Assumes comparable centers (median-align upstream if not —
+    documented, the classic AB caveat).
+
+    Scores fold the pooled ranks from both ends: s(r) = min(r, N+1−r)
+    — compressed spread concentrates high scores, dilated spread low
+    scores. Tied blocks take the block's MEAN score (midrank
+    convention). W = Σ_{g1} s, and the tie-robust conditional moments
+    give E[W] = n1·S/N, Var[W] = n1·n2·(N·Σs² − S²)/(N²(N−1)),
+    z = (W − E)/√Var, two-sided A&S normal p.
+
+    Shape: ONE groupBy(value) with per-group counts (the
+    mann_whitney frame), then the ascending-value driver pass where
+    each tied block's score sum is an EXACT integer closed form (two
+    arithmetic series — no per-rank loop), so W/S/Σs² accumulate from
+    integer block sums in deterministic order. Distinct values above
+    ``max_driver_rows`` raise loudly — at that cardinality the value
+    axis wants binning first (the ks_2sample(bins=K) convention), and
+    a binned AB is exactly AB on the bucketed column. Returns one
+    row: (n1, n2, w_stat, z, p_value).
+    """
+    g, g1, g2 = _two_group_counts(df, value_col, group_col, groups)
+    g, head = _bounded_head(g, max_driver_rows)
+    if head is None:
+        raise ValueError(
+            f"ansari_bradley: more than {max_driver_rows} distinct "
+            "values — bin the column first (AB on the bucketed column "
+            "is the scale path, the ks_2sample(bins=K) convention)")
+    head.sort(key=lambda r: r["__v"])
+    n1 = int(sum(r["__c1"] for r in head))
+    n2 = int(sum(r["__c2"] for r in head))
+    if not n1 or not n2:
+        raise ValueError(
+            "ansari_bradley: a group matched no rows — check the "
+            "group values (NULL groups are excluded)")
+    n = n1 + n2
+    cum = 0
+    w = s_tot = ss_tot = 0.0
+    for r in head:
+        c1, c2 = int(r["__c1"]), int(r["__c2"])
+        c = c1 + c2
+        blk = _ab_block_score_sum(cum + 1, cum + c, n)  # exact int
+        sbar = blk / c
+        w += c1 * sbar
+        s_tot += blk
+        ss_tot += c * sbar * sbar
+        cum += c
+    e = n1 * s_tot / n
+    var = n1 * n2 * (n * ss_tot - s_tot * s_tot) / (n * n * (n - 1.0))
+    if var <= 0.0:
+        z_v, p_v = 0.0, 1.0
+    else:
+        z_v = (w - e) / math.sqrt(var)
+        p_v = min(1.0, 2.0 * _normal_sf_py(abs(z_v)))
+    return df.sparkSession.createDataFrame([{
+        "n1": n1, "n2": n2, "w_stat": float(w), "z": float(z_v),
+        "p_value": float(p_v),
+    }]).select("n1", "n2", "w_stat", "z", "p_value")

@@ -2770,6 +2770,101 @@ FROM f
 """
 
 
+
+def q_ansari_bradley_price(spark, sf_dir):
+    """Ansari–Bradley rank scale test (functions/stats.py::
+    ansari_bradley — mood_median's dispersion twin): do returned and
+    kept lineitems' prices SPREAD differently? Rank scores fold from
+    both ends (min(r, N+1−r), midrank ties); ONE groupBy(value) +
+    exact-integer block score sums driver-side. The oracle replays the
+    fold with the same two-arithmetic-series closed form over window
+    cumsums."""
+    from dask_ml_spark.functions.stats import ansari_bradley
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = ansari_bradley(li, "l_extendedprice", "l_returnflag",
+                         groups=("N", "R"))
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select("n1", "n2",
+                      r6(F.col("w_stat")).alias("w_stat"),
+                      r6(F.col("z")).alias("z"),
+                      r6(F.col("p_value")).alias("p_value"))
+
+
+def _sql_ansari_bradley_price() -> str:
+    from dask_ml_spark.functions.stats import _normal_sf_sql
+
+    sf = _normal_sf_sql("abs(z)")
+    return f"""
+WITH kept AS (
+    SELECT l_extendedprice::DOUBLE AS v,
+           CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS one,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS two
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+      AND NOT isnan(l_extendedprice::DOUBLE)
+      AND l_returnflag IN ('N', 'R')
+), g AS (
+    SELECT v, sum(one)::BIGINT AS c1, sum(two)::BIGINT AS c2
+    FROM kept GROUP BY v
+), tot AS (
+    SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+           sum(c1 + c2)::BIGINT AS n
+    FROM g
+), r AS (
+    SELECT c1, c1 + c2 AS c,
+           coalesce(sum(c1 + c2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0)::BIGINT + 1 AS a,
+           (sum(c1 + c2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW))::BIGINT AS b,
+           (SELECT n FROM tot) AS n
+    FROM g
+), blk AS (
+    -- exact Σ min(r, n+1−r) over the block's ranks [a, b]: two
+    -- arithmetic series split at the fold (n+1)//2 — the engine's
+    -- _ab_block_score_sum closed form
+    SELECT c1, c,
+           (CASE WHEN a <= least(b, (n + 1) // 2)
+                 THEN (a + least(b, (n + 1) // 2))
+                      * (least(b, (n + 1) // 2) - a + 1) // 2
+                 ELSE 0 END
+            + CASE WHEN greatest(a, (n + 1) // 2 + 1) <= b
+                   THEN ((n + 1 - greatest(a, (n + 1) // 2 + 1))
+                         + (n + 1 - b))
+                        * ((n + 1 - greatest(a, (n + 1) // 2 + 1))
+                           - (n + 1 - b) + 1) // 2
+                   ELSE 0 END)::BIGINT AS blk
+    FROM r
+), agg AS (
+    SELECT sum(c1 * (blk::DOUBLE / c)) AS w,
+           sum(blk)::DOUBLE AS s,
+           sum(c * (blk::DOUBLE / c) * (blk::DOUBLE / c)) AS ss
+    FROM blk
+), z AS (
+    SELECT (SELECT n1 FROM tot) AS n1, (SELECT n2 FROM tot) AS n2,
+           w,
+           CASE WHEN (SELECT n1 FROM tot) * (SELECT n2 FROM tot)
+                     * ((SELECT n FROM tot) * ss - s * s) > 0.0
+                THEN (w - (SELECT n1 FROM tot) * s
+                            / (SELECT n FROM tot))
+                     / sqrt((SELECT n1 FROM tot) * (SELECT n2 FROM tot)
+                            * ((SELECT n FROM tot) * ss - s * s)
+                            / ((SELECT n FROM tot)::DOUBLE
+                               * (SELECT n FROM tot)
+                               * ((SELECT n FROM tot) - 1.0)))
+                ELSE 0.0 END AS z
+    FROM agg
+)
+SELECT n1, n2,
+       floor(w * 1e6 + 0.5) / 1e6 AS w_stat,
+       floor(z * 1e6 + 0.5) / 1e6 AS z,
+       floor(least(1.0, 2.0 * {sf}) * 1e6 + 0.5) / 1e6 AS p_value
+FROM z
+"""
+
+
 def catalog_queries():
     """This family's queries() entries (order preserved by __init__)."""
     return {
@@ -2807,6 +2902,7 @@ def catalog_queries():
         "nelson_aalen_conversion": q_nelson_aalen_conversion,
         "exponential_fit_conversion": q_exponential_fit_conversion,
         "mood_median_price": q_mood_median_price,
+        "ansari_bradley_price": q_ansari_bradley_price,
         "jarque_bera_value": q_jarque_bera_value,
         "welch_anova_event_value": q_welch_anova_event_value,
         "log_rank_conversion": q_log_rank_conversion,
@@ -2853,6 +2949,7 @@ def catalog_oracles():
         "nelson_aalen_conversion": SQL_NELSON_AALEN_CONVERSION,
         "exponential_fit_conversion": SQL_EXPONENTIAL_FIT_CONVERSION,
         "mood_median_price": _sql_mood_median_price(),
+        "ansari_bradley_price": _sql_ansari_bradley_price(),
         "jarque_bera_value": SQL_JARQUE_BERA_VALUE,
         "welch_anova_event_value": _sql_welch_anova_event_value(),
         "log_rank_conversion": _sql_log_rank_conversion(),

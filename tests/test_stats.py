@@ -2105,3 +2105,65 @@ def test_log_rank_gehan_weights(spark):
 
     with pytest.raises(ValueError, match="weights"):
         log_rank(df, "dur", "ev", "g", weights="tarone")
+
+
+def test_ansari_bradley_bruteforce(spark):
+    """Per-rank numpy replay of the folded scores (midrank ties) and
+    the conditional moments; a dilated group is detected with the
+    right SIGN (wider spread → lower scores → W below E for that
+    group); equal-scale groups stay null; the cap and no-rows
+    guards."""
+    import math
+
+    from dask_ml_spark.functions.stats import (_normal_sf_py,
+                                               ansari_bradley)
+
+    rng = np.random.RandomState(83)
+    a = np.round(rng.normal(0.0, 1.0, 150), 1)   # rounding makes ties
+    b = np.round(rng.normal(0.0, 2.5, 120), 1)
+    rows = ([("a", float(x)) for x in a] + [("b", float(x)) for x in b])
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = ansari_bradley(df, "v", "g").collect()[0]
+
+    allv = np.concatenate([a, b])
+    order = np.argsort(allv, kind="mergesort")
+    n = len(allv)
+    ranks = np.arange(1, n + 1, dtype=float)
+    scores = np.minimum(ranks, n + 1 - ranks)
+    # midrank scores over tied blocks
+    sv = allv[order]
+    sc = scores.copy()
+    i = 0
+    while i < n:
+        j = i
+        while j < n and sv[j] == sv[i]:
+            j += 1
+        sc[i:j] = sc[i:j].mean()
+        i = j
+    grp = np.array(["a"] * len(a) + ["b"] * len(b))[order]
+    w = sc[grp == "a"].sum()
+    s_tot, ss_tot = sc.sum(), (sc * sc).sum()
+    n1, n2 = len(a), len(b)
+    e = n1 * s_tot / n
+    var = n1 * n2 * (n * ss_tot - s_tot ** 2) / (n * n * (n - 1.0))
+    z = (w - e) / math.sqrt(var)
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert abs(r["w_stat"] - w) < 1e-6
+    assert abs(r["z"] - z) < 1e-9
+    assert abs(r["p_value"]
+               - min(1.0, 2.0 * _normal_sf_py(abs(z)))) < 1e-12
+    # group a is the NARROW group: its values sit near the pooled
+    # center where folded scores are HIGH → W above its expectation
+    assert r["z"] > 3.0 and r["p_value"] < 0.01
+
+    same = ([("a", float(x)) for x in a]
+            + [("b", float(x)) for x in np.round(
+                rng.normal(0.0, 1.0, 150), 1)])
+    r0 = ansari_bradley(spark.createDataFrame(same, ["g", "v"]),
+                        "v", "g").collect()[0]
+    assert r0["p_value"] > 0.05
+
+    with pytest.raises(ValueError, match="distinct"):
+        ansari_bradley(df, "v", "g", max_driver_rows=5)
+    with pytest.raises(ValueError, match="matched no rows"):
+        ansari_bradley(df, "v", "g", groups=("x", "y"))
