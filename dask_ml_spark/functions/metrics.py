@@ -60,6 +60,19 @@ def mape_expr(y_true: Column, y_pred: Column, weight: Column | None = None) -> C
     )
 
 
+def smape_expr(y_true: Column, y_pred: Column,
+               weight: Column | None = None) -> Column:
+    """Symmetric MAPE: mean of 2·|ŷ−y| / (|y|+|ŷ|) ∈ [0, 2] — the
+    forecast-accuracy convention that doesn't explode when y crosses
+    zero (plain MAPE's failure mode on demand/revenue deltas). The
+    0/0 term (both actual and forecast exactly zero — a correctly
+    predicted dead day) contributes 0, documented."""
+    denom = F.abs(y_true) + F.abs(y_pred)
+    term = F.when(denom > 0.0,
+                  2.0 * F.abs(y_pred - y_true) / denom).otherwise(0.0)
+    return _weighted_mean(term, weight)
+
+
 def msle_expr(y_true: Column, y_pred: Column, weight: Column | None = None) -> Column:
     return _weighted_mean(F.pow(F.log1p(y_pred) - F.log1p(y_true), 2), weight)
 
@@ -713,3 +726,47 @@ def check_scoring(estimator, scoring=None):
     if scoring is None:
         scoring = "accuracy" if getattr(estimator, "_estimator_type", "") == "classifier" else "r2"
     return get_scorer(scoring)
+
+
+def symmetric_mape(df: DataFrame, label_col: str = "label",
+                   prediction_col: str = "prediction",
+                   weight_col: str | None = None) -> float:
+    w = F.col(weight_col) if weight_col else None
+    return df.agg(smape_expr(F.col(label_col), F.col(prediction_col),
+                             w).alias("v")).collect()[0]["v"]
+
+
+def mase(df: DataFrame, label_col: str, prediction_col: str,
+         order_col: str, m: int = 1) -> float:
+    """Mean Absolute Scaled Error (Hyndman & Koehler 2006) — the
+    forecast metric with a meaningful unit: error relative to the
+    in-sample seasonal-naive forecast (lag m). MASE < 1 beats the
+    naive; scale-free, so it compares across series where MAPE and
+    RMSE can't. Denominator pairs each point with its lag-m
+    predecessor by INTEGER equi-join on the order column (the acf
+    convention — exact pairing, no keyless window); a constant series
+    (zero naive error) raises loudly rather than emitting inf.
+    """
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    o = F.col(order_col).cast("long")
+    y = F.col(label_col).cast("double")
+    p = F.col(prediction_col).cast("double")
+    kept = (df.where(o.isNotNull() & y.isNotNull() & ~F.isnan(y))
+            .select(o.alias("__o"), y.alias("__y"), p.alias("__p")))
+    num = kept.where(F.col("__p").isNotNull()
+                     & ~F.isnan(F.col("__p"))).agg(
+        F.avg(F.abs(F.col("__p") - F.col("__y"))).alias("v")
+    ).collect()[0]["v"]
+    lag = kept.select((F.col("__o") + m).alias("__o"),
+                      F.col("__y").alias("__ylag"))
+    den = kept.join(lag, "__o").agg(
+        F.avg(F.abs(F.col("__y") - F.col("__ylag"))).alias("v")
+    ).collect()[0]["v"]
+    if num is None or den is None:
+        raise ValueError("mase: no comparable (t, t-m) pairs — check "
+                         "the order column and lag m")
+    if den <= 0.0:
+        raise ValueError("mase: the lag-m naive error is zero (a "
+                         "constant series) — MASE is undefined")
+    return float(num / den)

@@ -1514,12 +1514,76 @@ GROUP BY p_brand
 """
 
 
+
+def q_forecast_metrics(spark, sf_dir):
+    """Forecast-accuracy metrics (functions/metrics.py::smape_expr +
+    the MASE construction): score the lag-7 seasonal-naive forecast of
+    daily order revenue with sMAPE (scale-free, zero-crossing-safe)
+    and MASE (error relative to the lag-1 naive — MASE < 1 beats it;
+    Hyndman & Koehler 2006). Daily revenue uses the canonical
+    fixed-point _dsum; forecast and naive denominators pair by INTEGER
+    day equi-joins (the acf convention, no keyless window). One
+    groupBy + two small self-joins + one aggregate, fully lazy."""
+    from dask_ml_spark.functions.metrics import smape_expr
+
+    o = _t(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.datediff(F.col("o_orderdate"),
+                                  F.lit("1992-01-01")).alias("__d"))
+             .agg(_dsum("o_totalprice").alias("__rev")))
+    fc = daily.select((F.col("__d") + 7).alias("__d"),
+                      F.col("__rev").alias("__fc"))
+    lag1 = daily.select((F.col("__d") + 1).alias("__d"),
+                        F.col("__rev").alias("__prev"))
+    scored = daily.join(fc, "__d")
+    naive = daily.join(lag1, "__d").agg(
+        F.avg(F.abs(F.col("__rev") - F.col("__prev"))).alias("den"),
+        F.count(F.lit(1)).alias("n_naive"))
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        smape_expr(F.col("__rev"), F.col("__fc")).alias("smape"),
+        F.avg(F.abs(F.col("__fc") - F.col("__rev"))).alias("num"))
+    out = agg.crossJoin(F.broadcast(naive))
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        "n_scored", "n_naive",
+        r6(F.col("smape")).alias("smape"),
+        r6(F.col("num") / F.col("den")).alias("mase"))
+
+
+SQL_FORECAST_METRICS = """
+WITH daily AS (
+    SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS d,
+           CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000 AS rev
+    FROM orders GROUP BY 1
+), scored AS (
+    SELECT a.rev AS y, f.rev AS fc
+    FROM daily a JOIN daily f ON a.d = f.d + 7
+), naive AS (
+    SELECT avg(abs(a.rev - p.rev)) AS den, count(*)::BIGINT AS n_naive
+    FROM daily a JOIN daily p ON a.d = p.d + 1
+), agg AS (
+    SELECT count(*)::BIGINT AS n_scored,
+           avg(CASE WHEN abs(y) + abs(fc) > 0.0
+                    THEN 2.0 * abs(fc - y) / (abs(y) + abs(fc))
+                    ELSE 0.0 END) AS smape,
+           avg(abs(fc - y)) AS num
+    FROM scored
+)
+SELECT n_scored, n_naive,
+       floor(smape * 1e6 + 0.5) / 1e6 AS smape,
+       floor(num / den * 1e6 + 0.5) / 1e6 AS mase
+FROM agg CROSS JOIN naive
+"""
+
+
 def catalog_queries():
     """This family's queries() entries (order preserved by __init__)."""
     return {
         "pricing_summary": q_pricing_summary,
         "top_revenue_nations": q_top_revenue_nations,
         "revenue_forecast": q_revenue_forecast,
+        "forecast_metrics": q_forecast_metrics,
         "shipping_priority": q_shipping_priority,
         "order_priority_returns": q_order_priority_returns,
         "customer_returns_topk": q_customer_returns_topk,
@@ -1570,6 +1634,7 @@ def catalog_oracles():
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_revenue_nations": SQL_TOP_REVENUE_NATIONS,
         "revenue_forecast": SQL_REVENUE_FORECAST,
+        "forecast_metrics": SQL_FORECAST_METRICS,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "order_priority_returns": SQL_ORDER_PRIORITY_RETURNS,
         "customer_returns_topk": SQL_CUSTOMER_RETURNS_TOPK,

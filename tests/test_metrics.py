@@ -472,3 +472,45 @@ def test_brier_decomposition_identity_and_bruteforce(spark):
 
     with pytest.raises(ValueError, match="n_bins"):
         brier_decomposition(df, n_bins=0)
+
+
+def test_smape_and_mase(spark):
+    """smape replay incl. the 0/0 convention and the [0,2] bound;
+    mase replays the Hyndman scale ratio with exact lag pairing, is
+    ~1 when the forecast IS the lag-m naive scored against the lag-m
+    scale, and raises on constant series / bad m."""
+    import numpy as np
+
+    from dask_ml_spark.functions.metrics import mase, symmetric_mape
+
+    rng = np.random.RandomState(89)
+    y = rng.uniform(10, 20, 60)
+    p = y + rng.normal(0, 2.0, 60)
+    rows = [(int(i), float(a), float(b))
+            for i, (a, b) in enumerate(zip(y, p))]
+    df = spark.createDataFrame(rows, ["t", "y", "p"])
+    want = float(np.mean(2 * np.abs(p - y) / (np.abs(y) + np.abs(p))))
+    got = symmetric_mape(df, "y", "p")
+    assert abs(got - want) < 1e-12
+    assert 0.0 <= got <= 2.0
+    z = spark.createDataFrame([(0.0, 0.0), (0.0, 2.0)], ["y", "p"])
+    assert abs(symmetric_mape(z, "y", "p") - 1.0) < 1e-12  # (0 + 2)/2
+
+    m = mase(df, "y", "p", "t", m=1)
+    num = float(np.mean(np.abs(p - y)))
+    den = float(np.mean(np.abs(np.diff(y))))
+    assert abs(m - num / den) < 1e-12
+
+    # forecast == lag-1 naive, scored where the lag exists: num is
+    # |y_t - y_{t-1}| over t>=1 and den the same set -> MASE == 1
+    naive_rows = [(int(i), float(y[i]), float(y[i - 1]))
+                  for i in range(1, len(y))]
+    dfn = spark.createDataFrame(naive_rows, ["t", "y", "p"])
+    assert abs(mase(dfn, "y", "p", "t", m=1) - 1.0) < 0.1
+
+    const = spark.createDataFrame(
+        [(i, 5.0, 5.0) for i in range(10)], ["t", "y", "p"])
+    with pytest.raises(ValueError, match="constant"):
+        mase(const, "y", "p", "t")
+    with pytest.raises(ValueError, match="m must"):
+        mase(df, "y", "p", "t", m=0)
