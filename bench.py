@@ -22,6 +22,7 @@ HEADLINE = [
     "pricing_summary",
     "top_revenue_nations",
     "revenue_forecast",
+    "forecast_metrics",
     "shipping_priority",
     "order_priority_returns",
     "customer_returns_topk",
@@ -224,6 +225,7 @@ HEADLINE = [
     "log_rank_conversion",            # censored two-cohort survival test
     "nelson_aalen_conversion",        # cumulative conversion hazard
     "mood_median_price",              # one-bit robust location screen
+    "ansari_bradley_price",           # rank scale test (folded scores)
     "welch_anova_event_value",        # heteroscedastic k-group ANOVA
     "jarque_bera_value",              # four-moment normality screen
     "zipf_token_fit",                 # corpus power-law alpha fit
