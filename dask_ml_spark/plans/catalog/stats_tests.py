@@ -2774,15 +2774,21 @@ FROM f
 def q_ansari_bradley_price(spark, sf_dir):
     """Ansari–Bradley rank scale test (functions/stats.py::
     ansari_bradley — mood_median's dispersion twin): do returned and
-    kept lineitems' prices SPREAD differently? Rank scores fold from
-    both ends (min(r, N+1−r), midrank ties); ONE groupBy(value) +
-    exact-integer block score sums driver-side. The oracle replays the
-    fold with the same two-arithmetic-series closed form over window
-    cumsums."""
+    kept lineitems' prices SPREAD differently? Runs on the DOCUMENTED
+    scale path — AB over the dyadic width-16 price bucket (the
+    quality_drift FP-exact bucketing convention): raw prices are
+    distinct≈rows (583k at sf0.1, past the driver cap), the bucket
+    axis is bounded by the fixed TPC-H price range (~6.6k values at
+    ANY scale) and the midrank machinery absorbs the within-bucket
+    ties. Rank scores fold from both ends (min(r, N+1−r)); ONE
+    groupBy(bucket) + exact-integer block score sums driver-side. The
+    oracle replays the fold with the same two-arithmetic-series
+    closed form over window cumsums."""
     from dask_ml_spark.functions.stats import ansari_bradley
 
-    li = _t(spark, sf_dir, "lineitem")
-    out = ansari_bradley(li, "l_extendedprice", "l_returnflag",
+    li = (_t(spark, sf_dir, "lineitem")
+          .withColumn("__pb", F.floor(F.col("l_extendedprice") / 16.0)))
+    out = ansari_bradley(li, "__pb", "l_returnflag",
                          groups=("N", "R"))
     r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return out.select("n1", "n2",
@@ -2797,12 +2803,12 @@ def _sql_ansari_bradley_price() -> str:
     sf = _normal_sf_sql("abs(z)")
     return f"""
 WITH kept AS (
-    SELECT l_extendedprice::DOUBLE AS v,
+    SELECT floor(l_extendedprice::DOUBLE / 16.0) AS v,
            CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS one,
            CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS two
     FROM lineitem
     WHERE l_extendedprice IS NOT NULL
-      AND NOT isnan(l_extendedprice::DOUBLE)
+      AND NOT isnan(floor(l_extendedprice::DOUBLE / 16.0))
       AND l_returnflag IN ('N', 'R')
 ), g AS (
     SELECT v, sum(one)::BIGINT AS c1, sum(two)::BIGINT AS c2
