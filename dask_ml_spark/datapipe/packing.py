@@ -53,9 +53,21 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), *counts, redacted.alias("redacted_text"))
 
 
+def _is_checkpoint_scan(df: DataFrame) -> bool:
+    """True when `df` is a bare scan of an already-materialized RDD
+    (localCheckpoint / createDataFrame output) — i.e. re-reading it is
+    cheap and deterministic, so prefix_sum must not checkpoint again."""
+    try:
+        return (df._jdf.queryExecution().analyzed()
+                .getClass().getSimpleName() == "LogicalRDD")
+    except Exception:
+        return False
+
+
 def prefix_sum(df: DataFrame, order_col: str, value_col,
                out_col="running_total",
-               group_col: str | None = None) -> DataFrame:
+               group_col: str | None = None,
+               with_totals: bool = False):
     """Exclusive prefix sum of ``value_col`` in ``order_col`` order —
     globally, or per ``group_col`` group — fully distributed:
     range-partition + sort by (group, order), local cumsum per
@@ -78,6 +90,28 @@ def prefix_sum(df: DataFrame, order_col: str, value_col,
     contiguous range slices as its row share demands, and only the
     per-slice subtotals (#partitions + #groups rows, two longs each)
     touch the driver.
+
+    ``with_totals=True`` (global variant only) additionally returns the
+    per-column GRAND totals the subtotal collect already accumulated —
+    ``(df_out, [total, ...])`` — so callers needing Σvalue (the KS n1/n2
+    normalizers, rank-test group sizes) read them for free instead of
+    re-running the cumsum pass through a second aggregate. The totals
+    are the same partition-subtotal accumulation the offsets use:
+    bit-identical to any other order for the integer-valued doubles
+    every caller feeds (counts), and to the cumsum's own tail either
+    way.
+
+    Two r13-optimization notes (guide §1.4/§2.4/§4.1):
+    - the input is localCheckpointed (unless it already IS a
+      materialized-RDD scan, e.g. via ``_bounded_head``): the range
+      exchange SAMPLES its child to pick boundaries, so an expensive
+      upstream plan (a full groupBy, a regex token count) would
+      otherwise be computed twice — once for the sampler, once for the
+      shuffle write;
+    - the subtotal pass projects to the value columns first: mapInPandas
+      is opaque to column pruning, so without the select EVERY input
+      column crosses the JVM→Python boundary a second time just to be
+      summed.
     """
     from pyspark import TaskContext
 
@@ -101,7 +135,12 @@ def prefix_sum(df: DataFrame, order_col: str, value_col,
                 "parallel lists for the multi-column form")
         value_cols = [value_col]
         out_cols = [out_col]
-    parts = ensure_min_partitions(df).rdd.getNumPartitions()
+    if with_totals and group_col is not None:
+        raise ValueError("with_totals is global-only")
+    df = ensure_min_partitions(df)
+    if not _is_checkpoint_scan(df):
+        df = df.localCheckpoint()
+    parts = df.rdd.getNumPartitions()
     range_keys = ([F.col(group_col)] if group_col else []) + [F.col(order_col)]
     sort_keys = ([group_col] if group_col else []) + [order_col]
     # localCheckpoint, not persist: arranged is consumed twice (the
@@ -127,13 +166,18 @@ def prefix_sum(df: DataFrame, order_col: str, value_col,
                                 **{f"s{i}": [t]
                                    for i, t in enumerate(tots)}})
 
-        rows = arranged.mapInPandas(subtotals, subtotal_schema).collect()
+        # project to the value columns: mapInPandas defeats column
+        # pruning, and this pass only ever reads the values (a narrow
+        # select on a checkpointed frame keeps partition ids aligned)
+        rows = (arranged.select(*value_cols)
+                .mapInPandas(subtotals, subtotal_schema).collect())
         offsets = {}
         acc = [0.0] * len(value_cols)
         for r in sorted(rows, key=lambda r: r["pid"]):
             offsets[r["pid"]] = list(acc)
             for i in range(len(value_cols)):
                 acc[i] += r[f"s{i}"]
+        totals = list(acc)
     else:
         subtotal_schema = f"pid long, {group_col} string, subtotal double"
 
@@ -200,7 +244,10 @@ def prefix_sum(df: DataFrame, order_col: str, value_col,
                     run[key] += float(gsums[gi])
                 yield pdf.assign(**{out_col: c + group_start[codes]})
 
-    return arranged.mapInPandas(local_cumsum, out_schema)
+    out = arranged.mapInPandas(local_cumsum, out_schema)
+    if with_totals:
+        return out, totals
+    return out
 
 
 def pack_sequences(df: DataFrame, seq_len: int, text_col: str = "text",

@@ -566,8 +566,12 @@ def roc_auc_score(df: DataFrame, label_col: str = "label",
     # the checkpoint lets the fallback reuse the materialized frame
     if max_driver_rows and max_driver_rows > 0:
         g = g.localCheckpoint()
-        head = g.limit(max_driver_rows + 1).collect()
-        if len(head) <= max_driver_rows:
+        # Arrow probe, not a Row collect (the stats._bounded_head r13
+        # optimization): non-null doubles only, value-identical
+        head_pdf = g.limit(max_driver_rows + 1).toPandas()
+        head = (head_pdf.to_dict("records")
+                if len(head_pdf) <= max_driver_rows else None)
+        if head is not None:
             head.sort(key=lambda r: r["__s"])
             u = neg_below = n1 = n0 = 0.0
             for r in head:

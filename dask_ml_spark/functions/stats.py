@@ -189,8 +189,16 @@ def _bounded_head(g: DataFrame, cap: int):
     reclaimed by the ContextCleaner), then one limit(cap+1) collect.
     Returns (checkpointed g, head rows if they fit else None)."""
     g = g.localCheckpoint()
-    head = g.limit(cap + 1).collect()
-    return g, (head if len(head) <= cap else None)
+    # Arrow transfer instead of a Row collect (r13 optimization): the
+    # probe moves up to cap+1 rows to the driver, and the pickled-Row
+    # path pays ~10x Arrow's cost at the 65k cap. Values are plain
+    # non-null doubles by construction (every caller pre-filters
+    # NULL/NaN), so the dict records are value-identical to Rows and
+    # support the same r["col"] access.
+    head_pdf = g.limit(cap + 1).toPandas()
+    if len(head_pdf) > cap:
+        return g, None
+    return g, head_pdf.to_dict("records")
 
 
 def _normal_sf_py(z: float) -> float:
@@ -371,14 +379,18 @@ def ks_2sample(df: DataFrame, value_col: str, group_col: str,
                 "n1": int(n1), "n2": int(n2), "d_stat": float(d),
                 "p_value": float(min(1.0, max(0.0, q))),
             }]).select("n1", "n2", "d_stat", "p_value")
-    g = prefix_sum(g, "__v", ["__c1", "__c2"], ["__b1", "__b2"])
-    tot = g.agg(F.sum("__c1").alias("__n1"), F.sum("__c2").alias("__n2"))
-    j = g.crossJoin(F.broadcast(tot))
-    diff = F.abs((F.col("__b1") + F.col("__c1")) / F.col("__n1")
-                 - (F.col("__b2") + F.col("__c2")) / F.col("__n2"))
-    agg = j.agg(F.first("__n1").alias("n1_d"),
-                F.first("__n2").alias("n2_d"),
-                F.max(diff).alias("d_stat"))
+    # the prefix machine's subtotal collect already accumulated the
+    # grand totals — reading them as literals saves the second cumsum
+    # pass (and its Python boundary) a totals aggregate + cross join
+    # forced (r13 optimization; counts are integer-valued doubles, so
+    # the value is bit-identical to the old F.sum over the output)
+    g, (n1_t, n2_t) = prefix_sum(g, "__v", ["__c1", "__c2"],
+                                 ["__b1", "__b2"], with_totals=True)
+    diff = F.abs((F.col("__b1") + F.col("__c1")) / F.lit(n1_t)
+                 - (F.col("__b2") + F.col("__c2")) / F.lit(n2_t))
+    agg = (g.agg(F.max(diff).alias("d_stat"))
+           .withColumn("n1_d", F.lit(n1_t))
+           .withColumn("n2_d", F.lit(n2_t)))
     # bind λ to a column FIRST: inlining it would replicate the
     # d·sqrt(...) subtree into each of the 25 series terms (the
     # HOF-lambda lesson — bind once)
@@ -3057,10 +3069,14 @@ def kaplan_meier(df: DataFrame, duration_col: str, event_col: str,
             return df.sparkSession.createDataFrame(rows, out_schema)
         # over the cap: fall through (one wasted bounded collect on a
         # frame we now know is prefix-machine-sized — the rare case)
-    g = prefix_sum(g, "__t", "__n", "__before")
-    tot = g.agg(F.sum("__n").alias("__ntot"))
-    j = g.crossJoin(F.broadcast(tot))
-    n_risk = F.col("__ntot") - F.col("__before")
+    # grand total from the prefix machine's own subtotal collect —
+    # integer counts, so the literal is bit-identical to the old
+    # F.sum-over-output aggregate it replaces, and the cumsum pass
+    # runs once instead of twice (r13 optimization)
+    g, (ntot_t,) = prefix_sum(g, "__t", "__n", "__before",
+                              with_totals=True)
+    j = g
+    n_risk = F.lit(ntot_t) - F.col("__before")
     factor = 1.0 - F.col("__d") / n_risk
     j = j.select(
         "__t", "__d", "__c", n_risk.alias("__nr"),
@@ -3191,17 +3207,20 @@ def log_rank(df: DataFrame, duration_col: str, event_col: str,
     # distributed fallback: prefix the at-t counts, derive risk sets,
     # prefix the O/E/V terms in the same ascending-t order, and read
     # the totals off the max-t row (sum order stays deterministic)
-    g = prefix_sum(g, "__t", ["__n1", "__n2"], ["__b1", "__b2"])
-    tot = g.agg(F.sum("__n1").alias("__t1"), F.sum("__n2").alias("__t2"))
-    j = g.crossJoin(F.broadcast(tot))
-    r1 = F.col("__t1") - F.col("__b1")
-    r2 = F.col("__t2") - F.col("__b2")
+    # totals via the prefix machine's subtotal collect (integer counts
+    # — bit-identical to the old F.sum aggregate; one cumsum pass, no
+    # cross join; r13 optimization)
+    g, (t1_t, t2_t) = prefix_sum(g, "__t", ["__n1", "__n2"],
+                                 ["__b1", "__b2"], with_totals=True)
+    j = g
+    r1 = F.lit(t1_t) - F.col("__b1")
+    r2 = F.lit(t2_t) - F.col("__b2")
     nt = r1 + r2
     dt = F.col("__d1") + F.col("__d2")
     has = (dt > 0.0) & (nt > 0.0)
     w = nt if weights == "wilcoxon" else F.lit(1.0)
     j = j.select(
-        "__t", "__t1", "__t2",
+        "__t",
         F.when(has, w * F.col("__d1")).otherwise(F.lit(0.0))
         .alias("__o"),
         F.when(has, w * (dt * (r1 / nt))).otherwise(F.lit(0.0))
@@ -3213,14 +3232,13 @@ def log_rank(df: DataFrame, duration_col: str, event_col: str,
     j = prefix_sum(j, "__t", ["__o", "__e", "__v"],
                    ["__co", "__ce", "__cv"])
     last = (j.orderBy(F.col("__t").desc()).limit(1)
-            .select("__t1", "__t2",
-                    (F.col("__co") + F.col("__o")).alias("o1"),
+            .select((F.col("__co") + F.col("__o")).alias("o1"),
                     (F.col("__ce") + F.col("__e")).alias("e1"),
                     (F.col("__cv") + F.col("__v")).alias("v"))
             .collect()[0])
-    return _emit_row(df.sparkSession, int(last["__t1"]),
-                     int(last["__t2"]), float(last["o1"]),
-                     float(last["e1"]), float(last["v"]))
+    return _emit_row(df.sparkSession, int(t1_t), int(t2_t),
+                     float(last["o1"]), float(last["e1"]),
+                     float(last["v"]))
 
 
 def cohens_d(df: DataFrame, value_col: str, group_col: str,
@@ -3327,10 +3345,12 @@ def nelson_aalen(df: DataFrame, duration_col: str, event_col: str,
                              max(0.0, h - z * se), h + z * se))
                 before += r["__n"]
             return df.sparkSession.createDataFrame(rows, out_schema)
-    g = prefix_sum(g, "__t", "__n", "__before")
-    tot = g.agg(F.sum("__n").alias("__ntot"))
-    j = g.crossJoin(F.broadcast(tot))
-    nr = F.col("__ntot") - F.col("__before")
+    # totals via the prefix machine's subtotal collect (integer counts
+    # — bit-identical; one cumsum pass, no cross join; r13 optimization)
+    g, (ntot_t,) = prefix_sum(g, "__t", "__n", "__before",
+                              with_totals=True)
+    j = g
+    nr = F.lit(ntot_t) - F.col("__before")
     j = j.select("__t", "__d", "__c", nr.alias("__nr"),
                  (F.col("__d") / nr).alias("__ht"),
                  (F.col("__d") / (nr * nr)).alias("__vt"))

@@ -52,13 +52,34 @@ def main() -> None:
     for name in names:
         fn = queries[name]
         ts = []
+        steals = []
         for _ in range(runs):
             spark.catalog.clearCache()
+            s0 = _cpu_snap()
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             ts.append(time.time() - t0)
+            steals.append(_steal_pct(s0, _cpu_snap()))
         print(f"{name}: min={min(ts):.2f}s median={statistics.median(ts):.2f}s "
-              f"runs={[round(t, 2) for t in ts]}")
+              f"runs={[round(t, 2) for t in ts]} "
+              f"steal%={[round(s, 1) for s in steals]}")
+
+
+def _cpu_snap():
+    """(total, steal) jiffies from /proc/stat — ambient-load forensics
+    on a shared host: a run with high steal%% was time-sliced away by a
+    noisy neighbor and its wall-clock is not the engine's cost."""
+    try:
+        with open("/proc/stat") as f:
+            parts = list(map(int, f.readline().split()[1:]))
+        return sum(parts), parts[7] if len(parts) > 7 else 0
+    except Exception:
+        return 0, 0
+
+
+def _steal_pct(a, b):
+    dt = b[0] - a[0]
+    return 100.0 * (b[1] - a[1]) / dt if dt else 0.0
 
 
 if __name__ == "__main__":
