@@ -17,6 +17,58 @@ from pyspark.sql import functions as F
 from dask_ml_spark.functions.vector import cosine_similarity, dot, norm2
 
 
+def _dlit(v) -> str:
+    """SQL double literal with exact value round-trip: repr of a Python
+    float is its shortest re-reading decimal, and the D suffix makes
+    the parser produce DoubleType (a bare `0.1` would be DECIMAL).
+    Centroids/codebooks are finite by construction (means of finite
+    data); refuse anything else rather than emit invalid SQL."""
+    f = float(v)
+    if f != f or f in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite literal {v!r} in index state")
+    return f"{f!r}D"
+
+
+def _darr(vals) -> str:
+    """SQL array<double> literal."""
+    return "array(" + ", ".join(_dlit(v) for v in vals) + ")"
+
+
+def _qcol(name: str) -> str:
+    """Backtick-quoted column reference for generated SQL."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_lit(v) -> str:
+    """SQL literal for a query id — typed exactly as F.lit would type
+    it (int32-range Python ints are INT, larger are BIGINT, floats
+    DOUBLE, strings STRING), so generated plans keep the old types."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, np.integer)):
+        i = int(v)
+        return str(i) if -2**31 <= i < 2**31 else f"{i}L"
+    if isinstance(v, (float, np.floating)):
+        return _dlit(v)
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    raise TypeError(f"unsupported query id literal {v!r}")
+
+
+def _sqdist_fold_sql(vec_sql: str, vals, cast: bool) -> str:
+    """Squared distance of `vec_sql` to the literal vector `vals` as
+    ONE SQL fragment — the same zip_with/aggregate fold the Column API
+    built (identical float op order, so results are bit-identical),
+    but parsed in a single F.expr instead of ~dim py4j round trips
+    per centroid. Plan construction of the literal-table ANN indexes
+    was measured DRIVER-dominated (pq_ann_topk: 19 s build vs 1.2 s
+    execute at sf0.1) — this is the guide §7.3 'very large plans'
+    remedy applied at the source."""
+    x = "CAST(x AS DOUBLE)" if cast else "x"
+    return (f"aggregate(zip_with({vec_sql}, {_darr(vals)}, "
+            f"(x, y) -> ({x} - y) * ({x} - y)), 0.0D, (a, x) -> a + x)")
+
+
 class _IndexPersistence:
     """save/load for ANN index model state — the BaseEstimator
     contract (base.py:54) applied to the index classes: fitted state
@@ -303,22 +355,22 @@ class IVFIndex(_IndexPersistence):
         self.centroids_ = centroids
         return self
 
-    def _nearest_expr(self, vec_col, n: int):
-        """array of the n nearest centroid ids (JVM-side expressions)."""
-        dists = []
-        for ci, c in enumerate(self.centroids_):
-            lit = F.array(*[F.lit(float(v)) for v in c])
-            d = F.aggregate(
-                F.zip_with(vec_col, lit, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda a, x: a + x,
-            )
-            dists.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
-        arr = F.array_sort(F.array(*dists))
-        return F.transform(F.slice(arr, 1, n), lambda s: s["c"])
+    def _nearest_expr(self, vec_name: str, n: int):
+        """array of the n nearest centroid ids — one F.expr parse of a
+        generated SQL string (same expression tree / float op order as
+        the old per-centroid Column construction, which paid ~dim
+        py4j calls per centroid; see _sqdist_fold_sql)."""
+        vec = _qcol(vec_name)
+        structs = ", ".join(
+            f"named_struct('d', {_sqdist_fold_sql(vec, c, cast=False)}, "
+            f"'c', {ci})"
+            for ci, c in enumerate(self.centroids_))
+        return F.expr(f"transform(slice(array_sort(array({structs})), "
+                      f"1, {int(n)}), s -> s.c)")
 
     def assign(self, df: DataFrame, bucket_col: str = "bucket") -> DataFrame:
         return df.withColumn(
-            bucket_col, F.element_at(self._nearest_expr(F.col(self.vec_col), 1), 1)
+            bucket_col, F.element_at(self._nearest_expr(self.vec_col, 1), 1)
         )
 
     def search(self, df: DataFrame, queries: DataFrame, k: int = 10,
@@ -377,7 +429,7 @@ class IVFIndex(_IndexPersistence):
             q = queries.select(
                 F.col(query_id_col), F.col(self.vec_col).alias("__qvec"),
                 F.explode(self._nearest_expr(
-                    F.col(self.vec_col), self.n_probe)).alias("bucket"),
+                    self.vec_col, self.n_probe)).alias("bucket"),
             )
         joined = indexed.join(F.broadcast(q), "bucket")
         score = cosine_similarity(F.col(self.vec_col), F.col("__qvec"))
@@ -628,24 +680,19 @@ class PQIndex(_IndexPersistence):
                                               self.seed)
         return self
 
-    def _sub(self, vec_col, s: int):
-        sub = len(self.codebooks_[s][0])
-        return F.slice(vec_col, s * sub + 1, sub)
-
-    def _argmin_expr(self, vec_col, s: int):
+    def _argmin_sql(self, vec_name: str, s: int) -> str:
         """code for subspace s: index of the nearest codeword
-        (squared-distance argmin, ties to the lower index)."""
-        block = self._sub(vec_col, s)
-        ds = []
-        for j, cw in enumerate(self.codebooks_[s]):
-            lit = F.array(*[F.lit(float(v)) for v in cw])
-            d = F.aggregate(
-                F.zip_with(block, lit,
-                           lambda x, y: (x.cast("double") - y)
-                           * (x.cast("double") - y)),
-                F.lit(0.0), lambda a, x: a + x)
-            ds.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
-        return F.element_at(F.array_sort(F.array(*ds)), 1)["j"]
+        (squared-distance argmin, ties to the lower index) — generated
+        SQL, one parse for the whole m*k distance table (the Column
+        construction paid ~m*k*subdim py4j calls; see
+        _sqdist_fold_sql)."""
+        sub = len(self.codebooks_[s][0])
+        block = f"slice({_qcol(vec_name)}, {s * sub + 1}, {sub})"
+        structs = ", ".join(
+            f"named_struct('d', {_sqdist_fold_sql(block, cw, cast=True)}, "
+            f"'j', {j})"
+            for j, cw in enumerate(self.codebooks_[s]))
+        return f"element_at(array_sort(array({structs})), 1).j"
 
     def encode(self, df: DataFrame, code_col: str = "pq_code") -> DataFrame:
         """Compress: adds an array<int> of m codes per row (narrow).
@@ -654,8 +701,8 @@ class PQIndex(_IndexPersistence):
         file splits, and one small file would serialize the encode."""
         from dask_ml_spark.utils import ensure_min_partitions
 
-        codes = F.array(*[self._argmin_expr(F.col(self.vec_col), s)
-                          for s in range(self.m)])
+        codes = F.expr("array(" + ", ".join(
+            self._argmin_sql(self.vec_col, s) for s in range(self.m)) + ")")
         return ensure_min_partitions(df).withColumn(code_col, codes)
 
     def search(self, df: DataFrame, queries, topk: int = 10,
@@ -671,20 +718,24 @@ class PQIndex(_IndexPersistence):
         # ONE pass over the corpus for ALL queries: each row explodes a
         # (query_id, score) struct array — a per-query union would
         # re-run the encode projection once per query
+        # per-query ADC tables as ONE generated-SQL array literal (see
+        # _sqdist_fold_sql — identical expression shape, one parse)
+        code = _qcol(code_col)
         entries = []
         for qid, qvec in queries:
-            score = F.lit(0.0)
+            score = "0.0D"
             for s, book in enumerate(self.codebooks_):
                 sub = len(book[0])
                 qs = qvec[s * sub:(s + 1) * sub]
                 table = ((book - qs[None, :]) ** 2).sum(axis=1)
-                lit = F.array(*[F.lit(float(v)) for v in table])
-                score = score + F.element_at(
-                    lit, F.element_at(F.col(code_col), s + 1) + 1)
-            entries.append(F.struct(F.lit(qid).alias("qid"),
-                                    score.alias("score")))
+                score += (f" + element_at({_darr(table)}, "
+                          f"element_at({code}, {s + 1}) + 1)")
+            entries.append(
+                f"named_struct('qid', {_sql_lit(qid)}, 'score', {score})")
         out = (coded.select(F.col(self.id_col),
-                            F.explode(F.array(*entries)).alias("__q"))
+                            F.explode(F.expr(
+                                "array(" + ", ".join(entries) + ")"))
+                            .alias("__q"))
                .select(F.col("__q.qid").alias(query_id_col),
                        self.id_col, F.col("__q.score").alias("score")))
         if all(_ids_comparable(qid, df, self.id_col) for qid, _ in queries):
@@ -747,26 +798,24 @@ class IVFPQIndex(_IndexPersistence):
                                               self.seed)
         return self
 
-    def _bucket_expr(self, vec_col):
-        ds = []
-        for ci, c in enumerate(self.centroids_):
-            lit = F.array(*[F.lit(float(v)) for v in c])
-            d = F.aggregate(
-                F.zip_with(vec_col, lit,
-                           lambda x, y: (x.cast("double") - y)
-                           * (x.cast("double") - y)),
-                F.lit(0.0), lambda a, x: a + x)
-            ds.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
-        return F.element_at(F.array_sort(F.array(*ds)), 1)["c"]
+    def _bucket_expr(self, vec_name: str):
+        """nearest coarse centroid id — generated SQL, one parse (see
+        _sqdist_fold_sql)."""
+        vec = _qcol(vec_name)
+        structs = ", ".join(
+            f"named_struct('d', {_sqdist_fold_sql(vec, c, cast=True)}, "
+            f"'c', {ci})"
+            for ci, c in enumerate(self.centroids_))
+        return F.expr(f"element_at(array_sort(array({structs})), 1).c")
 
     def encode(self, df: DataFrame, bucket_col: str = "bucket",
                code_col: str = "pq_code") -> DataFrame:
         from dask_ml_spark.utils import ensure_min_partitions
 
-        cent_lit = F.array(*[
-            F.array(*[F.lit(float(v)) for v in c]) for c in self.centroids_])
+        cent_lit = F.expr("array(" + ", ".join(
+            _darr(c) for c in self.centroids_) + ")")
         out = (ensure_min_partitions(df)
-               .withColumn(bucket_col, self._bucket_expr(F.col(self.vec_col)))
+               .withColumn(bucket_col, self._bucket_expr(self.vec_col))
                .withColumn("__resid", F.zip_with(
                    F.col(self.vec_col),
                    F.element_at(cent_lit, F.col(bucket_col) + 1),
@@ -787,6 +836,7 @@ class IVFPQIndex(_IndexPersistence):
         coded = (df if code_col in df.columns
                  else self.encode(df, bucket_col, code_col))
         sub = self.centroids_.shape[1] // self.m
+        code = _qcol(code_col)
         entries = []
         probed: set[int] = set()
         for qid, qvec in queries:
@@ -794,16 +844,15 @@ class IVFPQIndex(_IndexPersistence):
             for lst in np.argsort(cd, kind="stable")[:self.n_probe]:
                 probed.add(int(lst))
                 resid = qvec - self.centroids_[lst]
-                score = F.lit(0.0)
+                score = "0.0D"
                 for s, book in enumerate(self.codebooks_):
                     qs = resid[s * sub:(s + 1) * sub]
                     table = ((np.asarray(book) - qs[None]) ** 2).sum(axis=1)
-                    lit = F.array(*[F.lit(float(v)) for v in table])
-                    score = score + F.element_at(
-                        lit, F.element_at(F.col(code_col), s + 1) + 1)
-                entries.append(F.struct(
-                    F.lit(qid).alias("qid"),
-                    F.lit(int(lst)).alias("lst"), score.alias("score")))
+                    score += (f" + element_at({_darr(table)}, "
+                              f"element_at({code}, {s + 1}) + 1)")
+                entries.append(
+                    f"named_struct('qid', {_sql_lit(qid)}, "
+                    f"'lst', {int(lst)}, 'score', {score})")
         # the union of probed lists is driver-known: on a PRECODED
         # table (bucket is a stored column — e.g. read back from a
         # `write_coded` partitionBy(bucket) layout) filter it BEFORE
@@ -823,7 +872,7 @@ class IVFPQIndex(_IndexPersistence):
         # real candidates are generated into the top-k shuffle
         out = (coded.select(self.id_col, bucket_col,
                             F.explode(F.filter(
-                                F.array(*entries),
+                                F.expr("array(" + ", ".join(entries) + ")"),
                                 lambda e: e["lst"] == F.col(bucket_col)))
                             .alias("__q")))
         if all(_ids_comparable(qid, df, self.id_col) for qid, _ in queries):
