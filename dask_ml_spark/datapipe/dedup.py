@@ -766,7 +766,8 @@ def _xor_agg():
 
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                        id_b: str = "id_b", max_iter: int = 50,
-                       method: str = "label") -> DataFrame:
+                       method: str = "label",
+                       local_edges: int = 1_000_000) -> DataFrame:
     """Connected components over a near-duplicate pair list: every
     document gets a cluster id = the MIN document id reachable through
     pair edges. Pairs say "these two are dups"; clusters are what a
@@ -788,9 +789,21 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     method="star" dispatches to `connected_components_star` (same
     contract, O(log² n) rounds independent of diameter) — prefer it
     when components may be long chains rather than near-cliques.
+
+    Hybrid finish (same rationale and constant as
+    `connected_components_star.local_edges`): each label round costs a
+    fixed ~4 shuffle-stage job launches regardless of edge count, so a
+    pair set the FIRST aggregate measures at <= ``local_edges`` edges
+    (~16 MB of longs) is collected in one Arrow batch and finished with
+    driver-side union-find instead — identical min-member labels, one
+    job instead of O(diameter) rounds. At corpus scale the measured
+    count exceeds the bound and the distributed loop does the real
+    work. ``local_edges=0`` disables the local phase (pure distributed,
+    for tests of the loop itself).
     """
     if method == "star":
-        return connected_components_star(pairs, id_a, id_b, max_iter)
+        return connected_components_star(pairs, id_a, id_b, max_iter,
+                                         local_edges=local_edges)
     if method != "label":
         raise ValueError(f"method must be 'label' or 'star', got {method!r}")
     # lazy localCheckpoint, not persist: sym is referenced every round,
@@ -798,9 +811,24 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # session (checkpoint blocks are ContextCleaner-reclaimed once
     # dropped). Edge tables are candidate-pair scale — far below
     # corpus scale; lazy so it materializes with round 1's job.
-    sym = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-           .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # symmetrize with ONE in-row explode, not a unionAll of two selects:
+    # the union duplicates the entire upstream pair plan (hashing +
+    # candidate join run twice per materialization — measured on the
+    # image dedup path), while the generator reads each pair once
+    sym = (pairs.select(F.explode(F.array(
+               F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+               F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))))
+           .alias("__e"))
+           .select("__e.src", "__e.dst")
            .distinct().localCheckpoint(eager=False))
+    from pyspark.sql import types as T
+
+    if local_edges and isinstance(sym.schema["src"].dataType, T.LongType):
+        # the count doubles as the checkpoint materialization the first
+        # label round was going to pay anyway, so taking the measured
+        # branch costs one scalar aggregate over cached blocks
+        if sym.count() <= local_edges:
+            return _components_local(sym)
     # localCheckpoint, not persist: each round references `labels`
     # TWICE (neighbor join + left join), so without lineage truncation
     # the logical plan DOUBLES per round — exponential in rounds, and a

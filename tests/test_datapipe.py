@@ -677,6 +677,12 @@ def test_connected_components_star_chain_and_equivalence(spark):
     # dispatch through the shared API
     via = D.duplicate_clusters(pairs, method="star").toPandas()
     assert dict(zip(via.node, via.cluster)) == dict(zip(star.node, star.cluster))
+    # the label-method hybrid local finish (r13 opt) agrees exactly
+    # with the distributed label-propagation loop it short-circuits
+    loop = D.duplicate_clusters(pairs, method="label",
+                                local_edges=0).toPandas()
+    assert (dict(zip(loop.node, loop.cluster))
+            == dict(zip(label.node, label.cluster)))
 
 
 def test_quantize_embeddings_roundtrip_and_recall(embeddings):
