@@ -559,18 +559,21 @@ class Winsorizer(BaseEstimator, TransformerMixin):
     def fit(self, df: DataFrame, columns=None) -> "Winsorizer":
         cols = self._validate_data(df, columns)
         pct = F.percentile_approx if self.approximate else F.percentile
-        aggs = []
-        for c in cols:
-            aggs += [pct(_nn(c), F.lit(self.lower)).alias(f"__lo_{c}"),
-                     pct(_nn(c), F.lit(self.upper)).alias(f"__hi_{c}")]
-        row = df.agg(*aggs).collect()[0]
+        # BOTH quantiles of a column from ONE percentile buffer (the
+        # RobustScaler array form): separate lo/hi aggregates each
+        # built their own full value-counts map per column — twice the
+        # per-row update work and twice the merge/sort (measured ~2x
+        # on the exact path at sf0.1)
+        probs = F.array(F.lit(self.lower), F.lit(self.upper))
+        row = df.agg(*[pct(_nn(c), probs).alias(f"__q_{c}")
+                       for c in cols]).collect()[0]
         self.columns_ = cols
         # an all-NULL/all-NaN column has no quantiles: record (None,
         # None) and leave it untouched at transform (MaxAbsScaler's
         # missing-aggregate convention)
         self.bounds_ = {
-            c: ((float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"]))
-                if row[f"__lo_{c}"] is not None else (None, None))
+            c: ((float(row[f"__q_{c}"][0]), float(row[f"__q_{c}"][1]))
+                if row[f"__q_{c}"] is not None else (None, None))
             for c in cols}
         return self
 
