@@ -77,26 +77,42 @@ def _frequency_levels(df: DataFrame, basket_col: str, item_col: str,
         raise ValueError("max_len must be 1, 2, or 3")
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
-    baskets = df.groupBy(basket_col).agg(
-        F.collect_set(item_col).alias("__all"))
-    # one count(DISTINCT basket) reuse point: support counts below are
-    # per distinct basket by construction (collect_set collapsed dups)
-    exploded = baskets.select(
-        basket_col, F.explode("__all").alias(item_col))
+    # distinct (basket, item) rows — exactly what collect_set-per-basket
+    # then explode produced (collect_set also dropped NULL items), but
+    # as one codegen hash aggregate with no array build/teardown.
+    # NOTE the level frames below reference each other repeatedly (f1
+    # in the semi-join AND the output union; pruned under both the pair
+    # and triple explodes): without lineage truncation each reference
+    # re-evaluates the whole upstream — the plan for levels 1-3 scanned
+    # the source 18 times (measured, sf0.1). localCheckpoint
+    # (lazy, ContextCleaner-reclaimed — the dedup-module convention)
+    # caps each subtree at one evaluation; sizes are bounded by the
+    # distinct pair set and the frequent-item tables.
+    n_baskets_df = df.select(basket_col).distinct()
+    exploded = (df.select(basket_col, item_col)
+                .where(F.col(item_col).isNotNull())
+                .distinct())
+    if max_len > 1:
+        exploded = exploded.localCheckpoint(eager=False)
     f1 = (exploded.groupBy(item_col)
           .agg(F.count(F.lit(1)).alias("support"))
           .where(F.col("support") >= min_count))
     if max_len == 1:
-        return f1, None, None, baskets.select(basket_col)
-    pruned = exploded.join(f1.select(item_col), item_col, "semi")
+        return f1, None, None, n_baskets_df
+    f1 = f1.localCheckpoint(eager=False)
+    pruned = (exploded.join(f1.select(item_col), item_col, "semi")
+              .localCheckpoint(eager=False))
     arrs = _guarded_arrays(pruned, basket_col, item_col, max_basket_items)
     f2 = (arrs.select(F.explode(_pairs_hof(F.col("__arr"))).alias("__p"))
           .groupBy(F.col("__p.a").alias("item_a"),
                    F.col("__p.b").alias("item_b"))
           .agg(F.count(F.lit(1)).alias("support"))
           .where(F.col("support") >= min_count))
+    # f2 is referenced twice downstream either way (association_rules
+    # reads it in both rule directions; level 3 prunes by its members)
+    f2 = f2.localCheckpoint(eager=False)
     if max_len == 2:
-        return f1, f2, None, baskets.select(basket_col)
+        return f1, f2, None, n_baskets_df
     # prune to F2 participants before the cubic explode (an actual
     # frequent triple has every sub-pair frequent, so its members all
     # appear in F2 — nothing is lost)
@@ -111,7 +127,7 @@ def _frequency_levels(df: DataFrame, basket_col: str, item_col: str,
                    F.col("__t.c").alias("item_c"))
           .agg(F.count(F.lit(1)).alias("support"))
           .where(F.col("support") >= min_count))
-    return f1, f2, f3, baskets.select(basket_col)
+    return f1, f2, f3, n_baskets_df
 
 
 def frequent_itemsets(df: DataFrame, basket_col: str = "basket_id",
@@ -146,7 +162,11 @@ def association_rules(df: DataFrame, basket_col: str = "basket_id",
     confidence, lift)."""
     f1, f2, _, baskets = _frequency_levels(
         df, basket_col, item_col, min_count, 2, max_basket_items)
-    n = baskets.count()
+    # basket count as a broadcast one-row cross join, not a blocking
+    # .count() action: the count rides the same job as the rules plan
+    # (one fewer full pass; the literal it replaced was the same double)
+    n_df = baskets.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_baskets"))
     directed = f2.select(F.col("item_a").alias("antecedent"),
                          F.col("item_b").alias("consequent"), "support") \
         .unionByName(f2.select(F.col("item_b").alias("antecedent"),
@@ -161,10 +181,11 @@ def association_rules(df: DataFrame, basket_col: str = "basket_id",
              .join(f1.select(F.col(item_col).alias("consequent"),
                              F.col("support").alias("consequent_support")),
                    "consequent")
+             .crossJoin(F.broadcast(n_df))
              .withColumn("confidence",
                          F.col("support") / F.col("antecedent_support"))
              .withColumn("lift",
-                         F.col("confidence") * F.lit(float(n))
+                         F.col("confidence") * F.col("__n_baskets")
                          / F.col("consequent_support")))
     if min_confidence > 0.0:
         rules = rules.where(F.col("confidence") >= min_confidence)
