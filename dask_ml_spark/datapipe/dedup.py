@@ -252,8 +252,15 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
     Output: (id, text, n_tokens, n_kept).
     """
     t = F.col("__toks")
+    # tokenize ONCE: base feeds both the window pass and the final
+    # reassembly join; without the (lazy) checkpoint each reference
+    # re-ran the regexp tokenizer over the full text (3 evaluations
+    # measured in the old plan). The NULL-text filter preserves the
+    # old shape's semantics (such rows appeared in no output branch).
     base = (ensure_min_partitions(df)
-            .select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")))
+            .select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks"))
+            .where(F.col("__toks").isNotNull())
+            .localCheckpoint(eager=False))
     # 1-based window start positions; guarded so sequence() never sees
     # start > stop (Spark would count DOWN, not return empty)
     starts = F.when(
@@ -269,8 +276,11 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
         .select(F.col(id_col), F.col("__w.pos").alias("pos"),
                 F.col("__w.h").alias("h"))
         # consumed twice (occurrence agg + join back); localCheckpoint,
-        # not persist, so the ContextCleaner reclaims the blocks
-        .localCheckpoint())
+        # not persist, so the ContextCleaner reclaims the blocks; LAZY —
+        # it materializes inside the query's own first stage instead of
+        # costing an extra build-time job (eager was measured as one
+        # whole extra pass at construction)
+        .localCheckpoint(eager=False))
     dup = (wins.groupBy("h")
            .agg(F.count("*").alias("__occ"),
                 F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"))
@@ -280,31 +290,36 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
         marked = marked.where(~(
             (F.col(id_col) == F.col(f"__first.{id_col}"))
             & (F.col("pos") == F.col("__first.pos"))))
-    covered = (marked.select(
+    # per-doc sorted covered-index SET (collect_set dedups overlapping
+    # windows) — shuffles only DUPLICATED window indices by id, where
+    # the old shape posexploded EVERY token, shuffled the full token
+    # stream twice ((id, idx) distinct + (id, idx) join) and re-sorted
+    # every document's tokens through a collect_list aggregate
+    cov = (marked.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("pos"),
                              F.col("pos") + span_tokens - 1)).alias("__idx"))
-        .distinct()
-        .withColumn("__cov", F.lit(True)))
-    alltok = base.select(F.col(id_col), F.posexplode(t).alias("__idx", "__tok"))
-    out = (alltok.join(covered, [id_col, "__idx"], "left")
-           .groupBy(id_col)
-           .agg(F.count("*").cast("long").alias("n_tokens"),
-                F.sum(F.col("__cov").isNull().cast("long")).alias("n_kept"),
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(
-                            F.when(F.col("__cov").isNull(),
-                                   F.struct(F.col("__idx").alias("i"),
-                                            F.col("__tok").alias("p"))))),
-                        lambda s: s["p"]),
-                    " ").alias(text_col))
-           .select(id_col, text_col, "n_tokens", "n_kept"))
-    empty = (base.where(F.size(t) == 0)
-             .select(F.col(id_col), F.lit("").alias(text_col),
-                     F.lit(0).cast("long").alias("n_tokens"),
-                     F.lit(0).cast("long").alias("n_kept")))
-    return out.unionByName(empty)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("__idx")).alias("__cov")))
+    joined = base.join(cov, id_col, "left")
+    # reassemble by slicing the gaps between covered indices (linear in
+    # doc length): ext = [-1, cov..., n] and the kept tokens are the
+    # concatenation of toks[(ext[i]+1) .. (ext[i+1]-1)] per gap
+    ext = F.concat(F.array(F.lit(-1)), F.col("__cov"),
+                   F.array(F.size(t)))
+    segs = F.transform(
+        F.sequence(F.lit(0), F.size(ext) - 2),
+        lambda i: F.slice(
+            t,
+            F.element_at(ext, i + 1) + 2,
+            F.element_at(ext, i + 2) - F.element_at(ext, i + 1) - 1))
+    kept_arr = F.when(F.col("__cov").isNotNull(),
+                      F.flatten(segs)).otherwise(t)
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept_arr, " ").alias(text_col),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(kept_arr).cast("long").alias("n_kept"))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
