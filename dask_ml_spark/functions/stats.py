@@ -965,6 +965,19 @@ def _pois1_weight_sql(u: str) -> str:
         for k in range(9)) + ")")
 
 
+def _boot_consts_expr(n_boot: int):
+    """The replicate constants array (b, a = M^{b+1} mod P) as ONE
+    parsed SQL expression — the per-element F.lit/F.struct form paid
+    ~3·B py4j round trips per call (~1 s at B=50; the ANN
+    literal-table precedent). Values are < 2^31 so the unsuffixed SQL
+    literals type as INT exactly like F.lit did; M odd -> invertible."""
+    P = 1 << 31
+    M = 2654435761
+    return F.expr("array(" + ", ".join(
+        f"named_struct('b', {b}, 'a', {pow(M, b + 1, P)})"
+        for b in range(n_boot)) + ")")
+
+
 def bootstrap_ci(df: DataFrame, value_col: str, key_cols,
                  n_boot: int = 200, alpha: float = 0.05,
                  salt: int = 0, grid: int | None = None) -> DataFrame:
@@ -1043,9 +1056,7 @@ def bootstrap_ci(df: DataFrame, value_col: str, key_cols,
     # whole-stage-codegen generator, measured faster than the broadcast
     # crossJoin it replaces (BroadcastNestedLoopJoin materializes B·n
     # JoinedRows)
-    arr = F.array(*[F.struct(F.lit(b).alias("b"),
-                             F.lit(pow(M, b + 1, P)).alias("a"))
-                    for b in range(n_boot)])  # M odd -> invertible
+    arr = _boot_consts_expr(n_boot)
     u = (F.pmod((F.col("__k0") + 1 + F.col("c.b")) * F.col("c.a"),
                 F.lit(P))
          .cast("double") / F.lit(float(P)))
@@ -1155,9 +1166,7 @@ def bootstrap_ci_by(df: DataFrame, value_col: str, key_cols, by,
         wx_of = lambda w: F.sum(w * F.col("__v"))  # noqa: E731
         sw_of = lambda w: F.sum(w)  # noqa: E731
         s_agg = F.sum("__v").alias("__s")
-    arr = F.array(*[F.struct(F.lit(b).alias("b"),
-                             F.lit(pow(M, b + 1, P)).alias("a"))
-                    for b in range(n_boot)])
+    arr = _boot_consts_expr(n_boot)
     u = (F.pmod((F.col("__k0") + 1 + F.col("c.b")) * F.col("c.a"),
                 F.lit(P))
          .cast("double") / F.lit(float(P)))
