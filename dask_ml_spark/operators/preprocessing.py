@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dask_ml_spark.base import BaseEstimator, TransformerMixin
+from dask_ml_spark.utils import lit_array
 
 
 def _nn(c: str):
@@ -237,7 +238,9 @@ class QuantileTransformer(BaseEstimator, TransformerMixin):
                 return F.percentile_approx(c, probs, F.lit(self.accuracy))
         else:
             pct = F.percentile
-        probs = F.array(*[F.lit(float(x)) for x in self.references_])
+        # ONE parsed literal array — per-element F.lit paid a py4j
+        # round trip per grid point (n_quantiles=1000 by default)
+        probs = lit_array(float(x) for x in self.references_)
         row = df.agg(*[pct(_nn(c), probs).alias(f"q_{c}") for c in cols]).collect()[0]
         self.quantiles_ = np.column_stack([np.asarray(row[f"q_{c}"], dtype="float64") for c in cols])
         self.columns_ = cols

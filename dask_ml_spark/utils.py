@@ -29,6 +29,42 @@ def is_numeric_field(field: T.StructField) -> bool:
     return isinstance(field.dataType, NUMERIC_SPARK_TYPES)
 
 
+def sql_scalar_lit(v) -> str:
+    """SQL literal typed exactly as ``F.lit`` would type the Python
+    value (int32-range ints are INT, larger BIGINT, floats DOUBLE via
+    repr round-trip + D suffix, bools BOOLEAN, strings STRING) — the
+    building block for single-parse literal arrays."""
+    if isinstance(v, (bool, np.bool_)):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, np.integer)):
+        i = int(v)
+        return str(i) if -2 ** 31 <= i < 2 ** 31 else f"{i}L"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite literal {v!r}")
+        return f"{f!r}D"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    raise TypeError(f"unsupported literal {v!r}")
+
+
+def lit_array(vals) -> F.Column:
+    """A literal array as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(v) for v in vals])`` pays a py4j round trip per
+    element — ~1 s per thousand literals on an idle driver and several
+    times that under contention (round trips are latency-bound; this
+    was measured as the DOMINANT cost of the ANN index and bootstrap
+    builders before their r13 conversions). The generated SQL types
+    every element exactly as ``F.lit`` would, so downstream arithmetic
+    and results are bit-identical."""
+    vals = list(vals)
+    if not vals:
+        return F.array()
+    return F.expr("array(" + ", ".join(sql_scalar_lit(v) for v in vals) + ")")
+
+
 def numeric_columns(df: DataFrame) -> list[str]:
     return [f.name for f in df.schema.fields if is_numeric_field(f)]
 
