@@ -128,10 +128,16 @@ class KNeighborsClassifier(_KNeighborsBase, ClassifierMixin):
     to the SMALLEST label (deterministic, engine-portable)."""
 
     def predict(self, df: DataFrame, query_id_col: str = "doc_id",
-                output_col: str = "prediction") -> DataFrame:
+                output_col: str = "prediction",
+                neighbors: DataFrame | None = None) -> DataFrame:
+        """``neighbors``: a precomputed ``kneighbors`` frame (same
+        query batch / k / metric) — lets a classifier and regressor
+        over the same geometry share ONE neighbor search instead of
+        recomputing the scan-and-rank per head."""
         from pyspark.sql import Window
 
-        neigh = self.kneighbors(df, query_id_col)
+        neigh = (self.kneighbors(df, query_id_col)
+                 if neighbors is None else neighbors)
         votes = (neigh.groupBy(query_id_col, "__tlabel")
                  .agg(F.count(F.lit(1)).alias("__votes")))
         # per-query partitions hold <= n_distinct_labels rows, so the
@@ -148,8 +154,11 @@ class KNeighborsRegressor(_KNeighborsBase, RegressorMixin):
     """Mean of the k nearest train labels."""
 
     def predict(self, df: DataFrame, query_id_col: str = "doc_id",
-                output_col: str = "prediction") -> DataFrame:
-        neigh = self.kneighbors(df, query_id_col)
+                output_col: str = "prediction",
+                neighbors: DataFrame | None = None) -> DataFrame:
+        """``neighbors`` as in KNeighborsClassifier.predict."""
+        neigh = (self.kneighbors(df, query_id_col)
+                 if neighbors is None else neighbors)
         return (neigh.groupBy(query_id_col)
                 .agg(F.avg(F.col("__tlabel").cast("double"))
                      .alias(output_col)))

@@ -1868,8 +1868,12 @@ def q_knn_classifier_eval(spark, sf_dir):
         train, label_col="label", id_col="vec_id")
     reg = KNeighborsRegressor(n_neighbors=5, vec_col="embedding").fit(
         train, label_col="label", id_col="vec_id")
-    p = clf.predict(test, "vec_id")
-    m = reg.predict(test, "vec_id", output_col="knn_mean")
+    # both heads consume the SAME 5 euclidean neighbors (the query's
+    # contract) — search once, aggregate twice (r13 opt; lazy
+    # checkpoint so the scan-and-rank runs a single time)
+    nn = clf.kneighbors(test, "vec_id").localCheckpoint(eager=False)
+    p = clf.predict(test, "vec_id", neighbors=nn)
+    m = reg.predict(test, "vec_id", output_col="knn_mean", neighbors=nn)
     return (p.join(m, "vec_id")
             .select("vec_id", F.col("prediction").cast("long"),
                     F.round("knn_mean", 6).alias("knn_mean")))
