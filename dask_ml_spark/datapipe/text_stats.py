@@ -500,15 +500,19 @@ def unigram_logprob_scores(df: DataFrame, text_col: str = "text",
     toks = df.select(F.col(id_col), F.explode(
         tokens_expr(F.col(text_col))).alias("token"))
     lm = toks.groupBy("token").agg(F.count("*").alias("c"))
-    n_total, vocab = lm.agg(
-        F.sum("c").alias("n"), F.count("*").alias("v")).collect()[0]
-    denom = float(n_total) + alpha * float(vocab)
-    logp = F.log((F.col("c") + F.lit(alpha)) / F.lit(denom))
+    # (N, V) as a broadcast one-row aggregate instead of a blocking
+    # collect: one fewer job + scan wave; float(N) + alpha*float(V) is
+    # the identical IEEE add/multiply the driver performed
+    stats = lm.agg(F.sum("c").cast("double").alias("__n"),
+                   F.count(F.lit(1)).cast("double").alias("__v"))
+    logp = F.log((F.col("c") + F.lit(alpha))
+                 / (F.col("__n") + F.lit(alpha) * F.col("__v")))
     return (
-        toks.join(lm.withColumn("logp", logp).select("token", "logp"), "token")
+        toks.join(lm.select("token", "c"), "token")
+        .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_tokens"),
-             F.round(F.avg("logp"), 6).alias("avg_logprob"))
+             F.round(F.avg(logp), 6).alias("avg_logprob"))
     )
 
 
@@ -530,8 +534,12 @@ def bigram_logprob_scores(df: DataFrame, text_col: str = "text",
     BM25/unigram; no N², no driver data.
     """
     t = F.col("__toks")
+    # tokenize ONCE (lazy checkpoint): base feeds the bigram explode
+    # AND the unigram explode — unpinned it re-ran the regexp
+    # tokenizer per consumer
     base = (ensure_min_partitions(df)
-            .select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")))
+            .select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks"))
+            .localCheckpoint(eager=False))
     idx = F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)
                  ).otherwise(F.array().cast("array<int>"))
     grams = (base.select(
@@ -544,17 +552,25 @@ def bigram_logprob_scores(df: DataFrame, text_col: str = "text",
         # bigram-count agg and the final join), but a bare persist
         # leaks a cached dataset into executor storage for the
         # session's lifetime — checkpoint blocks are reclaimed by the
-        # ContextCleaner once the returned DataFrame is dropped
-        .localCheckpoint())
+        # ContextCleaner once the returned DataFrame is dropped. LAZY:
+        # it materializes inside the query's own job instead of as a
+        # blocking build-time pass
+        .localCheckpoint(eager=False))
     toks = base.select(F.col(id_col), F.explode(t).alias("token"))
-    uni = toks.groupBy("token").agg(F.count("*").alias("ca"))
-    vocab = uni.count()
+    # uni feeds the vocab scalar AND the count join — checkpoint once
+    uni = (toks.groupBy("token").agg(F.count("*").alias("ca"))
+           .localCheckpoint(eager=False))
+    # vocab as a broadcast one-row aggregate, not a blocking .count()
+    # action: V rides the query's own job. float(V) is exact and
+    # lit(alpha) * V is the same single IEEE multiply the driver did
+    vocab_d = uni.agg(F.count(F.lit(1)).cast("double").alias("__vocab"))
     bi = grams.groupBy("a", "b").agg(F.count("*").alias("cab"))
     logp = F.log((F.col("cab") + F.lit(alpha))
-                 / (F.col("ca") + F.lit(alpha * float(vocab))))
+                 / (F.col("ca") + F.lit(alpha) * F.col("__vocab")))
     return (grams
             .join(bi, ["a", "b"])
             .join(uni.withColumnRenamed("token", "a"), "a")
+            .crossJoin(F.broadcast(vocab_d))
             .groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_bigrams"),
                  F.round(F.avg(logp), 6).alias("avg_logprob")))
