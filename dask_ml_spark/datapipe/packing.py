@@ -137,10 +137,14 @@ def prefix_sum(df: DataFrame, order_col: str, value_col,
         out_cols = [out_col]
     if with_totals and group_col is not None:
         raise ValueError("with_totals is global-only")
-    df = ensure_min_partitions(df)
     if not _is_checkpoint_scan(df):
         df = df.localCheckpoint()
-    parts = df.rdd.getNumPartitions()
+    # the range exchange below reshuffles anyway, so an up-front
+    # ensure_min_partitions round-robin repartition (plus its mandatory
+    # sortBeforeRepartition) was a whole wasted shuffle pass — only the
+    # TARGET partition count needs the parallelism floor (r13 opt)
+    parts = max(df.rdd.getNumPartitions(),
+                df.sparkSession.sparkContext.defaultParallelism)
     range_keys = ([F.col(group_col)] if group_col else []) + [F.col(order_col)]
     sort_keys = ([group_col] if group_col else []) + [order_col]
     # localCheckpoint, not persist: arranged is consumed twice (the
