@@ -217,6 +217,12 @@ def banded_hamming_pairs(hashes: DataFrame, id_col: str,
         hashes = (hashes.groupBy("h0", "h1", "h2", "h3")
                   .agg(F.min(id_col).alias(id_col))
                   .select(id_col, "h0", "h1", "h2", "h3"))
+    # both sides of the self-join read this frame; without
+    # materialization the (expensive) fingerprint expression computes
+    # once per side — twice more when the planner broadcasts a side,
+    # where no exchange reuse can fire. One 5-column row per item (the
+    # 64-bit-per-image footprint), lazy, ContextCleaner-reclaimed.
+    hashes = hashes.localCheckpoint(eager=False)
     entries = F.array(*[
         F.struct(F.lit(i).alias("band"), F.col(f"h{i}").alias("val"))
         for i in range(N_BANDS)])
