@@ -471,7 +471,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # and the sizes aggregate re-runs one narrow scan.
     sh = _exploded_shingles(df, text_col, id_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    l, r = sh.alias("l"), sh.alias("r")
+    # SHUFFLE_HASH instead of the planner's broadcast pick at small
+    # estimated sizes: a broadcast self-join evaluates the
+    # tokenize+shingle explode once PER SIDE (no exchange to reuse —
+    # measured 3.1 -> 2.0 s at sf0.1), while the shuffled-hash form
+    # shuffles both sides on the shingle and exchange reuse computes
+    # the explode ONCE. At corpus scale this is the join the planner
+    # would pick anyway (no sort, AQE sizes the build partitions and
+    # its skew handling splits hot shingles for SHJ since Spark 3.2).
+    l, r = sh.alias("l"), sh.hint("shuffle_hash").alias("r")
     shared = (
         l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
         .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
