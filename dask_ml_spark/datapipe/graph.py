@@ -28,21 +28,27 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     """
     w = (F.col(weight_col).cast("double") if weight_col
          else F.lit(1.0))
+    # e feeds nodes/deg/norm — lazily checkpointed so the edge
+    # aggregation (and the possibly-expensive upstream edge extraction)
+    # evaluates once, not once per reference; nodes symmetrize with one
+    # in-row explode instead of a unionAll that doubled the subtree
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"), w.alias("w"))
-         .groupBy("src", "dst").agg(F.sum("w").alias("w")))
-    nodes = (e.select(F.col("src").alias("node"))
-             .unionAll(e.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint())
+         .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+         .localCheckpoint(eager=False))
+    nodes = (e.select(F.explode(F.array(F.col("src"), F.col("dst")))
+                      .alias("node"))
+             .distinct().localCheckpoint(eager=False))
     n = nodes.count()
     deg = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # out-degree-normalized edges, built once and reused every iteration
     norm = (e.join(deg, "src")
             .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
     # the dangling-node SET is static — computed once, not per iteration
     dangling_nodes = (nodes.join(norm.select(F.col("src").alias("node")),
-                                 "node", "left_anti").localCheckpoint())
+                                 "node", "left_anti")
+                      .localCheckpoint(eager=False))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     for i in range(iters):
@@ -95,11 +101,13 @@ def smooth_scores(edges: DataFrame, scores: DataFrame,
                         F.col(score_col).cast("double").alias("__s"))
     if iters <= 0:
         return cur.select(F.col(id_col), F.col("__s").alias(score_col))
-    # localCheckpoint is EAGER — only materialize the (possibly
-    # expensive, e.g. knn_graph) edge table once iterating is certain
+    # lazy localCheckpoint: the (possibly expensive, e.g. knn_graph)
+    # edge table materializes with the first smoothing round's job
+    # instead of as its own blocking pass, and later rounds reuse the
+    # blocks
     e = (edges.select(F.col(src_col).alias("__src"),
                       F.col(dst_col).alias("__dst"))
-         .localCheckpoint())
+         .localCheckpoint(eager=False))
     for _ in range(iters):
         nb = (e.join(cur.select(F.col(id_col).alias("__dst"), "__s"), "__dst")
               .groupBy("__src").agg(F.avg("__s").alias("__nb")))
@@ -109,9 +117,10 @@ def smooth_scores(edges: DataFrame, scores: DataFrame,
                        F.when(F.col("__nb").isNull(), F.col("__s"))
                        .otherwise((1.0 - alpha) * F.col("__s")
                                   + alpha * F.col("__nb")).alias("__s")))
-        # materialize per round (the pagerank idiom): keeps the plan
-        # one-iteration deep instead of stacking every round's joins
-        cur = cur.localCheckpoint()
+        # truncate per round (the pagerank idiom): keeps the plan
+        # one-iteration deep instead of stacking every round's joins;
+        # lazy — the caller's action materializes the chain
+        cur = cur.localCheckpoint(eager=False)
     return cur.select(F.col(id_col), F.col("__s").alias(score_col))
 
 
@@ -136,12 +145,16 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     counts are one explode + groupBy.
     """
     a, b = F.col(src_col), F.col(dst_col)
+    # und feeds the degree count AND the orientation join — lazily
+    # checkpointed so the distinct (and upstream edge derivation)
+    # evaluates once; the degree union is one in-row explode
     und = (edges
            .where(a != b)
            .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
-           .distinct())
-    deg = (und.select(F.col("u").alias("node"))
-           .unionByName(und.select(F.col("v").alias("node")))
+           .distinct()
+           .localCheckpoint(eager=False))
+    deg = (und.select(F.explode(F.array(F.col("u"), F.col("v")))
+                      .alias("node"))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
     # orient u->v when (deg, id) of u < of v; join degrees in (small
     # deg table — AQE broadcasts when it fits)
