@@ -367,7 +367,12 @@ def kcenter_sample(df: DataFrame, k: int, vec_col: str = "embedding",
     out = [(1, seed[0], 0.0)]
 
     def sqdist(vec):
-        lit = F.array(*[F.lit(v) for v in vec])
+        # single-parse literal vector: per-element F.lit cost
+        # ~Σr·dim py4j round trips across the k rounds (~1 s at
+        # k=6, dim=64)
+        from dask_ml_spark.utils import lit_array
+
+        lit = lit_array(vec)
         return F.aggregate(
             F.zip_with(F.col(vec_col), lit, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda a, x: a + x)
