@@ -106,7 +106,7 @@ def contamination_scores_bloom(docs: DataFrame, eval_docs: DataFrame,
         # localCheckpoint, not persist: a persist inside a library call
         # leaks executor storage for the session (the ContextCleaner
         # reclaims checkpoints once unreferenced)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_items = max(eval_sh.count(), 1)
     m = max(64, n_items * bits_per_item)

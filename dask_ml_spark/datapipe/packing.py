@@ -138,7 +138,7 @@ def prefix_sum(df: DataFrame, order_col: str, value_col,
     if with_totals and group_col is not None:
         raise ValueError("with_totals is global-only")
     if not _is_checkpoint_scan(df):
-        df = df.localCheckpoint()
+        df = df.localCheckpoint(eager=False)
     # the range exchange below reshuffles anyway, so an up-front
     # ensure_min_partitions round-robin repartition (plus its mandatory
     # sortBeforeRepartition) was a whole wasted shuffle pass — only the
@@ -154,7 +154,7 @@ def prefix_sum(df: DataFrame, order_col: str, value_col,
     # the ContextCleaner when the result is dropped, where a bare
     # persist would leak storage for the session's lifetime
     arranged = (df.repartitionByRange(parts, *range_keys)
-                .sortWithinPartitions(*sort_keys).localCheckpoint())
+                .sortWithinPartitions(*sort_keys).localCheckpoint(eager=False))
 
     if group_col is None:
         subtotal_schema = "pid long, " + ", ".join(

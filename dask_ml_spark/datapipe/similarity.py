@@ -274,7 +274,7 @@ def knn_graph(df: DataFrame, k: int = 10,
     # so the join still co-locates, and the ContextCleaner reclaims the
     # blocks when the returned DataFrame is dropped
     coded = coded.repartition(parts, F.col("band"),
-                              F.col("bucket")).localCheckpoint()
+                              F.col("bucket")).localCheckpoint(eager=False)
     l, r = coded.alias("l"), coded.alias("r")
     cand = (l.join(r, (F.col("l.band") == F.col("r.band"))
                    & (F.col("l.bucket") == F.col("r.bucket"))

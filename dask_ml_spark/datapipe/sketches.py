@@ -81,7 +81,7 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 20,
     Output: (value, freq) — the k most frequent, freq descending.
     """
     capacity = max(capacity, k)
-    summ = _mg_summaries(df, col, capacity).localCheckpoint()
+    summ = _mg_summaries(df, col, capacity).localCheckpoint(eager=False)
     n_total = summ.where(F.col("value").isNull()) \
         .agg(F.sum("mg_count")).collect()[0][0] or 0
     cand = summ.where(F.col("value").isNotNull()).select("value").distinct()

@@ -419,7 +419,7 @@ def bm25_scores(df: DataFrame, query_terms, text_col: str = "text",
     tf = (base.select(id_col, "dl", F.explode("__toks").alias("term"))
           .where(F.col("term").isin(terms))
           .groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = (F.col("tf")
@@ -456,7 +456,7 @@ def bm25_topk(df: DataFrame, queries: dict, k: int = 10,
     tf = (base.select(id_col, "dl", F.explode("__toks").alias("term"))
           .where(F.col("term").isin(all_terms))
           .groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     qdf = spark.createDataFrame(
         [(qid, t.lower()) for qid, ts in queries.items() for t in set(ts)],

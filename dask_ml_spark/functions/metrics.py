@@ -565,7 +565,7 @@ def roc_auc_score(df: DataFrame, label_col: str = "label",
     # integer products < 2^53, bit-identical to the prefix machine;
     # the checkpoint lets the fallback reuse the materialized frame
     if max_driver_rows and max_driver_rows > 0:
-        g = g.localCheckpoint()
+        g = g.localCheckpoint(eager=False)
         # Arrow probe, not a Row collect (the stats._bounded_head r13
         # optimization): non-null doubles only, value-identical
         head_pdf = g.limit(max_driver_rows + 1).toPandas()

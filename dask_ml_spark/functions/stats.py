@@ -188,7 +188,7 @@ def _bounded_head(g: DataFrame, cap: int):
     materialized frame instead of re-running the groupBy (blocks
     reclaimed by the ContextCleaner), then one limit(cap+1) collect.
     Returns (checkpointed g, head rows if they fit else None)."""
-    g = g.localCheckpoint()
+    g = g.localCheckpoint(eager=False)
     # Arrow transfer instead of a Row collect (r13 optimization): the
     # probe moves up to cap+1 rows to the driver, and the pickled-Row
     # path pays ~10x Arrow's cost at the 65k cap. Values are plain
@@ -799,8 +799,9 @@ def benjamini_hochberg(df: DataFrame, p_col: str = "p_value",
     # checkpoint the (bounded-by-contract) test family ONCE: the
     # q-map collect and the join back must see the SAME p doubles —
     # re-executing a sweep whose aggregates could re-associate between
-    # jobs would make the eqNullSafe join silently miss (review-caught)
-    df = df.localCheckpoint()
+    # jobs would make the eqNullSafe join silently miss (review-caught);
+    # lazy — the family collect below materializes it
+    df = df.localCheckpoint(eager=False)
     pc = F.col(p_col).cast("double")
     fam = (df.where(pc.isNotNull() & ~F.isnan(pc))
            .groupBy(pc.alias("__p"))

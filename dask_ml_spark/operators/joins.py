@@ -92,7 +92,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         # eager quantile pass, the carried pipeline, and one carry
         # aggregate per direction) — materialize once, let the
         # ContextCleaner reclaim it
-        u = u.localCheckpoint()
+        u = u.localCheckpoint(eager=False)
         spark = left.sparkSession
         n_target = max(int(spark.sparkContext.defaultParallelism), 16)
         probs = [i / n_target for i in range(1, n_target)]
