@@ -27,12 +27,20 @@ from pyspark.sql import functions as F
 from dask_ml_spark.base import BaseEstimator, TransformerMixin
 
 
-def _sqdist_expr(cols, center):
-    e = F.lit(0.0)
-    for c, v in zip(cols, center):
-        d = F.col(c).cast("double") - F.lit(float(v))
-        e = e + d * d
-    return e
+def _center_dists_expr(cols, centers, sqrt: bool = False):
+    """array(‖x−c₀‖², …) over all centers as ONE parsed SQL expression.
+
+    The per-element Column loop paid ~4·d py4j round trips per center
+    per call (and KMeans' Lloyd loop rebuilds it every iteration); the
+    generated SQL parses once and produces the identical tree —
+    0.0 + (c−v)·(c−v) + … left-associative, casts/literals typed
+    exactly as F.col().cast('double') / F.lit(float) (guide §7.3;
+    same conversion as the ANN index builders)."""
+    from dask_ml_spark.operators.pairwise import _sqdist_sql
+    parts = [_sqdist_sql(cols, c) for c in centers]
+    if sqrt:
+        parts = [f"SQRT({p})" for p in parts]
+    return F.expr("array(" + ", ".join(parts) + ")")
 
 
 class KMeans(BaseEstimator, TransformerMixin):
@@ -114,7 +122,7 @@ class KMeans(BaseEstimator, TransformerMixin):
             if len(centers) < k:
                 centers = np.asarray(data.limit(k).collect(), dtype="float64")
         for it in range(self.max_iter):
-            dists = F.array(*[_sqdist_expr(cols, c) for c in centers])
+            dists = _center_dists_expr(cols, centers)
             assign = (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("__cluster")
             agg = (
                 data.select(assign, *cols)
@@ -132,19 +140,19 @@ class KMeans(BaseEstimator, TransformerMixin):
                 break
         self.cluster_centers_ = centers
         self.n_iter_ = it + 1
-        dists = F.array(*[_sqdist_expr(cols, c) for c in centers])
+        dists = _center_dists_expr(cols, centers)
         self.inertia_ = data.agg(F.sum(F.array_min(dists))).collect()[0][0]
         data.unpersist()
         self.feature_columns_ = cols
         return self
 
     def predict(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
-        dists = F.array(*[_sqdist_expr(self.feature_columns_, c) for c in self.cluster_centers_])
+        dists = _center_dists_expr(self.feature_columns_, self.cluster_centers_)
         return df.withColumn(output_col, (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
 
     def transform(self, df: DataFrame, output_col: str = "distances") -> DataFrame:
         """Distances to each center (reference k_means.py:225-228)."""
-        dists = F.array(*[F.sqrt(_sqdist_expr(self.feature_columns_, c)) for c in self.cluster_centers_])
+        dists = _center_dists_expr(self.feature_columns_, self.cluster_centers_, sqrt=True)
         return df.withColumn(output_col, dists)
 
     def fit_predict(self, df: DataFrame, columns=None, output_col: str = "prediction") -> DataFrame:
@@ -232,14 +240,19 @@ class SpectralClustering(BaseEstimator):
             if kexprs is not None:
                 kcols = [f"__nk_{i}" for i in range(l)]
                 tmp = df.select("*", *[e.alias(c) for e, c in zip(kexprs, kcols)])
+                # each combination as one parsed SQL chain (the Column
+                # loop paid ~2·l py4j round trips per component; same
+                # 0.0 + col·w + … left-associative tree, zero weights
+                # skipped identically, literals typed as F.lit(float))
+                from dask_ml_spark.utils import sql_scalar_lit
                 combos = []
                 for j in range(k):
-                    e = F.lit(0.0)
+                    terms = ["0.0D"]
                     for i in range(l):
                         w = float(proj[i, j])
                         if w != 0.0:
-                            e = e + F.col(kcols[i]) * F.lit(w)
-                    combos.append(e.alias(f"__emb_{j}"))
+                            terms.append(f"`{kcols[i]}` * {sql_scalar_lit(w)}")
+                    combos.append(F.expr(" + ".join(terms)).alias(f"__emb_{j}"))
                 return tmp.select("*", *combos).drop(*kcols)
 
         schema = ", ".join(f"__emb_{j} double" for j in range(proj.shape[1]))

@@ -67,26 +67,43 @@ KERNELS = {
 _EXPR_TERM_BUDGET = 512
 
 
-def _dot_expr(cols, y):
-    e = F.lit(0.0)
+def _qcol(name: str) -> str:
+    """Backtick-quoted column reference for generated SQL."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _dot_sql(cols, y) -> str:
+    """x·y as ONE SQL fragment — the same left-associative
+    0.0 + c₀·y₀ + … chain the Column loop built (zero weights skipped
+    identically), so the parsed tree and results are bit-identical.
+    Built as a string because the per-element F.lit/F.col loop paid
+    ~4·d py4j round trips per Y row (guide §7.3 driver-side plans;
+    the same conversion measured on the ANN builders in §B)."""
+    from dask_ml_spark.utils import sql_scalar_lit
+    terms = ["0.0D"]
     for c, v in zip(cols, y):
         if v != 0.0:
-            e = e + F.col(c).cast("double") * F.lit(float(v))
-    return e
+            terms.append(f"CAST({_qcol(c)} AS DOUBLE) * {sql_scalar_lit(float(v))}")
+    return " + ".join(terms)
 
 
-def _sqdist_expr(cols, y):
-    e = F.lit(0.0)
+def _sqdist_sql(cols, y) -> str:
+    """‖x−y‖² as ONE SQL fragment (same tree as the old Column loop:
+    0.0 + (c−v)·(c−v) + … left-associative, cast/literal typing
+    exactly as F.col().cast('double') / F.lit(float))."""
+    from dask_ml_spark.utils import sql_scalar_lit
+    terms = ["0.0D"]
     for c, v in zip(cols, y):
-        d = F.col(c).cast("double") - F.lit(float(v))
-        e = e + d * d
-    return e
+        d = f"(CAST({_qcol(c)} AS DOUBLE) - {sql_scalar_lit(float(v))})"
+        terms.append(f"{d} * {d}")
+    return " + ".join(terms)
 
 
-def _small_y_exprs(cols, Y, metric, **kwds):
-    """One JVM expression per Y row, or None when the metric/size needs
+def _small_y_sqls(cols, Y, metric, **kwds):
+    """One SQL fragment per Y row, or None when the metric/size needs
     the UDF path. Distance metrics use the direct (x-y)² form (more
     accurate than the UDF's -2XY+X²+Y² expansion, same semantics)."""
+    from dask_ml_spark.utils import sql_scalar_lit
     if callable(metric) or len(Y) * len(cols) > _EXPR_TERM_BUDGET:
         return None
     g = kwds.get("gamma")
@@ -94,26 +111,40 @@ def _small_y_exprs(cols, Y, metric, **kwds):
     coef0 = float(kwds.get("coef0", 1.0))
     degree = float(kwds.get("degree", 3))
     if metric == "linear":
-        return [_dot_expr(cols, y) for y in Y]
+        return [_dot_sql(cols, y) for y in Y]
     if metric == "rbf":
-        return [F.exp(F.lit(-g) * _sqdist_expr(cols, y)) for y in Y]
+        ng = sql_scalar_lit(-float(g))
+        return [f"EXP({ng} * ({_sqdist_sql(cols, y)}))" for y in Y]
     if metric in ("polynomial", "poly"):
-        return [F.pow(F.lit(g) * _dot_expr(cols, y) + F.lit(coef0), F.lit(degree)) for y in Y]
+        gl, c0, dg = (sql_scalar_lit(float(g)), sql_scalar_lit(coef0),
+                      sql_scalar_lit(degree))
+        return [f"POWER({gl} * ({_dot_sql(cols, y)}) + {c0}, {dg})" for y in Y]
     if metric == "sigmoid":
-        return [F.tanh(F.lit(g) * _dot_expr(cols, y) + F.lit(coef0)) for y in Y]
+        gl, c0 = sql_scalar_lit(float(g)), sql_scalar_lit(coef0)
+        return [f"TANH({gl} * ({_dot_sql(cols, y)}) + {c0})" for y in Y]
     if metric == "euclidean":
-        return [F.sqrt(_sqdist_expr(cols, y)) for y in Y]
+        return [f"SQRT({_sqdist_sql(cols, y)})" for y in Y]
     if metric == "sqeuclidean":
-        return [_sqdist_expr(cols, y) for y in Y]
+        return [_sqdist_sql(cols, y) for y in Y]
     if metric == "manhattan":
-        exprs = []
+        sqls = []
         for y in Y:
-            e = F.lit(0.0)
+            terms = ["0.0D"]
             for c, v in zip(cols, y):
-                e = e + F.abs(F.col(c).cast("double") - F.lit(float(v)))
-            exprs.append(e)
-        return exprs
+                terms.append(
+                    f"ABS(CAST({_qcol(c)} AS DOUBLE) - {sql_scalar_lit(float(v))})")
+            sqls.append(" + ".join(terms))
+        return sqls
     return None
+
+
+def _small_y_exprs(cols, Y, metric, **kwds):
+    """One JVM expression per Y row (each parsed from a single SQL
+    string — see _small_y_sqls), or None for the UDF path."""
+    sqls = _small_y_sqls(cols, Y, metric, **kwds)
+    if sqls is None:
+        return None
+    return [F.expr(s) for s in sqls]
 
 
 # --- distributed forms ---------------------------------------------------
@@ -124,9 +155,9 @@ def pairwise_distances(df: DataFrame, columns, Y: np.ndarray,
     array<double> column of length len(Y) (reference pairwise.py:50-67)."""
     Y = np.asarray(Y, dtype="float64")
     cols = list(columns)
-    exprs = _small_y_exprs(cols, Y, metric)
-    if exprs is not None:
-        return df.withColumn(output_col, F.array(*exprs))
+    sqls = _small_y_sqls(cols, Y, metric)
+    if sqls is not None:
+        return df.withColumn(output_col, F.expr("array(" + ", ".join(sqls) + ")"))
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _dist(*series: pd.Series) -> pd.Series:
@@ -166,9 +197,9 @@ def pairwise_kernels(df: DataFrame, columns, Y: np.ndarray, metric: str = "linea
     pairwise.py:136-226)."""
     Y = np.asarray(Y, dtype="float64")
     cols = list(columns)
-    exprs = _small_y_exprs(cols, Y, metric, **kwds)
-    if exprs is not None:
-        return df.withColumn(output_col, F.array(*exprs))
+    sqls = _small_y_sqls(cols, Y, metric, **kwds)
+    if sqls is not None:
+        return df.withColumn(output_col, F.expr("array(" + ", ".join(sqls) + ")"))
     if callable(metric):
         kfn = metric
     else:
