@@ -65,11 +65,9 @@ def reference_histogram(df: DataFrame, value_col: str,
         raise ValueError("reference_histogram: no non-null values")
     lo, hi = float(lohi["lo"]), float(lohi["hi"])
     width = (hi - lo) or 1.0
-    b = _bucket_expr(F.col("__v"), lo, width, bins)
     row = kept.agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum((b <= k).cast("double")).alias(f"le{k}")
-          for k in range(bins - 1)]).collect()[0]
+        *_le_sum_cols("`__v`", lo, width, bins, stem="le")).collect()[0]
     n = float(row["n"])
     le = [row[f"le{k}"] for k in range(bins - 1)] + [n]
     counts = [le[0]] + [le[k] - le[k - 1] for k in range(1, bins)]
@@ -117,6 +115,48 @@ def _bucket_expr(v, lo: float, width: float, bins: int):
                 .cast("int")))
 
 
+# --- single-parse SQL twins of the Column builders -----------------------
+#
+# Each aggregate list below was built with per-element Column ops —
+# ~4 py4j round trips per bin/category/pair, ~100-400 per monitor
+# (measured build-dominated: ks_drift 1.87 s build vs 0.62 s exec at
+# sf0.1). These emit the SAME trees as ONE SQL string per output column
+# (casts/literals typed exactly as F.col().cast('double') / F.lit —
+# the guide §7.3 conversion the ANN/bootstrap/pairwise builders got),
+# so plans and results are bit-identical.
+
+def _qcol_sql(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _vcast_sql(value_col: str) -> str:
+    """CAST(`col` AS DOUBLE) — the _numeric_kept value expression."""
+    return f"CAST({_qcol_sql(value_col)} AS DOUBLE)"
+
+
+def _bucket_sql(v_sql: str, lo: float, width: float, bins: int) -> str:
+    """The _bucket_expr tree as SQL (INT literals for 0/bins-1/bins,
+    DOUBLE via repr+D for lo/width — F.lit's exact typing)."""
+    from dask_ml_spark.utils import sql_scalar_lit
+    lo_l, w_l = sql_scalar_lit(float(lo)), sql_scalar_lit(float(width))
+    return (f"GREATEST(0, LEAST({bins - 1}, "
+            f"CAST(FLOOR(({v_sql} - {lo_l}) / {w_l} * {bins}) AS INT)))")
+
+
+def _le_sum_cols(v_sql: str, lo: float, width: float, bins: int,
+                 stem: str = "__le"):
+    """The K−1 ECDF conditional sums Σ[bucket ≤ k] as one parsed
+    expression per column (SUM(CAST((b <= k) AS DOUBLE)))."""
+    b = _bucket_sql(v_sql, lo, width, bins)
+    return [F.expr(f"SUM(CAST(({b} <= {k}) AS DOUBLE))").alias(f"{stem}{k}")
+            for k in range(bins - 1)]
+
+
+def _col_array_expr(names) -> "F.Column":
+    """array(`c0`, `c1`, …) in one parse."""
+    return F.expr("array(" + ", ".join(_qcol_sql(c) for c in names) + ")")
+
+
 def ks_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
              window: str = "1 hour",
              watermark: str | None = None) -> DataFrame:
@@ -136,16 +176,19 @@ def ks_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
     cum = list(ref["cum"])
     lo = float(ref["lo"])
     width = (float(ref["hi"]) - lo) or 1.0
+    from dask_ml_spark.utils import sql_scalar_lit
+
     v, kept = _numeric_kept(df, value_col)
-    b = _bucket_expr(v, lo, width, bins)
     agg = _window_agg(kept, ts_col, window, watermark,
-                      [F.sum((b <= k).cast("double")).alias(f"__le{k}")
-                       for k in range(bins - 1)])
+                      _le_sum_cols(_vcast_sql(value_col), lo, width, bins))
     n = F.col("n").cast("double")
-    # bins=2 leaves exactly one ECDF edge: F.greatest needs >= 2 args
-    terms = [F.abs(F.col(f"__le{k}") / n - F.lit(cum[k]))
-             for k in range(bins - 1)]
-    d = terms[0] if len(terms) == 1 else F.greatest(*terms)
+    # bins=2 leaves exactly one ECDF edge: GREATEST needs >= 2 args;
+    # one parsed expression for D (same ABS/GREATEST tree as before)
+    t_sqls = [f"ABS(`__le{k}` / CAST(`n` AS DOUBLE) - "
+              f"{sql_scalar_lit(float(cum[k]))})"
+              for k in range(bins - 1)]
+    d = F.expr(t_sqls[0] if len(t_sqls) == 1
+               else "GREATEST(" + ", ".join(t_sqls) + ")")
     # bind D and λ to columns FIRST (the ks_2sample lesson): inlining
     # the 31-term greatest into each of the 25 series terms would
     # multiply the expression tree ~800x
@@ -201,15 +244,15 @@ def ad_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
     g = [((full[k + 2] - full[k]) * 0.5 / (c * (1.0 - c))
           if 0.0 < c < 1.0 else 0.0)
          for k, c in enumerate(cum)]
+    from dask_ml_spark.utils import lit_array
+
     v, kept = _numeric_kept(df, value_col)
-    b = _bucket_expr(v, lo, width, bins)
     agg = _window_agg(kept, ts_col, window, watermark,
-                      [F.sum((b <= k).cast("double")).alias(f"__le{k}")
-                       for k in range(bins - 1)])
+                      _le_sum_cols(_vcast_sql(value_col), lo, width, bins))
     n = F.col("n").cast("double")
-    le_arr = F.array(*[F.col(f"__le{k}") for k in range(bins - 1)])
-    cum_arr = F.array(*[F.lit(c) for c in cum])
-    g_arr = F.array(*[F.lit(x) for x in g])
+    le_arr = _col_array_expr([f"__le{k}" for k in range(bins - 1)])
+    cum_arr = lit_array([float(c) for c in cum])
+    g_arr = lit_array([float(x) for x in g])
     d2 = F.zip_with(le_arr, cum_arr,
                     lambda le, c: (le / n - c) * (le / n - c))
     terms = F.zip_with(d2, g_arr, lambda x, gk: x * gk)
@@ -246,20 +289,22 @@ def psi_drift(df: DataFrame, value_col: str, ts_col: str, ref: dict,
     rn = float(ref["n"])
     lo = float(ref["lo"])
     width = (float(ref["hi"]) - lo) or 1.0
+    from dask_ml_spark.utils import lit_array
+
     v, kept = _numeric_kept(df, value_col)
-    b = _bucket_expr(v, lo, width, bins)
+    b = _bucket_sql(_vcast_sql(value_col), lo, width, bins)
     agg = _window_agg(kept, ts_col, window, watermark,
-                      [F.sum((b == k).cast("double")).alias(f"__c{k}")
-                       for k in range(bins)])
+                      [F.expr(f"SUM(CAST(({b} = {k}) AS DOUBLE))")
+                       .alias(f"__c{k}") for k in range(bins)])
     n = F.col("n").cast("double")
     half_k = float(bins) / 2.0
     # flat zip_with/aggregate, not a bins-deep chained add — constant
     # expression-tree depth at any bin count (the categorical_drift
     # 512-cap JVM-stack lesson; reference_histogram has no bins cap),
     # same left-fold float order as the old chain (seed 0.0, bin order)
-    carr = F.array(*[F.col(f"__c{k}") for k in range(bins)])
-    qarr = F.array(*[F.lit((rc[k] + 0.5) / (rn + half_k))
-                     for k in range(bins)])
+    carr = _col_array_expr([f"__c{k}" for k in range(bins)])
+    qarr = lit_array([(rc[k] + 0.5) / (rn + half_k)
+                      for k in range(bins)])
     terms = F.zip_with(
         carr, qarr,
         lambda cnt, q: ((cnt + 0.5) / (n + F.lit(half_k)) - q)
@@ -440,10 +485,14 @@ def categorical_drift(df: DataFrame, cat_col: str, ts_col: str,
     rc = [float(x) for x in ref["counts"]]
     rn = float(ref["n"])
     k_all = len(cats) + 1  # + OTHER
+    from dask_ml_spark.utils import lit_array, sql_scalar_lit
+
     c = F.col(cat_col).cast("string")
+    c_sql = f"CAST({_qcol_sql(cat_col)} AS STRING)"
     kept = df.where(c.isNotNull())
     agg = _window_agg(kept, ts_col, window, watermark,
-                      [F.sum((c == F.lit(cat)).cast("double"))
+                      [F.expr(f"SUM(CAST(({c_sql} = "
+                              f"{sql_scalar_lit(str(cat))}) AS DOUBLE))")
                        .alias(f"__c{i}") for i, cat in enumerate(cats)])
     n = F.col("n").cast("double")
     half_k = float(k_all) / 2.0
@@ -455,9 +504,9 @@ def categorical_drift(df: DataFrame, cat_col: str, ts_col: str,
     # the tree depth CONSTANT in K while F.aggregate's left-fold keeps
     # the float summation order identical to the old chain (seed 0.0,
     # category order, OTHER last) — same bits, same oracle.
-    carr = F.array(*[F.col(f"__c{i}") for i in range(len(cats))])
-    qarr = F.array(*[F.lit((rc[i] + 0.5) / (rn + half_k))
-                     for i in range(len(cats))])
+    carr = _col_array_expr([f"__c{i}" for i in range(len(cats))])
+    qarr = lit_array([(rc[i] + 0.5) / (rn + half_k)
+                      for i in range(len(cats))])
     seen = F.aggregate(carr, F.lit(0.0), lambda acc, x: acc + x)
     other = n - seen
     terms = F.zip_with(
@@ -555,6 +604,7 @@ def reference_comoments(df: DataFrame, cols) -> dict:
             "screen past d=30 wants a projection (PCA / random "
             "projection) first")
     cs = [F.col(c).cast("double") for c in cols]
+    cs_sql = [f"CAST({_qcol_sql(c)} AS DOUBLE)" for c in cols]
     pred = cs[0].isNotNull() & ~F.isnan(cs[0])
     for c in cs[1:]:
         pred = pred & c.isNotNull() & ~F.isnan(c)
@@ -562,8 +612,8 @@ def reference_comoments(df: DataFrame, cols) -> dict:
              for j in range(i + 1, len(cols))]
     row = (df.where(pred)
            .agg(F.count(F.lit(1)).alias("n"),
-                *[F.corr(cs[i], cs[j]).alias(f"r{i}_{j}")
-                  for i, j in pairs]).collect()[0])
+                *[F.expr(f"CORR({cs_sql[i]}, {cs_sql[j]})")
+                  .alias(f"r{i}_{j}") for i, j in pairs]).collect()[0])
     if not row["n"] or row["n"] < 4:
         raise ValueError("reference_comoments needs >= 4 complete-case "
                          "rows")
@@ -625,27 +675,38 @@ def cov_drift(df: DataFrame, cols, ts_col: str, ref: dict,
             f"{list(ref['cols'])} — refit reference_comoments")
     if not 0.0 < alpha < 1.0:
         raise ValueError("alpha must be in (0, 1)")
+    from dask_ml_spark.utils import lit_array, sql_scalar_lit
+
     d = len(cols)
     pairs = [(i, j) for i in range(d) for j in range(i + 1, d)]
     z0 = [0.5 * math.log((1.0 + r) / (1.0 - r)) for r in ref["corr"]]
     cs = [F.col(c).cast("double") for c in cols]
+    cs_sql = [f"CAST({_qcol_sql(c)} AS DOUBLE)" for c in cols]
     pred = cs[0].isNotNull() & ~F.isnan(cs[0])
     for c in cs[1:]:
         pred = pred & c.isNotNull() & ~F.isnan(c)
     agg = _window_agg(df.where(pred), ts_col, window, watermark,
-                      [F.corr(cs[i], cs[j]).alias(f"__r{k}")
+                      [F.expr(f"CORR({cs_sql[i]}, {cs_sql[j]})")
+                       .alias(f"__r{k}")
                        for k, (i, j) in enumerate(pairs)])
     n = F.col("n").cast("double")
     # bind per-pair z and p to columns FIRST (the ks_2sample lesson),
     # all in one select — the BH and family scalars below re-read each
-    # p several times
+    # p several times. One parsed CASE per pair (same tree as the old
+    # F.when chain: left-assoc AND, 0.5·LN Fisher, √(n−3)).
+    n_sql = "CAST(`n` AS DOUBLE)"
     zp = []
     for k in range(len(pairs)):
-        r = F.col(f"__r{k}")
-        ok = (n >= 4.0) & r.isNotNull() & (F.abs(r) < 1.0)
-        fisher = 0.5 * F.log((1.0 + r) / (1.0 - r))
-        zp.append(F.when(ok, (fisher - F.lit(z0[k])) * F.sqrt(n - 3.0))
-                  .alias(f"__z{k}"))
+        r = f"`__r{k}`"
+        ok = (f"(({n_sql} >= 4.0D) AND ({r} IS NOT NULL)) "
+              f"AND (ABS({r}) < 1.0D)")
+        # operand order matches the old Column tree (PySpark __radd__/
+        # __rmul__ put the Column first: r + 1.0, ln(...) * 0.5)
+        fisher = f"LN(({r} + 1.0D) / (1.0D - {r})) * 0.5D"
+        zp.append(F.expr(
+            f"CASE WHEN {ok} THEN ({fisher} - "
+            f"{sql_scalar_lit(z0[k])}) * SQRT({n_sql} - 3.0D) END")
+            .alias(f"__z{k}"))
     agg = agg.select("*", *zp)
     # per-pair p's via ONE transform over the z-array: the A&S normal
     # tail is a large polynomial — unrolling it per pair is what blew
@@ -653,8 +714,8 @@ def cov_drift(df: DataFrame, cols, ts_col: str, ref: dict,
     # interpreted fallback, 25× slower); a HOF lambda body compiles
     # once regardless of the pair count
     agg = agg.withColumn(
-        "__zsarr", F.array(*[F.col(f"__z{k}")
-                             for k in range(len(pairs))]))
+        "__zsarr", _col_array_expr([f"__z{k}"
+                                    for k in range(len(pairs))]))
     agg = agg.withColumn("__psarr", F.transform(
         F.col("__zsarr"),
         lambda z: F.when(z.isNotNull(), F.least(
@@ -688,9 +749,9 @@ def cov_drift(df: DataFrame, cols, ts_col: str, ref: dict,
     # index order with a 0.0 seed — the exact left-to-right chain the
     # engine documented and the SQL oracle replays.
     agg = agg.withColumn(
-        "__rsarr", F.array(*[F.col(f"__r{k}")
-                             for k in range(len(pairs))]))
-    r0arr = F.array(*[F.lit(r) for r in ref["corr"]])
+        "__rsarr", _col_array_expr([f"__r{k}"
+                                    for k in range(len(pairs))]))
+    r0arr = lit_array([float(r) for r in ref["corr"]])
     frob = F.aggregate(
         F.sequence(F.lit(1), F.lit(len(pairs))), F.lit(0.0),
         lambda acc, k: acc + F.when(
@@ -701,8 +762,8 @@ def cov_drift(df: DataFrame, cols, ts_col: str, ref: dict,
     max_z = F.array_max(F.transform(
         F.filter(F.col("__zsarr"), lambda z: z.isNotNull()),
         lambda z: F.abs(z)))
-    names_a = F.array(*[F.lit(cols[i]) for i, _ in pairs])
-    names_b = F.array(*[F.lit(cols[j]) for _, j in pairs])
+    names_a = lit_array([cols[i] for i, _ in pairs])
+    names_b = lit_array([cols[j] for _, j in pairs])
     agg = (agg.withColumn("__maxz", max_z)
            .withColumn("__frob", F.when(msize > 0, F.sqrt(frob)))
            .select("__w", "n", "__zsarr", "__psarr", "__qs",
@@ -808,10 +869,8 @@ def quantile_drift(df: DataFrame, value_col: str, ts_col: str,
             f"quantile_drift: duplicate probe labels {sorted(fmt)} — "
             "probes must be distinct after label formatting")
     v, kept = _numeric_kept(df, value_col)
-    b = _bucket_expr(v, lo, width, bins)
     agg = _window_agg(kept, ts_col, window, watermark,
-                      [F.sum((b <= k).cast("double")).alias(f"__le{k}")
-                       for k in range(bins - 1)])
+                      _le_sum_cols(_vcast_sql(value_col), lo, width, bins))
     n = F.col("n").cast("double")
     unit = width / bins
     # ONE array of the K cumulative counts, probed with HOFs: the
@@ -821,8 +880,9 @@ def quantile_drift(df: DataFrame, value_col: str, ts_col: str,
     # k = #cums strictly below target = the crossing bucket (cums are
     # nondecreasing); prev/cur read off the array, same arithmetic.
     agg = agg.withColumn(
-        "__cums", F.array(*([F.col(f"__le{k}") for k in range(bins - 1)]
-                            + [n])))
+        "__cums", F.expr("array(" + ", ".join(
+            [f"`__le{k}`" for k in range(bins - 1)]
+            + ["CAST(`n` AS DOUBLE)"]) + ")"))
     labels = []
     for q in probes:
         label = _probe_label(q)
