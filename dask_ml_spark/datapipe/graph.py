@@ -92,8 +92,9 @@ def smooth_scores(edges: DataFrame, scores: DataFrame,
     Shape at 100 TB: per iteration ONE equi join (edges x scores on
     dst — uniform key) and one groupBy(src) aggregate (bounded by the
     graph's out-degree, k for a k-NN graph — no hot groups), plus a
-    left join back. Edge table localCheckpointed once; score state is
-    #nodes rows. Deterministic — SQL-replayable.
+    left join back. Edge table localCheckpointed once when several
+    rounds will reuse it; score state is #nodes rows. Deterministic —
+    SQL-replayable.
 
     Output: (id, score).
     """
@@ -101,14 +102,19 @@ def smooth_scores(edges: DataFrame, scores: DataFrame,
                         F.col(score_col).cast("double").alias("__s"))
     if iters <= 0:
         return cur.select(F.col(id_col), F.col("__s").alias(score_col))
-    # lazy localCheckpoint: the (possibly expensive, e.g. knn_graph)
-    # edge table materializes with the first smoothing round's job
-    # instead of as its own blocking pass, and later rounds reuse the
-    # blocks
     e = (edges.select(F.col(src_col).alias("__src"),
-                      F.col(dst_col).alias("__dst"))
-         .localCheckpoint(eager=False))
-    for _ in range(iters):
+                      F.col(dst_col).alias("__dst")))
+    if iters > 1:
+        # lazy localCheckpoint: the (possibly expensive, e.g.
+        # knn_graph) edge table materializes with the first smoothing
+        # round's job and LATER rounds reuse the blocks. With a single
+        # round the edge plan has exactly one consumer — a checkpoint
+        # there buys no reuse and still pays both its build-time
+        # physical planning (localCheckpoint plans the subtree via
+        # toRdd even with eager=False) and a full executor-side block
+        # materialization of the edge table at any scale.
+        e = e.localCheckpoint(eager=False)
+    for i in range(iters):
         nb = (e.join(cur.select(F.col(id_col).alias("__dst"), "__s"), "__dst")
               .groupBy("__src").agg(F.avg("__s").alias("__nb")))
         cur = (cur.join(nb.select(F.col("__src").alias(id_col), "__nb"),
@@ -117,10 +123,16 @@ def smooth_scores(edges: DataFrame, scores: DataFrame,
                        F.when(F.col("__nb").isNull(), F.col("__s"))
                        .otherwise((1.0 - alpha) * F.col("__s")
                                   + alpha * F.col("__nb")).alias("__s")))
-        # truncate per round (the pagerank idiom): keeps the plan
-        # one-iteration deep instead of stacking every round's joins;
-        # lazy — the caller's action materializes the chain
-        cur = cur.localCheckpoint(eager=False)
+        if i < iters - 1:
+            # truncate BETWEEN rounds (the pagerank idiom): keeps the
+            # plan one-iteration deep instead of stacking every
+            # round's joins, and the next round reads cur twice (the
+            # nb join + the join back). The LAST round's state has no
+            # next round — its checkpoint served only callers that
+            # consume the returned frame more than once, at the price
+            # of materializing the result an extra time; such callers
+            # checkpoint at the call site instead.
+            cur = cur.localCheckpoint(eager=False)
     return cur.select(F.col(id_col), F.col("__s").alias(score_col))
 
 

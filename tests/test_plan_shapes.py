@@ -553,3 +553,32 @@ def test_ad_and_ewma_drift_window_aggregates(spark, catalog):
         .fromString("simple"))
     assert ("LocalTableScan" in plan2 or "LocalRelation" in plan2
             or "ExistingRDD" in plan2)
+
+
+def test_smooth_scores_checkpoints_only_between_rounds(spark):
+    """smooth_scores truncates lineage (localCheckpoint -> ExistingRDD
+    scan) ONLY where a cut buys reuse: the edge table when several
+    rounds read it, and the score state between rounds (the next round
+    reads it twice). A single-round call has exactly one consumer of
+    each — its plan must be fully pipelined with NO materialization
+    cut, so the edge table is never stored an extra time."""
+    from pyspark.sql import functions as F
+
+    from dask_ml_spark.datapipe.graph import smooth_scores
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    scores = docs.select("doc_id",
+                         F.col("n_chars").cast("double").alias("score"))
+    edges = docs.select(F.col("doc_id").alias("src"),
+                        (F.col("doc_id") + 1).alias("dst"))
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+
+    p1 = plan(smooth_scores(edges, scores, iters=1))
+    assert "ExistingRDD" not in p1
+    p2 = plan(smooth_scores(edges, scores, iters=2))
+    assert "ExistingRDD" in p2
