@@ -100,8 +100,15 @@ def _frequency_levels(df: DataFrame, basket_col: str, item_col: str,
     if max_len == 1:
         return f1, None, None, n_baskets_df
     f1 = f1.localCheckpoint(eager=False)
-    pruned = (exploded.join(f1.select(item_col), item_col, "semi")
-              .localCheckpoint(eager=False))
+    pruned = exploded.join(f1.select(item_col), item_col, "semi")
+    if max_len == 3:
+        # only the triple level re-reads pruned (the pair explode AND
+        # the F2-member prune); at max_len=2 it has exactly one
+        # consumer and a cut would pay its build-time planning plus a
+        # full materialization for zero reuse (the smooth_scores
+        # lesson). Its own inputs are already checkpointed, so the
+        # uncut plan is two ExistingRDD reads deep.
+        pruned = pruned.localCheckpoint(eager=False)
     arrs = _guarded_arrays(pruned, basket_col, item_col, max_basket_items)
     f2 = (arrs.select(F.explode(_pairs_hof(F.col("__arr"))).alias("__p"))
           .groupBy(F.col("__p.a").alias("item_a"),

@@ -582,3 +582,37 @@ def test_smooth_scores_checkpoints_only_between_rounds(spark):
     assert "ExistingRDD" not in p1
     p2 = plan(smooth_scores(edges, scores, iters=2))
     assert "ExistingRDD" in p2
+
+
+def test_frequency_levels_checkpoint_pruned_only_for_triples(spark, monkeypatch):
+    """_frequency_levels cuts lineage only where a cut buys reuse: the
+    frequent-item-pruned (basket, item) table feeds BOTH the pair and
+    the triple explodes at max_len=3, but at max_len=2 (the
+    association_rules path) it has exactly one consumer — a checkpoint
+    there pays build-time planning plus a full materialization of the
+    table for zero reuse. Pin the cut count per level: max_len=2 cuts
+    exploded/f1/f2 (3), max_len=3 additionally cuts pruned (4)."""
+    # patch the concrete class: in Spark 4 pyspark.sql.DataFrame is the
+    # abstract facade and instance lookups resolve on the classic class
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from dask_ml_spark.operators.frequent_patterns import _frequency_levels
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a")],
+        "basket_id int, item string")
+    calls = []
+    orig = DataFrame.localCheckpoint
+
+    def counting(self, eager=True):
+        calls.append(1)
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", counting)
+    _frequency_levels(df, "basket_id", "item", 2, 2, 300)
+    n_pairs = len(calls)
+    calls.clear()
+    _frequency_levels(df, "basket_id", "item", 2, 3, 300)
+    n_triples = len(calls)
+    assert n_pairs == 3
+    assert n_triples == 4
