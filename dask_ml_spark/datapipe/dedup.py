@@ -594,8 +594,10 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: 
         # A user-specified repartition is exempt from AQE coalescing
         # and the self-join reuses the co-partitioning — same shuffle
         # count, full parallelism on the explosion.
-        parts = max(
-            df.sparkSession.sparkContext.defaultParallelism, 32)
+        # scale-adaptive: one partition per core at any cluster size
+        # (a hard floor above defaultParallelism only binds below that
+        # many cores, where it over-splits the tiny coded table)
+        parts = df.sparkSession.sparkContext.defaultParallelism
         coded = coded.repartition(parts, F.col("band"), F.col("bucket"))
         l, r = coded.alias("l"), coded.alias("r")
         pairs = l.join(

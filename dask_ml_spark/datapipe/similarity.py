@@ -266,7 +266,10 @@ def knn_graph(df: DataFrame, k: int = 10,
     if not hasattr(idx, "hyperplanes_"):
         idx.fit(df)
     coded = idx.index(df)
-    parts = max(df.sparkSession.sparkContext.defaultParallelism, 32)
+    # scale-adaptive: one partition per core at any cluster size (the
+    # old hard 32-partition floor only ever bound BELOW 32 cores, where
+    # it over-split tiny bucket tables into 8x more tasks than cores)
+    parts = df.sparkSession.sparkContext.defaultParallelism
     # localCheckpoint after the keyed repartition: BOTH self-join sides
     # read the materialized buckets (the Arrow bucketing UDF would
     # otherwise run once per side — exchange reuse does not fire across

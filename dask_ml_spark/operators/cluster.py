@@ -409,7 +409,10 @@ def _dbscan_pairs(df: DataFrame, cols, eps: float, id_col: str):
         F.col("__id").alias("__qid"),
         *[F.col(f"__x{i}").alias(f"__qx{i}") for i in range(d)],
         F.explode(nbr_keys).alias("__cell"))
-    parts = max(df.sparkSession.sparkContext.defaultParallelism, 32)
+    # scale-adaptive: one partition per core at any cluster size (a
+    # hard floor above defaultParallelism only binds below that many
+    # cores, where it over-splits the cell tables)
+    parts = df.sparkSession.sparkContext.defaultParallelism
     dist2 = sum((F.col(f"__x{i}") - F.col(f"__qx{i}")) ** 2
                 for i in range(d))
     pairs = (base.repartition(parts, "__cell")
