@@ -851,9 +851,15 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     if local_edges and isinstance(sym.schema["src"].dataType, T.LongType):
         # the count doubles as the checkpoint materialization the first
         # label round was going to pay anyway, so taking the measured
-        # branch costs one scalar aggregate over cached blocks
-        if sym.count() <= local_edges:
-            return _components_local(sym)
+        # branch costs one scalar aggregate over cached blocks. sym
+        # holds BOTH orientations (~2x the oriented distinct pairs the
+        # star path gates on), so the bound doubles to admit the same
+        # graphs; null-id rows — which the distributed joins silently
+        # tolerate — are dropped before the local finish (int(NaN)
+        # raises in union-find)
+        if sym.count() <= 2 * local_edges:
+            return _components_local(sym.where(
+                F.col("src").isNotNull() & F.col("dst").isNotNull()))
     # localCheckpoint, not persist: each round references `labels`
     # TWICE (neighbor join + left join), so without lineage truncation
     # the logical plan DOUBLES per round — exponential in rounds, and a

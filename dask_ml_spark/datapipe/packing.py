@@ -115,8 +115,6 @@ def prefix_sum(df: DataFrame, order_col: str, value_col,
     """
     from pyspark import TaskContext
 
-    from dask_ml_spark.utils import ensure_min_partitions
-
     if isinstance(value_col, (list, tuple)):
         if not isinstance(out_col, (list, tuple)):
             # list('ab') would silently split a string into characters

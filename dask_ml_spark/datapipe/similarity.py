@@ -40,19 +40,12 @@ def _qcol(name: str) -> str:
 
 
 def _sql_lit(v) -> str:
-    """SQL literal for a query id — typed exactly as F.lit would type
-    it (int32-range Python ints are INT, larger are BIGINT, floats
-    DOUBLE, strings STRING), so generated plans keep the old types."""
-    if isinstance(v, bool):
-        return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, np.integer)):
-        i = int(v)
-        return str(i) if -2**31 <= i < 2**31 else f"{i}L"
-    if isinstance(v, (float, np.floating)):
-        return _dlit(v)
-    if isinstance(v, str):
-        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-    raise TypeError(f"unsupported query id literal {v!r}")
+    """SQL literal for a query id — delegates to utils.sql_scalar_lit
+    (typed exactly as F.lit would type it, and guarded against the
+    legacy escapedStringLiterals parser conf for string ids)."""
+    from dask_ml_spark.utils import sql_scalar_lit
+
+    return sql_scalar_lit(v)
 
 
 def _sqdist_fold_sql(vec_sql: str, vals, cast: bool) -> str:

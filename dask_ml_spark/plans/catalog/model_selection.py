@@ -128,24 +128,39 @@ def q_time_series_split_stats(spark, sf_dir):
     model_selection.py): 4 expanding-window folds cut at exact integer-
     microsecond range boundaries; per fold the train/test row counts
     plus the test block's value mass prove fold MEMBERSHIP, not just
-    sizes. The oracle recomputes every boundary and filter in SQL."""
-    from functools import reduce
+    sizes. The oracle recomputes every boundary and filter in SQL.
 
+    Rendering (r14, guide §2.4): the boundaries come from the
+    splitter's own cuts() (one min/max job — the same job the split()
+    generator pays), then ALL four folds' train/test counts and test
+    value masses are conditional aggregates in ONE scan of events,
+    reshaped to 4 rows with inline. The previous rendering unioned 4
+    (train agg ⨯ test agg) crossJoins = 9 full scans + 4
+    BroadcastNestedLoopJoins for identical values."""
     from dask_ml_spark.plans.model_selection import TimeSeriesSplit
 
     ev = _t(spark, sf_dir, "events")
     tss = TimeSeriesSplit(n_splits=4, time_col="ts")
-    stats = []
-    for i, (train, test) in enumerate(tss.split(ev)):
-        stats.append(
-            train.agg(F.count("*").alias("train_rows")).crossJoin(
-                test.agg(
-                    F.count("*").alias("test_rows"),
-                    F.round(F.coalesce(_dsum("value"), F.lit(0.0)), 6)
-                    .alias("test_value_sum")))
-            .select(F.lit(i).cast("long").alias("fold"),
-                    "train_rows", "test_rows", "test_value_sum"))
-    return reduce(lambda a, b: a.unionAll(b), stats)
+    cuts = tss.cuts(ev)
+    t = tss._time_expr(ev)
+    aggs, n = [], len(cuts)
+    for i, (lo, hi) in enumerate(zip(cuts, cuts[1:] + [None])):
+        test = (t >= F.lit(lo)) if hi is None else \
+            ((t >= F.lit(lo)) & (t < F.lit(hi)))
+        aggs.append(F.count(F.when(t < F.lit(lo), True)).alias(f"tr{i}"))
+        aggs.append(F.count(F.when(test, True)).alias(f"te{i}"))
+        # conditional form of _dsum("value"), same fixed-point grid
+        aggs.append(F.round(F.coalesce(
+            F.sum(F.when(test, F.floor(F.col("value") * 10000 + F.lit(0.5))
+                         .cast("long"))).cast("double") / F.lit(10000),
+            F.lit(0.0)), 6).alias(f"tv{i}"))
+    folds = F.array(*[
+        F.struct(F.lit(i).cast("long").alias("fold"),
+                 F.col(f"tr{i}").alias("train_rows"),
+                 F.col(f"te{i}").alias("test_rows"),
+                 F.col(f"tv{i}").alias("test_value_sum"))
+        for i in range(n)])
+    return ev.agg(*aggs).select(F.inline(folds))
 
 
 def _sql_time_series_split_stats(n: int = 4) -> str:

@@ -45,8 +45,26 @@ def sql_scalar_lit(v) -> str:
             raise ValueError(f"non-finite literal {v!r}")
         return f"{f!r}D"
     if isinstance(v, str):
+        # backslash escapes are only decoded by the DEFAULT parser; under
+        # spark.sql.parser.escapedStringLiterals=true neither \' nor ''
+        # is unescaped (verified on 4.1), so a quote/backslash in data
+        # would silently change value or break the parse — refuse loudly
+        # (lit_array falls back to per-element F.lit for this case)
+        if _legacy_string_literals():
+            raise ValueError(
+                "sql_scalar_lit(str) requires the default parser "
+                "(spark.sql.parser.escapedStringLiterals=false); use "
+                "F.lit for string literals under the legacy conf")
         return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
     raise TypeError(f"unsupported literal {v!r}")
+
+
+def _legacy_string_literals() -> bool:
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    return (sess is not None and sess.conf.get(
+        "spark.sql.parser.escapedStringLiterals", "false") == "true")
 
 
 def lit_array(vals) -> F.Column:
@@ -62,6 +80,10 @@ def lit_array(vals) -> F.Column:
     vals = list(vals)
     if not vals:
         return F.array()
+    if any(isinstance(v, str) for v in vals) and _legacy_string_literals():
+        # the legacy parser decodes no escape style — pay the py4j
+        # round trips rather than emit literals that could mis-parse
+        return F.array(*[F.lit(v) for v in vals])
     return F.expr("array(" + ", ".join(sql_scalar_lit(v) for v in vals) + ")")
 
 

@@ -386,6 +386,22 @@ def test_duplicate_clusters_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_duplicate_clusters_null_ids_survive_local_finish(spark):
+    """A NULL id in a long-typed pair column must not crash the hybrid
+    local finish (int(NaN) raised in union-find before the r14 fix);
+    the non-null components still resolve to min-id clusters."""
+    from dask_ml_spark.datapipe.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 7), (10, 11)],
+        "id_a long, id_b long")
+    cl = duplicate_clusters(pairs).toPandas()
+    got = {int(n): int(c) for n, c in zip(cl["node"], cl["cluster"])
+           if n == n and n is not None}
+    for node, want in {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}.items():
+        assert got[node] == want
+
+
 def test_dedup_keep_representatives(spark):
     import pandas as pd
 
