@@ -66,6 +66,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dask_ml_spark.utils import ensure_min_partitions
+
 SQRT_TWO_PI = 2.5066282746310002  # sqrt(2*pi), literal-folded
 
 # Abramowitz & Stegun 26.2.17 rational tail coefficients
@@ -1053,6 +1055,13 @@ def bootstrap_ci(df: DataFrame, value_col: str, key_cols,
     else:
         scale = None
         sel = kept.select(v.alias("__v"), k0.alias("__k0"))
+    # spread the NARROW (value, key-hash) projection before the B-way
+    # fan-out: a small parquet input scans as 1-3 partitions, so the
+    # B·n generate + ladder + partial aggregate — the query's entire
+    # compute — would run in ONE task (measured 32-core-idle at sf0.1).
+    # The shuffle moves ~16 bytes/row once; at corpus scale inputs
+    # already carry enough partitions and this is a no-op (guide §2).
+    sel = ensure_min_partitions(sel)
     # replicate constants fan out via an inline array explode — a
     # whole-stage-codegen generator, measured faster than the broadcast
     # crossJoin it replaces (BroadcastNestedLoopJoin materializes B·n
@@ -1167,6 +1176,9 @@ def bootstrap_ci_by(df: DataFrame, value_col: str, key_cols, by,
         wx_of = lambda w: F.sum(w * F.col("__v"))  # noqa: E731
         sw_of = lambda w: F.sum(w)  # noqa: E731
         s_agg = F.sum("__v").alias("__s")
+    # same 1-partition-scan guard as bootstrap_ci: the B-way fan-out is
+    # the whole compute and must not ride a single scan task
+    sel = ensure_min_partitions(sel)
     arr = _boot_consts_expr(n_boot)
     u = (F.pmod((F.col("__k0") + 1 + F.col("c.b")) * F.col("c.a"),
                 F.lit(P))

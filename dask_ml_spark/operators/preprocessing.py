@@ -560,6 +560,8 @@ class Winsorizer(BaseEstimator, TransformerMixin):
         self.approximate = approximate
 
     def fit(self, df: DataFrame, columns=None) -> "Winsorizer":
+        from dask_ml_spark.utils import ensure_min_partitions
+
         cols = self._validate_data(df, columns)
         pct = F.percentile_approx if self.approximate else F.percentile
         # BOTH quantiles of a column from ONE percentile buffer (the
@@ -568,8 +570,18 @@ class Winsorizer(BaseEstimator, TransformerMixin):
         # per-row update work and twice the merge/sort (measured ~2x
         # on the exact path at sf0.1)
         probs = F.array(F.lit(self.lower), F.lit(self.upper))
-        row = df.agg(*[pct(_nn(c), probs).alias(f"__q_{c}")
-                       for c in cols]).collect()[0]
+        # spread the NARROW column projection before the buffer build:
+        # a small parquet input scans as 1 partition, so the exact
+        # path's value-count maps — the fit's whole compute — would
+        # build in ONE task (no-op at scale, the library convention).
+        # Exact percentile is partitioning-independent (sorted
+        # value-count merge); the approx GK sketch is NOT, so the
+        # approximate path keeps the input layout untouched.
+        src = df.select(*cols)
+        if not self.approximate:
+            src = ensure_min_partitions(src)
+        row = src.agg(*[pct(_nn(c), probs).alias(f"__q_{c}")
+                        for c in cols]).collect()[0]
         self.columns_ = cols
         # an all-NULL/all-NaN column has no quantiles: record (None,
         # None) and leave it untouched at transform (MaxAbsScaler's

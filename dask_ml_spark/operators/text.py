@@ -141,6 +141,8 @@ class CountVectorizer(BaseEstimator, TransformerMixin):
         distributed ``vocabulary_frame_`` when fit_distributed was
         used (shuffle join on token — AQE broadcasts it when small),
         else broadcasts the driver-side dictionary."""
+        from dask_ml_spark.utils import ensure_min_partitions
+
         spark = df.sparkSession
         if getattr(self, "vocabulary_frame_", None) is not None:
             vocab_df = self.vocabulary_frame_.select("token", "token_id")
@@ -151,8 +153,13 @@ class CountVectorizer(BaseEstimator, TransformerMixin):
                 )
             )
         toks = tokenize(F.col(self.input_col), self.lowercase, self.token_pattern)
+        # spread before the tokenize+explode+partial-agg: a small
+        # parquet input scans as 1 partition, serializing the
+        # transform's entire compute onto one core (no-op at scale —
+        # the text_stats/embed_train convention)
         return (
-            df.select(F.col(id_col), F.explode(toks).alias("token"))
+            ensure_min_partitions(df.select(F.col(id_col), self.input_col))
+            .select(F.col(id_col), F.explode(toks).alias("token"))
             .join(vocab_df, "token")
             .groupBy(id_col, "token_id")
             .agg(F.count("*").cast("long").alias("count"))
@@ -242,9 +249,13 @@ class HashingVectorizer(BaseEstimator, TransformerMixin):
 
     def transform_long(self, df: DataFrame, id_col: str) -> DataFrame:
         """Triplet form (id, bucket, value) — no Python at all."""
+        from dask_ml_spark.utils import ensure_min_partitions
+
         toks = tokenize(F.col(self.input_col), self.lowercase, self.token_pattern)
+        # spread before tokenize+explode+hash (see CountVectorizer)
         return (
-            df.select(F.col(id_col), F.explode(toks).alias("token"))
+            ensure_min_partitions(df.select(F.col(id_col), self.input_col))
+            .select(F.col(id_col), F.explode(toks).alias("token"))
             .withColumn("bucket", self._bucket_expr(F.col("token")))
             .groupBy(id_col, "bucket")
             .agg(F.sum(self._sign_expr(F.col("token"))).alias("value"))
@@ -338,7 +349,12 @@ class FeatureHasher(BaseEstimator, TransformerMixin):
 
     def transform_long(self, df: DataFrame, id_col: str) -> DataFrame:
         """Triplet form (id, bucket, value) — no Python at all."""
-        kv = self._kv(df, id_col)
+        from dask_ml_spark.utils import ensure_min_partitions
+
+        # spread before the explode+hash+partial-agg (see
+        # CountVectorizer.transform_long)
+        kv = self._kv(ensure_min_partitions(
+            df.select(F.col(id_col), self.input_col)), id_col)
         return (
             kv.withColumn("bucket", self._bucket_expr(F.col("key")))
             .groupBy(id_col, "bucket")

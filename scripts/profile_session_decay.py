@@ -35,7 +35,14 @@ def jvm_state(spark):
     sc = spark.sparkContext._jsc.sc()
     infos = sc.getRDDStorageInfo()
     n_rdds = len(infos)
-    mem_used = sum(infos[i].memUsed() for i in range(n_rdds))
+    mem_used = 0
+    for i in range(n_rdds):
+        for meth in ("memUsed", "memSize"):
+            try:
+                mem_used += getattr(infos[i], meth)()
+                break
+            except Exception:
+                continue
     return {"gc_ms": int(gc_ms), "heap_mb": int(mem.getUsed() / 1e6),
             "stored_rdds": n_rdds, "storage_mb": int(mem_used / 1e6)}
 
