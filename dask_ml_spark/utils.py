@@ -160,6 +160,22 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
         return df
     if min_parts is None:
         min_parts = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        plan = ""
+    if "Exchange" in plan:
+        # under AQE, probing df.rdd FINALIZES the plan: every query
+        # stage below the probe point (shuffle maps, broadcasts, cache
+        # materializations) runs as REAL jobs whose output is thrown
+        # away when the caller extends or persists the plan afterwards
+        # (measured: 1-2 discarded jobs per call on CV-fold-cache
+        # shapes). A frame behind an exchange is already
+        # shuffle-partitions wide — scale-governed, not a 1-3-split
+        # parquet scan — so skip both the probe and the repartition.
+        # (executedPlan() is pure planning, no jobs, and the
+        # QueryExecution is cached for the caller's eventual action.)
+        return df
     if df.rdd.getNumPartitions() < min_parts:
         return df.repartition(min_parts)
     return df
