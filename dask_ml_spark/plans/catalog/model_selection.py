@@ -356,7 +356,14 @@ def q_grid_search_best(spark, sf_dir):
         {"C": [0.1, 10.0]},
         cv=KFold(n_splits=3, shuffle=True, random_state=7),
         # all 2x3 (param, fold) fits race concurrently — the reference's
-        # scheduler runs the whole (param, fold) graph at once
+        # scheduler runs the whole (param, fold) graph at once.
+        # refit=False (r14): the query returns best_params_/best_score_/
+        # n_candidates only — all CV-table state; the default refit's
+        # full-data MLlib fit (~10 LBFGS jobs) produced an estimator
+        # nothing read (guide §1.2: don't compute what you throw away).
+        # Values are unchanged (the ridge/pipeline siblings already ran
+        # refit=False).
+        refit=False,
         n_jobs=6,
     )
     gs.fit(scaled, cols, label_col="label")

@@ -19,6 +19,16 @@ TESTDATA_TABLES = (
 )
 
 
+# (path, size, mtime_ns) -> inferred StructType. Schema METADATA only —
+# no rows, no results: every query still scans the parquet. Re-inferring
+# the schema costs a ~65 ms footer-read/analysis round trip per
+# spark.read.parquet call (measured warm at sf0.1), paid 1-3x per query
+# build; a catalog/metastore would make it free, so the cache plays that
+# role for bare-path reads. Keyed on file identity so a regenerated
+# file re-infers.
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing nano-precision event-time
     columns (see normalize_nanos_timestamps).
@@ -35,7 +45,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # older/newer Spark without the conf: reads may still work
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = None
+    try:
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        pass  # non-local / directory layouts: infer every time
+    schema = _SCHEMA_CACHE.get(key) if key is not None else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_CACHE[key] = df.schema
     return normalize_nanos_timestamps(df)
 
 
