@@ -109,7 +109,14 @@ class _KNeighborsBase(BaseEstimator):
                 self.train_.select("__tid", "__tlabel"), "__tid")
         q = df.select(F.col(query_id_col),
                       _vec(df, self.columns_, self.vec_col).alias("__qvec"))
-        joined = self.train_.crossJoin(F.broadcast(q))
+        # spread the train side before the |train|x|test| distance scan:
+        # a small parquet input scans as 1 partition, serializing the
+        # whole brute-force compute onto one core (no-op at corpus
+        # scale). Bit-safe: scores are row-local JVM folds and
+        # _skew_safe_topk tie-breaks on (score, id).
+        from dask_ml_spark.utils import ensure_min_partitions
+
+        joined = ensure_min_partitions(self.train_).crossJoin(F.broadcast(q))
         if self.metric == "cosine":
             scored = joined.select(
                 query_id_col, "__tid", "__tlabel",

@@ -27,6 +27,7 @@ TESTDATA_TABLES = (
 # role for bare-path reads. Keyed on file identity so a regenerated
 # file re-infers.
 _SCHEMA_CACHE: dict = {}
+_NANOS_CONF_SET: set = set()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -40,11 +41,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # The conf is runtime-settable, and the session we receive may be one
     # we didn't build (external harness), so set it here rather than
-    # relying on session-builder defaults.
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # older/newer Spark without the conf: reads may still work
+    # relying on session-builder defaults. Once per session: the set is
+    # a py4j round trip, and load_table runs 1-3x per catalog query.
+    if id(spark) not in _NANOS_CONF_SET:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # older/newer Spark without the conf: reads may still work
+        _NANOS_CONF_SET.add(id(spark))
     path = os.path.join(sf_dir, f"{name}.parquet")
     key = None
     try:
