@@ -1722,13 +1722,17 @@ def spearman_rho(df: DataFrame, col_a: str, col_b: str,
     keep this exact path for genuinely low-cardinality columns and as
     the parity witness.
 
-    Rank-map construction follows the kaplan_meier pattern: a column
-    whose distinct-value frame fits ``max_driver_rows`` (checked with
-    a bounded limit-collect) gets its cumsum driver-side and the map
-    joins back as an explicit BROADCAST (counts are integers, so the
-    driver cumsum is bit-identical to the distributed one); a
-    higher-cardinality column falls through to the two-phase prefix
-    machinery and a shuffle join.
+    Rank-map construction follows the kaplan_meier pattern, for BOTH
+    columns in ONE tagged pass (r14 — the two per-column passes each
+    paid the full bounded-probe + prefix-machinery job chain): one
+    in-row explode tags every value ('a'|'b'), one distinct-count
+    aggregate covers both columns, one bounded limit-collect probes
+    the combined cardinality. Under ``max_driver_rows`` the cumsums
+    run driver-side per tag and the maps join back as explicit
+    BROADCASTs (counts are integers, so the driver cumsum is
+    bit-identical to the distributed one); above it, ONE grouped
+    two-phase prefix pass (group_col = the tag) ranks both columns in
+    the same range shuffle.
 
     The large-sample two-sided p uses z = ρ·√(n−1) against the shared
     A&S normal tail (documented; exact for the corpus-scale n this
@@ -1742,27 +1746,39 @@ def spearman_rho(df: DataFrame, col_a: str, col_b: str,
                      & vb.isNotNull() & ~F.isnan(vb))
             .select(va.alias("__a"), vb.alias("__b")))
     spark = df.sparkSession
-    for col, rank_name in (("__a", "__ra"), ("__b", "__rb")):
-        g = (kept.groupBy(col)
-             .agg(F.count(F.lit(1)).cast("double").alias("__c")))
-        head = None
-        if max_driver_rows and max_driver_rows > 0:
-            g, head = _bounded_head(g, max_driver_rows)
-        if head is not None:
-            head.sort(key=lambda r: r[col])
-            cum = 0.0
-            rows = []
-            for r in head:
-                rows.append((r[col], cum + (r["__c"] + 1.0) / 2.0))
-                cum += r["__c"]
-            ranks = F.broadcast(spark.createDataFrame(
-                rows, f"{col} double, {rank_name} double"))
-        else:
-            g = prefix_sum(g, col, "__c", "__before")
-            ranks = g.select(col, (F.col("__before")
-                                   + (F.col("__c") + 1.0) / 2.0)
-                             .alias(rank_name))
-        kept = kept.join(ranks, col)
+    g = (kept.select(F.explode(F.array(
+            F.struct(F.lit("a").alias("__t"), F.col("__a").alias("__v")),
+            F.struct(F.lit("b").alias("__t"), F.col("__b").alias("__v"))))
+         .alias("__e"))
+         .select("__e.__t", "__e.__v")
+         .groupBy("__t", "__v")
+         .agg(F.count(F.lit(1)).cast("double").alias("__c")))
+    head = None
+    if max_driver_rows and max_driver_rows > 0:
+        g, head = _bounded_head(g, max_driver_rows)
+    if head is not None:
+        rank_rows = {"a": [], "b": []}
+        cums = {"a": 0.0, "b": 0.0}
+        head.sort(key=lambda r: (r["__t"], r["__v"]))
+        for r in head:
+            t = r["__t"]
+            rank_rows[t].append((r["__v"], cums[t] + (r["__c"] + 1.0) / 2.0))
+            cums[t] += r["__c"]
+        rank_frames = {
+            t: F.broadcast(spark.createDataFrame(
+                rank_rows[t], f"__{t} double, __r{t} double"))
+            for t in ("a", "b")}
+    else:
+        g = prefix_sum(g, "__v", "__c", "__before", group_col="__t")
+        ranked = g.select(
+            "__t", "__v",
+            (F.col("__before") + (F.col("__c") + 1.0) / 2.0).alias("__r"))
+        rank_frames = {
+            t: ranked.where(F.col("__t") == t)
+                     .select(F.col("__v").alias(f"__{t}"),
+                             F.col("__r").alias(f"__r{t}"))
+            for t in ("a", "b")}
+    kept = kept.join(rank_frames["a"], "__a").join(rank_frames["b"], "__b")
     agg = kept.agg(F.corr("__ra", "__rb").alias("rho_d"),
                    F.count(F.lit(1)).cast("double").alias("n_d"))
     n, rho = F.col("n_d"), F.col("rho_d")
