@@ -107,6 +107,17 @@ def ppmi_scores(cooc: DataFrame) -> DataFrame:
     ppmi = max(0, ln(n * N / (n1 * n2))) with N the total pair mass
     and n1/n2 the marginals — all broadcast-size joins; rounded to 6
     digits for engine-portable comparison."""
+    # cooc feeds FOUR subtrees below (total, both marginals, the join
+    # spine): without lineage truncation each reference re-runs the
+    # whole upstream count pipeline — vocab + tokenize + window-pair
+    # explode per reference (measured: the ppmi_topk plan held ~15
+    # parquet scans and zero ReusedExchange). The cut is skipped when
+    # the caller already checkpointed (the apriori/_frequency_levels
+    # convention); the table is <= V^2 rows by construction.
+    from dask_ml_spark.datapipe.packing import _is_checkpoint_scan
+
+    if not _is_checkpoint_scan(cooc):
+        cooc = cooc.localCheckpoint(eager=False)
     # "__total", not "N": Spark resolves case-insensitively, so "N"
     # collides with the count column "n"
     total = cooc.agg(F.sum("n").alias("__total"))
@@ -131,6 +142,11 @@ def logdice_scores(cooc: DataFrame) -> DataFrame:
     to rank collocations for a training-data audit). Same shape as
     ppmi_scores: two V-row marginal aggregates broadcast-joined back;
     rounded to 6 digits for engine-portable comparison."""
+    # three references below — same lineage cut as ppmi_scores
+    from dask_ml_spark.datapipe.packing import _is_checkpoint_scan
+
+    if not _is_checkpoint_scan(cooc):
+        cooc = cooc.localCheckpoint(eager=False)
     m1 = cooc.groupBy("w1").agg(F.sum("n").alias("n1"))
     m2 = cooc.groupBy("w2").agg(F.sum("n").alias("n2"))
     log2 = math.log(2.0)

@@ -378,7 +378,12 @@ def q_ppmi_topk(spark, sf_dir):
                                                     ppmi_scores)
 
     docs = _t(spark, sf_dir, "documents")
-    cooc = cooccurrence_counts(docs, window=2, vocab_size=100)
+    # lazy cut: the top-50 selection AND ppmi's four internal readers
+    # share one evaluation of the count pipeline (r14 — the uncut plan
+    # re-tokenized the corpus per reference; ppmi_scores' own guarded
+    # cut is skipped because this frame is already a checkpoint scan)
+    cooc = cooccurrence_counts(docs, window=2, vocab_size=100) \
+        .localCheckpoint(eager=False)
     top = cooc.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2")).limit(50)
     return (top.join(ppmi_scores(cooc), ["w1", "w2"])
             .select("w1", "w2", "n", "ppmi"))
@@ -397,7 +402,9 @@ def q_collocations_logdice_topk(spark, sf_dir):
                                                     logdice_scores)
 
     docs = _t(spark, sf_dir, "documents")
-    cooc = cooccurrence_counts(docs, window=2, vocab_size=100)
+    # same shared-evaluation cut as q_ppmi_topk
+    cooc = cooccurrence_counts(docs, window=2, vocab_size=100) \
+        .localCheckpoint(eager=False)
     top = cooc.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2")).limit(50)
     return (top.join(logdice_scores(cooc), ["w1", "w2"])
             .select("w1", "w2", "n", "logdice"))
